@@ -1,0 +1,43 @@
+"""JVM-side (codegen'd) Column expressions for the reference's text ops.
+
+Every expression here is pure `pyspark.sql.functions` — no Python UDFs —
+so it stays inside whole-stage codegen and runs identically on a cluster.
+Semantics mirror ontology_mapper_spark.oracle.semantics (tests assert parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Same order as oracle.semantics.STOCK_PREFIXES — Java regex alternation is
+# leftmost-alternative-first, which matches the reference's sequential
+# startswith+break loop (/root/reference/utils/helpers.py:17-26).
+_PREFIX_RE = (
+    "^(A |An |The |This is a |This is an |This is the |Definition: |Description: )"
+)
+
+
+def norm_label_col(c: Column) -> Column:
+    """lower(trim(x)) — comparator/cache normalization (comparator.py:27-28)."""
+    return F.lower(F.trim(c))
+
+
+def capitalize_first_col(c: Column) -> Column:
+    """Upper-case the first character, preserve the rest (helpers.py:29-30)."""
+    return F.concat(F.upper(c.substr(1, 1)), c.substr(F.lit(2), F.length(c)))
+
+
+def clean_description_col(c: Column) -> Column:
+    """Native-expression port of clean_description (helpers.py:8-36).
+
+    whitespace squeeze -> strip first stock prefix -> capitalize first char
+    -> truncate >200 chars to 197+'...'. Null/empty input -> ''.
+    """
+    s = F.coalesce(c, F.lit(""))
+    squeezed = F.trim(F.regexp_replace(s, r"\s+", " "))
+    stripped = F.regexp_replace(squeezed, _PREFIX_RE, "")
+    capped = capitalize_first_col(stripped)
+    return F.when(
+        F.length(capped) > 200, F.concat(F.substring(capped, 1, 197), F.lit("..."))
+    ).otherwise(capped)
