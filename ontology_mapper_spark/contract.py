@@ -1,0 +1,1274 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 as a
+(spark_callable, duckdb_oracle_sql) pair over the driver's parquet tables.
+
+Conventions that make the driver's order-insensitive value-hash compare
+work (see /root/repo/__spark_entry__.py docstring):
+
+* every computed column is aliased IDENTICALLY in Spark and SQL;
+* float results either pass through unchanged from parquet (bit-exact), go
+  through exact decimal arithmetic cast to double at the end, or are
+  produced by a single IEEE operation (one division) — never by
+  order-dependent double summation;
+* every window/rank has a TOTAL order (unique tiebreak column);
+* LIMIT/top-k only after a total order.
+
+Each query's docstring names the SURVEY.md §2 operator(s) it covers and
+the reference lines it derives from.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.align import alignment_type_col
+from .functions.keys import cache_key_col, curie_to_iri_col
+from .functions.synonyms import top_synonyms_col
+from .functions.text import clean_description_col, norm_label_col
+from .operators.dedup import (
+    exact_dedup,
+    minhash_band_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .operators.similarity import cosine_topk_bruteforce
+from .operators.textstats import (
+    token_count_col,
+    with_fingerprint,
+    with_quality_score,
+    with_text_stats,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / projections (S-, F-, P-groups)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q01_pruned_scan_agg",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """S1-analogue scan with predicate+column pruning pushed to parquet
+    (SURVEY.md §4.1; verify with .explain → PushedFilters/ReadSchema)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@_q(
+    "q02_composite_filters",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_orderstatus IN ('O','F')
+      AND o_orderpriority LIKE '1%'
+      AND length(o_orderpriority) >= 3
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """F1-F8 composite predicates: isin + prefix + length + inequality
+    (core/parser.py:112-119, utils/helpers.py:48-60)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.where(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_orderpriority").startswith("1")
+            & (F.length("o_orderpriority") >= 3)
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "q03_fragment_label",
+    """
+    SELECT split_part(p_type, ' ', -1) AS fragment,
+           translate(p_brand, '#', ' ') AS label,
+           count(*) AS n
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """P1 URI-fragment + P2 label derivation (core/parser.py:113-125)."""
+    p = _t(spark, sf, "part")
+    return (
+        p.select(
+            F.substring_index("p_type", " ", -1).alias("fragment"),
+            F.translate("p_brand", "#", " ").alias("label"),
+        )
+        .groupBy("fragment", "label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "q04_clean_description",
+    """
+    SELECT doc_id,
+           CASE WHEN length(capped) > 200
+                THEN substr(capped, 1, 197) || '...'
+                ELSE capped END AS cleaned
+    FROM (
+      SELECT doc_id,
+             upper(substr(stripped, 1, 1)) || substr(stripped, 2) AS capped
+      FROM (
+        SELECT doc_id,
+               regexp_replace(
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                 '^(A |An |The |This is a |This is an |This is the |Definition: |Description: )',
+                 '') AS stripped
+        FROM documents
+      )
+    )
+    """,
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """P4 clean_description as a native chain (utils/helpers.py:8-36)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", clean_description_col(F.col("text")).alias("cleaned"))
+
+
+@_q(
+    "q05_cache_key",
+    """
+    SELECT event_id,
+           sha256(lower(trim(event_type)) || '|' ||
+                  upper(trim(props)) || '|' || 'bioportal') AS cache_key
+    FROM events
+    WHERE event_id % 37 = 0
+    """,
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """P8 sha-256 cache key (cache/cache_manager.py:41-54)."""
+    e = _t(spark, sf, "events")
+    return e.where(F.col("event_id") % 37 == 0).select(
+        "event_id",
+        cache_key_col(F.col("event_type"), F.col("props"), F.lit("bioportal")).alias(
+            "cache_key"
+        ),
+    )
+
+
+_CURIE_VALUES = [
+    "NCIT:C3833", "HP:0003388", "MONDO:0005015", "DOID:0080600",
+    "SIO:001331", "FOO:12345", "no_colon_passthrough", "GO:0008150",
+]
+
+@_q(
+    "q06_curie_expand",
+    """
+    WITH v(curie) AS (VALUES
+      ('NCIT:C3833'), ('HP:0003388'), ('MONDO:0005015'), ('DOID:0080600'),
+      ('SIO:001331'), ('FOO:12345'), ('no_colon_passthrough'), ('GO:0008150'))
+    SELECT curie,
+           CASE WHEN NOT contains(curie, ':') THEN curie
+                ELSE CASE split_part(curie, ':', 1)
+                       WHEN 'NCIT'  THEN 'http://purl.obolibrary.org/obo/NCIT_'
+                       WHEN 'HP'    THEN 'http://purl.obolibrary.org/obo/HP_'
+                       WHEN 'MONDO' THEN 'http://purl.obolibrary.org/obo/MONDO_'
+                       WHEN 'DOID'  THEN 'http://purl.obolibrary.org/obo/DOID_'
+                       WHEN 'ICO'   THEN 'http://purl.obolibrary.org/obo/ICO_'
+                       WHEN 'SIO'   THEN 'http://semanticscience.org/resource/SIO_'
+                       WHEN 'OMIT'  THEN 'http://purl.obolibrary.org/obo/OMIT_'
+                       WHEN 'SCDO'  THEN 'http://purl.obolibrary.org/obo/SCDO_'
+                       ELSE 'http://purl.obolibrary.org/obo/' || split_part(curie, ':', 1) || '_'
+                     END || substr(curie, position(':' in curie) + 1)
+           END AS iri
+    FROM v
+    """,
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 CURIE→IRI expansion (core/schema_parser.py:213-233)."""
+    df = spark.createDataFrame([(c,) for c in _CURIE_VALUES], ["curie"])
+    return df.select("curie", curie_to_iri_col(F.col("curie")).alias("iri"))
+
+
+# ---------------------------------------------------------------------------
+# joins (J-group)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q07_comparator_inner",
+    """
+    WITH bp AS (
+      SELECT lower(p_type) AS label_key, min(p_partkey) AS uri
+      FROM part WHERE p_size <= 25 GROUP BY 1),
+    ols AS (
+      SELECT lower(p_type) AS label_key, min(p_partkey) AS uri
+      FROM part WHERE p_size > 20 GROUP BY 1)
+    SELECT bp.label_key AS label, bp.uri AS bioportal_uri, ols.uri AS ols_uri,
+           (bp.uri = ols.uri) AS uri_match
+    FROM bp JOIN ols USING (label_key)
+    """,
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 comparator inner join on normalized label + uri_match flag
+    (services/comparator.py:27-44)."""
+    p = _t(spark, sf, "part")
+    bp = (
+        p.where(F.col("p_size") <= 25)
+        .groupBy(norm_label_col(F.col("p_type")).alias("label_key"))
+        .agg(F.min("p_partkey").alias("uri"))
+    )
+    ols = (
+        p.where(F.col("p_size") > 20)
+        .groupBy(norm_label_col(F.col("p_type")).alias("label_key"))
+        .agg(F.min("p_partkey").alias("uri"))
+    )
+    return (
+        bp.alias("b")
+        .join(ols.alias("o"), "label_key")
+        .select(
+            F.col("label_key").alias("label"),
+            F.col("b.uri").alias("bioportal_uri"),
+            F.col("o.uri").alias("ols_uri"),
+            (F.col("b.uri") == F.col("o.uri")).alias("uri_match"),
+        )
+    )
+
+
+@_q(
+    "q08_left_anti",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """J2/U2 left-anti difference (services/comparator.py:47-54)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@_q(
+    "q09_left_semi",
+    """
+    SELECT count(*) AS n_parts_with_lines
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 left-semi membership join (core/parser.py:119)."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+        .agg(F.count("*").alias("n_parts_with_lines"))
+    )
+
+
+_STRATEGY_ROWS = [
+    ("AMERICA", "america,new world", "MONDO,HP"),
+    ("EUROPE", "europe,old world", "NCIT"),
+    ("ASIA", "asia", "GO,CHEBI"),
+]
+
+@_q(
+    "q10_broadcast_default",
+    """
+    WITH strat(key, variants, onts) AS (VALUES
+      ('AMERICA','america,new world','MONDO,HP'),
+      ('EUROPE','europe,old world','NCIT'),
+      ('ASIA','asia','GO,CHEBI'))
+    SELECT r.r_name,
+           coalesce(s.variants, lower(r.r_name)) AS variants,
+           coalesce(s.onts, 'MONDO,HP,NCIT') AS onts
+    FROM region r LEFT JOIN strat s ON r.r_name = s.key
+    """,
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 broadcast left join + coalesce defaults (core/lookup.py:26-29)."""
+    r = _t(spark, sf, "region")
+    strat = spark.createDataFrame(_STRATEGY_ROWS, ["key", "variants", "onts"])
+    return (
+        r.join(F.broadcast(strat), r["r_name"] == strat["key"], "left")
+        .select(
+            "r_name",
+            F.coalesce("variants", F.lower("r_name")).alias("variants"),
+            F.coalesce("onts", F.lit("MONDO,HP,NCIT")).alias("onts"),
+        )
+    )
+
+
+@_q(
+    "q11_priority_dedup",
+    """
+    SELECT p_type, p_partkey, p_brand
+    FROM (
+      SELECT p_type, p_partkey, p_brand,
+             row_number() OVER (
+               PARTITION BY p_type
+               ORDER BY CASE WHEN p_brand < 'Brand#30' THEN 0 ELSE 1 END,
+                        p_partkey) AS rn
+      FROM part)
+    WHERE rn = 1
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 deterministic priority dedup as a window rank, not dropDuplicates
+    (core/lookup.py:68-87 first-seen-URI/BP-priority semantics)."""
+    from .operators.topk import priority_dedup
+
+    p = _t(spark, sf, "part")
+    out = priority_dedup(
+        p.select("p_type", "p_partkey", "p_brand"),
+        key_cols=["p_type"],
+        priority=F.when(F.col("p_brand") < "Brand#30", 0).otherwise(1),
+        tiebreak_cols=["p_partkey"],
+    )
+    return out.select("p_type", "p_partkey", "p_brand")
+
+
+@_q(
+    "q12_synonym_dedup",
+    """
+    WITH words AS (
+      SELECT doc_id, w, idx
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS idx
+        FROM documents)
+      WHERE trim(w) <> ''
+    ), firsts AS (
+      SELECT doc_id, lower(trim(w)) AS form, min(idx) AS first_idx
+      FROM words
+      WHERE length(lower(trim(w))) >= 3
+      GROUP BY 1, 2
+    ), kept AS (
+      SELECT f.doc_id, trim(w.w) AS syn
+      FROM firsts f JOIN words w
+        ON w.doc_id = f.doc_id AND w.idx = f.first_idx
+    )
+    SELECT doc_id, syn,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY length(syn), lower(syn)) AS INT) - 1 AS pos
+    FROM kept
+    QUALIFY pos < 3
+    """,
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 synonym dedup: first-occurrence-wins, ≥3 chars, (len,lower) sort,
+    top-3 (utils/helpers.py:39-73 + core/generator.py:283) — the Spark side
+    is the single native array expression used by the triple generator."""
+    d = _t(spark, sf, "documents")
+    syns = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("synonyms")
+    ).select(
+        "doc_id", F.posexplode(top_synonyms_col(F.col("synonyms"), 3)).alias("pos", "syn")
+    )
+    return syns.select("doc_id", "syn", F.col("pos").cast("int").alias("pos"))
+
+
+# ---------------------------------------------------------------------------
+# aggregations / sorts / set ops (A-, T-, U-groups)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q13_groupby_count",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 count per source/service (services/comparator.py:18-19)."""
+    return _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "q14_sum_nested_sizes",
+    """
+    SELECT lang, sum(len(string_split(text, ' '))) AS total_words
+    FROM documents GROUP BY lang
+    """,
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 sum of nested list sizes (core/schema_parser.py:95,209)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("total_words"))
+    )
+
+
+@_q(
+    "q15_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Headline hash-agg (TPC-H Q1 shape) — exact decimal arithmetic then
+    one deterministic cast to double; partial+final agg split is free
+    (SURVEY.md §4.3)."""
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q16_composite_sort",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    ORDER BY length(p_name), lower(p_name), p_partkey
+    LIMIT 20
+    """,
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 composite (len, lower) sort + T2 limit (utils/helpers.py:71,
+    core/lookup.py:66). Total order via p_partkey tiebreak."""
+    p = _t(spark, sf, "part")
+    return (
+        p.select("p_partkey", "p_name")
+        .orderBy(F.length("p_name"), F.lower("p_name"), "p_partkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q17_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """T2 per-group top-k as window rank (SURVEY.md T2)."""
+    from .operators.topk import grouped_topk
+
+    o = _t(spark, sf, "orders")
+    out = grouped_topk(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"],
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@_q(
+    "q18_array_slice",
+    """
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS head3
+    FROM documents
+    """,
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """T3 head-3 slice (core/generator.py:283)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)).alias("head3"),
+    )
+
+
+@_q(
+    "q19_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 set intersection (services/comparator.py:31)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@_q(
+    "q20_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """U2 set difference (services/comparator.py:47-54)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT, matching the SQL (not exceptAll)
+
+
+@_q(
+    "q21_union_counts",
+    """
+    SELECT side, count(*) AS n FROM (
+      SELECT 'bp' AS side, c_name AS name FROM customer
+      UNION ALL
+      SELECT 'ols' AS side, s_name AS name FROM supplier)
+    GROUP BY side
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """U3 bag union with source tags (core/lookup.py:68-87 BP+OLS concat)."""
+    c = _t(spark, sf, "customer").select(
+        F.lit("bp").alias("side"), F.col("c_name").alias("name")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.lit("ols").alias("side"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s).groupBy("side").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# windows / sessions (§2.8 — new for transcripts) and classifier (C-group)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q22_stable_order_window",
+    """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn_no,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+    FROM events
+    """,
+)
+def q22(spark, sf):
+    """Stable per-partition ordering + lag — the (conv_id, turn_idx)
+    invariant machinery (BASELINE.json:input_hint; SURVEY.md §2.8)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("int").alias("turn_no"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+@_q(
+    "q23_alignment_classifier",
+    """
+    WITH pairs AS (
+      SELECT p_partkey,
+             lower(p_type) ||
+               CASE p_size % 3 WHEN 0 THEN ' disease'
+                               WHEN 1 THEN ' manifestation' ELSE '' END AS label,
+             CASE p_size % 5 WHEN 0 THEN 'symptom' WHEN 1 THEN 'sign'
+                             WHEN 2 THEN 'disease' WHEN 3 THEN 'disorder'
+                             ELSE replace(lower(p_type), ' ', '_') END AS key
+      FROM part)
+    SELECT p_partkey, label, key,
+      CASE
+        WHEN label = replace(key, '_', ' ') THEN 'exact'
+        WHEN contains(label, replace(key, '_', ' '))
+          OR contains(replace(key, '_', ' '), label) THEN 'close'
+        WHEN (contains(label,'disease') OR contains(label,'disorder')
+           OR contains(label,'condition') OR contains(label,'syndrome'))
+          AND key IN ('symptom','sign') THEN 'broader'
+        WHEN (contains(label,'symptom') OR contains(label,'sign')
+           OR contains(label,'manifestation'))
+          AND key IN ('disease','disorder') THEN 'narrower'
+        ELSE 'related'
+      END AS alignment
+    FROM pairs
+    """,
+)
+def q23(spark, sf):
+    """C1 determine_alignment_type parity vs an independent SQL
+    implementation (utils/helpers.py:76-105) — the P/R-gate classifier."""
+    p = _t(spark, sf, "part")
+    label = F.concat(
+        F.lower("p_type"),
+        F.when(F.col("p_size") % 3 == 0, F.lit(" disease"))
+        .when(F.col("p_size") % 3 == 1, F.lit(" manifestation"))
+        .otherwise(F.lit("")),
+    )
+    key = (
+        F.when(F.col("p_size") % 5 == 0, F.lit("symptom"))
+        .when(F.col("p_size") % 5 == 1, F.lit("sign"))
+        .when(F.col("p_size") % 5 == 2, F.lit("disease"))
+        .when(F.col("p_size") % 5 == 3, F.lit("disorder"))
+        .otherwise(F.translate(F.lower("p_type"), " ", "_"))
+    )
+    pairs = p.select("p_partkey", label.alias("label"), key.alias("key"))
+    return pairs.select(
+        "p_partkey",
+        "label",
+        "key",
+        alignment_type_col(
+            F.col("label"), F.array().cast("array<string>"), F.col("key")
+        ).alias("alignment"),
+    )
+
+
+@_q(
+    "q24_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(new_session) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q24(spark, sf):
+    """Sessionization via gap>30min cut — the batch equivalent of a
+    session window (SURVEY.md §2.8)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("new_session").alias("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family (D-group + training-data near-dup)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q25_exact_dedup",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+    """,
+)
+def q25(spark, sf):
+    """Exact dedup by normalized-content hash; min-id representative."""
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "dup_count")
+
+
+_MINHASH_N, _MINHASH_BANDS = 8, 4
+
+@_q(
+    "q26_minhash_lsh_pairs",
+    """
+    WITH words AS (
+      SELECT DISTINCT doc_id, w AS sh
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+             min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+             min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+             min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+      FROM words GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def q26(spark, sf):
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket
+    join). Word-level shingles so the tiny test vocabulary produces real
+    collisions; at corpus scale use shingle_n=3+."""
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(d, "text", "doc_id", num_hashes=_MINHASH_N, shingle_n=1)
+    return minhash_band_pairs(sig, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+
+
+@_q(
+    "q27_ngram_jaccard",
+    """
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead_w AS sh
+      FROM (SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM (SELECT doc_id,
+                         unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w,
+                         generate_subscripts(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),1) AS idx
+                  FROM documents))
+      WHERE lead_w IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.10
+    """,
+)
+def q27(spark, sf):
+    """Exact bigram-Jaccard near-dup via inverted index (never all-pairs)."""
+    d = _t(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=2, threshold=0.10)
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b")
+
+
+@_q("q28_simhash")  # no SQL oracle: xxhash64 has no DuckDB equivalent → rows-only
+def q28(spark, sf):
+    """SimHash-64 content signatures (near-dup by hamming distance)."""
+    d = _t(spark, sf, "documents")
+    return simhash64(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q29_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) * 1e6)
+                  AS BIGINT) AS cosine_micro
+      FROM embeddings e CROSS JOIN q)
+    SELECT query_id, vec_id, cosine_micro, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q29(spark, sf):
+    """Brute-force cosine top-k (ANN baseline): broadcast query side, native
+    zip_with/aggregate dot products, micro-rounded before ranking so the
+    order is identical across engines."""
+    from .operators.similarity import cosine_cols
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_cols(
+                F.col("embedding").cast("array<double>"),
+                F.col("_qvec").cast("array<double>"),
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("cosine_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+@_q("q30_lsh_topk")  # approximate variant → rows-only check
+def q30(spark, sf):
+    """LSH-bucketed approximate top-k (the scale path for q29)."""
+    from .operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(e, q, dim=dim, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q31_text_stats",
+    """
+    SELECT doc_id,
+           len(words) AS n_words,
+           CAST(round(
+             (len(list_filter(words, w -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','for','on',
+                'with','at','by','from','as','that','this','it','be'], w)))
+              / CAST(len(words) AS DOUBLE)) * 1e6) AS BIGINT) AS stop_micro
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),
+                         w -> w <> '') AS words
+      FROM documents)
+    """,
+)
+def q31(spark, sf):
+    """Quality-scoring inputs: token counts + stopword ratio (micro-fixed-
+    point so the float division hashes identically)."""
+    d = _t(spark, sf, "documents")
+    s = with_text_stats(d, "text")
+    return s.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("stopword_ratio") * 1e6).cast("bigint").alias("stop_micro"),
+    )
+
+
+@_q(
+    "q32_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(array_to_string(
+             list_sort(list_distinct(
+               list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),
+                           w -> w <> ''))), ' ')) AS sha256
+    FROM documents
+    """,
+)
+def q32(spark, sf):
+    """Order-independent document fingerprint (sorted distinct words)."""
+    d = _t(spark, sf, "documents")
+    return with_fingerprint(d, "text").select("doc_id", "sha256")
+
+
+@_q(
+    "q33_token_count",
+    """
+    SELECT lang,
+           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q33(spark, sf):
+    """Token counting with a BPE-ish regex, aggregated per language."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(token_count_col(F.col("text"))).alias("total_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mention detection / co-mention / connected components (KG core, oracled)
+# ---------------------------------------------------------------------------
+
+_DEMO_PATTERNS = [
+    "hash join", "sort merge", "table scan", "batch stream",
+    "window", "filter", "stream", "group", "vector", "spark",
+]
+
+@_q(
+    "q34_mention_detect",
+    """
+    WITH pat(p) AS (VALUES
+      ('hash join'),('sort merge'),('table scan'),('batch stream'),
+      ('window'),('filter'),('stream'),('group'),('vector'),('spark')),
+    words AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS w,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS idx
+            FROM documents)
+      WHERE w <> ''),
+    cand AS (
+      SELECT doc_id, w AS span FROM words
+      UNION ALL
+      SELECT doc_id, w || ' ' || lead_w AS span
+      FROM (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM words)
+      WHERE lead_w IS NOT NULL)
+    SELECT doc_id, span AS pattern, count(*) AS n_mentions
+    FROM cand JOIN pat ON span = p
+    GROUP BY doc_id, span
+    """,
+)
+def q34(spark, sf):
+    """THE flagship operator: Aho-Corasick mention detection via broadcast
+    automaton + mapInPandas (SURVEY.md C4), cross-checked against a
+    unigram/bigram SQL oracle — validates automaton construction, failure
+    links, and word-boundary handling."""
+    from .pipeline.mention_detect import detect_mentions
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    m = detect_mentions(spark, d, _DEMO_PATTERNS)
+    return (
+        m.groupBy(F.col("conv_id").cast("bigint").alias("doc_id"), "pattern")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+@_q(
+    "q35_comention_edges",
+    """
+    WITH pat(p) AS (VALUES
+      ('hash join'),('sort merge'),('table scan'),('batch stream'),
+      ('window'),('filter'),('stream'),('group'),('vector'),('spark')),
+    words AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS w,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS idx
+            FROM documents)
+      WHERE w <> ''),
+    cand AS (
+      SELECT doc_id, w AS span FROM words
+      UNION ALL
+      SELECT doc_id, w || ' ' || lead_w AS span
+      FROM (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM words)
+      WHERE lead_w IS NOT NULL),
+    ment AS (SELECT DISTINCT doc_id, span FROM cand JOIN pat ON span = p)
+    SELECT a.span AS entity_a, b.span AS entity_b, count(*) AS n_comentions
+    FROM ment a JOIN ment b ON a.doc_id = b.doc_id AND a.span < b.span
+    GROUP BY 1, 2
+    """,
+)
+def q35(spark, sf):
+    """J8 co-mention edges (same-turn window) over detected mentions."""
+    from .pipeline.comention import comention_edges
+    from .pipeline.mention_detect import detect_mentions
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    m = detect_mentions(spark, d, _DEMO_PATTERNS)
+    return comention_edges(m, window_turns=0, entity_col="pattern")
+
+
+@_q(
+    "q36_connected_components",
+    """
+    WITH edges AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+      WHERE a.p_partkey % 7 <> 0),
+    nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges)
+    SELECT node, node - ((node - 1) % 7) AS component
+    FROM nodes
+    WHERE node - ((node - 1) % 7) >= (SELECT min(node) FROM nodes)
+    """,
+)
+def q36(spark, sf):
+    """C6 connected components (iterative hash-to-min) on a chain graph
+    whose ground-truth components have a closed form — validates the loop,
+    convergence, and determinism of the canonicalizer."""
+    from .pipeline.canonicalize import connected_components
+
+    p = _t(spark, sf, "part").select("p_partkey")
+    a = p.alias("a")
+    b = p.alias("b")
+    edges = (
+        a.join(b, F.col("b.p_partkey") == F.col("a.p_partkey") + 1)
+        .where(F.col("a.p_partkey") % 7 != 0)
+        .select(
+            F.col("a.p_partkey").alias("src_iri"), F.col("b.p_partkey").alias("dst_iri")
+        )
+    )
+    # CC operates on strings (IRIs); zero-pad so lexicographic min == numeric min
+    edges_s = edges.select(
+        F.lpad(F.col("src_iri").cast("string"), 10, "0").alias("src_iri"),
+        F.lpad(F.col("dst_iri").cast("string"), 10, "0").alias("dst_iri"),
+    )
+    comp = connected_components(edges_s)
+    return comp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+@_q(
+    "q37_variant_expand",
+    """
+    WITH strat(key, variants) AS (VALUES
+      ('Disease','disease,medical condition,disorder'),
+      ('Symptom','symptom,clinical sign,phenotype'),
+      ('long_covid','long covid,post-covid,post covid syndrome,covid-19 sequelae'),
+      ('fatigue','fatigue,chronic fatigue,tiredness,exhaustion,post-exertional malaise'))
+    SELECT key, unnest(string_split(variants, ',')) AS variant FROM strat
+    """,
+)
+def q37(spark, sf):
+    """C2 query-variant expansion via explode (config/ontologies.py:47-80,
+    core/lookup.py:43-58)."""
+    rows = [
+        ("Disease", "disease,medical condition,disorder"),
+        ("Symptom", "symptom,clinical sign,phenotype"),
+        ("long_covid", "long covid,post-covid,post covid syndrome,covid-19 sequelae"),
+        ("fatigue", "fatigue,chronic fatigue,tiredness,exhaustion,post-exertional malaise"),
+    ]
+    df = spark.createDataFrame(rows, ["key", "variants"])
+    return df.select("key", F.explode(F.split("variants", ",")).alias("variant"))
+
+
+@_q(
+    "q38_sssom_rows",
+    """
+    WITH pairs AS (
+      SELECT p_partkey,
+             lower(p_type) ||
+               CASE p_size % 3 WHEN 0 THEN ' disease'
+                               WHEN 1 THEN ' manifestation' ELSE '' END AS label,
+             CASE p_size % 5 WHEN 0 THEN 'symptom' WHEN 1 THEN 'sign'
+                             WHEN 2 THEN 'disease' WHEN 3 THEN 'disorder'
+                             ELSE replace(lower(p_type), ' ', '_') END AS key
+      FROM part WHERE p_partkey % 10 = 0),
+    classified AS (
+      SELECT *,
+        CASE
+          WHEN label = replace(key, '_', ' ') THEN 'skos:exactMatch'
+          WHEN contains(label, replace(key, '_', ' '))
+            OR contains(replace(key, '_', ' '), label) THEN 'skos:closeMatch'
+          WHEN (contains(label,'disease') OR contains(label,'disorder')
+             OR contains(label,'condition') OR contains(label,'syndrome'))
+            AND key IN ('symptom','sign') THEN 'skos:broadMatch'
+          WHEN (contains(label,'symptom') OR contains(label,'sign')
+             OR contains(label,'manifestation'))
+            AND key IN ('disease','disorder') THEN 'skos:narrowMatch'
+          ELSE 'skos:relatedMatch'
+        END AS predicate_id
+      FROM pairs)
+    SELECT 'EX:' || key AS subject_id,
+           replace(key, '_', ' ') AS subject_label,
+           predicate_id,
+           'PART:' || p_partkey AS object_id,
+           label AS object_label,
+           'semapv:ManualMappingCuration' AS mapping_justification,
+           '2026-08-16' AS mapping_date
+    FROM classified
+    """,
+)
+def q38(spark, sf):
+    """K3 SSSOM sink shape: the 7 mapping columns with C1-chosen predicate
+    (core/generator.py:141-185), mapping_date as a fixed run parameter."""
+    from .functions.align import alignment_predicate_col
+
+    p = _t(spark, sf, "part").where(F.col("p_partkey") % 10 == 0)
+    label = F.concat(
+        F.lower("p_type"),
+        F.when(F.col("p_size") % 3 == 0, F.lit(" disease"))
+        .when(F.col("p_size") % 3 == 1, F.lit(" manifestation"))
+        .otherwise(F.lit("")),
+    )
+    key = (
+        F.when(F.col("p_size") % 5 == 0, F.lit("symptom"))
+        .when(F.col("p_size") % 5 == 1, F.lit("sign"))
+        .when(F.col("p_size") % 5 == 2, F.lit("disease"))
+        .when(F.col("p_size") % 5 == 3, F.lit("disorder"))
+        .otherwise(F.translate(F.lower("p_type"), " ", "_"))
+    )
+    pairs = p.select("p_partkey", label.alias("label"), key.alias("key"))
+    pred = alignment_predicate_col(
+        F.col("label"), F.array().cast("array<string>"), F.col("key")
+    )
+    # in this mapping context the reference never falls through to seeAlso
+    # (C1 always returns one of the five classes); keep relatedMatch default
+    return pairs.select(
+        F.concat(F.lit("EX:"), F.col("key")).alias("subject_id"),
+        F.translate("key", "_", " ").alias("subject_label"),
+        pred.alias("predicate_id"),
+        F.concat(F.lit("PART:"), F.col("p_partkey")).alias("object_id"),
+        F.col("label").alias("object_label"),
+        F.lit("semapv:ManualMappingCuration").alias("mapping_justification"),
+        F.lit("2026-08-16").alias("mapping_date"),
+    )
+
+
+@_q(
+    "q39_windowed_event_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q39(spark, sf):
+    """Tumbling-window aggregation (batch form of a streaming hourly
+    window; Structured Streaming uses the identical expression)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline over synthesized transcripts (rows-only checks — the
+# transcript table is not a DuckDB view; semantics are pytest-gated
+# against the verbatim oracle instead)
+# ---------------------------------------------------------------------------
+
+
+def _demo_kg(spark, n_convs: int = 120):
+    from .datagen.snapshot import ontology_terms_rows
+    from .datagen import build_snapshot, build_transcripts
+    from .pipeline import build_dictionary, detect_mentions, link_mentions
+
+    terms, xrefs = build_snapshot(spark, n_terms=100, seed=42)
+    labels = sorted({r["label"] for r in ontology_terms_rows(100, 42)})
+    tr = build_transcripts(spark, n_convs=n_convs, seed=42, mention_labels=labels)
+    pats = build_dictionary(terms)
+    mentions = detect_mentions(spark, tr, pats)
+    links = link_mentions(spark, mentions, terms, idf=None)
+    return terms, xrefs, tr, mentions, links
+
+
+@_q("kg_links_transcripts")  # rows-only: deterministic, pytest-gated vs oracle
+def kg_links(spark, sf):
+    """Full mention-detect + link-score over seeded synthetic transcripts."""
+    _, _, _, _, links = _demo_kg(spark)
+    return links.select(
+        "conv_id", "turn_idx", "begin", "end", "surface", "class_iri",
+        "alignment", "predicate", "rank",
+    )
+
+
+@_q("kg_triples_transcripts")  # rows-only
+def kg_triples(spark, sf):
+    """Materialized (subj, pred, obj) triples with reference vocabulary."""
+    from .pipeline.materialize import extract_triples
+
+    _, _, _, _, links = _demo_kg(spark)
+    return extract_triples(links, run_ts="2026-08-16T00:00:00")
+
+
+@_q("kg_canonical_entities")  # rows-only
+def kg_canonical(spark, sf):
+    """Connected-components canonicalization over the xref graph."""
+    from .pipeline.canonicalize import canonical_mapping
+
+    terms, xrefs, _, _, _ = _demo_kg(spark)
+    return canonical_mapping(terms, xrefs)
+
+
+@_q("q40_media_features")  # rows-only: decode is stubbed (no media libs)
+def q40(spark, sf):
+    """Multimodal plumbing: binary payloads → deterministic fake features
+    via mapInPandas (real schema/batching; decode itself is the stub)."""
+    from .operators.multimodal import extract_media_features
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length("text") * 100).cast("int").alias("duration_ms"),
+    )
+    return extract_media_features(media, dim=8, use_fake=True)

@@ -1,0 +1,57 @@
+"""Source-comparison operator (J1/J2/A1/A2 — services/comparator.py:14-71).
+
+The reference compares BioPortal-vs-OLS result lists per concept by building
+two label-keyed dicts and set-intersecting the keys. Distributed form: one
+inner join (common terms + uri_match flag) and two left-anti joins
+(source-only rows), all on the normalized label key — broadcastable when one
+side is dictionary-sized, shuffle-hash otherwise (Catalyst picks via AQE).
+
+Dict-semantics caveat reproduced deterministically: the reference's
+`{label.lower(): row}` keeps the LAST row per label (insertion order). We
+keep `row_number` LAST-wins ordered by a stable tiebreak column so results
+are identical under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _last_per_label(df: DataFrame, order_col: str) -> DataFrame:
+    w = Window.partitionBy("label_key").orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("label_key", F.lower(F.col("label")))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def compare_sources(
+    bp: DataFrame,
+    ols: DataFrame,
+    label_col: str = "label",
+    uri_col: str = "uri",
+    order_col: str = "uri",
+) -> dict[str, DataFrame]:
+    """Returns {'common', 'bp_only', 'ols_only'} DataFrames.
+
+    `common` columns: label, bioportal_uri, ols_uri, uri_match.
+    """
+    bpn = _last_per_label(bp.withColumnRenamed(label_col, "label"), order_col)
+    olsn = _last_per_label(ols.withColumnRenamed(label_col, "label"), order_col)
+
+    common = (
+        bpn.alias("b")
+        .join(olsn.alias("o"), "label_key")
+        .select(
+            F.col("b.label").alias("label"),
+            F.col(f"b.{uri_col}").alias("bioportal_uri"),
+            F.col(f"o.{uri_col}").alias("ols_uri"),
+            (F.col(f"b.{uri_col}") == F.col(f"o.{uri_col}")).alias("uri_match"),
+        )
+    )
+    bp_only = bpn.join(olsn, "label_key", "left_anti").drop("label_key")
+    ols_only = olsn.join(bpn, "label_key", "left_anti").drop("label_key")
+    return {"common": common, "bp_only": bp_only, "ols_only": ols_only}

@@ -1,0 +1,205 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Beyond the reference's exact dedup (core/lookup.py:49-58 full-row,
+core/lookup.py:68-87 URI-priority — see topk.priority_dedup), a web-scale
+corpus pipeline needs near-dup detection. All operators here are pure
+DataFrame compositions over deterministic hash functions — portable to any
+cluster, no driver-side loops, no Python in the hot path except where a
+bit-twiddling step (simhash) genuinely needs it (Arrow-batched).
+
+Determinism note: hashes are md5/xxhash64 of explicit strings — never
+`hash()` of a row — so results are stable across Spark versions,
+partitionings, and re-runs (required for the DuckDB cross-checks, which can
+compute the same md5 strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text_col(c: F.Column) -> F.Column:
+    """Whitespace-squeeze + lower — the canonical form for exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact near-copy removal: hash-groupBy on normalized text, keep the
+    min-id representative. Output = input columns + `dup_count`.
+
+    One shuffle on the 256-bit content hash; group sizes are tiny (dup
+    clusters), so no skew concern even at 10^12 docs.
+    """
+    h = F.sha2(F.encode(normalized_text_col(F.col(text_col)), "utf-8"), 256)
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("_h")))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_h", "_r")
+    )
+
+
+def shingles_col(text_col: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingles of normalized text as array<string> (distinct)."""
+    words = F.split(normalized_text_col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string>) — MinHash over word-shingles.
+
+    Hash family h_i(s) = md5(i || ':' || s); the minimum is taken as a
+    STRING min over hex digests — deterministic and reproducible in any
+    engine with md5 (the DuckDB oracle computes the identical signature).
+    Map-only (explode + groupBy id with min aggregates is shuffle-on-id;
+    partial aggregation collapses shingles map-side).
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.encode(F.concat_ws(":", F.lit(str(i)), F.col("sh")), "utf-8"))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_band_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split signatures into `bands` rows-per-band groups,
+    bucket-join on (band_id, band_hash), emit candidate pairs (a < b).
+
+    This is the scale path: candidate generation is an equi-join on band
+    hashes (shuffle on band key), never an all-pairs product. Hot buckets
+    (boilerplate text) are bounded by the band hash width; residual skew is
+    AQE's skew-join case.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.encode(
+                        F.concat_ws("|", *[F.element_at("sig", b * rows_per_band + r + 1)
+                                           for r in range(rows_per_band)]),
+                        "utf-8",
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_id", "b.band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over word tokens.
+
+    Token hashes are xxhash64 (JVM-side); the per-bit majority vote is the
+    only step Spark lacks natively, done with an array fold over 64 bit
+    positions — still pure Column expressions (no Python).
+    """
+    words = F.split(normalized_text_col(F.col(text_col)), " ")
+    tok = df.select(F.col(id_col), F.explode(words).alias("w")).where(F.length("w") > 0)
+    tok = tok.withColumn("h", F.xxhash64("w"))
+    # 64 masked vote aggregates in ONE groupBy — no per-bit row blowup, all
+    # JVM-side with map-side partial aggregation. Bit 63's mask is the sign
+    # bit, expressed as the signed long -2^63.
+    masks = [(b, (1 << b) if b < 63 else -(1 << 63)) for b in range(64)]
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b, m in masks
+    ]
+    votes = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b, m in masks:
+        term = F.when(F.col(f"v{b}") > 0, F.lit(m).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted index (not all-pairs):
+    explode shingles → self-join on shingle → count common → Jaccard with
+    per-doc shingle counts. Output (id_a, id_b, jaccard ≥ threshold).
+
+    Scale: the self-join is an equi-join on the shingle key; ubiquitous
+    shingles are the skew risk — production would drop top-df shingles
+    (stop-shingles); here the vocabulary is tiny so we keep all.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines (all native Columns).
+
+Language-ID, quality scoring, token counting, and document fingerprinting —
+each a pure `pyspark.sql.functions` expression chain (whole-stage codegen,
+no Python), designed to run inside the same scan as other per-doc work so a
+100 TB corpus is read once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "for", "on",
+    "with", "at", "by", "from", "as", "that", "this", "it", "be",
+)
+
+# crude n-gram cues per language — a deterministic heuristic, not a model
+_LANG_CUES = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def words_col(text):
+    return F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " "),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_words, n_chars_norm, avg_word_len, stopword_ratio, punct_ratio."""
+    w = words_col(F.col(text_col))
+    n_words = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_chars = F.length(F.col(text_col))
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars_norm", n_chars)
+        .withColumn(
+            "avg_word_len",
+            F.when(n_words > 0, F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)) / n_words)
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """0–100 heuristic quality score from the text stats: length band +
+    stopword presence + punctuation sanity. Deterministic, monotone in each
+    component — meant for percentile-based corpus filtering."""
+    d = with_text_stats(df, text_col)
+    length_pts = F.least(F.col("n_words").cast("double") / 2.0, F.lit(40.0))
+    stop_pts = F.least(F.col("stopword_ratio") * 200.0, F.lit(40.0))
+    punct_pts = F.when(F.col("punct_ratio") <= 0.1, F.lit(20.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(20.0) - F.col("punct_ratio") * 100.0)
+    )
+    return d.withColumn("quality_score", length_pts + stop_pts + punct_pts)
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds lang_guess from stopword-cue votes; 'und' when no cue hits."""
+    w = words_col(F.col(text_col))
+    scores = []
+    for lang, cues in _LANG_CUES.items():
+        cue_arr = F.array(*[F.lit(c) for c in cues])
+        scores.append(
+            F.struct(
+                F.size(F.filter(w, lambda x: F.array_contains(cue_arr, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_guess",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint of sorted distinct words (word-order
+    independent — catches shuffled boilerplate), plus exact sha256."""
+    w = F.array_sort(F.array_distinct(words_col(F.col(text_col))))
+    return df.withColumn(
+        "fingerprint64", F.xxhash64(F.concat_ws(" ", w))
+    ).withColumn(
+        "sha256", F.sha2(F.encode(F.concat_ws(" ", w), "utf-8"), 256)
+    )
+
+
+def token_count_col(text, pattern: str = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"):
+    """BPE-ish token count: words plus standalone punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))

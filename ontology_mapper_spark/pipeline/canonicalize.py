@@ -1,0 +1,110 @@
+"""Stage 3 — canonicalization: connected components over xref/synonym edges.
+
+The reference canonicalizes implicitly: URI-priority dedup
+(core/lookup.py:68-87) plus the BP→OLS acronym alias map
+(services/ols.py:86-91). At graph scale that generalizes to connected
+components over the identity-edge table (`xrefs` + same-label edges), with
+the canonical id of a component = lexicographic min IRI (deterministic).
+
+Algorithm: iterative "hash-to-min" label propagation —
+  comp(v) ← min(comp(v), min over neighbors comp(u))
+repeated until no label changes. Each iteration is one groupBy(node) — a
+shuffle on the node key. Scale levers (SURVEY.md §4.3):
+
+* edges are symmetrized once up front; self-loops dropped;
+* `checkpoint()` (falls back to persist locally) every few iterations cuts
+  the lineage so plan size stays O(1) in iterations;
+* convergence is detected with a count of changed labels (an action per
+  iteration — unavoidable for a data-dependent loop);
+* hot nodes (a giant component through a hot ontology class) make the
+  groupBy skew: AQE skew-join handling splits oversized partitions, and
+  because the aggregation is an algebraic min, Spark's partial (map-side)
+  aggregation already collapses hot keys before the shuffle — the classic
+  salting trick is exactly this two-phase min, which the engine performs
+  automatically for `min()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src_iri",
+    dst: str = "dst_iri",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable; deterministic.
+
+    `edges` is any DataFrame with two string node columns. Isolated nodes
+    (absent from edges) are the caller's concern: union their identity rows
+    afterwards if needed.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    # initial label: min(self, min neighbor) in one pass
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .select(F.col("u").alias("node"), "component")
+        .persist()
+    )
+
+    for i in range(max_iter):
+        # propagate: each node takes min(own, neighbors' labels)
+        neighbor_labels = (
+            sym.join(labels, sym["v"] == labels["node"], "inner")
+            .select(F.col("u").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % 4 == 0:
+            if spark.sparkContext.getCheckpointDir():
+                new_labels = new_labels.checkpoint()
+            else:
+                new_labels = new_labels.persist()
+        new_labels = new_labels.persist()
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "node")
+            .where(F.col("old.component") != F.col("new.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonical_mapping(terms_df: DataFrame, xrefs: DataFrame) -> DataFrame:
+    """(class_iri, canonical_iri) for every IRI in the dictionary.
+
+    Components come from the xref graph; dictionary IRIs not in any xref map
+    to themselves. canonical_iri = component min (stable under parallelism).
+    """
+    comp = connected_components(xrefs)
+    all_iris = terms_df.select(F.col("class_iri")).distinct()
+    return (
+        all_iris.join(comp, all_iris["class_iri"] == comp["node"], "left")
+        .select(
+            "class_iri",
+            F.coalesce(F.col("component"), F.col("class_iri")).alias("canonical_iri"),
+        )
+    )

@@ -1,0 +1,178 @@
+"""Stage 1 — mention detection: broadcast Aho-Corasick over transcript text.
+
+Replaces the reference's per-term REST lookups (services/bioportal.py:27-100,
+services/ols.py:26-84) with a single distributed pass: the ontology term
+dictionary (labels + deduplicated synonyms, normalized exactly like the
+reference normalizes for comparison — lower().strip(),
+services/comparator.py:27-28) is compiled into an Aho-Corasick automaton on
+the driver, broadcast once, and streamed over turn text with ``mapInPandas``
+(Arrow batches; zero per-row Python-to-JVM crossings).
+
+Scale notes (100 TB / 10^12 turns):
+* The dictionary is the SMALL side by design (≤ low-100k patterns,
+  SURVEY.md §7.3) — broadcast cost is O(dictionary), paid once per executor.
+* The scan is map-only: no shuffle, predicate/column pruning reaches the
+  parquet scan because we select only (conv_id, turn_idx, text) first.
+* Matching cost is O(len(text)) per turn independent of dictionary size —
+  that's the whole point of Aho-Corasick vs per-term scanning (the
+  reference is O(terms × HTTP)).
+* Output is (conv_id, turn_idx, begin, end, surface, pattern) — one row per
+  span×pattern; candidate terms are attached later by an equi-join on the
+  normalized pattern, which Spark can broadcast too.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class AhoCorasick:
+    """Multi-pattern string matcher (classic Aho-Corasick, dict-of-dicts).
+
+    Built once on the driver, pickled into a broadcast. ``find`` returns
+    word-boundary-checked, case-insensitive matches as
+    (begin, end, pattern) with `end` exclusive.
+    """
+
+    def __init__(self) -> None:
+        self._goto: list[dict[str, int]] = [{}]
+        self._fail: list[int] = [0]
+        self._out: list[list[str]] = [[]]
+        self._built = False
+
+    def add(self, pattern: str) -> None:
+        if self._built:
+            raise RuntimeError("automaton already built")
+        p = pattern.lower().strip()
+        if not p:
+            return
+        node = 0
+        for ch in p:
+            nxt = self._goto[node].get(ch)
+            if nxt is None:
+                nxt = len(self._goto)
+                self._goto[node][ch] = nxt
+                self._goto.append({})
+                self._fail.append(0)
+                self._out.append([])
+            node = nxt
+        if p not in self._out[node]:
+            self._out[node].append(p)
+
+    def build(self) -> "AhoCorasick":
+        queue: deque[int] = deque()
+        for child in self._goto[0].values():
+            queue.append(child)
+        while queue:
+            node = queue.popleft()
+            for ch, child in self._goto[node].items():
+                queue.append(child)
+                f = self._fail[node]
+                while f and ch not in self._goto[f]:
+                    f = self._fail[f]
+                self._fail[child] = self._goto[f].get(ch, 0) if self._goto[f].get(ch, 0) != child else 0
+                self._out[child] = self._out[child] + self._out[self._fail[child]]
+        self._built = True
+        return self
+
+    def find(self, text: str) -> Iterator[tuple[int, int, str]]:
+        """Yield (begin, end_exclusive, pattern) over lowered text with
+        word-boundary checks (alnum on either side of the span rejects)."""
+        t = text.lower()
+        n = len(t)
+        node = 0
+        for i, ch in enumerate(t):
+            while node and ch not in self._goto[node]:
+                node = self._fail[node]
+            node = self._goto[node].get(ch, 0)
+            for p in self._out[node]:
+                begin = i - len(p) + 1
+                if begin > 0 and t[begin - 1].isalnum():
+                    continue
+                if i + 1 < n and t[i + 1].isalnum():
+                    continue
+                yield begin, i + 1, p
+
+
+def build_dictionary(terms_df: DataFrame) -> list[str]:
+    """Distinct normalized patterns (labels + quality-filtered synonyms).
+
+    Synonym quality filter matches the reference (utils/helpers.py:58-60):
+    blank and <3-char forms are dropped. Runs as a Spark job (distinct is a
+    shuffle over the SMALL dictionary table, then a driver collect of the
+    distinct pattern strings only — not the full table).
+    """
+    pats = (
+        terms_df.select(F.lower(F.trim(F.col("label"))).alias("p"))
+        .unionByName(
+            terms_df.select(
+                F.explode_outer("synonyms").alias("s")
+            ).select(F.lower(F.trim(F.col("s"))).alias("p"))
+        )
+        .where((F.col("p").isNotNull()) & (F.length("p") >= 3))
+        .distinct()
+    )
+    return sorted(r["p"] for r in pats.collect())
+
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("begin", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("pattern", T.StringType(), False),
+    ]
+)
+
+
+def detect_mentions(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Map-only mention scan: (conv_id, turn_idx, begin, end, surface, pattern).
+
+    The automaton is built lazily once per task from the broadcast pattern
+    list and reused across all Arrow batches of that task.
+    """
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(patterns)
+    c_conv, c_turn = id_cols
+
+    def scan(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        ac: AhoCorasick | None = None
+        for pdf in batches:
+            if ac is None:
+                ac = AhoCorasick()
+                for p in bc.value:
+                    ac.add(p)
+                ac.build()
+            out: list[tuple] = []
+            for conv, turn, text in zip(
+                pdf[c_conv].tolist(), pdf[c_turn].tolist(), pdf[text_col].tolist()
+            ):
+                if not text:
+                    continue
+                for begin, end, pat in ac.find(text):
+                    out.append((conv, int(turn), begin, end, text[begin:end], pat))
+            yield pd.DataFrame(
+                out,
+                columns=["conv_id", "turn_idx", "begin", "end", "surface", "pattern"],
+            )
+
+    narrowed = transcripts.select(
+        F.col(c_conv).cast("string").alias(c_conv),
+        F.col(c_turn).cast("int").alias(c_turn),
+        F.col(text_col),
+    )
+    return narrowed.mapInPandas(scan, schema=MENTION_SCHEMA)

@@ -40,6 +40,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # deterministic float-less string ops; parquet pushdown on by default
         .config("spark.sql.parquet.filterPushdown", "true")
     )
