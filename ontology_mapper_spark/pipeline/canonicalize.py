@@ -58,34 +58,38 @@ def connected_components(
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("component"))
         .select(F.col("u").alias("node"), "component")
-        .persist()
     )
 
-    for i in range(max_iter):
+    # Lineage MUST be cut every iteration: each round's plan embeds the
+    # previous round's twice (union + join), so without checkpointing the
+    # optimizer's tree grows exponentially and the driver OOMs long before
+    # the data does. localCheckpoint materializes to executor storage (no
+    # checkpoint dir needed); a configured reliable checkpoint dir is
+    # preferred on a real cluster (survives executor loss).
+    def cut(df: DataFrame) -> DataFrame:
+        if spark.sparkContext.getCheckpointDir():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = cut(labels)
+    for _ in range(max_iter):
         # propagate: each node takes min(own, neighbors' labels)
         neighbor_labels = (
             sym.join(labels, sym["v"] == labels["node"], "inner")
             .select(F.col("u").alias("node"), F.col("component"))
         )
-        new_labels = (
+        new_labels = cut(
             labels.select("node", "component")
             .unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        if (i + 1) % 4 == 0:
-            if spark.sparkContext.getCheckpointDir():
-                new_labels = new_labels.checkpoint()
-            else:
-                new_labels = new_labels.persist()
-        new_labels = new_labels.persist()
         changed = (
             labels.alias("old")
             .join(new_labels.alias("new"), "node")
             .where(F.col("old.component") != F.col("new.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

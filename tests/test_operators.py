@@ -1,0 +1,188 @@
+"""Operator-level tests: synonym dedup parity, CC correctness vs a BFS
+oracle, comention vs brute force, dedup/similarity determinism."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict, deque
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ontology_mapper_spark.functions.synonyms import dedupe_synonyms_col, top_synonyms_col
+from ontology_mapper_spark.oracle.semantics import dedupe_synonyms
+from ontology_mapper_spark.operators.dedup import (
+    exact_dedup,
+    minhash_band_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from ontology_mapper_spark.operators.multimodal import (
+    deterministic_fake_features,
+    extract_media_features,
+    frame_sample_plan,
+)
+from ontology_mapper_spark.pipeline.canonicalize import connected_components
+from ontology_mapper_spark.pipeline.comention import comention_edges
+
+
+def test_dedupe_synonyms_col_matches_oracle(spark):
+    rng = random.Random(13)
+    pool = ["Pain", "pain", " pain ", "ACHE", "ache", "x", "ab", "", "  ",
+            "sore", "Sore Spot", "chronic pain", "CHRONIC PAIN", "zz", "zzz"]
+    cases = [
+        [rng.choice(pool) for _ in range(rng.randrange(0, 12))] for _ in range(40)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("syns", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(cases)), schema)
+    got = {
+        r.i: r.out
+        for r in df.select("i", dedupe_synonyms_col(F.col("syns")).alias("out")).collect()
+    }
+    for i, case in enumerate(cases):
+        assert got[i] == dedupe_synonyms(case, set()), (i, case)
+
+
+def test_top_synonyms_slice(spark):
+    df = spark.createDataFrame(
+        [(["delta", "alpha", "beta", "gamma", "epsilon"],)], ["syns"]
+    )
+    out = df.select(top_synonyms_col(F.col("syns"), 3).alias("o")).first()["o"]
+    assert out == ["beta", "alpha", "delta"]  # (len, lower) sort then top-3
+
+
+def _bfs_components(edges):
+    adj = defaultdict(set)
+    nodes = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        adj[u].add(v)
+        adj[v].add(u)
+        nodes.update((u, v))
+    comp = {}
+    for start in sorted(nodes):
+        if start in comp:
+            continue
+        members = []
+        q = deque([start])
+        seen = {start}
+        while q:
+            n = q.popleft()
+            members.append(n)
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    q.append(m)
+        mn = min(members)
+        for m in members:
+            comp[m] = mn
+    return comp
+
+
+def test_connected_components_vs_bfs_oracle(spark):
+    rng = random.Random(5)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = []
+    # chains
+    for i in range(0, 40, 4):
+        for j in range(3):
+            edges.append((nodes[i + j], nodes[i + j + 1]))
+    # cliques
+    for base in (50, 60):
+        for i in range(base, base + 5):
+            for j in range(i + 1, base + 5):
+                edges.append((nodes[i], nodes[j]))
+    # giant hub (skew shape): many spokes on one hot node
+    for i in range(70, 110):
+        edges.append((nodes[70], nodes[i]))
+    # random extra edges
+    for _ in range(30):
+        edges.append((rng.choice(nodes[:110]), rng.choice(nodes[:110])))
+    edges = [(u, v) for u, v in edges if u != v]
+
+    df = spark.createDataFrame(edges, ["src_iri", "dst_iri"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _bfs_components(edges)
+
+
+def test_comention_edges_bruteforce(spark):
+    rows = [
+        ("c1", 0, "A"), ("c1", 1, "B"), ("c1", 2, "C"), ("c1", 5, "A"),
+        ("c2", 0, "A"), ("c2", 0, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "class_iri"])
+    got = {
+        (r.entity_a, r.entity_b): r.n_comentions
+        for r in comention_edges(df, window_turns=2).collect()
+    }
+    # brute force with window 2 (inclusive, ordered pairs a<b)
+    expect = defaultdict(int)
+    ments = [(c, t, e) for c, t, e in rows]
+    for c1, t1, e1 in ments:
+        for c2, t2, e2 in ments:
+            if c1 == c2 and t1 <= t2 <= t1 + 2 and e1 < e2:
+                expect[(e1, e2)] += 1
+    assert got == dict(expect)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    rows = [
+        (1, "hello  world"), (2, "Hello world"), (3, "unique doc"),
+        (4, "hello world "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.dup_count for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_minhash_pipeline_deterministic_and_finds_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup
+        (3, "totally different words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(df, num_hashes=8, shingle_n=1)
+    pairs = {(r.id_a, r.id_b) for r in minhash_band_pairs(sig, num_hashes=8, bands=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    sigs = {r.doc_id: list(r.sig) for r in sig.collect()}
+    assert sigs[1] == sigs[2]
+    # determinism across runs
+    sig2 = {r.doc_id: list(r.sig) for r in minhash_signatures(df, num_hashes=8, shingle_n=1).collect()}
+    assert sigs == sig2
+
+
+def test_simhash_properties(spark):
+    rows = [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "q r s t u v w")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert all(isinstance(v, int) for v in out.values())
+
+
+def test_media_features_fake_decode(spark):
+    payloads = [(1, "image", b"abcdef"), (2, "video", b"\x00\x01\x02")]
+    from ontology_mapper_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(
+        [(i, k, p, None, None, None, 2500) for i, k, p in payloads],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: (r.n_bytes, list(r.feature)) for r in extract_media_features(df).collect()}
+    import numpy as np
+
+    assert out[1][0] == 6
+    # FEATURE_SCHEMA stores float32 (embedding convention) — compare at f32
+    assert out[1][1] == [
+        float(np.float32(x)) for x in deterministic_fake_features(b"abcdef", 8)
+    ]
+    plan = frame_sample_plan(df, every_ms=1000).collect()
+    assert {(r.media_id, r.frame_ts_ms) for r in plan} == {(2, 0), (2, 1000), (2, 2000)}
