@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports kg_turns_per_sec — throughput of the KG flagship
+(mention-detect + link-score over seeded synthetic transcripts), the number
+the scaling study (tools/bench_scaling.py) tracks at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q15_tpch_q1",
+    "q01_pruned_scan_agg",
+    "q17_topk_per_group",
+    "q22_stable_order_window",
+    "q25_exact_dedup",
+    "q26_minhash_lsh_pairs",
+    "q27_ngram_jaccard",
+    "q29_cosine_topk",
+    "q31_text_stats",
+    "q34_mention_detect",
+    "q35_comention_edges",
+    "q36_connected_components",
+]
+
+KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2000"))
+
+
+def kg_flagship_throughput(spark) -> tuple[float, int]:
+    """(turns/sec, n_turns) for mention-detect + link-score end-to-end."""
+    from pyspark.sql import functions as F
+
+    from ontology_mapper_spark.datagen import build_snapshot, build_transcripts
+    from ontology_mapper_spark.datagen.snapshot import ontology_terms_rows
+    from ontology_mapper_spark.pipeline import (
+        build_dictionary,
+        detect_mentions,
+        link_mentions,
+    )
+
+    terms, _ = build_snapshot(spark, n_terms=200, seed=42)
+    labels = sorted({r["label"] for r in ontology_terms_rows(200, 42)})
+    tr = build_transcripts(
+        spark, n_convs=KG_N_CONVS, seed=42, mention_labels=labels
+    ).persist()
+    n_turns = tr.count()  # materialize input before the clock starts
+    pats = build_dictionary(terms)
+    t0 = time.time()
+    mentions = detect_mentions(spark, tr, pats)
+    links = link_mentions(spark, mentions, terms, idf=None)
+    links.agg(F.count("*")).collect()
+    dt = time.time() - t0
+    tr.unpersist()
+    return n_turns / dt, n_turns
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from ontology_mapper_spark.contract import QUERIES
+    from ontology_mapper_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    turns_per_sec, n_turns = kg_flagship_throughput(spark)
+    timings["kg_flagship"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_turns_per_sec": round(turns_per_sec, 1),
+                "kg_n_turns": n_turns,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
