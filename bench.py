@@ -34,10 +34,10 @@ HEADLINE = [
     "q36_connected_components",
 ]
 
-KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2000"))
+KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
 
 
-def kg_flagship_throughput(spark) -> tuple[float, int]:
+def kg_flagship_throughput(spark, n_convs: int = KG_N_CONVS) -> tuple[float, int]:
     """(turns/sec, n_turns) for mention-detect + link-score end-to-end."""
     from pyspark.sql import functions as F
 
@@ -52,7 +52,7 @@ def kg_flagship_throughput(spark) -> tuple[float, int]:
     terms, _ = build_snapshot(spark, n_terms=200, seed=42)
     labels = sorted({r["label"] for r in ontology_terms_rows(200, 42)})
     tr = build_transcripts(
-        spark, n_convs=KG_N_CONVS, seed=42, mention_labels=labels
+        spark, n_convs=n_convs, seed=42, mention_labels=labels
     ).persist()
     n_turns = tr.count()  # materialize input before the clock starts
     pats = build_dictionary(terms)
@@ -75,6 +75,16 @@ def main() -> int:
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
+
+    # Warmup pass at the smallest SF: JIT/codegen + Python-UDF worker pools
+    # start once; steady-state is what a long-running cluster job sees.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        kg_flagship_throughput(spark, n_convs=200)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

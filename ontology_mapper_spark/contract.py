@@ -739,11 +739,14 @@ _MINHASH_N, _MINHASH_BANDS = 8, 4
     "q26_minhash_lsh_pairs",
     """
     WITH words AS (
-      SELECT DISTINCT doc_id, w AS sh
-      FROM (SELECT doc_id,
-                   unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w
-            FROM documents)
-      WHERE w <> ''),
+      SELECT DISTINCT doc_id, w || ' ' || lead_w AS sh
+      FROM (SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM (SELECT doc_id,
+                         unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w,
+                         generate_subscripts(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),1) AS idx
+                  FROM documents))
+      WHERE lead_w IS NOT NULL),
     sig AS (
       SELECT doc_id,
              min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
@@ -764,10 +767,10 @@ _MINHASH_N, _MINHASH_BANDS = 8, 4
 )
 def q26(spark, sf):
     """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket
-    join). Word-level shingles so the tiny test vocabulary produces real
-    collisions; at corpus scale use shingle_n=3+."""
+    join) over word-bigram shingles (at corpus scale use shingle_n=3+;
+    unigrams over the tiny test vocabulary collide to near-all-pairs)."""
     d = _t(spark, sf, "documents")
-    sig = minhash_signatures(d, "text", "doc_id", num_hashes=_MINHASH_N, shingle_n=1)
+    sig = minhash_signatures(d, "text", "doc_id", num_hashes=_MINHASH_N, shingle_n=2)
     return minhash_band_pairs(sig, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
 
 
@@ -784,10 +787,14 @@ def q26(spark, sf):
                          generate_subscripts(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),1) AS idx
                   FROM documents))
       WHERE lead_w IS NOT NULL),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+    kept AS (
+      SELECT g.doc_id, g.sh FROM grams g
+      JOIN (SELECT sh FROM grams GROUP BY sh HAVING count(*) <= 100) s
+        ON g.sh = s.sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
     FROM common
@@ -797,9 +804,12 @@ def q26(spark, sf):
     """,
 )
 def q27(spark, sf):
-    """Exact bigram-Jaccard near-dup via inverted index (never all-pairs)."""
+    """Exact bigram-Jaccard near-dup via inverted index with the
+    stop-shingle cap (max_df) that bounds hot-key blowup at scale."""
     d = _t(spark, sf, "documents")
-    out = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=2, threshold=0.10)
+    out = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=2, threshold=0.10, max_df=100
+    )
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b")
 
 

@@ -171,18 +171,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted index (not all-pairs):
     explode shingles → self-join on shingle → count common → Jaccard with
     per-doc shingle counts. Output (id_a, id_b, jaccard ≥ threshold).
 
-    Scale: the self-join is an equi-join on the shingle key; ubiquitous
-    shingles are the skew risk — production would drop top-df shingles
-    (stop-shingles); here the vocabulary is tiny so we keep all.
+    Scale control: the self-join on the shingle key is quadratic in each
+    shingle's document frequency, so ubiquitous shingles (boilerplate)
+    dominate cost. `max_df` drops shingles present in more than that many
+    docs BEFORE sizes/joins — the standard stop-shingle cap; similarity is
+    then "Jaccard over discriminative shingles", which is what near-dup
+    detection wants anyway (deterministic, oracle-reproducible).
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")  # broadcast-able: surviving shingle list is small
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -149,39 +149,39 @@ def score_candidates(
     return candidates.withColumn("score", pair_score(F.col(surface_col), F.col(label_col)))
 
 
-def link_mentions(
+def rank_dictionary(
     spark: SparkSession,
-    mentions: DataFrame,
     terms_df: DataFrame,
     idf: dict[str, float] | None = None,
     top_k: int = 3,
 ) -> DataFrame:
-    """mentions × dictionary → scored, classified, deduped links.
+    """Precomputed per-pattern decision table: classification, score,
+    URI-priority dedup, and top-k rank for every dictionary pattern.
 
-    Output: (conv_id, turn_idx, begin, end, surface, pattern, term_id,
-    class_iri, ontology, label, source, match_via, alignment, predicate,
-    score, ols_only, rank).
+    THE scale insight of this stage: every per-candidate decision the
+    reference makes — determine_alignment_type (utils/helpers.py:76-105),
+    URI-priority dedup (core/lookup.py:68-87), score-ranked top-k
+    (core/lookup.py:63-66) — is a pure function of (pattern, term), never
+    of the individual mention (a matched span lowercased IS its pattern).
+    So all of it runs once over the dictionary-sized pattern table (window
+    functions and the Arrow-batched scorer touch ~1e3 rows), and the
+    10^12-turn mention table only ever sees a broadcast hash join: zero
+    shuffles, zero Python in the per-turn path.
     """
-    pats = term_patterns(terms_df)
-    cand = mentions.join(F.broadcast(pats), "pattern", "inner")
-
-    # concept key per the reference: spaces→underscores of the normalized
-    # surface (inverse of core/parser.py:125's key.replace('_',' ')).
-    cand = cand.withColumn("concept_key", F.translate(F.lower(F.trim("surface")), " ", "_"))
+    cand = term_patterns(terms_df)
+    cand = cand.withColumn("concept_key", F.translate("pattern", " ", "_"))
     cand = cand.withColumn(
-        "alignment", alignment_type_col(F.col("label"), F.col("synonyms"), F.col("concept_key"))
+        "alignment",
+        alignment_type_col(F.col("label"), F.col("synonyms"), F.col("concept_key")),
     ).withColumn(
         "predicate",
         alignment_predicate_col(F.col("label"), F.col("synonyms"), F.col("concept_key")),
     )
-
     cand = score_candidates(spark, cand, idf or {})
 
-    # URI-priority dedup per mention occurrence (core/lookup.py:68-87):
-    # bioportal row wins for a URI seen from both services; the OLS row is
-    # dropped; a URI seen only from OLS is flagged ols_only.
-    mention_key = ["conv_id", "turn_idx", "begin", "end"]
-    w_uri = Window.partitionBy(*mention_key, "class_iri").orderBy(
+    # URI-priority dedup per (pattern, class): bioportal wins over OLS,
+    # then stable tiebreaks (core/lookup.py:68-87 first-seen semantics).
+    w_uri = Window.partitionBy("pattern", "class_iri").orderBy(
         F.when(F.col("source") == "bioportal", 0).otherwise(1),
         F.col("term_id"),
         F.col("match_via"),
@@ -192,12 +192,31 @@ def link_mentions(
         .drop("_r")
         .withColumn("ols_only", F.col("source") == "ols")
     )
-
-    # top-k candidates per mention by score (T2 as a window rank).
-    w_rank = Window.partitionBy(*mention_key).orderBy(
+    w_rank = Window.partitionBy("pattern").orderBy(
         F.col("score").desc(), F.col("class_iri")
     )
     return (
         deduped.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= top_k)
     )
+
+
+def link_mentions(
+    spark: SparkSession,
+    mentions: DataFrame,
+    terms_df: DataFrame,
+    idf: dict[str, float] | None = None,
+    top_k: int = 3,
+) -> DataFrame:
+    """mentions × dictionary → scored, classified, deduped links.
+
+    One broadcast hash join against the precomputed `rank_dictionary`
+    decision table — map-only over the mention table (see rank_dictionary
+    docstring for why this is exact, not an approximation).
+
+    Output: (conv_id, turn_idx, begin, end, surface, pattern, term_id,
+    class_iri, ontology, label, synonyms, source, match_via, concept_key,
+    alignment, predicate, score, ols_only, rank).
+    """
+    ranked = rank_dictionary(spark, terms_df, idf, top_k)
+    return mentions.join(F.broadcast(ranked), "pattern", "inner")
