@@ -120,6 +120,56 @@ def build_dictionary(terms_df: DataFrame) -> list[str]:
     return sorted(r["p"] for r in pats.collect())
 
 
+_SIMPLE_RE = __import__("re").compile(r"^[a-z0-9]+( [a-z0-9]+)*$")
+_TOKEN_RE = __import__("re").compile(r"[^\W_]+")
+
+
+class TokenNgramMatcher:
+    """Fast path for 'simple' patterns (lowercase alnum words joined by
+    single spaces — the overwhelming majority of an ontology dictionary).
+
+    Tokenizes with one C-speed regex pass, then probes a first-token index
+    for candidate pattern lengths and confirms with a raw-span equality
+    check. Produces EXACTLY the Aho-Corasick matches for simple patterns
+    (word-boundary substring occurrences; the span check rules out
+    multi-space joins) at a fraction of the per-character Python cost —
+    this is the hot loop of the whole engine at 10^12 turns.
+    Parity with AhoCorasick is asserted in tests on random inputs.
+    """
+
+    def __init__(self, patterns: list[str]) -> None:
+        self.index: dict[str, list[tuple[int, str]]] = {}
+        for p in patterns:
+            toks = p.split(" ")
+            self.index.setdefault(toks[0], []).append((len(toks), p))
+        for cands in self.index.values():
+            cands.sort()
+
+    def find(self, text: str) -> Iterator[tuple[int, int, str]]:
+        t = text.lower()
+        toks = [(m.start(), m.end(), m.group()) for m in _TOKEN_RE.finditer(t)]
+        n = len(toks)
+        index = self.index
+        for i, (begin, _end, word) in enumerate(toks):
+            cands = index.get(word)
+            if cands is None:
+                continue
+            for length, pat in cands:
+                j = i + length - 1
+                if j >= n:
+                    break
+                end = toks[j][1]
+                if t[begin:end] == pat:
+                    yield begin, end, pat
+
+
+def split_patterns(patterns: list[str]) -> tuple[list[str], list[str]]:
+    """(simple, complex) pattern partition for the hybrid matcher."""
+    simple = [p for p in patterns if _SIMPLE_RE.match(p)]
+    complex_ = [p for p in patterns if not _SIMPLE_RE.match(p)]
+    return simple, complex_
+
+
 MENTION_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -150,21 +200,33 @@ def detect_mentions(
     c_conv, c_turn = id_cols
 
     def scan(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        ac: AhoCorasick | None = None
+        # hybrid matcher, built once per task from the broadcast and reused
+        # across Arrow batches: token-ngram index for simple patterns (the
+        # hot path), Aho-Corasick for anything with punctuation/odd spacing
+        matchers = None
         for pdf in batches:
-            if ac is None:
-                ac = AhoCorasick()
-                for p in bc.value:
-                    ac.add(p)
-                ac.build()
+            if matchers is None:
+                simple, complex_ = split_patterns(
+                    [p.lower().strip() for p in bc.value if p and p.strip()]
+                )
+                ms: list = []
+                if simple:
+                    ms.append(TokenNgramMatcher(simple))
+                if complex_:
+                    ac = AhoCorasick()
+                    for p in complex_:
+                        ac.add(p)
+                    ms.append(ac.build())
+                matchers = ms
             out: list[tuple] = []
             for conv, turn, text in zip(
                 pdf[c_conv].tolist(), pdf[c_turn].tolist(), pdf[text_col].tolist()
             ):
                 if not text:
                     continue
-                for begin, end, pat in ac.find(text):
-                    out.append((conv, int(turn), begin, end, text[begin:end], pat))
+                for m in matchers:
+                    for begin, end, pat in m.find(text):
+                        out.append((conv, int(turn), begin, end, text[begin:end], pat))
             yield pd.DataFrame(
                 out,
                 columns=["conv_id", "turn_idx", "begin", "end", "surface", "pattern"],

@@ -1,0 +1,7 @@
+from .detect import read_transcript_stream, stream_detect_mentions, windowed_mention_counts
+
+__all__ = [
+    "read_transcript_stream",
+    "stream_detect_mentions",
+    "windowed_mention_counts",
+]

