@@ -79,7 +79,8 @@ def test_whole_stage_codegen_on_native_expressions(spark):
 
     for q in ("q04_clean_description", "q23_alignment_classifier"):
         plan = plan_of(QUERIES[q](spark, SF), mode="simple")
-        assert "WholeStageCodegen" in plan, q
+        # '*(N)' is simple-mode's WholeStageCodegen marker
+        assert "*(1)" in plan, q
         assert "BatchEvalPython" not in plan, q
 
 
