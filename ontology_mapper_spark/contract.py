@@ -1282,3 +1282,140 @@ def q40(spark, sf):
         (F.length("text") * 100).cast("int").alias("duration_ms"),
     )
     return extract_media_features(media, dim=8, use_fake=True)
+
+
+# ---------------------------------------------------------------------------
+# remaining §2 operators: J5 map join, D1 distinct, A2 counts, C3 defaults
+# ---------------------------------------------------------------------------
+
+_BP_ONT_VALUES = [
+    "MONDO,HP,FOO", "GO , chebi", "NCIT", "UNKNOWN1,UNKNOWN2", "SYMP,PRO,DOID",
+]
+
+@_q(
+    "q41_bp_ols_name_map",
+    """
+    WITH v(onts) AS (VALUES
+      ('MONDO,HP,FOO'), ('GO , chebi'), ('NCIT'), ('UNKNOWN1,UNKNOWN2'),
+      ('SYMP,PRO,DOID')),
+    m(bp, ols) AS (VALUES
+      ('MONDO','mondo'),('HP','hp'),('GO','go'),('CHEBI','chebi'),
+      ('NCIT','ncit'),('DOID','doid'),('SYMP','symp'),('PRO','pr')),
+    exploded AS (
+      SELECT onts, upper(trim(u.acr)) AS acr, u.i
+      FROM v, LATERAL (SELECT unnest(string_split(onts, ',')) AS acr,
+                              generate_subscripts(string_split(onts, ','), 1) AS i) u)
+    SELECT e.onts, coalesce(string_agg(m.ols, ',' ORDER BY e.i), '') AS converted
+    FROM exploded e LEFT JOIN m ON e.acr = m.bp
+    GROUP BY e.onts
+    """,
+)
+def q41(spark, sf):
+    """J5 BioPortal→OLS acronym translation: broadcast map join, unknown
+    acronyms DROPPED, order preserved (services/ols.py:86-91,
+    config/ontologies.py:83-92; oracle parity also pinned against
+    oracle.semantics.convert_ontologies in tests)."""
+    from .oracle.semantics import BP_TO_OLS
+
+    v = spark.createDataFrame([(o,) for o in _BP_ONT_VALUES], ["onts"])
+    pairs = []
+    for bp, ols in BP_TO_OLS.items():
+        pairs.extend([F.lit(bp), F.lit(ols)])
+    m = F.create_map(*pairs)
+    converted = F.array_join(
+        F.filter(
+            F.transform(
+                F.split("onts", ","),
+                lambda a: F.element_at(m, F.upper(F.trim(a))),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return v.select("onts", converted.alias("converted"))
+
+
+@_q(
+    "q44_full_row_distinct",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q44(spark, sf):
+    """D1 full-row distinct after union of per-variant results
+    (core/lookup.py:49-58)."""
+    return _t(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@_q(
+    "q45_comparison_counts",
+    """
+    WITH bp AS (
+      SELECT lower(p_type) AS label_key, min(p_partkey) AS uri
+      FROM part WHERE p_size <= 25 GROUP BY 1),
+    ols AS (
+      SELECT lower(p_type) AS label_key, min(p_partkey) AS uri
+      FROM part WHERE p_size > 20 GROUP BY 1)
+    SELECT
+      (SELECT count(*) FROM bp) AS bioportal_count,
+      (SELECT count(*) FROM ols) AS ols_count,
+      (SELECT count(*) FROM bp JOIN ols USING (label_key)) AS common_count,
+      (SELECT count(*) FROM bp ANTI JOIN ols USING (label_key)) AS bp_only_count,
+      (SELECT count(*) FROM ols ANTI JOIN bp USING (label_key)) AS ols_only_count,
+      (SELECT count(*) FROM bp JOIN ols USING (label_key)
+        WHERE bp.uri <> ols.uri) AS uri_mismatch_count
+    """,
+)
+def q45(spark, sf):
+    """A2 comparator summary counts (common/only/mismatch — the inputs to
+    the reference's discrepancy messages, services/comparator.py:57-69),
+    built on the compare_sources operator."""
+    from .operators.comparator import compare_sources
+
+    p = _t(spark, sf, "part")
+    bp = (
+        p.where(F.col("p_size") <= 25)
+        .groupBy(F.lower("p_type").alias("label"))
+        .agg(F.min("p_partkey").alias("uri"))
+    )
+    ols = (
+        p.where(F.col("p_size") > 20)
+        .groupBy(F.lower("p_type").alias("label"))
+        .agg(F.min("p_partkey").alias("uri"))
+    )
+    cmp_ = compare_sources(bp, ols)
+    common = cmp_["common"].persist()
+    return (
+        spark.range(1)
+        .select(
+            F.lit(bp.count()).alias("bioportal_count"),
+            F.lit(ols.count()).alias("ols_count"),
+            F.lit(common.count()).alias("common_count"),
+            F.lit(cmp_["bp_only"].count()).alias("bp_only_count"),
+            F.lit(cmp_["ols_only"].count()).alias("ols_only_count"),
+            F.lit(common.where(~F.col("uri_match")).count()).alias(
+                "uri_mismatch_count"
+            ),
+        )
+    )
+
+
+@_q(
+    "q46_default_relationship",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size % 2 = 0 THEN 'instance' ELSE 'class' END AS category,
+           CASE WHEN p_size % 2 = 0 THEN 'owl:sameAs' ELSE 'rdfs:seeAlso' END
+             AS relationship
+    FROM part WHERE p_partkey % 25 = 0
+    """,
+)
+def q46(spark, sf):
+    """C3 relationship default tagging: owl:sameAs for instances,
+    rdfs:seeAlso otherwise (cli/interface.py:556)."""
+    p = _t(spark, sf, "part").where(F.col("p_partkey") % 25 == 0)
+    category = F.when(F.col("p_size") % 2 == 0, "instance").otherwise("class")
+    rel = F.when(category == "instance", "owl:sameAs").otherwise(
+        F.lit("rdfs:seeAlso")
+    )
+    return p.select(
+        "p_partkey", category.alias("category"), rel.alias("relationship")
+    )
