@@ -15,7 +15,10 @@ Methodology notes (kept honest):
   the 10^12-turn design point it is a one-off driver-side setup whose cost
   amortizes to zero — the steady-state per-turn path is what must scale;
 * each child runs 3 warm passes (JIT tiers, worker pools, GC sizing), then
-  reports the MEDIAN and BEST of 5 timed passes.
+  reports the MEDIAN and BEST of 5 timed passes;
+* children are taskset-pinned to exactly N / 4N cores — without pinning
+  the N-core child's GC/IO threads leak onto idle cores and inflate the
+  baseline.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -77,9 +80,15 @@ print(json.dumps({{"cpus": cpus, "turns_per_sec": statistics.median(xs),
 """
 
 
-def _sub(code: str, timeout: int = 1200) -> dict | None:
+def _sub(code: str, timeout: int = 1200, cpus: int | None = None) -> dict | None:
+    cmd = [sys.executable, "-c", code]
+    if cpus is not None:
+        # confine the whole process tree (JVM, GC, Python workers) to the
+        # first `cpus` cores — without this the "N-core" child leaks onto
+        # the idle cores and inflates the N baseline
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
+        cmd, capture_output=True, text=True,
         cwd=REPO, timeout=timeout,
     )
     if out.returncode != 0:
@@ -102,8 +111,10 @@ def main() -> int:
     if not os.path.exists(args.corpus):
         _sub(GEN.format(repo=REPO, n_convs=args.n_convs, path=args.corpus))
 
-    lo = _sub(CHILD.format(repo=REPO, cpus=args.low, path=args.corpus))
-    hi = _sub(CHILD.format(repo=REPO, cpus=args.high, path=args.corpus))
+    lo = _sub(CHILD.format(repo=REPO, cpus=args.low, path=args.corpus),
+              cpus=args.low)
+    hi = _sub(CHILD.format(repo=REPO, cpus=args.high, path=args.corpus),
+              cpus=args.high)
     ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
     best_ratio = hi["best"] / lo["best"]
     scale = args.high / args.low
@@ -138,7 +149,8 @@ def main() -> int:
             "mapInPandas) + entity linking via the precomputed broadcast\n"
             f"decision table, over {hi['n_turns']:,} transcript turns.\n"
             "Dictionary/broadcast build is untimed setup (amortizes to zero at\n"
-            "the 10^12-turn design point); 3 warm passes then 5 timed...\n\n"
+            "the 10^12-turn design point); 3 warm passes then 5 timed; children\n"
+            "taskset-pinned to exactly N / 4N cores.\n\n"
             "| parallelism | turns/sec (median of 5) | best pass | all passes |\n|---|---|---|---|\n"
             f"| local[{args.low}] (N) | {result['low_turns_per_sec']:,} | {result['low_best']:,} | {result['low_all']} |\n"
             f"| local[{args.high}] (4N) | {result['high_turns_per_sec']:,} | {result['high_best']:,} | {result['high_all']} |\n\n"
