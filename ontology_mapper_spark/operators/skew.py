@@ -1,0 +1,88 @@
+"""Salted-key skew handling (north_rule) as reusable operators.
+
+Where skew shows up in this engine at 10^12-turn scale:
+
+* a hot ontology class ("Disease") matches a large share of mentions →
+  `groupBy(class)` aggregations get one giant reduce key;
+* a mega-conversation (bot loops) makes one conv_id partition dominate
+  the co-mention self-join;
+* the canonicalization groupBy(node) sees the giant xref component's hub.
+
+Spark-side mitigations used, in preference order:
+1. algebraic aggregates (count/min/sum/approx_count_distinct) already get
+   map-side partial aggregation — hot keys collapse BEFORE the shuffle;
+   that is the built-in form of salting and needs no code;
+2. AQE skew-join splitting (enabled in session.py) for joins;
+3. the operators below for the residual cases: non-algebraic aggregates
+   (collect_list/exact distinct counts) and joins AQE can't fix
+   (e.g. inside iterative loops where stats are stale).
+
+Both operators are pure DataFrame code and deterministic: the salt is
+`pmod(xxhash64(row-identity), K)`, never a random number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_exact_distinct_count(
+    df: DataFrame, group_col: str, distinct_col: str, salt: int = 16
+) -> DataFrame:
+    """Exact count(DISTINCT distinct_col) per group under heavy key skew.
+
+    Two-phase: (group, salt-of-value) partial distinct → (group) final sum.
+    The hot group's distinct set is partitioned across `salt` reducers
+    instead of landing on one. Deterministic: salt = pmod(xxhash64(value)).
+    (A plain groupBy().agg(countDistinct()) plans a single reducer per
+    group for the distinct phase — the classic straggler at 10^12 rows.)
+    """
+    salted = df.select(
+        F.col(group_col),
+        F.col(distinct_col),
+        F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt)).alias("_salt"),
+    )
+    partial = (
+        salted.groupBy(group_col, "_salt")
+        .agg(F.count_distinct(F.col(distinct_col)).alias("_partial"))
+    )
+    return partial.groupBy(group_col).agg(
+        F.sum("_partial").alias(f"n_distinct_{distinct_col}")
+    )
+
+
+def salted_join_big_to_skewed_small(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    big_row_id: Column | None = None,
+) -> DataFrame:
+    """Equi-join where `small` is too big to broadcast and `big` has hot
+    keys: salt the big side by a deterministic row hash, replicate the
+    small side `salt`×, join on (key, salt). Each hot key's rows spread
+    over `salt` reducers.
+
+    Use only when AQE skew-join can't apply (iterative loops, stale
+    stats); otherwise prefer plain join + AQE.
+    """
+    rid = big_row_id if big_row_id is not None else F.xxhash64(*[F.col(c) for c in big.columns])
+    big_s = big.withColumn("_salt", F.pmod(rid, F.lit(salt)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def hot_keys(df: DataFrame, key: str, min_share: float = 0.01) -> DataFrame:
+    """Diagnostic: keys holding more than `min_share` of all rows —
+    feed to monitoring or to choose salt factors (FIXTURES.md skew knob)."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= total * min_share)
+        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .orderBy(F.col("n").desc())
+    )
