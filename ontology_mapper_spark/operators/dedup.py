@@ -188,13 +188,15 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
     if max_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("sh")
+        # document frequency as a window count: ONE shuffle on sh (which the
+        # common-join below reuses via the same partitioning), no second
+        # scan of the exploded shingles, no join
+        w_df = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(w_df))
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        sh = sh.join(keep, "sh")  # broadcast-able: surviving shingle list is small
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

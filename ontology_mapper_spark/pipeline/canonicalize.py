@@ -78,11 +78,27 @@ def connected_components(
             sym.join(labels, sym["v"] == labels["node"], "inner")
             .select(F.col("u").alias("node"), F.col("component"))
         )
-        new_labels = cut(
+        propagated = (
             labels.select("node", "component")
             .unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: comp(v) ← comp(comp(v)). Halves convergence
+        # rounds on long chains (O(log d) instead of O(d)) — at scale each
+        # avoided round is one join+groupBy shuffle over the node set.
+        jump = propagated.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
+        new_labels = cut(
+            propagated.alias("p")
+            .join(jump, F.col("p.component") == F.col("jnode"), "left")
+            .select(
+                F.col("p.node").alias("node"),
+                F.least(
+                    F.col("p.component"), F.coalesce("jcomp", F.col("p.component"))
+                ).alias("component"),
+            )
         )
         changed = (
             labels.alias("old")
