@@ -1419,3 +1419,52 @@ def q46(spark, sf):
     return p.select(
         "p_partkey", category.alias("category"), rel.alias("relationship")
     )
+
+
+@_q(
+    "q47_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) * 1e6)
+                AS BIGINT) AS cosine_micro
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def q47(spark, sf):
+    """Embedding-cosine near-dup pairs (training-data dedup family):
+    exact threshold join; the all-pairs form is the sf-scale oracle — at
+    corpus scale the LSH-bucketed variant (q30) bounds the candidate set."""
+    from .operators.similarity import cosine_cols
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_cols(
+        F.col("a.embedding").cast("array<double>"),
+        F.col("b.embedding").cast("array<double>"),
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos * 1e6).cast("bigint").alias("cosine_micro"),
+        )
+    )
+
+
+@_q("q48_ivf_topk")  # approximate (centroid assignment) → rows-only check
+def q48(spark, sf):
+    """IVF-style ANN: deterministic coarse centroids (seeded pick of corpus
+    vectors), cluster assignment, query probes nprobe nearest lists."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, n_centroids=16, nprobe=4, k=5)
