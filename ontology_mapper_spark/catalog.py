@@ -40,3 +40,55 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-like table writes (SURVEY.md §7.1 step 7 parquet fallback)
+# ---------------------------------------------------------------------------
+#
+# No Iceberg runtime jar is resolvable offline in this sandbox, so tables
+# are parquet directories in an Iceberg-like layout: data files under the
+# table path (optionally hive-partitioned) plus a `manifest.json` recording
+# schema, partition spec, snapshot id, and row count. On a real cluster the
+# writer below is the ONLY code to swap for `df.writeTo(name).using
+# ("iceberg")` — readers go through load_table/snapshot metadata the same
+# way.
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    snapshot_id: str | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write parquet + manifest.json; returns the manifest dict."""
+    import hashlib
+    import json
+
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    manifest = {
+        "format_version": "parquet-manifest-1",
+        "schema": back.schema.jsonValue(),
+        "partition_spec": partition_by or [],
+        "snapshot_id": snapshot_id
+        or hashlib.sha256(back.schema.simpleString().encode()).hexdigest()[:16],
+        "row_count": back.count(),
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def read_manifest(path: str) -> dict | None:
+    import json
+
+    try:
+        with open(os.path.join(path, "manifest.json")) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None

@@ -1468,3 +1468,75 @@ def q48(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(e, q, n_centroids=16, nprobe=4, k=5)
+
+
+@_q(
+    "q49_asof_join",
+    """
+    WITH snap AS (
+      SELECT o_custkey AS k, o_orderdate AS rts,
+             CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS snap_price,
+             count(*) AS snap_orders
+      FROM orders GROUP BY 1, 2),
+    ev AS (SELECT user_id AS k, event_id, ts FROM events WHERE event_id % 11 = 0)
+    SELECT ev.k AS user_id, ev.event_id,
+           snap.snap_price AS asof_snap_price,
+           snap.snap_orders AS asof_snap_orders,
+           strftime(snap.rts, '%Y-%m-%d %H:%M:%S') AS asof_ts_s
+    FROM ev ASOF LEFT JOIN snap
+      ON ev.k = snap.k AND ev.ts >= snap.rts
+    """,
+)
+def q49(spark, sf):
+    """As-of join (custom operator — Spark has no native one): each event
+    picks the latest order snapshot at-or-before its timestamp; DuckDB's
+    native ASOF JOIN is the oracle. Right side deduped to unique
+    (key, ts) as as-of state tables require."""
+    from .operators.asof import asof_join
+
+    snap = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("rts"))
+        .agg(
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("snap_price"),
+            F.count("*").alias("snap_orders"),
+        )
+    )
+    ev = (
+        _t(spark, sf, "events")
+        .where(F.col("event_id") % 11 == 0)
+        .select(F.col("user_id").alias("k"), "event_id", "ts")
+    )
+    joined = asof_join(
+        ev, snap, on="k", left_ts="ts", right_ts="rts",
+        value_cols=["snap_price", "snap_orders"],
+    )
+    return joined.select(
+        F.col("k").alias("user_id"),
+        "event_id",
+        "asof_snap_price",
+        "asof_snap_orders",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts_s"),
+    )
+
+
+@_q(
+    "q50_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q50(spark, sf):
+    """Hierarchical rollup (absent from the reference — SURVEY.md §2.4;
+    present here because corpus reporting needs subtotal cubes)."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
