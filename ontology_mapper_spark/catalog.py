@@ -48,7 +48,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 #
 # No Iceberg runtime jar is resolvable offline in this sandbox, so tables
 # are parquet directories in an Iceberg-like layout: data files under the
-# table path (optionally hive-partitioned) plus a `manifest.json` recording
+# table path (optionally hive-partitioned) plus a `_manifest.json` recording
 # schema, partition spec, snapshot id, and row count. On a real cluster the
 # writer below is the ONLY code to swap for `df.writeTo(name).using
 # ("iceberg")` — readers go through load_table/snapshot metadata the same
@@ -79,7 +79,7 @@ def write_table(
         or hashlib.sha256(back.schema.simpleString().encode()).hexdigest()[:16],
         "row_count": back.count(),
     }
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest
 
@@ -88,7 +88,7 @@ def read_manifest(path: str) -> dict | None:
     import json
 
     try:
-        with open(os.path.join(path, "manifest.json")) as fh:
+        with open(os.path.join(path, "_manifest.json")) as fh:
             return json.load(fh)
     except (OSError, json.JSONDecodeError):
         return None
