@@ -35,11 +35,9 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
-from .operators.similarity import cosine_topk_bruteforce
 from .operators.textstats import (
     token_count_col,
     with_fingerprint,
-    with_quality_score,
     with_text_stats,
 )
 
@@ -1540,3 +1538,37 @@ def q50(spark, sf):
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+@_q(
+    "q51_lang_guess",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, w -> list_contains(['the','and','of'], w))) AS en_hits,
+             len(list_filter(words, w -> list_contains(['der','die','und'], w))) AS de_hits,
+             len(list_filter(words, w -> list_contains(['le','la','et'], w))) AS fr_hits,
+             len(list_filter(words, w -> list_contains(['el','los','que'], w))) AS es_hits
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),
+                               w -> w <> '') AS words
+            FROM documents))
+    SELECT doc_id, lang,
+           CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+                WHEN es_hits >= greatest(en_hits, de_hits, fr_hits) THEN 'es'
+                WHEN fr_hits >= greatest(en_hits, de_hits) THEN 'fr'
+                WHEN de_hits >= en_hits THEN 'de'
+                ELSE 'en' END AS lang_guess
+    FROM scored
+    """,
+)
+def q51(spark, sf):
+    """n-gram/stopword-cue language ID (training-data text analysis).
+
+    Tie policy pinned down on both sides: the Spark struct max carries an
+    explicit priority (later cue order wins: es > fr > de > en); the SQL
+    mirrors it with the >= cascade in reverse cue order."""
+    from .operators.textstats import with_lang_guess
+
+    d = _t(spark, sf, "documents")
+    return with_lang_guess(d, "text").select("doc_id", "lang", "lang_guess")

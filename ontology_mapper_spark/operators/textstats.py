@@ -73,14 +73,20 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds lang_guess from stopword-cue votes; 'und' when no cue hits."""
+    """Adds lang_guess from stopword-cue votes; 'und' when no cue hits.
+
+    Tie policy is EXPLICIT (struct max over (hits, priority)): later
+    languages in _LANG_CUES order win ties — es > fr > de > en. Relying on
+    the lang string itself for the tiebreak would silently change the
+    policy ('fr' > 'es' lexicographically)."""
     w = words_col(F.col(text_col))
     scores = []
-    for lang, cues in _LANG_CUES.items():
+    for prio, (lang, cues) in enumerate(_LANG_CUES.items()):
         cue_arr = F.array(*[F.lit(c) for c in cues])
         scores.append(
             F.struct(
                 F.size(F.filter(w, lambda x: F.array_contains(cue_arr, x))).alias("hits"),
+                F.lit(prio).alias("prio"),
                 F.lit(lang).alias("lang"),
             )
         )

@@ -51,7 +51,6 @@ def connected_components(
             .where(F.col("u") != F.col("v"))
         )
         .distinct()
-        .persist()
     )
     # initial label: min(self, min neighbor) in one pass
     labels = (
@@ -66,19 +65,50 @@ def connected_components(
     # the data does. localCheckpoint materializes to executor storage (no
     # checkpoint dir needed); a configured reliable checkpoint dir is
     # preferred on a real cluster (survives executor loss).
-    def cut(df: DataFrame) -> DataFrame:
-        if spark.sparkContext.getCheckpointDir():
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    # The cut is a parquet write + read-back into the checkpoint dir —
+    # semantically a reliable checkpoint (materialized, lineage gone) but
+    # immune to a Spark 4.1 bug where both checkpoint() and
+    # localCheckpoint() die with `NoSuchElementException: key not found:
+    # <attr>` when re-checkpointing plans that reference earlier
+    # checkpoint generations across iterations. A fresh parquet scan has
+    # brand-new attributes every round, so nothing can go stale. On a
+    # cluster, point the checkpoint dir at DFS — same code path.
+    import tempfile
 
+    ckpt_dir = spark.sparkContext.getCheckpointDir() or tempfile.mkdtemp(
+        prefix="omx-cc-ckpt-"
+    )
+    cut_seq = [0]
+
+    def cut(df: DataFrame) -> DataFrame:
+        import os
+
+        path = os.path.join(ckpt_dir, f"cc-{cut_seq[0]}")
+        cut_seq[0] += 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    # root the loop at a checkpoint (materializes sym once; replaces the
+    # persist() every iteration reused anyway)
+    sym = cut(sym)
     labels = cut(labels)
     for _ in range(max_iter):
-        # propagate: each node takes min(own, neighbors' labels)
+        # propagate: each node takes min(own, neighbors' labels).
+        # All joins below use NAME-based keys over fresh projections —
+        # df["col"] attribute references captured across checkpoint
+        # boundaries go stale and blow up iteration 2's analysis with
+        # `NoSuchElementException: key not found` (Spark 4.1).
         neighbor_labels = (
-            sym.join(labels, sym["v"] == labels["node"], "inner")
+            sym.join(
+                labels.select(F.col("node").alias("v"), "component"), "v", "inner"
+            )
             .select(F.col("u").alias("node"), F.col("component"))
         )
-        propagated = (
+        # cut before the self-join below: joining two aliases of the same
+        # uncheckpointed iterative plan trips Catalyst attribute resolution
+        # (NoSuchElementException on localCheckpoint) and would double-run
+        # the propagation anyway
+        propagated = cut(
             labels.select("node", "component")
             .unionByName(neighbor_labels)
             .groupBy("node")
@@ -100,16 +130,26 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        changed = (
-            labels.alias("old")
-            .join(new_labels.alias("new"), "node")
-            .where(F.col("old.component") != F.col("new.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # convergence: compare hash-sum signatures instead of joining the
+        # old and new label tables — (a) a map-side agg is cheaper than a
+        # join at 10^12-node scale, (b) labels only ever decrease, so the
+        # signature changes iff any label changed (2^-64 collision odds,
+        # and max_iter bounds the loop regardless), and (c) joining two
+        # checkpoint generations is what trips the Spark 4.1 stale-attribute
+        # bug this loop previously hit
+        def signature(df: DataFrame):
+            # decimal(38,0) sum: exact and immune to ANSI long overflow
+            row = df.select(
+                F.coalesce(
+                    F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("s")
+            ).first()
+            return row["s"]
+
+        labels, prev_sig = new_labels, signature(labels)
+        if signature(labels) == prev_sig:
             break
-    sym.unpersist()
     return labels
 
 
@@ -122,7 +162,11 @@ def canonical_mapping(terms_df: DataFrame, xrefs: DataFrame) -> DataFrame:
     comp = connected_components(xrefs)
     all_iris = terms_df.select(F.col("class_iri")).distinct()
     return (
-        all_iris.join(comp, all_iris["class_iri"] == comp["node"], "left")
+        all_iris.join(
+            comp.select(F.col("node").alias("class_iri"), "component"),
+            "class_iri",
+            "left",
+        )
         .select(
             "class_iri",
             F.coalesce(F.col("component"), F.col("class_iri")).alias("canonical_iri"),

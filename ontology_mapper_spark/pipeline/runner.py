@@ -95,10 +95,9 @@ class PipelineRunner:
             self.events.append({"stage": stage, "status": "skipped", "sec": 0.0})
             return self.spark.read.parquet(path)
         df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        from ..catalog import write_table
+
+        write_table(df, path, partition_by=partition_by, snapshot_id=fingerprint)
         _commit(path, fingerprint, {"stage": stage, "run_ts": self.run_ts})
         out = self.spark.read.parquet(path)
         self._write_metrics(stage, out, time.time() - t0)
