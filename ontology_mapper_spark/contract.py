@@ -1572,3 +1572,24 @@ def q51(spark, sf):
 
     d = _t(spark, sf, "documents")
     return with_lang_guess(d, "text").select("doc_id", "lang", "lang_guess")
+
+
+@_q(
+    "q52_json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q52(spark, sf):
+    """Semi-structured column handling: JSON props extraction (nested/open
+    metadata — the candidates table's MapType analogue, SURVEY.md §1.5)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum(k).alias("sum_k"))
+    )

@@ -103,3 +103,34 @@ def test_no_python_udf_in_triple_extraction(spark):
     # surfaces: the Arrow scan (mapInPandas) and the dictionary-sized
     # scorer; no row-at-a-time BatchEvalPython anywhere
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed+sorted on the
+    join key sort-merge join with ZERO exchanges — the 100 TB strategy
+    for repeated large-large joins (SURVEY.md 'bucketing' lever)."""
+    import uuid
+
+    a_name = f"bk_a_{uuid.uuid4().hex[:8]}"
+    b_name = f"bk_b_{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    try:
+        (
+            df.withColumn("va", F.col("k") * 2)
+            .write.bucketBy(8, "k").sortBy("k").saveAsTable(a_name)
+        )
+        (
+            df.withColumn("vb", F.col("k") + 1)
+            .write.bucketBy(8, "k").sortBy("k").saveAsTable(b_name)
+        )
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(a_name).join(spark.table(b_name), "k")
+        plan = plan_of(joined, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_name}")
