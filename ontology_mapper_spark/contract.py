@@ -1593,3 +1593,53 @@ def q52(spark, sf):
         e.groupBy((k % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n"), F.sum(k).alias("sum_k"))
     )
+
+
+@_q(
+    "q53_rolling_window_frame",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum3,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_n3
+    FROM events
+    """,
+)
+def q53(spark, sf):
+    """Analytic frame spec (ROWS BETWEEN): 3-row rolling sum per user over
+    the stable (ts, event_id) order — decimal arithmetic for exact hash."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("rolling_sum3"),
+        F.count("*").over(w).alias("rolling_n3"),
+    )
+
+
+@_q(
+    "q54_exact_percentiles",
+    """
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS p50_micro,
+           CAST(round(quantile_cont(value, 0.9) * 1e6) AS BIGINT) AS p90_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def q54(spark, sf):
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`), micro-rounded to absorb the one
+    interpolation multiply."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)) * 1e6).cast("bigint").alias("p50_micro"),
+        F.round(F.percentile("value", F.lit(0.9)) * 1e6).cast("bigint").alias("p90_micro"),
+    )
