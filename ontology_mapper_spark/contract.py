@@ -1643,3 +1643,61 @@ def q54(spark, sf):
         F.round(F.percentile("value", F.lit(0.5)) * 1e6).cast("bigint").alias("p50_micro"),
         F.round(F.percentile("value", F.lit(0.9)) * 1e6).cast("bigint").alias("p90_micro"),
     )
+
+
+_ONT_TRIPLES = [
+    ("http://example.org/ontology#Disease", "rdf:type", "rdfs:Class"),
+    ("http://example.org/ontology#Symptom", "rdf:type", "rdfs:Class"),
+    ("http://example.org/ontology#Entity", "rdf:type", "rdfs:Class"),
+    ("http://example.org/ontology#long_covid", "rdf:type",
+     "http://example.org/ontology#Disease"),
+    ("http://example.org/ontology#fatigue", "rdf:type",
+     "http://example.org/ontology#Symptom"),
+    ("http://example.org/ontology#orphan", "rdf:type",
+     "http://example.org/ontology#NotAClass"),
+    ("http://other.org/x", "rdf:type", "http://other.org/SomeClass"),
+    ("http://example.org/ontology#Disease", "rdfs:label", "Disease"),
+]
+
+@_q(
+    "q55_ontology_concepts",
+    """
+    WITH triples(subj, pred, obj) AS (VALUES
+      ('http://example.org/ontology#Disease', 'rdf:type', 'rdfs:Class'),
+      ('http://example.org/ontology#Symptom', 'rdf:type', 'rdfs:Class'),
+      ('http://example.org/ontology#Entity', 'rdf:type', 'rdfs:Class'),
+      ('http://example.org/ontology#long_covid', 'rdf:type',
+       'http://example.org/ontology#Disease'),
+      ('http://example.org/ontology#fatigue', 'rdf:type',
+       'http://example.org/ontology#Symptom'),
+      ('http://example.org/ontology#orphan', 'rdf:type',
+       'http://example.org/ontology#NotAClass'),
+      ('http://other.org/x', 'rdf:type', 'http://other.org/SomeClass'),
+      ('http://example.org/ontology#Disease', 'rdfs:label', 'Disease')),
+    classes AS (
+      SELECT DISTINCT split_part(subj, '#', -1) AS class_name
+      FROM triples
+      WHERE pred IN ('rdf:type', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+        AND obj IN ('rdfs:Class', 'http://www.w3.org/2000/01/rdf-schema#Class')
+        AND split_part(subj, '#', -1) <> 'Entity')
+    SELECT class_name AS key, translate(class_name, '_', ' ') AS label,
+           class_name AS type, 'class' AS category
+    FROM classes
+    UNION ALL
+    SELECT DISTINCT split_part(t.subj, '#', -1) AS key,
+           translate(split_part(t.subj, '#', -1), '_', ' ') AS label,
+           split_part(t.obj, '#', -1) AS type, 'instance' AS category
+    FROM triples t JOIN classes c ON split_part(t.obj, '#', -1) = c.class_name
+    WHERE t.pred IN ('rdf:type', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+      AND starts_with(t.obj, 'http://example.org/ontology#')
+    """,
+)
+def q55(spark, sf):
+    """Ontology concept extraction: F1-F3 filters + P1/P2 projections + J4
+    left-semi class membership (core/parser.py:105-133), cross-checked on
+    a literal triple set covering the Entity exclusion, foreign-namespace
+    exclusion, and orphan-instance exclusion."""
+    from .pipeline.parse_ontology import extract_concepts
+
+    triples = spark.createDataFrame(_ONT_TRIPLES, ["subj", "pred", "obj"])
+    return extract_concepts(triples)

@@ -55,3 +55,70 @@ def compare_sources(
     bp_only = bpn.join(olsn, "label_key", "left_anti").drop("label_key")
     ols_only = olsn.join(bpn, "label_key", "left_anti").drop("label_key")
     return {"common": common, "bp_only": bp_only, "ols_only": ols_only}
+
+
+def comparison_report(
+    bp: DataFrame,
+    ols: DataFrame,
+    concept: str,
+    label_col: str = "label",
+    uri_col: str = "uri",
+    order_col: str = "uri",
+) -> dict:
+    """The reference's full per-concept comparison record
+    (services/comparator.py:14-71 / the JSON report sink K4): counts,
+    common terms with uri_match, per-source-only rows, and the exact
+    discrepancy message strings. Parity with
+    oracle.semantics.compare_results is pinned in tests.
+
+    Driver-side by design: one concept's result lists are bounded by the
+    per-search cap (max_results*2, core/lookup.py:66), so this is report
+    assembly, not a data-scale operator — the distributed pieces are
+    compare_sources' joins.
+    """
+    parts = compare_sources(bp, ols, label_col, uri_col, order_col)
+    common_rows = sorted(
+        (
+            {
+                "label": r["label"],
+                "bioportal_uri": r["bioportal_uri"],
+                "ols_uri": r["ols_uri"],
+                "uri_match": r["uri_match"],
+            }
+            for r in parts["common"].collect()
+        ),
+        key=lambda d: d["label"].lower(),
+    )
+    bp_only = sorted(
+        (r.asDict() for r in parts["bp_only"].collect()),
+        key=lambda d: d["label"].lower(),
+    )
+    ols_only = sorted(
+        (r.asDict() for r in parts["ols_only"].collect()),
+        key=lambda d: d["label"].lower(),
+    )
+    n_bp, n_ols = bp.count(), ols.count()
+
+    discrepancies: list[str] = []
+    if n_bp != n_ols:
+        discrepancies.append(
+            f"Result count differs: BioPortal={n_bp}, OLS={n_ols}"
+        )
+    if bp_only:
+        discrepancies.append(f"BioPortal has {len(bp_only)} unique term(s)")
+    if ols_only:
+        discrepancies.append(f"OLS has {len(ols_only)} unique term(s)")
+    mismatches = [t for t in common_rows if not t["uri_match"]]
+    if mismatches:
+        discrepancies.append(
+            f"{len(mismatches)} common term(s) have different URIs"
+        )
+    return {
+        "concept": concept,
+        "bioportal_count": n_bp,
+        "ols_count": n_ols,
+        "common_terms": common_rows,
+        "bioportal_only": bp_only,
+        "ols_only": ols_only,
+        "discrepancies": discrepancies,
+    }

@@ -144,3 +144,30 @@ def test_link_determinism_two_runs(spark):
         )
 
     assert run() == run()
+
+
+def test_extract_concepts_and_priority(spark):
+    from ontology_mapper_spark.pipeline.parse_ontology import (
+        extract_concepts,
+        priority_concepts,
+    )
+
+    ns = "http://example.org/ontology#"
+    triples = spark.createDataFrame(
+        [
+            (f"{ns}Disease", "rdf:type", "rdfs:Class"),
+            (f"{ns}Entity", "rdf:type", "rdfs:Class"),
+            (f"{ns}long_covid", "rdf:type", f"{ns}Disease"),
+            (f"{ns}other_thing", "rdf:type", f"{ns}Disease"),
+            (f"{ns}orphan", "rdf:type", f"{ns}Missing"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {(r.key, r.category, r.type) for r in extract_concepts(triples).collect()}
+    assert got == {
+        ("Disease", "class", "Disease"),
+        ("long_covid", "instance", "Disease"),
+        ("other_thing", "instance", "Disease"),
+    }
+    prio = {r.key for r in priority_concepts(extract_concepts(triples)).collect()}
+    assert prio == {"Disease", "long_covid"}

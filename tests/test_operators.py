@@ -186,3 +186,40 @@ def test_media_features_fake_decode(spark):
     ]
     plan = frame_sample_plan(df, every_ms=1000).collect()
     assert {(r.media_id, r.frame_ts_ms) for r in plan} == {(2, 0), (2, 1000), (2, 2000)}
+
+
+def test_comparison_report_matches_oracle(spark):
+    from ontology_mapper_spark.operators.comparator import comparison_report
+    from ontology_mapper_spark.oracle.semantics import compare_results
+
+    bp_rows = [
+        {"label": "Fatigue", "uri": "http://ex/1", "ontology": "HP"},
+        {"label": "Pain", "uri": "http://ex/2", "ontology": "HP"},
+        {"label": "pain", "uri": "http://ex/2b", "ontology": "NCIT"},  # dup label, last wins
+        {"label": "OnlyBP", "uri": "http://ex/3", "ontology": "HP"},
+    ]
+    ols_rows = [
+        {"label": "fatigue", "uri": "http://ex/1", "ontology": "hp"},     # same uri
+        {"label": "Pain", "uri": "http://ex/other", "ontology": "ncit"},  # uri mismatch
+        {"label": "OnlyOLS", "uri": "http://ex/4", "ontology": "mondo"},
+    ]
+    golden = compare_results(bp_rows, ols_rows, "fatigue")
+
+    bp = spark.createDataFrame([(r["label"], r["uri"], r["ontology"]) for r in bp_rows],
+                               ["label", "uri", "ontology"])
+    ols = spark.createDataFrame([(r["label"], r["uri"], r["ontology"]) for r in ols_rows],
+                                ["label", "uri", "ontology"])
+    got = comparison_report(bp, ols, "fatigue")
+
+    assert got["bioportal_count"] == golden["bioportal_count"]
+    assert got["ols_count"] == golden["ols_count"]
+    assert got["discrepancies"] == golden["discrepancies"]
+    g_common = {(t["bioportal_uri"], t["ols_uri"], t["uri_match"])
+                for t in golden["common_terms"]}
+    s_common = {(t["bioportal_uri"], t["ols_uri"], t["uri_match"])
+                for t in got["common_terms"]}
+    assert s_common == g_common
+    assert {r["label"] for r in got["bioportal_only"]} == {
+        r["label"] for r in golden["bioportal_only"]}
+    assert {r["label"] for r in got["ols_only"]} == {
+        r["label"] for r in golden["ols_only"]}
