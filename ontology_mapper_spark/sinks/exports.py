@@ -147,3 +147,72 @@ def write_sssom(triples: DataFrame, path: str, mapping_date: str) -> None:
     sssom_rows(triples, mapping_date).write.mode("overwrite").option(
         "header", True
     ).option("sep", "\t").csv(path)
+
+
+# Prefix table for compact Turtle output (mirrors the reference's bind
+# calls, core/generator.py:229-239 / schema_parser.py:255-260).
+TURTLE_PREFIXES = {
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "dcterms": "http://purl.org/dc/terms/",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "prov": "http://www.w3.org/ns/prov#",
+}
+
+
+def to_turtle_lines(triples: DataFrame) -> DataFrame:
+    """(line) — Turtle statements using the prefix table where the
+    predicate is a known CURIE (data rows only; the @prefix header comes
+    from `turtle_header`). Every N-Triples statement is valid Turtle, so
+    non-prefixed terms fall back to <IRI> form — line-oriented, hence
+    cluster-writable, unlike pretty-printed block Turtle."""
+    pred = F.when(
+        F.col("pred").rlike(r"^(skos|dcterms|rdfs|rdf|owl|prov):"), F.col("pred")
+    ).otherwise(F.concat(F.lit("<"), expand_curie_col(F.col("pred")), F.lit(">")))
+    subj = F.concat(F.lit("<"), F.col("subj"), F.lit(">"))
+    lang_suffix = F.when(
+        F.col("lang").isNotNull(), F.concat(F.lit("@"), F.col("lang"))
+    ).otherwise(F.lit(""))
+    obj = F.when(
+        F.col("obj_type") == "uri", F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    ).otherwise(
+        F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"'), lang_suffix)
+    )
+    return triples.select(F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("line"))
+
+
+def turtle_header() -> str:
+    return "\n".join(
+        f"@prefix {p}: <{ns}> ." for p, ns in sorted(TURTLE_PREFIXES.items())
+    )
+
+
+def write_turtle(triples: DataFrame, path: str) -> None:
+    """Data part as distributed text; the tiny @prefix header goes into a
+    '_header.ttl' sidecar (a cluster sink can't prepend a single header to
+    N parallel part files; consumers concatenate header + parts)."""
+    import os
+
+    to_turtle_lines(triples).write.mode("overwrite").text(path)
+    with open(os.path.join(path, "_header.ttl"), "w") as fh:
+        fh.write(turtle_header() + "\n")
+
+
+def to_nquads_lines(triples: DataFrame, graph_iri: str | None = None) -> DataFrame:
+    """(line) — N-Quads: the N-Triples statement plus an optional graph
+    IRI (4th term)."""
+    base = to_ntriples_lines(triples).select(
+        F.regexp_replace("line", r" \.$", "").alias("stmt")
+    )
+    if graph_iri:
+        return base.select(
+            F.concat_ws(" ", F.col("stmt"), F.lit(f"<{graph_iri}>"), F.lit(".")).alias(
+                "line"
+            )
+        )
+    return base.select(F.concat_ws(" ", F.col("stmt"), F.lit(".")).alias("line"))
+
+
+def write_nquads(triples: DataFrame, path: str, graph_iri: str | None = None) -> None:
+    to_nquads_lines(triples, graph_iri).write.mode("overwrite").text(path)

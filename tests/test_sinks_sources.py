@@ -123,3 +123,29 @@ def test_selections_and_concept_list_sources(spark, tmp_path):
     cl.write_text("long covid\n\nfatigue\n")
     got = {(r.concept_key, r.label) for r in read_concept_list(spark, str(cl)).collect()}
     assert got == {("long_covid", "long covid"), ("fatigue", "fatigue")}
+
+
+def test_turtle_and_nquads_sinks(spark, tmp_path):
+    from ontology_mapper_spark.sinks import (
+        to_nquads_lines,
+        to_turtle_lines,
+        turtle_header,
+        write_turtle,
+    )
+
+    df = _triples_df(spark)
+    ttl = [r.line for r in to_turtle_lines(df).collect()]
+    # known CURIE predicates stay prefixed; header declares their prefixes
+    assert any(" skos:exactMatch " in line for line in ttl)
+    assert "@prefix skos:" in turtle_header()
+    assert all(line.endswith(" .") for line in ttl)
+
+    nq = [r.line for r in to_nquads_lines(df, graph_iri="http://ex.org/g").collect()]
+    assert all(line.rstrip(" .").endswith("<http://ex.org/g>") for line in nq)
+    assert len(nq) == df.count()
+
+    out = str(tmp_path / "ttl")
+    write_turtle(df, out)
+    import os
+
+    assert os.path.exists(os.path.join(out, "_header.ttl"))
