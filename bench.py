@@ -98,6 +98,21 @@ def main() -> int:
     turns_per_sec, n_turns = kg_flagship_throughput(spark)
     timings["kg_flagship"] = round(time.time() - t0, 3)
 
+    # full 4-stage pipeline (detect → link → canonicalize → materialize),
+    # fresh run including all table writes — the end-to-end KG number
+    import shutil
+    import tempfile
+
+    from ontology_mapper_spark.pipeline.runner import PipelineRunner
+
+    out_dir = tempfile.mkdtemp(prefix="omx-bench-kg-")
+    t0 = time.time()
+    PipelineRunner(
+        spark, out_dir, n_convs=2000, n_terms=200, resume=False
+    ).run()
+    timings["kg_pipeline_e2e"] = round(time.time() - t0, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
