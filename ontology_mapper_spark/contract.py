@@ -1701,3 +1701,88 @@ def q55(spark, sf):
 
     triples = spark.createDataFrame(_ONT_TRIPLES, ["subj", "pred", "obj"])
     return extract_concepts(triples)
+
+
+@_q(
+    "q56_tpch_q3_shape",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+             l_orderkey
+    LIMIT 10
+    """,
+)
+def q56(spark, sf):
+    """TPC-H Q3 shape: 3-way join + filtered scan + top-10 by exact decimal
+    revenue (Catalyst picks broadcast for the filtered customer side; the
+    ORDER BY runs on the exact decimal so both engines rank identically)."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+    )
+
+
+@_q(
+    "q57_tpch_q5_shape",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q57(spark, sf):
+    """TPC-H Q5 shape: 5-way star join rooted at a pruned region — the
+    dim chain broadcasts; only orders⋈lineitem shuffles."""
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("n_name")
+        .agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+    )
