@@ -1,0 +1,117 @@
+"""Bucket-granular incremental mention detection.
+
+Stage-level resume (runner.py) skips a whole stage only when NOTHING
+changed. At 10^12 turns the realistic case is a trickle: new conversations
+land in a few conv_id hash buckets per batch. This module recomputes ONLY
+those buckets:
+
+1. per-bucket input fingerprints = sum of xxhash64(conv_id, turn_idx,
+   text) per bucket (order-independent, distributed, one map-side agg);
+2. compare against the fingerprints recorded at last run;
+3. re-run detection on changed buckets only and overwrite exactly those
+   partitions (`partitionOverwriteMode=dynamic` — untouched bucket
+   directories stay as-is, so the write cost is proportional to the
+   delta, not the corpus).
+
+This composes with stage fingerprints: the stage marker stores the
+per-bucket map instead of one hash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_MARKER = "_BUCKET_FINGERPRINTS.json"
+
+
+def bucket_fingerprints(transcripts: DataFrame, buckets: int = 32) -> dict[str, int]:
+    """{bucket: order-independent content hash} over (conv_id, turn_idx, text)."""
+    rows = (
+        transcripts.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(
+                F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)")
+            ).alias("fp")
+        )
+        .collect()
+    )
+    return {str(r["bucket"]): int(r["fp"]) for r in rows}
+
+
+def _load_marker(path: str) -> dict[str, int]:
+    try:
+        with open(os.path.join(path, BUCKET_MARKER)) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _save_marker(path: str, fps: dict[str, int]) -> None:
+    with open(os.path.join(path, BUCKET_MARKER), "w") as fh:
+        json.dump(fps, fh)
+
+
+def incremental_detect(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    patterns: list[str],
+    out_path: str,
+    buckets: int = 32,
+) -> dict:
+    """Detect mentions for changed buckets only; returns
+    {'changed_buckets': [...], 'n_buckets': N, 'rows_written': int}.
+
+    Output layout: parquet partitioned by `bucket`; only changed bucket
+    partitions are overwritten (dynamic partition overwrite).
+    """
+    from .mention_detect import detect_mentions
+
+    current = bucket_fingerprints(transcripts, buckets)
+    previous = _load_marker(out_path) if os.path.exists(out_path) else {}
+    changed = sorted(
+        int(b) for b in current if previous.get(b) != current[b]
+    )
+    # buckets that vanished entirely are stale leftovers → treat as changed
+    removed = sorted(int(b) for b in previous if b not in current)
+
+    result = {
+        "n_buckets": len(current),
+        "changed_buckets": changed,
+        "removed_buckets": removed,
+        "rows_written": 0,
+    }
+    if not changed and not removed:
+        return result
+
+    delta = transcripts.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets))
+    ).where(F.col("bucket").isin(changed))
+    mentions = detect_mentions(
+        spark, delta.select("conv_id", "turn_idx", "text"), patterns
+    ).withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)))
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        mentions.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    # removed buckets: drop their directories (no new data overwrote them)
+    import shutil
+
+    for b in removed:
+        shutil.rmtree(os.path.join(out_path, f"bucket={b}"), ignore_errors=True)
+
+    _save_marker(out_path, current)
+    result["rows_written"] = spark.read.parquet(out_path).where(
+        F.col("bucket").isin(changed)
+    ).count() if changed else 0
+    return result

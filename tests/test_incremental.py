@@ -1,0 +1,75 @@
+"""Bucket-granular incremental detection: only changed buckets recompute,
+untouched partitions stay byte-identical, results equal a full recompute."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.datagen import build_transcripts
+from ontology_mapper_spark.pipeline.incremental import (
+    bucket_fingerprints,
+    incremental_detect,
+)
+from ontology_mapper_spark.pipeline.mention_detect import detect_mentions
+
+PATTERNS = ["pain", "chronic pain"]
+BUCKETS = 8
+
+
+def _mentions_set(spark, path):
+    return {
+        (r.conv_id, r.turn_idx, r.begin, r.end, r.pattern)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _full_set(spark, tr):
+    return {
+        (r.conv_id, r.turn_idx, r.begin, r.end, r.pattern)
+        for r in detect_mentions(spark, tr, PATTERNS).collect()
+    }
+
+
+def test_incremental_detect_delta_only(spark, tmp_path):
+    out = str(tmp_path / "mentions")
+    tr1 = build_transcripts(spark, n_convs=30, seed=2, mention_labels=PATTERNS)
+
+    r1 = incremental_detect(spark, tr1, PATTERNS, out, buckets=BUCKETS)
+    assert len(r1["changed_buckets"]) > 0
+    assert _mentions_set(spark, out) == _full_set(spark, tr1)
+
+    # identical input → nothing recomputes
+    r2 = incremental_detect(spark, tr1, PATTERNS, out, buckets=BUCKETS)
+    assert r2["changed_buckets"] == [] and r2["removed_buckets"] == []
+
+    # grow the corpus: 10 extra conversations → only their buckets change
+    tr2 = build_transcripts(spark, n_convs=40, seed=2, mention_labels=PATTERNS)
+    new_convs = {f"conv_{i:08d}" for i in range(30, 40)}
+    expected_changed = {
+        r.bucket
+        for r in tr2.where(F.col("conv_id").isin(list(new_convs)))
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(BUCKETS)).alias("bucket"))
+        .distinct()
+        .collect()
+    }
+    # record mtimes of untouched bucket dirs before the delta run
+    pre_mtimes = {
+        d: os.path.getmtime(os.path.join(out, d))
+        for d in os.listdir(out)
+        if d.startswith("bucket=")
+    }
+    r3 = incremental_detect(spark, tr2, PATTERNS, out, buckets=BUCKETS)
+    assert set(r3["changed_buckets"]) == expected_changed
+    assert _mentions_set(spark, out) == _full_set(spark, tr2)
+    for d, mt in pre_mtimes.items():
+        b = int(d.split("=")[1])
+        if b not in expected_changed:
+            assert os.path.getmtime(os.path.join(out, d)) == mt, d
+
+
+def test_bucket_fingerprints_stable_across_partitioning(spark):
+    tr_a = build_transcripts(spark, n_convs=20, seed=9, partitions=2)
+    tr_b = build_transcripts(spark, n_convs=20, seed=9, partitions=16)
+    assert bucket_fingerprints(tr_a, 8) == bucket_fingerprints(tr_b, 8)
