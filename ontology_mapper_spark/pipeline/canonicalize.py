@@ -92,6 +92,19 @@ def connected_components(
     # persist() every iteration reused anyway)
     sym = cut(sym)
     labels = cut(labels)
+
+    def signature(df: DataFrame):
+        # decimal(38,0) sum of row hashes: exact, order-independent, and
+        # immune to ANSI long overflow
+        row = df.select(
+            F.coalesce(
+                F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s")
+        ).first()
+        return row["s"]
+
+    prev_sig = signature(labels)
     for _ in range(max_iter):
         # propagate: each node takes min(own, neighbors' labels).
         # All joins below use NAME-based keys over fresh projections —
@@ -136,20 +149,13 @@ def connected_components(
         # signature changes iff any label changed (2^-64 collision odds,
         # and max_iter bounds the loop regardless), and (c) joining two
         # checkpoint generations is what trips the Spark 4.1 stale-attribute
-        # bug this loop previously hit
-        def signature(df: DataFrame):
-            # decimal(38,0) sum: exact and immune to ANSI long overflow
-            row = df.select(
-                F.coalesce(
-                    F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("s")
-            ).first()
-            return row["s"]
-
-        labels, prev_sig = new_labels, signature(labels)
-        if signature(labels) == prev_sig:
+        # bug this loop previously hit. One action per iteration: the
+        # previous signature is carried, not recomputed.
+        new_sig = signature(new_labels)
+        labels = new_labels
+        if new_sig == prev_sig:
             break
+        prev_sig = new_sig
     return labels
 
 
