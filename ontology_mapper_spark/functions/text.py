@@ -33,6 +33,14 @@ def clean_description_col(c: Column) -> Column:
 
     whitespace squeeze -> strip first stock prefix -> capitalize first char
     -> truncate >200 chars to 197+'...'. Null/empty input -> ''.
+
+    Known fidelity bound: the squeeze uses Java's ASCII `\\s+`, while the
+    reference's ``" ".join(text.split())`` also splits on Unicode
+    whitespace (NBSP, ideographic space, \\x1c-\\x1f). The two agree on all
+    ASCII text (which is what the oracle gate exercises); Java's
+    `(?U)\\s` would NOT close the gap exactly either (Character
+    .isWhitespace excludes NBSP), so we keep the simpler ASCII form and
+    document the bound instead of pretending unicode parity.
     """
     s = F.coalesce(c, F.lit(""))
     squeezed = F.trim(F.regexp_replace(s, r"\s+", " "))

@@ -106,6 +106,8 @@ def main() -> int:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--corpus", default="/tmp/scale_transcripts.parquet")
+    ap.add_argument("--out-md", default=None,
+                    help="override BENCH/BASELINE.md output path")
     args = ap.parse_args()
 
     if not os.path.exists(args.corpus):
@@ -138,7 +140,8 @@ def main() -> int:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    out_md = args.out_md or os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_md, "w") as fh:
         fh.write(
             "# BENCH/BASELINE — scaling evidence (north_rule)\n\n"
             "No real cluster is available in this sandbox; per the driver\n"
