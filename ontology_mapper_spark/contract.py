@@ -1786,3 +1786,75 @@ def q57(spark, sf):
         .groupBy("n_name")
         .agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_lines"))
     )
+
+
+@_q(
+    "q58_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS grp_level,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q58(spark, sf):
+    """Full cube over (returnflag, linestatus) with an explicit grouping
+    level so NULL-as-subtotal rows hash unambiguously."""
+    li = _t(spark, sf, "lineitem")
+    lvl = (
+        F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)
+        + F.when(F.col("l_linestatus").isNull(), 1).otherwise(0)
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select("l_returnflag", "l_linestatus", lvl.alias("grp_level"), "n")
+    )
+
+
+@_q(
+    "q59_quality_score",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),
+                         x -> x <> '') AS words
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             len(list_filter(words, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','for','on',
+                'with','at','by','from','as','that','this','it','be'], x)))
+               AS n_stop,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM w)
+    SELECT doc_id,
+           CAST(round((
+             least(CAST(n_words AS DOUBLE) / 2.0, 40.0)
+             + least((CASE WHEN n_words > 0
+                           THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 200.0, 40.0)
+             + (CASE WHEN (CASE WHEN n_chars > 0
+                                THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) <= 0.1
+                     THEN 20.0
+                     ELSE greatest(0.0, 20.0 - (CASE WHEN n_chars > 0
+                          THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 100.0)
+                END)
+           ) * 1000) AS BIGINT) AS quality_milli
+    FROM s
+    """,
+)
+def q59(spark, sf):
+    """Composite quality score (length + stopword + punctuation bands),
+    milli-rounded — validates the whole float expression chain of
+    with_quality_score against an independently-written SQL mirror."""
+    from .operators.textstats import with_quality_score
+
+    d = _t(spark, sf, "documents")
+    return with_quality_score(d, "text").select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1000).cast("bigint").alias("quality_milli"),
+    )

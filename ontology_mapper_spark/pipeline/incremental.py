@@ -115,3 +115,79 @@ def incremental_detect(
         F.col("bucket").isin(changed)
     ).count() if changed else 0
     return result
+
+
+def _mention_bucket_fps(mentions: DataFrame) -> dict[str, int]:
+    rows = (
+        mentions.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.xxhash64(
+                    "conv_id", "turn_idx", "begin", "end", "pattern"
+                ).cast("decimal(38,0)")
+            ).alias("fp")
+        )
+        .collect()
+    )
+    return {str(r["bucket"]): int(r["fp"]) for r in rows}
+
+
+def incremental_link(
+    spark: SparkSession,
+    mentions_path: str,
+    terms: DataFrame,
+    out_path: str,
+    dict_version: str = "v1",
+) -> dict:
+    """Link only mention buckets that changed since the last link run
+    (or all, when the dictionary version changes — a new snapshot
+    invalidates every bucket).
+
+    Same delta-proportional pattern as incremental_detect: per-bucket
+    fingerprints gate work; dynamic partition overwrite rewrites only the
+    recomputed bucket directories. The link itself stays the broadcast
+    decision-table join (zero shuffle). The mentions' own `bucket` column
+    is preserved verbatim — never recomputed — so partition alignment
+    with the detect stage is structural.
+    """
+    import hashlib
+
+    from .link_score import rank_dictionary
+
+    # stable across processes (python's hash() is salted per run)
+    version_fp = int(hashlib.sha256(dict_version.encode()).hexdigest()[:12], 16)
+
+    mentions = spark.read.parquet(mentions_path)
+    current = _mention_bucket_fps(mentions)
+    marker = _load_marker(out_path) if os.path.exists(out_path) else {}
+    prev_version = marker.pop("__dict_version__", None)
+    if prev_version is not None and prev_version != version_fp:
+        marker = {}  # dictionary changed → everything is stale
+    changed = sorted(int(b) for b in current if marker.get(b) != current[b])
+    removed = sorted(int(b) for b in marker if b not in current)
+
+    result = {
+        "n_buckets": len(current),
+        "changed_buckets": changed,
+        "removed_buckets": removed,
+    }
+    if not changed and not removed:
+        return result
+
+    ranked = F.broadcast(rank_dictionary(spark, terms, idf=None))
+    links = mentions.where(F.col("bucket").isin(changed)).join(
+        ranked, "pattern", "inner"
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        links.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    import shutil
+
+    for b in removed:
+        shutil.rmtree(os.path.join(out_path, f"bucket={b}"), ignore_errors=True)
+    _save_marker(out_path, {**current, "__dict_version__": version_fp})
+    return result

@@ -73,3 +73,45 @@ def test_bucket_fingerprints_stable_across_partitioning(spark):
     tr_a = build_transcripts(spark, n_convs=20, seed=9, partitions=2)
     tr_b = build_transcripts(spark, n_convs=20, seed=9, partitions=16)
     assert bucket_fingerprints(tr_a, 8) == bucket_fingerprints(tr_b, 8)
+
+
+def test_incremental_link_delta_and_dict_invalidation(spark, tmp_path):
+    from ontology_mapper_spark.datagen import build_snapshot
+    from ontology_mapper_spark.pipeline.incremental import incremental_link
+
+    terms, _ = build_snapshot(spark, n_terms=30, seed=1)
+    m_out = str(tmp_path / "mentions")
+    l_out = str(tmp_path / "links")
+    tr1 = build_transcripts(spark, n_convs=30, seed=2, mention_labels=PATTERNS)
+    incremental_detect(spark, tr1, PATTERNS, m_out, buckets=BUCKETS)
+
+    r1 = incremental_link(spark, m_out, terms, l_out, dict_version="v1")
+    assert r1["changed_buckets"]
+    n1 = spark.read.parquet(l_out).count()
+    assert n1 > 0
+
+    # no change → no work
+    r2 = incremental_link(spark, m_out, terms, l_out, dict_version="v1")
+    assert r2["changed_buckets"] == []
+
+    # corpus delta → only affected buckets relink; totals match full
+    tr2 = build_transcripts(spark, n_convs=40, seed=2, mention_labels=PATTERNS)
+    incremental_detect(spark, tr2, PATTERNS, m_out, buckets=BUCKETS)
+    r3 = incremental_link(spark, m_out, terms, l_out, dict_version="v1")
+    assert 0 < len(r3["changed_buckets"]) <= BUCKETS
+    from ontology_mapper_spark.pipeline import link_mentions
+
+    full = link_mentions(
+        spark,
+        spark.read.parquet(m_out).drop("bucket"),
+        terms,
+    ).count()
+    assert spark.read.parquet(l_out).count() == full
+
+    # dictionary version bump → every bucket recomputes
+    r4 = incremental_link(spark, m_out, terms, l_out, dict_version="v2")
+    all_buckets = {
+        r.bucket
+        for r in spark.read.parquet(m_out).select("bucket").distinct().collect()
+    }
+    assert set(r4["changed_buckets"]) == all_buckets
