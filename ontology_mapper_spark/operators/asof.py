@@ -52,9 +52,19 @@ def asof_join(
         F.col(right_ts).alias("_r_ts"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # (_ts, _side) alone is not a total order when several right rows share
+    # a key+timestamp — last(ignorenulls) would then be partition-order
+    # dependent. Appending the right value columns (+ right ts) makes ties
+    # resolve identically under any parallelism: the max-by-value right row
+    # wins deterministically.
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(
+            "_ts",
+            "_side",
+            *[F.col(f"_r_{c}") for c in value_cols],
+            "_r_ts",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -28,11 +28,15 @@ def comention_edges(links: DataFrame, window_turns: int = 2,
     )
     a = ments.alias("a")
     b = ments.alias("b")
+    # Symmetric window: the lexicographically smaller entity may be
+    # mentioned EITHER side of the other within W turns. a.entity <
+    # b.entity still counts each unordered mention-event pair exactly once
+    # (a is pinned to the smaller entity, b to the larger).
     pairs = (
         a.join(
             b,
             (F.col("a.conv_id") == F.col("b.conv_id"))
-            & (F.col("b.turn_idx") >= F.col("a.turn_idx"))
+            & (F.col("b.turn_idx") >= F.col("a.turn_idx") - window_turns)
             & (F.col("b.turn_idx") <= F.col("a.turn_idx") + window_turns)
             & (F.col("a.entity") < F.col("b.entity")),
         )

@@ -97,6 +97,16 @@ def incremental_detect(
         spark, delta.select("conv_id", "turn_idx", "text"), patterns
     ).withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)))
 
+    # Dynamic partition overwrite only replaces partitions PRESENT in the
+    # new write. A changed bucket whose recomputation yields zero rows
+    # would otherwise keep its stale directory forever — so drop every
+    # changed/removed bucket dir up front; the write then restores exactly
+    # the non-empty ones.
+    import shutil
+
+    for b in changed + removed:
+        shutil.rmtree(os.path.join(out_path, f"bucket={b}"), ignore_errors=True)
+
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -104,16 +114,15 @@ def incremental_detect(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    # removed buckets: drop their directories (no new data overwrote them)
-    import shutil
-
-    for b in removed:
-        shutil.rmtree(os.path.join(out_path, f"bucket={b}"), ignore_errors=True)
-
     _save_marker(out_path, current)
-    result["rows_written"] = spark.read.parquet(out_path).where(
-        F.col("bucket").isin(changed)
-    ).count() if changed else 0
+    # an all-buckets-empty write leaves no parquet files to infer a schema
+    # from — only count when at least one bucket directory exists
+    has_data = any(d.startswith("bucket=") for d in os.listdir(out_path))
+    result["rows_written"] = (
+        spark.read.parquet(out_path).where(F.col("bucket").isin(changed)).count()
+        if changed and has_data
+        else 0
+    )
     return result
 
 
@@ -157,8 +166,14 @@ def incremental_link(
     # stable across processes (python's hash() is salted per run)
     version_fp = int(hashlib.sha256(dict_version.encode()).hexdigest()[:12], 16)
 
-    mentions = spark.read.parquet(mentions_path)
-    current = _mention_bucket_fps(mentions)
+    # an all-empty detect output has no parquet files at all — treat as an
+    # empty mention set instead of failing schema inference
+    if any(d.startswith("bucket=") for d in os.listdir(mentions_path)):
+        mentions = spark.read.parquet(mentions_path)
+        current = _mention_bucket_fps(mentions)
+    else:
+        mentions = None
+        current = {}
     marker = _load_marker(out_path) if os.path.exists(out_path) else {}
     prev_version = marker.pop("__dict_version__", None)
     if prev_version is not None and prev_version != version_fp:
@@ -174,20 +189,27 @@ def incremental_link(
     if not changed and not removed:
         return result
 
-    ranked = F.broadcast(rank_dictionary(spark, terms, idf=None))
-    links = mentions.where(F.col("bucket").isin(changed)).join(
-        ranked, "pattern", "inner"
-    )
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        links.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-
+    # Same stale-partition guard as incremental_detect: a changed bucket
+    # that links to zero rows must lose its old directory.
     import shutil
 
-    for b in removed:
+    os.makedirs(out_path, exist_ok=True)
+    for b in changed + removed:
         shutil.rmtree(os.path.join(out_path, f"bucket={b}"), ignore_errors=True)
+
+    if changed:
+        ranked = F.broadcast(rank_dictionary(spark, terms, idf=None))
+        links = mentions.where(F.col("bucket").isin(changed)).join(
+            ranked, "pattern", "inner"
+        )
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            links.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
     _save_marker(out_path, {**current, "__dict_version__": version_fp})
     return result

@@ -188,16 +188,29 @@ def detect_mentions(
     patterns: list[str],
     text_col: str = "text",
     id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only mention scan: (conv_id, turn_idx, begin, end, surface, pattern).
 
     The automaton is built lazily once per task from the broadcast pattern
     list and reused across all Arrow batches of that task.
+
+    ``carry_cols`` are passed through verbatim (same type) onto every
+    emitted mention row — e.g. the event-time ``ts`` column the streaming
+    path needs for watermarking. Still map-only: the carry is per-row copy
+    inside the same Arrow batch, never a join.
     """
     import pandas as pd
 
     bc = spark.sparkContext.broadcast(patterns)
     c_conv, c_turn = id_cols
+    carry_fields = [
+        T.StructField(c, transcripts.schema[c].dataType, True) for c in carry_cols
+    ]
+    schema = T.StructType(list(MENTION_SCHEMA.fields) + carry_fields)
+    out_cols = ["conv_id", "turn_idx", "begin", "end", "surface", "pattern"] + list(
+        carry_cols
+    )
 
     def scan(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # hybrid matcher, built once per task from the broadcast and reused
@@ -219,22 +232,24 @@ def detect_mentions(
                     ms.append(ac.build())
                 matchers = ms
             out: list[tuple] = []
-            for conv, turn, text in zip(
-                pdf[c_conv].tolist(), pdf[c_turn].tolist(), pdf[text_col].tolist()
+            carried = [pdf[c].tolist() for c in carry_cols]
+            for i, (conv, turn, text) in enumerate(
+                zip(pdf[c_conv].tolist(), pdf[c_turn].tolist(), pdf[text_col].tolist())
             ):
                 if not text:
                     continue
+                extra = tuple(col[i] for col in carried)
                 for m in matchers:
                     for begin, end, pat in m.find(text):
-                        out.append((conv, int(turn), begin, end, text[begin:end], pat))
-            yield pd.DataFrame(
-                out,
-                columns=["conv_id", "turn_idx", "begin", "end", "surface", "pattern"],
-            )
+                        out.append(
+                            (conv, int(turn), begin, end, text[begin:end], pat) + extra
+                        )
+            yield pd.DataFrame(out, columns=out_cols)
 
     narrowed = transcripts.select(
         F.col(c_conv).cast("string").alias(c_conv),
         F.col(c_turn).cast("int").alias(c_turn),
         F.col(text_col),
+        *[F.col(c) for c in carry_cols],
     )
-    return narrowed.mapInPandas(scan, schema=MENTION_SCHEMA)
+    return narrowed.mapInPandas(scan, schema=schema)

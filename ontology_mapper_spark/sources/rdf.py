@@ -75,11 +75,17 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def unescape(c):
-        out = F.regexp_replace(c, r"\\t", "\t")
+        # Escape decoding must be one left-to-right pass: take escaped
+        # backslashes out of play FIRST (sentinel) so the source sequence
+        # \\n (escaped backslash, then 'n') decodes to backslash+'n', not
+        # backslash+newline. NUL is illegal in N-Triples, so it is a safe
+        # sentinel.
+        out = F.regexp_replace(c, r"\\\\", "\x00")
+        out = F.regexp_replace(out, r"\\t", "\t")
         out = F.regexp_replace(out, r"\\r", "\r")
         out = F.regexp_replace(out, r"\\n", "\n")
         out = F.regexp_replace(out, r'\\"', '"')
-        out = F.regexp_replace(out, r"\\\\", r"\\")
+        out = F.regexp_replace(out, "\x00", "\\\\")
         return out
 
     return content.select(

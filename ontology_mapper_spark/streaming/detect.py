@@ -40,13 +40,11 @@ def read_transcript_stream(
 def stream_detect_mentions(
     spark: SparkSession, stream: DataFrame, patterns: list[str]
 ) -> DataFrame:
-    """Streaming mention detection — the batch operator, unchanged, plus
-    the event-time column carried through for watermarking."""
+    """Streaming mention detection — the batch operator, unchanged, with
+    the event-time column genuinely carried through (detect_mentions'
+    carry_cols passthrough) so callers can watermark/window the result."""
     with_ts = stream.select("conv_id", "turn_idx", "text", "ts")
-    mentions = detect_mentions(spark, with_ts, patterns)
-    # re-attach event time by joining back on (conv_id, turn_idx) would
-    # shuffle; instead detect on a projection that keeps ts via the id cols
-    return mentions
+    return detect_mentions(spark, with_ts, patterns, carry_cols=("ts",))
 
 
 def windowed_mention_counts(

@@ -39,6 +39,20 @@ def test_asof_join_matches_bruteforce(spark):
     assert len(got) == len(left)  # every left row survives (left semantics)
 
 
+def test_asof_join_tied_right_rows_deterministic(spark):
+    """ADVICE regression: several right rows sharing (key, ts) must resolve
+    identically under any parallelism — the value-column tiebreak picks the
+    max-by-value row."""
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    ldf = spark.createDataFrame([("k0", 1, t0 + timedelta(minutes=10))],
+                                ["k", "event_id", "ts"])
+    tied = [("k0", t0, v) for v in (7, 3, 9, 1)]
+    for parts in (1, 4, 8):
+        rdf = spark.createDataFrame(tied, ["k", "rts", "val"]).repartition(parts)
+        rows = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts").collect()
+        assert rows[0].asof_val == 9, parts
+
+
 def test_catalog_write_table_manifest(spark, tmp_path):
     from ontology_mapper_spark.catalog import read_manifest, write_table
 

@@ -69,6 +69,54 @@ def test_incremental_detect_delta_only(spark, tmp_path):
             assert os.path.getmtime(os.path.join(out, d)) == mt, d
 
 
+def test_incremental_detect_empty_recompute_drops_stale_bucket(spark, tmp_path):
+    """ADVICE regression: a changed bucket whose recomputation yields ZERO
+    rows must lose its old parquet directory — editing a conversation so it
+    no longer matches any pattern must not leave a phantom mention."""
+    out = str(tmp_path / "mentions")
+    schema = "conv_id string, turn_idx int, text string"
+    tr1 = spark.createDataFrame(
+        [("cA", 0, "chronic pain is discussed"), ("cB", 0, "pain again")],
+        schema,
+    )
+    incremental_detect(spark, tr1, PATTERNS, out, buckets=BUCKETS)
+    assert len(_mentions_set(spark, out)) > 0
+
+    # same conversations, text edited to match nothing → full recompute
+    # returns empty; incremental must agree
+    tr2 = spark.createDataFrame(
+        [("cA", 0, "nothing to see here"), ("cB", 0, "still nothing")],
+        schema,
+    )
+    r = incremental_detect(spark, tr2, PATTERNS, out, buckets=BUCKETS)
+    assert r["changed_buckets"]
+    assert r["rows_written"] == 0
+    leftover = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert leftover == [], f"stale bucket dirs survived: {leftover}"
+
+
+def test_incremental_link_empty_recompute_drops_stale_bucket(spark, tmp_path):
+    """Same stale-partition guard for the link stage: mentions whose bucket
+    empties out must not leave stale links behind."""
+    from ontology_mapper_spark.datagen import build_snapshot
+    from ontology_mapper_spark.pipeline.incremental import incremental_link
+
+    terms, _ = build_snapshot(spark, n_terms=30, seed=1)
+    m_out = str(tmp_path / "mentions")
+    l_out = str(tmp_path / "links")
+    schema = "conv_id string, turn_idx int, text string"
+    tr1 = spark.createDataFrame([("cA", 0, "chronic pain here")], schema)
+    incremental_detect(spark, tr1, PATTERNS, m_out, buckets=BUCKETS)
+    incremental_link(spark, m_out, terms, l_out, dict_version="v1")
+    assert spark.read.parquet(l_out).count() > 0
+
+    tr2 = spark.createDataFrame([("cA", 0, "no matches anymore")], schema)
+    incremental_detect(spark, tr2, PATTERNS, m_out, buckets=BUCKETS)
+    incremental_link(spark, m_out, terms, l_out, dict_version="v1")
+    leftover = [d for d in os.listdir(l_out) if d.startswith("bucket=")]
+    assert leftover == [], f"stale link bucket dirs survived: {leftover}"
+
+
 def test_bucket_fingerprints_stable_across_partitioning(spark):
     tr_a = build_transcripts(spark, n_convs=20, seed=9, partitions=2)
     tr_b = build_transcripts(spark, n_convs=20, seed=9, partitions=16)

@@ -115,20 +115,25 @@ def test_comention_edges_bruteforce(spark):
     rows = [
         ("c1", 0, "A"), ("c1", 1, "B"), ("c1", 2, "C"), ("c1", 5, "A"),
         ("c2", 0, "A"), ("c2", 0, "B"),
+        # regression: lexicographically SMALLER entity mentioned later —
+        # the window is symmetric, so (apple, banana) must still edge.
+        ("c3", 3, "banana"), ("c3", 5, "apple"),
     ]
     df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "class_iri"])
     got = {
         (r.entity_a, r.entity_b): r.n_comentions
         for r in comention_edges(df, window_turns=2).collect()
     }
-    # brute force with window 2 (inclusive, ordered pairs a<b)
+    # brute force: symmetric window of 2 (|t1-t2| <= 2), unordered pairs
+    # counted once via e1 < e2
     expect = defaultdict(int)
     ments = [(c, t, e) for c, t, e in rows]
     for c1, t1, e1 in ments:
         for c2, t2, e2 in ments:
-            if c1 == c2 and t1 <= t2 <= t1 + 2 and e1 < e2:
+            if c1 == c2 and abs(t1 - t2) <= 2 and e1 < e2:
                 expect[(e1, e2)] += 1
     assert got == dict(expect)
+    assert ("apple", "banana") in got
 
 
 def test_exact_dedup_keeps_min_id(spark):

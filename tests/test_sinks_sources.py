@@ -26,6 +26,10 @@ TRIPLES = [
     ("http://ex.org/a", "skos:exactMatch", "http://ex.org/b", "uri", None),
     ("http://ex.org/a", "skos:prefLabel", "Alpha \"quoted\"\nline", "literal", "en"),
     ("http://ex.org/b", "rdfs:label", "Beta\ttab\\slash", "literal", "en"),
+    # ADVICE regression: backslash immediately followed by 'n'/'t' — the
+    # escaped form on disk is \\n, which a wrong-order unescape turns
+    # into backslash+newline instead of backslash+'n'
+    ("http://ex.org/c", "rdfs:comment", "path\\not\\tab", "literal", None),
     ("http://ex.org/a", "dcterms:source", "http://ex.org/onts/HP", "uri", None),
     ("http://ex.org/c", "rdfs:seeAlso", "http://ex.org/b", "uri", None),
 ]
