@@ -811,11 +811,47 @@ def q27(spark, sf):
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b")
 
 
-@_q("q28_simhash")  # no SQL oracle: xxhash64 has no DuckDB equivalent → rows-only
+def _simhash_oracle_sql() -> str:
+    """Generated mirror of operators.dedup.simhash_hex: 64 per-bit majority
+    votes from md5-hex nibbles, recomposed into the same 16-char hex."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), {b // 4 + 1}, 1)) - 1)"
+        f" & {1 << (3 - b % 4)}) <> 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    chars = " || ".join(
+        "substr('0123456789abcdef', ("
+        + " + ".join(
+            f"(CASE WHEN v{4 * i + k} > 0 THEN {wgt} ELSE 0 END)"
+            for k, wgt in zip(range(4), (8, 4, 2, 1))
+        )
+        + ") + 1, 1)"
+        for i in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM tok GROUP BY doc_id)
+    SELECT doc_id, {chars} AS simhash_hex FROM votes
+    """
+
+
+@_q("q28_simhash", _simhash_oracle_sql())
 def q28(spark, sf):
-    """SimHash-64 content signatures (near-dup by hamming distance)."""
+    """SimHash-64 content signatures (near-dup by hamming distance) in the
+    md5 hash family so the DuckDB oracle can mirror bit-for-bit; the
+    xxhash64 bigint variant (simhash64) remains the cheapest scale path."""
+    from .operators.dedup import simhash_hex
+
     d = _t(spark, sf, "documents")
-    return simhash64(d, "text", "doc_id")
+    return simhash_hex(d, "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -872,17 +908,60 @@ def q29(spark, sf):
     )
 
 
-@_q("q30_lsh_topk")  # approximate variant → rows-only check
+_LSH_PLANES, _EMB_DIM = 4, 64  # embeddings table is 64-dim at every sf
+
+
+def _lsh_bucket_sql_expr(n_planes: int = _LSH_PLANES, dim: int = _EMB_DIM) -> str:
+    """Generated mirror of operators.similarity.lsh_bucket_col: per plane,
+    a SIGNED-INTEGER micro-fixed-point dot with the same md5-derived ±1
+    components (exact arithmetic — no float-sum ordering sensitivity)."""
+    from .operators.similarity import plane_signs
+
+    terms = []
+    for p, signs in enumerate(plane_signs(n_planes, dim)):
+        body = " ".join(
+            ("+" if sgn > 0 else "-")
+            + f" CAST(round(CAST(embedding[{i + 1}] AS DOUBLE)*1e6) AS BIGINT)"
+            for i, sgn in enumerate(signs)
+        )
+        terms.append(
+            f"(CASE WHEN (0 {body}) > 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@_q(
+    "q30_lsh_topk",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql_expr()} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+          FROM bucketed WHERE vec_id < 10),
+    joined AS (
+      SELECT q.query_id, m.vec_id,
+             CAST(round(list_cosine_similarity(m.embedding::DOUBLE[],
+                                               q.qvec::DOUBLE[]) * 1e6)
+                  AS BIGINT) AS cosine_micro
+      FROM bucketed m JOIN q ON m.bucket = q.bucket)
+    SELECT query_id, vec_id, cosine_micro, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id) AS rnk
+          FROM joined)
+    WHERE rnk <= 5
+    """,
+)
 def q30(spark, sf):
-    """LSH-bucketed approximate top-k (the scale path for q29)."""
+    """LSH-bucketed approximate top-k (the scale path for q29) — exact-
+    oracled: bucket bits are integer micro-dot signs against literal
+    md5-derived hyperplanes, reproduced verbatim in the DuckDB SQL."""
     from .operators.similarity import lsh_bucketed_topk
 
     e = _t(spark, sf, "embeddings")
-    dim = len(e.select("embedding").first()[0])
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucketed_topk(e, q, dim=dim, k=5, n_planes=4)
+    return lsh_bucketed_topk(e, q, dim=_EMB_DIM, k=5, n_planes=_LSH_PLANES)
 
 
 # ---------------------------------------------------------------------------
@@ -1260,10 +1339,42 @@ def kg_canonical(spark, sf):
     return canonical_mapping(terms, xrefs)
 
 
-@_q("q40_media_features")  # rows-only: decode is stubbed (no media libs)
+def _q40_oracle_sql() -> str:
+    """Byte-histogram mirror of multimodal.deterministic_fake_features:
+    documents.text is ASCII by construction, so bytes == characters; the
+    float32 truncation the Arrow FEATURE_SCHEMA applies is mirrored with
+    an explicit REAL cast before micro-rounding."""
+    cs = ",\n             ".join(
+        f"sum(CASE WHEN bucket = {k} THEN 1 ELSE 0 END) AS c{k}" for k in range(8)
+    )
+    fs = ",\n           ".join(
+        f"CAST(round(CAST(CAST(c{k} AS DOUBLE)/total AS REAL) * 1e6) AS BIGINT)"
+        f" AS f{k}_micro"
+        for k in range(8)
+    )
+    return f"""
+    WITH ch AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) % 8 AS bucket
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) u),
+    hist AS (
+      SELECT doc_id, count(*) AS total,
+             {cs}
+      FROM ch GROUP BY doc_id)
+    SELECT d.doc_id AS media_id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+           CAST(length(d.text) AS INT) AS n_bytes,
+           {fs}
+    FROM documents d JOIN hist h ON h.doc_id = d.doc_id
+    """
+
+
+@_q("q40_media_features", _q40_oracle_sql())
 def q40(spark, sf):
     """Multimodal plumbing: binary payloads → deterministic fake features
-    via mapInPandas (real schema/batching; decode itself is the stub)."""
+    via mapInPandas (real schema/batching; decode itself is the stub).
+    Features surface as per-dim micro-fixed-point bigints — hashable by
+    the driver's canonicalizer AND exactly mirrored by the SQL oracle."""
     from .operators.multimodal import extract_media_features
 
     d = _t(spark, sf, "documents")
@@ -1279,7 +1390,18 @@ def q40(spark, sf):
         F.lit(None).cast("int").alias("height"),
         (F.length("text") * 100).cast("int").alias("duration_ms"),
     )
-    return extract_media_features(media, dim=8, use_fake=True)
+    feats = extract_media_features(media, dim=8, use_fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", k + 1).cast("double") * 1e6)
+            .cast("bigint")
+            .alias(f"f{k}_micro")
+            for k in range(8)
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1455,10 +1577,53 @@ def q47(spark, sf):
     )
 
 
-@_q("q48_ivf_topk")  # approximate (centroid assignment) → rows-only check
+@_q(
+    "q48_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+               AS centroid_id,
+             embedding AS cvec
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+    assigned AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(round(list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.cvec::DOUBLE[]) * 1e6)
+                          AS BIGINT) DESC,
+                          c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE r = 1),
+    probes AS (
+      SELECT query_id, qvec, list_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec,
+               c.centroid_id AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(round(list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.cvec::DOUBLE[]) * 1e6)
+                          AS BIGINT) DESC,
+                          c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10)
+      WHERE r <= 4),
+    joined AS (
+      SELECT p.query_id, a.vec_id,
+             CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               p.qvec::DOUBLE[]) * 1e6)
+                  AS BIGINT) AS cosine_micro
+      FROM assigned a JOIN probes p ON a.list_id = p.list_id)
+    SELECT query_id, vec_id, cosine_micro, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id) AS rnk
+          FROM joined)
+    WHERE rnk <= 5
+    """,
+)
 def q48(spark, sf):
-    """IVF-style ANN: deterministic coarse centroids (seeded pick of corpus
-    vectors), cluster assignment, query probes nprobe nearest lists."""
+    """IVF-style ANN — exact-oracled: centroids picked by md5(id) string
+    rank, assignment and ranking on micro-fixed-point cosine with
+    centroid_id/vec_id tiebreaks, all mirrored in the DuckDB SQL."""
     from .operators.similarity import ivf_topk
 
     e = _t(spark, sf, "embeddings")

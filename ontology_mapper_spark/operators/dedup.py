@@ -165,6 +165,65 @@ def simhash64(
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_hex(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash_hex: 16-hex-char string) — 64-bit SimHash whose token
+    hash family is md5 (reproducible in any engine, unlike xxhash64 — this
+    is the DuckDB-oracled variant; simhash64 stays the cheapest JVM path).
+
+    Bit b (0..63, MSB-first) comes from hex char b//4, bit 3-(b%4) of its
+    nibble. Per-bit majority votes run in ONE groupBy with map-side partial
+    aggregation, exactly like simhash64; the nibble decode is conv() on a
+    single hex char — all native Columns.
+    """
+    words = F.split(normalized_text_col(F.col(text_col)), " ")
+    tok = df.select(F.col(id_col), F.explode(words).alias("w")).where(F.length("w") > 0)
+    tok = tok.withColumn("h", F.md5(F.encode(F.col("w"), "utf-8")))
+    for i in range(16):
+        tok = tok.withColumn(
+            f"_n{i}", F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int")
+        )
+    aggs = [
+        F.sum(
+            F.when(
+                F.col(f"_n{b // 4}").bitwiseAND(F.lit(1 << (3 - b % 4))) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    votes = tok.groupBy(id_col).agg(*aggs)
+    chars = []
+    for i in range(16):
+        val = None
+        for k, wgt in zip(range(4), (8, 4, 2, 1)):
+            t = F.when(F.col(f"_v{4 * i + k}") > 0, F.lit(wgt)).otherwise(F.lit(0))
+            val = t if val is None else val + t
+        chars.append(F.lit("0123456789abcdef").substr(val + 1, F.lit(1)))
+    return votes.select(F.col(id_col), F.concat(*chars).alias("simhash_hex"))
+
+
+def simhash_hex_py(text: str) -> str:
+    """Pure-Python reference for simhash_hex (tests / independent oracle)."""
+    import hashlib
+    import re
+
+    words = [w for w in re.sub(r"\s+", " ", text).strip().lower().split(" ") if w]
+    votes = [0] * 64
+    for w in words:
+        h = hashlib.md5(w.encode()).hexdigest()
+        for b in range(64):
+            nib = int(h[b // 4], 16)
+            votes[b] += 1 if nib & (1 << (3 - b % 4)) else -1
+    out = []
+    for i in range(16):
+        val = sum(
+            wgt for k, wgt in zip(range(4), (8, 4, 2, 1)) if votes[4 * i + k] > 0
+        )
+        out.append("0123456789abcdef"[val])
+    return "".join(out)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

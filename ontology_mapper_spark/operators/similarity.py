@@ -67,24 +67,56 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_sign(vec, plane_id: int, dim: int):
-    """Sign of <v, h_plane> with pseudo-random ±1 hyperplane components
-    derived from xxhash64(plane, dim_index) — fully deterministic."""
-    comps = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.pmod(F.xxhash64(F.lit(plane_id), i), F.lit(2)) == 0, F.lit(1.0)
-        ).otherwise(F.lit(-1.0)),
+def plane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane components, md5-derived on the driver: component
+    (p, i) is +1 iff the first hex nibble of md5('p:i') is even. Computed
+    once in Python and embedded as literal arrays (no per-row hashing),
+    and reproducible verbatim by any oracle engine."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def micro_vec_col(vec):
+    """array<bigint> micro-fixed-point view of an embedding: one IEEE
+    multiply + round per component — identical in every engine, so sign
+    decisions downstream are exact integer arithmetic (no float-sum
+    ordering sensitivity)."""
+    return F.transform(
+        vec.cast("array<double>"), lambda x: F.round(x * 1e6).cast("bigint")
     )
-    return (_dot(vec.cast("array<double>"), comps) > 0).cast("int")
 
 
 def lsh_bucket_col(vec, dim: int, n_planes: int = 8):
-    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes))."""
+    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes)).
+
+    Sign of <v, h_p> computed as a SIGNED-INTEGER sum over the micro-fixed-
+    point vector with a literal ±1 plane array — exact, deterministic under
+    any parallelism, and bit-reproducible by the DuckDB oracle."""
+    mv = micro_vec_col(vec)
     bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec, p, dim)
+    for signs in plane_signs(n_planes, dim):
+        lit = F.array(*[F.lit(s).cast("bigint") for s in signs])
+        dot = F.aggregate(
+            F.zip_with(mv, lit, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket * 2 + (dot > 0).cast("int")
     return bucket
+
+
+def cosine_micro_col(a, b):
+    """round(cosine × 1e6) as bigint — the exact-hash-comparable ranking
+    key used by every top-k operator here (same convention as q29)."""
+    return F.round(cosine_cols(a, b) * 1e6).cast("bigint")
 
 
 def ivf_topk(
@@ -107,10 +139,11 @@ def ivf_topk(
     scale the scored set shrinks by ~n_centroids/nprobe versus
     brute-force while the centroid table stays broadcast-sized.
     """
-    # stable centroid ids: rank by the hash that selected them
+    # stable centroid ids: rank by the md5 hash that selected them (string
+    # min — portable to any engine, unlike xxhash64)
     cent = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
         .orderBy("_h")
         .limit(n_centroids)
         .select(
@@ -125,7 +158,7 @@ def ivf_topk(
     def nearest(df: DataFrame, key: str, vec: str, n: int, out: str) -> DataFrame:
         scored = df.crossJoin(cent_b).withColumn(
             "_csim",
-            cosine_cols(
+            cosine_micro_col(
                 F.col(vec).cast("array<double>"), F.col("_cvec").cast("array<double>")
             ),
         )
@@ -142,18 +175,21 @@ def ivf_topk(
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     probes = nearest(q, query_id_col, "_qvec", nprobe, "list_id")
 
+    # each corpus vector lives in exactly one list, so the probe join can
+    # never duplicate a (query, vec) pair — no dedup needed
     joined = assigned.join(F.broadcast(probes), "list_id").withColumn(
-        "cosine",
-        cosine_cols(
+        "cosine_micro",
+        cosine_micro_col(
             F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_micro").desc(), F.col(id_col)
+    )
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-        .dropDuplicates([query_id_col, id_col])
+        .select(query_id_col, id_col, "cosine_micro", "rank")
     )
 
 
@@ -178,14 +214,16 @@ def lsh_bucketed_topk(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     ).withColumn("_bucket", lsh_bucket_col(F.col("_qvec"), dim, n_planes))
     joined = cb.join(F.broadcast(qb), "_bucket").withColumn(
-        "cosine",
-        cosine_cols(
+        "cosine_micro",
+        cosine_micro_col(
             F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_micro").desc(), F.col(id_col)
+    )
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        .select(query_id_col, id_col, "cosine_micro", "rank")
     )

@@ -173,6 +173,20 @@ def test_simhash_properties(spark):
     assert all(isinstance(v, int) for v in out.values())
 
 
+def test_simhash_hex_matches_python_reference(spark):
+    from ontology_mapper_spark.operators.dedup import simhash_hex, simhash_hex_py
+
+    rows = [
+        (1, "alpha  Beta gamma gamma"),
+        (2, "the quick brown fox jumps over lazy dog"),
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.simhash_hex for r in simhash_hex(df).collect()}
+    for i, text in rows:
+        assert got[i] == simhash_hex_py(text), i
+
+
 def test_media_features_fake_decode(spark):
     payloads = [(1, "image", b"abcdef"), (2, "video", b"\x00\x01\x02")]
     from ontology_mapper_spark.operators.multimodal import MEDIA_SCHEMA
