@@ -33,7 +33,12 @@ from ..functions.align import alignment_predicate_col, alignment_type_col
 
 
 def jaro_winkler(s1: str, s2: str) -> float:
-    """Plain Jaro-Winkler similarity in [0,1] (public textbook algorithm)."""
+    """Jaro-Winkler similarity in [0,1] (public textbook algorithm), using
+    the standard production conventions — mismatched positions integer-
+    halved into transpositions, and the Winkler prefix boost applied only
+    above the classic 0.7 threshold — so the result is bit-identical to
+    independent implementations (DuckDB's jaro_winkler_similarity,
+    RapidFuzz); parity is property-tested in tests/test_kg_fixture_oracle.py."""
     if s1 == s2:
         return 1.0
     len1, len2 = len(s1), len(s2)
@@ -55,18 +60,21 @@ def jaro_winkler(s1: str, s2: str) -> float:
                 break
     if not matches:
         return 0.0
-    transpositions = 0
+    mismatched = 0
     k = 0
     for i in range(len1):
         if m1[i]:
             while not m2[k]:
                 k += 1
             if s1[i] != s2[k]:
-                transpositions += 1
+                mismatched += 1
             k += 1
+    transpositions = mismatched // 2
     jaro = (
-        matches / len1 + matches / len2 + (matches - transpositions / 2) / matches
+        matches / len1 + matches / len2 + (matches - transpositions) / matches
     ) / 3
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for a, b in zip(s1, s2):
         if a != b or prefix == 4:
