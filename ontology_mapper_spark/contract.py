@@ -787,7 +787,9 @@ def q26(spark, sf):
       WHERE lead_w IS NOT NULL),
     kept AS (
       SELECT g.doc_id, g.sh FROM grams g
-      JOIN (SELECT sh FROM grams GROUP BY sh HAVING count(*) <= 100) s
+      JOIN (SELECT sh FROM grams GROUP BY sh
+            HAVING count(*) <= ceil(0.2 * (SELECT count(DISTINCT doc_id)
+                                           FROM documents))) s
         ON g.sh = s.sh),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
     common AS (
@@ -803,10 +805,11 @@ def q26(spark, sf):
 )
 def q27(spark, sf):
     """Exact bigram-Jaccard near-dup via inverted index with the
-    stop-shingle cap (max_df) that bounds hot-key blowup at scale."""
+    FRACTIONAL stop-shingle cap (max_df_frac — rescales with corpus size,
+    so the hot-key bound survives a 100× growth without re-tuning)."""
     d = _t(spark, sf, "documents")
     out = ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=2, threshold=0.10, max_df=100
+        d, "text", "doc_id", shingle_n=2, threshold=0.10, max_df_frac=0.2
     )
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b")
 
@@ -1553,9 +1556,10 @@ def q44(spark, sf):
 )
 def q45(spark, sf):
     """A2 comparator summary counts (common/only/mismatch — the inputs to
-    the reference's discrepancy messages, services/comparator.py:57-69),
-    built on the compare_sources operator."""
-    from .operators.comparator import compare_sources
+    the reference's discrepancy messages, services/comparator.py:57-69) as
+    ONE job: full-outer join + a single conditional aggregation (the
+    comparison_counts operator), not six driver-side actions."""
+    from .operators.comparator import comparison_counts
 
     p = _t(spark, sf, "part")
     bp = (
@@ -1568,21 +1572,7 @@ def q45(spark, sf):
         .groupBy(F.lower("p_type").alias("label"))
         .agg(F.min("p_partkey").alias("uri"))
     )
-    cmp_ = compare_sources(bp, ols)
-    common = cmp_["common"].persist()
-    return (
-        spark.range(1)
-        .select(
-            F.lit(bp.count()).alias("bioportal_count"),
-            F.lit(ols.count()).alias("ols_count"),
-            F.lit(common.count()).alias("common_count"),
-            F.lit(cmp_["bp_only"].count()).alias("bp_only_count"),
-            F.lit(cmp_["ols_only"].count()).alias("ols_only_count"),
-            F.lit(common.where(~F.col("uri_match")).count()).alias(
-                "uri_mismatch_count"
-            ),
-        )
-    )
+    return comparison_counts(bp, ols)
 
 
 @_q(

@@ -57,6 +57,41 @@ def compare_sources(
     return {"common": common, "bp_only": bp_only, "ols_only": ols_only}
 
 
+def comparison_counts(
+    bp: DataFrame,
+    ols: DataFrame,
+    label_col: str = "label",
+    uri_col: str = "uri",
+) -> DataFrame:
+    """One-row summary (bioportal/ols/common/bp_only/ols_only/uri_mismatch
+    counts) in a SINGLE job: full-outer join on the label key + one
+    conditional aggregation — equivalent to counting compare_sources' three
+    outputs but without six separate driver actions. Inputs must already be
+    unique per label (as the reference's label-keyed dicts are)."""
+    b = bp.select(
+        F.lower(F.col(label_col)).alias("label_key"),
+        F.col(uri_col).alias("_bp_uri"),
+    )
+    o = ols.select(
+        F.lower(F.col(label_col)).alias("label_key"),
+        F.col(uri_col).alias("_ols_uri"),
+    )
+    j = b.join(o, "label_key", "full_outer")
+    one = lambda c: F.coalesce(F.sum(F.when(c, 1)), F.lit(0))  # noqa: E731
+    has_bp = F.col("_bp_uri").isNotNull()
+    has_ols = F.col("_ols_uri").isNotNull()
+    return j.agg(
+        one(has_bp).alias("bioportal_count"),
+        one(has_ols).alias("ols_count"),
+        one(has_bp & has_ols).alias("common_count"),
+        one(has_bp & ~has_ols).alias("bp_only_count"),
+        one(has_ols & ~has_bp).alias("ols_only_count"),
+        one(has_bp & has_ols & (F.col("_bp_uri") != F.col("_ols_uri"))).alias(
+            "uri_mismatch_count"
+        ),
+    )
+
+
 def comparison_report(
     bp: DataFrame,
     ols: DataFrame,

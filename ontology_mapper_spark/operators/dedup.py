@@ -231,6 +231,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted index (not all-pairs):
     explode shingles → self-join on shingle → count common → Jaccard with
@@ -238,23 +239,34 @@ def ngram_jaccard_pairs(
 
     Scale control: the self-join on the shingle key is quadratic in each
     shingle's document frequency, so ubiquitous shingles (boilerplate)
-    dominate cost. `max_df` drops shingles present in more than that many
-    docs BEFORE sizes/joins — the standard stop-shingle cap; similarity is
-    then "Jaccard over discriminative shingles", which is what near-dup
-    detection wants anyway (deterministic, oracle-reproducible).
+    dominate cost. The stop-shingle cap drops shingles present in more
+    than `max_df` docs (absolute) or `ceil(max_df_frac × corpus_size)`
+    docs (fractional — the form that survives a 100× corpus growth without
+    re-tuning; the absolute form exists for fixture-sized tests) BEFORE
+    sizes/joins; similarity is then "Jaccard over discriminative
+    shingles", which is what near-dup detection wants anyway
+    (deterministic, oracle-reproducible). The fractional corpus size is a
+    broadcast 1-row aggregate inside the same plan — no driver action.
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
-    if max_df is not None:
+    if max_df_frac is not None:
+        cap = F.ceil(F.col("_n_docs") * F.lit(max_df_frac))
+        sh = sh.crossJoin(
+            F.broadcast(df.agg(F.countDistinct(id_col).alias("_n_docs")))
+        )
+    elif max_df is not None:
+        cap = F.lit(max_df)
+    if max_df is not None or max_df_frac is not None:
         # document frequency as a window count: ONE shuffle on sh (which the
         # common-join below reuses via the same partitioning), no second
         # scan of the exploded shingles, no join
         w_df = Window.partitionBy("sh")
         sh = (
             sh.withColumn("_df", F.count("*").over(w_df))
-            .where(F.col("_df") <= max_df)
-            .drop("_df")
+            .where(F.col("_df") <= cap)
+            .drop("_df", *(["_n_docs"] if max_df_frac is not None else []))
         )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

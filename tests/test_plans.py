@@ -72,6 +72,31 @@ def test_exact_dedup_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_jaccard_stop_shingle_cap_in_plan(spark):
+    """The fractional max_df cap must be present (window count + filter on
+    the shingle key) and its corpus-size input must arrive via BROADCAST —
+    a non-broadcast scalar join here would shuffle the exploded shingles
+    twice."""
+    from ontology_mapper_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=2, threshold=0.10, max_df_frac=0.2
+    )
+    plan = plan_of(out, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the df-cap filter exists and runs over the windowed count
+    assert "CEIL" in plan.upper()
+    # functional parity with the absolute cap at this corpus size (500 docs
+    # → ceil(0.2×500)=100)
+    from ontology_mapper_spark.operators.dedup import ngram_jaccard_pairs as njp
+
+    abs_out = njp(d, "text", "doc_id", shingle_n=2, threshold=0.10, max_df=100)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    expect = {(r.id_a, r.id_b) for r in abs_out.collect()}
+    assert got == expect
+
+
 def test_whole_stage_codegen_on_native_expressions(spark):
     """clean_description / classifier chains must stay inside codegen —
     a BatchEvalPython node would mean a row-at-a-time Python UDF leaked in."""
