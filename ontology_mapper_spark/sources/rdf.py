@@ -102,6 +102,28 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     ).withColumn("_corrupt", F.col("subj").isNull())
 
 
+def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Format-dispatched RDF read (core/parser.py:61-133 analogue).
+
+    N-Triples scans distributed (line = statement); Turtle/N3 parse on the
+    driver through the vendored subset grammar (sources/turtle.py) exactly
+    as the reference's rdflib load is whole-document in-memory. The block
+    formats with no parser here (RDF/XML, JSON-LD, TriG) fail with a clear
+    error instead of silently mis-parsing.
+    """
+    fmt = fmt or detect_format(path)
+    if fmt == "nt":
+        return read_ntriples(spark, path)
+    if fmt in ("turtle", "n3"):
+        from .turtle import read_turtle
+
+        return read_turtle(spark, path)
+    raise NotImplementedError(
+        f"RDF format {fmt!r} has no parser in this environment "
+        "(supported: nt distributed; turtle/n3 driver-side)"
+    )
+
+
 def read_selections_json(spark: SparkSession, path: str) -> DataFrame:
     """S5: batch selections {concept_key: [alignment...]} → one row per
     (concept_key, alignment) — the explode that replaces the reference's
