@@ -35,12 +35,15 @@ def connected_components(
     src: str = "src_iri",
     dst: str = "dst_iri",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable; deterministic.
 
     `edges` is any DataFrame with two string node columns. Isolated nodes
     (absent from edges) are the caller's concern: union their identity rows
-    afterwards if needed.
+    afterwards if needed. Pass a dict as `stats` to receive
+    {'iterations': k} (the number of propagate+jump rounds executed,
+    including the final no-change round that proves convergence).
     """
     spark = edges.sparkSession
     sym = (
@@ -105,7 +108,9 @@ def connected_components(
         return row["s"]
 
     prev_sig = signature(labels)
+    iterations = 0
     for _ in range(max_iter):
+        iterations += 1
         # propagate: each node takes min(own, neighbors' labels).
         # All joins below use NAME-based keys over fresh projections —
         # df["col"] attribute references captured across checkpoint
@@ -156,6 +161,8 @@ def connected_components(
         if new_sig == prev_sig:
             break
         prev_sig = new_sig
+    if stats is not None:
+        stats["iterations"] = iterations
     return labels
 
 
