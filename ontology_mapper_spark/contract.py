@@ -788,8 +788,9 @@ def q26(spark, sf):
     kept AS (
       SELECT g.doc_id, g.sh FROM grams g
       JOIN (SELECT sh FROM grams GROUP BY sh
-            HAVING count(*) <= ceil(0.2 * (SELECT count(DISTINCT doc_id)
-                                           FROM documents))) s
+            HAVING count(*) <= least(200,
+                     ceil(0.2 * (SELECT count(DISTINCT doc_id)
+                                 FROM documents)))) s
         ON g.sh = s.sh),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
     common AS (
@@ -804,12 +805,14 @@ def q26(spark, sf):
     """,
 )
 def q27(spark, sf):
-    """Exact bigram-Jaccard near-dup via inverted index with the
-    FRACTIONAL stop-shingle cap (max_df_frac — rescales with corpus size,
-    so the hot-key bound survives a 100× growth without re-tuning)."""
+    """Exact bigram-Jaccard near-dup via inverted index with the composed
+    stop-shingle cap: fractional (0.2 — 'too common' rescales with corpus
+    size) bounded by an absolute ceiling (200 — keeps each shingle's
+    quadratic join contribution constant as the corpus grows)."""
     d = _t(spark, sf, "documents")
     out = ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=2, threshold=0.10, max_df_frac=0.2
+        d, "text", "doc_id", shingle_n=2, threshold=0.10,
+        max_df=200, max_df_frac=0.2,
     )
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b")
 

@@ -240,19 +240,28 @@ def ngram_jaccard_pairs(
     Scale control: the self-join on the shingle key is quadratic in each
     shingle's document frequency, so ubiquitous shingles (boilerplate)
     dominate cost. The stop-shingle cap drops shingles present in more
-    than `max_df` docs (absolute) or `ceil(max_df_frac × corpus_size)`
-    docs (fractional — the form that survives a 100× corpus growth without
-    re-tuning; the absolute form exists for fixture-sized tests) BEFORE
-    sizes/joins; similarity is then "Jaccard over discriminative
-    shingles", which is what near-dup detection wants anyway
-    (deterministic, oracle-reproducible). The fractional corpus size is a
-    broadcast 1-row aggregate inside the same plan — no driver action.
+    than cap docs BEFORE sizes/joins; similarity is then "Jaccard over
+    discriminative shingles", which is what near-dup detection wants
+    anyway (deterministic, oracle-reproducible). Two knobs that COMPOSE:
+
+    * `max_df_frac` — stopword semantics: cap = ceil(frac × corpus size),
+      so what counts as "too common" rescales with corpus growth (the
+      corpus size is a broadcast 1-row aggregate inside the plan, no
+      driver action);
+    * `max_df` — the absolute COST ceiling: each surviving shingle
+      contributes ≤ df² join pairs, so an absolute bound keeps the
+      quadratic term linear in corpus size regardless of the fraction.
+
+    When both are given the cap is least(absolute, fractional) — fraction
+    governs small corpora, the ceiling governs large ones.
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
     if max_df_frac is not None:
         cap = F.ceil(F.col("_n_docs") * F.lit(max_df_frac))
+        if max_df is not None:
+            cap = F.least(cap, F.lit(max_df).cast("bigint"))
         sh = sh.crossJoin(
             F.broadcast(df.agg(F.countDistinct(id_col).alias("_n_docs")))
         )
