@@ -37,6 +37,38 @@ class CacheConfig:
     cache_dir: str = ".omx_cache"
     max_size_mb: float = 100.0  # cache_config.py:23
 
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "CacheConfig":
+        """S9 env/config source: the reference's exact variable names and
+        parsing rules (cache/cache_config.py:12-26 — case-insensitive
+        'true' booleans, int-parsed TTL/size). `env` defaults to
+        os.environ; injectable for tests."""
+        e = os.environ if env is None else env
+        return cls(
+            enabled=e.get("CACHE_ENABLED", "true").lower() == "true",
+            ttl_seconds=float(int(e.get("CACHE_TTL", "86400"))),
+            persistent=e.get("CACHE_PERSISTENT", "false").lower() == "true",
+            cache_dir=e.get("CACHE_DIR", ".omx_cache"),
+            max_size_mb=float(int(e.get("CACHE_MAX_SIZE_MB", "100"))),
+        )
+
+    @classmethod
+    def from_env_file(cls, path: str) -> "CacheConfig":
+        """Minimal .env loader (KEY=VALUE lines, '#' comments, optional
+        surrounding quotes) feeding the same parsing as from_env."""
+        env: dict[str, str] = {}
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, _, v = line.partition("=")
+                v = v.strip()
+                if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+                    v = v[1:-1]
+                env[k.strip()] = v
+        return cls.from_env(env)
+
 
 @dataclass
 class QueryCache:

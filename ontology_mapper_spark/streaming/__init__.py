@@ -1,7 +1,13 @@
-from .detect import read_transcript_stream, stream_detect_mentions, windowed_mention_counts
+from .detect import (
+    read_transcript_stream,
+    stream_detect_mentions,
+    stream_link_mentions,
+    windowed_mention_counts,
+)
 
 __all__ = [
     "read_transcript_stream",
     "stream_detect_mentions",
+    "stream_link_mentions",
     "windowed_mention_counts",
 ]

@@ -47,6 +47,22 @@ def stream_detect_mentions(
     return detect_mentions(spark, with_ts, patterns, carry_cols=("ts",))
 
 
+def stream_link_mentions(
+    spark: SparkSession, stream: DataFrame, terms: DataFrame
+) -> DataFrame:
+    """Streaming link stage: the detected mention stream joined to the
+    broadcast rank_dictionary decision table — a stateless stream-static
+    broadcast join, so exactly the batch per-turn path (map-only, zero
+    stream-side shuffle, no state store) running continuously. ts is
+    carried through for downstream watermarking."""
+    from ..pipeline.link_score import rank_dictionary
+    from ..pipeline.mention_detect import build_dictionary
+
+    mentions = stream_detect_mentions(spark, stream, build_dictionary(terms))
+    ranked = F.broadcast(rank_dictionary(spark, terms, idf=None))
+    return mentions.join(ranked, "pattern", "inner")
+
+
 def windowed_mention_counts(
     spark: SparkSession,
     stream: DataFrame,

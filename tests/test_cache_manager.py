@@ -95,3 +95,27 @@ def test_stats_and_hit_rate():
     s = q.get_stats()
     assert s["hits"] == 1 and s["misses"] == 1 and s["sets"] == 1
     assert s["hit_rate_percent"] == 50.0
+
+
+def test_cache_config_from_env_and_file(tmp_path):
+    from ontology_mapper_spark.cache.manager import CacheConfig
+
+    cfg = CacheConfig.from_env(
+        {"CACHE_ENABLED": "False", "CACHE_TTL": "60",
+         "CACHE_PERSISTENT": "TRUE", "CACHE_DIR": "/tmp/x",
+         "CACHE_MAX_SIZE_MB": "5"}
+    )
+    assert cfg.enabled is False and cfg.ttl_seconds == 60.0
+    assert cfg.persistent is True and cfg.cache_dir == "/tmp/x"
+    assert cfg.max_size_mb == 5.0
+    # defaults when unset (reference cache_config.py defaults)
+    d = CacheConfig.from_env({})
+    assert d.enabled is True and d.ttl_seconds == 86_400.0
+
+    envf = tmp_path / "cache.env"
+    envf.write_text(
+        "# comment\nCACHE_TTL=120\nCACHE_DIR='/tmp/q'\n\nBROKEN LINE\n"
+        'CACHE_ENABLED="true"\n'
+    )
+    f = CacheConfig.from_env_file(str(envf))
+    assert f.ttl_seconds == 120.0 and f.cache_dir == "/tmp/q" and f.enabled

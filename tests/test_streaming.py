@@ -48,6 +48,37 @@ def test_stream_detect_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_stream_link_matches_batch(spark, tmp_path):
+    """Streaming link stage == batch link_mentions on the same data, and
+    the event-time column survives for downstream watermarking."""
+    from ontology_mapper_spark.datagen import build_snapshot
+    from ontology_mapper_spark.pipeline import build_dictionary, link_mentions
+    from ontology_mapper_spark.streaming import stream_link_mentions
+
+    src, tr = _write_input(spark, tmp_path, n_convs=20)
+    terms, _ = build_snapshot(spark, n_terms=30, seed=1)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    links = stream_link_mentions(spark, stream, terms)
+    assert links.isStreaming and "ts" in links.columns
+    q = (
+        links.writeStream.format("memory")
+        .queryName("l_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.turn_idx, r.begin, r.end, r.pattern, r.class_iri, r.rank)
+        for r in spark.sql("select * from l_stream").collect()
+    }
+    batch_m = detect_mentions(spark, tr, build_dictionary(terms))
+    batch = {
+        (r.conv_id, r.turn_idx, r.begin, r.end, r.pattern, r.class_iri, r.rank)
+        for r in link_mentions(spark, batch_m, terms, idf=None).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     src, tr = _write_input(spark, tmp_path)
     stream = read_transcript_stream(spark, src)
