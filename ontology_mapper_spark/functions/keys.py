@@ -35,6 +35,20 @@ def curie_to_iri_col(curie: Column) -> Column:
     return F.when(curie.contains(":"), F.concat(base, local)).otherwise(curie)
 
 
+def ontology_acronym_col(links: Column) -> Column:
+    """P6: ontology acronym from an array of API link strings — the FIRST
+    link containing '/ontologies/' wins (the reference's loop-break,
+    services/bioportal.py:73-77), and within it the segment after the LAST
+    '/ontologies/' up to the next '/' (split('/ontologies/')[-1]
+    .split('/')[0]). '' when no link qualifies."""
+    first = F.element_at(
+        F.filter(links, lambda x: x.contains("/ontologies/")), 1
+    )
+    return F.coalesce(
+        F.regexp_extract(first, r".*/ontologies/([^/]*)", 1), F.lit("")
+    )
+
+
 def uri_fragment_col(uri: Column) -> Column:
     """str(uri).split('#')[-1] — core/parser.py:113,120-121."""
     return F.substring_index(uri, "#", -1)

@@ -193,6 +193,48 @@ def ivf_topk(
     )
 
 
+def exact_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 100_000,
+    allow_large: bool = False,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (id_a, id_b, cosine_micro ≥ thr).
+
+    This is the ORACLE/baseline form: the a.id < b.id join is O(N²) and
+    must never run on a production corpus — the guard refuses above
+    `max_rows` (cheap: a limit(N+1).count()) unless `allow_large=True` is
+    passed explicitly. Scale paths: lsh_bucketed_topk / ivf_topk /
+    minhash_band_pairs.
+    """
+    if not allow_large:
+        n = corpus.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"exact_neardup_pairs is O(N²) and corpus has >{max_rows} "
+                "rows; use lsh_bucketed_topk/ivf_topk, or pass "
+                "allow_large=True if you really mean it"
+            )
+    e = corpus.select(F.col(id_col), F.col(vec_col))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_cols(
+        F.col(f"a.{vec_col}").cast("array<double>"),
+        F.col(f"b.{vec_col}").cast("array<double>"),
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(cos >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos * 1e6).cast("bigint").alias("cosine_micro"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

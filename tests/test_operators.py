@@ -187,6 +187,22 @@ def test_simhash_hex_matches_python_reference(spark):
         assert got[i] == simhash_hex_py(text), i
 
 
+def test_exact_neardup_guard_refuses_large_corpus(spark):
+    import pytest
+
+    from ontology_mapper_spark.operators.similarity import exact_neardup_pairs
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(N²\\)|allow_large"):
+        exact_neardup_pairs(df, threshold=0.5, max_rows=10)
+    # explicit override works, and micro values are deterministic
+    out = exact_neardup_pairs(df, threshold=0.99, max_rows=10, allow_large=True)
+    assert out.count() > 0
+
+
 def test_media_features_fake_decode(spark):
     payloads = [(1, "image", b"abcdef"), (2, "video", b"\x00\x01\x02")]
     from ontology_mapper_spark.operators.multimodal import MEDIA_SCHEMA
