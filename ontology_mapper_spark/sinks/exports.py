@@ -161,12 +161,9 @@ TURTLE_PREFIXES = {
 }
 
 
-def to_turtle_lines(triples: DataFrame) -> DataFrame:
-    """(line) — Turtle statements using the prefix table where the
-    predicate is a known CURIE (data rows only; the @prefix header comes
-    from `turtle_header`). Every N-Triples statement is valid Turtle, so
-    non-prefixed terms fall back to <IRI> form — line-oriented, hence
-    cluster-writable, unlike pretty-printed block Turtle."""
+def _turtle_stmt_col() -> Column:
+    """One Turtle statement as a Column over (subj, pred, obj, obj_type,
+    lang) — predicates kept as CURIEs where known, <IRI> fallback."""
     pred = F.when(
         F.col("pred").rlike(r"^(skos|dcterms|rdfs|rdf|owl|prov):"), F.col("pred")
     ).otherwise(F.concat(F.lit("<"), expand_curie_col(F.col("pred")), F.lit(">")))
@@ -179,7 +176,16 @@ def to_turtle_lines(triples: DataFrame) -> DataFrame:
     ).otherwise(
         F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"'), lang_suffix)
     )
-    return triples.select(F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("line"))
+    return F.concat_ws(" ", subj, pred, obj, F.lit("."))
+
+
+def to_turtle_lines(triples: DataFrame) -> DataFrame:
+    """(line) — Turtle statements using the prefix table where the
+    predicate is a known CURIE (data rows only; the @prefix header comes
+    from `turtle_header`). Every N-Triples statement is valid Turtle, so
+    non-prefixed terms fall back to <IRI> form — line-oriented, hence
+    cluster-writable, unlike pretty-printed block Turtle."""
+    return triples.select(_turtle_stmt_col().alias("line"))
 
 
 def turtle_header() -> str:
@@ -196,6 +202,42 @@ def write_turtle(triples: DataFrame, path: str) -> None:
 
     to_turtle_lines(triples).write.mode("overwrite").text(path)
     with open(os.path.join(path, "_header.ttl"), "w") as fh:
+        fh.write(turtle_header() + "\n")
+
+
+def to_trig_lines(
+    triples: DataFrame,
+    graph_iri: str | None = None,
+    graph_col: str | None = None,
+) -> DataFrame:
+    """(line) — TriG, one `<graph> { statement }` block per row. The TriG
+    grammar merges repeated same-label blocks, so a block-per-statement
+    layout is spec-valid AND line-oriented — i.e. cluster-writable, unlike
+    pretty-printed grouped TriG. Statements without a graph (graph_iri
+    None / NULL graph_col) emit as plain default-graph Turtle lines."""
+    stmt = _turtle_stmt_col()
+    if graph_col is not None:
+        line = F.when(
+            F.col(graph_col).isNotNull(),
+            F.concat(F.lit("<"), F.col(graph_col), F.lit("> { "), stmt, F.lit(" }")),
+        ).otherwise(stmt)
+        return triples.select(line.alias("line"))
+    if graph_iri:
+        return triples.select(
+            F.concat(F.lit(f"<{graph_iri}> {{ "), stmt, F.lit(" }")).alias("line")
+        )
+    return triples.select(stmt.alias("line"))
+
+
+def write_trig(
+    triples: DataFrame, path: str, graph_iri: str | None = None
+) -> None:
+    """Data lines distributed + the @prefix header in a '_header.trig'
+    sidecar (same contract as write_turtle)."""
+    import os
+
+    to_trig_lines(triples, graph_iri=graph_iri).write.mode("overwrite").text(path)
+    with open(os.path.join(path, "_header.trig"), "w") as fh:
         fh.write(turtle_header() + "\n")
 
 

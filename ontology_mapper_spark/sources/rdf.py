@@ -51,6 +51,13 @@ _NT_RE = (
     r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<[^>]*>)?)\s*\.\s*$'
 )
 
+# N-Quads: the same statement with an optional graph IRI as 4th term.
+_NQ_RE = (
+    r'^\s*<([^>]*)>\s+<([^>]*)>\s+'
+    r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<[^>]*>)?)'
+    r'(?:\s+<([^>]*)>)?\s*\.\s*$'
+)
+
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """Distributed N-Triples scan → (subj, pred, obj, obj_type, lang).
@@ -102,6 +109,50 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     ).withColumn("_corrupt", F.col("subj").isNull())
 
 
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed N-Quads scan → (subj, pred, obj, obj_type, lang, graph).
+
+    Same split-parallel line scan as read_ntriples; the optional 4th term
+    lands in `graph` (NULL for default-graph statements, so every valid
+    N-Triples file also reads as N-Quads)."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.col("value"),
+        F.regexp_extract("value", _NQ_RE, 1).alias("s"),
+        F.regexp_extract("value", _NQ_RE, 2).alias("p"),
+        F.regexp_extract("value", _NQ_RE, 3).alias("o_uri"),
+        F.regexp_extract("value", _NQ_RE, 4).alias("o_lit"),
+        F.regexp_extract("value", _NQ_RE, 5).alias("o_lang"),
+        F.regexp_extract("value", _NQ_RE, 6).alias("g"),
+    )
+    content = parsed.where(
+        (F.trim("value") != "") & ~F.trim(F.col("value")).startswith("#")
+    )
+
+    def unescape(c):
+        out = F.regexp_replace(c, r"\\\\", "\x00")
+        out = F.regexp_replace(out, r"\\t", "\t")
+        out = F.regexp_replace(out, r"\\r", "\r")
+        out = F.regexp_replace(out, r"\\n", "\n")
+        out = F.regexp_replace(out, r'\\"', '"')
+        out = F.regexp_replace(out, "\x00", "\\\\")
+        return out
+
+    return content.select(
+        F.when(F.col("s") != "", F.col("s")).alias("subj"),
+        F.when(F.col("p") != "", F.col("p")).alias("pred"),
+        F.when(F.col("o_uri") != "", F.col("o_uri"))
+        .otherwise(unescape(F.col("o_lit")))
+        .alias("obj"),
+        F.when(F.col("o_uri") != "", F.lit("uri")).otherwise(F.lit("literal")).alias(
+            "obj_type"
+        ),
+        F.when(F.col("o_lang") != "", F.col("o_lang")).alias("lang"),
+        F.when(F.col("g") != "", F.col("g")).alias("graph"),
+        F.col("value").alias("_raw"),
+    ).withColumn("_corrupt", F.col("subj").isNull())
+
+
 def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Format-dispatched RDF read (core/parser.py:61-133 analogue).
 
@@ -114,13 +165,28 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     fmt = fmt or detect_format(path)
     if fmt == "nt":
         return read_ntriples(spark, path)
+    if fmt == "nquads":
+        return read_nquads(spark, path)
     if fmt in ("turtle", "n3"):
         from .turtle import read_turtle
 
         return read_turtle(spark, path)
+    if fmt == "trig":
+        from .turtle import read_trig
+
+        return read_trig(spark, path)
+    if fmt == "xml":
+        from .rdfxml import read_rdfxml
+
+        return read_rdfxml(spark, path)
+    if fmt == "json-ld":
+        from .jsonld import read_jsonld
+
+        return read_jsonld(spark, path)
     raise NotImplementedError(
-        f"RDF format {fmt!r} has no parser in this environment "
-        "(supported: nt distributed; turtle/n3 driver-side)"
+        f"RDF format {fmt!r} has no parser "
+        "(supported: nt/nquads distributed; turtle/n3/trig/xml/json-ld "
+        "driver-side)"
     )
 
 

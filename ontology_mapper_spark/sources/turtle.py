@@ -129,7 +129,7 @@ class _Tokenizer:
             raw = re.sub(r"\\u([0-9A-Fa-f]{4})", lambda m: chr(int(m.group(1), 16)), raw)
             raw = re.sub(r"\\U([0-9A-Fa-f]{8})", lambda m: chr(int(m.group(1), 16)), raw)
             return ("iri", raw)
-        if ch in ".;,[]()":
+        if ch in ".;,[](){}":
             self.i += 1
             return ("punct", ch)
         if ch in "\"'":
@@ -160,7 +160,9 @@ class _Tokenizer:
         start = self.i
         if m and ":" not in t[self.i : self.i + m.end()] and t[self.i + m.end() : self.i + m.end() + 1] != ":":
             word = m.group(0)
-            if word in ("a", "true", "false") or word.upper() in ("PREFIX", "BASE"):
+            if word in ("a", "true", "false") or word.upper() in (
+                "PREFIX", "BASE", "GRAPH",
+            ):
                 self.i += m.end()
                 return ("kw", word)
         pm = self._PNAME_RE.match(t, self.i)
@@ -182,6 +184,7 @@ class _Parser:
         self.tz = _Tokenizer(text)
         self.prefixes: dict[str, str] = {}
         self.base = ""
+        self.graph: str | None = None  # TriG graph context; None = default
         self.triples: list[tuple] = []
         self._bnode_seq = 0
         self._pushback: list[tuple] = []
@@ -223,10 +226,42 @@ class _Parser:
             ):
                 self._directive(val)
                 continue
+            # TriG: GRAPH <label> { ... }
+            if kind == "kw" and val.upper() == "GRAPH":
+                label = self._node(as_subject=True)
+                self._expect_punct("{")
+                self._graph_block(label[0])
+                continue
             self._push(tok)
             subj = self._node(as_subject=True)
+            nxt = self._next()
+            # TriG shorthand: <label> { ... } (no GRAPH keyword)
+            if nxt == ("punct", "{"):
+                self._graph_block(subj[0])
+                continue
+            self._push(nxt)
             self._predicate_object_list(subj[0])
             self._expect_punct(".")
+
+    def _graph_block(self, graph: str) -> None:
+        prev = self.graph
+        self.graph = graph
+        while True:
+            tok = self._next()
+            if tok == ("punct", "}"):
+                break
+            if tok is None:
+                raise TurtleSyntaxError("unterminated graph block")
+            self._push(tok)
+            s = self._node(as_subject=True)
+            self._predicate_object_list(s[0])
+            tok = self._next()
+            if tok == ("punct", "."):
+                continue
+            if tok == ("punct", "}"):
+                break
+            raise TurtleSyntaxError(f"expected '.' or '}}' in graph, got {tok}")
+        self.graph = prev
 
     def _directive(self, kw: str) -> None:
         sparql = not kw.startswith("@")
@@ -316,10 +351,10 @@ class _Parser:
         head = self._fresh_bnode()
         cur = head
         for k, (val, typ, lang, dt) in enumerate(items):
-            self.triples.append((cur, RDF_FIRST, val, typ, lang, dt))
+            self.triples.append((cur, RDF_FIRST, val, typ, lang, dt, self.graph))
             nxt = self._fresh_bnode() if k + 1 < len(items) else RDF_NIL
             nxt_t = "bnode" if k + 1 < len(items) else "uri"
-            self.triples.append((cur, RDF_REST, nxt, nxt_t, None, None))
+            self.triples.append((cur, RDF_REST, nxt, nxt_t, None, None, self.graph))
             cur = nxt
         return head
 
@@ -338,7 +373,7 @@ class _Parser:
                 raise TurtleSyntaxError(f"predicate expected, got {tok}")
             while True:
                 val, typ, lang, dt = self._node()
-                self.triples.append((subj, pred, val, typ, lang, dt))
+                self.triples.append((subj, pred, val, typ, lang, dt, self.graph))
                 nxt = self._next()
                 if nxt == ("punct", ","):
                     continue
@@ -361,19 +396,25 @@ def _is_abs(iri: str) -> bool:
 
 def parse_turtle(text: str) -> list[tuple]:
     """text → [(subj, pred, obj, obj_type, lang, datatype)]."""
+    return [t[:6] for t in _Parser(text).parse()]
+
+
+def parse_trig(text: str) -> list[tuple]:
+    """TriG text → [(subj, pred, obj, obj_type, lang, datatype, graph)] —
+    the Turtle grammar plus GRAPH/label blocks; `graph` is NULL for
+    default-graph statements, so every Turtle document is also valid
+    TriG input."""
     return _Parser(text).parse()
 
 
 TURTLE_SCHEMA = "subj string, pred string, obj string, obj_type string, lang string, datatype string"
+TRIG_SCHEMA = TURTLE_SCHEMA + ", graph string"
 
 
-def read_turtle(spark: SparkSession, path: str) -> DataFrame:
-    """Parse a .ttl file — or a directory written by sinks.write_turtle
-    (``_header.ttl`` sidecar + part files) — into the engine's triple
-    schema. Driver-side by design (see module docstring)."""
+def _read_text_parts(path: str, header_name: str) -> str:
     chunks: list[str] = []
     if os.path.isdir(path):
-        header = os.path.join(path, "_header.ttl")
+        header = os.path.join(path, header_name)
         if os.path.exists(header):
             with open(header) as fh:
                 chunks.append(fh.read())
@@ -384,5 +425,18 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
     else:
         with open(path) as fh:
             chunks.append(fh.read())
-    rows = parse_turtle("\n".join(chunks))
+    return "\n".join(chunks)
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a .ttl file — or a directory written by sinks.write_turtle
+    (``_header.ttl`` sidecar + part files) — into the engine's triple
+    schema. Driver-side by design (see module docstring)."""
+    rows = parse_turtle(_read_text_parts(path, "_header.ttl"))
     return spark.createDataFrame(rows, TURTLE_SCHEMA)
+
+
+def read_trig(spark: SparkSession, path: str) -> DataFrame:
+    """TriG file or sinks.write_trig directory → triples + graph column."""
+    rows = parse_trig(_read_text_parts(path, "_header.trig"))
+    return spark.createDataFrame(rows, TRIG_SCHEMA)
