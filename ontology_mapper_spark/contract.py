@@ -817,9 +817,11 @@ def q27(spark, sf):
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b")
 
 
-def _simhash_oracle_sql() -> str:
-    """Generated mirror of operators.dedup.simhash_hex: 64 per-bit majority
-    votes from md5-hex nibbles, recomposed into the same 16-char hex."""
+def _simhash_sig_ctes(src: str = "documents") -> str:
+    """Generated mirror of operators.dedup.simhash_hex as CTE text ending
+    in `sig(doc_id, simhash_hex)`: 64 per-bit majority votes from md5-hex
+    nibbles, recomposed into the same 16-char hex. `src` is the table/CTE
+    holding (doc_id, text)."""
     votes = ",\n             ".join(
         f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), {b // 4 + 1}, 1)) - 1)"
         f" & {1 << (3 - b % 4)}) <> 0 THEN 1 ELSE -1 END) AS v{b}"
@@ -835,21 +837,21 @@ def _simhash_oracle_sql() -> str:
         for i in range(16)
     )
     return f"""
-    WITH tok AS (
+    tok AS (
       SELECT doc_id, w
       FROM (SELECT doc_id,
                    unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w
-            FROM documents)
+            FROM {src})
       WHERE w <> ''),
     votes AS (
       SELECT doc_id,
              {votes}
-      FROM tok GROUP BY doc_id)
-    SELECT doc_id, {chars} AS simhash_hex FROM votes
+      FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, {chars} AS simhash_hex FROM votes)
     """
 
 
-@_q("q28_simhash", _simhash_oracle_sql())
+@_q("q28_simhash", f"WITH {_simhash_sig_ctes()} SELECT doc_id, simhash_hex FROM sig")
 def q28(spark, sf):
     """SimHash-64 content signatures (near-dup by hamming distance) in the
     md5 hash family so the DuckDB oracle can mirror bit-for-bit; the
@@ -2108,4 +2110,78 @@ def q60(spark, sf):
     )
     return p.select(
         "p_partkey", ontology_acronym_col(links).alias("acronym")
+    )
+
+
+def _q61_oracle_sql() -> str:
+    nib = lambda c, i: f"(strpos('0123456789abcdef', substr({c}, {i + 1}, 1)) - 1)"
+    hamming = " + ".join(
+        f"bit_count(xor({nib('ha', i)}, {nib('hb', i)}))" for i in range(16)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, regexp_replace(text, '^\\S+ ', '') FROM documents),
+    {_simhash_sig_ctes('corpus')},
+    bands AS (
+      SELECT doc_id, simhash_hex, b.band_id,
+             substr(simhash_hex, 4 * b.band_id + 1, 4) AS band_val
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash_hex AS ha, b.simhash_hex AS hb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST({hamming} AS INT) AS hamming
+    FROM pairs
+    WHERE {hamming} <= 8
+    """
+
+
+@_q("q61_simhash_neardup", _q61_oracle_sql())
+def q61(spark, sf):
+    """SimHash near-dup pairs via the classic 4x16-bit banded hamming join
+    (Manku et al. WWW'07). Near-dups are synthesized by unioning each
+    document with a first-word-dropped mutant, so real candidate pairs
+    exist; the DuckDB oracle replays the identical md5 signature, banding,
+    and per-nibble XOR popcount."""
+    from .operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+ ", "").alias("text"),
+    )
+    return simhash_neardup_pairs(d.unionByName(mut), max_hamming=8)
+
+
+@_q(
+    "q62_hash_split",
+    """
+    SELECT CASE
+             WHEN substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < 'cccccccd' THEN 'train'
+             WHEN substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < 'e6666666' THEN 'valid'
+             ELSE 'test'
+           END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q62(spark, sf):
+    """Deterministic group-aware train/valid/test split: md5(salt|key)
+    hex8 compared against cumulative-fraction hex thresholds — no RNG
+    state, identical under any partitioning or engine (the DuckDB oracle
+    embeds the same thresholds: 0.8*2^32=0xcccccccd, 0.9*2^32=0xe6666666)."""
+    from .operators.split import train_test_split
+
+    d = _t(spark, sf, "documents")
+    return (
+        train_test_split(d, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
     )

@@ -203,6 +203,70 @@ def simhash_hex(
     return votes.select(F.col(id_col), F.concat(*chars).alias("simhash_hex"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) SimHash near-dup pairs via the
+    classic banded hamming join (Manku et al., WWW'07 'Detecting
+    Near-Duplicates for Web Crawling'): split the 64-bit signature into 4
+    16-bit bands — any pair within hamming distance 3 must agree EXACTLY
+    on at least one band (pigeonhole), so candidate generation is an
+    equi-join on (band_id, band_value), never all-pairs. The hamming
+    distance itself is per-nibble XOR popcounts — native Columns, and
+    reproducible in the DuckDB oracle (same md5 hash family as
+    simhash_hex).
+
+    max_hamming > 3 weakens recall (the 4-band guarantee only covers ≤3)
+    but stays deterministic — both engines see the same candidates.
+    """
+    sig = simhash_hex(df, text_col, id_col)
+    bands = sig.select(
+        F.col(id_col),
+        "simhash_hex",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash_hex", 4 * b + 1, 4).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash_hex", "b.band_id", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash_hex").alias("_ha"),
+            F.col("b.simhash_hex").alias("_hb"),
+        )
+        .distinct()
+    )
+    nib = lambda c, i: F.conv(F.substring(c, i + 1, 1), 16, 10).cast("int")  # noqa: E731
+    hamming = None
+    for i in range(16):
+        term = F.bit_count(nib("_ha", i).bitwiseXOR(nib("_hb", i)))
+        hamming = term if hamming is None else hamming + term
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_hex_py(text: str) -> str:
     """Pure-Python reference for simhash_hex (tests / independent oracle)."""
     import hashlib

@@ -173,6 +173,64 @@ def test_simhash_properties(spark):
     assert all(isinstance(v, int) for v in out.values())
 
 
+def test_simhash_neardup_pairs_banded(spark):
+    from ontology_mapper_spark.operators.dedup import simhash_neardup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, base),                      # identical → hamming 0
+        (3, base + " extra"),           # tiny mutation → small hamming
+        (4, "totally different words entirely here now ok fine yes"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_neardup_pairs(df, max_hamming=8).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got and (2, 4) not in got
+    # banding guarantee: identical docs always pair regardless of max_hamming
+    strict = {(r.id_a, r.id_b)
+              for r in simhash_neardup_pairs(df, max_hamming=0).collect()}
+    assert (1, 2) in strict
+
+
+def test_hash_split_properties(spark):
+    from ontology_mapper_spark.operators.split import (
+        hash_split_col,
+        split_thresholds,
+        train_test_split,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    out = train_test_split(df, "k")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    # ~0.8/0.1/0.1 within loose tolerance
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.07 < counts["valid"] / 5000 < 0.13
+    # deterministic under repartitioning
+    again = {
+        (r.k, r.split)
+        for r in train_test_split(df.repartition(13), "k").collect()
+    }
+    assert again == {(r.k, r.split) for r in out.collect()}
+    # salt changes assignment
+    salted = train_test_split(df, "k", salt="v2")
+    moved = (
+        out.select("k", "split")
+        .join(salted.select("k", F.col("split").alias("s2")), "k")
+        .where(F.col("split") != F.col("s2"))
+        .count()
+    )
+    assert moved > 0
+    # threshold validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.2})
+    assert hash_split_col(F.lit("x"), {"all": 1.0}) is not None
+
+
 def test_simhash_hex_matches_python_reference(spark):
     from ontology_mapper_spark.operators.dedup import simhash_hex, simhash_hex_py
 
