@@ -733,9 +733,22 @@ def q25(spark, sf):
 
 _MINHASH_N, _MINHASH_BANDS = 8, 4
 
-@_q(
-    "q26_minhash_lsh_pairs",
-    """
+
+def _minhash_oracle_sql(n: int = _MINHASH_N, bands: int = _MINHASH_BANDS) -> str:
+    """Mirror of minhash_slice_cols + banding: h_i = min of the 8-hex-char
+    slice k of md5(j ':' shingle) with (j, k) = divmod(i, 4)."""
+    mins = ", ".join(
+        f"min(substr(md5('{i // 4}:' || sh), {8 * (i % 4) + 1}, 8)) AS h{i}"
+        for i in range(n)
+    )
+    rpb = n // bands
+    banded = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + ") AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
     WITH words AS (
       SELECT DISTINCT doc_id, w || ' ' || lead_w AS sh
       FROM (SELECT doc_id, w,
@@ -746,23 +759,18 @@ _MINHASH_N, _MINHASH_BANDS = 8, 4
                   FROM documents))
       WHERE lead_w IS NOT NULL),
     sig AS (
-      SELECT doc_id,
-             min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
-             min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
-             min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
-             min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+      SELECT doc_id, {mins}
       FROM words GROUP BY doc_id),
     banded AS (
-      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash FROM sig
-      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig)
+      {banded})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@_q("q26_minhash_lsh_pairs", _minhash_oracle_sql())
 def q26(spark, sf):
     """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket
     join) over word-bigram shingles (at corpus scale use shingle_n=3+;

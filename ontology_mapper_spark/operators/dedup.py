@@ -54,6 +54,25 @@ def shingles_col(text_col: F.Column, n: int = 3) -> F.Column:
     return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
 
 
+def minhash_slice_cols(sh: F.Column, num_hashes: int) -> list[F.Column]:
+    """The minhash hash family as Columns over a shingle Column: md5 is
+    evaluated only ceil(num_hashes/4) times per shingle and each digest is
+    cut into four 32-bit (8-hex-char) slices — hex-slice string order IS
+    value order, so min-over-slices is a valid minhash family at a quarter
+    of the per-shingle hash cost. Reproducible verbatim in SQL:
+    substr(md5(j || ':' || sh), 8k+1, 8)."""
+    cols: list[F.Column] = []
+    digests: dict[int, F.Column] = {}
+    for i in range(num_hashes):
+        j, k = divmod(i, 4)
+        if j not in digests:
+            digests[j] = F.md5(
+                F.encode(F.concat_ws(":", F.lit(str(j)), sh), "utf-8")
+            )
+        cols.append(F.substring(digests[j], 8 * k + 1, 8))
+    return cols
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -63,21 +82,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<string>) — MinHash over word-shingles.
 
-    Hash family h_i(s) = md5(i || ':' || s); the minimum is taken as a
-    STRING min over hex digests — deterministic and reproducible in any
-    engine with md5 (the DuckDB oracle computes the identical signature).
-    Map-only (explode + groupBy id with min aggregates is shuffle-on-id;
-    partial aggregation collapses shingles map-side).
+    Hash family: 32-bit hex slices of md5(j ':' shingle) (see
+    minhash_slice_cols — 4 slices per digest, so 16 hashes cost 4 md5
+    evals per shingle, the hot cost of the whole operator). Minima are
+    STRING mins over fixed-width lowercase hex — deterministic and
+    reproducible in any engine with md5 + substr. Map-only (explode +
+    groupBy id with min aggregates is shuffle-on-id; partial aggregation
+    collapses shingles map-side).
     """
     ex = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
-    aggs = [
-        F.min(F.md5(F.encode(F.concat_ws(":", F.lit(str(i)), F.col("sh")), "utf-8"))).alias(
-            f"h{i}"
-        )
-        for i in range(num_hashes)
-    ]
+    slices = minhash_slice_cols(F.col("sh"), num_hashes)
+    aggs = [F.min(c).alias(f"h{i}") for i, c in enumerate(slices)]
     sig = ex.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
