@@ -86,13 +86,13 @@ def incremental_components(
             F.coalesce("cv", F.col("v")).alias("dst_iri"),
         )
     )
-    small = connected_components(contracted)
+    small_rows = connected_components(contracted).collect()
     remap_rows = [
         (r["node"], r["component"])
-        for r in small.collect()
+        for r in small_rows
         if r["node"] != r["component"]
     ]
-    small_map = {r["node"]: r["component"] for r in small.collect()}
+    small_map = {r["node"]: r["component"] for r in small_rows}
 
     # brand-new nodes (absent from the old labels): their contracted id is
     # themselves, so their merged component is small_map[self]

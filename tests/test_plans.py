@@ -130,6 +130,20 @@ def test_no_python_udf_in_triple_extraction(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_kg_fixture_link_path_is_broadcast_no_shuffle(spark):
+    """The oracled kg_links contract path (documents → detect → decision-
+    table join) must keep the same broadcast-only property as the
+    transcript path: any non-broadcast exchange on the mention side would
+    shuffle the full corpus at scale."""
+    from ontology_mapper_spark.contract import QUERIES
+
+    plan = plan_of(QUERIES["kg_links_transcripts"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    mention_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in mention_side
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located join via bucketing: two tables bucketed+sorted on the
     join key sort-merge join with ZERO exchanges — the 100 TB strategy
