@@ -2193,3 +2193,41 @@ def q62(spark, sf):
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
     )
+
+
+@_q(
+    "q63_repetition",
+    """
+    WITH grams AS (
+      SELECT doc_id, length(norm) AS n_chars, w || ' ' || lead_w AS gram
+      FROM (SELECT doc_id, norm, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM (SELECT doc_id,
+                         lower(trim(regexp_replace(text,'\\s+',' ','g'))) AS norm,
+                         unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w,
+                         generate_subscripts(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),1) AS idx
+                  FROM documents))
+      WHERE lead_w IS NOT NULL),
+    counts AS (
+      SELECT doc_id, n_chars, gram, count(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT doc_id, n_chars, gram, cnt,
+             sum(cnt) OVER (PARTITION BY doc_id) AS n_grams,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram) AS r
+      FROM counts)
+    SELECT doc_id, n_grams, gram AS top_gram, cnt AS top_count,
+           CAST(round(cnt * length(gram) / n_chars * 1e6) AS BIGINT)
+             AS rep_micro
+    FROM ranked WHERE r = 1
+    """,
+)
+def q63(spark, sf):
+    """Gopher-style repetition filter input: character fraction of the most
+    frequent word bigram per document (top-n-gram fraction family from
+    Rae et al. 2021), micro-rounded; total-order tiebreak on the gram."""
+    from .operators.textstats import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    return repetition_stats(d, "text", "doc_id", ngram_n=2)

@@ -44,14 +44,20 @@ def exact_dedup(
     )
 
 
-def shingles_col(text_col: F.Column, n: int = 3) -> F.Column:
-    """Word n-gram shingles of normalized text as array<string> (distinct)."""
+def shingles_all_col(text_col: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingles of normalized text as array<string>, one entry
+    per OCCURRENCE (repetition analysis needs the multiset)."""
     words = F.split(normalized_text_col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
     )
-    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+    return F.filter(grams, lambda g: F.length(g) > 0)
+
+
+def shingles_col(text_col: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingles of normalized text as array<string> (distinct)."""
+    return F.array_distinct(shingles_all_col(text_col, n))
 
 
 def minhash_slice_cols(sh: F.Column, num_hashes: int) -> list[F.Column]:

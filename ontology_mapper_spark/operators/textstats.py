@@ -111,3 +111,52 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_count_col(text, pattern: str = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"):
     """BPE-ish token count: words plus standalone punctuation marks."""
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signal: the character fraction of the most
+    frequent word n-gram (Rae et al. 2021 'Scaling Language Models' uses
+    exactly this family of top-n-gram fraction filters for web-corpus
+    cleaning). Output: (id, n_grams, top_gram, top_count, rep_micro) where
+    rep_micro = round(top_count·len(top_gram)/n_chars·1e6).
+
+    Scale shape: explode n-gram OCCURRENCES → groupBy(id, gram) count
+    (map-side partial agg collapses repeats) → per-id top-1 via a window
+    rank with a total order (count desc, gram) — one shuffle keyed by id,
+    no all-pairs, no Python.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import normalized_text_col, shingles_all_col
+
+    grams = df.select(
+        F.col(id_col),
+        F.length(normalized_text_col(F.col(text_col))).alias("_n_chars"),
+        F.explode(shingles_all_col(F.col(text_col), ngram_n)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "_n_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("gram"))
+    totals = Window.partitionBy(id_col)
+    return (
+        counts.withColumn("n_grams", F.sum("cnt").over(totals))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_count"),
+            F.round(
+                F.col("cnt") * F.length("gram") / F.col("_n_chars") * 1e6
+            )
+            .cast("bigint")
+            .alias("rep_micro"),
+        )
+    )

@@ -245,6 +245,33 @@ def test_simhash_hex_matches_python_reference(spark):
         assert got[i] == simhash_hex_py(text), i
 
 
+def test_repetition_stats_bruteforce(spark):
+    from collections import Counter
+
+    from ontology_mapper_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "a b a b a b c"),        # 'a b' dominates
+        (2, "x y z w"),              # all bigrams unique → tie on gram
+        (3, "one one one one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.top_gram, r.top_count, r.rep_micro)
+        for r in repetition_stats(df).collect()
+    }
+    for i, text in rows:
+        words = text.split()
+        grams = [" ".join(words[k:k + 2]) for k in range(len(words) - 1)]
+        c = Counter(grams)
+        # deterministic tie policy: max count, then lexicographically
+        # SMALLEST gram
+        best_cnt = max(c.values())
+        best_gram = min(g for g, n in c.items() if n == best_cnt)
+        micro = round(best_cnt * len(best_gram) / len(text) * 1e6)
+        assert got[i] == (len(grams), best_gram, best_cnt, micro), i
+
+
 def test_exact_neardup_guard_refuses_large_corpus(spark):
     import pytest
 
