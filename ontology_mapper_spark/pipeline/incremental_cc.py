@@ -185,18 +185,7 @@ def incremental_materialize(
     from .materialize import extract_triples
 
     links = spark.read.parquet(links_path)
-    fps = {
-        str(r["bucket"]): int(r["fp"])
-        for r in links.groupBy("bucket")
-        .agg(
-            F.sum(
-                F.xxhash64(
-                    "conv_id", "turn_idx", "begin", "end", "pattern", "class_iri"
-                ).cast("decimal(38,0)")
-            ).alias("fp")
-        )
-        .collect()
-    }
+    fps = _links_bucket_fps(links)
     marker = _load_marker(out_path) if os.path.exists(out_path) else {}
     changed = sorted(int(b) for b in fps if marker.get(b) != fps[b])
     removed = sorted(int(b) for b in marker if b not in fps)
@@ -226,6 +215,95 @@ def incremental_materialize(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     _save_marker(out_path, fps)
     return result
+
+
+def _links_bucket_fps(links: DataFrame) -> dict[str, int]:
+    return {
+        str(r["bucket"]): int(r["fp"])
+        for r in links.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.xxhash64(
+                    "conv_id", "turn_idx", "begin", "end", "pattern", "class_iri"
+                ).cast("decimal(38,0)")
+            ).alias("fp")
+        )
+        .collect()
+    }
+
+
+def incremental_edges(
+    spark: SparkSession,
+    links_path: str,
+    out_path: str,
+    window_turns: int = 2,
+    entity_col: str = "class_iri",
+) -> dict:
+    """Co-mention edges for changed link buckets only.
+
+    The co-mention self-join is conversation-local and bucket = hash of
+    conv_id, so per-bucket PARTIAL edge counts are exact; only the final
+    per-(a, b) sum crosses buckets, which `compact_edges` performs at read
+    (sum is algebraic, so bucket-partial + compact == full recompute).
+    """
+    from .incremental import _load_marker, _save_marker
+
+    links = spark.read.parquet(links_path)
+    fps = _links_bucket_fps(links)
+    marker = _load_marker(out_path) if os.path.exists(out_path) else {}
+    changed = sorted(int(b) for b in fps if marker.get(b) != fps[b])
+    removed = sorted(int(b) for b in marker if b not in fps)
+    result = {"changed_buckets": changed, "removed_buckets": removed}
+    if not changed and not removed:
+        return result
+
+    os.makedirs(out_path, exist_ok=True)
+    for b in changed + removed:
+        shutil.rmtree(os.path.join(out_path, f"bucket={b}"), ignore_errors=True)
+    if changed:
+        ments = (
+            links.where(F.col("bucket").isin(changed))
+            .select(
+                "bucket", "conv_id", "turn_idx",
+                F.col(entity_col).alias("entity"),
+            )
+            .distinct()
+        )
+        a = ments.alias("a")
+        b_ = ments.alias("b")
+        partial = (
+            a.join(
+                b_,
+                (F.col("a.conv_id") == F.col("b.conv_id"))
+                & (F.col("b.turn_idx") >= F.col("a.turn_idx") - window_turns)
+                & (F.col("b.turn_idx") <= F.col("a.turn_idx") + window_turns)
+                & (F.col("a.entity") < F.col("b.entity")),
+            )
+            .groupBy(
+                F.col("a.bucket").alias("bucket"),
+                F.col("a.entity").alias("entity_a"),
+                F.col("b.entity").alias("entity_b"),
+            )
+            .agg(F.count("*").alias("n_comentions"))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            partial.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _save_marker(out_path, fps)
+    return result
+
+
+def compact_edges(spark: SparkSession, edges_path: str) -> DataFrame:
+    """Bucket-partial co-mention counts → global (entity_a, entity_b,
+    n_comentions) — an algebraic sum, exact vs a full recompute."""
+    return (
+        spark.read.parquet(edges_path)
+        .groupBy("entity_a", "entity_b")
+        .agg(F.sum("n_comentions").alias("n_comentions"))
+    )
 
 
 def compact_triples(spark: SparkSession, triples_path: str) -> DataFrame:

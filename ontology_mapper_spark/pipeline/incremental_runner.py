@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .incremental import incremental_detect, incremental_link
 from .incremental_cc import (
     incremental_components,
+    incremental_edges,
     incremental_materialize,
     write_component_labels,
 )
@@ -88,5 +89,8 @@ def run_incremental_batch(
 
     summary["materialize"] = incremental_materialize(
         spark, l_path, t_path, run_ts=run_ts
+    )
+    summary["edges"] = incremental_edges(
+        spark, l_path, os.path.join(out_dir, "edges"), window_turns=2
     )
     return summary

@@ -97,6 +97,21 @@ def test_two_batches_equal_from_scratch(spark, tmp_path):
     }
     assert got_canon == want_canon
 
+    # incremental co-mention edges: bucket partials compact to exactly the
+    # full recompute (symmetric window, window_turns=2)
+    from ontology_mapper_spark.pipeline.comention import comention_edges
+    from ontology_mapper_spark.pipeline.incremental_cc import compact_edges
+
+    got_edges = {
+        (r.entity_a, r.entity_b, r.n_comentions)
+        for r in compact_edges(spark, f"{out}/edges").collect()
+    }
+    want_edges = {
+        (r.entity_a, r.entity_b, r.n_comentions)
+        for r in comention_edges(full_l, window_turns=2).collect()
+    }
+    assert got_edges == want_edges and got_edges
+
     # third batch with nothing new: every stage is a no-op
     s3 = run_incremental_batch(
         spark, tr2, terms, None, out, buckets=BUCKETS, run_ts="2026-01-01"
@@ -105,3 +120,4 @@ def test_two_batches_equal_from_scratch(spark, tmp_path):
     assert s3["link"]["changed_buckets"] == []
     assert s3["canonicalize"] == {"skipped": True}
     assert s3["materialize"]["changed_buckets"] == []
+    assert s3["edges"]["changed_buckets"] == []
