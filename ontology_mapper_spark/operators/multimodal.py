@@ -104,3 +104,70 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_plan(
+    media: DataFrame, max_side: int = 512, multiple_of: int = 8
+) -> DataFrame:
+    """Image-resize *plan*: (media_id, width, height, target_w, target_h,
+    scale_micro) — the aspect-preserving target geometry a decode UDF
+    would apply, as pure integer/one-division Column math (JVM-side).
+
+    Policy: scale the LONG side down to ≤ max_side (never upscale), then
+    snap both targets down to a multiple of `multiple_of` (vision-encoder
+    patch alignment), floor ≥ multiple_of. NULL dimensions pass through
+    with NULL targets (the decode stage fills them post-probe).
+    """
+    w, h = F.col("width"), F.col("height")
+    long_side = F.greatest(w, h)
+    scale = F.when(long_side > max_side, max_side / long_side).otherwise(
+        F.lit(1.0)
+    )
+
+    def snap(c):
+        raw = F.floor(c * scale / multiple_of) * multiple_of
+        return F.greatest(raw, F.lit(multiple_of)).cast("int")
+
+    has_dims = w.isNotNull() & h.isNotNull()
+    return media.where(F.col("kind") == "image").select(
+        "media_id",
+        "width",
+        "height",
+        F.when(has_dims, snap(w)).alias("target_w"),
+        F.when(has_dims, snap(h)).alias("target_h"),
+        F.when(has_dims, F.round(scale * 1e6).cast("bigint")).alias(
+            "scale_micro"
+        ),
+    )
+
+
+def audio_chunk_plan(
+    media: DataFrame, chunk_ms: int = 30_000, overlap_ms: int = 0
+) -> DataFrame:
+    """Audio-chunking *plan*: (media_id, chunk_idx, start_ms, end_ms) —
+    fixed windows with optional overlap over duration_ms (the relational
+    half of a Whisper-style segmenter; decode is the stubbed boundary).
+    The final chunk is clipped to the duration; zero-duration rows yield
+    no chunks."""
+    step = chunk_ms - overlap_ms
+    if step <= 0:
+        raise ValueError("overlap_ms must be smaller than chunk_ms")
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0))
+    starts = F.sequence(
+        F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        media.where((F.col("kind") == "audio") & (dur > 0))
+        .select(
+            "media_id",
+            dur.alias("_dur"),
+            F.posexplode(starts).alias("chunk_idx", "start_ms"),
+        )
+        .where(F.col("start_ms") < F.col("_dur"))
+        .select(
+            "media_id",
+            "chunk_idx",
+            "start_ms",
+            F.least(F.col("start_ms") + chunk_ms, F.col("_dur")).alias("end_ms"),
+        )
+    )

@@ -308,6 +308,50 @@ def test_media_features_fake_decode(spark):
     assert {(r.media_id, r.frame_ts_ms) for r in plan} == {(2, 0), (2, 1000), (2, 2000)}
 
 
+def test_resize_and_audio_chunk_plans(spark):
+    from ontology_mapper_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_chunk_plan,
+        resize_plan,
+    )
+
+    rows = [
+        (1, "image", b"", None, 1024, 768, None),     # downscale, snap to 8
+        (2, "image", b"", None, 300, 200, None),      # no upscale
+        (3, "image", b"", None, None, None, None),    # unknown dims
+        (4, "audio", b"", None, None, None, 75_000),  # 3 chunks (30s step)
+        (5, "audio", b"", None, None, None, 0),       # zero duration
+        (6, "video", b"", None, None, None, 5_000),
+    ]
+    df = spark.createDataFrame(
+        [(i, k, p, m, w, h, d) for i, k, p, m, w, h, d in rows], MEDIA_SCHEMA
+    )
+    rp = {r.media_id: (r.target_w, r.target_h, r.scale_micro)
+          for r in resize_plan(df, max_side=512, multiple_of=8).collect()}
+    # 1024x768 → scale 0.5 → 512x384 (both multiples of 8)
+    assert rp[1] == (512, 384, 500000)
+    # small image untouched (snap keeps 300→296? NO: scale 1.0, snap floors
+    # to multiple of 8 → 296x200); verify the snap rule exactly
+    assert rp[2] == (296, 200, 1000000)
+    assert rp[3] == (None, None, None)
+    assert 6 not in rp  # videos excluded
+
+    ch = sorted(
+        (r.media_id, r.chunk_idx, r.start_ms, r.end_ms)
+        for r in audio_chunk_plan(df, chunk_ms=30_000).collect()
+    )
+    assert ch == [
+        (4, 0, 0, 30_000), (4, 1, 30_000, 60_000), (4, 2, 60_000, 75_000),
+    ]
+    # overlap halves the stride
+    ov = audio_chunk_plan(df, chunk_ms=30_000, overlap_ms=15_000).collect()
+    assert max(r.chunk_idx for r in ov) == 4
+    import pytest
+
+    with pytest.raises(ValueError):
+        audio_chunk_plan(df, chunk_ms=10, overlap_ms=10)
+
+
 def test_comparison_report_matches_oracle(spark):
     from ontology_mapper_spark.operators.comparator import comparison_report
     from ontology_mapper_spark.oracle.semantics import compare_results
