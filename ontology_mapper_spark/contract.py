@@ -2231,3 +2231,42 @@ def q63(spark, sf):
 
     d = _t(spark, sf, "documents")
     return repetition_stats(d, "text", "doc_id", ngram_n=2)
+
+
+def _q64_oracle_sql() -> str:
+    """Transitive near-dup clustering over the q26 candidate pairs via a
+    DuckDB recursive CTE (closure + min-reachable) — an independent CC
+    implementation cross-checking the engine's iterative hash-to-min."""
+    body = _minhash_oracle_sql()
+    # reuse the q26 SQL as a subquery producing (id_a, id_b)
+    return f"""
+    WITH RECURSIVE pairs AS ({body}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (
+      SELECT u AS doc_id, least(min(v), u) AS cluster_rep
+      FROM reach GROUP BY u)
+    SELECT doc_id, cluster_rep FROM comp
+    """
+
+
+@_q("q64_dedup_clusters", _q64_oracle_sql())
+def q64(spark, sf):
+    """Dedup clustering: transitive closure of MinHash-LSH candidate pairs
+    (A~B, B~C => one cluster, min-id representative) via the engine's
+    iterative CC, cross-checked against a DuckDB WITH RECURSIVE closure —
+    a fully independent connected-components implementation."""
+    from .operators.dedup import dedup_clusters
+
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(d, "text", "doc_id", num_hashes=_MINHASH_N, shingle_n=2)
+    pairs = minhash_band_pairs(
+        sig, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    return dedup_clusters(pairs)

@@ -290,6 +290,31 @@ def simhash_neardup_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", pad: int = 12
+) -> DataFrame:
+    """(doc_id, cluster_rep) — connected components over near-dup candidate
+    pairs; the representative is the min doc id of the component. This is
+    the 'resolve transitive near-dup chains' step every dedup pipeline
+    needs after candidate generation (A~B, B~C ⇒ keep only min(A,B,C)).
+
+    Reuses the engine's iterative CC (numeric ids zero-padded so the
+    string min is the numeric min). Only docs that appear in a pair are
+    returned — singletons are trivially their own representative.
+    """
+    from ..pipeline.canonicalize import connected_components
+
+    edges = pairs.select(
+        F.lpad(F.col(id_a).cast("string"), pad, "0").alias("src_iri"),
+        F.lpad(F.col(id_b).cast("string"), pad, "0").alias("dst_iri"),
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_rep"),
+    )
+
+
 def simhash_hex_py(text: str) -> str:
     """Pure-Python reference for simhash_hex (tests / independent oracle)."""
     import hashlib

@@ -173,6 +173,16 @@ def test_simhash_properties(spark):
     assert all(isinstance(v, int) for v in out.values())
 
 
+def test_dedup_clusters_transitive(spark):
+    from ontology_mapper_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
 def test_simhash_neardup_pairs_banded(spark):
     from ontology_mapper_spark.operators.dedup import simhash_neardup_pairs
 
