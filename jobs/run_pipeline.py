@@ -32,12 +32,43 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--run-ts", default="1970-01-01T00:00:00")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="bucket-incremental trickle-batch mode: recompute only the "
+        "buckets whose transcripts changed (detect/link/materialize/"
+        "edges) and merge xref deltas into the component labels",
+    )
+    ap.add_argument("--dict-version", default="v1",
+                    help="incremental mode: bump when the snapshot changes")
     args = ap.parse_args()
 
     from ontology_mapper_spark.pipeline.runner import STAGES, PipelineRunner
     from ontology_mapper_spark.session import get_spark
 
     spark = get_spark(app_name="kg-pipeline", master=args.master)
+
+    if args.incremental:
+        from ontology_mapper_spark.datagen import build_snapshot, build_transcripts
+        from ontology_mapper_spark.datagen.snapshot import ontology_terms_rows
+        from ontology_mapper_spark.pipeline.incremental_runner import (
+            run_incremental_batch,
+        )
+
+        terms, xrefs = build_snapshot(spark, args.n_terms, args.seed)
+        labels = sorted(
+            {r["label"] for r in ontology_terms_rows(args.n_terms, args.seed)}
+        )
+        tr = build_transcripts(
+            spark, n_convs=args.n_convs, seed=args.seed, mention_labels=labels
+        )
+        summary = run_incremental_batch(
+            spark, tr, terms, xrefs,
+            out_dir=args.out, dict_version=args.dict_version,
+            run_ts=args.run_ts,
+        )
+        print(json.dumps(summary))
+        return 0
+
     stages = list(STAGES) if args.stage == "all" else args.stage.split(",")
     runner = PipelineRunner(
         spark,
