@@ -924,17 +924,22 @@ def q29(spark, sf):
     )
 
 
-_LSH_PLANES, _EMB_DIM = 4, 64  # embeddings table is 64-dim at every sf
+_LSH_PLANES, _LSH_TABLES, _EMB_DIM = 4, 4, 64  # embeddings are 64-dim at every sf
 
 
-def _lsh_bucket_sql_expr(n_planes: int = _LSH_PLANES, dim: int = _EMB_DIM) -> str:
-    """Generated mirror of operators.similarity.lsh_bucket_col: per plane,
-    a SIGNED-INTEGER micro-fixed-point dot with the same md5-derived ±1
-    components (exact arithmetic — no float-sum ordering sensitivity)."""
+def _lsh_bucket_sql_expr(
+    n_planes: int = _LSH_PLANES, dim: int = _EMB_DIM, plane_offset: int = 0
+) -> str:
+    """Generated mirror of operators.similarity lsh buckets: per plane, a
+    SIGNED-INTEGER micro-fixed-point dot with the same md5-derived ±1
+    components (exact arithmetic — no float-sum ordering sensitivity).
+    `plane_offset` selects an LSH table's plane range."""
     from .operators.similarity import plane_signs
 
+    all_signs = plane_signs(plane_offset + n_planes, dim)
     terms = []
-    for p, signs in enumerate(plane_signs(n_planes, dim)):
+    for p in range(n_planes):
+        signs = all_signs[plane_offset + p]
         body = " ".join(
             ("+" if sgn > 0 else "-")
             + f" CAST(round(CAST(embedding[{i + 1}] AS DOUBLE)*1e6) AS BIGINT)"
@@ -946,38 +951,57 @@ def _lsh_bucket_sql_expr(n_planes: int = _LSH_PLANES, dim: int = _EMB_DIM) -> st
     return " + ".join(terms)
 
 
-@_q(
-    "q30_lsh_topk",
-    f"""
+def _q30_oracle_sql() -> str:
+    buckets = ",\n             ".join(
+        f"{_lsh_bucket_sql_expr(plane_offset=t * _LSH_PLANES)} AS b{t}"
+        for t in range(_LSH_TABLES)
+    )
+    cand_union = "\n      UNION ALL ".join(
+        f"SELECT q.query_id, m.vec_id, m.embedding, q.qvec "
+        f"FROM bucketed m JOIN q ON m.b{t} = q.b{t}"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
     WITH bucketed AS (
-      SELECT vec_id, embedding, {_lsh_bucket_sql_expr()} AS bucket
+      SELECT vec_id, embedding,
+             {buckets}
       FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, *
           FROM bucketed WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT query_id, vec_id, embedding, qvec FROM (
+      {cand_union})),
     joined AS (
-      SELECT q.query_id, m.vec_id,
-             CAST(round(list_cosine_similarity(m.embedding::DOUBLE[],
-                                               q.qvec::DOUBLE[]) * 1e6)
+      SELECT query_id, vec_id,
+             CAST(round(list_cosine_similarity(embedding::DOUBLE[],
+                                               qvec::DOUBLE[]) * 1e6)
                   AS BIGINT) AS cosine_micro
-      FROM bucketed m JOIN q ON m.bucket = q.bucket)
+      FROM cand)
     SELECT query_id, vec_id, cosine_micro, CAST(rnk AS INT) AS rank
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id) AS rnk
           FROM joined)
     WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@_q("q30_lsh_topk", _q30_oracle_sql())
 def q30(spark, sf):
-    """LSH-bucketed approximate top-k (the scale path for q29) — exact-
-    oracled: bucket bits are integer micro-dot signs against literal
-    md5-derived hyperplanes, reproduced verbatim in the DuckDB SQL."""
+    """Multi-table LSH approximate top-k (the scale path for q29): 4
+    tables × 4 hyperplanes — a pair is a candidate if it collides in ANY
+    table (the standard recall lever; measured recall@5 vs the exact q29:
+    see tests/test_ann_recall.py). Exact-oracled: bucket bits are integer
+    micro-dot signs against literal md5-derived hyperplanes, reproduced
+    verbatim in the DuckDB SQL."""
     from .operators.similarity import lsh_bucketed_topk
 
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucketed_topk(e, q, dim=_EMB_DIM, k=5, n_planes=_LSH_PLANES)
+    return lsh_bucketed_topk(
+        e, q, dim=_EMB_DIM, k=5, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -94,15 +94,9 @@ def micro_vec_col(vec):
     )
 
 
-def lsh_bucket_col(vec, dim: int, n_planes: int = 8):
-    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes)).
-
-    Sign of <v, h_p> computed as a SIGNED-INTEGER sum over the micro-fixed-
-    point vector with a literal ±1 plane array — exact, deterministic under
-    any parallelism, and bit-reproducible by the DuckDB oracle."""
-    mv = micro_vec_col(vec)
+def _bucket_from_signs(mv, signs_list: list[list[int]]):
     bucket = F.lit(0)
-    for signs in plane_signs(n_planes, dim):
+    for signs in signs_list:
         lit = F.array(*[F.lit(s).cast("bigint") for s in signs])
         dot = F.aggregate(
             F.zip_with(mv, lit, lambda x, y: x * y),
@@ -111,6 +105,35 @@ def lsh_bucket_col(vec, dim: int, n_planes: int = 8):
         )
         bucket = bucket * 2 + (dot > 0).cast("int")
     return bucket
+
+
+def lsh_bucket_col(vec, dim: int, n_planes: int = 8):
+    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes)).
+
+    Sign of <v, h_p> computed as a SIGNED-INTEGER sum over the micro-fixed-
+    point vector with a literal ±1 plane array — exact, deterministic under
+    any parallelism, and bit-reproducible by the DuckDB oracle."""
+    return _bucket_from_signs(micro_vec_col(vec), plane_signs(n_planes, dim))
+
+
+def lsh_table_buckets_col(vec, dim: int, n_planes: int, n_tables: int):
+    """array<struct<table_id,bucket>> — one bucket per LSH table; table t
+    uses planes [t·n_planes, (t+1)·n_planes) of the shared md5-derived
+    family. Multi-table is THE recall lever: a pair is a candidate if it
+    collides in ANY table (recall 1-(1-p^k)^L vs p^k for one table)."""
+    mv = micro_vec_col(vec)
+    all_signs = plane_signs(n_planes * n_tables, dim)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_from_signs(
+                    mv, all_signs[t * n_planes : (t + 1) * n_planes]
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
 
 
 def cosine_micro_col(a, b):
@@ -241,21 +264,41 @@ def lsh_bucketed_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: cosine ranking restricted to LSH bucket-mates.
 
-    Equi-join on bucket id replaces the cross join — at corpus scale this
-    is the difference between O(N·Q) and O(N·Q/2^planes). Recall is
-    tunable via n_planes (fewer planes → bigger buckets → higher recall).
+    Equi-join on (table, bucket) replaces the cross join — at corpus scale
+    this is the difference between O(N·Q) and O(N·Q·L/2^planes). Recall is
+    tuned by n_planes (fewer → bigger buckets) and n_tables (more tables →
+    more chances to collide: 1-(1-p^k)^L); candidates that collide in
+    several tables are deduped BEFORE scoring so each pair is scored once.
     """
-    cb = corpus.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), dim, n_planes))
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(
+            lsh_table_buckets_col(F.col(vec_col), dim, n_planes, n_tables)
+        ).alias("_tb"),
+    ).select(id_col, vec_col, "_tb.table_id", "_tb.bucket")
     qb = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    ).withColumn("_bucket", lsh_bucket_col(F.col("_qvec"), dim, n_planes))
-    joined = cb.join(F.broadcast(qb), "_bucket").withColumn(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        F.explode(
+            lsh_table_buckets_col(F.col(vec_col), dim, n_planes, n_tables)
+        ).alias("_tb"),
+    ).select(query_id_col, "_qvec", "_tb.table_id", "_tb.bucket")
+    # duplicate candidates (pairs colliding in >1 table) are BIT-IDENTICAL
+    # rows (same vectors), so this dropDuplicates has a deterministic
+    # output despite the arbitrary-winner semantics the repo otherwise
+    # avoids — any winner is the same row.
+    cand = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.withColumn(
         "cosine_micro",
         cosine_micro_col(
             F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
@@ -265,7 +308,7 @@ def lsh_bucketed_topk(
         F.col("cosine_micro").desc(), F.col(id_col)
     )
     return (
-        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_micro", "rank")
     )
