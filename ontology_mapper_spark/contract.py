@@ -2294,3 +2294,37 @@ def q64(spark, sf):
         sig, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
     )
     return dedup_clusters(pairs)
+
+
+@_q(
+    "q65_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked
+    WHERE rn <= ceil(n * 0.25)
+    GROUP BY lang
+    """,
+)
+def q65(spark, sf):
+    """Exact deterministic stratified sampling: per-language 25% quota via
+    an md5-ordered window rank (byte-stable counts, unlike Bernoulli
+    sampleBy — training-data lineage needs reproducible per-source
+    quotas). Summarized per stratum so the oracle compares counts, the
+    min id, and the id-sum of the selected set."""
+    from .operators.split import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    s = stratified_sample(d, "lang", "doc_id", 0.25)
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+    )

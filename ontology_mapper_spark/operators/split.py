@@ -53,3 +53,40 @@ def train_test_split(
     """df + a `split` column; group-aware and deterministic."""
     fracs = fracs or {"train": 0.8, "valid": 0.1, "test": 0.1}
     return df.withColumn(out_col, hash_split_col(F.col(key_col), fracs, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    frac: float,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT per-stratum fraction sample, deterministic: within each
+    stratum, rows are ordered by md5(salt|key) (a uniform shuffle fixed by
+    the salt, never by physical row order) and the first
+    ceil(frac × stratum_size) survive.
+
+    Unlike df.sampleBy (Bernoulli — per-stratum counts vary run to run and
+    with partitioning), this gives byte-stable quotas: the per-source
+    sampling step of a corpus-mixing pipeline must be reproducible for
+    training-data lineage. One shuffle on the stratum key; the window is
+    per-stratum with a total order (hash, then key as tiebreak for
+    identical keys)."""
+    from pyspark.sql import Window
+
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    h = F.md5(
+        F.encode(
+            F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")), "utf-8"
+        )
+    )
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key_col))
+    wc = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
+        .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(frac)))
+        .drop("_rn", "_n")
+    )

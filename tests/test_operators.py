@@ -255,6 +255,29 @@ def test_simhash_hex_matches_python_reference(spark):
         assert got[i] == simhash_hex_py(text), i
 
 
+def test_stratified_sample_exact_quota_and_deterministic(spark):
+    import math
+
+    from ontology_mapper_spark.operators.split import stratified_sample
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "stratum"])
+    out = stratified_sample(df, "stratum", "k", 0.3)
+    per = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": math.ceil(100 * 0.3), "s1": 30, "s2": 30}
+    # deterministic under repartitioning
+    again = {tuple(r) for r in stratified_sample(df.repartition(17), "stratum", "k", 0.3).collect()}
+    assert again == {tuple(r) for r in out.collect()}
+    # salt changes the selected set, quota unchanged
+    salted = stratified_sample(df, "stratum", "k", 0.3, salt="v2")
+    assert salted.count() == out.count()
+    assert {r.k for r in salted.collect()} != {r.k for r in out.collect()}
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "stratum", "k", 0.0)
+
+
 def test_repetition_stats_bruteforce(spark):
     from collections import Counter
 
