@@ -34,7 +34,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src_iri",
     dst: str = "dst_iri",
-    max_iter: int = 20,
+    max_iter: int = 64,
     stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable; deterministic.
@@ -44,6 +44,12 @@ def connected_components(
     afterwards if needed. Pass a dict as `stats` to receive
     {'iterations': k} (the number of propagate+jump rounds executed,
     including the final no-change round that proves convergence).
+
+    Convergence bound: propagate+jump more than doubles the covered
+    distance per round, so rounds ≈ log2(diameter) (pinned by the path-
+    graph test); max_iter=64 therefore covers any graph that fits in
+    storage — the loop exits early the moment the label signature stops
+    changing, so the bound costs nothing in the common case.
     """
     spark = edges.sparkSession
     sym = (

@@ -111,6 +111,21 @@ def test_connected_components_vs_bfs_oracle(spark):
     assert got == _bfs_components(edges)
 
 
+def test_cc_path_graph_converges_logarithmically(spark):
+    """Pointer jumping must hold rounds to ~log2(diameter): a 1024-node
+    PATH (worst-case diameter) must converge in well under diameter
+    rounds — this pins the property the max_iter=64 default relies on."""
+    n = 1024
+    edges = [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["src_iri", "dst_iri"])
+    stats = {}
+    labels = {r.node: r.component
+              for r in connected_components(df, stats=stats).collect()}
+    assert set(labels.values()) == {"n00000"}
+    assert len(labels) == n
+    assert stats["iterations"] <= 14, stats  # ~log2(1024)+slack, not ~1024
+
+
 def test_comention_edges_bruteforce(spark):
     rows = [
         ("c1", 0, "A"), ("c1", 1, "B"), ("c1", 2, "C"), ("c1", 5, "A"),
