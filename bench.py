@@ -103,6 +103,21 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # round-2 operators, timed but NOT counted into the headline metric
+    # (keeps `value` comparable across rounds while still recording them)
+    extended: dict[str, float] = {}
+    for name in (
+        "q30_lsh_topk",
+        "q61_simhash_neardup",
+        "q63_repetition",
+        "q64_dedup_clusters",
+        "q65_stratified_sample",
+    ):
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.time() - t0, 3)
+
     t0 = time.time()
     turns_per_sec, n_turns, tps_passes = kg_flagship_throughput(spark)
     timings["kg_flagship"] = round(time.time() - t0, 3)
@@ -131,6 +146,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_queries": extended,
                 "sf": sf,
                 "kg_turns_per_sec": round(turns_per_sec, 1),
                 "kg_turns_per_sec_passes": tps_passes,

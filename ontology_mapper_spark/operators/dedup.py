@@ -231,22 +231,32 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bands: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming) SimHash near-dup pairs via the
     classic banded hamming join (Manku et al., WWW'07 'Detecting
-    Near-Duplicates for Web Crawling'): split the 64-bit signature into 4
-    16-bit bands — any pair within hamming distance 3 must agree EXACTLY
-    on at least one band (pigeonhole), so candidate generation is an
-    equi-join on (band_id, band_value), never all-pairs. The hamming
-    distance itself is per-nibble XOR popcounts — native Columns, and
-    reproducible in the DuckDB oracle (same md5 hash family as
-    simhash_hex).
+    Near-Duplicates for Web Crawling'): split the 64-bit signature into
+    `bands` equal bands — any pair within hamming distance bands-1 must
+    agree EXACTLY on at least one band (pigeonhole), so candidate
+    generation is an equi-join on (band_id, band_value), never all-pairs.
+    The hamming distance itself is per-nibble XOR popcounts — native
+    Columns, and reproducible in the DuckDB oracle (same md5 hash family
+    as simhash_hex).
 
-    max_hamming > 3 weakens recall (the 4-band guarantee only covers ≤3)
-    but stays deterministic — both engines see the same candidates.
+    SCALE RULE for `bands`: random band collisions grow as
+    N²·bands/2^(64/bands), so the band width (64/bands) must grow with
+    log2(N) — bands=4 (16-bit bands, hamming ≤3 guaranteed) is right up
+    to ~10^6 docs; at web scale use bands=2 (32-bit bands, hamming ≤1
+    guaranteed, collisions ~N²/2^32) and rely on repeated runs over
+    bit-rotated signatures for higher distances (Manku's permuted-table
+    scheme). max_hamming above the guarantee stays deterministic — both
+    engines see the same candidates — it just lowers recall.
     """
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    hexw = 16 // bands
     sig = simhash_hex(df, text_col, id_col)
-    bands = sig.select(
+    bands_df = sig.select(
         F.col(id_col),
         "simhash_hex",
         F.explode(
@@ -254,15 +264,17 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.substring("simhash_hex", 4 * b + 1, 4).alias("band_val"),
+                        F.substring(
+                            "simhash_hex", hexw * b + 1, hexw
+                        ).alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(bands)
                 ]
             )
         ).alias("b"),
     ).select(id_col, "simhash_hex", "b.band_id", "b.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
     pairs = (
         a.join(
             b,

@@ -116,12 +116,16 @@ def lsh_bucket_col(vec, dim: int, n_planes: int = 8):
     return _bucket_from_signs(micro_vec_col(vec), plane_signs(n_planes, dim))
 
 
-def lsh_table_buckets_col(vec, dim: int, n_planes: int, n_tables: int):
+def lsh_table_buckets_col(vec, dim: int, n_planes: int, n_tables: int,
+                          pre_micro: bool = False):
     """array<struct<table_id,bucket>> — one bucket per LSH table; table t
     uses planes [t·n_planes, (t+1)·n_planes) of the shared md5-derived
     family. Multi-table is THE recall lever: a pair is a candidate if it
-    collides in ANY table (recall 1-(1-p^k)^L vs p^k for one table)."""
-    mv = micro_vec_col(vec)
+    collides in ANY table (recall 1-(1-p^k)^L vs p^k for one table).
+    Pass pre_micro=True when `vec` is already a micro-fixed-point
+    array<bigint> (compute it ONCE per row — the L·k plane dots reuse it
+    instead of re-deriving it per plane)."""
+    mv = vec if pre_micro else micro_vec_col(vec)
     all_signs = plane_signs(n_planes * n_tables, dim)
     return F.array(
         *[
@@ -277,18 +281,36 @@ def lsh_bucketed_topk(
     more chances to collide: 1-(1-p^k)^L); candidates that collide in
     several tables are deduped BEFORE scoring so each pair is scored once.
     """
-    cb = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(
-            lsh_table_buckets_col(F.col(vec_col), dim, n_planes, n_tables)
-        ).alias("_tb"),
-    ).select(id_col, vec_col, "_tb.table_id", "_tb.bucket")
-    qb = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-        F.explode(
-            lsh_table_buckets_col(F.col(vec_col), dim, n_planes, n_tables)
-        ).alias("_tb"),
-    ).select(query_id_col, "_qvec", "_tb.table_id", "_tb.bucket")
+    cb = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col),
+            micro_vec_col(F.col(vec_col)).alias("_mv"),
+        )
+        .select(
+            id_col, vec_col,
+            F.explode(
+                lsh_table_buckets_col(
+                    F.col("_mv"), dim, n_planes, n_tables, pre_micro=True
+                )
+            ).alias("_tb"),
+        )
+        .select(id_col, vec_col, "_tb.table_id", "_tb.bucket")
+    )
+    qb = (
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            micro_vec_col(F.col(vec_col)).alias("_mv"),
+        )
+        .select(
+            query_id_col, "_qvec",
+            F.explode(
+                lsh_table_buckets_col(
+                    F.col("_mv"), dim, n_planes, n_tables, pre_micro=True
+                )
+            ).alias("_tb"),
+        )
+        .select(query_id_col, "_qvec", "_tb.table_id", "_tb.bucket")
+    )
     # duplicate candidates (pairs colliding in >1 table) are BIT-IDENTICAL
     # rows (same vectors), so this dropDuplicates has a deterministic
     # output despite the arbitrary-winner semantics the repo otherwise

@@ -221,6 +221,61 @@ def test_jsonld_parser_subset():
             "literal") in trip
 
 
+def test_pipeline_triples_roundtrip_all_writable_formats(spark, tmp_path):
+    """Integration: REAL pipeline triples (kg fixture detect→link→
+    extract) survive every RDF writer → reader pair as the same triple
+    set — the reference's test_formats.py idiom at pipeline level."""
+    from ontology_mapper_spark.kg_fixture import terms_df
+    from ontology_mapper_spark.pipeline import (
+        build_dictionary,
+        detect_mentions,
+        link_mentions,
+    )
+    from ontology_mapper_spark.pipeline.materialize import extract_triples
+    from ontology_mapper_spark.sinks import write_ntriples, write_turtle
+    from ontology_mapper_spark.sources import read_ntriples, read_turtle
+
+    docs = spark.createDataFrame(
+        [("d1", 0, "the hash join beats a table scan"),
+         ("d2", 0, "window over stream")],
+        "conv_id string, turn_idx int, text string",
+    )
+    terms = terms_df(spark)
+    links = link_mentions(
+        spark, detect_mentions(spark, docs, build_dictionary(terms)), terms
+    )
+    triples = extract_triples(links)
+    expect = {
+        (r.subj, _expand(r.pred), r.obj, r.lang)
+        for r in triples.collect()
+    }
+    assert expect
+
+    nt = str(tmp_path / "p.nt")
+    write_ntriples(triples, nt)
+    got_nt = {(r.subj, r.pred, r.obj, r.lang)
+              for r in read_ntriples(spark, nt).collect()}
+    assert got_nt == expect
+
+    tt = str(tmp_path / "p.ttl")
+    write_turtle(triples, tt)
+    got_tt = {(r.subj, r.pred, r.obj, r.lang)
+              for r in read_turtle(spark, tt).collect()}
+    assert got_tt == expect
+
+    x = str(tmp_path / "p.rdf")
+    write_rdfxml(triples, x)
+    got_x = {(r.subj, r.pred, r.obj, r.lang)
+             for r in read_rdfxml(spark, x).collect()}
+    assert got_x == expect
+
+    j = str(tmp_path / "p.jsonld")
+    write_jsonld(triples, j)
+    got_j = {(r.subj, r.pred, r.obj, r.lang)
+             for r in read_jsonld(spark, j).collect()}
+    assert got_j == expect
+
+
 def test_read_rdf_dispatch(spark, tmp_path):
     path = str(tmp_path / "d.nq")
     write_nquads(_df(spark), path)
