@@ -1,6 +1,7 @@
 from .detect import (
     read_transcript_stream,
     stream_detect_mentions,
+    stream_exact_dedup,
     stream_link_mentions,
     windowed_mention_counts,
 )
@@ -8,6 +9,7 @@ from .detect import (
 __all__ = [
     "read_transcript_stream",
     "stream_detect_mentions",
+    "stream_exact_dedup",
     "stream_link_mentions",
     "windowed_mention_counts",
 ]

@@ -63,6 +63,35 @@ def stream_link_mentions(
     return mentions.join(ranked, "pattern", "inner")
 
 
+def stream_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each normalized-content
+    hash wins; re-seen content within the watermark horizon is dropped.
+
+    Built on Structured Streaming's native watermarked dropDuplicates —
+    the state store holds one row per distinct hash and the watermark
+    bounds it (hashes older than the horizon are evicted, so state is
+    O(distinct content per horizon), not O(stream)). The content hash is
+    the SAME normalization as the batch exact_dedup operator, so batch
+    backfills and the live stream agree on what counts as a duplicate.
+    """
+    from ..operators.dedup import normalized_text_col
+
+    hashed = stream.withColumn(
+        "_content_hash",
+        F.sha2(F.encode(normalized_text_col(F.col(text_col)), "utf-8"), 256),
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicates(["_content_hash"])
+        .drop("_content_hash")
+    )
+
+
 def windowed_mention_counts(
     spark: SparkSession,
     stream: DataFrame,

@@ -79,6 +79,46 @@ def test_stream_link_matches_batch(spark, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_stream_exact_dedup_drops_reseen_content(spark, tmp_path):
+    """Watermarked streaming dedup: duplicates across micro-batches are
+    dropped, and the survivor set matches the batch exact_dedup content
+    groups on the same data."""
+    from datetime import datetime
+
+    from ontology_mapper_spark.operators.dedup import exact_dedup
+    from ontology_mapper_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello world", "t", t0),
+        ("c2", 0, "user", "Hello  world", "t", t0),   # dup after normalize
+        ("c3", 0, "user", "something else", "t", t0),
+        ("c4", 0, "user", "hello world", "t", t0),    # dup again
+        ("c5", 0, "user", "unique five", "t", t0),
+    ]
+    from ontology_mapper_spark.datagen.transcripts import transcripts_schema
+
+    df = spark.createDataFrame(rows, transcripts_schema())
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    deduped = stream_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sd_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sd_stream").collect()
+    # one survivor per normalized-content group, same group count as batch
+    batch_groups = exact_dedup(df, "text", "turn_idx").count()
+    assert len(got) == 3 == batch_groups
+    assert len({" ".join(r.text.lower().split()) for r in got}) == 3
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     src, tr = _write_input(spark, tmp_path)
     stream = read_transcript_stream(spark, src)
