@@ -60,9 +60,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted entries are
-    non-SQL-expressible — approximate/hash-specific/pipeline ops — and get
-    the driver's rows-only check)."""
+    """DuckDB-runnable ANSI SQL oracle per query — since round 2, EVERY
+    queries() entry has one (the approximate/hash-specific ops use
+    engine-portable md5-derived constructions; the KG pipeline uses the
+    kg_fixture decision-table/BFS mirrors)."""
     from ontology_mapper_spark.contract import ORACLES
 
     return dict(ORACLES)

@@ -2328,3 +2328,46 @@ def q65(spark, sf):
         F.min("doc_id").alias("min_id"),
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
     )
+
+
+@_q(
+    "q66_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w,
+                   generate_subscripts(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),1) AS idx
+            FROM documents)
+      WHERE length(w) > 0),
+    bg0 AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+      FROM toks),
+    bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+    c1 AS (SELECT w1, count(*) AS c_ctx FROM bg GROUP BY 1),
+    c12 AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT w) AS v FROM toks),
+    nll AS (
+      SELECT c12.w1, c12.w2,
+             CAST(round(-ln((c12.c_bg + 1.0) / (c1.c_ctx + v.v)) * 1e6)
+                  AS BIGINT) AS nll_micro
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           CAST(sum(nll.nll_micro) AS BIGINT) AS nll_micro_sum,
+           CAST(floor(sum(nll.nll_micro) / count(*)) AS BIGINT)
+             AS nll_avg_micro
+    FROM bg JOIN nll ON bg.w1 = nll.w1 AND bg.w2 = nll.w2
+    GROUP BY 1
+    """,
+)
+def q66(spark, sf):
+    """Perplexity-proxy quality score (CCNet/Gopher LM-surprise family):
+    per-doc NLL under an add-one-smoothed bigram LM trained on the corpus
+    itself. Hash-exact by construction: the per-bigram -ln(p) is
+    micro-fixed-pointed once per DISTINCT bigram from exact integer counts,
+    then integer-summed per doc — no raw double accumulation."""
+    from .operators.textstats import bigram_nll
+
+    d = _t(spark, sf, "documents")
+    return bigram_nll(d, "text", "doc_id")

@@ -108,6 +108,77 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality signal: per-document negative log-likelihood
+    under a bigram LM trained on the corpus itself, with add-one smoothing —
+    the CCNet/Gopher-family "LM surprise" filter, self-contained (no external
+    model):  nll(w1,w2) = -ln((c(w1,w2)+1)/(c(w1·)+V)).
+
+    Output: (id, n_bigrams, nll_micro_sum, nll_avg_micro) — ALL integers.
+    The per-bigram nll is micro-fixed-pointed ONCE per distinct (w1,w2) from
+    exact integer counts, then integer-summed per doc, so a SQL oracle
+    reproduces it bit-exactly (no raw double summation anywhere).
+
+    Scale shape: bigrams are built from the words array natively (transform/
+    element_at — no window, no shuffle per doc). Three corpus-wide
+    aggregations (context counts, bigram counts, vocab size) all get
+    map-side partial agg, so zipfian-hot words don't straggle; the final
+    (w1,w2)-keyed join back to doc bigrams is AQE-handled. One extra scan
+    vs the single-pass stats — the LM table is meant to be computed once
+    per corpus snapshot and reused.
+    """
+    w = words_col(F.col(text_col))
+    pairs = F.filter(
+        F.transform(
+            w,
+            lambda x, i: F.struct(
+                x.alias("w1"), F.try_element_at(w, i + 2).alias("w2")
+            ),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bg = df.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    vocab = (
+        df.select(F.explode(w).alias("wd"))
+        .agg(F.countDistinct("wd").alias("v"))
+    )
+    nll = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log((F.col("c_bg") + F.lit(1.0)) / (F.col("c_ctx") + F.col("v")))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        bg.join(nll, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("nll_micro").alias("nll_micro_sum"),
+        )
+        .withColumn(
+            "nll_avg_micro",
+            F.floor(F.col("nll_micro_sum") / F.col("n_bigrams")).cast("bigint"),
+        )
+    )
+
+
 def token_count_col(text, pattern: str = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"):
     """BPE-ish token count: words plus standalone punctuation marks."""
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))

@@ -36,6 +36,7 @@ def connected_components(
     dst: str = "dst_iri",
     max_iter: int = 64,
     stats: dict | None = None,
+    hot_degree_threshold: int | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable; deterministic.
 
@@ -50,6 +51,14 @@ def connected_components(
     graph test); max_iter=64 therefore covers any graph that fits in
     storage — the loop exits early the moment the label signature stops
     changing, so the bound costs nothing in the common case.
+
+    `hot_degree_threshold`: when set, each iteration's edge⋈label join
+    routes nodes whose degree exceeds the threshold through an explicit
+    hot-key broadcast join (operators/skewjoin.py) — the hub's edge rows
+    never shuffle, closing the one skew hole that map-side-combined min()
+    and AQE partition-splitting leave open. Degrees are computed once
+    (the edge set is static across iterations). Off by default: below
+    ~10^5-degree hubs the plain AQE path wins on job-count.
     """
     spark = edges.sparkSession
     sym = (
@@ -102,6 +111,19 @@ def connected_components(
     sym = cut(sym)
     labels = cut(labels)
 
+    # optional explicit skew routing: the edge set is static across
+    # iterations, so the hot/cold split is computed ONCE here (not per
+    # iteration as the generic operators/skewjoin.py helper would) — the
+    # hub's edge rows are written to their own checkpoint files a single
+    # time and then only ever map-side-joined.
+    sym_hot = sym_cold = hot = None
+    if hot_degree_threshold is not None:
+        from ..operators.skewjoin import hot_keys
+
+        hot = F.broadcast(cut(hot_keys(sym, "v", hot_degree_threshold)))
+        sym_hot = cut(sym.join(hot, "v", "left_semi"))
+        sym_cold = cut(sym.join(hot, "v", "left_anti"))
+
     def signature(df: DataFrame):
         # decimal(38,0) sum of row hashes: exact, order-independent, and
         # immune to ANSI long overflow
@@ -122,11 +144,24 @@ def connected_components(
         # df["col"] attribute references captured across checkpoint
         # boundaries go stale and blow up iteration 2's analysis with
         # `NoSuchElementException: key not found` (Spark 4.1).
-        neighbor_labels = (
-            sym.join(
-                labels.select(F.col("node").alias("v"), "component"), "v", "inner"
+        labels_v = labels.select(F.col("node").alias("v"), "component")
+        if sym_hot is not None:
+            # hot nodes: few distinct keys → their label slice is tiny and
+            # broadcast; the hub's (huge) edge partition joins map-side
+            # with zero shuffle. Cold nodes take the normal join, now
+            # without its worst key.
+            joined = (
+                sym_hot.join(
+                    F.broadcast(labels_v.join(hot, "v", "left_semi")),
+                    "v",
+                    "inner",
+                )
+                .unionByName(sym_cold.join(labels_v, "v", "inner"))
             )
-            .select(F.col("u").alias("node"), F.col("component"))
+        else:
+            joined = sym.join(labels_v, "v", "inner")
+        neighbor_labels = joined.select(
+            F.col("u").alias("node"), F.col("component")
         )
         # cut before the self-join below: joining two aliases of the same
         # uncheckpointed iterative plan trips Catalyst attribute resolution

@@ -1,4 +1,4 @@
-"""Schema-mode sources (SURVEY.md S2-S4) — YAML/JSON/Markdown class files.
+r"""Schema-mode sources (SURVEY.md S2-S4) — YAML/JSON/Markdown class files.
 
 Schema files are config-sized (the reference walks them in-memory,
 core/schema_parser.py:57-211), so parsing happens on the driver; the result

@@ -320,6 +320,42 @@ def test_repetition_stats_bruteforce(spark):
         assert got[i] == (len(grams), best_gram, best_cnt, micro), i
 
 
+def test_bigram_nll_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from ontology_mapper_spark.operators.textstats import bigram_nll
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),            # frequent bigrams → lower nll
+        (3, "zebra quark nebula"),     # all-unseen-context → higher nll
+        (4, "solo"),                   # single word: no bigrams, absent row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_micro_sum, r.nll_avg_micro)
+        for r in bigram_nll(df).collect()
+    }
+    # brute-force mirror
+    toks = {i: t.split() for i, t in rows}
+    bgs = {i: list(zip(w, w[1:])) for i, w in toks.items()}
+    c1 = Counter(b[0] for bb in bgs.values() for b in bb)
+    c12 = Counter(b for bb in bgs.values() for b in bb)
+    vocab = len({w for ws in toks.values() for w in ws})
+    for i, bb in bgs.items():
+        if not bb:
+            assert i not in got
+            continue
+        s = sum(
+            round(-math.log((c12[b] + 1.0) / (c1[b[0]] + vocab)) * 1e6)
+            for b in bb
+        )
+        assert got[i] == (len(bb), s, s // len(bb)), i
+    # the repeated-bigram doc must score lower surprise than the unique one
+    assert got[2][2] < got[3][2]
+
+
 def test_exact_neardup_guard_refuses_large_corpus(spark):
     import pytest
 
