@@ -112,6 +112,7 @@ def main() -> int:
         "q63_repetition",
         "q64_dedup_clusters",
         "q65_stratified_sample",
+        "q66_perplexity",
     ):
         fn = QUERIES[name]
         t0 = time.time()

@@ -61,6 +61,12 @@ def main() -> int:
     ap.add_argument("--nodes", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument(
+        "--hot-threshold", type=int, default=None,
+        help="route nodes above this degree through the explicit hot-key "
+             "broadcast join (operators/skewjoin.py) instead of relying on "
+             "map-side combine + AQE alone",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -79,7 +85,9 @@ def main() -> int:
 
     t0 = time.time()
     stats: dict = {}
-    labels = connected_components(edges, stats=stats)
+    labels = connected_components(
+        edges, stats=stats, hot_degree_threshold=args.hot_threshold
+    )
     n_labeled = labels.count()
     wall = time.time() - t0
 
@@ -104,6 +112,7 @@ def main() -> int:
         "sampled_label_errors": len(bad),
         "nodes_per_sec": round(n_labeled / wall, 1),
         "cpus": args.cpus,
+        "hot_threshold": args.hot_threshold,
     }
     print(json.dumps(out))
     assert not bad, bad[:5]
