@@ -1,5 +1,6 @@
 from .detect import (
     read_transcript_stream,
+    stream_comention_edges,
     stream_detect_mentions,
     stream_exact_dedup,
     stream_link_mentions,
@@ -8,6 +9,7 @@ from .detect import (
 
 __all__ = [
     "read_transcript_stream",
+    "stream_comention_edges",
     "stream_detect_mentions",
     "stream_exact_dedup",
     "stream_link_mentions",

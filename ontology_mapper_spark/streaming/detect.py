@@ -92,6 +92,70 @@ def stream_exact_dedup(
     )
 
 
+def stream_comention_edges(
+    spark: SparkSession,
+    stream: DataFrame,
+    terms: DataFrame,
+    window_turns: int = 2,
+    ts_horizon: str = "10 minutes",
+    entity_col: str = "class_iri",
+) -> DataFrame:
+    """Streaming co-mention edge EVENTS: a stream-stream self-join of the
+    linked-mention stream with itself, same-conversation, |Δturn| ≤ W,
+    entity_a < entity_b — the batch `pipeline/comention.py` semantics run
+    continuously.
+
+    State machinery (why each clause exists):
+
+    * the mention stream is first reduced to distinct (conv_id, turn_idx,
+      entity) via watermarked dropDuplicates — the batch `.distinct()`,
+      with the watermark bounding the dedup state store;
+    * the join carries TWO range predicates: `turn_idx BETWEEN ±W` is the
+      SEMANTIC window (identical to batch), and `ts BETWEEN ±horizon` is
+      the STATE-EVICTION bound Structured Streaming requires on a
+      stream-stream join — each side's buffered rows are dropped once the
+      other side's watermark passes the horizon. `ts_horizon` must be ≥ the
+      maximum wall-clock span of W turns (transcript turns are ≤ 2 minutes
+      apart, so the 10-minute default covers W ≤ 5 with slack); it is a
+      superset bound and never changes which pairs qualify.
+
+    Emits one row per co-mention EVENT pair (append mode — safe for any
+    sink). Count aggregation is left to the consumer: write the events to
+    the same bucketed parquet layout as `incremental_edges` and the
+    existing compact-at-read sum restores `n_comentions` exactly — counts
+    are algebraic, so event-level parquet + batch compaction and a
+    hypothetical stateful streaming count agree.
+    """
+    links = stream_link_mentions(spark, stream, terms)
+    ments = (
+        links.select(
+            "conv_id", "turn_idx", "ts", F.col(entity_col).alias("entity")
+        )
+        .withWatermark("ts", ts_horizon)
+        .dropDuplicates(["conv_id", "turn_idx", "entity"])
+    )
+    a = ments.alias("a")
+    b = ments.alias("b")
+    cond = F.expr(
+        f"""
+        a.conv_id = b.conv_id
+        AND b.turn_idx BETWEEN a.turn_idx - {int(window_turns)}
+                           AND a.turn_idx + {int(window_turns)}
+        AND b.ts BETWEEN a.ts - INTERVAL {ts_horizon}
+                     AND a.ts + INTERVAL {ts_horizon}
+        AND a.entity < b.entity
+        """
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a.conv_id").alias("conv_id"),
+        F.col("a.turn_idx").alias("turn_a"),
+        F.col("b.turn_idx").alias("turn_b"),
+        F.col("a.entity").alias("entity_a"),
+        F.col("b.entity").alias("entity_b"),
+        F.col("a.ts").alias("ts"),
+    )
+
+
 def windowed_mention_counts(
     spark: SparkSession,
     stream: DataFrame,

@@ -158,3 +158,59 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert got_map
     for k, v in got_map.items():
         assert batch_map.get(k) == v, k
+
+
+def test_stream_comention_matches_batch(spark, tmp_path):
+    """Stream-stream self-join co-mention events, aggregated, == the batch
+    comention_edges on the same transcripts (same window_turns); and the
+    event form is loss-free (counts are algebraic)."""
+    from collections import Counter
+
+    from ontology_mapper_spark.datagen import build_snapshot
+    from ontology_mapper_spark.pipeline import (
+        build_dictionary,
+        detect_mentions,
+        link_mentions,
+    )
+    from ontology_mapper_spark.pipeline.comention import comention_edges
+    from ontology_mapper_spark.streaming import stream_comention_edges
+
+    from ontology_mapper_spark.datagen import build_transcripts
+    from ontology_mapper_spark.datagen.snapshot import ontology_terms_rows
+
+    # input mentioning MANY distinct linkable labels (comention needs ≥2
+    # distinct entities inside a window)
+    labels = sorted({r["label"] for r in ontology_terms_rows(30, 1)})
+    tr = build_transcripts(spark, n_convs=20, seed=9, mention_labels=labels)
+    src = str(tmp_path / "stream_src_ce")
+    tr.repartition(4).write.mode("overwrite").parquet(src)
+    terms, _ = build_snapshot(spark, n_terms=30, seed=1)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    # ts_horizon must cover the event-time DISORDER across micro-batches
+    # here (files are randomly partitioned and conversation t0 spreads over
+    # a day), else the watermark marks later files' rows late and parity
+    # breaks; in production the horizon only needs to cover source
+    # disorder + W turns.
+    edges = stream_comention_edges(
+        spark, stream, terms, window_turns=2, ts_horizon="2 days"
+    )
+    assert edges.isStreaming
+    q = (
+        edges.writeStream.format("memory")
+        .queryName("ce_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ce_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got_events = spark.sql("select * from ce_stream").collect()
+    got = Counter((r.entity_a, r.entity_b) for r in got_events)
+
+    batch_links = link_mentions(
+        spark, detect_mentions(spark, tr, build_dictionary(terms)), terms, idf=None
+    )
+    want = {
+        (r.entity_a, r.entity_b): r.n_comentions
+        for r in comention_edges(batch_links, window_turns=2).collect()
+    }
+    assert dict(got) == want and len(want) > 0
