@@ -95,16 +95,26 @@ def micro_vec_col(vec):
 
 
 def _bucket_from_signs(mv, signs_list: list[list[int]]):
-    bucket = F.lit(0)
-    for signs in signs_list:
-        lit = F.array(*[F.lit(s).cast("bigint") for s in signs])
-        dot = F.aggregate(
-            F.zip_with(mv, lit, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket * 2 + (dot > 0).cast("int")
-    return bucket
+    # The whole ±1 sign matrix enters the plan as ONE nested-array literal
+    # and the per-plane fold is a runtime aggregate over its rows — NOT
+    # k·dim separate Literal nodes unrolled into the expression tree. At
+    # 16 planes × 64 dims the unrolled form put >1000 nodes into codegen
+    # and plan compile time dwarfed the actual scan below ~10^5 rows.
+    # Value-identical: same left-to-right fold, same integer dot.
+    planes = F.lit(signs_list).cast("array<array<bigint>>")
+    return F.aggregate(
+        planes,
+        F.lit(0),
+        lambda bucket, plane: bucket * 2
+        + (
+            F.aggregate(
+                F.zip_with(mv, plane, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            > 0
+        ).cast("int"),
+    )
 
 
 def lsh_bucket_col(vec, dim: int, n_planes: int = 8):
