@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Training-data curation pipeline over the `documents` table — the
+LLM-data operators composed end to end, the way a corpus-cleaning job
+would chain them at 100 TB:
+
+  1. exact dedup (content-hash window rank, one shuffle);
+  2. MinHash-LSH near-dup clustering (banded equi-join → connected
+     components), keep each cluster's min-id representative;
+  3. quality gates: Gopher-style top-bigram repetition fraction, the
+     heuristic quality score, and the bigram-LM perplexity proxy — each a
+     single scan-composable signal;
+  4. deterministic hash split into train/valid/test.
+
+Every operator used here is individually DuckDB-oracled (q25/q26/q64/q63/
+q59/q66/q62); this example shows the composition.
+
+    python examples/training_data_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ontology_mapper_spark.operators.dedup import (  # noqa: E402
+    dedup_clusters,
+    exact_dedup,
+    minhash_band_pairs,
+    minhash_signatures,
+)
+from ontology_mapper_spark.operators.split import train_test_split  # noqa: E402
+from ontology_mapper_spark.operators.textstats import (  # noqa: E402
+    bigram_nll,
+    repetition_stats,
+    with_quality_score,
+)
+from ontology_mapper_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = get_spark(
+        app_name="training-data-pipeline", master="local[4]",
+        shuffle_partitions=8, driver_memory="4g",
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. exact dedup
+    docs = exact_dedup(docs, text_col="text", id_col="doc_id")
+    n1 = docs.count()
+
+    # 2. near-dup clustering → keep the min-id representative per cluster
+    sig = minhash_signatures(docs, "text", "doc_id", num_hashes=8, shingle_n=2)
+    pairs = minhash_band_pairs(sig, "doc_id", num_hashes=8, bands=4)
+    clusters = dedup_clusters(pairs)  # (doc_id, cluster_rep) — only clustered docs
+    docs = (
+        docs.join(clusters, "doc_id", "left")
+        .where(
+            F.col("cluster_rep").isNull()
+            | (F.col("cluster_rep") == F.col("doc_id"))
+        )
+        .drop("cluster_rep")
+    )
+    n2 = docs.count()
+
+    # 3. quality gates (each signal is one scan / one bounded shuffle)
+    rep = repetition_stats(docs, "text", "doc_id").select(
+        "doc_id", "rep_micro"
+    )
+    nll = bigram_nll(docs, "text", "doc_id").select("doc_id", "nll_avg_micro")
+    scored = (
+        with_quality_score(docs, "text")
+        .join(rep, "doc_id", "left")
+        .join(nll, "doc_id", "left")
+    )
+    kept = scored.where(
+        (F.col("quality_score") >= 40)
+        & (F.coalesce(F.col("rep_micro"), F.lit(0)) <= 200_000)  # ≤20% top-bigram chars
+    )
+    n3 = kept.count()
+
+    # 4. deterministic split — stable under any partitioning / engine
+    final = train_test_split(kept, "doc_id")
+    final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    stats = {r["split"]: r["n"] for r in
+             final.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+    print(
+        f"docs {n0} -> exact-dedup {n1} -> near-dup {n2} -> quality {n3}; "
+        f"splits {stats}; wrote {out_dir}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
