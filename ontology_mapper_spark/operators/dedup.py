@@ -348,6 +348,11 @@ def dedup_clusters(
     Reuses the engine's iterative CC (numeric ids zero-padded so the
     string min is the numeric min). Only docs that appear in a pair are
     returned — singletons are trivially their own representative.
+    Candidate-pair graphs are usually tiny relative to the corpus (LSH
+    already pruned them), so a size-gated driver-local union-find handles
+    graphs up to `local_threshold` edges — identical labels, none of the
+    per-iteration lineage-cut fixed cost; bigger graphs fall through to
+    the distributed loop automatically.
     """
     from ..pipeline.canonicalize import connected_components
 
@@ -355,7 +360,7 @@ def dedup_clusters(
         F.lpad(F.col(id_a).cast("string"), pad, "0").alias("src_iri"),
         F.lpad(F.col(id_b).cast("string"), pad, "0").alias("dst_iri"),
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, local_threshold=1_000_000)
     return comp.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_rep"),

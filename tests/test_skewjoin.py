@@ -105,3 +105,32 @@ def test_cc_hot_threshold_bit_parity(spark):
     comp = dict(plain)
     assert comp["hub"] == "hub"  # "hub" < "s0"
     assert comp["s7"] == "hub"
+
+
+def test_cc_local_fast_path_bit_parity(spark):
+    from ontology_mapper_spark.pipeline.canonicalize import connected_components
+
+    edges = (
+        [("hub", f"s{i}") for i in range(50)]
+        + [(f"p{i}", f"p{i+1}") for i in range(30)]
+        + [("x", "y"), ("y", "z"), ("z", "x"), ("a", "a")]  # self-loop dropped
+    )
+    df = spark.createDataFrame(edges, ["src_iri", "dst_iri"])
+    dist = {(r.node, r.component) for r in connected_components(df).collect()}
+    stats: dict = {}
+    loc = {
+        (r.node, r.component)
+        for r in connected_components(
+            df, local_threshold=10_000, stats=stats
+        ).collect()
+    }
+    assert loc == dist
+    assert stats == {"iterations": 0, "local": True}
+    # over-threshold graphs fall through to the distributed loop
+    stats2: dict = {}
+    fallthrough = {
+        (r.node, r.component)
+        for r in connected_components(df, local_threshold=3, stats=stats2).collect()
+    }
+    assert fallthrough == dist
+    assert stats2.get("local") is None and stats2["iterations"] >= 1
