@@ -119,9 +119,11 @@ def main() -> int:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extended[name] = round(time.time() - t0, 3)
 
-    t0 = time.time()
+    # headline charges ONE flagship pass (median of the 5 timed passes) so
+    # `value` measures the same work as round 1; the per-pass list and the
+    # median throughput stay separate fields (VERDICT r2 item 3).
     turns_per_sec, n_turns, tps_passes = kg_flagship_throughput(spark)
-    timings["kg_flagship"] = round(time.time() - t0, 3)
+    timings["kg_flagship"] = round(n_turns / turns_per_sec, 3)
 
     # full 4-stage pipeline (detect → link → canonicalize → materialize),
     # fresh run including all table writes — the end-to-end KG number

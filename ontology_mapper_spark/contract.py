@@ -429,7 +429,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "q14_sum_nested_sizes",
     """
-    SELECT lang, sum(len(string_split(text, ' '))) AS total_words
+    SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
     FROM documents GROUP BY lang
     """,
 )
@@ -692,7 +692,7 @@ def q23(spark, sf):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT user_id,
            count(*) AS n_events,
-           sum(new_session) AS n_sessions
+           CAST(sum(new_session) AS BIGINT) AS n_sessions
     FROM flagged GROUP BY user_id
     """,
 )
@@ -1059,7 +1059,7 @@ def q32(spark, sf):
     "q33_token_count",
     """
     SELECT lang,
-           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -1825,7 +1825,7 @@ def q51(spark, sf):
     """
     SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1
     """,
@@ -2241,7 +2241,7 @@ def q62(spark, sf):
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY cnt DESC, gram) AS r
       FROM counts)
-    SELECT doc_id, n_grams, gram AS top_gram, cnt AS top_count,
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, gram AS top_gram, cnt AS top_count,
            CAST(round(cnt * length(gram) / n_chars * 1e6) AS BIGINT)
              AS rep_micro
     FROM ranked WHERE r = 1
