@@ -39,16 +39,22 @@ class CacheConfig:
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "CacheConfig":
-        """S9 env/config source: the reference's exact variable names and
-        parsing rules (cache/cache_config.py:12-26 — case-insensitive
-        'true' booleans, int-parsed TTL/size). `env` defaults to
-        os.environ; injectable for tests."""
+        """S9 env/config source: the reference's exact variable names,
+        parsing rules AND defaults (cache/cache_config.py:12-26 —
+        case-insensitive 'true' booleans, int-parsed TTL/size,
+        persistent=true, cache_dir=~/.ontology_mapper_cache). The
+        dataclass's own defaults stay Spark-local-friendly (.omx_cache,
+        non-persistent); only the env-source path mirrors the reference.
+        `env` defaults to os.environ; injectable for tests."""
         e = os.environ if env is None else env
         return cls(
             enabled=e.get("CACHE_ENABLED", "true").lower() == "true",
             ttl_seconds=float(int(e.get("CACHE_TTL", "86400"))),
-            persistent=e.get("CACHE_PERSISTENT", "false").lower() == "true",
-            cache_dir=e.get("CACHE_DIR", ".omx_cache"),
+            persistent=e.get("CACHE_PERSISTENT", "true").lower() == "true",
+            cache_dir=e.get(
+                "CACHE_DIR",
+                os.path.join(os.path.expanduser("~"), ".ontology_mapper_cache"),
+            ),
             max_size_mb=float(int(e.get("CACHE_MAX_SIZE_MB", "100"))),
         )
 

@@ -189,7 +189,10 @@ def simhash64(
 
 
 def simhash_hex(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct_words: bool = False,
 ) -> DataFrame:
     """(id, simhash_hex: 16-hex-char string) — 64-bit SimHash whose token
     hash family is md5 (reproducible in any engine, unlike xxhash64 — this
@@ -199,32 +202,65 @@ def simhash_hex(
     nibble. Per-bit majority votes run in ONE groupBy with map-side partial
     aggregation, exactly like simhash64; the nibble decode is conv() on a
     single hex char — all native Columns.
+
+    `distinct_words=True` switches to the vocab-join shape (the
+    distinct-first discipline, reference core/lookup.py:49-58): md5 + the
+    16-nibble decode run ONCE PER DISTINCT WORD (a vocab signature table)
+    and occurrences are first collapsed to per-doc (word, count)
+    histograms, so evals drop from O(occurrences × 16) to O(|vocab| × 16)
+    at the price of two extra shuffles (per-doc histogram + vocab join).
+    MEASURED crossover: on the driver's sf0.1 corpus (270k occurrences,
+    31 distinct words, short texts) the per-occurrence default is ~1.7×
+    FASTER (2.7s vs 4.6s warm) because md5 over 270k rows is trivial and
+    the extra exchanges dominate; the vocab join pays off only when
+    occurrences/distinct-(doc,word) is large (long Zipf documents, real
+    web text). Both shapes emit bit-identical output (same per-bit
+    majority over the same md5 nibbles — parity-tested), so callers pick
+    by corpus shape.
     """
     words = F.split(normalized_text_col(F.col(text_col)), " ")
     tok = df.select(F.col(id_col), F.explode(words).alias("w")).where(F.length("w") > 0)
-    tok = tok.withColumn("h", F.md5(F.encode(F.col("w"), "utf-8")))
-    # Nibble-histogram shape: per token explode the 16 hex POSITIONS (not
-    # 64 bits) and count (id, pos, nibble-value) occurrences — ≤256
-    # histogram rows per doc after the map-side combine. Bit votes are then
+    if distinct_words:
+        # per-doc word histogram: map-side combine collapses repeated words
+        wcount = tok.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+        sig = (
+            wcount.select("w")
+            .distinct()
+            .withColumn("h", F.md5(F.encode(F.col("w"), "utf-8")))
+            .select(
+                "w",
+                F.expr(
+                    "transform(sequence(0, 15),"
+                    " p -> cast(conv(substring(h, p + 1, 1), 16, 10) as int))"
+                ).alias("nibs"),
+            )
+        )
+        tokp = wcount.join(sig, "w", "inner").select(
+            F.col(id_col), F.col("c"),
+            F.posexplode("nibs").alias("p", "n"),
+        )
+    else:
+        # Nibble-histogram shape: per token explode the 16 hex POSITIONS
+        # (not 64 bits) — 16 substr+conv evals per occurrence instead of
+        # 64 (a 64-wide single-groupBy agg and a 64×-exploded vote stream
+        # both measured ~2× slower at 10k docs).
+        tokh = tok.withColumn("h", F.md5(F.encode(F.col("w"), "utf-8")))
+        tokp = (
+            tokh.select(
+                F.col(id_col), F.col("h"),
+                F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
+            )
+            .select(
+                id_col, "p",
+                F.conv(F.expr("substring(h, p + 1, 1)"), 16, 10)
+                .cast("int").alias("n"),
+            )
+            .withColumn("c", F.lit(1))
+        )
+    # ≤256 histogram rows per doc after the map-side combine; bit votes are
     # derived on the tiny histogram (each row fans to its 4 bits with
-    # weight ±count), so the per-token work is 16 substr+conv evals instead
-    # of 64 — this op is evaluation-bound (tokens × positions), not
-    # shuffle-bound, and this shape quarters the hot-loop evals. A 64-wide
-    # single-groupBy agg and a 64×-exploded vote stream were both measured
-    # ~2× slower at 10k docs; identical output by construction (same
-    # per-bit majority over the same md5 nibbles).
-    tokp = (
-        tok.select(
-            F.col(id_col), F.col("h"),
-            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
-        )
-        .select(
-            id_col, "p",
-            F.conv(F.expr("substring(h, p + 1, 1)"), 16, 10)
-            .cast("int").alias("n"),
-        )
-    )
-    hist = tokp.groupBy(id_col, "p", "n").agg(F.count("*").alias("cnt"))
+    # weight ±count).
+    hist = tokp.groupBy(id_col, "p", "n").agg(F.sum("c").alias("cnt"))
     votes = (
         hist.select(
             F.col(id_col), F.col("cnt"), F.col("n"),
@@ -291,6 +327,14 @@ def simhash_neardup_pairs(
         raise ValueError("bands must divide 64")
     hexw = 16 // bands
     sig = simhash_hex(df, text_col, id_col)
+    # The banded join consumes sig on BOTH sides of a self-join; Spark
+    # plans the full signature pipeline twice (0 ReusedExchange — measured
+    # 8 parquet scans in the unmaterialized plan). Eagerly localCheckpoint
+    # the signature table — n_docs × ~30B, executor-resident (never the
+    # driver) — so tokenize+md5+votes run once and the join reads the
+    # materialized partitions twice. Single-generation checkpoint, so the
+    # Spark 4.1 cross-generation checkpoint bug (CLAUDE.md) doesn't apply.
+    sig = sig.localCheckpoint(eager=True)
     bands_df = sig.select(
         F.col(id_col),
         "simhash_hex",
@@ -338,7 +382,7 @@ def simhash_neardup_pairs(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", pad: int = 12
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", pad: int = 19
 ) -> DataFrame:
     """(doc_id, cluster_rep) — connected components over near-dup candidate
     pairs; the representative is the min doc id of the component. This is
@@ -353,6 +397,11 @@ def dedup_clusters(
     graphs up to `local_threshold` edges — identical labels, none of the
     per-iteration lineage-cut fixed cost; bigger graphs fall through to
     the distributed loop automatically.
+
+    `pad` defaults to 19 — the max digit count of a non-negative bigint —
+    because F.lpad TRUNCATES longer strings, which would silently collide
+    ids (ADVICE r2). Negative ids are not supported (zero-padding breaks
+    their ordering).
     """
     from ..pipeline.canonicalize import connected_components
 
@@ -360,7 +409,10 @@ def dedup_clusters(
         F.lpad(F.col(id_a).cast("string"), pad, "0").alias("src_iri"),
         F.lpad(F.col(id_b).cast("string"), pad, "0").alias("dst_iri"),
     )
-    comp = connected_components(edges, local_threshold=1_000_000)
+    # 250k edges ≈ 250k × ~50B Rows ≈ 12MB driver heap — comfortably safe
+    # on a small driver while still covering every realistic LSH-pruned
+    # candidate graph at test scale (VERDICT r2 item 7; was 1M).
+    comp = connected_components(edges, local_threshold=250_000)
     return comp.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_rep"),

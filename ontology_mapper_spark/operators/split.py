@@ -26,7 +26,11 @@ def split_thresholds(fracs: dict[str, float]) -> list[tuple[str, str]]:
     labels = list(fracs)
     for name in labels[:-1]:
         acc += fracs[name]
-        out.append((name, format(round(acc * 2**32), "08x")))
+        # clamp: a cumulative fraction that rounds to 2**32 would format as
+        # the 9-char '100000000', and lexicographic comparison vs the 8-char
+        # md5 prefix would misroute ~15/16 of rows (ADVICE r2).
+        bound = min(round(acc * 2**32), 2**32 - 1)
+        out.append((name, format(bound, "08x")))
     return out
 
 

@@ -36,13 +36,35 @@ def _bucket(col, buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
 
 
+def _labels_bucket_fps(labels: DataFrame) -> dict[str, int]:
+    """Per-bucket order-insensitive fingerprint of (node, component) rows —
+    the label table's commit marker payload (same pattern as
+    _links_bucket_fps). Map-side partial agg; no shuffle of row data."""
+    return {
+        str(r["bucket"]): int(r["fp"])
+        for r in labels.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.xxhash64("node", "component").cast("decimal(38,0)")
+            ).alias("fp")
+        )
+        .collect()
+    }
+
+
 def write_component_labels(
     labels: DataFrame, out_path: str, buckets: int = 32
 ) -> None:
-    """(node, component) → parquet partitioned by node-hash bucket."""
+    """(node, component) → parquet partitioned by node-hash bucket, plus a
+    per-bucket fingerprint marker so incremental_components can detect a
+    mid-swap crash (ADVICE r2)."""
+    from .incremental import _save_marker
+
     labels.withColumn("bucket", _bucket(F.col("node"), buckets)).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(out_path)
+    spark = labels.sparkSession
+    _save_marker(out_path, _labels_bucket_fps(spark.read.parquet(out_path)))
 
 
 def incremental_components(
@@ -57,9 +79,36 @@ def incremental_components(
 
     Returns {'changed_buckets': [...], 'n_merges': int, 'n_new_nodes': int}.
     Every join against the full label table broadcasts the delta side; the
-    only full-table work is the map-side filter of changed buckets.
+    only full-table work is map-side (the changed-bucket filter and the
+    fingerprint verification scan).
+
+    Crash safety (ADVICE r2): the per-bucket swap below is not atomic
+    across buckets, so the table carries a per-bucket fingerprint marker
+    (written by write_component_labels and updated after every successful
+    swap). On entry the marker is re-verified against the table; a
+    mismatch means a previous call died mid-swap (some buckets remapped,
+    some stale) and this raises RuntimeError rather than silently merging
+    onto a half-updated table — rebuild with write_component_labels(full
+    recompute). Tables written before markers existed (no marker file)
+    skip verification and adopt a marker on their first successful batch.
     """
+    from .incremental import _load_marker, _save_marker
+
     labels = spark.read.parquet(labels_path)
+    marker = _load_marker(labels_path)
+    if marker:
+        current = _labels_bucket_fps(labels)
+        if current != marker:
+            bad = sorted(
+                set(current) ^ set(marker)
+                | {b for b in set(current) & set(marker) if current[b] != marker[b]}
+            )
+            raise RuntimeError(
+                f"label table {labels_path} failed fingerprint verification "
+                f"(buckets {bad[:8]}{'...' if len(bad) > 8 else ''}) — a "
+                f"previous incremental_components died mid-swap; rebuild the "
+                f"table with write_component_labels from a full recompute"
+            )
 
     delta = delta_edges.select(
         F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v")
@@ -165,6 +214,21 @@ def incremental_components(
         if os.path.exists(src_dir):
             shutil.move(src_dir, os.path.join(labels_path, f"bucket={b}"))
     shutil.rmtree(staging, ignore_errors=True)
+
+    # Commit marker: fingerprint the swapped buckets as they now exist on
+    # disk (changed-bucket read only — partition-pruned); legacy tables
+    # without a marker adopt a full one here.
+    post = spark.read.parquet(labels_path)
+    if marker:
+        new_fps = dict(marker)
+        for b in changed_list:
+            new_fps.pop(str(b), None)
+        new_fps.update(
+            _labels_bucket_fps(post.where(F.col("bucket").isin(changed_list)))
+        )
+    else:
+        new_fps = _labels_bucket_fps(post)
+    _save_marker(labels_path, new_fps)
     return result
 
 

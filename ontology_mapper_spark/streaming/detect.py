@@ -72,12 +72,15 @@ def stream_exact_dedup(
     """Streaming exact dedup: first occurrence of each normalized-content
     hash wins; re-seen content within the watermark horizon is dropped.
 
-    Built on Structured Streaming's native watermarked dropDuplicates —
-    the state store holds one row per distinct hash and the watermark
-    bounds it (hashes older than the horizon are evicted, so state is
-    O(distinct content per horizon), not O(stream)). The content hash is
-    the SAME normalization as the batch exact_dedup operator, so batch
-    backfills and the live stream agree on what counts as a duplicate.
+    Built on `dropDuplicatesWithinWatermark` (Spark 3.5+): the state store
+    holds one row per distinct hash and EVICTS it once the watermark
+    passes that hash's event time + horizon, so state is O(distinct
+    content per horizon), not O(stream). Plain watermarked
+    `dropDuplicates` on a subset that excludes the event-time column does
+    NOT evict — state would grow with every distinct content ever seen
+    (ADVICE r2). The content hash is the SAME normalization as the batch
+    exact_dedup operator, so batch backfills and the live stream agree on
+    what counts as a duplicate.
     """
     from ..operators.dedup import normalized_text_col
 
@@ -87,7 +90,7 @@ def stream_exact_dedup(
     )
     return (
         hashed.withWatermark(ts_col, watermark)
-        .dropDuplicates(["_content_hash"])
+        .dropDuplicatesWithinWatermark(["_content_hash"])
         .drop("_content_hash")
     )
 
@@ -108,8 +111,12 @@ def stream_comention_edges(
     State machinery (why each clause exists):
 
     * the mention stream is first reduced to distinct (conv_id, turn_idx,
-      entity) via watermarked dropDuplicates — the batch `.distinct()`,
-      with the watermark bounding the dedup state store;
+      entity) via `dropDuplicatesWithinWatermark` — the batch
+      `.distinct()` with state actually EVICTED at watermark + horizon
+      (plain subset dropDuplicates never evicts when the subset excludes
+      the event-time column — ADVICE r2). Duplicate mentions of one
+      (conv, turn, entity) share the turn's ts, so within-horizon dedup
+      is exactly batch distinct;
     * the join carries TWO range predicates: `turn_idx BETWEEN ±W` is the
       SEMANTIC window (identical to batch), and `ts BETWEEN ±horizon` is
       the STATE-EVICTION bound Structured Streaming requires on a
@@ -132,7 +139,7 @@ def stream_comention_edges(
             "conv_id", "turn_idx", "ts", F.col(entity_col).alias("entity")
         )
         .withWatermark("ts", ts_horizon)
-        .dropDuplicates(["conv_id", "turn_idx", "entity"])
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "entity"])
     )
     a = ments.alias("a")
     b = ments.alias("b")

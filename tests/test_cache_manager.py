@@ -111,6 +111,8 @@ def test_cache_config_from_env_and_file(tmp_path):
     # defaults when unset (reference cache_config.py defaults)
     d = CacheConfig.from_env({})
     assert d.enabled is True and d.ttl_seconds == 86_400.0
+    assert d.persistent is True  # reference default (ADVICE r2)
+    assert d.cache_dir.endswith(".ontology_mapper_cache")
 
     envf = tmp_path / "cache.env"
     envf.write_text(

@@ -103,6 +103,57 @@ def test_incremental_cc_noop_on_intra_component_edge(spark, tmp_path):
     assert r["changed_buckets"] == [] and r["n_merges"] == 0
 
 
+def test_incremental_cc_detects_mid_swap_corruption(spark, tmp_path):
+    """ADVICE r2: the per-bucket swap is not atomic across buckets; a crash
+    mid-swap must be DETECTED on the next call, not silently merged onto."""
+    import shutil
+
+    import pytest
+
+    path = str(tmp_path / "labels")
+    base = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(0, 40, 2)]
+    write_component_labels(
+        connected_components(_edges_df(spark, base)), path, buckets=BUCKETS
+    )
+    # healthy table: incremental batch succeeds and refreshes the marker
+    incremental_components(
+        spark, path, _edges_df(spark, [("n001", "n002")]), buckets=BUCKETS
+    )
+    # simulate a mid-swap crash: one bucket dir vanishes after the marker
+    # was committed
+    victim = next(d for d in sorted(os.listdir(path)) if d.startswith("bucket="))
+    shutil.rmtree(os.path.join(path, victim))
+    with pytest.raises(RuntimeError, match="fingerprint verification"):
+        incremental_components(
+            spark, path, _edges_df(spark, [("n003", "n004")]), buckets=BUCKETS
+        )
+
+
+def test_incremental_cc_legacy_table_without_marker(spark, tmp_path):
+    """Pre-marker tables verify nothing and adopt a marker on the first
+    successful swap."""
+    from ontology_mapper_spark.pipeline.incremental import BUCKET_MARKER
+
+    path = str(tmp_path / "labels")
+    base = [("a1", "a2"), ("b1", "b2")]
+    write_component_labels(
+        connected_components(_edges_df(spark, base)), path, buckets=BUCKETS
+    )
+    os.remove(os.path.join(path, BUCKET_MARKER))  # legacy table
+    incremental_components(
+        spark, path, _edges_df(spark, [("a2", "b1")]), buckets=BUCKETS
+    )
+    assert os.path.exists(os.path.join(path, BUCKET_MARKER))
+    got = _labels_set(spark, path)
+    full = {
+        (r_.node, r_.component)
+        for r_ in connected_components(
+            _edges_df(spark, base + [("a2", "b1")])
+        ).collect()
+    }
+    assert got == full
+
+
 def test_incremental_materialize_parity_after_compaction(spark, tmp_path):
     from ontology_mapper_spark.datagen import build_snapshot
     from ontology_mapper_spark.kg_fixture import terms_df

@@ -198,6 +198,17 @@ def test_dedup_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_wide_ids_no_truncation(spark):
+    # ids >= 10^12 exceeded the old pad=12 and F.lpad TRUNCATES, silently
+    # colliding distinct docs (ADVICE r2); pad=19 covers any bigint
+    from ontology_mapper_spark.operators.dedup import dedup_clusters
+
+    a, b, c, d = 10**13 + 7, 10**13 + 8, 10**18 + 1, 10**18 + 2
+    pairs = spark.createDataFrame([(a, b), (c, d)], ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+    assert got == {a: a, b: a, c: c, d: c}
+
+
 def test_simhash_neardup_pairs_banded(spark):
     from ontology_mapper_spark.operators.dedup import simhash_neardup_pairs
 
@@ -254,6 +265,38 @@ def test_hash_split_properties(spark):
     with pytest.raises(ValueError):
         split_thresholds({"a": 0.5, "b": 0.2})
     assert hash_split_col(F.lit("x"), {"all": 1.0}) is not None
+    # cumulative fraction rounding to 2**32 must clamp to 8 hex chars —
+    # a 9-char '100000000' threshold would lexicographically misroute
+    # ~15/16 of rows (ADVICE r2)
+    thr = dict(split_thresholds({"train": 1.0, "test": 0.0}))
+    assert thr["train"] == "ffffffff"
+    deg = train_test_split(df, "k", fracs={"train": 1.0, "test": 0.0})
+    dcounts = {
+        r.split: r.n
+        for r in deg.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert dcounts.get("train", 0) == 5000
+
+
+def test_simhash_hex_vocab_join_parity(spark):
+    # distinct_words=True (md5 once per distinct word, count-weighted
+    # votes) must be bit-identical to the per-occurrence default
+    from ontology_mapper_spark.operators.dedup import simhash_hex
+
+    rows = [
+        (1, "alpha beta beta gamma gamma gamma"),
+        (2, "Alpha  BETA beta\tgamma"),
+        (3, "one two three four five six seven"),
+        (4, ""),
+        (5, "repeat repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r.doc_id: r.simhash_hex for r in simhash_hex(df).collect()}
+    b = {
+        r.doc_id: r.simhash_hex
+        for r in simhash_hex(df, distinct_words=True).collect()
+    }
+    assert a == b and len(a) == 4  # empty text yields no tokens/row
 
 
 def test_simhash_hex_matches_python_reference(spark):
