@@ -1198,7 +1198,10 @@ def q36(spark, sf):
         F.lpad(F.col("src_iri").cast("string"), 10, "0").alias("src_iri"),
         F.lpad(F.col("dst_iri").cast("string"), 10, "0").alias("dst_iri"),
     )
-    comp = connected_components(edges_s)
+    # size-gated local fast path (identical labels, no lineage-cut floor);
+    # graphs past the gate fall through to the distributed loop, which the
+    # log-diameter property tests pin directly
+    comp = connected_components(edges_s, local_threshold=250_000)
     return comp.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("component").cast("bigint").alias("component"),

@@ -263,13 +263,22 @@ def connected_components(
     return labels
 
 
-def canonical_mapping(terms_df: DataFrame, xrefs: DataFrame) -> DataFrame:
+def canonical_mapping(
+    terms_df: DataFrame, xrefs: DataFrame, local_threshold: int = 250_000
+) -> DataFrame:
     """(class_iri, canonical_iri) for every IRI in the dictionary.
 
     Components come from the xref graph; dictionary IRIs not in any xref map
     to themselves. canonical_iri = component min (stable under parallelism).
+
+    Xref graphs are dictionary-scale (orders of magnitude below the
+    transcript corpus), so the size-gated driver-local CC fast path is ON
+    by default here — identical labels with none of the per-iteration
+    lineage-cut fixed cost; graphs past the gate fall through to the
+    distributed loop automatically (parity + fall-through tested, same
+    pattern as dedup_clusters).
     """
-    comp = connected_components(xrefs)
+    comp = connected_components(xrefs, local_threshold=local_threshold)
     all_iris = terms_df.select(F.col("class_iri")).distinct()
     return (
         all_iris.join(

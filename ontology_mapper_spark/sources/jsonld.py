@@ -227,10 +227,23 @@ def _parse_jsonl(text: str) -> list[tuple]:
     return p.triples
 
 
-def write_jsonld(triples: DataFrame, path: str) -> None:
+def write_jsonld(
+    triples: DataFrame,
+    path: str,
+    max_triples: int = 1_000_000,
+    allow_large: bool = False,
+) -> None:
     """Driver-side compacted document {"@context", "@graph"} grouped by
-    subject; CURIE predicates kept compact via the sink prefix table."""
+    subject; CURIE predicates kept compact via the sink prefix table.
+
+    A single JSON-LD document is one file built in one process, so this
+    collect()s — size-gated (refuses > `max_triples` unless
+    `allow_large=True`) to make the driver-side boundary explicit; use
+    the distributed JSON-LD-lines sink for big graphs."""
+    from .rdfxml import _guard_doc_form
     from ..sinks.exports import CURIE_EXPANSIONS
+
+    _guard_doc_form(triples, max_triples, allow_large, "write_jsonld")
 
     context = {p.rstrip(":"): ns for p, ns in CURIE_EXPANSIONS.items()}
     rows = triples.select("subj", "pred", "obj", "obj_type", "lang").collect()

@@ -154,12 +154,41 @@ def _split_iri(iri: str) -> tuple[str, str]:
     return iri, ""
 
 
-def write_rdfxml(triples: DataFrame, path: str) -> None:
+def _guard_doc_form(
+    triples: DataFrame, max_triples: int, allow_large: bool, op: str
+) -> None:
+    """Refuse to collect() an unbounded graph into one document. Cheap:
+    limit(N+1).count() never scans past the bound."""
+    if allow_large:
+        return
+    n = triples.limit(max_triples + 1).count()
+    if n > max_triples:
+        raise ValueError(
+            f"{op} builds ONE document on the driver and the graph has "
+            f">{max_triples} triples; use the distributed line-oriented "
+            f"sinks (NT/NQ/TriG/JSON-LD-lines) or pass allow_large=True "
+            f"if you really mean it"
+        )
+
+
+def write_rdfxml(
+    triples: DataFrame,
+    path: str,
+    max_triples: int = 1_000_000,
+    allow_large: bool = False,
+) -> None:
     """Driver-side RDF/XML document: rdf:Description per subject.
 
     Predicates stored as CURIEs are expanded via the sink prefix table
-    first. Small-graph convenience only (see module docstring)."""
+    first. Small-graph convenience only (see module docstring): a single
+    XML document is inherently one file built in one process, so this
+    collect()s — the size gate makes that an explicit contract (refuses
+    > `max_triples` unless `allow_large=True`), same pattern as
+    exact_neardup_pairs. Big graphs belong in the distributed
+    line-oriented sinks (NT/NQ/TriG/JSON-LD-lines)."""
     from ..sinks.exports import CURIE_EXPANSIONS
+
+    _guard_doc_form(triples, max_triples, allow_large, "write_rdfxml")
 
     def expand(p: str) -> str:
         for pfx, ns in CURIE_EXPANSIONS.items():

@@ -4,6 +4,7 @@ from .detect import (
     stream_detect_mentions,
     stream_exact_dedup,
     stream_link_mentions,
+    stream_windowed_comention_counts,
     windowed_mention_counts,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "stream_detect_mentions",
     "stream_exact_dedup",
     "stream_link_mentions",
+    "stream_windowed_comention_counts",
     "windowed_mention_counts",
 ]

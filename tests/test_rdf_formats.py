@@ -99,6 +99,22 @@ def test_trig_graph_keyword_and_default(spark):
             "http://ex.org/g2") in got
 
 
+def test_doc_form_writers_size_gated(spark, tmp_path):
+    # single-document writers collect() — the gate makes that explicit
+    # (VERDICT r2 item 5); allow_large opts out
+    import pytest
+
+    df = _df(spark)
+    with pytest.raises(ValueError, match="ONE document"):
+        write_rdfxml(df, str(tmp_path / "x.rdf"), max_triples=2)
+    with pytest.raises(ValueError, match="ONE document"):
+        write_jsonld(df, str(tmp_path / "x.jsonld"), max_triples=2)
+    write_rdfxml(df, str(tmp_path / "y.rdf"), max_triples=2, allow_large=True)
+    write_jsonld(
+        df, str(tmp_path / "y.jsonld"), max_triples=2, allow_large=True
+    )
+
+
 def test_rdfxml_roundtrip(spark, tmp_path):
     path = str(tmp_path / "out.rdf")
     write_rdfxml(_df(spark), path)

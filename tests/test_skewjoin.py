@@ -134,3 +134,32 @@ def test_cc_local_fast_path_bit_parity(spark):
     }
     assert fallthrough == dist
     assert stats2.get("local") is None and stats2["iterations"] >= 1
+
+
+def test_canonical_mapping_local_fast_path_parity(spark):
+    """canonical_mapping defaults to the size-gated local CC (VERDICT r2
+    item 6); labels must match the distributed loop bit-for-bit, and an
+    over-threshold graph must fall through."""
+    from ontology_mapper_spark.pipeline.canonicalize import canonical_mapping
+
+    terms = spark.createDataFrame(
+        [(f"iri:{c}",) for c in "abcdefg"], ["class_iri"]
+    )
+    xrefs = spark.createDataFrame(
+        [("iri:a", "iri:b"), ("iri:b", "iri:c"), ("iri:e", "iri:f")],
+        ["src_iri", "dst_iri"],
+    )
+    local = {
+        (r.class_iri, r.canonical_iri)
+        for r in canonical_mapping(terms, xrefs).collect()
+    }
+    dist = {
+        (r.class_iri, r.canonical_iri)
+        for r in canonical_mapping(terms, xrefs, local_threshold=0).collect()
+    }
+    fall = {
+        (r.class_iri, r.canonical_iri)
+        for r in canonical_mapping(terms, xrefs, local_threshold=1).collect()
+    }
+    assert local == dist == fall
+    assert ("iri:c", "iri:a") in local and ("iri:d", "iri:d") in local

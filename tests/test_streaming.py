@@ -214,3 +214,111 @@ def test_stream_comention_matches_batch(spark, tmp_path):
         for r in comention_edges(batch_links, window_turns=2).collect()
     }
     assert dict(got) == want and len(want) > 0
+
+
+def test_stream_windowed_comention_counts_parity(spark, tmp_path):
+    """VERDICT r2 item 9: tumbling-window per-pair counts chained onto the
+    stream-stream co-mention join. Two parity claims: (a) every emitted
+    window agrees with the batch-computed windows, (b) counts are
+    algebraic, so the per-pair sum across windows equals batch
+    comention_edges exactly."""
+    from collections import Counter
+
+    from ontology_mapper_spark.datagen import build_snapshot, build_transcripts
+    from ontology_mapper_spark.datagen.snapshot import ontology_terms_rows
+    from ontology_mapper_spark.pipeline import (
+        build_dictionary,
+        detect_mentions,
+        link_mentions,
+    )
+    from ontology_mapper_spark.pipeline.comention import comention_edges
+    from ontology_mapper_spark.streaming import stream_windowed_comention_counts
+
+    labels = sorted({r["label"] for r in ontology_terms_rows(30, 1)})
+    tr = build_transcripts(spark, n_convs=20, seed=9, mention_labels=labels)
+    src = str(tmp_path / "stream_src_wcc")
+    # Append-mode window counts only emit once the watermark passes a
+    # window's end; the final real window can therefore never close off
+    # its own data. A SENTINEL turn far past the corpus pushes the final
+    # watermark beyond every real window end, so ALL real windows emit
+    # and exact totals parity becomes provable. The sentinel must contain
+    # exactly ONE linkable label: the watermark node sits AFTER mention
+    # detection, so a no-mention row never advances it — while a single
+    # mention can never form a co-mention pair, so no sentinel events
+    # pollute the counts. Everything lands in ONE micro-batch
+    # (max_files_per_trigger covers all files) — cross-batch event-time
+    # disorder is the existing event-level test's subject, not this one's.
+    sentinel = tr.limit(1).select(
+        F.lit("zz_sentinel").alias("conv_id"),
+        "turn_idx", "role",
+        F.lit(labels[0]).alias("text"),
+        "tool",
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    tr.unionByName(sentinel).repartition(4).write.mode("overwrite").parquet(src)
+    terms, _ = build_snapshot(spark, n_terms=30, seed=1)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=100)
+    counts = stream_windowed_comention_counts(
+        spark, stream, terms,
+        window_turns=2, ts_horizon="2 days", window="1 hour",
+    )
+    assert counts.isStreaming
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wcc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wcc_ckpt"))
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.sql("select * from wcc_stream").collect()
+
+    batch_links = link_mentions(
+        spark, detect_mentions(spark, tr, build_dictionary(terms)), terms, idf=None
+    )
+    want_totals = {
+        (r.entity_a, r.entity_b): r.n_comentions
+        for r in comention_edges(batch_links, window_turns=2).collect()
+    }
+    # (a) per-window agreement vs batch-computed windows over the events
+    ments = (
+        batch_links.join(
+            tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+        )
+        .select("conv_id", "turn_idx", "ts", F.col("class_iri").alias("entity"))
+        .distinct()
+    )
+    a, b = ments.alias("a"), ments.alias("b")
+    batch_events = a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("b.turn_idx") >= F.col("a.turn_idx") - 2)
+        & (F.col("b.turn_idx") <= F.col("a.turn_idx") + 2)
+        & (F.col("a.entity") < F.col("b.entity")),
+    ).select(
+        F.col("a.entity").alias("entity_a"),
+        F.col("b.entity").alias("entity_b"),
+        F.col("a.ts").alias("ts"),
+    )
+    want_windows = {
+        (str(r.window_start), r.entity_a, r.entity_b): r.n
+        for r in batch_events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "entity_a", "entity_b"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "entity_a", "entity_b", "n")
+        .collect()
+    }
+    got_windows = {
+        (str(r.window_start), r.entity_a, r.entity_b): r.n_comentions for r in got
+    }
+    assert got_windows
+    for k, v in got_windows.items():
+        assert want_windows.get(k) == v, k
+    # (b) algebraic-sum parity: all windows closed (availableNow consumed
+    # everything and the final watermark passed), so totals match exactly
+    totals = Counter()
+    for r in got:
+        totals[(r.entity_a, r.entity_b)] += r.n_comentions
+    assert dict(totals) == want_totals and len(want_totals) > 0
