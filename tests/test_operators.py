@@ -514,3 +514,44 @@ def test_comparison_report_matches_oracle(spark):
         r["label"] for r in golden["bioportal_only"]}
     assert {r["label"] for r in got["ols_only"]} == {
         r["label"] for r in golden["ols_only"]}
+
+
+def test_shingles_all_col_zipwith_parity(spark):
+    # zip_with shape (O(n) evals/row) must match the per-occurrence
+    # semantics of the old transform shape, including the size<n fallback
+    from ontology_mapper_spark.operators.dedup import shingles_all_col
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a"),               # fewer words than n -> one short shingle
+        (3, ""),                # empty -> no shingles
+        (4, "x y"),             # exactly n
+        (5, "r r r"),           # repeats kept (multiset)
+        (6, "  padded   ws  "), # normalization applies first
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, tuple(r.sh))
+        for r in df.select(
+            "doc_id", shingles_all_col(F.col("text"), 2).alias("sh")
+        ).collect()
+    }
+    want = {
+        (1, ("a b", "b c", "c d")),
+        (2, ("a",)),
+        (3, ()),
+        (4, ("x y",)),
+        (5, ("r r", "r r")),
+        (6, ("padded ws",)),
+    }
+    assert got == want
+    # n=3 spot checks
+    got3 = {
+        r.doc_id: tuple(r.sh)
+        for r in df.select(
+            "doc_id", shingles_all_col(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got3[1] == ("a b c", "b c d")
+    assert got3[4] == ("x y",)
+    assert got3[2] == ("a",)
