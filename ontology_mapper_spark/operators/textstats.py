@@ -123,8 +123,12 @@ def bigram_nll(
     exact integer counts, then integer-summed per doc, so a SQL oracle
     reproduces it bit-exactly (no raw double summation anywhere).
 
-    Scale shape: bigrams are built from the words array natively (transform/
-    element_at — no window, no shuffle per doc). Three corpus-wide
+    Scale shape: bigrams are built from the words array natively via a
+    zip_with of the array against its own 1-shifted tail — no window, no
+    shuffle per doc, and crucially no array reference inside a lambda
+    body (higher-order lambdas re-evaluate their body per element, so the
+    earlier try_element_at(w, i+2) form re-ran normalize+split once per
+    word — the same O(len²) trap fixed in shingles_all_col). Three corpus-wide
     aggregations (context counts, bigram counts, vocab size) all get
     map-side partial agg, so zipfian-hot words don't straggle; the final
     (w1,w2)-keyed join back to doc bigrams is AQE-handled. One extra scan
@@ -132,12 +136,11 @@ def bigram_nll(
     per corpus snapshot and reused.
     """
     w = words_col(F.col(text_col))
+    tail = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1)))
     pairs = F.filter(
-        F.transform(
-            w,
-            lambda x, i: F.struct(
-                x.alias("w1"), F.try_element_at(w, i + 2).alias("w2")
-            ),
+        F.zip_with(
+            w, tail,
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
         ),
         lambda s: s["w2"].isNotNull(),
     )
@@ -205,9 +208,19 @@ def repetition_stats(
 
     from .dedup import normalized_text_col, shingles_all_col
 
-    grams = df.select(
+    # _n_chars must be computed in its OWN projection BELOW the explode:
+    # expressions written in the same select as a generator are placed in
+    # the post-Generate Project and re-evaluated once per OUTPUT row
+    # (measured: the normalize-regex ran 265k× instead of 5k× at sf0.1,
+    # +1.3s). A pre-Generate Project survives as the Generate's child.
+    pre = df.select(
         F.col(id_col),
         F.length(normalized_text_col(F.col(text_col))).alias("_n_chars"),
+        F.col(text_col),
+    )
+    grams = pre.select(
+        F.col(id_col),
+        F.col("_n_chars"),
         F.explode(shingles_all_col(F.col(text_col), ngram_n)).alias("gram"),
     )
     counts = grams.groupBy(id_col, "_n_chars", "gram").agg(
