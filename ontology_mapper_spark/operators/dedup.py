@@ -209,7 +209,6 @@ def simhash_hex(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    distinct_words: bool = False,
 ) -> DataFrame:
     """(id, simhash_hex: 16-hex-char string) — 64-bit SimHash whose token
     hash family is md5 (reproducible in any engine, unlike xxhash64 — this
@@ -220,60 +219,40 @@ def simhash_hex(
     aggregation, exactly like simhash64; the nibble decode is conv() on a
     single hex char — all native Columns.
 
-    `distinct_words=True` switches to the vocab-join shape (the
-    distinct-first discipline, reference core/lookup.py:49-58): md5 + the
-    16-nibble decode run ONCE PER DISTINCT WORD (a vocab signature table)
-    and occurrences are first collapsed to per-doc (word, count)
-    histograms, so evals drop from O(occurrences × 16) to O(|vocab| × 16)
-    at the price of two extra shuffles (per-doc histogram + vocab join).
-    MEASURED crossover: on the driver's sf0.1 corpus (270k occurrences,
-    31 distinct words, short texts) the per-occurrence default is ~1.7×
-    FASTER (2.7s vs 4.6s warm) because md5 over 270k rows is trivial and
-    the extra exchanges dominate; the vocab join pays off only when
-    occurrences/distinct-(doc,word) is large (long Zipf documents, real
-    web text). Both shapes emit bit-identical output (same per-bit
-    majority over the same md5 nibbles — parity-tested), so callers pick
-    by corpus shape.
+    Shape (measured, the distinct-first discipline of reference
+    core/lookup.py:49-58 applied per doc): tokens are first collapsed to
+    per-doc (word, count) histograms, then md5 + the 16-position nibble
+    explode run once per DISTINCT (doc, word) with votes weighted by
+    count. One extra shuffle (the (id, word) groupBy, map-side-combined),
+    but md5 evals drop from per-occurrence to per-distinct-pair and the
+    exploded stream shrinks proportionally — 30% faster than the
+    per-occurrence shape on the bench corpus (3.9s → 2.8s warm, 10k
+    docs) and the gap widens with doc length / Zipf repetition. A full
+    cross-doc vocab SIGNATURE TABLE (md5 once per distinct word +
+    re-join) was measured SLOWER than both (the join's extra exchange
+    dominates), so it is deliberately not offered. Bit-identical output
+    in all shapes: same per-bit majority over the same md5 nibbles.
     """
     words = F.split(normalized_text_col(F.col(text_col)), " ")
     tok = df.select(F.col(id_col), F.explode(words).alias("w")).where(F.length("w") > 0)
-    if distinct_words:
-        # per-doc word histogram: map-side combine collapses repeated words
-        wcount = tok.groupBy(id_col, "w").agg(F.count("*").alias("c"))
-        sig = (
-            wcount.select("w")
-            .distinct()
-            .withColumn("h", F.md5(F.encode(F.col("w"), "utf-8")))
-            .select(
-                "w",
-                F.expr(
-                    "transform(sequence(0, 15),"
-                    " p -> cast(conv(substring(h, p + 1, 1), 16, 10) as int))"
-                ).alias("nibs"),
-            )
+    # per-doc word histogram: map-side combine collapses repeated words
+    wcount = tok.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    tokh = wcount.withColumn("h", F.md5(F.encode(F.col("w"), "utf-8")))
+    # Nibble-histogram: per distinct (doc, word) explode the 16 hex
+    # POSITIONS (not 64 bits) — 16 substr+conv evals each (a 64-wide
+    # single-groupBy agg and a 64×-exploded vote stream both measured
+    # ~2× slower at 10k docs).
+    tokp = (
+        tokh.select(
+            F.col(id_col), F.col("c"), F.col("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
         )
-        tokp = wcount.join(sig, "w", "inner").select(
-            F.col(id_col), F.col("c"),
-            F.posexplode("nibs").alias("p", "n"),
+        .select(
+            id_col, "c", "p",
+            F.conv(F.expr("substring(h, p + 1, 1)"), 16, 10)
+            .cast("int").alias("n"),
         )
-    else:
-        # Nibble-histogram shape: per token explode the 16 hex POSITIONS
-        # (not 64 bits) — 16 substr+conv evals per occurrence instead of
-        # 64 (a 64-wide single-groupBy agg and a 64×-exploded vote stream
-        # both measured ~2× slower at 10k docs).
-        tokh = tok.withColumn("h", F.md5(F.encode(F.col("w"), "utf-8")))
-        tokp = (
-            tokh.select(
-                F.col(id_col), F.col("h"),
-                F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
-            )
-            .select(
-                id_col, "p",
-                F.conv(F.expr("substring(h, p + 1, 1)"), 16, 10)
-                .cast("int").alias("n"),
-            )
-            .withColumn("c", F.lit(1))
-        )
+    )
     # ≤256 histogram rows per doc after the map-side combine; bit votes are
     # derived on the tiny histogram (each row fans to its 4 bits with
     # weight ±count).

@@ -278,10 +278,11 @@ def test_hash_split_properties(spark):
     assert dcounts.get("train", 0) == 5000
 
 
-def test_simhash_hex_vocab_join_parity(spark):
-    # distinct_words=True (md5 once per distinct word, count-weighted
-    # votes) must be bit-identical to the per-occurrence default
-    from ontology_mapper_spark.operators.dedup import simhash_hex
+def test_simhash_hex_count_weighted_histogram_parity(spark):
+    # the per-(doc, word) histogram shape (md5 once per distinct pair,
+    # count-weighted votes) must be bit-identical to the per-occurrence
+    # Python reference, including heavy repetition and normalization
+    from ontology_mapper_spark.operators.dedup import simhash_hex, simhash_hex_py
 
     rows = [
         (1, "alpha beta beta gamma gamma gamma"),
@@ -292,11 +293,10 @@ def test_simhash_hex_vocab_join_parity(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     a = {r.doc_id: r.simhash_hex for r in simhash_hex(df).collect()}
-    b = {
-        r.doc_id: r.simhash_hex
-        for r in simhash_hex(df, distinct_words=True).collect()
-    }
-    assert a == b and len(a) == 4  # empty text yields no tokens/row
+    assert len(a) == 4  # empty text yields no tokens/row
+    for i, text in rows:
+        if i != 4:
+            assert a[i] == simhash_hex_py(text), i
 
 
 def test_simhash_hex_matches_python_reference(spark):
