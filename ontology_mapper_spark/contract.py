@@ -2374,3 +2374,85 @@ def q66(spark, sf):
 
     d = _t(spark, sf, "documents")
     return bigram_nll(d, "text", "doc_id")
+
+
+@_q(
+    "q67_decontaminate",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t,
+             len(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS nw
+      FROM documents),
+    toks AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(t,' ')) AS w,
+                   generate_subscripts(string_split(t,' '),1) AS idx
+            FROM norm)),
+    grams3 AS (
+      SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS gram
+      FROM (SELECT doc_id, w,
+                   lead(w)    OVER win AS w1,
+                   lead(w, 2) OVER win AS w2
+            FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY idx))
+      WHERE w1 IS NOT NULL AND w2 IS NOT NULL),
+    small AS (SELECT doc_id, t AS gram FROM norm WHERE nw < 3 AND t <> ''),
+    allg AS (SELECT DISTINCT doc_id, gram
+             FROM (SELECT * FROM grams3 UNION ALL SELECT * FROM small)),
+    bench AS (SELECT DISTINCT gram FROM allg WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, gram FROM allg WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY 1
+    """,
+)
+def q67(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix-C / PaLM / Llama n-gram
+    collision screening): docs sharing any word 3-gram with the benchmark
+    set (here: every 97th doc) are flagged with their distinct-overlap
+    count. Inverted-index join on the shingle key — never all-pairs."""
+    from .operators.decontaminate import contamination_report
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, "text", "doc_id", shingle_n=3)
+
+
+@_q(
+    "q68_percentile_trim",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*)    OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM ranked
+    WHERE r >= ceil(n * 0.1) AND r <= ceil(n * 0.9)
+    GROUP BY lang
+    """,
+)
+def q68(spark, sf):
+    """Exact per-language length-percentile trim (CCNet/Gopher-style
+    outlier removal, p10-p90), deterministic by construction: rank under
+    the total order (n_chars, doc_id) instead of approx_percentile's
+    partitioning-dependent sketch. One shuffle on lang; both windows
+    share it."""
+    from .operators.textstats import percentile_trim
+
+    d = _t(spark, sf, "documents")
+    return (
+        percentile_trim(d, "n_chars", by="lang", lower=0.1, upper=0.9)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -122,7 +122,13 @@ def lsh_bucket_col(vec, dim: int, n_planes: int = 8):
 
     Sign of <v, h_p> computed as a SIGNED-INTEGER sum over the micro-fixed-
     point vector with a literal ±1 plane array — exact, deterministic under
-    any parallelism, and bit-reproducible by the DuckDB oracle."""
+    any parallelism, and bit-reproducible by the DuckDB oracle.
+
+    Hot-path note: this convenience form embeds micro_vec_col inside the
+    per-plane fold, so the micro conversion re-evaluates once per plane
+    (higher-order lambdas re-run their body per element). For repeated
+    use project the micro vector once and call lsh_table_buckets_col with
+    pre_micro=True, as lsh_topk does."""
     return _bucket_from_signs(micro_vec_col(vec), plane_signs(n_planes, dim))
 
 

@@ -244,3 +244,49 @@ def repetition_stats(
             .alias("rep_micro"),
         )
     )
+
+
+def percentile_trim(
+    df: DataFrame,
+    value_col,
+    by: str | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    order_tiebreak: str = "doc_id",
+) -> DataFrame:
+    """Exact rank-based outlier trim — the CCNet/Gopher-style length/
+    quality percentile filter (drop the shortest p% and longest q% of
+    docs per language before training), made DETERMINISTIC: instead of
+    approx_percentile (whose sketch is partitioning-dependent), every row
+    gets an exact rank under the total order (value, tiebreak) within its
+    group, and rows survive iff
+
+        ceil(lower·n) <= rank <= ceil(upper·n)        (1-based rank)
+
+    which is engine-reproducible integer math (the SQL oracle replays the
+    identical window). `value_col` may be a Column expression (e.g.
+    token_count_col(F.col("text"))). One shuffle on the group key; the
+    two window functions share it.
+
+    At 100 TB the exact window is a per-group sort — fine for grouped
+    trims (per-language/per-source groups shard the sort); for a single
+    global group at extreme scale, swap in approx_percentile bounds
+    explicitly and accept the nondeterminism.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy(v.asc(), F.col(order_tiebreak).asc())
+    wn = Window.partitionBy(*part)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .where(
+            (F.col("_rank") >= F.ceil(F.col("_n") * F.lit(lower)))
+            & (F.col("_rank") <= F.ceil(F.col("_n") * F.lit(upper)))
+        )
+        .drop("_rank", "_n")
+    )

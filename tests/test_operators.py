@@ -555,3 +555,70 @@ def test_shingles_all_col_zipwith_parity(spark):
     assert got3[1] == ("a b c", "b c d")
     assert got3[4] == ("x y",)
     assert got3[2] == ("a",)
+
+
+def test_contamination_report_and_decontaminate(spark):
+    from ontology_mapper_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),   # shares 3-gram
+            (2, "completely unrelated words appear here"),
+            (3, "quick brown fox is a benchmark phrase"),    # shares 3-gram
+            (4, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], ["doc_id", "text"]
+    )
+    rep = {
+        r.doc_id: r.n_overlap
+        for r in contamination_report(corpus, bench, shingle_n=3).collect()
+    }
+    # doc 1 shares 'the quick brown' and 'quick brown fox'; doc 3 shares
+    # 'quick brown fox'
+    assert rep == {1: 2, 3: 1}
+    clean = {r.doc_id for r in decontaminate(corpus, bench, shingle_n=3).collect()}
+    assert clean == {2, 4}
+    # flag set and anti-join complement are consistent by construction
+    assert clean | set(rep) == {1, 2, 3, 4}
+
+
+def test_percentile_trim_exact_and_deterministic(spark):
+    import pytest
+
+    from ontology_mapper_spark.operators.textstats import percentile_trim
+
+    rows = [(i, "g%d" % (i % 2), (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "val"])
+    out = percentile_trim(df, "val", by="grp", lower=0.1, upper=0.9)
+    got = {(r.doc_id, r.grp, r.val) for r in out.collect()}
+    # exact rank rule replicated in python per group
+    want = set()
+    bygrp = {}
+    for i, g, v in rows:
+        bygrp.setdefault(g, []).append((v, i, g))
+    import math
+
+    for g, items in bygrp.items():
+        items.sort()
+        n = len(items)
+        lo, hi = math.ceil(n * 0.1), math.ceil(n * 0.9)
+        for rank, (v, i, _g) in enumerate(items, start=1):
+            if lo <= rank <= hi:
+                want.add((i, g, v))
+    assert got == want
+    # deterministic under repartitioning (the approx_percentile failure mode)
+    again = {
+        (r.doc_id, r.grp, r.val)
+        for r in percentile_trim(
+            df.repartition(17), "val", by="grp", lower=0.1, upper=0.9
+        ).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError):
+        percentile_trim(df, "val", lower=0.9, upper=0.1)
