@@ -34,6 +34,17 @@ HEADLINE = [
     "q36_connected_components",
 ]
 
+EXTENDED = [
+    "q30_lsh_topk",
+    "q61_simhash_neardup",
+    "q63_repetition",
+    "q64_dedup_clusters",
+    "q65_stratified_sample",
+    "q66_perplexity",
+    "q67_decontaminate",
+    "q68_percentile_trim",
+]
+
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
 
 
@@ -87,9 +98,10 @@ def main() -> int:
 
     # Warmup pass at the smallest SF: JIT/codegen + Python-UDF worker pools
     # start once; steady-state is what a long-running cluster job sees.
+    # Extended queries warm too — same methodology as the headline set.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -103,17 +115,10 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    # round-2 operators, timed but NOT counted into the headline metric
+    # round-2+ operators, timed but NOT counted into the headline metric
     # (keeps `value` comparable across rounds while still recording them)
     extended: dict[str, float] = {}
-    for name in (
-        "q30_lsh_topk",
-        "q61_simhash_neardup",
-        "q63_repetition",
-        "q64_dedup_clusters",
-        "q65_stratified_sample",
-        "q66_perplexity",
-    ):
+    for name in EXTENDED:
         fn = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
