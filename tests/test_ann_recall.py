@@ -51,3 +51,37 @@ def test_ann_recall_vs_bruteforce(spark):
     ivf_all = _topk_sets(ivf_topk(e, q, n_centroids=16, nprobe=16, k=5))
     all_mean, all_min = _recall(truth, ivf_all)
     assert all_mean == 1.0 and all_min == 1.0
+
+
+def test_multiprobe_lsh_recall_lift(spark):
+    """Multi-Probe LSH: probing the 1-bit-flip buckets must lift recall
+    over the same table count with no probes, and candidate supersetting
+    makes that monotone by construction (probe-0 candidates are a subset
+    of probe-4 candidates for identical planes)."""
+    from ontology_mapper_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucketed_topk,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = _topk_sets(cosine_topk_bruteforce(e, q, k=5))
+    base = _topk_sets(
+        lsh_bucketed_topk(e, q, dim=64, k=5, n_planes=4, n_tables=2)
+    )
+    probed = _topk_sets(
+        lsh_bucketed_topk(
+            e, q, dim=64, k=5, n_planes=4, n_tables=2, multi_probe=4
+        )
+    )
+    base_mean, _ = _recall(truth, base)
+    probed_mean, _ = _recall(truth, probed)
+    assert probed_mean >= base_mean
+    assert probed_mean >= 0.6, (base_mean, probed_mean)
+    # param validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_bucketed_topk(e, q, dim=64, n_planes=4, multi_probe=5)
