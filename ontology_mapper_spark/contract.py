@@ -2518,3 +2518,42 @@ def q69(spark, sf):
         e, q, dim=_EMB_DIM, k=5, n_planes=_LSH_PLANES, n_tables=2,
         multi_probe=4,
     )
+
+
+@_q(
+    "q70_dupspan",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')
+               AS toks
+      FROM documents),
+    sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(n_tokens - 2, 0) + 1)) AS i
+            FROM sized)),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM (SELECT g.doc_id, unnest(range(g.pos, g.pos + 3)) AS p
+            FROM grams g JOIN dupg USING (gram))),
+    agg AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(round(coalesce(a.dup_tokens, 0) / s.n_tokens * 1e6) AS BIGINT)
+             AS dup_frac_micro
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q70(spark, sf):
+    """Exact-substring duplication coverage (Lee et al. 2022): fraction of
+    token positions per document covered by a word 3-gram occurring >= 2
+    times corpus-wide. Span-level counterpart of q25's record-level exact
+    dedup (reference core/lookup.py:49-58 dedups whole records only)."""
+    from .operators.dedup import dup_span_stats
+
+    d = _t(spark, sf, "documents")
+    return dup_span_stats(d, "text", "doc_id", ngram_n=3, min_count=2)

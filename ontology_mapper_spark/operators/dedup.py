@@ -509,3 +509,91 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    fraction of token positions covered by at least one word n-gram that
+    occurs >= min_count times across the WHOLE corpus (self-repeats
+    count). Output: (doc_id, n_tokens, dup_tokens, dup_frac_micro) where
+    dup_frac_micro = round(dup_tokens / n_tokens * 1e6).
+
+    The reference dedups at whole-record granularity only
+    (core/lookup.py:49-58); span-level coverage is the training-data
+    extension used to cut verbatim memorisation.
+
+    Scale shape (no all-pairs anywhere):
+    * one explode to (doc, pos, gram) — linear in corpus tokens;
+    * corpus gram frequencies via groupBy(gram).count() — map-side
+      combined, one shuffle keyed by the gram;
+    * a LEFT SEMI join of occurrences against the duplicated-gram set —
+      plain shuffled equi join, skew bounded because a gram's join
+      fan-out is its occurrence count (linear, not quadratic: the gram
+      set side is distinct);
+    * coverage = explode(sequence(pos, pos+n-1)) then per-doc
+      count(DISTINCT position) — a fixed n-fold expansion of only the
+      DUPLICATED occurrences, then one count-distinct shuffle keyed by
+      doc. At 100 TB the duplicated subset is the minority of tokens, so
+      the expansion is cheap relative to the scan.
+
+    The grams array is built in its OWN projection before posexplode so
+    the transform() runs once per document, not once per exploded output
+    row (per-element re-evaluation trap — see CLAUDE.md).
+    """
+    n = int(ngram_n)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text_col(F.col(text_col)), " ").alias("_toks"),
+    ).select("doc_id", "_toks", F.size("_toks").alias("n_tokens"))
+    grams_arr = base.select(
+        "doc_id",
+        F.when(
+            F.col("n_tokens") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                lambda i: F.array_join(F.slice("_toks", i, n), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams"),
+    )
+    occ = grams_arr.select(
+        "doc_id", F.posexplode("_grams").alias("_pos0", "gram")
+    ).select("doc_id", (F.col("_pos0") + 1).alias("pos"), "gram")
+    dup = (
+        occ.groupBy("gram")
+        .count()
+        .where(F.col("count") >= min_count)
+        .select("gram")
+    )
+    covered = (
+        occ.join(dup, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("_p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens") * 1e6
+            )
+            .cast("long")
+            .alias("dup_frac_micro"),
+        )
+    )

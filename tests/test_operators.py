@@ -622,3 +622,27 @@ def test_percentile_trim_exact_and_deterministic(spark):
     assert again == got
     with pytest.raises(ValueError):
         percentile_trim(df, "val", lower=0.9, upper=0.1)
+
+
+def test_dup_span_stats_hand_computed(spark):
+    from ontology_mapper_spark.operators.dedup import dup_span_stats
+
+    docs = [
+        (1, "a b c d e"),        # "a b c" shared with doc 2 -> pos 1-3 covered
+        (2, "a b c x y"),        # same -> pos 1-3 covered
+        (3, "z z z z"),          # self-repeat "z z z" x2 -> all 4 covered
+        (4, "unique tokens only here now"),  # no duplicated gram
+        (5, "hi there"),         # shorter than n: zero grams, zero dup
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac_micro)
+        for r in dup_span_stats(df, "text", "doc_id", ngram_n=3, min_count=2).collect()
+    }
+    assert out == {
+        1: (5, 3, 600000),
+        2: (5, 3, 600000),
+        3: (4, 4, 1000000),
+        4: (5, 0, 0),
+        5: (2, 0, 0),
+    }
