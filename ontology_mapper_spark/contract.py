@@ -2557,3 +2557,63 @@ def q70(spark, sf):
 
     d = _t(spark, sf, "documents")
     return dup_span_stats(d, "text", "doc_id", ngram_n=3, min_count=2)
+
+
+@_q(
+    "q71_semdedup",
+    """
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+               AS centroid_id,
+             embedding AS cvec
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+    assigned AS (
+      SELECT vec_id, embedding, list_id, cent_sim_micro FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id AS list_id,
+               CAST(round(list_cosine_similarity(
+                      e.embedding::DOUBLE[], c.cvec::DOUBLE[]) * 1e6)
+                    AS BIGINT) AS cent_sim_micro,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(round(list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.cvec::DOUBLE[]) * 1e6)
+                          AS BIGINT) DESC,
+                          c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE r = 1),
+    half AS (
+      SELECT a.vec_id AS id_a, a.cent_sim_micro AS cs_a,
+             b.vec_id AS id_b, b.cent_sim_micro AS cs_b
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE CAST(round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6)
+                 AS BIGINT) >= 350000),
+    directed AS (
+      SELECT id_a AS me, cs_a AS cs_me, id_b AS other, cs_b AS cs_other
+      FROM half
+      UNION ALL
+      SELECT id_b, cs_b, id_a, cs_a FROM half),
+    dom AS (
+      SELECT me, count(*) AS n_similar,
+             max(CASE WHEN cs_other < cs_me
+                        OR (cs_other = cs_me AND other < me)
+                      THEN 1 ELSE 0 END) AS dominated
+      FROM directed GROUP BY me)
+    SELECT a.vec_id,
+           CAST(a.list_id AS INT) AS list_id,
+           a.cent_sim_micro,
+           CAST(coalesce(d.n_similar, 0) AS BIGINT) AS n_similar,
+           coalesce(d.dominated, 0) = 0 AS keep
+    FROM assigned a LEFT JOIN dom d ON a.vec_id = d.me
+    """,
+)
+def q71(spark, sf):
+    """SemDeDup (Abbas et al. 2023): md5-ranked deterministic centroids
+    (same quantizer as q48), within-cluster pairwise micro-cosine, remove
+    the member of each similar pair that sits CLOSER to the centroid
+    (ties by id) — keep/n_similar per vector, all integer-exact."""
+    from .operators.similarity import semdedup
+
+    e = _t(spark, sf, "embeddings")
+    return semdedup(e, threshold=0.35, n_centroids=16)

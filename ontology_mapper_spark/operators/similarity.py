@@ -372,3 +372,123 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_micro", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings and removing, within each cluster, every vector
+    that has a >= threshold cosine neighbor CLOSER to the cluster
+    centroid (the paper's keep-the-furthest-from-centroid rule, which
+    retains the least prototypical example of each duplicate group).
+
+    Output: (vec_id, list_id, cent_sim_micro, n_similar, keep) — one row
+    per input vector. `n_similar` counts same-cluster neighbors with
+    cosine >= threshold; `keep` is false iff one of them dominates this
+    vector (lower cent_sim_micro, ties broken by smaller id — a total
+    order, so exactly one member of every mutually-similar pair loses).
+
+    Deterministic end to end: centroids are the n_centroids corpus
+    vectors with the smallest md5(id) (same coarse quantizer as
+    ivf_topk/q48), assignment and similarity both rank on
+    micro-fixed-point cosine with id tiebreaks — reproducible verbatim by
+    the DuckDB oracle.
+
+    Scale shape: the only quadratic piece is the WITHIN-cluster pairwise
+    join, which is the SemDeDup design point — cost is sum(c_i^2) over
+    cluster sizes, so n_centroids must grow ~N/target_cluster_size (the
+    paper uses 50k clusters for LAION-440M; here 16 for the 500-row test
+    corpus). The centroid table stays broadcast-sized either way; the
+    pairwise stage is a plain shuffled self-equi-join on list_id, and the
+    assignment is one broadcast-nested-loop over n_centroids rows.
+    `assigned` is localCheckpointed so the self-join's two consumers read
+    materialized partitions instead of re-running the quantizer twice.
+
+    The reference has no embedding operators at all (nearest analogue:
+    whole-record dedup, core/lookup.py:49-58) — this is part of the
+    training-data curation extension alongside q25-q30/q47/q48/q64.
+    """
+    thr_micro = int(round(threshold * 1e6))
+    cent = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("_h")).alias("centroid_id"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cent)).withColumn(
+        "_csim",
+        cosine_micro_col(
+            F.col(vec_col).cast("array<double>"), F.col("_cvec").cast("array<double>")
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id").alias("list_id"),
+            F.col("_csim").alias("cent_sim_micro"),
+        )
+    ).localCheckpoint(eager=True)
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col(f"a.list_id") == F.col(f"b.list_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "_sim",
+            cosine_micro_col(
+                F.col(f"a.{vec_col}").cast("array<double>"),
+                F.col(f"b.{vec_col}").cast("array<double>"),
+            ),
+        )
+        .where(F.col("_sim") >= thr_micro)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.cent_sim_micro").alias("cs_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.cent_sim_micro").alias("cs_b"),
+        )
+    )
+    directed = half.select(
+        F.col("id_a").alias("me"), F.col("cs_a").alias("cs_me"),
+        F.col("id_b").alias("other"), F.col("cs_b").alias("cs_other"),
+    ).unionByName(
+        half.select(
+            F.col("id_b").alias("me"), F.col("cs_b").alias("cs_me"),
+            F.col("id_a").alias("other"), F.col("cs_a").alias("cs_other"),
+        )
+    )
+    dom = directed.groupBy("me").agg(
+        F.count("*").alias("n_similar"),
+        F.max(
+            (
+                (F.col("cs_other") < F.col("cs_me"))
+                | ((F.col("cs_other") == F.col("cs_me")) & (F.col("other") < F.col("me")))
+            ).cast("int")
+        ).alias("_dominated"),
+    )
+    return (
+        assigned.join(dom, assigned[id_col] == dom["me"], "left")
+        .select(
+            F.col(id_col),
+            F.col("list_id").cast("int").alias("list_id"),
+            F.col("cent_sim_micro"),
+            F.coalesce("n_similar", F.lit(0)).cast("long").alias("n_similar"),
+            (F.coalesce("_dominated", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -646,3 +646,65 @@ def test_dup_span_stats_hand_computed(spark):
         4: (5, 0, 0),
         5: (2, 0, 0),
     }
+
+
+def test_semdedup_matches_bruteforce(spark):
+    import hashlib
+    import math
+    import random
+
+    from ontology_mapper_spark.operators.similarity import semdedup
+
+    rng = random.Random(7)
+    # 3 tight groups + noise so the >=tau graph is non-trivial
+    seeds = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(3)]
+    rows = []
+    for i in range(42):
+        base = seeds[i % 3]
+        vec = [v + rng.uniform(-0.05, 0.05) for v in base] if i < 30 else [
+            rng.uniform(-1, 1) for _ in range(8)
+        ]
+        rows.append((i, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: (r.list_id, r.cent_sim_micro, r.n_similar, r.keep)
+        for r in semdedup(df, threshold=0.35, n_centroids=4).collect()
+    }
+
+    # python mirror of the whole rule
+    def cos_micro(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        # round-half-even like Spark/DuckDB round() on doubles? both use
+        # half-up for round(); python round is banker's — use floor(x+0.5)
+        v = d / (na * nb) * 1e6
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    by_id = dict(rows)
+    cent_ids = sorted(by_id, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:4]
+    cent = {
+        rank + 1: by_id[i]
+        for rank, i in enumerate(
+            sorted(cent_ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        )
+    }
+    assign, csim = {}, {}
+    for i, v in rows:
+        best = max(cent, key=lambda c: (cos_micro(v, cent[c]), -c))
+        assign[i], csim[i] = best, cos_micro(v, cent[best])
+    want = {}
+    for i, v in rows:
+        neigh = [
+            j
+            for j, u in rows
+            if j != i and assign[j] == assign[i] and cos_micro(v, u) >= 350000
+        ]
+        dominated = any(
+            csim[j] < csim[i] or (csim[j] == csim[i] and j < i) for j in neigh
+        )
+        want[i] = (assign[i], csim[i], len(neigh), not dominated)
+    assert got == want
+    # at least one duplicate must actually be dropped for the test to bite
+    assert any(not k for _, _, _, k in got.values())
+    assert any(n > 0 and k for _, _, n, k in got.values())
