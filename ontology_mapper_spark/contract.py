@@ -2617,3 +2617,63 @@ def q71(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     return semdedup(e, threshold=0.35, n_centroids=16)
+
+
+@_q(
+    "q72_pmi_edges",
+    """
+    WITH pat(p) AS (VALUES
+      ('hash join'),('sort merge'),('table scan'),('batch stream'),
+      ('window'),('filter'),('stream'),('group'),('vector'),('spark')),
+    words AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS w,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS idx
+            FROM documents)
+      WHERE w <> ''),
+    cand AS (
+      SELECT doc_id, w AS span FROM words
+      UNION ALL
+      SELECT doc_id, w || ' ' || lead_w AS span
+      FROM (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM words)
+      WHERE lead_w IS NOT NULL),
+    ment AS (SELECT DISTINCT doc_id, span FROM cand JOIN pat ON span = p),
+    nn AS (SELECT count(DISTINCT doc_id) AS n FROM ment),
+    cnt AS (SELECT span, count(*) AS n_units FROM ment GROUP BY 1),
+    pairs AS (
+      SELECT a.span AS entity_a, b.span AS entity_b, count(*) AS n_ab
+      FROM ment a JOIN ment b ON a.doc_id = b.doc_id AND a.span < b.span
+      GROUP BY 1, 2)
+    SELECT p.entity_a, p.entity_b,
+           CAST(ca.n_units AS BIGINT) AS n_a,
+           CAST(cb.n_units AS BIGINT) AS n_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(round(ln((p.n_ab * nn.n) / (ca.n_units * cb.n_units)) * 1e6)
+                AS BIGINT) AS pmi_micro,
+           CASE WHEN p.n_ab = nn.n THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(round(ln((p.n_ab * nn.n) / (ca.n_units * cb.n_units))
+                                / -ln(p.n_ab / nn.n) * 1e6) AS BIGINT)
+           END AS npmi_micro
+    FROM pairs p
+    JOIN cnt ca ON p.entity_a = ca.span
+    JOIN cnt cb ON p.entity_b = cb.span
+    CROSS JOIN nn
+    """,
+)
+def q72(spark, sf):
+    """PMI/NPMI edge weighting over conversation-level co-mentions
+    (Church & Hanks 1990 association strength; the KG edge-scoring
+    upgrade of q35's raw counts). ln once per distinct edge on an
+    integer-count rational, micro-rounded — the q66 discipline."""
+    from .pipeline.comention import pmi_comention_edges
+    from .pipeline.mention_detect import detect_mentions
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    m = detect_mentions(spark, d, _DEMO_PATTERNS)
+    return pmi_comention_edges(m, entity_col="pattern", unit_col="conv_id")

@@ -48,3 +48,74 @@ def comention_edges(links: DataFrame, window_turns: int = 2,
     return pairs.groupBy("entity_a", "entity_b").agg(
         F.count("*").alias("n_comentions")
     )
+
+
+def pmi_comention_edges(
+    links: DataFrame,
+    entity_col: str = "class_iri",
+    unit_col: str = "conv_id",
+) -> DataFrame:
+    """PMI/NPMI-weighted co-occurrence edges (Church & Hanks 1990; NPMI
+    per Bouma 2009) — the standard KG edge-strength upgrade over q35's
+    raw co-mention counts: pmi = ln(N·c_ab / (c_a·c_b)) over
+    conversation-level co-occurrence units, npmi = pmi / -ln(c_ab/N)
+    (1.0 by convention when the pair occurs in every unit).
+
+    Output: (entity_a, entity_b, n_a, n_b, n_ab, pmi_micro, npmi_micro)
+    with entity_a < entity_b.
+
+    Hash-exactness: every ln runs ONCE per distinct edge on a rational
+    built from exact integer counts (bigint·bigint then one float
+    divide — the same expression shape in Spark and the DuckDB oracle),
+    then micro-fixed-point rounds away any sub-1e-6 libm wobble. The
+    q66 discipline: no double accumulation anywhere.
+
+    Scale shape: reduce FIRST to the distinct (unit, entity) set; the
+    pair join is a self-equi-join on unit_col (fan-out bounded by
+    per-unit entity count, AQE handles hub units); entity marginals and
+    the single-row N are broadcast — the entity vocabulary is tiny
+    relative to the corpus, and N never leaves the JVM (no driver-side
+    count(), the plan stays lazy end to end).
+    """
+    ments = (
+        links.select(F.col(unit_col).alias("unit"), F.col(entity_col).alias("entity"))
+        .distinct()
+    )
+    n_df = ments.agg(F.countDistinct("unit").alias("n"))
+    counts = ments.groupBy("entity").agg(F.count("*").alias("n_units"))
+    a, b = ments.alias("a"), ments.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.unit") == F.col("b.unit"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.entity").alias("entity_a"),
+            F.col("b.entity").alias("entity_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ca = F.broadcast(counts.select(F.col("entity").alias("entity_a"),
+                                   F.col("n_units").alias("n_a")))
+    cb = F.broadcast(counts.select(F.col("entity").alias("entity_b"),
+                                   F.col("n_units").alias("n_b")))
+    joined = (
+        pairs.join(ca, "entity_a").join(cb, "entity_b")
+        .crossJoin(F.broadcast(n_df))
+    )
+    ratio = (F.col("n_ab") * F.col("n")) / (F.col("n_a") * F.col("n_b"))
+    pmi = F.log(ratio)
+    return joined.select(
+        "entity_a",
+        "entity_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.round(pmi * 1e6).cast("long").alias("pmi_micro"),
+        F.when(F.col("n_ab") == F.col("n"), F.lit(1000000).cast("long"))
+        .otherwise(
+            F.round(pmi / -F.log(F.col("n_ab") / F.col("n")) * 1e6).cast("long")
+        )
+        .alias("npmi_micro"),
+    )

@@ -708,3 +708,45 @@ def test_semdedup_matches_bruteforce(spark):
     # at least one duplicate must actually be dropped for the test to bite
     assert any(not k for _, _, _, k in got.values())
     assert any(n > 0 and k for _, _, n, k in got.values())
+
+
+def test_pmi_comention_edges_hand_computed(spark):
+    import math
+
+    from ontology_mapper_spark.pipeline.comention import pmi_comention_edges
+
+    rows = [
+        ("u1", "A"), ("u1", "B"), ("u1", "D"), ("u1", "E"),
+        ("u2", "A"), ("u2", "B"), ("u2", "D"), ("u2", "E"),
+        ("u3", "A"), ("u3", "C"), ("u3", "D"), ("u3", "E"),
+        ("u4", "B"), ("u4", "D"), ("u4", "E"),
+        ("u4", "B"),  # duplicate mention: must not inflate counts
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "class_iri"])
+    got = {
+        (r.entity_a, r.entity_b): (r.n_a, r.n_b, r.n_ab, r.pmi_micro, r.npmi_micro)
+        for r in pmi_comention_edges(df).collect()
+    }
+
+    def micro(x):
+        v = x * 1e6
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    n = 4
+    c = {"A": 3, "B": 3, "C": 1, "D": 4, "E": 4}
+    units = {"A": {1, 2, 3}, "B": {1, 2, 4}, "C": {3}, "D": {1, 2, 3, 4},
+             "E": {1, 2, 3, 4}}
+    want = {}
+    for x in c:
+        for y in c:
+            if x < y and units[x] & units[y]:
+                nab = len(units[x] & units[y])
+                pmi = math.log((nab * n) / (c[x] * c[y]))
+                npmi = (
+                    1000000 if nab == n
+                    else micro(pmi / -math.log(nab / n))
+                )
+                want[(x, y)] = (c[x], c[y], nab, micro(pmi), npmi)
+    assert got == want
+    # the perfect-co-occurrence convention branch actually fired
+    assert got[("D", "E")][4] == 1000000
