@@ -2677,3 +2677,56 @@ def q72(spark, sf):
     )
     m = detect_mentions(spark, d, _DEMO_PATTERNS)
     return pmi_comention_edges(m, entity_col="pattern", unit_col="conv_id")
+
+
+@_q(
+    "q73_containment",
+    """
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead_w AS sh
+      FROM (SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM (SELECT doc_id,
+                         unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w,
+                         generate_subscripts(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),1) AS idx
+                  FROM documents))
+      WHERE lead_w IS NOT NULL),
+    kept AS (
+      SELECT g.doc_id, g.sh FROM grams g
+      JOIN (SELECT sh FROM grams GROUP BY sh
+            HAVING count(*) <= least(200,
+                     ceil(0.2 * (SELECT count(DISTINCT doc_id)
+                                 FROM documents)))) s
+        ON g.sh = s.sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b, n_common,
+             sa.n_sh AS n_a, sb.n_sh AS n_b,
+             CAST(round(n_common / sa.n_sh * 1e6) AS BIGINT) AS cont_a_micro,
+             CAST(round(n_common / sb.n_sh * 1e6) AS BIGINT) AS cont_b_micro
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, n_common, n_a, n_b, cont_a_micro, cont_b_micro
+    FROM scored
+    WHERE cont_a_micro >= 500000 OR cont_b_micro >= 500000
+    """,
+)
+def q73(spark, sf):
+    """Broder containment near-dup (Broder 1997): keep a pair when EITHER
+    direction's containment |A∩B|/|A| clears the threshold — the
+    near-superset case Jaccard misses (q27's complement on the same
+    inverted index + stop-shingle caps). Micro-int scores: single
+    division then round, the oracle-portable form."""
+    from .operators.dedup import ngram_containment_pairs
+
+    d = _t(spark, sf, "documents")
+    return ngram_containment_pairs(
+        d, "text", "doc_id", shingle_n=2, threshold=0.5,
+        max_df=200, max_df_frac=0.2,
+    )

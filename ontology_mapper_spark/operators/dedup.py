@@ -467,6 +467,34 @@ def ngram_jaccard_pairs(
     When both are given the cap is least(absolute, fractional) — fraction
     governs small corpora, the ceiling governs large ones.
     """
+    common, sa, sb = _shingle_index_counts(
+        df, text_col, id_col, shingle_n, max_df, max_df_frac
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def _shingle_index_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_df: int | None,
+    max_df_frac: float | None,
+):
+    """Shared inverted-index core of the exact set-overlap family
+    (ngram_jaccard_pairs / ngram_containment_pairs): capped distinct
+    shingles → self-join on the shingle key → per-pair common counts +
+    per-doc set sizes. Returns (common, sizes_as_a, sizes_as_b) with
+    columns (id_a, id_b, n_common) / (id_a, n_a) / (id_b, n_b)."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
@@ -499,15 +527,56 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    return common, sa, sb
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Broder containment near-dup (Broder 1997 'On the resemblance and
+    containment of documents'): containment(a in b) = |S(a) ∩ S(b)| /
+    |S(a)| over distinct n-gram shingle sets. Catches the near-SUPERSET
+    case Jaccard misses — a short doc embedded verbatim in a much longer
+    one has high containment but low Jaccard (boilerplate wrappers,
+    quoted replies, prompt-in-completion leaks).
+
+    Output, one row per unordered pair with id_a < id_b:
+    (id_a, id_b, n_common, n_a, n_b, cont_a_micro, cont_b_micro) where
+    cont_a_micro = round(n_common/n_a × 1e6) — kept when EITHER direction
+    clears `threshold`. Integer micro so any engine hashes identically
+    (single division then round; no accumulation).
+
+    Same inverted-index core and composed stop-shingle caps as
+    ngram_jaccard_pairs — never all-pairs; each shingle contributes ≤ df²
+    candidate pairs, bounded by the caps. Reference analogue: none — the
+    reference dedups whole records only (core/lookup.py:49-58); this is
+    training-data curation surface."""
+    common, sa, sb = _shingle_index_counts(
+        df, text_col, id_col, shingle_n, max_df, max_df_frac
+    )
+    thr_micro = int(round(threshold * 1e6))
+    out = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            "cont_a_micro",
+            F.round(F.col("n_common") / F.col("n_a") * 1e6).cast("long"),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+        .withColumn(
+            "cont_b_micro",
+            F.round(F.col("n_common") / F.col("n_b") * 1e6).cast("long"),
+        )
+    )
+    return out.where(
+        (F.col("cont_a_micro") >= thr_micro) | (F.col("cont_b_micro") >= thr_micro)
+    ).select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", "cont_a_micro", "cont_b_micro"
     )
 
 

@@ -750,3 +750,56 @@ def test_pmi_comention_edges_hand_computed(spark):
     assert got == want
     # the perfect-co-occurrence convention branch actually fired
     assert got[("D", "E")][4] == 1000000
+
+
+def test_ngram_containment_catches_superset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment of the
+    short side is 1.0 while Jaccard is far below any useful threshold."""
+    from ontology_mapper_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    filler = " ".join(f"w{i} w{i}x" for i in range(30))
+    docs = [
+        (1, short),
+        (2, filler + " " + short),       # superset of doc 1
+        (3, "totally different words here with no overlap at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.cont_a_micro, r.cont_b_micro)
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", shingle_n=2, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    n_common, n_a, n_b, ca, cb = out[(1, 2)]
+    # all 3 bigrams of the short doc appear in the long one
+    assert (n_common, n_a) == (3, 3) and ca == 1000000
+    assert cb == round(n_common / n_b * 1e6)
+    # Jaccard misses the same pair even at a low threshold
+    jac = ngram_jaccard_pairs(
+        df, "text", "doc_id", shingle_n=2, threshold=0.5
+    ).collect()
+    assert not jac
+
+
+def test_ngram_containment_threshold_either_direction(spark):
+    """The pair is kept when EITHER direction clears the threshold and the
+    pair key is always id_a < id_b regardless of input order."""
+    from ontology_mapper_spark.operators.dedup import ngram_containment_pairs
+
+    docs = [
+        (10, "p q r s"),
+        (2, "x y p q r s z"),  # contains all of doc 10's bigrams
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = ngram_containment_pairs(
+        df, "text", "doc_id", shingle_n=2, threshold=0.95
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(2, 10)]
+    r = rows[0]
+    # doc 10's 3 bigrams all inside doc 2 -> cont for the id=10 side is 1.0
+    assert r.cont_b_micro == 1000000 and r.cont_a_micro < 1000000
