@@ -2730,3 +2730,69 @@ def q73(spark, sf):
         d, "text", "doc_id", shingle_n=2, threshold=0.5,
         max_df=200, max_df_frac=0.2,
     )
+
+
+@_q(
+    "q74_winnow_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w,
+                   generate_subscripts(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),1) AS idx
+            FROM documents)),
+    hashed AS (
+      SELECT doc_id, idx AS pos, substr(md5(w || ' ' || lead1 || ' ' || lead2), 1, 8) AS h
+      FROM (SELECT doc_id, idx, w,
+                   lead(w)    OVER (PARTITION BY doc_id ORDER BY idx) AS lead1,
+                   lead(w, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS lead2
+            FROM words)
+      WHERE lead2 IS NOT NULL),
+    ng AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+    wins AS (
+      SELECT h.doc_id, h.pos, h.h,
+             unnest(range(greatest(h.pos - 3, 1), least(h.pos, g.n - 3) + 1)) AS win
+      FROM hashed h JOIN ng g USING (doc_id)),
+    sel AS (
+      SELECT DISTINCT doc_id, pos, h FROM (
+        SELECT doc_id, pos, h,
+               row_number() OVER (PARTITION BY doc_id, win
+                                  ORDER BY h ASC, pos DESC) AS r
+        FROM wins)
+      WHERE r = 1),
+    fps AS (SELECT DISTINCT doc_id, h FROM sel),
+    kept AS (
+      SELECT f.doc_id, f.h FROM fps f
+      JOIN (SELECT h FROM fps GROUP BY h
+            HAVING count(*) <= least(200,
+                     ceil(0.2 * (SELECT count(DISTINCT doc_id)
+                                 FROM documents)))) s
+        ON f.h = s.h),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT id_a, id_b, n_common, sa.n_fp AS n_a, sb.n_fp AS n_b,
+           CAST(round(n_common / least(sa.n_fp, sb.n_fp) * 1e6) AS BIGINT)
+             AS overlap_micro
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+)
+def q74(spark, sf):
+    """Robust-winnowing match pairs (Schleimer et al. SIGMOD'03 / MOSS):
+    per-window rightmost-min md5 fingerprints, pairs sharing >= 2
+    selected fingerprints, overlap coefficient in micro-ints. Catches
+    LOCAL verbatim reuse at ~2/(window+1) of q27's index size. Oracle
+    window ids are 1-based (DuckDB idx) vs Spark's 0-based positions —
+    the SELECTED (gram, hash) set is identical under the shift."""
+    from .operators.dedup import winnow_pairs
+
+    d = _t(spark, sf, "documents")
+    return winnow_pairs(
+        d, "text", "doc_id", shingle_n=3, window=4, min_shared=2,
+        max_df=200, max_df_frac=0.2,
+    )

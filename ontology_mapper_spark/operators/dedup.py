@@ -666,3 +666,149 @@ def dup_span_stats(
             .alias("dup_frac_micro"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Robust winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the
+    MOSS algorithm): hash every word `shingle_n`-gram, slide a `window`-
+    gram window over the hash sequence, and select each window's minimum
+    hash (ties → RIGHTMOST occurrence, the 'robust' rule that makes
+    selections stable under edits). Guarantees: any shared run of
+    `window + shingle_n - 1` words between two documents yields at least
+    one shared selected fingerprint, while only ~2/(window+1) of all
+    grams are kept — a position-aware sketch between exact inverted
+    index (q27, keeps everything) and MinHash (q26, keeps a global
+    sample with no locality guarantee).
+
+    Output: (id, fp, pos) — distinct selected fingerprints, fp = first 8
+    hex chars of md5(gram) (fixed-width lowercase hex, so STRING order is
+    VALUE order — the same portability trick as minhash_slice_cols), pos
+    = 0-based gram position of the selected occurrence.
+
+    Scale shape: map-only — per-document array ops (hash array → per-
+    window array_min over slices → array_distinct), no shuffle, no
+    Python. The three projections are deliberately separate so the
+    md5-hash array is NOT inlined into the per-window lambda (the
+    per-element re-evaluation trap; CollapseProject keeps non-cheap
+    multi-referenced projections materialized). Window minima cost
+    O(n·window) comparisons per doc with `window` small and constant.
+
+    Reference analogue: none — the reference dedups whole records only
+    (core/lookup.py:49-58); this is training-data curation surface.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    d = df.select(
+        F.col(id_col),
+        shingles_all_col(F.col(text_col), shingle_n).alias("_g"),
+    )
+    # (hash, -pos) structs: array_min's lexicographic struct order then
+    # implements (min hash, rightmost position) in one comparison
+    d = d.select(
+        F.col(id_col),
+        F.transform(
+            "_g",
+            lambda g, i: F.struct(
+                F.substring(F.md5(F.encode(g, "utf-8")), 1, 8).alias("h"),
+                (-i).alias("np"),
+            ),
+        ).alias("_hp"),
+    )
+    d = d.select(
+        F.col(id_col),
+        "_hp",
+        F.sequence(
+            F.lit(0), F.greatest(F.size("_hp") - window, F.lit(0))
+        ).alias("_wins"),
+    )
+    sel = F.array_distinct(
+        F.transform("_wins", lambda i: F.array_min(F.slice("_hp", i + 1, window)))
+    )
+    return d.select(F.col(id_col), F.explode(sel).alias("_fp")).select(
+        F.col(id_col),
+        F.col("_fp.h").alias("fp"),
+        (-F.col("_fp.np")).alias("pos"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """MOSS-style match detection over winnowed fingerprints: documents
+    sharing >= `min_shared` selected fingerprints are candidate
+    near-dups / plagiarism pairs. Because winnowing guarantees a shared
+    fingerprint for any shared run of `window + shingle_n - 1` words,
+    this catches LOCAL verbatim reuse (a copied paragraph inside
+    otherwise-different documents) that whole-set Jaccard dilutes away —
+    at ~2/(window+1) of the inverted-index cost of q27.
+
+    Output per unordered pair (id_a < id_b): (id_a, id_b, n_common,
+    n_a, n_b, overlap_micro) where n_* are distinct-fingerprint set
+    sizes and overlap_micro = round(n_common / least(n_a, n_b) × 1e6)
+    (overlap coefficient; single division then round — oracle-portable).
+
+    Same composed stop-fingerprint caps as ngram_jaccard_pairs: the
+    fingerprint self-join is quadratic in each fingerprint's document
+    frequency, so `max_df` bounds the per-key join cost and
+    `max_df_frac` gives stopword semantics that rescale with the corpus.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, shingle_n, window).select(
+        F.col(id_col), F.col("fp")
+    ).distinct()
+    if max_df_frac is not None:
+        cap = F.ceil(F.col("_n_docs") * F.lit(max_df_frac))
+        if max_df is not None:
+            cap = F.least(cap, F.lit(max_df).cast("bigint"))
+        fp = fp.crossJoin(
+            F.broadcast(df.agg(F.countDistinct(id_col).alias("_n_docs")))
+        )
+    elif max_df is not None:
+        cap = F.lit(max_df)
+    if max_df is not None or max_df_frac is not None:
+        w_df = Window.partitionBy("fp")
+        fp = (
+            fp.withColumn("_df", F.count("*").over(w_df))
+            .where(F.col("_df") <= cap)
+            .drop("_df", *(["_n_docs"] if max_df_frac is not None else []))
+        )
+    sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap_micro",
+            F.round(
+                F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")) * 1e6
+            ).cast("long"),
+        )
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "overlap_micro")
+    )

@@ -803,3 +803,69 @@ def test_ngram_containment_threshold_either_direction(spark):
     r = rows[0]
     # doc 10's 3 bigrams all inside doc 2 -> cont for the id=10 side is 1.0
     assert r.cont_b_micro == 1000000 and r.cont_a_micro < 1000000
+
+
+def _py_winnow(text, n=3, w=4):
+    """Independent reference implementation of robust winnowing
+    (Schleimer et al. 2003): min hash per window, ties to the RIGHTMOST
+    occurrence; returns the distinct selected (pos, hash8) set."""
+    import hashlib
+    import re
+
+    words = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+    if len(words) < n:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+    sel = set()
+    for i in range(max(len(hs) - w, 0) + 1):
+        win = hs[i : i + w]
+        m = min(win)
+        # rightmost occurrence of the minimum
+        j = max(k for k, h in enumerate(win) if h == m)
+        sel.add((i + j, m))
+    return sel
+
+
+def test_winnow_fingerprints_match_reference_impl(spark):
+    import random
+
+    from ontology_mapper_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(12)]  # small vocab forces repeats/ties
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", shingle_n=3, window=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == _py_winnow(text, 3, 4), doc_id
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """Winnowing's coverage guarantee: a shared run of window+n-1 words
+    must produce at least one shared fingerprint, so the pair surfaces in
+    winnow_pairs even when whole-set overlap is tiny."""
+    from ontology_mapper_spark.operators.dedup import winnow_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+n-1 run
+    filler_a = " ".join(f"a{i}" for i in range(40))
+    filler_b = " ".join(f"b{i}" for i in range(40))
+    docs = [
+        (1, filler_a + " " + shared),
+        (2, shared + " " + filler_b),
+        (3, " ".join(f"c{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = winnow_pairs(
+        df, "text", "doc_id", shingle_n=3, window=4, min_shared=1
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    r = rows[0]
+    assert r.n_common >= 1
+    assert r.overlap_micro == round(r.n_common / min(r.n_a, r.n_b) * 1e6)
