@@ -2796,3 +2796,77 @@ def q74(spark, sf):
         d, "text", "doc_id", shingle_n=3, window=4, min_shared=2,
         max_df=200, max_df_frac=0.2,
     )
+
+
+@_q(
+    "q75_chunking",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')
+               AS toks
+      FROM documents),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+    starts AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n - 1, 0) + 1, 48)) AS start_tok
+      FROM sized)
+    SELECT doc_id,
+           CAST(start_tok / 48 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(64, n - start_tok) AS BIGINT) AS n_tok,
+           array_to_string(toks[start_tok + 1 : least(start_tok + 64, n)], ' ')
+             AS chunk
+    FROM starts
+    """,
+)
+def q75(spark, sf):
+    """Sliding-window context chunking (max 64 tokens, stride 48 — the
+    overlapping long-document training prep). Map-only: words array →
+    start sequence → explode → slice; words projected pre-Generate."""
+    from .operators.chunking import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, "text", "doc_id", max_tokens=64, stride=48)
+
+
+def _pack_oracle_sql(seq: int = 256, num_shards: int = 64) -> str:
+    nib = lambda i: (
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    )
+    shard = f"(({nib(0)} * 4096 + {nib(1)} * 256 + {nib(2)} * 16 + {nib(3)}) % {num_shards})"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '))
+               AS n_tok,
+             {shard} AS shard
+      FROM documents),
+    ord AS (
+      SELECT doc_id, n_tok, shard,
+             coalesce(sum(n_tok) OVER (ORDER BY shard, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs
+      FROM d)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(gs AS BIGINT) AS global_start,
+           CAST(gs // {seq} AS BIGINT) AS first_seq,
+           CAST((gs + greatest(n_tok, 1) - 1) // {seq} AS BIGINT) AS last_seq,
+           CAST((gs + greatest(n_tok, 1) - 1) // {seq} - gs // {seq} + 1 AS BIGINT)
+             AS n_seqs
+    FROM ord
+    """
+
+
+@_q("q76_seq_packing", _pack_oracle_sql())
+def q76(spark, sf):
+    """Concat-and-split sequence packing (GPT-style pretraining layout):
+    every document's position in the packed 256-token-sequence stream.
+    The global exclusive prefix sum is the two-phase DISTRIBUTED form —
+    per-shard window cumsum + broadcast shard offsets — never a
+    single-partition global window (the oracle's one-window form is the
+    semantic spec, not the physical plan)."""
+    from .operators.chunking import pack_concat_split
+
+    d = _t(spark, sf, "documents")
+    return pack_concat_split(d, "text", "doc_id", seq_tokens=256, num_shards=64)

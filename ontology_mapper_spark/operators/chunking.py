@@ -1,0 +1,148 @@
+"""Training-sequence preparation: context-window chunking and
+concat-and-split sequence packing.
+
+These are the operators between a curated corpus and a token-budgeted
+training run: cut documents into model-context-sized windows, then pack
+the stream into fixed-size training sequences. Both are deterministic
+pure functions of the input (the packing order is an explicit, documented
+sort key — no RNG, no wall clock).
+
+Reference analogue: none — the reference feeds whole records downstream
+(core/generator.py writes whole files); this is training-data curation
+surface. Tokens here are whitespace words of normalized text (the same
+normalization as the dedup family); a subword tokenizer would slot in by
+replacing `_words_col` with a token-count column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text_col
+
+
+def _words_col(text_col: F.Column) -> F.Column:
+    return F.split(normalized_text_col(text_col), " ")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking: emit windows of up to `max_tokens` words
+    starting every `stride` words (stride < max_tokens ⇒ overlapping
+    context, the usual long-document training prep). Start positions are
+    0, stride, 2·stride, … while < n_words, so the tail is always
+    covered; trailing chunks may be short (deterministic, documented —
+    simpler than look-back tail alignment and identical in any engine).
+
+    Output: (id, chunk_idx, start_tok, n_tok, chunk) with chunk_idx =
+    start/stride. Map-only: words array → sequence of starts → explode →
+    slice; no shuffle, no Python. The words array is projected BEFORE
+    the explode so it is not re-evaluated per output chunk (the
+    post-Generate re-evaluation trap).
+    """
+    if stride < 1 or max_tokens < 1:
+        raise ValueError("stride and max_tokens must be >= 1")
+    if stride > max_tokens:
+        raise ValueError("stride > max_tokens would leave uncovered gaps")
+    d = df.select(F.col(id_col), _words_col(F.col(text_col)).alias("_w"))
+    d = d.select(
+        F.col(id_col),
+        "_w",
+        F.sequence(
+            F.lit(0), F.greatest(F.size("_w") - 1, F.lit(0)), F.lit(stride)
+        ).alias("_starts"),
+    )
+    d = d.select(F.col(id_col), "_w", F.explode("_starts").alias("start_tok"))
+    return d.select(
+        F.col(id_col),
+        (F.col("start_tok") / stride).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long"),
+        F.least(
+            F.lit(max_tokens).cast("long"),
+            (F.size("_w") - F.col("start_tok")).cast("long"),
+        ).alias("n_tok"),
+        F.concat_ws(" ", F.slice("_w", F.col("start_tok") + 1, max_tokens)).alias(
+            "chunk"
+        ),
+    )
+
+
+def pack_concat_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_tokens: int = 256,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Concat-and-split sequence packing: lay all documents end-to-end in
+    a deterministic global order and cut the stream every `seq_tokens`
+    tokens — the packing used by GPT-style pretraining pipelines
+    (documents may straddle sequence boundaries). Returns each document's
+    position in the packed stream: (id, n_tok, global_start, first_seq,
+    last_seq, n_seqs).
+
+    The global order is (shard, id) with shard = md5-bucket of the id —
+    an explicit parameter of the result, reproducible anywhere. The
+    interesting part at 100 TB is the GLOBAL EXCLUSIVE PREFIX SUM of
+    token counts, which a naive `Window.orderBy(...)` computes in ONE
+    task (the single-partition-window scale killer). Instead, the
+    classic two-phase distributed prefix sum:
+
+      1. per-shard exclusive prefix sums (window partitioned BY shard —
+         parallel across shards, one shuffle on the shard key);
+      2. per-shard totals → exclusive cumsum over the `num_shards` rows
+         (tiny single-partition window over num_shards rows, then
+         broadcast-joined back).
+
+    global_start = shard_offset + local_prefix. Size `num_shards` ≳
+    cluster cores; skew is bounded because md5 buckets are uniform in
+    the id, not the document length distribution's tail.
+    """
+    if seq_tokens < 1:
+        raise ValueError("seq_tokens must be >= 1")
+    d = df.select(
+        F.col(id_col),
+        F.size(_words_col(F.col(text_col))).cast("long").alias("n_tok"),
+    )
+    # 4 hex chars = 16 uniform bits — plenty for shard routing, and small
+    # enough that any engine can recompose the integer from nibbles
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(num_shards),
+    )
+    d = d.withColumn("shard", shard.cast("int"))
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_local_prefix", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0)))
+    shard_tot = d.groupBy("shard").agg(F.sum("n_tok").alias("_tot"))
+    w_shard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "shard", F.coalesce(F.sum("_tot").over(w_shard), F.lit(0)).alias("_shard_off")
+    )
+    out = d.join(F.broadcast(offsets), "shard")
+    gs = F.col("_shard_off") + F.col("_local_prefix")
+    return out.select(
+        F.col(id_col),
+        F.col("n_tok"),
+        gs.alias("global_start"),
+        F.floor(gs / seq_tokens).alias("first_seq"),
+        F.floor((gs + F.greatest(F.col("n_tok"), F.lit(1)) - 1) / seq_tokens).alias(
+            "last_seq"
+        ),
+        (
+            F.floor((gs + F.greatest(F.col("n_tok"), F.lit(1)) - 1) / seq_tokens)
+            - F.floor(gs / seq_tokens)
+            + 1
+        ).alias("n_seqs"),
+    )

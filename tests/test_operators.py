@@ -869,3 +869,64 @@ def test_winnow_guarantee_and_pairs(spark):
     r = rows[0]
     assert r.n_common >= 1
     assert r.overlap_micro == round(r.n_common / min(r.n_a, r.n_b) * 1e6)
+
+
+def test_chunk_documents_hand_computed(spark):
+    from ontology_mapper_spark.operators.chunking import chunk_documents
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 words, N=4 S=3
+        (2, "solo"),                                # 1 word -> one short chunk
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.n_tok, r.chunk)
+        for r in chunk_documents(df, max_tokens=4, stride=3).collect()
+    }
+    assert out == {
+        (1, 0): (0, 4, "w0 w1 w2 w3"),
+        (1, 1): (3, 4, "w3 w4 w5 w6"),
+        (1, 2): (6, 4, "w6 w7 w8 w9"),
+        (1, 3): (9, 1, "w9"),
+        (2, 0): (0, 1, "solo"),
+    }
+    # full coverage: every token position appears in >= 1 chunk
+    covered = set()
+    for (d, _), (s, n, _) in out.items():
+        if d == 1:
+            covered.update(range(s, s + n))
+    assert covered == set(range(10))
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, stride=5)
+
+
+def test_pack_concat_split_matches_bruteforce(spark):
+    import hashlib
+    import random
+
+    from ontology_mapper_spark.operators.chunking import pack_concat_split
+
+    rng = random.Random(11)
+    docs = [(i, " ".join("w" for _ in range(rng.randint(1, 50)))) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    B, NS = 64, 8
+    rows = {r.doc_id: r for r in pack_concat_split(
+        df, seq_tokens=B, num_shards=NS).collect()}
+
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % NS
+
+    order = sorted(docs, key=lambda d: (shard_of(d[0]), d[0]))
+    start = 0
+    for doc_id, text in order:
+        n = len(text.split())
+        r = rows[doc_id]
+        assert (r.n_tok, r.global_start) == (n, start), doc_id
+        assert r.first_seq == start // B
+        assert r.last_seq == (start + n - 1) // B
+        assert r.n_seqs == r.last_seq - r.first_seq + 1
+        start += n
+    # the packed stream is gapless: total tokens == final cursor
+    assert start == sum(len(t.split()) for _, t in docs)
