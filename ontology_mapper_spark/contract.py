@@ -2870,3 +2870,38 @@ def q76(spark, sf):
 
     d = _t(spark, sf, "documents")
     return pack_concat_split(d, "text", "doc_id", seq_tokens=256, num_shards=64)
+
+
+@_q(
+    "q77_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '))
+               AS w
+      FROM documents),
+    vocab AS (
+      SELECT w, count(*) AS wf FROM words WHERE w <> '' GROUP BY w),
+    syms AS (
+      SELECT wf, list_append(regexp_extract_all(w, '.'), '</w>') AS s FROM vocab),
+    idx AS (
+      SELECT wf, s, unnest(range(1, len(s))) AS i FROM syms),
+    pairs AS (
+      SELECT wf, s[i] || ' ' || s[i + 1] AS pair FROM idx),
+    counts AS (
+      SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+    FROM counts
+    QUALIFY rank <= 50
+    """,
+)
+def q77(spark, sf):
+    """First-iteration BPE merge statistics (Sennrich et al. 2016): the
+    corpus-weighted adjacent-symbol-pair counts a tokenizer-training job
+    computes each merge round. Distinct-first: pairs are extracted once
+    per DISTINCT word carrying its aggregated corpus frequency (the
+    q66/D1 shape), so zipf-hot words cost one row each."""
+    from .operators.textstats import bpe_pair_counts
+
+    d = _t(spark, sf, "documents")
+    return bpe_pair_counts(d, "text", "doc_id", top_k=50)

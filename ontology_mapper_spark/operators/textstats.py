@@ -290,3 +290,54 @@ def percentile_trim(
         )
         .drop("_rank", "_n")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """First-iteration BPE merge statistics (Sennrich et al. 2016):
+    corpus-weighted counts of adjacent symbol pairs, where symbols are
+    the characters of each word plus the '</w>' end-of-word marker. The
+    argmax pair IS the first BPE merge; the top-k table is what a
+    tokenizer-training job inspects each round.
+
+    Distinct-first discipline (the q66/D1 shape): pair extraction runs
+    once per DISTINCT word — word frequencies are aggregated first
+    (map-side combined, zipf-hot words collapse early), then each
+    distinct word's pairs are exploded carrying its corpus frequency, so
+    the per-character work is O(|vocab|·word_len), not O(corpus tokens).
+    Counts are exact integer sums of bigint frequencies. Total-order
+    rank (n desc, pair asc) — reproducible top-k in any engine.
+
+    Output: (pair, n, rank) with rank 1..top_k.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import normalized_text_col
+
+    words = df.select(
+        F.explode(F.split(normalized_text_col(F.col(text_col)), " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("wf"))
+    syms = F.concat(
+        F.regexp_extract_all(F.col("w"), F.lit("."), 0), F.array(F.lit("</w>"))
+    )
+    vocab = vocab.select("wf", syms.alias("_s"))
+    pairs = F.zip_with(
+        F.col("_s"),
+        F.slice(F.col("_s"), 2, F.greatest(F.size("_s") - 1, F.lit(1))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = vocab.select(
+        "wf", F.explode(F.filter(pairs, lambda x: x.isNotNull())).alias("pair")
+    )
+    counts = ex.groupBy("pair").agg(F.sum("wf").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("pair", F.col("n").cast("long").alias("n"), F.col("rank").cast("long").alias("rank"))
+    )

@@ -930,3 +930,30 @@ def test_pack_concat_split_matches_bruteforce(spark):
         start += n
     # the packed stream is gapless: total tokens == final cursor
     assert start == sum(len(t.split()) for _, t in docs)
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """First BPE merge stats on a corpus small enough to count by hand,
+    with a zipf-hot repeated word exercising the distinct-first path."""
+    from ontology_mapper_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower  Low"), (3, "")],
+        "doc_id long, text string",
+    )
+    # vocab: low wf=4, lower wf=1
+    # low   -> (l o) (o w) (w </w>)            each +4
+    # lower -> (l o) (o w) (w e) (e r) (r </w>) each +1
+    rows = {r["pair"]: (r["n"], r["rank"]) for r in bpe_pair_counts(df).collect()}
+    assert rows["l o"] == (5, 1)
+    assert rows["o w"] == (5, 2)
+    assert rows["w </w>"] == (4, 3)
+    assert rows["e r"] == (1, 4)
+    assert rows["r </w>"][0] == 1
+    assert rows["w e"][0] == 1
+    assert len(rows) == 6
+
+    # single-char word: the only pair is (c </w>)
+    one = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(one).collect()}
+    assert got == {"a </w>": 1}
