@@ -2905,3 +2905,106 @@ def q77(spark, sf):
 
     d = _t(spark, sf, "documents")
     return bpe_pair_counts(d, "text", "doc_id", top_k=50)
+
+
+_WORD_EDGES_CTE = """
+    toks AS (
+      SELECT string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    pos AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks),
+    bigr AS (SELECT t[i] AS src, t[i + 1] AS dst FROM pos),
+    edges AS (
+      SELECT src, dst, count(*) AS w FROM bigr
+      WHERE src <> '' AND dst <> ''
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+"""
+
+
+def _pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85) -> str:
+    jump = (100 - damping_pct) * 10_000
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT n.node, {jump} + ({damping_pct} * coalesce(m.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum((p.r * e.w) // o.ow) AS s
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst) m USING (node))""")
+        prev = f"it{k}"
+    return f"""
+    WITH {_WORD_EDGES_CTE},
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {",".join(its)}
+    SELECT node, CAST(r AS BIGINT) AS rank_micro FROM {prev}
+    """
+
+
+@_q("q78_pagerank", _pagerank_oracle_sql())
+def q78(spark, sf):
+    """Integer micro-fixed-point PageRank (3 iterations, d=0.85) over
+    the word co-occurrence graph — entity centrality for the KG. Every
+    step is bigint arithmetic (contrib = rank*w div W_out; integer sums
+    are order-independent), so the distributed loop is bit-identical to
+    the oracle's unrolled CTEs regardless of partitioning. Rank vector
+    broadcast per iteration; edges never shuffle."""
+    from .operators.graph import pagerank_micro, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return pagerank_micro(e, "src", "dst", weight_col="weight", iterations=3)
+
+
+@_q(
+    "q79_triangles",
+    f"""
+    WITH {_WORD_EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    both_dir AS (
+      SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+    deg AS (SELECT a AS node, count(*) AS deg FROM both_dir GROUP BY 1),
+    ed AS (
+      SELECT f.a, f.b FROM both_dir f
+      JOIN deg da ON da.node = f.a
+      JOIN deg db ON db.node = f.b
+      WHERE (da.deg < db.deg) OR (da.deg = db.deg AND f.a < f.b)),
+    closing AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM ed),
+    tris AS (
+      SELECT w1.a AS x, w1.b AS u, w2.b AS v
+      FROM ed w1 JOIN ed w2 ON w1.a = w2.a AND w1.b < w2.b
+      WHERE EXISTS (SELECT 1 FROM closing c WHERE c.u = w1.b AND c.v = w2.b)),
+    corners AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT u FROM tris
+        UNION ALL SELECT v FROM tris)
+      GROUP BY 1)
+    SELECT d.node,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.deg < 2 THEN 0
+                ELSE round(2.0 * coalesce(c.triangles, 0)
+                           / (d.deg * (d.deg - 1)) * 1e6) END AS BIGINT)
+             AS lcc_micro
+    FROM deg d LEFT JOIN corners c ON c.node = d.node
+    """,
+)
+def q79(spark, sf):
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected word co-occurrence graph. Degree-ordered orientation
+    (smaller (deg, node) endpoint first) bounds out-degree by O(sqrt(m))
+    so the wedge join survives hubs — the standard scale-out triangle
+    algorithm. lcc is the single-division micro ratio 2t/(d(d-1))."""
+    from .operators.graph import triangle_stats, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return triangle_stats(e, "src", "dst")

@@ -1,0 +1,205 @@
+"""Graph-analytics operators over KG edge tables (PageRank, triangles).
+
+A knowledge-graph build doesn't stop at edges: ranking entities by
+centrality (which nodes matter?) and measuring local closure (is this
+neighborhood a real community or co-occurrence noise?) are the standard
+next steps (reference analogue: the alignment-graph summaries of
+``core/comparison.py`` stop at counts; these are the scale-out upgrades).
+
+Design notes for 100 TB:
+
+* **PageRank is integer micro-fixed-point.** Ranks live as bigint micros
+  (1.0 == 1_000_000); one iteration is `new = jump + (damp_pct *
+  sum(contrib)) div 100` where every `contrib = (rank * weight) div
+  out_weight` is an integer. Integer sums are order-independent, so the
+  result is bit-identical on any engine, any partitioning, any shuffle
+  order — the same reproducibility discipline as q66's NLL. Dangling
+  mass is dropped (documented semantics, standard in sparse impls).
+* **The rank vector is broadcast, edges never move.** Per iteration the
+  only shuffle is the groupBy(dst) partial-aggregated sum; the edge
+  table is joined map-side via an explicit broadcast of the (small)
+  rank vector. For node sets too big to broadcast, pass
+  ``broadcast_ranks=False`` to fall back to a shuffled hash join —
+  same results, pinned by tests.
+* **Triangles use degree-ordered orientation** (Cohen 2009): each
+  undirected edge is directed from the (degree, node)-smaller endpoint
+  to the larger, bounding every node's out-degree by O(sqrt(m)) so the
+  wedge join never explodes on hubs — the skew story that makes
+  triangle counting feasible at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Weighted PageRank in exact integer micro-fixed-point.
+
+    Semantics (the spec an oracle can replay in any SQL engine):
+      rank0(v)   = 1_000_000                          # mean-1 convention
+      contrib(e) = (rank(src) * w(e)) div W_out(src)  # integer division
+      rank'(v)   = (100 - damping_pct) * 10_000
+                   + (damping_pct * sum(contrib into v)) div 100
+    Nodes with no in-edges hold the jump term; dangling-node mass is
+    dropped. All operations are bigint — no doubles anywhere.
+
+    Returns (node, rank_micro) for every node in src ∪ dst.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
+    )
+    # collapse parallel edges once, up front — the loop re-reads this
+    e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    e = e.join(out_w, "_src")
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    jump = (100 - damping_pct) * 10_000
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            e.join(r, e["_src"] == r["node"])
+            .select(
+                "_dst",
+                F.expr("(rank_micro * _w) div _ow").alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({jump} + ({damping_pct} * coalesce(_m, 0)) div 100 AS BIGINT)"
+                ).alias("rank_micro"),
+            )
+        )
+    return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient.
+
+    Input is an undirected simple graph given as one row per edge in
+    either order (self-loops and duplicates are cleaned here). Each
+    edge is oriented from the (degree, node)-smaller endpoint to the
+    larger; a triangle is counted exactly once as the oriented wedge
+    a→b, a→c (b<c in the order) closed by b→c. Per-node counts credit
+    all three corners; clustering coefficient is the single-division
+    micro ratio 2·tri / (deg·(deg−1)).
+
+    Output: (node, degree, triangles, lcc_micro).
+    """
+    e = (
+        edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b")
+        )
+        .distinct()
+    )
+    both = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    deg = both.groupBy("_a").agg(F.count("*").alias("deg")).withColumnRenamed("_a", "node")
+    # orient by (degree, node): hubs get bounded out-degree.
+    # The degree table is |V|-sized — broadcast it to keep the tag map-side.
+    d = F.broadcast(deg)
+    ed = (
+        both.join(d.select(F.col("node").alias("_a"), F.col("deg").alias("_da")), "_a")
+        .join(d.select(F.col("node").alias("_b"), F.col("deg").alias("_db")), "_b")
+        .where(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b")))
+        )
+        .select("_a", "_b")
+    )
+    w1 = ed.select(F.col("_a").alias("_x"), F.col("_b").alias("_u"))
+    w2 = ed.select(F.col("_a").alias("_x"), F.col("_b").alias("_v"))
+    wedges = w1.join(w2, "_x").where(F.col("_u") < F.col("_v"))
+    closing = ed.select(
+        F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
+    )
+    tris = wedges.join(closing, ["_u", "_v"], "left_semi")
+    corners = (
+        tris.select(F.col("_x").alias("node"))
+        .union(tris.select(F.col("_u").alias("node")))
+        .union(tris.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(F.col("deg") < 2, F.lit(0))
+            .otherwise(
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    * 1e6
+                )
+            )
+            .cast("long")
+            .alias("lcc_micro"),
+        )
+    )
+
+
+def word_cooccur_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Adjacent-word co-occurrence edges over normalized text: one row
+    per ordered bigram occurrence collapsed to (src, dst, weight),
+    weight = corpus count, edges below ``min_count`` dropped (noise
+    floor — the same cheap-threshold discipline as LSH's stop-shingle
+    caps). Directed (w_i → w_{i+1}); undirected consumers fold with
+    least/greatest."""
+    from .dedup import normalized_text_col
+
+    toks = df.select(
+        F.split(normalized_text_col(F.col(text_col)), " ").alias("_t")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.col("_t"),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+            )
+        ).alias("_p")
+    ).select("_p.src", "_p.dst").where(
+        (F.col("src") != "") & F.col("dst").isNotNull() & (F.col("dst") != "")
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+        .where(F.col("weight") >= min_count)
+    )

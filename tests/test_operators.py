@@ -957,3 +957,68 @@ def test_bpe_pair_counts_hand_computed(spark):
     one = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     got = {r["pair"]: r["n"] for r in bpe_pair_counts(one).collect()}
     assert got == {"a </w>": 1}
+
+
+def test_pagerank_micro_hand_computed(spark):
+    """Integer PageRank semantics on graphs small enough to replay by
+    hand; shuffled-join fallback must be bit-identical to broadcast."""
+    from ontology_mapper_spark.operators.graph import pagerank_micro
+
+    # 2-node swap cycle: perfectly symmetric, ranks stay at 1.0
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(cyc).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000}
+
+    # star a->c, b->c: hub c accumulates, leaves hold the jump term
+    star = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    # it1: a=b=150000, c = 150000 + 85*(1M+1M)//100... contrib each 1M
+    # c1 = 150000 + (85*2000000)//100 = 1850000
+    # it2: contribs come from a,b at 150000 each -> c = 150000+(85*300000)//100=405000
+    # it3: same as it2 (a,b stable) -> c=405000
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(star).collect()}
+    assert got == {"a": 150_000, "b": 150_000, "c": 405_000}
+
+    # weighted split: a->b w=3, a->c w=1 — b gets 3/4 of a's mass
+    wsp = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, weight long"
+    )
+    r1 = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(wsp, weight_col="weight", iterations=1).collect()
+    }
+    assert r1 == {
+        "a": 150_000,
+        "b": 150_000 + (85 * ((1_000_000 * 3) // 4)) // 100,
+        "c": 150_000 + (85 * ((1_000_000 * 1) // 4)) // 100,
+    }
+
+    # broadcast vs shuffled-join fallback: identical bits
+    nb = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(star, broadcast_ranks=False).collect()
+    }
+    assert nb == got
+
+
+def test_triangle_stats_hand_computed(spark):
+    """K4 plus a pendant: every K4 corner closes all 3 of its wedge
+    pairs (lcc=1); the pendant's neighbor loses closure."""
+    from ontology_mapper_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    df = spark.createDataFrame(
+        k4 + [("d", "e"), ("e", "d"), ("e", "e")],  # dup direction + self-loop cleaned
+        "src string, dst string",
+    )
+    got = {r["node"]: (r["degree"], r["triangles"], r["lcc_micro"])
+           for r in triangle_stats(df).collect()}
+    assert got["a"] == (3, 3, 1_000_000)
+    assert got["b"] == (3, 3, 1_000_000)
+    assert got["c"] == (3, 3, 1_000_000)
+    # d has degree 4 (K4 + pendant e), still 3 triangles: 2*3/(4*3)=0.5
+    assert got["d"] == (4, 3, 500_000)
+    assert got["e"] == (1, 0, 0)
