@@ -3008,3 +3008,79 @@ def q79(spark, sf):
     d = _t(spark, sf, "documents")
     e = word_cooccur_edges(d, "text", min_count=3)
     return triangle_stats(e, "src", "dst")
+
+
+@_q(
+    "q80_kmv_distinct",
+    """
+    WITH d AS (SELECT DISTINCT l_returnflag AS g, l_partkey AS v FROM lineitem),
+    h AS (SELECT g, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM d),
+    r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+    a AS (SELECT g, count(*) AS n,
+                 max(CASE WHEN rn = 128 THEN h END) AS kth
+          FROM r GROUP BY g)
+    SELECT g AS l_returnflag,
+           CAST(n AS BIGINT) AS n_exact,
+           CAST(CASE WHEN kth IS NULL THEN n
+                ELSE round(127 * pow(2, 60) / kth) END AS BIGINT) AS kmv_est
+    FROM a
+    """,
+)
+def q80(spark, sf):
+    """KMV distinct-count sketch (k=128) of parts per return flag, next
+    to the exact count. The 60-bit md5 hash makes the kth-minimum — and
+    therefore the estimate — bit-identical in any engine; groups with
+    < k distinct values fall back to the exact count."""
+    from .operators.sketch import kmv_distinct
+
+    li = _t(spark, sf, "lineitem")
+    return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=128)
+
+
+def _hll_oracle_sql(b: int = 6) -> str:
+    m = 2**b
+    rest_bits = 60 - b
+    shift = 62 - b
+    alpha_num = repr(0.7213 / (1 + 1.079 / m) * m * m * float(2**shift))
+    return f"""
+    WITH h AS (
+      SELECT l_returnflag AS g,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM lineitem),
+    p AS (SELECT g, h // {2 ** rest_bits} AS bucket, h % {2 ** rest_bits} AS rest
+          FROM h),
+    rho AS (SELECT g, bucket,
+                   CASE WHEN rest = 0 THEN {rest_bits + 1}
+                        ELSE {rest_bits} - length(bin(rest)) + 1 END AS rho
+            FROM p),
+    regs AS (SELECT g, bucket, max(rho) AS M FROM rho GROUP BY g, bucket),
+    sums AS (SELECT g,
+                    CAST(sum(CAST(pow(2, {shift} - M) AS BIGINT)) AS BIGINT)
+                      AS s_used,
+                    count(*) AS n_used
+             FROM regs GROUP BY g),
+    exact AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS n_exact
+              FROM lineitem GROUP BY g)
+    SELECT e.g AS l_returnflag,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(round({alpha_num}
+                      / (s.s_used + ({m} - s.n_used) * {2 ** shift})) AS BIGINT)
+             AS hll_est,
+           CAST({m} - s.n_used AS BIGINT) AS n_zero_buckets
+    FROM exact e JOIN sums s ON s.g = e.g
+    """
+
+
+@_q("q81_hll_distinct", _hll_oracle_sql())
+def q81(spark, sf):
+    """Raw HyperLogLog (b=6, 64 registers) distinct orders per return
+    flag. Registers come from the shared 60-bit md5 hash (bucket = top
+    6 bits, rho = leading zeros of the rest + 1) and the harmonic sum
+    is an exact scaled integer, so the whole sketch state is
+    reproducible bit-for-bit; the one floating op is the final alpha
+    division, identical IEEE in both engines."""
+    from .operators.sketch import hll_distinct
+
+    li = _t(spark, sf, "lineitem")
+    return hll_distinct(li, ["l_returnflag"], "l_orderkey", b=6)

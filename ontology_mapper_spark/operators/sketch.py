@@ -1,0 +1,135 @@
+"""Distinct-count sketches (KMV, HyperLogLog) with reproducible hashing.
+
+At 100 TB you don't count distinct keys exactly per group — you sketch.
+Both sketches here are built from the same deterministic 60-bit hash
+(`md5` of the value's string form, first 15 hex digits), so the register
+state — not just the estimate — is bit-identical in any engine that has
+md5, which is what makes them oracle-checkable (same discipline as the
+md5-slice minhash family in `dedup.py`).
+
+Scale notes:
+
+* **KMV (k-minimum-values, Bar-Yossef et al. 2002)**: the k smallest
+  hashes per group. One shuffle keyed by group; the per-group rank runs
+  on hash-sorted rows after a distinct-first collapse so zipf-hot
+  duplicate values cost one row each. Estimate = (k−1)·2^60 / kth_hash
+  (single division, micro-free — the output is an integer count).
+* **HLL (Flajolet et al. 2007)**: bucket = top `b` bits, rho = leading
+  zeros of the remaining 60−b bits + 1; registers are `max(rho)` per
+  (group, bucket) — a map-side-combinable aggregate, ONE shuffle of at
+  most m=2^b rows per group regardless of input size. The harmonic sum
+  is computed as an exact integer scaled by 2^(62−b) (`Σ 2^(62−b−rho)`;
+  empty registers contribute 2^(62−b), so the total is ≤ m·2^(62−b) =
+  2^62 and can never overflow bigint), leaving the final
+  alpha·m²·2^(62−b) / S division as the only floating step. Raw HLL estimate, no small-range
+  correction — documented, deterministic semantics; `n_zero_buckets`
+  is emitted so a consumer can apply linear counting if wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash60(value: F.Column) -> F.Column:
+    """First 60 bits of md5(value-as-string) as a non-negative bigint."""
+    return F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate next to the exact count.
+
+    Groups with fewer than k distinct values fall back to the exact
+    count (the kth minimum doesn't exist — standard KMV behavior).
+    Output: (*group_cols, n_exact, kmv_est) — both bigint.
+    """
+    d = df.select(*group_cols, F.col(value_col).alias("_v")).distinct()
+    h = d.select(*group_cols, _hash60(F.col("_v")).alias("_h"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    ranked = h.select(
+        *group_cols,
+        "_h",
+        F.row_number().over(w).alias("_r"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_kth"),
+    )
+    est = (
+        F.when(F.col("_kth").isNull(), F.col("_n"))
+        .otherwise(
+            F.round((k - 1) * F.lit(float(2**60)) / F.col("_kth"))
+        )
+        .cast("long")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n_exact"),
+        est.alias("kmv_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """Per-group raw-HLL distinct-count estimate next to the exact count.
+
+    m = 2**b registers; alpha_m = 0.7213/(1 + 1.079/m) (the standard
+    constant for m >= 128 applied uniformly — part of the defined,
+    reproducible semantics). Output:
+    (*group_cols, n_exact, hll_est, n_zero_buckets) — all bigint.
+    """
+    m = 2**b
+    rest_bits = 60 - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = df.select(*group_cols, _hash60(F.col(value_col)).alias("_h"))
+    parts = h.select(
+        *group_cols,
+        "_h",
+        F.expr(f"_h div {2 ** rest_bits}").alias("_bucket"),
+        F.expr(f"_h % {2 ** rest_bits}").alias("_rest"),
+    )
+    rho = (
+        F.when(F.col("_rest") == 0, F.lit(rest_bits + 1))
+        .otherwise(rest_bits - F.length(F.bin(F.col("_rest"))) + 1)
+        .alias("_rho")
+    )
+    regs = (
+        parts.select(*group_cols, "_bucket", rho)
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rho").alias("_M"))
+    )
+    # exact distinct per group rides the same scan (for the comparison col)
+    exact = (
+        df.select(*group_cols, F.col(value_col).alias("_v"))
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    shift = 62 - b
+    sums = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"CAST(pow(2, {shift} - _M) AS BIGINT)")).alias("_s_used"),
+        F.count("*").alias("_n_used"),
+    )
+    s_total = F.col("_s_used") + (m - F.col("_n_used")) * F.lit(2**shift)
+    est = F.round(F.lit(alpha * m * m * float(2**shift)) / s_total).cast("long")
+    return (
+        exact.join(sums, group_cols)
+        .select(
+            *group_cols,
+            F.col("n_exact").cast("long"),
+            est.alias("hll_est"),
+            (m - F.col("_n_used")).cast("long").alias("n_zero_buckets"),
+        )
+    )

@@ -1022,3 +1022,36 @@ def test_triangle_stats_hand_computed(spark):
     # d has degree 4 (K4 + pendant e), still 3 triangles: 2*3/(4*3)=0.5
     assert got["d"] == (4, 3, 500_000)
     assert got["e"] == (1, 0, 0)
+
+
+def test_kmv_and_hll_sketch_accuracy(spark):
+    """Sketch estimates land within standard error bounds of the true
+    cardinality (KMV ~1/sqrt(k-2)≈9%, raw HLL ~1.04/sqrt(64)=13% — use
+    3-sigma), and the <k fallback returns the exact count."""
+    from ontology_mapper_spark.operators.sketch import hll_distinct, kmv_distinct
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), (F.col("id") * 7 + 13).alias("v")
+    )
+    kmv = kmv_distinct(df, ["g"], "v", k=128).collect()[0]
+    assert kmv["n_exact"] == n
+    assert abs(kmv["kmv_est"] - n) < 0.27 * n  # 3 * 1/sqrt(126)
+
+    hll = hll_distinct(df, ["g"], "v", b=6).collect()[0]
+    assert hll["n_exact"] == n
+    assert abs(hll["hll_est"] - n) < 0.40 * n  # 3 * 1.04/sqrt(64)
+
+    # duplicates don't move either sketch (set semantics)
+    dup = df.union(df)
+    kmv2 = kmv_distinct(dup, ["g"], "v", k=128).collect()[0]
+    assert (kmv2["n_exact"], kmv2["kmv_est"]) == (kmv["n_exact"], kmv["kmv_est"])
+    hll2 = hll_distinct(dup, ["g"], "v", b=6).collect()[0]
+    assert (hll2["n_exact"], hll2["hll_est"]) == (hll["n_exact"], hll["hll_est"])
+
+    # below-k group: estimate IS the exact count
+    small = spark.createDataFrame(
+        [("s", i) for i in range(10)], "g string, v long"
+    )
+    r = kmv_distinct(small, ["g"], "v", k=128).collect()[0]
+    assert (r["n_exact"], r["kmv_est"]) == (10, 10)
