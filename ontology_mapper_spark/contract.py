@@ -3084,3 +3084,68 @@ def q81(spark, sf):
 
     li = _t(spark, sf, "lineitem")
     return hll_distinct(li, ["l_returnflag"], "l_orderkey", b=6)
+
+
+def _bm25_oracle_sql(
+    terms=("hash", "join", "merge", "scan", "stream"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> str:
+    tl = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    return f"""
+    WITH qt(w) AS (VALUES {tl}),
+    base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    sized AS (
+      SELECT doc_id, len(list_filter(t, x -> x <> '')) AS dl, t FROM base),
+    corpus AS (
+      SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS sum_dl FROM sized),
+    toks AS (
+      SELECT doc_id, dl, unnest(t) AS w FROM sized),
+    tf AS (
+      SELECT doc_id, dl, w, count(*) AS tf
+      FROM toks JOIN qt USING (w)
+      GROUP BY 1, 2, 3),
+    idf AS (
+      SELECT w,
+             ln((N - df + 0.5) / (df + 0.5) + 1) AS idf,
+             sum_dl / N AS avgdl
+      FROM (SELECT w, count(*) AS df FROM tf GROUP BY w)
+      CROSS JOIN corpus),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(idf * tf * CAST('{k1p1!r}' AS DOUBLE) /
+                 (tf + CAST('{k1!r}' AS DOUBLE) * (CAST('{omb!r}' AS DOUBLE)
+                  + CAST('{b!r}' AS DOUBLE) * dl / avgdl))
+                 * 1e6) AS BIGINT) AS s
+      FROM tf JOIN idf USING (w)),
+    docs AS (
+      SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id),
+    top AS (
+      SELECT doc_id, score_micro FROM docs
+      ORDER BY score_micro DESC, doc_id ASC LIMIT {top_k})
+    SELECT doc_id, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM top
+    """
+
+
+@_q("q82_bm25_topk", _bm25_oracle_sql())
+def q82(spark, sf):
+    """Okapi BM25 top-10 retrieval for a fixed query bag. ln once per
+    distinct term; per-(doc,term) scores micro-rounded then integer-
+    summed (order-independent); top-k via orderBy+limit (TakeOrdered —
+    per-partition heaps, no global sort)."""
+    from .operators.retrieval import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(
+        d, ["hash", "join", "merge", "scan", "stream"], "text", "doc_id",
+        k1=1.2, b=0.75, top_k=10,
+    )

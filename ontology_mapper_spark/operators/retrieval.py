@@ -1,0 +1,98 @@
+"""Lexical retrieval over the document corpus (BM25 top-k).
+
+The query-side complement of the dedup/similarity family: given a bag of
+query terms, rank documents by Okapi BM25 (Robertson et al., TREC-3;
+Lucene's `k1`/`b` parameterization with the +1 idf floor so scores are
+always positive).
+
+Reproducibility discipline (the q66/q72 rules):
+
+* `ln` runs ONCE per distinct query term on a rational of exact integer
+  counts (idf), never per row.
+* The per-(doc, term) score is micro-rounded to a bigint immediately
+  after the one floating-point expression; the per-document score is
+  then an ORDER-INDEPENDENT integer sum, so partitioning can't move it.
+* All floating constants (k1+1, 1−b, …) are computed once in Python and
+  injected as literals into BOTH engines, so expression shape and IEEE
+  results are identical.
+
+Scale notes: tokens are filtered to the query vocabulary (a literal
+`isin` — pushed into the scan) before any shuffle, so the aggregate is
+O(matching tokens) not O(corpus tokens); doc length is projected BEFORE
+the explode (the per-output-row re-evaluation trap); the final top-k is
+`orderBy().limit(k)` which Spark executes as TakeOrdered — per-partition
+heaps + a k-row merge on the driver, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents by BM25 against a fixed bag of query terms.
+
+    score(d) = Σ_t round( idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+                          · 1e6 )                    [bigint micros]
+    idf(t)   = ln( (N − df + 0.5) / (df + 0.5) + 1 )
+
+    Ties broken by ascending doc id (total order). Output:
+    (id_col, score_micro, rank), rank 1..top_k.
+    """
+    from .dedup import normalized_text_col
+
+    terms = sorted(set(query_terms))
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalized_text_col(F.col(text_col)), " ").alias("_t"),
+    )
+    # doc length BEFORE the explode so it isn't re-evaluated per token
+    sized = base.select(
+        "_id", F.size(F.filter("_t", lambda x: x != "")).alias("_dl"), "_t"
+    )
+    toks = sized.select(
+        "_id", "_dl", F.explode("_t").alias("_w")
+    ).where(F.col("_w").isin(terms))
+    tf = toks.groupBy("_id", "_dl", "_w").agg(F.count("*").alias("_tf"))
+
+    corpus = base.select(
+        F.count("*").alias("_N"),
+        F.sum(F.size(F.filter("_t", lambda x: x != ""))).alias("_sum_dl"),
+    )
+    dfreq = tf.groupBy("_w").agg(F.count("*").alias("_df"))
+    idf = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "_w",
+        F.expr(
+            "ln((_N - _df + 0.5) / (_df + 0.5) + 1)"
+        ).alias("_idf"),
+        F.expr("_sum_dl / _N").alias("_avgdl"),
+    )
+    scored = tf.join(F.broadcast(idf), "_w").select(
+        "_id",
+        F.expr(
+            f"CAST(round(_idf * _tf * CAST('{k1p1!r}' AS DOUBLE) / "
+            f"(_tf + CAST('{k1!r}' AS DOUBLE) * (CAST('{one_minus_b!r}' AS DOUBLE) "
+            f"+ CAST('{b!r}' AS DOUBLE) * _dl / _avgdl)) "
+            f"* 1e6) AS BIGINT)"
+        ).alias("_s"),
+    )
+    docs = scored.groupBy("_id").agg(F.sum("_s").alias("score_micro"))
+    top = docs.orderBy(F.col("score_micro").desc(), F.col("_id").asc()).limit(top_k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("_id").asc())
+    return top.select(
+        F.col("_id").alias(id_col),
+        F.col("score_micro").cast("long"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -1055,3 +1055,30 @@ def test_kmv_and_hll_sketch_accuracy(spark):
     )
     r = kmv_distinct(small, ["g"], "v", k=128).collect()[0]
     assert (r["n_exact"], r["kmv_est"]) == (10, 10)
+
+
+def test_bm25_topk_ranking_properties(spark):
+    """BM25 sanity on a hand-built corpus: matching docs only, rarer
+    terms weigh more, longer docs are penalized, ties break by id."""
+    from ontology_mapper_spark.operators.retrieval import bm25_topk
+
+    docs = [
+        (1, "hash join hash join hash"),       # tf-heavy on both terms
+        (2, "hash scan scan scan"),            # one query term
+        (3, "sort sort sort sort"),            # no query terms -> absent
+        (4, "hash join"),                      # short doc, both terms
+        (5, "hash join filler filler filler filler filler filler"),  # long
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bm25_topk(df, ["hash", "join"], top_k=10).collect()
+    ranked = [r["doc_id"] for r in rows]
+    assert 3 not in ranked
+    assert set(ranked) == {1, 2, 4, 5}
+    score = {r["doc_id"]: r["score_micro"] for r in rows}
+    # both-terms docs beat the single-term doc
+    assert score[4] > score[2]
+    # same tf, longer doc scores lower (length normalization)
+    assert score[4] > score[5]
+    # ranks are 1..n in score order
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+    assert sorted(score.values(), reverse=True) == [score[ranked[i]] for i in range(4)]
