@@ -3149,3 +3149,109 @@ def q82(spark, sf):
         d, ["hash", "join", "merge", "scan", "stream"], "text", "doc_id",
         k1=1.2, b=0.75, top_k=10,
     )
+
+
+@_q(
+    "q83_burst_days",
+    """
+    WITH c AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day,
+           CAST(n AS BIGINT) AS n,
+           CAST(count(*) OVER w AS BIGINT) AS n_days,
+           CAST(sum(n) OVER w AS BIGINT) AS n_total,
+           (n * count(*) OVER w * 1) > (2 * sum(n) OVER w) AS is_burst
+    FROM c WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def q83(spark, sf):
+    """Daily mention-volume burst detection per entity (event type):
+    a day bursts when its count exceeds 2x the entity's active-day
+    average — pure integer cross-multiplication, no division, one
+    shuffle (the totals window reuses the groupBy partitioning)."""
+    from .operators.temporal import burst_days
+
+    ev = _t(spark, sf, "events")
+    return burst_days(ev, "event_type", "ts", burst_num=2, burst_den=1)
+
+
+@_q(
+    "q84_khop",
+    f"""
+    WITH {_WORD_EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    bd AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+    deg AS (SELECT a AS node, count(*) AS n1 FROM bd GROUP BY 1),
+    two AS (
+      SELECT x, count(*) AS n2 FROM (
+        SELECT DISTINCT e1.a AS x, e2.b AS y
+        FROM bd e1 JOIN bd e2 ON e1.b = e2.a
+        WHERE e1.a <> e2.b
+          AND NOT EXISTS (SELECT 1 FROM bd d WHERE d.a = e1.a AND d.b = e2.b))
+      GROUP BY x)
+    SELECT d.node,
+           CAST(d.n1 AS BIGINT) AS n_1hop,
+           CAST(coalesce(t.n2, 0) AS BIGINT) AS n_2hop
+    FROM deg d LEFT JOIN two t ON t.x = d.node
+    """,
+)
+def q84(spark, sf):
+    """Exact 1-hop degree + exclusive 2-hop frontier size per node over
+    the word co-occurrence graph — the neighborhood a 2-layer GNN
+    sampler touches. Frontier dedup via distinct before counting;
+    direct neighbors removed with a left-anti join."""
+    from .operators.graph import khop_counts, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return khop_counts(e, "src", "dst")
+
+
+@_q(
+    "q85_weighted_sample",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             greatest(len(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),
+               x -> x <> '')), 1) AS w
+      FROM documents),
+    k AS (
+      SELECT doc_id, w,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                 / pow(2, 60)) / greatest(w, 1) AS key
+      FROM d),
+    top AS (SELECT doc_id, w, key FROM k ORDER BY key ASC, doc_id ASC LIMIT 50)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS weight,
+           CAST(round(key * 1e9) AS BIGINT) AS key_nano,
+           CAST(row_number() OVER (ORDER BY key ASC, doc_id ASC) AS BIGINT) AS rank
+    FROM top
+    """,
+)
+def q85(spark, sf):
+    """Length-weighted document sample without replacement (Efraimidis-
+    Spirakis exponential keys over md5-uniform draws) — the reproducible
+    'sample long docs more' primitive for curriculum/eval set builds.
+    Selection is one TakeOrdered pass; no RNG state anywhere."""
+    from .operators.split import weighted_sample
+
+    d = _t(spark, sf, "documents")
+    sized = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(
+                        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+                    ),
+                    lambda x: x != "",
+                )
+            ),
+            F.lit(1),
+        ).alias("n_tok"),
+    )
+    return weighted_sample(sized, "n_tok", "doc_id", k=50)

@@ -203,3 +203,53 @@ def word_cooccur_edges(
         .agg(F.count("*").alias("weight"))
         .where(F.col("weight") >= min_count)
     )
+
+
+def khop_counts(edges: DataFrame, a_col: str = "src", b_col: str = "dst") -> DataFrame:
+    """Exact 1-hop and exclusive 2-hop neighborhood sizes per node over
+    an undirected simple graph (edges given in either direction; cleaned
+    here). n_2hop counts nodes reachable in exactly two hops that are
+    neither the node itself nor a direct neighbor — the frontier a
+    GraphSAGE-style 2-hop feature aggregation would touch.
+
+    Scale: one self-join on the shared neighbor key, then a distinct on
+    (node, target) before counting — the frontier dedup IS the cost, and
+    it's the standard one; hub nodes are the skew point, so feed this
+    edges that already passed a noise-floor cut (see word_cooccur_edges).
+    Output: (node, n_1hop, n_2hop).
+    """
+    e = (
+        edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select(F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b"))
+        .distinct()
+    )
+    both = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    deg = both.groupBy("_a").agg(F.count("*").alias("n_1hop"))
+    two = (
+        both.select(F.col("_a").alias("_x"), F.col("_b").alias("_mid"))
+        .join(
+            both.select(F.col("_a").alias("_mid"), F.col("_b").alias("_y")),
+            "_mid",
+        )
+        .where(F.col("_x") != F.col("_y"))
+        .select("_x", "_y")
+        .distinct()
+        # exactly-2-hops: drop targets that are also direct neighbors
+        .join(
+            both.select(F.col("_a").alias("_x"), F.col("_b").alias("_y")),
+            ["_x", "_y"],
+            "left_anti",
+        )
+        .groupBy("_x")
+        .agg(F.count("*").alias("n_2hop"))
+    )
+    return (
+        deg.withColumnRenamed("_a", "node")
+        .join(two.withColumnRenamed("_x", "node"), "node", "left")
+        .select(
+            "node",
+            F.col("n_1hop").cast("long"),
+            F.coalesce(F.col("n_2hop"), F.lit(0)).cast("long").alias("n_2hop"),
+        )
+    )

@@ -94,3 +94,49 @@ def stratified_sample(
         .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(frac)))
         .drop("_rn", "_n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 50,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws an exponential key
+    -ln(U)/w from an md5-uniform U in (0, 1] and the k smallest keys win
+    — inclusion probability proportional to weight, reproducible in any
+    engine from (id, salt) alone, one TakeOrdered pass (per-partition
+    heaps, no global sort, no RNG state).
+
+    U = (hash60 + 1) / 2^60 where hash60 is the first 15 hex digits of
+    md5(salt || id) — never 0, so ln is total. Weights are clamped to
+    >= 1 (the exponential-key trick needs w > 0).
+
+    Output: (id_col, weight, key_nano, rank), rank 1..k by (key, id).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("_w"),
+        h.alias("_h"),
+    ).select(
+        id_col,
+        "_w",
+        F.expr("-ln((_h + 1) / pow(2, 60)) / greatest(_w, 1)").alias("_key"),
+    )
+    top = keyed.orderBy(F.col("_key").asc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        F.col("_w").alias("weight"),
+        F.expr("CAST(round(_key * 1e9) AS BIGINT)").alias("key_nano"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

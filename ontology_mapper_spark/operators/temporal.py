@@ -1,0 +1,58 @@
+"""Temporal analytics over event/mention streams (burst detection).
+
+A KG built from transcripts is time-indexed: when an entity's daily
+mention volume spikes, that's signal (trending topic, incident, release)
+— the classic burst-detection problem (Kleinberg KDD'02 models it with
+an HMM; at 100 TB the workhorse is the integer threshold rule below,
+which needs one shuffle and no floating point at all).
+
+The burst rule is pure integer cross-multiplication:
+
+    day is a burst  ⟺  n_day · n_active_days · den  >  num · n_total
+
+i.e. the day's count exceeds (num/den)× the entity's average count over
+its ACTIVE days — no division, no doubles, bit-identical anywhere.
+The per-entity totals come from a window over the same partitioning the
+groupBy just produced, so the whole operator is a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def burst_days(
+    df: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    burst_num: int = 2,
+    burst_den: int = 1,
+) -> DataFrame:
+    """Per (entity, day) mention counts flagged as bursts when the day
+    runs more than num/den times the entity's active-day average.
+
+    Output: (entity_col, day 'yyyy-MM-dd', n, n_days, n_total, is_burst)
+    — counts bigint, day a formatted string (timestamp-portability
+    rule), is_burst boolean.
+    """
+    counts = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("_e", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("_e")
+    return counts.select(
+        F.col("_e").alias(entity_col),
+        "day",
+        F.col("n").cast("long"),
+        F.count("*").over(w).cast("long").alias("n_days"),
+        F.sum("n").over(w).cast("long").alias("n_total"),
+        (
+            F.col("n") * F.count("*").over(w) * burst_den
+            > burst_num * F.sum("n").over(w)
+        ).alias("is_burst"),
+    )

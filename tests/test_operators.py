@@ -1082,3 +1082,52 @@ def test_bm25_topk_ranking_properties(spark):
     # ranks are 1..n in score order
     assert [r["rank"] for r in rows] == [1, 2, 3, 4]
     assert sorted(score.values(), reverse=True) == [score[ranked[i]] for i in range(4)]
+
+
+def test_burst_days_integer_rule(spark):
+    """Burst iff n_day * n_active_days * den > num * n_total — checked
+    against a hand-built calendar."""
+    from ontology_mapper_spark.operators.temporal import burst_days
+
+    rows = []
+    for d, n in [("01", 10), ("02", 1), ("03", 1)]:
+        rows += [("A", f"2024-03-{d} 12:00:00")] * n
+    rows += [("B", "2024-03-01 12:00:00")] * 2 + [("B", "2024-03-02 12:00:00")] * 2
+    df = spark.createDataFrame(rows, "event_type string, ts string").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {(r["event_type"], r["day"]): (r["n"], r["n_days"], r["n_total"], r["is_burst"])
+           for r in burst_days(df).collect()}
+    # A: avg over active days = 4; 10*3 > 2*12 -> burst; 1*3 > 24 -> no
+    assert got[("A", "2024-03-01")] == (10, 3, 12, True)
+    assert got[("A", "2024-03-02")] == (1, 3, 12, False)
+    assert got[("B", "2024-03-01")] == (2, 2, 4, False)
+
+
+def test_khop_counts_path_graph(spark):
+    """Path a-b-c-d: 2-hop frontiers exclude self and direct neighbors."""
+    from ontology_mapper_spark.operators.graph import khop_counts
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["node"]: (r["n_1hop"], r["n_2hop"]) for r in khop_counts(df).collect()}
+    assert got == {"a": (1, 1), "b": (2, 1), "c": (2, 1), "d": (1, 1)}
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """A-ES: k>=n returns everything; a crushing weight wins rank 1;
+    identical calls give identical bits."""
+    from ontology_mapper_spark.operators.split import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 if i else 10**9) for i in range(20)], "doc_id long, w long"
+    )
+    r1 = weighted_sample(df, "w", "doc_id", k=50).collect()
+    assert len(r1) == 20 and [r["rank"] for r in r1] == list(range(1, 21))
+    assert r1[0]["doc_id"] == 0  # the heavy row wins
+    r2 = weighted_sample(df, "w", "doc_id", k=50).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    # different salt -> different (but still deterministic) order among the light rows
+    r3 = weighted_sample(df, "w", "doc_id", k=50, salt="s").collect()
+    assert [r["doc_id"] for r in r3] != [r["doc_id"] for r in r1]
