@@ -3086,16 +3086,16 @@ def q81(spark, sf):
     return hll_distinct(li, ["l_returnflag"], "l_orderkey", b=6)
 
 
-def _bm25_oracle_sql(
+def _bm25_docs_ctes(
     terms=("hash", "join", "merge", "scan", "stream"),
     k1: float = 1.2,
     b: float = 0.75,
-    top_k: int = 10,
 ) -> str:
+    """CTE chain (no WITH keyword) ending at docs(doc_id, score_micro) —
+    shared by the q82 oracle and fusion consumers like q86."""
     tl = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     k1p1, omb = k1 + 1.0, 1.0 - b
-    return f"""
-    WITH qt(w) AS (VALUES {tl}),
+    return f"""qt(w) AS (VALUES {tl}),
     base AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
@@ -3125,7 +3125,17 @@ def _bm25_oracle_sql(
       FROM tf JOIN idf USING (w)),
     docs AS (
       SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
-      FROM scored GROUP BY doc_id),
+      FROM scored GROUP BY doc_id)"""
+
+
+def _bm25_oracle_sql(
+    terms=("hash", "join", "merge", "scan", "stream"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> str:
+    return f"""
+    WITH {_bm25_docs_ctes(terms, k1, b)},
     top AS (
       SELECT doc_id, score_micro FROM docs
       ORDER BY score_micro DESC, doc_id ASC LIMIT {top_k})
@@ -3255,3 +3265,69 @@ def q85(spark, sf):
         ).alias("n_tok"),
     )
     return weighted_sample(sized, "n_tok", "doc_id", k=50)
+
+
+def _rrf_oracle_sql(rrf_k: int = 60, top_k: int = 20, per_list: int = 100) -> str:
+    return f"""
+    WITH {_bm25_docs_ctes()},
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+      FROM (SELECT doc_id, score_micro FROM docs
+            ORDER BY score_micro DESC, doc_id LIMIT {per_list})),
+    qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+    vs AS (
+      SELECT vec_id AS doc_id,
+             CAST(round(list_cosine_similarity(embedding::DOUBLE[], qvec) * 1e6)
+                  AS BIGINT) AS cm
+      FROM embeddings CROSS JOIN qv),
+    vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cm DESC, doc_id) AS rank
+      FROM (SELECT doc_id, cm FROM vs ORDER BY cm DESC, doc_id LIMIT {per_list})),
+    allr AS (
+      SELECT doc_id, CAST(round(1e6 / ({rrf_k} + rank)) AS BIGINT) AS c FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(round(1e6 / ({rrf_k} + rank)) AS BIGINT) AS c FROM vec),
+    fused AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+             CAST(count(*) AS BIGINT) AS n_rankers
+      FROM allr GROUP BY doc_id),
+    topf AS (SELECT * FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {top_k})
+    SELECT doc_id, rrf_micro, n_rankers,
+           CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM topf
+    """
+
+
+@_q("q86_rrf_hybrid", _rrf_oracle_sql())
+def q86(spark, sf):
+    """Hybrid retrieval: BM25 lexical top-100 fused with cosine vector
+    top-100 (query = embedding 0, which pairs with doc 0) by reciprocal
+    rank — the RAG-stack shape. Per-ranker RRF terms micro-rounded then
+    integer-summed; both ranked lists are TakeOrdered passes."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_cols
+
+    d = _t(spark, sf, "documents")
+    lex = bm25_topk(
+        d, ["hash", "join", "merge", "scan", "stream"], top_k=100
+    ).select("doc_id", "rank")
+
+    e = _t(spark, sf, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    scored = e.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            cosine_cols(
+                F.col("embedding").cast("array<double>"),
+                F.col("_qvec").cast("array<double>"),
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("_cm"),
+    )
+    vtop = scored.orderBy(F.col("_cm").desc(), F.col("doc_id").asc()).limit(100)
+    wv = Window.orderBy(F.col("_cm").desc(), F.col("doc_id").asc())
+    vec = vtop.select("doc_id", F.row_number().over(wv).alias("rank"))
+    return rrf_fuse([lex, vec], "doc_id", "rank", rrf_k=60, top_k=20)

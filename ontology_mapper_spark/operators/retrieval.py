@@ -96,3 +96,51 @@ def bm25_topk(
         F.col("score_micro").cast("long"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of N ranked
+    lists — the standard way to combine a lexical (BM25) and a vector
+    (cosine ANN) ranker into one hybrid retrieval result without score
+    calibration.
+
+    score(d) = Σ_r round(1e6 / (rrf_k + rank_r(d)))   [bigint micros]
+
+    Each per-ranker term is micro-rounded BEFORE the sum, so the fused
+    score is an order-independent integer sum (the q66 discipline);
+    documents absent from a ranker simply contribute nothing. The merge
+    is a union + one groupBy on id — no join fan-out, N lists of k rows
+    cost O(N·k) regardless of corpus size.
+
+    Output: (id_col, rrf_micro, n_rankers, rank), rank 1..top_k by
+    (rrf_micro desc, id asc).
+    """
+    parts = [
+        r.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"CAST(round(1e6 / ({rrf_k} + {rank_col})) AS BIGINT)").alias(
+                "_c"
+            ),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionAll(p)
+    fused = allr.groupBy("_id").agg(
+        F.sum("_c").alias("rrf_micro"), F.count("*").alias("n_rankers")
+    )
+    top = fused.orderBy(F.col("rrf_micro").desc(), F.col("_id").asc()).limit(top_k)
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("_id").asc())
+    return top.select(
+        F.col("_id").alias(id_col),
+        F.col("rrf_micro").cast("long"),
+        F.col("n_rankers").cast("long"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

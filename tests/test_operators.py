@@ -1131,3 +1131,19 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     # different salt -> different (but still deterministic) order among the light rows
     r3 = weighted_sample(df, "w", "doc_id", k=50, salt="s").collect()
     assert [r["doc_id"] for r in r3] != [r["doc_id"] for r in r1]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF merges two ranked lists: doc in both lists beats docs in one;
+    per-term micro values match round(1e6/(60+rank))."""
+    from ontology_mapper_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], top_k=10).collect()
+    got = {r["doc_id"]: (r["rrf_micro"], r["n_rankers"], r["rank"]) for r in rows}
+    r = lambda k: round(1e6 / (60 + k))
+    assert got[3] == (r(3) + r(1), 2, 1)      # in both lists -> wins
+    assert got[1] == (r(1), 1, 2)
+    assert got[2] == (r(2), 1, 3)             # ties with 4; id asc wins
+    assert got[4] == (r(2), 1, 4)
