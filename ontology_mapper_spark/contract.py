@@ -3331,3 +3331,122 @@ def q86(spark, sf):
     wv = Window.orderBy(F.col("_cm").desc(), F.col("doc_id").asc())
     vec = vtop.select("doc_id", F.row_number().over(wv).alias("rank"))
     return rrf_fuse([lex, vec], "doc_id", "rank", rrf_k=60, top_k=20)
+
+
+@_q(
+    "q87_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_last,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q87(spark, sf):
+    """Per-user session windows via Spark's NATIVE session_window
+    aggregate (30-min gap). Touching windows MERGE: an event exactly at
+    the previous window's end joins that session — a new session needs
+    a gap STRICTLY greater than 30 min (verified by unit test; hence
+    the oracle's >). Same operator the streaming engine runs with
+    state eviction."""
+    from .operators.temporal import sessionize_native
+
+    ev = _t(spark, sf, "events")
+    return sessionize_native(ev, "user_id", "ts", "30 minutes")
+
+
+@_q(
+    "q88_tfidf_terms",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '))
+               AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM words WHERE w <> ''
+           GROUP BY 1, 2),
+    nd AS (SELECT count(*) AS N FROM documents),
+    idf AS (
+      SELECT w, ln(CAST(N AS DOUBLE) / df) AS idf
+      FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) CROSS JOIN nd),
+    scored AS (
+      SELECT doc_id, tf.w AS term,
+             CAST(round(tf * idf * 1e6) AS BIGINT) AS score_micro
+      FROM tf JOIN idf USING (w))
+    SELECT doc_id, term, score_micro,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_micro DESC, term) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def q88(spark, sf):
+    """Top-3 TF-IDF keywords per document (KG node descriptions).
+    ln once per distinct term, score micro-rounded, per-doc window with
+    a total order."""
+    from .operators.retrieval import tfidf_top_terms
+
+    d = _t(spark, sf, "documents")
+    return tfidf_top_terms(d, "text", "doc_id", top_k=3)
+
+
+@_q(
+    "q89_grouped_quantiles",
+    """
+    WITH d AS (
+      SELECT lang, doc_id,
+             len(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' '),
+               x -> x <> '')) AS v
+      FROM documents),
+    r AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS r,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM d)
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN r = ((50 * n) + 99) // 100 THEN v END) AS BIGINT)
+             AS q50,
+           CAST(max(CASE WHEN r = ((90 * n) + 99) // 100 THEN v END) AS BIGINT)
+             AS q90,
+           CAST(max(CASE WHEN r = ((99 * n) + 99) // 100 THEN v END) AS BIGINT)
+             AS q99
+    FROM r GROUP BY lang
+    """,
+)
+def q89(spark, sf):
+    """Exact type-1 token-length quantiles per language: value at rank
+    ceil(p*n/100) computed in pure integer arithmetic ((p*n+99) div
+    100) under a total order — actual data values out, no
+    interpolation, no floats."""
+    from .operators.textstats import grouped_quantiles
+
+    d = _t(spark, sf, "documents")
+    sized = d.select(
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+                ),
+                lambda x: x != "",
+            )
+        ).alias("n_tok"),
+    )
+    return grouped_quantiles(
+        sized, ["lang"], "n_tok", (0.5, 0.9, 0.99), tiebreak_col="doc_id"
+    )

@@ -144,3 +144,50 @@ def rrf_fuse(
         F.col("n_rankers").cast("long"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — keyword extraction for KG node
+    descriptions. idf = ln(N/df) computed ONCE per distinct term from
+    integer counts (q66 discipline) and broadcast back; the per-(doc,
+    term) score is micro-rounded tf·idf; per-doc rank is a window with
+    the total order (score desc, term asc).
+
+    Output: (id_col, term, score_micro, rank), rank 1..top_k.
+    """
+    from .dedup import normalized_text_col
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalized_text_col(F.col(text_col)), " ").alias("_t"),
+    )
+    toks = base.select("_id", F.explode("_t").alias("_w")).where(F.col("_w") != "")
+    tf = toks.groupBy("_id", "_w").agg(F.count("*").alias("_tf"))
+    n_docs = base.select(F.count("*").alias("_N"))
+    dfreq = tf.groupBy("_w").agg(F.count("*").alias("_df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "_w", F.expr("ln(CAST(_N AS DOUBLE) / _df)").alias("_idf")
+    )
+    scored = tf.join(F.broadcast(idf), "_w").select(
+        "_id",
+        "_w",
+        F.expr("CAST(round(_tf * _idf * 1e6) AS BIGINT)").alias("score_micro"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score_micro").desc(), F.col("_w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_w").alias("term"),
+            "score_micro",
+            F.col("rank").cast("long"),
+        )
+    )

@@ -56,3 +56,36 @@ def burst_days(
             > burst_num * F.sum("n").over(w)
         ).alias("is_burst"),
     )
+
+
+def sessionize_native(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``
+    aggregate — the same operator the streaming engine runs with state
+    eviction, so batch and stream share semantics. Touching windows
+    MERGE: an event exactly at the previous window's end joins that
+    session; a new session needs a gap STRICTLY greater than ``gap``
+    (pinned by unit test — the q24 lag-flag formulation with `>` is
+    the equivalent spec). Complements q24 with the built-in,
+    merge-capable physical form.
+
+    Output: (user_col, session_start, session_last, n_events) with
+    timestamps as microsecond strings (timestamp-portability rule).
+    """
+    g = df.groupBy(
+        F.col(user_col), F.session_window(F.col(ts_col), gap)
+    ).agg(
+        F.min(ts_col).alias("_start"),
+        F.max(ts_col).alias("_last"),
+        F.count("*").alias("n_events"),
+    )
+    return g.select(
+        user_col,
+        F.date_format("_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_last"),
+        F.col("n_events").cast("long"),
+    )

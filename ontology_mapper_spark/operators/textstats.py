@@ -341,3 +341,59 @@ def bpe_pair_counts(
         .where(F.col("rank") <= top_k)
         .select("pair", F.col("n").cast("long").alias("n"), F.col("rank").cast("long").alias("rank"))
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """EXACT type-1 (inverted-CDF) quantiles per group: the value at
+    rank ceil(q·n) under the total order (value, tiebreak). No
+    interpolation — outputs are actual data values, so integer columns
+    stay integers and any engine reproduces them bit-for-bit (the same
+    reason percentile_trim uses rank cutoffs). Quantiles are percent-
+    granular and the target rank is computed in EXACT integer
+    arithmetic — ceil(p·n/100) = (p·n + 99) div 100 — so there is no
+    IEEE ceil-at-a-boundary hazard at all.
+
+    One shuffle: the rank window and the count window share the group
+    partitioning. Output: (*group_cols, n, q50, q90, ... named qNN).
+    """
+    from pyspark.sql import Window
+
+    pcts = []
+    for q in quantiles:
+        p = int(round(q * 100))
+        if abs(p - q * 100) > 1e-9:
+            raise ValueError(f"quantiles must be percent-granular, got {q}")
+        pcts.append(p)
+
+    order = [F.col("_v").asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    ).select(
+        *group_cols,
+        "_v",
+        F.row_number().over(w).alias("_r"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for p in pcts:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_r") == F.expr(f"(({p} * _n) + 99) div 100"),
+                    F.col("_v"),
+                )
+            ).alias(f"q{p:02d}")
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)

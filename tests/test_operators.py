@@ -1147,3 +1147,66 @@ def test_rrf_fuse_hand_computed(spark):
     assert got[1] == (r(1), 1, 2)
     assert got[2] == (r(2), 1, 3)             # ties with 4; id asc wins
     assert got[4] == (r(2), 1, 4)
+
+
+def test_sessionize_native_gap_boundary(spark):
+    """session_window semantics (pinned): an event at exactly start+gap
+    MERGES into the session; strictly past it opens a new one."""
+    from ontology_mapper_spark.operators.temporal import sessionize_native
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:29:59"),            # inside -> same session
+            (1, "2024-01-01 00:59:59"),            # exactly 30:00 after -> merges
+            (1, "2024-01-01 01:29:59.000001"),     # 1us past the gap -> NEW
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:30:00"),            # exactly the gap -> merges
+        ],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    rows = sorted(
+        sessionize_native(df, gap="30 minutes").collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [
+        (1, 3), (1, 1), (2, 2)
+    ]
+    assert rows[0]["session_last"] == "2024-01-01 00:59:59.000000"
+    assert rows[1]["session_start"] == "2024-01-01 01:29:59.000001"
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """A term appearing in every doc has idf 0; doc-specific terms rank
+    by tf*ln(N/df)."""
+    import math
+
+    from ontology_mapper_spark.operators.retrieval import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common other")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, top_k=3).collect()
+    got = {(r["doc_id"], r["term"]): (r["score_micro"], r["rank"]) for r in rows}
+    ln2 = math.log(2.0)
+    assert got[(1, "rare")] == (round(2 * ln2 * 1e6), 1)
+    assert got[(1, "common")] == (0, 2)
+    assert got[(2, "other")] == (round(1 * ln2 * 1e6), 1)
+    assert got[(2, "common")] == (0, 2)
+
+
+def test_grouped_quantiles_exact_and_percent_guard(spark):
+    """Type-1 quantiles return actual data values at ceil(p*n/100)."""
+    import pytest as _pytest
+
+    from ontology_mapper_spark.operators.textstats import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("g", i, i * 10) for i in range(1, 11)], "g string, doc_id long, v long"
+    )
+    r = grouped_quantiles(df, ["g"], "v", (0.5, 0.9, 0.99), "doc_id").collect()[0]
+    # n=10: ranks ceil(5)=5, ceil(9)=9, ceil(9.9)=10
+    assert (r["n"], r["q50"], r["q90"], r["q99"]) == (10, 50, 90, 100)
+    with _pytest.raises(ValueError):
+        grouped_quantiles(df, ["g"], "v", (0.123,), "doc_id")
