@@ -3450,3 +3450,89 @@ def q89(spark, sf):
     return grouped_quantiles(
         sized, ["lang"], "n_tok", (0.5, 0.9, 0.99), tiebreak_col="doc_id"
     )
+
+
+def _walks_oracle_sql(walk_len: int = 3) -> str:
+    steps, prev = [], "w0"
+    for t in range(1, walk_len + 1):
+        steps.append(f"""
+    w{t} AS (
+      SELECT p.start, {t} AS step, a.d AS node
+      FROM {prev} p JOIN adj a ON a.s = p.node
+      WHERE (('0x' || substr(md5(p.start || '|' || p.node || '|' || '{t}'),
+                             1, 15))::BIGINT % a.deg) = a.idx)""")
+        prev = f"w{t}"
+    unions = "\n      UNION ALL ".join(
+        f"SELECT * FROM w{t}" for t in range(walk_len + 1)
+    )
+    return f"""
+    WITH {_WORD_EDGES_CTE},
+    e AS (SELECT DISTINCT src AS s, dst AS d FROM edges),
+    adj AS (
+      SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS idx,
+             count(*) OVER (PARTITION BY s) AS deg
+      FROM e),
+    nodes AS (SELECT DISTINCT s AS node FROM e
+              UNION SELECT DISTINCT d FROM e),
+    w0 AS (SELECT node AS start, 0 AS step, node FROM nodes),
+    {",".join(steps)}
+    SELECT start, CAST(step AS BIGINT) AS step, node FROM (
+      {unions})
+    """
+
+
+@_q("q90_walks", _walks_oracle_sql())
+def q90(spark, sf):
+    """Deterministic node2vec-style walk corpus (3 steps from every
+    node): step t out of v picks neighbor md5(start|v|t) mod deg(v)
+    under dst-ascending neighbor order — regenerable from the edge
+    list, no RNG state. One adjacency build + walk_len equi-joins."""
+    from .operators.graph import deterministic_walks, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return deterministic_walks(e, "src", "dst", walk_len=3)
+
+
+@_q(
+    "q91_link_prediction",
+    f"""
+    WITH {_WORD_EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    bd AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+    deg AS (SELECT a AS n, count(*) AS deg FROM bd GROUP BY 1),
+    aa AS (SELECT n AS z, CAST(round(1e6 / ln(deg)) AS BIGINT) AS aa FROM deg),
+    wz AS (SELECT b AS z, a AS u FROM bd),
+    cand AS (
+      SELECT w1.u AS u, w2.u AS v, count(*) AS n_common,
+             CAST(sum(aa.aa) AS BIGINT) AS aam
+      FROM wz w1
+      JOIN wz w2 ON w1.z = w2.z AND w1.u < w2.u
+      JOIN aa ON aa.z = w1.z
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    nonedge AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = c.u AND und.b = c.v))
+    SELECT u AS node_a, v AS node_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(round(n_common * 1e6 / (du.deg + dv.deg - n_common)) AS BIGINT)
+             AS jaccard_micro,
+           aam AS adamic_adar_micro
+    FROM nonedge
+    JOIN deg du ON du.n = u
+    JOIN deg dv ON dv.n = v
+    """,
+)
+def q91(spark, sf):
+    """KG edge inference: common-neighbors / Jaccard / Adamic-Adar
+    scores for unlinked entity pairs. Candidates from the wedge join
+    only (never all-pairs); AA is an integer micro sum with ln once per
+    distinct neighbor."""
+    from .operators.graph import link_prediction_scores, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return link_prediction_scores(e, "src", "dst", min_common=2)

@@ -253,3 +253,134 @@ def khop_counts(edges: DataFrame, a_col: str = "src", b_col: str = "dst") -> Dat
             F.coalesce(F.col("n_2hop"), F.lit(0)).cast("long").alias("n_2hop"),
         )
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walk_len: int = 3,
+) -> DataFrame:
+    """node2vec-style random-walk corpus with NO RNG state: from every
+    node, one walk of up to ``walk_len`` steps where step t out of node
+    v picks neighbor index md5(start|v|t) mod out_degree(v) under the
+    neighbor order (dst asc). Fully reproducible from the edge list
+    alone — the property that makes walk corpora regenerable per
+    snapshot instead of stored. Walks stop early at sink nodes.
+
+    Scale: the adjacency table (src, idx, dst, deg) is built once with
+    a per-src rank window; each step is one equi-join of the frontier
+    against it on (node, idx) — walk_len joins total, AQE-planned.
+    Output: (start, step, node), step 0..walk_len.
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
+    wn = Window.partitionBy("_s").orderBy(F.col("_d").asc())
+    adj = e.select(
+        "_s",
+        "_d",
+        (F.row_number().over(wn) - 1).alias("_idx"),
+        F.count("*").over(Window.partitionBy("_s")).alias("_deg"),
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("node").alias("start"), F.lit(0).alias("step"), F.col("node")
+    )
+    out = [frontier]
+    for t in range(1, walk_len + 1):
+        pick = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("start"), F.col("node"), F.lit(str(t)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        frontier = (
+            frontier.join(adj, frontier["node"] == adj["_s"])
+            .where((pick % F.col("_deg")) == F.col("_idx"))
+            .select("start", F.lit(t).alias("step"), F.col("_d").alias("node"))
+        )
+        out.append(frontier)
+    allw = out[0]
+    for p in out[1:]:
+        allw = allw.unionAll(p)
+    return allw.select("start", F.col("step").cast("long"), "node")
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbors / Jaccard / Adamic-Adar link-prediction scores
+    for NON-edges of an undirected simple graph (Liben-Nowell & Kleinberg
+    2003) — the KG edge-inference step: which entity pairs are probably
+    related but not yet linked?
+
+    Adamic-Adar is an integer micro sum: each common neighbor z
+    contributes round(1e6/ln(deg(z))) — ln once per DISTINCT node (a
+    common neighbor always has deg >= 2, so ln > 0) — making the sum
+    order-independent. Jaccard is the single-division micro ratio
+    |common| / (deg_u + deg_v − |common|).
+
+    Scale: candidates come from the wedge join only (pairs sharing at
+    least one neighbor — never all-pairs); `min_common` prunes the long
+    tail before scoring. Output: (node_a, node_b, n_common,
+    jaccard_micro, adamic_adar_micro), node_a < node_b.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select(F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b"))
+        .distinct()
+    )
+    both = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    deg = both.groupBy("_a").agg(F.count("*").alias("_deg"))
+    aa = F.broadcast(
+        deg.select(
+            F.col("_a").alias("_z"),
+            F.expr("CAST(round(1e6 / ln(_deg)) AS BIGINT)").alias("_aa"),
+            F.col("_deg").alias("_zdeg"),
+        )
+    )
+    # wedges through each mid node z: unordered candidate pair (u, v)
+    w1 = both.select(F.col("_b").alias("_z"), F.col("_a").alias("_u"))
+    w2 = both.select(F.col("_b").alias("_z"), F.col("_a").alias("_v"))
+    cand = (
+        w1.join(w2, "_z")
+        .where(F.col("_u") < F.col("_v"))
+        .join(aa, "_z")
+        .groupBy("_u", "_v")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("_aa").alias("adamic_adar_micro"),
+        )
+        .where(F.col("n_common") >= min_common)
+        # link prediction: existing edges are excluded
+        .join(
+            e.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")),
+            ["_u", "_v"],
+            "left_anti",
+        )
+    )
+    du = deg.select(F.col("_a").alias("_u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("_a").alias("_v"), F.col("_deg").alias("_dv"))
+    return (
+        cand.join(F.broadcast(du), "_u")
+        .join(F.broadcast(dv), "_v")
+        .select(
+            F.col("_u").alias("node_a"),
+            F.col("_v").alias("node_b"),
+            F.col("n_common").cast("long"),
+            F.expr(
+                "CAST(round(n_common * 1e6 / (_du + _dv - n_common)) AS BIGINT)"
+            ).alias("jaccard_micro"),
+            F.col("adamic_adar_micro").cast("long"),
+        )
+    )

@@ -1210,3 +1210,44 @@ def test_grouped_quantiles_exact_and_percent_guard(spark):
     assert (r["n"], r["q50"], r["q90"], r["q99"]) == (10, 50, 90, 100)
     with _pytest.raises(ValueError):
         grouped_quantiles(df, ["g"], "v", (0.123,), "doc_id")
+
+
+def test_deterministic_walks_structure(spark):
+    """Walks are edge-respecting, deterministic, and stop at sinks."""
+    from ontology_mapper_spark.operators.graph import deterministic_walks
+
+    # a -> b -> c ; c is a sink
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    rows = deterministic_walks(df, walk_len=3).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    # only one path exists from each node; sinks stop early
+    assert walks["a"] == {0: "a", 1: "b", 2: "c"}
+    assert walks["b"] == {0: "b", 1: "c"}
+    assert walks["c"] == {0: "c"}
+    again = deterministic_walks(df, walk_len=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_link_prediction_scores_square(spark):
+    """4-cycle a-b-c-d: the two diagonals are the only predicted links,
+    each with 2 common neighbors of degree 2."""
+    import math
+
+    from ontology_mapper_spark.operators.graph import link_prediction_scores
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    rows = link_prediction_scores(df, min_common=2).collect()
+    got = {(r["node_a"], r["node_b"]): r for r in rows}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    r = got[("a", "c")]
+    assert r["n_common"] == 2
+    # jaccard = 2 / (2 + 2 - 2) = 1.0
+    assert r["jaccard_micro"] == 1_000_000
+    assert r["adamic_adar_micro"] == 2 * round(1e6 / math.log(2.0))
