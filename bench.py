@@ -43,6 +43,22 @@ EXTENDED = [
     "q66_perplexity",
     "q67_decontaminate",
     "q68_percentile_trim",
+    # round-3 operators
+    "q77_bpe_pairs",
+    "q78_pagerank",
+    "q79_triangles",
+    "q80_kmv_distinct",
+    "q81_hll_distinct",
+    "q82_bm25_topk",
+    "q83_burst_days",
+    "q84_khop",
+    "q85_weighted_sample",
+    "q86_rrf_hybrid",
+    "q87_session_windows",
+    "q88_tfidf_terms",
+    "q89_grouped_quantiles",
+    "q90_walks",
+    "q91_link_prediction",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -34,6 +34,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a derived edge/adjacency table that the operator reuses
+    several times (loop iterations, wedge-join branches). The input
+    corpus may be 100 TB; the AGGREGATED graph is |V|+|E|-bounded and
+    this is exactly the table worth keeping hot — without it every
+    reuse point re-runs the full upstream scan. MEMORY_AND_DISK so a
+    big graph spills instead of OOMing; entries stay cached for the
+    session (callers can spark.catalog.clearCache())."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def pagerank_micro(
     edges: DataFrame,
     src_col: str = "src",
@@ -66,8 +79,8 @@ def pagerank_micro(
     # collapse parallel edges once, up front — the loop re-reads this
     e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
-    e = e.join(out_w, "_src")
-    nodes = (
+    e = _pin(e.join(out_w, "_src"))
+    nodes = _pin(
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
@@ -114,7 +127,7 @@ def triangle_stats(
 
     Output: (node, degree, triangles, lcc_micro).
     """
-    e = (
+    e = _pin(
         edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
         .where(F.col("_a") != F.col("_b"))
         .select(
@@ -136,6 +149,7 @@ def triangle_stats(
         )
         .select("_a", "_b")
     )
+    ed = _pin(ed)  # reused by both wedge sides and the closing probe
     w1 = ed.select(F.col("_a").alias("_x"), F.col("_b").alias("_u"))
     w2 = ed.select(F.col("_a").alias("_x"), F.col("_b").alias("_v"))
     wedges = w1.join(w2, "_x").where(F.col("_u") < F.col("_v"))
@@ -218,7 +232,7 @@ def khop_counts(edges: DataFrame, a_col: str = "src", b_col: str = "dst") -> Dat
     edges that already passed a noise-floor cut (see word_cooccur_edges).
     Output: (node, n_1hop, n_2hop).
     """
-    e = (
+    e = _pin(
         edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
         .where(F.col("_a") != F.col("_b"))
         .select(F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b"))
@@ -275,11 +289,13 @@ def deterministic_walks(
     """
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
     wn = Window.partitionBy("_s").orderBy(F.col("_d").asc())
-    adj = e.select(
-        "_s",
-        "_d",
-        (F.row_number().over(wn) - 1).alias("_idx"),
-        F.count("*").over(Window.partitionBy("_s")).alias("_deg"),
+    adj = _pin(
+        e.select(
+            "_s",
+            "_d",
+            (F.row_number().over(wn) - 1).alias("_idx"),
+            F.count("*").over(Window.partitionBy("_s")).alias("_deg"),
+        )
     )
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -334,7 +350,7 @@ def link_prediction_scores(
     tail before scoring. Output: (node_a, node_b, n_common,
     jaccard_micro, adamic_adar_micro), node_a < node_b.
     """
-    e = (
+    e = _pin(
         edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
         .where(F.col("_a") != F.col("_b"))
         .select(F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b"))
