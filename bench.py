@@ -59,6 +59,7 @@ EXTENDED = [
     "q89_grouped_quantiles",
     "q90_walks",
     "q91_link_prediction",
+    "q92_closure",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

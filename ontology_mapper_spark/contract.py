@@ -3536,3 +3536,36 @@ def q91(spark, sf):
     d = _t(spark, sf, "documents")
     e = word_cooccur_edges(d, "text", min_count=3)
     return link_prediction_scores(e, "src", "dst", min_common=2)
+
+
+@_q(
+    "q92_closure",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT doc_id AS node, doc_id // 4 AS ancestor, 1 AS depth
+      FROM documents WHERE doc_id >= 4
+      UNION ALL
+      SELECT node, ancestor // 4, depth + 1 FROM anc WHERE ancestor >= 4
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(ancestor AS BIGINT) AS ancestor,
+           CAST(depth AS BIGINT) AS depth
+    FROM anc
+    """,
+)
+def q92(spark, sf):
+    """Ancestor closure with min depth (rdfs:subClassOf reasoning-lite):
+    materialize every (node, ancestor, depth) pair so descendant probes
+    are equality lookups. Iterative doubling — ceil(log2(diameter))
+    join+min-agg rounds, each round pinned and counted (convergence
+    test doubles as lineage cut). Edges here: the deterministic base-4
+    id tree over documents (child=doc_id, parent=doc_id//4), depth ~4.5
+    at sf0.01; the oracle is an independent DuckDB WITH RECURSIVE."""
+    from .operators.graph import transitive_closure
+
+    d = _t(spark, sf, "documents")
+    edges = d.where(F.col("doc_id") >= 4).select(
+        F.col("doc_id").alias("child"),
+        F.floor(F.col("doc_id") / F.lit(4)).alias("parent"),
+    )
+    return transitive_closure(edges, "child", "parent")

@@ -400,3 +400,68 @@ def link_prediction_scores(
             F.col("adamic_adar_micro").cast("long"),
         )
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """All (node, ancestor, depth) pairs of a DAG by iterative doubling —
+    the rdfs:subClassOf / skos:broader closure a KG materializes so
+    "all descendants of X" becomes one equality probe instead of a
+    runtime graph walk (reference analogue: the per-term hierarchy the
+    BioPortal API returns pre-expanded, services/bioportal.py).
+
+    depth is the SHORTEST path length (min over all derivations), so the
+    result is well-defined on any DAG, not just trees.
+
+    Scale: doubling needs ceil(log2(D)) rounds for diameter D (a
+    20-deep ontology = 5 rounds), each one equi-join + min-agg — vs D
+    rounds for naive frontier expansion. Every round's result is
+    persisted and materialized via count() (also the convergence test),
+    so round k+1 joins a pinned |closure| table instead of replaying
+    the whole lineage; no checkpoint() (Spark 4.1 loop bug, see
+    pipeline/canonicalize.py).
+
+    Cycles: a cycle would make the closure infinite; we stop when the
+    pair set stops growing, so cyclic SCCs converge to their finite
+    pair set with min depths, and `max_depth` bounds pathological
+    inputs either way.
+    """
+    c = (
+        edges.select(
+            F.col(child_col).alias("node"), F.col(parent_col).alias("ancestor")
+        )
+        .where(F.col("node") != F.col("ancestor"))
+        .distinct()
+        .withColumn("depth", F.lit(1).cast("long"))
+    )
+    c = _pin(c)
+    n = c.count()
+    depth_reached = 1
+    while depth_reached < max_depth:
+        # double: paths of length <= 2*depth_reached
+        left = c.select("node", F.col("ancestor").alias("_mid"), "depth")
+        right = c.select(
+            F.col("node").alias("_mid"),
+            "ancestor",
+            F.col("depth").alias("_d2"),
+        )
+        nxt = _pin(
+            left.join(right, "_mid")
+            .select("node", "ancestor", (F.col("depth") + F.col("_d2")).alias("depth"))
+            .unionByName(c.select("node", "ancestor", "depth"))
+            .where(F.col("node") != F.col("ancestor"))
+            .groupBy("node", "ancestor")
+            .agg(F.min("depth").alias("depth"))
+        )
+        n2 = nxt.count()
+        grew = n2 != n
+        c.unpersist()
+        c, n = nxt, n2
+        depth_reached *= 2
+        if not grew:
+            break
+    return c.select("node", "ancestor", F.col("depth").cast("long").alias("depth"))

@@ -1251,3 +1251,39 @@ def test_link_prediction_scores_square(spark):
     # jaccard = 2 / (2 + 2 - 2) = 1.0
     assert r["jaccard_micro"] == 1_000_000
     assert r["adamic_adar_micro"] == 2 * round(1e6 / math.log(2.0))
+
+
+def test_transitive_closure_dag_min_depth_and_cycle(spark):
+    from ontology_mapper_spark.operators.graph import transitive_closure
+
+    # diamond DAG: 1->2->4, 1->3->4, plus shortcut 1->4 (min depth wins)
+    dag = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (4, 3), (4, 1)], "child long, parent long"
+    )
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in transitive_closure(dag).collect()
+    }
+    assert got == {(2, 1): 1, (3, 1): 1, (4, 2): 1, (4, 3): 1, (4, 1): 1}
+
+    # chain of 9 -> depths up to 8, doubling needs 3 rounds
+    chain = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 9)], "child long, parent long"
+    )
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in transitive_closure(chain).collect()
+    }
+    assert len(got) == 8 * 9 // 2
+    assert got[(8, 0)] == 8 and got[(8, 7)] == 1 and got[(5, 2)] == 3
+
+    # 3-cycle converges to its finite pair set with min depths
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "child long, parent long"
+    )
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in transitive_closure(cyc).collect()
+    }
+    assert len(got) == 6
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 2
