@@ -60,6 +60,7 @@ EXTENDED = [
     "q90_walks",
     "q91_link_prediction",
     "q92_closure",
+    "q93_span_merge",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

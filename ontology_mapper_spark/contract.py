@@ -3569,3 +3569,53 @@ def q92(spark, sf):
         F.floor(F.col("doc_id") / F.lit(4)).alias("parent"),
     )
     return transitive_closure(edges, "child", "parent")
+
+
+@_q(
+    "q93_span_merge",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')
+               AS toks
+      FROM documents),
+    sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(n_tokens - 2, 0) + 1)) AS i
+            FROM sized)),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    iv AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + 2 AS e
+      FROM grams g JOIN dupg USING (gram)),
+    fl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM iv),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM fl)
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, isl
+    """,
+)
+def q93(spark, sf):
+    """Maximal duplicated spans (the intervals a span-level deduper
+    cuts): corpus-duplicated 3-gram intervals merged per doc by the
+    gaps-and-islands running-max rule. Complements q70 (which reports
+    only the coverage fraction); windows are per-doc over duplicated
+    intervals only."""
+    from .operators.dedup import merge_dup_spans
+
+    d = _t(spark, sf, "documents")
+    return merge_dup_spans(d, "text", "doc_id", ngram_n=3, min_count=2)

@@ -580,6 +580,41 @@ def ngram_containment_pairs(
     )
 
 
+def _dup_gram_occ(df, text_col, id_col, n, min_count):
+    """Shared scaffolding for span-level duplication ops: tokenized
+    docs (`base`: doc_id, _toks, n_tokens), word-n-gram occurrences
+    (`occ`: doc_id, pos 1-based, gram) and the corpus-duplicated gram
+    set (`dup`: gram, occurring >= min_count times corpus-wide). The
+    grams array is built in its OWN projection before posexplode so the
+    transform() runs once per document, not once per output row."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text_col(F.col(text_col)), " ").alias("_toks"),
+    ).select("doc_id", "_toks", F.size("_toks").alias("n_tokens"))
+    grams_arr = base.select(
+        "doc_id",
+        F.when(
+            F.col("n_tokens") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                lambda i: F.array_join(F.slice("_toks", i, n), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams"),
+    )
+    occ = grams_arr.select(
+        "doc_id", F.posexplode("_grams").alias("_pos0", "gram")
+    ).select("doc_id", (F.col("_pos0") + 1).alias("pos"), "gram")
+    dup = (
+        occ.groupBy("gram")
+        .count()
+        .where(F.col("count") >= min_count)
+        .select("gram")
+    )
+    return base, occ, dup
+
+
 def dup_span_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -617,31 +652,7 @@ def dup_span_stats(
     row (per-element re-evaluation trap — see CLAUDE.md).
     """
     n = int(ngram_n)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalized_text_col(F.col(text_col)), " ").alias("_toks"),
-    ).select("doc_id", "_toks", F.size("_toks").alias("n_tokens"))
-    grams_arr = base.select(
-        "doc_id",
-        F.when(
-            F.col("n_tokens") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
-                lambda i: F.array_join(F.slice("_toks", i, n), " "),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_grams"),
-    )
-    occ = grams_arr.select(
-        "doc_id", F.posexplode("_grams").alias("_pos0", "gram")
-    ).select("doc_id", (F.col("_pos0") + 1).alias("pos"), "gram")
-    dup = (
-        occ.groupBy("gram")
-        .count()
-        .where(F.col("count") >= min_count)
-        .select("gram")
-    )
+    base, occ, dup = _dup_gram_occ(df, text_col, id_col, n, min_count)
     covered = (
         occ.join(dup, "gram", "left_semi")
         .select(
@@ -664,6 +675,65 @@ def dup_span_stats(
             )
             .cast("long")
             .alias("dup_frac_micro"),
+        )
+    )
+
+
+def merge_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+    min_count: int = 2,
+    min_span_tokens: int = 1,
+) -> DataFrame:
+    """Maximal duplicated spans per document: every corpus-duplicated
+    word n-gram covers token interval [pos, pos+n-1]; overlapping or
+    adjacent intervals are merged (gaps-and-islands) into the maximal
+    spans a span-level deduper would actually CUT (Lee et al. 2022 —
+    q70/dup_span_stats reports the coverage fraction; this op emits the
+    spans themselves). Output: (doc_id, span_start, span_end, span_len),
+    1-based inclusive token positions.
+
+    Islands by the classic running-max rule: order a doc's duplicated
+    intervals by start; a new island begins where start > 1 + max(end)
+    over all earlier intervals; island id = running sum of the flag;
+    span = min(start)..max(end) per island. All windows are partitioned
+    BY DOC over only its duplicated intervals — per-doc state, never a
+    global sort, and the duplicated subset is the minority of tokens at
+    corpus scale (same shape as dup_span_stats)."""
+    n = int(ngram_n)
+    _, occ, dup = _dup_gram_occ(df, text_col, id_col, n, min_count)
+    iv = occ.join(dup, "gram", "left_semi").select(
+        "doc_id", F.col("pos").alias("_s"), (F.col("pos") + n - 1).alias("_e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_s", "_e")
+    prev_max_e = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.select(
+        "doc_id",
+        "_s",
+        "_e",
+        F.when(prev_max_e.isNull() | (F.col("_s") > prev_max_e + 1), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "_s",
+        "_e",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(F.min("_s").alias("span_start"), F.max("_e").alias("span_end"))
+        .where(F.col("span_end") - F.col("span_start") + 1 >= min_span_tokens)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
         )
     )
 

@@ -1287,3 +1287,26 @@ def test_transitive_closure_dag_min_depth_and_cycle(spark):
     }
     assert len(got) == 6
     assert got[(1, 2)] == 1 and got[(1, 3)] == 2
+
+
+def test_merge_dup_spans_islands(spark):
+    from ontology_mapper_spark.operators.dedup import merge_dup_spans
+
+    # "a b c d" trigrams: "a b c" and "b c d" both duplicated across the
+    # two docs -> intervals [1,3],[2,4] merge into one span 1..4; the
+    # unique tail "x y z" in doc 3 contributes nothing.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d q r s t u a b c d"),
+            (2, "a b c d"),
+            (3, "x y z w v u t"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_len"]
+        for r in merge_dup_spans(df, ngram_n=3, min_count=2).collect()
+    }
+    # doc 1: positions 1-4 and 10-13 duplicated ("a b c d" twice corpus-
+    # wide); doc 2: the whole doc.
+    assert got == {(1, 1, 4): 4, (1, 10, 13): 4, (2, 1, 4): 4}
