@@ -61,6 +61,7 @@ EXTENDED = [
     "q91_link_prediction",
     "q92_closure",
     "q93_span_merge",
+    "q94_blocked_linkage",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -3619,3 +3619,77 @@ def q93(spark, sf):
 
     d = _t(spark, sf, "documents")
     return merge_dup_spans(d, "text", "doc_id", ngram_n=3, min_count=2)
+
+
+@_q(
+    "q94_blocked_linkage",
+    """
+    WITH a AS (
+      SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
+             c_name AS name,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 50000 AS bal_bucket
+      FROM customer),
+    b AS (
+      SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN replace(c_name, 'Customer#', 'CUST-')
+                  ELSE c_name END AS name,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 50000
+               + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS bal_bucket
+      FROM customer),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS agree_name,
+             CASE WHEN a.bal_bucket = b.bal_bucket THEN 1 ELSE 0
+               END AS agree_bal_bucket
+      FROM a JOIN b ON a.nk = b.nk AND a.seg = b.seg)
+    SELECT id_a, id_b,
+           CAST(agree_name AS BIGINT) AS agree_name,
+           CAST(agree_bal_bucket AS BIGINT) AS agree_bal_bucket,
+           CAST(CASE WHEN agree_name = 1 THEN 4000 ELSE -1000 END
+              + CASE WHEN agree_bal_bucket = 1 THEN 1500 ELSE -500 END
+              AS BIGINT) AS score
+    FROM cand
+    WHERE CASE WHEN agree_name = 1 THEN 4000 ELSE -1000 END
+        + CASE WHEN agree_bal_bucket = 1 THEN 1500 ELSE -500 END >= 3000
+    """,
+)
+def q94(spark, sf):
+    """Fellegi-Sunter-lite entity resolution: block on (nation, segment),
+    score per-field agreement with integer milli-weights, keep pairs
+    >= threshold — the accept set a KG feeds to CC as equivalence
+    edges. Source B is a deterministic dirty view of customer (name
+    mangled for custkey%3==0, balance bucket shifted for %5==0)."""
+    from .operators.linkage import blocked_linkage
+
+    c = _t(spark, sf, "customer")
+    bucket = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 50000")
+    a = c.select(
+        F.col("c_custkey").alias("cid"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_name").alias("name"),
+        bucket.alias("bal_bucket"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cid"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("CUST-")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        (bucket + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)).alias(
+            "bal_bucket"
+        ),
+    )
+    return blocked_linkage(
+        a,
+        b,
+        "cid",
+        ["c_nationkey", "c_mktsegment"],
+        {"name": (4000, -1000), "bal_bucket": (1500, -500)},
+        threshold=3000,
+    )

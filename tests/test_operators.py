@@ -1310,3 +1310,24 @@ def test_merge_dup_spans_islands(spark):
     # doc 1: positions 1-4 and 10-13 duplicated ("a b c d" twice corpus-
     # wide); doc 2: the whole doc.
     assert got == {(1, 1, 4): 4, (1, 10, 13): 4, (2, 1, 4): 4}
+
+
+def test_blocked_linkage_scoring(spark):
+    from ontology_mapper_spark.operators.linkage import blocked_linkage
+
+    a = spark.createDataFrame(
+        [(1, "x", "ann", 10), (2, "x", "bob", 20), (3, "y", "cat", 30)],
+        "id long, blk string, name string, bkt long",
+    )
+    b = spark.createDataFrame(
+        [(11, "x", "ann", 10), (12, "x", "ann", 99), (13, "y", "dog", 30)],
+        "id long, blk string, name string, bkt long",
+    )
+    rows = blocked_linkage(
+        a, b, "id", ["blk"], {"name": (4000, -1000), "bkt": (1500, -500)}, 3000
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): (r["agree_name"], r["agree_bkt"], r["score"])
+           for r in rows}
+    # (1,11) full agree 5500; (1,12) name-only 3500; bob/cat/dog pairs
+    # never reach 3000; cross-block pairs never produced.
+    assert got == {(1, 11): (1, 1, 5500), (1, 12): (1, 0, 3500)}
