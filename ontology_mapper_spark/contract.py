@@ -3693,3 +3693,48 @@ def q94(spark, sf):
         {"name": (4000, -1000), "bal_bucket": (1500, -500)},
         threshold=3000,
     )
+
+
+@_q(
+    "q95_label_prop",
+    f"""
+    WITH {_WORD_EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    bd AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+    nodes AS (SELECT DISTINCT a AS node FROM bd),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    c1 AS (
+      SELECT bd.a AS node, l0.label, count(*) AS n
+      FROM bd JOIN l0 ON l0.node = bd.b GROUP BY 1, 2),
+    p1 AS (
+      SELECT node, label FROM c1
+      QUALIFY row_number() OVER (PARTITION BY node
+        ORDER BY n DESC, label ASC) = 1),
+    l1 AS (
+      SELECT nodes.node, coalesce(p1.label, nodes.node) AS label
+      FROM nodes LEFT JOIN p1 USING (node)),
+    c2 AS (
+      SELECT bd.a AS node, l1.label, count(*) AS n
+      FROM bd JOIN l1 ON l1.node = bd.b GROUP BY 1, 2),
+    p2 AS (
+      SELECT node, label FROM c2
+      QUALIFY row_number() OVER (PARTITION BY node
+        ORDER BY n DESC, label ASC) = 1),
+    l2 AS (
+      SELECT nodes.node, coalesce(p2.label, nodes.node) AS label
+      FROM nodes LEFT JOIN p2 USING (node))
+    SELECT node, label FROM l2
+    """,
+)
+def q95(spark, sf):
+    """Two synchronous label-propagation rounds over the word
+    co-occurrence graph: plurality neighbor label, smallest-label
+    tie-break — deterministic community detection (randomized-schedule
+    LPA is not reproducible across engines; fixed rounds are)."""
+    from .operators.graph import label_propagation, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return label_propagation(e, "src", "dst", rounds=2)

@@ -584,28 +584,33 @@ def _dup_gram_occ(df, text_col, id_col, n, min_count):
     """Shared scaffolding for span-level duplication ops: tokenized
     docs (`base`: doc_id, _toks, n_tokens), word-n-gram occurrences
     (`occ`: doc_id, pos 1-based, gram) and the corpus-duplicated gram
-    set (`dup`: gram, occurring >= min_count times corpus-wide). The
-    grams array is built in its OWN projection before posexplode so the
-    transform() runs once per document, not once per output row."""
+    set (`dup`: gram, occurring >= min_count times corpus-wide).
+
+    Grams are assembled from the exploded TOKEN stream with window
+    lead()s, not a transform()-built gram array: Spark 4.1 fuses an
+    array-building projection into the Generate it feeds (CollapseProject
+    ignores the "own projection" guard) and re-evaluates it per OUTPUT
+    row — O(doc_len^2) per doc, measured 9.9s vs 1.1s at sf0.1 for the
+    lead() form (element_at variant: 20s). Cost of the lead() form is
+    one token-stream shuffle keyed by doc_id — which downstream per-doc
+    span windows (merge_dup_spans) then reuse for free."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.split(normalized_text_col(F.col(text_col)), " ").alias("_toks"),
     ).select("doc_id", "_toks", F.size("_toks").alias("n_tokens"))
-    grams_arr = base.select(
-        "doc_id",
-        F.when(
-            F.col("n_tokens") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
-                lambda i: F.array_join(F.slice("_toks", i, n), " "),
-            ),
+    tok = base.select("doc_id", F.posexplode("_toks").alias("_p0", "_w"))
+    w = Window.partitionBy("doc_id").orderBy("_p0")
+    parts = [F.col("_w")] + [F.lead("_w", i).over(w) for i in range(1, n)]
+    occ = (
+        tok.select(
+            "doc_id",
+            (F.col("_p0") + 1).alias("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            (F.lead("_w", n - 1).over(w) if n > 1 else F.col("_w")).alias("_ok"),
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_grams"),
+        .where(F.col("_ok").isNotNull())
+        .drop("_ok")
     )
-    occ = grams_arr.select(
-        "doc_id", F.posexplode("_grams").alias("_pos0", "gram")
-    ).select("doc_id", (F.col("_pos0") + 1).alias("pos"), "gram")
     dup = (
         occ.groupBy("gram")
         .count()

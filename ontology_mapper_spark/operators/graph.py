@@ -465,3 +465,56 @@ def transitive_closure(
         if not grew:
             break
     return c.select("node", "ancestor", F.col("depth").cast("long").alias("depth"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), fully deterministic: every node starts labeled with its
+    own id; each round it adopts the label held by the PLURALITY of its
+    neighbors, ties broken by the SMALLEST label. A fixed round count
+    (default 2) keeps the result a pure function of the edge list —
+    LPA's usual run-to-oscillation needs randomized tie-breaks that no
+    two engines reproduce.
+
+    Per round: one join (neighbor label lookup), one count agg, one
+    per-node window rank with a total order (count desc, label asc) —
+    all shuffles keyed by node id. Isolated nodes keep their own label
+    via the left join fallback. The undirected edge set is pinned once;
+    labels stay (node, label) narrow, so at 10^11 edges each round is
+    two shuffles of |V|-bounded data after the neighbor expand.
+
+    Output: (node, label).
+    """
+    e = _pin(
+        edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select(F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b"))
+        .distinct()
+    )
+    both = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    nodes = both.select(F.col("_a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    rk = Window.partitionBy("_a").orderBy(F.col("_n").desc(), F.col("label").asc())
+    for _ in range(int(rounds)):
+        nb = both.join(
+            labels.select(F.col("node").alias("_b"), "label"), "_b"
+        ).select("_a", "label")
+        picked = (
+            nb.groupBy("_a", "label")
+            .agg(F.count("*").alias("_n"))
+            .withColumn("_r", F.row_number().over(rk))
+            .where(F.col("_r") == 1)
+            .select(F.col("_a").alias("node"), "label")
+        )
+        labels = (
+            nodes.join(picked, "node", "left")
+            .select(
+                "node", F.coalesce("label", F.col("node")).alias("label")
+            )
+        )
+    return labels.select("node", "label")

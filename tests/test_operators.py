@@ -1331,3 +1331,21 @@ def test_blocked_linkage_scoring(spark):
     # (1,11) full agree 5500; (1,12) name-only 3500; bob/cat/dog pairs
     # never reach 3000; cross-block pairs never produced.
     assert got == {(1, 11): (1, 1, 5500), (1, 12): (1, 0, 3500)}
+
+
+def test_label_propagation_two_cliques(spark):
+    from ontology_mapper_spark.operators.graph import label_propagation
+
+    # Two triangles joined by one bridge edge (3-4). Synchronous LPA
+    # with min-label tie-break converges by round 3: the left triangle
+    # takes label 1; the right triangle takes label 3 — bridge node 4
+    # picked up 3 (its min neighbor) in round 1 and that label wins the
+    # plurality inside the right triangle thereafter. Hand-traced; the
+    # fixed point is stable (round 4 == round 3).
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    converged = {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    for rounds in (3, 4):
+        got = {r["node"]: r["label"]
+               for r in label_propagation(df, rounds=rounds).collect()}
+        assert got == converged, rounds
