@@ -62,6 +62,10 @@ EXTENDED = [
     "q92_closure",
     "q93_span_merge",
     "q94_blocked_linkage",
+    "q95_label_prop",
+    "q96_kcore",
+    "q97_hits",
+    "q98_temperature_mix",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

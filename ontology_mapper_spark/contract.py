@@ -3738,3 +3738,132 @@ def q95(spark, sf):
     d = _t(spark, sf, "documents")
     e = word_cooccur_edges(d, "text", min_count=3)
     return label_propagation(e, "src", "dst", rounds=2)
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    its = []
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        its.append(f"""
+    k{i} AS (SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {k}),
+    c{i} AS (SELECT {prev}.a, {prev}.b FROM {prev}
+             JOIN k{i} x ON x.a = {prev}.a
+             JOIN k{i} y ON y.a = {prev}.b)""")
+        prev = f"c{i}"
+    return f"""
+    WITH {_WORD_EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    c0 AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+    {",".join(its)}
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY 1
+    """
+
+
+@_q("q96_kcore", _kcore_oracle_sql())
+def q96(spark, sf):
+    """Fixed-round k-core peeling (k=3, 4 rounds) of the word
+    co-occurrence graph — the standard dense-substructure filter before
+    community/embedding passes. Every round is a degree agg + two
+    semi-joins; a fixed round count keeps the result engine-replayable
+    (the oracle unrolls the same four peels as chained CTEs)."""
+    from .operators.graph import kcore_peel, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return kcore_peel(e, "src", "dst", k=3, rounds=4)
+
+
+def _hits_oracle_sql(iterations: int = 2) -> str:
+    its = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    a{i}r AS (
+      SELECT e.dst AS node, CAST(sum({prev_h}.v * e.w) AS BIGINT) AS s
+      FROM e JOIN {prev_h} ON {prev_h}.node = e.src GROUP BY 1),
+    a{i} AS (
+      SELECT n.node,
+             CAST((coalesce(r.s, 0) * 1000000)
+                  // greatest((SELECT max(s) FROM a{i}r), 1) AS BIGINT) AS v
+      FROM nodes n LEFT JOIN a{i}r r USING (node)),
+    h{i}r AS (
+      SELECT e.src AS node, CAST(sum(a{i}.v * e.w) AS BIGINT) AS s
+      FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY 1),
+    h{i} AS (
+      SELECT n.node,
+             CAST((coalesce(r.s, 0) * 1000000)
+                  // greatest((SELECT max(s) FROM h{i}r), 1) AS BIGINT) AS v
+      FROM nodes n LEFT JOIN h{i}r r USING (node))""")
+        prev_h = f"h{i}"
+    last = iterations
+    return f"""
+    WITH {_WORD_EDGES_CTE},
+    e AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
+    {",".join(its)}
+    SELECT nodes.node, h{last}.v AS hub_micro, a{last}.v AS auth_micro
+    FROM nodes
+    JOIN h{last} ON h{last}.node = nodes.node
+    JOIN a{last} ON a{last}.node = nodes.node
+    """
+
+
+@_q("q97_hits", _hits_oracle_sql())
+def q97(spark, sf):
+    """HITS hubs/authorities (2 iterations, weighted, max-normalized)
+    over the word co-occurrence graph, in exact integer micros — the
+    directed-centrality companion to q78's PageRank. Zero doubles:
+    max-normalization keeps every half-step bigint, so the distributed
+    loop is bit-identical to the oracle's unrolled CTEs."""
+    from .operators.graph import hits_micro, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return hits_micro(e, "src", "dst", weight_col="weight", iterations=2)
+
+
+@_q(
+    "q98_temperature_mix",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(sum(n_chars) AS BIGINT))) AS BIGINT) AS w
+      FROM documents GROUP BY 1),
+    q AS (
+      SELECT source,
+             CAST((200 * w) //
+                  (SELECT CAST(sum(w) AS BIGINT) FROM per) AS BIGINT) AS quota
+      FROM per),
+    r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT r.source, CAST(count(*) AS BIGINT) AS n_sampled,
+           min(q.quota) AS quota, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM r JOIN q USING (source)
+    WHERE rn <= q.quota
+    GROUP BY 1
+    """,
+)
+def q98(spark, sf):
+    """Temperature-scaled corpus mixing (size^(1/2) up-weighting of
+    small sources, the multilingual-LM sampling recipe) with byte-stable
+    integer quotas and md5-ranked per-source selection — summarized per
+    source so the oracle pins the exact selected set (count, quota,
+    id-sum)."""
+    from .operators.split import temperature_mix
+
+    d = _t(spark, sf, "documents")
+    s = temperature_mix(d, "source", "doc_id", "n_chars", target_total=200)
+    return s.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.min("quota").alias("quota"),
+        F.sum("key").cast("bigint").alias("sum_ids"),
+    )

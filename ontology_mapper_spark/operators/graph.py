@@ -518,3 +518,134 @@ def label_propagation(
             )
         )
     return labels.select("node", "label")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected simple graph: each
+    round drops every node whose degree WITHIN the surviving subgraph is
+    < k, then recomputes. With enough rounds this converges to the exact
+    k-core; a FIXED round count keeps the result a pure function of
+    (edges, k, rounds) that any engine replays bit-identically — the
+    same determinism contract as `label_propagation`. Callers who need
+    the true core pick rounds >= the peel depth (tests assert the
+    fixpoint by comparing consecutive round counts).
+
+    Per round: one degree agg + two semi-joins against the survivor
+    set — all shuffles keyed by node id, survivor set is |V|-bounded
+    and shrinks monotonically. Output: (node, degree) of nodes alive
+    after `rounds` peels, degree measured within the surviving subgraph.
+    """
+    e = _pin(
+        edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select(F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b"))
+        .distinct()
+    )
+    cur = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    for _ in range(int(rounds)):
+        keep = (
+            cur.groupBy("_a")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") >= int(k))
+            .select("_a")
+        )
+        cur = cur.join(keep, "_a", "semi").join(
+            keep.withColumnRenamed("_a", "_b"), "_b", "semi"
+        )
+    return (
+        cur.groupBy("_a")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .select(F.col("_a").alias("node"), "degree")
+    )
+
+
+def hits_micro(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) in exact integer
+    micro-fixed-point — the companion to `pagerank_micro`, same
+    reproducibility discipline: no doubles anywhere, so integer sums are
+    order-independent and the distributed loop is bit-identical to an
+    unrolled-CTE oracle under any partitioning.
+
+    Semantics per iteration (h starts at 1_000_000 for every node):
+      a_raw(v) = sum over in-edges  (h(src) * w)      # bigint
+      a(v)     = (a_raw(v) * 1_000_000) div max(a_raw)  # max-norm
+      h_raw(v) = sum over out-edges (a(dst) * w)
+      h(v)     = (h_raw(v) * 1_000_000) div max(h_raw)
+    Max-normalization (not L2) keeps everything integral; scores land in
+    [0, 1_000_000] with the top hub/authority pinned at exactly 1e6.
+    Overflow bound: max(h) * W_in(v) must stay < 2^63, i.e. the heaviest
+    node's summed in-weight < 9.2e12 — pre-scale weights above that.
+
+    The score vectors are |V|-bounded and broadcast into the edge join;
+    edges never shuffle. The scalar max travels via a broadcast
+    cross-join (one row). Output: (node, hub_micro, auth_micro).
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = (
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
+        )
+        .groupBy("_src", "_dst")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    e = _pin(e)
+    nodes = _pin(
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    MICRO = 1_000_000
+
+    def _half(scores, score_col, join_on, group_by):
+        raw = (
+            e.join(
+                F.broadcast(scores.select(F.col("node").alias(join_on), score_col)),
+                join_on,
+            )
+            .select(group_by, F.expr(f"{score_col} * _w").alias("_c"))
+            .groupBy(group_by)
+            .agg(F.sum("_c").alias("_s"))
+        )
+        mx = raw.agg(F.max("_s").alias("_mx"))
+        return (
+            nodes.join(
+                raw.select(F.col(group_by).alias("node"), "_s"), "node", "left"
+            )
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((coalesce(_s, 0) * {MICRO}) div greatest(_mx, 1)"
+                    " AS BIGINT)"
+                ).alias(score_col),
+            )
+        )
+
+    h = nodes.select("node", F.lit(MICRO).cast("long").alias("hub_micro"))
+    a = None
+    for _ in range(int(iterations)):
+        a = _half(h, "hub_micro", "_src", "_dst").withColumnRenamed(
+            "hub_micro", "auth_micro"
+        )
+        h = _half(a, "auth_micro", "_dst", "_src").withColumnRenamed(
+            "auth_micro", "hub_micro"
+        )
+    return nodes.join(h, "node").join(a, "node").select(
+        "node", "hub_micro", "auth_micro"
+    )

@@ -140,3 +140,67 @@ def weighted_sample(
         F.expr("CAST(round(_key * 1e9) AS BIGINT)").alias("key_nano"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    size_col: str,
+    target_total: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (the multilingual-LM recipe:
+    sample source s proportionally to size_s^alpha, alpha=1/2, so small
+    sources are up-weighted relative to their raw share). Deterministic
+    end to end:
+
+      w_s     = floor(sqrt(sum(size over source s)))   # isqrt — bigint
+      quota_s = (target_total * w_s) div sum(w)        # integer division
+      keep    = the quota_s md5(salt|key)-ranked rows of source s
+
+    floor(sqrt(bigint)) is exact in IEEE for inputs < 2^52 and identical
+    in every engine; from there everything is bigint, so quotas are
+    byte-stable — unlike probability-proportional Bernoulli mixing,
+    reruns and oracles reproduce the selected set exactly. Sources with
+    fewer rows than their quota contribute everything they have (the
+    rank filter caps naturally); redistribution is deliberately NOT done
+    (lineage simplicity beats hitting target_total to the row).
+
+    One agg keyed by source (map-side combined), one broadcast join of
+    the |sources|-sized quota table, one per-source window rank.
+    Output: the selected rows as (source, key, quota).
+    """
+    from pyspark.sql import Window
+
+    per_src = (
+        df.groupBy(F.col(source_col).alias("_src"))
+        .agg(F.sum(F.col(size_col).cast("long")).alias("_tot"))
+        .select(
+            "_src",
+            F.floor(F.sqrt(F.col("_tot"))).cast("long").alias("_w"),
+        )
+    )
+    sw = per_src.agg(F.sum("_w").alias("_sw"))
+    quotas = per_src.crossJoin(F.broadcast(sw)).select(
+        "_src",
+        F.expr(f"CAST(({int(target_total)} * _w) div _sw AS BIGINT)").alias("quota"),
+    )
+    h = F.md5(
+        F.encode(
+            F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")), "utf-8"
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(
+            F.broadcast(quotas).withColumnRenamed("_src", source_col), source_col
+        )
+        .where(F.col("_rn") <= F.col("quota"))
+        .select(
+            F.col(source_col).alias("source"),
+            F.col(key_col).alias("key"),
+            F.col("quota"),
+        )
+    )

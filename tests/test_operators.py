@@ -1349,3 +1349,48 @@ def test_label_propagation_two_cliques(spark):
         got = {r["node"]: r["label"]
                for r in label_propagation(df, rounds=rounds).collect()}
         assert got == converged, rounds
+
+
+def test_kcore_peel_converges(spark):
+    from ontology_mapper_spark.operators.graph import kcore_peel
+
+    # K4 on {1..4} plus a tail 4-5-6: the tail peels off in two rounds
+    # (6 first, then 5), leaving the clique where everyone has degree 3.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"]
+           for r in kcore_peel(df, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # fixpoint: one more round changes nothing
+    again = {r["node"]: r["degree"]
+             for r in kcore_peel(df, k=3, rounds=4).collect()}
+    assert again == got
+
+
+def test_hits_micro_star(spark):
+    from ontology_mapper_spark.operators.graph import hits_micro
+
+    # star: 1->2, 1->3, 1->4 — node 1 is the only hub (1e6), targets are
+    # equal authorities pinned at 1e6 each (max-norm), hub-score 0.
+    edges = [(1, 2), (1, 3), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub_micro"], r["auth_micro"])
+           for r in hits_micro(df, iterations=2).collect()}
+    assert got == {1: (1_000_000, 0), 2: (0, 1_000_000),
+                   3: (0, 1_000_000), 4: (0, 1_000_000)}
+
+
+def test_temperature_mix_quotas(spark):
+    from ontology_mapper_spark.operators.split import temperature_mix
+
+    # source a: 4 rows of size 100 (w=isqrt(400)=20); source b: 1 row of
+    # size 100 (w=10). quotas of target 9: a gets 9*20//30=6 -> capped at
+    # its 4 rows; b gets 9*10//30=3 -> capped at its 1 row.
+    rows = [("a", i, 100) for i in range(4)] + [("b", 99, 100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    got = temperature_mix(df, "source", "doc_id", "n_chars", target_total=9)
+    by_src = {r["source"]: r for r in
+              got.groupBy("source").count().collect()}
+    assert by_src["a"]["count"] == 4 and by_src["b"]["count"] == 1
+    quotas = {r["source"]: r["quota"] for r in got.collect()}
+    assert quotas == {"a": 6, "b": 3}
