@@ -3867,3 +3867,81 @@ def q98(spark, sf):
         F.min("quota").alias("quota"),
         F.sum("key").cast("bigint").alias("sum_ids"),
     )
+
+
+def _pii_oracle_sql() -> str:
+    """Oracle built from the SAME pattern table as the operator, so the
+    regexes are byte-identical in both engines (Java regex ∩ RE2)."""
+    from .operators.pii import PII_PATTERNS
+
+    red = "text"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH withpii AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now'
+               WHEN 1 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' srv'
+               ELSE ' call +49-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || ' soon'
+             END AS text
+      FROM documents)
+    SELECT doc_id,
+           {counts},
+           {red} AS redacted,
+           CAST(length(text) - length({red}) AS BIGINT) AS delta_chars
+    FROM withpii
+    """
+
+
+@_q("q99_pii_redact", _pii_oracle_sql())
+def q99(spark, sf):
+    """PII detect + redact (email / IPv4 / phone), the scrub stage every
+    transcript corpus needs before KG construction. Deterministic PII is
+    injected from doc_id (the synthetic corpus contains none), then the
+    operator counts and replaces via JVM regexp Columns — one map-only
+    Project, no shuffle, no Python (operators/pii.py)."""
+    from .operators.pii import redact_pii
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                did % 3 == 1,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                    F.lit(" srv"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" call +49-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" soon"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(injected, "text", "doc_id")
