@@ -3945,3 +3945,169 @@ def q99(spark, sf):
         ).alias("text"),
     )
     return redact_pii(injected, "text", "doc_id")
+
+
+@_q(
+    "qa01_resnik_lin",
+    """
+    WITH RECURSIVE
+    nodes AS (SELECT doc_id AS n FROM documents),
+    n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS c, doc_id // 4 AS p FROM documents WHERE doc_id >= 1),
+    cl AS (
+      SELECT c AS node, p AS anc, CAST(1 AS BIGINT) AS d FROM edges
+      UNION
+      SELECT cl.node, e.p, cl.d + 1 FROM cl JOIN edges e ON cl.anc = e.c),
+    anc AS (
+      SELECT node, anc, d FROM cl
+      UNION ALL
+      SELECT n, n, CAST(0 AS BIGINT) FROM nodes),
+    ic AS (
+      SELECT anc AS n,
+             CAST(round(-ln(CAST(count(*) AS DOUBLE)
+                            / (SELECT n FROM n_total)) * 1000000)
+                  AS BIGINT) AS ic_micro
+      FROM anc GROUP BY anc),
+    rootd AS (SELECT node, d AS rd FROM anc WHERE anc = 0),
+    pairs AS (
+      SELECT doc_id AS a,
+             (doc_id * 31 + 17) % (SELECT n FROM n_total) AS b
+      FROM documents
+      WHERE doc_id % 7 = 3
+        AND (doc_id * 31 + 17) % (SELECT n FROM n_total) != doc_id),
+    common AS (
+      SELECT p.a, p.b, aa.anc AS c
+      FROM pairs p
+      JOIN anc aa ON aa.node = p.a
+      JOIN anc ab ON ab.node = p.b AND ab.anc = aa.anc),
+    best AS (
+      SELECT a, b, c, rd,
+             row_number() OVER (PARTITION BY a, b
+                                ORDER BY rd DESC, c ASC) AS rn
+      FROM common JOIN rootd ON rootd.node = common.c)
+    SELECT best.a, best.b, best.c AS lca,
+           CAST(best.rd AS BIGINT) AS lca_depth,
+           icl.ic_micro AS resnik_micro,
+           CAST(round((2000000.0 * icl.ic_micro)
+                      / (ica.ic_micro + icb.ic_micro)) AS BIGINT) AS lin_micro
+    FROM best
+    JOIN ic icl ON icl.n = best.c
+    JOIN ic ica ON ica.n = best.a
+    JOIN ic icb ON icb.n = best.b
+    WHERE best.rn = 1
+    """,
+)
+def qa01(spark, sf):
+    """Resnik + Lin information-content similarity over the base-4
+    ontology tree (root 0): IC from closure descendant counts, LCA via
+    max-root-depth common ancestor, all micro-fixed-point integers —
+    the term-to-term similarity a KG needs once mentions are mapped
+    (operators/semsim.py; closure = the same table q92 materializes)."""
+    from .operators.semsim import resnik_lin
+
+    d = _t(spark, sf, "documents")
+    n_total = d.count()
+    nodes = d.select(F.col("doc_id").alias("n"))
+    edges = d.where(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("child"),
+        F.floor(F.col("doc_id") / F.lit(4)).alias("parent"),
+    )
+    pairs = (
+        d.where(F.col("doc_id") % 7 == 3)
+        .select(
+            F.col("doc_id").alias("a"),
+            ((F.col("doc_id") * 31 + 17) % F.lit(n_total)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+    )
+    return resnik_lin(edges, pairs, nodes, root=0)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as CTEs, dimension-wise (relational
+    mirror of the array-wise Spark plan; identical integer arithmetic)."""
+    parts = [
+        f"""
+    dims AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS val
+      FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INT) AS cl, vec_id
+      FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM embeddings ORDER BY h LIMIT {k})),
+    c0 AS (
+      SELECT seeds.cl, dims.pos, dims.val
+      FROM seeds JOIN dims USING (vec_id))"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    d{i} AS (
+      SELECT dims.vec_id, c.cl,
+             CAST(sum((dims.val - c.val) * (dims.val - c.val)) AS BIGINT)
+               AS dist
+      FROM dims JOIN c{p} c USING (pos)
+      GROUP BY 1, 2),
+    a{i} AS (
+      SELECT vec_id, cl, dist FROM (
+        SELECT vec_id, cl, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM d{i}) WHERE rn = 1),
+    s{i} AS (
+      SELECT a.cl, dims.pos,
+             CAST(sum(dims.val) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a{i} a JOIN dims USING (vec_id)
+      GROUP BY 1, 2),
+    c{i} AS (
+      SELECT c.cl, c.pos, COALESCE(s.s // s.n, c.val) AS val
+      FROM c{p} c LEFT JOIN s{i} s ON s.cl = c.cl AND s.pos = c.pos)"""
+        )
+    body = ",".join(parts)
+    return f"""
+    WITH {body},
+    cs AS (SELECT cl, CAST(sum(val) AS BIGINT) AS centroid_sum
+           FROM c{iters} GROUP BY cl)
+    SELECT a.cl AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(a.dist) AS BIGINT) AS inertia,
+           CAST(sum(a.vec_id) AS BIGINT) AS sum_ids,
+           min(cs.centroid_sum) AS centroid_sum
+    FROM a{iters} a JOIN cs ON cs.cl = a.cl
+    GROUP BY a.cl
+    """
+
+
+@_q("qa02_kmeans", _kmeans_oracle_sql())
+def qa02(spark, sf):
+    """Distributed Lloyd k-means (k=8, 3 iterations) over embeddings in
+    integer micro space: map-only broadcast-centroid assignment + one
+    groupBy per update, centroids the only driver-side sync (the
+    canonical distributed-kmeans shape — operators/clustering.py).
+    Summary pins the exact final partition: member count, integer
+    inertia, member-id sum, final centroid component sum."""
+    from .operators.clustering import kmeans_micro
+
+    e = _t(spark, sf, "embeddings")
+    assign = kmeans_micro(e, "vec_id", "embedding", k=8, iters=3)
+    cents = assign._kmeans_centroids
+    csum = spark.createDataFrame(
+        [(j + 1, sum(c)) for j, c in enumerate(cents)],
+        "cluster int, centroid_sum bigint",
+    )
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+            F.sum("vec_id").cast("bigint").alias("sum_ids"),
+        )
+        .join(F.broadcast(csum), "cluster")
+        .select("cluster", "n_members", "inertia", "sum_ids", "centroid_sum")
+    )

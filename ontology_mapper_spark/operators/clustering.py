@@ -1,0 +1,132 @@
+"""Integer-exact distributed k-means (Lloyd) over embedding columns.
+
+Embedding clustering is the workhorse behind corpus curation at scale
+(SemDeDup prunes within k-means clusters; domain mixing weights come
+from cluster histograms), so the engine ships it as a first-class
+operator next to IVF (operators/similarity.py — which is one Lloyd
+assignment step with md5-deterministic centroids; this adds the
+iterations).
+
+Scale shape — the canonical distributed k-means:
+  * vectors stay put; per-iteration work is one map-only assignment
+    pass (distances against a DRIVER-BROADCAST k×dim centroid literal,
+    computed with `zip_with`+`aggregate` inside codegen — no shuffle,
+    no Python) plus ONE groupBy(cluster, dim) partial-aggregated sum
+    for the centroid update;
+  * the only driver-side data ever collected is the k×dim centroid
+    table itself (k=8, dim=64 here — bytes, not data), which is the
+    synchronization point every distributed k-means has.
+
+Determinism / oracle-exactness: vectors are micro-fixed-point bigints
+(round(x*1e6)), distances are integer L2², assignment ties break on
+cluster id via lexicographic struct min, centroid updates use
+truncating integer division (DuckDB `//` semantics), empty clusters
+carry their previous centroid. Zero floating-point accumulation ⇒
+hash-exact against an unrolled-CTE DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """C-style truncation toward zero (DuckDB's `//` on integers;
+    Python's `//` floors, which differs on negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def micro_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, ev): embedding as micro-fixed-point bigint array."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * MICRO).cast("long"),
+        ).alias("ev"),
+    )
+
+
+def _dist_expr(cvec: list[int]):
+    """Integer L2² distance of column `ev` to a literal centroid."""
+    return F.aggregate(
+        F.zip_with(F.col("ev"), F.lit(cvec), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_micro(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's algorithm, `iters` rounds, md5-deterministic init.
+
+    Returns the final per-vector assignment:
+    (id, cluster, dist) with dist = integer L2² to the assigning
+    centroid (i.e. the centroid from the LAST completed update).
+    Callers aggregate as needed (see contract qa02 for the per-cluster
+    summary form).
+    """
+    vecs = micro_vectors(df, id_col, vec_col).persist()
+    try:
+        # deterministic seeds: the k vectors with the smallest md5(id)
+        seed_ids = [
+            r[id_col]
+            for r in (
+                df.select(id_col)
+                .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+                .orderBy("_h")
+                .limit(k)
+                .collect()
+            )
+        ]
+        by_id = {
+            r[id_col]: list(r["ev"])
+            for r in vecs.where(F.col(id_col).isin(seed_ids)).collect()
+        }
+        cents = [by_id[i] for i in seed_ids]  # cluster j = index j+1
+
+        assign = None
+        for _ in range(iters):
+            m = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _dist_expr(c).alias("dist"),
+                            F.lit(j + 1).cast("int").alias("cl"),
+                        )
+                        for j, c in enumerate(cents)
+                    ]
+                )
+            )
+            assign = vecs.select(
+                F.col(id_col),
+                "ev",
+                m["cl"].alias("cluster"),
+                m["dist"].alias("dist"),
+            )
+            upd = (
+                assign.select("cluster", F.posexplode("ev").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]  # carry old when empty
+            for r in upd:
+                new_cents[r["cluster"] - 1][r["pos"]] = _trunc_div(r["s"], r["n"])
+            cents = new_cents
+
+        out = assign.select(id_col, "cluster", "dist")
+        # final centroids exposed for callers that need them
+        out._kmeans_centroids = cents  # type: ignore[attr-defined]
+        return out
+    finally:
+        vecs.unpersist()
