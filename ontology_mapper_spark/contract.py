@@ -4111,3 +4111,120 @@ def qa02(spark, sf):
         .join(F.broadcast(csum), "cluster")
         .select("cluster", "n_members", "inertia", "sum_ids", "centroid_sum")
     )
+
+
+@_q(
+    "qa03_cms_heavy",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
+      FROM documents),
+    toks AS (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm),
+    wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY w),
+    cells AS (
+      SELECT w, true_cnt, r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || w), 1, 15))
+               ::BIGINT % 256 AS cell
+      FROM wc, (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+    sk AS (
+      SELECT r, cell, CAST(sum(true_cnt) AS BIGINT) AS cnt
+      FROM cells GROUP BY r, cell),
+    est AS (
+      SELECT c.w, min(c.true_cnt) AS true_cnt,
+             CAST(min(sk.cnt) AS BIGINT) AS est_cnt
+      FROM cells c JOIN sk USING (r, cell) GROUP BY c.w)
+    SELECT w AS word, est_cnt, true_cnt
+    FROM est WHERE est_cnt >= 16
+    """,
+)
+def qa03(spark, sf):
+    """Count-min-sketch heavy hitters over the token stream: d=4 rows ×
+    w=256 cells of md5-derived counters, built distinct-first (one
+    shuffle of ≤ d·w rows), estimates = min over rows with the sketch
+    broadcast. Reports every token whose ESTIMATE crosses the threshold
+    — the CMS overestimate semantics (est ≥ true always), with the true
+    count alongside so collisions are visible (operators/sketch.py)."""
+    from .operators.dedup import normalized_text_col
+    from .operators.sketch import cms_estimates, cms_sketch
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(normalized_text_col(F.col("text")), " ")).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count("*").cast("long").alias("true_cnt"))
+    sk = cms_sketch(wc, "w", "true_cnt", depth=4, width=256)
+    est = cms_estimates(wc.select("w"), sk, "w", depth=4, width=256)
+    return (
+        est.join(wc, "w")
+        .where(F.col("est_cnt") >= 16)
+        .select(F.col("w").alias("word"), "est_cnt", "true_cnt")
+    )
+
+
+@_q(
+    "qa04_bloom_decontam",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t,
+             len(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS nw
+      FROM documents),
+    toks AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(t,' ')) AS w,
+                   generate_subscripts(string_split(t,' '),1) AS idx
+            FROM norm)),
+    grams3 AS (
+      SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS gram
+      FROM (SELECT doc_id, w,
+                   lead(w)    OVER win AS w1,
+                   lead(w, 2) OVER win AS w2
+            FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY idx))
+      WHERE w1 IS NOT NULL AND w2 IS NOT NULL),
+    small AS (SELECT doc_id, t AS gram FROM norm WHERE nw < 3 AND t <> ''),
+    allg AS (SELECT DISTINCT doc_id, gram
+             FROM (SELECT * FROM grams3 UNION ALL SELECT * FROM small)),
+    bench AS (SELECT DISTINCT gram FROM allg WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, gram FROM allg WHERE doc_id % 97 <> 0),
+    bcells AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || gram), 1, 15))
+               ::BIGINT % 16384 AS cell
+      FROM bench, (SELECT unnest([0, 1, 2]) AS r) rs),
+    ccells AS (
+      SELECT doc_id, gram, r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || gram), 1, 15))
+               ::BIGINT % 16384 AS cell
+      FROM corpus, (SELECT unnest([0, 1, 2]) AS r) rs),
+    cand AS (
+      SELECT doc_id, gram
+      FROM ccells JOIN bcells USING (cell)
+      GROUP BY doc_id, gram HAVING count(*) = 3),
+    nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates
+           FROM cand GROUP BY doc_id),
+    nr AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_real
+           FROM cand c JOIN bench b USING (gram) GROUP BY c.doc_id)
+    SELECT nc.doc_id, nc.n_candidates,
+           COALESCE(nr.n_real, CAST(0 AS BIGINT)) AS n_real
+    FROM nc LEFT JOIN nr ON nr.doc_id = nc.doc_id
+    """,
+)
+def qa04(spark, sf):
+    """Bloom-prefiltered benchmark decontamination: the benchmark
+    shingle set packed into a 16384-bit literal hex bitmap tested
+    map-only in codegen; only bloom-positive shingles reach the exact
+    confirm join. Output exposes candidates vs confirmed overlaps, so
+    the false-positive margin is measurable; parity with the relational
+    oracle proves the no-false-negative property every run
+    (operators/bloom.py)."""
+    from .operators.bloom import bloom_contamination_report
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return bloom_contamination_report(
+        corpus, bench, "text", "doc_id", shingle_n=3, k=3, m=16384
+    )

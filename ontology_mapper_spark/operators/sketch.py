@@ -133,3 +133,78 @@ def hll_distinct(
             (m - F.col("_n_used")).cast("long").alias("n_zero_buckets"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_cell(item: F.Column, row: F.Column, width: int) -> F.Column:
+    """Cell index for (hash-row, item): 60-bit md5 of 'r|item' mod width.
+    Verbatim in SQL: ('0x'||substr(md5(r||'|'||item),1,15))::BIGINT % w."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row.cast("string"), F.lit("|"), item.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    items: DataFrame,
+    item_col: str,
+    weight_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(r, cell, cnt) count-min sketch rows from WEIGHTED DISTINCT items.
+
+    Distinct-first discipline: the caller pre-aggregates the raw stream
+    to (item, count) — one map-side-combined shuffle — so the d md5
+    evaluations happen once per distinct item, not once per occurrence
+    (zipf-hot tokens cost one row). The sketch itself is d×w rows: a
+    mergeable partial aggregate (cells sum), broadcastable anywhere,
+    which is the whole point at 100 TB — heavy-hitter counts in O(d·w)
+    memory per executor with one shuffle of at most d·w rows.
+    """
+    rows = items.select(
+        F.col(item_col).alias("_it"),
+        F.col(weight_col).alias("_w"),
+    ).select(
+        "_it",
+        "_w",
+        F.explode(F.array(*[F.lit(r).cast("int") for r in range(depth)])).alias("r"),
+    )
+    return (
+        rows.select("r", cms_cell(F.col("_it"), F.col("r"), width).alias("cell"), "_w")
+        .groupBy("r", "cell")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    items: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point estimates: est(item) = min over rows of its cell count.
+    The sketch side is broadcast (≤ d·w rows); estimation is map-only
+    plus one per-item min — never a shuffle of the sketch."""
+    rows = items.select(
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(r).cast("int") for r in range(depth)])).alias("r"),
+    ).withColumn("cell", cms_cell(F.col(item_col), F.col("r"), width))
+    return (
+        rows.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
