@@ -4228,3 +4228,39 @@ def qa04(spark, sf):
     return bloom_contamination_report(
         corpus, bench, "text", "doc_id", shingle_n=3, k=3, m=16384
     )
+
+
+@_q(
+    "qa05_ewma_bursts",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    ew AS (
+      SELECT event_type, rn, day, n, n * 64 AS e, FALSE AS is_burst
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.rn, i.day, i.n,
+             (2 * 64 * i.n + 6 * ew.e) // 8,
+             i.n * 64 * 1 > 2 * ew.e
+      FROM idx i JOIN ew ON i.event_type = ew.event_type
+                        AND i.rn = ew.rn + 1)
+    SELECT event_type, day, n, CAST(e AS BIGINT) AS ewma_s, is_burst
+    FROM ew
+    """,
+)
+def qa05(spark, sf):
+    """EWMA trend-adaptive burst detection (α=1/4, ×64 fixed point):
+    per-entity daily counts folded sequentially in a JVM higher-order
+    aggregate — the baseline drifts with the series, unlike q83's
+    global-average rule. Power-of-two α denominator keeps the recursion
+    in exact shifted integers on both engines (operators/temporal.py)."""
+    from .operators.temporal import ewma_bursts
+
+    ev = _t(spark, sf, "events")
+    return ewma_bursts(ev, "event_type", "ts")

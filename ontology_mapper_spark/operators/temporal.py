@@ -89,3 +89,89 @@ def sessionize_native(
         F.date_format("_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_last"),
         F.col("n_events").cast("long"),
     )
+
+
+def ewma_bursts(
+    df: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha_num: int = 2,
+    alpha_den: int = 8,
+    scale: int = 64,
+    burst_num: int = 2,
+    burst_den: int = 1,
+) -> DataFrame:
+    """Trend-adaptive burst detection: per-(entity, day) counts smoothed
+    by an exponentially-weighted moving average, a day flagged when it
+    exceeds num/den × the PREVIOUS day's smoothed baseline (unlike
+    `burst_days`, the baseline tracks drift instead of the global mean).
+
+    Integer-exact recursion (scaled by `scale`, α = alpha_num/alpha_den):
+
+        e_1 = x_1·scale
+        e_t = (alpha_num·scale·x_t + (alpha_den−alpha_num)·e_{t−1}) ÷ alpha_den
+        burst_t = x_t·scale·burst_den > burst_num·e_{t−1}      (t > 1)
+
+    with ÷ = floor division on non-negative ints — alpha_den MUST be a
+    power of two so the Spark shiftright and the oracle's `//` agree
+    bit-for-bit with zero floating point.
+
+    EWMA with integer truncation is not associative, so the recursion is
+    genuinely sequential PER ENTITY — but a day series is calendar-
+    bounded (30 rows/month no matter how many events), so the right
+    distributed shape is: aggregate the (entity, day) counts (the only
+    data-sized shuffle), then fold each entity's sorted day array with a
+    JVM higher-order `aggregate` — no Python, no iteration, no driver.
+    """
+    assert alpha_den & (alpha_den - 1) == 0, "alpha_den must be a power of two"
+    shift = alpha_den.bit_length() - 1
+    beta = alpha_den - alpha_num
+
+    counts = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("_e", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    series = counts.groupBy("_e").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("arr")
+    )
+
+    out_t = "array<struct<day:string,n:bigint,e:bigint,burst:boolean>>"
+
+    def step(acc, s):
+        prev_e = F.element_at(acc, -1)["e"]
+        first = F.size(acc) == 0
+        e = F.when(first, s["n"] * scale).otherwise(
+            F.shiftright(alpha_num * scale * s["n"] + beta * prev_e, shift)
+        )
+        burst = F.when(first, F.lit(False)).otherwise(
+            s["n"] * scale * burst_den > burst_num * prev_e
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["day"].alias("day"),
+                    s["n"].alias("n"),
+                    e.cast("long").alias("e"),
+                    burst.alias("burst"),
+                )
+            ),
+        )
+
+    folded = series.select(
+        "_e",
+        F.aggregate(F.col("arr"), F.lit([]).cast(out_t), step).alias("ew"),
+    )
+    return folded.select(
+        F.col("_e").alias(entity_col), F.posexplode("ew").alias("pos", "s")
+    ).select(
+        entity_col,
+        F.col("s")["day"].alias("day"),
+        F.col("s")["n"].alias("n"),
+        F.col("s")["e"].alias("ewma_s"),
+        F.col("s")["burst"].alias("is_burst"),
+    )
