@@ -4264,3 +4264,61 @@ def qa05(spark, sf):
 
     ev = _t(spark, sf, "events")
     return ewma_bursts(ev, "event_type", "ts")
+
+
+def _sssp_oracle_sql(rounds: int = 16) -> str:
+    """Unrolled min-plus relaxation rounds; ≥ the demo graph's hop
+    diameter, so both engines are at the fixed point."""
+    ctes = [
+        """
+    en AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    mx AS (SELECT max(doc_id) AS m FROM en),
+    edges AS MATERIALIZED (
+      SELECT doc_id AS src, doc_id + 1 AS dst,
+             CAST(doc_id % 7 + 1 AS BIGINT) AS w
+      FROM en WHERE doc_id + 1 <= (SELECT m FROM mx)
+      UNION ALL
+      SELECT doc_id, doc_id + 10, CAST(doc_id % 5 + 3 AS BIGINT)
+      FROM en WHERE doc_id + 10 <= (SELECT m FROM mx)),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""
+    d{r} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{r - 1} d JOIN edges e ON e.src = d.node)
+      GROUP BY node)"""
+        )
+    return (
+        "\n    WITH "
+        + ",".join(ctes)
+        + f"\n    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}\n    "
+    )
+
+
+@_q("qa06_sssp", _sssp_oracle_sql())
+def qa06(spark, sf):
+    """Weighted single-source shortest paths (Pregel-style frontier
+    Bellman-Ford, operators/graph.py:sssp) over a deterministic +1/+10
+    weighted DAG on the first 64 doc ids — exact min-plus integers; the
+    oracle runs the same relaxation unrolled past the fixed point."""
+    from .operators.graph import sssp
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 64)
+    mx = d.agg(F.max("doc_id")).first()[0]
+    base = d.select("doc_id")
+    e1 = base.where(F.col("doc_id") + 1 <= mx).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 1).alias("dst"),
+        (F.col("doc_id") % 7 + 1).cast("long").alias("w"),
+    )
+    e2 = base.where(F.col("doc_id") + 10 <= mx).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 10).alias("dst"),
+        (F.col("doc_id") % 5 + 3).cast("long").alias("w"),
+    )
+    return sssp(e1.unionByName(e2), source=0, max_rounds=16)

@@ -649,3 +649,64 @@ def hits_micro(
     return nodes.join(h, "node").join(a, "node").select(
         "node", "hub_micro", "auth_micro"
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Single-source shortest paths by frontier Bellman-Ford relaxation
+    — the Pregel SSSP shape: each round relaxes only edges out of nodes
+    whose distance IMPROVED last round, so total work is O(sum of
+    frontier sizes), not rounds×|E|; rounds needed = the hop count of
+    the longest shortest path (log-diameter rewrites don't apply — path
+    weights aren't mergeable pairwise without all-pairs state).
+
+    Integer weights ⇒ exact min-plus arithmetic everywhere. Every round
+    pins the distance table (persist+count, the convergence probe) so
+    round k+1 joins a materialized |V|-bounded table; converges (empty
+    frontier) or stops at `max_rounds`.
+
+    Returns (node, dist) for reachable nodes — bigint dist.
+    """
+    spark = edges.sparkSession
+    from .lineage import parquet_cutter
+
+    cut = parquet_cutter(spark, prefix="omx-sssp-")
+    e = _pin(
+        edges.select(
+            F.col(src_col).alias("_u"),
+            F.col(dst_col).alias("_v"),
+            F.col(w_col).cast("long").alias("_w"),
+        )
+    )
+    dist = spark.createDataFrame([(source, 0)], "node long, dist long")
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_u"])
+            .select(F.col("_v").alias("node"), (F.col("dist") + F.col("_w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        merged = dist.join(cand, "node", "full_outer").select(
+            "node",
+            F.least(F.col("dist"), F.col("d")).alias("dist"),
+            (
+                F.col("dist").isNull()
+                | (F.col("d").isNotNull() & (F.col("d") < F.col("dist")))
+            ).alias("_improved"),
+        )
+        # one lineage cut per round: dist AND frontier both derive from
+        # the fresh scan, so the plan is O(1) in rounds (see lineage.py)
+        merged = cut(merged)
+        frontier = merged.where("_improved").select("node", "dist")
+        dist = merged.select("node", "dist")
+        if frontier.count() == 0:
+            break
+    e.unpersist()
+    return dist
