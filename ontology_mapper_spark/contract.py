@@ -4322,3 +4322,117 @@ def qa06(spark, sf):
         (F.col("doc_id") % 5 + 3).cast("long").alias("w"),
     )
     return sssp(e1.unionByName(e2), source=0, max_rounds=16)
+
+
+@_q(
+    "qa07_token_entropy",
+    r"""
+    WITH norm AS (
+      SELECT source, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS t
+      FROM documents),
+    toks AS (SELECT source, unnest(string_split(t, ' ')) AS w FROM norm),
+    counts AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    per AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s
+      FROM counts GROUP BY source)
+    SELECT source, n_tokens, n_types,
+           CAST(round(CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+                                AS BIGINT) * n_tokens - s AS DOUBLE)
+                      / n_tokens) AS BIGINT) AS entropy_micro
+    FROM per
+    """,
+)
+def qa07(spark, sf):
+    """Per-source Shannon token entropy in micro-nats — the corpus
+    diversity monitor (entropy collapse flags scraper loops /
+    boilerplate floods). Integer Σc·ln_micro(c) with ln once per count
+    row, one rounded division (operators/stats.py)."""
+    from .operators.dedup import normalized_text_col
+    from .operators.stats import token_entropy
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(normalized_text_col(F.col("text")), " ")).alias("w"),
+    )
+    return token_entropy(toks, "source", "w")
+
+
+@_q(
+    "qa08_ks_drift",
+    """
+    WITH g AS (SELECT event_type AS _g, value AS _v FROM events),
+    gv AS (SELECT _g, _v, count(*) AS c_g FROM g GROUP BY 1, 2),
+    av AS (SELECT _v, count(*) AS c_all FROM g GROUP BY 1),
+    totals AS (SELECT _g, CAST(count(*) AS BIGINT) AS n_g FROM g GROUP BY 1),
+    nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+    grid AS (SELECT DISTINCT gv._g, av._v FROM (SELECT DISTINCT _g FROM gv) gv, av),
+    full_g AS (
+      SELECT grid._g, grid._v, COALESCE(gv.c_g, 0) AS c_g, av.c_all
+      FROM grid
+      LEFT JOIN gv ON gv._g = grid._g AND gv._v = grid._v
+      JOIN av ON av._v = grid._v),
+    cum AS (
+      SELECT _g, _v,
+             CAST(sum(c_g) OVER w AS BIGINT) AS cum_g,
+             CAST(sum(c_all) OVER w AS BIGINT) AS cum_all
+      FROM full_g
+      WINDOW w AS (PARTITION BY _g ORDER BY _v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    per AS (
+      SELECT cum._g, t.n_g,
+             CAST(max(abs(cum_g * (SELECT n FROM nall)
+                          - cum_all * t.n_g)) AS BIGINT) AS ks_num
+      FROM cum JOIN totals t ON t._g = cum._g
+      GROUP BY cum._g, t.n_g)
+    SELECT _g AS event_type, n_g, ks_num,
+           CAST(round(CAST(ks_num AS DOUBLE) * 1000000
+                      / (n_g * (SELECT n FROM nall))) AS BIGINT) AS ks_micro
+    FROM per
+    """,
+)
+def qa08(spark, sf):
+    """Exact two-sample Kolmogorov-Smirnov drift of each event type's
+    value distribution against the global one — cross-multiplied
+    integer CDF comparison at every distinct value, one rounded
+    division. The shape monitor a pipeline runs per ingest batch
+    (operators/stats.py)."""
+    from .operators.stats import ks_drift
+
+    ev = _t(spark, sf, "events")
+    return ks_drift(ev, "event_type", "value")
+
+
+@_q(
+    "qa09_gini",
+    """
+    WITH ranked AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id)
+                  AS BIGINT) AS i
+      FROM documents),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s0,
+             CAST(sum(i * x) AS BIGINT) AS s1
+      FROM ranked GROUP BY lang)
+    SELECT lang, n, s0,
+           CAST(round(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) * 1000000
+                      / (n * s0)) AS BIGINT) AS gini_micro
+    FROM agg
+    """,
+)
+def qa09(spark, sf):
+    """Per-language Gini concentration of document sizes — the mix
+    monitor (one domain eating the corpus shows as rising G). Rank
+    formula with total-order ranks, bigint sums, one rounded division
+    (operators/stats.py)."""
+    from .operators.stats import gini_concentration
+
+    d = _t(spark, sf, "documents")
+    return gini_concentration(d, "lang", "n_chars", "doc_id")

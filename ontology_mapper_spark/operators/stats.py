@@ -1,0 +1,152 @@
+"""Distribution statistics for corpus monitoring: Shannon entropy,
+Kolmogorov-Smirnov drift, Gini concentration.
+
+A 100 TB training pipeline tracks its corpus like a production system:
+per-source token entropy (diversity collapse = contamination or a
+scraper bug), KS drift between a segment's metric distribution and the
+global one (did this week's crawl change shape?), and Gini
+concentration of size over sources (is one domain eating the mix?).
+
+All three follow the repo's exactness discipline (contract.py header):
+counts and cross-multiplied comparisons stay bigint end-to-end;
+logarithms are micro-fixed-point, taken ONCE per distinct integer
+count (the q66 perplexity trick); each output has at most one IEEE
+division, rounded to micros immediately.  Hash-exact vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _ln_micro(col: F.Column) -> F.Column:
+    """round(ln(x)*1e6) as bigint — one ln per row it's applied to."""
+    return F.round(F.log(col.cast("double")) * MICRO).cast("long")
+
+
+def token_entropy(df: DataFrame, group_col: str, token_col: str) -> DataFrame:
+    """Per-group Shannon entropy of the token distribution, in micro-nats.
+
+    H = ln(T) − (Σ c·ln c)/T over token counts c, total T.  Σ c·ln_micro(c)
+    is an INTEGER sum (ln taken once per (group, token) count row — the
+    distinct-first shuffle already paid for counting); the single
+    division happens at the end.  Also emits type/token counts.
+    """
+    counts = df.groupBy(group_col, token_col).agg(F.count("*").alias("c"))
+    per = counts.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * _ln_micro(F.col("c"))).cast("long").alias("_s"),
+    )
+    return per.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        F.round(
+            (
+                _ln_micro(F.col("n_tokens")) * F.col("n_tokens") - F.col("_s")
+            ).cast("double")
+            / F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("entropy_micro"),
+    )
+
+
+def ks_drift(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample KS statistic of each group's `value_col` distribution
+    against the GLOBAL distribution, exact.
+
+    D = max over distinct values x of |F_grp(x) − F_all(x)|, compared as
+    cross-multiplied integers: |cum_g·n_all − cum_all·n_g| with
+    denominator n_g·n_all.  One value-distinct aggregation, cumulative
+    counts via windows ordered by value (total order: value is a key
+    after the distinct), single rounding division at the end.
+    """
+    g = df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+    # per (group, value) and (value) counts
+    gv = g.groupBy("_g", "_v").agg(F.count("*").alias("c_g"))
+    av = g.groupBy("_v").agg(F.count("*").alias("c_all"))
+    totals = g.groupBy("_g").agg(F.count("*").cast("long").alias("n_g"))
+    n_all = g.count()
+
+    # evaluate F at every distinct value per group: need the full value
+    # grid per group (a group missing a value still steps F_all there)
+    grid = gv.select("_g").distinct().crossJoin(av.select("_v"))
+    full = (
+        grid.join(gv, ["_g", "_v"], "left")
+        .join(av, "_v")
+        .select("_g", "_v", F.coalesce("c_g", F.lit(0)).alias("c_g"), "c_all")
+    )
+    w_g = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = full.select(
+        "_g",
+        "_v",
+        F.sum("c_g").over(w_g).cast("long").alias("cum_g"),
+        F.sum("c_all").over(w_g).cast("long").alias("cum_all"),
+    )
+    per = (
+        cum.join(totals, "_g")
+        .select(
+            "_g",
+            "n_g",
+            F.abs(
+                F.col("cum_g") * F.lit(n_all) - F.col("cum_all") * F.col("n_g")
+            ).alias("_d"),
+        )
+        .groupBy("_g", "n_g")
+        .agg(F.max("_d").cast("long").alias("ks_num"))
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        "n_g",
+        "ks_num",
+        F.round(
+            F.col("ks_num").cast("double") * MICRO / (F.col("n_g") * F.lit(n_all))
+        )
+        .cast("long")
+        .alias("ks_micro"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame, group_col: str, size_col: str, tie_col: str
+) -> DataFrame:
+    """Per-group Gini coefficient of `size_col`, exact integers.
+
+    With sizes x_(1) ≤ … ≤ x_(n) (total order: size then `tie_col`),
+    G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x) — both Σ are bigint; the
+    single division is rounded to micros.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(size_col), F.col(tie_col))
+    ranked = df.select(
+        group_col,
+        F.col(size_col).cast("long").alias("_x"),
+        F.row_number().over(w).cast("long").alias("_i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("s0"),
+        F.sum(F.col("_i") * F.col("_x")).cast("long").alias("s1"),
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "s0",
+        F.round(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")).cast("double")
+            * MICRO
+            / (F.col("n") * F.col("s0"))
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )

@@ -1,0 +1,46 @@
+"""Hand-computed checks for entropy / KS / Gini."""
+
+import math
+
+from ontology_mapper_spark.operators.stats import (
+    gini_concentration,
+    ks_drift,
+    token_entropy,
+)
+
+
+def test_token_entropy_uniform_and_point(spark):
+    rows = [("u", f"w{i}") for i in range(8)] + [("p", "same")] * 8
+    df = spark.createDataFrame(rows, "g string, w string")
+    out = {r["g"]: r for r in token_entropy(df, "g", "w").collect()}
+    # uniform over 8 -> ln 8; point mass -> 0
+    assert abs(out["u"]["entropy_micro"] - round(math.log(8) * 1e6)) <= 8
+    assert out["p"]["entropy_micro"] == 0
+    assert out["u"]["n_types"] == 8 and out["p"]["n_types"] == 1
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    # group "a" == global shape contribution; "b" shifted
+    rows = [("a", float(v)) for v in [1, 2, 3, 4]] + [
+        ("b", float(v)) for v in [11, 12, 13, 14]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in ks_drift(df, "g", "v").collect()}
+    # each group holds half the mass, fully separated:
+    # at v=4: F_a=1, F_all=0.5 -> D=0.5 exactly (ks_num = 4*8-4*4 = 16)
+    assert out["a"]["ks_num"] == 16 and out["a"]["ks_micro"] == 500000
+    assert out["b"]["ks_num"] == 16 and out["b"]["ks_micro"] == 500000
+
+
+def test_gini_equal_and_skewed(spark):
+    rows = [("eq", i, 10) for i in range(4)] + [
+        ("sk", 0, 0),
+        ("sk", 1, 0),
+        ("sk", 2, 0),
+        ("sk", 3, 100),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    out = {r["g"]: r for r in gini_concentration(df, "g", "x", "id").collect()}
+    assert out["eq"]["gini_micro"] == 0
+    # one holder of everything among 4: G = (2*4*100 - 5*100)/(4*100) = 0.75
+    assert out["sk"]["gini_micro"] == 750000
