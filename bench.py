@@ -66,6 +66,18 @@ EXTENDED = [
     "q96_kcore",
     "q97_hits",
     "q98_temperature_mix",
+    # round-3 continuation operators
+    "q99_pii_redact",
+    "qa01_resnik_lin",
+    "qa02_kmeans",
+    "qa03_cms_heavy",
+    "qa04_bloom_decontam",
+    "qa05_ewma_bursts",
+    "qa06_sssp",
+    "qa07_token_entropy",
+    "qa08_ks_drift",
+    "qa09_gini",
+    "qa10_url_canon",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -4436,3 +4436,103 @@ def qa09(spark, sf):
 
     d = _t(spark, sf, "documents")
     return gini_concentration(d, "lang", "n_chars", "doc_id")
+
+
+_URL_TRACK = "(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+@_q(
+    "qa10_url_canon",
+    rf"""
+    WITH u0 AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'HTTP://WWW.Site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                    || '.COM:80/Page/' || CAST(doc_id // 3 AS VARCHAR)
+                    || '/?utm_source=a'
+               WHEN 1 THEN 'https://site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                    || '.com:443/Page/' || CAST(doc_id // 3 AS VARCHAR) || '#frag'
+               ELSE 'http://site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                    || '.com/Page/' || CAST(doc_id // 3 AS VARCHAR)
+                    || '?ref=x&q=1'
+             END AS url
+      FROM documents),
+    c1 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1))
+               || substr(url,
+                         length(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1))
+                         + 1) AS u
+      FROM u0),
+    c2 AS (SELECT doc_id, url, regexp_replace(u, '#.*$', '') AS u FROM c1),
+    c3 AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(u, '{_URL_TRACK}&', '', 'g'),
+                 '[?&]{_URL_TRACK}$', ''),
+               '\?&', '?') AS u
+      FROM c2),
+    c4 AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(u, '^(http://[^/:]+):80(/|$)', '\1\2'),
+               '^(https://[^/:]+):443(/|$)', '\1\2') AS u
+      FROM c3),
+    c5 AS (
+      SELECT doc_id, url,
+             regexp_replace(u, '^([a-z]+://)www\.', '\1') AS u
+      FROM c4),
+    c6 AS (
+      SELECT doc_id, url,
+             regexp_replace(u, '(://[^/]+/.+?)/$', '\1') AS canonical
+      FROM c5),
+    keyed AS (
+      SELECT doc_id, url, canonical,
+             regexp_replace(canonical, '^[a-z]+://', '') AS dedup_key
+      FROM c6)
+    SELECT doc_id, url, canonical, dedup_key,
+           row_number() OVER (PARTITION BY dedup_key ORDER BY doc_id) > 1
+             AS is_dup_of_earlier
+    FROM keyed
+    """,
+)
+def qa10(spark, sf):
+    """URL canonicalization + first-seen dedup flag, the crawl
+    pipeline's cheapest dedup stage: lowercase scheme/host, strip
+    fragments / tracking params / default ports / www. / trailing
+    slash — one map-only JVM-regex Project, then a window-ranked
+    scheme-insensitive dedup key (operators/urls.py). Deterministic
+    messy URLs injected from doc_id (three variants per target page;
+    http/https variants collide on the key)."""
+    from .operators.urls import canonicalize_urls
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    base = F.floor(did / 3).cast("long")
+    h = (base % 7).cast("string")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Site"), h, F.lit(".COM:80/Page/"),
+                base.cast("string"), F.lit("/?utm_source=a"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("https://site"), h, F.lit(".com:443/Page/"),
+                base.cast("string"), F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://site"), h, F.lit(".com/Page/"),
+                base.cast("string"), F.lit("?ref=x&q=1"),
+            )
+        )
+        .alias("url"),
+    )
+    return canonicalize_urls(injected, "url", "doc_id")
