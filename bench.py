@@ -78,6 +78,7 @@ EXTENDED = [
     "qa08_ks_drift",
     "qa09_gini",
     "qa10_url_canon",
+    "qa11_nfc_scrub",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -4536,3 +4536,64 @@ def qa10(spark, sf):
         .alias("url"),
     )
     return canonicalize_urls(injected, "url", "doc_id")
+
+
+@_q(
+    "qa11_nfc_scrub",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             substr(text, 1, 40)
+             || CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN ''
+                  WHEN 1 THEN ' caf' || chr(101) || chr(769)
+                  WHEN 2 THEN ' ' || chr(1) || 'x' || chr(7)
+                  ELSE ' ' || chr(1) || 'caf' || chr(101) || chr(769) || chr(7)
+                END AS raw
+      FROM documents),
+    scrub AS (
+      SELECT doc_id, raw,
+             nfc_normalize(
+               regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')
+             ) AS clean
+      FROM inj)
+    SELECT doc_id, clean,
+           length(raw) AS n_raw,
+           length(raw)
+             - length(regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+             AS n_ctrl,
+           length(clean) AS n_clean,
+           clean <> raw AS changed
+    FROM scrub
+    """,
+)
+def qa11(spark, sf):
+    """Unicode NFC normalization + C0-control scrub — the canonical
+    first cleaning stage before any hashing/dedup/mention work
+    (operators/unicode_norm.py; reference normalizes labels only via
+    lower/strip, utils/helpers.py — web text needs codepoint-level
+    canonicalization).  ASCII rows take a pure-JVM lane; only rows that
+    actually contain non-ASCII bytes pass through the Arrow NFC UDF.
+    Deterministic mess injected from doc_id: %4==1 appends a DECOMPOSED
+    e+U+0301 (NFC composes it, shrinking by one codepoint), %4==2
+    appends C0 controls (stripped), %4==3 both, %4==0 stays clean.
+    Oracle: DuckDB nfc_normalize (utf8proc) is the same UAX#15 NFC as
+    Python's unicodedata."""
+    from .operators.unicode_norm import nfc_scrub
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.when(did % 4 == 1, F.lit(" caf" + "e" + "́"))
+            .when(did % 4 == 2, F.lit(" " + "\x01" + "x" + "\x07"))
+            .when(
+                did % 4 == 3,
+                F.lit(" " + "\x01" + "caf" + "e" + "́" + "\x07"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return nfc_scrub(injected, "text", "doc_id")
