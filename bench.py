@@ -79,6 +79,7 @@ EXTENDED = [
     "qa09_gini",
     "qa10_url_canon",
     "qa11_nfc_scrub",
+    "qa12_lang_kappa",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -4597,3 +4597,68 @@ def qa11(spark, sf):
         ).alias("text"),
     )
     return nfc_scrub(injected, "text", "doc_id")
+
+
+@_q(
+    "qa12_lang_kappa",
+    r"""
+    WITH words AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+                         w -> w <> '') AS words
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, source,
+             len(list_filter(words, w -> list_contains(['the','and','of'], w))) AS en_hits,
+             len(list_filter(words, w -> list_contains(['der','die','und'], w))) AS de_hits,
+             len(list_filter(words, w -> list_contains(['le','la','et'], w))) AS fr_hits,
+             len(list_filter(words, w -> list_contains(['el','los','que'], w))) AS es_hits
+      FROM words),
+    guess AS (
+      SELECT source, lang,
+             CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+                  WHEN es_hits >= greatest(en_hits, de_hits, fr_hits) THEN 'es'
+                  WHEN fr_hits >= greatest(en_hits, de_hits) THEN 'fr'
+                  WHEN de_hits >= en_hits THEN 'de'
+                  ELSE 'en' END AS g
+      FROM scored),
+    cells AS (
+      SELECT source, lang, g, CAST(count(*) AS BIGINT) AS c
+      FROM guess GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN lang = g THEN c ELSE 0 END) AS BIGINT) AS n_agree
+      FROM cells GROUP BY 1),
+    r AS (SELECT source, lang AS k, CAST(sum(c) AS BIGINT) AS rr
+          FROM cells GROUP BY 1, 2),
+    cc AS (SELECT source, g AS k, CAST(sum(c) AS BIGINT) AS gc
+           FROM cells GROUP BY 1, 2),
+    pe AS (
+      SELECT r.source, CAST(sum(rr * gc) AS BIGINT) AS pe_num
+      FROM r JOIN cc ON r.source = cc.source AND r.k = cc.k
+      GROUP BY 1)
+    SELECT t.source, n_docs, n_agree,
+           COALESCE(pe_num, 0) AS pe_num,
+           CASE WHEN n_docs * n_docs - COALESCE(pe_num, 0) = 0 THEN NULL
+                ELSE CAST(n_docs * n_agree - COALESCE(pe_num, 0) AS DOUBLE)
+                     / CAST(n_docs * n_docs - COALESCE(pe_num, 0) AS DOUBLE)
+           END AS kappa
+    FROM tot t LEFT JOIN pe ON t.source = pe.source
+    """,
+)
+def qa12(spark, sf):
+    """Per-source Cohen's kappa between the declared `lang` column and
+    the q51 stopword-cue language guess — the chance-corrected
+    annotation-quality monitor a crawl pipeline runs to catch sources
+    whose self-declared metadata diverges from content
+    (operators/stats.py:cohens_kappa).  Integer-exact: contingency
+    cells, marginal cross-products, and both kappa terms stay bigint;
+    one IEEE division at the end (contract.py exactness rules)."""
+    from .operators.stats import cohens_kappa
+    from .operators.textstats import with_lang_guess
+
+    d = _t(spark, sf, "documents")
+    return cohens_kappa(
+        with_lang_guess(d, "text"), "source", "lang", "lang_guess"
+    )

@@ -150,3 +150,59 @@ def gini_concentration(
         .cast("long")
         .alias("gini_micro"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, group_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """Per-group Cohen's kappa between two label columns — the standard
+    chance-corrected agreement monitor (declared metadata vs a
+    heuristic classifier, two annotators, model vs model).
+
+    Integer-exact form: from the (group, a, b) contingency cells with
+    bigint counts, po − pe over 1 − pe cancels to
+
+        kappa = (n·agree − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k)
+
+    so numerator and denominator are exact bigints and the ONE IEEE
+    division happens at the end (null when the denominator is 0, i.e.
+    degenerate marginals).  Scale: the doc-level shuffle is a single
+    map-side-combined groupBy; everything after runs on ≤|groups|·|labels|²
+    cells, so marginal joins are trivially broadcastable.
+    """
+    cells = (
+        df.groupBy(group_col, a_col, b_col)
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = cells.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col(a_col) == F.col(b_col), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    # rename the category to a shared key so the marginal join needs no
+    # self-join column disambiguation (cells feeds both sides)
+    rows = cells.groupBy(group_col, F.col(a_col).alias("_k")).agg(
+        F.sum("c").cast("long").alias("_r")
+    )
+    cols = cells.groupBy(group_col, F.col(b_col).alias("_k")).agg(
+        F.sum("c").cast("long").alias("_c")
+    )
+    pe = (
+        rows.join(cols, [group_col, "_k"], "inner")
+        .select(group_col, (F.col("_r") * F.col("_c")).alias("_rc"))
+        .groupBy(group_col)
+        .agg(F.sum("_rc").cast("long").alias("pe_num"))
+    )
+    out = totals.join(pe, group_col, "left").na.fill({"pe_num": 0})
+    num = F.col("n_docs") * F.col("n_agree") - F.col("pe_num")
+    den = F.col("n_docs") * F.col("n_docs") - F.col("pe_num")
+    return out.select(
+        group_col,
+        "n_docs",
+        "n_agree",
+        "pe_num",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("kappa"),
+    )

@@ -44,3 +44,30 @@ def test_gini_equal_and_skewed(spark):
     assert out["eq"]["gini_micro"] == 0
     # one holder of everything among 4: G = (2*4*100 - 5*100)/(4*100) = 0.75
     assert out["sk"]["gini_micro"] == 750000
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from ontology_mapper_spark.operators.stats import cohens_kappa
+
+    # g1: cells (x,x)x2 (x,y) (y,y): n=4 agree=3, rows x3 y1, cols x2 y2,
+    # pe = 3*2+1*2 = 8, kappa = (12-8)/(16-8) = 0.5
+    # g2: perfect marginal determinism -> den 0 -> kappa null
+    rows = [
+        ("g1", "x", "x"), ("g1", "x", "x"), ("g1", "x", "y"), ("g1", "y", "y"),
+        ("g2", "x", "x"), ("g2", "x", "x"),
+    ]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    out = {r["g"]: r for r in cohens_kappa(df, "g", "a", "b").collect()}
+    assert out["g1"]["n_docs"] == 4 and out["g1"]["n_agree"] == 3
+    assert out["g1"]["pe_num"] == 8 and out["g1"]["kappa"] == 0.5
+    assert out["g2"]["kappa"] is None and out["g2"]["pe_num"] == 4
+
+
+def test_cohens_kappa_disjoint_labels(spark):
+    from ontology_mapper_spark.operators.stats import cohens_kappa
+
+    # a-labels and b-labels never overlap: agree=0, pe=0, kappa = 0/n² = 0
+    rows = [("g", "p", "q"), ("g", "p", "r")]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    r = cohens_kappa(df, "g", "a", "b").first()
+    assert r["n_agree"] == 0 and r["pe_num"] == 0 and r["kappa"] == 0.0
