@@ -80,6 +80,8 @@ EXTENDED = [
     "qa10_url_canon",
     "qa11_nfc_scrub",
     "qa12_lang_kappa",
+    "qa13_role_transitions",
+    "qa14_dialogue_shape",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -4662,3 +4662,99 @@ def qa12(spark, sf):
     return cohens_kappa(
         with_lang_guess(d, "text"), "source", "lang", "lang_guess"
     )
+
+
+# Deterministic transcript view of `events` (the north-rule shape:
+# conv_id, turn_idx implied by (ts, event_id) order, role, tool, ts) —
+# identical arithmetic on both engines, so dialogue-structure operators
+# can be oracled without shipping a Python RNG into SQL.
+_TRANSCRIPT_CTE = """
+    t AS (
+      SELECT user_id AS conv_id, ts, event_id,
+             CASE WHEN CAST(event_id % 10 AS INT) < 4 THEN 'user'
+                  WHEN CAST(event_id % 10 AS INT) < 8 THEN 'assistant'
+                  ELSE 'tool' END AS role,
+             CASE WHEN CAST(event_id % 10 AS INT) >= 8 THEN 'search'
+                  WHEN CAST(event_id % 10 AS INT) = 7 THEN 'browser'
+             END AS tool
+      FROM events)
+"""
+
+
+def _transcript_view(spark, sf):
+    e = _t(spark, sf, "events")
+    m = (F.col("event_id") % 10).cast("int")
+    return e.select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.when(m < 4, "user").when(m < 8, "assistant").otherwise("tool").alias("role"),
+        F.when(m >= 8, "search").when(m == 7, "browser").alias("tool"),
+    )
+
+
+@_q(
+    "qa13_role_transitions",
+    f"""
+    WITH {_TRANSCRIPT_CTE},
+    tr AS (
+      SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY ts, event_id)
+               AS prev_role,
+             role
+      FROM t),
+    c AS (
+      SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+      FROM tr WHERE prev_role IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_role, role, n,
+           CAST(round(CAST(n * 1000000 AS DOUBLE)
+                      / sum(n) OVER (PARTITION BY prev_role)) AS BIGINT)
+             AS p_micro
+    FROM c
+    """,
+)
+def qa13(spark, sf):
+    """First-order Markov role-transition matrix over consecutive turns
+    within a conversation (operators/dialogue.py) — the structure-level
+    curation signal that catches retry storms (assistant→assistant
+    runs) and tool loops in agent transcripts.  One conv-keyed window
+    shuffle, then a |roles|² aggregate; transition probability as
+    micro-fixed-point from exact bigint counts."""
+    from .operators.dialogue import role_transition_matrix
+
+    return role_transition_matrix(
+        _transcript_view(spark, sf), "conv_id", ("ts", "event_id"), "role"
+    )
+
+
+@_q(
+    "qa14_dialogue_shape",
+    f"""
+    WITH {_TRANSCRIPT_CTE}
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_user,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_assistant,
+           CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool_role,
+           CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool_calls,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+           CASE WHEN count(*) > 1 THEN
+             CAST(round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE)
+                        / (count(*) - 1)) AS BIGINT)
+           END AS mean_gap_us
+    FROM t GROUP BY 1
+    """,
+)
+def qa14(spark, sf):
+    """Per-conversation dialogue-shape row (operators/dialogue.py):
+    turn counts by role, tool-call count, wall-clock duration, mean
+    inter-turn gap — the conversation-level filter table a transcript
+    corpus is curated on.  Single map-side-combinable groupBy per conv;
+    epoch-micro integer time arithmetic, one terminal micro-rounded
+    division."""
+    from .operators.dialogue import dialogue_shape
+
+    return dialogue_shape(_transcript_view(spark, sf), "conv_id")
