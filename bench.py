@@ -82,6 +82,7 @@ EXTENDED = [
     "qa12_lang_kappa",
     "qa13_role_transitions",
     "qa14_dialogue_shape",
+    "qa15_context_assembly",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -4758,3 +4758,54 @@ def qa14(spark, sf):
     from .operators.dialogue import dialogue_shape
 
     return dialogue_shape(_transcript_view(spark, sf), "conv_id")
+
+
+@_q(
+    "qa15_context_assembly",
+    r"""
+    WITH turns AS (
+      SELECT doc_id % 40 AS conv_id, doc_id // 40 AS turn_idx,
+             CASE WHEN (doc_id // 40) % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             text
+      FROM documents),
+    tok AS (
+      SELECT *,
+             len(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS ntok
+      FROM turns),
+    run AS (
+      SELECT *, sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum
+      FROM tok),
+    kept AS (SELECT * FROM run WHERE cum <= 600)
+    SELECT conv_id,
+           string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+             AS example,
+           CAST(count(*) AS BIGINT) AS n_turns_used,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens_used
+    FROM kept GROUP BY conv_id
+    """,
+)
+def qa15(spark, sf):
+    """Chat-SFT context assembly: per-conversation training example
+    under a 600-token budget — longest prefix of whole turns, lines
+    "<role>: text" joined in turn order
+    (operators/chunking.py:assemble_conversation_examples).  Running
+    token sum and the final agg share one conv-keyed exchange; agg
+    state is budget-bounded per conv regardless of skew.  Deterministic
+    conversation view folded from documents (doc_id % 40)."""
+    from .operators.chunking import assemble_conversation_examples
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    tix = F.floor(did / 40).cast("long")
+    turns = d.select(
+        (did % 40).alias("conv_id"),
+        tix.alias("turn_idx"),
+        F.when(tix % 2 == 0, "user").otherwise("assistant").alias("role"),
+        "text",
+    )
+    return assemble_conversation_examples(
+        turns, "conv_id", "turn_idx", "role", "text", token_budget=600
+    )

@@ -146,3 +146,56 @@ def pack_concat_split(
             + 1
         ).alias("n_seqs"),
     )
+
+
+def assemble_conversation_examples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    token_budget: int = 512,
+) -> DataFrame:
+    """Per-conversation training example under a token budget.
+
+    Joins "<role>: <text>" lines in turn order and keeps the LONGEST
+    PREFIX of turns whose cumulative whitespace-token count fits
+    ``token_budget`` (chat-SFT context assembly: truncate the tail,
+    never split a turn).  Conversations whose first turn already
+    exceeds the budget disappear — deliberate and documented, matching
+    a strict "example must fit" contract.
+
+    Columns: conv, example, n_turns_used, n_tokens_used.
+
+    Scale: running sum + group agg share the conv hash partitioning, so
+    Spark plans ONE exchange; the collected struct list is bounded by
+    the token budget (not by conversation length), so the agg state is
+    O(budget) per conv regardless of input skew.
+    """
+    from .textstats import words_col
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = df.select(
+        F.col(conv_col),
+        F.col(order_col),
+        F.concat(F.col(role_col), F.lit(": "), F.col(text_col)).alias("_line"),
+        F.size(words_col(F.col(text_col))).alias("_ntok"),
+    ).withColumn("_cum", F.sum("_ntok").over(w))
+    kept = run.where(F.col("_cum") <= token_budget)
+    return kept.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col).alias("o"), F.col("_line").alias("l")))
+                ),
+                lambda x: x["l"],
+            ),
+            "\n",
+        ).alias("example"),
+        F.count("*").cast("long").alias("n_turns_used"),
+        F.sum("_ntok").cast("long").alias("n_tokens_used"),
+    )

@@ -74,3 +74,27 @@ def test_transition_marginals_on_generated_corpus(spark):
         by_prev[r["prev_role"]] = by_prev.get(r["prev_role"], 0) + r["p_micro"]
     for total in by_prev.values():
         assert abs(total - 1_000_000) <= 2  # rounding slack
+
+
+def test_context_assembly_budget_prefix(spark):
+    from ontology_mapper_spark.operators.chunking import (
+        assemble_conversation_examples,
+    )
+
+    rows = [
+        # c1: 3+4+5 tokens; budget 8 keeps exactly the first two turns
+        ("c1", 0, "user", "a b c", None, _ts(0)),
+        ("c1", 1, "assistant", "d e f g", None, _ts(1)),
+        ("c1", 2, "user", "h i j k l", None, _ts(2)),
+        # c2: first turn alone exceeds the budget -> conv dropped
+        ("c2", 0, "user", "w x y z p q r s t", None, _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, transcripts_schema())
+    out = {
+        r["conv_id"]: r
+        for r in assemble_conversation_examples(df, token_budget=8).collect()
+    }
+    assert set(out) == {"c1"}
+    assert out["c1"]["example"] == "user: a b c\nassistant: d e f g"
+    assert out["c1"]["n_turns_used"] == 2
+    assert out["c1"]["n_tokens_used"] == 7
