@@ -83,6 +83,7 @@ EXTENDED = [
     "qa13_role_transitions",
     "qa14_dialogue_shape",
     "qa15_context_assembly",
+    "qa16_interval_join",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

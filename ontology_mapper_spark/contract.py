@@ -4809,3 +4809,51 @@ def qa15(spark, sf):
     return assemble_conversation_examples(
         turns, "conv_id", "turn_idx", "role", "text", token_budget=600
     )
+
+
+@_q(
+    "qa16_interval_join",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id AS err_event_id, ts AS start_ts,
+             ts + INTERVAL 300 SECOND AS end_ts
+      FROM events WHERE event_type = 'error')
+    SELECT i.user_id, i.err_event_id, e.event_id,
+           CAST(epoch_us(e.ts) - epoch_us(i.start_ts) AS BIGINT) AS delta_us
+    FROM iv i JOIN events e
+      ON e.user_id = i.user_id
+     AND e.ts >= i.start_ts AND e.ts <= i.end_ts
+    """,
+)
+def qa16(spark, sf):
+    """Point-in-interval join via time bucketization
+    (operators/intervaljoin.py): every event of a user within the
+    5-minute window after one of their error events — error-blast
+    attribution, the incident-analysis range join.  A naive theta join
+    is a BroadcastNestedLoopJoin; bucketizing to the interval width
+    makes it a plain AQE-friendly equi-join on (user_id, bucket) with
+    ≤2 buckets per interval and exactly-once pair emission (a point has
+    one bucket).  Oracle: DuckDB's native range join."""
+    from .operators.intervaljoin import interval_point_join
+
+    e = _t(spark, sf, "events")
+    iv = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_event_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end_ts"),
+    )
+    pts = e.select("user_id", "event_id", "ts")
+    joined = interval_point_join(
+        pts, iv, "ts", "start_ts", "end_ts",
+        keys=("user_id",), bucket_width_us=300_000_000,
+    )
+    return joined.select(
+        "user_id",
+        "err_event_id",
+        "event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("start_ts").cast("timestamp"))
+        ).alias("delta_us"),
+    )
