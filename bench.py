@@ -84,6 +84,7 @@ EXTENDED = [
     "qa14_dialogue_shape",
     "qa15_context_assembly",
     "qa16_interval_join",
+    "qa17_scd2_history",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -4857,3 +4857,62 @@ def qa16(spark, sf):
             - F.unix_micros(F.col("start_ts").cast("timestamp"))
         ).alias("delta_us"),
     )
+
+
+@_q(
+    "qa17_scd2_history",
+    """
+    WITH grid AS (
+      SELECT u.user_id, gs.s
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS s) gs),
+    snap AS (
+      SELECT user_id, CAST(s AS BIGINT) AS snapshot_id,
+             CAST(((user_id + s) // 3) % 4 AS VARCHAR) AS state
+      FROM grid),
+    flagged AS (
+      SELECT *, CASE WHEN row_number() OVER w = 1
+                      OR state IS DISTINCT FROM lag(state) OVER w
+                     THEN 1 ELSE 0 END AS chg
+      FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY snapshot_id)),
+    isl AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY snapshot_id)
+                  AS island
+      FROM flagged),
+    grp AS (
+      SELECT user_id, island, min(state) AS state,
+             CAST(min(snapshot_id) AS BIGINT) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_snaps
+      FROM isl GROUP BY 1, 2),
+    fin AS (
+      SELECT user_id, state, valid_from, n_snaps,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM grp)
+    SELECT user_id, state, valid_from, valid_to, n_snaps,
+           valid_to IS NULL AS is_current
+    FROM fin
+    """,
+)
+def qa17(spark, sf):
+    """SCD2 validity intervals from per-snapshot entity states
+    (operators/scd.py:scd2_from_snapshots) — the node-history table a
+    KG keeps across ontology releases.  Gaps-and-islands: null-safe lag
+    change flag, running-sum island id, per-island min/lead bounds; all
+    windows and the groupBy share ONE entity-keyed exchange.
+    Deterministic snapshot grid: 8 snapshots per user with the state
+    changing when (user_id + s) crosses a multiple of 3."""
+    from .operators.scd import scd2_from_snapshots
+
+    users = _t(spark, sf, "events").select("user_id").distinct()
+    grid = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s")
+    )
+    snap = grid.select(
+        "user_id",
+        F.col("s").cast("long").alias("snapshot_id"),
+        (F.floor((F.col("user_id") + F.col("s")) / 3) % 4)
+        .cast("string")
+        .alias("state"),
+    )
+    return scd2_from_snapshots(snap, "user_id", "snapshot_id", ("state",))
