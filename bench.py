@@ -85,6 +85,8 @@ EXTENDED = [
     "qa15_context_assembly",
     "qa16_interval_join",
     "qa17_scd2_history",
+    "qa18_mention_evidence",
+    "qa19_negative_samples",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -4916,3 +4916,108 @@ def qa17(spark, sf):
         .alias("state"),
     )
     return scd2_from_snapshots(snap, "user_id", "snapshot_id", ("state",))
+
+
+@_q(
+    "qa18_mention_evidence",
+    f"""
+    WITH {_kgf.DETECT_CTES},
+    {_kgf.decision_values_sql()},
+    links AS (
+      SELECT c.doc_id, c.begin, c."end", c.span AS surface, d.class_iri
+      FROM cand c JOIN dec d ON c.span = d.pattern
+      WHERE d.rank = 1),
+    ev AS (
+      SELECT l.*, t.text FROM links l JOIN documents t ON l.doc_id = t.doc_id)
+    SELECT doc_id AS conv_id, begin, "end", surface, class_iri,
+           substr(text, greatest(begin - 25, 0) + 1,
+                  least("end" + 25, length(text)) - greatest(begin - 25, 0))
+             AS evidence,
+           begin - 25 < 0 AS clipped_left,
+           "end" + 25 > length(text) AS clipped_right
+    FROM ev
+    """,
+)
+def qa18(spark, sf):
+    """Evidence snippets for KG links: the ±25-char context window
+    around each rank-1 mention span, with clip flags — the provenance
+    column a production KG materializes next to every triple so a
+    curator can audit a mapping without refetching the turn
+    (functions/text.py:evidence_window_col, map-only; at scale text
+    rides along from detect_mentions(carry_cols) with no re-join)."""
+    from .functions.text import evidence_window_col
+
+    links = _kg_fixture_links(spark, sf).where(F.col("rank") == 1)
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text"
+    )
+    ev = links.join(d, "conv_id").withColumn(
+        "_ev", evidence_window_col(F.col("text"), F.col("begin"), F.col("end"), 25)
+    )
+    return ev.select(
+        F.col("conv_id").cast("bigint").alias("conv_id"),
+        "begin",
+        "end",
+        "surface",
+        "class_iri",
+        F.col("_ev.evidence").alias("evidence"),
+        F.col("_ev.clipped_left").alias("clipped_left"),
+        F.col("_ev.clipped_right").alias("clipped_right"),
+    )
+
+
+@_q(
+    "qa19_negative_samples",
+    """
+    WITH pos AS (
+      SELECT DISTINCT 'user:' || CAST(user_id AS VARCHAR) AS subj,
+             event_type AS pred,
+             'k:' || CAST(CAST(json_extract(props, '$.k') AS INT) % 50
+                          AS VARCHAR) AS obj
+      FROM events),
+    vocab AS (
+      SELECT obj AS neg_obj,
+             CAST(row_number() OVER (ORDER BY md5(obj)) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT obj FROM pos)),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vocab),
+    exp AS (
+      SELECT p.*, gs.i FROM pos p
+      CROSS JOIN (SELECT unnest(range(0, 2)) AS i) gs),
+    hashed AS (
+      SELECT *,
+             CAST('0x' || substr(md5(subj || chr(31) || pred || chr(31)
+                                     || obj || chr(31)
+                                     || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+               % (SELECT n FROM nv) AS r
+      FROM exp),
+    cand AS (
+      SELECT h.subj, h.pred, h.obj AS pos_obj, CAST(h.i AS BIGINT) AS neg_i,
+             v.neg_obj
+      FROM hashed h JOIN vocab v ON v.idx = h.r)
+    SELECT c.subj, c.pred, c.pos_obj, c.neg_i, c.neg_obj
+    FROM cand c
+    LEFT JOIN pos p
+      ON p.subj = c.subj AND p.pred = c.pred AND p.obj = c.neg_obj
+    WHERE p.subj IS NULL
+    """,
+)
+def qa19(spark, sf):
+    """Filtered negative sampling for KG-embedding training
+    (operators/negsample.py): ≤2 md5-derived corrupted-object triples
+    per positive, with accidental positives anti-joined away (Bordes
+    et al. filtered protocol).  No RNG anywhere — resumable and
+    hash-exact; vocab is md5-ranked into a dense index (vocab-sized
+    global window, broadcast back).  Positives here: (user, event_type,
+    props.k-bucket) facts from events."""
+    from .operators.negsample import negative_samples
+
+    e = _t(spark, sf, "events")
+    pos = e.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("k:"),
+            (F.get_json_object("props", "$.k").cast("int") % 50).cast("string"),
+        ).alias("obj"),
+    )
+    return negative_samples(pos, k=2)

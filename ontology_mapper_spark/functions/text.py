@@ -49,3 +49,27 @@ def clean_description_col(c: Column) -> Column:
     return F.when(
         F.length(capped) > 200, F.concat(F.substring(capped, 1, 197), F.lit("..."))
     ).otherwise(capped)
+
+
+def evidence_window_col(
+    text,
+    begin,
+    end,
+    window: int = 25,
+):
+    """±window-char evidence snippet around a [begin, end) mention span.
+
+    Returns a struct (evidence, clipped_left, clipped_right) — the
+    provenance snippet a KG stores next to each link so curators can
+    audit a mapping without re-reading the turn.  Pure column
+    arithmetic (map-only); at scale the text column should ride along
+    from detection via detect_mentions(carry_cols=("text",)) so no
+    re-join against the transcript table is needed.
+    """
+    ctx_begin = F.greatest(begin - window, F.lit(0))
+    ctx_end = F.least(end + window, F.length(text))
+    return F.struct(
+        F.substring(text, ctx_begin + 1, ctx_end - ctx_begin).alias("evidence"),
+        (begin - window < 0).alias("clipped_left"),
+        (end + window > F.length(text)).alias("clipped_right"),
+    )
