@@ -87,6 +87,8 @@ EXTENDED = [
     "qa17_scd2_history",
     "qa18_mention_evidence",
     "qa19_negative_samples",
+    "qa20_oov_rate",
+    "qa21_source_leakage",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

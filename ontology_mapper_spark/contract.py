@@ -5021,3 +5021,67 @@ def qa19(spark, sf):
         ).alias("obj"),
     )
     return negative_samples(pos, k=2)
+
+
+@_q(
+    "qa20_oov_rate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS w
+      FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+    vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 500),
+    marked AS (
+      SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(round(CAST(sum(oov) * 1000000 AS DOUBLE) / count(*)) AS BIGINT)
+             AS oov_micro
+    FROM marked GROUP BY doc_id
+    """,
+)
+def qa20(spark, sf):
+    """Per-doc OOV rate vs the corpus top-500 word vocabulary
+    (operators/textstats.py:oov_stats) — tokenizer-fit / encoding-junk
+    signal.  The vocab is a TakeOrdered distributed top-k ((count desc,
+    word) total order, no single-partition sort) broadcast against the
+    exploded tokens; integer counts, one terminal micro division."""
+    from .operators.textstats import oov_stats
+
+    return oov_stats(_t(spark, sf, "documents"), vocab_size=500)
+
+
+@_q(
+    "qa21_source_leakage",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text,'\s+',' ','g'))) AS norm
+      FROM documents),
+    ph AS (SELECT norm, count(DISTINCT source) AS n_src FROM d GROUP BY 1)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ph.n_src > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           CAST(round(CAST(sum(CASE WHEN ph.n_src > 1 THEN 1 ELSE 0 END)
+                           * 1000000 AS DOUBLE) / count(*)) AS BIGINT)
+             AS leak_micro
+    FROM d JOIN ph ON d.norm = ph.norm
+    GROUP BY d.source
+    """,
+)
+def qa21(spark, sf):
+    """Per-source exact-content leakage share
+    (operators/dedup.py:cross_source_leakage): fraction of a source's
+    docs whose normalized text also appears in another source — the
+    train/eval-contamination and syndication monitor.  sha2 of the
+    normalized text is the narrow shuffle key (collision-free stand-in,
+    oracle groups by the text itself); co-keyed join back, source agg."""
+    from .operators.dedup import cross_source_leakage
+
+    return cross_source_leakage(_t(spark, sf, "documents"))

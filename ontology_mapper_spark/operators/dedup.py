@@ -887,3 +887,41 @@ def winnow_pairs(
         )
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "overlap_micro")
     )
+
+
+def cross_source_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source share of docs whose exact content also appears in
+    ANOTHER source — the train/eval leakage + syndicated-boilerplate
+    monitor run before any per-source quality conclusions.
+
+    One groupBy on the sha2 of normalized text (collision-free stand-in
+    for the text itself, narrow shuffle key), a co-keyed join back, and
+    a source-keyed agg; leak_micro = round(1e6·n_leaked/n_docs) from
+    integer counts.
+    """
+    docs = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.sha2(F.encode(normalized_text_col(F.col(text_col)), "utf-8"), 256)
+        .alias("_h"),
+    )
+    per_hash = docs.groupBy("_h").agg(
+        F.countDistinct(source_col).alias("_n_src")
+    )
+    flagged = docs.join(per_hash, "_h")
+    agg = flagged.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_n_src") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaked"),
+    )
+    return agg.withColumn(
+        "leak_micro",
+        F.round((F.col("n_leaked") * 1_000_000).cast("double") / F.col("n_docs"))
+        .cast("long"),
+    )

@@ -397,3 +397,45 @@ def grouped_quantiles(
             ).alias(f"q{p:02d}")
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus top-`vocab_size`
+    word vocabulary — the tokenizer-fit signal (high OOV = text the
+    tokenizer will shred into bytes; a spike flags encoding junk or an
+    off-domain source).
+
+    Scale: the vocab is orderBy+limit — Spark plans TakeOrdered (a
+    distributed top-k, NO single-partition sort) with a (count desc,
+    word) total order; it then broadcast-joins against the exploded
+    tokens, and the per-doc agg is one map-side-combined groupBy.
+    Docs with zero tokens have no rows to explode and are absent from
+    the output (documented).  oov_micro = round(1e6·n_oov/n_tokens),
+    integer counts with one terminal division.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), "w")
+        .limit(int(vocab_size))
+        .select("w", F.lit(1).alias("_inv"))
+    )
+    marked = tok.join(F.broadcast(vocab), "w", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return agg.withColumn(
+        "oov_micro",
+        F.round((F.col("n_oov") * 1_000_000).cast("double") / F.col("n_tokens"))
+        .cast("long"),
+    )

@@ -71,3 +71,45 @@ def test_cohens_kappa_disjoint_labels(spark):
     df = spark.createDataFrame(rows, "g string, a string, b string")
     r = cohens_kappa(df, "g", "a", "b").first()
     assert r["n_agree"] == 0 and r["pe_num"] == 0 and r["kappa"] == 0.0
+
+
+def test_oov_stats_hand_computed(spark):
+    from ontology_mapper_spark.operators.textstats import oov_stats
+
+    rows = [
+        (1, "aa aa bb"),      # with vocab_size=2 -> vocab {aa, bb}
+        (2, "aa zz yy xx"),   # 3 of 4 OOV
+        (3, "   "),           # zero tokens -> absent from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in oov_stats(df, vocab_size=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_oov"] == 0 and out[1]["oov_micro"] == 0
+    assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 3
+    assert out[2]["oov_micro"] == 750000
+
+
+def test_oov_vocab_is_distributed_topk(spark):
+    from ontology_mapper_spark.operators.textstats import oov_stats
+
+    df = spark.createDataFrame([(i, "w%d common" % (i % 7)) for i in range(50)],
+                               "doc_id long, text string")
+    plan = oov_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k vocab, not a global sort
+
+
+def test_cross_source_leakage_hand_computed(spark):
+    from ontology_mapper_spark.operators.dedup import cross_source_leakage
+
+    rows = [
+        (1, "shared  text", "s1"),
+        (2, "SHARED text",  "s2"),   # same normalized content, other source
+        (3, "only in s1",   "s1"),
+        (4, "s2 private",   "s2"),
+        (5, "s2 private",   "s2"),   # duplicate WITHIN s2 only: not leaked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in cross_source_leakage(df).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_leaked"] == 1
+    assert out["s1"]["leak_micro"] == 500000
+    assert out["s2"]["n_docs"] == 3 and out["s2"]["n_leaked"] == 1
