@@ -89,6 +89,8 @@ EXTENDED = [
     "qa19_negative_samples",
     "qa20_oov_rate",
     "qa21_source_leakage",
+    "qa22_mann_whitney",
+    "qa23_turn_echo",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

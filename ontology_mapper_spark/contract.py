@@ -5085,3 +5085,86 @@ def qa21(spark, sf):
     from .operators.dedup import cross_source_leakage
 
     return cross_source_leakage(_t(spark, sf, "documents"))
+
+
+@_q(
+    "qa22_mann_whitney",
+    """
+    WITH vc AS (
+      SELECT value AS v, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+    ranked AS (
+      SELECT v, c, 2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS dmid
+      FROM vc),
+    gv AS (
+      SELECT event_type, value AS v, CAST(count(*) AS BIGINT) AS ca
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+    terms AS (
+      SELECT event_type,
+             CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(ca * dmid) AS BIGINT) AS rsum2
+      FROM gv JOIN ranked USING (v) GROUP BY 1)
+    SELECT event_type, n_a,
+           CAST((SELECT n FROM tot) - n_a AS BIGINT) AS n_b,
+           CAST(rsum2 - n_a * (n_a + 1) AS BIGINT) AS u2,
+           CASE WHEN n_a > 0 AND (SELECT n FROM tot) - n_a > 0 THEN
+             CAST(round(CAST((rsum2 - n_a * (n_a + 1)) * 1000000 AS DOUBLE)
+                        / (2 * n_a * ((SELECT n FROM tot) - n_a))) AS BIGINT)
+           END AS auc_micro
+    FROM terms
+    """,
+)
+def qa22(spark, sf):
+    """Mann-Whitney U / AUC effect size of each event_type's value
+    distribution vs the rest of the corpus
+    (operators/stats.py:mann_whitney_u) — the nonparametric
+    "did this segment's metric shift?" test.  Ranks come from the value
+    HISTOGRAM (doubled midranks are exact integers, the only global
+    window is over distinct values, vocabulary-sized) — rows are never
+    globally sorted; u2 = 2·U stays bigint, one terminal division."""
+    from .operators.stats import mann_whitney_u
+
+    return mann_whitney_u(_t(spark, sf, "events"), "event_type", "value")
+
+
+@_q(
+    "qa23_turn_echo",
+    r"""
+    WITH turns AS (
+      SELECT doc_id % 40 AS conv_id, doc_id // 40 AS turn_idx, text
+      FROM documents),
+    tok AS (
+      SELECT conv_id, turn_idx,
+             list_distinct(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS toks
+      FROM turns),
+    lagged AS (
+      SELECT conv_id, turn_idx, toks,
+             lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM tok)
+    SELECT conv_id, turn_idx,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_intersect(toks, prev)) AS BIGINT) AS n_echoed,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(round(CAST(len(list_intersect(toks, prev)) * 1000000
+                             AS DOUBLE) / len(toks)) AS BIGINT)
+           END AS echo_micro
+    FROM lagged WHERE prev IS NOT NULL
+    """,
+)
+def qa23(spark, sf):
+    """Turn-echo rate: distinct-token overlap of each turn with its
+    predecessor (operators/dialogue.py:turn_echo) — catches parroting
+    assistants and copy-paste loops before transcripts enter training.
+    Same folded conversation view as qa15; one conv-keyed window, JVM
+    array_intersect, integer counts with one terminal micro division."""
+    from .operators.dialogue import turn_echo
+
+    d = _t(spark, sf, "documents")
+    turns = d.select(
+        (F.col("doc_id") % 40).alias("conv_id"),
+        F.floor(F.col("doc_id") / 40).cast("long").alias("turn_idx"),
+        "text",
+    )
+    return turn_echo(turns)

@@ -100,3 +100,46 @@ def dialogue_shape(
                F.round(F.col("duration_us").cast("double")
                        / (F.col("n_turns") - 1)).cast("long")),
     )
+
+
+def turn_echo(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-turn echo of the PREVIOUS turn: |distinct-token ∩| / |tokens|.
+
+    High echo = the model parroting the user (or a copy-paste loop) —
+    a standard SFT-transcript quality gate.  One conv-keyed window
+    (lag of the distinct-token array, computed once per turn), JVM
+    array_intersect, no Python.  First turns (no predecessor) are
+    excluded; empty-token turns yield null echo_micro.
+    Columns: conv, order, n_tokens, n_echoed, echo_micro.
+    """
+    from .textstats import words_col
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    tok = df.select(
+        F.col(conv_col),
+        F.col(order_col),
+        F.array_distinct(words_col(F.col(text_col))).alias("_toks"),
+    )
+    lagged = tok.withColumn("_prev", F.lag("_toks").over(w)).where(
+        F.col("_prev").isNotNull()
+    )
+    sized = lagged.select(
+        conv_col,
+        order_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_intersect("_toks", "_prev")).cast("long").alias("n_echoed"),
+    )
+    return sized.withColumn(
+        "echo_micro",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                (F.col("n_echoed") * MICRO).cast("double") / F.col("n_tokens")
+            ).cast("long"),
+        ),
+    )

@@ -206,3 +206,59 @@ def cohens_kappa(
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("kappa"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mann-Whitney U (one group vs the rest of the corpus) per group,
+    with the AUC / common-language effect size — the nonparametric
+    "does this source's metric distribution differ?" test.
+
+    Scale-correct ranking: never rank ROWS globally.  Ranks come from
+    the VALUE HISTOGRAM — per distinct value, the doubled midrank
+    2·cum_before + c + 1 is an exact integer (doubling absorbs the .5
+    of tie midranks), so the only global window runs over distinct
+    values (vocabulary-sized), and every per-group term is a bigint:
+
+        U2_a = Σ_v c_a(v)·dmid(v) − n_a·(n_a+1)     (= 2·U_a)
+        auc_micro = round(1e6 · U2_a / (2·n_a·n_b))
+
+    One division per row, terminal.  auc ≈ 0.5 means "same
+    distribution"; 0/1 means total separation.
+    """
+    vc = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = Window.orderBy("_v")
+    ranked = vc.select(
+        "_v",
+        "_c",
+        (
+            2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1
+        ).alias("_dmid"),
+    )
+    gv = df.groupBy(F.col(group_col), F.col(value_col).alias("_v")).agg(
+        F.count("*").cast("long").alias("_ca")
+    )
+    terms = gv.join(ranked, "_v").groupBy(group_col).agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum(F.col("_ca") * F.col("_dmid")).cast("long").alias("_rsum2"),
+    )
+    total = df.groupBy().agg(F.count("*").cast("long").alias("_n"))
+    out = terms.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_a",
+        (F.col("_n") - F.col("n_a")).alias("n_b"),
+        (F.col("_rsum2") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2"),
+    )
+    return out.withColumn(
+        "auc_micro",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                (F.col("u2") * 1_000_000).cast("double")
+                / (2 * F.col("n_a") * F.col("n_b"))
+            ).cast("long"),
+        ),
+    )

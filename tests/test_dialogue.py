@@ -98,3 +98,21 @@ def test_context_assembly_budget_prefix(spark):
     assert out["c1"]["example"] == "user: a b c\nassistant: d e f g"
     assert out["c1"]["n_turns_used"] == 2
     assert out["c1"]["n_tokens_used"] == 7
+
+
+def test_turn_echo_hand_computed(spark):
+    from ontology_mapper_spark.operators.dialogue import turn_echo
+
+    rows = [
+        ("c1", 0, "user", "alpha beta gamma", None, _ts(0)),
+        ("c1", 1, "assistant", "alpha beta delta epsilon", None, _ts(1)),
+        ("c1", 2, "user", "zeta", None, _ts(2)),
+        ("c2", 0, "user", "solo", None, _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, transcripts_schema())
+    out = {(r["conv_id"], r["turn_idx"]): r for r in turn_echo(df).collect()}
+    # first turns and single-turn convs excluded
+    assert set(out) == {("c1", 1), ("c1", 2)}
+    assert out[("c1", 1)]["n_echoed"] == 2  # alpha, beta
+    assert out[("c1", 1)]["echo_micro"] == 500000
+    assert out[("c1", 2)]["n_echoed"] == 0 and out[("c1", 2)]["echo_micro"] == 0

@@ -113,3 +113,25 @@ def test_cross_source_leakage_hand_computed(spark):
     assert out["s1"]["n_docs"] == 2 and out["s1"]["n_leaked"] == 1
     assert out["s1"]["leak_micro"] == 500000
     assert out["s2"]["n_docs"] == 3 and out["s2"]["n_leaked"] == 1
+
+
+def test_mann_whitney_hand_computed(spark):
+    from ontology_mapper_spark.operators.stats import mann_whitney_u
+
+    # A = {1,2}, B = {3,4}: total separation. midranks 1,2,3,4;
+    # U_A = R_A - nA(nA+1)/2 = 3 - 3 = 0 -> u2 = 0, auc = 0
+    rows = [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mann_whitney_u(df, "g", "v").collect()}
+    assert out["A"]["u2"] == 0 and out["A"]["auc_micro"] == 0
+    assert out["B"]["u2"] == 8 and out["B"]["auc_micro"] == 1000000
+
+    # ties: A = {1,1}, B = {1,3}. doubled midranks: value 1 spans ranks
+    # 1..3 -> dmid 2*0+3+1 = 4; value 3 -> dmid 2*3+1+1 = 8.
+    # R2_A = 8, u2_A = 8 - 6 = 2 -> U_A = 1, auc = U/(nA*nB) = 1/4
+    rows = [("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mann_whitney_u(df, "g", "v").collect()}
+    assert out["A"]["u2"] == 2 and out["A"]["auc_micro"] == 250000
+    # U_A + U_B = nA*nB
+    assert out["A"]["u2"] + out["B"]["u2"] == 2 * 2 * 2
