@@ -3,12 +3,14 @@
 LLM-data operators composed end to end, the way a corpus-cleaning job
 would chain them at 100 TB:
 
+  0. Unicode NFC + control scrub (ASCII rows never leave the JVM) and
+     a per-source cross-source leakage report;
   1. exact dedup (content-hash window rank, one shuffle);
   2. MinHash-LSH near-dup clustering (banded equi-join → connected
      components), keep each cluster's min-id representative;
   3. quality gates: Gopher-style top-bigram repetition fraction, the
-     heuristic quality score, and the bigram-LM perplexity proxy — each a
-     single scan-composable signal;
+     heuristic quality score, the bigram-LM perplexity proxy, and the
+     top-k-vocab OOV rate — each a single scan-composable signal;
   4. benchmark decontamination: drop docs sharing any word 3-gram with
      the held-out benchmark set (inverted-index semi-join, never
      all-pairs);
@@ -60,6 +62,21 @@ def main() -> int:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()
 
+    # 0. NFC + control scrub (codepoint canonicalization BEFORE any
+    # hashing, or composed/decomposed twins defeat every dedup stage);
+    # plus the cross-source exact-leakage monitor on the scrubbed text
+    from ontology_mapper_spark.operators.dedup import cross_source_leakage
+    from ontology_mapper_spark.operators.unicode_norm import nfc_scrub
+
+    clean_text = nfc_scrub(docs, "text", "doc_id").select("doc_id", "clean")
+    docs = docs.drop("text").join(clean_text, "doc_id").withColumnRenamed(
+        "clean", "text"
+    )
+    leakage = {
+        r["source"]: r["leak_micro"]
+        for r in cross_source_leakage(docs).collect()
+    }
+
     # 1. exact dedup
     docs = exact_dedup(docs, text_col="text", id_col="doc_id")
     n1 = docs.count()
@@ -79,18 +96,23 @@ def main() -> int:
     n2 = docs.count()
 
     # 3. quality gates (each signal is one scan / one bounded shuffle)
+    from ontology_mapper_spark.operators.textstats import oov_stats
+
     rep = repetition_stats(docs, "text", "doc_id").select(
         "doc_id", "rep_micro"
     )
     nll = bigram_nll(docs, "text", "doc_id").select("doc_id", "nll_avg_micro")
+    oov = oov_stats(docs, "text", "doc_id").select("doc_id", "oov_micro")
     scored = (
         with_quality_score(docs, "text")
         .join(rep, "doc_id", "left")
         .join(nll, "doc_id", "left")
+        .join(oov, "doc_id", "left")
     )
     kept = scored.where(
         (F.col("quality_score") >= 40)
         & (F.coalesce(F.col("rep_micro"), F.lit(0)) <= 200_000)  # ≤20% top-bigram chars
+        & (F.coalesce(F.col("oov_micro"), F.lit(0)) <= 900_000)  # tokenizer-shred guard
     )
     n3 = kept.count()
 
@@ -111,8 +133,10 @@ def main() -> int:
     stats = {r["split"]: r["n"] for r in
              final.groupBy("split").agg(F.count("*").alias("n")).collect()}
 
+    worst_leak = max(leakage.values()) if leakage else 0
     print(
-        f"docs {n0} -> exact-dedup {n1} -> near-dup {n2} -> quality {n3} "
+        f"docs {n0} (worst source leak {worst_leak/1e4:.1f}%) "
+        f"-> exact-dedup {n1} -> near-dup {n2} -> quality {n3} "
         f"-> decontaminated {n4} -> length-trimmed {n5}; "
         f"splits {stats}; wrote {out_dir}"
     )
