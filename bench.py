@@ -91,6 +91,7 @@ EXTENDED = [
     "qa21_source_leakage",
     "qa22_mann_whitney",
     "qa23_turn_echo",
+    "qa24_curriculum",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

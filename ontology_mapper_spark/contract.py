@@ -5168,3 +5168,35 @@ def qa23(spark, sf):
         "text",
     )
     return turn_echo(turns)
+
+
+@_q(
+    "qa24_curriculum",
+    """
+    WITH src AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+      FROM (SELECT DISTINCT source FROM documents)),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+               AS rank_in_source
+      FROM documents)
+    SELECT r.doc_id, r.source, r.rank_in_source,
+           CAST(r.rank_in_source * (SELECT n FROM ns) + s.sidx AS BIGINT)
+             AS global_pos
+    FROM ranked r JOIN src s ON r.source = s.source
+    """,
+)
+def qa24(spark, sf):
+    """Source-balanced curriculum interleave
+    (operators/split.py:curriculum_interleave): easy→hard per-source
+    ranks round-robined across sources via the CLOSED-FORM position
+    rank·n_sources + source_idx — a trainer's consumption order with no
+    global sort anywhere (the only global window is over the source
+    vocabulary).  Difficulty proxy here: n_chars."""
+    from .operators.split import curriculum_interleave
+
+    return curriculum_interleave(_t(spark, sf, "documents"))

@@ -11,7 +11,7 @@ under any partitioning/engine, trivially reproducible in SQL oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -202,5 +202,51 @@ def temperature_mix(
             F.col(source_col).alias("source"),
             F.col(key_col).alias("key"),
             F.col("quota"),
+        )
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    source_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-balanced curriculum order: within each source, examples
+    rank easy→hard by (score, id) total order; sources are then
+    round-robin interleaved so every training window sees the full mix.
+
+    The global position is CLOSED-FORM — rank_in_source·n_sources +
+    source_idx — so no global sort ever happens: one window per source
+    partition plus a broadcast of the (tiny) source index.  A trainer
+    consumes ORDER BY global_pos; positions are unique and dense up to
+    per-source size imbalance (tail positions of exhausted sources are
+    simply absent — gaps, not collisions).
+    """
+    w_src = Window.orderBy(source_col)  # |sources|-sized global window
+    src_idx = (
+        df.select(source_col)
+        .distinct()
+        .select(
+            source_col,
+            (F.row_number().over(w_src) - 1).cast("long").alias("_src_idx"),
+        )
+    )
+    n_src = src_idx.groupBy().agg(F.count("*").cast("long").alias("_n_src"))
+    w = Window.partitionBy(source_col).orderBy(score_col, id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        (F.row_number().over(w) - 1).cast("long").alias("rank_in_source"),
+    )
+    return (
+        ranked.join(F.broadcast(src_idx), source_col)
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            id_col,
+            source_col,
+            "rank_in_source",
+            (F.col("rank_in_source") * F.col("_n_src") + F.col("_src_idx"))
+            .alias("global_pos"),
         )
     )

@@ -135,3 +135,20 @@ def test_mann_whitney_hand_computed(spark):
     assert out["A"]["u2"] == 2 and out["A"]["auc_micro"] == 250000
     # U_A + U_B = nA*nB
     assert out["A"]["u2"] + out["B"]["u2"] == 2 * 2 * 2
+
+
+def test_curriculum_interleave_positions(spark):
+    from ontology_mapper_spark.operators.split import curriculum_interleave
+
+    rows = [(i, "s%d" % (i % 3), (i * 37) % 100) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = curriculum_interleave(df).collect()
+    # positions unique; first n_sources positions are each source's easiest
+    pos = [r["global_pos"] for r in out]
+    assert len(pos) == len(set(pos)) == 30
+    first3 = sorted(out, key=lambda r: r["global_pos"])[:3]
+    assert {r["source"] for r in first3} == {"s0", "s1", "s2"}
+    assert all(r["rank_in_source"] == 0 for r in first3)
+    # within a source, global order follows the easy->hard rank
+    s0 = sorted([r for r in out if r["source"] == "s0"], key=lambda r: r["global_pos"])
+    assert [r["rank_in_source"] for r in s0] == list(range(len(s0)))
