@@ -548,6 +548,7 @@ def kcore_peel(
         .distinct()
     )
     cur = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    prev = None
     for _ in range(int(rounds)):
         keep = (
             cur.groupBy("_a")
@@ -555,9 +556,21 @@ def kcore_peel(
             .where(F.col("_d") >= int(k))
             .select("_a")
         )
-        cur = cur.join(keep, "_a", "semi").join(
-            keep.withColumnRenamed("_a", "_b"), "_b", "semi"
+        cur = _pin(
+            cur.join(keep, "_a", "semi").join(
+                keep.withColumnRenamed("_a", "_b"), "_b", "semi"
+            )
         )
+        # each round references the previous survivor graph TWICE
+        # (directly and through `keep`); without eager materialization
+        # the recompute doubles per round — 2^rounds scans of the
+        # upstream plan (measured: 129 s at sf0.1 for rounds=4, ~3 s
+        # materialized). count() forces the cache; values are
+        # unaffected (pure function of (edges, k, rounds)).
+        cur.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
     return (
         cur.groupBy("_a")
         .agg(F.count("*").cast("long").alias("degree"))
@@ -622,6 +635,12 @@ def hits_micro(
             .groupBy(group_by)
             .agg(F.sum("_c").alias("_s"))
         )
+        # `raw` feeds BOTH the max-norm scalar and the score join; left
+        # lazy, every half-iteration doubles the recompute of the whole
+        # prefix (2^(2·iters) blowup — the q96 lesson). |V|-bounded, so
+        # materializing is cheap and values are unchanged.
+        raw = _pin(raw)
+        raw.count()
         mx = raw.agg(F.max("_s").alias("_mx"))
         return (
             nodes.join(
