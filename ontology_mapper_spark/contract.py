@@ -5200,3 +5200,110 @@ def qa24(spark, sf):
     from .operators.split import curriculum_interleave
 
     return curriculum_interleave(_t(spark, sf, "documents"))
+
+
+@_q(
+    "qa25_nb_classifier",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS w
+      FROM documents),
+    wc AS (SELECT source AS lbl, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    cls AS (SELECT source AS lbl, count(*) AS n_docs FROM documents GROUP BY 1),
+    ctot AS (SELECT lbl, sum(c) AS t FROM wc GROUP BY 1),
+    vocab AS (SELECT DISTINCT w FROM wc),
+    vn AS (SELECT count(*) AS v FROM vocab),
+    nd AS (SELECT count(*) AS n FROM documents),
+    dense AS (
+      SELECT vo.w, cl.lbl,
+             CAST(round(ln((coalesce(wc.c, 0) + 1)
+                           / CAST(ct.t + (SELECT v FROM vn) AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS lw
+      FROM vocab vo CROSS JOIN cls cl
+      JOIN ctot ct ON ct.lbl = cl.lbl
+      LEFT JOIN wc ON wc.w = vo.w AND wc.lbl = cl.lbl),
+    prior AS (
+      SELECT lbl,
+             CAST(round(ln(n_docs / CAST((SELECT n FROM nd) AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS p
+      FROM cls),
+    dt AS (SELECT doc_id, w, count(*) AS nw FROM tok GROUP BY 1, 2),
+    score AS (
+      SELECT dt.doc_id, d.lbl, CAST(sum(dt.nw * d.lw) AS BIGINT) AS s0
+      FROM dt JOIN dense d USING (w) GROUP BY 1, 2),
+    best AS (
+      SELECT s.doc_id, s.lbl, s.s0 + pr.p AS s,
+             row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY s.s0 + pr.p DESC, s.lbl) AS rn
+      FROM score s JOIN prior pr ON pr.lbl = s.lbl)
+    SELECT b.doc_id, d.source, b.lbl AS pred_source,
+           CAST(b.s AS BIGINT) AS score_micro,
+           CAST(CASE WHEN b.lbl = d.source THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1
+    """,
+)
+def qa25(spark, sf):
+    """Corpus-trained Multinomial Naive Bayes source classifier
+    (operators/classify.py:nb_label_scores) — the fastText/CCNet-style
+    quality-vs-source filter (GPT-3's WebText-vs-CommonCrawl gate) as a
+    pure-DataFrame op.  Add-one smoothing; every ln is taken once per
+    (word, class) model row as round(ln(ratio)*1e6); doc scores are
+    integer sums of count x micro-log-prob; argmax via a per-doc window
+    with a (score desc, label) total order.  The reference's analogue is
+    the hand-tuned lexical comparator (services/comparator.py:16-43)."""
+    from .operators.classify import nb_label_scores
+
+    return nb_label_scores(_t(spark, sf, "documents"))
+
+
+@_q(
+    "qa26_dsir_weights",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             CAST('0x' || substring(md5(w), 1, 4) AS BIGINT) % 64 AS b
+      FROM (SELECT doc_id, source,
+                   unnest(list_filter(
+                     string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+                     w -> w <> '')) AS w
+            FROM documents)),
+    ct AS (SELECT b, count(*) AS c FROM tok WHERE is_t GROUP BY 1),
+    cr AS (SELECT b, count(*) AS c FROM tok GROUP BY 1),
+    tt AS (SELECT count(*) AS t FROM tok WHERE is_t),
+    tr AS (SELECT count(*) AS t FROM tok),
+    model AS (
+      SELECT g.b,
+             CAST(round(ln((coalesce(ct.c, 0) + 1)
+                           / CAST((SELECT t FROM tt) + 64 AS DOUBLE)) * 1e6)
+                  AS BIGINT)
+             - CAST(round(ln((coalesce(cr.c, 0) + 1)
+                             / CAST((SELECT t FROM tr) + 64 AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS llr
+      FROM range(64) g(b)
+      LEFT JOIN ct ON ct.b = g.b LEFT JOIN cr ON cr.b = g.b),
+    pd AS (SELECT doc_id, b, count(*) AS n FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT pd.doc_id, CAST(sum(pd.n) AS BIGINT) AS n_tokens,
+             CAST(sum(pd.n * m.llr) AS BIGINT) AS weight_micro
+      FROM pd JOIN model m USING (b) GROUP BY 1),
+    topk AS (SELECT doc_id FROM agg ORDER BY weight_micro DESC, doc_id LIMIT 100)
+    SELECT a.doc_id, a.n_tokens, a.weight_micro,
+           CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS selected
+    FROM agg a LEFT JOIN topk t ON a.doc_id = t.doc_id
+    """,
+)
+def qa26(spark, sf):
+    """DSIR hashed-unigram importance weights for target-domain data
+    selection (operators/classify.py:dsir_weights; Xie et al. 2023).
+    Target = src0 docs, raw = whole corpus; 64 md5-hashed buckets keep the
+    model O(buckets) regardless of vocabulary; weights are integer sums of
+    count x micro-log-likelihood-ratio; the selected flag is a TakeOrdered
+    top-100 broadcast back (no global sort)."""
+    from .operators.classify import dsir_weights
+
+    return dsir_weights(_t(spark, sf, "documents"), target_label="src0")

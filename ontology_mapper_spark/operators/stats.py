@@ -262,3 +262,180 @@ def mann_whitney_u(
             ).cast("long"),
         ),
     )
+
+
+def kl_divergence(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Per-group KL divergence of the group's token distribution from the
+    corpus token distribution, in integer micro-nats — the drift monitor
+    that catches a source whose vocabulary shifted even when entropy
+    (token_entropy) stayed flat.
+
+    KL(p_g || p_c) = sum_w (n_gw/T_g) * ln((n_gw * T) / (T_g * n_w)); only
+    words the group actually uses contribute (p=0 terms vanish), so the
+    sum runs over the (group, token) count rows the counting shuffle
+    already produced.  Per-row ln is taken ONCE per distinct (group,
+    token) as round(ln(ratio)*1e6) — the ratio is a single division of
+    two exact integer products (exact while n_gw*T < 2^53, i.e. corpus
+    token counts x group counts within ~9e15 — beyond that pre-scale
+    counts); the per-group total is an integer sum with ONE terminal
+    division by T_g.
+
+    Output: (group, n_tokens, n_types, kl_micro).
+    """
+    gw = df.groupBy(group_col, token_col).agg(F.count("*").alias("_c"))
+    wtot = gw.groupBy(token_col).agg(F.sum("_c").cast("long").alias("_cw"))
+    gtot = gw.groupBy(group_col).agg(F.sum("_c").cast("long").alias("_tg"))
+    tot = int(
+        wtot.agg(F.sum("_cw").cast("long").alias("t")).collect()[0]["t"] or 0
+    )
+    term = (
+        gw.join(wtot, token_col)
+        .join(F.broadcast(gtot), group_col)
+        .select(
+            group_col,
+            "_c",
+            F.round(
+                F.log(
+                    (F.col("_c") * F.lit(tot)).cast("double")
+                    / (F.col("_tg") * F.col("_cw")).cast("double")
+                )
+                * MICRO
+            )
+            .cast("long")
+            .alias("_lr"),
+        )
+    )
+    per = term.groupBy(group_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("_c") * F.col("_lr")).cast("long").alias("_s"),
+    )
+    return per.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        F.round(F.col("_s").cast("double") / F.col("n_tokens"))
+        .cast("long")
+        .alias("kl_micro"),
+    )
+
+
+def zipf_moments(df: DataFrame, token_col: str) -> DataFrame:
+    """Zipf-law fit over the corpus word-frequency distribution: OLS slope
+    of ln(count) on ln(rank) — the classic "is this corpus natural
+    language or template spam?" health check (natural text ~ -1).
+
+    Ranks come from a row_number over the DISTINCT-token count table with
+    a (count desc, token) total order — a vocabulary-sized window, rows
+    are never globally sorted.  x = round(ln(rank)*1e3), y =
+    round(ln(count)*1e3) are integer MILLI-nats (milli keeps the OLS
+    cross-moments within bigint for vocabularies up to ~1e9 types); all
+    five moments are exact integer sums, and the slope is ONE terminal
+    division of two exact bigints (rendered through double, deterministic
+    IEEE in any engine).
+
+    Output: one row (n_types, sxy_num, sxx_den, slope_micro) where
+    slope = sxy_num / sxx_den = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
+    """
+    cnt = df.groupBy(token_col).agg(F.count("*").cast("long").alias("_c"))
+    w = Window.orderBy(F.desc("_c"), F.col(token_col))
+    milli = 1_000
+    xy = cnt.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * milli)
+        .cast("long")
+        .alias("_x"),
+        F.round(F.log(F.col("_c").cast("double")) * milli)
+        .cast("long")
+        .alias("_y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+    )
+    return m.select(
+        F.col("_n").alias("n_types"),
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias(
+            "sxy_num"
+        ),
+        (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias(
+            "sxx_den"
+        ),
+        F.round(
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+                "double"
+            )
+            * MICRO
+            / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+                "double"
+            )
+        )
+        .cast("long")
+        .alias("slope_micro"),
+    )
+
+
+def assortativity_moments(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree-assortativity of a bipartite edge set: Pearson correlation
+    between the source-side degree and destination-side degree across
+    edges — the "are heavy users attached to heavy items?" structure
+    check a KG build runs before deciding its skew strategy (a strongly
+    positive r predicts hot-hub joins; see operators/skewjoin.py).
+
+    Degrees are two counting aggregates joined back onto the edges (the
+    joins reuse the edge shuffle keys); the five correlation moments are
+    EXACT integer sums of bigint degree products.  r itself mixes sqrt
+    with division, so the exact moments are the contract output and
+    r_micro is derived from them in ONE deterministic double expression
+    (exact bigints -> double casts -> mul/sqrt/div, every step correctly
+    rounded IEEE, identical in any engine).
+
+    Output: one row (n_edges, sx, sy, sxy, sxx, syy, r_micro).
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    ds = e.groupBy("_s").agg(F.count("*").cast("long").alias("_dx"))
+    dd = e.groupBy("_d").agg(F.count("*").cast("long").alias("_dy"))
+    m = (
+        e.join(ds, "_s")
+        .join(dd, "_d")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("_dx").cast("long").alias("sx"),
+            F.sum("_dy").cast("long").alias("sy"),
+            F.sum(F.col("_dx") * F.col("_dy")).cast("long").alias("sxy"),
+            F.sum(F.col("_dx") * F.col("_dx")).cast("long").alias("sxx"),
+            F.sum(F.col("_dy") * F.col("_dy")).cast("long").alias("syy"),
+        )
+    )
+    num = (
+        F.col("n_edges").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    vx = (
+        F.col("n_edges").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    vy = (
+        F.col("n_edges").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select(
+        "n_edges",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num * MICRO / (F.sqrt(vx) * F.sqrt(vy))).cast("long"),
+        ).alias("r_micro"),
+    )
