@@ -5307,3 +5307,240 @@ def qa26(spark, sf):
     from .operators.classify import dsir_weights
 
     return dsir_weights(_t(spark, sf, "documents"), target_label="src0")
+
+
+@_q(
+    "qa27_fuzzy_names",
+    """
+    WITH names AS (
+      SELECT DISTINCT p_name AS name,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part)
+    SELECT a.name AS name_a, b.name AS name_b, a.block AS block,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+    """,
+)
+def qa27(spark, sf):
+    """Typo-tolerant fuzzy-match pairs over DISTINCT part names
+    (operators/linkage.py:edit_distance_pairs): Levenshtein in [1,3]
+    between names sharing a last-token block — the edit-distance
+    companion to qa-blocked exact linkage (q94), generalizing the
+    reference's interactive candidate review (cli/interface.py:482-577).
+    Distinct-first (vocabulary-sized quadratic term, bounded by block);
+    F.levenshtein verified bit-identical to DuckDB's."""
+    from .operators.linkage import edit_distance_pairs
+
+    return edit_distance_pairs(_t(spark, sf, "part"), "p_name", max_dist=3)
+
+
+_QA28_ORACLE = f"""
+    WITH exact_tk AS (SELECT * FROM ({ORACLES["q29_cosine_topk"]}) tex),
+    approx_tk AS (SELECT * FROM ({ORACLES["q30_lsh_topk"]}) tap)
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hit,
+           CAST(round(CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+                           * 1000000 AS DOUBLE) / count(*)) AS BIGINT)
+             AS recall_micro
+    FROM exact_tk e LEFT JOIN approx_tk a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@_q("qa28_ann_recall", _QA28_ORACLE)
+def qa28(spark, sf):
+    """ANN recall@5 evaluation as a first-class distributed op
+    (operators/evaluate.py:topk_recall): per-query |LSH top-5 ∩ exact
+    top-5| / 5 between q30's multi-table LSH index and q29's brute-force
+    baseline — the measurement a 100 TB pipeline records per index build
+    (tests/test_ann_recall.py proves the bounds in-process; this lands
+    them in the metrics table).  One equi-join on (query, id); the
+    oracle composes the two already-exact q29/q30 oracles verbatim."""
+    from .operators.evaluate import topk_recall
+
+    return topk_recall(q30(spark, sf), q29(spark, sf))
+
+
+@_q(
+    "qa29_kl_divergence",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS w
+      FROM documents),
+    gw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    wt AS (SELECT w, sum(c) AS cw FROM gw GROUP BY 1),
+    gt AS (SELECT source, sum(c) AS tg FROM gw GROUP BY 1),
+    tot AS (SELECT sum(c) AS t FROM gw),
+    term AS (
+      SELECT gw.source, gw.c,
+             CAST(round(ln(CAST(gw.c * (SELECT t FROM tot) AS DOUBLE)
+                           / CAST(gt.tg * wt.cw AS DOUBLE)) * 1e6) AS BIGINT)
+               AS lr
+      FROM gw JOIN wt USING (w) JOIN gt USING (source))
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(round(CAST(sum(c * lr) AS DOUBLE) / sum(c)) AS BIGINT)
+             AS kl_micro
+    FROM term GROUP BY 1
+    """,
+)
+def qa29(spark, sf):
+    """Per-source KL divergence of the token distribution from the corpus
+    distribution (operators/stats.py:kl_divergence) — the vocabulary-shift
+    drift monitor complementing entropy (qa07) and numeric KS (qa08).
+    Only observed (source, word) rows contribute; ln once per distinct
+    row on a single integer-product ratio; integer sum, one terminal
+    division."""
+    from .operators.stats import kl_divergence
+
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(words_col(F.col("text"))).alias("w"))
+    return kl_divergence(tok, "source", "w")
+
+
+@_q(
+    "qa30_zipf_slope",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS w
+      FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+    xy AS (
+      SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+                                AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM cnt),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM xy)
+    SELECT n AS n_types,
+           CAST(n * sxy - sx * sy AS BIGINT) AS sxy_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS sxx_den,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS slope_micro
+    FROM m
+    """,
+)
+def qa30_(spark, sf):
+    """Zipf-law slope of the corpus word-frequency distribution
+    (operators/stats.py:zipf_moments): OLS of ln(count) on ln(rank) in
+    integer MILLI-nat moments — natural text ≈ -1, template spam much
+    steeper.  Rank window is vocabulary-sized; five exact integer
+    moments; slope = one terminal bigint division."""
+    from .operators.stats import zipf_moments
+
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(words_col(F.col("text"))).alias("w"))
+    return zipf_moments(tok, "w")
+
+
+@_q(
+    "qa31_assortativity",
+    """
+    WITH e AS (SELECT DISTINCT user_id AS s, event_type AS d FROM events),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS dx FROM e GROUP BY 1),
+    dd AS (SELECT d, CAST(count(*) AS BIGINT) AS dy FROM e GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                 CAST(sum(dx) AS BIGINT) AS sx,
+                 CAST(sum(dy) AS BIGINT) AS sy,
+                 CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                 CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                 CAST(sum(dy * dy) AS BIGINT) AS syy
+          FROM e JOIN ds USING (s) JOIN dd USING (d))
+    SELECT n_edges, sx, sy, sxy, sxx, syy,
+           CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+           THEN CAST(round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           * 1000000
+                           / (sqrt(CAST(n_edges AS DOUBLE)
+                                   * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n_edges AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))))
+                     AS BIGINT)
+           END AS r_micro
+    FROM m
+    """,
+)
+def qa31(spark, sf):
+    """Degree assortativity of the user↔event_type bipartite graph
+    (operators/stats.py:assortativity_moments) — the hub-structure probe
+    that decides whether a KG build needs skew routing
+    (operators/skewjoin.py) before its hot joins.  Exact bigint degree
+    moments are the contract output; r_micro is one deterministic double
+    expression over them."""
+    from .operators.stats import assortativity_moments
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").alias("src"), F.col("event_type").alias("dst")
+    ).distinct()
+    return assortativity_moments(e)
+
+
+@_q(
+    "qa32_centroid_drift",
+    """
+    WITH ex AS (
+      SELECT label AS lbl, i,
+             CAST(round(CAST(e AS DOUBLE) * 1e6) AS BIGINT) AS em
+      FROM (SELECT label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    cl AS (SELECT lbl, i,
+                  CAST(round(CAST(sum(em) AS DOUBLE) / count(*)) AS BIGINT)
+                    AS c
+           FROM ex GROUP BY 1, 2),
+    cg AS (SELECT i,
+                  CAST(round(CAST(sum(em) AS DOUBLE) / count(*)) AS BIGINT)
+                    AS g
+           FROM ex GROUP BY 1),
+    m AS (SELECT lbl,
+                 CAST(sum(c * g) AS BIGINT) AS dot,
+                 CAST(sum(c * c) AS BIGINT) AS norm_l,
+                 CAST(sum(g * g) AS BIGINT) AS norm_g
+          FROM cl JOIN cg USING (i) GROUP BY 1),
+    nv AS (SELECT label AS lbl, CAST(count(*) AS BIGINT) AS n_vecs
+           FROM embeddings GROUP BY 1)
+    SELECT m.lbl AS label, nv.n_vecs, m.dot, m.norm_l, m.norm_g,
+           CAST(round(CAST(m.dot AS DOUBLE) * 1e6
+                      / (sqrt(CAST(m.norm_l AS DOUBLE))
+                         * sqrt(CAST(m.norm_g AS DOUBLE)))) AS BIGINT)
+             AS cos_micro
+    FROM m JOIN nv ON m.lbl = nv.lbl
+    """,
+)
+def qa32(spark, sf):
+    """Per-label embedding-centroid drift vs the corpus centroid
+    (operators/similarity.py:centroid_drift) — the per-ingest-batch
+    "did this source's embedding distribution move?" monitor.  Micro-int
+    quantization once per element, exact integer per-dim sums, centroid
+    coords re-quantized to ~1e6 by one rounded division (bigint-safe at
+    ANY group size), exact integer dot/norms over the fixed dim count,
+    cos_micro one deterministic double expression."""
+    from .operators.similarity import centroid_drift
+
+    return centroid_drift(_t(spark, sf, "embeddings"))

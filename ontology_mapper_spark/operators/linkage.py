@@ -78,3 +78,49 @@ def blocked_linkage(
         .alias("score"),
     )
     return scored.where(F.col("score") >= int(threshold))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Fuzzy-match candidate pairs over the DISTINCT values of a name
+    column: Levenshtein distance in [1, max_dist] between names sharing
+    a block key (the name's last whitespace token — for "adjective noun"
+    style labels the head noun; swap in a phonetic key for person names).
+
+    The blocked-exact-agreement scorer above (blocked_linkage) only sees
+    pairs whose compared fields match EXACTLY; this is the typo-tolerant
+    companion the reference approximates with interactive candidate
+    review (cli/interface.py:482-577). Distance runs on the JVM
+    (F.levenshtein — verified bit-identical to DuckDB's levenshtein).
+
+    Scale contract: the quadratic work is (a) bounded by the block and
+    (b) over DISTINCT names only — the same distinct-first discipline as
+    core/lookup.py:49-58's dedup — so a 100 TB corpus with a
+    vocabulary-sized name set pays a vocabulary-sized join. Output one
+    row per unordered pair (name_a < name_b, never self-pairs).
+    """
+    d = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("a.block").alias("block"),
+            F.levenshtein(F.col("a.name"), F.col("b.name"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .where(F.col("dist").between(1, int(max_dist)))
+    )

@@ -492,3 +492,92 @@ def semdedup(
             (F.coalesce("_dominated", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def centroid_drift(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding-centroid drift: cosine of each group's mean
+    vector against the corpus mean vector — the cheap "did this source's
+    embedding distribution move?" monitor a curation pipeline runs per
+    ingest batch (a label whose centroid swings away from the corpus is
+    the first sign of a scraper change or domain shift).
+
+    Exactness: raw floats are quantized ONCE per element to micro ints
+    (round(x*1e6), float->double cast is exact), so per-dim sums are
+    exact integers; each centroid coordinate is one integer division
+    (round(sum/n), micro units, so coordinates stay ~1e6 REGARDLESS of
+    group size — the bigint dot products below are safe at any corpus
+    scale); dot and norms are exact integer sums over the fixed dim
+    count; cos_micro is one deterministic double expression over exact
+    bigints.
+
+    Scale: explode-by-dim keeps the shuffle rows narrow ((label, dim,
+    int) triples); per-dim aggs are map-side combined; the global
+    centroid (dim-sized) is broadcast into the per-label join.
+
+    Output: (label, n_vecs, dot, norm_l, norm_g, cos_micro).
+    """
+    ex = emb.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col)).alias("_i", "_x"),
+    ).select(
+        "_lbl",
+        "_i",
+        F.round(F.col("_x").cast("double") * 1e6).cast("long").alias("_e"),
+    )
+    cl = (
+        ex.groupBy("_lbl", "_i")
+        .agg(F.sum("_e").alias("_s"), F.count("*").alias("_n"))
+        .select(
+            "_lbl",
+            "_i",
+            F.round(F.col("_s").cast("double") / F.col("_n"))
+            .cast("long")
+            .alias("_c"),
+        )
+    )
+    cg = (
+        ex.groupBy("_i")
+        .agg(F.sum("_e").alias("_s"), F.count("*").alias("_n"))
+        .select(
+            "_i",
+            F.round(F.col("_s").cast("double") / F.col("_n"))
+            .cast("long")
+            .alias("_g"),
+        )
+    )
+    m = (
+        cl.join(F.broadcast(cg), "_i")
+        .groupBy("_lbl")
+        .agg(
+            F.sum(F.col("_c") * F.col("_g")).cast("long").alias("dot"),
+            F.sum(F.col("_c") * F.col("_c")).cast("long").alias("norm_l"),
+            F.sum(F.col("_g") * F.col("_g")).cast("long").alias("norm_g"),
+        )
+    )
+    nv = emb.groupBy(F.col(label_col).alias("_lbl")).agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    return (
+        m.join(nv, "_lbl")
+        .select(
+            F.col("_lbl").alias(label_col),
+            "n_vecs",
+            "dot",
+            "norm_l",
+            "norm_g",
+            F.round(
+                F.col("dot").cast("double")
+                * 1e6
+                / (
+                    F.sqrt(F.col("norm_l").cast("double"))
+                    * F.sqrt(F.col("norm_g").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
