@@ -92,6 +92,15 @@ EXTENDED = [
     "qa22_mann_whitney",
     "qa23_turn_echo",
     "qa24_curriculum",
+    # round-3 third-session operators
+    "qa25_nb_classifier",
+    "qa26_dsir_weights",
+    "qa27_fuzzy_names",
+    "qa28_ann_recall",
+    "qa29_kl_divergence",
+    "qa30_zipf_slope",
+    "qa31_assortativity",
+    "qa32_centroid_drift",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -70,11 +70,20 @@ def nb_label_scores(
     the argmax is a per-doc window with a (score desc, label) total
     order.
     """
-    tok = df.select(
-        F.col(id_col), F.col(label_col).alias("_lbl"),
-        F.explode(words_col(F.col(text_col))).alias("w"),
+    # ONE explode + ONE (doc, word) shuffle feeds both the training
+    # counts and the scoring pass: label is functional of doc_id, so the
+    # per-(doc, label, word) counts roll up to the word x class model
+    # without re-reading the corpus.
+    dwc = (
+        df.select(
+            F.col(id_col), F.col(label_col).alias("_lbl"),
+            F.explode(words_col(F.col(text_col))).alias("w"),
+        )
+        .groupBy(id_col, "_lbl", "w")
+        .agg(F.count("*").cast("long").alias("_nw"))
+        .localCheckpoint()
     )
-    wc = tok.groupBy("_lbl", "w").agg(F.count("*").alias("_c"))
+    wc = dwc.groupBy("_lbl", "w").agg(F.sum("_nw").alias("_c"))
     cls = (
         df.groupBy(F.col(label_col).alias("_lbl"))
         .agg(F.count("*").cast("long").alias("_n_docs"))
@@ -102,7 +111,7 @@ def nb_label_scores(
         _ln_ratio_micro(F.col("_n_docs"), F.lit(int(n_docs))).alias("_prior"),
     )
 
-    dt = tok.groupBy(id_col, "w").agg(F.count("*").cast("long").alias("_nw"))
+    dt = dwc.select(id_col, "w", "_nw")
     score = (
         dt.join(F.broadcast(dense), "w")
         .groupBy(id_col, "_lbl")
