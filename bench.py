@@ -101,6 +101,8 @@ EXTENDED = [
     "qa30_zipf_slope",
     "qa31_assortativity",
     "qa32_centroid_drift",
+    "qa33_pr_sweep",
+    "qa34_decayed_edges",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -5544,3 +5544,86 @@ def qa32(spark, sf):
     from .operators.similarity import centroid_drift
 
     return centroid_drift(_t(spark, sf, "embeddings"))
+
+
+_QA33_ORACLE = f"""
+    WITH links AS (SELECT * FROM ({ORACLES["kg_links_transcripts"]}) tl),
+    gold AS (
+      SELECT DISTINCT conv_id, turn_idx, begin, "end", class_iri
+      FROM links WHERE rank = 1),
+    marked AS (
+      SELECT l.score_micro AS s,
+             CASE WHEN g.class_iri IS NULL THEN 0 ELSE 1 END AS tp
+      FROM links l LEFT JOIN gold g
+        ON l.conv_id = g.conv_id AND l.turn_idx = g.turn_idx
+       AND l.begin = g.begin AND l."end" = g."end"
+       AND l.class_iri = g.class_iri),
+    per AS (SELECT s, count(*) AS np, sum(tp) AS nt FROM marked GROUP BY 1),
+    cum AS (
+      SELECT s,
+             CAST(sum(np) OVER (ORDER BY s DESC) AS BIGINT) AS n_pred,
+             CAST(sum(nt) OVER (ORDER BY s DESC) AS BIGINT) AS n_tp
+      FROM per),
+    ng AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gold)
+    SELECT s AS threshold_micro, n_pred, n_tp,
+           (SELECT n FROM ng) AS n_gold,
+           CAST(round(CAST(n_tp * 1000000 AS DOUBLE) / n_pred) AS BIGINT)
+             AS precision_micro,
+           CAST(round(CAST(n_tp * 1000000 AS DOUBLE) / (SELECT n FROM ng))
+                AS BIGINT) AS recall_micro,
+           CAST(round(CAST(n_tp * 2 * 1000000 AS DOUBLE)
+                      / (n_pred + (SELECT n FROM ng))) AS BIGINT) AS f1_micro
+    FROM cum
+    """
+
+
+@_q("qa33_pr_sweep", _QA33_ORACLE)
+def qa33(spark, sf):
+    """Precision/recall/F1 threshold sweep over the REAL link-scoring
+    output (operators/evaluate.py:pr_sweep): candidates = every scored
+    link kg_links emits, gold = the rank-1 accepted mappings — the curve
+    a KG build reads to place its acceptance cutoff against the
+    north-rule P/R >= 0.95 bar.  Integer counts; P, R, and F1
+    (= 2TP/(n_pred+n_gold)) are each one terminal division; the only
+    window is over the DISTINCT score domain (decision-table-sized)."""
+    from .operators.evaluate import pr_sweep
+
+    links = kg_links(spark, sf)
+    keys = ["conv_id", "turn_idx", "begin", "end", "class_iri"]
+    gold = links.where(F.col("rank") == 1).select(*keys)
+    return pr_sweep(links, gold, keys)
+
+
+@_q(
+    "qa34_decayed_edges",
+    """
+    WITH pd AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3),
+    r AS (SELECT max(d) AS rd FROM pd),
+    wtd AS (
+      SELECT user_id, event_type, n,
+             CAST(round(exp(CAST((SELECT rd FROM r) - d AS DOUBLE)
+                            / CAST(-7 AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      FROM pd)
+    SELECT user_id, event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(n * w) AS BIGINT) AS decayed_micro
+    FROM wtd GROUP BY 1, 2
+    """,
+)
+def qa34(spark, sf):
+    """Recency-decayed edge strength over the user↔event_type graph
+    (operators/temporal.py:decayed_edge_weights): per-pair sum of
+    exp(-age_days/7), the standard recency weighting that fades stale KG
+    co-occurrence edges without a hard window.  Occurrences bucket to
+    integer epoch-days first; exp is evaluated once per distinct
+    (pair, age) row and micro-rounded (Spark↔DuckDB exp parity verified
+    over the integer-age domain); weighted sums stay integer."""
+    from .operators.temporal import decayed_edge_weights
+
+    return decayed_edge_weights(
+        _t(spark, sf, "events"), "user_id", "event_type", "ts", tau_days=7
+    )

@@ -52,3 +52,69 @@ def topk_recall(
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+def pr_sweep(
+    scored: DataFrame,
+    gold: DataFrame,
+    key_cols: list[str],
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """Precision/recall/F1 at every distinct score threshold — the curve
+    that picks a link-acceptance cutoff (the north-rule P/R >= 0.95
+    criterion is one point on it; pipeline/link_score.py's rank-1 policy
+    is another).
+
+    `scored` = candidate predictions with key columns + a bigint score;
+    `gold` = the accepted reference set (deduplicated on the keys).
+    TP marking is ONE left join on the keys; per-threshold counts come
+    from a groupBy on the score, and the cumulative "predict everything
+    >= t" totals from a window over the DISTINCT-score table ordered by
+    score desc — score-domain-sized (bucket scores first if the domain
+    is not small; here it is decision-table-sized). Counts are integers;
+    precision, recall, and F1 are each ONE terminal division — F1 uses
+    the identity F1 = 2*TP / (n_pred + n_gold), which stays a single
+    division of exact integers.
+
+    Output: (threshold_micro, n_pred, n_tp, n_gold, precision_micro,
+    recall_micro, f1_micro), one row per distinct score, descending
+    thresholds accumulate.
+    """
+    from pyspark.sql import Window
+
+    g = gold.select(*key_cols).distinct()
+    n_gold = g.count()
+    marked = scored.select(
+        F.col(score_col).alias("_s"), *[F.col(c) for c in key_cols]
+    ).join(g.withColumn("_hit", F.lit(1)), key_cols, "left")
+    per = marked.groupBy("_s").agg(
+        F.count("*").cast("long").alias("_np"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("_nt"),
+    )
+    w = Window.orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        F.col("_s").alias("threshold_micro"),
+        F.sum("_np").over(w).cast("long").alias("n_pred"),
+        F.sum("_nt").over(w).cast("long").alias("n_tp"),
+        F.lit(int(n_gold)).cast("long").alias("n_gold"),
+    )
+    return cum.select(
+        "threshold_micro",
+        "n_pred",
+        "n_tp",
+        "n_gold",
+        F.round((F.col("n_tp") * MICRO).cast("double") / F.col("n_pred"))
+        .cast("long")
+        .alias("precision_micro"),
+        F.round((F.col("n_tp") * MICRO).cast("double") / F.col("n_gold"))
+        .cast("long")
+        .alias("recall_micro"),
+        F.round(
+            (F.col("n_tp") * 2 * MICRO).cast("double")
+            / (F.col("n_pred") + F.col("n_gold"))
+        )
+        .cast("long")
+        .alias("f1_micro"),
+    )

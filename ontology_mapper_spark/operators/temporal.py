@@ -175,3 +175,68 @@ def ewma_bursts(
         F.col("s")["e"].alias("ewma_s"),
         F.col("s")["burst"].alias("is_burst"),
     )
+
+
+def decayed_edge_weights(
+    df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    ts_col: str = "ts",
+    tau_days: int = 7,
+) -> DataFrame:
+    """Recency-decayed edge strength: for every (src, dst) pair, the sum
+    over its occurrences of exp(-age/tau), age in whole days behind the
+    corpus' newest event — the standard recency weighting a KG applies to
+    co-occurrence edges so stale associations fade without a hard window
+    (half-life ≈ tau*ln2 days).
+
+    Exactness: occurrences are bucketed to integer epoch-days FIRST
+    (unix_micros // 86.4e9 — the contract.py epoch-micro idiom), counts
+    per (src, dst, age) are exact integers, and exp is evaluated ONCE per
+    distinct (src, dst, age) row on the same double input in any engine,
+    micro-rounded before the integer weighted sum.  The reference day
+    (max day) is one scalar aggregate.
+
+    Scale: one shuffle keyed by (src, dst, day) for the counting agg,
+    one map-side-combinable rollup to (src, dst); the age domain is tiny
+    so the exp evaluation adds nothing.  No collect beyond the 1-row max.
+
+    Output: (src, dst, n_events, decayed_micro).
+    """
+    day = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("_d")
+    )
+    per_day = (
+        df.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"), day)
+        .groupBy("_s", "_t", "_d")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    ref_day = int(per_day.agg(F.max("_d").alias("m")).collect()[0]["m"])
+    weighted = per_day.select(
+        "_s",
+        "_t",
+        "_n",
+        F.round(
+            F.exp(
+                (F.lit(ref_day) - F.col("_d")).cast("double")
+                / F.lit(float(-tau_days))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("_w"),
+    )
+    return weighted.groupBy("_s", "_t").agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        F.sum(F.col("_n") * F.col("_w")).cast("long").alias("decayed_micro"),
+    ).select(
+        F.col("_s").alias(src_col),
+        F.col("_t").alias(dst_col),
+        "n_events",
+        "decayed_micro",
+    )

@@ -156,3 +156,43 @@ def test_assortativity_perfect_positive(spark):
     out = assortativity_moments(edges).collect()[0]
     assert out["n_edges"] == 5
     assert out["r_micro"] == 1_000_000
+
+
+def test_pr_sweep_perfect_at_gold_threshold(spark):
+    from ontology_mapper_spark.operators.evaluate import pr_sweep
+
+    scored = spark.createDataFrame(
+        [("a", 900), ("b", 900), ("c", 500), ("d", 500)], ["k", "score_micro"]
+    )
+    gold = spark.createDataFrame([("a",), ("b",)], ["k"])
+    out = {r["threshold_micro"]: r for r in pr_sweep(scored, gold, ["k"]).collect()}
+    # at the top threshold: both predictions are gold -> P = R = F1 = 1
+    assert out[900]["precision_micro"] == 1_000_000
+    assert out[900]["recall_micro"] == 1_000_000
+    assert out[900]["f1_micro"] == 1_000_000
+    # at the bottom threshold: 4 predicted, 2 gold -> P = 0.5, R = 1
+    assert out[500]["precision_micro"] == 500_000
+    assert out[500]["recall_micro"] == 1_000_000
+    assert out[500]["f1_micro"] == round(2 * 2 / (4 + 2) * 1e6)
+
+
+def test_decayed_edges_monotone_in_recency(spark):
+    import datetime
+
+    from ontology_mapper_spark.operators.temporal import decayed_edge_weights
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u", "old", t0),
+        ("u", "new", t0 + datetime.timedelta(days=14)),
+        ("u", "new", t0 + datetime.timedelta(days=14, hours=3)),
+    ]
+    df = spark.createDataFrame(rows, ["src", "dst", "ts"])
+    out = {r["dst"]: r for r in decayed_edge_weights(df, "src", "dst").collect()}
+    # newest day has age 0 -> weight exactly 1.0 per event
+    assert out["new"]["decayed_micro"] == 2_000_000
+    assert out["new"]["n_events"] == 2
+    # 14 days old at tau=7 -> e^-2 per event
+    import math
+
+    assert out["old"]["decayed_micro"] == round(math.exp(-2) * 1e6)
