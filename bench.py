@@ -103,6 +103,8 @@ EXTENDED = [
     "qa32_centroid_drift",
     "qa33_pr_sweep",
     "qa34_decayed_edges",
+    "qa35_ontology_coverage",
+    "qa36_vocabulary_gaps",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

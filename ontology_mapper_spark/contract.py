@@ -5627,3 +5627,71 @@ def qa34(spark, sf):
     return decayed_edge_weights(
         _t(spark, sf, "events"), "user_id", "event_type", "ts", tau_days=7
     )
+
+
+@_q(
+    "qa35_ontology_coverage",
+    f"""
+    WITH {_kgf.DETECT_CTES},
+    {_kgf.decision_values_sql()},
+    links AS (
+      SELECT c.doc_id, d.pattern, d.ontology
+      FROM cand c JOIN dec d ON c.span = d.pattern WHERE d.rank = 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM links)
+    SELECT ontology,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT pattern) AS BIGINT) AS n_patterns,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(round(CAST(count(*) * 1000000 AS DOUBLE)
+                      / (SELECT n FROM tot)) AS BIGINT) AS share_micro
+    FROM links GROUP BY 1
+    """,
+)
+def qa35(spark, sf):
+    """Per-ontology mention-coverage report over the REAL detect+link
+    path — the distributed analogue of the reference's JSON mapping
+    report (core/generator.py:328-338): accepted (rank-1) mentions,
+    distinct matched patterns, distinct documents, and each ontology's
+    share of all mentions.  One groupBy over the link output; the total
+    is a single scalar aggregate."""
+    links = _kg_fixture_links(spark, sf).where(F.col("rank") == 1)
+    total = links.count()
+    return links.groupBy("ontology").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("pattern").cast("long").alias("n_patterns"),
+        F.countDistinct("conv_id").cast("long").alias("n_docs"),
+        F.round((F.count("*") * 1_000_000).cast("double") / F.lit(int(total)))
+        .cast("long")
+        .alias("share_micro"),
+    )
+
+
+@_q(
+    "qa36_vocabulary_gaps",
+    f"""
+    WITH {_kgf.DETECT_CTES},
+    {_kgf.decision_values_sql()},
+    unmatched AS (
+      SELECT c.span
+      FROM cand c LEFT JOIN (SELECT DISTINCT pattern FROM dec) d
+        ON c.span = d.pattern
+      WHERE d.pattern IS NULL),
+    cnt AS (SELECT span, CAST(count(*) AS BIGINT) AS n
+            FROM unmatched GROUP BY 1)
+    SELECT span, n FROM cnt ORDER BY n DESC, span LIMIT 50
+    """,
+)
+def qa36(spark, sf):
+    """Ontology gap mining (operators/textstats.py:ngram_gap_candidates):
+    the 50 most frequent unigram/bigram spans the dictionary CANNOT match
+    — the curation queue for growing the term set, replacing the
+    reference's per-term interactive additions (cli/interface.py:361-366)
+    with one corpus-wide pass.  Broadcast anti-join against the pattern
+    dictionary; top-k via TakeOrdered."""
+    from .operators.textstats import ngram_gap_candidates
+
+    d = _t(spark, sf, "documents")
+    pats = spark.createDataFrame(
+        sorted({(r["pattern"],) for r in _kgf.decision_rows()}), ["pattern"]
+    )
+    return ngram_gap_candidates(d, pats, n_top=50)

@@ -439,3 +439,58 @@ def oov_stats(
         F.round((F.col("n_oov") * 1_000_000).cast("double") / F.col("n_tokens"))
         .cast("long"),
     )
+
+
+def ngram_gap_candidates(
+    docs: DataFrame,
+    patterns: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_top: int = 50,
+) -> DataFrame:
+    """Ontology gap mining: the unigram/bigram spans the mention detector
+    CANNOT match (no dictionary pattern), ranked by corpus frequency —
+    the curation queue for growing the term dictionary (the reference
+    grows its dictionary by hand per missed term via the interactive
+    loop, cli/interface.py:361-366; this is that queue computed corpus-
+    wide in one pass).
+
+    `patterns` = one string column `pattern` (the detector's surface
+    forms, dictionary-sized, broadcast).  Candidate spans mirror the
+    detector's span universe (whitespace unigrams + adjacent bigrams);
+    the anti-join is broadcast, the count one map-side-combined groupBy,
+    and the top-N an orderBy+limit (TakeOrdered — distributed top-k, no
+    global sort).
+
+    Output: (span, n) — the N most frequent unmatched spans, ties broken
+    by span.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "_w"),
+    )
+    w2 = Window.partitionBy("_id").orderBy("_i")
+    grams = (
+        words.withColumn("_nxt", F.lead("_w").over(w2))
+        .select(
+            F.explode(
+                F.array(
+                    F.col("_w"),
+                    F.when(
+                        F.col("_nxt").isNotNull(),
+                        F.concat_ws(" ", "_w", "_nxt"),
+                    ),
+                )
+            ).alias("span")
+        )
+        .where(F.col("span").isNotNull())
+    )
+    unmatched = grams.join(
+        F.broadcast(patterns.select(F.col("pattern").alias("span")).distinct()),
+        "span",
+        "left_anti",
+    )
+    cnt = unmatched.groupBy("span").agg(F.count("*").cast("long").alias("n"))
+    return cnt.orderBy(F.desc("n"), "span").limit(int(n_top))

@@ -196,3 +196,17 @@ def test_decayed_edges_monotone_in_recency(spark):
     import math
 
     assert out["old"]["decayed_micro"] == round(math.exp(-2) * 1e6)
+
+
+def test_gap_candidates_exclude_dictionary(spark):
+    from ontology_mapper_spark.operators.textstats import ngram_gap_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "hash join beats loop join"), (2, "loop join again")],
+        ["doc_id", "text"],
+    )
+    pats = spark.createDataFrame([("hash join",), ("join",)], ["pattern"])
+    out = {r["span"]: r["n"] for r in ngram_gap_candidates(docs, pats).collect()}
+    assert "hash join" not in out and "join" not in out
+    assert out["loop join"] == 2  # bigram counted across docs
+    assert out["loop"] == 2 and out["beats"] == 1
