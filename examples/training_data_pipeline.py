@@ -16,10 +16,14 @@ would chain them at 100 TB:
      all-pairs);
   5. per-language length-percentile trim (exact rank rule, deterministic
      under any partitioning);
-  6. deterministic hash split into train/valid/test.
+  6. corpus-model monitors: Naive Bayes source-separability accuracy
+     (a source whose docs stop classifying as themselves has drifted or
+     been contaminated) and DSIR target-domain importance weights
+     carried as a column for downstream sampling;
+  7. deterministic hash split into train/valid/test.
 
 Every operator used here is individually DuckDB-oracled (q25/q26/q64/q63/
-q59/q66/q67/q68/q62); this example shows the composition.
+q59/q66/q67/q68/q62/qa25/qa26); this example shows the composition.
 
     python examples/training_data_pipeline.py [sf_dir] [out_dir]
 """
@@ -127,17 +131,41 @@ def main() -> int:
     trimmed = percentile_trim(clean, "n_chars", by="lang", lower=0.1, upper=0.9)
     n5 = trimmed.count()
 
-    # 6. deterministic split — stable under any partitioning / engine
+    # 6. corpus-model monitors: NB self-classification accuracy per
+    # source (separability drift) + DSIR weights kept for sampling
+    from ontology_mapper_spark.operators.classify import (
+        dsir_weights,
+        nb_label_scores,
+    )
+
+    nb = nb_label_scores(trimmed, "source", "text", "doc_id")
+    nb_acc = {
+        r["source"]: r["acc"]
+        for r in nb.groupBy("source")
+        .agg(F.avg(F.col("correct").cast("double")).alias("acc"))
+        .collect()
+    }
+    target = min(nb_acc)  # deterministic example target domain
+    dsir = dsir_weights(
+        trimmed, target_label=target, label_col="source",
+        text_col="text", id_col="doc_id",
+    ).select("doc_id", "weight_micro")
+    trimmed = trimmed.join(dsir, "doc_id", "left")
+
+    # 7. deterministic split — stable under any partitioning / engine
     final = train_test_split(trimmed, "doc_id")
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
     stats = {r["split"]: r["n"] for r in
              final.groupBy("split").agg(F.count("*").alias("n")).collect()}
 
     worst_leak = max(leakage.values()) if leakage else 0
+    worst_acc = min(nb_acc.values()) if nb_acc else 1.0
     print(
         f"docs {n0} (worst source leak {worst_leak/1e4:.1f}%) "
         f"-> exact-dedup {n1} -> near-dup {n2} -> quality {n3} "
-        f"-> decontaminated {n4} -> length-trimmed {n5}; "
+        f"-> decontaminated {n4} -> length-trimmed {n5} "
+        f"(NB separability: worst source {worst_acc:.2f}, "
+        f"DSIR target {target}); "
         f"splits {stats}; wrote {out_dir}"
     )
     return 0
