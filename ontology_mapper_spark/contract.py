@@ -5695,3 +5695,40 @@ def qa36(spark, sf):
         sorted({(r["pattern"],) for r in _kgf.decision_rows()}), ["pattern"]
     )
     return ngram_gap_candidates(d, pats, n_top=50)
+
+
+_QA37_ORACLE = f"""
+    WITH cand_p AS (
+      SELECT DISTINCT id_a, id_b FROM ({ORACLES["q26_minhash_lsh_pairs"]}) tc),
+    truth_p AS (
+      SELECT DISTINCT id_a, id_b FROM ({ORACLES["q27_ngram_jaccard"]}) tt),
+    j AS (
+      SELECT CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS fc,
+             CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END AS ft
+      FROM cand_p c FULL OUTER JOIN truth_p t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b)
+    SELECT CAST(sum(ft) AS BIGINT) AS n_truth,
+           CAST(sum(fc) AS BIGINT) AS n_cand,
+           CAST(sum(fc * ft) AS BIGINT) AS n_hit,
+           CAST(round(CAST(sum(fc * ft) * 1000000 AS DOUBLE) / sum(ft))
+                AS BIGINT) AS recall_micro,
+           CAST(round(CAST(sum(fc * ft) * 1000000 AS DOUBLE) / sum(fc))
+                AS BIGINT) AS precision_micro
+    FROM j
+    """
+
+
+@_q("qa37_lsh_pair_metrics", _QA37_ORACLE)
+def qa37(spark, sf):
+    """Dedup-index tuning metrics (operators/evaluate.py:pair_set_metrics):
+    recall AND candidate precision of q26's MinHash-LSH banded pairs
+    against q27's exact n-gram-Jaccard >= 0.10 ground truth — the two
+    numbers that size bands/rows-per-band before a 100 TB dedup run
+    ("measure, don't guess" as a first-class op; the q29/q30 analogue
+    for pair generation).  One full-outer join + one aggregate; the
+    oracle composes the two already-exact oracles verbatim."""
+    from .operators.evaluate import pair_set_metrics
+
+    return pair_set_metrics(
+        q26(spark, sf), q27(spark, sf), ["id_a", "id_b"]
+    )

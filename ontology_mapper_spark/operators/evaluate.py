@@ -118,3 +118,43 @@ def pr_sweep(
         .cast("long")
         .alias("f1_micro"),
     )
+
+
+def pair_set_metrics(
+    cand: DataFrame,
+    truth: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Candidate-set recall AND precision against a ground-truth pair set
+    — the two numbers that tune an LSH banding scheme (more bands/tables
+    raise recall, fewer raise precision; Leskovec et al. ch.3). Works
+    for any keyed sets, not just pairs.
+
+    ONE full-outer join on the keys, one global aggregate; recall and
+    precision are each a single terminal division of exact counts.
+
+    Output: one row (n_truth, n_cand, n_hit, recall_micro,
+    precision_micro).
+    """
+    c = cand.select(*key_cols).distinct().withColumn("_fc", F.lit(1))
+    t = truth.select(*key_cols).distinct().withColumn("_ft", F.lit(1))
+    j = c.join(t, key_cols, "full").select(
+        F.coalesce(F.col("_fc"), F.lit(0)).alias("_fc"),
+        F.coalesce(F.col("_ft"), F.lit(0)).alias("_ft"),
+    )
+    agg = j.agg(
+        F.sum("_ft").cast("long").alias("n_truth"),
+        F.sum("_fc").cast("long").alias("n_cand"),
+        F.sum(F.col("_fc") * F.col("_ft")).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.round((F.col("n_hit") * MICRO).cast("double") / F.col("n_truth"))
+        .cast("long")
+        .alias("recall_micro"),
+        F.round((F.col("n_hit") * MICRO).cast("double") / F.col("n_cand"))
+        .cast("long")
+        .alias("precision_micro"),
+    )
