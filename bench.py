@@ -105,6 +105,7 @@ EXTENDED = [
     "qa34_decayed_edges",
     "qa35_ontology_coverage",
     "qa36_vocabulary_gaps",
+    "qa37_lsh_pair_metrics",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

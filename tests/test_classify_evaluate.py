@@ -210,3 +210,14 @@ def test_gap_candidates_exclude_dictionary(spark):
     assert "hash join" not in out and "join" not in out
     assert out["loop join"] == 2  # bigram counted across docs
     assert out["loop"] == 2 and out["beats"] == 1
+
+
+def test_pair_set_metrics_counts(spark):
+    from ontology_mapper_spark.operators.evaluate import pair_set_metrics
+
+    cand = spark.createDataFrame([(1, 2), (1, 3), (4, 5)], ["id_a", "id_b"])
+    truth = spark.createDataFrame([(1, 2), (4, 5), (6, 7)], ["id_a", "id_b"])
+    out = pair_set_metrics(cand, truth, ["id_a", "id_b"]).collect()[0]
+    assert (out["n_truth"], out["n_cand"], out["n_hit"]) == (3, 3, 2)
+    assert out["recall_micro"] == round(2 / 3 * 1e6)
+    assert out["precision_micro"] == round(2 / 3 * 1e6)
