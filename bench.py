@@ -106,6 +106,8 @@ EXTENDED = [
     "qa35_ontology_coverage",
     "qa36_vocabulary_gaps",
     "qa37_lsh_pair_metrics",
+    "qa38_wilson_defects",
+    "qa39_split_balance",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -5732,3 +5732,97 @@ def qa37(spark, sf):
     return pair_set_metrics(
         q26(spark, sf), q27(spark, sf), ["id_a", "id_b"]
     )
+
+
+_QA38_ORACLE = f"""
+    WITH qscore AS (SELECT * FROM ({ORACLES["q59_quality_score"]}) tq),
+    flags AS (
+      SELECT doc.source,
+             CASE WHEN q.quality_milli < 60000 THEN 1 ELSE 0 END AS defect
+      FROM qscore q JOIN documents doc ON q.doc_id = doc.doc_id),
+    per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(defect) AS BIGINT) AS k
+            FROM flags GROUP BY 1)
+    SELECT source, n, k,
+           CAST(round(CAST(k * 1000000 AS DOUBLE) / n) AS BIGINT)
+             AS rate_micro,
+           CAST(round((CAST(k + 2 AS DOUBLE)
+                       - 2 * sqrt(CAST(k * (n - k) AS DOUBLE)
+                                  / CAST(n AS DOUBLE) + 1))
+                      * 1000000 / CAST(n + 4 AS DOUBLE)) AS BIGINT)
+             AS wilson_lo_micro,
+           CAST(round((CAST(k + 2 AS DOUBLE)
+                       + 2 * sqrt(CAST(k * (n - k) AS DOUBLE)
+                                  / CAST(n AS DOUBLE) + 1))
+                      * 1000000 / CAST(n + 4 AS DOUBLE)) AS BIGINT)
+             AS wilson_hi_micro
+    FROM per
+    """
+
+
+@_q("qa38_wilson_defects", _QA38_ORACLE)
+def qa38(spark, sf):
+    """Per-source low-quality rate with Wilson score bounds (z=2)
+    (operators/stats.py:wilson_bounds) — the monitor that flags a source
+    only when its LOWER bound clears the bar, separating real defect
+    spikes from small-sample noise.  Defect = q59 composite quality
+    < 60 points; the bound is one deterministic double expression over
+    exact integer (n, k); oracle composes the q59 oracle verbatim."""
+    from .operators.stats import wilson_bounds
+    from .operators.textstats import with_quality_score
+
+    d = _t(spark, sf, "documents")
+    flagged = with_quality_score(d, "text").select(
+        "source",
+        (F.round(F.col("quality_score") * 1000).cast("long") < 60000).alias(
+            "defect"
+        ),
+    )
+    return wilson_bounds(flagged, "source", "defect")
+
+
+@_q(
+    "qa39_split_balance",
+    """
+    WITH cell AS (
+      SELECT CASE
+               WHEN substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'cccccccd' THEN 'train'
+               WHEN substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'valid'
+               ELSE 'test'
+             END AS split,
+             source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2),
+    r AS (SELECT split, CAST(sum(o) AS BIGINT) AS rr FROM cell GROUP BY 1),
+    c AS (SELECT source, CAST(sum(o) AS BIGINT) AS cc FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+    term AS (
+      SELECT CAST(round(CAST(cell.o * t.n - r.rr * c.cc AS DOUBLE)
+                        * CAST(cell.o * t.n - r.rr * c.cc AS DOUBLE)
+                        * 1000000
+                        / (CAST(t.n AS DOUBLE)
+                           * CAST(r.rr * c.cc AS DOUBLE))) AS BIGINT) AS t_m
+      FROM cell JOIN r USING (split) JOIN c USING (source) CROSS JOIN tot t)
+    SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows_cat,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols_cat,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(((SELECT count(*) FROM r) - 1)
+                * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+           CAST(sum(t_m) AS BIGINT) AS chi2_micro
+    FROM term
+    """,
+)
+def qa39(spark, sf):
+    """Chi-square independence of (split x source)
+    (operators/stats.py:chi2_contingency) — validates that the
+    deterministic hash split (q62) is balanced across sources; the
+    categorical companion to ks_drift.  Exact integer contingency/
+    marginals; each cell's (O*N - R*C)^2/(N*R*C) term is one double
+    expression micro-rounded BEFORE the integer sum (no double
+    accumulation)."""
+    from .operators.split import train_test_split
+    from .operators.stats import chi2_contingency
+
+    d = train_test_split(_t(spark, sf, "documents"), "doc_id")
+    return chi2_contingency(d, "split", "source")

@@ -439,3 +439,94 @@ def assortativity_moments(
             F.round(num * MICRO / (F.sqrt(vx) * F.sqrt(vy))).cast("long"),
         ).alias("r_micro"),
     )
+
+
+def wilson_bounds(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Per-group defect rate with a Wilson score 95%-ish interval (z = 2,
+    so every constant stays integer): the monitor that separates "this
+    source's failure rate looks high" from "this source is small" —
+    flag a source only when its LOWER bound clears the corpus rate.
+
+    With k defects of n: lo,hi = ((k+2) ∓ 2*sqrt(k*(n-k)/n + 1))/(n+4).
+    k(n-k) and n are exact bigints; the bound is ONE deterministic
+    double expression over them (div, +1, sqrt, mul, sub/add, div —
+    identical IEEE chain in any engine), micro-rounded.
+
+    Output: (group, n, k, rate_micro, wilson_lo_micro, wilson_hi_micro).
+    """
+    per = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("k"),
+    )
+    half = 2 * F.sqrt(
+        (F.col("k") * (F.col("n") - F.col("k"))).cast("double")
+        / F.col("n").cast("double")
+        + 1
+    )
+    center = (F.col("k") + 2).cast("double")
+    denom = (F.col("n") + 4).cast("double")
+    return per.select(
+        group_col,
+        "n",
+        "k",
+        F.round((F.col("k") * MICRO).cast("double") / F.col("n"))
+        .cast("long")
+        .alias("rate_micro"),
+        F.round((center - half) * MICRO / denom).cast("long")
+        .alias("wilson_lo_micro"),
+        F.round((center + half) * MICRO / denom).cast("long")
+        .alias("wilson_hi_micro"),
+    )
+
+
+def chi2_contingency(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square independence statistic over the (row, col) contingency
+    table — the "is my split balanced across sources?" validator for
+    deterministic hash splits (operators/split.py), and generally the
+    categorical-drift test companion to ks_drift (numeric).
+
+    chi2 = sum_cells (O*N - R*C)^2 / (N*R*C).  O, R, C, N are exact
+    integer counts from three aggregates; each cell's term is computed
+    in ONE deterministic double expression and micro-rounded BEFORE the
+    final integer sum (never a double accumulation).  (O*N - R*C) stays
+    within bigint while N^2 * max(O) < 2^63 — beyond that pre-aggregate
+    to rate buckets.
+
+    Output: one row (n_rows_cat, n_cols_cat, n_cells, dof, chi2_micro).
+    """
+    cell = df.groupBy(row_col, col_col).agg(
+        F.count("*").cast("long").alias("_o")
+    )
+    rows = cell.groupBy(row_col).agg(F.sum("_o").cast("long").alias("_r"))
+    cols = cell.groupBy(col_col).agg(F.sum("_o").cast("long").alias("_c"))
+    n = int(cell.agg(F.sum("_o").alias("n")).collect()[0]["n"] or 0)
+    dev = (F.col("_o") * F.lit(n) - F.col("_r") * F.col("_c")).cast("double")
+    term = (
+        cell.join(rows, row_col)
+        .join(F.broadcast(cols), col_col)
+        .select(
+            F.round(
+                dev * dev * MICRO
+                / (F.lit(float(n)) * (F.col("_r") * F.col("_c")).cast("double"))
+            )
+            .cast("long")
+            .alias("_t")
+        )
+    )
+    nr = rows.count()
+    nc = cols.count()
+    return term.agg(
+        F.lit(int(nr)).cast("long").alias("n_rows_cat"),
+        F.lit(int(nc)).cast("long").alias("n_cols_cat"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.lit(int((nr - 1) * (nc - 1))).cast("long").alias("dof"),
+        F.sum("_t").cast("long").alias("chi2_micro"),
+    )

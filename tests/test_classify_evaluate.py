@@ -221,3 +221,36 @@ def test_pair_set_metrics_counts(spark):
     assert (out["n_truth"], out["n_cand"], out["n_hit"]) == (3, 3, 2)
     assert out["recall_micro"] == round(2 / 3 * 1e6)
     assert out["precision_micro"] == round(2 / 3 * 1e6)
+
+
+def test_wilson_bounds_bracket_rate(spark):
+    from ontology_mapper_spark.operators.stats import wilson_bounds
+
+    rows = [("big", i < 30) for i in range(300)] + [("small", i < 1) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "defect"])
+    out = {r["g"]: r for r in wilson_bounds(df, "g", "defect").collect()}
+    for r in out.values():
+        assert r["wilson_lo_micro"] <= r["rate_micro"] <= r["wilson_hi_micro"]
+    # same observed rate, but the small group's interval must be wider
+    big = out["big"]; small = out["small"]
+    assert big["rate_micro"] == small["rate_micro"] == 100_000
+    assert (small["wilson_hi_micro"] - small["wilson_lo_micro"]) > (
+        big["wilson_hi_micro"] - big["wilson_lo_micro"]
+    )
+
+
+def test_chi2_zero_for_independent_table(spark):
+    from ontology_mapper_spark.operators.stats import chi2_contingency
+
+    # perfectly proportional table -> every cell term is exactly 0
+    rows = []
+    for s, mult in (("train", 8), ("test", 2)):
+        rows += [(s, "a")] * (10 * mult) + [(s, "b")] * (5 * mult)
+    df = spark.createDataFrame(rows, ["split", "src"])
+    out = chi2_contingency(df, "split", "src").collect()[0]
+    assert out["chi2_micro"] == 0
+    assert out["dof"] == 1
+    skewed = spark.createDataFrame(
+        [("train", "a")] * 20 + [("test", "b")] * 20, ["split", "src"]
+    )
+    assert chi2_contingency(skewed, "split", "src").collect()[0]["chi2_micro"] > 0
