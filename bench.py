@@ -108,6 +108,7 @@ EXTENDED = [
     "qa37_lsh_pair_metrics",
     "qa38_wilson_defects",
     "qa39_split_balance",
+    "qa40_cluster_profile",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

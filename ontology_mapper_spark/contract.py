@@ -5826,3 +5826,30 @@ def qa39(spark, sf):
 
     d = train_test_split(_t(spark, sf, "documents"), "doc_id")
     return chi2_contingency(d, "split", "source")
+
+
+_QA40_ORACLE = f"""
+    WITH comp AS (SELECT * FROM ({_q64_oracle_sql()}) t64),
+    assign AS (
+      SELECT coalesce(c.cluster_rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    sizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz
+              FROM assign GROUP BY 1)
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """
+
+
+@_q("qa40_cluster_profile", _QA40_ORACLE)
+def qa40(spark, sf):
+    """Near-dup family size histogram over the full corpus
+    (operators/dedup.py:cluster_size_profile): q64's transitive clusters
+    plus size-1 singletons for unpaired docs — long-tail-of-pairs vs
+    giant-template-families, the dedup outcome report.  Oracle composes
+    the q64 WITH RECURSIVE closure verbatim."""
+    from .operators.dedup import cluster_size_profile
+
+    d = _t(spark, sf, "documents")
+    return cluster_size_profile(q64(spark, sf), d)

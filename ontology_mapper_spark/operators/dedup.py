@@ -925,3 +925,40 @@ def cross_source_leakage(
         F.round((F.col("n_leaked") * 1_000_000).cast("double") / F.col("n_docs"))
         .cast("long"),
     )
+
+
+def cluster_size_profile(
+    assignments: DataFrame,
+    universe: DataFrame,
+    id_col: str = "doc_id",
+    rep_col: str = "cluster_rep",
+) -> DataFrame:
+    """Near-dup family size histogram: how many clusters of each size the
+    corpus contains and how much document mass sits in them — the
+    one-table answer to "is my dedup removing a long tail of pairs or a
+    few giant template families?" (the number that decides whether
+    representatives need re-sampling before training).
+
+    `assignments` = (id, rep) rows from dedup_clusters (docs that appear
+    in at least one candidate pair); `universe` = every doc id.  Docs
+    without an assignment are size-1 singleton clusters (rep = self) via
+    one left join.  Two map-side-combinable groupBys; output is
+    size-domain-sized.
+
+    Output: (cluster_size, n_clusters, n_docs).
+    """
+    assign = (
+        universe.select(F.col(id_col))
+        .join(assignments.select(id_col, rep_col), id_col, "left")
+        .select(
+            F.coalesce(F.col(rep_col), F.col(id_col)).alias("_rep"),
+        )
+    )
+    sizes = assign.groupBy("_rep").agg(F.count("*").cast("long").alias("_sz"))
+    return (
+        sizes.groupBy(F.col("_sz").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("_sz").cast("long").alias("n_docs"),
+        )
+    )

@@ -254,3 +254,18 @@ def test_chi2_zero_for_independent_table(spark):
         [("train", "a")] * 20 + [("test", "b")] * 20, ["split", "src"]
     )
     assert chi2_contingency(skewed, "split", "src").collect()[0]["chi2_micro"] > 0
+
+
+def test_cluster_size_profile_with_singletons(spark):
+    from ontology_mapper_spark.operators.dedup import cluster_size_profile
+
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["doc_id", "cluster_rep"]
+    )
+    universe = spark.createDataFrame([(i,) for i in range(1, 11)], ["doc_id"])
+    out = {r["cluster_size"]: r for r in
+           cluster_size_profile(assignments, universe).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 5 and out[1]["n_docs"] == 5  # 4,5,6,9,10
+    assert sum(r["n_docs"] for r in out.values()) == 10
