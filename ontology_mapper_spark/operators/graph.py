@@ -402,11 +402,53 @@ def link_prediction_scores(
     )
 
 
+def _closure_local(
+    rows: list,
+    spark,
+    max_depth: int,
+    node_type,
+) -> DataFrame:
+    """Driver-local min-depth closure by per-node BFS over the parent
+    adjacency — bit-parity with the distributed doubling loop (BFS level
+    IS the shortest path; self-pairs excluded exactly as the loop's
+    node != ancestor filter drops them every round; 2*max_depth mirrors
+    the loop's final doubling bound)."""
+    from collections import defaultdict, deque
+
+    adj: dict = defaultdict(list)
+    for child, parent in rows:
+        adj[child].append(parent)
+    out = []
+    for start in adj:
+        seen = {start}
+        dq = deque([(start, 0)])
+        while dq:
+            node, d = dq.popleft()
+            if d >= 2 * max_depth:
+                continue
+            for p in adj.get(node, ()):
+                if p not in seen:
+                    seen.add(p)
+                    out.append((start, p, d + 1))
+                    dq.append((p, d + 1))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("ancestor", node_type, False),
+            T.StructField("depth", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def transitive_closure(
     edges: DataFrame,
     child_col: str = "child",
     parent_col: str = "parent",
     max_depth: int = 64,
+    local_threshold: int = 250_000,
 ) -> DataFrame:
     """All (node, ancestor, depth) pairs of a DAG by iterative doubling —
     the rdfs:subClassOf / skos:broader closure a KG materializes so
@@ -429,16 +471,35 @@ def transitive_closure(
     pair set stops growing, so cyclic SCCs converge to their finite
     pair set with min depths, and `max_depth` bounds pathological
     inputs either way.
+
+    Small-graph fast path (same contract as canonical_mapping's
+    local_threshold): when the deduped edge set fits the driver
+    (<= `local_threshold` rows), the multi-round pinned loop's fixed
+    per-round job cost dwarfs the actual work, so the closure is built
+    by driver-local BFS (bit-parity pinned by
+    tests/test_closure_local.py) — O(edges) memory for the adjacency;
+    output is O(V x avg-ancestor-set), fine for depth-bounded ontology
+    DAGs (pass local_threshold=0 for dense pathological graphs). The
+    distributed loop remains the >threshold path unchanged.
     """
-    c = (
+    base = (
         edges.select(
             F.col(child_col).alias("node"), F.col(parent_col).alias("ancestor")
         )
         .where(F.col("node") != F.col("ancestor"))
         .distinct()
-        .withColumn("depth", F.lit(1).cast("long"))
     )
-    c = _pin(c)
+    if local_threshold:
+        n_edges = base.count()
+        if n_edges <= local_threshold:
+            rows = [(r["node"], r["ancestor"]) for r in base.collect()]
+            return _closure_local(
+                rows,
+                edges.sparkSession,
+                max_depth,
+                base.schema["node"].dataType,
+            )
+    c = _pin(base.withColumn("depth", F.lit(1).cast("long")))
     n = c.count()
     depth_reached = 1
     while depth_reached < max_depth:
