@@ -5853,3 +5853,262 @@ def qa40(spark, sf):
 
     d = _t(spark, sf, "documents")
     return cluster_size_profile(q64(spark, sf), d)
+
+
+@_q(
+    "qa41_cdc_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders),
+    chg AS (
+      SELECT k, 'UPD1' AS st, pc + 111 AS pc, 1 AS seq, 'U' AS op
+      FROM base
+      WHERE substr(md5('cdc1|' || CAST(k AS VARCHAR)), 1, 1) < '8'
+      UNION ALL
+      SELECT k, 'UPD2', pc + 222, 2, 'U'
+      FROM base
+      WHERE substr(md5('cdc2|' || CAST(k AS VARCHAR)), 1, 1) < '6'
+      UNION ALL
+      SELECT k, st, pc, 3, 'D'
+      FROM base
+      WHERE substr(md5('cdc3|' || CAST(k AS VARCHAR)), 1, 1) < '3'),
+    merged AS (
+      SELECT k, st, pc, -1 AS seq, 'B' AS op FROM base
+      UNION ALL SELECT k, st, pc, seq, op FROM chg),
+    latest AS (
+      SELECT k, st, pc, op,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM merged)
+    SELECT k AS o_orderkey, st AS o_orderstatus, CAST(pc AS BIGINT) AS price_cents
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def qa41(spark, sf):
+    """CDC changelog apply / MERGE INTO (operators/cdc.py:apply_changes):
+    base snapshot + I/U/D changelog -> next snapshot via ONE window
+    (union, row_number by seq desc, drop winning deletes) — no join,
+    one hash shuffle on the key; the lakehouse upsert re-expressed for
+    plain parquet.  Changelog is md5-derived from orders in BOTH
+    engines (the q62/qa19 deterministic-derivation idiom); money as
+    integer cents so every payload survives hashing bit-exact."""
+    from .operators.cdc import apply_changes
+
+    o = _t(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+    def _nib(tag):
+        return F.substring(
+            F.md5(F.concat(F.lit(tag + "|"), F.col("o_orderkey").cast("string"))),
+            1,
+            1,
+        )
+
+    chg1 = base.where(_nib("cdc1") < "8").select(
+        "o_orderkey",
+        F.lit("UPD1").alias("o_orderstatus"),
+        (F.col("price_cents") + 111).alias("price_cents"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    chg2 = base.where(_nib("cdc2") < "6").select(
+        "o_orderkey",
+        F.lit("UPD2").alias("o_orderstatus"),
+        (F.col("price_cents") + 222).alias("price_cents"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    chg3 = base.where(_nib("cdc3") < "3").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_cents",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    changes = chg1.unionByName(chg2).unionByName(chg3)
+    return apply_changes(
+        base, changes, key_cols=["o_orderkey"], seq_col="seq", op_col="op"
+    )
+
+
+@_q(
+    "qa42_prefix_jaccard",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           CAST(round(n_common / (sa.n + sb.n - n_common) * 1e6) AS BIGINT)
+             AS jaccard_micro
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1000000 >= 600000 * (sa.n + sb.n - n_common)
+    """,
+)
+def qa42(spark, sf):
+    """EXACT set-similarity join via prefix filtering
+    (operators/setjoin.py:prefix_jaccard_pairs — AllPairs/PPJoin): all
+    pairs with token Jaccard >= 0.6, zero false negatives, candidates
+    bounded by rarest-token prefixes (the deterministic complement to
+    q26's probabilistic MinHash-LSH).  Oracle is the brute-force
+    all-pairs join — prefix filtering is lossless, so the outputs are
+    set-identical; threshold compared on integers in both engines."""
+    from .operators.setjoin import prefix_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return prefix_jaccard_pairs(d, "text", "doc_id", threshold=0.6)
+
+
+def _qa43_oracle_sql() -> str:
+    """Mirror of operators/layout.py: 16-bit grid cells per dim, Morton
+    interleave (dim d bit i -> position i*2+d), 8-bit bucket, per-bucket
+    min/max/width stats — all integer arithmetic, generated as explicit
+    shift/mask terms exactly like the Spark side builds its Columns."""
+    zb, nd = 16, 2
+    terms = []
+    for d, cell in enumerate(("ca", "cb")):
+        for i in range(zb):
+            terms.append(f"((({cell} >> {i}) & 1) << {i * nd + d})")
+    zkey = " + ".join(terms)
+    return f"""
+    WITH ext AS (
+      SELECT CAST(min(user_id) AS BIGINT) AS lo_u,
+             CAST(max(user_id) AS BIGINT) AS hi_u,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS lo_t,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS hi_t
+      FROM events),
+    cells AS (
+      SELECT CAST(floor((user_id - lo_u) * 65535
+                        / greatest(hi_u - lo_u, 1)) AS BIGINT) AS ca,
+             CAST(floor((epoch_us(ts) - lo_t) * 65535
+                        / greatest(hi_t - lo_t, 1)) AS BIGINT) AS cb
+      FROM events CROSS JOIN ext),
+    keyed AS (SELECT ca, cb, CAST({zkey} AS BIGINT) AS zkey FROM cells),
+    grp AS (
+      SELECT zkey >> 24 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(ca) AS user_id_cell_min, max(ca) AS user_id_cell_max,
+             min(cb) AS t_us_cell_min,    max(cb) AS t_us_cell_max
+      FROM keyed GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_rows,
+           user_id_cell_min, t_us_cell_min,
+           user_id_cell_max, t_us_cell_max,
+           CAST(round((user_id_cell_max - user_id_cell_min + 1) / 65536 * 1e6)
+                AS BIGINT) AS user_id_width_micro,
+           CAST(round((t_us_cell_max - t_us_cell_min + 1) / 65536 * 1e6)
+                AS BIGINT) AS t_us_width_micro
+    FROM grp
+    """
+
+
+@_q("qa43_zorder_layout", _qa43_oracle_sql())
+def qa43(spark, sf):
+    """Z-order / Morton data layout + clustering-quality report
+    (operators/layout.py) — the multi-dimensional file-skipping lever:
+    interleave (user_id, event-time) bits so zone-map min/max stays
+    narrow on BOTH dims per bucket ("file"), where a linear sort keeps
+    only its leading dim narrow.  Pure integer shift/mask arithmetic,
+    bit-identical in any engine; widths are micro-fractions of the
+    16-bit grid."""
+    from .operators.layout import zorder_layout_stats
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    return zorder_layout_stats(e, ["user_id", "t_us"], bucket_bits=8)
+
+
+@_q(
+    "qa44_template_docs",
+    """
+    WITH normed AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text,'\\s+',' ','g'))) AS nrm
+      FROM documents),
+    fps AS (
+      SELECT doc_id, source, CAST(length(nrm) AS BIGINT) AS len,
+             'head' AS kind, md5(substr(nrm, 1, 48)) AS fp
+      FROM normed
+      UNION ALL
+      SELECT doc_id, source, CAST(length(nrm) AS BIGINT) AS len,
+             'tail' AS kind,
+             md5(substr(nrm, greatest(length(nrm) - 47, 1), 48)) AS fp
+      FROM normed),
+    grp AS (
+      SELECT kind, fp,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             min(doc_id) AS rep_doc_id,
+             CAST(sum(len) AS BIGINT) AS sl
+      FROM fps GROUP BY 1, 2)
+    SELECT kind, fp, n_docs, n_sources, rep_doc_id,
+           CAST(round(sl / n_docs * 1e6) AS BIGINT) AS avg_chars_micro
+    FROM grp WHERE n_docs >= 2
+    """,
+)
+def qa44(spark, sf):
+    """Boilerplate / template-frame detection
+    (operators/boilerplate.py:template_groups): recurring md5 groups of
+    the first / last 48 normalized chars, head and tail frames detected
+    independently — catches shared preambles and footers whose VARIABLE
+    middle defeats whole-doc near-dup similarity.  One explode(2) + one
+    uniform-key groupBy; tail substring uses explicit positive start
+    (negative-start semantics differ across engines)."""
+    from .operators.boilerplate import template_groups
+
+    d = _t(spark, sf, "documents")
+    return template_groups(d, "text", "doc_id", "source", edge_chars=48, min_docs=2)
+
+
+@_q(
+    "qa45_source_containment",
+    """
+    WITH tok AS (
+      SELECT DISTINCT src, w
+      FROM (SELECT source AS src,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    common AS (
+      SELECT a.src AS src_a, b.src AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.src < b.src
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           CAST(round(n_common / sa.n * 1e6) AS BIGINT) AS cont_a_micro,
+           CAST(round(n_common / sb.n * 1e6) AS BIGINT) AS cont_b_micro,
+           CAST(round(n_common / (sa.n + sb.n - n_common) * 1e6) AS BIGINT)
+             AS jaccard_micro
+    FROM common
+    JOIN sizes sa ON sa.src = src_a
+    JOIN sizes sb ON sb.src = src_b
+    """,
+)
+def qa45(spark, sf):
+    """Source-pair vocabulary containment matrix
+    (operators/setjoin.py:source_token_containment): directional
+    |V_A∩V_B|/|V_A| over the distinct (source, token) inverted index —
+    the mixture-design companion to qa21's exact-dup leakage (are two
+    feeds the same upstream corpus?).  Join fan-out per token is capped
+    by n_sources² regardless of corpus size; source-size dims broadcast."""
+    from .operators.setjoin import source_token_containment
+
+    d = _t(spark, sf, "documents")
+    return source_token_containment(d, "text", "doc_id", "source")

@@ -1,0 +1,190 @@
+"""Prefix-filtered EXACT set-similarity join (AllPairs / PPJoin family).
+
+The LSH families (`operators/dedup.py`, `operators/similarity.py`) trade
+recall for speed; this operator is the exact counterpart: every pair with
+token-set Jaccard >= t, no false negatives, with candidate generation
+bounded by the *prefix filter* (Chaudhuri et al. 2006 SSJoin; Bayardo et
+al. 2007 AllPairs; Xiao et al. 2008 PPJoin):
+
+  order all tokens by a single global total order (df ASC, token ASC —
+  rarest first); a pair with J(A,B) >= t must share its globally-smallest
+  common token within the first |X| - ceil(t*|X|) + 1 tokens of BOTH
+  sides, so it suffices to equi-join the *prefixes* instead of the full
+  token sets.  Proof sketch: J >= t implies |A∩B| >= ceil(t*|A|); if the
+  smallest shared token were outside A's prefix, all shared tokens would
+  sit in A's last ceil(t*|A|) - 1 positions — too few.  Symmetric for B.
+
+Scale shape (the reason this survives 100 TB where naive token joins
+die): the join key space is only the PREFIX tokens, and a prefix is by
+construction the rarest ~(1-t) fraction of each document's vocabulary —
+high-df stopwords never become join keys, so there is no hot-key
+explosion to salt away.  The size filter (t*|A| <= |B| <= |A|/t) prunes
+further before the distinct.  One shuffle for df, one for the candidate
+equi-join, one for the intersection count — all keyed narrowly.
+
+Per-doc token ordering uses array_sort over (df, token) structs — no
+global rank materialization, so the vocabulary never passes through a
+single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text_col
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct (id, token) pairs of the normalized text."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(normalized_text_col(F.col(text_col)), " ")).alias("_w"),
+        )
+        .where(F.col("_w") != "")
+        .distinct()
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs with token-set Jaccard >= threshold — exact, no sampling.
+
+    Output: (id_a, id_b, n_a, n_b, n_common, jaccard_micro), id_a < id_b.
+    The threshold compare is done on integers
+    (n_common * 1e6 >= t_micro * union) so the kept set is reproducible
+    bit-for-bit in any engine; jaccard_micro is the single-division
+    micro-int form.
+    """
+    t_micro = int(round(threshold * 1_000_000))
+    tok = _tokens(df, text_col, id_col)
+
+    doc_freq = tok.groupBy("_w").agg(F.count("*").cast("long").alias("_df"))
+
+    # Per-doc token list sorted by the global (df ASC, token ASC) order;
+    # array_sort on the struct keeps the ordering fully distributed.
+    per_doc = (
+        tok.join(doc_freq, "_w")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_w")))
+            ).alias("_toks"),
+            F.count("*").cast("long").alias("_n"),
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1; integer ceil via (x + d - 1) div d
+    ceil_tn = F.floor((F.col("_n") * t_micro + 999_999) / 1_000_000).cast("long")
+    prefix = per_doc.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.slice(F.col("_toks"), 1, (F.col("_n") - ceil_tn + 1).cast("int"))
+        ).alias("_p"),
+    ).select("_id", "_n", F.col("_p._w").alias("_w"))
+
+    a = prefix.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_w"
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_w"
+    )
+    cand = (
+        a.join(b, "_w")
+        .where(F.col("id_a") < F.col("id_b"))
+        # size filter: t*n_a <= n_b and t*n_b <= n_a (integer compare)
+        .where(F.col("n_b") * 1_000_000 >= F.col("n_a") * t_micro)
+        .where(F.col("n_a") * 1_000_000 >= F.col("n_b") * t_micro)
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+
+    ta = tok.select(F.col("_id").alias("id_a"), "_w")
+    tb = tok.select(F.col("_id").alias("id_b"), "_w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_w"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        inter.where(F.col("n_common") * 1_000_000 >= F.lit(t_micro) * union)
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(F.col("n_common") / union * 1e6).cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
+def source_token_containment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Directional vocabulary overlap between every pair of sources.
+
+    qa21's leakage monitor flags EXACT duplicate docs across sources;
+    this is the coarser mixture-design view: how much of source A's
+    token VOCABULARY is inside B's (containment |V_A ∩ V_B| / |V_A|) —
+    the signal for "these two feeds are the same upstream corpus" and
+    for weighting overlapping sources in a training mix.
+
+    Scale shape: everything happens on the distinct (source, token)
+    inverted index, which is |vocab|·|sources| at worst — tiny next to
+    the corpus.  The token self-join emits at most n_sources² rows per
+    token (sources is a small dimension by definition), so there is no
+    hot-key risk regardless of corpus size.  Output is one row per
+    UNORDERED source pair with both directions' containment micro-ints
+    plus vocab Jaccard.
+    """
+    tok = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            F.explode(
+                F.split(normalized_text_col(F.col(text_col)), " ")
+            ).alias("_w"),
+        )
+        .where(F.col("_w") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("_src").agg(F.count("*").cast("long").alias("_n"))
+    a = tok.select(F.col("_src").alias("src_a"), "_w")
+    b = tok.select(F.col("_src").alias("src_b"), "_w")
+    common = (
+        a.join(b, "_w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("_src").alias("src_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_src").alias("src_b"), F.col("_n").alias("n_b"))
+    joined = common.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return joined.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_a") * 1e6)
+        .cast("long")
+        .alias("cont_a_micro"),
+        F.round(F.col("n_common") / F.col("n_b") * 1e6)
+        .cast("long")
+        .alias("cont_b_micro"),
+        F.round(F.col("n_common") / union * 1e6)
+        .cast("long")
+        .alias("jaccard_micro"),
+    )
