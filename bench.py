@@ -109,6 +109,11 @@ EXTENDED = [
     "qa38_wilson_defects",
     "qa39_split_balance",
     "qa40_cluster_profile",
+    "qa41_cdc_upsert",
+    "qa42_prefix_jaccard",
+    "qa43_zorder_layout",
+    "qa44_template_docs",
+    "qa45_source_containment",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
