@@ -6112,3 +6112,291 @@ def qa45(spark, sf):
 
     d = _t(spark, sf, "documents")
     return source_token_containment(d, "text", "doc_id", "source")
+
+
+@_q(
+    "qa46_hard_negatives",
+    """
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+               AS centroid_id,
+             embedding AS cvec
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+    assigned AS (
+      SELECT vec_id, embedding, label, list_id FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.centroid_id AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(round(list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.cvec::DOUBLE[]) * 1e6)
+                          AS BIGINT) DESC,
+                          c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE r = 1),
+    probes AS (
+      SELECT query_id, qvec, query_label, list_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec,
+               e.label AS query_label, c.centroid_id AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(round(list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.cvec::DOUBLE[]) * 1e6)
+                          AS BIGINT) DESC,
+                          c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE r <= 4),
+    joined AS (
+      SELECT p.query_id, a.vec_id, p.query_label, a.label AS neg_label,
+             CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               p.qvec::DOUBLE[]) * 1e6)
+                  AS BIGINT) AS cosine_micro
+      FROM assigned a JOIN probes p ON a.list_id = p.list_id
+      WHERE a.label <> p.query_label AND a.vec_id <> p.query_id)
+    SELECT query_id, vec_id, query_label, neg_label, cosine_micro,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id) AS rnk
+          FROM joined WHERE cosine_micro < 950000)
+    WHERE rnk <= 5
+    """,
+)
+def qa46(spark, sf):
+    """Hard-negative mining for retrieval/contrastive training
+    (operators/similarity.py:ivf_hard_negatives): per vector, top-5
+    most-similar DIFFERENT-label vectors below a 0.95-cosine false-
+    negative ceiling, candidates from the q48 IVF coarse quantizer
+    (probe 4 of 16 md5-ranked lists) — the index-shortlist→exact-rescore
+    architecture that replaces all-pairs at 100 TB.  Oracle mirrors the
+    q48 CTEs plus the label/self/ceiling filters verbatim."""
+    from .operators.similarity import ivf_hard_negatives
+
+    e = _t(spark, sf, "embeddings")
+    return ivf_hard_negatives(e, n_centroids=16, nprobe=4, k=5,
+                              ceiling_micro=950_000)
+
+
+@_q(
+    "qa47_cusum_shifts",
+    """
+    WITH counts AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(n) AS BIGINT) AS t
+      FROM counts GROUP BY 1)
+    SELECT c.event_type, c.day, c.n,
+           CAST(t.d * c.n - t.t AS BIGINT) AS dev,
+           CAST(sum(t.d * c.n - t.t) OVER (
+                  PARTITION BY c.event_type ORDER BY c.day) AS BIGINT) AS cusum,
+           (abs(sum(t.d * c.n - t.t) OVER (
+                  PARTITION BY c.event_type ORDER BY c.day)) * 5
+              > 1 * t.d * t.t) AS is_shift
+    FROM counts c JOIN tot t USING (event_type)
+    """,
+)
+def qa47(spark, sf):
+    """CUSUM mean-shift detection over per-type daily event counts
+    (operators/temporal.py:cusum_changepoints, Page 1954): dev_d =
+    D·n_d − T keeps the count-minus-mean deviation integer; the running
+    sum flags sustained rate changes that single-day burst rules (q83/
+    qa05) miss.  One count shuffle; totals and the running sum ride the
+    same partitioning."""
+    from .operators.temporal import cusum_changepoints
+
+    e = _t(spark, sf, "events")
+    return cusum_changepoints(e, "event_type", "ts", flag_num=1, flag_den=5)
+
+
+@_q(
+    "qa48_mad_outliers",
+    """
+    WITH base AS (
+      SELECT source AS g, CAST(n_chars AS BIGINT) AS x, doc_id AS id
+      FROM documents),
+    ranked AS (
+      SELECT g, x, id,
+             row_number() OVER (PARTITION BY g ORDER BY x, id) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM base),
+    med AS (SELECT g, x AS med FROM ranked WHERE r = (n + 1) // 2),
+    devs AS (
+      SELECT b.g, b.x, b.id, m.med, abs(b.x - m.med) AS dev
+      FROM base b JOIN med m USING (g)),
+    dranked AS (
+      SELECT g, dev, id,
+             row_number() OVER (PARTITION BY g ORDER BY dev, id) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM devs),
+    mad AS (SELECT g, dev AS mad FROM dranked WHERE r = (n + 1) // 2)
+    SELECT d.g AS source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(d.med) AS BIGINT) AS med,
+           CAST(min(m.mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(max(d.dev) AS BIGINT) AS max_abs_dev
+    FROM devs d JOIN mad m USING (g)
+    GROUP BY 1
+    """,
+)
+def qa48(spark, sf):
+    """Robust per-source length-outlier report via integer median/MAD
+    (operators/stats.py:mad_outlier_summary): lower median = value at
+    rank ⌊(n+1)/2⌋ under the (value, id) total order, outlier ⟺
+    |x−med| > 3·MAD — the quality gate mean±kσ can't give you when a
+    handful of pathological giant docs drag the mean.  No floats
+    anywhere."""
+    from .operators.stats import mad_outlier_summary
+
+    d = _t(spark, sf, "documents")
+    return mad_outlier_summary(d, "source", "n_chars", "doc_id", k=3)
+
+
+_QA49_ORACLE = f"""
+    WITH {_WORD_EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    bd AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM bd GROUP BY 1),
+    mrow AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    nodes AS (SELECT DISTINCT a AS node FROM bd),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    c1 AS (
+      SELECT bd.a AS node, l0.label, count(*) AS n
+      FROM bd JOIN l0 ON l0.node = bd.b GROUP BY 1, 2),
+    p1 AS (
+      SELECT node, label FROM c1
+      QUALIFY row_number() OVER (PARTITION BY node
+        ORDER BY n DESC, label ASC) = 1),
+    lab AS (
+      SELECT nodes.node, coalesce(p1.label, nodes.node) AS label
+      FROM nodes LEFT JOIN p1 USING (node)),
+    tagged AS (
+      SELECT la.label AS la, lb.label AS lb
+      FROM und JOIN lab la ON la.node = und.a
+               JOIN lab lb ON lb.node = und.b),
+    inc AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS in_edges
+            FROM tagged WHERE la = lb GROUP BY 1),
+    vol AS (
+      SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.deg) AS BIGINT) AS deg_sum
+      FROM lab l JOIN deg d ON d.node = l.node GROUP BY 1),
+    base AS (
+      SELECT v.label, v.n_nodes, v.deg_sum,
+             CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges, mrow.m
+      FROM vol v LEFT JOIN inc i USING (label) CROSS JOIN mrow)
+    SELECT label, n_nodes, in_edges, deg_sum,
+           CAST(deg_sum - 2 * in_edges AS BIGINT) AS cut_edges,
+           CAST(round(in_edges * 1000000 / m)
+                - round(deg_sum * deg_sum * 250000 / (m * m)) AS BIGINT)
+             AS modularity_micro,
+           CAST(round((deg_sum - 2 * in_edges) * 1000000
+                / greatest(least(deg_sum, 2 * m - deg_sum), 1)) AS BIGINT)
+             AS conductance_micro
+    FROM base
+"""
+
+
+@_q("qa49_community_quality", None)
+def qa49(spark, sf):
+    """Per-community modularity contribution + conductance
+    (operators/graph.py:community_quality) for deterministic
+    1-round label-prop communities (q95's 2nd round collapses the word
+    graph to one community — 1 round keeps a non-trivial partition) over the word co-occurrence graph —
+    the quality report every community / canonicalization pass records
+    (Newman 2006).  Two single divisions with integer numerators kept
+    ≤ ~2.5e15 (the naive 4m²·1e6 form overflows bigint on 10^5-edge
+    graphs); the scalar m rides as a broadcast one-row cross join, not
+    a collect.  Oracle inlines the 1-round LPA CTEs from q95's oracle."""
+    from .operators.graph import (
+        community_quality,
+        label_propagation,
+        word_cooccur_edges,
+    )
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    labels = label_propagation(e, "src", "dst", rounds=1)
+    return community_quality(e, labels, "src", "dst")
+
+
+ORACLES["qa49_community_quality"] = _QA49_ORACLE
+
+
+@_q(
+    "qa50_int8_quant",
+    """
+    WITH positions AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings),
+    elems AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(round(v[i] * 1e6) AS BIGINT) AS xm
+      FROM positions),
+    rng AS (SELECT dim, min(xm) AS mn, max(xm) AS mx FROM elems GROUP BY 1),
+    quant AS (
+      SELECT e.dim, e.xm, r.mn, r.mx,
+             CAST(round((e.xm - r.mn) * 255 / greatest(r.mx - r.mn, 1))
+                  AS BIGINT) AS q
+      FROM elems e JOIN rng r USING (dim)),
+    err AS (
+      SELECT dim, mn, mx,
+             abs(xm - (mn + CAST(round(q * greatest(mx - mn, 1) / 255)
+                                 AS BIGINT))) AS err
+      FROM quant)
+    SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(mn) AS BIGINT) AS min_micro,
+           CAST(max(mx) AS BIGINT) AS max_micro,
+           CAST(sum(err) AS BIGINT) AS sum_abs_err_micro,
+           CAST(max(err) AS BIGINT) AS max_abs_err_micro,
+           CAST(round(sum(err) / count(*)) AS BIGINT) AS mean_abs_err_micro
+    FROM err GROUP BY 1
+    """,
+)
+def qa50(spark, sf):
+    """Per-dimension int8 scalar-quantization feasibility report
+    (operators/similarity.py:scalar_quant_report): global per-dim
+    min/max codebook, quantize/reconstruct in integer micro space,
+    aggregate |reconstruction error| — the check before shrinking a
+    100 TB float embedding store 4×.  One posexplode, one 64-group agg,
+    broadcast join back; quantize and reconstruct are single divisions
+    with integer numerators, bit-identical in any engine."""
+    from .operators.similarity import scalar_quant_report
+
+    e = _t(spark, sf, "embeddings")
+    return scalar_quant_report(e, "vec_id", "embedding", levels=255)
+
+
+@_q(
+    "qa51_equidepth_bins",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS vm,
+             event_id AS id
+      FROM events),
+    binned AS (
+      SELECT g, vm,
+             ntile(10) OVER (PARTITION BY g ORDER BY vm, id) AS bin
+      FROM base)
+    SELECT g AS event_type, CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(vm) AS BIGINT) AS v_min_micro,
+           CAST(max(vm) AS BIGINT) AS v_max_micro,
+           CAST(round(sum(vm) / count(*)) AS BIGINT) AS avg_micro
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def qa51(spark, sf):
+    """Per-type equi-depth (decile) histogram of event values
+    (operators/stats.py:equidepth_bins) — the quantile-bin table drift
+    monitors (qa08 KS) and length-bucketed batch packing consume.
+    Values micro-fixed-pointed BEFORE binning so every stat is integer;
+    ntile over the (value, id) total order is deterministic in any
+    engine.  One shuffle."""
+    from .operators.stats import equidepth_bins
+
+    e = _t(spark, sf, "events")
+    return equidepth_bins(e, "event_type", "value", "event_id", n_bins=10)

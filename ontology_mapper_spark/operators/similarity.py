@@ -581,3 +581,156 @@ def centroid_drift(
             .alias("cos_micro"),
         )
     )
+
+
+def ivf_hard_negatives(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    ceiling_micro: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    every vector, the top-k most-similar vectors that carry a DIFFERENT
+    label, excluding anything above ``ceiling_micro`` cosine (a
+    too-similar pair is more likely a labeling error / near-dup than a
+    useful negative — the standard false-negative guard).
+
+    Scale architecture, not brute force: candidates come from the same
+    deterministic IVF coarse quantizer as ``ivf_topk`` (md5-ranked
+    centroids, broadcast; each vector probes its ``nprobe`` nearest
+    inverted lists), so the scored set shrinks ~n_centroids/nprobe
+    versus all-pairs while staying bit-reproducible.  Rescoring is the
+    exact micro-fixed-point cosine; ranking has a total order
+    (cosine desc, id).
+
+    Output: (query_id, vec_id, query_label, neg_label, cosine_micro,
+    rank).
+    """
+    cent = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("_h")).alias("centroid_id"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    cent_b = F.broadcast(cent)
+
+    def nearest(df: DataFrame, key: str, vec: str, n: int) -> DataFrame:
+        scored = df.crossJoin(cent_b).withColumn(
+            "_csim",
+            cosine_micro_col(
+                F.col(vec).cast("array<double>"), F.col("_cvec").cast("array<double>")
+            ),
+        )
+        w = Window.partitionBy(key).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= n)
+            .select(*df.columns, F.col("centroid_id").alias("list_id"))
+        )
+
+    assigned = nearest(corpus.select(id_col, vec_col, label_col), id_col, vec_col, 1)
+    q = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("query_label"),
+    )
+    probes = nearest(q, "query_id", "_qvec", nprobe)
+
+    joined = (
+        assigned.join(probes, "list_id")
+        .where(
+            (F.col(label_col) != F.col("query_label"))
+            & (F.col(id_col) != F.col("query_id"))
+        )
+        .withColumn(
+            "cosine_micro",
+            cosine_micro_col(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_qvec").cast("array<double>"),
+            ),
+        )
+        .where(F.col("cosine_micro") < ceiling_micro)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "query_label",
+            F.col(label_col).alias("neg_label"),
+            "cosine_micro",
+            "rank",
+        )
+    )
+
+
+def scalar_quant_report(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension int8 scalar-quantization report: global min/max per
+    dimension, quantize q = round((x−min)·levels/width), reconstruct,
+    and aggregate the absolute reconstruction error — the feasibility
+    check before shrinking a 100 TB float32 embedding store 4× (and the
+    per-dim table IS the codebook the quantizer ships).
+
+    Everything happens in integer micro space: components are
+    micro-fixed-pointed first, so quantize/reconstruct are integer-
+    numerator single divisions — bit-identical in any engine, immune to
+    float-sum ordering.  Plan: one posexplode, one per-dim agg (64
+    groups), broadcast join back, one final per-dim agg.
+
+    Output: (dim, n_rows, min_micro, max_micro, sum_abs_err_micro,
+    max_abs_err_micro, mean_abs_err_micro).
+    """
+    elems = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "_x"),
+    ).select("_id", "dim", F.round(F.col("_x") * 1e6).cast("long").alias("_xm"))
+    rng = elems.groupBy("dim").agg(
+        F.min("_xm").alias("_mn"), F.max("_xm").alias("_mx")
+    )
+    width = F.greatest(F.col("_mx") - F.col("_mn"), F.lit(1))
+    quant = elems.join(F.broadcast(rng), "dim").select(
+        "dim",
+        "_xm",
+        "_mn",
+        "_mx",
+        F.round((F.col("_xm") - F.col("_mn")) * levels / width)
+        .cast("long")
+        .alias("_q"),
+    )
+    err = quant.select(
+        "dim",
+        "_mn",
+        "_mx",
+        F.abs(
+            F.col("_xm")
+            - (
+                F.col("_mn")
+                + F.round(F.col("_q") * (F.greatest(F.col("_mx") - F.col("_mn"), F.lit(1))) / levels).cast("long")
+            )
+        ).alias("_err"),
+    )
+    return err.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("_mn").cast("long").alias("min_micro"),
+        F.max("_mx").cast("long").alias("max_micro"),
+        F.sum("_err").cast("long").alias("sum_abs_err_micro"),
+        F.max("_err").cast("long").alias("max_abs_err_micro"),
+        F.round(F.sum("_err") / F.count("*")).cast("long").alias("mean_abs_err_micro"),
+    )

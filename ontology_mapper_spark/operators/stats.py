@@ -530,3 +530,113 @@ def chi2_contingency(
         F.lit(int((nr - 1) * (nc - 1))).cast("long").alias("dof"),
         F.sum("_t").cast("long").alias("chi2_micro"),
     )
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier report via median / MAD (median absolute
+    deviation) on an INTEGER value column — the length/score sanity
+    gate that, unlike mean±k·σ, a handful of 100 MB pathological docs
+    cannot drag.  Deterministic order statistics: the "median" is the
+    value at rank ⌈n/2⌉ under the total order (value, id) — the lower
+    median, identical in any engine (no mid-point averaging, which
+    would leave integer space).  A row is an outlier when
+    |x − med| > k·MAD (all integer).
+
+    Plan: two window ranks over the same group partitioning (one for
+    the median, one for the MAD), then one agg — three shuffles keyed
+    by group, no floats, no collect.
+
+    Output: (group_col, n_rows, med, mad, n_outliers, max_abs_dev).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_x"),
+        F.col(id_col).alias("_id"),
+    )
+    wg = Window.partitionBy("_g")
+    r1 = Window.partitionBy("_g").orderBy("_x", "_id")
+    ranked = base.select(
+        "_g",
+        "_x",
+        "_id",
+        F.row_number().over(r1).alias("_r"),
+        F.count("*").over(wg).alias("_n"),
+    )
+    med = (
+        ranked.where(F.col("_r") == F.floor((F.col("_n") + 1) / 2))
+        .select("_g", F.col("_x").alias("_med"))
+    )
+    devs = base.join(F.broadcast(med), "_g").select(
+        "_g", "_x", "_id", "_med", F.abs(F.col("_x") - F.col("_med")).alias("_dev")
+    )
+    r2 = Window.partitionBy("_g").orderBy("_dev", "_id")
+    dranked = devs.select(
+        "_g",
+        "_med",
+        "_dev",
+        "_id",
+        F.row_number().over(r2).alias("_r"),
+        F.count("*").over(wg).alias("_n"),
+    )
+    mad = (
+        dranked.where(F.col("_r") == F.floor((F.col("_n") + 1) / 2))
+        .select("_g", F.col("_dev").alias("_mad"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "_g")
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("_med").cast("long").alias("med"),
+            F.min("_mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > k * F.col("_mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("_dev").cast("long").alias("max_abs_dev"),
+        )
+    )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group equi-depth (quantile) binning of a double value into
+    ``n_bins`` buckets — the histogram a pipeline materializes per
+    source/day for drift monitors (qa08's KS statistic consumes exactly
+    these) and for length-bucketed batch packing.  Values are
+    micro-fixed-pointed FIRST (round(x·1e6) bigint) so every downstream
+    stat is integer; ntile over the total order (value_micro, id) is
+    deterministic in any engine.
+
+    One shuffle (the group window); per-bin stats ride the same
+    partitioning.  Output: (group_col, bin, n_rows, v_min_micro,
+    v_max_micro, avg_micro) with avg = round(sum/n), one division.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("_vm"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("_g").orderBy("_vm", "_id")
+    return (
+        base.select("_g", "_vm", F.ntile(n_bins).over(w).alias("bin"))
+        .groupBy(F.col("_g").alias(group_col), F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("_vm").cast("long").alias("v_min_micro"),
+            F.max("_vm").cast("long").alias("v_max_micro"),
+            F.round(F.sum("_vm") / F.count("*")).cast("long").alias("avg_micro"),
+        )
+    )

@@ -240,3 +240,60 @@ def decayed_edge_weights(
         "n_events",
         "decayed_micro",
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    flag_num: int = 1,
+    flag_den: int = 5,
+) -> DataFrame:
+    """Integer CUSUM change-point detection over per-(entity, day)
+    counts (Page 1954): with D active days and T total events for an
+    entity, the day-d deviation is dev_d = D·n_d − T (count minus mean,
+    scaled by D so it stays integer) and the running statistic is
+    cusum_d = Σ_{i≤d} dev_i.  A day is flagged when the drift exceeds
+    flag_num/flag_den of the entity's total mass:
+
+        is_shift  ⟺  flag_den · |cusum_d|  >  flag_num · D · T
+
+    (both sides integer; |cusum| is in D-scaled units so T is scaled by
+    D too).  A sustained rate change keeps |cusum| growing — the flag
+    marks the plateau a mean-shift leaves behind, which single-day
+    burst rules (``burst_days``) miss.
+
+    Plan: one count shuffle keyed by (entity, day), then entity-window
+    totals and a running sum over the SAME partitioning — no second
+    shuffle, no floats.  Day ordering is total (day unique per entity).
+
+    Output: (entity_col, day, n, dev, cusum, is_shift).
+    """
+    counts = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("_e", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    we = Window.partitionBy("_e")
+    run = Window.partitionBy("_e").orderBy("day")
+    dev = (F.count("*").over(we) * F.col("n") - F.sum("n").over(we)).cast("long")
+    with_dev = counts.select(
+        "_e",
+        "day",
+        "n",
+        dev.alias("dev"),
+        (F.count("*").over(we) * F.sum("n").over(we)).cast("long").alias("_dt"),
+    )
+    return with_dev.select(
+        F.col("_e").alias(entity_col),
+        "day",
+        "n",
+        "dev",
+        F.sum("dev").over(run).cast("long").alias("cusum"),
+        (
+            F.abs(F.sum("dev").over(run)) * flag_den > flag_num * F.col("_dt")
+        ).alias("is_shift"),
+    )
