@@ -6400,3 +6400,99 @@ def qa51(spark, sf):
 
     e = _t(spark, sf, "events")
     return equidepth_bins(e, "event_type", "value", "event_id", n_bins=10)
+
+
+ORACLES["qa52_incremental_lsh"] = f"""
+    SELECT id_a, id_b FROM ({ORACLES["q26_minhash_lsh_pairs"]}) tfull
+    WHERE id_a % 10 = 0 OR id_b % 10 = 0
+"""
+
+
+@_q("qa52_incremental_lsh", None)
+def qa52(spark, sf):
+    """Incremental MinHash-LSH index maintenance
+    (operators/dedup.py:incremental_band_pairs): docs with doc_id%10==0
+    arrive as the delta batch; only THEIR signatures are computed and
+    joined against the persisted band index of the other 90% (plus the
+    delta's own self-join).  Bit-identical to full-batch q26 restricted
+    to new-touching pairs — the oracle composes the q26 SQL verbatim
+    with that filter.  Cost scales with |delta|, not corpus size: the
+    daily-ingest dedup path at 100 TB."""
+    from .operators.dedup import (
+        banded_index,
+        incremental_band_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") % 10 != 0)
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old_index = banded_index(
+        minhash_signatures(old, "text", "doc_id", num_hashes=_MINHASH_N, shingle_n=2),
+        "doc_id", _MINHASH_N, _MINHASH_BANDS,
+    )
+    new_sig = minhash_signatures(
+        new, "text", "doc_id", num_hashes=_MINHASH_N, shingle_n=2
+    )
+    return incremental_band_pairs(
+        old_index, new_sig, "doc_id", _MINHASH_N, _MINHASH_BANDS
+    )
+
+
+def _bpe_rounds_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled mirror of operators.textstats.bpe_merge_rounds: per round,
+    pair counts over the doubled-delimiter vocab strings, argmax with the
+    (count desc, pair asc) total order, literal '|x||y|'→'|xy|' replace
+    (greedy left-to-right — see the operator docstring for why the
+    doubled-boundary encoding makes plain replace exactly BPE)."""
+    its = []
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        its.append(f"""
+    p{r} AS (
+      SELECT arr[i] AS sym_x, arr[i + 1] AS sym_y,
+             CAST(sum(f) AS BIGINT) AS pair_count
+      FROM (SELECT arr, f, unnest(range(1, len(arr))) AS i
+            FROM (SELECT string_split(trim(s, '|'), '||') AS arr, f
+                  FROM {prev}))
+      GROUP BY 1, 2),
+    t{r} AS (
+      SELECT {r} AS round, sym_x, sym_y, pair_count FROM p{r}
+      ORDER BY pair_count DESC, sym_x, sym_y LIMIT 1),
+    s{r} AS (
+      SELECT replace(s, '|' || t{r}.sym_x || '||' || t{r}.sym_y || '|',
+                        '|' || t{r}.sym_x || t{r}.sym_y || '|') AS s, f
+      FROM {prev} CROSS JOIN t{r})""")
+        prev = f"s{r}"
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST(round AS INT) AS round, sym_x, sym_y, pair_count FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')) AS w
+      FROM documents),
+    wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
+      WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY 1),
+    s0 AS (
+      SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS s, f FROM wf),
+    {",".join(its)}
+    {unions}
+    """
+
+
+@_q("qa53_bpe_merges", _bpe_rounds_oracle_sql(3))
+def qa53(spark, sf):
+    """Iterative BPE merge training, 3 rounds
+    (operators/textstats.py:bpe_merge_rounds) — the actual
+    tokenizer-training loop (q77 is its single-step statistics):
+    count → argmax merge rule → greedy apply → recount, vocab-distinct
+    so each round is O(|vocab|·len) whatever the corpus size, each
+    round's vocab pinned against the 2^r recompute trap.  The oracle
+    unrolls the same three rounds as chained CTEs with the identical
+    doubled-delimiter replace trick."""
+    from .operators.textstats import bpe_merge_rounds
+
+    d = _t(spark, sf, "documents")
+    return bpe_merge_rounds(d, "text", "doc_id", rounds=3)

@@ -124,20 +124,16 @@ def minhash_signatures(
     )
 
 
-def minhash_band_pairs(
+def banded_index(
     sig: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH banding: split signatures into `bands` rows-per-band groups,
-    bucket-join on (band_id, band_hash), emit candidate pairs (a < b).
-
-    This is the scale path: candidate generation is an equi-join on band
-    hashes (shuffle on band key), never an all-pairs product. Hot buckets
-    (boilerplate text) are bounded by the band hash width; residual skew is
-    AQE's skew-join case.
-    """
+    """(id, band_id, band_hash) — the persisted LSH band index rows for a
+    signature table.  This IS the stored index a 100 TB dedup service
+    keeps between batches (see ``incremental_band_pairs``); candidate
+    generation is always an equi-join on (band_id, band_hash)."""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -154,9 +150,26 @@ def minhash_band_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
         id_col, "b.band_id", "b.band_hash"
     )
+
+
+def minhash_band_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split signatures into `bands` rows-per-band groups,
+    bucket-join on (band_id, band_hash), emit candidate pairs (a < b).
+
+    This is the scale path: candidate generation is an equi-join on band
+    hashes (shuffle on band key), never an all-pairs product. Hot buckets
+    (boilerplate text) are bounded by the band hash width; residual skew is
+    AQE's skew-join case.
+    """
+    banded = banded_index(sig, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -171,6 +184,60 @@ def minhash_band_pairs(
         )
         .distinct()
     )
+
+
+def incremental_band_pairs(
+    old_index: DataFrame,
+    new_sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance: given the PERSISTED
+    band index of the existing corpus (``banded_index`` output — never
+    re-hashed, never re-shuffled from text) and the signatures of a new
+    delta batch, emit exactly the candidate pairs a full-batch rebuild
+    would ADD — pairs touching ≥1 new doc:
+
+      new×old  — delta band rows equi-joined against the stored index;
+      new×new  — the delta's own banded self-join.
+
+    MinHash signatures are per-doc (corpus-independent), so this is
+    bit-identical to rebuilding and filtering — the parity the qa52
+    oracle pins by filtering the full-batch q26 SQL to new-touching
+    pairs.  Cost scales with |delta| + matched buckets, not corpus
+    size: the daily ingest path at 100 TB.
+
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    new_banded = banded_index(new_sig, id_col, num_hashes, bands)
+    o = old_index.alias("o")
+    n = new_banded.alias("n")
+    cross = (
+        n.join(
+            o,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    n2 = new_banded.alias("m")
+    within = (
+        n.join(
+            n2,
+            (F.col("n.band_id") == F.col("m.band_id"))
+            & (F.col("n.band_hash") == F.col("m.band_hash"))
+            & (F.col(f"n.{id_col}") < F.col(f"m.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"), F.col(f"m.{id_col}").alias("id_b")
+        )
+    )
+    return cross.union(within).distinct()
 
 
 def simhash64(

@@ -494,3 +494,102 @@ def ngram_gap_candidates(
     )
     cnt = unmatched.groupBy("span").agg(F.count("*").cast("long").alias("n"))
     return cnt.orderBy(F.desc("n"), "span").limit(int(n_top))
+
+
+def bpe_merge_rounds(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Multi-round BPE merge TRAINING (Sennrich et al. 2016) — the
+    iterative loop ``bpe_pair_counts`` is one step of: each round counts
+    corpus-weighted adjacent symbol pairs, adopts the argmax pair as a
+    merge rule (total order: count desc, pair asc), applies it greedily
+    left-to-right to every word, and recounts.
+
+    Greedy merge without UDFs: words live as DOUBLED-delimiter symbol
+    strings ("hi" → '||h||i||'); the literal replace '|x||y|' → '|xy|'
+    consumes one '|' from each side, so (a) non-overlapping left-to-
+    right replace IS greedy BPE ('a a a a' → (aa)(aa), not (aa)a a), and
+    (b) every boundary stays doubled after the merge — the invariant
+    holds for the next round, and a symbol that merely ends in x can
+    never false-match (its 'x' is not preceded by '|'). Words are
+    restricted to [a-z0-9]+ (regex '.'-semantics differ across engines
+    outside ASCII).
+
+    Distinct-first: the whole loop runs over the (word, freq) vocab
+    table — O(|vocab|·len) per round regardless of corpus size; each
+    round's vocab is pinned (persist + count) so round r doesn't replay
+    rounds 1..r−1 2^r times (the CLAUDE.md iterative-recompute trap).
+
+    Output: one row per merge rule — (round, sym_x, sym_y, pair_count).
+    """
+    from .dedup import normalized_text_col
+
+    words = (
+        df.select(
+            F.explode(F.split(normalized_text_col(F.col(text_col)), " ")).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit("||"), F.regexp_replace(F.col("w"), "(.)", "$1||")
+        ).alias("s"),
+        "f",
+    )
+    pinned = []
+    outs = []
+    for r in range(1, int(rounds) + 1):
+        cur = cur.persist()
+        cur.count()
+        pinned.append(cur)
+        arr = cur.select(
+            F.split(F.expr("trim(BOTH '|' FROM s)"), "\\|\\|").alias("a"), "f"
+        )
+        pairs = (
+            arr.select(
+                F.explode(
+                    F.zip_with(
+                        F.col("a"),
+                        F.slice(
+                            F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(1))
+                        ),
+                        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .where(F.col("p.y").isNotNull())
+            .select(F.col("p.x").alias("sym_x"), F.col("p.y").alias("sym_y"), "f")
+        )
+        top1 = (
+            pairs.groupBy("sym_x", "sym_y")
+            .agg(F.sum("f").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "sym_x", "sym_y")
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "sym_x",
+                "sym_y",
+                "pair_count",
+            )
+        )
+        outs.append(top1)
+        cur = cur.crossJoin(F.broadcast(top1.select("sym_x", "sym_y"))).select(
+            F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit("|"), F.col("sym_x"), F.lit("||"), F.col("sym_y"), F.lit("|")
+                ),
+                F.concat(F.lit("|"), F.col("sym_x"), F.col("sym_y"), F.lit("|")),
+            ).alias("s"),
+            "f",
+        )
+    result = outs[0]
+    for t in outs[1:]:
+        result = result.union(t)
+    return result
