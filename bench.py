@@ -114,6 +114,15 @@ EXTENDED = [
     "qa43_zorder_layout",
     "qa44_template_docs",
     "qa45_source_containment",
+    # round-3 fifth-wave operators
+    "qa46_hard_negatives",
+    "qa47_cusum_shifts",
+    "qa48_mad_outliers",
+    "qa49_community_quality",
+    "qa50_int8_quant",
+    "qa51_equidepth_bins",
+    "qa52_incremental_lsh",
+    "qa53_bpe_merges",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -6496,3 +6496,47 @@ def qa53(spark, sf):
 
     d = _t(spark, sf, "documents")
     return bpe_merge_rounds(d, "text", "doc_id", rounds=3)
+
+
+_QA54_MU0, _QA54_K, _QA54_H = 70_000_000, 5_000_000, 50_000_000
+
+
+@_q(
+    "qa54_cusum_online",
+    f"""
+    WITH counts AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT event_type, day, n,
+             sum(n * 1000000 - {_QA54_MU0} - {_QA54_K}) OVER w AS pp,
+             sum({_QA54_MU0} - n * 1000000 - {_QA54_K}) OVER w AS pn
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, n,
+           CAST(pp - least(0, min(pp) OVER w2) AS BIGINT) AS s_pos_micro,
+           CAST(pn - least(0, min(pn) OVER w2) AS BIGINT) AS s_neg_micro,
+           (pp - least(0, min(pp) OVER w2) > {_QA54_H}) AS alarm_pos,
+           (pn - least(0, min(pn) OVER w2) > {_QA54_H}) AS alarm_neg
+    FROM p
+    WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def qa54(spark, sf):
+    """Online two-sided Page CUSUM vs a fixed reference rate
+    (operators/temporal.py:cusum_online): the recursive S⁺ = max(0,
+    S⁺+(x−μ0−k)) computed via its closed form P_t − min(0, min_j P_j) —
+    one running sum + one running min per side, pure integer windows.
+    The streaming twin (streaming/monitor.py:stream_cusum) folds the
+    same closed form in O(1) state per entity; parity pinned in
+    tests/test_streaming_monitor.py."""
+    from .operators.temporal import cusum_online
+
+    e = _t(spark, sf, "events")
+    return cusum_online(
+        e, "event_type", "ts",
+        mu0_micro=_QA54_MU0, k_micro=_QA54_K, h_micro=_QA54_H,
+    )

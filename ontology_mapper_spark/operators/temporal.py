@@ -297,3 +297,62 @@ def cusum_changepoints(
             F.abs(F.sum("dev").over(run)) * flag_den > flag_num * F.col("_dt")
         ).alias("is_shift"),
     )
+
+
+def cusum_online(
+    df: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    mu0_micro: int = 0,
+    k_micro: int = 0,
+    h_micro: int = 0,
+) -> DataFrame:
+    """Two-sided Page CUSUM against a FIXED reference rate ``mu0_micro``
+    (micro-events/day) — the ONLINE form (``cusum_changepoints`` is the
+    retrospective, self-referential-mean form).  The recursive
+    definition S⁺_t = max(0, S⁺_{t-1} + (x_t−μ0−k)) is not a window
+    sum, but its closed form is: with P_t the running sum of
+    (x_t−μ0−k), S⁺_t = P_t − min(0, min_{j≤t} P_j) — so the whole
+    operator is one running sum + one running min per side, pure
+    integer windows over the (entity, day) counts, no recursion and no
+    Python.  Alarm when S± > h_micro.
+
+    The same closed form is what ``streaming.monitor.stream_cusum``
+    folds incrementally (state = (P, minP) per side) — parity-tested.
+
+    Output: (entity_col, day, n, s_pos_micro, s_neg_micro, alarm_pos,
+    alarm_neg).
+    """
+    counts = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("_e", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    diff_pos = F.col("n") * F.lit(1_000_000) - F.lit(mu0_micro) - F.lit(k_micro)
+    diff_neg = F.lit(mu0_micro) - F.col("n") * F.lit(1_000_000) - F.lit(k_micro)
+    run = (
+        Window.partitionBy("_e")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_p = counts.select(
+        "_e",
+        "day",
+        "n",
+        F.sum(diff_pos).over(run).cast("long").alias("_pp"),
+        F.sum(diff_neg).over(run).cast("long").alias("_pn"),
+    )
+    s_pos = F.col("_pp") - F.least(F.lit(0), F.min("_pp").over(run))
+    s_neg = F.col("_pn") - F.least(F.lit(0), F.min("_pn").over(run))
+    return with_p.select(
+        F.col("_e").alias(entity_col),
+        "day",
+        "n",
+        s_pos.cast("long").alias("s_pos_micro"),
+        s_neg.cast("long").alias("s_neg_micro"),
+        (s_pos > h_micro).alias("alarm_pos"),
+        (s_neg > h_micro).alias("alarm_neg"),
+    )
