@@ -6540,3 +6540,107 @@ def qa54(spark, sf):
         e, "event_type", "ts",
         mu0_micro=_QA54_MU0, k_micro=_QA54_K, h_micro=_QA54_H,
     )
+
+
+@_q(
+    "qa55_compaction_plan",
+    """
+    WITH files AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) * 137 AS BIGINT) AS bytes
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, day, bytes,
+             CAST((sum(bytes) OVER w - bytes) // 40000 AS BIGINT) AS group_id
+      FROM files
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, group_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS group_bytes,
+           min(day) AS day_min, max(day) AS day_max
+    FROM g GROUP BY 1, 2
+    """,
+)
+def qa55(spark, sf):
+    """Small-file compaction planning (operators/layout.py:
+    compaction_plan): sequential bin-fill merge groups of ~target bytes
+    per partition, preserving sort order so zone maps survive the
+    rewrite — group = floor((cumsum − bytes)/target), pure integer
+    windows, one shuffle.  Manifest synthesized from events: one 'file'
+    per (event_type, day), bytes = 137·row_count."""
+    from .operators.layout import compaction_plan
+
+    e = _t(spark, sf, "events")
+    files = (
+        e.select(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg((F.count("*") * 137).cast("long").alias("bytes"))
+    )
+    return compaction_plan(files, "event_type", "day", "bytes", 40_000)
+
+
+def _qa56_oracle_sql(n_planes: int = 16, dim: int = 64) -> str:
+    """Mirror of operators.similarity.jl_distortion_report: the same
+    md5-derived ±1 matrix (plane_signs) generated into per-plane integer
+    dot expressions over the micro vec; both d² sums integer; the final
+    ratio is the identical double cast + one multiply + one divide."""
+    from .operators.similarity import plane_signs
+
+    signs = plane_signs(n_planes, dim)
+    ys = ",\n             ".join(
+        "CAST(0 "
+        + " ".join(
+            ("+" if sgn > 0 else "-") + f" mv[{i + 1}]"
+            for i, sgn in enumerate(signs[p])
+        )
+        + f" AS BIGINT) AS y{p}"
+        for p in range(n_planes)
+    )
+    d2_orig = " + ".join(
+        f"(a.mv[{i + 1}] - b.mv[{i + 1}]) * (a.mv[{i + 1}] - b.mv[{i + 1}])"
+        for i in range(dim)
+    )
+    d2_proj = " + ".join(
+        f"(a.y{p} - b.y{p}) * (a.y{p} - b.y{p})" for p in range(n_planes)
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
+      FROM embeddings),
+    proj AS (
+      SELECT vec_id, mv,
+             {ys}
+      FROM vecs),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST({d2_orig} AS BIGINT) AS d2_orig,
+             CAST({d2_proj} AS BIGINT) AS d2_proj
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1)
+    SELECT id_a, id_b, d2_orig, d2_proj,
+           CAST(round(CAST(d2_proj AS DOUBLE) * 1e6
+                      / CAST({n_planes} * greatest(d2_orig, 1) AS DOUBLE))
+                AS BIGINT) AS ratio_micro
+    FROM pairs
+    """
+
+
+@_q("qa56_jl_distortion", _qa56_oracle_sql())
+def qa56(spark, sf):
+    """Johnson–Lindenstrauss ±1 projection distortion audit
+    (operators/similarity.py:jl_distortion_report) over consecutive-id
+    embedding pairs: d²_proj/(k·d²_orig) should concentrate around 1 —
+    the ship/no-ship check for projection-compressing an embedding
+    store.  Integer micro dots via ONE nested sign-matrix literal
+    (q30's anti-Literal-explosion fix); oracle generates the same
+    matrix into per-plane SQL dot expressions."""
+    from .operators.similarity import jl_distortion_report
+
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return jl_distortion_report(pairs, n_planes=16, dim=64)

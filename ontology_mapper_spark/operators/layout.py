@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bits per dimension in the interleaved key (16 → 2 dims fit a 32-bit key)
@@ -125,4 +125,57 @@ def zorder_layout_stats(
         *[F.col(f"{c}_cell_min") for c in dims],
         *[F.col(f"{c}_cell_max") for c in dims],
         *width_cols,
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    order_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance job
+    that turns a long tail of tiny files into sequential merge groups of
+    ~``target_bytes`` each, preserving the table's sort order (so zone
+    maps / Z-order stay intact after the rewrite, unlike a shuffle-based
+    rewrite).
+
+    Group assignment is the streaming bin-fill closed form: a file
+    starts a new group when the running byte total BEFORE it crosses a
+    target boundary — group = floor((cumsum − bytes) / target).  Pure
+    integer windows, one shuffle keyed by partition; deterministic under
+    the (order_col) total order (order_col must be unique per partition
+    — it is a file identifier).  A single file larger than the target
+    gets its own group (groups can exceed target by at most one file —
+    documented semantics of sequential bin-fill).
+
+    Output: (part_col, group_id, n_files, group_bytes, <order>_min,
+    <order>_max).
+    """
+    run = (
+        Window.partitionBy("_p")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = files.select(
+        F.col(part_col).alias("_p"),
+        F.col(order_col).alias("_o"),
+        F.col(bytes_col).cast("long").alias("_b"),
+    )
+    grouped = base.select(
+        "_p",
+        "_o",
+        "_b",
+        F.floor((F.sum("_b").over(run) - F.col("_b")) / F.lit(target_bytes))
+        .cast("long")
+        .alias("group_id"),
+    )
+    return grouped.groupBy(
+        F.col("_p").alias(part_col), "group_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("_b").cast("long").alias("group_bytes"),
+        F.min("_o").alias(f"{order_col}_min"),
+        F.max("_o").alias(f"{order_col}_max"),
     )

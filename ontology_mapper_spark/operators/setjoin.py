@@ -101,16 +101,34 @@ def prefix_jaccard_pairs(
         .where(F.col("n_b") * 1_000_000 >= F.col("n_a") * t_micro)
         .where(F.col("n_a") * 1_000_000 >= F.col("n_b") * t_micro)
         .select("id_a", "id_b", "n_a", "n_b")
-        .distinct()
     )
 
-    ta = tok.select(F.col("_id").alias("id_a"), "_w")
-    tb = tok.select(F.col("_id").alias("id_b"), "_w")
+    # Verification: n_common via array_intersect against the per-doc token
+    # SET table (|docs| rows of short arrays) joined in by id — NOT the
+    # exploded token join (cand × n_a rows through a shuffle + agg), which
+    # degenerates when the corpus is template-heavy and the prefix filter
+    # passes ~all pairs (measured 145s → this form; AQE broadcasts the set
+    # table at test scale, and at cluster scale two keyed shuffles of the
+    # candidate rows still beat the token-explode by ~avg_doc_len×).
+    # Candidate dupes (pairs sharing several prefix tokens) are carried to
+    # the END and distinct'ed after the threshold filter, when few rows
+    # remain — dropping the pre-verify distinct removes a |cand|-row
+    # shuffle; the verify map is idempotent per pair.
+    doc_sets = tok.groupBy("_id").agg(
+        F.array_sort(F.collect_list("_w")).alias("_set")
+    )
+    sa = doc_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    sb = doc_sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "_w"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").cast("long").alias("n_common"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_common"),
+        )
     )
     union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return (
@@ -124,6 +142,7 @@ def prefix_jaccard_pairs(
             F.round(F.col("n_common") / union * 1e6).cast("long")
             .alias("jaccard_micro"),
         )
+        .distinct()
     )
 
 

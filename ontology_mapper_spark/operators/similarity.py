@@ -734,3 +734,76 @@ def scalar_quant_report(
         F.max("_err").cast("long").alias("max_abs_err_micro"),
         F.round(F.sum("_err") / F.count("*")).cast("long").alias("mean_abs_err_micro"),
     )
+
+
+def jl_distortion_report(
+    pairs: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    id_a: str = "id_a",
+    vec_a: str = "vec_a",
+    id_b: str = "id_b",
+    vec_b: str = "vec_b",
+) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random-projection distortion audit: for
+    each vector pair, squared L2 distance in the original space vs in
+    the ``n_planes``-dim projection (same md5-derived ±1 matrix as the
+    LSH family — ``plane_signs``), and the ratio d²_proj/(n_planes·d²)
+    whose expectation is 1 under the JL lemma.  This is the check run
+    before shipping a projection-compressed 100 TB embedding store.
+
+    Exact integer path: components micro-fixed-pointed, projections are
+    integer ±1 dots (one nested-array literal + fold, not k·dim Literal
+    nodes), both squared distances are integer sums; only the final
+    ratio is one double division (numerators can exceed 2^53, so both
+    engines cast the SAME bigint to double first — identical IEEE).
+
+    Output: (id_a, id_b, d2_orig, d2_proj, ratio_micro).
+    """
+    signs = plane_signs(n_planes, dim)
+    planes = F.lit(signs).cast("array<array<bigint>>")
+
+    def proj(mv):
+        return F.transform(
+            planes,
+            lambda row: F.aggregate(
+                F.zip_with(row, mv, lambda s, x: s * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    mv = pairs.select(
+        F.col(id_a),
+        F.col(id_b),
+        micro_vec_col(F.col(vec_a)).alias("_ma"),
+        micro_vec_col(F.col(vec_b)).alias("_mb"),
+    )
+    pj = mv.select(
+        id_a,
+        id_b,
+        d2(F.col("_ma"), F.col("_mb")).alias("d2_orig"),
+        d2(proj(F.col("_ma")), proj(F.col("_mb"))).alias("d2_proj"),
+    )
+    return pj.select(
+        id_a,
+        id_b,
+        "d2_orig",
+        "d2_proj",
+        F.round(
+            F.col("d2_proj").cast("double")
+            * 1e6
+            / (F.lit(n_planes) * F.greatest(F.col("d2_orig"), F.lit(1))).cast(
+                "double"
+            )
+        )
+        .cast("bigint")
+        .alias("ratio_micro"),
+    )
