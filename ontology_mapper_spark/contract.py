@@ -6644,3 +6644,242 @@ def qa56(spark, sf):
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
     return jl_distortion_report(pairs, n_planes=16, dim=64)
+
+
+@_q(
+    "qa57_locf_gapfill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+      FROM daily GROUP BY user_id),
+    f AS (
+      SELECT s.user_id, s.d, daily.n_obs,
+             last_value(daily.n_obs IGNORE NULLS) OVER w AS filled,
+             last_value(CASE WHEN daily.n_obs IS NOT NULL THEN s.d END
+                        IGNORE NULLS) OVER w AS last_d
+      FROM spine s LEFT JOIN daily
+        ON daily.user_id = s.user_id AND daily.d = s.d
+      WINDOW w AS (PARTITION BY s.user_id ORDER BY s.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day, n_obs,
+           CAST(filled AS BIGINT) AS filled,
+           CAST(date_diff('day', last_d, d) AS BIGINT) AS staleness_days
+    FROM f
+    """,
+)
+def qa57(spark, sf):
+    """Daily LOCF gap-fill per user (operators/temporal.py:
+    locf_gapfill): dense day spine generated in-plan via sequence +
+    explode (no calendar-table join), last-observation-carried-forward
+    + staleness via one IGNORE-NULLS window over the groupBy's own
+    partitioning — a single shuffle.  The backfill step that feeds
+    dense daily feature tables downstream."""
+    from .operators.temporal import locf_gapfill
+
+    return locf_gapfill(_t(spark, sf, "events"), "user_id")
+
+
+@_q(
+    "qa58_funnel_steps",
+    """
+    WITH b AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+    r1 AS (SELECT u, min(ts) AS t1 FROM b WHERE t = 'view' GROUP BY u),
+    r2 AS (SELECT b.u, min(b.ts) AS t2 FROM b JOIN r1 ON r1.u = b.u
+           WHERE b.t = 'click' AND b.ts > r1.t1 GROUP BY b.u),
+    r3 AS (SELECT b.u, min(b.ts) AS t3 FROM b JOIN r2 ON r2.u = b.u
+           WHERE b.t = 'purchase' AND b.ts > r2.t2 GROUP BY b.u),
+    s AS (
+      SELECT 1 AS stage, 'view' AS step_name,
+             CAST(count(*) AS BIGINT) AS n_users FROM r1
+      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM r2
+      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM r3),
+    s2 AS (SELECT * FROM s WHERE n_users > 0),
+    tot AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_all FROM b)
+    SELECT CAST(stage AS BIGINT) AS stage, step_name, n_users,
+           CAST(round(n_users * 1000000 /
+                      coalesce(lag(n_users) OVER (ORDER BY stage),
+                               (SELECT n_all FROM tot))) AS BIGINT)
+             AS conv_from_prev_micro
+    FROM s2
+    """,
+)
+def qa58(spark, sf):
+    """Ordered funnel view → click → purchase (operators/temporal.py:
+    funnel_stages): stage k's reach time is the FIRST qualifying event
+    strictly after stage k−1's, one per-user min-agg + user-keyed
+    equi-join per step, all stages counted in ONE lazy plan (union →
+    single aggregate, no driver-side per-step counts); conversion is
+    one integer micro-division vs the previous stage."""
+    from .operators.temporal import funnel_stages
+
+    return funnel_stages(
+        _t(spark, sf, "events"), "user_id", "event_type", "ts",
+        ["view", "click", "purchase"],
+    )
+
+
+@_q(
+    "qa59_cohort_retention",
+    """
+    WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                 FROM events),
+    f AS (SELECT u, min(d) AS c FROM act GROUP BY u),
+    tri AS (
+      SELECT c, date_diff('day', c, d) AS offset_days,
+             CAST(count(DISTINCT act.u) AS BIGINT) AS n_active
+      FROM act JOIN f ON f.u = act.u GROUP BY 1, 2),
+    s AS (
+      SELECT *, max(CASE WHEN offset_days = 0 THEN n_active END)
+                  OVER (PARTITION BY c) AS cohort_n
+      FROM tri)
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+           CAST(offset_days AS BIGINT) AS offset_days, n_active,
+           CAST(cohort_n AS BIGINT) AS cohort_n,
+           CAST(round(n_active * 1000000 / cohort_n) AS BIGINT)
+             AS retention_micro
+    FROM s
+    """,
+)
+def qa59(spark, sf):
+    """Cohort retention triangle (operators/temporal.py:
+    cohort_retention): users cohorted by first-activity day, distinct
+    actives per (cohort, day-offset), retention as one integer
+    micro-division vs the cohort's own offset-0 size (window max over
+    the same cohort partitioning — no second join)."""
+    from .operators.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"), "user_id")
+
+
+@_q(
+    "qa60_spearman_rankcorr",
+    r"""
+    WITH d AS (
+      SELECT source, n_chars AS x,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS y,
+             doc_id
+      FROM documents),
+    r AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+               AS rx,
+             row_number() OVER (PARTITION BY source ORDER BY y, doc_id)
+               AS ry
+      FROM d),
+    a AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      FROM r GROUP BY source)
+    SELECT source, n, sum_d2,
+           CASE WHEN n >= 2 THEN
+             CAST(round(1000000 - CAST(sum_d2 AS DOUBLE) * 6.0 * 1000000
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+                  AS BIGINT)
+           END AS rho_micro
+    FROM a
+    """,
+)
+def qa60(spark, sf):
+    """Per-source Spearman rank correlation between doc length and
+    BPE-ish token count (operators/stats.py:spearman_rho) — the
+    monotone-association monitor (does length still track tokens per
+    source, or did a scraper start emitting binary junk?).  Ranks are
+    row_number under TOTAL orders, so the no-ties closed form
+    1 − 6Σd²/(n(n²−1)) is exact; Σd² bigint, terminal rho a fixed
+    double DAG identical in both engines."""
+    from .operators.stats import spearman_rho
+
+    d = _t(spark, sf, "documents")
+    return spearman_rho(
+        d.select(
+            "source", "n_chars", token_count_col(F.col("text")).alias("_y"),
+            "doc_id",
+        ),
+        "source", "n_chars", "_y", "doc_id",
+    )
+
+
+_QA61_ORACLE = """
+    WITH ratings AS (
+      SELECT d.doc_id AS i, rr.r,
+             CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                               || ':' || rr.r), 1, 8)
+                        AS BIGINT) % 5 = 0
+                  THEN CASE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                                   || ';' || rr.r), 1, 8)
+                            AS BIGINT) % 3
+                       WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+                  ELSE d.lang END AS c
+      FROM documents d CROSS JOIN (VALUES (1), (2), (3)) rr(r)),
+    cell AS (SELECT i, c, CAST(count(*) AS BIGINT) AS n
+             FROM ratings GROUP BY 1, 2),
+    pc AS (SELECT c, CAST(sum(n) AS BIGINT) AS t,
+                  CAST(sum(n * n) AS BIGINT) AS s
+           FROM cell GROUP BY c),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS s, CAST(sum(t) AS BIGINT) AS nn,
+                   CAST(sum(t * t) AS BIGINT) AS t2
+            FROM pc),
+    ni AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items FROM cell),
+    k AS (
+      SELECT n_items, CAST(nn / n_items AS BIGINT) AS n_raters,
+             CAST(s - nn AS DOUBLE)
+               / CAST(nn * (CAST(nn / n_items AS BIGINT) - 1) AS DOUBLE)
+               AS p_bar,
+             CAST(t2 AS DOUBLE) / CAST(nn * nn AS DOUBLE) AS p_e
+      FROM tot CROSS JOIN ni)
+    SELECT n_items, n_raters,
+           CAST(round(p_bar * 1000000) AS BIGINT) AS p_bar_micro,
+           CAST(round(p_e * 1000000) AS BIGINT) AS p_e_micro,
+           CAST(round((p_bar - p_e) * 1000000 / (1.0 - p_e)) AS BIGINT)
+             AS kappa_micro
+    FROM k
+"""
+
+
+@_q("qa61_fleiss_kappa", _QA61_ORACLE)
+def qa61(spark, sf):
+    """Fleiss' kappa over a 3-rater label table (operators/stats.py:
+    fleiss_kappa) — multi-rater extension of qa12's Cohen kappa, the
+    agreement gate before trusting an ensemble labeling pass.  Raters
+    are deterministic md5-noised copies of the doc's lang (1-in-5
+    disagreement, md5-picked replacement) so both engines synthesize
+    the identical panel; S, marginals, N all exact bigint; P̄, P̄e, κ a
+    fixed double DAG micro-rounded at the end."""
+    from .operators.stats import fleiss_kappa
+
+    d = _t(spark, sf, "documents")
+    ratings = d.select(
+        F.col("doc_id"), "lang",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("r"),
+    )
+    h1 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("r"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(";", F.col("doc_id").cast("string"), F.col("r"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    labeled = ratings.select(
+        F.col("doc_id").alias("i"),
+        F.when(
+            h1 % 5 == 0,
+            F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                         (h2 % 3 + 1).cast("int")),
+        )
+        .otherwise(F.col("lang"))
+        .alias("c"),
+    )
+    return fleiss_kappa(labeled, "i", "c")

@@ -640,3 +640,130 @@ def equidepth_bins(
             F.round(F.sum("_vm") / F.count("*")).cast("long").alias("avg_micro"),
         )
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two per-row metrics
+    — the cheap monotone-association monitor (does doc length still
+    track token count per source? does quality score track dedup
+    cluster size?) that, unlike Pearson on raw doubles, is exactly
+    computable from integer ranks.
+
+    Ranks are ``row_number`` under a TOTAL order ((metric,
+    tiebreak_col) — the repo's window discipline), so both rankings are
+    permutations of 1..n and the no-ties closed form is exact:
+
+        rho = 1 − 6·Σd² / (n·(n²−1))
+
+    Σd² stays bigint; the terminal rho evaluation is a FIXED DAG of
+    IEEE double ops (cast Σd² and n to double first — Σd²·6e6 and
+    n·(n²−1) overflow int64 once groups pass a few million rows, and
+    identical double DAGs hash identically in any engine).  Two windows
+    over the same group partitioning + one group aggregate — a single
+    shuffle on the group key.
+
+    Output: (group_col, n bigint, sum_d2 bigint, rho_micro bigint;
+    groups with n < 2 emit NULL rho_micro).
+    """
+    wx = Window.partitionBy("_g").orderBy(F.col("_x").asc(), F.col("_tb").asc())
+    wy = Window.partitionBy("_g").orderBy(F.col("_y").asc(), F.col("_tb").asc())
+    ranked = df.select(
+        F.col(group_col).alias("_g"),
+        (x_col if not isinstance(x_col, str) else F.col(x_col)).alias("_x"),
+        (y_col if not isinstance(y_col, str) else F.col(y_col)).alias("_y"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).select(
+        "_g",
+        F.row_number().over(wx).cast("long").alias("_rx"),
+        F.row_number().over(wy).cast("long").alias("_ry"),
+    )
+    d = F.col("_rx") - F.col("_ry")
+    agg = ranked.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+    )
+    nd = F.col("n").cast("double")
+    denom = nd * (nd * nd - 1.0)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "sum_d2",
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                MICRO - F.col("sum_d2").cast("double") * 6.0 * MICRO / denom
+            ).cast("long"),
+        ).alias("rho_micro"),
+    )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa over a multi-rater label table (one row per
+    (item, rater) with the assigned category; every item must carry the
+    same number of ratings n) — the agreement gate run before trusting
+    a crowd/ensemble labeling pass at corpus scale.
+
+    Everything except three terminal IEEE steps is exact bigint
+    arithmetic from two aggregates:
+
+        S  = Σ_items Σ_cat n_ic²          (one (item,cat) count + sum)
+        T_c = Σ_items n_ic  → Σ_c T_c²    (category marginals)
+
+        P̄  = (S − N·n) / (N·n·(n−1))      one division
+        P̄e = Σ T_c² / (N·n)²              one division
+        κ  = (P̄ − P̄e) / (1 − P̄e)          one subtraction + one division
+
+    The double-precision steps operate on identical bigint inputs in
+    any engine, so the final micro-rounded values are bit-identical
+    (same discipline as the JL ratio).  Two shuffles total (item-cat
+    counts; single-row final fold).
+
+    Output: one row (n_items, n_raters, p_bar_micro, p_e_micro,
+    kappa_micro).
+    """
+    cell = (
+        ratings.select(
+            F.col(item_col).alias("_i"), F.col(category_col).alias("_c")
+        )
+        .groupBy("_i", "_c")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    per_cat = cell.groupBy("_c").agg(
+        F.sum("_n").cast("long").alias("_t"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_s"),
+    )
+    tot = per_cat.agg(
+        F.sum("_s").cast("long").alias("s"),
+        F.sum("_t").cast("long").alias("nn"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("t2"),
+    )
+    n_items = cell.select("_i").distinct().agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    j = tot.crossJoin(n_items)
+    n_raters = (F.col("nn") / F.col("n_items")).cast("long")
+    p_bar = (F.col("s") - F.col("nn")).cast("double") / (
+        F.col("nn") * (n_raters - 1)
+    ).cast("double")
+    p_e = F.col("t2").cast("double") / (F.col("nn") * F.col("nn")).cast(
+        "double"
+    )
+    return j.select(
+        "n_items",
+        n_raters.alias("n_raters"),
+        F.round(p_bar * MICRO).cast("long").alias("p_bar_micro"),
+        F.round(p_e * MICRO).cast("long").alias("p_e_micro"),
+        F.round((p_bar - p_e) * MICRO / (1.0 - p_e)).cast("long").alias(
+            "kappa_micro"
+        ),
+    )

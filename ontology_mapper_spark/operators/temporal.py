@@ -356,3 +356,205 @@ def cusum_online(
         (s_pos > h_micro).alias("alarm_pos"),
         (s_neg > h_micro).alias("alarm_neg"),
     )
+
+
+def locf_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily gap-fill with last-observation-carried-forward — the
+    backfill step that turns a sparse per-key activity log into the
+    dense daily feature table downstream joins expect (no NULL
+    explosions, explicit staleness).
+
+    Per key, a dense day spine spans [min observed day, max observed
+    day] (``sequence`` + explode — the spine is generated inside the
+    key's own rows, so no join against a calendar table and no skew
+    beyond the key's own span).  Observed days carry their count; gap
+    days carry the last observed count forward plus how stale it is.
+
+    Spine generation is O(span_days) per key and the fill is one
+    window over the same key partitioning the groupBy just produced —
+    a single shuffle end to end.
+
+    Output: (key_col, day 'yyyy-MM-dd', n_obs nullable bigint, filled
+    bigint, staleness_days bigint).  The first spine day is observed by
+    construction, so `filled` is never NULL.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.to_date(ts_col).alias("_d"),
+        )
+        .groupBy("_k", "_d")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    spine = (
+        daily.groupBy("_k")
+        .agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+        .select(
+            "_k",
+            F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias(
+                "_d"
+            ),
+        )
+    )
+    run = (
+        Window.partitionBy("_k")
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(daily, ["_k", "_d"], "left").select(
+        "_k",
+        "_d",
+        "n_obs",
+        F.last("n_obs", ignorenulls=True).over(run).alias("filled"),
+        F.last(
+            F.when(F.col("n_obs").isNotNull(), F.col("_d")), ignorenulls=True
+        )
+        .over(run)
+        .alias("_last_d"),
+    )
+    return filled.select(
+        F.col("_k").alias(key_col),
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        "n_obs",
+        F.col("filled").cast("long"),
+        F.datediff("_d", "_last_d").cast("long").alias("staleness_days"),
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached step k of
+    ``steps`` with each step's FIRST qualifying event strictly after
+    the previous step's — the product-analytics staple (view → click →
+    purchase) and, over transcripts, the task-completion funnel
+    (user ask → tool call → resolution).
+
+    Stage k's reach time is the min event time of type steps[k] after
+    the user's stage-(k−1) time: one filtered per-user min-agg plus one
+    keyed equi-join per step (len(steps) is small and fixed; every join
+    is on the user key, AQE-friendly, no window over raw events).  The
+    whole funnel is ONE lazy plan — per-stage reach sets are unioned
+    and counted in a single aggregate, never counted driver-side per
+    step.  Conversion is one integer micro-division per row, vs the
+    previous stage (stage 1: vs all distinct users, carried in via a
+    broadcast single-row cross join).
+
+    A stage nobody reaches emits no row (and neither do later stages —
+    funnel monotonicity), matching the plain relational mirror.
+
+    Output: (stage bigint 1-based, step_name, n_users bigint,
+    conv_from_prev_micro bigint).
+    """
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+    )
+    reached = base.where(F.col("_t") == steps[0]).groupBy("_u").agg(
+        F.min("_ts").alias("_step_ts")
+    )
+    marked = [reached.select("_u", F.lit(1).alias("stage"))]
+    for i, step in enumerate(steps[1:], start=2):
+        reached = (
+            base.where(F.col("_t") == step)
+            .join(
+                reached.select("_u", F.col("_step_ts").alias("_prev")), "_u"
+            )
+            .where(F.col("_ts") > F.col("_prev"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_step_ts"))
+        )
+        marked.append(reached.select("_u", F.lit(i).alias("stage")))
+    union = marked[0]
+    for m in marked[1:]:
+        union = union.unionByName(m)
+    per_stage = union.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    spark = df.sparkSession
+    names = F.broadcast(
+        spark.createDataFrame(
+            [(i + 1, s) for i, s in enumerate(steps)],
+            "stage int, step_name string",
+        )
+    )
+    n_all = base.select("_u").distinct().agg(
+        F.count("*").cast("long").alias("_n_all")
+    )
+    w = Window.orderBy("stage")  # ≤ len(steps) rows — single tiny partition
+    return (
+        per_stage.join(names, "stage")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            F.col("stage").cast("long"),
+            "step_name",
+            "n_users",
+            F.round(
+                F.col("n_users")
+                * 1_000_000
+                / F.coalesce(
+                    F.lag("n_users").over(w), F.col("_n_all")
+                )
+            )
+            .cast("long")
+            .alias("conv_from_prev_micro"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    tracked by how many are active d days later — the corpus-freshness
+    / contributor-churn view of an event log.
+
+    Two aggregates and one keyed join: per-user first day (map-side
+    combinable min), distinct (user, day) activity, join on the user
+    key, then count distinct users per (cohort, offset).  Retention is
+    one integer micro-division against the cohort's own size (its
+    offset-0 distinct count — every user is active on their first day
+    by construction).
+
+    Output: (cohort_day 'yyyy-MM-dd', offset_days bigint, n_active
+    bigint, cohort_n bigint, retention_micro bigint).
+    """
+    act = df.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d")
+    ).distinct()
+    firsts = act.groupBy("_u").agg(F.min("_d").alias("_c"))
+    tri = (
+        act.join(firsts, "_u")
+        .groupBy("_c", F.datediff("_d", "_c").alias("offset_days"))
+        .agg(F.countDistinct("_u").cast("long").alias("n_active"))
+    )
+    w = Window.partitionBy("_c")
+    sized = tri.select(
+        "_c",
+        F.col("offset_days").cast("long"),
+        "n_active",
+        F.max(F.when(F.col("offset_days") == 0, F.col("n_active")))
+        .over(w)
+        .cast("long")
+        .alias("cohort_n"),
+    )
+    return sized.select(
+        F.date_format("_c", "yyyy-MM-dd").alias("cohort_day"),
+        "offset_days",
+        "n_active",
+        "cohort_n",
+        F.round(F.col("n_active") * 1_000_000 / F.col("cohort_n"))
+        .cast("long")
+        .alias("retention_micro"),
+    )
