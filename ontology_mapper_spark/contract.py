@@ -6883,3 +6883,245 @@ def qa61(spark, sf):
         .alias("c"),
     )
     return fleiss_kappa(labeled, "i", "c")
+
+
+@_q(
+    "qa62_k_anonymity",
+    """
+    WITH cls AS (
+      SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS l
+      FROM documents GROUP BY 1, 2),
+    e AS (SELECT n, l, k FROM cls CROSS JOIN (VALUES (2), (5), (10)) t(k)),
+    a AS (
+      SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below,
+             CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+               AS rows_below,
+             CAST(min(n) AS BIGINT) AS min_class_size,
+             CAST(min(l) AS BIGINT) AS min_l_diversity
+      FROM e GROUP BY k)
+    SELECT k, n_classes, n_rows, classes_below, rows_below,
+           CAST(round(rows_below * 1000000 / n_rows) AS BIGINT) AS risk_micro,
+           min_class_size, min_l_diversity
+    FROM a
+    """,
+)
+def qa62(spark, sf):
+    """k-anonymity / l-diversity audit (operators/privacy.py:
+    k_anonymity_report): documents quasi-identified by (source,
+    length-bucket), sensitive attribute = lang.  One shuffle builds the
+    equivalence-class table; each k threshold is a conditional agg over
+    it (thresholds exploded in-plan).  The release gate a corpus passes
+    before any user-level slice leaves the pipeline."""
+    from .operators.privacy import k_anonymity_report
+
+    d = _t(spark, sf, "documents")
+    return k_anonymity_report(
+        d,
+        ["source", F.floor(F.col("n_chars") / 100).cast("long")],
+        "lang",
+        (2, 5, 10),
+    )
+
+
+_QA63_PREDS = [(0, 99), (1000, 1099), (5000, 5999)]
+
+
+def _qa63_oracle() -> str:
+    preds = ", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_QA63_PREDS))
+    layout = """
+      SELECT '{name}' AS layout, p.pid, p.lo, p.hi,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN z.hi_ >= p.lo AND z.lo_ <= p.hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+             CAST(sum(CASE WHEN z.hi_ >= p.lo AND z.lo_ <= p.hi
+                           THEN z.r ELSE 0 END) AS BIGINT) AS rows_scanned
+      FROM (
+        SELECT f, min(v) AS lo_, max(v) AS hi_, CAST(count(*) AS BIGINT) AS r
+        FROM (SELECT user_id AS v,
+                     ntile(64) OVER (ORDER BY {key}, event_id) AS f
+              FROM events)
+        GROUP BY f) z
+      CROSS JOIN (VALUES {preds}) p(pid, lo, hi)
+      GROUP BY 1, 2, 3, 4
+    """
+    parts = [
+        layout.format(name="by_user", key="user_id", preds=preds),
+        layout.format(name="by_time", key="ts", preds=preds),
+    ]
+    return f"""
+    WITH u AS ({' UNION ALL '.join(parts)})
+    SELECT layout, CAST(pid AS BIGINT) AS pred_id,
+           CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+           n_files, files_scanned, rows_scanned,
+           CAST(round((n_files - files_scanned) * 1000000 / n_files)
+                AS BIGINT) AS pruned_micro
+    FROM u
+    """
+
+
+@_q("qa63_zonemap_pruning", _qa63_oracle())
+def qa63(spark, sf):
+    """Zone-map pruning effectiveness audit (operators/layout.py:
+    zone_map_effectiveness): simulate cutting events into 64 contiguous
+    files under two write layouts (sorted by user_id vs sorted by time)
+    and count which files a user_id range predicate must read given
+    min/max footers.  The layout-decision tool you run on a sample
+    before rewriting 100 TB — by_user should prune nearly everything,
+    by_time nearly nothing."""
+    from .operators.layout import zone_map_effectiveness
+
+    e = _t(spark, sf, "events")
+    a = zone_map_effectiveness(
+        e, F.col("user_id"), F.col("event_id"), F.col("user_id"),
+        64, _QA63_PREDS, "by_user",
+    )
+    b = zone_map_effectiveness(
+        e, F.col("ts"), F.col("event_id"), F.col("user_id"),
+        64, _QA63_PREDS, "by_time",
+    )
+    return a.unionByName(b)
+
+
+@_q(
+    "qa64_seasonality",
+    """
+    WITH daily AS (
+      SELECT event_type AS t, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    dw AS (
+      SELECT t, CAST(dayofweek(d) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(y) AS BIGINT) AS sw,
+             CAST(sum(y * y) AS BIGINT) AS qw
+      FROM daily GROUP BY 1, 2),
+    r AS (
+      SELECT *,
+             CAST(round(CAST(sw AS DOUBLE) * sw / nw * 1000000) AS BIGINT)
+               AS term,
+             row_number() OVER (PARTITION BY t
+                                ORDER BY CAST(sw AS DOUBLE) / nw DESC, w ASC)
+               AS rk
+      FROM dw),
+    a AS (
+      SELECT t, CAST(sum(nw) AS BIGINT) AS n_days,
+             CAST(sum(sw) AS BIGINT) AS s, CAST(sum(qw) AS BIGINT) AS q,
+             CAST(sum(term) AS BIGINT) AS ssb,
+             CAST(max(CASE WHEN rk = 1 THEN w END) AS BIGINT) AS peak_dow,
+             CAST(max(CASE WHEN rk = 1
+                           THEN CAST(round(sw * 1000000 / nw) AS BIGINT) END)
+                  AS BIGINT) AS peak_mean_micro
+      FROM r GROUP BY t),
+    g AS (
+      SELECT *, CAST(s AS DOUBLE) * s / n_days * 1000000 AS gt FROM a)
+    SELECT t AS event_type, n_days,
+           CAST(round(s * 1000000 / n_days) AS BIGINT) AS mean_daily_micro,
+           CASE WHEN CAST(q AS DOUBLE) * 1000000 - gt > 0 THEN
+             CAST(round((CAST(ssb AS DOUBLE) - gt) * 1000000
+                        / (CAST(q AS DOUBLE) * 1000000 - gt)) AS BIGINT)
+           END AS r2_dow_micro,
+           peak_dow, peak_mean_micro
+    FROM g
+    """,
+)
+def qa64(spark, sf):
+    """Day-of-week seasonality strength per event type (operators/
+    temporal.py:seasonal_strength): one-way-ANOVA R² of the weekday-
+    mean model over daily counts, peak weekday included — decides
+    whether freshness/volume alerts need weekday baselines.  Per-dow
+    s²/n terms micro-rounded THEN integer-summed (≤7 terms, never an
+    order-dependent double sum); final R² one fixed double DAG."""
+    from .operators.temporal import seasonal_strength
+
+    return seasonal_strength(_t(spark, sf, "events"), "event_type")
+
+
+@_q(
+    "qa65_roc_auc",
+    """
+    WITH h AS (
+      SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM documents GROUP BY 1, 2),
+    r AS (
+      SELECT g, c, c1,
+             2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) + c + 1 AS mr2
+      FROM h),
+    a AS (
+      SELECT g, CAST(sum(c1) AS BIGINT) AS n_pos,
+             CAST(sum(c - c1) AS BIGINT) AS n_neg,
+             CAST(sum(c1 * mr2) AS BIGINT) AS r12
+      FROM r GROUP BY g)
+    SELECT g AS source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(r12 - n_pos * (n_pos + 1) AS BIGINT) END AS u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(round((r12 - n_pos * (n_pos + 1)) * 1000000
+                                / (n_pos * n_neg * 2)) AS BIGINT)
+           END AS auc_micro,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(round((r12 - n_pos * (n_pos + 1)) * 1000000
+                                / (n_pos * n_neg * 2)) AS BIGINT) * 2
+                     - 1000000
+           END AS gini_micro
+    FROM a
+    """,
+)
+def qa65(spark, sf):
+    """Per-source ROC-AUC of doc length as an is-English classifier
+    (operators/evaluate.py:roc_auc) — the rank-quality gate for any
+    score that filters a corpus.  Mann-Whitney identity on the score
+    HISTOGRAM with doubled midranks (qa22's trick), so ties are exact
+    and everything before one terminal division is bigint."""
+    from .operators.evaluate import roc_auc
+
+    d = _t(spark, sf, "documents")
+    return roc_auc(d, "source", "n_chars", F.col("lang") == F.lit("en"))
+
+
+@_q(
+    "qa66_dp_counts",
+    """
+    WITH c AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS true_n
+               FROM events GROUP BY 1),
+    n AS (
+      SELECT g, true_n,
+             CAST('0x' || substr(md5('r3:' || g), 1, 12) AS BIGINT) AS h
+      FROM c),
+    m AS (
+      SELECT g, true_n, h,
+             281474976710656 - abs(h * 2 + 1 - 281474976710656) AS m
+      FROM n),
+    x AS (
+      SELECT g, true_n,
+             CAST(round(-(CASE WHEN h * 2 + 1 > 281474976710656
+                               THEN 1.0 ELSE -1.0 END)
+                        * (1.0 * 1000000 / 500000.0)
+                        * ln(CAST(m AS DOUBLE) / 281474976710656)
+                        * 1000000) AS BIGINT) AS noise_micro
+      FROM m)
+    SELECT g AS event_type, true_n, noise_micro,
+           CAST(true_n * 1000000 + noise_micro AS BIGINT) AS noisy_micro,
+           CAST(abs(noise_micro) AS BIGINT) AS abs_err_micro
+    FROM x
+    """,
+)
+def qa66(spark, sf):
+    """Seeded ε-DP Laplace release counts per event type (operators/
+    privacy.py:dp_noisy_counts, ε=0.5): the uniform is an exact dyadic
+    rational from 48 md5 bits, the inverse-CDF ln argument is an
+    integer over 2^48 (power-of-two division — exact), so both engines
+    draw the identical deviate; one micro-rounded ln per group."""
+    from .operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf, "events"), "event_type", 500_000, seed="r3"
+    )

@@ -11,7 +11,7 @@ so it can run at corpus scale and land in the metrics table
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -157,4 +157,81 @@ def pair_set_metrics(
         F.round((F.col("n_hit") * MICRO).cast("double") / F.col("n_cand"))
         .cast("long")
         .alias("precision_micro"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Per-group ROC-AUC of an integer score against a boolean label,
+    tie-correct and hash-exact — the one-number check that a quality /
+    classifier score actually ranks positives above negatives before it
+    gates a corpus at scale.
+
+    Uses the Mann-Whitney identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) on
+    midranks, via the repo's doubled-midrank histogram trick (qa22):
+    group by distinct score value, doubled midrank = 2·cum_before +
+    c_total + 1 stays integer under ties, so
+
+        auc = (Σ_pos 2·midrank − 2·n₁·(n₁+1)/2) / (2·n₁·n₀)
+
+    is a single integer division micro-rounded at the end; Gini (2·AUC
+    − 1) follows by integer arithmetic.  Cost: one (group, score)
+    count + one window over the same partitioning + one group agg —
+    the score histogram is tiny regardless of corpus size.
+
+    Output per group: n_pos, n_neg, u2 (doubled Mann-Whitney U,
+    bigint), auc_micro, gini_micro (NULL when either class is empty).
+    """
+    hist = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            (score_col if not isinstance(score_col, str) else F.col(score_col))
+            .cast("long")
+            .alias("_v"),
+            (label_col if not isinstance(label_col, str) else F.col(label_col))
+            .cast("boolean")
+            .alias("_y"),
+        )
+        .groupBy("_g", "_v")
+        .agg(
+            F.count("*").cast("long").alias("_c"),
+            F.sum(F.col("_y").cast("long")).cast("long").alias("_c1"),
+        )
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        "_g",
+        "_c",
+        "_c1",
+        (
+            F.coalesce(F.sum("_c").over(w), F.lit(0)) * 2
+            + F.col("_c")
+            + 1
+        ).alias("_mr2"),
+    )
+    agg = ranked.groupBy("_g").agg(
+        F.sum("_c1").cast("long").alias("n_pos"),
+        F.sum(F.col("_c") - F.col("_c1")).cast("long").alias("n_neg"),
+        F.sum(F.col("_c1") * F.col("_mr2")).cast("long").alias("_r1_2"),
+    )
+    u2 = F.col("_r1_2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    auc = F.round(u2 * F.lit(1_000_000) / (F.col("n_pos") * F.col("n_neg") * 2))
+    nonempty = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.when(nonempty, u2).cast("long").alias("u2"),
+        F.when(nonempty, auc).cast("long").alias("auc_micro"),
+        F.when(nonempty, auc.cast("long") * 2 - 1_000_000)
+        .cast("long")
+        .alias("gini_micro"),
     )

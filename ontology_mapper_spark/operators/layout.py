@@ -179,3 +179,84 @@ def compaction_plan(
         F.min("_o").alias(f"{order_col}_min"),
         F.max("_o").alias(f"{order_col}_max"),
     )
+
+
+def zone_map_effectiveness(
+    df: DataFrame,
+    layout_key: Column,
+    tiebreak: Column,
+    stat_col: Column,
+    n_files: int,
+    predicates: Sequence[tuple[int, int]],
+    layout_name: str,
+) -> DataFrame:
+    """Would this write layout let min/max zone maps prune a range
+    predicate?  Simulate the file split and count touched files.
+
+    Rows are laid out in (layout_key, tiebreak) order — a TOTAL order,
+    the repo's window discipline — and cut into ``n_files`` contiguous
+    "files" with ``ntile`` (exactly how a sorted write splits into
+    equal row-group files).  Each file keeps min/max of ``stat_col``
+    (its parquet footer zone map); a predicate [lo, hi] must read a
+    file iff the ranges overlap.  The per-file stat table has n_files
+    rows, so evaluating every candidate predicate against it is free —
+    the cost is one pass + one total-order rank.
+
+    That rank is a global sort: this is an AUDIT tool you run on one
+    partition's worth (or a sample) of data to CHOOSE a layout before
+    rewriting 100 TB — the verdict (pruned fraction per layout per
+    predicate family) is what transfers to the full rewrite, not the
+    simulated file cuts themselves.
+
+    Output, one row per predicate: layout, pred_id, lo, hi, n_files,
+    files_scanned, rows_scanned (rows in touched files — the read
+    bill), pruned_micro (fraction of files skipped).
+    """
+    w = Window.orderBy(layout_key.asc(), tiebreak.asc())
+    ranked = df.select(
+        stat_col.alias("_v"), F.ntile(n_files).over(w).alias("file_id")
+    )
+    zones = ranked.groupBy("file_id").agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.count("*").cast("long").alias("_rows"),
+    )
+    preds = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("pred_id"),
+                    F.lit(int(lo)).cast("long").alias("lo"),
+                    F.lit(int(hi)).cast("long").alias("hi"),
+                )
+                for i, (lo, hi) in enumerate(predicates)
+            ]
+        )
+    )
+    crossed = zones.select("file_id", "_lo", "_hi", "_rows", preds.alias("p"))
+    hit = (F.col("_hi") >= F.col("p.lo")) & (F.col("_lo") <= F.col("p.hi"))
+    match_rows = F.when(
+        hit,
+        F.col("_rows"),
+    ).otherwise(F.lit(0))
+    agg = crossed.groupBy("p.pred_id", "p.lo", "p.hi").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(hit.cast("long")).cast("long").alias("files_scanned"),
+        F.sum(match_rows).cast("long").alias("rows_scanned"),
+    )
+    return agg.select(
+        F.lit(layout_name).alias("layout"),
+        F.col("pred_id").cast("long"),
+        "lo",
+        "hi",
+        "n_files",
+        "files_scanned",
+        "rows_scanned",
+        F.round(
+            (F.col("n_files") - F.col("files_scanned"))
+            * 1_000_000
+            / F.col("n_files")
+        )
+        .cast("long")
+        .alias("pruned_micro"),
+    )

@@ -558,3 +558,106 @@ def cohort_retention(
         .cast("long")
         .alias("retention_micro"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week seasonality strength of an event stream, per type:
+    the R² of the "each weekday has its own mean" model over daily
+    counts — the variance-decomposition form of "is this metric's
+    weekly rhythm real, and how much of the wiggle does it explain?"
+    (R² ≈ 0 → alerts keyed to weekday baselines are noise; R² ≈ 1 →
+    a flat threshold will page every weekend.)
+
+    Identity used (one-way ANOVA between/total split, all from integer
+    sums): with per-dow count n_w and sum s_w, grand sum S, N days,
+
+        R² = (Σ_w s_w²/n_w − S²/N) / (Σ_d y_d² − S²/N)
+
+    Daily counts, per-dow sums and Σy² are exact bigints; each s_w²/n_w
+    term is micro-rounded per dow row THEN integer-summed (≤7 terms —
+    never an order-dependent double sum), and the final R² is one
+    fixed double DAG over those bigints.  Two aggregates over the same
+    (type, …) grouping — the dow rollup reuses the daily shuffle's
+    partitioning.
+
+    Weekday index is 0=Sunday…6=Saturday (Spark ``dayofweek() − 1`` ==
+    DuckDB ``dayofweek()`` — aligned so the oracle replays it).
+
+    Output per type: n_days, mean_daily_micro, r2_dow_micro, peak_dow,
+    peak_mean_micro (peak = highest per-dow mean; ties → lowest dow).
+    """
+    daily = (
+        df.select(
+            F.col(type_col).alias("_t"),
+            F.to_date(ts_col).alias("_d"),
+        )
+        .groupBy("_t", "_d")
+        .agg(F.count("*").cast("long").alias("_y"))
+        .select(
+            "_t",
+            "_y",
+            (F.dayofweek("_d") - 1).cast("long").alias("_w"),
+        )
+    )
+    per_dow = daily.groupBy("_t", "_w").agg(
+        F.count("*").cast("long").alias("_nw"),
+        F.sum("_y").cast("long").alias("_sw"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_qw"),
+    )
+    # s_w²/n_w micro-rounded per dow (fixed DAG), then integer-summed.
+    term = F.round(
+        F.col("_sw").cast("double") * F.col("_sw") / F.col("_nw") * 1_000_000
+    ).cast("long")
+    rank_w = Window.partitionBy("_t").orderBy(
+        (F.col("_sw").cast("double") / F.col("_nw")).desc(), F.col("_w").asc()
+    )
+    ranked = per_dow.select(
+        "_t",
+        "_nw",
+        "_sw",
+        "_qw",
+        term.alias("_term"),
+        F.row_number().over(rank_w).alias("_r"),
+        F.col("_w"),
+    )
+    agg = ranked.groupBy("_t").agg(
+        F.sum("_nw").cast("long").alias("n_days"),
+        F.sum("_sw").cast("long").alias("_s"),
+        F.sum("_qw").cast("long").alias("_q"),
+        F.sum("_term").cast("long").alias("_ssb_micro"),
+        F.max(F.when(F.col("_r") == 1, F.col("_w"))).cast("long").alias(
+            "peak_dow"
+        ),
+        F.max(
+            F.when(
+                F.col("_r") == 1,
+                F.round(
+                    F.col("_sw") * F.lit(1_000_000) / F.col("_nw")
+                ).cast("long"),
+            )
+        ).alias("peak_mean_micro"),
+    )
+    gt = (
+        F.col("_s").cast("double")
+        * F.col("_s")
+        / F.col("n_days")
+        * 1_000_000
+    )
+    num = F.col("_ssb_micro").cast("double") - gt
+    den = F.col("_q").cast("double") * 1_000_000 - gt
+    return agg.select(
+        F.col("_t").alias(type_col),
+        "n_days",
+        F.round(F.col("_s") * F.lit(1_000_000) / F.col("n_days"))
+        .cast("long")
+        .alias("mean_daily_micro"),
+        F.when(den > 0.0, F.round(num * 1_000_000 / den).cast("long")).alias(
+            "r2_dow_micro"
+        ),
+        "peak_dow",
+        "peak_mean_micro",
+    )
