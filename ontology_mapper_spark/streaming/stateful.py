@@ -145,3 +145,51 @@ def track_sessions_batch(transcripts: DataFrame) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.lit(True).alias("closed"),
     )
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization on a STREAM via Spark's native
+    ``session_window`` aggregate — byte-identical semantics to the
+    batch `operators/temporal.py:sessionize_native` (same merge rule:
+    touching windows merge, a new session needs a gap STRICTLY greater
+    than ``gap``), because it IS the same operator; only the state
+    machinery differs.
+
+    In append mode a session row emits exactly once, when the watermark
+    passes the session's close (last event + gap); until then the state
+    store holds one open window per active user — O(active users), the
+    bound a 10^12-event firehose needs, with eviction handled by the
+    engine rather than hand-rolled timeout code (contrast
+    ``track_sessions``, the applyInPandasWithState form kept for
+    custom per-group state).
+
+    Output matches the batch operator: (user_col, session_start,
+    session_last, n_events) with microsecond-string timestamps.
+    """
+    from pyspark.sql import functions as F
+
+    g = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.min(ts_col).alias("_start"),
+            F.max(ts_col).alias("_last"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return g.select(
+        user_col,
+        F.date_format("_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_last"
+        ),
+        F.col("n_events").cast("long"),
+    )

@@ -322,3 +322,111 @@ def test_stream_windowed_comention_counts_parity(spark, tmp_path):
     for r in got:
         totals[(r.entity_a, r.entity_b)] += r.n_comentions
     assert dict(totals) == want_totals and len(want_totals) > 0
+
+
+def test_stream_sessionize_native_parity(spark, tmp_path):
+    """Native session_window on a stream emits, in append mode, exactly
+    the batch sessionize_native rows once a far-future sentinel pushes
+    the watermark past every real session's close."""
+    from datetime import datetime, timedelta
+
+    from ontology_mapper_spark.operators.temporal import sessionize_native
+    from ontology_mapper_spark.streaming.stateful import stream_sessionize
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, base), (1, base + timedelta(minutes=10)),   # session A (merged)
+        (1, base + timedelta(hours=3)),                 # session B
+        (2, base + timedelta(minutes=5)),               # session C
+    ]
+    sentinel = [(-1, base + timedelta(days=30))]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        rows + sentinel, "user_id bigint, ts timestamp"
+    ).repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 100)
+        .parquet(src)
+    )
+    out = stream_sessionize(stream, gap="30 minutes", watermark="1 minute")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        tuple(r)
+        for r in spark.sql("select * from sess_stream").collect()
+        if r["user_id"] != -1
+    }
+    want = {
+        tuple(r)
+        for r in sessionize_native(
+            spark.createDataFrame(rows, "user_id bigint, ts timestamp"),
+            "user_id", "ts", "30 minutes",
+        ).collect()
+    }
+    assert got == want and len(want) == 3
+
+
+def test_stream_sessionize_merges_across_restarts(spark, tmp_path):
+    """Session state survives a checkpointed restart: events of ONE
+    session split across two runs merge into a single emitted row."""
+    from datetime import datetime, timedelta
+
+    from ontology_mapper_spark.streaming.stateful import stream_sessionize
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    src = tmp_path / "sess_src2"
+    ckpt = str(tmp_path / "sess_ckpt2")
+    sink = str(tmp_path / "sess_out2")
+    src.mkdir()
+    out_schema = (
+        "user_id bigint, session_start string, session_last string, "
+        "n_events bigint"
+    )
+
+    def run(name):
+        # memory sink can't recover from a checkpoint; a file sink can —
+        # which is also the restart story a real deployment uses.
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 100)
+            .parquet(str(src))
+        )
+        out = stream_sessionize(
+            stream, gap="30 minutes", watermark="1 minute"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(240)
+        return spark.read.schema(out_schema).parquet(sink).collect()
+
+    spark.createDataFrame(
+        [(1, base), (1, base + timedelta(minutes=10))],
+        "user_id bigint, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    first = run("sess_r1")
+    assert first == []  # session still open — nothing emitted
+
+    spark.createDataFrame(
+        [(1, base + timedelta(minutes=20)), (-1, base + timedelta(days=30))],
+        "user_id bigint, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    second = [r for r in run("sess_r2") if r["user_id"] != -1]
+    assert len(second) == 1
+    assert second[0]["n_events"] == 3  # all three events, ONE merged session
+    assert second[0]["session_start"].startswith("2024-03-01 12:00:00")
+    assert second[0]["session_last"].startswith("2024-03-01 12:20:00")
