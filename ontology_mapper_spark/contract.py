@@ -7125,3 +7125,308 @@ def qa66(spark, sf):
     return dp_noisy_counts(
         _t(spark, sf, "events"), "event_type", 500_000, seed="r3"
     )
+
+
+@_q(
+    "qa67_kaplan_meier",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s, event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (SELECT user_id, sid, min(ts) AS f, max(ts) AS l
+             FROM s2 GROUP BY 1, 2),
+    gm AS (SELECT max(ts) AS g FROM events),
+    subj AS (
+      SELECT epoch_us(l) - epoch_us(f) AS t,
+             (epoch_us(g) - epoch_us(l)) > 1800000000 AS e
+      FROM sess CROSS JOIN gm),
+    per_t AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM subj GROUP BY t),
+    st AS (
+      SELECT *,
+             CAST(sum(a) OVER () AS BIGINT)
+               - CAST(coalesce(sum(a) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n
+      FROM per_t),
+    tm AS (
+      SELECT *,
+             CASE WHEN d > 0 AND d < n
+                  THEN CAST(round(ln(CAST(n - d AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                       - CAST(round(ln(CAST(n AS DOUBLE)) * 1000000)
+                              AS BIGINT)
+                  ELSE 0 END AS term
+      FROM st),
+    cm AS (
+      SELECT *,
+             CAST(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS lns,
+             max(CASE WHEN d = n THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+      FROM tm)
+    SELECT t AS duration, d AS n_events,
+           CAST(a - d AS BIGINT) AS n_censored_here, n AS n_at_risk,
+           CASE WHEN dead = 1 THEN NULL ELSE lns END AS ln_s_micro,
+           CASE WHEN dead = 1 THEN 0
+                ELSE CAST(round(exp(CAST(lns AS DOUBLE) / 1000000) * 1000000)
+                          AS BIGINT) END AS survival_micro
+    FROM cm WHERE d > 0
+    """,
+)
+def qa67(spark, sf):
+    """Kaplan-Meier survival of session lifetimes (operators/stats.py:
+    kaplan_meier): sessions cut at gap>30min (q24 semantics, total
+    order (ts, event_id)), duration in epoch-micros, sessions whose
+    last event is within 30 min of the corpus end are CENSORED (still
+    open — they leave the risk set without counting as deaths).
+    Product-limit in log space: per-event-time ln factors micro-rounded
+    then integer-cumsummed; one exp per output row."""
+    from .operators.stats import kaplan_meier
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias(
+            "new_s"
+        ),
+        "event_id",
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.select(
+            "user_id", "ts", F.sum("new_s").over(run).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    )
+    gm = e.agg(F.max("ts").alias("g"))
+    subj = sess.crossJoin(F.broadcast(gm)).select(
+        (
+            F.unix_micros(F.col("l").cast("timestamp"))
+            - F.unix_micros(F.col("f").cast("timestamp"))
+        ).alias("t"),
+        (
+            F.unix_micros(F.col("g").cast("timestamp"))
+            - F.unix_micros(F.col("l").cast("timestamp"))
+            > 1_800_000_000
+        ).alias("e"),
+    )
+    return kaplan_meier(subj, "t", "e")
+
+
+_QA68_SPEC = [
+    ("region", "r_regionkey", ["r_name"], 4),
+    ("nation", "n_regionkey", ["n_name"], 8),
+    ("customer", "c_nationkey", ["c_name", "c_mktsegment"], 20),
+    ("orders", "o_custkey", ["o_orderstatus", "o_orderpriority"], 32),
+    ("lineitem", "l_orderkey", ["l_returnflag", "l_linestatus"], 68),
+]
+
+
+def _qa68_oracle() -> str:
+    blocks = []
+    for name, key, strs, fixed in _QA68_SPEC:
+        octsum = " + ".join(
+            ["0"] + [f"coalesce(strlen({c}), 0)" for c in strs]
+        )
+        blocks.append(
+            f"""
+      SELECT '{name}' AS table_name, b.n_rows,
+             CAST(b.sb + b.n_rows * {fixed} AS BIGINT) AS est_bytes,
+             h.mk AS max_key_rows,
+             CAST(round(h.mk * 1000000 / b.n_rows) AS BIGINT)
+               AS hot_share_micro
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum({octsum}) AS BIGINT) AS sb FROM {name}) b
+      CROSS JOIN (SELECT CAST(max(c) AS BIGINT) AS mk FROM
+                  (SELECT count(*) AS c FROM {name} GROUP BY {key})) h
+            """
+        )
+    u = " UNION ALL ".join(blocks)
+    return f"""
+    WITH u AS ({u})
+    SELECT table_name, n_rows, est_bytes, max_key_rows, hot_share_micro,
+           CASE WHEN est_bytes <= 65536 THEN 'broadcast'
+                WHEN hot_share_micro >= 50000 THEN 'salted-shuffle'
+                ELSE 'shuffle' END AS strategy
+    FROM u
+    """
+
+
+@_q("qa68_join_advisor", _qa68_oracle())
+def qa68(spark, sf):
+    """Join-strategy advisor (operators/skew.py:join_side_stats,
+    join_strategy_advisor): per join side, rows + estimated payload
+    bytes (octet_length over strings + fixed type widths) + hottest-key
+    share, classified into broadcast / salted-shuffle / shuffle.  The
+    audit table that catches 'the dimension stopped fitting the
+    broadcast budget' as a PLAN change before it becomes shuffle spill.
+    Broadcast budget shrunk to 64 KiB here so small-sf data exercises
+    both branches of the decision."""
+    from .operators.skew import join_side_stats, join_strategy_advisor
+
+    profiles = [
+        join_side_stats(_t(spark, sf, name), name, key)
+        for name, key, _strs, _fx in _QA68_SPEC
+    ]
+    return join_strategy_advisor(profiles, broadcast_bytes=65536)
+
+
+@_q(
+    "qa69_benford",
+    """
+    WITH obs AS (
+      SELECT source AS g,
+             CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS o
+      FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+    spine AS (
+      SELECT g, dd.d FROM (SELECT DISTINCT g FROM obs)
+      CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9))
+        dd(d)),
+    pp(d, pm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+                         (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+                         (8, 51153), (9, 45757)),
+    j AS (
+      SELECT s.g, CAST(s.d AS BIGINT) AS d, coalesce(o.o, 0) AS o,
+             CAST(pp.pm AS BIGINT) AS pm
+      FROM spine s LEFT JOIN obs o ON o.g = s.g AND o.d = s.d
+      JOIN pp ON pp.d = s.d),
+    n AS (SELECT *, CAST(sum(o) OVER (PARTITION BY g) AS BIGINT) AS nn
+          FROM j),
+    t0 AS (
+      SELECT g, d, o, CAST(nn * pm AS BIGINT) AS e,
+             CAST(o * 1000000 - nn * pm AS BIGINT) AS dev
+      FROM n),
+    t AS (SELECT *, CAST(round(CAST(dev AS DOUBLE) * dev / e) AS BIGINT)
+                 AS ct
+          FROM t0)
+    SELECT g AS source, d AS digit, o AS n_obs, e AS expected_micro,
+           dev AS dev_micro, ct AS chi2_term_micro,
+           CAST(sum(ct) OVER (PARTITION BY g) AS BIGINT)
+             AS chi2_total_micro
+    FROM t
+    """,
+)
+def qa69(spark, sf):
+    """Per-source Benford first-digit deviation over doc sizes
+    (operators/stats.py:benford_deviation) — the synthetic/truncated-
+    data smell test.  Expected probabilities are micro-int LITERALS;
+    the digit spine guarantees all nine digits (χ² needs the misses);
+    per-digit deviation terms micro-rounded then integer-summed into
+    the group χ² (9-term window, never a double sum)."""
+    from .operators.stats import benford_deviation
+
+    return benford_deviation(_t(spark, sf, "documents"), "source", "n_chars")
+
+
+@_q(
+    "qa70_acf",
+    """
+    WITH daily AS (
+      SELECT event_type AS t, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT t, y, lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2,
+             lag(y, 3) OVER w AS l3
+      FROM daily WINDOW w AS (PARTITION BY t ORDER BY d)),
+    a AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q,
+             CAST(sum(y * l1) AS BIGINT) AS c1, CAST(sum(l1) AS BIGINT) AS sh1,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN y END) AS BIGINT) AS st1,
+             CAST(count(l1) AS BIGINT) AS n1,
+             CAST(sum(y * l2) AS BIGINT) AS c2, CAST(sum(l2) AS BIGINT) AS sh2,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN y END) AS BIGINT) AS st2,
+             CAST(count(l2) AS BIGINT) AS n2,
+             CAST(sum(y * l3) AS BIGINT) AS c3, CAST(sum(l3) AS BIGINT) AS sh3,
+             CAST(sum(CASE WHEN l3 IS NOT NULL THEN y END) AS BIGINT) AS st3,
+             CAST(count(l3) AS BIGINT) AS n3
+      FROM l GROUP BY t),
+    yb AS (SELECT *, CAST(s AS DOUBLE) / n_days AS ybar FROM a),
+    b AS (SELECT *, CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * ybar AS den
+          FROM yb)
+    SELECT t AS event_type, n_days,
+           CASE WHEN n1 > 0 AND den > 0 THEN
+             CAST(round((CAST(c1 AS DOUBLE) - ybar * (sh1 + st1)
+                         + n1 * ybar * ybar) * 1000000 / den) AS BIGINT)
+           END AS acf1_micro,
+           CASE WHEN n2 > 0 AND den > 0 THEN
+             CAST(round((CAST(c2 AS DOUBLE) - ybar * (sh2 + st2)
+                         + n2 * ybar * ybar) * 1000000 / den) AS BIGINT)
+           END AS acf2_micro,
+           CASE WHEN n3 > 0 AND den > 0 THEN
+             CAST(round((CAST(c3 AS DOUBLE) - ybar * (sh3 + st3)
+                         + n3 * ybar * ybar) * 1000000 / den) AS BIGINT)
+           END AS acf3_micro
+    FROM b
+    """,
+)
+def qa70(spark, sf):
+    """Lag-1..3 autocorrelation of daily counts per event type
+    (operators/temporal.py:acf_daily) — the serial-correlation probe
+    pairing qa64's seasonal R² and qa47/qa54's CUSUM (momentum vs
+    rhythm vs level shifts).  One window pass makes all lags; all sums
+    exact bigint; each ACF one fixed double DAG."""
+    from .operators.temporal import acf_daily
+
+    return acf_daily(_t(spark, sf, "events"), "event_type")
+
+
+@_q(
+    "qa71_neyman",
+    """
+    WITH a AS (
+      SELECT source AS h, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+      FROM documents GROUP BY 1),
+    v AS (
+      SELECT *, CASE WHEN n_rows > 1
+                     THEN (CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * s / n_rows) / (n_rows - 1)
+                     ELSE 0.0 END AS var
+      FROM a),
+    st AS (
+      SELECT h, n_rows, CAST(round(var * 1000000) AS BIGINT) AS var_micro,
+             CAST(round(n_rows * sqrt(var) * 1000000) AS BIGINT)
+               AS weight_micro
+      FROM v),
+    w AS (SELECT *, CAST(sum(weight_micro) OVER () AS BIGINT) AS wt FROM st)
+    SELECT h AS source, n_rows, var_micro, weight_micro,
+           CASE WHEN wt > 0
+                THEN CAST(round(10000 * CAST(weight_micro AS DOUBLE) / wt)
+                          AS BIGINT)
+                ELSE 0 END AS alloc_n
+    FROM w
+    """,
+)
+def qa71(spark, sf):
+    """Neyman-optimal stratified sampling allocation over sources
+    (operators/split.py:neyman_allocation, budget 10k): n_h ∝ N_h·S_h
+    from exact bigint sums; sqrt is IEEE-correctly-rounded so the
+    per-stratum weight is engine-exact; weights integer-summed across
+    strata.  The principled upgrade to q65's fixed-fraction strata."""
+    from .operators.split import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf, "documents"), "source", "n_chars", 10_000
+    )

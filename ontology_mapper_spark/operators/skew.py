@@ -86,3 +86,99 @@ def hot_keys(df: DataFrame, key: str, min_share: float = 0.01) -> DataFrame:
         .withColumn("share", F.col("n") / F.lit(float(total)))
         .orderBy(F.col("n").desc())
     )
+
+
+#: estimated in-memory width per non-string Spark type (bytes)
+_FIXED_WIDTHS = {
+    "integer": 4,
+    "long": 8,
+    "double": 8,
+    "float": 4,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+    "date": 4,
+    "boolean": 1,
+    "short": 2,
+    "byte": 1,
+}
+
+
+def join_side_stats(
+    df: DataFrame, table_name: str, key_col: str
+) -> DataFrame:
+    """One-row join-side profile: row count, estimated payload bytes
+    (Σ octet_length over string columns + fixed widths for the rest —
+    the broadcast-feasibility number), and the hottest join-key share.
+
+    Two aggregates (bytes/rows; per-key max) cross-joined — both
+    single-row, so the profile costs one pass over the table however
+    large it is.
+    """
+    fixed = 0
+    str_cols = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t == "string":
+            str_cols.append(f.name)
+        else:
+            fixed += _FIXED_WIDTHS.get(t, 8)
+    byte_expr = F.lit(0).cast("long")
+    for c in str_cols:
+        byte_expr = byte_expr + F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+    base = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(byte_expr).cast("long").alias("_str_bytes"),
+    ).select(
+        "n_rows",
+        (F.col("_str_bytes") + F.col("n_rows") * F.lit(fixed))
+        .cast("long")
+        .alias("est_bytes"),
+    )
+    hot = (
+        df.groupBy(F.col(key_col).alias("_k"))
+        .agg(F.count("*").alias("_c"))
+        .agg(F.max("_c").cast("long").alias("max_key_rows"))
+    )
+    return base.crossJoin(hot).select(
+        F.lit(table_name).alias("table_name"),
+        "n_rows",
+        "est_bytes",
+        "max_key_rows",
+        F.round(F.col("max_key_rows") * F.lit(1_000_000) / F.col("n_rows"))
+        .cast("long")
+        .alias("hot_share_micro"),
+    )
+
+
+def join_strategy_advisor(
+    profiles: "list[DataFrame]",
+    broadcast_bytes: int = 10 * 1024 * 1024,
+    hot_share_micro: int = 50_000,
+) -> DataFrame:
+    """Classify each profiled join side into the physical strategy a
+    100 TB plan should use: ``broadcast`` (fits the 10 MB default
+    autoBroadcast budget), ``salted-shuffle`` (too big to broadcast AND
+    one key holds ≥5% of rows — AQE's skew split won't help inside
+    iterative loops with stale stats; route via operators/skewjoin.py),
+    else plain ``shuffle``.  Pure decision logic over the one-row
+    profiles — the audit table a pipeline materializes next to its
+    metrics so regressions in dimension-table size show up as plan
+    changes BEFORE they show up as shuffle spill.
+    """
+    u = profiles[0]
+    for p in profiles[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        "max_key_rows",
+        "hot_share_micro",
+        F.when(F.col("est_bytes") <= broadcast_bytes, F.lit("broadcast"))
+        .when(
+            F.col("hot_share_micro") >= hot_share_micro,
+            F.lit("salted-shuffle"),
+        )
+        .otherwise(F.lit("shuffle"))
+        .alias("strategy"),
+    )

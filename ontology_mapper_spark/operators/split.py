@@ -250,3 +250,78 @@ def curriculum_interleave(
             .alias("global_pos"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a total
+    budget of n draws, allocate n_h ∝ N_h·S_h (stratum size × stratum
+    std-dev) — the variance-minimizing design for estimating a mean
+    over heterogeneous sources, and the principled upgrade to q65's
+    equal/proportional stratified sampling.
+
+    Per stratum the sample variance comes from exact bigint sums
+    (N, Σv, Σv²); sqrt is IEEE-correctly-rounded (bit-identical in any
+    engine, unlike ln/exp), so the weight N_h·S_h is a fixed double
+    DAG micro-rounded per stratum, integer-summed across strata via a
+    window (never an order-dependent double sum), and each allocation
+    is one terminal division.  Single-stratum-row table → all windows
+    free.
+
+    Output per stratum: n_rows, var_micro (sample variance, 0 when
+    N_h < 2), weight_micro, alloc_n (rounded; ±1-off-total from
+    independent rounding is documented — largest-remainder correction
+    belongs to the caller if exact totals matter).
+    """
+    per = (
+        df.select(
+            F.col(stratum_col).alias("_h"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("_h")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("_v").cast("long").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("long").alias("_q"),
+        )
+    )
+    var = F.when(
+        F.col("n_rows") > 1,
+        (
+            F.col("_q").cast("double")
+            - F.col("_s").cast("double") * F.col("_s") / F.col("n_rows")
+        )
+        / (F.col("n_rows") - 1),
+    ).otherwise(F.lit(0.0))
+    staged = per.select(
+        "_h",
+        "n_rows",
+        F.round(var * 1_000_000).cast("long").alias("var_micro"),
+        F.round(F.col("n_rows") * F.sqrt(var) * 1_000_000)
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return staged.select(
+        F.col("_h").alias(stratum_col),
+        "n_rows",
+        "var_micro",
+        "weight_micro",
+        F.when(
+            F.sum("weight_micro").over(wall) > 0,
+            F.round(
+                F.lit(int(budget))
+                * F.col("weight_micro").cast("double")
+                / F.sum("weight_micro").over(wall)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("alloc_n"),
+    )

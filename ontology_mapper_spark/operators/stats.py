@@ -767,3 +767,184 @@ def fleiss_kappa(
             "kappa_micro"
         ),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over (duration, observed?) rows —
+    the right-censoring-aware view of "how long do sessions /
+    conversations / cache entries live?", where still-open subjects
+    (censored, event=false) leave the risk set without counting as
+    deaths.
+
+    Product-limit estimator at each observed event time t_i:
+
+        S(t_i) = Π_{j ≤ i} (n_j − d_j) / n_j
+
+    computed in log space with the repo's micro-int discipline: each
+    factor's ln((n−d)/n) = ln_micro(n−d) − ln_micro(n) is an INTEGER
+    per distinct-duration row, the running ln S is an integer window
+    cumsum (never an order-dependent double sum), and the single exp
+    per output row maps it back.  If some event time kills the whole
+    risk set (d = n), survival is exactly 0 from there on (flagged via
+    a window max — no ln(0)).
+
+    The distinct-duration table is tiny regardless of corpus size, so
+    the two single-partition windows after the first groupBy are free.
+
+    Output, one row per distinct EVENT time (d > 0), ascending:
+    (duration, n_events, n_censored_here, n_at_risk, ln_s_micro,
+    survival_micro).
+    """
+    per_t = (
+        df.select(
+            F.col(duration_col).cast("long").alias("_t"),
+            F.col(event_col).cast("boolean").alias("_e"),
+        )
+        .groupBy("_t")
+        .agg(
+            F.count("*").cast("long").alias("_a"),
+            F.sum(F.col("_e").cast("long")).cast("long").alias("_d"),
+        )
+    )
+    before = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per_t.select(
+        "_t",
+        "_a",
+        "_d",
+        (F.sum("_a").over(full) - F.coalesce(F.sum("_a").over(before), F.lit(0)))
+        .cast("long")
+        .alias("_n"),
+    )
+    term = F.when(
+        (F.col("_d") > 0) & (F.col("_d") < F.col("_n")),
+        _ln_micro(F.col("_n") - F.col("_d")) - _ln_micro(F.col("_n")),
+    ).otherwise(F.lit(0))
+    cum = staged.select(
+        "_t",
+        "_a",
+        "_d",
+        "_n",
+        F.sum(term).over(upto).cast("long").alias("_lns"),
+        F.max((F.col("_d") == F.col("_n")).cast("int"))
+        .over(upto)
+        .alias("_dead"),
+    )
+    return cum.where(F.col("_d") > 0).select(
+        F.col("_t").alias("duration"),
+        F.col("_d").alias("n_events"),
+        (F.col("_a") - F.col("_d")).cast("long").alias("n_censored_here"),
+        F.col("_n").alias("n_at_risk"),
+        F.when(F.col("_dead") == 1, F.lit(None).cast("long"))
+        .otherwise(F.col("_lns"))
+        .alias("ln_s_micro"),
+        F.when(F.col("_dead") == 1, F.lit(0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("_lns").cast("double") / MICRO) * MICRO
+            )
+        )
+        .cast("long")
+        .alias("survival_micro"),
+    )
+
+
+#: round(log10(1 + 1/d) · 1e6) for d = 1..9 — Benford's law expected
+#: first-digit probabilities as micro-ints (engine-independent literals).
+BENFORD_P_MICRO: tuple[int, ...] = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+
+def benford_deviation(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Benford first-digit test over a positive integer
+    measure — the classic forged/synthetic-data smell test (organically
+    grown sizes follow log-uniform leading digits; generated or
+    truncated ones don't).
+
+    First digit comes from the decimal string head (exact for positive
+    integers in any engine).  Expected probabilities are micro-int
+    LITERALS (computed once, embedded — no engine logs), so the only
+    double step is each digit's (o·1e6 − e_micro)²/e_micro deviation
+    term, micro-rounded per digit and integer-summed into the group χ²
+    via a 9-row window.  A digit-spine cross join guarantees all nine
+    digits appear even with zero observations (χ² needs the miss).
+
+    Output, one row per (group, digit 1..9): n_obs, expected_micro
+    (N·p as micro-count), dev_micro (o·1e6 − e_micro), chi2_term_micro,
+    chi2_total_micro (repeated per group).
+    """
+    obs = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.substring(F.col(value_col).cast("long").cast("string"), 1, 1)
+            .cast("long")
+            .alias("_d"),
+        )
+        .where(F.col(value_col) > 0)
+        .groupBy("_g", "_d")
+        .agg(F.count("*").cast("long").alias("_o"))
+    )
+    spine = (
+        obs.select("_g")
+        .distinct()
+        .select(
+            "_g",
+            F.explode(
+                F.array(*[F.lit(d).cast("long") for d in range(1, 10)])
+            ).alias("_d"),
+        )
+    )
+    p = F.element_at(
+        F.array(*[F.lit(int(x)) for x in BENFORD_P_MICRO]),
+        F.col("_d").cast("int"),
+    ).cast("long")
+    joined = spine.join(obs, ["_g", "_d"], "left").select(
+        "_g",
+        "_d",
+        F.coalesce(F.col("_o"), F.lit(0)).cast("long").alias("_o"),
+        p.alias("_p"),
+    )
+    wg = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_n = joined.select(
+        "_g",
+        "_d",
+        "_o",
+        "_p",
+        F.sum("_o").over(wg).cast("long").alias("_n"),
+    )
+    e_micro = F.col("_n") * F.col("_p")
+    dev = F.col("_o") * F.lit(MICRO) - e_micro
+    chi_term = F.round(dev.cast("double") * dev / e_micro).cast("long")
+    staged = with_n.select(
+        "_g",
+        "_d",
+        "_o",
+        e_micro.alias("_e"),
+        dev.cast("long").alias("_dev"),
+        chi_term.alias("_ct"),
+    )
+    return staged.select(
+        F.col("_g").alias(group_col),
+        F.col("_d").alias("digit"),
+        F.col("_o").alias("n_obs"),
+        F.col("_e").cast("long").alias("expected_micro"),
+        F.col("_dev").alias("dev_micro"),
+        F.col("_ct").alias("chi2_term_micro"),
+        F.sum("_ct").over(wg).cast("long").alias("chi2_total_micro"),
+    )

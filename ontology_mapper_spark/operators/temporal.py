@@ -661,3 +661,75 @@ def seasonal_strength(
         "peak_dow",
         "peak_mean_micro",
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str = "ts",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lag-1..max_lag autocorrelation of the daily count series per
+    type — the memory/trend probe that complements qa64's seasonal R²
+    (high ACF-1 = momentum/bursts; ACF-7 would expose weekly rhythm as
+    serial correlation).
+
+    Over the OBSERVED day sequence (days with zero events don't form
+    rows — documented; run after locf_gapfill for a calendar-dense
+    series), with series sums N, S = Σy, Q = Σy² and per-lag integer
+    sums over the (y_t, y_{t−k}) pairs C_k = Σ y·lag, Sh_k = Σ lag,
+    St_k = Σ y, n_k pairs:
+
+        r_k = (C_k − ȳ(Sh_k + St_k) + n_k·ȳ²) / (Q − S·ȳ)
+
+    Everything before the final fixed double DAG is exact bigint (the
+    lag columns come from ONE window pass that produces all lags).
+    Output per type: n_days, then acf<k>_micro for each lag (NULL when
+    the lag has no pairs or the series is constant).
+    """
+    daily = (
+        df.select(
+            F.col(type_col).alias("_t"),
+            F.to_date(ts_col).alias("_d"),
+        )
+        .groupBy("_t", "_d")
+        .agg(F.count("*").cast("long").alias("_y"))
+    )
+    w = Window.partitionBy("_t").orderBy("_d")
+    lagged = daily.select(
+        "_t",
+        "_y",
+        *[F.lag("_y", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("_y").cast("long").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_q"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.col("_y") * lk).cast("long").alias(f"_c{k}"),
+            F.sum(lk).cast("long").alias(f"_sh{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("_y"))).cast("long").alias(
+                f"_st{k}"
+            ),
+            F.count(lk).cast("long").alias(f"_n{k}"),
+        ]
+    agg = lagged.groupBy("_t").agg(*aggs)
+    ybar = F.col("_s").cast("double") / F.col("n_days")
+    den = F.col("_q").cast("double") - F.col("_s").cast("double") * ybar
+    outcols = [F.col("_t").alias(type_col), "n_days"]
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"_c{k}").cast("double")
+            - ybar * (F.col(f"_sh{k}") + F.col(f"_st{k}"))
+            + F.col(f"_n{k}") * ybar * ybar
+        )
+        outcols.append(
+            F.when(
+                (F.col(f"_n{k}") > 0) & (den > 0.0),
+                F.round(num * 1_000_000 / den).cast("long"),
+            ).alias(f"acf{k}_micro")
+        )
+    return agg.select(*outcols)
