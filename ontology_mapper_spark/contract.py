@@ -4024,9 +4024,10 @@ def qa01(spark, sf):
     return resnik_lin(edges, pairs, nodes, root=0)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
     """Unrolled Lloyd iterations as CTEs, dimension-wise (relational
-    mirror of the array-wise Spark plan; identical integer arithmetic)."""
+    mirror of the array-wise Spark plan; identical integer arithmetic).
+    Shared by the qa02 summary oracle and the qa73 silhouette oracle."""
     parts = [
         f"""
     dims AS (
@@ -4069,7 +4070,11 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
       SELECT c.cl, c.pos, COALESCE(s.s // s.n, c.val) AS val
       FROM c{p} c LEFT JOIN s{i} s ON s.cl = c.cl AND s.pos = c.pos)"""
         )
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    body = _kmeans_ctes(k, iters)
     return f"""
     WITH {body},
     cs AS (SELECT cl, CAST(sum(val) AS BIGINT) AS centroid_sum
@@ -7429,4 +7434,195 @@ def qa71(spark, sf):
 
     return neyman_allocation(
         _t(spark, sf, "documents"), "source", "n_chars", 10_000
+    )
+
+
+@_q(
+    "qa72_context_truncation",
+    f"""
+    WITH {_TRANSCRIPT_CTE},
+    b AS (
+      SELECT conv_id, ts, event_id,
+             CAST(16 + event_id % 48 AS BIGINT) AS tok
+      FROM t),
+    k AS (
+      SELECT conv_id,
+             CASE WHEN sum(tok) OVER (PARTITION BY conv_id
+                                      ORDER BY ts DESC, event_id DESC
+                                      ROWS UNBOUNDED PRECEDING) <= 512
+                  THEN 1 ELSE 0 END AS kept
+      FROM b),
+    pc AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(kept) AS BIGINT) AS kept
+      FROM k GROUP BY 1),
+    a AS (
+      SELECT CAST(strlen(CAST(n AS VARCHAR)) - 1 AS BIGINT) AS len_bucket,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(sum(n) AS BIGINT) AS n_turns,
+             CAST(sum(kept) AS BIGINT) AS kept_turns,
+             CAST(sum(n - kept) AS BIGINT) AS dropped_turns,
+             CAST(sum(CASE WHEN kept < n THEN 1 ELSE 0 END) AS BIGINT)
+               AS convs_truncated
+      FROM pc GROUP BY 1)
+    SELECT len_bucket, n_convs, n_turns, kept_turns, dropped_turns,
+           CAST(round(dropped_turns * 1000000 / n_turns) AS BIGINT)
+             AS drop_rate_micro,
+           convs_truncated
+    FROM a
+    """,
+)
+def qa72(spark, sf):
+    """Context-window truncation audit over transcripts (operators/
+    dialogue.py:context_truncation_audit, budget 512 tokens,
+    most-recent-first — qa15's assembly convention): how much history
+    survives, bucketed by conversation length decade.  Per-turn token
+    cost is the deterministic 16 + event_id%48 proxy both engines
+    synthesize identically; decade bucket via decimal-digit count
+    (floor(log10) risks an ulp at exact powers of ten)."""
+    from .operators.dialogue import context_truncation_audit
+
+    t = _transcript_view(spark, sf)
+    return context_truncation_audit(
+        t,
+        "conv_id",
+        ["ts", "event_id"],
+        (F.lit(16) + F.col("event_id") % 48).cast("long"),
+        512,
+    )
+
+
+def _qa73_oracle(k: int = 8, iters: int = 3) -> str:
+    body = _kmeans_ctes(k, iters)
+    return f"""
+    WITH {body},
+    d4 AS (
+      SELECT dims.vec_id, c.cl,
+             CAST(sum((dims.val - c.val) * (dims.val - c.val)) AS BIGINT)
+               AS dist
+      FROM dims JOIN c{iters} c USING (pos)
+      GROUP BY 1, 2),
+    r4 AS (
+      SELECT vec_id, cl, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      FROM d4),
+    ab AS (
+      SELECT a.vec_id, a.cl AS cluster, a.dist AS a_dist, b.dist AS b_dist
+      FROM (SELECT * FROM r4 WHERE rn = 1) a
+      JOIN (SELECT * FROM r4 WHERE rn = 2) b USING (vec_id)),
+    sm AS (
+      SELECT cluster,
+             CASE WHEN greatest(a_dist, b_dist) > 0
+                  THEN CAST(round(CAST(b_dist - a_dist AS DOUBLE) * 1000000
+                                  / greatest(a_dist, b_dist)) AS BIGINT)
+                  ELSE 0 END AS s
+      FROM ab),
+    ag AS (
+      SELECT CAST(cluster AS BIGINT) AS cluster,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(s) AS BIGINT) AS ss,
+             CAST(min(s) AS BIGINT) AS min_s_micro,
+             CAST(max(s) AS BIGINT) AS max_s_micro
+      FROM sm GROUP BY 1)
+    SELECT cluster, n_members,
+           CAST(round(CAST(ss AS DOUBLE) / n_members) AS BIGINT)
+             AS mean_s_micro,
+           min_s_micro, max_s_micro
+    FROM ag
+    """
+
+
+@_q("qa73_silhouette", _qa73_oracle())
+def qa73(spark, sf):
+    """Centroid-silhouette quality of the qa02 k-means partition
+    (operators/clustering.py:centroid_silhouette, k=8, 3 iterations):
+    the O(N·k) silhouette you can afford at corpus scale — distance to
+    own vs nearest-other FINAL centroid, one extra map-only pass over
+    the same integer-micro Lloyd chain (oracle shares the unrolled-CTE
+    builder with qa02).  s=(b−a)/max(a,b) one integer division/row."""
+    from .operators.clustering import centroid_silhouette
+
+    return centroid_silhouette(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", k=8, iters=3
+    )
+
+
+@_q(
+    "qa74_shuffle_balance",
+    """
+    WITH pk AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1),
+    pp AS (
+      SELECT CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
+                       AS BIGINT) % 64 AS BIGINT) AS partition_id,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM pk GROUP BY 1),
+    w AS (SELECT *, CAST(sum(n_rows) OVER () AS BIGINT) AS tot FROM pp)
+    SELECT partition_id, n_rows, n_keys,
+           CAST(round(n_rows * 1000000 / tot) AS BIGINT)
+             AS load_share_micro,
+           CAST(round(n_rows * 64 * 1000000 / tot) AS BIGINT)
+             AS balance_micro
+    FROM w
+    """,
+)
+def qa74(spark, sf):
+    """Shuffle-balance audit (operators/skew.py:shuffle_balance_audit):
+    simulate hash-partitioning events on user_id across 64 reducers
+    with a portable md5 partitioner and report per-partition load vs
+    perfectly even — the numeric sizing step behind
+    spark.sql.shuffle.partitions and the trigger for salting.  One
+    map-side-combined key count + one 64-row agg."""
+    from .operators.skew import shuffle_balance_audit
+
+    return shuffle_balance_audit(_t(spark, sf, "events"), "user_id", 64)
+
+
+@_q(
+    "qa75_response_latency",
+    f"""
+    WITH {_TRANSCRIPT_CTE},
+    g AS (
+      SELECT lag(role) OVER w AS prev_role, role,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS g,
+             conv_id, event_id
+      FROM t
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+    g2 AS (SELECT * FROM g WHERE prev_role IS NOT NULL),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY prev_role, role
+                                ORDER BY g, conv_id, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY prev_role, role) AS BIGINT)
+               AS n
+      FROM g2),
+    a AS (
+      SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n2,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(max(CASE WHEN rn = CAST(floor((n * 50 + 99) / 100)
+                                         AS BIGINT)
+                           THEN g END) AS BIGINT) AS p50_us,
+             CAST(max(CASE WHEN rn = CAST(floor((n * 90 + 99) / 100)
+                                         AS BIGINT)
+                           THEN g END) AS BIGINT) AS p90_us,
+             CAST(max(g) AS BIGINT) AS max_us
+      FROM r GROUP BY 1, 2)
+    SELECT prev_role, role, n2 AS n,
+           CAST(round(CAST(sg AS DOUBLE) / n2) AS BIGINT) AS mean_us,
+           p50_us, p90_us, max_us
+    FROM a
+    """,
+)
+def qa75(spark, sf):
+    """Latency distribution per role transition over transcripts
+    (operators/dialogue.py:response_latency): user→assistant is the
+    answer-delay SLO, tool→assistant the tool round-trip.  Exact
+    type-1 p50/p90 from integer epoch-micro gaps under a TOTAL rank
+    order (gap, conv, event) — the value at row ceil(q·n); mean one
+    terminal division over a bigint sum."""
+    from .operators.dialogue import response_latency
+
+    return response_latency(
+        _transcript_view(spark, sf), "conv_id", "role", "ts", "event_id"
     )

@@ -130,3 +130,75 @@ def kmeans_micro(
         return out
     finally:
         vecs.unpersist()
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Per-cluster centroid-silhouette quality of a k-means partition —
+    the O(N·k) simplification of the silhouette score (distance to own
+    vs nearest-other CENTROID instead of all-pairs member distances)
+    that's the only silhouette you can afford at corpus scale, and the
+    standard "did k make sense?" gate before cluster-based curation
+    (SemDeDup pruning, domain mixing) trusts the partition.
+
+    Runs the same integer-micro Lloyd iterations as `kmeans_micro`,
+    then ONE extra map-only pass: distances to all k FINAL centroids as
+    a sorted literal-struct array — own cluster and runner-up fall out
+    of the first two elements, no shuffle, no Python.  s = (b − a) /
+    max(a, b) stays a single integer division per row, micro-rounded;
+    per-cluster means are one division over bigint sums.
+
+    Output per cluster: n_members, mean_s_micro, min_s_micro,
+    max_s_micro (s in [-1e6, 1e6]; degenerate a=b=0 rows score 0).
+    """
+    assign = kmeans_micro(df, id_col, vec_col, k=k, iters=iters)
+    cents = assign._kmeans_centroids
+    vecs = micro_vectors(df, id_col, vec_col)
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _dist_expr(c).alias("dist"),
+                    F.lit(j + 1).cast("int").alias("cl"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+    )
+    staged = vecs.select(
+        F.col(id_col),
+        arr[0]["cl"].alias("cluster"),
+        arr[0]["dist"].alias("_a"),
+        arr[1]["dist"].alias("_b"),
+    )
+    # (b-a)*1e6 overflows int64 once dists pass ~9e12 (far vectors ×
+    # 64 dims); the ratio as a double DAG over bigint inputs is engine-
+    # exact and unbounded.
+    s = F.when(
+        F.greatest(F.col("_b"), F.col("_a")) > 0,
+        F.round(
+            (F.col("_b") - F.col("_a")).cast("double")
+            * F.lit(MICRO)
+            / F.greatest(F.col("_a"), F.col("_b"))
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = staged.select("cluster", s.alias("_s")).groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("_s").cast("long").alias("_ss"),
+        F.min("_s").cast("long").alias("min_s_micro"),
+        F.max("_s").cast("long").alias("max_s_micro"),
+    )
+    return agg.select(
+        F.col("cluster").cast("long"),
+        "n_members",
+        F.round(F.col("_ss").cast("double") / F.col("n_members"))
+        .cast("long")
+        .alias("mean_s_micro"),
+        "min_s_micro",
+        "max_s_micro",
+    )

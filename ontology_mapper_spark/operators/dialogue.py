@@ -143,3 +143,145 @@ def turn_echo(
             ).cast("long"),
         ),
     )
+
+
+def context_truncation_audit(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: "list[str]",
+    tokens_col,
+    budget: int,
+) -> DataFrame:
+    """Context-window truncation audit: if each conversation is
+    assembled most-recent-first into a fixed token budget (the LLM
+    serving/training convention qa15's assembly uses), how much
+    history actually survives?  The capacity-planning companion to
+    context assembly — run BEFORE committing to a max-sequence-length.
+
+    A turn survives iff the running token total over turns NEWER than
+    it (one DESC window over the conv key) stays within budget.  One
+    conv-keyed shuffle; the report groups conversations by turn-count
+    decade bucket (pow-10 of n_turns) so the answer reads "8% of turns
+    drop in 10–99-turn convs, 71% in 1000+".
+
+    Output per bucket: len_bucket (floor log10 decade), n_convs,
+    n_turns, kept_turns, dropped_turns, drop_rate_micro,
+    convs_truncated.
+    """
+    w = (
+        Window.partitionBy("_c")
+        .orderBy(*[F.col(c).desc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(conv_col).alias("_c"),
+        *[F.col(c) for c in order_cols],
+        (
+            tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
+        ).cast("long").alias("_tok"),
+    )
+    kept = base.select(
+        "_c",
+        (F.sum("_tok").over(w) <= F.lit(int(budget))).cast("long").alias("_k"),
+    )
+    per_conv = kept.groupBy("_c").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_k").cast("long").alias("_kept"),
+    )
+    # decade via decimal-digit count (exact in any engine — floor(log10)
+    # risks an off-by-one ulp at exact powers of ten)
+    bucket = (F.length(F.col("_n").cast("string")) - 1).cast("long")
+    agg = per_conv.groupBy(bucket.alias("len_bucket")).agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.sum("_n").cast("long").alias("n_turns"),
+        F.sum("_kept").cast("long").alias("kept_turns"),
+        F.sum(F.col("_n") - F.col("_kept")).cast("long").alias(
+            "dropped_turns"
+        ),
+        F.sum((F.col("_kept") < F.col("_n")).cast("long"))
+        .cast("long")
+        .alias("convs_truncated"),
+    )
+    return agg.select(
+        "len_bucket",
+        "n_convs",
+        "n_turns",
+        "kept_turns",
+        "dropped_turns",
+        F.round(F.col("dropped_turns") * F.lit(MICRO) / F.col("n_turns"))
+        .cast("long")
+        .alias("drop_rate_micro"),
+        "convs_truncated",
+    )
+
+
+def response_latency(
+    df: DataFrame,
+    conv_col: str,
+    role_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Latency distribution per role transition (user→assistant is the
+    answer-delay SLO; assistant→tool the act-delay; tool→assistant the
+    tool round-trip) over conversation turns — exact type-1 percentiles
+    from integer epoch-micro gaps, no t-digest needed because the
+    distinct-gap table per transition is tiny next to the corpus.
+
+    One conv-keyed window makes (prev_role, gap_us); per transition a
+    total-order rank (gap, then the conv/tiebreak columns) turns
+    p50/p90 into "the value at row ceil(q·n)" — deterministic in any
+    engine.  Mean is one terminal division over a bigint sum.
+
+    Output per (prev_role, role): n, mean_us, p50_us, p90_us, max_us.
+    """
+    w = Window.partitionBy("_c").orderBy("_ts", "_tb")
+    base = df.select(
+        F.col(conv_col).alias("_c"),
+        F.col(role_col).alias("_r"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    gaps = base.select(
+        F.lag("_r").over(w).alias("prev_role"),
+        F.col("_r").alias("role"),
+        (
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(F.lag("_ts").over(w))
+        ).alias("_g"),
+        "_c",
+        "_tb",
+    ).where(F.col("prev_role").isNotNull())
+    wr = Window.partitionBy("prev_role", "role").orderBy("_g", "_c", "_tb")
+    wn = Window.partitionBy("prev_role", "role")
+    ranked = gaps.select(
+        "prev_role",
+        "role",
+        "_g",
+        F.row_number().over(wr).alias("_rn"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    idx50 = (F.col("_n") * 50 + 99) / 100
+    idx90 = (F.col("_n") * 90 + 99) / 100
+    agg = ranked.groupBy("prev_role", "role").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_g").cast("long").alias("_sg"),
+        F.max(
+            F.when(F.col("_rn") == F.floor(idx50).cast("long"), F.col("_g"))
+        ).cast("long").alias("p50_us"),
+        F.max(
+            F.when(F.col("_rn") == F.floor(idx90).cast("long"), F.col("_g"))
+        ).cast("long").alias("p90_us"),
+        F.max("_g").cast("long").alias("max_us"),
+    )
+    return agg.select(
+        "prev_role",
+        "role",
+        "n",
+        F.round(F.col("_sg").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("mean_us"),
+        "p50_us",
+        "p90_us",
+        "max_us",
+    )

@@ -182,3 +182,69 @@ def join_strategy_advisor(
         .otherwise(F.lit("shuffle"))
         .alias("strategy"),
     )
+
+
+def shuffle_balance_audit(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Simulate how a shuffle on ``key_col`` loads ``n_partitions``
+    reducers — the sizing audit behind `spark.sql.shuffle.partitions`
+    and the numeric justification for salting: a balanced shuffle shows
+    balance_micro ≈ 1e6 everywhere; a hot key shows one partition at
+    N×1e6.
+
+    Partition assignment is md5-based (NOT the engine's own hash) so
+    the simulation is portable and oracle-replayable; the CONCLUSION
+    (max/mean load ratio under any uniform hash) transfers because hot
+    keys collide with themselves under every hash function.  One
+    groupBy(key) (map-side combined) + one tiny partition-level agg.
+
+    Output per simulated partition: partition_id, n_rows, n_keys,
+    load_share_micro, balance_micro (load vs perfectly-even).
+    """
+    from pyspark.sql import Window
+
+    per_key = (
+        df.select(F.col(key_col).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    per_part = (
+        per_key.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("_k").cast("string")), 1, 12),
+                    16,
+                    10,
+                ).cast("long")
+                % n_partitions
+            ).alias("partition_id"),
+            "_c",
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_part.select(
+        F.col("partition_id").cast("long"),
+        "n_rows",
+        "n_keys",
+        F.round(F.col("n_rows") * F.lit(1_000_000) / F.sum("n_rows").over(wall))
+        .cast("long")
+        .alias("load_share_micro"),
+        F.round(
+            F.col("n_rows")
+            * F.lit(int(n_partitions))
+            * F.lit(1_000_000)
+            / F.sum("n_rows").over(wall)
+        )
+        .cast("long")
+        .alias("balance_micro"),
+    )
