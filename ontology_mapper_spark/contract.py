@@ -7626,3 +7626,165 @@ def qa75(spark, sf):
     return response_latency(
         _transcript_view(spark, sf), "conv_id", "role", "ts", "event_id"
     )
+
+
+def _qa76_oracle() -> str:
+    def xlx(x: str) -> str:
+        return (
+            f"(CASE WHEN {x} > 0 THEN {x} * CAST(round(ln(CAST({x} AS "
+            f"DOUBLE)) * 1000000) AS BIGINT) ELSE 0 END)"
+        )
+
+    ll = " + ".join([xlx("k11"), xlx("k12"), xlx("k21"), xlx("k22")])
+    ll += (
+        f" - {xlx('n_a')} - {xlx('(n - n_a)')}"
+        f" - {xlx('n_b')} - {xlx('(n - n_b)')} + {xlx('n')}"
+    )
+    return f"""
+    WITH pat(p) AS (VALUES
+      ('hash join'),('sort merge'),('table scan'),('batch stream'),
+      ('window'),('filter'),('stream'),('group'),('vector'),('spark')),
+    words AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS w,
+                   generate_subscripts(string_split(lower(text), ' '), 1)
+                     AS idx
+            FROM documents)
+      WHERE w <> ''),
+    cand AS (
+      SELECT doc_id, w AS span FROM words
+      UNION ALL
+      SELECT doc_id, w || ' ' || lead_w AS span
+      FROM (SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM words)
+      WHERE lead_w IS NOT NULL),
+    ment AS (SELECT DISTINCT doc_id, span FROM cand JOIN pat ON span = p),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM ment),
+    cnt AS (SELECT span, CAST(count(*) AS BIGINT) AS c FROM ment GROUP BY 1),
+    pairs AS (
+      SELECT a.span AS entity_a, b.span AS entity_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ment a JOIN ment b ON a.doc_id = b.doc_id AND a.span < b.span
+      GROUP BY 1, 2),
+    t AS (
+      SELECT p.entity_a, p.entity_b, ca.c AS n_a, cb.c AS n_b, p.n_ab, nn.n
+      FROM pairs p
+      JOIN cnt ca ON p.entity_a = ca.span
+      JOIN cnt cb ON p.entity_b = cb.span
+      CROSS JOIN nn),
+    k AS (
+      SELECT *, n_ab AS k11, CAST(n_a - n_ab AS BIGINT) AS k12,
+             CAST(n_b - n_ab AS BIGINT) AS k21,
+             CAST(n - n_a - n_b + n_ab AS BIGINT) AS k22
+      FROM t)
+    SELECT entity_a, entity_b, n_a, n_b, n_ab, n AS n_units,
+           CAST(({ll}) * 2 AS BIGINT) AS g2_micro
+    FROM k
+    """
+
+
+@_q("qa76_llr_edges", _qa76_oracle())
+def qa76(spark, sf):
+    """Dunning G² log-likelihood-ratio edge significance over the same
+    co-mention units as q72's PMI (pipeline/comention.py:
+    llr_comention_edges) — the sparse-robust score that demands support
+    AND enrichment before an edge feeds canonicalization.  Full 2×2
+    table in exact bigint x·ln_micro(x) arithmetic — zero doubles
+    anywhere."""
+    from .pipeline.comention import llr_comention_edges
+    from .pipeline.mention_detect import detect_mentions
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    m = detect_mentions(spark, d, _DEMO_PATTERNS)
+    return llr_comention_edges(m, entity_col="pattern", unit_col="conv_id")
+
+
+def _qa77_oracle(k: int = 3, lam_num: int = 7, lam_den: int = 10) -> str:
+    pen = lam_den - lam_num
+    parts = [
+        """
+    dims AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS val
+      FROM embeddings),
+    mem AS (SELECT label AS g, vec_id AS id FROM embeddings),
+    q AS (
+      SELECT g, id AS qid FROM (
+        SELECT g, id,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY md5(CAST(id AS VARCHAR)), id)
+                 AS rn
+        FROM mem) WHERE rn = 1),
+    rel AS (
+      SELECT m.g, m.id, CAST(sum(dc.val * dq.val) AS BIGINT) AS rel
+      FROM mem m JOIN q ON q.g = m.g AND m.id <> q.qid
+      JOIN dims dc ON dc.vec_id = m.id
+      JOIN dims dq ON dq.vec_id = q.qid AND dq.pos = dc.pos
+      GROUP BY 1, 2),
+    p1 AS (
+      SELECT g, id, rel, score FROM (
+        SELECT g, id, rel, CAST({LN} * rel AS BIGINT) AS score,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY {LN} * rel DESC, id) AS rn
+        FROM rel) WHERE rn = 1),
+    pk1 AS (SELECT g, id FROM p1)""".replace("{LN}", str(lam_num))
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        parts.append(
+            f"""
+    dots{r} AS (
+      SELECT r.g, r.id, CAST(sum(dc.val * dp.val) AS BIGINT) AS dt
+      FROM rel r JOIN pk{p} p ON p.g = r.g AND r.id <> p.id
+      JOIN dims dc ON dc.vec_id = r.id
+      JOIN dims dp ON dp.vec_id = p.id AND dp.pos = dc.pos
+      GROUP BY r.g, r.id, p.id),
+    ms{r} AS (
+      SELECT m.g, m.id, rel.rel, m.ms
+      FROM (SELECT g, id, CAST(max(dt) AS BIGINT) AS ms
+            FROM dots{r} GROUP BY 1, 2) m
+      JOIN rel ON rel.g = m.g AND rel.id = m.id
+      WHERE NOT EXISTS (SELECT 1 FROM pk{p} p
+                        WHERE p.g = m.g AND p.id = m.id)),
+    p{r} AS (
+      SELECT g, id, rel, score FROM (
+        SELECT g, id, rel,
+               CAST({lam_num} * rel - {pen} * ms AS BIGINT) AS score,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY {lam_num} * rel - {pen} * ms
+                                           DESC, id) AS rn
+        FROM ms{r}) WHERE rn = 1),
+    pk{r} AS (SELECT g, id FROM pk{p} UNION ALL SELECT g, id FROM p{r})"""
+        )
+    body = ",".join(parts)
+    sel = " UNION ALL ".join(
+        f"SELECT g, CAST({r} AS BIGINT) AS pick_rank, id, rel, score FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+    WITH {body}
+    SELECT g AS label, pick_rank, id AS vec_id, rel, score
+    FROM ({sel})
+    """
+
+
+@_q("qa77_mmr_rerank", _qa77_oracle())
+def qa77(spark, sf):
+    """Per-group Maximal-Marginal-Relevance re-ranking (operators/
+    retrieval.py:mmr_rerank, k=3, λ=0.7): greedy diverse top-k for ALL
+    query groups at once as relational rounds — per-group window
+    argmax + candidate×picked max-sim join per round, integer micro-dot
+    scores, no driver loop.  The diversity-aware final stage between
+    ANN retrieval (q30/q48) and context assembly (qa15).  Oracle:
+    unrolled-round CTEs (the kmeans-oracle pattern)."""
+    from .operators.retrieval import mmr_rerank
+
+    return mmr_rerank(_t(spark, sf, "embeddings"), "label", k=3)

@@ -191,3 +191,126 @@ def tfidf_top_terms(
             F.col("rank").cast("long"),
         )
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Per-group Maximal-Marginal-Relevance re-ranking (Carbonell &
+    Goldstein 1998): greedily pick k items maximizing
+    λ·rel − (1−λ)·max-sim-to-picked — the diversity-aware final stage
+    every retrieval pipeline wants and Spark lacks.  Runs for ALL query
+    groups simultaneously as pure relational rounds (each pick is a
+    per-group window argmax; no driver loop, no Python) — the
+    distributed shape for "re-rank a million retrievals", not one.
+
+    Per group: the query is the md5-min member (deterministic stand-in
+    for an external query vector — swap in a real query table by
+    pre-joining and adapting the `q` stage); candidates are the other
+    members; rel and the diversity penalty are integer micro-dot
+    products; score = lam_num·rel − (lam_den−lam_num)·max_sim keeps
+    everything bigint (λ = lam_num/lam_den, default 0.7), ties broken
+    on id.  Round r joins candidates against the (r−1)-row-per-group
+    picked set — each round's plan references the previous round twice
+    (argmax + exclusion), so keep k small (≤5; plan size doubles per
+    round — the documented unrolled-loop trade, same as the kmeans
+    oracle) or pin rounds for large k.
+
+    Output per (group, pick_rank 1..k): id, rel (raw integer micro²
+    dot), score (same scale ×lam_den).
+    """
+    from .clustering import micro_vectors
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    mem = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id"), F.col(vec_col)
+    )
+    vecs = micro_vectors(mem, "id", vec_col).join(
+        mem.select("g", "id"), "id"
+    )
+    wq = Window.partitionBy("g").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    q = (
+        vecs.select("g", "id", "ev", F.row_number().over(wq).alias("_rn"))
+        .where(F.col("_rn") == 1)
+        .select("g", F.col("id").alias("qid"), F.col("ev").alias("qv"))
+    )
+    rel = (
+        vecs.join(q, "g")
+        .where(F.col("id") != F.col("qid"))
+        .select("g", "id", "ev", dot(F.col("ev"), F.col("qv")).alias("rel"))
+    )
+    mu = F.lit(int(lam_num)).cast("long")
+    pen = F.lit(int(lam_den - lam_num)).cast("long")
+    wpick = Window.partitionBy("g").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    picked = None
+    out = []
+    for r in range(1, k + 1):
+        if picked is None:
+            scored = rel.select("g", "id", "ev", "rel", (mu * F.col("rel")).alias("score"))
+        else:
+            pk = picked.select(
+                "g", F.col("id").alias("pid"), F.col("ev").alias("pv")
+            )
+            # exclusion + max-sim in one pass: join candidates to every
+            # picked row of their group; the max dot skips the self
+            # pairing, and a candidate that IS picked flags _self.
+            ms = (
+                rel.join(pk, "g")
+                .groupBy("g", "id", "ev", "rel")
+                .agg(
+                    F.max(
+                        F.when(
+                            F.col("id") != F.col("pid"),
+                            dot(F.col("ev"), F.col("pv")),
+                        )
+                    ).alias("ms"),
+                    F.max((F.col("id") == F.col("pid")).cast("int")).alias(
+                        "_self"
+                    ),
+                )
+            )
+            scored = ms.where(F.col("_self") == 0).select(
+                "g", "id", "ev", "rel",
+                (mu * F.col("rel") - pen * F.col("ms")).alias("score"),
+            )
+        pick_r = (
+            scored.select(
+                "g", "id", "ev", "rel", "score",
+                F.row_number().over(wpick).alias("_rn"),
+            )
+            .where(F.col("_rn") == 1)
+            .select("g", "id", "ev", "rel", "score")
+        )
+        out.append(
+            pick_r.select(
+                "g", F.lit(r).cast("long").alias("pick_rank"), "id", "rel",
+                "score",
+            )
+        )
+        picked = pick_r if picked is None else picked.unionByName(pick_r)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        F.col("g").alias(group_col),
+        "pick_rank",
+        F.col("id").alias(id_col),
+        F.col("rel").cast("long"),
+        F.col("score").cast("long"),
+    )

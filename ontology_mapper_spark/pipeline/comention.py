@@ -119,3 +119,98 @@ def pmi_comention_edges(
         )
         .alias("npmi_micro"),
     )
+
+
+def llr_comention_edges(
+    links: DataFrame,
+    entity_col: str = "class_iri",
+    unit_col: str = "conv_id",
+) -> DataFrame:
+    """Dunning log-likelihood-ratio (G², Dunning 1993) significance for
+    co-occurrence edges — the sparse-count-robust companion to
+    `pmi_comention_edges`: PMI over-rewards rare pairs (two hapaxes
+    co-occurring once get maximal PMI); G² scores the full 2×2
+    contingency table, so a pair must be BOTH enriched and supported to
+    rank.  The standard edge-significance filter before a co-mention
+    graph feeds canonicalization.
+
+        G² = 2·[Σ xlx(k_ij) − Σ xlx(rowsums) − Σ xlx(colsums) + xlx(N)]
+
+    with k11 = n_ab, k12 = n_a − n_ab, k21 = n_b − n_ab,
+    k22 = N − n_a − n_b + n_ab and xlx(x) = x·ln x (0 at 0).
+
+    Exactness: xlx(x) = x · ln_micro(x) — an INTEGER product per term
+    (the q66 ln discipline), so G² is exact bigint arithmetic end to
+    end and hash-identical in any engine.  (x·ln_micro(x) needs
+    x < ~3·10¹¹ to stay in int64 — beyond that, compute the same DAG in
+    doubles; the unit count of a co-occurrence corpus rarely gets
+    there.)  Scale shape identical to PMI: distinct-first, unit-keyed
+    self-join, broadcast marginals, lazy N.
+
+    Output: (entity_a, entity_b, n_a, n_b, n_ab, n_units, g2_micro)
+    with entity_a < entity_b.
+    """
+    ments = (
+        links.select(
+            F.col(unit_col).alias("unit"), F.col(entity_col).alias("entity")
+        )
+        .distinct()
+    )
+    n_df = ments.agg(F.countDistinct("unit").alias("n_units"))
+    counts = ments.groupBy("entity").agg(F.count("*").alias("n_cnt"))
+    a, b = ments.alias("a"), ments.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.unit") == F.col("b.unit"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.entity").alias("entity_a"),
+            F.col("b.entity").alias("entity_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ca = F.broadcast(
+        counts.select(F.col("entity").alias("entity_a"), F.col("n_cnt").alias("n_a"))
+    )
+    cb = F.broadcast(
+        counts.select(F.col("entity").alias("entity_b"), F.col("n_cnt").alias("n_b"))
+    )
+    j = pairs.join(ca, "entity_a").join(cb, "entity_b").crossJoin(
+        F.broadcast(n_df)
+    )
+
+    def xlx(x):
+        return F.when(
+            x > 0,
+            x * F.round(F.log(x.cast("double")) * 1_000_000).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    k11 = F.col("n_ab").cast("long")
+    k12 = (F.col("n_a") - F.col("n_ab")).cast("long")
+    k21 = (F.col("n_b") - F.col("n_ab")).cast("long")
+    k22 = (
+        F.col("n_units") - F.col("n_a") - F.col("n_b") + F.col("n_ab")
+    ).cast("long")
+    nn = F.col("n_units").cast("long")
+    ll = (
+        xlx(k11)
+        + xlx(k12)
+        + xlx(k21)
+        + xlx(k22)
+        - xlx(F.col("n_a").cast("long"))
+        - xlx((nn - F.col("n_a")).cast("long"))
+        - xlx(F.col("n_b").cast("long"))
+        - xlx((nn - F.col("n_b")).cast("long"))
+        + xlx(nn)
+    )
+    return j.select(
+        "entity_a",
+        "entity_b",
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("n_ab").cast("long"),
+        nn.alias("n_units"),
+        (ll * 2).cast("long").alias("g2_micro"),
+    )

@@ -1,0 +1,93 @@
+"""Unit tests for qa76/qa77 operators: Dunning G² edge significance and
+per-group MMR re-ranking — closed-form cases."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.operators.retrieval import mmr_rerank
+from ontology_mapper_spark.pipeline.comention import llr_comention_edges
+
+
+def _xlx_micro(x: int) -> int:
+    return 0 if x == 0 else x * round(math.log(x) * 1e6)
+
+
+def test_llr_matches_closed_form(spark):
+    # 10 units: A∩B in 3, A-only in 2, B-only in 1, neither in 4.
+    rows = []
+    for u in range(3):
+        rows += [(f"u{u}", "A"), (f"u{u}", "B")]
+    for u in range(3, 5):
+        rows.append((f"u{u}", "A"))
+    rows.append(("u5", "B"))
+    for u in range(6, 10):
+        rows.append((f"u{u}", "C"))  # filler entity so N counts 10 units
+    df = spark.createDataFrame(rows, "conv_id string, class_iri string")
+    out = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in llr_comention_edges(df).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["n_a"] == 5 and ab["n_b"] == 4 and ab["n_ab"] == 3
+    assert ab["n_units"] == 10
+    k11, k12, k21, k22, n = 3, 2, 1, 4, 10
+    want = 2 * (
+        _xlx_micro(k11) + _xlx_micro(k12) + _xlx_micro(k21) + _xlx_micro(k22)
+        - _xlx_micro(5) - _xlx_micro(5) - _xlx_micro(4) - _xlx_micro(6)
+        + _xlx_micro(n)
+    )
+    assert ab["g2_micro"] == want
+    # enriched pair → positive G² with this margin structure
+    assert ab["g2_micro"] > 0
+
+
+def test_llr_independent_pair_near_zero(spark):
+    # A in every unit, B in every unit → k12=k21=k22=0: G² degenerates
+    # to exactly 0 (all mass on k11; xlx cancellation).
+    rows = []
+    for u in range(8):
+        rows += [(f"u{u}", "A"), (f"u{u}", "B")]
+    df = spark.createDataFrame(rows, "conv_id string, class_iri string")
+    out = llr_comention_edges(df).collect()
+    assert len(out) == 1
+    assert out[0]["g2_micro"] == 0
+
+
+def test_mmr_penalizes_duplicates(spark):
+    # query = md5-min member; candidate 2 duplicates candidate 1: after
+    # picking the best, its duplicate must fall behind the orthogonal
+    # vector despite equal relevance.
+    rows = [
+        ("a", 1, [1.0, 0.0]),
+        ("a", 2, [1.0, 0.0]),
+        ("a", 3, [0.9, 0.1]),
+        ("a", 4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, vec_id bigint, embedding array<float>"
+    )
+    out = {r["pick_rank"]: r for r in mmr_rerank(df, "g", k=3).collect()}
+    ids = [out[r]["vec_id"] for r in (1, 2, 3)]
+    assert len(set(ids)) == 3  # picks never repeat
+    # the duplicate pair (1,2) must NOT occupy ranks 1+2 together
+    assert set(ids[:2]) != {1, 2}
+
+
+def test_mmr_all_groups_get_k_picks(spark):
+    rows = [
+        (g, i + 10 * gi, [float(i == j) for j in range(4)])
+        for gi, g in enumerate(["x", "y"])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, vec_id bigint, embedding array<float>"
+    )
+    out = mmr_rerank(df, "g", k=3).collect()
+    per_g = {}
+    for r in out:
+        per_g.setdefault(r["g"], []).append(r["pick_rank"])
+    assert sorted(per_g) == ["x", "y"]
+    assert all(sorted(v) == [1, 2, 3] for v in per_g.values())
