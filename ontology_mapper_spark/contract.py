@@ -7788,3 +7788,78 @@ def qa77(spark, sf):
     from .operators.retrieval import mmr_rerank
 
     return mmr_rerank(_t(spark, sf, "embeddings"), "label", k=3)
+
+
+@_q(
+    "qa78_dispersion",
+    """
+    WITH daily AS (
+      SELECT event_type AS t, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    a AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+      FROM daily GROUP BY 1),
+    m AS (
+      SELECT *, CAST(s AS DOUBLE) / n_days AS mean,
+             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+               / (n_days - 1) AS var
+      FROM a)
+    SELECT t AS event_type, n_days,
+           CAST(round(mean * 1000000) AS BIGINT) AS mean_micro,
+           CASE WHEN n_days > 1
+                THEN CAST(round(var * 1000000) AS BIGINT) END AS var_micro,
+           CASE WHEN n_days > 1 AND s > 0
+                THEN CAST(round(var / mean * 1000000) AS BIGINT)
+           END AS vmr_micro,
+           CASE WHEN n_days > 1 AND s > 0
+                THEN CAST(round(var / mean * 1000000) AS BIGINT) > 2000000
+           END AS overdispersed
+    FROM m
+    """,
+)
+def qa78(spark, sf):
+    """Index of dispersion (VMR) of daily counts per event type
+    (operators/temporal.py:dispersion_daily) — the Poisson check that
+    decides between √mean alert bands and negative-binomial ones.
+    Completes the temporal-monitor set (qa64 rhythm, qa70 memory,
+    qa47/qa54 level shifts)."""
+    from .operators.temporal import dispersion_daily
+
+    return dispersion_daily(_t(spark, sf, "events"), "event_type")
+
+
+@_q(
+    "qa79_weighted_median",
+    """
+    WITH b AS (SELECT source AS g, n_chars AS v, n_chars AS w,
+                      doc_id AS tb
+               FROM documents),
+    s AS (
+      SELECT g, v,
+             sum(w) OVER (PARTITION BY g ORDER BY v, tb
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY g) AS tw,
+             row_number() OVER (PARTITION BY g ORDER BY v, tb) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM b)
+    SELECT g AS source, CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(tw) AS BIGINT) AS w_total,
+           CAST(min(CASE WHEN cw * 2 >= tw THEN v END) AS BIGINT)
+             AS p50_weighted,
+           CAST(min(CASE WHEN rn * 2 >= n THEN v END) AS BIGINT)
+             AS p50_plain
+    FROM s GROUP BY g
+    """,
+)
+def qa79(spark, sf):
+    """Per-source size-weighted median doc length (operators/stats.py:
+    weighted_median, weight = n_chars → length-biased median, "the
+    median byte lives in a doc this long") vs the plain median — the
+    capacity-planning number the unweighted median understates.  Exact
+    integer windows under a total order; 2·cum ≥ W avoids division."""
+    from .operators.stats import weighted_median
+
+    d = _t(spark, sf, "documents")
+    return weighted_median(d, "source", "n_chars", "n_chars", "doc_id")

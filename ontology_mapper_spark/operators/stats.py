@@ -948,3 +948,63 @@ def benford_deviation(
         F.col("_ct").alias("chi2_term_micro"),
         F.sum("_ct").over(wg).cast("long").alias("chi2_total_micro"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group weighted median (type-1): the smallest value whose
+    cumulative weight reaches half the total — "the median document
+    length BY TOKEN MASS", which is what capacity planning actually
+    wants (the unweighted median over-counts shorts).  Plain medians
+    are the weight≡1 special case; qa51/q54's exact-percentile idiom
+    extended to weights.
+
+    One window cumsum under a TOTAL order (value, tiebreak) over the
+    group partitioning, one conditional min — exact integer arithmetic
+    throughout (2·cum ≥ W avoids the half-weight division).
+
+    Output per group: n_rows, w_total, p50_weighted, plus the plain
+    p50 value for contrast (weight≡1 under the same order).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+        (
+            weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+        ).cast("long").alias("_w"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    w = Window.partitionBy("_g").orderBy("_v", "_tb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("_g")
+    staged = base.select(
+        "_g",
+        "_v",
+        F.sum("_w").over(w).alias("_cw"),
+        F.sum("_w").over(wall).alias("_tw"),
+        F.row_number().over(Window.partitionBy("_g").orderBy("_v", "_tb"))
+        .alias("_rn"),
+        F.count("*").over(wall).alias("_n"),
+    )
+    return staged.groupBy("_g").agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.max("_tw").cast("long").alias("w_total"),
+        F.min(F.when(F.col("_cw") * 2 >= F.col("_tw"), F.col("_v")))
+        .cast("long")
+        .alias("p50_weighted"),
+        F.min(F.when(F.col("_rn") * 2 >= F.col("_n"), F.col("_v")))
+        .cast("long")
+        .alias("p50_plain"),
+    ).select(
+        F.col("_g").alias(group_col),
+        "n_rows",
+        "w_total",
+        "p50_weighted",
+        "p50_plain",
+    )

@@ -733,3 +733,51 @@ def acf_daily(
             ).alias(f"acf{k}_micro")
         )
     return agg.select(*outcols)
+
+
+def dispersion_daily(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str = "ts",
+    vmr_threshold_micro: int = 2_000_000,
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily counts per
+    type — the one-number Poisson check: VMR ≈ 1 means arrivals are
+    Poisson-like and rate alerts can use √mean bands; VMR ≫ 1 means
+    bursty/clumped traffic (bots, batch imports) needs the negative-
+    binomial treatment.  Completes the temporal-monitor set (qa64
+    rhythm, qa70 memory, qa47/qa54 level shifts).
+
+    Sample variance from exact bigint sums (N, Σy, Σy²); VMR is one
+    fixed double DAG micro-rounded; the flag compares the rounded
+    integer.  Output per type: n_days, mean_micro, var_micro,
+    vmr_micro (NULL when mean is 0 or N < 2), overdispersed.
+    """
+    daily = (
+        df.select(F.col(type_col).alias("_t"), F.to_date(ts_col).alias("_d"))
+        .groupBy("_t", "_d")
+        .agg(F.count("*").cast("long").alias("_y"))
+    )
+    agg = daily.groupBy("_t").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("_y").cast("long").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_q"),
+    )
+    mean = F.col("_s").cast("double") / F.col("n_days")
+    var = (
+        F.col("_q").cast("double")
+        - F.col("_s").cast("double") * F.col("_s") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    vmr = F.when(
+        (F.col("n_days") > 1) & (F.col("_s") > 0),
+        F.round(var / mean * 1_000_000).cast("long"),
+    )
+    return agg.select(
+        F.col("_t").alias(type_col),
+        "n_days",
+        F.round(mean * 1_000_000).cast("long").alias("mean_micro"),
+        F.when(F.col("n_days") > 1, F.round(var * 1_000_000).cast("long"))
+        .alias("var_micro"),
+        vmr.alias("vmr_micro"),
+        (vmr > vmr_threshold_micro).alias("overdispersed"),
+    )

@@ -91,3 +91,42 @@ def test_mmr_all_groups_get_k_picks(spark):
         per_g.setdefault(r["g"], []).append(r["pick_rank"])
     assert sorted(per_g) == ["x", "y"]
     assert all(sorted(v) == [1, 2, 3] for v in per_g.values())
+
+
+def test_dispersion_poisson_vs_bursty(spark):
+    from datetime import datetime, timedelta
+
+    from ontology_mapper_spark.operators.temporal import dispersion_daily
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # 'flat': constant 5/day → var 0 → VMR 0, not overdispersed
+    for i in range(10):
+        rows += [("flat", base + timedelta(days=i))] * 5
+    # 'bursty': alternates 1 and 19 → mean 10, var 85.26..→ VMR >> 2
+    for i in range(10):
+        rows += [("bursty", base + timedelta(days=i))] * (1 if i % 2 else 19)
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in dispersion_daily(df, "event_type").collect()}
+    assert out["flat"]["vmr_micro"] == 0
+    assert out["flat"]["overdispersed"] is False
+    assert out["bursty"]["mean_micro"] == 10_000_000
+    assert out["bursty"]["overdispersed"] is True
+    var = (5 * 19 * 19 + 5 * 1 * 1 - 100 * 100 / 10) / 9
+    assert out["bursty"]["vmr_micro"] == round(var / 10 * 1e6)
+
+
+def test_weighted_median_length_biased(spark):
+    from ontology_mapper_spark.operators.stats import weighted_median
+
+    # values 1..4 with weight=value: total w=10, half=5 → cumw hits 5
+    # at value 3 (1+2+3=6 ≥ 5) → weighted median 3; plain median rn*2>=n
+    # → rn=2 of 4 → value 2.
+    df = spark.createDataFrame(
+        [("g", v, v, v) for v in (1, 2, 3, 4)],
+        "g string, v bigint, w bigint, tb bigint",
+    )
+    out = weighted_median(df, "g", "v", "w", "tb").collect()[0]
+    assert out["w_total"] == 10
+    assert out["p50_weighted"] == 3
+    assert out["p50_plain"] == 2
