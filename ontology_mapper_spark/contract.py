@@ -7863,3 +7863,117 @@ def qa79(spark, sf):
 
     d = _t(spark, sf, "documents")
     return weighted_median(d, "source", "n_chars", "n_chars", "doc_id")
+
+
+def _qa80_oracle() -> str:
+    body = _kmeans_ctes()
+    return f"""
+    WITH {body},
+    asg AS (SELECT a.vec_id, a.cl AS c, e.label AS g
+            FROM a3 a JOIN embeddings e USING (vec_id)),
+    cells AS (SELECT c, g, CAST(count(*) AS BIGINT) AS n
+              FROM asg GROUP BY 1, 2),
+    rws AS (SELECT c, CAST(sum(n) AS BIGINT) AS rc FROM cells GROUP BY 1),
+    cls AS (SELECT g, CAST(sum(n) AS BIGINT) AS gc FROM cells GROUP BY 1),
+    t AS (
+      SELECT cells.n,
+             CAST(round(CAST(cells.n AS DOUBLE) * cells.n / rws.rc * 1000000)
+                  AS BIGINT) AS tp,
+             CAST(round(CAST(cells.n AS DOUBLE) * cells.n / cls.gc * 1000000)
+                  AS BIGINT) AS tr,
+             CAST(cells.n * (cells.n - 1) / 2 AS BIGINT) AS pairs_c
+      FROM cells JOIN rws USING (c) JOIN cls USING (g)),
+    b AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(tp) AS BIGINT) AS sp,
+                 CAST(sum(tr) AS BIGINT) AS sr,
+                 CAST(sum(pairs_c) AS BIGINT) AS apairs
+          FROM t),
+    rp AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                  CAST(sum(rc * (rc - 1) / 2) AS BIGINT) AS bb
+           FROM rws),
+    cp AS (SELECT CAST(count(*) AS BIGINT) AS n_gold,
+                  CAST(sum(gc * (gc - 1) / 2) AS BIGINT) AS cb
+           FROM cls),
+    o AS (SELECT * FROM b CROSS JOIN rp CROSS JOIN cp),
+    f AS (
+      SELECT *, CAST(sp AS DOUBLE) / n AS p, CAST(sr AS DOUBLE) / n AS r,
+             CAST(bb AS DOUBLE) * cb / CAST(n * (n - 1) / 2 AS BIGINT) AS ex,
+             CAST(bb + cb AS DOUBLE) / 2.0 AS mx
+      FROM o)
+    SELECT n, n_clusters, n_gold,
+           CAST(round(p) AS BIGINT) AS b3_p_micro,
+           CAST(round(r) AS BIGINT) AS b3_r_micro,
+           CAST(round(2.0 * p * r / (p + r)) AS BIGINT) AS b3_f1_micro,
+           CASE WHEN mx - ex <> 0
+                THEN CAST(round((CAST(apairs AS DOUBLE) - ex) * 1000000
+                                / (mx - ex)) AS BIGINT)
+           END AS ari_micro
+    FROM f
+    """
+
+
+@_q("qa80_cluster_agreement", _qa80_oracle())
+def qa80(spark, sf):
+    """External clustering quality of the qa02 k-means partition
+    against the embeddings' gold label column (operators/clustering.py:
+    cluster_agreement): B-cubed P/R/F1 (the entity-resolution standard)
+    + pair-counting Adjusted Rand, all from ONE contingency table —
+    per-cell terms micro-rounded then integer-summed, ARI binomials
+    exact bigint.  The trust gate before dedup/canonical clusters feed
+    downstream."""
+    from .operators.clustering import cluster_agreement, kmeans_micro
+
+    e = _t(spark, sf, "embeddings")
+    asg = kmeans_micro(e, "vec_id", "embedding", k=8, iters=3).select(
+        "vec_id", "cluster"
+    )
+    j = asg.join(e.select("vec_id", "label"), "vec_id")
+    return cluster_agreement(j, "vec_id", "cluster", "label")
+
+
+@_q(
+    "qa81_decay_trend",
+    """
+    WITH daily AS (
+      SELECT event_type AS t, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT t,
+             CAST(date_diff('day', min(d) OVER (PARTITION BY t), d)
+                  AS BIGINT) AS x,
+             CAST(round(ln(CAST(y AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+      FROM daily),
+    a AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * ly) AS BIGINT) AS sxy
+      FROM st GROUP BY t),
+    f AS (
+      SELECT *, CAST(n_days * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n_days * sxx - sx * sx AS DOUBLE) AS den
+      FROM a),
+    g AS (SELECT *, num / den AS slope FROM f)
+    SELECT t AS event_type, n_days,
+           CASE WHEN den <> 0 THEN CAST(round(slope) AS BIGINT) END
+             AS slope_micro,
+           CASE WHEN den <> 0
+                THEN CAST(round((CAST(sy AS DOUBLE) - slope * sx) / n_days)
+                          AS BIGINT)
+           END AS intercept_micro,
+           CASE WHEN den <> 0 AND slope < 0
+                THEN CAST(round(693147000000 / -slope) AS BIGINT)
+           END AS halflife_days_micro
+    FROM g
+    """,
+)
+def qa81(spark, sf):
+    """Exponential growth/decay rate of daily counts per event type
+    (operators/temporal.py:decay_trend): OLS slope of ln(count) on day
+    offset — source half-life for corpus-freshness planning.  One
+    micro-rounded ln per observed day, four exact bigint sums, slope /
+    intercept / half-life one terminal double DAG (ln 2 enters as a
+    micro literal)."""
+    from .operators.temporal import decay_trend
+
+    return decay_trend(_t(spark, sf, "events"), "event_type")

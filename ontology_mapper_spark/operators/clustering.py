@@ -202,3 +202,85 @@ def centroid_silhouette(
         "min_s_micro",
         "max_s_micro",
     )
+
+
+def cluster_agreement(
+    assigned: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """External clustering-quality metrics against a gold labeling:
+    B-cubed precision/recall/F1 (Bagga & Baldwin 1998 — the standard
+    entity-resolution score, element-weighted so giant clusters can't
+    hide errors) and the pair-counting Adjusted Rand Index — the two
+    numbers a canonicalization / dedup-cluster run reports before its
+    output is trusted.
+
+    Everything flows from ONE (cluster, gold) contingency table:
+
+        B³P = (1/N)·Σ_cells n²/|C|      B³R = (1/N)·Σ_cells n²/|G|
+        ARI from Σ C(n,2) over cells / rows / cols (exact bigints)
+
+    Per-cell n²/|C| terms are micro-rounded then integer-summed (the
+    qa64 discipline — never an order-dependent double sum); ARI's
+    binomials stay bigint with one terminal double DAG.  Cost: one
+    shuffle for the contingency; the rest runs on |C|·|G| cells.
+
+    Output (single row): n, n_clusters, n_gold, b3_p_micro, b3_r_micro,
+    b3_f1_micro, ari_micro.
+    """
+    cells = (
+        assigned.select(
+            F.col(cluster_col).alias("_c"), F.col(gold_col).alias("_g")
+        )
+        .groupBy("_c", "_g")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    rows = cells.groupBy("_c").agg(F.sum("_n").cast("long").alias("_rc"))
+    cols = cells.groupBy("_g").agg(F.sum("_n").cast("long").alias("_gc"))
+    j = cells.join(F.broadcast(rows), "_c").join(F.broadcast(cols), "_g")
+    terms = j.select(
+        "_n",
+        F.round(
+            F.col("_n").cast("double") * F.col("_n") / F.col("_rc") * MICRO
+        ).cast("long").alias("_tp"),
+        F.round(
+            F.col("_n").cast("double") * F.col("_n") / F.col("_gc") * MICRO
+        ).cast("long").alias("_tr"),
+        (F.col("_n") * (F.col("_n") - 1) / 2).cast("long").alias("_pair"),
+    )
+    base = terms.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_tp").cast("long").alias("_sp"),
+        F.sum("_tr").cast("long").alias("_sr"),
+        F.sum("_pair").cast("long").alias("_a"),
+    )
+    rp = rows.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.col("_rc") * (F.col("_rc") - 1) / 2).cast("long").alias("_b"),
+    )
+    cp = cols.agg(
+        F.count("*").cast("long").alias("n_gold"),
+        F.sum(F.col("_gc") * (F.col("_gc") - 1) / 2).cast("long").alias("_cb"),
+    )
+    out = base.crossJoin(F.broadcast(rp)).crossJoin(F.broadcast(cp))
+    p = F.col("_sp").cast("double") / F.col("n")
+    r = F.col("_sr").cast("double") / F.col("n")
+    tot = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    exp = F.col("_b").cast("double") * F.col("_cb") / tot
+    mx = (F.col("_b") + F.col("_cb")).cast("double") / 2.0
+    return out.select(
+        "n",
+        "n_clusters",
+        "n_gold",
+        F.round(p).cast("long").alias("b3_p_micro"),
+        F.round(r).cast("long").alias("b3_r_micro"),
+        F.round(2.0 * p * r / (p + r)).cast("long").alias("b3_f1_micro"),
+        F.when(
+            mx - exp != 0.0,
+            F.round(
+                (F.col("_a").cast("double") - exp) * MICRO / (mx - exp)
+            ).cast("long"),
+        ).alias("ari_micro"),
+    )

@@ -781,3 +781,73 @@ def dispersion_daily(
         vmr.alias("vmr_micro"),
         (vmr > vmr_threshold_micro).alias("overdispersed"),
     )
+
+
+def decay_trend(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Log-linear trend fit of daily counts per type — OLS slope of
+    ln(count) on day index, i.e. the exponential growth/decay rate, and
+    its half-life/doubling-time — "is this source dying, and how fast?"
+    for corpus-freshness planning.
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with x = day offset from the type's first day (exact ints) and
+    y = ln_micro(count) (one micro-rounded ln per observed day — the
+    q66 discipline), so all four sums are exact bigints and slope /
+    intercept / half-life are one terminal double DAG.  Days with zero
+    events contribute no row (ln 0) — the fit is over observed days,
+    documented.
+
+    Output per type: n_days, slope_micro (micro-nats/day),
+    intercept_micro, halflife_days_micro (NULL when slope ≥ 0 —
+    growing or flat; ln 2 enters as a micro-int literal).
+    """
+    daily = (
+        df.select(F.col(type_col).alias("_t"), F.to_date(ts_col).alias("_d"))
+        .groupBy("_t", "_d")
+        .agg(F.count("*").cast("long").alias("_y"))
+    )
+    w = Window.partitionBy("_t")
+    staged = daily.select(
+        "_t",
+        F.datediff("_d", F.min("_d").over(w)).cast("long").alias("_x"),
+        F.round(F.log(F.col("_y").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("_ly"),
+    )
+    agg = staged.groupBy("_t").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_ly").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_ly")).cast("long").alias("_sxy"),
+    )
+    den = (
+        F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    ).cast("double")
+    num = (
+        F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ).cast("double")
+    slope = num / den  # already micro-scaled (y was micro)
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx")
+    ) / F.col("n_days")
+    # round(ln(2)*1e6)*1e6 as ONE precomputed literal — 693147*1000000
+    # overflows 32-bit int literals in Spark's ANSI mode
+    ln2_micro2 = 693_147_000_000
+    return agg.select(
+        F.col("_t").alias(type_col),
+        "n_days",
+        F.when(den != 0.0, F.round(slope).cast("long")).alias("slope_micro"),
+        F.when(den != 0.0, F.round(intercept).cast("long")).alias(
+            "intercept_micro"
+        ),
+        F.when(
+            (den != 0.0) & (slope < 0.0),
+            F.round(F.lit(ln2_micro2) / -slope).cast("long"),
+        ).alias("halflife_days_micro"),
+    )

@@ -130,3 +130,41 @@ def test_weighted_median_length_biased(spark):
     assert out["w_total"] == 10
     assert out["p50_weighted"] == 3
     assert out["p50_plain"] == 2
+
+
+def test_cluster_agreement_perfect_and_split(spark):
+    from ontology_mapper_spark.operators.clustering import cluster_agreement
+
+    # perfect agreement → B3 P=R=F1=1, ARI=1
+    rows = [(i, i % 3, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, c int, g int")
+    out = cluster_agreement(df, "id", "c", "g").collect()[0]
+    assert out["b3_p_micro"] == 1_000_000
+    assert out["b3_r_micro"] == 1_000_000
+    assert out["ari_micro"] == 1_000_000
+    # over-split clustering (every item its own cluster): P=1, R<1, ARI=0
+    rows2 = [(i, i, i % 3) for i in range(30)]
+    df2 = spark.createDataFrame(rows2, "id bigint, c int, g int")
+    out2 = cluster_agreement(df2, "id", "c", "g").collect()[0]
+    assert out2["b3_p_micro"] == 1_000_000
+    assert out2["b3_r_micro"] == 100_000  # each item covers 1/10 of its gold class
+    assert out2["ari_micro"] == 0
+
+
+def test_decay_trend_exact_exponential(spark):
+    from datetime import datetime, timedelta
+
+    from ontology_mapper_spark.operators.temporal import decay_trend
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    counts = [512, 256, 128, 64, 32, 16, 8]  # halves daily → halflife 1d
+    for i, n in enumerate(counts):
+        rows += [("t", base + timedelta(days=i))] * n
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = decay_trend(df, "event_type").collect()[0]
+    assert out["n_days"] == 7
+    # slope = -ln2 per day in micro-nats
+    assert abs(out["slope_micro"] + 693_147) <= 2
+    assert abs(out["halflife_days_micro"] - 1_000_000) <= 10
+    assert abs(out["intercept_micro"] - round(math.log(512) * 1e6)) <= 2
