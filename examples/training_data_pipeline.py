@@ -20,10 +20,20 @@ would chain them at 100 TB:
      (a source whose docs stop classifying as themselves has drifted or
      been contaminated) and DSIR target-domain importance weights
      carried as a column for downstream sampling;
-  7. deterministic hash split into train/valid/test.
+  7. deterministic hash split into train/valid/test;
+  8. importance-weight sanity: ROC-AUC of the DSIR weight as a ranker
+     of target-domain docs (a weight that can't rank its own target
+     above the rest is mis-specified);
+  9. release audit: k-anonymity / l-diversity over (source,
+     length-bucket) quasi-identifiers before any per-document slice
+     leaves the pipeline;
+ 10. eval-budget design: Neyman-optimal allocation of a fixed eval
+     budget across sources (size x spread), computed on the valid
+     split.
 
 Every operator used here is individually DuckDB-oracled (q25/q26/q64/q63/
-q59/q66/q67/q68/q62/qa25/qa26); this example shows the composition.
+q59/q66/q67/q68/q62/qa25/qa26/qa65/qa62/qa71); this example shows the
+composition.
 
     python examples/training_data_pipeline.py [sf_dir] [out_dir]
 """
@@ -158,6 +168,45 @@ def main() -> int:
     stats = {r["split"]: r["n"] for r in
              final.groupBy("split").agg(F.count("*").alias("n")).collect()}
 
+    # 8. importance-weight sanity: the DSIR weight must rank its own
+    # target domain above the rest (AUC well over 0.5) or stage 6 is
+    # mis-specified
+    from ontology_mapper_spark.operators.evaluate import roc_auc
+
+    auc_row = roc_auc(
+        final.select(
+            F.lit("corpus").alias("g"),
+            F.coalesce(F.col("weight_micro"), F.lit(0)).alias("w"),
+            (F.col("source") == target).alias("y"),
+        ),
+        "g", "w", "y",
+    ).collect()
+    dsir_auc = auc_row[0]["auc_micro"] / 1e6 if auc_row else None
+
+    # 9. release audit: re-identification risk of the published corpus
+    from ontology_mapper_spark.operators.privacy import k_anonymity_report
+
+    risk = {
+        r["k"]: r
+        for r in k_anonymity_report(
+            final,
+            ["source", F.floor(F.col("n_chars") / 100).cast("long")],
+            "lang",
+            (5,),
+        ).collect()
+    }
+    k5 = risk[5]
+
+    # 10. Neyman eval-budget allocation over the valid split
+    from ontology_mapper_spark.operators.split import neyman_allocation
+
+    alloc = {
+        r["source"]: r["alloc_n"]
+        for r in neyman_allocation(
+            final.where(F.col("split") == "valid"), "source", "n_chars", 1000
+        ).collect()
+    }
+
     worst_leak = max(leakage.values()) if leakage else 0
     worst_acc = min(nb_acc.values()) if nb_acc else 1.0
     print(
@@ -165,8 +214,11 @@ def main() -> int:
         f"-> exact-dedup {n1} -> near-dup {n2} -> quality {n3} "
         f"-> decontaminated {n4} -> length-trimmed {n5} "
         f"(NB separability: worst source {worst_acc:.2f}, "
-        f"DSIR target {target}); "
-        f"splits {stats}; wrote {out_dir}"
+        f"DSIR target {target}, DSIR-AUC {dsir_auc}); "
+        f"splits {stats}; "
+        f"k=5 release risk {k5['rows_below']}/{k5['n_rows']} rows "
+        f"(min l-diversity {k5['min_l_diversity']}); "
+        f"eval alloc {alloc}; wrote {out_dir}"
     )
     return 0
 
