@@ -7977,3 +7977,105 @@ def qa81(spark, sf):
     from .operators.temporal import decay_trend
 
     return decay_trend(_t(spark, sf, "events"), "event_type")
+
+
+@_q(
+    "qa82_calibration",
+    """
+    WITH ext AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+                 FROM documents),
+    b AS (
+      SELECT CAST(floor((n_chars - ext.mn) * 10 / (ext.mx - ext.mn + 1))
+                  AS BIGINT) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents CROSS JOIN ext),
+    p AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM b GROUP BY 1),
+    st AS (
+      SELECT bin, n, CAST((bin * 2 + 1) * 50000 AS BIGINT) AS conf_micro,
+             CAST(round(pos * 1000000 / n) AS BIGINT) AS acc_micro
+      FROM p),
+    g AS (SELECT *, CAST(abs(acc_micro - conf_micro) AS BIGINT)
+                 AS gap_micro
+          FROM st)
+    SELECT bin, n, conf_micro, acc_micro, gap_micro,
+           CAST(round(CAST(sum(n * gap_micro) OVER () AS BIGINT)
+                      / CAST(sum(n) OVER () AS BIGINT)) AS BIGINT)
+             AS ece_micro
+    FROM g
+    """,
+)
+def qa82(spark, sf):
+    """Reliability diagram + Expected Calibration Error (operators/
+    evaluate.py:calibration_report, 10 equi-width bins): doc length as
+    a mock confidence for is-English, vs the observed rate per bin —
+    the calibration complement to qa65's AUC (discrimination ≠
+    calibration).  Bin edges pure integer arithmetic; ECE one terminal
+    division over integer sums."""
+    from .operators.evaluate import calibration_report
+
+    d = _t(spark, sf, "documents")
+    return calibration_report(
+        d, "n_chars", F.col("lang") == F.lit("en"), n_bins=10
+    )
+
+
+@_q(
+    "qa83_profile_drift",
+    """
+    WITH ps AS (
+      SELECT CAST(doc_id % 2 AS INT) AS side, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nl_text,
+             CAST(count(DISTINCT text) AS BIGINT) AS d_text,
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nl_lang,
+             CAST(count(DISTINCT lang) AS BIGINT) AS d_lang,
+             CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nl_source,
+             CAST(count(DISTINCT source) AS BIGINT) AS d_source,
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nl_n_chars,
+             CAST(count(DISTINCT n_chars) AS BIGINT) AS d_n_chars
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT side, n, 'text' AS col, nl_text AS nulls, d_text AS dst FROM ps
+      UNION ALL SELECT side, n, 'lang', nl_lang, d_lang FROM ps
+      UNION ALL SELECT side, n, 'source', nl_source, d_source FROM ps
+      UNION ALL SELECT side, n, 'n_chars', nl_n_chars, d_n_chars FROM ps),
+    p AS (
+      SELECT col,
+             CAST(max(CASE WHEN side = 0 THEN n END) AS BIGINT) AS n_0,
+             CAST(max(CASE WHEN side = 1 THEN n END) AS BIGINT) AS n_1,
+             CAST(max(CASE WHEN side = 0 THEN nulls END) AS BIGINT) AS nl0,
+             CAST(max(CASE WHEN side = 1 THEN nulls END) AS BIGINT) AS nl1,
+             CAST(max(CASE WHEN side = 0 THEN dst END) AS BIGINT)
+               AS distinct_0,
+             CAST(max(CASE WHEN side = 1 THEN dst END) AS BIGINT)
+               AS distinct_1
+      FROM r GROUP BY col)
+    SELECT col, n_0, n_1,
+           CAST(round(nl0 * 1000000 / n_0) AS BIGINT) AS null0_micro,
+           CAST(round(nl1 * 1000000 / n_1) AS BIGINT) AS null1_micro,
+           distinct_0, distinct_1,
+           CASE WHEN distinct_0 > 0
+                THEN CAST(round(distinct_1 * 1000000 / distinct_0)
+                          AS BIGINT)
+           END AS distinct_ratio_micro
+    FROM p
+    """,
+)
+def qa83(spark, sf):
+    """Shard-parity column profiles (operators/stats.py:profile_drift):
+    rows / null rates / distinct counts of every documents column on
+    the two doc_id%2 shards, side by side — the ingest sanity check
+    that catches a scraper nulling a field or collapsing a vocabulary
+    in ONE pass (single groupBy(side) with all columns' aggregates; the
+    2-row result pivots in-plan)."""
+    from .operators.stats import profile_drift
+
+    d = _t(spark, sf, "documents")
+    return profile_drift(
+        d, (F.col("doc_id") % 2), ["text", "lang", "source", "n_chars"]
+    )

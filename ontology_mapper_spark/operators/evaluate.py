@@ -235,3 +235,82 @@ def roc_auc(
         .cast("long")
         .alias("gini_micro"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a bounded
+    integer score against a boolean outcome — the calibration
+    complement to `roc_auc`'s discrimination: a score can rank
+    perfectly (AUC 1) yet lie about probabilities; gating on it as if
+    calibrated then mis-sizes every downstream quota.
+
+    The score range is split into n_bins equi-width bins (global
+    min/max via a broadcast single-row agg; bin index is pure integer
+    arithmetic so both engines agree at bin edges); each bin's implied
+    confidence is its midpoint (2b+1)/(2·n_bins).  Everything is exact:
+    acc and conf in micro-ints, the ECE numerator Σ n_b·|acc−conf| an
+    integer sum, ONE terminal division.
+
+    Output per bin: bin, n, conf_micro, acc_micro, gap_micro, and
+    ece_micro (corpus-level, repeated per row for a single-table read).
+    """
+    base = df.select(
+        (
+            score_col if not isinstance(score_col, str) else F.col(score_col)
+        ).cast("long").alias("_s"),
+        (
+            label_col if not isinstance(label_col, str) else F.col(label_col)
+        ).cast("boolean").alias("_y"),
+    )
+    ext = base.agg(
+        F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
+    )
+    binned = base.crossJoin(F.broadcast(ext)).select(
+        F.floor(
+            (F.col("_s") - F.col("_mn"))
+            * F.lit(int(n_bins))
+            / (F.col("_mx") - F.col("_mn") + 1)
+        ).cast("long").alias("bin"),
+        "_y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("_y").cast("long")).cast("long").alias("_pos"),
+    )
+    conf = (F.col("bin") * 2 + 1) * F.lit(500_000 // n_bins)
+    acc = F.round(F.col("_pos") * F.lit(1_000_000) / F.col("n")).cast("long")
+    staged = per.select(
+        "bin",
+        "n",
+        conf.cast("long").alias("conf_micro"),
+        acc.alias("acc_micro"),
+    ).select(
+        "bin",
+        "n",
+        "conf_micro",
+        "acc_micro",
+        F.abs(F.col("acc_micro") - F.col("conf_micro")).cast("long").alias(
+            "gap_micro"
+        ),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return staged.select(
+        "bin",
+        "n",
+        "conf_micro",
+        "acc_micro",
+        "gap_micro",
+        F.round(
+            F.sum(F.col("n") * F.col("gap_micro")).over(wall)
+            / F.sum("n").over(wall)
+        )
+        .cast("long")
+        .alias("ece_micro"),
+    )

@@ -1008,3 +1008,81 @@ def weighted_median(
         "p50_weighted",
         "p50_plain",
     )
+
+
+def profile_drift(
+    df: DataFrame,
+    side_col,
+    cols: "list[str]",
+) -> DataFrame:
+    """Side-by-side column profiles (row count, null rate, distinct
+    count) of two partitions of a table — the shard-skew / snapshot-
+    drift check a 100 TB ingest runs before anything downstream trusts
+    "both halves look the same" (a scraper that nulls a field or
+    collapses a vocabulary shows up here first, long before model
+    metrics move).
+
+    ONE pass computes every column's stats for both sides (a single
+    groupBy(side) with null-count and count-distinct aggregates — no
+    per-column scans), then the tiny 2-row result pivots to one row per
+    column.  All ratios micro-ints from exact counts.
+
+    Output per column: col, n_0, n_1, null0_micro, null1_micro,
+    distinct_0, distinct_1, distinct_ratio_micro (side-1 vocabulary vs
+    side-0; NULL when side 0 has no distinct values).
+    """
+    side = (
+        side_col if not isinstance(side_col, str) else F.col(side_col)
+    ).cast("int")
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nl_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"_d_{c}"))
+    per_side = df.select(side.alias("_side"), *[F.col(c) for c in cols]).groupBy(
+        "_side"
+    ).agg(*aggs)
+    rows = per_side.select(
+        "_side",
+        "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"_nl_{c}").alias("nulls"),
+                        F.col(f"_d_{c}").alias("dst"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s"),
+    ).select("_side", "_n", "s.col", "s.nulls", "s.dst")
+    pivoted = rows.groupBy("col").agg(
+        F.max(F.when(F.col("_side") == 0, F.col("_n"))).cast("long").alias("n_0"),
+        F.max(F.when(F.col("_side") == 1, F.col("_n"))).cast("long").alias("n_1"),
+        F.max(F.when(F.col("_side") == 0, F.col("nulls"))).cast("long").alias("_nl0"),
+        F.max(F.when(F.col("_side") == 1, F.col("nulls"))).cast("long").alias("_nl1"),
+        F.max(F.when(F.col("_side") == 0, F.col("dst"))).cast("long").alias("distinct_0"),
+        F.max(F.when(F.col("_side") == 1, F.col("dst"))).cast("long").alias("distinct_1"),
+    )
+    return pivoted.select(
+        "col",
+        "n_0",
+        "n_1",
+        F.round(F.col("_nl0") * F.lit(MICRO) / F.col("n_0")).cast("long").alias(
+            "null0_micro"
+        ),
+        F.round(F.col("_nl1") * F.lit(MICRO) / F.col("n_1")).cast("long").alias(
+            "null1_micro"
+        ),
+        "distinct_0",
+        "distinct_1",
+        F.when(
+            F.col("distinct_0") > 0,
+            F.round(
+                F.col("distinct_1") * F.lit(MICRO) / F.col("distinct_0")
+            ).cast("long"),
+        ).alias("distinct_ratio_micro"),
+    )

@@ -168,3 +168,42 @@ def test_decay_trend_exact_exponential(spark):
     assert abs(out["slope_micro"] + 693_147) <= 2
     assert abs(out["halflife_days_micro"] - 1_000_000) <= 10
     assert abs(out["intercept_micro"] - round(math.log(512) * 1e6)) <= 2
+
+
+def test_calibration_perfectly_calibrated_bin(spark):
+    from ontology_mapper_spark.operators.evaluate import calibration_report
+
+    # scores 0..99, label true iff score >= 50: bins 0-4 acc 0, 5-9 acc 1
+    rows = [(s, s >= 50) for s in range(100)]
+    df = spark.createDataFrame(rows, "s bigint, y boolean")
+    out = {r["bin"]: r for r in calibration_report(df, "s", "y", 10).collect()}
+    assert len(out) == 10 and all(out[b]["n"] == 10 for b in out)
+    assert out[0]["acc_micro"] == 0 and out[0]["conf_micro"] == 50_000
+    assert out[9]["acc_micro"] == 1_000_000 and out[9]["conf_micro"] == 950_000
+    # ECE = mean of |acc-conf| with equal bins
+    want = round(sum(out[b]["gap_micro"] * 10 for b in out) / 100)
+    assert out[3]["ece_micro"] == want
+
+
+def test_profile_drift_null_and_vocab_collapse(spark):
+    from ontology_mapper_spark.operators.stats import profile_drift
+
+    # side 1 nulls half its lang values and collapses source vocab to 1
+    rows = []
+    for i in range(40):
+        side = i % 2
+        lang = None if (side == 1 and i % 4 == 1) else f"l{i % 4}"
+        src = "only" if side == 1 else f"s{i % 5}"
+        rows.append((i, lang, src))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, source string")
+    out = {
+        r["col"]: r
+        for r in profile_drift(
+            df, (F.col("doc_id") % 2), ["lang", "source"]
+        ).collect()
+    }
+    assert out["lang"]["null0_micro"] == 0
+    assert out["lang"]["null1_micro"] == 500_000
+    assert out["source"]["distinct_0"] == 5
+    assert out["source"]["distinct_1"] == 1
+    assert out["source"]["distinct_ratio_micro"] == 200_000
