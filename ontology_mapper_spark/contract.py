@@ -8079,3 +8079,102 @@ def qa83(spark, sf):
     return profile_drift(
         d, (F.col("doc_id") % 2), ["text", "lang", "source", "n_chars"]
     )
+
+
+@_q(
+    "qa84_behavior_fingerprint",
+    """
+    WITH seq AS (
+      SELECT CAST(user_id AS VARCHAR) || '#'
+               || CAST(CAST(ts AS DATE) AS VARCHAR) AS a,
+             md5(string_agg(event_type, '' ORDER BY ts, event_id))
+               AS fingerprint,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_actors,
+           CAST(max(n) AS BIGINT) AS n_actions,
+           min(a) AS actor_min, max(a) AS actor_max
+    FROM seq GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def qa84(spark, sf):
+    """Behavioral-duplicate (bot/replay) detection (operators/
+    dialogue.py:behavior_fingerprints): (user, day) sessions whose
+    exact ordered event-type trajectory repeats — the conversation-
+    level dedup signal text hashing misses.  Sequence assembled with
+    the qa15 array_sort(collect_list(struct)) idiom (in-group array
+    sort, no global orderBy), md5-hashed; only duplicated fingerprints
+    emit, as capped summaries."""
+    from .operators.dialogue import behavior_fingerprints
+
+    e = _t(spark, sf, "events").select(
+        F.concat_ws(
+            "#", F.col("user_id"), F.to_date("ts").cast("string")
+        ).alias("actor"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    return behavior_fingerprints(
+        e, "actor", "event_type", ["ts", "event_id"], min_group=2
+    )
+
+
+@_q(
+    "qa85_novelty_curve",
+    r"""
+    WITH w0 AS (
+      SELECT doc_id,
+             DATE '2024-01-01' + CAST(doc_id % 30 AS INT) AS d,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+      FROM documents),
+    toks AS (
+      SELECT doc_id, d, w, idx
+      FROM (SELECT doc_id, d,
+                   unnest(string_split(nt, ' ')) AS w,
+                   generate_subscripts(string_split(nt, ' '), 1) AS idx
+            FROM w0)),
+    grams0 AS (
+      SELECT doc_id, d, w || ' ' || lead_w AS sh
+      FROM (SELECT doc_id, d, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM toks)
+      WHERE lead_w IS NOT NULL),
+    small AS (
+      SELECT doc_id, d, nt AS sh FROM w0
+      WHERE len(string_split(nt, ' ')) < 2 AND len(nt) > 0),
+    base AS (
+      SELECT DISTINCT d, sh
+      FROM (SELECT d, sh FROM grams0 UNION ALL SELECT d, sh FROM small)),
+    first AS (SELECT sh, min(d) AS born FROM base GROUP BY 1),
+    per_day AS (
+      SELECT base.d, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN base.d = first.born THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new
+      FROM base JOIN first USING (sh) GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_shingles, n_new,
+           CAST(round(n_new * 1000000 / n_shingles) AS BIGINT)
+             AS novelty_micro,
+           CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_new
+    FROM per_day
+    """,
+)
+def qa85(spark, sf):
+    """Corpus novelty curve over a synthetic 30-day crawl calendar
+    (operators/textstats.py:novelty_curve): per day, the share of the
+    day's distinct bigram shingles never seen before, plus the
+    cumulative vocabulary — the diminishing-returns meter that says
+    when a source is mined out.  Shingles are the repo's canonical
+    shingles_col (q27's proven SQL mirror, incl. the <n-word whole-text
+    fallback)."""
+    from .operators.textstats import novelty_curve
+
+    d = _t(spark, sf, "documents").select(
+        "text",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("doc_id") % 30).cast("int"),
+        ).alias("_ts"),
+    )
+    return novelty_curve(d, "text", F.col("_ts"), shingle_n=2)

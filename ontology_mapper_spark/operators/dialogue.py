@@ -285,3 +285,59 @@ def response_latency(
         "p90_us",
         "max_us",
     )
+
+
+def behavior_fingerprints(
+    df,
+    actor_col: str,
+    action_col: str,
+    order_cols,
+    min_group: int = 2,
+):
+    """Behavioral-duplicate detection: actors whose ORDERED action
+    sequence is identical -- the bot/replay signal (organic users don't
+    share an exact 50-step trajectory) and the conversation-level dedup
+    that turn-level text hashing misses.
+
+    Per actor, the action sequence is assembled with the qa15 idiom --
+    ``array_sort(collect_list(struct(order..., action)))`` so the sort
+    is a deterministic in-group array sort, not a global orderBy -- and
+    hashed; fingerprints shared by >= min_group actors come back with a
+    capped summary (n_actors, n_actions, member min/max for drill-down,
+    never the full sequence -- rows stay small at any scale).
+
+    Output per duplicated fingerprint: fingerprint, n_actors,
+    n_actions, actor_min, actor_max.
+    """
+    seq = (
+        df.select(
+            F.col(actor_col).alias("_a"),
+            F.struct(
+                *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+                F.col(action_col).alias("_act"),
+            ).alias("_s"),
+        )
+        .groupBy("_a")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("_s")),
+                        lambda s: s["_act"],
+                    ),
+                    "",
+                )
+            ).alias("fingerprint"),
+            F.count("*").cast("long").alias("_n"),
+        )
+    )
+    return (
+        seq.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_actors"),
+            F.max("_n").cast("long").alias("n_actions"),
+            F.min("_a").alias("actor_min"),
+            F.max("_a").alias("actor_max"),
+        )
+        .where(F.col("n_actors") >= min_group)
+    )

@@ -593,3 +593,59 @@ def bpe_merge_rounds(
     for t in outs[1:]:
         result = result.union(t)
     return result
+
+
+def novelty_curve(
+    df,
+    text_col: str,
+    ts_col,
+    shingle_n: int = 2,
+):
+    """Corpus novelty curve: per day, how many of the day's distinct
+    word n-grams were NEVER seen on an earlier day -- the diminishing-
+    returns meter for a crawl ("yesterday 40% of bigrams were new,
+    today 4%: this source is mined out") and the aggregate view of what
+    near-dup removal will delete before it runs.
+
+    First-seen day per distinct shingle is ONE min-agg over the
+    exploded shingle stream (map-side combinable); the day-level rollup
+    counts distinct shingles touched vs born that day, with the
+    cumulative vocabulary via a window over the (tiny) day table.  All
+    ratios micro-ints.
+
+    Output per day: day 'yyyy-MM-dd', n_shingles (distinct touched),
+    n_new, novelty_micro (new/touched), cum_new (vocab size to date).
+    """
+    from .dedup import shingles_col
+
+    base = df.select(
+        F.to_date(
+            ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+        ).alias("_d"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_g"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    first = base.groupBy("_g").agg(F.min("_d").alias("_born"))
+    per_day = (
+        base.join(first, "_g")
+        .groupBy("_d")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_d") == F.col("_born")).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        "n_shingles",
+        "n_new",
+        F.round(F.col("n_new") * F.lit(1_000_000) / F.col("n_shingles"))
+        .cast("long")
+        .alias("novelty_micro"),
+        F.sum("n_new").over(w).cast("long").alias("cum_new"),
+    )

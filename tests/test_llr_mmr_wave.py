@@ -207,3 +207,44 @@ def test_profile_drift_null_and_vocab_collapse(spark):
     assert out["source"]["distinct_0"] == 5
     assert out["source"]["distinct_1"] == 1
     assert out["source"]["distinct_ratio_micro"] == 200_000
+
+
+def test_behavior_fingerprints_groups_identical_sequences(spark):
+    from datetime import datetime, timedelta
+
+    from ontology_mapper_spark.operators.dialogue import behavior_fingerprints
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # users a and b: identical view->click->buy; c: different order
+    for u in ("a", "b"):
+        for i, act in enumerate(["view", "click", "buy"]):
+            rows.append((u, act, t0 + timedelta(minutes=i), i))
+    for i, act in enumerate(["click", "view", "buy"]):
+        rows.append(("c", act, t0 + timedelta(minutes=i), i))
+    df = spark.createDataFrame(rows, "u string, act string, ts timestamp, i int")
+    out = behavior_fingerprints(df, "u", "act", ["ts", "i"], 2).collect()
+    assert len(out) == 1
+    assert out[0]["n_actors"] == 2
+    assert out[0]["actor_min"] == "a" and out[0]["actor_max"] == "b"
+    assert out[0]["n_actions"] == 3
+
+
+def test_novelty_curve_day1_all_new_then_decay(spark):
+    from datetime import datetime
+
+    from ontology_mapper_spark.operators.textstats import novelty_curve
+
+    rows = [
+        ("alpha beta gamma", datetime(2024, 1, 1)),
+        ("alpha beta delta", datetime(2024, 1, 2)),  # 1 of 2 bigrams new
+        ("alpha beta gamma", datetime(2024, 1, 3)),  # nothing new
+    ]
+    df = spark.createDataFrame(rows, "text string, ts timestamp")
+    out = {r["day"]: r for r in novelty_curve(df, "text", "ts").collect()}
+    d1 = out["2024-01-01"]
+    assert d1["n_shingles"] == 2 and d1["novelty_micro"] == 1_000_000
+    d2 = out["2024-01-02"]
+    assert d2["n_new"] == 1 and d2["novelty_micro"] == 500_000
+    d3 = out["2024-01-03"]
+    assert d3["n_new"] == 0 and d3["cum_new"] == 3
