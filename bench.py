@@ -123,6 +123,27 @@ EXTENDED = [
     "qa51_equidepth_bins",
     "qa52_incremental_lsh",
     "qa53_bpe_merges",
+    # round-3 sixth/seventh-wave operators
+    "qa54_cusum_online",
+    "qa57_locf_gapfill",
+    "qa58_funnel_steps",
+    "qa59_cohort_retention",
+    "qa60_spearman_rankcorr",
+    "qa63_zonemap_pruning",
+    "qa64_seasonality",
+    "qa65_roc_auc",
+    "qa67_kaplan_meier",
+    "qa69_benford",
+    "qa70_acf",
+    "qa72_context_truncation",
+    "qa73_silhouette",
+    "qa75_response_latency",
+    "qa76_llr_edges",
+    "qa77_mmr_rerank",
+    "qa80_cluster_agreement",
+    "qa82_calibration",
+    "qa84_behavior_fingerprint",
+    "qa85_novelty_curve",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
