@@ -8178,3 +8178,132 @@ def qa85(spark, sf):
         ).alias("_ts"),
     )
     return novelty_curve(d, "text", F.col("_ts"), shingle_n=2)
+
+
+_QA86_GUESS_CTE = r"""
+    scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, w -> list_contains(['the','and','of'], w))) AS en_hits,
+             len(list_filter(words, w -> list_contains(['der','die','und'], w))) AS de_hits,
+             len(list_filter(words, w -> list_contains(['le','la','et'], w))) AS fr_hits,
+             len(list_filter(words, w -> list_contains(['el','los','que'], w))) AS es_hits
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+                               w -> w <> '') AS words
+            FROM documents)),
+    g AS (
+      SELECT lang AS a,
+             CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+                    THEN 'und'
+                  WHEN es_hits >= greatest(en_hits, de_hits, fr_hits)
+                    THEN 'es'
+                  WHEN fr_hits >= greatest(en_hits, de_hits) THEN 'fr'
+                  WHEN de_hits >= en_hits THEN 'de'
+                  ELSE 'en' END AS p
+      FROM scored)
+"""
+
+
+@_q(
+    "qa86_multiclass_f1",
+    f"""
+    WITH {_QA86_GUESS_CTE},
+    actuals AS (SELECT a AS label, CAST(count(*) AS BIGINT) AS n_actual
+                FROM g GROUP BY 1),
+    preds AS (SELECT p AS label, CAST(count(*) AS BIGINT) AS n_pred
+              FROM g GROUP BY 1),
+    tps AS (SELECT a AS label, CAST(count(*) AS BIGINT) AS tp
+            FROM g WHERE a = p GROUP BY 1),
+    labels AS (SELECT DISTINCT label FROM
+               (SELECT label FROM actuals UNION ALL SELECT label FROM preds)),
+    j AS (
+      SELECT l.label, CAST(coalesce(n_actual, 0) AS BIGINT) AS n_actual,
+             CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+             CAST(coalesce(tp, 0) AS BIGINT) AS tp
+      FROM labels l LEFT JOIN actuals USING (label)
+      LEFT JOIN preds USING (label) LEFT JOIN tps USING (label)),
+    st AS (
+      SELECT label, n_actual, n_pred, tp,
+             CASE WHEN n_pred > 0
+                  THEN CAST(round(tp * 1000000 / n_pred) AS BIGINT)
+             END AS p_micro,
+             CASE WHEN n_actual > 0
+                  THEN CAST(round(tp * 1000000 / n_actual) AS BIGINT)
+             END AS r_micro,
+             CAST(round(tp * 2000000 / (n_actual + n_pred)) AS BIGINT)
+               AS f1_micro
+      FROM j)
+    SELECT *,
+           CAST(round(CAST(sum(tp) OVER () AS BIGINT) * 1000000
+                      / CAST(sum(n_actual) OVER () AS BIGINT)) AS BIGINT)
+             AS accuracy_micro,
+           CAST(round(CAST(sum(f1_micro) OVER () AS BIGINT)
+                      / count(*) OVER ()) AS BIGINT) AS macro_f1_micro
+    FROM st
+    """,
+)
+def qa86(spark, sf):
+    """Multiclass P/R/F1 report of the q51 language guesser against
+    declared lang (operators/evaluate.py:multiclass_report): per-class
+    F1 via the single-division identity 2·TP/(n_actual+n_pred),
+    accuracy and macro-F1 over the tiny label table — the confusion-
+    matrix rollup that makes a heuristic classifier a monitored
+    component."""
+    from .operators.evaluate import multiclass_report
+    from .operators.textstats import with_lang_guess
+
+    d = with_lang_guess(_t(spark, sf, "documents"), "text")
+    return multiclass_report(d, "lang", "lang_guess")
+
+
+@_q(
+    "qa87_cuped",
+    """
+    WITH ext AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                 FROM events),
+    b AS (
+      SELECT user_id AS u, CAST(floor(value) AS BIGINT) AS m,
+             (epoch_us(ts) * 2 < ext.lo + ext.hi) AS pre
+      FROM events CROSS JOIN ext),
+    pu AS (
+      SELECT u,
+             CAST(sum(CASE WHEN pre THEN m ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN NOT pre THEN m ELSE 0 END) AS BIGINT) AS y
+      FROM b GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pu),
+    f AS (
+      SELECT *, CAST(n_units * sxy - sx * sy AS DOUBLE) AS cov,
+             CAST(n_units * sxx - sx * sx AS DOUBLE) AS varx,
+             CAST(n_units * syy - sy * sy AS DOUBLE) AS vary
+      FROM s)
+    SELECT n_units,
+           CASE WHEN varx > 0 AND vary > 0
+                THEN CAST(round(cov * 1000000 / varx) AS BIGINT)
+           END AS theta_micro,
+           CASE WHEN varx > 0 AND vary > 0
+                THEN CAST(round(cov * 1000000 / sqrt(varx * vary)) AS BIGINT)
+           END AS corr_micro,
+           CASE WHEN varx > 0 AND vary > 0
+                THEN CAST(round(cov * cov * 1000000 / (varx * vary))
+                          AS BIGINT)
+           END AS var_reduction_micro
+    FROM f
+    """,
+)
+def qa87(spark, sf):
+    """CUPED variance-reduction audit over user activity (operators/
+    evaluate.py:cuped_adjustment): per-user pre/post metric sums split
+    at the time-range midpoint, θ = cov/var(pre), corr, and the
+    achievable variance reduction corr² — decides whether CUPED is
+    worth the plumbing before an experiment ships.  Metric floored to
+    integer units (floor is engine-exact where round on doubles is
+    not); five bigint sums, one terminal double DAG."""
+    from .operators.evaluate import cuped_adjustment
+
+    return cuped_adjustment(_t(spark, sf, "events"), "user_id", "value")

@@ -314,3 +314,167 @@ def calibration_report(
         .cast("long")
         .alias("ece_micro"),
     )
+
+
+def multiclass_report(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 + accuracy + macro-F1 for a
+    multiclass prediction column — the confusion-matrix rollup that
+    turns q51's language guesser (or any heuristic classifier) into a
+    monitored component instead of folklore.
+
+    Exactness: F1 collapses to the single-division identity
+    2·TP/(n_actual + n_pred), so per-class scores are one integer
+    division each; accuracy is diag-sum over N; macro-F1 averages the
+    per-class INTEGER f1s (never a double sum).  The label table is
+    distinct(actual) ∪ distinct(pred), so classes that are only ever
+    predicted (or only ever true) still report.
+
+    Output per label: label, n_actual, n_pred, tp, p_micro, r_micro,
+    f1_micro, accuracy_micro (global, repeated), macro_f1_micro
+    (global, repeated).
+    """
+    base = df.select(
+        F.col(actual_col).alias("_a"), F.col(pred_col).alias("_p")
+    )
+    actuals = base.groupBy(F.col("_a").alias("label")).agg(
+        F.count("*").cast("long").alias("n_actual")
+    )
+    preds = base.groupBy(F.col("_p").alias("label")).agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    tps = (
+        base.where(F.col("_a") == F.col("_p"))
+        .groupBy(F.col("_a").alias("label"))
+        .agg(F.count("*").cast("long").alias("tp"))
+    )
+    labels = (
+        actuals.select("label")
+        .unionByName(preds.select("label"))
+        .distinct()
+    )
+    j = (
+        labels.join(actuals, "label", "left")
+        .join(preds, "label", "left")
+        .join(tps, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    p = F.when(
+        F.col("n_pred") > 0,
+        F.round(F.col("tp") * F.lit(1_000_000) / F.col("n_pred")).cast("long"),
+    )
+    r = F.when(
+        F.col("n_actual") > 0,
+        F.round(F.col("tp") * F.lit(1_000_000) / F.col("n_actual")).cast(
+            "long"
+        ),
+    )
+    f1 = F.round(
+        F.col("tp") * F.lit(2_000_000) / (F.col("n_actual") + F.col("n_pred"))
+    ).cast("long")
+    staged = j.select(
+        "label", "n_actual", "n_pred", "tp",
+        p.alias("p_micro"), r.alias("r_micro"), f1.alias("f1_micro"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return staged.select(
+        "label",
+        "n_actual",
+        "n_pred",
+        "tp",
+        "p_micro",
+        "r_micro",
+        "f1_micro",
+        F.round(
+            F.sum("tp").over(wall) * F.lit(1_000_000)
+            / F.sum("n_actual").over(wall)
+        )
+        .cast("long")
+        .alias("accuracy_micro"),
+        F.round(F.sum("f1_micro").over(wall) / F.count("*").over(wall))
+        .cast("long")
+        .alias("macro_f1_micro"),
+    )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    unit_col: str,
+    metric_col,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUPED variance-reduction audit (Deng et al. 2013): how much
+    experiment variance would the pre-period covariate remove?  Splits
+    the time range at its midpoint, builds per-unit (pre, post) metric
+    sums, and reports θ = cov/var(pre), the pre/post correlation, and
+    the achievable variance reduction corr² — the number that says
+    whether running CUPED is worth the plumbing BEFORE any experiment
+    ships.
+
+    Per-unit sums are exact bigints (the metric is floored to integer
+    units first — floor is engine-exact on doubles where round is not);
+    cov/var/corr are one terminal double DAG over five bigint sums.
+    Two shuffles: per-unit rollup, single-row fold.
+
+    Output (single row): n_units, theta_micro, corr_micro,
+    var_reduction_micro (NULL when either variance is 0).
+    """
+    ext = df.agg(
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("_lo"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("_hi"),
+    )
+    base = df.crossJoin(F.broadcast(ext)).select(
+        F.col(unit_col).alias("_u"),
+        F.floor(
+            metric_col if not isinstance(metric_col, str) else F.col(metric_col)
+        ).cast("long").alias("_m"),
+        (
+            F.unix_micros(F.col(ts_col).cast("timestamp")) * 2
+            < F.col("_lo") + F.col("_hi")
+        ).alias("_pre"),
+    )
+    per_unit = base.groupBy("_u").agg(
+        F.sum(F.when(F.col("_pre"), F.col("_m")).otherwise(0))
+        .cast("long")
+        .alias("_x"),
+        F.sum(F.when(~F.col("_pre"), F.col("_m")).otherwise(0))
+        .cast("long")
+        .alias("_y"),
+    )
+    s = per_unit.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+    )
+    n = F.col("n_units")
+    cov = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    varx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vary = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    ok = (varx > 0.0) & (vary > 0.0)
+    return s.select(
+        "n_units",
+        F.when(ok, F.round(cov * 1_000_000 / varx).cast("long")).alias(
+            "theta_micro"
+        ),
+        F.when(
+            ok,
+            F.round(cov * 1_000_000 / F.sqrt(varx * vary)).cast("long"),
+        ).alias("corr_micro"),
+        F.when(
+            ok,
+            F.round(cov * cov * 1_000_000 / (varx * vary)).cast("long"),
+        ).alias("var_reduction_micro"),
+    )

@@ -248,3 +248,48 @@ def test_novelty_curve_day1_all_new_then_decay(spark):
     assert d2["n_new"] == 1 and d2["novelty_micro"] == 500_000
     d3 = out["2024-01-03"]
     assert d3["n_new"] == 0 and d3["cum_new"] == 3
+
+
+def test_multiclass_report_known_confusion(spark):
+    from ontology_mapper_spark.operators.evaluate import multiclass_report
+
+    # actual: 6a 4b; predicted: a right 5, one a->b; b right 2, two b->c
+    rows = (
+        [("a", "a")] * 5 + [("a", "b")]
+        + [("b", "b")] * 2 + [("b", "c")] * 2
+    )
+    df = spark.createDataFrame(rows, "y string, p string")
+    out = {r["label"]: r for r in multiclass_report(df, "y", "p").collect()}
+    assert set(out) == {"a", "b", "c"}
+    a = out["a"]
+    assert a["tp"] == 5 and a["n_actual"] == 6 and a["n_pred"] == 5
+    assert a["p_micro"] == 1_000_000
+    assert a["r_micro"] == round(5e6 / 6)
+    assert a["f1_micro"] == round(10e6 / 11)
+    c = out["c"]  # predicted-only class
+    assert c["n_actual"] == 0 and c["r_micro"] is None and c["f1_micro"] == 0
+    assert a["accuracy_micro"] == 700_000
+    want_macro = round(
+        (round(10e6 / 11) + round(4e6 / 7) + 0) / 3
+    )
+    assert a["macro_f1_micro"] == want_macro
+
+
+def test_cuped_perfectly_correlated_pre_post(spark):
+    from datetime import datetime, timedelta
+
+    from ontology_mapper_spark.operators.evaluate import cuped_adjustment
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user u: pre activity k, post activity 2k → corr = 1, theta = 2
+    for u, k in enumerate((1, 2, 3, 4, 5)):
+        for _ in range(1):
+            rows.append((u, float(k), t0))
+            rows.append((u, float(2 * k), t0 + timedelta(days=10)))
+    df = spark.createDataFrame(rows, "user_id bigint, value double, ts timestamp")
+    out = cuped_adjustment(df, "user_id", "value").collect()[0]
+    assert out["n_units"] == 5
+    assert out["theta_micro"] == 2_000_000
+    assert out["corr_micro"] == 1_000_000
+    assert out["var_reduction_micro"] == 1_000_000
