@@ -8307,3 +8307,76 @@ def qa87(spark, sf):
     from .operators.evaluate import cuped_adjustment
 
     return cuped_adjustment(_t(spark, sf, "events"), "user_id", "value")
+
+
+@_q(
+    "qa88_bootstrap_ci",
+    """
+    WITH reps AS (SELECT CAST(range AS INT) AS r FROM range(40)),
+    base AS (SELECT source AS g, n_chars AS x, doc_id AS id
+             FROM documents),
+    rr AS (
+      SELECT g, x, r,
+             CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                                     || CAST(r AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM base CROSS JOIN reps),
+    wts AS (
+      SELECT g, r, x,
+             CAST(CASE WHEN h < 103548857136060 THEN 0
+                       WHEN h < 207097714272121 THEN 1
+                       WHEN h < 258872142840152 THEN 2
+                       WHEN h < 276130285696162 THEN 3
+                       WHEN h < 280444821410164 THEN 4
+                       ELSE 5 END AS BIGINT) AS w
+      FROM rr),
+    per_rep AS (
+      SELECT g, r, CAST(sum(w * x) AS BIGINT) AS swx,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM wts GROUP BY 1, 2),
+    m AS (SELECT g, r, CAST(round(swx * 1000000 / sw) AS BIGINT) AS m
+          FROM per_rep WHERE sw > 0),
+    rk AS (
+      SELECT g, m,
+             row_number() OVER (PARTITION BY g ORDER BY m, r) AS rn,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS b,
+             CAST(m - min(m) OVER (PARTITION BY g) AS BIGINT) AS d
+      FROM m),
+    boot AS (
+      SELECT g,
+             CAST(max(CASE WHEN rn = CAST(floor((b * 25 + 999) / 1000)
+                                          AS BIGINT)
+                           THEN m END) AS BIGINT) AS boot_lo_micro,
+             CAST(max(CASE WHEN rn = CAST(floor((b * 975 + 999) / 1000)
+                                          AS BIGINT)
+                           THEN m END) AS BIGINT) AS boot_hi_micro,
+             CAST(count(*) AS BIGINT) AS nb, CAST(sum(d) AS BIGINT) AS sm,
+             CAST(sum(d * d) AS BIGINT) AS smm
+      FROM rk GROUP BY g),
+    pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(x) AS BIGINT) AS sx
+           FROM base GROUP BY 1)
+    SELECT pt.g AS source, n_rows,
+           CAST(round(sx * 1000000 / n_rows) AS BIGINT) AS mean_micro,
+           boot_lo_micro, boot_hi_micro,
+           CASE WHEN nb > 1
+                THEN CAST(round(sqrt((CAST(smm AS DOUBLE)
+                                      - CAST(sm AS DOUBLE) * sm / nb)
+                                     / (nb - 1))) AS BIGINT)
+           END AS se_micro
+    FROM pt JOIN boot ON boot.g = pt.g
+    """,
+)
+def qa88(spark, sf):
+    """Poissonized-bootstrap CI for mean doc length per source
+    (operators/stats.py:bootstrap_mean_ci, 40 replicates) — the
+    coordination-free bootstrap (each row enters replicate r with a
+    Poisson(1) weight, so resampling is a map-side explode).  The draw
+    compares 48 md5 bits against precomputed INTEGER cdf thresholds —
+    zero floating point in the resampling; replicate means pivot-shift
+    before squaring so SE sums stay in int64."""
+    from .operators.stats import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        _t(spark, sf, "documents"), "source", "n_chars", "doc_id", 40
+    )

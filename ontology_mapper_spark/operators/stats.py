@@ -1086,3 +1086,132 @@ def profile_drift(
             ).cast("long"),
         ).alias("distinct_ratio_micro"),
     )
+
+
+#: Poisson(1) cumulative thresholds scaled to 48-bit integers --
+#: floor(P(X <= k) * 2^48) for k = 0..4; computed once, identical
+#: literals in both engines (weights capped at 5).
+POISSON1_T48: tuple[int, ...] = (
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 40,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    POISSONIZED bootstrap (Chamandy et al. 2012, the MapReduce-era
+    trick): instead of resampling n rows with replacement (which needs
+    global coordination), each row enters replicate r with weight ~
+    Poisson(1) -- independent per row, so the whole resample is a
+    map-side explode.  THE uncertainty-quantification primitive a
+    100 TB metric pipeline can actually afford.
+
+    Determinism: the Poisson draw is 48 md5 bits of (id, replicate)
+    compared against precomputed integer thresholds (floor(cdf * 2^48)
+    literals) -- NO floating point anywhere in the resampling, so any
+    engine reproduces the exact replicate weights.  Replicate means are
+    one integer division each; the CI is a type-1 quantile over the
+    n_replicates means (total order (mean, replicate)); the bootstrap
+    SE is one sqrt over bigint sums.
+
+    Cost: one explode(x n_replicates) of the value column only + two
+    group aggs.  Output per group: n_rows, mean_micro (full-sample),
+    boot_lo_micro / boot_hi_micro (2.5% / 97.5% type-1), se_micro.
+    """
+    reps = F.explode(
+        F.array(*[F.lit(r).cast("int") for r in range(n_replicates)])
+    ).alias("_r")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_x"),
+        F.col(id_col).alias("_id"),
+    )
+    rep_rows = base.select("_g", "_x", "_id", reps)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("_id").cast("string"), F.col("_r"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(h < POISSON1_T48[0], 0)
+        .when(h < POISSON1_T48[1], 1)
+        .when(h < POISSON1_T48[2], 2)
+        .when(h < POISSON1_T48[3], 3)
+        .when(h < POISSON1_T48[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    per_rep = (
+        rep_rows.select("_g", "_r", "_x", w.alias("_w"))
+        .groupBy("_g", "_r")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).cast("long").alias("_swx"),
+            F.sum("_w").cast("long").alias("_sw"),
+        )
+        .where(F.col("_sw") > 0)
+        .select(
+            "_g",
+            "_r",
+            F.round(F.col("_swx") * F.lit(1_000_000) / F.col("_sw"))
+            .cast("long")
+            .alias("_m"),
+        )
+    )
+    wrk = Window.partitionBy("_g").orderBy("_m", "_r")
+    wn = Window.partitionBy("_g")
+    # pivot-shift by the group min before squaring: micro-scaled means
+    # square to ~1e18 and 40 of them overflow int64; variance is shift-
+    # invariant so sums of (m - min_m) are exact and small
+    ranked = per_rep.select(
+        "_g",
+        "_m",
+        F.row_number().over(wrk).alias("_rn"),
+        F.count("*").over(wn).alias("_b"),
+        (F.col("_m") - F.min("_m").over(wn)).cast("long").alias("_d"),
+    )
+    lo_idx = F.floor((F.col("_b") * 25 + 999) / 1000).cast("long")
+    hi_idx = F.floor((F.col("_b") * 975 + 999) / 1000).cast("long")
+    boot = ranked.groupBy("_g").agg(
+        F.max(F.when(F.col("_rn") == lo_idx, F.col("_m")))
+        .cast("long")
+        .alias("boot_lo_micro"),
+        F.max(F.when(F.col("_rn") == hi_idx, F.col("_m")))
+        .cast("long")
+        .alias("boot_hi_micro"),
+        F.count("*").cast("long").alias("_nb"),
+        F.sum("_d").cast("long").alias("_sm"),
+        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("_smm"),
+    )
+    point = base.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("_x").cast("long").alias("_sx"),
+    )
+    se_var = (
+        F.col("_smm").cast("double")
+        - F.col("_sm").cast("double") * F.col("_sm") / F.col("_nb")
+    ) / (F.col("_nb") - 1)
+    return point.join(boot, "_g").select(
+        F.col("_g").alias(group_col),
+        "n_rows",
+        F.round(F.col("_sx") * F.lit(1_000_000) / F.col("n_rows"))
+        .cast("long")
+        .alias("mean_micro"),
+        "boot_lo_micro",
+        "boot_hi_micro",
+        F.when(
+            F.col("_nb") > 1, F.round(F.sqrt(se_var)).cast("long")
+        ).alias("se_micro"),
+    )

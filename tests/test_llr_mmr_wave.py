@@ -293,3 +293,17 @@ def test_cuped_perfectly_correlated_pre_post(spark):
     assert out["theta_micro"] == 2_000_000
     assert out["corr_micro"] == 1_000_000
     assert out["var_reduction_micro"] == 1_000_000
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from ontology_mapper_spark.operators.stats import bootstrap_mean_ci
+
+    rows = [("g", 100 + (i * 37) % 50, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v bigint, id bigint")
+    a = bootstrap_mean_ci(df, "g", "v", "id", 40).collect()[0]
+    b = bootstrap_mean_ci(df, "g", "v", "id", 40).collect()[0]
+    assert a == b  # fully deterministic resampling
+    assert a["boot_lo_micro"] <= a["mean_micro"] <= a["boot_hi_micro"]
+    # CI width should be a few SEs, not zero and not the whole range
+    assert 0 < a["boot_hi_micro"] - a["boot_lo_micro"] < 50_000_000
+    assert a["se_micro"] > 0
