@@ -144,6 +144,9 @@ EXTENDED = [
     "qa82_calibration",
     "qa84_behavior_fingerprint",
     "qa85_novelty_curve",
+    "qa86_multiclass_f1",
+    "qa87_cuped",
+    "qa88_bootstrap_ci",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
