@@ -792,8 +792,11 @@ def kaplan_meier(
     risk set (d = n), survival is exactly 0 from there on (flagged via
     a window max — no ln(0)).
 
-    The distinct-duration table is tiny regardless of corpus size, so
-    the two single-partition windows after the first groupBy are free.
+    The windows run over the DISTINCT-duration table; with raw
+    epoch-micro durations that is ~one row per subject, so at billions
+    of subjects coarsen durations first (seconds/minutes buckets — the
+    standard discretized life table) to keep the curve table small;
+    the estimator itself is unchanged by the choice of time grid.
 
     Output, one row per distinct EVENT time (d > 0), ascending:
     (duration, n_events, n_censored_here, n_at_risk, ln_s_micro,
