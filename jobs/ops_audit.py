@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""spark-submit entry for the temporal/ops health-audit suite.
+
+The event-stream counterpart to jobs/curation_report.py (which audits
+document content): runs the round-3 temporal and release monitors over
+an `events`-shaped table (+ documents for the release gates) in ONE
+job, writes each report as parquet under --out, and prints a one-line
+JSON summary — the per-day ops report a 100 TB pipeline lands next to
+its metrics:
+
+  * day-of-week seasonality strength per type        (qa64)
+  * variance-to-mean dispersion / burstiness         (qa78)
+  * lag-1..3 autocorrelation                         (qa70)
+  * exponential decay trend + half-life              (qa81)
+  * shuffle-balance simulation on the user key       (qa74)
+  * behavioral-duplicate (bot) fingerprints          (qa84)
+  * shard-parity column profiles (documents)         (qa83)
+  * k-anonymity release audit (documents)            (qa62)
+  * Benford first-digit deviation (documents sizes)  (qa69)
+
+    spark-submit --py-files engine.zip jobs/ops_audit.py \
+        --sf-dir /data/tables --out /data/ops_audit
+
+Local sandbox:
+
+    python jobs/ops_audit.py --sf-dir /root/testdata/sf0.001 \
+        --out /tmp/ops_audit
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ontology_mapper_spark.catalog import load_table
+    from ontology_mapper_spark.operators.dialogue import behavior_fingerprints
+    from ontology_mapper_spark.operators.privacy import k_anonymity_report
+    from ontology_mapper_spark.operators.skew import shuffle_balance_audit
+    from ontology_mapper_spark.operators.stats import (
+        benford_deviation,
+        profile_drift,
+    )
+    from ontology_mapper_spark.operators.temporal import (
+        acf_daily,
+        decay_trend,
+        dispersion_daily,
+        seasonal_strength,
+    )
+    from ontology_mapper_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ops-audit", master=args.master or "local[4]",
+        shuffle_partitions=8, driver_memory="4g",
+    )
+    events = load_table(spark, args.sf_dir, "events")
+    docs = load_table(spark, args.sf_dir, "documents")
+
+    reports = {
+        "seasonality": seasonal_strength(events, "event_type"),
+        "dispersion": dispersion_daily(events, "event_type"),
+        "acf": acf_daily(events, "event_type"),
+        "decay": decay_trend(events, "event_type"),
+        "shuffle_balance": shuffle_balance_audit(events, "user_id", 64),
+        "bot_fingerprints": behavior_fingerprints(
+            events.select(
+                F.concat_ws(
+                    "#", F.col("user_id"), F.to_date("ts").cast("string")
+                ).alias("actor"),
+                "event_type", "ts", "event_id",
+            ),
+            "actor", "event_type", ["ts", "event_id"], min_group=2,
+        ),
+        "profile_parity": profile_drift(
+            docs, (F.col("doc_id") % 2),
+            ["text", "lang", "source", "n_chars"],
+        ),
+        "k_anonymity": k_anonymity_report(
+            docs,
+            ["source", F.floor(F.col("n_chars") / 100).cast("long")],
+            "lang", (2, 5, 10),
+        ),
+        "benford": benford_deviation(docs, "source", "n_chars"),
+    }
+    rows = {}
+    for name, df in reports.items():
+        df.write.mode("overwrite").parquet(os.path.join(args.out, name))
+        rows[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+
+    # headline summary: the numbers a dashboard would alert on
+    disp = {
+        r["event_type"]: r for r in reports["dispersion"].collect()
+    }
+    seas = {r["event_type"]: r for r in reports["seasonality"].collect()}
+    bal = reports["shuffle_balance"].agg(
+        F.max("balance_micro").alias("mx")
+    ).collect()[0]["mx"]
+    k5 = {
+        r["k"]: r for r in k_anonymity_report(
+            docs,
+            ["source", F.floor(F.col("n_chars") / 100).cast("long")],
+            "lang", (5,),
+        ).collect()
+    }[5]
+    n_bot = reports["bot_fingerprints"].count()
+    summary = {
+        "tables": rows,
+        "worst_vmr_micro": max(
+            (r["vmr_micro"] for r in disp.values() if r["vmr_micro"]),
+            default=None,
+        ),
+        "max_seasonality_r2_micro": max(
+            (r["r2_dow_micro"] for r in seas.values() if r["r2_dow_micro"]),
+            default=None,
+        ),
+        "max_partition_balance_micro": bal,
+        "k5_rows_at_risk": k5["rows_below"],
+        "k5_min_l_diversity": k5["min_l_diversity"],
+        "n_duplicated_behavior_groups": n_bot,
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
