@@ -204,12 +204,15 @@ def main() -> int:
     # start once; steady-state is what a long-running cluster job sees.
     # Extended queries warm too — same methodology as the headline set.
     warm_dir = "/root/testdata/sf0.001"
+    t_phase = time.time()
     if os.path.isdir(warm_dir):
         for name in HEADLINE + EXTENDED:
             QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         kg_flagship_throughput(spark, n_convs=200, passes=1)
+    print(f"[bench] warmup {time.time() - t_phase:.1f}s", file=sys.stderr)
+    t_phase = time.time()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -219,6 +222,8 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    print(f"[bench] headline {time.time() - t_phase:.1f}s", file=sys.stderr)
+    t_phase = time.time()
     # round-2+ operators, timed but NOT counted into the headline metric
     # (keeps `value` comparable across rounds while still recording them)
     extended: dict[str, float] = {}
@@ -228,6 +233,8 @@ def main() -> int:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extended[name] = round(time.time() - t0, 3)
 
+    print(f"[bench] extended {time.time() - t_phase:.1f}s", file=sys.stderr)
+    t_phase = time.time()
     # headline charges ONE flagship pass (median of the 5 timed passes) so
     # `value` measures the same work as round 1; the per-pass list and the
     # median throughput stay separate fields (VERDICT r2 item 3).
