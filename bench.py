@@ -147,6 +147,10 @@ EXTENDED = [
     "qa86_multiclass_f1",
     "qa87_cuped",
     "qa88_bootstrap_ci",
+    "qa89_ndcg",
+    "qa90_bradley_terry",
+    "qa91_ips_policy_eval",
+    "qa92_log_bleu",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -8380,3 +8380,408 @@ def qa88(spark, sf):
     return bootstrap_mean_ci(
         _t(spark, sf, "documents"), "source", "n_chars", "doc_id", 40
     )
+
+
+# ---------------------------------------------------------------------------
+# ranking / preference / off-policy / generation-overlap evaluation (qa89+)
+# ---------------------------------------------------------------------------
+
+
+def _qa89_oracle() -> str:
+    from .operators.evaluate import ndcg_discounts_micro
+
+    dm_rows = ", ".join(
+        f"({p + 1}, CAST({d} AS BIGINT))"
+        for p, d in enumerate(ndcg_discounts_micro(10))
+    )
+    return f"""
+    WITH dm(p, d) AS (VALUES {dm_rows}),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+                 label AS ql
+          FROM embeddings WHERE vec_id < 12),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qvec) * 1e6)
+                  AS BIGINT) AS cos,
+             CAST(CASE WHEN e.label = q.ql THEN 2
+                       WHEN abs(e.label - q.ql) = 1 THEN 1
+                       ELSE 0 END AS BIGINT) AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    topk AS (
+      SELECT query_id, rel, r FROM (
+        SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS r
+        FROM scored)
+      WHERE r <= 10),
+    st AS (
+      SELECT t.query_id, t.rel, d.d AS disc,
+             row_number() OVER (PARTITION BY t.query_id
+                                ORDER BY t.rel DESC, t.r) AS ir
+      FROM topk t JOIN dm d ON d.p = t.r),
+    per AS (
+      SELECT s.query_id,
+             CAST(sum(s.rel * s.disc) AS BIGINT) AS dcg_micro,
+             CAST(sum(s.rel * d2.d) AS BIGINT) AS idcg_micro
+      FROM st s JOIN dm d2 ON d2.p = s.ir
+      GROUP BY 1),
+    nd AS (
+      SELECT query_id, dcg_micro, idcg_micro,
+             CASE WHEN idcg_micro > 0
+                  THEN CAST(round(dcg_micro * 1000000 / idcg_micro)
+                            AS BIGINT)
+             END AS ndcg_micro
+      FROM per)
+    SELECT query_id, dcg_micro, idcg_micro, ndcg_micro,
+           CAST(round(sum(ndcg_micro) OVER () / count(ndcg_micro) OVER ())
+                AS BIGINT) AS mean_ndcg_micro
+    FROM nd
+    """
+
+
+@_q("qa89_ndcg", _qa89_oracle())
+def qa89(spark, sf):
+    """NDCG@10 of brute-force cosine retrieval with label-graded
+    relevance (operators/evaluate.py:ndcg_at_k): rel 2 = same label,
+    1 = adjacent label, 0 otherwise; position discounts are a
+    Python-precomputed integer micro table injected into BOTH engines,
+    so no engine evaluates ln — exactness by construction.  IDCG
+    re-ranks the same relevance multiset with a total order; NDCG is
+    one terminal division.  Swap the ranking stage for ivf_topk /
+    lsh_bucketed_topk to score the ANN paths with graded credit that
+    topk_recall's flat hit-rate can't express."""
+    from .operators.evaluate import ndcg_at_k
+    from .operators.similarity import cosine_cols
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_cols(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_cos"),
+            F.when(F.col("label") == F.col("_ql"), 2)
+            .when(F.abs(F.col("label") - F.col("_ql")) == 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    )
+    return ndcg_at_k(ranked, "query_id", "rank", "rel", k=10)
+
+
+def _qa90_oracle(rounds: int = 3) -> str:
+    tera = 1_000_000_000_000
+    ctes = [
+        """
+    per AS (SELECT user_id, event_type,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS m
+            FROM events GROUP BY 1, 2),
+    duels AS (
+      SELECT CASE WHEN a.m > b.m THEN a.event_type ELSE b.event_type END
+               AS winner,
+             CASE WHEN a.m > b.m THEN b.event_type ELSE a.event_type END
+               AS loser
+      FROM per a JOIN per b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      WHERE a.m <> b.m),
+    cells AS (
+      SELECT least(winner, loser) AS ia, greatest(winner, loser) AS ib,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                  AS BIGINT) AS wa
+      FROM duels GROUP BY 1, 2),
+    directed AS (
+      SELECT ia AS i, ib AS j, n, wa AS w FROM cells
+      UNION ALL
+      SELECT ib, ia, n, n - wa FROM cells),
+    totals AS (SELECT i, CAST(sum(n) AS BIGINT) AS n_total,
+                      CAST(sum(w) AS BIGINT) AS n_wins
+               FROM directed GROUP BY 1),
+    w0 AS (SELECT i, CAST(1000000 AS BIGINT) AS wv FROM totals)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""
+    s{r} AS (
+      SELECT d.i,
+             CAST(sum((d.n * {tera}) // (wi.wv + wj.wv)) AS BIGINT) AS s
+      FROM directed d
+      JOIN w{r - 1} wi ON wi.i = d.i
+      JOIN w{r - 1} wj ON wj.i = d.j
+      GROUP BY 1),
+    w{r} AS (
+      SELECT t.i,
+             CAST(greatest((t.n_wins * {tera}) // s{r}.s, 1) AS BIGINT)
+               AS wv
+      FROM totals t JOIN s{r} ON s{r}.i = t.i
+      WHERE s{r}.s > 0)"""
+        )
+    return (
+        "\n    WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT t.i AS item, t.n_total AS n_duels, t.n_wins,
+           w{rounds}.wv AS strength_micro,
+           CAST(round(w{rounds}.wv * 1000000 / sum(w{rounds}.wv) OVER ())
+                AS BIGINT) AS p_micro,
+           CAST(row_number() OVER (ORDER BY w{rounds}.wv DESC, t.i)
+                AS INT) AS rank
+    FROM totals t JOIN w{rounds} ON w{rounds}.i = t.i
+    """
+    )
+
+
+@_q("qa90_bradley_terry", _qa90_oracle())
+def qa90(spark, sf):
+    """Bradley-Terry preference strengths over event-type duels
+    (operators/preference.py): each user's pairwise floored-value
+    comparisons are the duel stream (the big-data shuffle), Hunter's MM
+    iteration then runs 3 unrolled INT64 rounds on the
+    dictionary-sized item table — truncating integer division is
+    defined identically in both engines, so the DuckDB oracle chains
+    the rounds as CTEs and matches bit-for-bit.  The RLHF shape: swap
+    event types for model variants and value for human preference."""
+    from .operators.preference import bradley_terry_strengths, duel_matrix
+
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.floor("value").cast("long")).cast("long").alias("_m")
+    )
+    a = per.select(
+        F.col("user_id").alias("_u"),
+        F.col("event_type").alias("_ta"),
+        F.col("_m").alias("_ma"),
+    )
+    b = per.select(
+        F.col("user_id").alias("_u"),
+        F.col("event_type").alias("_tb"),
+        F.col("_m").alias("_mb"),
+    )
+    duels = (
+        a.join(b, "_u")
+        .where((F.col("_ta") < F.col("_tb")) & (F.col("_ma") != F.col("_mb")))
+        .select(
+            F.when(F.col("_ma") > F.col("_mb"), F.col("_ta"))
+            .otherwise(F.col("_tb"))
+            .alias("winner"),
+            F.when(F.col("_ma") > F.col("_mb"), F.col("_tb"))
+            .otherwise(F.col("_ta"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry_strengths(duel_matrix(duels), rounds=3)
+
+
+@_q(
+    "qa91_ips_policy_eval",
+    """
+    WITH logged AS (SELECT user_id % 10 AS x, event_type AS a,
+                           CAST(floor(value) AS BIGINT) AS r
+                    FROM events),
+    cells AS (SELECT x, a, CAST(count(*) AS BIGINT) AS nxa,
+                     CAST(sum(r) AS BIGINT) AS rsum
+              FROM logged GROUP BY 1, 2),
+    cells2 AS (SELECT *, CAST(sum(nxa) OVER (PARTITION BY x) AS BIGINT)
+                           AS nx
+               FROM cells),
+    cells3 AS (SELECT *, CAST(round(nx * 1000000 / nxa) AS BIGINT) AS w
+               FROM cells2),
+    pol AS (SELECT x, a FROM (
+              SELECT x, a, row_number() OVER (PARTITION BY x
+                              ORDER BY rsum DESC, a) AS rn
+              FROM cells)
+            WHERE rn = 1),
+    m AS (SELECT c.*, CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS pi
+          FROM cells3 c LEFT JOIN pol p ON p.x = c.x AND p.a = c.a),
+    agg AS (SELECT CAST(sum(nxa) AS BIGINT) AS n_logged,
+                   CAST(sum(pi * nxa) AS BIGINT) AS n_matched,
+                   CAST(sum(pi * rsum * w) AS BIGINT) AS swr,
+                   CAST(sum(pi * nxa * w) AS BIGINT) AS sw,
+                   CAST(sum(pi * nxa * w * w) AS BIGINT) AS sww
+            FROM m)
+    SELECT n_logged, n_matched,
+           CAST(round(swr / n_logged) AS BIGINT) AS ips_value_micro,
+           CASE WHEN n_matched > 0
+                THEN CAST(round(CAST(swr AS DOUBLE) * 1000000 / sw)
+                          AS BIGINT)
+           END AS snips_value_micro,
+           CASE WHEN n_matched > 0
+                THEN CAST(round(CAST(sw AS DOUBLE) * sw * 1000000 / sww)
+                          AS BIGINT)
+           END AS ess_micro
+    FROM agg
+    """,
+)
+def qa91(spark, sf):
+    """Off-policy IPS/SNIPS evaluation of "always play the segment's
+    empirically-best event type" from logged traffic (operators/
+    evaluate.py:ips_policy_value): empirical propensities from
+    (segment, action) cell counts, inverse weights micro-rounded once
+    per CELL, matched contributions exact int64, plus the effective
+    sample size that says whether the estimate is usable.  Segments =
+    user_id % 10; reward = floored value."""
+    from .operators.evaluate import ips_policy_value
+
+    ev = _t(spark, sf, "events")
+    logged = ev.select(
+        (F.col("user_id") % 10).alias("segment"),
+        F.col("event_type").alias("action"),
+        F.floor("value").cast("long").alias("reward"),
+    )
+    cells = logged.groupBy("segment", "action").agg(
+        F.sum("reward").cast("long").alias("_t")
+    )
+    wp = Window.partitionBy("segment").orderBy(
+        F.col("_t").desc(), F.col("action")
+    )
+    policy = (
+        cells.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") == 1)
+        .select("segment", "action")
+    )
+    return ips_policy_value(
+        logged, policy, "segment", "action", "reward"
+    )
+
+
+@_q(
+    "qa92_log_bleu",
+    r"""
+    WITH ranked AS (
+      SELECT source, doc_id, text,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn,
+             lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+               AS ht
+      FROM documents),
+    prs AS (
+      SELECT source || ':' || CAST((rn - 1) // 2 AS VARCHAR) AS pid,
+             text AS rt, ht
+      FROM ranked WHERE rn % 2 = 1 AND ht IS NOT NULL),
+    melted AS (
+      SELECT pid, 0 AS side,
+             lower(trim(regexp_replace(rt, '\s+', ' ', 'g'))) AS norm
+      FROM prs
+      UNION ALL
+      SELECT pid, 1,
+             lower(trim(regexp_replace(ht, '\s+', ' ', 'g')))
+      FROM prs),
+    toks AS (
+      SELECT pid, side, idx, w FROM (
+        SELECT pid, side,
+               unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS idx
+        FROM melted)
+      WHERE w <> ''),
+    g2 AS (
+      SELECT pid, side, w AS g1,
+             w || ' ' || lead(w) OVER (PARTITION BY pid, side
+                                       ORDER BY idx) AS gram2,
+             (lead(w) OVER (PARTITION BY pid, side ORDER BY idx)
+              IS NOT NULL) AS has2
+      FROM toks),
+    c1 AS (SELECT pid, side, g1 AS g, CAST(count(*) AS BIGINT) AS c
+           FROM g2 GROUP BY 1, 2, 3),
+    c2 AS (SELECT pid, side, gram2 AS g, CAST(count(*) AS BIGINT) AS c
+           FROM g2 WHERE has2 GROUP BY 1, 2, 3),
+    clip1t AS (
+      SELECT h.pid, CAST(sum(least(h.c, r.c)) AS BIGINT) AS clip1
+      FROM (SELECT * FROM c1 WHERE side = 1) h
+      JOIN (SELECT * FROM c1 WHERE side = 0) r
+        ON r.pid = h.pid AND r.g = h.g
+      GROUP BY 1),
+    clip2t AS (
+      SELECT h.pid, CAST(sum(least(h.c, r.c)) AS BIGINT) AS clip2
+      FROM (SELECT * FROM c2 WHERE side = 1) h
+      JOIN (SELECT * FROM c2 WHERE side = 0) r
+        ON r.pid = h.pid AND r.g = h.g
+      GROUP BY 1),
+    lens AS (
+      SELECT pid,
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_len,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hyp_len
+      FROM toks GROUP BY 1
+      HAVING ref_len > 0 AND hyp_len > 0),
+    j AS (
+      SELECT l.pid, l.ref_len, l.hyp_len,
+             CAST(coalesce(c1t.clip1, 0) AS BIGINT) AS clip1,
+             CAST(coalesce(c2t.clip2, 0) AS BIGINT) AS clip2
+      FROM lens l
+      LEFT JOIN clip1t c1t ON c1t.pid = l.pid
+      LEFT JOIN clip2t c2t ON c2t.pid = l.pid),
+    sc AS (
+      SELECT pid, ref_len, hyp_len, clip1, clip2,
+             CAST(round(1000000 * least(0.0,
+                    1.0 - CAST(ref_len AS DOUBLE) / hyp_len))
+                  AS BIGINT) AS bp_micro,
+             CAST(round(500000.0 * ln(CAST(clip1 + 1 AS DOUBLE)
+                                      / (hyp_len + 1)))
+                  AS BIGINT) AS logp1_micro,
+             CAST(round(500000.0 * ln(CAST(clip2 + 1 AS DOUBLE)
+                                      / (greatest(hyp_len - 1, 0) + 1)))
+                  AS BIGINT) AS logp2_micro
+      FROM j)
+    SELECT pid AS pair_id, ref_len, hyp_len, clip1, clip2,
+           bp_micro, logp1_micro, logp2_micro,
+           CAST(bp_micro + logp1_micro + logp2_micro AS BIGINT)
+             AS log_bleu_micro
+    FROM sc
+    """,
+)
+def qa92(spark, sf):
+    """Corpus log-BLEU (unigram+bigram, add-one smoothing) between
+    adjacent same-source document pairs (operators/evaluate.py:
+    log_bleu) — the n-gram generation/near-copy overlap score as one
+    distributed job: lead()-built gram streams (never a
+    transform-array explode — the q63 Generate trap), clipped counts
+    via per-pair inner gram joins, ln only on single-division ratios
+    (the qa66 idiom).  Pairing here is the deterministic adjacent-doc
+    demo; feed real (reference, hypothesis) pairs in production."""
+    from .operators.evaluate import log_bleu
+
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select("source", "doc_id", "text").select(
+        "source",
+        "doc_id",
+        "text",
+        F.row_number().over(w).alias("_rn"),
+        F.lead("text", 1).over(w).alias("_ht"),
+    )
+    pairs = ranked.where(
+        (F.col("_rn") % 2 == 1) & F.col("_ht").isNotNull()
+    ).select(
+        F.concat_ws(
+            ":",
+            "source",
+            F.expr("CAST((_rn - 1) div 2 AS STRING)"),
+        ).alias("pair_id"),
+        F.col("text").alias("ref_text"),
+        F.col("_ht").alias("hyp_text"),
+    )
+    return log_bleu(pairs, "pair_id", "ref_text", "hyp_text")

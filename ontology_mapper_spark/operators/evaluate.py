@@ -478,3 +478,302 @@ def cuped_adjustment(
             F.round(cov * cov * 1_000_000 / (varx * vary)).cast("long"),
         ).alias("var_reduction_micro"),
     )
+
+
+def ndcg_discounts_micro(k: int) -> list[int]:
+    """Integer micro discount table for NDCG: dm[p-1] = round(1e6 *
+    ln(2)/ln(p+1)) for positions 1..k.  Computed ONCE in Python and
+    injected as literals into BOTH the Spark plan and any SQL oracle,
+    so no engine ever evaluates a transcendental — the cross-engine
+    exactness is by construction, not by ulp luck."""
+    import math
+
+    return [round(MICRO * math.log(2) / math.log(p + 1)) for p in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    group_col: str,
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-group NDCG@k over an already-ranked result table with integer
+    graded relevance — the ranking-quality metric `topk_recall` can't
+    see (recall treats rank 1 and rank k alike; NDCG pays log-discounted
+    credit by position, Järvelin & Kekäläinen 2002).
+
+    DCG = Σ rel·dm(rank) with dm the precomputed integer micro discount
+    (ndcg_discounts_micro); IDCG re-ranks the SAME relevance multiset
+    descending (tiebreak: original rank — a total order) through the
+    same table.  Both are exact int64 sums; NDCG is ONE terminal
+    division.  Cost: one per-group window + one group agg — no join,
+    no Python.
+
+    Output per group: group, dcg_micro, idcg_micro, ndcg_micro (NULL
+    when idcg is 0) and mean_ndcg_micro (over groups with idcg>0,
+    repeated on every row for a single-table read).
+    """
+    dm = ndcg_discounts_micro(k)
+    disc = F.element_at(
+        F.array(*[F.lit(int(d)).cast("long") for d in dm]), F.col("_r").cast("int")
+    )
+    base = ranked.select(
+        F.col(group_col).alias("_g"),
+        F.col(rank_col).cast("long").alias("_r"),
+        F.col(rel_col).cast("long").alias("_rel"),
+    ).where(F.col("_r") <= k)
+    wi = Window.partitionBy("_g").orderBy(F.col("_rel").desc(), F.col("_r"))
+    staged = base.select(
+        "_g",
+        "_rel",
+        (F.col("_rel") * disc).alias("_dg"),
+        F.row_number().over(wi).cast("long").alias("_ir"),
+    )
+    idisc = F.element_at(
+        F.array(*[F.lit(int(d)).cast("long") for d in dm]),
+        F.col("_ir").cast("int"),
+    )
+    per = (
+        staged.withColumn("_idg", F.col("_rel") * idisc)
+        .groupBy("_g")
+        .agg(
+            F.sum("_dg").cast("long").alias("dcg_micro"),
+            F.sum("_idg").cast("long").alias("idcg_micro"),
+        )
+    )
+    ndcg = F.when(
+        F.col("idcg_micro") > 0,
+        F.round(F.col("dcg_micro") * F.lit(MICRO) / F.col("idcg_micro")).cast(
+            "long"
+        ),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        "dcg_micro",
+        "idcg_micro",
+        ndcg.alias("ndcg_micro"),
+    ).withColumn(
+        "mean_ndcg_micro",
+        F.round(
+            F.sum("ndcg_micro").over(wall) / F.count("ndcg_micro").over(wall)
+        ).cast("long"),
+    )
+
+
+def ips_policy_value(
+    logged: DataFrame,
+    policy: DataFrame,
+    segment_col: str = "segment",
+    action_col: str = "action",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from
+    logged (segment, action, integer reward) data: inverse-propensity
+    scoring (Horvitz-Thompson) plus the self-normalized variant
+    (SNIPS, Swaminathan & Joachims 2015) and the effective sample
+    size — the triple that says whether a proposed routing/curation
+    policy can be judged from logs at all before an online test.
+
+    Propensities are EMPIRICAL: p(a|x) = n(x,a)/n(x) from the logs
+    themselves, so the inverse weight w = n(x)/n(x,a) is one division
+    micro-rounded per (segment, action) CELL (dictionary-sized), never
+    per row; matched-row contributions r·w_micro and the ESS sums are
+    exact int64.  IPS/SNIPS/ESS are each ONE terminal division.  Two
+    shuffles over the logs (cell counts, final fold); the policy join
+    is broadcast-sized by construction.
+
+    Output (single row): n_logged, n_matched, ips_value_micro,
+    snips_value_micro (NULL when no rows match), ess_micro (effective
+    sample size in micro units).
+    """
+    base = logged.select(
+        F.col(segment_col).alias("_x"),
+        F.col(action_col).alias("_a"),
+        F.col(reward_col).cast("long").alias("_r"),
+    )
+    cells = base.groupBy("_x", "_a").agg(
+        F.count("*").cast("long").alias("_nxa"),
+        F.sum("_r").cast("long").alias("_rsum"),
+    )
+    wseg = Window.partitionBy("_x")
+    cells = cells.withColumn(
+        "_nx", F.sum("_nxa").over(wseg).cast("long")
+    ).withColumn(
+        "_w",
+        F.round(F.col("_nx") * F.lit(MICRO) / F.col("_nxa")).cast("long"),
+    )
+    pol = policy.select(
+        F.col(segment_col).alias("_x"),
+        F.col(action_col).alias("_a"),
+        F.lit(1).alias("_pi"),
+    )
+    marked = cells.join(F.broadcast(pol), ["_x", "_a"], "left")
+    m = F.coalesce(F.col("_pi"), F.lit(0)).cast("long")
+    agg = marked.agg(
+        F.sum("_nxa").cast("long").alias("n_logged"),
+        F.sum(m * F.col("_nxa")).cast("long").alias("n_matched"),
+        F.sum(m * F.col("_rsum") * F.col("_w")).cast("long").alias("_swr"),
+        F.sum(m * F.col("_nxa") * F.col("_w")).cast("long").alias("_sw"),
+        F.sum(m * F.col("_nxa") * F.col("_w") * F.col("_w"))
+        .cast("long")
+        .alias("_sww"),
+    )
+    some = F.col("n_matched") > 0
+    return agg.select(
+        "n_logged",
+        "n_matched",
+        F.round(F.col("_swr") / F.col("n_logged")).cast("long").alias(
+            "ips_value_micro"
+        ),
+        F.when(
+            some,
+            F.round(
+                F.col("_swr").cast("double") * F.lit(MICRO) / F.col("_sw")
+            ).cast("long"),
+        ).alias("snips_value_micro"),
+        F.when(
+            some,
+            F.round(
+                F.col("_sw").cast("double")
+                * F.col("_sw")
+                * F.lit(MICRO)
+                / F.col("_sww")
+            ).cast("long"),
+        ).alias("ess_micro"),
+    )
+
+
+def log_bleu(
+    pairs: DataFrame,
+    pair_id_col: str = "pair_id",
+    ref_col: str = "ref_text",
+    hyp_col: str = "hyp_text",
+) -> DataFrame:
+    """Corpus-scale sentence log-BLEU (unigram+bigram, uniform weights,
+    add-one smoothing) between paired texts — the n-gram-overlap
+    generation/near-copy score (Papineni et al. 2002) as one
+    distributed job: tokenize → ONE exploded token stream per side →
+    gram histograms → clipped-precision join per pair.
+
+    log BLEU = min(0, 1 − r/c) + ½·ln p₁ + ½·ln p₂ with
+    pₙ = (clipₙ+1)/(totₙ+1); reporting in LOG space keeps the whole
+    number a sum of three independently micro-rounded terms (exp is
+    never evaluated, so no cross-engine transcendental beyond ln —
+    the proven qa66/qa81 ln-of-one-division idiom).  Clipped counts
+    are Σ least(c_hyp, c_ref) over an inner gram join (absent grams
+    clip to 0 for free); every count is int64.
+
+    Grams come from lead() over the exploded token stream, not a
+    transform()-built array — Spark 4.1 fuses array-building
+    projections into the Generate they feed and re-evaluates per
+    OUTPUT row (see operators/dedup.py:_dup_gram_occ).  The token
+    shuffle is keyed by (pair, side) and reused by the bigram window.
+
+    Output per pair: pair_id, ref_len, hyp_len, clip1, clip2,
+    bp_micro, logp1_micro, logp2_micro, log_bleu_micro.  Pairs with an
+    empty hypothesis or reference are dropped (BLEU undefined).
+    """
+    from .dedup import normalized_text_col
+
+    melted = pairs.select(
+        F.col(pair_id_col).alias("_pid"),
+        F.lit(0).alias("_side"),
+        F.split(normalized_text_col(F.col(ref_col)), " ").alias("_toks"),
+    ).unionByName(
+        pairs.select(
+            F.col(pair_id_col).alias("_pid"),
+            F.lit(1).alias("_side"),
+            F.split(normalized_text_col(F.col(hyp_col)), " ").alias("_toks"),
+        )
+    )
+    tok = melted.select(
+        "_pid", "_side", F.posexplode("_toks").alias("_idx", "_w")
+    ).where(F.length("_w") > 0)
+    wseq = Window.partitionBy("_pid", "_side").orderBy("_idx")
+    grams = tok.select(
+        "_pid",
+        "_side",
+        F.col("_w").alias("_g1"),
+        F.concat_ws(" ", "_w", F.lead("_w", 1).over(wseq)).alias("_g2c"),
+        F.lead("_w", 1).over(wseq).isNotNull().alias("_has2"),
+    )
+
+    def side_counts(n: int) -> DataFrame:
+        g = F.col("_g1") if n == 1 else F.col("_g2c")
+        base = grams if n == 1 else grams.where(F.col("_has2"))
+        c = base.groupBy("_pid", "_side", g.alias("_g")).agg(
+            F.count("*").cast("long").alias("_c")
+        )
+        ref = c.where(F.col("_side") == 0).select(
+            "_pid", "_g", F.col("_c").alias("_cr")
+        )
+        hyp = c.where(F.col("_side") == 1).select(
+            "_pid", "_g", F.col("_c").alias("_ch")
+        )
+        return (
+            hyp.join(ref, ["_pid", "_g"])
+            .groupBy("_pid")
+            .agg(
+                F.sum(F.least(F.col("_ch"), F.col("_cr")))
+                .cast("long")
+                .alias(f"clip{n}")
+            )
+        )
+
+    lens = (
+        tok.groupBy("_pid")
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ref_len"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hyp_len"),
+        )
+        .where((F.col("ref_len") > 0) & (F.col("hyp_len") > 0))
+    )
+    j = (
+        lens.join(side_counts(1), "_pid", "left")
+        .join(side_counts(2), "_pid", "left")
+        .select(
+            "_pid",
+            "ref_len",
+            "hyp_len",
+            F.coalesce("clip1", F.lit(0)).cast("long").alias("clip1"),
+            F.coalesce("clip2", F.lit(0)).cast("long").alias("clip2"),
+        )
+    )
+    tot2 = F.greatest(F.col("hyp_len") - 1, F.lit(0))
+    bp = F.round(
+        F.lit(MICRO)
+        * F.least(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("ref_len").cast("double") / F.col("hyp_len"),
+        )
+    ).cast("long")
+    lp1 = F.round(
+        F.lit(MICRO / 2)
+        * F.log(
+            (F.col("clip1") + 1).cast("double") / (F.col("hyp_len") + 1)
+        )
+    ).cast("long")
+    lp2 = F.round(
+        F.lit(MICRO / 2)
+        * F.log((F.col("clip2") + 1).cast("double") / (tot2 + 1))
+    ).cast("long")
+    return j.select(
+        F.col("_pid").alias(pair_id_col),
+        "ref_len",
+        "hyp_len",
+        "clip1",
+        "clip2",
+        bp.alias("bp_micro"),
+        lp1.alias("logp1_micro"),
+        lp2.alias("logp2_micro"),
+        (bp + lp1 + lp2).cast("long").alias("log_bleu_micro"),
+    )
