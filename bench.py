@@ -151,6 +151,11 @@ EXTENDED = [
     "qa90_bradley_terry",
     "qa91_ips_policy_eval",
     "qa92_log_bleu",
+    "qa93_krippendorff_alpha",
+    "qa94_pq_codebook",
+    "qa95_sprt_monitor",
+    "qa96_readability",
+    "qa97_rbo",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

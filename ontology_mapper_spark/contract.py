@@ -8785,3 +8785,338 @@ def qa92(spark, sf):
         F.col("_ht").alias("hyp_text"),
     )
     return log_bleu(pairs, "pair_id", "ref_text", "hyp_text")
+
+
+_QA93_WORDS = (
+    "len(list_filter(string_split(lower(trim(regexp_replace(text,"
+    "'\\s+',' ','g'))),' '), w -> w <> ''))"
+)
+
+
+@_q(
+    "qa93_krippendorff_alpha",
+    f"""
+    WITH ratings AS (
+      SELECT doc_id AS u, 'len' AS r,
+             CASE WHEN n_chars < 200 THEN 0
+                  WHEN n_chars < 400 THEN 1 ELSE 2 END AS c
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'words',
+             CASE WHEN {_QA93_WORDS} < 40 THEN 0
+                  WHEN {_QA93_WORDS} < 70 THEN 1 ELSE 2 END
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'hash',
+             CAST(CAST('0x' || substr(md5('r3|' || CAST(doc_id AS VARCHAR)),
+                                      1, 1) AS INT) % 3 AS INT)
+      FROM documents),
+    per_cell AS (SELECT u, c, CAST(count(*) AS BIGINT) AS ruc
+                 FROM ratings GROUP BY 1, 2),
+    wm AS (SELECT *, CAST(sum(ruc) OVER (PARTITION BY u) AS BIGINT) AS mu
+           FROM per_cell),
+    wm2 AS (SELECT * FROM wm WHERE mu >= 2),
+    item AS (SELECT u, CAST(max(mu) AS BIGINT) AS mu,
+                    CAST(sum(ruc * (mu - ruc)) AS BIGINT) AS dis
+             FROM wm2 GROUP BY 1),
+    ido AS (SELECT mu, CAST(round(dis * 1000000 / (mu - 1)) AS BIGINT)
+                     AS dou
+            FROM item),
+    marg AS (SELECT c, CAST(sum(ruc) AS BIGINT) AS nc FROM wm2 GROUP BY 1),
+    tot AS (SELECT CAST(sum(ruc) AS BIGINT) AS n FROM wm2),
+    de AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                  CAST(sum(nc * (n - nc)) AS BIGINT) AS de_num
+           FROM marg CROSS JOIN tot),
+    dos AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(mu) AS BIGINT) AS n_ratings,
+                   CAST(sum(dou) AS BIGINT) AS do_sum
+            FROM ido),
+    st AS (SELECT n_items, n_ratings,
+                  CAST(round(do_sum / n_ratings) AS BIGINT) AS do_micro,
+                  CAST(round(CAST(de_num AS DOUBLE) * 1000000
+                             / (n * (n - 1))) AS BIGINT) AS de_micro
+           FROM dos CROSS JOIN de)
+    SELECT n_items, n_ratings, do_micro, de_micro,
+           CASE WHEN de_micro > 0
+                THEN CAST(round((de_micro - do_micro) * 1000000 / de_micro)
+                          AS BIGINT)
+           END AS alpha_micro
+    FROM st
+    """,
+)
+def qa93(spark, sf):
+    """Krippendorff's alpha (nominal) across three deterministic
+    document "raters" — char-length band, word-count band, and an
+    md5-noise rater (operators/evaluate.py:krippendorff_alpha_nominal):
+    the missing-data-tolerant agreement coefficient that generalizes
+    qa61's Fleiss kappa.  Per-item observed disagreement micro-rounds
+    its single (m_u−1) division then integer-sums; expected
+    disagreement is pure int64; alpha one terminal division."""
+    from .operators.evaluate import krippendorff_alpha_nominal
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    r1 = d.select(
+        F.col("doc_id").alias("item"),
+        F.lit("len").alias("rater"),
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+        .alias("label"),
+    )
+    nw = F.size(words_col(F.col("text")))
+    r2 = d.select(
+        F.col("doc_id").alias("item"),
+        F.lit("words").alias("rater"),
+        F.when(nw < 40, 0).when(nw < 70, 1).otherwise(2).alias("label"),
+    )
+    r3 = d.select(
+        F.col("doc_id").alias("item"),
+        F.lit("hash").alias("rater"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("r3|"), F.col("doc_id").cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 3
+        ).alias("label"),
+    )
+    return krippendorff_alpha_nominal(
+        r1.unionByName(r2).unionByName(r3), "item", "rater", "label"
+    )
+
+
+@_q(
+    "qa94_pq_codebook",
+    """
+    WITH dims AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS val
+      FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS code,
+             vec_id
+      FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+    cbdims AS (
+      SELECT seeds.code, dims.pos, dims.val
+      FROM seeds JOIN dims USING (vec_id)),
+    d AS (
+      SELECT s.vec_id, s.pos // 16 AS ss, c.code,
+             CAST(sum((s.val - c.val) * (s.val - c.val)) AS BIGINT) AS dist
+      FROM dims s JOIN cbdims c ON c.pos = s.pos
+      GROUP BY 1, 2, 3),
+    asg AS (
+      SELECT vec_id, ss, code, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, ss
+                                     ORDER BY dist, code) AS rn
+        FROM d)
+      WHERE rn = 1),
+    per AS (
+      SELECT ss, code, CAST(count(*) AS BIGINT) AS n_assigned,
+             CAST(sum(dist) AS BIGINT) AS sum_sq_dist
+      FROM asg GROUP BY 1, 2)
+    SELECT CAST(ss AS BIGINT) AS subspace, code, n_assigned, sum_sq_dist,
+           CAST(round(CAST(sum_sq_dist AS DOUBLE) / n_assigned) AS BIGINT)
+             AS mean_sq_dist,
+           CAST(round(n_assigned * 1000000
+                      / sum(n_assigned) OVER (PARTITION BY ss)) AS BIGINT)
+             AS share_micro
+    FROM per
+    """,
+)
+def qa94(spark, sf):
+    """Product-quantization codebook audit over the embeddings (M=4
+    subspaces x 8 codes, operators/similarity.py:pq_codebook_report):
+    md5-rank-seeded per-subspace codebooks, integer micro squared-
+    distance argmin assignment, per-code population share and
+    distortion — the memory-vs-distortion planning table for
+    PQ-compressed ANN (Jegou et al. 2011) at 100 TB."""
+    from .operators.similarity import pq_codebook_report
+
+    return pq_codebook_report(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", 4, 8, 16
+    )
+
+
+def _qa95_oracle() -> str:
+    import math
+
+    from .operators.temporal import sprt_wald_bounds_micro
+
+    up, lo = sprt_wald_bounds_micro(5, 5)
+    a_micro = round(1_000_000 * math.log(12 / 10))
+    return f"""
+    WITH ext AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                 FROM events),
+    b AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+                 (epoch_us(ts) * 2 < ext.lo + ext.hi) AS pre
+          FROM events CROSS JOIN ext),
+    pre AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(x) AS BIGINT) AS x0
+            FROM b WHERE pre),
+    bc AS (SELECT n0, x0,
+             CASE WHEN x0 > 0 AND x0 < n0 AND 10 * n0 > 12 * x0
+                  THEN CAST(round(1000000.0 *
+                         ln(CAST(10 * n0 - 12 * x0 AS DOUBLE)
+                            / (10 * (n0 - x0)))) AS BIGINT)
+             END AS bm
+           FROM pre),
+    daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_trials,
+                     CAST(sum(x) AS BIGINT) AS n_success
+              FROM b WHERE NOT pre GROUP BY 1),
+    st AS (SELECT d.day, d.n_trials, d.n_success,
+                  CAST(d.n_success * {a_micro}
+                       + (d.n_trials - d.n_success) * bc.bm AS BIGINT)
+                    AS llr_day_micro
+           FROM daily d CROSS JOIN bc WHERE bc.bm IS NOT NULL),
+    cumt AS (SELECT *, CAST(sum(llr_day_micro)
+                            OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum_llr_micro
+             FROM st)
+    SELECT day, n_trials, n_success, llr_day_micro, cum_llr_micro,
+           CASE WHEN cum_llr_micro >= {up} THEN 'accept_h1'
+                WHEN cum_llr_micro <= {lo} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cumt
+    """
+
+
+@_q("qa95_sprt_monitor", _qa95_oracle())
+def qa95(spark, sf):
+    """Wald SPRT daily monitor on the purchase rate (operators/
+    temporal.py:sprt_daily_audit): baseline from the first half of the
+    time range, H1 = 1.2x lift, per-day LLR increments as int64
+    products of Python-injected/once-computed micro log terms,
+    cumulative LLR vs the +-ln(19) Wald bounds — always-valid
+    sequential early stopping, the experimentation complement to the
+    qa47/qa54 CUSUM monitors."""
+    from .operators.temporal import sprt_daily_audit
+
+    return sprt_daily_audit(
+        _t(spark, sf, "events"),
+        "ts",
+        (F.col("event_type") == "purchase").cast("long"),
+        12,
+        10,
+        5,
+        5,
+    )
+
+
+@_q(
+    "qa96_readability",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST({_QA93_WORDS} AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents),
+    f AS (SELECT * FROM c WHERE n_words > 0),
+    s AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+                 CAST(round(n_words * 1015000 / n_sentences) AS BIGINT)
+                   AS wps,
+                 CAST(round(n_syllables * 84600000 / n_words) AS BIGINT)
+                   AS spw,
+                 CAST(round(n_words * 390000 / n_sentences) AS BIGINT)
+                   AS gwps,
+                 CAST(round(n_syllables * 11800000 / n_words) AS BIGINT)
+                   AS gspw
+          FROM f)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835000 - wps - spw AS BIGINT) AS fre_micro,
+           CAST(gwps + gspw - 15590000 AS BIGINT) AS fkgl_micro
+    FROM s
+    """,
+)
+def qa96(spark, sf):
+    """Flesch reading-ease + Flesch-Kincaid grade per document from
+    deterministic regex proxies (operators/textstats.py:
+    readability_scores): vowel-group syllables, terminator-run
+    sentences, canonical word tokens; each ratio term micro-rounds its
+    single division independently then integer-combines.  Map-only —
+    the readability gate for corpus curation."""
+    from .operators.textstats import readability_scores
+
+    return readability_scores(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def _qa97_oracle(k: int = 10) -> str:
+    from .operators.evaluate import rbo_weights_micro
+
+    w = rbo_weights_micro(k)
+    suffix = [0] * (k + 2)
+    for d in range(k, 0, -1):
+        suffix[d] = suffix[d + 1] + w[d - 1]
+    sfx_rows = ", ".join(
+        f"({d}, CAST({suffix[d]} AS BIGINT))" for d in range(1, k + 1)
+    )
+    return f"""
+    WITH sfx(m, w) AS (VALUES {sfx_rows}),
+    wtab AS (SELECT doc_id, lang, n_chars,
+                    CAST({_QA93_WORDS} AS BIGINT) AS n_words
+             FROM documents),
+    a AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id) AS ra
+          FROM wtab),
+    b AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_words DESC, doc_id) AS rb
+          FROM wtab),
+    ak AS (SELECT * FROM a WHERE ra <= {k}),
+    bk AS (SELECT * FROM b WHERE rb <= {k}),
+    g AS (SELECT DISTINCT lang FROM
+            (SELECT lang FROM ak UNION ALL SELECT lang FROM bk)),
+    m AS (SELECT ak.lang, greatest(ak.ra, bk.rb) AS m
+          FROM ak JOIN bk ON bk.lang = ak.lang AND bk.doc_id = ak.doc_id),
+    per AS (SELECT m.lang, CAST(count(*) AS BIGINT) AS n_common_at_k,
+                   CAST(sum(s.w) AS BIGINT) AS rbo_micro
+            FROM m JOIN sfx s ON s.m = m.m GROUP BY 1)
+    SELECT g.lang,
+           CAST(coalesce(per.n_common_at_k, 0) AS BIGINT) AS n_common_at_k,
+           CAST(coalesce(per.rbo_micro, 0) AS BIGINT) AS rbo_micro
+    FROM g LEFT JOIN per ON per.lang = g.lang
+    """
+
+
+@_q("qa97_rbo", _qa97_oracle())
+def qa97(spark, sf):
+    """Truncated rank-biased overlap RBO@10 (p=0.9) between each
+    language's length ranking and word-count ranking (operators/
+    evaluate.py:rbo_truncated): prefix intersections from ONE
+    equi-join via the m = max(rank_a, rank_b) cumulative trick;
+    per-depth weights (with /d folded in) are Python-precomputed
+    integer micros, so the score is an exact int64 sum — zero engine
+    division.  The top-weighted ranking-stability metric for ANN-vs-
+    exact and feed-drift comparisons."""
+    from .operators.evaluate import rbo_truncated
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    wtab = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(words_col(F.col("text"))).cast("long").alias("_nw"),
+    )
+    wa = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wb = Window.partitionBy("lang").orderBy(
+        F.col("_nw").desc(), F.col("doc_id")
+    )
+    a = wtab.select("lang", "doc_id", F.row_number().over(wa).alias("rank"))
+    b = wtab.select("lang", "doc_id", F.row_number().over(wb).alias("rank"))
+    return rbo_truncated(a, b, "lang", "doc_id", "rank", k=10)

@@ -777,3 +777,182 @@ def log_bleu(
         lp2.alias("logp2_micro"),
         (bp + lp1 + lp2).cast("long").alias("log_bleu_micro"),
     )
+
+
+def krippendorff_alpha_nominal(
+    ratings: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) from an (item, rater, label) long
+    table — the inter-rater agreement coefficient that, unlike Fleiss
+    kappa (qa61), tolerates missing ratings and any number of raters
+    per item (Krippendorff 2004).
+
+    Exactness: the observed-disagreement contribution of item u is
+    Σ_c r_uc·(m_u − r_uc)/(m_u − 1) — integer except for ONE division
+    by (m_u − 1), so it micro-rounds per ITEM and integer-sums; with a
+    constant rater count the rounding is even exact.  Expected
+    disagreement Σ_c n_c·(n − n_c) is pure int64; alpha is a terminal
+    single-division of the two micro quantities.  Items with fewer
+    than 2 ratings drop out (no pairable values), per the definition.
+    Shuffles: (item, label) counts, per-item fold, label margins —
+    all map-side combinable.
+
+    Output (single row): n_items, n_ratings, do_micro, de_micro,
+    alpha_micro (NULL when expected disagreement is 0).
+    """
+    base = ratings.select(
+        F.col(item_col).alias("_u"),
+        F.col(rater_col).alias("_r"),
+        F.col(label_col).alias("_c"),
+    )
+    per_cell = base.groupBy("_u", "_c").agg(
+        F.count("*").cast("long").alias("_ruc")
+    )
+    wu = Window.partitionBy("_u")
+    per_cell = per_cell.withColumn(
+        "_mu", F.sum("_ruc").over(wu).cast("long")
+    ).where(F.col("_mu") >= 2)
+    per_item = per_cell.groupBy("_u").agg(
+        F.max("_mu").alias("_mu"),
+        F.sum(F.col("_ruc") * (F.col("_mu") - F.col("_ruc")))
+        .cast("long")
+        .alias("_dis"),
+    )
+    item_do = per_item.select(
+        "_mu",
+        F.round(F.col("_dis") * F.lit(MICRO) / (F.col("_mu") - 1))
+        .cast("long")
+        .alias("_dou"),
+    )
+    margins = per_cell.groupBy("_c").agg(
+        F.sum("_ruc").cast("long").alias("_nc")
+    )
+    tot = per_cell.agg(F.sum("_ruc").cast("long").alias("_n"))
+    de = (
+        margins.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("_n").alias("_n"),
+            F.sum(F.col("_nc") * (F.col("_n") - F.col("_nc")))
+            .cast("long")
+            .alias("_de_num"),
+        )
+    )
+    dos = item_do.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("_mu").cast("long").alias("n_ratings"),
+        F.sum("_dou").cast("long").alias("_do_sum"),
+    )
+    j = dos.crossJoin(F.broadcast(de))
+    do_micro = F.round(F.col("_do_sum") / F.col("n_ratings")).cast("long")
+    de_micro = F.round(
+        F.col("_de_num").cast("double")
+        * F.lit(MICRO)
+        / (F.col("_n") * (F.col("_n") - 1))
+    ).cast("long")
+    staged = j.select(
+        "n_items",
+        "n_ratings",
+        do_micro.alias("do_micro"),
+        de_micro.alias("de_micro"),
+    )
+    return staged.select(
+        "n_items",
+        "n_ratings",
+        "do_micro",
+        "de_micro",
+        F.when(
+            F.col("de_micro") > 0,
+            F.round(
+                (F.col("de_micro") - F.col("do_micro"))
+                * F.lit(MICRO)
+                / F.col("de_micro")
+            ).cast("long"),
+        ).alias("alpha_micro"),
+    )
+
+
+def rbo_weights_micro(k: int, p_num: int = 9, p_den: int = 10) -> list[int]:
+    """Integer micro weight table for truncated rank-biased overlap:
+    w[d-1] = round(1e6·(1−p)·p^(d−1)/d), p = p_num/p_den.  Computed
+    once in Python from exact rationals and injected into BOTH engines
+    (same construction as ndcg_discounts_micro)."""
+    from fractions import Fraction
+
+    p = Fraction(p_num, p_den)
+    return [
+        round(MICRO * (1 - p) * p ** (d - 1) / d) for d in range(1, k + 1)
+    ]
+
+
+def rbo_truncated(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    group_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+) -> DataFrame:
+    """Truncated rank-biased overlap RBO@k (Webber, Moffat & Zobel
+    2010) between two per-group rankings — the top-weighted ranking
+    similarity that, unlike Spearman (qa60), is defined on indefinite
+    rankings and pays geometrically more attention to the head; the
+    standard way to compare an ANN ranking against brute force, or
+    yesterday's feed against today's.
+
+    RBO@k = Σ_{d=1..k} (1−p)·p^(d−1)·|A_d ∩ B_d|/d.  The prefix-
+    intersection sizes come from ONE equi-join: an item in both lists
+    enters every prefix d ≥ max(rank_a, rank_b), so overlap_d is a
+    cumulative count over m = greatest(ra, rb) — no per-depth set
+    intersection.  Per-depth weights (including the /d) are
+    Python-precomputed integer micros (rbo_weights_micro), so each
+    depth term is an int64 PRODUCT and RBO is an exact integer sum —
+    no engine division at all.
+
+    Output per group: n_common_at_k (matched within both top-k),
+    rbo_micro.  Groups present in either ranking report (missing
+    matches = 0 overlap).
+    """
+    w_micro = rbo_weights_micro(k, p_num, p_den)
+    a = ranked_a.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).cast("long").alias("_ra"),
+    ).where(F.col("_ra") <= k)
+    b = ranked_b.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).cast("long").alias("_rb"),
+    ).where(F.col("_rb") <= k)
+    groups = a.select("_g").unionByName(b.select("_g")).distinct()
+    matched = a.join(b, ["_g", "_id"]).select(
+        "_g", F.greatest(F.col("_ra"), F.col("_rb")).alias("_m")
+    )
+    # weight an item by the SUM of weights of depths it participates in:
+    # Σ_{d>=m} w_d, precomputed as a suffix-sum lookup — one expression,
+    # no depth join at all.
+    suffix = [0] * (k + 2)
+    for d in range(k, 0, -1):
+        suffix[d] = suffix[d + 1] + w_micro[d - 1]
+    wexpr = F.element_at(
+        F.array(*[F.lit(int(suffix[d])).cast("long") for d in range(1, k + 1)]),
+        F.col("_m").cast("int"),
+    )
+    per = matched.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_common_at_k"),
+        F.sum(wexpr).cast("long").alias("rbo_micro"),
+    )
+    return (
+        groups.join(per, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            F.coalesce("n_common_at_k", F.lit(0)).cast("long").alias(
+                "n_common_at_k"
+            ),
+            F.coalesce("rbo_micro", F.lit(0)).cast("long").alias("rbo_micro"),
+        )
+    )

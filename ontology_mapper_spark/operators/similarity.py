@@ -807,3 +807,108 @@ def jl_distortion_report(
         .cast("bigint")
         .alias("ratio_micro"),
     )
+
+
+def pq_codebook_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Product-quantization audit (Jégou et al. 2011): split the vector
+    into `n_subspaces` contiguous `sub_dim`-dim slices, quantize each
+    slice against a per-subspace codebook, and report per-(subspace,
+    code) population and distortion — the memory-budget planning step
+    for PQ-compressed ANN at 100 TB (codes cost n_subspaces bytes/vec
+    vs 4·dim for floats; the report says what that buys in distortion
+    and whether codes are balanced).
+
+    Codebooks are the md5-rank-first `n_codes` vectors' slices (the
+    deterministic q48 IVF seeding trick), broadcast; assignment is an
+    argmin window over integer micro squared distances (micro-int
+    slices — zero float summation), tiebreak on code.  ONE pass over
+    the data after the seed scan; everything downstream of the explode
+    is (subspace, code)-sized.
+
+    Output per (subspace, code): n_assigned, sum_sq_dist (micro²
+    int64), mean_sq_dist, share_micro (population share within the
+    subspace; 1e6/n_codes everywhere = perfectly balanced codes).
+    """
+    from .clustering import micro_vectors
+
+    mv = micro_vectors(df.select(F.col(id_col), F.col(vec_col)), id_col, vec_col)
+    slices = F.array(
+        *[
+            F.slice(F.col("ev"), s * sub_dim + 1, sub_dim)
+            for s in range(n_subspaces)
+        ]
+    )
+    # own pre-Generate projection (q63 trap): build the slice array in a
+    # separate select so the explode doesn't re-evaluate micro_vectors'
+    # transform per output row.
+    sliced = mv.select(F.col(id_col), slices.alias("_sl")).select(
+        F.col(id_col), F.posexplode("_sl").alias("subspace", "_sv")
+    )
+    # deterministic code numbering: md5 rank with id tiebreak (the q48
+    # IVF seeding trick).  orderBy().limit() plans as
+    # TakeOrderedAndProject — per-partition top-n, never a global sort;
+    # the window that numbers the codes runs on the n_codes survivors.
+    seeds = (
+        mv.select(
+            "ev",
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_sid"),
+        )
+        .orderBy("_h", "_sid")
+        .limit(n_codes)
+        .withColumn(
+            "code",
+            F.row_number()
+            .over(Window.orderBy(F.col("_h"), F.col("_sid")))
+            .cast("int"),
+        )
+    )
+    cb = seeds.select(
+        "code",
+        F.array(
+            *[
+                F.slice(F.col("ev"), s * sub_dim + 1, sub_dim)
+                for s in range(n_subspaces)
+            ]
+        ).alias("_csl"),
+    ).select("code", F.posexplode("_csl").alias("subspace", "_cv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = sliced.join(F.broadcast(cb), "subspace").select(
+        F.col(id_col), "subspace", "code", dist.alias("_d")
+    )
+    wmin = Window.partitionBy(id_col, "subspace").orderBy(
+        F.col("_d"), F.col("code")
+    )
+    assigned = cand.withColumn("_rn", F.row_number().over(wmin)).where(
+        F.col("_rn") == 1
+    )
+    per = assigned.groupBy("subspace", "code").agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("_d").cast("long").alias("sum_sq_dist"),
+    )
+    wss = Window.partitionBy("subspace")
+    return per.select(
+        F.col("subspace").cast("long").alias("subspace"),
+        "code",
+        "n_assigned",
+        "sum_sq_dist",
+        F.round(F.col("sum_sq_dist").cast("double") / F.col("n_assigned"))
+        .cast("long")
+        .alias("mean_sq_dist"),
+        F.round(
+            F.col("n_assigned") * F.lit(1_000_000) / F.sum("n_assigned").over(wss)
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )

@@ -851,3 +851,134 @@ def decay_trend(
             F.round(F.lit(ln2_micro2) / -slope).cast("long"),
         ).alias("halflife_days_micro"),
     )
+
+
+def sprt_wald_bounds_micro(alpha_pct: int = 5, beta_pct: int = 5) -> tuple[int, int]:
+    """Wald SPRT decision bounds ln((1-β)/α), ln(β/(1-α)) as integer
+    micros, computed ONCE in Python from exact percent rationals and
+    injected into both engines (the ndcg_discounts_micro convention)."""
+    import math
+
+    a, b = alpha_pct / 100.0, beta_pct / 100.0
+    return (
+        round(1_000_000 * math.log((1 - b) / a)),
+        round(1_000_000 * math.log(b / (1 - a))),
+    )
+
+
+def sprt_daily_audit(
+    df: DataFrame,
+    ts_col: str = "ts",
+    success_col=None,
+    lift_num: int = 12,
+    lift_den: int = 10,
+    alpha_pct: int = 5,
+    beta_pct: int = 5,
+) -> DataFrame:
+    """Wald sequential probability-ratio test over a daily binary
+    metric — "did the success rate shift by the given lift?" with
+    always-valid early stopping (Wald 1945): the sequential-experiment
+    complement to the CUSUM changepoint monitors (qa47/qa54).
+
+    Baseline p0 = success rate of the FIRST half of the time range
+    (midpoint split, the qa87 convention); H1: p1 = p0·lift.  The
+    per-day log-likelihood-ratio increment is
+        x_t·ln(p1/p0) + (n_t − x_t)·ln((1−p1)/(1−p0)).
+    ln(lift) and the Wald bounds are Python-injected integer micros;
+    ln((1−p1)/(1−p0)) reduces to ln of ONE division of two int64
+    products ((den·n0 − num·x0) / (den·(n0 − x0))) evaluated once
+    globally (the qa66 ln idiom), so daily increments are int64
+    PRODUCTS and the cumulative LLR an exact running sum.
+
+    Output per post-baseline day: day (string date), n_trials,
+    n_success, llr_day_micro, cum_llr_micro, decision
+    ('accept_h1' | 'accept_h0' | 'continue').  Degenerate baselines
+    (p0 = 0, p1 ≥ 1) return no rows rather than lying.
+    """
+    import math
+
+    up_micro, lo_micro = sprt_wald_bounds_micro(alpha_pct, beta_pct)
+    a_micro = round(1_000_000 * math.log(lift_num / lift_den))
+    ts = F.col(ts_col).cast("timestamp")
+    succ = (
+        success_col if not isinstance(success_col, str) else F.col(success_col)
+    ).cast("long")
+    base = df.select(
+        F.unix_micros(ts).alias("_us"),
+        F.date_format(ts, "yyyy-MM-dd").alias("day"),
+        succ.alias("_x"),
+    )
+    ext = base.agg(
+        F.min("_us").alias("_lo"),
+        F.max("_us").alias("_hi"),
+    )
+    marked = base.crossJoin(F.broadcast(ext)).select(
+        "day",
+        "_x",
+        (F.col("_us") * 2 < F.col("_lo") + F.col("_hi")).alias("_pre"),
+    )
+    pre = marked.where(F.col("_pre")).agg(
+        F.count("*").cast("long").alias("_n0"),
+        F.sum("_x").cast("long").alias("_x0"),
+    )
+    num, den = int(lift_num), int(lift_den)
+    # B_micro = round(1e6 * ln((den*n0 - num*x0) / (den*(n0 - x0)))),
+    # guarded: needs 0 < x0, p1 < 1, x0 < n0
+    bconst = pre.select(
+        "_n0",
+        "_x0",
+        F.when(
+            (F.col("_x0") > 0)
+            & (F.col("_x0") < F.col("_n0"))
+            & (F.lit(den) * F.col("_n0") > F.lit(num) * F.col("_x0")),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (F.lit(den) * F.col("_n0") - F.lit(num) * F.col("_x0")).cast(
+                        "double"
+                    )
+                    / (F.lit(den) * (F.col("_n0") - F.col("_x0")))
+                )
+            ).cast("long"),
+        ).alias("_b_micro"),
+    )
+    daily = (
+        marked.where(~F.col("_pre"))
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_trials"),
+            F.sum("_x").cast("long").alias("n_success"),
+        )
+    )
+    wday = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        daily.crossJoin(F.broadcast(bconst))
+        .where(F.col("_b_micro").isNotNull())
+        .select(
+            "day",
+            "n_trials",
+            "n_success",
+            (
+                F.col("n_success") * F.lit(int(a_micro))
+                + (F.col("n_trials") - F.col("n_success")) * F.col("_b_micro")
+            )
+            .cast("long")
+            .alias("llr_day_micro"),
+        )
+        .withColumn(
+            "cum_llr_micro", F.sum("llr_day_micro").over(wday).cast("long")
+        )
+    )
+    return out.select(
+        "day",
+        "n_trials",
+        "n_success",
+        "llr_day_micro",
+        "cum_llr_micro",
+        F.when(F.col("cum_llr_micro") >= F.lit(int(up_micro)), "accept_h1")
+        .when(F.col("cum_llr_micro") <= F.lit(int(lo_micro)), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

@@ -649,3 +649,61 @@ def novelty_curve(
         .alias("novelty_micro"),
         F.sum("n_new").over(w).cast("long").alias("cum_new"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document from
+    deterministic regex proxies — the classic readability gate for
+    training-corpus curation (Flesch 1948; Kincaid 1975), kept fully
+    engine-portable: syllables ≈ vowel-group runs [aeiouy]+ (the
+    standard cheap proxy), sentences = terminator runs [.!?]+ (min 1),
+    words = the corpus-canonical whitespace tokenizer.
+
+    FRE  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    FKGL = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    All three counts are int64; each ratio term is ONE division
+    micro-rounded independently, then integer-combined — no double
+    ever accumulates.  Map-only (no shuffle, no Python): three regex
+    counters in a single projection.  Docs with zero words drop out
+    (scores undefined).
+
+    Output: id, n_words, n_sentences, n_syllables, fre_micro,
+    fkgl_micro.
+    """
+    t = F.col(text_col)
+    n_words = F.size(words_col(t))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syl = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0))
+    base = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    wps = F.round(F.col("n_words") * F.lit(1_015_000) / F.col("n_sentences")).cast(
+        "long"
+    )
+    spw = F.round(
+        F.col("n_syllables") * F.lit(84_600_000) / F.col("n_words")
+    ).cast("long")
+    gl_wps = F.round(
+        F.col("n_words") * F.lit(390_000) / F.col("n_sentences")
+    ).cast("long")
+    gl_spw = F.round(
+        F.col("n_syllables") * F.lit(11_800_000) / F.col("n_words")
+    ).cast("long")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206_835_000) - wps - spw).cast("long").alias("fre_micro"),
+        (gl_wps + gl_spw - F.lit(15_590_000)).cast("long").alias("fkgl_micro"),
+    )
