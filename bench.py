@@ -156,6 +156,8 @@ EXTENDED = [
     "qa95_sprt_monitor",
     "qa96_readability",
     "qa97_rbo",
+    "qa98_kmv_set_ops",
+    "qa99_randomization_test",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

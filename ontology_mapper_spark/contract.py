@@ -9120,3 +9120,149 @@ def qa97(spark, sf):
     a = wtab.select("lang", "doc_id", F.row_number().over(wa).alias("rank"))
     b = wtab.select("lang", "doc_id", F.row_number().over(wb).alias("rank"))
     return rbo_truncated(a, b, "lang", "doc_id", "rank", k=10)
+
+
+@_q(
+    "qa98_kmv_set_ops",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT source AS g, w AS v FROM (
+        SELECT source,
+               unnest(list_filter(string_split(lower(trim(regexp_replace(
+                 text, '\\s+', ' ', 'g'))), ' '), x -> x <> '')) AS w
+        FROM documents)),
+    h AS (SELECT g, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM d),
+    r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT g, h FROM r WHERE rn <= 64),
+    gs AS (SELECT DISTINCT g FROM sk),
+    pairs AS (SELECT a.g AS ga, b.g AS gb
+              FROM gs a CROSS JOIN gs b WHERE a.g < b.g),
+    cand AS (
+      SELECT p.ga, p.gb, s.h, 1 AS ina, 0 AS inb
+      FROM pairs p JOIN sk s ON s.g = p.ga
+      UNION ALL
+      SELECT p.ga, p.gb, s.h, 0, 1
+      FROM pairs p JOIN sk s ON s.g = p.gb),
+    merged AS (SELECT ga, gb, h, max(ina) AS ina, max(inb) AS inb
+               FROM cand GROUP BY 1, 2, 3),
+    u AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+          FROM merged),
+    uk AS (SELECT * FROM u WHERE r <= 64),
+    agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_sketch,
+                   max(CASE WHEN r = 64 THEN h END) AS kth,
+                   CAST(sum(ina * inb) AS BIGINT) AS n_matched
+            FROM uk GROUP BY 1, 2),
+    st AS (SELECT ga AS group_a, gb AS group_b, n_sketch, n_matched,
+                  CAST(CASE WHEN kth IS NULL THEN n_sketch
+                       ELSE round(63 * pow(2, 60) / kth) END AS BIGINT)
+                    AS union_est
+           FROM agg)
+    SELECT group_a, group_b, n_sketch, n_matched, union_est,
+           CAST(round(n_matched * 1000000 / n_sketch) AS BIGINT)
+             AS jaccard_micro,
+           CAST(round(n_matched * union_est / n_sketch) AS BIGINT)
+             AS inter_est
+    FROM st
+    """,
+)
+def qa98(spark, sf):
+    """Pairwise vocabulary overlap between sources from KMV sketches
+    (operators/sketch.py:kmv_set_ops, k=64): union-of-min-k = min-k of
+    union, Jaccard = matched fraction of the union sketch,
+    intersection re-scales — the sketch algebra that compares every
+    source pair without joining full vocabularies (pair math runs on
+    a (sources x 64)-row table regardless of corpus size).  60-bit
+    md5 hashes make every estimate bit-identical across engines."""
+    from .operators.sketch import kmv_set_ops
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        "source", F.explode(words_col(F.col("text"))).alias("word")
+    )
+    return kmv_set_ops(words, "source", "word", k=64)
+
+
+@_q(
+    "qa99_randomization_test",
+    f"""
+    WITH base AS (SELECT lang AS g, n_chars AS x, doc_id AS id
+                  FROM documents WHERE lang IN ('en', 'de')),
+    sizes AS (
+      SELECT CAST(sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN g = 'en' THEN x ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(sum(CASE WHEN g = 'de' THEN x ELSE 0 END) AS BIGINT)
+               AS sb
+      FROM base),
+    reps AS (SELECT CAST(range AS INT) AS r FROM range(200)),
+    asg AS (
+      SELECT b.x, rp.r,
+             (CAST('0x' || substr(md5('perm:' || CAST(b.id AS VARCHAR)
+                                      || ':' || CAST(rp.r AS VARCHAR)),
+                                  1, 10) AS BIGINT)
+              < (s.na * {2**40}) // (s.na + s.nb)) AS toa
+      FROM base b CROSS JOIN sizes s CROSS JOIN reps rp),
+    per_rep AS (
+      SELECT r,
+             CAST(sum(CASE WHEN toa THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+             CAST(sum(CASE WHEN toa THEN 0 ELSE 1 END) AS BIGINT) AS rb,
+             CAST(sum(CASE WHEN toa THEN x ELSE 0 END) AS BIGINT) AS rsa,
+             CAST(sum(CASE WHEN toa THEN 0 ELSE x END) AS BIGINT) AS rsb
+      FROM asg GROUP BY 1),
+    rep_stats AS (
+      SELECT CASE WHEN ra > 0 AND rb > 0
+                  THEN abs(CAST(round(rsa * 1000000 / ra) AS BIGINT)
+                           - CAST(round(rsb * 1000000 / rb) AS BIGINT))
+             END AS absd
+      FROM per_rep),
+    obs AS (SELECT na AS n_a, nb AS n_b,
+                   CAST(round(sa * 1000000 / na) AS BIGINT) AS mean_a_micro,
+                   CAST(round(sb * 1000000 / nb) AS BIGINT) AS mean_b_micro
+            FROM sizes),
+    obs2 AS (SELECT *, CAST(mean_a_micro - mean_b_micro AS BIGINT)
+                         AS diff_obs_micro
+             FROM obs),
+    cnt AS (
+      SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+             CAST(max(n_b) AS BIGINT) AS n_b,
+             CAST(max(mean_a_micro) AS BIGINT) AS mean_a_micro,
+             CAST(max(mean_b_micro) AS BIGINT) AS mean_b_micro,
+             CAST(max(diff_obs_micro) AS BIGINT) AS diff_obs_micro,
+             CAST(count(*) AS BIGINT) AS n_reps,
+             CAST(sum(CASE WHEN absd IS NULL
+                           OR absd >= abs(diff_obs_micro)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM rep_stats CROSS JOIN obs2)
+    SELECT n_a, n_b, mean_a_micro, mean_b_micro, diff_obs_micro, n_reps,
+           n_extreme,
+           CAST(round((n_extreme + 1) * 1000000 / (n_reps + 1)) AS BIGINT)
+             AS p_value_micro
+    FROM cnt
+    """,
+)
+def qa99(spark, sf):
+    """Randomization test for the en-vs-de mean doc-length difference
+    (operators/stats.py:randomization_test_means, 200 replicates):
+    coordination-free label reshuffling — each unit joins arm A in
+    replicate r iff 40 md5 bits fall under an integer threshold
+    derived from the observed sizes (the qa88 explode idiom) — with
+    per-replicate mean differences as two micro-rounded divisions and
+    an add-one-smoothed p-value.  The assumption-free significance
+    gate behind any 'these two slices differ' claim."""
+    from .operators.stats import randomization_test_means
+
+    return randomization_test_means(
+        _t(spark, sf, "documents"),
+        "lang",
+        "n_chars",
+        "doc_id",
+        "en",
+        "de",
+        n_reps=200,
+        salt="perm",
+    )

@@ -208,3 +208,105 @@ def cms_estimates(
         .groupBy(item_col)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise union / Jaccard / intersection ESTIMATES between every
+    pair of groups from k-minimum-values sketches (Beyer et al. 2007)
+    — the sketch algebra that answers "how much vocabulary do these
+    two sources share?" without ever joining the full value sets: at
+    100 TB the per-group sketch is k rows, so all pair math runs on a
+    (n_groups·k)-row table.
+
+    The union sketch of a pair is the k smallest DISTINCT hashes of
+    the two sketches' union (valid because min-k of a union = min-k of
+    the min-k's); |A∪B| estimates as (k−1)·2^60/kth (exact k' when the
+    union sketch is short — then it contains every value).  Jaccard
+    is the matched fraction of the union sketch (a hash is "matched"
+    when it sits in BOTH per-group sketches); the intersection
+    estimate re-scales the union estimate by it.  All arithmetic is
+    integer until each estimate's one terminal division; the 60-bit
+    md5 hash makes every sketch — and so every estimate —
+    bit-identical across engines.
+
+    Output per unordered group pair (group_a < group_b): n_sketch
+    (union-sketch size k'), n_matched, union_est, jaccard_micro,
+    inter_est.
+    """
+    d = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).distinct()
+    h = d.select("_g", _hash60(F.col("_v")).alias("_h"))
+    w = Window.partitionBy("_g").orderBy(F.col("_h").asc())
+    sk = (
+        h.select("_g", "_h", F.row_number().over(w).alias("_r"))
+        .where(F.col("_r") <= k)
+        .select("_g", "_h")
+    )
+    pairs = (
+        sk.select(F.col("_g").alias("_ga"))
+        .distinct()
+        .crossJoin(sk.select(F.col("_g").alias("_gb")).distinct())
+        .where(F.col("_ga") < F.col("_gb"))
+    )
+    cand = (
+        pairs.join(
+            sk.select(F.col("_g").alias("_ga"), "_h", F.lit(1).alias("_ina")),
+            "_ga",
+        )
+        .select("_ga", "_gb", "_h", "_ina", F.lit(0).alias("_inb"))
+        .unionByName(
+            pairs.join(
+                sk.select(
+                    F.col("_g").alias("_gb"), "_h", F.lit(1).alias("_inb")
+                ),
+                "_gb",
+            ).select("_ga", "_gb", "_h", F.lit(0).alias("_ina"), "_inb")
+        )
+    )
+    merged = cand.groupBy("_ga", "_gb", "_h").agg(
+        F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb")
+    )
+    wu = Window.partitionBy("_ga", "_gb").orderBy(F.col("_h").asc())
+    union_sk = merged.withColumn("_r", F.row_number().over(wu)).where(
+        F.col("_r") <= k
+    )
+    agg = union_sk.groupBy("_ga", "_gb").agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_kth"),
+        F.sum((F.col("_ina") * F.col("_inb")).cast("long"))
+        .cast("long")
+        .alias("n_matched"),
+    )
+    union_est = (
+        F.when(F.col("_kth").isNull(), F.col("n_sketch"))
+        .otherwise(F.round((k - 1) * F.lit(float(2**60)) / F.col("_kth")))
+        .cast("long")
+    )
+    staged = agg.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        "n_sketch",
+        "n_matched",
+        union_est.alias("union_est"),
+    )
+    return staged.select(
+        "group_a",
+        "group_b",
+        "n_sketch",
+        "n_matched",
+        "union_est",
+        F.round(F.col("n_matched") * F.lit(1_000_000) / F.col("n_sketch"))
+        .cast("long")
+        .alias("jaccard_micro"),
+        F.round(
+            F.col("n_matched") * F.col("union_est") / F.col("n_sketch")
+        )
+        .cast("long")
+        .alias("inter_est"),
+    )

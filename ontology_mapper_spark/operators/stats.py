@@ -1218,3 +1218,147 @@ def bootstrap_mean_ci(
             F.col("_nb") > 1, F.round(F.sqrt(se_var)).cast("long")
         ).alias("se_micro"),
     )
+
+
+def randomization_test_means(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    id_col: str,
+    group_a,
+    group_b,
+    n_reps: int = 200,
+    salt: str = "perm",
+) -> DataFrame:
+    """Two-sample randomization test for the difference in means — the
+    assumption-free significance check behind "is source A's doc
+    length really different from source B's?"  Each replicate
+    reassigns every unit to A with probability n_A/(n_A+n_B) by
+    comparing 48 md5 bits against an integer threshold derived from
+    the observed sizes (the qa88 coordination-free idiom: resampling
+    is a map-side explode, no RNG state, reproducible in any engine).
+
+    Exactness: values are int64; each replicate's mean-difference is
+    two independently micro-rounded single divisions; the p-value
+    counts |diff_r| >= |diff_obs| (add-one smoothed, (1+extreme)/(R+1))
+    and is itself ONE terminal division.  Replicates with an empty arm
+    count as extreme (conservative).  Cost: one (rows × n_reps)
+    explode into a map-side-combined per-rep agg — the same shape that
+    holds at 100 TB because nothing is per-unit stateful.
+
+    Output (single row): n_a, n_b, mean_a_micro, mean_b_micro,
+    diff_obs_micro, n_reps, n_extreme, p_value_micro.
+    """
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        v.cast("long").alias("_x"),
+        F.col(id_col).alias("_id"),
+    ).where(F.col("_g").isin(group_a, group_b))
+    sizes = base.agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_na"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("_nb"),
+        F.sum(F.when(F.col("_g") == group_a, F.col("_x")).otherwise(0))
+        .cast("long")
+        .alias("_sa"),
+        F.sum(F.when(F.col("_g") == group_b, F.col("_x")).otherwise(0))
+        .cast("long")
+        .alias("_sb"),
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(int(n_reps) - 1))).alias("_r")
+    hbits = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("_id").cast("string"),
+                    F.col("_r").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # integer threshold on 40 hash bits: h < (na * 2^40) div (na + nb).
+    # 40 (not 48) keeps the product inside int64 up to n_a < 2^23 units
+    # per arm-pair; beyond that, pre-aggregate units before testing.
+    assigned = (
+        base.crossJoin(F.broadcast(sizes))
+        .select(
+            "_x",
+            "_id",
+            F.expr(f"(_na * {2**40}) div (_na + _nb)").alias("_thr"),
+            reps,
+        )
+        .select("_x", "_r", (hbits < F.col("_thr")).alias("_toa"))
+    )
+    per_rep = assigned.groupBy("_r").agg(
+        F.sum(F.col("_toa").cast("long")).cast("long").alias("_ra"),
+        F.sum((~F.col("_toa")).cast("long")).cast("long").alias("_rb"),
+        F.sum(F.when(F.col("_toa"), F.col("_x")).otherwise(0))
+        .cast("long")
+        .alias("_rsa"),
+        F.sum(F.when(~F.col("_toa"), F.col("_x")).otherwise(0))
+        .cast("long")
+        .alias("_rsb"),
+    )
+    diff_r = F.round(F.col("_rsa") * F.lit(MICRO) / F.col("_ra")).cast(
+        "long"
+    ) - F.round(F.col("_rsb") * F.lit(MICRO) / F.col("_rb")).cast("long")
+    rep_stats = per_rep.select(
+        F.when((F.col("_ra") > 0) & (F.col("_rb") > 0), F.abs(diff_r)).alias(
+            "_absd"
+        )
+    )
+    obs = sizes.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(F.col("_sa") * F.lit(MICRO) / F.col("_na"))
+        .cast("long")
+        .alias("mean_a_micro"),
+        F.round(F.col("_sb") * F.lit(MICRO) / F.col("_nb"))
+        .cast("long")
+        .alias("mean_b_micro"),
+    ).select(
+        "n_a",
+        "n_b",
+        "mean_a_micro",
+        "mean_b_micro",
+        (F.col("mean_a_micro") - F.col("mean_b_micro"))
+        .cast("long")
+        .alias("diff_obs_micro"),
+    )
+    counted = rep_stats.crossJoin(F.broadcast(obs)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("mean_a_micro").alias("mean_a_micro"),
+        F.max("mean_b_micro").alias("mean_b_micro"),
+        F.max("diff_obs_micro").alias("diff_obs_micro"),
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum(
+            F.when(
+                F.col("_absd").isNull()
+                | (F.col("_absd") >= F.abs(F.col("diff_obs_micro"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+    )
+    return counted.select(
+        "n_a",
+        "n_b",
+        "mean_a_micro",
+        "mean_b_micro",
+        "diff_obs_micro",
+        "n_reps",
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1) * F.lit(MICRO) / (F.col("n_reps") + 1)
+        )
+        .cast("long")
+        .alias("p_value_micro"),
+    )
