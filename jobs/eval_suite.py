@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""spark-submit entry for the model/retrieval evaluation suite.
+
+The third audit job (next to jobs/curation_report.py for content and
+jobs/ops_audit.py for the event stream): runs the round-3 evaluation-
+methodology operators in ONE job over the embeddings + documents +
+events tables, writes each report as parquet under --out, and prints a
+one-line JSON summary — the eval scorecard a training pipeline lands
+beside every data release:
+
+  * NDCG@10 of cosine retrieval, label-graded relevance   (qa89)
+  * IVF-vs-exact top-k recall                             (q48/q29)
+  * RBO@10 of the IVF ranking against brute force         (qa97 op)
+  * ROC-AUC of the quality score vs the en/de split       (qa65 op)
+  * multiclass F1 of the language guesser                 (qa86)
+  * Bradley-Terry strengths over event-type duels         (qa90)
+  * IPS/SNIPS off-policy value of best-action routing     (qa91)
+  * corpus log-BLEU distribution over adjacent pairs      (qa92)
+  * Krippendorff alpha across heuristic raters            (qa93)
+  * randomization test: en vs de mean doc length          (qa99)
+
+    spark-submit --py-files engine.zip jobs/eval_suite.py \
+        --sf-dir /data/tables --out /data/eval_suite
+
+Local sandbox:
+
+    python jobs/eval_suite.py --sf-dir /root/testdata/sf0.001 \
+        --out /tmp/eval_suite
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ontology_mapper_spark.contract import QUERIES
+    from ontology_mapper_spark.operators.evaluate import (
+        rbo_truncated,
+        roc_auc,
+        topk_recall,
+    )
+    from ontology_mapper_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+    from ontology_mapper_spark.operators.textstats import with_quality_score
+    from ontology_mapper_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="eval-suite", master=args.master or "local[4]",
+        shuffle_partitions=8, driver_memory="4g",
+    )
+    sf = args.sf_dir
+
+    from ontology_mapper_spark.catalog import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=5)
+
+    reports = {
+        # contract queries reused verbatim where the demo shape is right
+        "ndcg": QUERIES["qa89_ndcg"](spark, sf),
+        "lang_f1": QUERIES["qa86_multiclass_f1"](spark, sf),
+        "bradley_terry": QUERIES["qa90_bradley_terry"](spark, sf),
+        "ips_policy": QUERIES["qa91_ips_policy_eval"](spark, sf),
+        "log_bleu": QUERIES["qa92_log_bleu"](spark, sf),
+        "krippendorff": QUERIES["qa93_krippendorff_alpha"](spark, sf),
+        "randomization": QUERIES["qa99_randomization_test"](spark, sf),
+        # retrieval quality composed directly from the operators
+        "ivf_recall": topk_recall(approx, exact),
+        "ivf_rbo": rbo_truncated(
+            approx, exact, "query_id", "vec_id", "rank", k=5
+        ),
+        "quality_auc": roc_auc(
+            with_quality_score(docs).select(
+                F.lit("corpus").alias("slice"),
+                F.round(F.col("quality_score") * 10_000)
+                .cast("long")
+                .alias("quality_centi_milli"),
+                (F.col("lang") == "en").alias("is_en"),
+            ),
+            "slice",
+            "quality_centi_milli",
+            "is_en",
+        ),
+    }
+    rows = {}
+    for name, df in reports.items():
+        df.write.mode("overwrite").parquet(os.path.join(args.out, name))
+        rows[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+
+    def one(df):
+        return df.collect()[0]
+
+    mean_ndcg = one(
+        reports["ndcg"].select(F.max("mean_ndcg_micro").alias("v"))
+    )["v"]
+    recall = one(
+        reports["ivf_recall"].agg(
+            F.round(F.avg("recall_micro")).cast("long").alias("v")
+        )
+    )["v"]
+    rbo = one(
+        reports["ivf_rbo"].agg(
+            F.round(F.avg("rbo_micro")).cast("long").alias("v")
+        )
+    )["v"]
+    auc = one(reports["quality_auc"])["auc_micro"]
+    f1 = one(
+        reports["lang_f1"].select(F.max("macro_f1_micro").alias("v"))
+    )["v"]
+    bt = one(
+        reports["bradley_terry"].where(F.col("rank") == 1)
+    )
+    ips = one(reports["ips_policy"])
+    bleu = one(
+        reports["log_bleu"].agg(
+            F.round(F.avg("log_bleu_micro")).cast("long").alias("v")
+        )
+    )["v"]
+    alpha = one(reports["krippendorff"])["alpha_micro"]
+    p = one(reports["randomization"])["p_value_micro"]
+    summary = {
+        "tables": rows,
+        "mean_ndcg_micro": mean_ndcg,
+        "ivf_mean_recall_micro": recall,
+        "ivf_mean_rbo_micro": rbo,
+        "quality_auc_micro": auc,
+        "lang_macro_f1_micro": f1,
+        "bt_top_item": bt["item"],
+        "bt_top_p_micro": bt["p_micro"],
+        "ips_value_micro": ips["ips_value_micro"],
+        "snips_value_micro": ips["snips_value_micro"],
+        "mean_log_bleu_micro": bleu,
+        "krippendorff_alpha_micro": alpha,
+        "randomization_p_micro": p,
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
