@@ -158,6 +158,10 @@ EXTENDED = [
     "qa97_rbo",
     "qa98_kmv_set_ops",
     "qa99_randomization_test",
+    "qb00_its_slope_change",
+    "qb01_hill_tail_index",
+    "qb02_heaps_law",
+    "qb03_peak_concurrency",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -9266,3 +9266,271 @@ def qa99(spark, sf):
         n_reps=200,
         salt="perm",
     )
+
+
+# ---------------------------------------------------------------------------
+# scaling-law / capacity / causal-trend analytics (qb00+)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qb00_its_slope_change",
+    """
+    WITH base AS (SELECT epoch_us(ts) AS us,
+                         epoch_us(ts) // 86400000000 AS d,
+                         CAST(floor(value) AS BIGINT) AS m
+                  FROM events),
+    ext AS (SELECT min(us) AS lo, max(us) AS hi FROM base),
+    daily AS (
+      SELECT d, pre, CAST(sum(m) AS BIGINT) AS y FROM (
+        SELECT d, m, (us * 2 < ext.lo + ext.hi) AS pre
+        FROM base CROSS JOIN ext)
+      GROUP BY 1, 2),
+    idx AS (SELECT pre, y,
+                   CAST(row_number() OVER (PARTITION BY pre ORDER BY d) - 1
+                        AS BIGINT) AS t
+            FROM daily),
+    mo AS (SELECT pre, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(t) AS BIGINT) AS st,
+                  CAST(sum(t * t) AS BIGINT) AS stt,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(t * y) AS BIGINT) AS sty
+           FROM idx GROUP BY 1),
+    staged AS (
+      SELECT pre, n, st, sy,
+             CASE WHEN n >= 2
+                  THEN CAST(round((n * sty - st * sy) * 1000000
+                                  / (n * stt - st * st)) AS BIGINT)
+             END AS slope
+      FROM mo),
+    fitted AS (
+      SELECT pre, n AS n_days, slope,
+             CASE WHEN n >= 2
+                  THEN CAST(round((sy * 1000000 - slope * st) / n)
+                            AS BIGINT)
+             END AS icept
+      FROM staged),
+    pre_t AS (SELECT n_days AS n_days_pre, slope AS slope_pre_micro,
+                     icept AS intercept_pre_micro
+              FROM fitted WHERE pre),
+    post_t AS (SELECT n_days AS n_days_post, slope AS slope_post_micro,
+                      icept AS intercept_post_micro
+               FROM fitted WHERE NOT pre)
+    SELECT n_days_pre, n_days_post, slope_pre_micro, slope_post_micro,
+           CASE WHEN slope_pre_micro IS NOT NULL
+                 AND slope_post_micro IS NOT NULL
+                THEN CAST(slope_post_micro - slope_pre_micro AS BIGINT)
+           END AS delta_slope_micro,
+           intercept_pre_micro, intercept_post_micro,
+           CASE WHEN slope_pre_micro IS NOT NULL
+                 AND slope_post_micro IS NOT NULL
+                THEN CAST(intercept_post_micro
+                          - (intercept_pre_micro
+                             + slope_pre_micro * n_days_pre) AS BIGINT)
+           END AS level_jump_micro
+    FROM pre_t CROSS JOIN post_t
+    """,
+)
+def qb00(spark, sf):
+    """Interrupted-time-series audit of daily metric volume (operators/
+    temporal.py:its_slope_change): OLS trend fitted separately on each
+    half of the time range from five exact integer moments per half,
+    slope change and boundary level jump by integer arithmetic on the
+    already-rounded micro slopes — segmented regression, the 'did the
+    deploy bend the curve' gate."""
+    from .operators.temporal import its_slope_change
+
+    return its_slope_change(_t(spark, sf, "events"), "ts", F.floor("value"))
+
+
+@_q(
+    "qb01_hill_tail_index",
+    """
+    WITH totals AS (SELECT event_type AS g, user_id AS id,
+                           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                             AS x
+                    FROM events GROUP BY 1, 2),
+    pos AS (SELECT * FROM totals WHERE x > 0),
+    ranked AS (SELECT g, id, x,
+                      row_number() OVER (PARTITION BY g
+                                         ORDER BY x DESC, id) AS r
+               FROM pos),
+    topk AS (SELECT * FROM ranked WHERE r <= 10),
+    kth AS (SELECT g, x AS xk FROM topk WHERE r = 10),
+    tail AS (SELECT t.g, t.x, k.xk FROM topk t JOIN kth k ON k.g = t.g
+             WHERE t.r < 10),
+    per AS (SELECT g, xk,
+                   CAST(round(1000000.0 *
+                          ln(CAST(x AS DOUBLE) / xk)) AS BIGINT) AS lnm
+            FROM tail),
+    agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_tail,
+                   CAST(max(xk) AS BIGINT) AS x_k,
+                   CAST(sum(lnm) AS BIGINT) AS s
+            FROM per GROUP BY 1),
+    staged AS (SELECT g AS event_type, n_tail, x_k,
+                      CASE WHEN n_tail >= 2
+                           THEN CAST(round(s / n_tail) AS BIGINT)
+                      END AS hill_h_micro
+               FROM agg)
+    SELECT event_type, n_tail, x_k, hill_h_micro,
+           CASE WHEN hill_h_micro > 0
+                THEN CAST(round(1000000000000 / hill_h_micro)
+                          AS BIGINT)
+           END AS alpha_micro
+    FROM staged
+    """,
+)
+def qb01(spark, sf):
+    """Hill power-law tail index of per-user activity value within each
+    event type, top-10 order statistics (operators/stats.py:
+    hill_tail_index): per-row micro-rounded ln of one integer-division
+    ratio, exact integer fold, alpha = 1/H — the quantitative skew
+    verdict (alpha <= 2 means salting is mandatory) upgrading qa68's
+    count heuristics."""
+    from .operators.stats import hill_tail_index
+
+    ev = _t(spark, sf, "events")
+    totals = ev.groupBy(
+        F.col("event_type"), F.col("user_id")
+    ).agg(F.sum(F.floor("value").cast("long")).cast("long").alias("_x"))
+    return hill_tail_index(totals, "event_type", "_x", "user_id", k=10)
+
+
+_QB02_WORDS_DAY = r"""
+    docs2 AS (SELECT text,
+                     DATE '2024-01-01' + CAST(doc_id % 30 AS INT) AS day
+              FROM documents),
+    tok AS (SELECT day,
+                   unnest(list_filter(string_split(lower(trim(
+                     regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     w -> w <> '')) AS w
+            FROM docs2)
+"""
+
+
+@_q(
+    "qb02_heaps_law",
+    f"""
+    WITH {_QB02_WORDS_DAY},
+    daily_tokens AS (SELECT day, CAST(count(*) AS BIGINT) AS nt
+                     FROM tok GROUP BY 1),
+    first_seen AS (SELECT w, min(day) AS day FROM tok GROUP BY 1),
+    daily_new AS (SELECT day, CAST(count(*) AS BIGINT) AS nv
+                  FROM first_seen GROUP BY 1),
+    curve AS (
+      SELECT dt.day,
+             CAST(sum(dt.nt) OVER (ORDER BY dt.day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS ct,
+             CAST(sum(coalesce(dn.nv, 0))
+                  OVER (ORDER BY dt.day ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cv
+      FROM daily_tokens dt LEFT JOIN daily_new dn ON dn.day = dt.day),
+    pts AS (SELECT CAST(round(ln(CAST(ct AS DOUBLE)) * 1000) AS BIGINT)
+                     AS x,
+                   CAST(round(ln(CAST(cv AS DOUBLE)) * 1000) AS BIGINT)
+                     AS y,
+                   ct, cv
+            FROM curve),
+    mo AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(max(ct) AS BIGINT) AS n_tokens,
+                  CAST(max(cv) AS BIGINT) AS n_vocab,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM pts),
+    staged AS (
+      SELECT n_days, n_tokens, n_vocab, sx, sy,
+             CASE WHEN n_days >= 2
+                   AND n_days * sxx - sx * sx > 0
+                  THEN CAST(round((n_days * sxy - sx * sy) * 1000000
+                                  / (n_days * sxx - sx * sx)) AS BIGINT)
+             END AS beta_micro
+      FROM mo)
+    SELECT n_days, n_tokens, n_vocab, beta_micro,
+           CASE WHEN beta_micro IS NOT NULL
+                THEN CAST(round((sy * 1000000 - beta_micro * sx)
+                                / (n_days * 1000000)) AS BIGINT)
+           END AS intercept_milli
+    FROM staged
+    """,
+)
+def qb02(spark, sf):
+    """Heaps'-law fit of vocabulary growth over the qa85 synthetic
+    30-day crawl calendar (operators/textstats.py:heaps_law_fit):
+    cumulative (tokens, vocab) per day, beta = ln-ln OLS slope via the
+    zipf_moments MILLI-nat trick (ln once per day on integer inputs,
+    five exact moments, one terminal division) — says whether a crawl
+    still grows vocabulary and sizes tokenizers before training."""
+    from .operators.textstats import heaps_law_fit
+
+    d = _t(spark, sf, "documents").select(
+        "text",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("doc_id") % 30).cast("int"),
+        ).alias("_ts"),
+    )
+    return heaps_law_fit(d, "text", F.col("_ts"))
+
+
+@_q(
+    "qb03_peak_concurrency",
+    """
+    WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT u, us,
+             CASE WHEN lag(us) OVER (PARTITION BY u ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY u ORDER BY us)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM base),
+    sess AS (SELECT u, us,
+                    sum(nw) OVER (PARTITION BY u ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM flagged),
+    bounds AS (SELECT u, sid, min(us) AS s, max(us) AS e
+               FROM sess GROUP BY 1, 2),
+    days AS (SELECT u, sid, s, e,
+                    unnest(generate_series(s // 86400000000,
+                                           e // 86400000000)) AS day
+             FROM bounds),
+    clamped AS (SELECT u, sid, day,
+                       greatest(s, day * 86400000000) AS cs,
+                       least(e, (day + 1) * 86400000000 - 1) + 1 AS ce
+                FROM days),
+    marks AS (
+      SELECT day, cs AS t, 1 AS delta, u, sid FROM clamped
+      UNION ALL
+      SELECT day, ce, -1, u, sid FROM clamped),
+    swept AS (
+      SELECT day, t, u, sid,
+             CAST(sum(delta) OVER (PARTITION BY day
+                                   ORDER BY t, delta DESC, u, sid
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM marks),
+    peaks AS (SELECT day, t, cum FROM (
+                SELECT *, row_number() OVER (PARTITION BY day
+                             ORDER BY cum DESC, t, u, sid) AS rn
+                FROM swept)
+              WHERE rn = 1),
+    nsess AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions
+              FROM clamped GROUP BY 1)
+    SELECT CAST(DATE '1970-01-01' + CAST(p.day AS INT) AS VARCHAR) AS day,
+           n.n_sessions,
+           CAST(p.cum AS BIGINT) AS peak_concurrent,
+           CAST(p.t AS BIGINT) AS peak_at_us
+    FROM peaks p JOIN nsess n ON n.day = p.day
+    """,
+)
+def qb03(spark, sf):
+    """Peak simultaneous sessions per day (operators/temporal.py:
+    peak_concurrency_daily): q24 lag-gap sessions, midnight-clipped
+    into each day touched, +1/−1 boundary sweep with a total-order
+    running sum INSIDE the day partition (never a global sort) — the
+    serving-tier capacity number, in pure integer epoch-micros."""
+    from .operators.temporal import peak_concurrency_daily
+
+    return peak_concurrency_daily(_t(spark, sf, "events"), "user_id", "ts", 1800)

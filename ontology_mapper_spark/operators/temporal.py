@@ -982,3 +982,254 @@ def sprt_daily_audit(
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+def its_slope_change(
+    df: DataFrame,
+    ts_col: str = "ts",
+    metric_col=None,
+) -> DataFrame:
+    """Interrupted-time-series audit: daily metric OLS trend fitted
+    SEPARATELY on the first and second half of the time range, plus
+    the slope change and the level jump at the boundary — "did the
+    deploy bend the curve?" as one distributed job (segmented
+    regression, Wagner et al. 2002).
+
+    Daily sums are int64 (metric floored, the qa87 convention); per
+    half, slope and intercept come from the five exact OLS moments
+    over the DAY table (days are indexed 0..n−1 within each half, so
+    Σt, Σt² are small integers), each a single micro-rounded division
+    of exact bigints.  The level jump compares the pre-fit's
+    extrapolation at the first post day against the post-fit's value
+    there — all integer arithmetic on the already-rounded micro slopes
+    (deterministic in any engine).
+
+    Output (single row): n_days_pre, n_days_post, slope_pre_micro,
+    slope_post_micro, delta_slope_micro, intercept_pre_micro,
+    intercept_post_micro, level_jump_micro (NULL when either half has
+    < 2 days).
+    """
+    m = (
+        F.lit(1).cast("long")
+        if metric_col is None
+        else (
+            metric_col if not isinstance(metric_col, str) else F.col(metric_col)
+        ).cast("long")
+    )
+    ts = F.col(ts_col).cast("timestamp")
+    base = df.select(
+        F.unix_micros(ts).alias("_us"),
+        (F.unix_micros(ts) / F.lit(86_400_000_000)).cast("long").alias("_d"),
+        m.alias("_m"),
+    )
+    ext = base.agg(F.min("_us").alias("_lo"), F.max("_us").alias("_hi"))
+    daily = (
+        base.crossJoin(F.broadcast(ext))
+        .select(
+            "_d",
+            "_m",
+            (F.col("_us") * 2 < F.col("_lo") + F.col("_hi")).alias("_pre"),
+        )
+        .groupBy("_d", "_pre")
+        .agg(F.sum("_m").cast("long").alias("_y"))
+    )
+    wh = Window.partitionBy("_pre").orderBy("_d")
+    idx = daily.select(
+        "_pre",
+        "_y",
+        (F.row_number().over(wh) - 1).cast("long").alias("_t"),
+    )
+    mo = idx.groupBy("_pre").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_t").cast("long").alias("_st"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_stt"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_t") * F.col("_y")).cast("long").alias("_sty"),
+    )
+    num = F.col("_n") * F.col("_sty") - F.col("_st") * F.col("_sy")
+    den = F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")
+    staged = mo.select(
+        "_pre",
+        "_n",
+        "_st",
+        "_sy",
+        F.when(
+            F.col("_n") >= 2,
+            F.round(num * F.lit(1_000_000) / den).cast("long"),
+        ).alias("_slope"),
+    )
+    # intercept from the already-rounded micro slope: keeps both engines
+    # on identical integer inputs (mean_y - slope * mean_t, micro scale)
+    fitted = staged.select(
+        "_pre",
+        F.col("_n").alias("n_days"),
+        "_slope",
+        F.when(
+            F.col("_n") >= 2,
+            F.round(
+                (
+                    F.col("_sy") * F.lit(1_000_000)
+                    - F.col("_slope") * F.col("_st")
+                )
+                / F.col("_n")
+            ).cast("long"),
+        ).alias("_icept"),
+    )
+    pre = fitted.where(F.col("_pre")).select(
+        F.col("n_days").alias("n_days_pre"),
+        F.col("_slope").alias("slope_pre_micro"),
+        F.col("_icept").alias("intercept_pre_micro"),
+    )
+    post = fitted.where(~F.col("_pre")).select(
+        F.col("n_days").alias("n_days_post"),
+        F.col("_slope").alias("slope_post_micro"),
+        F.col("_icept").alias("intercept_post_micro"),
+    )
+    j = pre.crossJoin(F.broadcast(post))
+    ok = F.col("slope_pre_micro").isNotNull() & F.col(
+        "slope_post_micro"
+    ).isNotNull()
+    return j.select(
+        "n_days_pre",
+        "n_days_post",
+        "slope_pre_micro",
+        "slope_post_micro",
+        F.when(
+            ok, F.col("slope_post_micro") - F.col("slope_pre_micro")
+        ).cast("long").alias("delta_slope_micro"),
+        "intercept_pre_micro",
+        "intercept_post_micro",
+        # pre-fit extrapolated to the first post day (t = n_days_pre) vs
+        # the post fit's own level there (t = 0): pure integer arithmetic
+        # on already-rounded micros
+        F.when(
+            ok,
+            F.col("intercept_post_micro")
+            - (
+                F.col("intercept_pre_micro")
+                + F.col("slope_pre_micro") * F.col("n_days_pre")
+            ),
+        ).cast("long").alias("level_jump_micro"),
+    )
+
+
+def peak_concurrency_daily(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Peak simultaneous sessions per day — the capacity number behind
+    "how many concurrent conversations must the serving tier hold?".
+    Sessions are the q24 lag-gap cut (new session when the same user's
+    gap exceeds `gap_s` seconds — pinned equivalent to native
+    session_window); each session contributes +1 at its clamped start
+    and −1 one microsecond after its clamped end, and the per-day
+    boundary sweep (a window ORDERED inside the day partition — never
+    a global sort) takes the running-sum maximum.
+
+    Sessions spanning midnight are clipped into every day they touch
+    (sequence-explode over their day range, bounded by session length).
+    Everything is integer epoch-microseconds; the peak instant reports
+    as peak_at_us (bigint) for portability.  Ties at the same instant
+    resolve starts-before-ends (+1 sorts first), then by user/session
+    for a total order.
+
+    Output per day: day (string 'yyyy-MM-dd'), n_sessions (sessions
+    active that day), peak_concurrent, peak_at_us.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(user_col).alias("_u"), us.alias("_us"))
+    wlag = Window.partitionBy("_u").orderBy("_us")
+    flagged = base.select(
+        "_u",
+        "_us",
+        F.when(
+            F.lag("_us", 1).over(wlag).isNull()
+            | (F.col("_us") - F.lag("_us", 1).over(wlag) > gap_s * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sess = flagged.select(
+        "_u",
+        "_us",
+        F.sum("_new").over(
+            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_sid"),
+    )
+    bounds = sess.groupBy("_u", "_sid").agg(
+        F.min("_us").alias("_s"), F.max("_us").alias("_e")
+    )
+    day_us = F.lit(86_400_000_000)
+    days = bounds.select(
+        "_u",
+        "_sid",
+        "_s",
+        "_e",
+        F.explode(
+            F.sequence(
+                F.expr("_s div 86400000000"), F.expr("_e div 86400000000")
+            )
+        ).alias("_day"),
+    ).select(
+        "_u",
+        "_sid",
+        "_day",
+        F.greatest(F.col("_s"), F.col("_day") * day_us).alias("_cs"),
+        (
+            F.least(F.col("_e"), (F.col("_day") + 1) * day_us - 1) + 1
+        ).alias("_ce"),
+    )
+    marks = days.select(
+        "_day",
+        F.col("_cs").alias("_t"),
+        F.lit(1).alias("_delta"),
+        "_u",
+        "_sid",
+    ).unionByName(
+        days.select(
+            "_day",
+            F.col("_ce").alias("_t"),
+            F.lit(-1).alias("_delta"),
+            "_u",
+            "_sid",
+        )
+    )
+    wsweep = Window.partitionBy("_day").orderBy(
+        F.col("_t"), F.col("_delta").desc(), F.col("_u"), F.col("_sid")
+    )
+    swept = marks.select(
+        "_day",
+        "_t",
+        "_u",
+        "_sid",
+        F.sum("_delta")
+        .over(wsweep.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cum"),
+    )
+    wpick = Window.partitionBy("_day").orderBy(
+        F.col("_cum").desc(), F.col("_t"), F.col("_u"), F.col("_sid")
+    )
+    peaks = swept.withColumn("_rn", F.row_number().over(wpick)).where(
+        F.col("_rn") == 1
+    )
+    nsess = days.groupBy("_day").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return (
+        peaks.join(nsess, "_day")
+        .select(
+            # date_add from the epoch day index: renders 'yyyy-MM-dd' with
+            # no session-timezone dependence (timestamp_micros would)
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("_day").cast("int")
+            )
+            .cast("string")
+            .alias("day"),
+            "n_sessions",
+            F.col("_cum").cast("long").alias("peak_concurrent"),
+            F.col("_t").cast("long").alias("peak_at_us"),
+        )
+    )

@@ -707,3 +707,107 @@ def readability_scores(
         (F.lit(206_835_000) - wps - spw).cast("long").alias("fre_micro"),
         (gl_wps + gl_spw - F.lit(15_590_000)).cast("long").alias("fkgl_micro"),
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Heaps'-law fit V = K·N^β of vocabulary growth against corpus
+    size, from the per-day cumulative (tokens, distinct words) curve —
+    the scaling-law audit that says whether a crawl still grows
+    vocabulary (β near the corpus norm ~0.5) or is re-crawling itself
+    (β → 0), and sizes tokenizer vocabularies before training.
+
+    First-seen day per distinct word is ONE min-agg over the exploded
+    token stream; daily token totals one count.  The day table (tiny)
+    carries cumulative sums; β is the OLS slope in ln-ln space using
+    zipf_moments' MILLI-nat trick — x = round(ln(cum_tokens)·1e3),
+    y = round(ln(cum_vocab)·1e3) per day (ln ONCE per day on integer
+    inputs), five exact integer moments, ONE terminal division.
+
+    Output (single row): n_days, n_tokens, n_vocab, beta_micro,
+    intercept_milli (ln K in milli-nats; K itself would need exp —
+    report the log form, never evaluate exp).  NULL fit when < 2 days.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.to_date(
+            ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+        ).alias("_day"),
+        words_col(F.col(text_col)).alias("_ws"),
+    )
+    tok = base.select("_day", F.explode("_ws").alias("_w"))
+    daily_tokens = tok.groupBy("_day").agg(
+        F.count("*").cast("long").alias("_nt")
+    )
+    first_seen = tok.groupBy("_w").agg(F.min("_day").alias("_day"))
+    daily_new = first_seen.groupBy("_day").agg(
+        F.count("*").cast("long").alias("_nv")
+    )
+    wday = Window.orderBy("_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        daily_tokens.join(daily_new, "_day", "left")
+        .select(
+            "_day",
+            "_nt",
+            F.coalesce("_nv", F.lit(0)).cast("long").alias("_nv"),
+        )
+        .select(
+            "_day",
+            F.sum("_nt").over(wday).cast("long").alias("_ct"),
+            F.sum("_nv").over(wday).cast("long").alias("_cv"),
+        )
+    )
+    pts = curve.select(
+        F.round(F.log(F.col("_ct").cast("double")) * 1_000)
+        .cast("long")
+        .alias("_x"),
+        F.round(F.log(F.col("_cv").cast("double")) * 1_000)
+        .cast("long")
+        .alias("_y"),
+        "_ct",
+        "_cv",
+    )
+    mo = pts.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("_ct").cast("long").alias("n_tokens"),
+        F.max("_cv").cast("long").alias("n_vocab"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+    )
+    num = F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    staged = mo.select(
+        "n_days",
+        "n_tokens",
+        "n_vocab",
+        "_sx",
+        "_sy",
+        F.when(
+            (F.col("n_days") >= 2) & (den > 0),
+            F.round(num * F.lit(1_000_000) / den).cast("long"),
+        ).alias("beta_micro"),
+    )
+    return staged.select(
+        "n_days",
+        "n_tokens",
+        "n_vocab",
+        "beta_micro",
+        F.when(
+            F.col("beta_micro").isNotNull(),
+            F.round(
+                (
+                    F.col("_sy") * F.lit(1_000_000)
+                    - F.col("beta_micro") * F.col("_sx")
+                )
+                / (F.col("n_days") * F.lit(1_000_000))
+            ).cast("long"),
+        ).alias("intercept_milli"),
+    )

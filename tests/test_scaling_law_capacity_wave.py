@@ -1,0 +1,188 @@
+"""Tests for the qb00-qb03 wave: ITS slope change, Hill tail index,
+Heaps-law fit, peak concurrency."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+
+from ontology_mapper_spark.operators.stats import hill_tail_index
+from ontology_mapper_spark.operators.temporal import (
+    its_slope_change,
+    peak_concurrency_daily,
+)
+from ontology_mapper_spark.operators.textstats import heaps_law_fit
+
+MICRO = 1_000_000
+
+
+# ----------------------------------------------------------------------- its
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, v long")
+
+
+def test_its_detects_slope_break(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # pre: flat 100/day for 10 days; post: +50/day ramp for 10 days
+    for d in range(10):
+        rows += [(t0 + dt.timedelta(days=d, seconds=i), 1) for i in range(100)]
+    for d in range(10, 20):
+        n = 100 + 50 * (d - 10)
+        rows += [(t0 + dt.timedelta(days=d, seconds=i), 1) for i in range(n)]
+    out = its_slope_change(_events(spark, rows), "ts", F.col("v")).collect()[0]
+    assert out.n_days_pre == 10 and out.n_days_post == 10
+    assert out.slope_pre_micro == 0
+    assert out.slope_post_micro == 50 * MICRO
+    assert out.delta_slope_micro == 50 * MICRO
+    assert out.intercept_pre_micro == 100 * MICRO
+    assert out.intercept_post_micro == 100 * MICRO
+    # pre extrapolates flat 100 at the boundary; post starts at 100
+    assert out.level_jump_micro == 0
+
+
+def test_its_level_jump_without_slope_change(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(6):
+        rows += [(t0 + dt.timedelta(days=d, seconds=i), 1) for i in range(50)]
+    for d in range(6, 12):
+        rows += [(t0 + dt.timedelta(days=d, seconds=i), 1) for i in range(80)]
+    out = its_slope_change(_events(spark, rows), "ts", F.col("v")).collect()[0]
+    assert out.slope_pre_micro == 0 and out.slope_post_micro == 0
+    assert out.level_jump_micro == 30 * MICRO
+
+
+def test_its_single_day_half_is_null(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(seconds=i), 1) for i in range(10)]
+    rows += [(t0 + dt.timedelta(days=5, seconds=i), 1) for i in range(10)]
+    out = its_slope_change(_events(spark, rows), "ts", F.col("v")).collect()[0]
+    assert out.slope_pre_micro is None and out.delta_slope_micro is None
+
+
+# ---------------------------------------------------------------------- hill
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, x long, id long")
+
+
+def test_hill_exact_pareto_tail(spark):
+    # x_i = round(C / i^(1/alpha)) gives H ~= 1/alpha; use an exact
+    # geometric ladder instead: x_r = 2^(k-r) -> ln(x_r/x_k) = (k-r)ln2
+    k = 10
+    rows = [("g", 2 ** (k - r), r) for r in range(1, k + 1)]
+    out = hill_tail_index(_vals(spark, rows), "g", "x", "id", k=k).collect()[0]
+    assert out.n_tail == k - 1 and out.x_k == 1
+    expected_terms = [round(MICRO * math.log(2 ** (k - r))) for r in range(1, k)]
+    assert out.hill_h_micro == round(sum(expected_terms) / (k - 1))
+    assert out.alpha_micro == round(MICRO * MICRO / out.hill_h_micro)
+
+
+def test_hill_groups_below_k_drop(spark):
+    rows = [("small", 10 + i, i) for i in range(5)]
+    rows += [("big", 100 + i, i) for i in range(20)]
+    out = hill_tail_index(_vals(spark, rows), "g", "x", "id", k=10).collect()
+    assert [r.g for r in out] == ["big"]
+
+
+def test_hill_heavier_tail_has_smaller_alpha(spark):
+    heavy = [("h", 10 ** (6 - r // 2), r) for r in range(1, 13)]
+    light = [("l", 1000 - 10 * r, r) for r in range(1, 13)]
+    out = {
+        r.g: r
+        for r in hill_tail_index(
+            _vals(spark, heavy + light), "g", "x", "id", k=12
+        ).collect()
+    }
+    assert out["h"].alpha_micro < out["l"].alpha_micro
+
+
+# --------------------------------------------------------------------- heaps
+
+
+def test_heaps_sublinear_vocabulary_beta_below_one(spark):
+    # 10 days; tokens repeat heavily: day d contributes 100 tokens but
+    # only ~10 new types -> beta well below 1
+    rows = []
+    for d in range(10):
+        words = " ".join(
+            [f"w{d}_{i}" for i in range(10)] + ["the"] * 90
+        )
+        rows.append((words, dt.date(2024, 1, 1) + dt.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "text string, ts date")
+    out = heaps_law_fit(df, "text", "ts").collect()[0]
+    assert out.n_days == 10
+    assert out.n_tokens == 1000 and out.n_vocab == 101
+    assert 0 < out.beta_micro < MICRO
+
+
+def test_heaps_all_new_vocabulary_beta_near_one(spark):
+    rows = []
+    for d in range(8):
+        words = " ".join(f"u{d}_{i}" for i in range(50))
+        rows.append((words, dt.date(2024, 1, 1) + dt.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "text string, ts date")
+    out = heaps_law_fit(df, "text", "ts").collect()[0]
+    assert out.n_vocab == out.n_tokens == 400
+    assert abs(out.beta_micro - MICRO) < 2_000  # ln-ln line is exact-ish
+
+
+def test_heaps_single_day_is_null(spark):
+    df = spark.createDataFrame(
+        [("a b c", dt.date(2024, 1, 1))], "text string, ts date"
+    )
+    out = heaps_law_fit(df, "text", "ts").collect()[0]
+    assert out.beta_micro is None and out.intercept_milli is None
+
+
+# --------------------------------------------------------- peak concurrency
+
+
+def _sess_events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def test_peak_concurrency_counts_overlaps(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    # three users with overlapping sessions: u1 10:00-11:00,
+    # u2 10:30-11:30, u3 12:00-12:10 (only 2 concurrent at 10:30)
+    for m in (0, 30, 60):
+        rows.append((1, t0 + dt.timedelta(minutes=m)))
+    for m in (30, 60, 90):
+        rows.append((2, t0 + dt.timedelta(minutes=m)))
+    for m in (120, 130):
+        rows.append((3, t0 + dt.timedelta(minutes=m)))
+    out = peak_concurrency_daily(_sess_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.day == "2024-01-01"
+    assert r.n_sessions == 3
+    assert r.peak_concurrent == 2
+    # peak first attained when u2's session opens at 10:30
+    assert r.peak_at_us == int(
+        (t0 + dt.timedelta(minutes=30)).replace(tzinfo=dt.timezone.utc).timestamp()
+    ) * MICRO
+
+
+def test_peak_concurrency_gap_splits_sessions(spark):
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    # one user, two sessions separated by > 30min: never concurrent
+    rows = [(1, t0), (1, t0 + dt.timedelta(minutes=10))]
+    rows += [(1, t0 + dt.timedelta(minutes=50))]
+    r = peak_concurrency_daily(_sess_events(spark, rows)).collect()[0]
+    assert r.n_sessions == 2 and r.peak_concurrent == 1
+
+
+def test_peak_concurrency_midnight_span_counts_both_days(spark):
+    t0 = dt.datetime(2024, 1, 1, 23, 50, 0)
+    rows = [(1, t0), (1, t0 + dt.timedelta(minutes=20))]
+    out = {r.day: r for r in peak_concurrency_daily(_sess_events(spark, rows)).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-02"}
+    assert all(r.peak_concurrent == 1 for r in out.values())
