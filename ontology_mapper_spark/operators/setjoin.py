@@ -102,6 +102,25 @@ def prefix_jaccard_pairs(
         .where(F.col("n_a") * 1_000_000 >= F.col("n_b") * t_micro)
         .select("id_a", "id_b", "n_a", "n_b")
     )
+    # Two measured fixes at sf0.1 (78M raw candidates on this
+    # template-heavy corpus):
+    # 1. Force real parallelism into the verify stage.  Candidate rows
+    #    are four narrow ints, so AQE's byte-based coalescing collapses
+    #    the post-join shuffle to ONE partition — but each row's verify
+    #    cost is an array_intersect over full token sets, and CPU is
+    #    what matters: 1037s single-task vs ~74s spread.  An explicit
+    #    numPartitions repartition is exempt from AQE coalescing;
+    #    defaultParallelism tracks the cluster, not a magic constant.
+    # 2. Dedup BEFORE verify: pairs share ~8 prefix tokens here (78M →
+    #    9.8M), and the dedup reuses the repartition's (id_a, id_b)
+    #    clustering, so it adds no exchange while cutting the
+    #    array_intersect work 8x.  (The old carry-dupes-to-the-end note
+    #    predates measuring a corpus where candidates outnumber results
+    #    10:1 — with a cheap verify both orders tie, with 78M rows this
+    #    order wins.)
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    ).dropDuplicates()
 
     # Verification: n_common via array_intersect against the per-doc token
     # SET table (|docs| rows of short arrays) joined in by id — NOT the
@@ -110,10 +129,6 @@ def prefix_jaccard_pairs(
     # passes ~all pairs (measured 145s → this form; AQE broadcasts the set
     # table at test scale, and at cluster scale two keyed shuffles of the
     # candidate rows still beat the token-explode by ~avg_doc_len×).
-    # Candidate dupes (pairs sharing several prefix tokens) are carried to
-    # the END and distinct'ed after the threshold filter, when few rows
-    # remain — dropping the pre-verify distinct removes a |cand|-row
-    # shuffle; the verify map is idempotent per pair.
     doc_sets = tok.groupBy("_id").agg(
         F.array_sort(F.collect_list("_w")).alias("_set")
     )
@@ -142,7 +157,6 @@ def prefix_jaccard_pairs(
             F.round(F.col("n_common") / union * 1e6).cast("long")
             .alias("jaccard_micro"),
         )
-        .distinct()
     )
 
 
