@@ -162,6 +162,8 @@ EXTENDED = [
     "qb01_hill_tail_index",
     "qb02_heaps_law",
     "qb03_peak_concurrency",
+    "qb04_decile_lift",
+    "qb05_markov_stationary",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -9534,3 +9534,119 @@ def qb03(spark, sf):
     from .operators.temporal import peak_concurrency_daily
 
     return peak_concurrency_daily(_t(spark, sf, "events"), "user_id", "ts", 1800)
+
+
+@_q(
+    "qb04_decile_lift",
+    """
+    WITH base AS (SELECT n_chars AS s,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                         doc_id AS id
+                  FROM documents),
+    tiled AS (SELECT *, CAST(ntile(10) OVER (ORDER BY s DESC, id) AS INT)
+                          AS tile
+              FROM base),
+    per AS (SELECT tile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos
+            FROM tiled GROUP BY 1),
+    st AS (SELECT tile, n, n_pos,
+                  CAST(sum(n) OVER (ORDER BY tile
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum_n,
+                  CAST(sum(n_pos) OVER (ORDER BY tile
+                                        ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_pos,
+                  CAST(sum(n) OVER () AS BIGINT) AS tn,
+                  CAST(sum(n_pos) OVER () AS BIGINT) AS tp
+           FROM per)
+    SELECT tile, n, n_pos, cum_n, cum_pos,
+           CASE WHEN tp > 0
+                THEN CAST(round(cum_pos * 1000000 / tp) AS BIGINT)
+           END AS capture_micro,
+           CASE WHEN tp > 0
+                THEN CAST(round(cum_pos * tn * 1000000 / (cum_n * tp))
+                          AS BIGINT)
+           END AS lift_micro
+    FROM st
+    """,
+)
+def qb04(spark, sf):
+    """Decile lift / cumulative-gains table of document length as an
+    'is English' ranker (operators/evaluate.py:decile_lift): ntile(10)
+    over the (score desc, doc_id) TOTAL order — the unique tiebreak is
+    what makes tile membership engine-deterministic — with capture and
+    lift each one micro-rounded division of integer products.  The
+    model-quality view a curation gate quotes ('top decile captures
+    X% of positives')."""
+    from .operators.evaluate import decile_lift
+
+    d = _t(spark, sf, "documents")
+    return decile_lift(
+        d, F.col("n_chars"), F.col("lang") == "en", "doc_id", 10
+    )
+
+
+def _qb05_oracle(iters: int = 3) -> str:
+    head = """
+    trans AS (
+      SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT event_type AS t,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS f
+        FROM events)
+      WHERE f IS NOT NULL GROUP BY 1, 2),
+    p AS (SELECT f, t,
+                 CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS ntot,
+                 CAST(round(n * 1000000
+                            / sum(n) OVER (PARTITION BY f)) AS BIGINT)
+                   AS pp
+          FROM trans),
+    states AS (SELECT DISTINCT f AS state FROM p),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+    v0 AS (SELECT state, CAST(1000000 // kk.k AS BIGINT) AS v
+           FROM states CROSS JOIN kk)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""
+    v{i} AS (
+      SELECT p.t AS state,
+             CAST(CAST(sum(v{i - 1}.v * p.pp) AS BIGINT) // 1000000
+                  AS BIGINT) AS v
+      FROM p JOIN v{i - 1} ON v{i - 1}.state = p.f
+      GROUP BY 1)"""
+        )
+    return (
+        "\n    WITH "
+        + head
+        + ","
+        + ",".join(rounds)
+        + f"""
+    , nout AS (SELECT f AS state, CAST(max(ntot) AS BIGINT) AS n_out
+               FROM p GROUP BY 1)
+    SELECT v.state,
+           CAST(coalesce(nout.n_out, 0) AS BIGINT) AS n_out,
+           v.v AS v_micro,
+           CAST(round(v.v * 1000000 / sum(v.v) OVER ()) AS BIGINT)
+             AS stationary_micro,
+           CAST(row_number() OVER (ORDER BY v.v DESC, v.state) AS INT)
+             AS rank
+    FROM v{iters} v LEFT JOIN nout ON nout.state = v.state
+    """
+    )
+
+
+@_q("qb05_markov_stationary", _qb05_oracle())
+def qb05(spark, sf):
+    """Approximate stationary distribution of the user-behavior Markov
+    chain (operators/dialogue.py:markov_stationary, 3 unrolled power
+    iterations): row-stochastic transition matrix in micro from the
+    qa13 consecutive-transition counts, v·P steps as pure-int64
+    broadcast joins on the dictionary-sized state table (truncating
+    div, the Bradley-Terry discipline) — where traffic settles in
+    steady state, the routing-capacity complement to qb03's peak."""
+    from .operators.dialogue import markov_stationary
+
+    return markov_stationary(
+        _t(spark, sf, "events"), "user_id", "event_type", ("ts", "event_id"), 3
+    )

@@ -341,3 +341,96 @@ def behavior_fingerprints(
         )
         .where(F.col("n_actors") >= min_group)
     )
+
+
+def markov_stationary(
+    df: DataFrame,
+    seq_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols=("ts", "event_id"),
+    iters: int = 3,
+) -> DataFrame:
+    """Approximate stationary distribution of the behavior Markov chain
+    — where user activity settles in steady state, from the same
+    consecutive-transition counts as the qa13 role-transition matrix,
+    via `iters` unrolled POWER-ITERATION rounds in pure int64 (the
+    Bradley-Terry discipline: the state set is dictionary-sized, so
+    each round is a broadcast join on a tiny table; truncating `div`
+    matches DuckDB `//` bit-for-bit).
+
+    P is row-stochastic in micro (each cell ONE rounded division of
+    transition counts); v_{t+1}[j] = (Σ_i v_t[i]·p_ij) div 1e6.  The
+    truncation drifts the mass below 1e6 by ≤ n_states per round —
+    report the raw vector plus its renormalized share.
+
+    Output per state: state, n_out (outgoing transitions),
+    v_micro (raw iterated mass), stationary_micro (renormalized to
+    sum 1e6), rank.
+    """
+    ordered = Window.partitionBy(F.col(seq_col)).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    trans = (
+        df.select(
+            F.col(seq_col).alias("_seq"),
+            F.col(state_col).alias("_to"),
+            F.lag(F.col(state_col), 1).over(ordered).alias("_from"),
+        )
+        .where(F.col("_from").isNotNull())
+        .groupBy("_from", "_to")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    wrow = Window.partitionBy("_from")
+    p = trans.withColumn(
+        "_ntot", F.sum("_n").over(wrow).cast("long")
+    ).select(
+        "_from",
+        "_to",
+        "_ntot",
+        F.round(F.col("_n") * F.lit(1_000_000) / F.col("_ntot"))
+        .cast("long")
+        .alias("_p"),
+    )
+    states = p.select(F.col("_from").alias("state")).distinct()
+    # uniform start over the observed FROM-states (1e6 div k — truncating
+    # div, same in both engines; the states table is dictionary-sized so
+    # the unpartitioned count window is k rows)
+    n_states_expr = F.count("*").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    v = states.withColumn("_k", n_states_expr.cast("long")).select(
+        "state", F.expr("CAST(1000000 AS BIGINT) div _k").alias("_v")
+    )
+    for _ in range(iters):
+        vin = v.select(F.col("state").alias("_from"), F.col("_v"))
+        stepped = (
+            p.join(F.broadcast(vin), "_from")
+            .groupBy(F.col("_to").alias("state"))
+            .agg(
+                F.sum(F.col("_v") * F.col("_p")).cast("long").alias("_acc")
+            )
+            .select("state", F.expr("_acc div 1000000").cast("long").alias("_v"))
+        )
+        v = stepped
+    nout = p.groupBy(F.col("_from").alias("state")).agg(
+        F.max("_ntot").cast("long").alias("n_out")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.orderBy(F.col("v_micro").desc(), F.col("state"))
+    return (
+        v.join(nout, "state", "left")
+        .select(
+            "state",
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.col("_v").alias("v_micro"),
+        )
+        .withColumn(
+            "stationary_micro",
+            F.round(
+                F.col("v_micro") * F.lit(1_000_000) / F.sum("v_micro").over(wall)
+            ).cast("long"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+    )

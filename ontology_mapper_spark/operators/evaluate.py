@@ -956,3 +956,80 @@ def rbo_truncated(
             F.coalesce("rbo_micro", F.lit(0)).cast("long").alias("rbo_micro"),
         )
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col,
+    label_col,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table for a ranking score against
+    a boolean outcome — the model-quality view a curation gate actually
+    uses ("the top 10% of the score captures 31% of the positives,
+    lift 3.1"), complementing roc_auc's single number.
+
+    Tiles come from ntile() over a TOTAL order (score desc, id asc —
+    without the unique tiebreak, rows tied on score would land in
+    engine-dependent tiles); ntile is rank-arithmetic, portable across
+    engines (the qa51 precedent).  Counts are int64; capture and lift
+    are each ONE micro-rounded division of integer products.
+
+    Output per tile (1 = best): tile, n, n_pos, cum_n, cum_pos,
+    capture_micro (cum_pos/total_pos), lift_micro
+    ((cum_pos/cum_n)/(total_pos/total_n)).
+    """
+    base = df.select(
+        (score_col if not isinstance(score_col, str) else F.col(score_col))
+        .cast("long")
+        .alias("_s"),
+        (label_col if not isinstance(label_col, str) else F.col(label_col))
+        .cast("boolean")
+        .cast("long")
+        .alias("_y"),
+        F.col(id_col).alias("_tid"),
+    )
+    wt = Window.orderBy(F.col("_s").desc(), F.col("_tid"))
+    tiled = base.withColumn("tile", F.ntile(n_tiles).over(wt).cast("int"))
+    per = tiled.groupBy("tile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    wc = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per.select(
+        "tile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        F.sum("n").over(wall).cast("long").alias("_tn"),
+        F.sum("n_pos").over(wall).cast("long").alias("_tp"),
+    )
+    return staged.select(
+        "tile",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.when(
+            F.col("_tp") > 0,
+            F.round(F.col("cum_pos") * F.lit(1_000_000) / F.col("_tp")).cast(
+                "long"
+            ),
+        ).alias("capture_micro"),
+        F.when(
+            F.col("_tp") > 0,
+            F.round(
+                F.col("cum_pos")
+                * F.col("_tn")
+                * F.lit(1_000_000)
+                / (F.col("cum_n") * F.col("_tp"))
+            ).cast("long"),
+        ).alias("lift_micro"),
+    )

@@ -186,3 +186,65 @@ def test_peak_concurrency_midnight_span_counts_both_days(spark):
     out = {r.day: r for r in peak_concurrency_daily(_sess_events(spark, rows)).collect()}
     assert set(out) == {"2024-01-01", "2024-01-02"}
     assert all(r.peak_concurrent == 1 for r in out.values())
+
+
+# ------------------------------------------------------- lift / stationary
+
+
+def test_decile_lift_perfect_ranker(spark):
+    from ontology_mapper_spark.operators.evaluate import decile_lift
+
+    rows = [(i, 100 - i, 1 if i < 10 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s long, y long")
+    out = {r.tile: r for r in decile_lift(df, "s", F.col("y") == 1, "id", 10).collect()}
+    # all positives have the highest scores -> tile 1 captures everything
+    assert out[1].n_pos == 10 and out[1].capture_micro == MICRO
+    assert out[1].lift_micro == 10 * MICRO
+    assert out[10].capture_micro == MICRO and out[10].lift_micro == MICRO
+    assert sum(r.n for r in out.values()) == 100
+
+
+def test_decile_lift_uniform_labels_lift_one(spark):
+    from ontology_mapper_spark.operators.evaluate import decile_lift
+
+    rows = [(i, i % 37, i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s long, y long")
+    out = decile_lift(df, "s", F.col("y") == 1, "id", 10).collect()
+    # random labels: every cumulative lift within ~25% of 1.0
+    for r in out:
+        assert 700_000 < r.lift_micro < 1_350_000
+
+
+def test_markov_stationary_two_state_chain(spark):
+    from ontology_mapper_spark.operators.dialogue import markov_stationary
+
+    # a->b always, b->a always: stationary = 50/50; build 1 user sequence
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append((1, "a" if i % 2 == 0 else "b", t0 + dt.timedelta(minutes=i), i))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = {r.state: r for r in markov_stationary(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert abs(out["a"].stationary_micro - 500_000) <= 2
+    assert abs(out["b"].stationary_micro - 500_000) <= 2
+
+
+def test_markov_stationary_sink_state_accumulates(spark):
+    from ontology_mapper_spark.operators.dialogue import markov_stationary
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # many users: a -> b -> b -> b ... (b is near-absorbing, a never re-entered)
+    for u in range(10):
+        seq = ["a"] + ["b"] * 6
+        for i, st in enumerate(seq):
+            rows.append((u, st, t0 + dt.timedelta(minutes=i), i))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = {r.state: r for r in markov_stationary(df).collect()}
+    assert out["b"].stationary_micro > 900_000
+    assert out["b"].rank == 1
