@@ -164,6 +164,8 @@ EXTENDED = [
     "qb03_peak_concurrency",
     "qb04_decile_lift",
     "qb05_markov_stationary",
+    "qb06_mixture_allocation",
+    "qb07_ql_dirichlet",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

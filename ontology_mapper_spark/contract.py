@@ -9650,3 +9650,109 @@ def qb05(spark, sf):
     return markov_stationary(
         _t(spark, sf, "events"), "user_id", "event_type", ("ts", "event_id"), 3
     )
+
+
+@_q(
+    "qb06_mixture_allocation",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum({_QA93_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(round(sum(n_chars) * 1000000 / count(*)) AS BIGINT)
+               AS quality_micro
+      FROM documents GROUP BY 1),
+    staged AS (
+      SELECT source, n_tokens, quality_micro,
+             CAST((sum(n_tokens) OVER () * 2) // 5 AS BIGINT) AS budget,
+             CAST(coalesce(sum(n_tokens) OVER (
+                    ORDER BY quality_micro DESC, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before,
+             CAST(row_number() OVER (ORDER BY quality_micro DESC, source)
+                  AS INT) AS fill_rank
+      FROM per)
+    SELECT source, n_tokens, quality_micro,
+           CAST(greatest(0, least(n_tokens, budget - cum_before))
+                AS BIGINT) AS alloc_tokens,
+           CASE WHEN budget > 0
+                THEN CAST(round(greatest(0, least(n_tokens,
+                                                  budget - cum_before))
+                                * 1000000 / budget) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS alloc_share_micro,
+           fill_rank
+    FROM staged
+    """,
+)
+def qb06(spark, sf):
+    """Training-mixture allocation: greedy quality-ordered token budget
+    fill across sources (operators/mixing.py:mixture_allocation,
+    budget = 40% of corpus tokens, quality = mean doc length micro as
+    the pluggable demo metric) — the closed-form 'maximize quality
+    under a token budget' planner as ONE cumulative-sum window over a
+    total order, int64 end to end."""
+    from .operators.mixing import mixture_allocation
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(words_col(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+        F.round(F.sum("n_chars") * F.lit(1_000_000) / F.count("*"))
+        .cast("long")
+        .alias("quality_micro"),
+    )
+    return mixture_allocation(per, "source", "n_tokens", "quality_micro", 2, 5)
+
+
+_QB07_TERMS = ["data", "join", "scan", "slow", "vector"]
+
+
+@_q(
+    "qb07_ql_dirichlet",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(lower(trim(regexp_replace(text,
+               '\\s+', ' ', 'g'))), ' '), w -> w <> '') AS t
+      FROM documents),
+    sized AS (SELECT id, CAST(len(t) AS BIGINT) AS dl, t FROM base),
+    tok AS (SELECT id, unnest(t) AS w FROM sized),
+    tf AS (SELECT id, w, CAST(count(*) AS BIGINT) AS tf
+           FROM tok
+           WHERE w IN ({", ".join(repr(t) for t in sorted(_QB07_TERMS))})
+           GROUP BY 1, 2),
+    cf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM sized),
+    grid AS (
+      SELECT s.id, s.dl, c.w, c.cf, tot.tot,
+             CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf
+      FROM sized s CROSS JOIN cf c CROSS JOIN tot
+      LEFT JOIN tf ON tf.id = s.id AND tf.w = c.w),
+    term AS (
+      SELECT id,
+             CAST(round(1000000.0 *
+                    ln(CAST(tf * tot + 2000 * cf AS DOUBLE)
+                       / (tot * (dl + 2000)))) AS BIGINT) AS tm
+      FROM grid),
+    scored AS (SELECT id, CAST(sum(tm) AS BIGINT) AS score_micro
+               FROM term GROUP BY 1)
+    SELECT id AS doc_id, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, id) AS INT)
+             AS rank
+    FROM scored ORDER BY score_micro DESC, id LIMIT 10
+    """,
+)
+def qb07(spark, sf):
+    """Dirichlet-smoothed query-likelihood top-10 (operators/
+    retrieval.py:ql_dirichlet_topk, mu=2000) — the language-model
+    retrieval scorer next to q82's BM25: each (doc, term) contribution
+    is ln of ONE division of int64 products (denominators cleared:
+    (tf*TOT + mu*cf)/(TOT*(dl+mu))), micro-rounded then integer-
+    summed; all docs score (pure length smoothing at tf=0); top-k via
+    orderBy+limit (TakeOrderedAndProject), never a global sort."""
+    from .operators.retrieval import ql_dirichlet_topk
+
+    return ql_dirichlet_topk(
+        _t(spark, sf, "documents"), _QB07_TERMS, "text", "doc_id", 2000, 10
+    )

@@ -1,0 +1,78 @@
+"""Training-mixture allocation.
+
+Curation pipelines end with a budgeting decision: given per-source
+volume and a measured quality signal, how many tokens does each source
+contribute to the training mix?  The greedy quality-ordered fill
+(highest-quality source first, until the budget runs out) is the
+closed-form solution to "maximize total quality subject to a token
+budget" when quality is per-source constant — and it is pure window
+arithmetic: ONE cumulative sum over the (quality desc, source) total
+order, allocation = clamp(budget − cum_before, 0, tokens).  No
+iteration, no driver logic; int64 end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def mixture_allocation(
+    per_source: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    quality_col: str = "quality_micro",
+    budget_num: int = 2,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Greedy quality-ordered token allocation under a total budget of
+    (budget_num/budget_den) of the corpus.
+
+    `per_source` = one row per source with an int64 token count and an
+    int64 quality score (plug in any measured metric: mean perplexity,
+    AUC-gated quality, dedup rate...).  The budget is integer:
+    B = (total·num) div den.  Allocation order is (quality desc,
+    source) — a TOTAL order, so the fill is engine-deterministic.
+
+    Output per source: source, n_tokens, quality_micro, alloc_tokens,
+    alloc_share_micro (of the budget; 0-row-safe), fill_rank.
+    """
+    base = per_source.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(quality_col).cast("long").alias("quality_micro"),
+    )
+    worder = Window.orderBy(F.col("quality_micro").desc(), F.col("source"))
+    wbefore = worder.rowsBetween(Window.unboundedPreceding, -1)
+    staged = base.select(
+        "source",
+        "n_tokens",
+        "quality_micro",
+        F.expr(
+            f"(sum(n_tokens) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"UNBOUNDED FOLLOWING) * {int(budget_num)}) div {int(budget_den)}"
+        ).alias("_budget"),
+        F.coalesce(F.sum("n_tokens").over(wbefore), F.lit(0))
+        .cast("long")
+        .alias("_cum_before"),
+        F.row_number().over(worder).cast("int").alias("fill_rank"),
+    )
+    alloc = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("n_tokens"), F.col("_budget") - F.col("_cum_before")),
+    )
+    return staged.select(
+        "source",
+        "n_tokens",
+        "quality_micro",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.when(
+            F.col("_budget") > 0,
+            F.round(alloc * F.lit(MICRO) / F.col("_budget")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("alloc_share_micro"),
+        "fill_rank",
+    )

@@ -314,3 +314,82 @@ def mmr_rerank(
         F.col("rel").cast("long"),
         F.col("score").cast("long"),
     )
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: int = 2000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents by Dirichlet-smoothed query-likelihood (Zhai &
+    Lafferty 2004) — the language-model retrieval family next to
+    `bm25_topk`'s probabilistic one; the two disagree exactly where a
+    hybrid (q86 RRF) earns its keep.
+
+    score(d) = Σ_t ln( (tf_td + μ·p_c(t)) / (dl_d + μ) ),
+    p_c(t) = cf_t / TOT.  Clearing denominators, each term is
+    ln( (tf·TOT + μ·cf) / (TOT·(dl + μ)) ) — ONE division of two int64
+    products, micro-rounded per (doc, term) (the qa66 ln idiom), then
+    an exact integer sum.  Terms absent from the corpus (cf = 0) drop
+    out in BOTH engines (ln 0 undefined — the standard convention).
+    Every document scores, including tf = 0 everywhere (pure length
+    smoothing): the doc × term grid is docs × |query| rows — queries
+    are small by contract, so the grid is a broadcast fan-out, never a
+    blow-up.
+
+    Output: (id_col, score_micro, rank 1..top_k), ties broken by id.
+    """
+    from .dedup import normalized_text_col
+
+    terms = sorted(set(query_terms))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(normalized_text_col(F.col(text_col)), " "),
+            lambda x: x != "",
+        ).alias("_t"),
+    ).select("_id", F.size("_t").alias("_dl"), "_t")
+    tok = base.select("_id", F.explode("_t").alias("_w")).where(
+        F.col("_w").isin(terms)
+    )
+    tf = tok.groupBy("_id", "_w").agg(F.count("*").cast("long").alias("_tf"))
+    cf = tf.groupBy("_w").agg(F.sum("_tf").cast("long").alias("_cf"))
+    tot = base.agg(F.sum("_dl").cast("long").alias("_tot"))
+    grid = (
+        base.select("_id", "_dl")
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(tot))
+        .join(tf, ["_id", "_w"], "left")
+        .select(
+            "_id",
+            "_dl",
+            "_w",
+            "_cf",
+            "_tot",
+            F.coalesce("_tf", F.lit(0)).cast("long").alias("_tf"),
+        )
+    )
+    term_micro = F.round(
+        F.lit(1_000_000.0)
+        * F.log(
+            (F.col("_tf") * F.col("_tot") + F.lit(int(mu)) * F.col("_cf"))
+            .cast("double")
+            / (F.col("_tot") * (F.col("_dl") + F.lit(int(mu))))
+        )
+    ).cast("long")
+    scored = grid.groupBy("_id").agg(
+        F.sum(term_micro).cast("long").alias("score_micro")
+    )
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # top-n, never a global sort); the rank window then runs on the
+    # top_k survivors only.
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("_id"))
+    return (
+        scored.orderBy(F.col("score_micro").desc(), F.col("_id"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(F.col("_id").alias(id_col), "score_micro", "rank")
+    )

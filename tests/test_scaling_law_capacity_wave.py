@@ -248,3 +248,53 @@ def test_markov_stationary_sink_state_accumulates(spark):
     out = {r.state: r for r in markov_stationary(df).collect()}
     assert out["b"].stationary_micro > 900_000
     assert out["b"].rank == 1
+
+
+# ----------------------------------------------------- mixing / ql retrieval
+
+
+def test_mixture_allocation_greedy_fill(spark):
+    from ontology_mapper_spark.operators.mixing import mixture_allocation
+
+    rows = [("hi", 100, 900_000), ("mid", 100, 500_000), ("lo", 100, 100_000)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long, quality_micro long")
+    # budget = 300 * 2 // 5 = 120: hi fully, mid 20, lo 0
+    out = {r.source: r for r in mixture_allocation(df).collect()}
+    assert out["hi"].alloc_tokens == 100 and out["hi"].fill_rank == 1
+    assert out["mid"].alloc_tokens == 20
+    assert out["lo"].alloc_tokens == 0
+    assert out["hi"].alloc_share_micro == round(100 * 1_000_000 / 120)
+
+
+def test_mixture_allocation_budget_exhausts_exactly(spark):
+    from ontology_mapper_spark.operators.mixing import mixture_allocation
+
+    rows = [(f"s{i}", 50, 1_000_000 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long, quality_micro long")
+    out = mixture_allocation(df).collect()
+    assert sum(r.alloc_tokens for r in out) == 500 * 2 // 5
+
+
+def test_ql_dirichlet_prefers_term_rich_docs(spark):
+    from ontology_mapper_spark.operators.retrieval import ql_dirichlet_topk
+
+    rows = [
+        (1, "apple apple apple banana"),
+        (2, "apple banana cherry durian"),
+        (3, "cherry durian elderberry fig"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ql_dirichlet_topk(df, ["apple"], "text", "doc_id", mu=10, top_k=3).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+    assert out[0].rank == 1 and out[0].score_micro > out[1].score_micro
+
+
+def test_ql_dirichlet_absent_terms_drop_and_all_docs_score(spark):
+    from ontology_mapper_spark.operators.retrieval import ql_dirichlet_topk
+
+    rows = [(1, "aa bb"), (2, "aa bb cc dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ql_dirichlet_topk(df, ["aa", "zzz_missing"], "text", "doc_id", mu=4, top_k=5).collect()
+    assert len(out) == 2  # missing term contributes nothing, docs still rank
+    # shorter doc has higher p(aa|d): tf/len advantage under smoothing
+    assert out[0].doc_id == 1
