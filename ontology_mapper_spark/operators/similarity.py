@@ -623,11 +623,22 @@ def ivf_hard_negatives(
     cent_b = F.broadcast(cent)
 
     def nearest(df: DataFrame, key: str, vec: str, n: int) -> DataFrame:
-        scored = df.crossJoin(cent_b).withColumn(
-            "_csim",
-            cosine_micro_col(
-                F.col(vec).cast("array<double>"), F.col("_cvec").cast("array<double>")
-            ),
+        # repartition by the key BEFORE the centroid crossJoin: a small
+        # parquet corpus scans as ONE partition, and the |df|·n_centroids
+        # cosine fan-out would run single-task on it; keying by `key`
+        # also feeds the argmin window its clustering for free.
+        scored = (
+            df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, key
+            )
+            .crossJoin(cent_b)
+            .withColumn(
+                "_csim",
+                cosine_micro_col(
+                    F.col(vec).cast("array<double>"),
+                    F.col("_cvec").cast("array<double>"),
+                ),
+            )
         )
         w = Window.partitionBy(key).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
         return (
@@ -644,6 +655,17 @@ def ivf_hard_negatives(
     )
     probes = nearest(q, "query_id", "_qvec", nprobe)
 
+    # Catalyst pushes EVERY deterministic post-join predicate — including
+    # the ceiling filter, whose cosine references both sides — into the
+    # broadcast join's bound condition, so the full rescore runs INSIDE
+    # the join stage.  That stage's parallelism is the probe-side scan's
+    # (a small parquet file reads as ONE partition), so the 1M cosines
+    # ran on one task (jstack: ArrayAggregate inside HashJoin
+    # boundCondition).  Repartitioning the streamed side BEFORE the join
+    # spreads the join stage itself; a post-join repartition is too late.
+    assigned = assigned.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
     joined = (
         assigned.join(probes, "list_id")
         .where(
