@@ -207,6 +207,24 @@ def main() -> int:
         ).collect()
     }
 
+    # 11. mixture allocation: the capstone — fill a 40%-of-corpus token
+    # budget from the highest-quality sources first (quality here = mean
+    # chars as the pluggable metric; swap in DSIR weight or NB margin)
+    from ontology_mapper_spark.operators.mixing import mixture_allocation
+    from ontology_mapper_spark.operators.textstats import words_col
+
+    per_source = final.groupBy("source").agg(
+        F.sum(F.size(words_col(F.col("text")))).cast("long").alias("n_tokens"),
+        F.round(F.sum("n_chars") * F.lit(1_000_000) / F.count("*"))
+        .cast("long")
+        .alias("quality_micro"),
+    )
+    mix = {
+        r["source"]: r["alloc_tokens"]
+        for r in mixture_allocation(per_source).collect()
+        if r["alloc_tokens"] > 0
+    }
+
     worst_leak = max(leakage.values()) if leakage else 0
     worst_acc = min(nb_acc.values()) if nb_acc else 1.0
     print(
@@ -218,7 +236,8 @@ def main() -> int:
         f"splits {stats}; "
         f"k=5 release risk {k5['rows_below']}/{k5['n_rows']} rows "
         f"(min l-diversity {k5['min_l_diversity']}); "
-        f"eval alloc {alloc}; wrote {out_dir}"
+        f"eval alloc {alloc}; "
+        f"mix ({len(mix)} sources funded) {mix}; wrote {out_dir}"
     )
     return 0
 
