@@ -166,6 +166,8 @@ EXTENDED = [
     "qb05_markov_stationary",
     "qb06_mixture_allocation",
     "qb07_ql_dirichlet",
+    "qb08_jackknife_ratio",
+    "qb09_pareto_sources",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -9756,3 +9756,136 @@ def qb07(spark, sf):
     return ql_dirichlet_topk(
         _t(spark, sf, "documents"), _QB07_TERMS, "text", "doc_id", 2000, 10
     )
+
+
+@_q(
+    "qb08_jackknife_ratio",
+    """
+    WITH per AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS b,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sd,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nd
+      FROM events GROUP BY 1),
+    tot AS (SELECT b, sd, nd,
+                   CAST(sum(sd) OVER () AS BIGINT) AS s,
+                   CAST(sum(nd) OVER () AS BIGINT) AS n,
+                   CAST(count(*) OVER () AS BIGINT) AS d
+            FROM per),
+    pv AS (
+      SELECT d,
+             CAST(round(s * 1000000 / n) AS BIGINT) AS r,
+             CAST(d * CAST(round(s * 1000000 / n) AS BIGINT)
+                  - (d - 1) * CAST(round((s - sd) * 1000000 / (n - nd))
+                                   AS BIGINT) AS BIGINT) AS pv
+      FROM tot WHERE n - nd > 0),
+    shift AS (SELECT CAST(min(pv) AS BIGINT) AS p0 FROM pv),
+    sh AS (SELECT d, r, p0, CAST(pv - p0 AS BIGINT) AS q
+           FROM pv CROSS JOIN shift),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(max(r) AS BIGINT) AS ratio_micro,
+                   CAST(max(p0) AS BIGINT) AS p0,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(q * q) AS BIGINT) AS sqq
+            FROM sh)
+    SELECT n_blocks, ratio_micro,
+           CASE WHEN n_blocks >= 2
+                THEN CAST(CAST(round(sq / n_blocks) AS BIGINT) + p0
+                          AS BIGINT)
+           END AS jk_mean_micro,
+           CASE WHEN n_blocks >= 2
+                THEN CAST(round(sqrt((CAST(sqq AS DOUBLE)
+                                      - CAST(sq AS DOUBLE) * sq / n_blocks)
+                                     / (n_blocks * (n_blocks - 1))))
+                          AS BIGINT)
+           END AS jk_se_micro
+    FROM agg
+    """,
+)
+def qb08(spark, sf):
+    """Leave-one-day-out jackknife SE for the purchases-per-view ratio
+    (operators/stats.py:jackknife_ratio) — the honest error bar for
+    correlated-numerator/denominator metrics, completing the
+    resampling trio (bootstrap qa88, randomization qa99).  Pseudo-
+    values in exact int64 from already-rounded micro divisions,
+    pivot-shift before squaring, IEEE sqrt terminal."""
+    from .operators.stats import jackknife_ratio
+
+    ev = _t(spark, sf, "events")
+    return jackknife_ratio(
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor("value").cast("long"),
+            )
+            .otherwise(0)
+            .alias("num"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("den"),
+        ),
+        "day",
+        "num",
+        "den",
+    )
+
+
+@_q(
+    "qb09_pareto_sources",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum({_QA93_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(round(sum(n_chars) * 1000000 / count(*)) AS BIGINT)
+               AS quality_micro,
+             CAST(round(count(DISTINCT lower(trim(regexp_replace(text,
+                    '\\s+', ' ', 'g')))) * 1000000 / count(*)) AS BIGINT)
+               AS distinct_ratio_micro
+      FROM documents GROUP BY 1),
+    dom AS (
+      SELECT b.source, CAST(count(*) AS BIGINT) AS n_dominators
+      FROM per b JOIN per o ON o.source <> b.source
+        AND o.n_tokens >= b.n_tokens
+        AND o.quality_micro >= b.quality_micro
+        AND o.distinct_ratio_micro >= b.distinct_ratio_micro
+        AND (o.n_tokens > b.n_tokens
+             OR o.quality_micro > b.quality_micro
+             OR o.distinct_ratio_micro > b.distinct_ratio_micro)
+      GROUP BY 1)
+    SELECT p.source, p.n_tokens, p.quality_micro, p.distinct_ratio_micro,
+           CAST(coalesce(d.n_dominators, 0) AS BIGINT) AS n_dominators,
+           coalesce(d.n_dominators, 0) = 0 AS is_pareto
+    FROM per p LEFT JOIN dom d ON d.source = p.source
+    """,
+)
+def qb09(spark, sf):
+    """Pareto-frontier (skyline) source ranking on (volume, mean-length
+    quality, exact-distinct cleanliness) (operators/mixing.py:
+    pareto_sources): a source off the frontier is never optimal at ANY
+    metric weighting — the multi-objective pre-filter before
+    qb06's budget fill.  One broadcast self-join over the
+    dictionary-sized source table, pure integer comparisons."""
+    from .operators.dedup import normalized_text_col
+    from .operators.mixing import pareto_sources
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(words_col(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+        F.round(F.sum("n_chars") * F.lit(1_000_000) / F.count("*"))
+        .cast("long")
+        .alias("quality_micro"),
+        F.round(
+            F.countDistinct(normalized_text_col(F.col("text")))
+            * F.lit(1_000_000)
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("distinct_ratio_micro"),
+    )
+    return pareto_sources(
+        per, "source", ["n_tokens", "quality_micro", "distinct_ratio_micro"]
+    )

@@ -76,3 +76,58 @@ def mixture_allocation(
         .alias("alloc_share_micro"),
         "fill_rank",
     )
+
+
+def pareto_sources(
+    per_source: DataFrame,
+    source_col: str = "source",
+    metric_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skyline (Pareto-frontier) query over per-source metrics, all
+    bigger-is-better: a source is dominated when some other source is
+    >= on EVERY metric and > on at least one (Börzsönyi et al. 2001)
+    — the multi-objective complement to `mixture_allocation`'s single
+    quality score: sources off the frontier are never the right pick
+    at any metric weighting.
+
+    Sources are a small dimension by definition, so the dominance
+    check is one broadcast self-join (n_sources² pairs of a tiny
+    table) + a count — no block-nested-loop machinery needed at this
+    cardinality, and the semantics are pure integer comparisons.
+
+    Output per source: source, *metric_cols, n_dominators,
+    is_pareto.
+    """
+    metric_cols = metric_cols or ["n_tokens", "quality_micro"]
+    base = per_source.select(
+        F.col(source_col).alias("source"),
+        *[F.col(c).cast("long").alias(c) for c in metric_cols],
+    )
+    other = base.select(
+        F.col("source").alias("_o"),
+        *[F.col(c).alias(f"_o_{c}") for c in metric_cols],
+    )
+    ge_all = None
+    gt_any = None
+    for c in metric_cols:
+        ge = F.col(f"_o_{c}") >= F.col(c)
+        gt = F.col(f"_o_{c}") > F.col(c)
+        ge_all = ge if ge_all is None else (ge_all & ge)
+        gt_any = gt if gt_any is None else (gt_any | gt)
+    dominated = (
+        base.crossJoin(F.broadcast(other))
+        .where((F.col("source") != F.col("_o")) & ge_all & gt_any)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_dominators"))
+    )
+    return (
+        base.join(dominated, "source", "left")
+        .select(
+            "source",
+            *metric_cols,
+            F.coalesce("n_dominators", F.lit(0))
+            .cast("long")
+            .alias("n_dominators"),
+        )
+        .withColumn("is_pareto", F.col("n_dominators") == 0)
+    )

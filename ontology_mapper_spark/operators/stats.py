@@ -1438,3 +1438,109 @@ def hill_tail_index(
             ).cast("long"),
         ).alias("alpha_micro"),
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    block_col,
+    num_col,
+    den_col,
+) -> DataFrame:
+    """Leave-one-block-out jackknife for a RATIO metric — the standard
+    way to get an honest SE for 'purchases per view'-style metrics
+    whose numerator and denominator are correlated within blocks
+    (days, shards, users); completes the repo's resampling trio next
+    to the Poissonized bootstrap (qa88) and the randomization test
+    (qa99).
+
+    Per block d: R_(d) = (S − s_d)/(N − n_d), ONE micro-rounded
+    division; pseudovalue PV_d = D·R − (D−1)·R_(d) in exact int64 from
+    the already-rounded micros; SE² = Σ(PV_d − PV̄)² / (D(D−1)) with
+    the pivot-shift-before-squaring discipline (qa88) so sums stay in
+    int64; sqrt is IEEE-correctly-rounded (qa71 precedent).  One
+    block-level shuffle; everything after runs on the D-row table.
+
+    Output (single row): n_blocks, ratio_micro, jk_mean_micro,
+    jk_se_micro (NULL when < 2 usable blocks; blocks whose removal
+    empties the denominator are dropped and counted out).
+    """
+    n = num_col if not isinstance(num_col, str) else F.col(num_col)
+    d = den_col if not isinstance(den_col, str) else F.col(den_col)
+    per = (
+        df.select(
+            F.col(block_col).alias("_b") if isinstance(block_col, str) else block_col.alias("_b"),
+            n.cast("long").alias("_s"),
+            d.cast("long").alias("_n"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.sum("_s").cast("long").alias("_sd"),
+            F.sum("_n").cast("long").alias("_nd"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = per.select(
+        "_b",
+        "_sd",
+        "_nd",
+        F.sum("_sd").over(wall).cast("long").alias("_S"),
+        F.sum("_nd").over(wall).cast("long").alias("_N"),
+        F.count("*").over(wall).cast("long").alias("_D"),
+    )
+    r_full = F.round(F.col("_S") * F.lit(MICRO) / F.col("_N")).cast("long")
+    r_loo = F.round(
+        (F.col("_S") - F.col("_sd"))
+        * F.lit(MICRO)
+        / (F.col("_N") - F.col("_nd"))
+    ).cast("long")
+    pv = tot.where(F.col("_N") - F.col("_nd") > 0).select(
+        "_D",
+        r_full.alias("_r"),
+        (
+            F.col("_D") * r_full - (F.col("_D") - 1) * r_loo
+        ).cast("long").alias("_pv"),
+    )
+    # pivot-shift before squaring: subtract min(pv) first so squares stay
+    # small regardless of the metric's absolute micro scale (qa88)
+    shift = pv.agg(F.min("_pv").alias("_p0"))
+    shifted = pv.crossJoin(F.broadcast(shift)).select(
+        "_D",
+        "_r",
+        "_p0",
+        (F.col("_pv") - F.col("_p0")).cast("long").alias("_q"),
+    )
+    agg = shifted.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.max("_r").cast("long").alias("ratio_micro"),
+        F.max("_p0").cast("long").alias("_p0"),
+        F.sum("_q").cast("long").alias("_sq"),
+        F.sum(F.col("_q") * F.col("_q")).cast("long").alias("_sqq"),
+    )
+    ok = F.col("n_blocks") >= 2
+    var_num = (
+        F.col("_sqq").cast("double")
+        - F.col("_sq").cast("double") * F.col("_sq") / F.col("n_blocks")
+    )
+    return agg.select(
+        "n_blocks",
+        "ratio_micro",
+        # mean(pv) = (Σq)/D + p0 — adding the integer pivot back after
+        # the single rounded division is exact
+        F.when(
+            ok,
+            (
+                F.round(F.col("_sq") / F.col("n_blocks")).cast("long")
+                + F.col("_p0")
+            ).cast("long"),
+        ).alias("jk_mean_micro"),
+        F.when(
+            ok,
+            F.round(
+                F.sqrt(
+                    var_num / (F.col("n_blocks") * (F.col("n_blocks") - 1))
+                )
+            ).cast("long"),
+        ).alias("jk_se_micro"),
+    )

@@ -298,3 +298,63 @@ def test_ql_dirichlet_absent_terms_drop_and_all_docs_score(spark):
     assert len(out) == 2  # missing term contributes nothing, docs still rank
     # shorter doc has higher p(aa|d): tf/len advantage under smoothing
     assert out[0].doc_id == 1
+
+
+# ------------------------------------------------------ jackknife / skyline
+
+
+def test_jackknife_constant_ratio_has_zero_se(spark):
+    from ontology_mapper_spark.operators.stats import jackknife_ratio
+
+    # every day contributes num=20, den=10 -> ratio constant at 2.0
+    rows = [(f"d{d}", 20, 10) for d in range(8)]
+    df = spark.createDataFrame(rows, "day string, num long, den long")
+    out = jackknife_ratio(df, "day", "num", "den").collect()[0]
+    assert out.n_blocks == 8
+    assert out.ratio_micro == 2_000_000
+    assert out.jk_mean_micro == 2_000_000
+    assert out.jk_se_micro == 0
+
+
+def test_jackknife_varying_blocks_have_positive_se(spark):
+    from ontology_mapper_spark.operators.stats import jackknife_ratio
+
+    rows = [("d1", 10, 10), ("d2", 40, 10), ("d3", 10, 20), ("d4", 5, 10)]
+    df = spark.createDataFrame(rows, "day string, num long, den long")
+    out = jackknife_ratio(df, "day", "num", "den").collect()[0]
+    assert out.jk_se_micro > 0
+    assert out.ratio_micro == round(65 * 1_000_000 / 50)
+
+
+def test_jackknife_single_block_is_null(spark):
+    from ontology_mapper_spark.operators.stats import jackknife_ratio
+
+    df = spark.createDataFrame([("d1", 3, 4)], "day string, num long, den long")
+    out = jackknife_ratio(df, "day", "num", "den").collect()[0]
+    # removing the only block empties the denominator: no usable blocks
+    assert out.n_blocks == 0 or out.jk_se_micro is None
+
+
+def test_pareto_sources_frontier(spark):
+    from ontology_mapper_spark.operators.mixing import pareto_sources
+
+    rows = [
+        ("best", 100, 100),     # dominates mid + worst
+        ("mid", 50, 50),
+        ("worst", 10, 10),
+        ("tradeoff", 200, 5),   # frontier: best tokens, bad quality
+    ]
+    df = spark.createDataFrame(rows, "source string, n_tokens long, quality_micro long")
+    out = {r.source: r for r in pareto_sources(df).collect()}
+    assert out["best"].is_pareto and out["tradeoff"].is_pareto
+    assert not out["mid"].is_pareto and out["mid"].n_dominators == 1
+    assert out["worst"].n_dominators == 2  # dominated by best AND mid
+
+
+def test_pareto_ties_are_not_domination(spark):
+    from ontology_mapper_spark.operators.mixing import pareto_sources
+
+    rows = [("a", 10, 10), ("b", 10, 10)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long, quality_micro long")
+    out = pareto_sources(df).collect()
+    assert all(r.is_pareto for r in out)  # equal on all metrics: no > anywhere

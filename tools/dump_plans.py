@@ -96,6 +96,8 @@ PLAN_QUERIES = [
     "qb05_markov_stationary",
     "qb06_mixture_allocation",
     "qb07_ql_dirichlet",
+    "qb08_jackknife_ratio",
+    "qb09_pareto_sources",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -148,6 +150,8 @@ GENERIC_CHECK = {
     "qb05_markov_stationary",
     "qb06_mixture_allocation",
     "qb07_ql_dirichlet",
+    "qb08_jackknife_ratio",
+    "qb09_pareto_sources",
 }
 
 
