@@ -168,6 +168,8 @@ EXTENDED = [
     "qb07_ql_dirichlet",
     "qb08_jackknife_ratio",
     "qb09_pareto_sources",
+    "qb10_diff_in_diff",
+    "qb11_capture_recapture",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

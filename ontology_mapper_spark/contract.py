@@ -9889,3 +9889,130 @@ def qb09(spark, sf):
     return pareto_sources(
         per, "source", ["n_tokens", "quality_micro", "distinct_ratio_micro"]
     )
+
+
+@_q(
+    "qb10_diff_in_diff",
+    """
+    WITH ext AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                 FROM events),
+    cells AS (
+      SELECT (user_id % 2 = 0) AS t,
+             (epoch_us(ts) * 2 < ext.lo + ext.hi) AS pre,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS s
+      FROM events CROSS JOIN ext GROUP BY 1, 2),
+    named AS (
+      SELECT CASE WHEN t THEN 't' ELSE 'c' END
+               || CASE WHEN pre THEN '_pre' ELSE '_post' END AS cell,
+             n, CAST(round(s * 1000000 / n) AS BIGINT) AS m
+      FROM cells),
+    p AS (
+      SELECT CAST(coalesce(max(CASE WHEN cell = 't_pre' THEN n END), 0)
+                  AS BIGINT) AS n_treated_pre,
+             CAST(coalesce(max(CASE WHEN cell = 't_post' THEN n END), 0)
+                  AS BIGINT) AS n_treated_post,
+             CAST(coalesce(max(CASE WHEN cell = 'c_pre' THEN n END), 0)
+                  AS BIGINT) AS n_control_pre,
+             CAST(coalesce(max(CASE WHEN cell = 'c_post' THEN n END), 0)
+                  AS BIGINT) AS n_control_post,
+             CAST(max(CASE WHEN cell = 't_pre' THEN m END) AS BIGINT)
+               AS mean_t_pre_micro,
+             CAST(max(CASE WHEN cell = 't_post' THEN m END) AS BIGINT)
+               AS mean_t_post_micro,
+             CAST(max(CASE WHEN cell = 'c_pre' THEN m END) AS BIGINT)
+               AS mean_c_pre_micro,
+             CAST(max(CASE WHEN cell = 'c_post' THEN m END) AS BIGINT)
+               AS mean_c_post_micro
+      FROM named)
+    SELECT *,
+           CASE WHEN mean_t_pre_micro IS NOT NULL
+                 AND mean_t_post_micro IS NOT NULL
+                 AND mean_c_pre_micro IS NOT NULL
+                 AND mean_c_post_micro IS NOT NULL
+                THEN CAST((mean_t_post_micro - mean_t_pre_micro)
+                          - (mean_c_post_micro - mean_c_pre_micro)
+                          AS BIGINT)
+           END AS did_micro
+    FROM p
+    """,
+)
+def qb10(spark, sf):
+    """Difference-in-differences point estimate (operators/temporal.py:
+    diff_in_diff): treated = even user_id, split at the time-range
+    midpoint; four cell means each ONE micro-rounded division, the
+    estimate pure integer arithmetic on the rounded micros — the
+    control-group causal audit completing CUPED (qa87) and ITS
+    (qb00)."""
+    from .operators.temporal import diff_in_diff
+
+    return diff_in_diff(
+        _t(spark, sf, "events"),
+        "user_id",
+        F.col("user_id") % 2 == 0,
+        "ts",
+        F.floor("value"),
+    )
+
+
+@_q(
+    "qb11_capture_recapture",
+    r"""
+    WITH vals AS (
+      SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS v,
+             substr(md5('a|' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+               AS ina,
+             substr(md5('b|' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+               AS inb
+      FROM documents),
+    per AS (
+      SELECT v,
+             CAST(max(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS ia,
+             CAST(max(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS ib
+      FROM vals GROUP BY 1
+      HAVING max(CASE WHEN ina THEN 1 ELSE 0 END)
+             + max(CASE WHEN inb THEN 1 ELSE 0 END) > 0),
+    agg AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+                   CAST(sum(ib) AS BIGINT) AS n_b,
+                   CAST(sum(ia * ib) AS BIGINT) AS n_both,
+                   CAST(count(*) AS BIGINT) AS nu
+            FROM per)
+    SELECT n_a, n_b, n_both,
+           CAST(CAST(round(CAST(n_a + 1 AS DOUBLE) * (n_b + 1)
+                           / (n_both + 1)) AS BIGINT) - 1 AS BIGINT)
+             AS chapman_est,
+           CASE WHEN nu > 0
+                THEN CAST(round(n_both * 1000000 / nu) AS BIGINT)
+           END AS jaccard_micro
+    FROM agg
+    """,
+)
+def qb11(spark, sf):
+    """Chapman capture-recapture estimate of the true distinct-content
+    population from two md5-hash-split 'crawl' samples (operators/
+    sketch.py:capture_recapture): N = (n_a+1)(n_b+1)/(m+1) − 1, one
+    rounded division — corpus-cardinality planning from two CHEAP
+    samples where KMV/HLL need a full pass."""
+    from .operators.dedup import normalized_text_col
+    from .operators.sketch import capture_recapture
+
+    d = _t(spark, sf, "documents").select(
+        normalized_text_col(F.col("text")).alias("v"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("a|"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8"
+        ).alias("in_a"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("b|"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8"
+        ).alias("in_b"),
+    )
+    return capture_recapture(d, "v", "in_a", "in_b")

@@ -310,3 +310,64 @@ def kmv_set_ops(
         .cast("long")
         .alias("inter_est"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    value_col: str,
+    in_a_col,
+    in_b_col,
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TRUE distinct
+    population from two overlapping samples (Chapman 1951):
+    N̂ = (n_a+1)(n_b+1)/(m+1) − 1 with m = values seen in both — the
+    corpus-cardinality planner when scanning everything is off the
+    table and the two "captures" are cheap (two crawl days, two
+    shards, two hash-split probes).  Complements the KMV/HLL sketches:
+    those need a full pass; this needs only two samples.
+
+    Distinct membership per value is ONE groupBy with two max flags;
+    the estimate is a single rounded division of int64 products.
+
+    Output (single row): n_a, n_b, n_both, chapman_est (bigint),
+    jaccard_micro of the two samples (NULL when their union is
+    empty).
+    """
+    a = (in_a_col if not isinstance(in_a_col, str) else F.col(in_a_col)).cast(
+        "boolean"
+    )
+    b = (in_b_col if not isinstance(in_b_col, str) else F.col(in_b_col)).cast(
+        "boolean"
+    )
+    per = (
+        df.select(F.col(value_col).alias("_v"), a.alias("_a"), b.alias("_b"))
+        .groupBy("_v")
+        .agg(
+            F.max(F.col("_a").cast("long")).alias("_ina"),
+            F.max(F.col("_b").cast("long")).alias("_inb"),
+        )
+        .where((F.col("_ina") + F.col("_inb")) > 0)
+    )
+    agg = per.agg(
+        F.sum("_ina").cast("long").alias("n_a"),
+        F.sum("_inb").cast("long").alias("n_b"),
+        F.sum(F.col("_ina") * F.col("_inb")).cast("long").alias("n_both"),
+        F.count("*").cast("long").alias("_n_union"),
+    )
+    est = F.round(
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("n_b") + 1)
+        / (F.col("n_both") + 1)
+    ).cast("long") - 1
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        est.alias("chapman_est"),
+        F.when(
+            F.col("_n_union") > 0,
+            F.round(
+                F.col("n_both") * F.lit(1_000_000) / F.col("_n_union")
+            ).cast("long"),
+        ).alias("jaccard_micro"),
+    )

@@ -1233,3 +1233,111 @@ def peak_concurrency_daily(
             F.col("_t").cast("long").alias("peak_at_us"),
         )
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    treated_col,
+    ts_col: str = "ts",
+    metric_col=None,
+) -> DataFrame:
+    """Difference-in-differences point estimate over a midpoint-split
+    panel — the third leg of the causal-audit stool next to CUPED
+    (qa87, variance) and interrupted time series (qb00, single-series
+    trend): with a CONTROL group in hand, DiD nets out the shared time
+    shock that ITS cannot.
+
+    The four cell means (treated/control × pre/post) are each ONE
+    micro-rounded division of int64 sums (metric floored first, the
+    qa87 convention); the estimate is pure integer arithmetic on the
+    rounded micros.  One shuffle (the 4-cell groupBy).
+
+    Output (single row): n_treated_pre/post, n_control_pre/post,
+    mean_t_pre/post_micro, mean_c_pre/post_micro, did_micro (NULL when
+    any cell is empty).
+    """
+    m = (
+        F.lit(1).cast("long")
+        if metric_col is None
+        else (
+            metric_col if not isinstance(metric_col, str) else F.col(metric_col)
+        ).cast("long")
+    )
+    t = treated_col if not isinstance(treated_col, str) else F.col(treated_col)
+    ts = F.col(ts_col).cast("timestamp")
+    base = df.select(
+        t.cast("boolean").alias("_t"),
+        F.unix_micros(ts).alias("_us"),
+        m.alias("_m"),
+    )
+    ext = base.agg(F.min("_us").alias("_lo"), F.max("_us").alias("_hi"))
+    cells = (
+        base.crossJoin(F.broadcast(ext))
+        .select(
+            "_t",
+            (F.col("_us") * 2 < F.col("_lo") + F.col("_hi")).alias("_pre"),
+            "_m",
+        )
+        .groupBy("_t", "_pre")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_m").cast("long").alias("_s"),
+        )
+    )
+    mean = F.round(F.col("_s") * F.lit(1_000_000) / F.col("_n")).cast("long")
+    named = cells.select(
+        F.concat(
+            F.when(F.col("_t"), F.lit("t")).otherwise(F.lit("c")),
+            F.when(F.col("_pre"), F.lit("_pre")).otherwise(F.lit("_post")),
+        ).alias("_cell"),
+        F.col("_n"),
+        mean.alias("_mean"),
+    )
+    pivoted = named.groupBy().pivot(
+        "_cell", ["t_pre", "t_post", "c_pre", "c_post"]
+    ).agg(F.max("_mean"))
+    counts = named.groupBy().pivot(
+        "_cell", ["t_pre", "t_post", "c_pre", "c_post"]
+    ).agg(F.max("_n"))
+    j = pivoted.crossJoin(
+        F.broadcast(
+            counts.select(
+                F.col("t_pre").alias("n_treated_pre"),
+                F.col("t_post").alias("n_treated_post"),
+                F.col("c_pre").alias("n_control_pre"),
+                F.col("c_post").alias("n_control_post"),
+            )
+        )
+    )
+    full = (
+        F.col("t_pre").isNotNull()
+        & F.col("t_post").isNotNull()
+        & F.col("c_pre").isNotNull()
+        & F.col("c_post").isNotNull()
+    )
+    return j.select(
+        F.coalesce("n_treated_pre", F.lit(0)).cast("long").alias(
+            "n_treated_pre"
+        ),
+        F.coalesce("n_treated_post", F.lit(0)).cast("long").alias(
+            "n_treated_post"
+        ),
+        F.coalesce("n_control_pre", F.lit(0)).cast("long").alias(
+            "n_control_pre"
+        ),
+        F.coalesce("n_control_post", F.lit(0)).cast("long").alias(
+            "n_control_post"
+        ),
+        F.col("t_pre").cast("long").alias("mean_t_pre_micro"),
+        F.col("t_post").cast("long").alias("mean_t_post_micro"),
+        F.col("c_pre").cast("long").alias("mean_c_pre_micro"),
+        F.col("c_post").cast("long").alias("mean_c_post_micro"),
+        F.when(
+            full,
+            (
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre"))
+            ).cast("long"),
+        ).alias("did_micro"),
+    )

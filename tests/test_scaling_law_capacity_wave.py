@@ -358,3 +358,63 @@ def test_pareto_ties_are_not_domination(spark):
     df = spark.createDataFrame(rows, "source string, n_tokens long, quality_micro long")
     out = pareto_sources(df).collect()
     assert all(r.is_pareto for r in out)  # equal on all metrics: no > anywhere
+
+
+# --------------------------------------------------------- did / recapture
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from ontology_mapper_spark.operators.temporal import diff_in_diff
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # control: 10 pre, 12 post (time shock +2); treated: 10 pre, 17 post
+    # (shock +2 plus effect +5)
+    for d in range(4):
+        post = d >= 2
+        for i in range(50):
+            rows.append((0, t0 + dt.timedelta(days=d, seconds=i), 12 if post else 10))
+            rows.append((1, t0 + dt.timedelta(days=d, seconds=i), 17 if post else 10))
+    df = spark.createDataFrame(rows, "grp long, ts timestamp, v long")
+    out = diff_in_diff(df, "grp", F.col("grp") == 1, "ts", F.col("v")).collect()[0]
+    assert out.mean_c_pre_micro == 10_000_000
+    assert out.mean_c_post_micro == 12_000_000
+    assert out.did_micro == 5_000_000
+
+
+def test_diff_in_diff_empty_cell_is_null(spark):
+    from ontology_mapper_spark.operators.temporal import diff_in_diff
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # control only in pre: c_post empty
+    rows = [(0, t0, 5), (1, t0, 5), (1, t0 + dt.timedelta(days=2), 9)]
+    df = spark.createDataFrame(rows, "grp long, ts timestamp, v long")
+    out = diff_in_diff(df, "grp", F.col("grp") == 1, "ts", F.col("v")).collect()[0]
+    assert out.did_micro is None and out.n_control_post == 0
+
+
+def test_capture_recapture_full_overlap_is_exact(spark):
+    from ontology_mapper_spark.operators.sketch import capture_recapture
+
+    rows = [(f"v{i}", True, True) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string, in_a boolean, in_b boolean")
+    out = capture_recapture(df, "v", "in_a", "in_b").collect()[0]
+    assert out.n_a == out.n_b == out.n_both == 50
+    # (51*51/51)-1 = 50: full overlap recovers the true population
+    assert out.chapman_est == 50
+    assert out.jaccard_micro == 1_000_000
+
+
+def test_capture_recapture_half_overlap_estimates_population(spark):
+    from ontology_mapper_spark.operators.sketch import capture_recapture
+
+    # true population 100; A sees first 60, B sees last 60, overlap 20
+    rows = [(f"v{i}", i < 60, i >= 40) for i in range(100)]
+    df = spark.createDataFrame(rows, "v string, in_a boolean, in_b boolean")
+    out = capture_recapture(df, "v", "in_a", "in_b").collect()[0]
+    assert out.n_a == 60 and out.n_b == 60 and out.n_both == 20
+    assert out.chapman_est == round(61 * 61 / 21) - 1  # ~176, biased up here

@@ -98,6 +98,8 @@ PLAN_QUERIES = [
     "qb07_ql_dirichlet",
     "qb08_jackknife_ratio",
     "qb09_pareto_sources",
+    "qb10_diff_in_diff",
+    "qb11_capture_recapture",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -152,6 +154,8 @@ GENERIC_CHECK = {
     "qb07_ql_dirichlet",
     "qb08_jackknife_ratio",
     "qb09_pareto_sources",
+    "qb10_diff_in_diff",
+    "qb11_capture_recapture",
 }
 
 
