@@ -170,6 +170,8 @@ EXTENDED = [
     "qb09_pareto_sources",
     "qb10_diff_in_diff",
     "qb11_capture_recapture",
+    "qb12_markov_entropy_rate",
+    "qb13_two_proportion_ztest",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

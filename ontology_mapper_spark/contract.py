@@ -10016,3 +10016,107 @@ def qb11(spark, sf):
         ).alias("in_b"),
     )
     return capture_recapture(d, "v", "in_a", "in_b")
+
+
+def _qb12_oracle(iters: int = 3) -> str:
+    # same chain head as _qb05_oracle, plus per-state entropy and the
+    # pi-weighted rate
+    base = _qb05_oracle(iters)
+    head, _sep, _tail = base.partition("    , nout AS")
+    return (
+        head
+        + f"""
+    , nlh AS (
+      SELECT f,
+             CAST(sum(pp * CASE WHEN pp > 0
+                    THEN CAST(round(-1000000.0 * ln(pp / 1000000.0))
+                              AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS hp
+      FROM p GROUP BY 1)
+    SELECT v.state, v.v AS v_micro,
+           CAST(round(coalesce(nlh.hp, 0) / 1000000) AS BIGINT)
+             AS h_state_micro,
+           CAST(round(CAST(sum(v.v * coalesce(nlh.hp, 0)) OVER ()
+                           AS DOUBLE)
+                      / (sum(v.v) OVER () * 1000000.0)) AS BIGINT)
+             AS entropy_rate_micro
+    FROM v{iters} v LEFT JOIN nlh ON nlh.f = v.state
+    """
+    )
+
+
+@_q("qb12_markov_entropy_rate", _qb12_oracle())
+def qb12(spark, sf):
+    """Entropy rate of the user-behavior Markov chain (operators/
+    dialogue.py:markov_entropy_rate): pi-weighted per-state transition
+    entropy, -ln(p) once per CELL on the rounded micro p (qa66 idiom),
+    exact int64 weighted sums, ONE terminal double division — the
+    predictability number that separates bots/scripted loops (low)
+    from organic traffic (high), composing qb05's stationary mass."""
+    from .operators.dialogue import markov_entropy_rate
+
+    return markov_entropy_rate(
+        _t(spark, sf, "events"), "user_id", "event_type", ("ts", "event_id"), 3
+    )
+
+
+@_q(
+    "qb13_two_proportion_ztest",
+    """
+    WITH base AS (SELECT user_id % 2 AS g,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS x
+                  FROM events),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS x_b
+      FROM base),
+    st AS (
+      SELECT n_a, x_a, n_b, x_b,
+             CASE WHEN n_a > 0
+                  THEN CAST(round(x_a * 1000000 / n_a) AS BIGINT)
+             END AS p_a_micro,
+             CASE WHEN n_b > 0
+                  THEN CAST(round(x_b * 1000000 / n_b) AS BIGINT)
+             END AS p_b_micro,
+             CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                   AND x_a + x_b < n_a + n_b
+                  THEN CAST(round(
+                         sign(CAST(x_a * n_b - x_b * n_a AS DOUBLE))
+                         * sqrt(CAST(x_a * n_b - x_b * n_a AS DOUBLE)
+                                * (x_a * n_b - x_b * n_a) * (n_a + n_b)
+                                / (CAST(n_a * n_b AS DOUBLE)
+                                   * (x_a + x_b)
+                                   * (n_a + n_b - x_a - x_b)))
+                         * 1000000) AS BIGINT)
+             END AS z_micro
+      FROM agg)
+    SELECT *,
+           CASE WHEN z_micro IS NOT NULL
+                THEN abs(z_micro) >= 1959964 END AS significant
+    FROM st
+    """,
+)
+def qb13(spark, sf):
+    """Pooled two-proportion z-test of the purchase rate between even
+    and odd user segments (operators/stats.py:two_proportion_ztest):
+    signed integer numerator, denominators cleared, doubles entered in
+    a FIXED order only where int64 would overflow, critical value
+    Python-injected (no engine normal quantile) — the fixed-horizon
+    decision rule completing SPRT (qa95) / DiD (qb10) / jackknife
+    (qb08)."""
+    from .operators.stats import two_proportion_ztest
+
+    ev = _t(spark, sf, "events")
+    return two_proportion_ztest(
+        ev.select(
+            (F.col("user_id") % 2).alias("seg"),
+            (F.col("event_type") == "purchase").cast("long").alias("hit"),
+        ),
+        "seg",
+        0,
+        1,
+        "hit",
+    )

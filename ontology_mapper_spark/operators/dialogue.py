@@ -434,3 +434,87 @@ def markov_stationary(
         )
         .withColumn("rank", F.row_number().over(wr).cast("int"))
     )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    seq_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols=("ts", "event_id"),
+    iters: int = 3,
+) -> DataFrame:
+    """Entropy rate of the behavior Markov chain, H = Σ_i π_i H_i with
+    H_i = −Σ_j p_ij ln p_ij — the one-number predictability summary of
+    user behavior (low = bots/scripted loops, high = organic), composing
+    `markov_stationary`'s iterated mass with per-state transition
+    entropy.
+
+    Exactness: p_ij is the micro int from ONE rounded division; each
+    −ln(p) is taken once per transition CELL on p_micro/1e6 (the qa66
+    idiom); per-state entropy is an exact integer Σ p_micro·nl_micro
+    (micro² scale); the corpus rate is ONE terminal double division of
+    the π-weighted sum (cast before dividing — the weighted numerator
+    approaches int64 at high entropy).
+
+    Output per state: state, v_micro (stationary mass),
+    h_state_micro (that state's outgoing entropy, micro-nats), and
+    entropy_rate_micro (corpus-level, repeated).
+    """
+    pi = markov_stationary(df, seq_col, state_col, order_cols, iters).select(
+        F.col("state"), F.col("v_micro")
+    )
+    ordered = Window.partitionBy(F.col(seq_col)).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    trans = (
+        df.select(
+            F.col(seq_col).alias("_seq"),
+            F.col(state_col).alias("_to"),
+            F.lag(F.col(state_col), 1).over(ordered).alias("_from"),
+        )
+        .where(F.col("_from").isNotNull())
+        .groupBy("_from", "_to")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    wrow = Window.partitionBy("_from")
+    p = trans.withColumn(
+        "_ntot", F.sum("_n").over(wrow).cast("long")
+    ).select(
+        "_from",
+        F.round(F.col("_n") * F.lit(1_000_000) / F.col("_ntot"))
+        .cast("long")
+        .alias("_p"),
+    )
+    nl = F.when(
+        F.col("_p") > 0,
+        F.round(
+            F.lit(-1_000_000.0) * F.log(F.col("_p").cast("double") / 1_000_000)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    h = p.select("_from", (F.col("_p") * nl).alias("_ph")).groupBy(
+        "_from"
+    ).agg(F.sum("_ph").cast("long").alias("_hp"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = pi.join(h, pi["state"] == h["_from"], "left").select(
+        "state",
+        "v_micro",
+        F.coalesce("_hp", F.lit(0)).cast("long").alias("_hp"),
+    )
+    # the π-weighted numerator stays an exact INT64 sum (never a double
+    # sum — order-dependent): Σ v_i·h_i_p ≤ 1e12·ln(k)·1e6, inside int64
+    # up to ~10k states; ONE terminal double division.
+    return j.select(
+        "state",
+        "v_micro",
+        F.round(F.col("_hp") / F.lit(1_000_000)).cast("long").alias(
+            "h_state_micro"
+        ),
+        F.round(
+            F.sum(F.col("v_micro") * F.col("_hp")).over(wall).cast("double")
+            / (F.sum("v_micro").over(wall) * F.lit(1_000_000.0))
+        )
+        .cast("long")
+        .alias("entropy_rate_micro"),
+    )

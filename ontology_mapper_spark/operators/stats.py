@@ -1544,3 +1544,93 @@ def jackknife_ratio(
             ).cast("long"),
         ).alias("jk_se_micro"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col,
+    group_a,
+    group_b,
+    success_col,
+    z_crit_micro: int = 1_959_964,
+) -> DataFrame:
+    """Pooled two-proportion z-test between two segments — the fixed-
+    horizon decision rule completing the experimentation toolkit
+    (sequential: SPRT qb95; causal panel: DiD qb10; robust SE:
+    jackknife qb08).
+
+    Engine-exact construction: the signed numerator x₁n₂ − x₂n₁ is an
+    exact int64 product difference; z² clears every proportion to
+    integer products, cast to double in a FIXED order before the two
+    multiplies that would overflow (n₁n₂ stays integer, ·s·(n−s) in
+    double); z_micro is sign·√z² rounded once (IEEE sqrt).  The
+    decision compares against a Python-injected critical value (two-
+    sided α=.05 default) — no engine ever evaluates a normal quantile.
+
+    Output (single row): n_a, x_a, n_b, x_b, p_a_micro, p_b_micro,
+    z_micro, significant (NULL when a segment is empty or the pooled
+    rate is degenerate).
+    """
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    s = (
+        success_col if not isinstance(success_col, str) else F.col(success_col)
+    ).cast("long")
+    base = df.select(g.alias("_g"), s.alias("_x")).where(
+        F.col("_g").isin(group_a, group_b)
+    )
+    agg = base.agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("_g") == group_a, F.col("_x")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("_g") == group_b, F.col("_x")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    num = F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")
+    s_tot = F.col("x_a") + F.col("x_b")
+    n_tot = F.col("n_a") + F.col("n_b")
+    den = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        * s_tot
+        * (n_tot - s_tot)
+    )
+    z2 = num.cast("double") * num * n_tot / den
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (s_tot > 0)
+        & (s_tot < n_tot)
+    )
+    z_micro = F.round(
+        F.signum(num.cast("double")) * F.sqrt(z2) * F.lit(1_000_000)
+    ).cast("long")
+    staged = agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.when(
+            F.col("n_a") > 0,
+            F.round(F.col("x_a") * F.lit(MICRO) / F.col("n_a")).cast("long"),
+        ).alias("p_a_micro"),
+        F.when(
+            F.col("n_b") > 0,
+            F.round(F.col("x_b") * F.lit(MICRO) / F.col("n_b")).cast("long"),
+        ).alias("p_b_micro"),
+        F.when(ok, z_micro).alias("z_micro"),
+    )
+    return staged.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        "p_a_micro",
+        "p_b_micro",
+        "z_micro",
+        F.when(
+            F.col("z_micro").isNotNull(),
+            F.abs(F.col("z_micro")) >= F.lit(int(z_crit_micro)),
+        ).alias("significant"),
+    )

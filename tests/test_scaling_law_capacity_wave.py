@@ -418,3 +418,76 @@ def test_capture_recapture_half_overlap_estimates_population(spark):
     out = capture_recapture(df, "v", "in_a", "in_b").collect()[0]
     assert out.n_a == 60 and out.n_b == 60 and out.n_both == 20
     assert out.chapman_est == round(61 * 61 / 21) - 1  # ~176, biased up here
+
+
+# ----------------------------------------------------- entropy rate / ztest
+
+
+def test_markov_entropy_rate_deterministic_chain_is_zero(spark):
+    from ontology_mapper_spark.operators.dialogue import markov_entropy_rate
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a" if i % 2 == 0 else "b", t0 + dt.timedelta(minutes=i), i)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = markov_entropy_rate(df).collect()
+    # a->b and b->a with probability 1: zero entropy everywhere
+    assert all(r.h_state_micro == 0 for r in out)
+    assert all(r.entropy_rate_micro == 0 for r in out)
+
+
+def test_markov_entropy_rate_uniform_chain_is_ln_k(spark):
+    from ontology_mapper_spark.operators.dialogue import markov_entropy_rate
+
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    # cycle through 4 states from each state equally: build with many
+    # users so each (from, to) pair over {a,b} x {a,b} appears equally
+    states = ["a", "b"]
+    rows = []
+    u = 0
+    for s0 in states:
+        for s1 in states:
+            for rep in range(5):
+                rows.append((u, s0, t0, 0))
+                rows.append((u, s1, t0 + dt.timedelta(minutes=1), 1))
+                u += 1
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = markov_entropy_rate(df).collect()
+    expected = round(1_000_000 * math.log(2))
+    for r in out:
+        assert abs(r.h_state_micro - expected) <= 2
+        assert abs(r.entropy_rate_micro - expected) <= 2
+
+
+def test_two_proportion_ztest_detects_difference(spark):
+    from ontology_mapper_spark.operators.stats import two_proportion_ztest
+
+    rows = [("a", 1 if i < 300 else 0) for i in range(1000)]
+    rows += [("b", 1 if i < 100 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "seg string, hit long")
+    out = two_proportion_ztest(df, "seg", "a", "b", "hit").collect()[0]
+    assert out.p_a_micro == 300_000 and out.p_b_micro == 100_000
+    assert out.z_micro > 1_959_964 and out.significant
+
+
+def test_two_proportion_ztest_null_and_degenerate(spark):
+    from ontology_mapper_spark.operators.stats import two_proportion_ztest
+
+    same = [("a", i % 5 == 0) for i in range(200)] + [
+        ("b", i % 5 == 0) for i in range(200)
+    ]
+    df = spark.createDataFrame(same, "seg string, hit boolean")
+    out = two_proportion_ztest(df, "seg", "a", "b", "hit").collect()[0]
+    assert out.z_micro == 0 and not out.significant
+    allz = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "seg string, hit long"
+    )
+    out2 = two_proportion_ztest(allz, "seg", "a", "b", "hit").collect()[0]
+    assert out2.z_micro is None and out2.significant is None

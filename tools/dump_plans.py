@@ -100,6 +100,8 @@ PLAN_QUERIES = [
     "qb09_pareto_sources",
     "qb10_diff_in_diff",
     "qb11_capture_recapture",
+    "qb12_markov_entropy_rate",
+    "qb13_two_proportion_ztest",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -156,6 +158,8 @@ GENERIC_CHECK = {
     "qb09_pareto_sources",
     "qb10_diff_in_diff",
     "qb11_capture_recapture",
+    "qb12_markov_entropy_rate",
+    "qb13_two_proportion_ztest",
 }
 
 
