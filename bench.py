@@ -283,22 +283,42 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended_queries": extended,
-                "sf": sf,
-                "kg_turns_per_sec": round(turns_per_sec, 1),
-                "kg_turns_per_sec_passes": tps_passes,
-                "kg_n_turns": n_turns,
-                "cpus": int(cpus),
-            }
-        )
+    # Extended timings go to a side file + stderr, NOT the stdout JSON line:
+    # the driver records only the last 2000 chars of stdout, and r3's 132
+    # extended entries (~12 KB) pushed the headline fields off the front
+    # (BENCH_r03.json parsed: null). The stdout line must stay short enough
+    # to survive the tail capture whole.
+    ext_blob = json.dumps(
+        {"extended_queries": extended, "sf": sf, "cpus": int(cpus)}
     )
+    print(f"[bench] extended_queries {ext_blob}", file=sys.stderr)
+    try:
+        os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH", "extended_latest.json"),
+            "w",
+        ) as f:
+            f.write(ext_blob + "\n")
+    except OSError:
+        pass  # read-only checkout: stderr record above still has the data
+    line = json.dumps(
+        {
+            "metric": "headline_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "kg_turns_per_sec": round(turns_per_sec, 1),
+            "kg_turns_per_sec_passes": tps_passes,
+            "kg_n_turns": n_turns,
+            "cpus": int(cpus),
+            # duplicate headline scalar as the LAST key so even a truncated
+            # tail capture still carries the round's headline number
+            "headline_sec": total,
+        }
+    )
+    assert len(line) < 1900, f"bench stdout line too long ({len(line)} chars)"
+    print(line)
     return 0
 
 

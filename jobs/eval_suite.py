@@ -109,8 +109,18 @@ def main() -> int:
         df.write.mode("overwrite").parquet(os.path.join(args.out, name))
         rows[name] = spark.read.parquet(os.path.join(args.out, name)).count()
 
+    class _Empty:
+        """Null-object row: a degenerate corpus (no duels, empty
+        randomization slice) yields empty reports — emit None fields in
+        the JSON summary instead of an IndexError after the parquet
+        writes succeeded."""
+
+        def __getitem__(self, _key):
+            return None
+
     def one(df):
-        return df.collect()[0]
+        rows = df.take(1)
+        return rows[0] if rows else _Empty()
 
     mean_ndcg = one(
         reports["ndcg"].select(F.max("mean_ndcg_micro").alias("v"))

@@ -8534,10 +8534,9 @@ def _qa90_oracle(rounds: int = 3) -> str:
       GROUP BY 1),
     w{r} AS (
       SELECT t.i,
-             CAST(greatest((t.n_wins * {tera}) // s{r}.s, 1) AS BIGINT)
-               AS wv
-      FROM totals t JOIN s{r} ON s{r}.i = t.i
-      WHERE s{r}.s > 0)"""
+             CAST(greatest((t.n_wins * {tera}) // greatest(s{r}.s, 1), 1)
+                  AS BIGINT) AS wv
+      FROM totals t JOIN s{r} ON s{r}.i = t.i)"""
         )
     return (
         "\n    WITH "

@@ -513,6 +513,11 @@ def ndcg_at_k(
     Output per group: group, dcg_micro, idcg_micro, ndcg_micro (NULL
     when idcg is 0) and mean_ndcg_micro (over groups with idcg>0,
     repeated on every row for a single-table read).
+
+    `rank_col` is expected to be a unique 1..k position within each
+    group.  Duplicate ranks are tolerated (no ANSI error): every
+    duplicate row still earns DCG credit at its stated position, and
+    IDCG credits only the first k rows of the re-ranked multiset.
     """
     dm = ndcg_discounts_micro(k)
     disc = F.element_at(
@@ -530,7 +535,12 @@ def ndcg_at_k(
         (F.col("_rel") * disc).alias("_dg"),
         F.row_number().over(wi).cast("long").alias("_ir"),
     )
-    idisc = F.element_at(
+    # try_element_at, not element_at: if a caller passes NON-unique ranks,
+    # more than k rows survive the rank<=k filter and _ir exceeds k — the
+    # ideal-ranking discount is then null (row beyond the IDCG@k window,
+    # excluded from the sum) rather than an ANSI INVALID_ARRAY_INDEX.
+    # With the documented unique-rank input this is byte-identical.
+    idisc = F.try_element_at(
         F.array(*[F.lit(int(d)).cast("long") for d in dm]),
         F.col("_ir").cast("int"),
     )
@@ -970,11 +980,22 @@ def decile_lift(
     uses ("the top 10% of the score captures 31% of the positives,
     lift 3.1"), complementing roc_auc's single number.
 
-    Tiles come from ntile() over a TOTAL order (score desc, id asc —
-    without the unique tiebreak, rows tied on score would land in
-    engine-dependent tiles); ntile is rank-arithmetic, portable across
-    engines (the qa51 precedent).  Counts are int64; capture and lift
-    are each ONE micro-rounded division of integer products.
+    Tile semantics are EXACTLY ntile() over a TOTAL order (score desc,
+    id asc — without the unique tiebreak, rows tied on score would land
+    in engine-dependent tiles), but the implementation never ranks the
+    row-level table: ntile is rank arithmetic, so a row at global rank
+    r (N total, q = N div T, rem = N mod T) sits in tile
+    (r-1) div (q+1) + 1 while r <= rem*(q+1), else
+    rem + (r - rem*(q+1) - 1) div q + 1.  Global ranks come from the
+    score HISTOGRAM's cumulative counts (the qa22/qa65 doubled-midrank
+    pattern): a score group spanning ranks [c+1, c+n_s] that starts and
+    ends in the same tile contributes its whole (count, positives) pair
+    straight from the histogram; only the <= T-1 BOUNDARY score values
+    need per-row id ranks, recovered with a window partitioned by that
+    one score value (never an unpartitioned row-level window — the
+    former global ntile ran as a single task at scale).  Counts are
+    int64; capture and lift are each ONE micro-rounded division of
+    integer products.
 
     Output per tile (1 = best): tile, n, n_pos, cum_n, cum_pos,
     capture_micro (cum_pos/total_pos), lift_micro
@@ -990,11 +1011,76 @@ def decile_lift(
         .alias("_y"),
         F.col(id_col).alias("_tid"),
     )
-    wt = Window.orderBy(F.col("_s").desc(), F.col("_tid"))
-    tiled = base.withColumn("tile", F.ntile(n_tiles).over(wt).cast("int"))
-    per = tiled.groupBy("tile").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("_y").cast("long").alias("n_pos"),
+    hist = base.groupBy("_s").agg(
+        F.count("*").cast("long").alias("_ns"),
+        F.sum("_y").cast("long").alias("_ps"),
+    )
+    # windows over the score histogram: bounded by the distinct-score
+    # count, not the row count (documented allowlist case in
+    # tools/dump_plans.py)
+    wh = Window.orderBy(F.col("_s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    whall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = hist.select(
+        "_s",
+        "_ns",
+        "_ps",
+        F.coalesce(F.sum("_ns").over(wh), F.lit(0)).cast("long").alias("_c"),
+        F.sum("_ns").over(whall).cast("long").alias("_N"),
+    ).withColumns(
+        {
+            "_q": F.expr(f"_N div {int(n_tiles)}"),
+            "_rem": F.expr(f"_N % {int(n_tiles)}"),
+        }
+    )
+
+    def _tile(r: str):
+        # greatest(_q,1): the ELSE branch is unreachable when _q = 0
+        # (then every rank satisfies r <= _rem*(_q+1) = N), but ANSI
+        # mode evaluates eagerly enough that a literal div-by-zero in
+        # dead code must still be guarded.
+        return F.expr(
+            f"CASE WHEN _rem = 0 THEN ({r} - 1) div _q + 1"
+            f" WHEN {r} <= _rem * (_q + 1)"
+            f" THEN ({r} - 1) div (_q + 1) + 1"
+            f" ELSE _rem + ({r} - _rem * (_q + 1) - 1) div greatest(_q, 1)"
+            f" + 1 END"
+        )
+
+    h = h.withColumns(
+        {"_t0": _tile("_c + 1"), "_t1": _tile("_c + _ns")}
+    )
+    whole = h.where(F.col("_t0") == F.col("_t1")).select(
+        F.col("_t0").cast("int").alias("tile"),
+        F.col("_ns").alias("_n"),
+        F.col("_ps").alias("_p"),
+    )
+    split = h.where(F.col("_t0") != F.col("_t1")).select(
+        "_s", "_c", "_q", "_rem"
+    )
+    wb = Window.partitionBy("_s").orderBy("_tid")
+    boundary = (
+        base.join(F.broadcast(split), "_s")
+        .withColumn(
+            "_r", F.col("_c") + F.row_number().over(wb).cast("long")
+        )
+        .withColumn("tile", _tile("_r").cast("int"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_y").cast("long").alias("_p"),
+        )
+    )
+    per = (
+        whole.unionByName(boundary)
+        .groupBy("tile")
+        .agg(
+            F.sum("_n").cast("long").alias("n"),
+            F.sum("_p").cast("long").alias("n_pos"),
+        )
     )
     wc = Window.orderBy("tile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -10,9 +10,15 @@ the sample index is md5-derived from the triple itself:
 
 and the entity vocabulary is md5-ranked into a dense [0, n) index.
 
-Scale shape: the vocab index is a GLOBAL row_number — a vocab-sized
-single partition, the same size class as the broadcast term dictionary
-(entity vocabularies are ~10⁶–10⁸, not corpus-sized); it then
+Scale shape: the dense md5-rank over the vocabulary is a TWO-PHASE
+rank, never a global window.  md5 is uniform, so the first two hex
+chars split the vocab into 256 near-equal buckets: per-bucket counts
+roll into exclusive offsets (a window over the ≤256-row bucket
+histogram), and each row's global rank is its bucket offset plus a
+row_number partitioned BY bucket — bucket-prefix ordering makes the
+concatenation identical to the single global `ORDER BY md5` (entity
+vocabularies are ~10⁶–10⁸; at that size a single-partition window is
+one executor sorting the vocab).  The indexed vocab then
 broadcast-joins back on the sampled index.  The positives side is
 map-only explode×k, one broadcast join, and one anti-join against the
 positive set keyed (subj, pred, obj) — all AQE-friendly equi-joins,
@@ -42,15 +48,33 @@ def negative_samples(
     engines, no resample loop.
     """
     pos = triples.select(subj_col, pred_col, obj_col).distinct()
-    vocab = (
+    hashed = (
         pos.select(F.col(obj_col).alias("_neg_obj"))
         .distinct()
+        .withColumn("_h", F.md5(F.col("_neg_obj")))
+        .withColumn("_b", F.substring(F.col("_h"), 1, 2))
+    )
+    # two-phase global md5 rank: exclusive offsets over the 256-bucket
+    # histogram, then a bucket-partitioned row_number.  Lexicographic
+    # bucket order is a prefix of the full md5 order, so offset +
+    # within-bucket rank == the global ORDER BY md5 rank exactly.
+    wb_hist = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        hashed.groupBy("_b")
+        .agg(F.count("*").cast("long").alias("_bn"))
         .select(
-            "_neg_obj",
-            (F.row_number().over(Window.orderBy(F.md5(F.col("_neg_obj")))) - 1)
+            "_b",
+            F.coalesce(F.sum("_bn").over(wb_hist), F.lit(0))
             .cast("long")
-            .alias("_idx"),
+            .alias("_off"),
         )
+    )
+    win_b = Window.partitionBy("_b").orderBy("_h")
+    vocab = hashed.join(F.broadcast(offsets), "_b").select(
+        "_neg_obj",
+        (F.col("_off") + F.row_number().over(win_b) - 1)
+        .cast("long")
+        .alias("_idx"),
     )
     n = vocab.groupBy().agg(F.count("*").cast("long").alias("_n"))
     expanded = (

@@ -119,23 +119,25 @@ def bradley_terry_strengths(
             )
         )
         s = terms.groupBy("i").agg(F.sum("_t").cast("long").alias("_s"))
-        # clamp to >= 1 micro-unit: a winless item's exact MM update is 0,
-        # which would zero the next round's (_wi + _wj) denominator for a
-        # duel between two winless items (ANSI div-by-zero).  1e-6 is the
-        # numeric floor, not a semantic change — BT sends such items to 0
-        # in the limit anyway.
-        w_cur = (
-            s.join(totals.select("i", "n_wins"), "i")
-            .where(F.col("_s") > 0)
-            .select(
-                "i",
-                F.greatest(
-                    F.expr(f"(n_wins * CAST({_TERA} AS BIGINT)) div _s"),
-                    F.lit(1),
-                )
-                .cast("long")
-                .alias("wv"),
+        # clamp BOTH the denominator sum and the updated weight to >= 1
+        # micro-unit: a winless item's exact MM update is 0, which would
+        # zero the next round's (_wi + _wj) denominator for a duel between
+        # two winless items (ANSI div-by-zero), and a denominator that
+        # truncates to 0 would divide by zero here.  Every item in
+        # `totals` therefore survives all rounds and appears in the
+        # output (no silent drops).  1e-6 is the numeric floor, not a
+        # semantic change — BT sends such items to 0 in the limit anyway.
+        w_cur = s.join(totals.select("i", "n_wins"), "i").select(
+            "i",
+            F.greatest(
+                F.expr(
+                    f"(n_wins * CAST({_TERA} AS BIGINT))"
+                    " div greatest(_s, CAST(1 AS BIGINT))"
+                ),
+                F.lit(1),
             )
+            .cast("long")
+            .alias("wv"),
         )
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -83,16 +83,27 @@ def prefix_jaccard_pairs(
     prefix = per_doc.select(
         "_id",
         "_n",
-        F.explode(
+        F.posexplode(
             F.slice(F.col("_toks"), 1, (F.col("_n") - ceil_tn + 1).cast("int"))
-        ).alias("_p"),
-    ).select("_id", "_n", F.col("_p._w").alias("_w"))
+        ).alias("_pos", "_p"),
+    ).select(
+        "_id",
+        "_n",
+        (F.col("_pos") + 1).cast("long").alias("_i"),
+        F.col("_p._w").alias("_w"),
+    )
 
     a = prefix.select(
-        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_w"
+        F.col("_id").alias("id_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_i").alias("_ia"),
+        "_w",
     )
     b = prefix.select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_w"
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_i").alias("_ib"),
+        "_w",
     )
     cand = (
         a.join(b, "_w")
@@ -100,7 +111,7 @@ def prefix_jaccard_pairs(
         # size filter: t*n_a <= n_b and t*n_b <= n_a (integer compare)
         .where(F.col("n_b") * 1_000_000 >= F.col("n_a") * t_micro)
         .where(F.col("n_a") * 1_000_000 >= F.col("n_b") * t_micro)
-        .select("id_a", "id_b", "n_a", "n_b")
+        .select("id_a", "id_b", "n_a", "n_b", "_ia", "_ib")
     )
     # Two measured fixes at sf0.1 (78M raw candidates on this
     # template-heavy corpus):
@@ -118,9 +129,34 @@ def prefix_jaccard_pairs(
     #    predates measuring a corpus where candidates outnumber results
     #    10:1 — with a cheap verify both orders tie, with 78M rows this
     #    order wins.)
-    cand = cand.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-    ).dropDuplicates()
+    # 3. PPJoin POSITIONAL filter (Xiao et al. 2008), folded into the
+    #    same per-pair agg that does the dedup (grouping keys extend the
+    #    repartition keys, so still no extra exchange): the prefix match
+    #    with minimal A-position is the globally smallest shared token
+    #    w* — any shared token with smaller global order would itself be
+    #    a prefix match on both sides (its positions are below i*, j*,
+    #    hence inside both prefixes), contradicting minimality.  Every
+    #    shared token therefore sits at positions >= (i*, j*) in BOTH
+    #    docs, so |A∩B| <= 1 + min(n_a - i*, n_b - j*); pairs whose
+    #    bound misses the minimum overlap α = ceil(t(a+b)/(1+t)) can
+    #    never pass the final Jaccard test and skip the verify join.
+    #    min(_ia) and min(_ib) minimize at the SAME token w*, so the
+    #    two independent MIN aggregates recover (i*, j*) exactly.
+    cand = (
+        cand.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.min("_ia").alias("_ia"), F.min("_ib").alias("_ib"))
+    )
+    alpha = F.expr(
+        f"({t_micro} * (n_a + n_b) + {1_000_000 + t_micro - 1})"
+        f" div {1_000_000 + t_micro}"
+    )
+    cand = cand.where(
+        F.least(F.col("n_a") - F.col("_ia"), F.col("n_b") - F.col("_ib")) + 1
+        >= alpha
+    ).select("id_a", "id_b", "n_a", "n_b")
 
     # Verification: n_common via array_intersect against the per-doc token
     # SET table (|docs| rows of short arrays) joined in by id — NOT the

@@ -329,28 +329,69 @@ def zipf_moments(df: DataFrame, token_col: str) -> DataFrame:
     of ln(count) on ln(rank) — the classic "is this corpus natural
     language or template spam?" health check (natural text ~ -1).
 
-    Ranks come from a row_number over the DISTINCT-token count table with
-    a (count desc, token) total order — a vocabulary-sized window, rows
-    are never globally sorted.  x = round(ln(rank)*1e3), y =
-    round(ln(count)*1e3) are integer MILLI-nats (milli keeps the OLS
-    cross-moments within bigint for vocabularies up to ~1e9 types); all
-    five moments are exact integer sums, and the slope is ONE terminal
-    division of two exact bigints (rendered through double, deterministic
-    IEEE in any engine).
+    Ranks are NEVER materialized with a row-level window (a vocab-sized
+    single-partition sort at web scale): y = ln(count) is CONSTANT
+    within a count-tie group, and under the (count desc, token) total
+    order a tie group occupies one contiguous rank run [o+1, o+g] — so
+    the OLS moments depend only on the rank MULTISET, which is exploded
+    directly from the count-of-counts histogram (distinct count values,
+    ~O(sqrt(corpus)) by Zipf) as chunked integer sequences.  The chunk
+    rows are explicitly repartitioned before the 64Ki-element explode:
+    cheap-row/expensive-expansion stages must pin their parallelism
+    (the qa42 AQE bytes-based-coalescing lesson).  x =
+    round(ln(rank)*1e3), y = round(ln(count)*1e3) are integer
+    MILLI-nats (milli keeps the OLS cross-moments within bigint for
+    vocabularies up to ~1e9 types); all five moments are exact integer
+    sums, and the slope is ONE terminal division of two exact bigints
+    (rendered through double, deterministic IEEE in any engine).
 
     Output: one row (n_types, sxy_num, sxx_den, slope_micro) where
     slope = sxy_num / sxx_den = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
     """
     cnt = df.groupBy(token_col).agg(F.count("*").cast("long").alias("_c"))
-    w = Window.orderBy(F.desc("_c"), F.col(token_col))
+    hist = cnt.groupBy("_c").agg(F.count("*").cast("long").alias("_g"))
+    # exclusive rank offset per count value: window over the
+    # count-of-counts histogram (bounded: distinct count values)
+    wh = Window.orderBy(F.desc("_c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunk = 65536
+    runs = hist.select(
+        "_c",
+        "_g",
+        F.coalesce(F.sum("_g").over(wh), F.lit(0)).cast("long").alias("_o"),
+    ).select(
+        "_c",
+        "_g",
+        "_o",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("_g") - 1) / chunk).cast("long"))
+        ).alias("_ci"),
+    )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     milli = 1_000
-    xy = cnt.select(
-        F.round(F.log(F.row_number().over(w).cast("double")) * milli)
-        .cast("long")
-        .alias("_x"),
-        F.round(F.log(F.col("_c").cast("double")) * milli)
-        .cast("long")
-        .alias("_y"),
+    xy = (
+        runs.repartition(n_parts)
+        .select(
+            "_c",
+            F.explode(
+                F.sequence(
+                    F.col("_o") + F.col("_ci") * chunk + 1,
+                    F.least(
+                        F.col("_o") + (F.col("_ci") + 1) * chunk,
+                        F.col("_o") + F.col("_g"),
+                    ),
+                )
+            ).alias("_r"),
+        )
+        .select(
+            F.round(F.log(F.col("_r").cast("double")) * milli)
+            .cast("long")
+            .alias("_x"),
+            F.round(F.log(F.col("_c").cast("double")) * milli)
+            .cast("long")
+            .alias("_y"),
+        )
     )
     m = xy.agg(
         F.count("*").cast("long").alias("_n"),
@@ -1234,9 +1275,11 @@ def randomization_test_means(
     assumption-free significance check behind "is source A's doc
     length really different from source B's?"  Each replicate
     reassigns every unit to A with probability n_A/(n_A+n_B) by
-    comparing 48 md5 bits against an integer threshold derived from
+    comparing 40 md5 bits against an integer threshold derived from
     the observed sizes (the qa88 coordination-free idiom: resampling
     is a map-side explode, no RNG state, reproducible in any engine).
+    40 bits, not 48: the threshold is (n_A << 40) // (n_A + n_B) and
+    the comparison product must stay inside int64.
 
     Exactness: values are int64; each replicate's mean-difference is
     two independently micro-rounded single divisions; the p-value

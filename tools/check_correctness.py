@@ -121,7 +121,9 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
-        if args.only and args.only not in name:
+        if args.only and not any(
+            s and s in name for s in args.only.split(",")
+        ):
             continue
         try:
             df = fn(spark, args.sf_dir)

@@ -163,6 +163,35 @@ GENERIC_CHECK = {
 }
 
 
+#: Queries ALLOWED to plan an unpartitioned Window, each with the reason
+#: its input is bounded (never row-level / corpus-sized).  Everything
+#: else that plans one is a VIOLATION — the qb04 global-ntile class
+#: (single-task sort of the corpus at scale) can't regress silently.
+#: Filled from the discovery run; keep justifications honest.
+WINDOW_ALLOWLIST: dict[str, str] = {}
+
+
+def n_unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes whose partition spec is empty in a formatted
+    plan.  Formatted mode prints each Window's detail block as
+    `(N) Window` / `Input [...]` / `Arguments: [exprs], [part], [order]`;
+    an empty partition spec renders the middle group as `[]`, i.e. the
+    substring `], [], [` (also matched when the order spec is empty too:
+    `], [], []`)."""
+    import re as _re
+
+    n = 0
+    lines = plan.splitlines()
+    for idx, ln in enumerate(lines):
+        if _re.match(r"^\(\d+\) Window$", ln.strip()):
+            for la in lines[idx + 1 : idx + 8]:
+                if la.strip().startswith("Arguments:"):
+                    if "], [], [" in la:
+                        n += 1
+                    break
+    return n
+
+
 def formatted_plan(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -365,6 +394,48 @@ def main() -> int:
                 ok = "BatchEvalPython" not in plan
                 checks.append(f"{name}: native vocab merges "
                               f"{'OK' if ok else 'VIOLATED'}")
+        # global sweep: EVERY contract query must either plan zero
+        # unpartitioned Windows or carry a bounded-input justification
+        fh.write("\n## Unpartitioned-Window sweep (all contract queries)\n\n")
+        win_viol: list[str] = []
+        win_allowed: list[str] = []
+        for name in sorted(QUERIES):
+            try:
+                plan = formatted_plan(QUERIES[name](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — report, don't die
+                win_viol.append(f"{name}: PLAN ERROR {exc}")
+                continue
+            n_w = n_unpartitioned_windows(plan)
+            if n_w == 0:
+                continue
+            if name in WINDOW_ALLOWLIST:
+                win_allowed.append(
+                    f"{name}: {n_w} unpartitioned window(s) — "
+                    f"{WINDOW_ALLOWLIST[name]}"
+                )
+            else:
+                win_viol.append(
+                    f"{name}: {n_w} unpartitioned window(s) NOT allowlisted"
+                )
+        stale = sorted(
+            set(WINDOW_ALLOWLIST)
+            - {e.split(":", 1)[0] for e in win_allowed}
+        )
+        for e in win_allowed:
+            fh.write(f"* allowed — {e}\n")
+        for e in win_viol:
+            fh.write(f"* VIOLATED — {e}\n")
+        for e in stale:
+            fh.write(f"* stale allowlist entry (no window planned) — {e}\n")
+        ok = not win_viol
+        checks.append(
+            "window sweep: "
+            + (
+                f"OK ({len(win_allowed)} allowlisted bounded windows)"
+                if ok
+                else "VIOLATED: " + "; ".join(win_viol)
+            )
+        )
         fh.write("\n## Automated property checks\n\n")
         for c in checks:
             fh.write(f"* {c}\n")
