@@ -62,13 +62,28 @@ def deterministic_fake_features(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_media_features(
-    media: DataFrame, dim: int = 8, use_fake: bool = True
+    media: DataFrame,
+    dim: int = 8,
+    use_fake: bool = True,
+    decode_fn=None,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (Arrow batches).
 
-    With use_fake=False this raises NotImplementedError per payload —
-    clearly marking the decode boundary.
+    The decode boundary is DEPENDENCY-INJECTED: pass
+    ``decode_fn(payload: bytes, kind: str) -> list[float]`` and a real
+    cluster plugs PIL/libav/torchaudio without touching engine code —
+    the function is closure-serialized to executors and called once per
+    payload inside the Arrow batch loop.  Without ``decode_fn``,
+    ``use_fake=True`` (default) uses the deterministic byte-histogram
+    stand-in (oracled by q40) and ``use_fake=False`` raises
+    NotImplementedError per payload — clearly marking the boundary.
     """
+    if decode_fn is None:
+        decode_fn = (
+            (lambda payload, kind: deterministic_fake_features(payload, dim))
+            if use_fake
+            else _decode_real
+        )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,11 +92,7 @@ def extract_media_features(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 raw = bytes(payload) if payload is not None else b""
-                vec = (
-                    deterministic_fake_features(raw, dim)
-                    if use_fake
-                    else _decode_real(raw, kind)
-                )
+                vec = [float(x) for x in decode_fn(raw, kind)]
                 feats.append((int(mid), kind, len(raw), vec))
             yield pd.DataFrame(
                 feats, columns=["media_id", "kind", "n_bytes", "feature"]

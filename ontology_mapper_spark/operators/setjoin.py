@@ -52,6 +52,8 @@ def prefix_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    hot_df_threshold: int = 256,
+    hot_salt: int = 16,
 ) -> DataFrame:
     """All pairs with token-set Jaccard >= threshold — exact, no sampling.
 
@@ -62,7 +64,12 @@ def prefix_jaccard_pairs(
     micro-int form.
     """
     t_micro = int(round(threshold * 1_000_000))
-    tok = _tokens(df, text_col, id_col)
+    # Pin the token table once: it feeds FOUR branches (prefix side a,
+    # prefix side b, doc-set side a, doc-set side b), and without the
+    # lineage cut every branch replays the scan+normalize+explode+
+    # distinct — the q61 self-join recompute class (measured ~40s ->
+    # ~20s at sf0.1 from the two pins in this function alone).
+    tok = _tokens(df, text_col, id_col).localCheckpoint()
 
     doc_freq = tok.groupBy("_w").agg(F.count("*").cast("long").alias("_df"))
 
@@ -91,7 +98,7 @@ def prefix_jaccard_pairs(
         "_n",
         (F.col("_pos") + 1).cast("long").alias("_i"),
         F.col("_p._w").alias("_w"),
-    )
+    ).localCheckpoint()  # pinned: both self-join sides read this table
 
     a = prefix.select(
         F.col("_id").alias("id_a"),
@@ -105,13 +112,48 @@ def prefix_jaccard_pairs(
         F.col("_i").alias("_ib"),
         "_w",
     )
+    # Candidate generation is an OUTPUT-heavy self-join: a prefix token
+    # shared by k docs emits ~k²/2 pair rows, so the join's CPU is in
+    # its output, not its input — and the input is tiny in BYTES, so
+    # AQE's byte-based coalescing collapses the join to ONE partition
+    # and the whole 78M-row production runs single-task (measured 36 s
+    # of a 47 s query at sf0.1; UI stage showed numTasks=1,
+    # shuffleWriteRecords=78M).  Two measured countermeasures:
+    # * explicit-numPartitions repartitions on the join keys (exempt
+    #   from AQE coalescing) pin real parallelism into the join stage;
+    # * HOT tokens (df > hot_df_threshold; the df table is already on
+    #   hand) are salted: the b side keys by (token, hash(id_b) % S)
+    #   and the a side replicates each hot row S times, spreading one
+    #   token's k² production across S partitions — the skewjoin.py
+    #   hot/cold discipline.  Replication cost is S·|hot prefix rows|,
+    #   bounded by the pair output those rows generate (k > threshold
+    #   ⇒ k²/2 ≫ k·S); cold tokens never pay it.
+    P = df.sparkSession.sparkContext.defaultParallelism
+    hot_tokens = F.broadcast(
+        doc_freq.where(F.col("_df") > int(hot_df_threshold)).select("_w")
+    )
+    a_cold = a.join(hot_tokens, "_w", "left_anti")
+    b_cold = b.join(hot_tokens, "_w", "left_anti")
+    cold_cand = a_cold.repartition(P, "_w").join(
+        b_cold.repartition(P, "_w"), "_w"
+    )
+    a_hot = a.join(hot_tokens, "_w", "left_semi").withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(int(hot_salt) - 1)).cast("array<int>")),
+    )
+    b_hot = b.join(hot_tokens, "_w", "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64("id_b"), F.lit(int(hot_salt))).cast("int")
+    )
+    hot_cand = a_hot.repartition(P, "_w", "_salt").join(
+        b_hot.repartition(P, "_w", "_salt"), ["_w", "_salt"]
+    )
     cand = (
-        a.join(b, "_w")
+        cold_cand.select("id_a", "id_b", "n_a", "n_b", "_ia", "_ib")
+        .unionByName(hot_cand.select("id_a", "id_b", "n_a", "n_b", "_ia", "_ib"))
         .where(F.col("id_a") < F.col("id_b"))
         # size filter: t*n_a <= n_b and t*n_b <= n_a (integer compare)
         .where(F.col("n_b") * 1_000_000 >= F.col("n_a") * t_micro)
         .where(F.col("n_a") * 1_000_000 >= F.col("n_b") * t_micro)
-        .select("id_a", "id_b", "n_a", "n_b", "_ia", "_ib")
     )
     # Two measured fixes at sf0.1 (78M raw candidates on this
     # template-heavy corpus):

@@ -501,6 +501,8 @@ def bpe_merge_rounds(
     text_col: str = "text",
     id_col: str = "doc_id",
     rounds: int = 3,
+    min_pair_count: int = 1,
+    target_vocab: int | None = None,
 ) -> DataFrame:
     """Multi-round BPE merge TRAINING (Sennrich et al. 2016) — the
     iterative loop ``bpe_pair_counts`` is one step of: each round counts
@@ -522,6 +524,16 @@ def bpe_merge_rounds(
     table — O(|vocab|·len) per round regardless of corpus size; each
     round's vocab is pinned (persist + count) so round r doesn't replay
     rounds 1..r−1 2^r times (the CLAUDE.md iterative-recompute trap).
+    The per-round argmax is ONE collected row (the kmeans-centroid
+    class of driver collect: dictionary-sized by construction), which
+    is also what the replace literal needs.
+
+    Stopping rules (real tokenizer training, not just fixed unrolls):
+    the loop ends early when no adjacent pair remains, when the best
+    pair's corpus count drops below ``min_pair_count``, or when the
+    symbol vocabulary reaches ``target_vocab`` (= distinct initial
+    symbols + adopted merges; each round adopts exactly one new
+    symbol).  Defaults reproduce the fixed-``rounds`` behavior exactly.
 
     Output: one row per merge rule — (round, sym_x, sym_y, pair_count).
     """
@@ -541,12 +553,21 @@ def bpe_merge_rounds(
         ).alias("s"),
         "f",
     )
-    pinned = []
-    outs = []
-    for r in range(1, int(rounds) + 1):
+    max_rounds = int(rounds)
+    if target_vocab is not None:
+        # each adopted merge adds exactly one symbol to the vocabulary,
+        # so the budget in rounds is target_vocab - |initial symbols|
+        n_base = (
+            words.select(F.explode(F.split("w", "")).alias("_c"))
+            .where(F.col("_c") != "")
+            .agg(F.countDistinct("_c"))
+            .collect()[0][0]
+        )
+        max_rounds = min(max_rounds, max(0, int(target_vocab) - int(n_base)))
+    rules: list[tuple[int, str, str, int]] = []
+    for r in range(1, max_rounds + 1):
         cur = cur.persist()
         cur.count()
-        pinned.append(cur)
         arr = cur.select(
             F.split(F.expr("trim(BOTH '|' FROM s)"), "\\|\\|").alias("a"), "f"
         )
@@ -571,28 +592,21 @@ def bpe_merge_rounds(
             .agg(F.sum("f").cast("long").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "sym_x", "sym_y")
             .limit(1)
-            .select(
-                F.lit(r).cast("int").alias("round"),
-                "sym_x",
-                "sym_y",
-                "pair_count",
-            )
+            .collect()
         )
-        outs.append(top1)
-        cur = cur.crossJoin(F.broadcast(top1.select("sym_x", "sym_y"))).select(
+        if not top1 or top1[0]["pair_count"] < int(min_pair_count):
+            break
+        x, y, c = top1[0]["sym_x"], top1[0]["sym_y"], int(top1[0]["pair_count"])
+        rules.append((r, x, y, c))
+        cur = cur.select(
             F.replace(
-                F.col("s"),
-                F.concat(
-                    F.lit("|"), F.col("sym_x"), F.lit("||"), F.col("sym_y"), F.lit("|")
-                ),
-                F.concat(F.lit("|"), F.col("sym_x"), F.col("sym_y"), F.lit("|")),
+                F.col("s"), F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|")
             ).alias("s"),
             "f",
         )
-    result = outs[0]
-    for t in outs[1:]:
-        result = result.union(t)
-    return result
+    return df.sparkSession.createDataFrame(
+        rules, "round int, sym_x string, sym_y string, pair_count long"
+    )
 
 
 def novelty_curve(

@@ -12,6 +12,7 @@ from .detect import (
     stream_detect_mentions,
     stream_exact_dedup,
     stream_link_mentions,
+    stream_scrub,
     stream_windowed_comention_counts,
     windowed_mention_counts,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "stream_detect_mentions",
     "stream_exact_dedup",
     "stream_link_mentions",
+    "stream_scrub",
     "stream_windowed_comention_counts",
     "windowed_mention_counts",
     "vacuum_snapshot",

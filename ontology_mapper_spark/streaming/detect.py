@@ -37,6 +37,34 @@ def read_transcript_stream(
     )
 
 
+def stream_scrub(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-only scrub chain (NFC/control normalize → PII redact) applied
+    IN PLACE to ``text_col``, preserving every other column — the
+    streaming twin of the batch curation example's stage-0/1 order
+    (`examples/training_data_pipeline.py`: codepoint canonicalization
+    before any hashing, redaction before anything persists raw text),
+    so the incremental pipeline feeds detect/dedup the same bytes the
+    batch pipeline would.
+
+    Stateless by construction: the ASCII fast lane stays a JVM Project,
+    non-ASCII rows route through the Arrow NFC lane, and the union of
+    the two disjoint filters adds no state store — trivially streamable
+    ahead of `stream_detect_mentions` / `stream_exact_dedup`.
+    """
+    from ..operators.pii import redact
+    from ..operators.unicode_norm import _NON_ASCII, _nfc_udf, strip_controls
+
+    t = F.col(text_col)
+    suspect = F.coalesce(t.rlike(_NON_ASCII), F.lit(False))
+    stripped = strip_controls(t)
+    ascii_lane = stream.where(~suspect).withColumn(text_col, stripped)
+    nfc_lane = stream.where(suspect).withColumn(
+        text_col, _nfc_udf()(stripped)
+    )
+    cleaned = ascii_lane.unionByName(nfc_lane)
+    return cleaned.withColumn(text_col, redact(F.col(text_col)))
+
+
 def stream_detect_mentions(
     spark: SparkSession, stream: DataFrame, patterns: list[str]
 ) -> DataFrame:

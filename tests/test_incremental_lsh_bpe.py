@@ -61,6 +61,69 @@ def test_bpe_merge_rounds_greedy_and_iterative(spark):
     assert (out[2]["sym_x"], out[2]["sym_y"], out[2]["pair_count"]) == ("aa", "aa", 3)
 
 
+def test_bpe_merge_rounds_prefix_property(spark):
+    """R rounds == R sequential greedy merges: the rule list of a longer
+    run must extend the shorter run's list verbatim (each round depends
+    only on the vocab state its predecessors produced)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=3,
+            max_size=10,
+        )
+    )
+    def check(words):
+        d = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        runs = {
+            r: [
+                (x["round"], x["sym_x"], x["sym_y"], x["pair_count"])
+                for x in sorted(
+                    bpe_merge_rounds(d, rounds=r).collect(),
+                    key=lambda row: row["round"],
+                )
+            ]
+            for r in (1, 2, 3)
+        }
+        assert runs[1] == runs[3][: len(runs[1])]
+        assert runs[2] == runs[3][: len(runs[2])]
+
+    check()
+
+
+def test_bpe_merge_stopping_rules(spark):
+    d = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    # pair exhaustion: after merging (a,b) each word is ONE symbol — no
+    # adjacent pairs remain, so rounds=5 stops after 1 rule
+    out = bpe_merge_rounds(d, rounds=5).collect()
+    assert [(r["round"], r["sym_x"], r["sym_y"]) for r in out] == [
+        (1, "a", "b")
+    ]
+    # min_pair_count: the only pair has corpus count 3 < 4 — no rules
+    assert bpe_merge_rounds(d, rounds=5, min_pair_count=4).count() == 0
+    # target_vocab: base symbols {a} = 1; budget 2 allows ONE merge
+    d2 = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    out2 = bpe_merge_rounds(d2, rounds=5, target_vocab=2).collect()
+    assert [(r["round"], r["sym_x"], r["sym_y"]) for r in out2] == [
+        (1, "a", "a")
+    ]
+    # and an empty-result frame still has the contract schema
+    empty = bpe_merge_rounds(d2, rounds=5, target_vocab=1)
+    assert empty.columns == ["round", "sym_x", "sym_y", "pair_count"]
+    assert empty.count() == 0
+
+
 def test_bpe_merge_no_suffix_false_match(spark):
     # after merging (b,a) -> 'ba', a following 'a' must NOT be merged by a
     # later (a,a) rule through the 'a' inside 'ba'

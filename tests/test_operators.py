@@ -435,6 +435,36 @@ def test_media_features_fake_decode(spark):
     assert {(r.media_id, r.frame_ts_ms) for r in plan} == {(2, 0), (2, 1000), (2, 2000)}
 
 
+def test_media_features_injected_decoder(spark):
+    """The decode boundary is dependency-injected: a custom decode_fn
+    must be called by the Arrow batch path with (payload bytes, kind)
+    and its return vector must flow through to the output — the hook a
+    real cluster uses to plug PIL/libav without touching engine code."""
+    from ontology_mapper_spark.operators.multimodal import MEDIA_SCHEMA
+
+    payloads = [(1, "image", b"abcdef"), (2, "audio", b"\x00\x01")]
+    df = spark.createDataFrame(
+        [(i, k, p, None, None, None, 2500) for i, k, p in payloads],
+        MEDIA_SCHEMA,
+    )
+
+    def decode(payload, kind):
+        # provably derived from BOTH arguments, unmistakably not the fake
+        return [float(len(payload)), float(len(kind)), 42.0]
+
+    out = {
+        r.media_id: (r.n_bytes, list(r.feature))
+        for r in extract_media_features(df, decode_fn=decode).collect()
+    }
+    assert out[1] == (6, [6.0, 5.0, 42.0])
+    assert out[2] == (2, [2.0, 5.0, 42.0])
+    # and a decode_fn that raises surfaces (the use_fake=False boundary)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_media_features(df, use_fake=False).collect()
+
+
 def test_resize_and_audio_chunk_plans(spark):
     from ontology_mapper_spark.operators.multimodal import (
         MEDIA_SCHEMA,

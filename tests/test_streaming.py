@@ -48,6 +48,83 @@ def test_stream_detect_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_stream_scrub_matches_batch(spark, tmp_path):
+    """stream_scrub == the batch scrub chain (nfc_scrub clean text →
+    redact) row-for-row, with non-text columns untouched — including
+    rows that exercise the PII patterns, the non-ASCII Arrow NFC lane,
+    and the ASCII JVM lane."""
+    from pyspark.sql import types as T
+
+    from ontology_mapper_spark.operators.pii import redact
+    from ontology_mapper_spark.operators.unicode_norm import nfc_scrub
+    from ontology_mapper_spark.streaming import stream_scrub
+
+    rows = [
+        ("c1", 0, "user", "mail me at a.b@example.com please", "t", 1_000_000),
+        ("c1", 1, "agent", "café résumé +1 555 123 4567", "t", 2_000_000),
+        ("c2", 0, "user", "plain ascii, nothing to scrub", "t", 3_000_000),
+        ("c2", 1, "agent", "ctrl\x07chars\x00here 192.168.0.1", "t", 4_000_000),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    tr = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    ).drop("ts_us")
+    src = str(tmp_path / "scrub_src")
+    tr.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_scrub(stream)
+        .writeStream.format("memory")
+        .queryName("scrub_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool)
+        for r in spark.sql("select * from scrub_stream").collect()
+    }
+    clean = nfc_scrub(tr, "text", "conv_id")  # keyed per-row via conv+turn
+    batch_df = (
+        tr.withColumnRenamed("text", "_raw0")
+        .join(
+            nfc_scrub(
+                tr.select(
+                    F.concat_ws("#", "conv_id", "turn_idx").alias("_k"), "text"
+                ),
+                "text",
+                "_k",
+            ).select("_k", "clean"),
+            F.concat_ws("#", "conv_id", "turn_idx") == F.col("_k"),
+        )
+        .withColumn("text", redact(F.col("clean")))
+    )
+    batch = {
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool)
+        for r in batch_df.collect()
+    }
+    assert got == batch
+    # scrubbing actually happened: the email and phone are gone
+    texts = {t for (_, _, _, t, _) in got}
+    assert not any("a.b@example.com" in t for t in texts)
+    assert any("café" in t for t in texts)  # NFC composed the accent
+    del clean
+
+
 def test_stream_link_matches_batch(spark, tmp_path):
     """Streaming link stage == batch link_mentions on the same data, and
     the event-time column survives for downstream watermarking."""

@@ -168,27 +168,80 @@ GENERIC_CHECK = {
 #: else that plans one is a VIOLATION — the qb04 global-ntile class
 #: (single-task sort of the corpus at scale) can't regress silently.
 #: Filled from the discovery run; keep justifications honest.
-WINDOW_ALLOWLIST: dict[str, str] = {}
+WINDOW_ALLOWLIST: dict[str, str] = {
+    "q48_ivf_topk": "IVF centroid seed table (n_centroids rows) + rank over the final top-k survivors",
+    "q76_seq_packing": "64-row shard-offset table (the TWO-PHASE global prefix sum's small side)",
+    "q77_bpe_pairs": "rank over the <=k merged-pair table after TakeOrderedAndProject",
+    "q82_bm25_topk": "rank over <=top_k survivors of TakeOrderedAndProject",
+    "q85_weighted_sample": "rank over <=k TakeOrdered sample survivors",
+    "q86_rrf_hybrid": "per-ranker and fused ranks all over <=top_k TakeOrdered lists",
+    "qa19_negative_samples": "256-row md5-prefix bucket histogram (two-phase vocab rank offsets)",
+    "qa22_mann_whitney": "distinct-value score histogram (doubled-midrank idiom)",
+    "qa24_curriculum": "per-source size table (closed-form interleave rank, sources are a dimension)",
+    "qa30_zipf_slope": "count-of-counts histogram (rank-run explode; ~O(sqrt(corpus)) rows)",
+    "qa33_pr_sweep": "fixed threshold-grid sweep table",
+    "qa46_hard_negatives": "16-row centroid probe table + per-query shortlist rank",
+    "qa58_funnel_steps": "funnel step spine (fixed number of steps)",
+    "qa63_zonemap_pruning": "per-file zone-map table (file-count rows, not row-level)",
+    "qa67_kaplan_meier": "distinct event-day risk table (day-resolution survival spine)",
+    "qa71_neyman": "stratum summary table (strata are a dimension)",
+    "qa74_shuffle_balance": "shuffle-partition stats table (numPartitions rows)",
+    "qa82_calibration": "fixed-count calibration bin table",
+    "qa85_novelty_curve": "day spine (cumulative vocabulary per day)",
+    "qa86_multiclass_f1": "class contingency table (classes are a dimension)",
+    "qa89_ndcg": "per-group summary wall mean (evaluation query set, dictionary-sized)",
+    "qa90_bradley_terry": "item strength table (items are a dictionary-sized dimension)",
+    "qa94_pq_codebook": "codebook table (k centroids x dims rows)",
+    "qa95_sprt_monitor": "day-spine cumulative LLR (sequential test over days)",
+    "qb02_heaps_law": "30-day synthetic calendar accumulation table",
+    "qb04_decile_lift": "score histogram tile boundaries + 10-row tile cumulative table",
+    "qb05_markov_stationary": "state-transition matrix (n_states^2 rows)",
+    "qb06_mixture_allocation": "source mixture table (sources are a dimension)",
+    "qb07_ql_dirichlet": "rank over <=top_k survivors of TakeOrderedAndProject",
+    "qb08_jackknife_ratio": "leave-one-out group summary table",
+    "qb12_markov_entropy_rate": "state-transition matrix (n_states^2 rows)",
+}
 
 
 def n_unpartitioned_windows(plan: str) -> int:
-    """Count Window nodes whose partition spec is empty in a formatted
-    plan.  Formatted mode prints each Window's detail block as
-    `(N) Window` / `Input [...]` / `Arguments: [exprs], [part], [order]`;
-    an empty partition spec renders the middle group as `[]`, i.e. the
-    substring `], [], [` (also matched when the order spec is empty too:
-    `], [], []`)."""
+    """Count window expressions whose windowspecdefinition has an EMPTY
+    partition spec.  Formatted mode omits empty trailing argument groups
+    on the Window node (a wall window prints `Arguments: [sum(x)
+    windowspecdefinition(specifiedwindowframe(...)) AS ...]` with no
+    partition/order groups at all), so the reliable signal is the
+    windowspecdefinition argument list itself:
+    windowspecdefinition(partCols..., orderCols..., frame) — if the
+    FIRST depth-0 argument is the frame, or carries an ASC/DESC NULLS
+    order marker, there are no partition columns."""
     import re as _re
 
     n = 0
-    lines = plan.splitlines()
-    for idx, ln in enumerate(lines):
-        if _re.match(r"^\(\d+\) Window$", ln.strip()):
-            for la in lines[idx + 1 : idx + 8]:
-                if la.strip().startswith("Arguments:"):
-                    if "], [], [" in la:
-                        n += 1
-                    break
+    start = 0
+    needle = "windowspecdefinition("
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            break
+        j = i + len(needle)
+        depth = 1
+        first_arg_end = None
+        k = j
+        while k < len(plan) and depth > 0:
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1 and first_arg_end is None:
+                first_arg_end = k
+            k += 1
+        first = plan[j : first_arg_end if first_arg_end is not None else k - 1]
+        first = first.strip()
+        if first.startswith("specifiedwindowframe(") or _re.search(
+            r"(ASC|DESC) NULLS (FIRST|LAST)$", first
+        ):
+            n += 1
+        start = k
     return n
 
 
