@@ -172,6 +172,13 @@ EXTENDED = [
     "qb11_capture_recapture",
     "qb12_markov_entropy_rate",
     "qb13_two_proportion_ztest",
+    # round-4 operators
+    "qb14_mcnemar",
+    "qb15_cochran_armitage",
+    "qb16_predicate_cardinality",
+    "qb17_link_margins",
+    "qb18_conformal_coverage",
+    "qb19_mcc",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

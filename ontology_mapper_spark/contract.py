@@ -5593,7 +5593,11 @@ def qa33(spark, sf):
     window is over the DISTINCT score domain (decision-table-sized)."""
     from .operators.evaluate import pr_sweep
 
-    links = kg_links(spark, sf)
+    # pinned: the scored-link table feeds THREE subplans (candidates,
+    # gold, and the sweep's score domain) — without the lineage cut the
+    # full detect+link pipeline replays per reference (3x 15 CPU-s at
+    # sf0.1, the q61/qa42 self-reference recompute class)
+    links = kg_links(spark, sf).localCheckpoint()
     keys = ["conv_id", "turn_idx", "begin", "end", "class_iri"]
     gold = links.where(F.col("rank") == 1).select(*keys)
     return pr_sweep(links, gold, keys)
@@ -5659,7 +5663,11 @@ def qa35(spark, sf):
     distinct matched patterns, distinct documents, and each ontology's
     share of all mentions.  One groupBy over the link output; the total
     is a single scalar aggregate."""
-    links = _kg_fixture_links(spark, sf).where(F.col("rank") == 1)
+    # pinned: the link table is read once for the scalar total and once
+    # for the per-ontology agg — one detect+link pass, not two
+    links = (
+        _kg_fixture_links(spark, sf).where(F.col("rank") == 1).localCheckpoint()
+    )
     total = links.count()
     return links.groupBy("ontology").agg(
         F.count("*").cast("long").alias("n_mentions"),
@@ -10118,4 +10126,284 @@ def qb13(spark, sf):
         0,
         1,
         "hit",
+    )
+
+
+@_q(
+    "qb14_mcnemar",
+    """
+    WITH paired AS (
+      SELECT (contains(' ' || text || ' ', ' the ') = (lang = 'en'))
+               AS ok_a,
+             ((n_chars >= 600) = (lang = 'en')) AS ok_b
+      FROM documents),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN ok_a AND ok_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both_correct,
+             CAST(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_a,
+             CAST(sum(CASE WHEN NOT ok_a AND ok_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_b,
+             CAST(sum(CASE WHEN NOT ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both_wrong
+      FROM paired)
+    SELECT n_pairs, n_both_correct, n_only_a, n_only_b, n_both_wrong,
+           CASE WHEN n_only_a + n_only_b > 0 THEN
+             CAST(round((n_only_a - n_only_b) * (n_only_a - n_only_b)
+                        * 1000000 / (n_only_a + n_only_b)) AS BIGINT)
+           END AS chi2_micro
+    FROM agg
+    """,
+)
+def qb14(spark, sf):
+    """McNemar's paired test (operators/evaluate.py:mcnemar_test)
+    comparing two deterministic language-ID heuristics — a stopword
+    probe vs a length prior — against the document lang label on the
+    SAME rows.  The paired-classifier complement to qa86's marginal
+    F1: only the discordant counts carry evidence.  Exact int64
+    contingency, ONE micro-rounded division."""
+    from .operators.evaluate import mcnemar_test
+
+    d = _t(spark, sf, "documents")
+    paired = d.select(
+        (
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).contains(" the ")
+            == (F.col("lang") == "en")
+        ).alias("ok_a"),
+        ((F.col("n_chars") >= 600) == (F.col("lang") == "en")).alias("ok_b"),
+    )
+    return mcnemar_test(paired, "ok_a", "ok_b")
+
+
+@_q(
+    "qb15_cochran_armitage",
+    """
+    WITH per_dose AS (
+      SELECT event_type AS _g, user_id % 5 AS _w,
+             CAST(count(*) AS BIGINT) AS _n,
+             CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS _r
+      FROM events GROUP BY 1, 2),
+    agg AS (
+      SELECT _g,
+             CAST(count(*) AS BIGINT) AS n_doses,
+             CAST(sum(_n) AS BIGINT) AS "_N",
+             CAST(sum(_r) AS BIGINT) AS "_R",
+             CAST(sum(_w * _r) AS BIGINT) AS swr,
+             CAST(sum(_w * _n) AS BIGINT) AS swn,
+             CAST(sum(_w * _w * _n) AS BIGINT) AS sw2n
+      FROM per_dose GROUP BY 1)
+    SELECT _g AS event_type, n_doses, "_N" AS n_total, "_R" AS n_success,
+           CAST(sign("_N" * swr - "_R" * swn) AS INT) AS trend_sign,
+           CASE WHEN "_R" > 0 AND "_R" < "_N"
+                     AND "_N" * sw2n - swn * swn > 0 THEN
+             CAST(round(
+               CAST("_N" AS DOUBLE)
+               * (CAST("_N" * swr - "_R" * swn AS DOUBLE)
+                  * CAST("_N" * swr - "_R" * swn AS DOUBLE))
+               / ((CAST("_R" AS DOUBLE) * CAST("_N" - "_R" AS DOUBLE))
+                  * CAST("_N" * sw2n - swn * swn AS DOUBLE))
+               * 1000000) AS BIGINT)
+           END AS z2_micro
+    FROM agg
+    """,
+)
+def qb15(spark, sf):
+    """Cochran–Armitage dose-response trend per event type
+    (operators/stats.py:cochran_armitage_trend): does the value>=50
+    hit rate drift monotonically across the five user cohorts?  The
+    ordinal upgrade of qb13's two-arm z — exact integer moments over
+    the dose dimension, doubles only past the int64 bound in a fixed
+    mirrored op order, sign via exact integer signum."""
+    from .operators.stats import cochran_armitage_trend
+
+    ev = _t(spark, sf, "events")
+    return cochran_armitage_trend(
+        ev.select(
+            F.col("event_type"),
+            (F.col("user_id") % 5).alias("dose"),
+            (F.col("value") >= 50.0).alias("hit"),
+        ),
+        "event_type",
+        "dose",
+        "hit",
+    )
+
+
+@_q(
+    "qb16_predicate_cardinality",
+    """
+    WITH t AS (
+      SELECT DISTINCT user_id AS _s, event_type AS _p,
+             CAST(floor(value) AS BIGINT) AS _o
+      FROM events),
+    per_subj AS (
+      SELECT _p, _s, CAST(count(*) AS BIGINT) AS _k
+      FROM t GROUP BY 1, 2),
+    subj_prof AS (
+      SELECT _p, CAST(count(*) AS BIGINT) AS n_subj,
+             CAST(sum(_k) AS BIGINT) AS n_triples,
+             CAST(sum(CASE WHEN _k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_subj_functional
+      FROM per_subj GROUP BY 1),
+    obj_prof AS (
+      SELECT _p, CAST(count(DISTINCT _o) AS BIGINT) AS n_obj
+      FROM t GROUP BY 1)
+    SELECT s._p AS pred, n_triples, n_subj, n_obj, n_subj_functional,
+           CAST(round(n_subj_functional * 1000000 / n_subj) AS BIGINT)
+             AS functionality_micro,
+           CAST(round(n_triples * 1000000 / n_subj) AS BIGINT)
+             AS fanout_micro,
+           CAST(round(n_triples * 1000000 / n_obj) AS BIGINT)
+             AS inv_fanout_micro
+    FROM subj_prof s JOIN obj_prof o ON s._p = o._p
+    """,
+)
+def qb16(spark, sf):
+    """Per-predicate cardinality/functionality audit
+    (operators/kgaudit.py:predicate_cardinality) over the user-event
+    triple view — the pre-canonicalization KG health check: an almost-
+    functional predicate is safe to collapse, a high-fanout predicate
+    is the hub signal the CC stage's hot-key routing needs
+    (pipeline/canonicalize.py hot_degree_threshold)."""
+    from .operators.kgaudit import predicate_cardinality
+
+    ev = _t(spark, sf, "events")
+    return predicate_cardinality(
+        ev.select(
+            F.col("user_id").alias("subj"),
+            F.col("event_type").alias("pred"),
+            F.floor("value").cast("long").alias("obj"),
+        )
+    )
+
+
+@_q(
+    "qb17_link_margins",
+    f"""
+    WITH {_kgf.decision_values_sql()},
+    per AS (
+      SELECT pattern,
+             CAST(count(*) AS BIGINT) AS n_cands,
+             max(CASE WHEN rank = 1 THEN class_iri END) AS top_class_iri,
+             CAST(max(CASE WHEN rank = 1 THEN score_micro END) AS BIGINT)
+               AS top_score_micro,
+             CAST(max(CASE WHEN rank = 2 THEN score_micro END) AS BIGINT)
+               AS _second_micro
+      FROM dec GROUP BY 1)
+    SELECT pattern, n_cands, top_class_iri, top_score_micro,
+           top_score_micro - _second_micro AS margin_micro,
+           coalesce(top_score_micro - _second_micro < 50000, FALSE)
+             AS ambiguous
+    FROM per
+    """,
+)
+def qb17(spark, sf):
+    """Linker-confidence margins (operators/kgaudit.py:link_margins)
+    over the REAL rank_dictionary decision table: the rank-1/rank-2
+    score gap per pattern is the auto-accept-vs-review routing signal
+    (the reference's interactive per-term accept loop,
+    cli/interface.py:361-366, becomes one dictionary-sized audit).
+    Scores micro-rounded identically to the kg fixture's mirrored
+    decision table, so the margin is an exact int64 difference."""
+    from .kg_fixture import terms_df
+    from .operators.kgaudit import link_margins
+    from .pipeline.link_score import rank_dictionary
+
+    return link_margins(rank_dictionary(spark, terms_df(spark), idf=None))
+
+
+@_q(
+    "qb18_conformal_coverage",
+    """
+    WITH base AS (
+      SELECT CAST(n_chars AS BIGINT) AS _s,
+             CAST('0x' || substr(md5('conformal' || CAST(doc_id AS VARCHAR)),
+                                 1, 10) AS BIGINT) < 549755813888 AS _is_cal
+      FROM documents),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN _is_cal THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cal,
+             CAST(sum(CASE WHEN _is_cal THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_test
+      FROM base),
+    k AS (
+      SELECT n_cal, n_test,
+             least(((n_cal + 1) * 900000 + 999999) // 1000000, n_cal)
+               AS rank_k
+      FROM counts),
+    q AS (
+      SELECT (SELECT _s FROM base WHERE _is_cal ORDER BY _s
+              LIMIT 1 OFFSET (SELECT rank_k - 1 FROM k)) AS q_hat),
+    cov AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_covered
+      FROM base WHERE NOT _is_cal AND _s <= (SELECT q_hat FROM q))
+    SELECT k.n_cal, k.n_test, CAST(k.rank_k AS BIGINT) AS rank_k,
+           (SELECT q_hat FROM q) AS q_hat, cov.n_covered,
+           CASE WHEN k.n_test > 0 THEN
+             CAST(round(cov.n_covered * 1000000 / k.n_test) AS BIGINT)
+           END AS coverage_micro
+    FROM k, cov
+    """,
+)
+def qb18(spark, sf):
+    """Split-conformal coverage audit
+    (operators/evaluate.py:conformal_split_coverage) on the document
+    length score: md5-deterministic 50/50 calibration split, q_hat =
+    the ceil((n+1)·0.9)-th smallest calibration score read off the
+    score HISTOGRAM's cumulative counts (never a global sort — the
+    oracle's ORDER BY/OFFSET form is the semantic spec, not the plan),
+    then held-out coverage against the distribution-free 90% target."""
+    from .operators.evaluate import conformal_split_coverage
+
+    d = _t(spark, sf, "documents")
+    return conformal_split_coverage(
+        d, "n_chars", "doc_id", alpha_micro=100_000,
+        cal_fraction_micro=500_000, salt="conformal",
+    )
+
+
+@_q(
+    "qb19_mcc",
+    """
+    WITH agg AS (
+      SELECT CAST(sum(CASE WHEN n_chars >= 600 AND lang = 'en'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN n_chars >= 600 AND lang <> 'en'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN n_chars < 600 AND lang = 'en'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN n_chars < 600 AND lang <> 'en'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM documents)
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+                     AND tn + fn > 0 THEN
+             CAST(round(CAST(tp * tn - fp * fn AS DOUBLE) * 1000000
+                        / sqrt((CAST(tp + fp AS DOUBLE)
+                                * CAST(tp + fn AS DOUBLE))
+                               * (CAST(tn + fp AS DOUBLE)
+                                  * CAST(tn + fn AS DOUBLE)))) AS BIGINT)
+           END AS mcc_micro
+    FROM agg
+    """,
+)
+def qb19(spark, sf):
+    """Matthews correlation (operators/evaluate.py:mcc_binary) of the
+    length-prior language classifier — the imbalance-honest confusion
+    summary next to qa86's macro-F1.  Numerator exact int64; the four
+    marginals enter double-space individually before one fixed-order
+    product/sqrt/divide (IEEE-identical in both engines, the qb13
+    discipline)."""
+    from .operators.evaluate import mcc_binary
+
+    d = _t(spark, sf, "documents")
+    return mcc_binary(
+        d.select(
+            (F.col("n_chars") >= 600).alias("pred"),
+            (F.col("lang") == "en").alias("gold"),
+        ),
+        "pred",
+        "gold",
     )

@@ -415,8 +415,15 @@ def simhash_neardup_pairs(
             )
         ).alias("b"),
     ).select(id_col, "simhash_hex", "b.band_id", "b.band_val")
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    # Explicit-numPartitions repartitions: the banded self-join is
+    # output-heavy with byte-tiny inputs (the qa42 class), so without
+    # pinning AQE coalesces both the join and the pair-distinct to a
+    # handful of tasks (measured 3 tasks / 12 CPU-s on the distinct at
+    # sf0.1).  The distinct's grouping keys extend the repartition
+    # keys, so it reuses the same exchange.
+    P = df.sparkSession.sparkContext.defaultParallelism
+    a = bands_df.repartition(P, "band_id", "band_val").alias("a")
+    b = bands_df.repartition(P, "band_id", "band_val").alias("b")
     pairs = (
         a.join(
             b,
@@ -430,6 +437,7 @@ def simhash_neardup_pairs(
             F.col("a.simhash_hex").alias("_ha"),
             F.col("b.simhash_hex").alias("_hb"),
         )
+        .repartition(P, "id_a", "id_b")
         .distinct()
     )
     nib = lambda c, i: F.conv(F.substring(c, i + 1, 1), 16, 10).cast("int")  # noqa: E731

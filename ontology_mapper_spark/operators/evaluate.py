@@ -1119,3 +1119,198 @@ def decile_lift(
             ).cast("long"),
         ).alias("lift_micro"),
     )
+
+
+def mcnemar_test(
+    paired: DataFrame,
+    correct_a_col,
+    correct_b_col,
+) -> DataFrame:
+    """McNemar's paired test for two classifiers evaluated on the SAME
+    items — the right comparison when predictions are paired (marginal
+    accuracies alone say nothing about whether A beats B on the items
+    they disagree on).  Input: one row per item with boolean
+    correctness columns for each classifier.
+
+    chi2 (without continuity correction) = (b - c)^2 / (b + c) over the
+    discordant counts b (A right, B wrong) and c (B right, A wrong) —
+    exact int64 counts, ONE micro-rounded division; NULL when no
+    discordant pairs.  Cost: one map-side-combined scalar aggregate
+    (100 TB = one pass, no shuffle wider than the combine).
+
+    Output (single row): n_pairs, n_both_correct, n_only_a, n_only_b,
+    n_both_wrong, chi2_micro.
+    """
+    ca = (
+        correct_a_col
+        if not isinstance(correct_a_col, str)
+        else F.col(correct_a_col)
+    ).cast("boolean")
+    cb = (
+        correct_b_col
+        if not isinstance(correct_b_col, str)
+        else F.col(correct_b_col)
+    ).cast("boolean")
+    agg = paired.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((ca & cb).cast("long")).cast("long").alias("n_both_correct"),
+        F.sum((ca & ~cb).cast("long")).cast("long").alias("n_only_a"),
+        F.sum((~ca & cb).cast("long")).cast("long").alias("n_only_b"),
+        F.sum((~ca & ~cb).cast("long")).cast("long").alias("n_both_wrong"),
+    )
+    b, c = F.col("n_only_a"), F.col("n_only_b")
+    return agg.select(
+        "n_pairs",
+        "n_both_correct",
+        "n_only_a",
+        "n_only_b",
+        "n_both_wrong",
+        F.when(
+            b + c > 0,
+            F.round((b - c) * (b - c) * F.lit(MICRO) / (b + c)).cast("long"),
+        ).alias("chi2_micro"),
+    )
+
+
+def mcc_binary(
+    scored: DataFrame,
+    pred_col,
+    label_col,
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier — the
+    single-number confusion summary that stays honest under class
+    imbalance (accuracy and F1 both saturate when one class dominates,
+    the standard failure of quality-gate metrics on skewed corpora).
+
+    The four confusion counts are exact int64; the numerator
+    TP*TN - FP*FN stays int64 (counts bound the products at n^2/4);
+    the denominator's four marginals would overflow int64 when
+    multiplied, so each is cast to double FIRST and the expression is
+    evaluated in one fixed order: sqrt(((TP+FP)*(TP+FN))*((TN+FP)*
+    (TN+FN))) — every step correctly-rounded IEEE, identical in any
+    engine (the qb13 discipline).  NULL when any marginal is 0.
+
+    Output (single row): tp, fp, fn, tn, mcc_micro.
+    """
+    p = (
+        pred_col if not isinstance(pred_col, str) else F.col(pred_col)
+    ).cast("boolean")
+    y = (
+        label_col if not isinstance(label_col, str) else F.col(label_col)
+    ).cast("boolean")
+    agg = scored.agg(
+        F.sum((p & y).cast("long")).cast("long").alias("tp"),
+        F.sum((p & ~y).cast("long")).cast("long").alias("fp"),
+        F.sum((~p & y).cast("long")).cast("long").alias("fn"),
+        F.sum((~p & ~y).cast("long")).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    num = (tp * tn - fp * fn).cast("double")
+    den = F.sqrt(
+        ((tp + fp).cast("double") * (tp + fn).cast("double"))
+        * ((tn + fp).cast("double") * (tn + fn).cast("double"))
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0),
+            F.round(num * F.lit(MICRO) / den).cast("long"),
+        ).alias("mcc_micro"),
+    )
+
+
+def conformal_split_coverage(
+    df: DataFrame,
+    score_col,
+    id_col: str,
+    alpha_micro: int = 100_000,
+    cal_fraction_micro: int = 500_000,
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split-conformal calibration + held-out coverage audit over an
+    integer nonconformity score: calibrate the (1-alpha) quantile
+    q_hat = the ceil((n_cal+1)(1-alpha))-th smallest calibration score,
+    then measure what fraction of the held-out split falls at or below
+    it — the distribution-free "does my uncertainty gate actually
+    cover 90%?" check.
+
+    Deterministic split: md5(salt + id) 40-bit integer vs the
+    cal_fraction threshold (the q62 split idiom — resumable, engine-
+    portable, no RNG).  The order statistic is NEVER a global sort:
+    q_hat = the smallest distinct score whose cumulative calibration
+    count reaches rank k, read off the score HISTOGRAM (window over
+    distinct scores — the qa22/qb04 bounded-window idiom).
+
+    Output (single row): n_cal, n_test, rank_k, q_hat, n_covered,
+    coverage_micro (covered/n_test; NULL if the test split is empty).
+    """
+    s = (
+        score_col if not isinstance(score_col, str) else F.col(score_col)
+    ).cast("long")
+    h40 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 10),
+        16,
+        10,
+    ).cast("long")
+    thr = (int(cal_fraction_micro) << 40) // MICRO
+    base = df.select(
+        s.alias("_s"), (h40 < F.lit(thr)).alias("_is_cal")
+    )
+    hist = base.groupBy("_s").agg(
+        F.sum(F.col("_is_cal").cast("long")).cast("long").alias("_nc"),
+        F.sum((~F.col("_is_cal")).cast("long")).cast("long").alias("_nt"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = hist.select(
+        "_s",
+        "_nt",
+        F.sum("_nc").over(wcum).cast("long").alias("_cum_cal"),
+        F.sum("_nc").over(wall).cast("long").alias("n_cal"),
+        F.sum("_nt").over(wall).cast("long").alias("n_test"),
+    )
+    # rank k = ceil((n_cal+1)*(1-alpha)), clamped to n_cal
+    k = F.least(
+        F.expr(
+            f"((n_cal + 1) * CAST({MICRO - int(alpha_micro)} AS BIGINT)"
+            f" + {MICRO - 1}) div {MICRO}"
+        ),
+        F.col("n_cal"),
+    )
+    covered = staged.withColumn("_k", k).where(F.col("_cum_cal") >= F.col("_k"))
+    qrow = covered.orderBy("_s").limit(1)
+    # coverage counts test scores <= q_hat: cumulative test count up to
+    # q_hat = (total test) - (test strictly above q_hat); derive from
+    # the same histogram row set
+    above = covered.agg(F.sum("_nt").cast("long").alias("_above"))
+    return (
+        qrow.crossJoin(F.broadcast(above))
+        .select(
+            "n_cal",
+            "n_test",
+            F.col("_k").cast("long").alias("rank_k"),
+            F.col("_s").alias("q_hat"),
+            (F.col("n_test") - F.col("_above") + F.col("_nt"))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "rank_k",
+            "q_hat",
+            "n_covered",
+            F.when(
+                F.col("n_test") > 0,
+                F.round(F.col("n_covered") * F.lit(MICRO) / F.col("n_test"))
+                .cast("long"),
+            ).alias("coverage_micro"),
+        )
+    )

@@ -1677,3 +1677,77 @@ def two_proportion_ztest(
             F.abs(F.col("z_micro")) >= F.lit(int(z_crit_micro)),
         ).alias("significant"),
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    group_col: str,
+    dose_col,
+    success_col,
+) -> DataFrame:
+    """Cochran–Armitage trend test per group: is the success rate
+    monotonically drifting across ORDERED integer dose levels?  The
+    dose-response upgrade of the qb13 two-proportion z — a 2×k table
+    with ordinal structure (e.g. "does purchase rate trend across user
+    cohorts?") loses power if you collapse it to two arms.
+
+    With dose weights w = the integer dose itself, per-dose totals
+    n_d (trials) and r_d (successes), N = Σn, R = Σr:
+
+        z² = N·(N·Σw·r − R·Σw·n)² /
+             ( R·(N−R)·(N·Σn·w² − (Σn·w)²) )
+
+    Every Σ is an exact int64 sum over the DOSE table (doses are a
+    dimension); the squared terms overflow int64 at corpus scale, so
+    both numerator factors and the variance factor are cast to double
+    AFTER the exact integer subtractions and combined in one fixed
+    operation order (the qb13 discipline) — z² is micro-rounded once,
+    and the trend sign is the exact integer signum of N·Σwr − R·Σwn.
+    NULL z² when R = 0, R = N, or the dose variance is 0.
+
+    Output per group: group, n_doses, n_total, n_success, trend_sign,
+    z2_micro.
+    """
+    d = (
+        dose_col if not isinstance(dose_col, str) else F.col(dose_col)
+    ).cast("long")
+    s = (
+        success_col if not isinstance(success_col, str) else F.col(success_col)
+    ).cast("boolean").cast("long")
+    per_dose = df.select(
+        F.col(group_col).alias("_g"), d.alias("_w"), s.alias("_y")
+    ).groupBy("_g", "_w").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_r"),
+    )
+    agg = per_dose.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_doses"),
+        F.sum("_n").cast("long").alias("_N"),
+        F.sum("_r").cast("long").alias("_R"),
+        F.sum(F.col("_w") * F.col("_r")).cast("long").alias("_swr"),
+        F.sum(F.col("_w") * F.col("_n")).cast("long").alias("_swn"),
+        F.sum(F.col("_w") * F.col("_w") * F.col("_n"))
+        .cast("long")
+        .alias("_sw2n"),
+    )
+    num_i = F.col("_N") * F.col("_swr") - F.col("_R") * F.col("_swn")
+    var_i = F.col("_N") * F.col("_sw2n") - F.col("_swn") * F.col("_swn")
+    z2 = (
+        F.col("_N").cast("double")
+        * (num_i.cast("double") * num_i.cast("double"))
+        / (
+            (F.col("_R").cast("double") * (F.col("_N") - F.col("_R")).cast("double"))
+            * var_i.cast("double")
+        )
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_doses",
+        F.col("_N").alias("n_total"),
+        F.col("_R").alias("n_success"),
+        F.signum(num_i).cast("int").alias("trend_sign"),
+        F.when(
+            (F.col("_R") > 0) & (F.col("_R") < F.col("_N")) & (var_i > 0),
+            F.round(z2 * MICRO).cast("long"),
+        ).alias("z2_micro"),
+    )

@@ -102,6 +102,12 @@ PLAN_QUERIES = [
     "qb11_capture_recapture",
     "qb12_markov_entropy_rate",
     "qb13_two_proportion_ztest",
+    "qb14_mcnemar",
+    "qb15_cochran_armitage",
+    "qb16_predicate_cardinality",
+    "qb17_link_margins",
+    "qb18_conformal_coverage",
+    "qb19_mcc",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -160,6 +166,12 @@ GENERIC_CHECK = {
     "qb11_capture_recapture",
     "qb12_markov_entropy_rate",
     "qb13_two_proportion_ztest",
+    "qb14_mcnemar",
+    "qb15_cochran_armitage",
+    "qb16_predicate_cardinality",
+    "qb17_link_margins",
+    "qb18_conformal_coverage",
+    "qb19_mcc",
 }
 
 
@@ -200,6 +212,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb07_ql_dirichlet": "rank over <=top_k survivors of TakeOrderedAndProject",
     "qb08_jackknife_ratio": "leave-one-out group summary table",
     "qb12_markov_entropy_rate": "state-transition matrix (n_states^2 rows)",
+    "qb17_link_margins": "rank_dictionary decision table (dictionary-sized)",
+    "qb18_conformal_coverage": "score histogram cumulative counts (conformal quantile)",
 }
 
 
