@@ -179,6 +179,12 @@ EXTENDED = [
     "qb17_link_margins",
     "qb18_conformal_coverage",
     "qb19_mcc",
+    "qb20_holm_fwer",
+    "qb21_jsd_drift",
+    "qb22_power_analysis",
+    "qb23_bh_fdr",
+    "qb24_shrunk_rates",
+    "qb25_changepoint",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

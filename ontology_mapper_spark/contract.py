@@ -10407,3 +10407,316 @@ def qb19(spark, sf):
         "pred",
         "gold",
     )
+
+
+from .operators.multtest import (  # noqa: E402
+    Z_ALPHA_05_TWOSIDED as _ZA,
+    Z_BETA_080 as _ZB,
+    bh_crit_rows as _bh_rows,
+    holm_crit_rows as _holm_rows,
+)
+
+_Z2_SQL = """
+    per AS (SELECT {g} AS _g, CAST(count(*) AS BIGINT) AS _n,
+                   CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)
+                     AS _r
+            FROM {tbl} GROUP BY 1),
+    tot AS (SELECT CAST(sum(_n) AS BIGINT) AS _nt,
+                   CAST(sum(_r) AS BIGINT) AS _rt FROM per),
+    z AS (
+      SELECT _g, _n, _r,
+             CASE WHEN _rt > 0 AND _rt < _nt
+                       AND _n > 0 AND _n < _nt THEN
+               CAST(round(
+                 CAST(_nt AS DOUBLE)
+                 * (CAST(_nt * _r - _rt * _n AS DOUBLE)
+                    * CAST(_nt * _r - _rt * _n AS DOUBLE))
+                 / ((CAST(_rt AS DOUBLE) * CAST(_nt - _rt AS DOUBLE))
+                    * (CAST(_n AS DOUBLE) * CAST(_nt - _n AS DOUBLE)))
+                 * 1000000) AS BIGINT)
+             END AS z2
+      FROM per, tot),
+    ranked AS (
+      SELECT _g, z2,
+             CAST(row_number() OVER (ORDER BY z2 DESC NULLS LAST, _g)
+                  AS INT) AS rank,
+             CAST(count(*) OVER () AS INT) AS _m
+      FROM z)
+"""
+
+
+def _qb20_oracle() -> str:
+    crit = ",\n      ".join(f"({d}, {c})" for d, c in _holm_rows())
+    base = _Z2_SQL.format(
+        g="event_type", hit="value >= 50.0", tbl="events"
+    )
+    return f"""
+    WITH {base},
+    crit(d, crit2_micro) AS (VALUES
+      {crit}),
+    j AS (
+      SELECT _g, z2, rank, CAST(crit2_micro AS BIGINT) AS crit2_micro,
+             CASE WHEN z2 IS NOT NULL AND z2 >= crit2_micro
+                  THEN 1 ELSE 0 END AS _p
+      FROM ranked JOIN crit ON crit.d = _m - rank + 1)
+    SELECT _g AS event_type, z2 AS z2_micro, rank, crit2_micro,
+           min(_p) OVER (ORDER BY rank
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             = 1 AS reject
+    FROM j
+    """
+
+
+@_q("qb20_holm_fwer", _qb20_oracle())
+def qb20(spark, sf):
+    """Holm step-down FWER correction (operators/multtest.py) over the
+    per-event-type one-vs-rest z² family (operators/stats.py:
+    one_vs_rest_ztests): walk strongest-first, stop at the first
+    failure.  Critical values are Python-injected NormalDist constants
+    (qa89 technique) — neither engine evaluates a quantile; the
+    comparisons are pure int64."""
+    from .operators.multtest import holm_rejections
+    from .operators.stats import one_vs_rest_ztests
+
+    ev = _t(spark, sf, "events")
+    tests = one_vs_rest_ztests(
+        ev.select("event_type", (F.col("value") >= 50.0).alias("hit")),
+        "event_type",
+        "hit",
+    )
+    return holm_rejections(tests, "event_type")
+
+
+@_q(
+    "qb21_jsd_drift",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS w
+      FROM documents),
+    gw AS (SELECT source AS g, w, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    wt AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM gw GROUP BY 1),
+    gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS tg FROM gw GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM gw),
+    term AS (
+      SELECT gw.g, gw.c, wt.cw, gt.tg, (SELECT t FROM tot) AS t,
+             CAST(round(ln(CAST(2 * gw.c * (SELECT t FROM tot) AS DOUBLE)
+                           / CAST(gw.c * (SELECT t FROM tot)
+                                  + wt.cw * gt.tg AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS l1,
+             CAST(round(ln(CAST(2 * wt.cw * gt.tg AS DOUBLE)
+                           / CAST(gw.c * (SELECT t FROM tot)
+                                  + wt.cw * gt.tg AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS l2
+      FROM gw JOIN wt USING (w) JOIN gt USING (g)),
+    per AS (
+      SELECT g, max(tg) AS tg, max(t) AS t,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * l1) AS BIGINT) AS sa,
+             CAST(sum(cw * l2) AS BIGINT) AS sb,
+             CAST(sum(cw) AS BIGINT) AS ccov
+      FROM term GROUP BY 1)
+    SELECT g AS source, tg AS n_tokens, n_types,
+           CAST(round(CAST(sa AS DOUBLE) / CAST(2 * tg AS DOUBLE)
+                      + CAST(sb + 693147 * (t - ccov) AS DOUBLE)
+                        / CAST(2 * t AS DOUBLE)) AS BIGINT) AS jsd_micro
+    FROM per
+    """,
+)
+def qb21(spark, sf):
+    """Per-source Jensen-Shannon drift from the corpus token
+    distribution (operators/stats.py:jsd_from_reference) — bounded,
+    symmetric, and defined when a source lacks corpus tokens (absent
+    mass folds into one closed-form ln2 term; qa29's KL is its
+    unbounded sibling).  ln once per distinct (source, token) row,
+    integer weighted sums, one fixed-order terminal combine."""
+    from .operators.stats import jsd_from_reference
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(words_col(F.col("text"))).alias("w"))
+    return jsd_from_reference(tok, "source", "w")
+
+
+def _qb22_oracle() -> str:
+    base = _Z2_SQL.format(
+        g="event_type", hit="value >= 50.0", tbl="events"
+    )
+    # reuse only per/tot from the template
+    base = base.split(",\n    z AS")[0]
+    return f"""
+    WITH {base},
+    s AS (
+      SELECT _g, _n, _r, _nt, _rt,
+             CAST(_r AS DOUBLE) / CAST(_n AS DOUBLE) AS p1,
+             CAST(_rt - _r AS DOUBLE) / CAST(_nt - _n AS DOUBLE) AS p2
+      FROM per, tot)
+    SELECT _g AS event_type, _n AS n, _r AS n_hits,
+           CAST(round(p1 * 1000000) AS BIGINT) AS p1_micro,
+           CAST(round(p2 * 1000000) AS BIGINT) AS p2_micro,
+           CASE WHEN NOT (_r * (_nt - _n) = (_rt - _r) * _n)
+                     AND _n > 0 AND _nt > _n THEN
+             CAST(ceil(
+               (({_ZA!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                * (1.0 - (p1 + p2) / 2.0))
+                 + {_ZB!r} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+                * ({_ZA!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                  * (1.0 - (p1 + p2) / 2.0))
+                   + {_ZB!r} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))))
+               / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+           END AS n_required
+    FROM s
+    """
+
+
+@_q("qb22_power_analysis", _qb22_oracle())
+def qb22(spark, sf):
+    """Prospective two-proportion power analysis per event type
+    (operators/multtest.py:required_n_two_proportions): the per-arm n
+    needed to detect each type's observed vs-rest rate difference at
+    alpha=0.05 / power=0.8.  z constants are injected full-precision
+    decimal literals (same parse → same IEEE double in both engines);
+    the degenerate equal-rates case is detected in exact integers."""
+    from .operators.multtest import required_n_two_proportions
+
+    ev = _t(spark, sf, "events")
+    return required_n_two_proportions(
+        ev.select("event_type", (F.col("value") >= 50.0).alias("hit")),
+        "event_type",
+        "hit",
+    )
+
+
+def _qb23_oracle() -> str:
+    crit = ",\n      ".join(f"({m}, {k}, {c})" for m, k, c in _bh_rows())
+    base = _Z2_SQL.format(g="source", hit="lang = 'en'", tbl="documents")
+    return f"""
+    WITH {base},
+    crit(m, k, crit2_micro) AS (VALUES
+      {crit}),
+    j AS (
+      SELECT _g, z2, rank, CAST(crit2_micro AS BIGINT) AS crit2_micro,
+             CASE WHEN z2 IS NOT NULL AND z2 >= crit2_micro
+                  THEN 1 ELSE 0 END AS _p
+      FROM ranked JOIN crit ON crit.m = _m AND crit.k = rank)
+    SELECT _g AS source, z2 AS z2_micro, rank, crit2_micro,
+           max(_p) OVER (ORDER BY rank DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             = 1 AS reject
+    FROM j
+    """
+
+
+@_q("qb23_bh_fdr", _qb23_oracle())
+def qb23(spark, sf):
+    """Benjamini-Hochberg step-up FDR correction (operators/multtest.py)
+    over the per-source lang-rate z² family: reject ranks 1..k* where
+    k* is the largest rank passing alpha·k/m — a running OR from the
+    weakest rank upward.  Same injected-crit² discipline as qb20."""
+    from .operators.multtest import bh_rejections
+    from .operators.stats import one_vs_rest_ztests
+
+    d = _t(spark, sf, "documents")
+    tests = one_vs_rest_ztests(
+        d.select("source", (F.col("lang") == "en").alias("hit")),
+        "source",
+        "hit",
+    )
+    return bh_rejections(tests, "source")
+
+
+@_q(
+    "qb24_shrunk_rates",
+    """
+    WITH per AS (
+      SELECT source AS _g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+      FROM documents GROUP BY 1),
+    tot AS (
+      SELECT CAST(round(sum(n_hits) * 1000000 / sum(n)) AS BIGINT)
+               AS pool_micro
+      FROM per),
+    s AS (
+      SELECT _g, n, n_hits,
+             CAST(round(n_hits * 1000000 / n) AS BIGINT) AS raw_micro,
+             CAST(round((n_hits * 1000000 + 100 * pool_micro) / (n + 100))
+                  AS BIGINT) AS shrunk_micro
+      FROM per, tot)
+    SELECT _g AS source, n, n_hits, raw_micro, shrunk_micro,
+           CAST(row_number() OVER (ORDER BY shrunk_micro DESC, _g) AS INT)
+             AS rank
+    FROM s
+    """,
+)
+def qb24(spark, sf):
+    """Empirical-Bayes shrunk per-source quality rates
+    (operators/stats.py:shrunk_rates, Beta-Binomial with fixed prior
+    strength 100): the winner's-curse guard for source leaderboards —
+    small-n sources shrink toward the pooled rate before ranking.
+    Pooled rate micro-rounds ONCE and re-enters as an integer, so the
+    posterior is exact int64 + one division."""
+    from .operators.stats import shrunk_rates
+
+    d = _t(spark, sf, "documents")
+    return shrunk_rates(
+        d.select("source", (F.col("lang") == "en").alias("hit")),
+        "source",
+        "hit",
+        prior_strength=100,
+    )
+
+
+@_q(
+    "qb25_changepoint",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    staged AS (
+      SELECT d,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+             CAST(sum(y) OVER (ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS s,
+             CAST(count(*) OVER () AS BIGINT) AS "_D",
+             CAST(sum(y) OVER () AS BIGINT) AS "_S"
+      FROM daily),
+    scored AS (
+      SELECT d, i, s, "_D", "_S",
+             CAST(round((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(i AS DOUBLE)
+                         + CAST("_S" - s AS DOUBLE)
+                           * CAST("_S" - s AS DOUBLE)
+                           / CAST("_D" - i AS DOUBLE)
+                         - CAST("_S" AS DOUBLE) * CAST("_S" AS DOUBLE)
+                           / CAST("_D" AS DOUBLE)) * 1000000) AS BIGINT)
+               AS gain_micro
+      FROM staged WHERE i < "_D"),
+    best AS (
+      SELECT * FROM scored ORDER BY gain_micro DESC, d LIMIT 1)
+    SELECT CAST(DATE '1970-01-01' + CAST(d AS INT) AS VARCHAR)
+             AS split_day,
+           i AS n_days_left, "_D" - i AS n_days_right,
+           CAST(round(s * 1000000 / i) AS BIGINT) AS mean_left_micro,
+           CAST(round(("_S" - s) * 1000000 / ("_D" - i)) AS BIGINT)
+             AS mean_right_micro,
+           gain_micro
+    FROM best
+    """,
+)
+def qb25(spark, sf):
+    """Single-changepoint detection on the daily event-count series by
+    binary segmentation (operators/temporal.py:changepoint_binary_seg):
+    the split maximizing between-segment SSE gain — finds WHEN the
+    volume shifted, completing qb00's known-breakpoint ITS and the
+    forward-streaming CUSUM monitors.  Prefix sums over the day spine,
+    fixed-order double gain, TakeOrdered argmax."""
+    from .operators.temporal import changepoint_binary_seg
+
+    ev = _t(spark, sf, "events")
+    return changepoint_binary_seg(ev, "ts")

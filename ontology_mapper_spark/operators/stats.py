@@ -1751,3 +1751,199 @@ def cochran_armitage_trend(
             F.round(z2 * MICRO).cast("long"),
         ).alias("z2_micro"),
     )
+
+
+#: round(ln(2)*1e6) — shared integer constant, injected in BOTH engines so
+#: no engine-side ln(2) is ever evaluated for the absent-token mass
+LN2_MICRO = 693_147
+
+
+def jsd_from_reference(
+    tok: DataFrame, group_col: str, token_col: str
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence of the token distribution
+    from the CORPUS distribution — the bounded, symmetric drift monitor
+    next to qa29's KL (KL explodes when a source lacks corpus tokens;
+    JSD stays in [0, ln 2] and is what mixture dashboards actually
+    plot).
+
+    With p = group dist (c_sw/T_s), q = corpus dist (c_w/T) and
+    m = (p+q)/2:  JSD = KL(p||m)/2 + KL(q||m)/2.  Observed (group,
+    token) rows carry ln terms evaluated ONCE per distinct row on
+    integer-product ratios (micro-rounded, the qa29 discipline);
+    corpus tokens ABSENT from the group contribute exactly
+    q_w·ln 2 to KL(q||m), so their whole mass folds into one
+    closed-form term LN2_MICRO·(T - Σ_{w∈group} c_w) — no join against
+    the full vocabulary.  Two exact integer sums, two divisions added
+    in one fixed order, one terminal round.
+
+    Output per group: group, n_tokens, n_types, jsd_micro.
+    """
+    gw = tok.select(
+        F.col(group_col).alias("_g"), F.col(token_col).alias("_w")
+    ).groupBy("_g", "_w").agg(F.count("*").cast("long").alias("_c"))
+    wt = gw.groupBy("_w").agg(F.sum("_c").cast("long").alias("_cw"))
+    gt = gw.groupBy("_g").agg(F.sum("_c").cast("long").alias("_tg"))
+    tot = gw.agg(F.sum("_c").cast("long").alias("_t"))
+    base = (
+        gw.join(wt, "_w")
+        .join(F.broadcast(gt), "_g")
+        .crossJoin(F.broadcast(tot))
+    )
+    den = (F.col("_c") * F.col("_t") + F.col("_cw") * F.col("_tg")).cast(
+        "double"
+    )
+    l1 = F.round(
+        F.log((2 * F.col("_c") * F.col("_t")).cast("double") / den) * MICRO
+    ).cast("long")
+    l2 = F.round(
+        F.log((2 * F.col("_cw") * F.col("_tg")).cast("double") / den) * MICRO
+    ).cast("long")
+    per = base.select(
+        "_g",
+        "_c",
+        "_cw",
+        "_tg",
+        "_t",
+        (F.col("_c") * l1).alias("_a"),
+        (F.col("_cw") * l2).alias("_b"),
+    ).groupBy("_g").agg(
+        F.max("_tg").alias("_tg"),
+        F.max("_t").alias("_t"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("_a").cast("long").alias("_sa"),
+        F.sum("_b").cast("long").alias("_sb"),
+        F.sum("_cw").cast("long").alias("_ccov"),
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        F.col("_tg").alias("n_tokens"),
+        "n_types",
+        F.round(
+            F.col("_sa").cast("double") / (2 * F.col("_tg")).cast("double")
+            + (
+                F.col("_sb")
+                + F.lit(LN2_MICRO) * (F.col("_t") - F.col("_ccov"))
+            ).cast("double")
+            / (2 * F.col("_t")).cast("double")
+        )
+        .cast("long")
+        .alias("jsd_micro"),
+    )
+
+
+def shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    hit_col,
+    prior_strength: int = 100,
+) -> DataFrame:
+    """Empirical-Bayes (Beta-Binomial, fixed prior strength) smoothed
+    per-group success rates — the winner's-curse guard for "which
+    source has the best quality rate" leaderboards: a 3/3 source must
+    not outrank a 900/1000 one.  posterior = (hits + k·p̄)/(n + k)
+    with p̄ the pooled rate and k = prior_strength.
+
+    Exactness: p̄ enters as the ALREADY micro-rounded pooled rate (one
+    division, mirrored), so the posterior numerator hits·1e6 + k·p̄_micro
+    is exact int64 and the posterior is ONE more micro division.  Rank
+    by shrunk rate with a group tiebreak (window over the group
+    dimension).
+
+    Output per group: group, n, n_hits, raw_micro, shrunk_micro, rank.
+    """
+    h = (
+        hit_col if not isinstance(hit_col, str) else F.col(hit_col)
+    ).cast("boolean").cast("long")
+    per = df.select(F.col(group_col).alias("_g"), h.alias("_h")).groupBy(
+        "_g"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_h").cast("long").alias("n_hits"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("n_hits").cast("long").alias("_th"),
+    ).select(
+        F.round(F.col("_th") * MICRO / F.col("_tn"))
+        .cast("long")
+        .alias("_pool_micro")
+    )
+    k = int(prior_strength)
+    staged = per.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "n",
+        "n_hits",
+        F.round(F.col("n_hits") * MICRO / F.col("n"))
+        .cast("long")
+        .alias("raw_micro"),
+        F.round(
+            (F.col("n_hits") * MICRO + F.lit(k) * F.col("_pool_micro"))
+            / (F.col("n") + F.lit(k))
+        )
+        .cast("long")
+        .alias("shrunk_micro"),
+    )
+    w = Window.orderBy(F.col("shrunk_micro").desc(), F.col("_g"))
+    return staged.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "n_hits",
+        "raw_micro",
+        "shrunk_micro",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def one_vs_rest_ztests(
+    df: DataFrame, group_col: str, hit_col
+) -> DataFrame:
+    """Per-group pooled two-proportion z² of the group's hit rate vs
+    the REST of the data — the hypothesis family that feeds the
+    Holm/BH multiple-testing corrections (operators/multtest.py): m
+    groups, m tests, and without a correction ~alpha·m of them
+    false-positive.
+
+    z² = N·(N·r_g − R·n_g)² / (R·(N−R)·n_g·(N−n_g)): the numerator
+    difference is exact int64 (sign via exact signum); products enter
+    double space individually in one fixed order (qb13 discipline).
+    NULL when degenerate (R∈{0,N} or n_g∈{0,N}).
+
+    Output per group: group, n, n_hits, z_sign, z2_micro.
+    """
+    h = (
+        hit_col if not isinstance(hit_col, str) else F.col(hit_col)
+    ).cast("boolean").cast("long")
+    per = df.select(F.col(group_col).alias("_g"), h.alias("_h")).groupBy(
+        "_g"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_h").cast("long").alias("n_hits"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_N"),
+        F.sum("n_hits").cast("long").alias("_R"),
+    )
+    staged = per.crossJoin(F.broadcast(tot))
+    num_i = F.col("_N") * F.col("n_hits") - F.col("_R") * F.col("n")
+    z2 = (
+        F.col("_N").cast("double")
+        * (num_i.cast("double") * num_i.cast("double"))
+        / (
+            (F.col("_R").cast("double") * (F.col("_N") - F.col("_R")).cast("double"))
+            * (F.col("n").cast("double") * (F.col("_N") - F.col("n")).cast("double"))
+        )
+    )
+    return staged.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "n_hits",
+        F.signum(num_i).cast("int").alias("z_sign"),
+        F.when(
+            (F.col("_R") > 0)
+            & (F.col("_R") < F.col("_N"))
+            & (F.col("n") > 0)
+            & (F.col("n") < F.col("_N")),
+            F.round(z2 * MICRO).cast("long"),
+        ).alias("z2_micro"),
+    )

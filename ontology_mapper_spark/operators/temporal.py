@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+MICRO = 1_000_000
+
 
 def burst_days(
     df: DataFrame,
@@ -1340,4 +1342,102 @@ def diff_in_diff(
                 - (F.col("c_post") - F.col("c_pre"))
             ).cast("long"),
         ).alias("did_micro"),
+    )
+
+
+def changepoint_binary_seg(
+    df: DataFrame,
+    ts_col,
+    value_col=None,
+) -> DataFrame:
+    """Single-changepoint detection on the daily series by binary
+    segmentation: the split that maximizes the between-segment sum-of-
+    squares gain — the "WHEN did the metric shift" finder completing
+    qb00's ITS (which assumes the breakpoint is known) and the CUSUM
+    monitors (which stream forward).  value_col=None analyzes the
+    daily EVENT COUNT; otherwise the daily sum of an integer value.
+
+    For daily totals y_1..y_D with prefix sums S_d over D days, the
+    SSE gain of splitting after day d is
+
+        gain(d) = S_d²/d + (S_D−S_d)²/(D−d) − S_D²/D
+
+    Prefix sums come from a window over the DAY SPINE (bounded); the
+    gain is three divisions of exact int64 squares combined in one
+    fixed double order, micro-rounded per candidate split; the argmax
+    is orderBy+limit (TakeOrderedAndProject), never a global sort.
+
+    Output (single row): split_day ('yyyy-MM-dd', last day of the LEFT
+    segment), n_days_left, n_days_right, mean_left_micro,
+    mean_right_micro, gain_micro.
+    """
+    t = ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+    v = (
+        F.lit(1).cast("long")
+        if value_col is None
+        else (
+            value_col if not isinstance(value_col, str) else F.col(value_col)
+        ).cast("long")
+    )
+    # parquet timestamps load as TIMESTAMP_NTZ; unix_micros needs TZ —
+    # session TZ is pinned UTC so the cast is the identity rendering
+    us = F.unix_micros(t.cast("timestamp"))
+    # exact epoch-day: (a - a%b)/b divides exactly, so the double
+    # division cannot round across an integer boundary (plain a/b can)
+    day = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    daily = (
+        df.select(day.alias("_d"), v.alias("_v"))
+        .groupBy("_d")
+        .agg(F.sum("_v").cast("long").alias("_y"))
+    )
+    widx = Window.orderBy("_d")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = daily.select(
+        "_d",
+        F.row_number().over(widx).cast("long").alias("_i"),
+        F.sum("_y").over(
+            widx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("_s"),
+        F.count("*").over(wall).cast("long").alias("_ndays"),
+        F.sum("_y").over(wall).cast("long").alias("_tot"),
+    ).where(F.col("_i") < F.col("_ndays"))
+    gain = (
+        F.col("_s").cast("double") * F.col("_s").cast("double")
+        / F.col("_i").cast("double")
+        + (F.col("_tot") - F.col("_s")).cast("double")
+        * (F.col("_tot") - F.col("_s")).cast("double")
+        / (F.col("_ndays") - F.col("_i")).cast("double")
+        - F.col("_tot").cast("double") * F.col("_tot").cast("double")
+        / F.col("_ndays").cast("double")
+    )
+    scored = staged.select(
+        "_d",
+        "_i",
+        "_s",
+        "_ndays",
+        "_tot",
+        F.round(gain * F.lit(MICRO)).cast("long").alias("gain_micro"),
+    )
+    best = scored.orderBy(F.col("gain_micro").desc(), F.col("_d")).limit(1)
+    return best.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("_d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("split_day"),
+        F.col("_i").alias("n_days_left"),
+        (F.col("_ndays") - F.col("_i")).alias("n_days_right"),
+        F.round(F.col("_s") * F.lit(MICRO) / F.col("_i"))
+        .cast("long")
+        .alias("mean_left_micro"),
+        F.round(
+            (F.col("_tot") - F.col("_s")) * F.lit(MICRO)
+            / (F.col("_ndays") - F.col("_i"))
+        )
+        .cast("long")
+        .alias("mean_right_micro"),
+        "gain_micro",
     )

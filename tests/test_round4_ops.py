@@ -144,3 +144,155 @@ def test_conformal_coverage_quantile_exact(spark):
     # conformal guarantee: coverage >= 1 - alpha in expectation; at this
     # n it should land well above 80%
     assert out["coverage_micro"] >= 800_000
+
+
+def test_holm_and_bh_rejections(spark):
+    """Holm stops at the first failure; BH rejects through the largest
+    passing rank — compared against a straight Python mirror using the
+    same injected crit tables."""
+    from ontology_mapper_spark.operators.multtest import (
+        bh_crit_rows,
+        bh_rejections,
+        holm_crit_rows,
+        holm_rejections,
+    )
+
+    # z2 values straddling the alpha=0.05 crit range (crit2(d=1)~3.84e6)
+    tests = spark.createDataFrame(
+        [("a", 30_000_000), ("b", 9_000_000), ("c", 4_000_000),
+         ("d", 3_000_000), ("e", None)],
+        "g string, z2_micro long",
+    )
+    m = 5
+    holm = {r["g"]: r for r in holm_rejections(tests, "g").collect()}
+    bh = {r["g"]: r for r in bh_rejections(tests, "g").collect()}
+    hc = dict(holm_crit_rows())
+    bc = {(mm, k): c for mm, k, c in bh_crit_rows()}
+    z = {"a": 30_000_000, "b": 9_000_000, "c": 4_000_000,
+         "d": 3_000_000, "e": None}
+    order = ["a", "b", "c", "d", "e"]
+    # python Holm
+    rej, alive = {}, True
+    for i, g in enumerate(order, 1):
+        ok = z[g] is not None and z[g] >= hc[m - i + 1]
+        alive = alive and ok
+        rej[g] = alive
+    assert {g: holm[g]["reject"] for g in order} == rej
+    # python BH
+    kstar = 0
+    for i, g in enumerate(order, 1):
+        if z[g] is not None and z[g] >= bc[(m, i)]:
+            kstar = i
+    assert {g: bh[g]["reject"] for g in order} == {
+        g: (i <= kstar) for i, g in enumerate(order, 1)
+    }
+    # the step rules genuinely differ from naive per-test thresholds
+    assert holm["a"]["rank"] == 1 and bh["e"]["reject"] is False
+
+
+def test_required_n_two_proportions(spark):
+    from statistics import NormalDist
+
+    from ontology_mapper_spark.operators.multtest import (
+        required_n_two_proportions,
+    )
+
+    rows = [("x", True)] * 60 + [("x", False)] * 40 + \
+           [("y", True)] * 40 + [("y", False)] * 60
+    df = spark.createDataFrame(rows, "g string, hit boolean")
+    out = {r["g"]: r for r in
+           required_n_two_proportions(df, "g", "hit").collect()}
+    p1, p2 = 0.6, 0.4
+    za = NormalDist().inv_cdf(0.975)
+    zb = NormalDist().inv_cdf(0.8)
+    import math
+    pbar = (p1 + p2) / 2
+    root = za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    expect = math.ceil((root * root) / ((p1 - p2) * (p1 - p2)))
+    assert out["x"]["n_required"] == expect  # ~97 per arm at this effect
+    assert out["x"]["p1_micro"] == 600_000
+    # equal rates -> NULL
+    eq = spark.createDataFrame(
+        [("x", True), ("x", False), ("y", True), ("y", False)],
+        "g string, hit boolean",
+    )
+    assert all(
+        r["n_required"] is None
+        for r in required_n_two_proportions(eq, "g", "hit").collect()
+    )
+
+
+def test_jsd_identical_and_disjoint(spark):
+    from ontology_mapper_spark.operators.stats import jsd_from_reference
+
+    # two identical sources -> each source dist == corpus dist -> JSD 0
+    rows = [("a", w) for w in "x y z x".split()] + [
+        ("b", w) for w in "x y z x".split()
+    ]
+    df = spark.createDataFrame(rows, "g string, w string")
+    out = {r["g"]: r["jsd_micro"] for r in
+           jsd_from_reference(df, "g", "w").collect()}
+    assert out == {"a": 0, "b": 0}
+    # fully disjoint vocabularies: the reference is the CORPUS (a 50/50
+    # mixture containing the source), so JSD(source||corpus) =
+    # [ln(4/3) + (ln(2/3) + ln 2)/2] / 2 ~= 0.215761 — NOT ln 2 (that
+    # bound needs two disjoint distributions, not source-vs-mixture)
+    import math
+
+    rows2 = [("a", "x")] * 50 + [("b", "y")] * 50
+    out2 = {r["g"]: r["jsd_micro"] for r in
+            jsd_from_reference(
+                spark.createDataFrame(rows2, "g string, w string"), "g", "w"
+            ).collect()}
+    expect = round(
+        (math.log(4 / 3) + (math.log(2 / 3) + math.log(2)) / 2) / 2 * 1e6
+    )
+    for v in out2.values():
+        assert abs(v - expect) <= 2  # per-term micro rounding slack
+
+
+def test_shrunk_rates_winners_curse(spark):
+    from ontology_mapper_spark.operators.stats import shrunk_rates
+
+    # bulk drags the pooled rate to ~17%: tiny (3/3) shrinks hard toward
+    # it while big (900/1000) barely moves — the leaderboard must flip
+    rows = (
+        [("tiny", True)] * 3
+        + [("big", True)] * 900
+        + [("big", False)] * 100
+        + [("bulk", True)] * 1000
+        + [("bulk", False)] * 9000
+    )
+    df = spark.createDataFrame(rows, "g string, hit boolean")
+    out = {r["g"]: r for r in
+           shrunk_rates(df, "g", "hit", prior_strength=100).collect()}
+    # raw would rank tiny (100%) over big (90%); shrinkage must flip it
+    assert out["tiny"]["raw_micro"] == 1_000_000
+    assert out["big"]["rank"] == 1 and out["tiny"]["rank"] == 2
+    # exact integer mirror of the posterior
+    pool = round(1903 * 1_000_000 / 11003)
+    assert out["tiny"]["shrunk_micro"] == round(
+        (3 * 1_000_000 + 100 * pool) / 103
+    )
+
+
+def test_changepoint_finds_level_shift(spark):
+    from ontology_mapper_spark.operators.temporal import (
+        changepoint_binary_seg,
+    )
+
+    rows = []
+    for d in range(20):
+        n = 10 if d < 12 else 50
+        for i in range(n):
+            rows.append((d * 86_400_000_000 + i,))
+    df = spark.createDataFrame(rows, "us long").select(
+        F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    r = changepoint_binary_seg(df, "ts").collect()[0]
+    assert r["split_day"] == "1970-01-12"  # last day of the left segment
+    assert r["n_days_left"] == 12 and r["n_days_right"] == 8
+    assert r["mean_left_micro"] == 10_000_000
+    assert r["mean_right_micro"] == 50_000_000

@@ -108,6 +108,12 @@ PLAN_QUERIES = [
     "qb17_link_margins",
     "qb18_conformal_coverage",
     "qb19_mcc",
+    "qb20_holm_fwer",
+    "qb21_jsd_drift",
+    "qb22_power_analysis",
+    "qb23_bh_fdr",
+    "qb24_shrunk_rates",
+    "qb25_changepoint",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -172,6 +178,12 @@ GENERIC_CHECK = {
     "qb17_link_margins",
     "qb18_conformal_coverage",
     "qb19_mcc",
+    "qb20_holm_fwer",
+    "qb21_jsd_drift",
+    "qb22_power_analysis",
+    "qb23_bh_fdr",
+    "qb24_shrunk_rates",
+    "qb25_changepoint",
 }
 
 
@@ -214,6 +226,10 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb12_markov_entropy_rate": "state-transition matrix (n_states^2 rows)",
     "qb17_link_margins": "rank_dictionary decision table (dictionary-sized)",
     "qb18_conformal_coverage": "score histogram cumulative counts (conformal quantile)",
+    "qb20_holm_fwer": "hypothesis-family table (m groups, m <= max_m guarded)",
+    "qb23_bh_fdr": "hypothesis-family table (m groups, m <= max_m guarded)",
+    "qb24_shrunk_rates": "per-source rate table (sources are a dimension)",
+    "qb25_changepoint": "day-spine prefix sums (calendar-bounded)",
 }
 
 
