@@ -185,6 +185,11 @@ EXTENDED = [
     "qb23_bh_fdr",
     "qb24_shrunk_rates",
     "qb25_changepoint",
+    "qb26_gumbel_extremes",
+    "qb27_entity_turnover",
+    "qb28_item_cooccurrence",
+    "qb29_aba_motifs",
+    "qb30_interarrival_burstiness",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

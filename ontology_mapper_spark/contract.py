@@ -10720,3 +10720,211 @@ def qb25(spark, sf):
 
     ev = _t(spark, sf, "events")
     return changepoint_binary_seg(ev, "ts")
+
+
+def _qb26_oracle() -> str:
+    from math import log, pi, sqrt
+
+    c1 = sqrt(6.0) / pi
+    g = 0.5772156649015329
+    ct = -log(-log(1.0 - 1.0 / 30.0))
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             max(CAST(floor(value * 1000) AS BIGINT)) AS m
+      FROM events GROUP BY 1, 2),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(max(m) AS BIGINT) AS max_milli,
+             CAST(sum(m) AS BIGINT) AS s1,
+             CAST(sum(m * m) AS BIGINT) AS s2
+      FROM daily GROUP BY 1),
+    fit AS (
+      SELECT g, n_days, max_milli,
+             CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+             CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS var_num,
+             sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE)
+                     * (CAST(n_days AS DOUBLE) - 1.0))) * {c1!r} AS beta
+      FROM agg)
+    SELECT g AS event_type, n_days, max_milli,
+           CAST(round(mean) AS BIGINT) AS mean_milli,
+           CASE WHEN n_days >= 2 AND var_num > 0
+                THEN CAST(round(beta) AS BIGINT) END AS beta_milli,
+           CASE WHEN n_days >= 2 AND var_num > 0
+                THEN CAST(round(mean - {g!r} * beta) AS BIGINT)
+           END AS loc_milli,
+           CASE WHEN n_days >= 2 AND var_num > 0
+                THEN CAST(round((mean - {g!r} * beta) + beta * {ct!r})
+                          AS BIGINT)
+           END AS return_level_milli
+    FROM fit
+    """
+
+
+@_q("qb26_gumbel_extremes", _qb26_oracle())
+def qb26(spark, sf):
+    """Gumbel extreme-value fit of the per-type daily value maxima
+    (operators/stats.py:gumbel_return_levels): method-of-moments on
+    exact milli-int sums, MoM constants (sqrt6/π, Euler γ, the 30-day
+    return quantile) Python-injected in both engines, one fixed-order
+    double fit — the principled "peak to expect once a month" next to
+    qb03's historical peak."""
+    from .operators.stats import gumbel_return_levels
+
+    ev = _t(spark, sf, "events")
+    return gumbel_return_levels(
+        ev, "event_type", "ts", "value", return_period_days=30
+    )
+
+
+@_q(
+    "qb27_entity_turnover",
+    """
+    WITH de AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id AS e
+      FROM events),
+    sizes AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM de GROUP BY 1),
+    common AS (
+      SELECT b.d AS d, CAST(count(*) AS BIGINT) AS n_common
+      FROM de a JOIN de b ON a.e = b.e AND b.d = a.d + 1
+      GROUP BY 1),
+    joined AS (
+      SELECT c.d, p.n AS n_prev, c.n AS n_cur,
+             coalesce(m.n_common, 0) AS n_common
+      FROM sizes c
+      JOIN sizes p ON p.d = c.d - 1
+      LEFT JOIN common m ON m.d = c.d)
+    SELECT CAST(DATE '1970-01-01' + CAST(d AS INT) AS VARCHAR) AS day,
+           n_prev, n_cur, n_common,
+           CAST(round(n_common * 1000000
+                      / (n_prev + n_cur - n_common)) AS BIGINT)
+             AS jaccard_micro,
+           CAST(round((n_cur - n_common) * 1000000 / n_cur) AS BIGINT)
+             AS new_micro
+    FROM joined
+    """,
+)
+def qb27(spark, sf):
+    """Day-over-day active-user turnover
+    (operators/temporal.py:vocabulary_turnover): consecutive-day
+    Jaccard + new-share of the distinct entity sets — the local-churn
+    KG-freshness meter next to qa85's first-ever novelty curve.  One
+    distinct aggregate, one day+1 self-join keyed by entity."""
+    from .operators.temporal import vocabulary_turnover
+
+    ev = _t(spark, sf, "events")
+    return vocabulary_turnover(ev, "ts", "user_id")
+
+
+@_q(
+    "qb28_item_cooccurrence",
+    """
+    WITH ui AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events),
+    deg AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY 1),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2)
+    SELECT item_a, item_b, da.n AS n_a, db.n AS n_b, n_common,
+           CAST(round(CAST(n_common AS DOUBLE) * 1000000
+                      / sqrt(CAST(da.n * db.n AS DOUBLE))) AS BIGINT)
+             AS cosine_micro
+    FROM pairs
+    JOIN deg da ON da.i = item_a
+    JOIN deg db ON db.i = item_b
+    WHERE n_common >= 1
+    """,
+)
+def qb28(spark, sf):
+    """Item-item co-engagement projection of the user-event bipartite
+    set (operators/graph.py:bipartite_cooccurrence): per unordered
+    event-type pair, common-user count + cosine strength — the
+    engagement analogue of the text co-mention edges
+    (pipeline/comention.py), bounded per user by the item dimension."""
+    from .operators.graph import bipartite_cooccurrence
+
+    ev = _t(spark, sf, "events")
+    return bipartite_cooccurrence(ev, "user_id", "event_type")
+
+
+@_q(
+    "qb29_aba_motifs",
+    """
+    WITH seq AS (
+      SELECT user_id AS u, event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t0 AS type_a, t1 AS type_b,
+           CAST(count(*) AS BIGINT) AS n_motifs,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM seq
+    WHERE t2 IS NOT NULL AND t0 = t2 AND t0 <> t1
+    GROUP BY 1, 2
+    """,
+)
+def qb29(spark, sf):
+    """A→B→A temporal motif counts per user stream
+    (operators/temporal.py:aba_motifs): the smallest nontrivial
+    interaction motif (retry/oscillation patterns), the sequence-level
+    complement of qa13's one-step transition matrix.  Partitioned
+    window with a (ts, event_id) total order; two leads, one count."""
+    from .operators.temporal import aba_motifs
+
+    ev = _t(spark, sf, "events")
+    return aba_motifs(ev, "user_id", "event_type", "ts", "event_id")
+
+
+@_q(
+    "qb30_interarrival_burstiness",
+    """
+    WITH gaps AS (
+      SELECT event_type AS g,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS gap
+      FROM events),
+    capped AS (
+      SELECT g, gap,
+             least((gap - gap % 1000000) // 1000000, 86400) AS gs
+      FROM gaps WHERE gap IS NOT NULL),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS su,
+             CAST(sum(gs) AS BIGINT) AS s1,
+             CAST(sum(gs * gs) AS BIGINT) AS s2
+      FROM capped GROUP BY 1),
+    fit AS (
+      SELECT g, n_gaps, su,
+             CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+             sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+               AS sd
+      FROM agg)
+    SELECT g AS event_type, n_gaps,
+           CAST(round(CAST(su AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                AS BIGINT) AS mean_gap_us,
+           CASE WHEN n_gaps >= 2 AND sd + mean > 0 THEN
+             CAST(round((sd - mean) * 1000000 / (sd + mean)) AS BIGINT)
+           END AS burstiness_micro
+    FROM fit
+    """,
+)
+def qb30(spark, sf):
+    """Goh-Barabási burstiness of per-(user, type) inter-arrival gaps,
+    rolled up per event type (operators/temporal.py:
+    interarrival_burstiness): B=(σ−μ)/(σ+μ) on day-capped whole-second
+    gaps (µs squares would overflow int64), mean gap on exact µs sums
+    — the rhythm profile behind qb03's peaks."""
+    from .operators.temporal import interarrival_burstiness
+
+    ev = _t(spark, sf, "events")
+    return interarrival_burstiness(
+        ev, ["user_id", "event_type"], "event_type", "ts", "event_id"
+    )

@@ -881,3 +881,59 @@ def community_quality(
         .cast("bigint")
         .alias("conductance_micro"),
     )
+
+
+def bipartite_cooccurrence(
+    df: DataFrame,
+    user_col,
+    item_col,
+    min_common: int = 1,
+) -> DataFrame:
+    """Item-item co-engagement projection of a user↔item bipartite set:
+    for every unordered item pair, the number of users engaging BOTH and
+    the cosine-normalized strength n_uv/sqrt(n_u·n_v) — the
+    collaborative-filtering edge weight, and the engagement analogue of
+    the co-mention edges the KG extracts from text windows
+    (pipeline/comention.py): same projection shape, different evidence.
+
+    The self-join is keyed by USER over the distinct (user, item) set,
+    so a user with k items emits k² pair rows — bounded by the item
+    dimension squared per user, never by the corpus.  Degrees broadcast
+    back; the cosine is sqrt of an exact int64 product, one fixed-order
+    double expression.
+
+    Output per pair (item_a < item_b): item_a, item_b, n_a, n_b,
+    n_common, cosine_micro.
+    """
+    u = user_col if not isinstance(user_col, str) else F.col(user_col)
+    it = item_col if not isinstance(item_col, str) else F.col(item_col)
+    ui = df.select(u.alias("_u"), it.alias("_i")).distinct()
+    deg = ui.groupBy("_i").agg(F.count("*").cast("long").alias("_n"))
+    a = ui.select("_u", F.col("_i").alias("item_a"))
+    b = ui.select("_u", F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .where(F.col("n_common") >= int(min_common))
+    )
+    da = deg.select(F.col("_i").alias("item_a"), F.col("_n").alias("n_a"))
+    db = deg.select(F.col("_i").alias("item_b"), F.col("_n").alias("n_b"))
+    joined = pairs.join(F.broadcast(da), "item_a").join(
+        F.broadcast(db), "item_b"
+    )
+    return joined.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            * F.lit(1_000_000)
+            / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+        )
+        .cast("long")
+        .alias("cosine_micro"),
+    )

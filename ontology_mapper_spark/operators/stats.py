@@ -1947,3 +1947,80 @@ def one_vs_rest_ztests(
             F.round(z2 * MICRO).cast("long"),
         ).alias("z2_micro"),
     )
+
+
+def gumbel_return_levels(
+    df: DataFrame,
+    group_col: str,
+    ts_col,
+    value_col,
+    return_period_days: int = 30,
+) -> DataFrame:
+    """Per-group extreme-value capacity planning: fit a Gumbel
+    distribution to the DAILY MAXIMA of a metric by method of moments
+    and report the T-day return level — "the daily peak you should
+    expect to see once per month" — the principled upgrade of eyeballing
+    qb03's historical peak.
+
+    Daily maxima are exact MILLI-int64 (floor(value·1e3); squares stay
+    within int64 for |value| < ~3e6 over ~3e3 days).  Moments are exact
+    integer sums; MoM constants sqrt(6)/π, the Euler–Mascheroni γ, and
+    c_T = −ln(−ln(1−1/T)) are Python-injected decimal literals (same
+    parse → same IEEE double in both engines); the fit is one
+    fixed-order double expression:
+
+        β = sd·sqrt(6)/π,  μ = mean − γ·β,  x_T = μ + β·c_T
+
+    NULL fit when fewer than 2 days or zero variance.
+
+    Output per group: group, n_days, max_milli, mean_milli, beta_milli,
+    loc_milli, return_level_milli.
+    """
+    from math import log, pi, sqrt
+
+    c1 = sqrt(6.0) / pi
+    euler_gamma = 0.5772156649015329
+    t = float(return_period_days)
+    c_t = -log(-log(1.0 - 1.0 / t))
+    ts = ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    us = F.unix_micros(ts.cast("timestamp"))
+    day = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            day.alias("_d"),
+            F.floor(v * 1_000).cast("long").alias("_x"),
+        )
+        .groupBy("_g", "_d")
+        .agg(F.max("_x").alias("_m"))
+    )
+    agg = daily.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("_m").cast("long").alias("max_milli"),
+        F.sum("_m").cast("long").alias("_s1"),
+        F.sum(F.col("_m") * F.col("_m")).cast("long").alias("_s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    # sample variance: (n·Σx² − (Σx)²) / (n·(n−1)), fixed order
+    var_num = (
+        F.col("n_days").cast("double") * F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double")
+    )
+    var = var_num / (n * (n - F.lit(1.0)))
+    beta = F.sqrt(var) * F.lit(c1)
+    loc = mean - F.lit(euler_gamma) * beta
+    rl = loc + beta * F.lit(c_t)
+    ok = (F.col("n_days") >= 2) & (var_num > 0)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_days",
+        "max_milli",
+        F.round(mean).cast("long").alias("mean_milli"),
+        F.when(ok, F.round(beta).cast("long")).alias("beta_milli"),
+        F.when(ok, F.round(loc).cast("long")).alias("loc_milli"),
+        F.when(ok, F.round(rl).cast("long")).alias("return_level_milli"),
+    )

@@ -1441,3 +1441,185 @@ def changepoint_binary_seg(
         .alias("mean_right_micro"),
         "gain_micro",
     )
+
+
+def vocabulary_turnover(
+    df: DataFrame,
+    ts_col,
+    entity_col,
+) -> DataFrame:
+    """Day-over-day entity-set turnover: for every consecutive-day pair,
+    the Jaccard of the two days' distinct entity sets and the share of
+    the later day that is NEW — the "is the stream drifting or looping"
+    KG-freshness meter (novelty_curve tracks first-ever appearance;
+    turnover tracks local churn).
+
+    One distinct (day, entity) aggregate, one self-join on day+1 (keyed
+    by entity), integer counts, single micro divisions.
+
+    Output per consecutive-day pair: day ('yyyy-MM-dd', the LATER day),
+    n_prev, n_cur, n_common, jaccard_micro, new_micro (share of the
+    later day's entities unseen the day before).
+    """
+    t = ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+    e = entity_col if not isinstance(entity_col, str) else F.col(entity_col)
+    us = F.unix_micros(t.cast("timestamp"))
+    day = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    de = df.select(day.alias("_d"), e.alias("_e")).distinct()
+    sizes = de.groupBy("_d").agg(F.count("*").cast("long").alias("_n"))
+    common = (
+        de.alias("a")
+        .join(
+            de.alias("b"),
+            (F.col("a._e") == F.col("b._e"))
+            & (F.col("b._d") == F.col("a._d") + 1),
+        )
+        .groupBy(F.col("b._d").alias("_d"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    prev = sizes.select((F.col("_d") + 1).alias("_d"), F.col("_n").alias("n_prev"))
+    cur = sizes.select("_d", F.col("_n").alias("n_cur"))
+    joined = (
+        cur.join(prev, "_d")
+        .join(common, "_d", "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("long"))
+    )
+    union = F.col("n_prev") + F.col("n_cur") - F.col("n_common")
+    return joined.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("_d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_prev",
+        "n_cur",
+        "n_common",
+        F.round(F.col("n_common") * F.lit(MICRO) / union)
+        .cast("long")
+        .alias("jaccard_micro"),
+        F.round(
+            (F.col("n_cur") - F.col("n_common")) * F.lit(MICRO) / F.col("n_cur")
+        )
+        .cast("long")
+        .alias("new_micro"),
+    )
+
+
+def aba_motifs(
+    df: DataFrame,
+    user_col,
+    type_col,
+    ts_col,
+    id_col,
+) -> DataFrame:
+    """A→B→A temporal motif counts: per user, consecutive event triples
+    where the outer types match and the middle differs — the smallest
+    nontrivial interaction motif (retry/oscillation/dialogue patterns),
+    the sequence-level complement of qa13's one-step transition matrix.
+
+    Per-user ordering is a PARTITIONED window with a (ts, id) total
+    order; two leads, one filter, one count — a single shuffle on the
+    user key.
+
+    Output per (type_a, type_b): type_a, type_b, n_motifs, n_users
+    (distinct users exhibiting the motif).
+    """
+    u = user_col if not isinstance(user_col, str) else F.col(user_col)
+    ty = type_col if not isinstance(type_col, str) else F.col(type_col)
+    t = ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+    i = id_col if not isinstance(id_col, str) else F.col(id_col)
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    seq = df.select(
+        u.alias("_u"), ty.alias("_t0"), t.alias("_ts"), i.alias("_id")
+    ).select(
+        "_u",
+        "_t0",
+        F.lead("_t0", 1).over(w).alias("_t1"),
+        F.lead("_t0", 2).over(w).alias("_t2"),
+    )
+    motifs = seq.where(
+        F.col("_t2").isNotNull()
+        & (F.col("_t0") == F.col("_t2"))
+        & (F.col("_t0") != F.col("_t1"))
+    )
+    return motifs.groupBy(
+        F.col("_t0").alias("type_a"), F.col("_t1").alias("type_b")
+    ).agg(
+        F.count("*").cast("long").alias("n_motifs"),
+        F.countDistinct("_u").cast("long").alias("n_users"),
+    )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    ts_col,
+    id_col,
+) -> DataFrame:
+    """Per-group inter-arrival statistics with the Goh–Barabási
+    burstiness index B = (σ−μ)/(σ+μ) over POOLED gaps: B ≈ -1 for
+    clockwork streams, 0 for Poisson, → 1 for bursty ones — the rhythm
+    profile that tells a capacity planner whether qb03's peak was a
+    fluke.
+
+    Gaps are exact integer microseconds from a lag over a PARTITIONED
+    (key) window with a (ts, id) total order.  The MEAN uses raw µs
+    sums (linear — no overflow).  The second moment would overflow
+    int64 on µs gaps (a one-month gap squares to 6.7e24), so B is
+    computed on WHOLE-SECOND gaps CAPPED at one day: Σg and Σg² stay
+    exact int64 up to ~10⁹ gaps per group, and the cap is a semantic
+    choice, not just a numeric one — burstiness measures within-stream
+    rhythm; multi-day dormancy is a session break, not a beat.  Mean,
+    population σ, and B come from one fixed-order double expression
+    each.  NULL B for degenerate groups (fewer than 2 gaps or zero
+    mean+σ).
+
+    Output per group: group, n_gaps, mean_gap_us (uncapped),
+    burstiness_micro (capped-second basis).
+    """
+    t = ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+    i = id_col if not isinstance(id_col, str) else F.col(id_col)
+    us = F.unix_micros(t.cast("timestamp"))
+    base = df.select(
+        *[F.col(c).alias(f"_k{j}") for j, c in enumerate(key_cols)],
+        F.col(group_col).alias("_g"),
+        us.alias("_us"),
+        i.alias("_id"),
+    )
+    kcols = [f"_k{j}" for j in range(len(key_cols))]
+    w = Window.partitionBy(*kcols).orderBy("_us", "_id")
+    gaps = base.select(
+        "_g", (F.col("_us") - F.lag("_us", 1).over(w)).alias("_gap")
+    ).where(F.col("_gap").isNotNull())
+    gap_s = F.least(
+        (
+            (F.col("_gap") - F.pmod(F.col("_gap"), F.lit(1_000_000)))
+            / F.lit(1_000_000)
+        ).cast("long"),
+        F.lit(86_400),
+    )
+    agg = gaps.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("long").alias("_su"),
+        F.sum(gap_s).cast("long").alias("_s1"),
+        F.sum(gap_s * gap_s).cast("long").alias("_s2"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("n_gaps").cast("double")
+    # population variance: (n·Σg² − (Σg)²)/n², kept in one fixed order
+    var = (
+        F.col("n_gaps").cast("double") * F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double")
+    ) / (F.col("n_gaps").cast("double") * F.col("n_gaps").cast("double"))
+    sd = F.sqrt(var)
+    mean_us = F.col("_su").cast("double") / F.col("n_gaps").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_gaps",
+        F.round(mean_us).cast("long").alias("mean_gap_us"),
+        F.when(
+            (F.col("n_gaps") >= 2) & (sd + mean > 0),
+            F.round((sd - mean) * F.lit(MICRO) / (sd + mean)).cast("long"),
+        ).alias("burstiness_micro"),
+    )

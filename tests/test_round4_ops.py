@@ -296,3 +296,99 @@ def test_changepoint_finds_level_shift(spark):
     assert r["n_days_left"] == 12 and r["n_days_right"] == 8
     assert r["mean_left_micro"] == 10_000_000
     assert r["mean_right_micro"] == 50_000_000
+
+
+def test_gumbel_return_level_mirror(spark):
+    import math
+
+    # 10 days, one event per day, daily max = value
+    vals = [10.0, 12.0, 11.0, 20.0, 9.0, 15.0, 13.0, 14.0, 8.0, 16.0]
+    rows = [(d * 86_400_000_000 + 1, "a", v) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "us long, event_type string, value double").select(
+        F.timestamp_micros(F.col("us")).alias("ts"), "event_type", "value"
+    )
+    from ontology_mapper_spark.operators.stats import gumbel_return_levels
+
+    r = gumbel_return_levels(df, "event_type", "ts", "value", 30).collect()[0]
+    xs = [math.floor(v * 1000) for v in vals]
+    n = len(xs)
+    mean = sum(xs) / n
+    var = (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * (n - 1))
+    beta = math.sqrt(var) * (math.sqrt(6) / math.pi)
+    loc = mean - 0.5772156649015329 * beta
+    rl = loc + beta * (-math.log(-math.log(1 - 1 / 30)))
+    assert r["n_days"] == n and r["max_milli"] == max(xs)
+    assert abs(r["return_level_milli"] - round(rl)) <= 1
+    # return level for a monthly horizon must exceed the mean
+    assert r["return_level_milli"] > r["mean_milli"]
+
+
+def test_vocabulary_turnover(spark):
+    from ontology_mapper_spark.operators.temporal import vocabulary_turnover
+
+    day = 86_400_000_000
+    rows = (
+        [(0 * day + i, f"u{i}") for i in range(4)]          # day0: u0-u3
+        + [(1 * day + i, f"u{i}") for i in range(2, 6)]      # day1: u2-u5
+        + [(2 * day + i, f"u{i}") for i in range(10, 12)]    # day2: disjoint
+    )
+    df = spark.createDataFrame(rows, "us long, e string").select(
+        F.timestamp_micros(F.col("us")).alias("ts"), "e"
+    )
+    out = {r["day"]: r for r in vocabulary_turnover(df, "ts", "e").collect()}
+    d1 = out["1970-01-02"]
+    assert (d1["n_prev"], d1["n_cur"], d1["n_common"]) == (4, 4, 2)
+    assert d1["jaccard_micro"] == round(2 * 1e6 / 6)
+    assert d1["new_micro"] == 500_000
+    d2 = out["1970-01-03"]
+    assert d2["n_common"] == 0 and d2["new_micro"] == 1_000_000
+
+
+def test_bipartite_cooccurrence(spark):
+    from ontology_mapper_spark.operators.graph import bipartite_cooccurrence
+
+    rows = [
+        ("u1", "x"), ("u1", "y"), ("u2", "x"), ("u2", "y"), ("u3", "x"),
+        ("u3", "z"), ("u1", "x"),  # dup engagement ignored
+    ]
+    df = spark.createDataFrame(rows, "u string, i string")
+    out = {(r["item_a"], r["item_b"]): r
+           for r in bipartite_cooccurrence(df, "u", "i").collect()}
+    xy = out[("x", "y")]
+    assert (xy["n_a"], xy["n_b"], xy["n_common"]) == (3, 2, 2)
+    import math
+    assert xy["cosine_micro"] == round(2 * 1e6 / math.sqrt(6))
+    assert out[("x", "z")]["n_common"] == 1
+    assert ("y", "z") not in out  # no shared user
+
+
+def test_aba_motifs(spark):
+    from ontology_mapper_spark.operators.temporal import aba_motifs
+
+    rows = [
+        ("u1", "A", 1, 1), ("u1", "B", 2, 2), ("u1", "A", 3, 3),  # ABA
+        ("u1", "B", 4, 4),                                         # BAB (overlapping)
+        ("u2", "A", 1, 5), ("u2", "A", 2, 6), ("u2", "A", 3, 7),   # AAA: not a motif
+    ]
+    df = spark.createDataFrame(rows, "u string, t string, s long, id long").select(
+        "u", "t", F.timestamp_micros(F.col("s") * 1_000_000).alias("ts"), "id"
+    )
+    out = {(r["type_a"], r["type_b"]): (r["n_motifs"], r["n_users"])
+           for r in aba_motifs(df, "u", "t", "ts", "id").collect()}
+    assert out == {("A", "B"): (1, 1), ("B", "A"): (1, 1)}
+
+
+def test_interarrival_burstiness(spark):
+    from ontology_mapper_spark.operators.temporal import (
+        interarrival_burstiness,
+    )
+
+    # clockwork stream: every gap exactly 10s -> sd=0 -> B = -1
+    rows = [("u1", "tick", i * 10_000_000, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "u string, t string, us long, id long").select(
+        "u", "t", F.timestamp_micros(F.col("us")).alias("ts"), "id"
+    )
+    r = interarrival_burstiness(df, ["u", "t"], "t", "ts", "id").collect()[0]
+    assert r["n_gaps"] == 9
+    assert r["mean_gap_us"] == 10_000_000
+    assert r["burstiness_micro"] == -1_000_000

@@ -114,6 +114,11 @@ PLAN_QUERIES = [
     "qb23_bh_fdr",
     "qb24_shrunk_rates",
     "qb25_changepoint",
+    "qb26_gumbel_extremes",
+    "qb27_entity_turnover",
+    "qb28_item_cooccurrence",
+    "qb29_aba_motifs",
+    "qb30_interarrival_burstiness",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -184,6 +189,11 @@ GENERIC_CHECK = {
     "qb23_bh_fdr",
     "qb24_shrunk_rates",
     "qb25_changepoint",
+    "qb26_gumbel_extremes",
+    "qb27_entity_turnover",
+    "qb28_item_cooccurrence",
+    "qb29_aba_motifs",
+    "qb30_interarrival_burstiness",
 }
 
 
