@@ -190,6 +190,10 @@ EXTENDED = [
     "qb28_item_cooccurrence",
     "qb29_aba_motifs",
     "qb30_interarrival_burstiness",
+    "qb31_stratified_ate",
+    "qb32_lorenz_curve",
+    "qb33_keyword_logodds",
+    "qb34_marginal_coverage",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -10928,3 +10928,223 @@ def qb30(spark, sf):
     return interarrival_burstiness(
         ev, ["user_id", "event_type"], "event_type", "ts", "event_id"
     )
+
+
+@_q(
+    "qb31_stratified_ate",
+    """
+    WITH per AS (
+      SELECT event_type AS s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= 50.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 AND value >= 50.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y0
+      FROM events GROUP BY 1),
+    staged AS (
+      SELECT n, n1, n - n1 AS n0, y1, y0,
+             (n1 > 0 AND n - n1 > 0) AS ok,
+             CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+               (CAST(round(y1 * 1000000 / n1) AS BIGINT)
+                - CAST(round(y0 * 1000000 / (n - n1)) AS BIGINT)) * n
+             END AS contrib
+      FROM per),
+    agg AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_strata_used,
+             CAST(sum(CASE WHEN ok THEN n ELSE 0 END) AS BIGINT) AS n_used,
+             CAST(sum(contrib) AS BIGINT) AS wsum,
+             CAST(sum(n1) AS BIGINT) AS tn1,
+             CAST(sum(n0) AS BIGINT) AS tn0,
+             CAST(sum(y1) AS BIGINT) AS ty1,
+             CAST(sum(y0) AS BIGINT) AS ty0
+      FROM staged)
+    SELECT n, n_strata, n_strata_used,
+           CASE WHEN tn1 > 0 AND tn0 > 0 THEN
+             CAST(round(ty1 * 1000000 / tn1) AS BIGINT)
+             - CAST(round(ty0 * 1000000 / tn0) AS BIGINT)
+           END AS naive_ate_micro,
+           CASE WHEN n_used > 0 THEN
+             CAST(round(wsum / n_used) AS BIGINT)
+           END AS adjusted_ate_micro
+    FROM agg
+    """,
+)
+def qb31(spark, sf):
+    """Stratification-adjusted treatment effect
+    (operators/stats.py:stratified_ate): even-vs-odd user cohorts'
+    value>=50 rate, stratified by event type — the Simpson's-paradox
+    guard completing the causal trio (qb10 DiD, qa87 CUPED).
+    Per-stratum rates micro-round once; the adjusted ATE is an exact
+    integer weighted sum with one terminal division."""
+    from .operators.stats import stratified_ate
+
+    ev = _t(spark, sf, "events")
+    return stratified_ate(
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (F.col("value") >= 50.0).alias("hit"),
+        ),
+        "event_type",
+        "treated",
+        "hit",
+    )
+
+
+@_q(
+    "qb32_lorenz_curve",
+    """
+    WITH per_unit AS (
+      SELECT user_id AS u, CAST(count(*) AS BIGINT) AS wt
+      FROM events GROUP BY 1),
+    tiled AS (
+      SELECT wt, ntile(10) OVER (ORDER BY wt ASC, u ASC) AS tile
+      FROM per_unit),
+    per AS (
+      SELECT CAST(tile AS INT) AS tile,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(wt) AS BIGINT) AS tile_weight
+      FROM tiled GROUP BY 1)
+    SELECT tile, n_units, tile_weight,
+           CAST(sum(tile_weight) OVER (ORDER BY tile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_weight,
+           CAST(round(sum(n_units) OVER (ORDER BY tile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 / sum(n_units) OVER ()) AS BIGINT)
+             AS cum_units_micro,
+           CAST(round(sum(tile_weight) OVER (ORDER BY tile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 / sum(tile_weight) OVER ()) AS BIGINT)
+             AS cum_weight_micro
+    FROM per
+    """,
+)
+def qb32(spark, sf):
+    """Lorenz concentration table of per-user event activity
+    (operators/stats.py:lorenz_deciles) — the curve behind qa09's Gini
+    number.  The oracle's global ntile is the semantic spec; the
+    engine computes the SAME tiles from the weight histogram's
+    cumulative counts (the qb04 discipline — never a row-level global
+    window)."""
+    from .operators.stats import lorenz_deciles
+
+    ev = _t(spark, sf, "events")
+    return lorenz_deciles(ev, "user_id", F.lit(1), n_tiles=10)
+
+
+@_q(
+    "qb33_keyword_logodds",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS w
+      FROM documents),
+    gw AS (SELECT source AS g, w, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    wt AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM gw GROUP BY 1),
+    gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM gw GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM gw),
+    scored AS (
+      SELECT gw.g, gw.w, gw.c AS n_in_group, wt.cw AS n_corpus,
+             CAST(round(
+               (ln(CAST(gw.c * 1000000 + wt.cw * 10000 AS DOUBLE)
+                   / CAST(gt.ng * 1000000 + nt * 10000
+                          - gw.c * 1000000 - wt.cw * 10000 AS DOUBLE))
+                - ln(CAST(wt.cw * 1000000 - gw.c * 1000000
+                          + wt.cw * 10000 AS DOUBLE)
+                     / CAST(nt * 1000000 - gt.ng * 1000000 + nt * 10000
+                            - wt.cw * 1000000 + gw.c * 1000000
+                            - wt.cw * 10000 AS DOUBLE)))
+               / sqrt(1000000.0
+                        / CAST(gw.c * 1000000 + wt.cw * 10000 AS DOUBLE)
+                      + 1000000.0
+                        / CAST(wt.cw * 1000000 - gw.c * 1000000
+                               + wt.cw * 10000 AS DOUBLE))
+               * 1000000) AS BIGINT) AS z_micro
+      FROM gw JOIN wt USING (w) JOIN gt USING (g), tot),
+    ranked AS (
+      SELECT g, w, n_in_group, n_corpus, z_micro,
+             CAST(row_number() OVER (PARTITION BY g
+                    ORDER BY z_micro DESC, w) AS INT) AS rank
+      FROM scored)
+    SELECT g AS source, w, n_in_group, n_corpus, z_micro, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def qb33(spark, sf):
+    """Per-source characteristic keywords by informative-Dirichlet
+    log-odds z (operators/stats.py:keyword_logodds, Monroe/Colaresi/
+    Quinn 2008) — the contrast view tf-idf gets wrong for frequent
+    words.  Prior = 1% of corpus counts, carried in exact micro-int
+    numerators; ln/sqrt evaluated once per (source, token) row in one
+    fixed order; per-source top-10 by partitioned rank."""
+    from .operators.stats import keyword_logodds
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(words_col(F.col("text"))).alias("w"))
+    return keyword_logodds(
+        tok, "source", "w", alpha_scale_micro=10_000, top_k=10
+    )
+
+
+@_q(
+    "qb34_marginal_coverage",
+    r"""
+    WITH grams AS (
+      SELECT DISTINCT source AS s, w || ' ' || lead_w AS g
+      FROM (SELECT source, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w,
+                         generate_subscripts(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),1) AS idx
+                  FROM documents))
+      WHERE lead_w IS NOT NULL),
+    sizes AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1),
+    ord AS (
+      SELECT s, n_docs,
+             CAST(row_number() OVER (ORDER BY n_docs DESC, s) AS INT)
+               AS order_idx
+      FROM sizes),
+    firsts AS (
+      SELECT g.g, min(o.order_idx) AS f
+      FROM grams g JOIN ord o ON o.s = g.s GROUP BY 1),
+    new_counts AS (
+      SELECT f AS order_idx, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1),
+    in_source AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM grams GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM firsts)
+    SELECT o.order_idx, o.s AS source, o.n_docs, i.n_shingles,
+           coalesce(n.n_new, 0) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY o.order_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_new,
+           CAST(round(coalesce(n.n_new, 0) * 1000000
+                      / (SELECT t FROM tot)) AS BIGINT) AS marginal_micro
+    FROM ord o
+    JOIN in_source i ON i.s = o.s
+    LEFT JOIN new_counts n ON n.order_idx = o.order_idx
+    """,
+)
+def qb34(spark, sf):
+    """Greedy marginal bigram-vocabulary coverage per source
+    (operators/textstats.py:marginal_coverage): sources in fixed
+    size order, each credited with the distinct shingles it adds
+    beyond everything before it — the sequential mixture-design view
+    next to qa45's pairwise containment.  One min-agg over the
+    inverted index; the rollup window runs on the source spine."""
+    from .operators.textstats import marginal_coverage
+
+    d = _t(spark, sf, "documents")
+    return marginal_coverage(d, "text", "source", shingle_n=2)

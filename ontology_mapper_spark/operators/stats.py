@@ -2024,3 +2024,277 @@ def gumbel_return_levels(
         F.when(ok, F.round(loc).cast("long")).alias("loc_milli"),
         F.when(ok, F.round(rl).cast("long")).alias("return_level_milli"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col,
+    treated_col,
+    outcome_col,
+) -> DataFrame:
+    """Stratification-adjusted average treatment effect: per-stratum
+    treated/control outcome rates combined with stratum-share weights —
+    the Simpson's-paradox guard for observational comparisons (a naive
+    pooled difference can flip sign when treatment assignment is
+    confounded with a stratum; the adjusted ATE weights each stratum's
+    within-stratum contrast by its population share).
+
+    Per-stratum rates micro-round ONCE each (single divisions of exact
+    counts); the adjusted ATE is then an exact integer weighted sum of
+    those int64 rates divided by N — one more division.  Strata with a
+    missing arm are excluded from the adjusted estimate (standard
+    positivity requirement) and reported.
+
+    Output (single row): n, n_strata, n_strata_used, naive_ate_micro,
+    adjusted_ate_micro.
+    """
+    s = stratum_col if not isinstance(stratum_col, str) else F.col(stratum_col)
+    t = (
+        treated_col if not isinstance(treated_col, str) else F.col(treated_col)
+    ).cast("boolean")
+    y = (
+        outcome_col if not isinstance(outcome_col, str) else F.col(outcome_col)
+    ).cast("boolean").cast("long")
+    per = df.select(s.alias("_s"), t.alias("_t"), y.alias("_y")).groupBy(
+        "_s"
+    ).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col("_t").cast("long")).cast("long").alias("_n1"),
+        F.sum(F.when(F.col("_t"), F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("_y1"),
+        F.sum(F.when(~F.col("_t"), F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("_y0"),
+    ).withColumn("_n0", F.col("_n") - F.col("_n1"))
+    usable = (F.col("_n1") > 0) & (F.col("_n0") > 0)
+    rate1 = F.round(F.col("_y1") * MICRO / F.col("_n1")).cast("long")
+    rate0 = F.round(F.col("_y0") * MICRO / F.col("_n0")).cast("long")
+    staged = per.select(
+        "_n",
+        "_n1",
+        "_n0",
+        "_y1",
+        "_y0",
+        usable.alias("_ok"),
+        F.when(usable, (rate1 - rate0) * F.col("_n")).alias("_contrib"),
+    )
+    agg = staged.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.col("_ok").cast("long")).cast("long").alias("n_strata_used"),
+        F.sum(F.when(F.col("_ok"), F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("_n_used"),
+        F.sum("_contrib").cast("long").alias("_wsum"),
+        F.sum("_n1").cast("long").alias("_tn1"),
+        F.sum("_n0").cast("long").alias("_tn0"),
+        F.sum("_y1").cast("long").alias("_ty1"),
+        F.sum("_y0").cast("long").alias("_ty0"),
+    )
+    naive = F.round(F.col("_ty1") * MICRO / F.col("_tn1")).cast(
+        "long"
+    ) - F.round(F.col("_ty0") * MICRO / F.col("_tn0")).cast("long")
+    return agg.select(
+        "n",
+        "n_strata",
+        "n_strata_used",
+        F.when(
+            (F.col("_tn1") > 0) & (F.col("_tn0") > 0), naive
+        ).alias("naive_ate_micro"),
+        F.when(
+            F.col("_n_used") > 0,
+            F.round(F.col("_wsum") / F.col("_n_used")).cast("long"),
+        ).alias("adjusted_ate_micro"),
+    )
+
+
+#: informative-Dirichlet log-odds (Monroe, Colaresi & Quinn 2008) —
+#: the "what words characterize this source" contrast that raw counts
+#: and tf-idf both get wrong for frequent words
+def keyword_logodds(
+    tok: DataFrame,
+    group_col: str,
+    token_col: str,
+    alpha_scale_micro: int = 1_000_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-group top-k characteristic tokens by the Dirichlet-smoothed
+    log-odds z-score of group-vs-rest usage:
+
+        d = ln((c_gw+a_w)/(n_g+a-c_gw-a_w)) - ln((c_w-c_gw+a_w)/(n-n_g+a-c_w+c_gw-a_w))
+        z = d / sqrt(1/(c_gw+a_w) + 1/(c_w-c_gw+a_w))
+
+    with the informative prior a_w = corpus count scaled by
+    alpha_scale_micro/1e6 (a = Σa_w).  Every ln/sqrt input is a ratio
+    of exact int64 count sums evaluated ONCE per (group, token) row in
+    one fixed operation order; the per-group top-k is a rank over the
+    group's vocabulary partition (partitioned, never global).
+
+    Output: group, token, n_in_group, n_corpus, z_micro, rank
+    (1 = most characteristic).
+    """
+    gw = tok.select(
+        F.col(group_col).alias("_g"), F.col(token_col).alias("_w")
+    ).groupBy("_g", "_w").agg(F.count("*").cast("long").alias("_c"))
+    wt = gw.groupBy("_w").agg(F.sum("_c").cast("long").alias("_cw"))
+    gt = gw.groupBy("_g").agg(F.sum("_c").cast("long").alias("_ng"))
+    tot = gw.agg(F.sum("_c").cast("long").alias("_nt"))
+    base = (
+        gw.join(wt, "_w")
+        .join(F.broadcast(gt), "_g")
+        .crossJoin(F.broadcast(tot))
+    )
+    ascale = int(alpha_scale_micro)
+    # prior counts live in exact MICRO units: a_w = c_w·(ascale/1e6) is
+    # represented as the int64 c_w·ascale next to counts·1e6, so the
+    # smoothed ratios below are double divisions of exact integers
+    # (valid to ~1e12 corpus tokens before c·1e6 leaves int64)
+    awm = F.col("_cw") * F.lit(ascale)
+    atm = F.col("_nt") * F.lit(ascale)
+    cgm = F.col("_c") * F.lit(MICRO)
+    cwm = F.col("_cw") * F.lit(MICRO)
+    ngm = F.col("_ng") * F.lit(MICRO)
+    ntm = F.col("_nt") * F.lit(MICRO)
+    x1 = (cgm + awm).cast("double")
+    x2 = (ngm + atm - cgm - awm).cast("double")
+    x3 = (cwm - cgm + awm).cast("double")
+    x4 = (ntm - ngm + atm - cwm + cgm - awm).cast("double")
+    d = F.log(x1 / x2) - F.log(x3 / x4)
+    var = F.lit(float(MICRO)) / x1 + F.lit(float(MICRO)) / x3
+    z = d / F.sqrt(var)
+    scored = base.select(
+        "_g",
+        "_w",
+        F.col("_c").alias("n_in_group"),
+        F.col("_cw").alias("n_corpus"),
+        F.round(z * F.lit(MICRO)).cast("long").alias("z_micro"),
+    )
+    wr = Window.partitionBy("_g").orderBy(
+        F.col("z_micro").desc(), F.col("_w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= int(top_k))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_w").alias(token_col),
+            "n_in_group",
+            "n_corpus",
+            "z_micro",
+            "rank",
+        )
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    unit_col: str,
+    weight_col,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Lorenz concentration table: units (users, sources, entities)
+    sorted by ascending activity and cut into n_tiles equal-population
+    tiles; each row reports the tile's share and the cumulative share
+    of total activity — the curve behind qa09's single Gini number
+    ("the bottom 50% of users produce 4% of events").
+
+    Tiling reuses the qb04 histogram-rank discipline: exact ntile
+    arithmetic over the per-unit weight HISTOGRAM's cumulative counts
+    (ascending (weight, unit) total order); only boundary weights get a
+    per-weight partitioned unit rank — never a row-level global window.
+    Weights are exact int64 sums; shares are single micro divisions.
+
+    Output per tile (1 = least active): tile, n_units, tile_weight,
+    cum_weight, cum_units_micro, cum_weight_micro.
+    """
+    w = (
+        weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    ).cast("long")
+    per_unit = df.select(F.col(unit_col).alias("_u"), w.alias("_w")).groupBy(
+        "_u"
+    ).agg(F.sum("_w").cast("long").alias("_wt"))
+    hist = per_unit.groupBy("_wt").agg(
+        F.count("*").cast("long").alias("_ns"),
+        F.sum("_wt").cast("long").alias("_ws"),
+    )
+    wh = Window.orderBy(F.col("_wt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    whall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = hist.select(
+        "_wt",
+        "_ns",
+        "_ws",
+        F.coalesce(F.sum("_ns").over(wh), F.lit(0)).cast("long").alias("_c"),
+        F.sum("_ns").over(whall).cast("long").alias("_N"),
+    ).withColumns(
+        {
+            "_q": F.expr(f"_N div {int(n_tiles)}"),
+            "_rem": F.expr(f"_N % {int(n_tiles)}"),
+        }
+    )
+
+    def _tile(r: str):
+        return F.expr(
+            f"CASE WHEN _rem = 0 THEN ({r} - 1) div _q + 1"
+            f" WHEN {r} <= _rem * (_q + 1)"
+            f" THEN ({r} - 1) div (_q + 1) + 1"
+            f" ELSE _rem + ({r} - _rem * (_q + 1) - 1) div greatest(_q, 1)"
+            f" + 1 END"
+        )
+
+    h = h.withColumns({"_t0": _tile("_c + 1"), "_t1": _tile("_c + _ns")})
+    whole = h.where(F.col("_t0") == F.col("_t1")).select(
+        F.col("_t0").cast("int").alias("tile"),
+        F.col("_ns").alias("_n"),
+        F.col("_ws").alias("_sw"),
+    )
+    split = h.where(F.col("_t0") != F.col("_t1")).select(
+        "_wt", "_c", "_q", "_rem"
+    )
+    wb = Window.partitionBy("_wt").orderBy("_u")
+    boundary = (
+        per_unit.join(F.broadcast(split), "_wt")
+        .withColumn("_r", F.col("_c") + F.row_number().over(wb).cast("long"))
+        .withColumn("tile", _tile("_r").cast("int"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_wt").cast("long").alias("_sw"),
+        )
+    )
+    per = (
+        whole.unionByName(boundary)
+        .groupBy("tile")
+        .agg(
+            F.sum("_n").cast("long").alias("n_units"),
+            F.sum("_sw").cast("long").alias("tile_weight"),
+        )
+    )
+    wc = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "tile",
+        "n_units",
+        "tile_weight",
+        F.sum("tile_weight").over(wc).cast("long").alias("cum_weight"),
+        F.round(
+            F.sum("n_units").over(wc) * F.lit(MICRO)
+            / F.sum("n_units").over(wall)
+        )
+        .cast("long")
+        .alias("cum_units_micro"),
+        F.round(
+            F.sum("tile_weight").over(wc) * F.lit(MICRO)
+            / F.sum("tile_weight").over(wall)
+        )
+        .cast("long")
+        .alias("cum_weight_micro"),
+    )

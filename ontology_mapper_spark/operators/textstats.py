@@ -825,3 +825,75 @@ def heaps_law_fit(
             ).cast("long"),
         ).alias("intercept_milli"),
     )
+
+
+def marginal_coverage(
+    df,
+    text_col: str,
+    source_col: str,
+    shingle_n: int = 2,
+):
+    """Greedy marginal vocabulary coverage per source: order sources by
+    size (docs desc, name asc — a FIXED greedy order, not the NP-hard
+    optimum), then report how many distinct word n-grams each source
+    adds beyond everything before it — the "which feeds are redundant"
+    view for mixture design, complementing qa45's pairwise containment
+    with a sequential, budget-shaped answer.
+
+    Every shingle's covering source is its MINIMUM order index (one
+    min-agg over the distinct (source, shingle) index joined to the
+    broadcast source-order dimension); the cumulative rollup is a
+    window over the source spine.  Counts int64, shares single micro
+    divisions.
+
+    Output per source (greedy order): order_idx, source, n_docs,
+    n_shingles (distinct in source), n_new, cum_new,
+    marginal_micro (new/distinct-total).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import shingles_col
+
+    tok = df.select(
+        F.col(source_col).alias("_s"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_g"),
+    ).distinct()
+    sizes = df.groupBy(F.col(source_col).alias("_s")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    worder = Window.orderBy(F.col("n_docs").desc(), F.col("_s"))
+    order = sizes.select(
+        "_s", "n_docs", F.row_number().over(worder).cast("int").alias("order_idx")
+    )
+    per_sh = (
+        tok.join(F.broadcast(order.select("_s", "order_idx")), "_s")
+        .groupBy("_g")
+        .agg(F.min("order_idx").alias("_first"))
+    )
+    new_counts = per_sh.groupBy(F.col("_first").alias("order_idx")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    in_source = tok.groupBy("_s").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    total = per_sh.agg(F.count("*").cast("long").alias("_tot"))
+    wc = Window.orderBy("order_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = (
+        order.join(in_source, "_s")
+        .join(new_counts, "order_idx", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(total))
+    )
+    return joined.select(
+        "order_idx",
+        F.col("_s").alias(source_col),
+        "n_docs",
+        "n_shingles",
+        "n_new",
+        F.sum("n_new").over(wc).cast("long").alias("cum_new"),
+        F.round(F.col("n_new") * F.lit(1_000_000) / F.col("_tot"))
+        .cast("long")
+        .alias("marginal_micro"),
+    )

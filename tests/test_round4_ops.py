@@ -392,3 +392,85 @@ def test_interarrival_burstiness(spark):
     assert r["n_gaps"] == 9
     assert r["mean_gap_us"] == 10_000_000
     assert r["burstiness_micro"] == -1_000_000
+
+
+def test_stratified_ate_simpsons(spark):
+    """Construct a Simpson's-paradox fixture: within each stratum the
+    treatment HELPS (+20pts), but treatment concentrates in the
+    low-outcome stratum, so the naive pooled difference is negative."""
+    from ontology_mapper_spark.operators.stats import stratified_ate
+
+    rows = []
+    # stratum L (low base rate 10%/30%): 80 treated, 20 control
+    rows += [("L", True, True)] * 24 + [("L", True, False)] * 56
+    rows += [("L", False, True)] * 2 + [("L", False, False)] * 18
+    # stratum H (high base rate 60%/80%): 20 treated, 80 control
+    rows += [("H", True, True)] * 16 + [("H", True, False)] * 4
+    rows += [("H", False, True)] * 48 + [("H", False, False)] * 32
+    df = spark.createDataFrame(rows, "s string, t boolean, y boolean")
+    r = stratified_ate(df, "s", "t", "y").collect()[0]
+    assert r["n"] == 200 and r["n_strata_used"] == 2
+    assert r["naive_ate_micro"] < 0  # pooled comparison misleads
+    assert r["adjusted_ate_micro"] > 0  # within-stratum truth recovered
+    # exact: both strata have +20pt effects, weights 100/100 -> +200000
+    assert r["adjusted_ate_micro"] == 200_000
+
+
+def test_lorenz_deciles_concentration(spark):
+    from ontology_mapper_spark.operators.stats import lorenz_deciles
+
+    # 90 users with 1 event, 10 users with 91 events -> top tile holds
+    # 910 of 1000 events
+    rows = [(f"u{i:03d}",) for i in range(90)]
+    for i in range(90, 100):
+        rows += [(f"u{i:03d}",)] * 91
+    df = spark.createDataFrame(rows, "u string").select(
+        "u", F.lit(1).alias("w")
+    )
+    out = {r["tile"]: r for r in lorenz_deciles(df, "u", "w").collect()}
+    assert len(out) == 10
+    assert out[10]["tile_weight"] == 910 and out[10]["n_units"] == 10
+    assert out[1]["tile_weight"] == 10
+    assert out[10]["cum_weight_micro"] == 1_000_000
+    assert out[9]["cum_weight_micro"] == 90_000
+
+
+def test_keyword_logodds_contrast(spark):
+    from ontology_mapper_spark.operators.stats import keyword_logodds
+
+    rows = [("a", "apple")] * 50 + [("a", "the")] * 50 + \
+           [("b", "banana")] * 50 + [("b", "the")] * 50
+    df = spark.createDataFrame(rows, "g string, w string")
+    out = {(r["g"], r["w"]): r for r in
+           keyword_logodds(df, "g", "w", top_k=3).collect()}
+    # each group's most characteristic token is its exclusive word,
+    # and the shared stopword never outranks it
+    assert out[("a", "apple")]["rank"] == 1
+    assert out[("b", "banana")]["rank"] == 1
+    assert out[("a", "the")]["rank"] > 1
+    assert out[("a", "apple")]["z_micro"] > 0
+    # only OBSERVED (group, token) rows are scored — a token the group
+    # never uses has no row (and 'the', shared 50/50, scores below the
+    # exclusive word)
+    assert ("a", "banana") not in out
+    assert out[("a", "the")]["z_micro"] < out[("a", "apple")]["z_micro"]
+
+
+def test_marginal_coverage_greedy(spark):
+    from ontology_mapper_spark.operators.textstats import marginal_coverage
+
+    rows = [
+        (1, "alpha beta gamma delta", "big"),
+        (2, "alpha beta gamma delta", "big"),
+        (3, "alpha beta epsilon", "mid"),      # adds 'beta epsilon'
+        (4, "alpha beta gamma delta", "dup"),  # adds nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           marginal_coverage(df, "text", "source", 2).collect()}
+    assert out["big"]["order_idx"] == 1 and out["big"]["n_new"] == 3
+    # doc-count tie between 'dup' and 'mid' breaks on name: dup=2, mid=3
+    assert out["dup"]["order_idx"] == 2 and out["mid"]["order_idx"] == 3
+    assert out["mid"]["n_new"] == 1  # only 'beta epsilon' is new
+    assert out["dup"]["n_new"] == 0
+    assert out["mid"]["cum_new"] == 4

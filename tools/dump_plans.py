@@ -119,6 +119,10 @@ PLAN_QUERIES = [
     "qb28_item_cooccurrence",
     "qb29_aba_motifs",
     "qb30_interarrival_burstiness",
+    "qb31_stratified_ate",
+    "qb32_lorenz_curve",
+    "qb33_keyword_logodds",
+    "qb34_marginal_coverage",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -194,6 +198,10 @@ GENERIC_CHECK = {
     "qb28_item_cooccurrence",
     "qb29_aba_motifs",
     "qb30_interarrival_burstiness",
+    "qb31_stratified_ate",
+    "qb32_lorenz_curve",
+    "qb33_keyword_logodds",
+    "qb34_marginal_coverage",
 }
 
 
@@ -240,6 +248,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb23_bh_fdr": "hypothesis-family table (m groups, m <= max_m guarded)",
     "qb24_shrunk_rates": "per-source rate table (sources are a dimension)",
     "qb25_changepoint": "day-spine prefix sums (calendar-bounded)",
+    "qb32_lorenz_curve": "per-unit weight histogram tiles + 10-row tile cumulative table",
+    "qb34_marginal_coverage": "source-spine cumulative rollup (sources are a dimension)",
 }
 
 
