@@ -194,6 +194,9 @@ EXTENDED = [
     "qb32_lorenz_curve",
     "qb33_keyword_logodds",
     "qb34_marginal_coverage",
+    "qb35_tokenizer_fertility",
+    "qb36_dedup_composition",
+    "qb37_del1_neardup",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

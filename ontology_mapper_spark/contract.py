@@ -11148,3 +11148,127 @@ def qb34(spark, sf):
 
     d = _t(spark, sf, "documents")
     return marginal_coverage(d, "text", "source", shingle_n=2)
+
+
+@_q(
+    "qb35_tokenizer_fertility",
+    r"""
+    WITH per AS (
+      SELECT lang AS g,
+             CAST(len(list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '')) AS BIGINT) AS nw,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS ntok,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             CAST(sum(nc) AS BIGINT) AS n_chars
+      FROM per GROUP BY 1)
+    SELECT g AS lang, n_docs, n_words, n_tokens, n_chars,
+           CASE WHEN n_words > 0 THEN
+             CAST(round(n_tokens * 1000000 / n_words) AS BIGINT)
+           END AS fertility_micro,
+           CASE WHEN n_tokens > 0 THEN
+             CAST(round(n_chars * 1000000 / n_tokens) AS BIGINT)
+           END AS chars_per_token_micro
+    FROM agg
+    """,
+)
+def qb35(spark, sf):
+    """Per-language tokenizer fertility
+    (operators/textstats.py:tokenizer_fertility): tokens/word and
+    chars/token under the BPE-ish token regex — the multilingual
+    training-cost audit (high fertility = context-window penalty).
+    One scan, int64 sums, two single micro divisions."""
+    from .operators.textstats import tokenizer_fertility
+
+    d = _t(spark, sf, "documents")
+    return tokenizer_fertility(d, "text", "lang")
+
+
+@_q(
+    "qb36_dedup_composition",
+    """
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+    before AS (
+      SELECT source AS d, CAST(count(*) AS BIGINT) AS n_before
+      FROM documents GROUP BY 1),
+    after AS (
+      SELECT doc.source AS d, CAST(count(*) AS BIGINT) AS n_after
+      FROM documents doc JOIN reps USING (doc_id) GROUP BY 1),
+    tb AS (SELECT CAST(sum(n_before) AS BIGINT) AS t FROM before),
+    ta AS (SELECT CAST(sum(n_after) AS BIGINT) AS t FROM after),
+    joined AS (
+      SELECT b.d, b.n_before, coalesce(a.n_after, 0) AS n_after
+      FROM before b LEFT JOIN after a ON a.d = b.d)
+    SELECT d AS source, n_before, n_after,
+           CAST(round(n_after * 1000000 / n_before) AS BIGINT)
+             AS kept_micro,
+           CAST(round(n_before * 1000000 / (SELECT t FROM tb)) AS BIGINT)
+             AS share_before_micro,
+           CAST(round(n_after * 1000000 / (SELECT t FROM ta)) AS BIGINT)
+             AS share_after_micro,
+           CAST(round(n_after * 1000000 / (SELECT t FROM ta)) AS BIGINT)
+             - CAST(round(n_before * 1000000 / (SELECT t FROM tb))
+                    AS BIGINT) AS shift_micro
+    FROM joined
+    """,
+)
+def qb36(spark, sf):
+    """Survivorship audit of exact dedup per source
+    (operators/dedup.py:dedup_composition_shift): corpus shares before
+    vs after the normalized-content dedup and the shift — dedup is
+    never composition-neutral, and a mixture designed on pre-dedup
+    shares silently re-weights after it."""
+    from .operators.dedup import dedup_composition_shift
+
+    d = _t(spark, sf, "documents")
+    return dedup_composition_shift(d, "text", "doc_id", "source")
+
+
+@_q(
+    "qb37_del1_neardup",
+    r"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_filter(
+               string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+               w -> w <> '') AS l
+      FROM documents),
+    sized AS (
+      SELECT id, l, CAST(len(l) AS BIGINT) AS n
+      FROM base WHERE len(l) BETWEEN 1 AND 64),
+    em AS (
+      SELECT DISTINCT id, n,
+             CASE WHEN i = 0 THEN array_to_string(l, ' ')
+                  ELSE array_to_string(
+                         list_concat(l[1:i-1], l[i+1:CAST(n AS INT)]), ' ')
+             END AS v
+      FROM (SELECT id, l, n, unnest(generate_series(0, CAST(n AS INT)))
+                     AS i
+            FROM sized))
+    SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+           CAST(count(*) AS BIGINT) AS n_shared_variants
+    FROM em a JOIN em b ON a.v = b.v AND a.id < b.id
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def qb37(spark, sf):
+    """SymSpell-style word-level deletion-neighborhood near-dup pairs
+    (operators/dedup.py:deletion_neighborhood_pairs): docs pairing iff
+    their token sequences are equal after deleting <= 1 token from each
+    side — exact by construction (the join key is the variant STRING),
+    catching the one-slot template edits LSH needs many bands to see.
+    Size-gated at 64 tokens (documented boundary; long docs belong to
+    the MinHash family)."""
+    from .operators.dedup import deletion_neighborhood_pairs
+
+    d = _t(spark, sf, "documents")
+    return deletion_neighborhood_pairs(d, "text", "doc_id", max_tokens=64)

@@ -1037,3 +1037,129 @@ def cluster_size_profile(
             F.sum("_sz").cast("long").alias("n_docs"),
         )
     )
+
+
+def dedup_composition_shift(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim_col: str,
+) -> DataFrame:
+    """Survivorship audit of exact dedup: per dimension value (lang,
+    source, ...), the corpus share BEFORE vs AFTER `exact_dedup` and
+    the shift — dedup is never composition-neutral (template spam
+    concentrates in particular feeds), and a mixture designed on
+    pre-dedup shares silently re-weights after it.
+
+    Shares micro-round once each; the shift is an int64 difference.
+
+    Output per dim value: dim, n_before, n_after, kept_micro
+    (after/before), share_before_micro, share_after_micro, shift_micro
+    (after − before share).
+    """
+    before = df.groupBy(F.col(dim_col).alias("_d")).agg(
+        F.count("*").cast("long").alias("n_before")
+    )
+    after = (
+        exact_dedup(df, text_col, id_col)
+        .groupBy(F.col(dim_col).alias("_d"))
+        .agg(F.count("*").cast("long").alias("n_after"))
+    )
+    tot = before.agg(F.sum("n_before").cast("long").alias("_tb"))
+    tot_a = after.agg(F.sum("n_after").cast("long").alias("_ta"))
+    joined = (
+        before.join(after, "_d", "left")
+        .withColumn("n_after", F.coalesce("n_after", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_a))
+    )
+    sb = F.round(F.col("n_before") * F.lit(1_000_000) / F.col("_tb")).cast(
+        "long"
+    )
+    sa = F.round(F.col("n_after") * F.lit(1_000_000) / F.col("_ta")).cast(
+        "long"
+    )
+    return joined.select(
+        F.col("_d").alias(dim_col),
+        "n_before",
+        "n_after",
+        F.round(F.col("n_after") * F.lit(1_000_000) / F.col("n_before"))
+        .cast("long")
+        .alias("kept_micro"),
+        sb.alias("share_before_micro"),
+        sa.alias("share_after_micro"),
+        (sa - sb).alias("shift_micro"),
+    )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """SymSpell-style deletion-neighborhood near-dup join at the WORD
+    level: every document emits its normalized token sequence plus each
+    single-deletion variant; two documents pair iff they SHARE a
+    variant string — i.e. their sequences are equal after deleting at
+    most one token from each side (catches one-word insertions,
+    deletions, and same-position substitutions — the "template with one
+    slot changed" duplicates LSH needs many bands to see).
+
+    EXACT by construction: the join key is the variant STRING itself
+    (never just a hash), so the shared-variant predicate IS the
+    deletion-distance relation — no verify stage.  Docs longer than
+    `max_tokens` are EXCLUDED (emission is O(len) per doc and the
+    single-token-edit relation is meaningful for short template
+    strings; long-document near-dup belongs to the MinHash/SimHash
+    family) — a documented gate, not a silent cap.
+
+    The words array is projected into its own column BEFORE the variant
+    transform (higher-order lambda bodies re-evaluate embedded subtrees
+    per element — the shingles_all_col lesson), and the pair-distinct
+    repartitions on the pair key with explicit numPartitions (hot
+    variants produce k² pairs in one join task otherwise — the qa42 AQE
+    coalescing class).
+
+    Output: (id_a, id_b, n_a, n_b, n_shared_variants), id_a < id_b.
+    Identical sequences of length n share n+1 variants.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(normalized_text_col(F.col(text_col)), " "),
+            lambda x: F.length(x) > 0,
+        ).alias("_w"),
+    ).where((F.size("_w") >= 1) & (F.size("_w") <= int(max_tokens)))
+    n = F.size("_w")
+    variants = F.transform(
+        F.sequence(F.lit(0), n),
+        lambda i: F.when(i == 0, F.concat_ws(" ", F.col("_w"))).otherwise(
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.slice(F.col("_w"), 1, i - 1),
+                    F.slice(F.col("_w"), i + 1, F.size("_w") - i),
+                ),
+            )
+        ),
+    )
+    emitted = base.select(
+        "_id", n.cast("long").alias("_n"), F.explode(variants).alias("_v")
+    ).distinct()
+    a = emitted.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_v"
+    )
+    b = emitted.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_v"
+    )
+    P = df.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        a.repartition(P, "_v")
+        .join(b.repartition(P, "_v"), "_v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .repartition(P, "id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").cast("long").alias("n_shared_variants"))
+    )
+    return pairs

@@ -897,3 +897,51 @@ def marginal_coverage(
         .cast("long")
         .alias("marginal_micro"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group tokenizer fertility: tokens per word and characters per
+    token — the "how expensive is this language/source under my
+    tokenizer" meter (fertility >> 1 predicts a context-window and
+    training-cost penalty; the standard multilingual-corpus audit).
+
+    Tokens use the BPE-ish `token_count_col` regex (words + standalone
+    punctuation), words the shared normalized splitter — one scan, all
+    int64 sums, two single micro divisions.
+
+    Output per group: group, n_docs, n_words, n_tokens, n_chars,
+    fertility_micro (tokens/words), chars_per_token_micro.
+    """
+    w = words_col(F.col(text_col))
+    per = df.select(
+        F.col(group_col).alias("_g"),
+        F.size(w).cast("long").alias("_nw"),
+        token_count_col(F.col(text_col)).cast("long").alias("_ntok"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+    ).groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nw").cast("long").alias("n_words"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens") * F.lit(1_000_000) / F.col("n_words"))
+            .cast("long"),
+        ).alias("fertility_micro"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_chars") * F.lit(1_000_000) / F.col("n_tokens"))
+            .cast("long"),
+        ).alias("chars_per_token_micro"),
+    )

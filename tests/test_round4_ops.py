@@ -474,3 +474,64 @@ def test_marginal_coverage_greedy(spark):
     assert out["mid"]["n_new"] == 1  # only 'beta epsilon' is new
     assert out["dup"]["n_new"] == 0
     assert out["mid"]["cum_new"] == 4
+
+
+def test_tokenizer_fertility(spark):
+    from ontology_mapper_spark.operators.textstats import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [("en", "hello, world!"), ("en", "one two")],
+        "lang string, text string",
+    )
+    r = tokenizer_fertility(df, "text", "lang").collect()[0]
+    # tokens: hello , world ! = 4; one two = 2 -> 6; words: 2 + 2 = 4
+    assert (r["n_docs"], r["n_words"], r["n_tokens"]) == (2, 4, 6)
+    assert r["fertility_micro"] == 1_500_000
+
+
+def test_dedup_composition_shift(spark):
+    from ontology_mapper_spark.operators.dedup import dedup_composition_shift
+
+    rows = (
+        [(i, "same template text", "spam") for i in range(8)]
+        + [(100 + i, f"unique doc {i}", "clean") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           dedup_composition_shift(df, "text", "doc_id", "source").collect()}
+    assert (out["spam"]["n_before"], out["spam"]["n_after"]) == (8, 1)
+    assert (out["clean"]["n_before"], out["clean"]["n_after"]) == (2, 2)
+    # spam was 80% of the corpus, is 33% after dedup: shift is negative
+    assert out["spam"]["share_before_micro"] == 800_000
+    assert out["spam"]["share_after_micro"] == 333_333
+    assert out["spam"]["shift_micro"] == -466_667
+    assert out["clean"]["kept_micro"] == 1_000_000
+
+
+def test_deletion_neighborhood_pairs(spark):
+    from ontology_mapper_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),        # identical: shares 5 variants
+        (3, "the quick fox"),              # deletion of 'brown'
+        (4, "the quick brown wolf"),       # substitution at last slot
+        (5, "a completely different doc"), # unrelated
+        (6, "quick brown the fox"),        # reorder: NOT within one edit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["n_shared_variants"]
+           for r in deletion_neighborhood_pairs(df, "text", "doc_id").collect()}
+    assert out[(1, 2)] == 5          # identical length-4 docs: n+1 variants
+    assert out[(1, 3)] == 1          # share exactly the deleted form
+    assert out[(1, 4)] == 1          # same-position substitution
+    # 3 vs 4: min two edits apart (their deletion neighborhoods are
+    # length-2/3 vs length-3/4 with no common string)
+    assert (3, 4) not in out
+    assert (1, 5) not in out and (2, 5) not in out
+    # a single-token MOVE is within the relation: deleting 'the' from
+    # each side meets at 'quick brown fox' (SymSpell deletion distance
+    # covers moves, unlike Levenshtein-1)
+    assert out[(1, 6)] == 1

@@ -123,6 +123,9 @@ PLAN_QUERIES = [
     "qb32_lorenz_curve",
     "qb33_keyword_logodds",
     "qb34_marginal_coverage",
+    "qb35_tokenizer_fertility",
+    "qb36_dedup_composition",
+    "qb37_del1_neardup",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -202,6 +205,9 @@ GENERIC_CHECK = {
     "qb32_lorenz_curve",
     "qb33_keyword_logodds",
     "qb34_marginal_coverage",
+    "qb35_tokenizer_fertility",
+    "qb36_dedup_composition",
+    "qb37_del1_neardup",
 }
 
 
