@@ -197,6 +197,10 @@ EXTENDED = [
     "qb35_tokenizer_fertility",
     "qb36_dedup_composition",
     "qb37_del1_neardup",
+    "qb38_padding_waste",
+    "qb39_ohlc_bars",
+    "qb40_last_touch",
+    "qb41_pivot_counts",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

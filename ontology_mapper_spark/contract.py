@@ -11272,3 +11272,169 @@ def qb37(spark, sf):
 
     d = _t(spark, sf, "documents")
     return deletion_neighborhood_pairs(d, "text", "doc_id", max_tokens=64)
+
+
+@_q(
+    "qb38_padding_waste",
+    r"""
+    WITH per AS (
+      SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS n
+      FROM documents),
+    b AS (
+      SELECT CAST(CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                       WHEN n <= 256 THEN 256 ELSE 512 END AS BIGINT)
+               AS bucket, n
+      FROM per),
+    p AS (
+      SELECT bucket,
+             least(n, bucket) AS r_tok,
+             bucket - least(n, bucket) AS p_tok,
+             greatest(n - bucket, 0) AS t_tok
+      FROM b),
+    agg AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(r_tok) AS BIGINT) AS real_tokens,
+             CAST(sum(p_tok) AS BIGINT) AS pad_tokens,
+             CAST(sum(t_tok) AS BIGINT) AS trunc_tokens
+      FROM p GROUP BY 1)
+    SELECT bucket, n_docs, real_tokens, pad_tokens, trunc_tokens,
+           CAST(round(pad_tokens * 1000000 / (n_docs * bucket)) AS BIGINT)
+             AS waste_micro
+    FROM agg
+    """,
+)
+def qb38(spark, sf):
+    """Length-bucketed padding-waste audit
+    (operators/chunking.py:padding_waste): each doc goes to the smallest
+    bucket that fits its BPE-ish token count (overflow to the largest,
+    truncated); per bucket the real/pad/trunc token volumes and the
+    waste ratio — the audit that prices batch-bucket boundaries before
+    a training run.  One scan, one groupBy, int64 sums, one micro
+    division per bucket row."""
+    from .operators.chunking import padding_waste
+
+    d = _t(spark, sf, "documents")
+    return padding_waste(d, "text", buckets=(64, 128, 256, 512))
+
+
+@_q(
+    "qb39_ohlc_bars",
+    """
+    WITH base AS (
+      SELECT event_type AS g, strftime(ts, '%Y-%m-%d %H') AS bar,
+             epoch_us(ts) AS us, event_id AS id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    ord AS (
+      SELECT g, bar, c,
+             row_number() OVER (PARTITION BY g, bar ORDER BY us, id)
+               AS rn_a,
+             row_number() OVER (PARTITION BY g, bar ORDER BY us DESC,
+                                id DESC) AS rn_d
+      FROM base)
+    SELECT g AS event_type, bar,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rn_a = 1 THEN c END) AS BIGINT)
+             AS open_cents,
+           CAST(max(c) AS BIGINT) AS high_cents,
+           CAST(min(c) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT)
+             AS close_cents,
+           CAST(sum(c) AS BIGINT) AS volume_cents
+    FROM ord GROUP BY 1, 2
+    """,
+)
+def qb39(spark, sf):
+    """Hourly OHLC (candlestick) bars per event type
+    (operators/temporal.py:ohlc_bars): open/high/low/close/volume per
+    (type, hour) — the standard stream-downsampling aggregate.  ONE
+    shuffle (groupBy with min_by/max_by under the total order (ts, id)),
+    no windows, no self-join; values fixed to integer cents per row so
+    every sum is int64 and order-independent."""
+    from .operators.temporal import ohlc_bars
+
+    e = _t(spark, sf, "events")
+    return ohlc_bars(e, "ts", "value", "event_type", "event_id")
+
+
+@_q(
+    "qb40_last_touch",
+    """
+    WITH base AS (
+      SELECT epoch_us(ts) AS us, user_id, event_type, event_id AS id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    carried AS (
+      SELECT us, event_type, cents,
+             last_value(CASE WHEN event_type IN ('click','view','signup')
+                             THEN struct_pack(us := us, t := event_type)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM base)
+    SELECT CASE WHEN touch IS NOT NULL
+                 AND us - touch.us <= 86400000000
+                THEN touch.t ELSE 'none' END AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def qb40(spark, sf):
+    """Last-touch conversion attribution
+    (operators/temporal.py:last_touch_attribution): each purchase is
+    credited to the most recent preceding click/view/signup by the same
+    user within 24 h; no-touch conversions land in the reported 'none'
+    bucket.  One partitioned carry window (last ignorenulls over the
+    total order (ts, id)), single shuffle on user — linear at 100 TB
+    where a conversions-by-touches range join would not be."""
+    from .operators.temporal import last_touch_attribution
+
+    e = _t(spark, sf, "events")
+    return last_touch_attribution(
+        e, "ts", "user_id", "event_type", "value", "event_id",
+        conversion_type="purchase",
+        touch_types=("click", "view", "signup"),
+        horizon_hours=24,
+    )
+
+
+@_q(
+    "qb41_pivot_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+             AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+             AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+             AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+             AS view,
+           CAST(count(*) FILTER (event_type IN
+             ('click','error','purchase','signup','view')) AS BIGINT)
+             AS row_total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def qb41(spark, sf):
+    """Declared-values pivot counts matrix
+    (operators/reshape.py:pivot_count_matrix): per-user event-type
+    counts in wide form.  Declaring the pivot values is the 100 TB
+    point — no value-discovery distinct scan, a single partial+final
+    hash aggregate with one conditional count per declared column, and
+    a plan-time-fixed schema the oracle binds statically."""
+    from .operators.reshape import pivot_count_matrix
+
+    e = _t(spark, sf, "events")
+    return pivot_count_matrix(
+        e, "user_id", "event_type",
+        ("click", "error", "purchase", "signup", "view"),
+    )

@@ -199,3 +199,64 @@ def assemble_conversation_examples(
         F.count("*").cast("long").alias("n_turns_used"),
         F.sum("_ntok").cast("long").alias("n_tokens_used"),
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: tuple[int, ...] = (64, 128, 256, 512),
+) -> DataFrame:
+    """Length-bucketed padding-waste audit: each document is assigned to
+    the smallest bucket that fits its token count (overflow docs go to
+    the largest bucket, truncated); per bucket, the real vs padded vs
+    truncated token volume and the waste ratio — the number that decides
+    the batch-bucket boundaries before a training run (padding is pure
+    wasted FLOPs; truncation is lost data; the audit prices both).
+
+    Single scan → single groupBy on the bucket id; token counts use the
+    shared BPE-ish regex (`textstats.token_count_col`), all sums int64,
+    waste is one micro division per bucket row.
+
+    Output: (bucket, n_docs, real_tokens, pad_tokens, trunc_tokens,
+    waste_micro) where waste_micro = pad/(n_docs·bucket).
+    """
+    from .textstats import token_count_col
+
+    bs = sorted(int(b) for b in buckets)
+    ntok = token_count_col(F.col(text_col)).cast("long")
+    bucket = F.lit(bs[-1]).cast("long")
+    for b in reversed(bs[:-1]):
+        bucket = F.when(ntok <= b, F.lit(b).cast("long")).otherwise(bucket)
+    per = df.select(
+        bucket.alias("bucket"),
+        ntok.alias("_n"),
+    ).select(
+        "bucket",
+        F.least(F.col("_n"), F.col("bucket")).alias("_real"),
+        (F.col("bucket") - F.least(F.col("_n"), F.col("bucket"))).alias(
+            "_pad"
+        ),
+        F.greatest(F.col("_n") - F.col("bucket"), F.lit(0).cast("long")).alias(
+            "_trunc"
+        ),
+    )
+    agg = per.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_real").cast("long").alias("real_tokens"),
+        F.sum("_pad").cast("long").alias("pad_tokens"),
+        F.sum("_trunc").cast("long").alias("trunc_tokens"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "real_tokens",
+        "pad_tokens",
+        "trunc_tokens",
+        F.round(
+            F.col("pad_tokens")
+            * F.lit(1_000_000)
+            / (F.col("n_docs") * F.col("bucket"))
+        )
+        .cast("long")
+        .alias("waste_micro"),
+    )

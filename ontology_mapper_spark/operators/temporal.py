@@ -1623,3 +1623,109 @@ def interarrival_burstiness(
             F.round((sd - mean) * F.lit(MICRO) / (sd + mean)).cast("long"),
         ).alias("burstiness_micro"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    bucket_fmt: str = "yyyy-MM-dd HH",
+) -> DataFrame:
+    """OHLC (candlestick) bars: per (group, time bucket), the opening /
+    high / low / closing value plus count and volume — the standard
+    downsampling aggregate for event-valued streams (and the shape every
+    metrics rollup at 100 TB wants: ONE shuffle on (group, bar), no
+    windows, no self-joins).
+
+    Exactness: values are fixed to integer cents per ROW
+    (`round(value·100)` — the inputs carry two decimals), so every sum
+    is int64 and order-independent.  Open/close are `min_by`/`max_by`
+    under the TOTAL order (ts, id) — the id tiebreak makes the bar
+    deterministic even with simultaneous events, which a bare
+    first/last-by-ts is not.
+
+    Output: (group, bar, n_events, open_cents, high_cents, low_cents,
+    close_cents, volume_cents).
+    """
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.date_format(F.col(ts_col).cast("timestamp"), bucket_fmt).alias(
+            "bar"
+        ),
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(id_col).cast("long").alias("id"),
+        ).alias("_ord"),
+        cents.alias("_c"),
+    )
+    return base.groupBy("_g", "bar").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min_by("_c", "_ord").alias("open_cents"),
+        F.max("_c").alias("high_cents"),
+        F.min("_c").alias("low_cents"),
+        F.max_by("_c", "_ord").alias("close_cents"),
+        F.sum("_c").cast("long").alias("volume_cents"),
+    ).withColumnRenamed("_g", group_col)
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    most recent PRECEDING touch event by the same user within the
+    horizon; conversions with no in-horizon touch fall into the 'none'
+    bucket (reported, never dropped — unattributed volume is the
+    number that tells you the horizon is wrong).
+
+    One window per user (`last(..., ignorenulls)` carrying a
+    (ts, touch_type) struct under the total order (ts, id)) — the
+    partitioned-carry idiom, a single shuffle on user, no self-join:
+    the classic sessionization-adjacent shape that stays linear at
+    100 TB where a conversions×touches range join would not.
+
+    Output: (touch_type, n_conversions, value_cents) with value fixed
+    to integer cents per row before summation.
+    """
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    is_touch = F.col(type_col).isin(*touch_types)
+    carry = F.last(
+        F.when(
+            is_touch,
+            F.struct(
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+                F.col(type_col).alias("t"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        df.withColumn("_touch", carry)
+        .where(F.col(type_col) == conversion_type)
+        .select(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+            F.round(F.col(val_col) * 100).cast("long").alias("_cents"),
+            F.col("_touch"),
+        )
+    )
+    horizon_us = int(horizon_hours) * 3_600 * MICRO
+    credited = F.when(
+        F.col("_touch").isNotNull()
+        & (F.col("_us") - F.col("_touch.us") <= F.lit(horizon_us)),
+        F.col("_touch.t"),
+    ).otherwise(F.lit("none"))
+    return conv.groupBy(credited.alias("touch_type")).agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.sum("_cents").cast("long").alias("value_cents"),
+    )

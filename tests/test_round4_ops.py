@@ -535,3 +535,97 @@ def test_deletion_neighborhood_pairs(spark):
     # each side meets at 'quick brown fox' (SymSpell deletion distance
     # covers moves, unlike Levenshtein-1)
     assert out[(1, 6)] == 1
+
+
+def test_padding_waste(spark):
+    from ontology_mapper_spark.operators.chunking import padding_waste
+
+    # token counts: 2, 5, 9 under the BPE-ish regex
+    df = spark.createDataFrame(
+        [("one two",), ("a b c d e",), ("w " * 9,)],
+        "text string",
+    )
+    out = {r["bucket"]: r
+           for r in padding_waste(df, "text", buckets=(4, 8)).collect()}
+    # 2-token doc -> bucket 4 (pad 2); 5- and 9-token docs -> bucket 8
+    # (pad 3 / trunc 1)
+    assert (out[4]["n_docs"], out[4]["real_tokens"], out[4]["pad_tokens"],
+            out[4]["trunc_tokens"]) == (1, 2, 2, 0)
+    assert (out[8]["n_docs"], out[8]["real_tokens"], out[8]["pad_tokens"],
+            out[8]["trunc_tokens"]) == (2, 13, 3, 1)
+    assert out[4]["waste_micro"] == 500_000
+    assert out[8]["waste_micro"] == round(3 * 1_000_000 / 16)
+
+
+def test_ohlc_bars(spark):
+    from ontology_mapper_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        # same hour, same type; two events share ts -> id breaks the tie
+        (1, "2024-01-01 10:00:00", "trade", 5.00),
+        (2, "2024-01-01 10:00:00", "trade", 9.00),
+        (3, "2024-01-01 10:30:00", "trade", 1.50),
+        (4, "2024-01-01 10:59:59", "trade", 7.25),
+        (5, "2024-01-01 11:00:00", "trade", 2.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    )
+    out = {r["bar"]: r
+           for r in ohlc_bars(df, "ts", "value", "event_type",
+                              "event_id").collect()}
+    b10 = out["2024-01-01 10"]
+    assert (b10["open_cents"], b10["close_cents"]) == (500, 725)
+    assert (b10["high_cents"], b10["low_cents"]) == (900, 150)
+    assert (b10["n_events"], b10["volume_cents"]) == (4, 2275)
+    assert out["2024-01-01 11"]["open_cents"] == 200
+
+
+def test_last_touch_attribution(spark):
+    from ontology_mapper_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        # user 1: click then purchase 1h later -> credited to click
+        (1, "2024-01-01 09:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 10:00:00", 1, "purchase", 10.00),
+        # user 1: a later view then purchase -> view (most recent wins)
+        (3, "2024-01-01 11:00:00", 1, "view", 0.0),
+        (4, "2024-01-01 12:00:00", 1, "purchase", 20.00),
+        # user 2: touch 25h before purchase -> outside horizon -> none
+        (5, "2024-01-01 00:00:00", 2, "signup", 0.0),
+        (6, "2024-01-02 01:00:01", 2, "purchase", 5.00),
+        # user 3: purchase with no touch at all -> none
+        (7, "2024-01-01 08:00:00", 3, "purchase", 1.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    )
+    out = {r["touch_type"]: r
+           for r in last_touch_attribution(
+               df, "ts", "user_id", "event_type", "value", "event_id"
+           ).collect()}
+    assert (out["click"]["n_conversions"], out["click"]["value_cents"]) \
+        == (1, 1000)
+    assert (out["view"]["n_conversions"], out["view"]["value_cents"]) \
+        == (1, 2000)
+    assert (out["none"]["n_conversions"], out["none"]["value_cents"]) \
+        == (2, 600)
+
+
+def test_pivot_count_matrix(spark):
+    from ontology_mapper_spark.operators.reshape import pivot_count_matrix
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "zzz")]
+    df = spark.createDataFrame(rows, "uid long, kind string")
+    out = {r["uid"]: r
+           for r in pivot_count_matrix(df, "uid", "kind",
+                                       ("a", "b", "c")).collect()}
+    assert (out[1]["a"], out[1]["b"], out[1]["c"], out[1]["row_total"]) \
+        == (2, 1, 0, 3)
+    # undeclared 'zzz' counts toward no column and not toward row_total
+    assert (out[2]["a"], out[2]["b"], out[2]["c"], out[2]["row_total"]) \
+        == (0, 1, 0, 1)

@@ -126,6 +126,10 @@ PLAN_QUERIES = [
     "qb35_tokenizer_fertility",
     "qb36_dedup_composition",
     "qb37_del1_neardup",
+    "qb38_padding_waste",
+    "qb39_ohlc_bars",
+    "qb40_last_touch",
+    "qb41_pivot_counts",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -208,6 +212,10 @@ GENERIC_CHECK = {
     "qb35_tokenizer_fertility",
     "qb36_dedup_composition",
     "qb37_del1_neardup",
+    "qb38_padding_waste",
+    "qb39_ohlc_bars",
+    "qb40_last_touch",
+    "qb41_pivot_counts",
 }
 
 
