@@ -201,6 +201,11 @@ EXTENDED = [
     "qb39_ohlc_bars",
     "qb40_last_touch",
     "qb41_pivot_counts",
+    "qb42_linear_attribution",
+    "qb43_rfm_segments",
+    "qb44_referential_integrity",
+    "qb45_profile_columns",
+    "qb46_rolling_hll",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

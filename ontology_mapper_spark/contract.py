@@ -11438,3 +11438,288 @@ def qb41(spark, sf):
         e, "user_id", "event_type",
         ("click", "error", "purchase", "signup", "view"),
     )
+
+
+@_q(
+    "qb42_linear_attribution",
+    """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS us, event_id AS id,
+             event_type AS t, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    carried AS (
+      SELECT u, us, id, t, cents,
+             last_value(CASE WHEN t = 'purchase'
+                             THEN struct_pack(us := us, id := id,
+                                              cents := cents)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY u ORDER BY us DESC, id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conv
+      FROM base),
+    touches AS (
+      SELECT u, us, id, t, conv
+      FROM carried
+      WHERE t IN ('click','view','signup') AND conv IS NOT NULL
+        AND conv.us - us <= 86400000000),
+    sized AS (
+      SELECT t, conv.cents AS ccents,
+             count(*) OVER (PARTITION BY u, conv.us, conv.id) AS n,
+             row_number() OVER (PARTITION BY u, conv.us, conv.id
+                                ORDER BY us, id) AS pos
+      FROM touches),
+    cr AS (
+      SELECT t, ccents,
+             CASE WHEN pos = n
+                  THEN 1000000 - (1000000 // n) * (n - 1)
+                  ELSE 1000000 // n END AS credit
+      FROM sized),
+    credited AS (
+      SELECT t AS touch_type, CAST(credit AS BIGINT) AS credit,
+             CAST(ccents * credit AS BIGINT) AS vmicro
+      FROM cr),
+    journeys AS (
+      SELECT DISTINCT u, conv.us AS jus, conv.id AS jid FROM touches),
+    none_rows AS (
+      SELECT 'none' AS touch_type, CAST(1000000 AS BIGINT) AS credit,
+             CAST(cents * 1000000 AS BIGINT) AS vmicro
+      FROM base b
+      WHERE t = 'purchase' AND NOT EXISTS (
+        SELECT 1 FROM journeys j
+        WHERE j.u = b.u AND j.jus = b.us AND j.jid = b.id)),
+    allrows AS (
+      SELECT * FROM credited UNION ALL SELECT * FROM none_rows)
+    SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit) AS BIGINT) AS credit_micro,
+           CAST(sum(vmicro) AS BIGINT) AS value_micro_cents
+    FROM allrows GROUP BY 1
+    """,
+)
+def qb42(spark, sf):
+    """Linear multi-touch attribution
+    (operators/temporal.py:linear_attribution): each purchase's
+    1e6-micro credit split evenly over its in-horizon preceding touches
+    (integer remainder to the most recent touch, so per-conversion
+    credit is exactly 1e6), unattributed conversions in the reported
+    'none' bucket.  Reversed carry window assigns touches to journeys —
+    two shuffles on user, no range join, pure int64."""
+    from .operators.temporal import linear_attribution
+
+    e = _t(spark, sf, "events")
+    return linear_attribution(
+        e, "ts", "user_id", "event_type", "value", "event_id",
+        conversion_type="purchase",
+        touch_types=("click", "view", "signup"),
+        horizon_hours=24,
+    )
+
+
+@_q(
+    "qb43_rfm_segments",
+    """
+    WITH p AS (
+      SELECT user_id AS u, epoch_us(ts) // 86400000000 AS dayn,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    users AS (
+      SELECT u, max(dayn) AS last_d, CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(cents) AS BIGINT) AS m
+      FROM p GROUP BY 1),
+    anch AS (SELECT max(last_d) AS ref FROM users),
+    uu AS (
+      SELECT u, last_d - (SELECT ref FROM anch) AS rneg, f, m
+      FROM users),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM uu),
+    scored AS (
+      SELECT f, m,
+             1 + (5 * (rank() OVER (ORDER BY rneg) - 1))
+                 // (SELECT nu FROM n) AS r_score,
+             1 + (5 * (rank() OVER (ORDER BY f) - 1))
+                 // (SELECT nu FROM n) AS f_score,
+             1 + (5 * (rank() OVER (ORDER BY m) - 1))
+                 // (SELECT nu FROM n) AS m_score
+      FROM uu)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(f) AS BIGINT) AS total_purchases,
+           CAST(sum(m) AS BIGINT) AS total_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def qb43(spark, sf):
+    """RFM segment census (operators/segment.py:rfm_segments): per-user
+    recency/frequency/monetary quintile scores from closed-form
+    cumulative-histogram ranks (score = 1 + floor(5·cum_before/n), ties
+    share — the value-based definition the oracle mirrors with rank()),
+    NO global row-level window: the engine computes cum_before two-phase
+    (bucket offsets + bucket-partitioned prefix sums)."""
+    from .operators.segment import rfm_segments
+
+    e = _t(spark, sf, "events")
+    return rfm_segments(
+        e, "ts", "user_id", "event_type", "value",
+        purchase_type="purchase", n_tiles=5,
+    )
+
+
+def _refint_oracle() -> str:
+    rels = [
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_supplier", "lineitem", "l_suppkey", "supplier",
+         "s_suppkey"),
+        ("customer_nation", "customer", "c_nationkey", "nation",
+         "n_nationkey"),
+        ("supplier_nation", "supplier", "s_nationkey", "nation",
+         "n_nationkey"),
+        ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in rels:
+        parts.append(f"""
+    SELECT relation, n_child, n_null_keys, n_orphans,
+           CASE WHEN n_child > n_null_keys THEN
+             CAST(round(n_orphans * 1000000 / (n_child - n_null_keys))
+                  AS BIGINT)
+           END AS orphan_micro
+    FROM (
+      SELECT '{name}' AS relation,
+             (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+             (SELECT CAST(count(*) AS BIGINT) FROM {child}
+              WHERE {ck} IS NULL) AS n_null_keys,
+             (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+              WHERE c.{ck} IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}))
+               AS n_orphans)""")
+    return " UNION ALL ".join(parts)
+
+
+@_q("qb44_referential_integrity", _refint_oracle())
+def qb44(spark, sf):
+    """FK-integrity audit over the star schema
+    (operators/dq.py:referential_integrity): per declared relation the
+    child count, null-key count (SQL FK semantics: null = not
+    participating, never an orphan) and left-anti orphan count.  Seven
+    independent join+count aggregates unioned — each one shuffled or
+    AQE-broadcast at scale."""
+    from .operators.dq import referential_integrity
+
+    rels = [
+        ("orders_customer", _t(spark, sf, "orders"), "o_custkey",
+         _t(spark, sf, "customer"), "c_custkey"),
+        ("lineitem_orders", _t(spark, sf, "lineitem"), "l_orderkey",
+         _t(spark, sf, "orders"), "o_orderkey"),
+        ("lineitem_part", _t(spark, sf, "lineitem"), "l_partkey",
+         _t(spark, sf, "part"), "p_partkey"),
+        ("lineitem_supplier", _t(spark, sf, "lineitem"), "l_suppkey",
+         _t(spark, sf, "supplier"), "s_suppkey"),
+        ("customer_nation", _t(spark, sf, "customer"), "c_nationkey",
+         _t(spark, sf, "nation"), "n_nationkey"),
+        ("supplier_nation", _t(spark, sf, "supplier"), "s_nationkey",
+         _t(spark, sf, "nation"), "n_nationkey"),
+        ("nation_region", _t(spark, sf, "nation"), "n_regionkey",
+         _t(spark, sf, "region"), "r_regionkey"),
+    ]
+    from .operators.dq import referential_integrity as _ri
+
+    return _ri(rels)
+
+
+def _profile_oracle(table: str, cols: tuple[str, ...]) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+    SELECT '{c}' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)
+             AS n_distinct,
+           min(CAST({c} AS VARCHAR)) AS min_str,
+           max(CAST({c} AS VARCHAR)) AS max_str
+    FROM {table}""")
+    return " UNION ALL ".join(parts)
+
+
+@_q(
+    "qb45_profile_columns",
+    _profile_oracle(
+        "documents", ("doc_id", "text", "lang", "source", "n_chars")
+    ),
+)
+def qb45(spark, sf):
+    """Single-scan column profiler (operators/dq.py:profile_columns):
+    per column null count, exact distinct count, and lexicographic
+    min/max of the STRING rendering — stack-unpivot into (column,
+    value) + ONE hash aggregate, so profile cost is one table scan
+    regardless of column count."""
+    from .operators.dq import profile_columns
+
+    d = _t(spark, sf, "documents")
+    return profile_columns(d, ("doc_id", "text", "lang", "source", "n_chars"))
+
+@_q(
+    "qb46_rolling_hll",
+    """
+    WITH base AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h,
+             user_id AS v
+      FROM events),
+    day_regs AS (
+      SELECT day, h // 18014398509481984 AS bucket,
+             max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+                      ELSE 54 - length(bin(h % 18014398509481984)) + 1
+                 END) AS M
+      FROM base GROUP BY 1, 2),
+    observed AS (SELECT DISTINCT day FROM base),
+    win_regs AS (
+      SELECT wend, bucket, max(M) AS M
+      FROM (SELECT bucket, M,
+                   unnest(generate_series(day, day + 6)) AS wend
+            FROM day_regs)
+      WHERE wend IN (SELECT day FROM observed)
+      GROUP BY 1, 2),
+    sums AS (
+      SELECT wend,
+             CAST(sum(CAST(pow(2, 56 - M) AS BIGINT)) AS BIGINT)
+               AS s_used,
+             count(*) AS n_used
+      FROM win_regs GROUP BY 1),
+    nd AS (
+      SELECT wend, CAST(count(*) AS BIGINT) AS n_days
+      FROM (SELECT unnest(generate_series(day, day + 6)) AS wend
+            FROM observed)
+      WHERE wend IN (SELECT day FROM observed)
+      GROUP BY 1),
+    ex AS (
+      SELECT wend, CAST(count(DISTINCT v) AS BIGINT) AS n_exact
+      FROM (SELECT v, unnest(generate_series(day, day + 6)) AS wend
+            FROM (SELECT DISTINCT day, v FROM base))
+      WHERE wend IN (SELECT day FROM observed)
+      GROUP BY 1)
+    SELECT CAST(DATE '1970-01-01' + CAST(wend AS INT) AS VARCHAR)
+             AS window_end,
+           n_days, n_exact,
+           CAST(round(2.093604968788012e+20
+                      / (s_used + (64 - n_used) * 72057594037927936))
+                AS BIGINT) AS hll_est
+    FROM nd JOIN ex USING (wend) JOIN sums USING (wend)
+    """,
+)
+def qb46(spark, sf):
+    """Rolling 7-day distinct users from MERGED daily HLL sketches
+    (operators/sketch.py:hll_rolling_distinct): daily registers built
+    once, each window a register-wise max over <=7 register sets — the
+    mergeability pattern that turns a W-day distinct series from W raw
+    re-scans into W tiny register rows per day.  Exact rolling distinct
+    rides along as the audit column; the one floating op is the final
+    alpha division (identical IEEE both engines)."""
+    from .operators.sketch import hll_rolling_distinct
+
+    e = _t(spark, sf, "events")
+    return hll_rolling_distinct(e, "ts", "user_id", window_days=7, b=6)

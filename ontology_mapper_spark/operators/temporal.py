@@ -1729,3 +1729,109 @@ def last_touch_attribution(
         F.count("*").cast("long").alias("n_conversions"),
         F.sum("_cents").cast("long").alias("value_cents"),
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion's credit
+    (1 000 000 micro-units) is split EVENLY across all in-horizon
+    preceding touches by the same user; the integer-division remainder
+    goes to the LAST touch (most recent), so per-conversion credit sums
+    to exactly 1e6 and the whole report is order-independent int64.
+    Conversions with no in-horizon touch put their full credit in the
+    reported 'none' bucket.
+
+    Shape: one REVERSED carry window per user assigns each touch to its
+    nearest FOLLOWING conversion (the journey key), one partitioned
+    count/rank window sizes each journey — two shuffles on user, no
+    touches-by-conversions range join, linear at 100 TB.
+
+    Output: (touch_type, n_touches, credit_micro, value_micro_cents)
+    where value_micro_cents = sum(conversion cents × credit share in
+    micro) — divide by 1e6 for attributed revenue in cents.
+    """
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(type_col).alias("_t"),
+        F.round(F.col(val_col) * 100).cast("long").alias("_cents"),
+    )
+    w_desc = Window.partitionBy("_u").orderBy(
+        F.col("_us").desc(), F.col("_id").desc()
+    )
+    conv_struct = F.when(
+        F.col("_t") == conversion_type,
+        F.struct(
+            F.col("_us").alias("us"),
+            F.col("_id").alias("id"),
+            F.col("_cents").alias("cents"),
+        ),
+    )
+    horizon_us = int(horizon_hours) * 3_600 * MICRO
+    touches = (
+        base.withColumn(
+            "_conv", F.last(conv_struct, ignorenulls=True).over(w_desc)
+        )
+        .where(
+            F.col("_t").isin(*touch_types)
+            & F.col("_conv").isNotNull()
+            & (F.col("_conv.us") - F.col("_us") <= F.lit(horizon_us))
+        )
+    )
+    wj = Window.partitionBy("_u", "_conv.us", "_conv.id")
+    wj_rank = wj.orderBy(F.col("_us").asc(), F.col("_id").asc())
+    sized = touches.select(
+        "_t",
+        F.col("_conv.cents").alias("_ccents"),
+        F.count("*").over(wj).alias("_n"),
+        F.row_number().over(wj_rank).alias("_pos"),
+    )
+    share = F.expr(f"CAST({MICRO} AS BIGINT) div _n")
+    credit = F.when(
+        F.col("_pos") == F.col("_n"),
+        F.lit(MICRO) - share * (F.col("_n") - 1),
+    ).otherwise(share)
+    credited = sized.select(
+        F.col("_t").alias("touch_type"),
+        credit.cast("long").alias("_credit"),
+        (F.col("_ccents") * credit).cast("long").alias("_vmicro"),
+    )
+    journeys = touches.select(
+        F.col("_u").alias("_ju"),
+        F.col("_conv.us").alias("_jus"),
+        F.col("_conv.id").alias("_jid"),
+    ).distinct()
+    none_rows = (
+        base.where(F.col("_t") == conversion_type)
+        .join(
+            journeys,
+            (F.col("_u") == F.col("_ju"))
+            & (F.col("_us") == F.col("_jus"))
+            & (F.col("_id") == F.col("_jid")),
+            "left_anti",
+        )
+        .select(
+            F.lit("none").alias("touch_type"),
+            F.lit(MICRO).cast("long").alias("_credit"),
+            (F.col("_cents") * F.lit(MICRO)).cast("long").alias("_vmicro"),
+        )
+    )
+    return (
+        credited.unionByName(none_rows)
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("_credit").cast("long").alias("credit_micro"),
+            F.sum("_vmicro").cast("long").alias("value_micro_cents"),
+        )
+    )

@@ -629,3 +629,126 @@ def test_pivot_count_matrix(spark):
     # undeclared 'zzz' counts toward no column and not toward row_total
     assert (out[2]["a"], out[2]["b"], out[2]["c"], out[2]["row_total"]) \
         == (0, 1, 0, 1)
+
+
+def test_linear_attribution(spark):
+    from ontology_mapper_spark.operators.temporal import linear_attribution
+
+    rows = [
+        # user 1: click, view, then purchase -> 500k each, remainder 0
+        (1, "2024-01-01 09:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 09:30:00", 1, "view", 0.0),
+        (3, "2024-01-01 10:00:00", 1, "purchase", 3.00),
+        # user 2: three touches -> 333_333 + 333_333 + 333_334 (last)
+        (4, "2024-01-02 09:00:00", 2, "click", 0.0),
+        (5, "2024-01-02 09:10:00", 2, "view", 0.0),
+        (6, "2024-01-02 09:20:00", 2, "signup", 0.0),
+        (7, "2024-01-02 10:00:00", 2, "purchase", 9.00),
+        # user 3: no touch -> none bucket
+        (8, "2024-01-03 08:00:00", 3, "purchase", 1.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    )
+    out = {r["touch_type"]: r
+           for r in linear_attribution(
+               df, "ts", "user_id", "event_type", "value", "event_id"
+           ).collect()}
+    assert out["click"]["credit_micro"] == 500_000 + 333_333
+    assert out["view"]["credit_micro"] == 500_000 + 333_333
+    assert out["signup"]["credit_micro"] == 333_334  # last gets remainder
+    assert out["none"]["credit_micro"] == 1_000_000
+    # per-conversion credit sums to exactly 1e6 * n_conversions
+    assert sum(r["credit_micro"] for r in out.values()) == 3_000_000
+    assert out["click"]["value_micro_cents"] == \
+        300 * 500_000 + 900 * 333_333
+    assert out["none"]["value_micro_cents"] == 100 * 1_000_000
+
+
+def test_rfm_segments(spark):
+    from ontology_mapper_spark.operators.segment import rfm_segments
+
+    # 5 users, one purchase each on distinct days with distinct value:
+    # every metric has 5 distinct values -> scores are a permutation
+    rows = [
+        (i, f"2024-01-0{i} 10:00:00", i, "purchase", float(i))
+        for i in range(1, 6)
+    ]
+    # give user 5 a second purchase so frequency differs
+    rows.append((99, "2024-01-05 11:00:00", 5, "purchase", 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    )
+    out = rfm_segments(df, "ts", "user_id", "event_type", "value").collect()
+    assert sum(r["n_users"] for r in out) == 5
+    assert sum(r["total_purchases"] for r in out) == 6
+    by_cell = {(r["r_score"], r["f_score"], r["m_score"]): r for r in out}
+    # user 5: most recent (r=5), most frequent (f=5), monetary 5.0+1.0=6.0
+    # is the max -> m=5
+    assert (5, 5, 5) in by_cell
+    # user 1: oldest purchase -> r_score 1; f ties at 1 purchase with
+    # users 1-4 (cum_before=0 -> score 1); lowest spend -> m 1
+    assert (1, 1, 1) in by_cell
+    # all scores within 1..5
+    assert all(1 <= r[k] <= 5 for r in out
+               for k in ("r_score", "f_score", "m_score"))
+
+
+def test_referential_integrity(spark):
+    from ontology_mapper_spark.operators.dq import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = referential_integrity(
+        [("c_p", child, "fk", parent, "pk")]
+    ).collect()
+    r = out[0]
+    assert (r["relation"], r["n_child"], r["n_null_keys"],
+            r["n_orphans"]) == ("c_p", 4, 1, 1)
+    assert r["orphan_micro"] == round(1 * 1_000_000 / 3)
+
+
+def test_profile_columns(spark):
+    from ontology_mapper_spark.operators.dq import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", None), (2, None, None)],
+        "k long, s string, z string",
+    )
+    out = {r["column"]: r
+           for r in profile_columns(df, ("k", "s", "z")).collect()}
+    assert (out["k"]["n_nulls"], out["k"]["n_distinct"]) == (0, 2)
+    assert (out["k"]["min_str"], out["k"]["max_str"]) == ("1", "2")
+    assert (out["s"]["n_nulls"], out["s"]["n_distinct"]) == (1, 2)
+    assert (out["s"]["min_str"], out["s"]["max_str"]) == ("a", "b")
+    assert (out["z"]["n_nulls"], out["z"]["n_distinct"]) == (3, 0)
+    assert out["z"]["min_str"] is None
+
+
+def test_hll_rolling_distinct(spark):
+    from ontology_mapper_spark.operators.sketch import hll_rolling_distinct
+
+    # 3 consecutive days, users overlap across days
+    rows = []
+    eid = 0
+    for day, users in (("01", [1, 2]), ("02", [2, 3]), ("03", [3, 4])):
+        for u in users:
+            rows.append((eid, f"2024-01-{day} 12:00:00", u))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long")
+    out = {r["window_end"]: r
+           for r in hll_rolling_distinct(df, "ts", "user_id",
+                                         window_days=2).collect()}
+    assert out["2024-01-01"]["n_days"] == 1
+    assert out["2024-01-02"]["n_days"] == 2
+    assert out["2024-01-02"]["n_exact"] == 3   # {1,2,3}
+    assert out["2024-01-03"]["n_exact"] == 3   # {2,3,4}
+    # small cardinalities: raw HLL overestimates but must be positive
+    assert all(r["hll_est"] >= 1 for r in out.values())

@@ -130,6 +130,11 @@ PLAN_QUERIES = [
     "qb39_ohlc_bars",
     "qb40_last_touch",
     "qb41_pivot_counts",
+    "qb42_linear_attribution",
+    "qb43_rfm_segments",
+    "qb44_referential_integrity",
+    "qb45_profile_columns",
+    "qb46_rolling_hll",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -216,6 +221,11 @@ GENERIC_CHECK = {
     "qb39_ohlc_bars",
     "qb40_last_touch",
     "qb41_pivot_counts",
+    "qb42_linear_attribution",
+    "qb43_rfm_segments",
+    "qb44_referential_integrity",
+    "qb45_profile_columns",
+    "qb46_rolling_hll",
 }
 
 
@@ -264,6 +274,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb25_changepoint": "day-spine prefix sums (calendar-bounded)",
     "qb32_lorenz_curve": "per-unit weight histogram tiles + 10-row tile cumulative table",
     "qb34_marginal_coverage": "source-spine cumulative rollup (sources are a dimension)",
+    "qb43_rfm_segments": "metric-histogram BUCKET-offset tables (3 two-phase ranks; bucket count = value-range/2^16, never row-level)",
 }
 
 
