@@ -206,6 +206,10 @@ EXTENDED = [
     "qb44_referential_integrity",
     "qb45_profile_columns",
     "qb46_rolling_hll",
+    "qb47_assoc_rules",
+    "qb48_quantile_sketch",
+    "qb49_assortativity",
+    "qb50_greedy_cover",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -11723,3 +11723,208 @@ def qb46(spark, sf):
 
     e = _t(spark, sf, "events")
     return hll_rolling_distinct(e, "ts", "user_id", window_days=7, b=6)
+
+
+@_q(
+    "qb47_assoc_rules",
+    """
+    WITH b AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events),
+    n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nb FROM b),
+    c AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM b GROUP BY 1),
+    p AS (SELECT a.i AS antecedent, bb.i AS consequent,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM b a JOIN b bb ON a.u = bb.u AND a.i <> bb.i
+          GROUP BY 1, 2)
+    SELECT antecedent, consequent, n_both,
+           ca.ci AS n_antecedent, cb.ci AS n_consequent,
+           CAST(round(n_both * 1000000 / ca.ci) AS BIGINT) AS conf_micro,
+           CAST(round(CAST(n_both AS DOUBLE)
+                      * CAST((SELECT nb FROM n) AS DOUBLE)
+                      * 1000000.0
+                      / (CAST(ca.ci AS DOUBLE) * CAST(cb.ci AS DOUBLE)))
+                AS BIGINT) AS lift_micro
+    FROM p JOIN c ca ON ca.i = antecedent JOIN c cb ON cb.i = consequent
+    WHERE n_both >= 2
+    """,
+)
+def qb47(spark, sf):
+    """Directed association rules over user event-type baskets
+    (operators/assoc.py:association_rules): support / confidence / lift
+    per antecedent->consequent pair from ONE user-keyed self-join over
+    the distinct basket index (k(k-1) pair rows per user, bounded by
+    catalog width, never the corpus).  Confidence = single micro
+    division of int64 counts; lift multiplies in double space with a
+    fixed mirrored op order (int64 products of user-scale counts would
+    overflow at web scale)."""
+    from .operators.assoc import association_rules
+
+    e = _t(spark, sf, "events")
+    return association_rules(e, "user_id", "event_type",
+                             min_support_count=2)
+
+
+@_q(
+    "qb48_quantile_sketch",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+    ranks AS (SELECT g, n, q_pct, (q_pct * n + 99) // 100 AS r
+              FROM n, (SELECT unnest([50, 90, 99]) AS q_pct)),
+    hist AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+    cumv AS (SELECT g, v,
+                    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+             FROM hist),
+    exact AS (SELECT r2.g, r2.q_pct, r2.n, min(v) AS exact_value
+              FROM cumv JOIN ranks r2 ON cumv.g = r2.g AND cum >= r2.r
+              GROUP BY 1, 2, 3),
+    bh AS (SELECT g, v // 128 AS b, count(*) AS c FROM base GROUP BY 1, 2),
+    cumb AS (SELECT g, b,
+                    sum(c) OVER (PARTITION BY g ORDER BY b) AS cum
+             FROM bh),
+    sk AS (SELECT r2.g, r2.q_pct,
+                  CAST(min(b) * 128 + 127 AS BIGINT) AS sketch_value
+           FROM cumb JOIN ranks r2 ON cumb.g = r2.g AND cum >= r2.r
+           GROUP BY 1, 2)
+    SELECT e.g AS event_type, CAST(e.q_pct AS BIGINT) AS q_pct, e.n,
+           e.exact_value, s.sketch_value,
+           CAST(s.sketch_value - e.exact_value AS BIGINT) AS err
+    FROM exact e JOIN sk s ON e.g = s.g AND e.q_pct = s.q_pct
+    """,
+)
+def qb48(spark, sf):
+    """Mergeable binned-quantile sketch vs exact type-1 quantile audit
+    (operators/sketch.py:binned_quantile_audit): per event type the
+    p50/p90/p99 of value cents, once exact (distinct-value histogram
+    cumulative counts — never a row-level sort) and once from a
+    128-cent fixed-width histogram whose bins merge by SUM across
+    partitions — the bounded-error percentile path at 100 TB.  Sketch
+    reports the first covering bin's UPPER edge, so err in [0, 128)."""
+    from .operators.sketch import binned_quantile_audit
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return binned_quantile_audit(
+        e, "event_type", "cents", quantiles=(50, 90, 99), bin_width=128
+    )
+
+
+@_q(
+    "qb49_assortativity",
+    """
+    WITH e AS (SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS dx FROM e GROUP BY 1),
+    dd AS (SELECT d, CAST(count(*) AS BIGINT) AS dy FROM e GROUP BY 1),
+    j AS (SELECT dx, dy FROM e JOIN ds USING (s) JOIN dd USING (d)),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(dx) AS BIGINT) AS sx,
+                 CAST(sum(dy) AS BIGINT) AS sy,
+                 CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                 CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                 CAST(sum(dy * dy) AS BIGINT) AS syy
+          FROM j),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM ds),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dst FROM dd)
+    SELECT m AS n_edges, (SELECT n_src FROM ns) AS n_src_nodes,
+           (SELECT n_dst FROM nd) AS n_dst_nodes,
+           CASE WHEN sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN CAST(round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                * 1000000.0
+                                / (sqrt(CAST(m AS DOUBLE)
+                                        * CAST(sxx AS DOUBLE)
+                                        - CAST(sx AS DOUBLE)
+                                          * CAST(sx AS DOUBLE))
+                                   * sqrt(CAST(m AS DOUBLE)
+                                          * CAST(syy AS DOUBLE)
+                                          - CAST(sy AS DOUBLE)
+                                            * CAST(sy AS DOUBLE))))
+                     AS BIGINT) END AS assortativity_micro
+    FROM m
+    """,
+)
+def qb49(spark, sf):
+    """Degree assortativity of the customer-supplier trading graph
+    (operators/graph.py:degree_assortativity): Pearson correlation
+    across edges between endpoint degrees — the hub-and-spoke detector
+    that predicts join skew (r < 0: busy customers buy from long-tail
+    suppliers).  Five int64 moment sums in one aggregate; the terminal
+    Pearson evaluated in double with a fixed mirrored op order."""
+    from .operators.graph import degree_assortativity
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+    )
+    return degree_assortativity(edges, "cust", "supp")
+
+
+def _qb50_oracle() -> str:
+    # bigram shingles, the qb34 gram idiom (the unigram vocabulary is a
+    # degenerate 31-word set in the synthetic corpus — every source
+    # covers it fully and greedy stops after one round)
+    tok = (
+        "SELECT DISTINCT source AS s, w || ' ' || lead_w AS i "
+        "FROM (SELECT source, w, "
+        "lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w "
+        "FROM (SELECT doc_id, source, "
+        "unnest(string_split(lower(trim("
+        r"regexp_replace(text,'\s+',' ','g'))),' ')) AS w, "
+        "generate_subscripts(string_split(lower(trim("
+        r"regexp_replace(text,'\s+',' ','g'))),' '),1) AS idx "
+        "FROM documents)) WHERE lead_w IS NOT NULL"
+    )
+    return f"""
+    WITH si AS ({tok}),
+    c1 AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM si GROUP BY 1),
+    p1 AS (SELECT s, c FROM c1 ORDER BY c DESC, s LIMIT 1),
+    cov1 AS (SELECT DISTINCT i FROM si WHERE s = (SELECT s FROM p1)),
+    c2 AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM si
+           WHERE s <> (SELECT s FROM p1)
+             AND i NOT IN (SELECT i FROM cov1) GROUP BY 1),
+    p2 AS (SELECT s, c FROM c2 ORDER BY c DESC, s LIMIT 1),
+    cov2 AS (SELECT i FROM cov1 UNION
+             SELECT DISTINCT i FROM si WHERE s = (SELECT s FROM p2)),
+    c3 AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM si
+           WHERE s NOT IN (SELECT s FROM p1 UNION SELECT s FROM p2)
+             AND i NOT IN (SELECT i FROM cov2) GROUP BY 1),
+    p3 AS (SELECT s, c FROM c3 ORDER BY c DESC, s LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS round, s AS chosen, c AS n_new,
+           c AS cum_covered FROM p1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), s, c, c + (SELECT c FROM p1) FROM p2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), s, c,
+           c + (SELECT c FROM p1) + (SELECT c FROM p2) FROM p3
+    """
+
+
+@_q("qb50_greedy_cover", _qb50_oracle())
+def qb50(spark, sf):
+    """Greedy maximum-coverage source selection over the bigram-shingle
+    vocabulary (operators/mixing.py:greedy_set_cover): 3 rounds, each
+    picking the source adding the most uncovered distinct shingles —
+    the (1-1/e) approximation to the NP-hard optimum, and the
+    data-DEPENDENT counterpart of qb34's fixed size order.  Each round
+    is one anti-join + count + TakeOrdered argmax; only the winning
+    row is ever collected.  Oracle = 3 unrolled greedy CTE rounds (the
+    kmeans/BT unrolled-round idiom)."""
+    from .operators.dedup import shingles_col
+    from .operators.mixing import greedy_set_cover
+
+    d = _t(spark, sf, "documents")
+    si = d.select(
+        F.col("source"),
+        F.explode(shingles_col(F.col("text"), 2)).alias("w"),
+    )
+    return greedy_set_cover(si, "source", "w", k=3)

@@ -937,3 +937,63 @@ def bipartite_cooccurrence(
         .cast("long")
         .alias("cosine_micro"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Degree assortativity of a bipartite (or directed) edge list: the
+    Pearson correlation, ACROSS EDGES, between the source endpoint's
+    out-degree and the destination endpoint's in-degree — the one-number
+    answer to "do high-activity nodes attach to high-activity nodes?"
+    (r > 0) or to the long tail (r < 0, the hub-and-spoke signature
+    that predicts join skew).
+
+    Shape: two degree aggregates + two key joins put (deg_src, deg_dst)
+    on every edge, then ONE moment aggregate; degrees and the five
+    moment sums stay int64 (bounds: deg ≤ 2^21 and |E| ≤ 2^21 keep
+    Σ(dx·dy) < 2^63; beyond that pre-scale degrees).  The terminal
+    Pearson is evaluated in double with every int64 operand < 2^53
+    (exactly representable) and a FIXED op order, so both engines
+    round identically (qb13 discipline).
+
+    Output one row: (n_edges, n_src_nodes, n_dst_nodes,
+    assortativity_micro) — micro is null when a side has constant
+    degree (zero variance).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    ds = e.groupBy("_s").agg(F.count("*").cast("long").alias("_dx"))
+    dd = e.groupBy("_d").agg(F.count("*").cast("long").alias("_dy"))
+    j = e.join(ds, "_s").join(dd, "_d")
+    mom = j.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("_dx").cast("long").alias("sx"),
+        F.sum("_dy").cast("long").alias("sy"),
+        F.sum(F.col("_dx") * F.col("_dy")).cast("long").alias("sxy"),
+        F.sum(F.col("_dx") * F.col("_dx")).cast("long").alias("sxx"),
+        F.sum(F.col("_dy") * F.col("_dy")).cast("long").alias("syy"),
+        F.countDistinct("_s").cast("long").alias("n_src_nodes"),
+        F.countDistinct("_d").cast("long").alias("n_dst_nodes"),
+    )
+    num = F.col("m").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    varx = F.col("m").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    vary = F.col("m").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(varx) * F.sqrt(vary)
+    return mom.select(
+        F.col("m").alias("n_edges"),
+        "n_src_nodes",
+        "n_dst_nodes",
+        F.when(den > 0, F.round(num * F.lit(1e6) / den).cast("long")).alias(
+            "assortativity_micro"
+        ),
+    )

@@ -131,3 +131,67 @@ def pareto_sources(
         )
         .withColumn("is_pareto", F.col("n_dominators") == 0)
     )
+
+
+def greedy_set_cover(
+    df: DataFrame,
+    set_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Greedy maximum-coverage source selection: pick up to ``k``
+    sources, each round choosing the source adding the MOST items not
+    covered by everything already chosen (ties → lexicographically
+    smallest source) — the classic (1−1/e)-approximation to the NP-hard
+    optimum, and the data-DEPENDENT counterpart of qb34's fixed
+    size-order marginal coverage.  This is the "which feeds do I
+    actually need" decision for corpus mixture design.
+
+    Each round is one distributed job: anti-join the distinct
+    (set, item) index against the covered-item set, count per source,
+    and take the argmax with orderBy().limit(1) (TakeOrderedAndProject
+    — never a global rank window).  Only the single winning row is
+    collected per round.  The (set, item) index is localCheckpointed
+    ONCE so the k rounds never recompute tokenization (single-
+    generation checkpoint — not the multi-generation loop pattern the
+    Spark 4.1 bug forbids).  A source whose entire item set is already
+    covered adds nothing and can never be chosen (its count row
+    vanishes at the anti-join); if no candidate remains the loop stops
+    early.
+
+    Output (≤ k rows): (round, chosen, n_new, cum_covered).
+    """
+    spark = df.sparkSession
+    si = (
+        df.select(
+            F.col(set_col).alias("_s"), F.col(item_col).alias("_i")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    chosen: list = []
+    rows = []
+    cum = 0
+    for r in range(1, int(k) + 1):
+        cand = si if covered is None else si.join(covered, "_i", "left_anti")
+        if chosen:
+            cand = cand.where(~F.col("_s").isin(chosen))
+        top = (
+            cand.groupBy("_s")
+            .agg(F.count("*").cast("long").alias("_c"))
+            .orderBy(F.col("_c").desc(), F.col("_s").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        s_star, c_star = top[0]["_s"], int(top[0]["_c"])
+        cum += c_star
+        rows.append((r, s_star, c_star, cum))
+        chosen.append(s_star)
+        new_items = si.where(F.col("_s") == s_star).select("_i")
+        covered = new_items if covered is None else covered.union(new_items)
+    return spark.createDataFrame(
+        rows, "round long, chosen string, n_new long, cum_covered long"
+    )

@@ -480,3 +480,88 @@ def hll_rolling_distinct(
             est.alias("hll_est"),
         )
     )
+
+
+def binned_quantile_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+    bin_width: int = 128,
+) -> DataFrame:
+    """Mergeable binned-histogram quantile sketch vs the exact type-1
+    quantile, per group — the bounded-error scale path for percentile
+    ladders: per-partition fixed-width histograms merge by SUM (one
+    hash aggregate over the raw scan), so a p99 series over 100 TB
+    never sorts raw rows; the exact value (from the per-group
+    distinct-VALUE histogram's cumulative counts, the qb18/qb43 idiom)
+    rides along as the audit column.
+
+    Values must be non-negative int64 (bin = v div w needs monotone
+    truncating division); quantiles are integer percents and the target
+    rank is exact: ceil(q·n/100) = (q·n + 99) div 100.  The sketch
+    reports the UPPER edge of the first bin whose cumulative count
+    reaches the rank, so sketch ≥ exact and the error is < bin_width by
+    construction (property-tested).
+
+    Output: (group, q_pct, n, exact_value, sketch_value, err).
+    """
+    w = int(bin_width)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    n = base.groupBy("_g").agg(F.count("*").cast("long").alias("n"))
+    qarr = F.array(*[F.lit(int(q)) for q in quantiles])
+    ranks = n.select(
+        "_g",
+        "n",
+        F.explode(qarr).alias("q_pct"),
+    ).withColumn("_rank", F.expr("(q_pct * n + 99) div 100"))
+
+    hist = base.groupBy("_g", "_v").agg(F.count("*").alias("_c"))
+    wv = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumv = hist.select("_g", "_v", F.sum("_c").over(wv).alias("_cum"))
+    exact = (
+        cumv.join(F.broadcast(ranks), "_g")
+        .where(F.col("_cum") >= F.col("_rank"))
+        .groupBy("_g", "q_pct", "n")
+        .agg(F.min("_v").alias("exact_value"))
+    )
+
+    bhist = (
+        base.select("_g", F.expr(f"_v div {w}").alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    wb = (
+        Window.partitionBy("_g")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumb = bhist.select("_g", "_b", F.sum("_c").over(wb).alias("_cum"))
+    sketch = (
+        cumb.join(F.broadcast(ranks.select("_g", "q_pct", "_rank")), "_g")
+        .where(F.col("_cum") >= F.col("_rank"))
+        .groupBy("_g", "q_pct")
+        .agg(
+            (F.min("_b") * w + (w - 1)).cast("long").alias("sketch_value")
+        )
+    )
+    return (
+        exact.join(sketch, ["_g", "q_pct"])
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("q_pct").cast("long").alias("q_pct"),
+            "n",
+            "exact_value",
+            "sketch_value",
+            (F.col("sketch_value") - F.col("exact_value"))
+            .cast("long")
+            .alias("err"),
+        )
+    )

@@ -752,3 +752,74 @@ def test_hll_rolling_distinct(spark):
     assert out["2024-01-03"]["n_exact"] == 3   # {2,3,4}
     # small cardinalities: raw HLL overestimates but must be positive
     assert all(r["hll_est"] >= 1 for r in out.values())
+
+
+def test_association_rules(spark):
+    from ontology_mapper_spark.operators.assoc import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in association_rules(df, "user_id", "item").collect()}
+    ab = out[("a", "b")]
+    # support: users {1,2}; antecedent a in {1,2,3}; consequent b in {1,2}
+    assert (ab["n_both"], ab["n_antecedent"], ab["n_consequent"]) == (2, 3, 2)
+    assert ab["conf_micro"] == round(2 * 1_000_000 / 3)
+    # lift = (2 * 4) / (3 * 2) = 4/3
+    assert ab["lift_micro"] == round(2.0 * 4.0 * 1e6 / (3.0 * 2.0))
+    ba = out[("b", "a")]
+    assert ba["conf_micro"] == 1_000_000  # b-users all have a
+    assert ("a", "c") not in out  # n_both = 0 never materializes
+
+
+def test_binned_quantile_audit(spark):
+    from ontology_mapper_spark.operators.sketch import binned_quantile_audit
+
+    # group g: values 0..99 -> p50 exact = 50 (rank ceil(50) = 50th
+    # smallest = value 49), p99 = value 98
+    rows = [("g", v) for v in range(100)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r["q_pct"]: r
+           for r in binned_quantile_audit(
+               df, "grp", "v", quantiles=(50, 99), bin_width=16
+           ).collect()}
+    assert out[50]["exact_value"] == 49   # rank 50 under 1-based asc
+    assert out[99]["exact_value"] == 98
+    # sketch = upper edge of covering 16-wide bin
+    assert out[50]["sketch_value"] == (49 // 16) * 16 + 15
+    assert all(0 <= r["err"] < 16 for r in out.values())
+    assert out[50]["n"] == 100
+
+
+def test_degree_assortativity(spark):
+    from ontology_mapper_spark.operators.graph import degree_assortativity
+
+    # star: hub s1 -> d1..d4 (deg_s 4 vs deg_d 1), plus s2 -> d1.
+    edges = [("s1", f"d{i}") for i in range(1, 5)] + [("s2", "d1")]
+    df = spark.createDataFrame(edges, "s string, d string")
+    r = degree_assortativity(df, "s", "d").collect()[0]
+    assert (r["n_edges"], r["n_src_nodes"], r["n_dst_nodes"]) == (5, 2, 4)
+    # hub edges pair high src-degree with low dst-degree -> negative r
+    assert r["assortativity_micro"] < 0
+    # constant degrees -> null
+    const = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "s string, d string"
+    )
+    r2 = degree_assortativity(const, "s", "d").collect()[0]
+    assert r2["assortativity_micro"] is None
+
+
+def test_greedy_set_cover(spark):
+    from ontology_mapper_spark.operators.mixing import greedy_set_cover
+
+    # s1 covers {1,2,3}; s2 covers {3,4}; s3 covers {1,2} (subset of s1)
+    rows = [("s1", 1), ("s1", 2), ("s1", 3),
+            ("s2", 3), ("s2", 4), ("s3", 1), ("s3", 2)]
+    df = spark.createDataFrame(rows, "s string, i long")
+    out = greedy_set_cover(df, "s", "i", k=3).collect()
+    # round 1: s1 (3 new); round 2: s2 adds {4}; round 3: s3 adds
+    # nothing -> dropped, loop stops early
+    assert [(r["round"], r["chosen"], r["n_new"], r["cum_covered"])
+            for r in out] == [(1, "s1", 3, 3), (2, "s2", 1, 4)]

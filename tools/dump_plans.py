@@ -135,6 +135,10 @@ PLAN_QUERIES = [
     "qb44_referential_integrity",
     "qb45_profile_columns",
     "qb46_rolling_hll",
+    "qb47_assoc_rules",
+    "qb48_quantile_sketch",
+    "qb49_assortativity",
+    "qb50_greedy_cover",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -226,6 +230,10 @@ GENERIC_CHECK = {
     "qb44_referential_integrity",
     "qb45_profile_columns",
     "qb46_rolling_hll",
+    "qb47_assoc_rules",
+    "qb48_quantile_sketch",
+    "qb49_assortativity",
+    "qb50_greedy_cover",
 }
 
 
