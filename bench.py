@@ -210,6 +210,11 @@ EXTENDED = [
     "qb48_quantile_sketch",
     "qb49_assortativity",
     "qb50_greedy_cover",
+    "qb51_char_entropy",
+    "qb52_disorder_audit",
+    "qb53_decayed_counts",
+    "qb54_srm_check",
+    "qb55_hour_dow_profile",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -11928,3 +11928,221 @@ def qb50(spark, sf):
         F.explode(shingles_col(F.col("text"), 2)).alias("w"),
     )
     return greedy_set_cover(si, "source", "w", k=3)
+
+
+@_q(
+    "qb51_char_entropy",
+    """
+    WITH base AS (SELECT source AS g, doc_id AS doc, text AS t,
+                         length(text) AS n
+                  FROM documents WHERE length(text) > 0),
+    chars AS (SELECT g, doc, n, substr(t, CAST(p AS INT), 1) AS c
+              FROM (SELECT g, doc, t, n,
+                           unnest(generate_series(1, n)) AS p
+                    FROM base)),
+    counts AS (SELECT g, doc, n, c, CAST(count(*) AS BIGINT) AS cc
+               FROM chars GROUP BY 1, 2, 3, 4),
+    vals AS (SELECT DISTINCT cc AS v FROM counts
+             UNION SELECT DISTINCT n FROM base),
+    lns AS (SELECT v, CAST(round(ln(CAST(v AS DOUBLE)) * 1000000)
+                           AS BIGINT) AS lnm
+            FROM vals),
+    perdoc AS (SELECT g, doc, n, CAST(sum(cc * l.lnm) AS BIGINT) AS s
+               FROM counts JOIN lns l ON l.v = cc GROUP BY 1, 2, 3),
+    h AS (SELECT g, ln2.lnm - (s // n) AS h
+          FROM perdoc JOIN lns ln2 ON ln2.v = n)
+    SELECT g AS source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(h) // count(*) AS BIGINT) AS avg_entropy_micro,
+           CAST(sum(CASE WHEN h < 2500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_entropy_docs
+    FROM h GROUP BY 1
+    """,
+)
+def qb51(spark, sf):
+    """Per-source character-entropy audit
+    (operators/textstats.py:char_entropy_report) — the gibberish /
+    binary-paste curation signal: per-doc Shannon entropy of the char
+    distribution, integer-exact via the q66 discipline (ln evaluated
+    once per DISTINCT count on a doc-length-bounded table, then pure
+    int64 arithmetic on the rounded micros; no double is ever
+    summed)."""
+    from .operators.textstats import char_entropy_report
+
+    d = _t(spark, sf, "documents")
+    return char_entropy_report(d, "text", "source", "doc_id")
+
+
+@_q(
+    "qb52_disorder_audit",
+    """
+    WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                         epoch_us(ts) AS us, event_id AS a
+                  FROM events),
+    run AS (SELECT day,
+                   (max(us) OVER (PARTITION BY day ORDER BY a
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - us) // 1000000
+                     AS lag_s
+            FROM base),
+    hist AS (SELECT day, lag_s, count(*) AS c FROM run GROUP BY 1, 2),
+    cum AS (SELECT day, lag_s,
+                   sum(c) OVER (PARTITION BY day ORDER BY lag_s) AS cum
+            FROM hist),
+    n AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events
+          FROM run GROUP BY 1),
+    r AS (SELECT day, n_events, (50 * n_events + 99) // 100 AS r50,
+                 (99 * n_events + 99) // 100 AS r99
+          FROM n),
+    p50 AS (SELECT c2.day, CAST(min(lag_s) AS BIGINT) AS p50_disorder_s
+            FROM cum c2 JOIN r ON c2.day = r.day AND cum >= r50
+            GROUP BY 1),
+    p99 AS (SELECT c2.day, CAST(min(lag_s) AS BIGINT) AS p99_disorder_s
+            FROM cum c2 JOIN r ON c2.day = r.day AND cum >= r99
+            GROUP BY 1),
+    late AS (SELECT day,
+                    CAST(sum(CASE WHEN lag_s > 3600 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_late
+             FROM run GROUP BY 1)
+    SELECT CAST(DATE '1970-01-01' + CAST(n.day AS INT) AS VARCHAR) AS day,
+           n.n_events, p50_disorder_s, p99_disorder_s, late.n_late,
+           CAST(round(late.n_late * 1000000 / n.n_events) AS BIGINT)
+             AS late_share_micro
+    FROM n JOIN p50 ON p50.day = n.day JOIN p99 ON p99.day = n.day
+    JOIN late ON late.day = n.day
+    """,
+)
+def qb52(spark, sf):
+    """Event-time disorder audit (operators/temporal.py:
+    event_time_disorder) — the watermark-tuning number: per day the
+    p50/p99 arrival-order disorder (running event-time max minus the
+    event's own time, in arrival order) plus the share arriving later
+    than 1h.  Running max is TWO-PHASE (arrival buckets -> per-day
+    bucket-table prefix max -> within-bucket window), so no window
+    spans a raw day partition; quantiles come off the per-day
+    second-histogram (qb48 idiom)."""
+    from .operators.temporal import event_time_disorder
+
+    e = _t(spark, sf, "events")
+    return event_time_disorder(e, "ts", "event_id")
+
+
+@_q(
+    "qb53_decayed_counts",
+    """
+    WITH base AS (SELECT event_type AS k,
+                         epoch_us(ts) // 86400000000 AS day
+                  FROM events),
+    anchor AS (SELECT max(day) AS a FROM base),
+    daily AS (SELECT k, (SELECT a FROM anchor) - day AS age,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+    num AS (SELECT k,
+                   CAST(sum(CASE WHEN age <= 40
+                            THEN c * (CAST(1 AS BIGINT)
+                                      << CAST(40 - age AS INT))
+                            ELSE 0 END) AS BIGINT) AS num,
+                   CAST(sum(c) AS BIGINT) AS n_total
+            FROM daily GROUP BY 1),
+    tot AS (SELECT CAST(sum(num) AS BIGINT) AS t FROM num)
+    SELECT k AS event_type, n_total,
+           CAST(round(CAST(num AS DOUBLE) * 1000.0
+                      / CAST(CAST(1 AS BIGINT) << 40 AS DOUBLE))
+                AS BIGINT) AS decayed_milli,
+           CAST(round(CAST(num AS DOUBLE) * 1000000.0
+                      / CAST((SELECT t FROM tot) AS DOUBLE))
+                AS BIGINT) AS share_micro
+    FROM num
+    """,
+)
+def qb53(spark, sf):
+    """Exact half-life-decayed trending counts (operators/temporal.py:
+    half_life_decayed_counts): per event type the one-day-half-life
+    decayed count at the corpus max day — weight 2^(-age) is a
+    power-of-two rational, so the series is ONE int64 numerator
+    sum(c_d * 2^(40-age)) and a single exact power-of-two division
+    (qa66 discipline; no transcendental, no accumulation).  Shares
+    from the integer numerators."""
+    from .operators.temporal import half_life_decayed_counts
+
+    e = _t(spark, sf, "events")
+    return half_life_decayed_counts(e, "ts", "event_type",
+                                    max_age_days=40)
+
+
+@_q(
+    "qb54_srm_check",
+    """
+    WITH units AS (SELECT DISTINCT event_type AS segment, user_id AS u
+                   FROM events),
+    counts AS (SELECT segment,
+                      CAST(sum(CASE WHEN substr(md5(CAST(u AS VARCHAR)),
+                                                1, 1) < '8'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                      CAST(sum(CASE WHEN substr(md5(CAST(u AS VARCHAR)),
+                                                1, 1) < '8'
+                               THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+               FROM units GROUP BY 1),
+    z AS (SELECT segment, n_a, n_b,
+                 CAST(round(CAST(n_a - n_b AS DOUBLE)
+                            / sqrt(CAST(n_a + n_b AS DOUBLE))
+                            * 1000.0) AS BIGINT) AS z_milli
+          FROM counts)
+    SELECT segment, n_a, n_b, z_milli,
+           CAST(CASE WHEN abs(z_milli) > 3290 THEN 1 ELSE 0 END
+                AS BIGINT) AS srm_flag
+    FROM z
+    """,
+)
+def qb54(spark, sf):
+    """Sample-ratio-mismatch guardrail (operators/stats.py:srm_check):
+    per event-type segment, the distinct engaged users split 50/50 by
+    the deterministic md5-nibble rule, tested against the declared
+    ratio with z = (n_a-n_b)/sqrt(n); flag fires on the ROUNDED
+    z_milli vs an integer threshold (3.29 ~ p<0.001), so the verdict
+    is engine-deterministic."""
+    from .operators.stats import srm_check
+
+    e = _t(spark, sf, "events")
+    return srm_check(e, "user_id", "event_type")
+
+
+@_q(
+    "qb55_hour_dow_profile",
+    """
+    WITH base AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                         (epoch_us(ts) % 86400000000) // 3600000000
+                           AS hour
+                  FROM events),
+    cells AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_obs
+              FROM base GROUP BY 1, 2),
+    r AS (SELECT dow, CAST(sum(n_obs) AS BIGINT) AS rr
+          FROM cells GROUP BY 1),
+    c AS (SELECT hour, CAST(sum(n_obs) AS BIGINT) AS cc
+          FROM cells GROUP BY 1),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS tt FROM cells)
+    SELECT CAST(cells.dow AS BIGINT) AS dow,
+           CAST(cells.hour AS BIGINT) AS hour, n_obs,
+           CAST(round(CAST(rr AS DOUBLE) * CAST(cc AS DOUBLE)
+                      / CAST(tt AS DOUBLE) * 1000000.0) AS BIGINT)
+             AS expected_micro,
+           CAST(round((CAST(n_obs AS DOUBLE)
+                       - CAST(rr AS DOUBLE) * CAST(cc AS DOUBLE)
+                         / CAST(tt AS DOUBLE))
+                      / sqrt(CAST(rr AS DOUBLE) * CAST(cc AS DOUBLE)
+                             / CAST(tt AS DOUBLE))
+                      * 1000.0) AS BIGINT) AS resid_milli
+    FROM cells JOIN r ON r.dow = cells.dow
+    JOIN c ON c.hour = cells.hour CROSS JOIN t
+    """,
+)
+def qb55(spark, sf):
+    """Hour-of-day x day-of-week intensity matrix with independence
+    residuals (operators/temporal.py:hour_dow_profile): the calendar
+    heatmap plus Pearson residuals vs the independence expectation
+    (row*col/total), pure UTC arithmetic from epoch micros (dow 0 =
+    Sunday via the Thursday epoch anchor — no session timezone
+    anywhere).  Terminal ratios in double, fixed mirrored order."""
+    from .operators.temporal import hour_dow_profile
+
+    e = _t(spark, sf, "events")
+    return hour_dow_profile(e, "ts")

@@ -2298,3 +2298,61 @@ def lorenz_deciles(
         .cast("long")
         .alias("cum_weight_micro"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    segment_col: str | None = None,
+    z_milli_threshold: int = 3290,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first thing every
+    experimentation platform checks: split units 50/50 by the
+    deterministic md5-nibble rule (the q62 hash-split idiom, so the
+    'assignment' is reproducible in any engine), then test the observed
+    arm counts against the declared ratio with the one-sample z
+    statistic z = (n_a − n_b)/√n.  An SRM fires at |z| above the
+    threshold (default 3.29 ≈ p<0.001, the industry convention) — on a
+    healthy split this flags ~0.1% of segments; any real assignment/
+    logging bug lights it up immediately.
+
+    The flag compares the ROUNDED z_milli against an integer threshold
+    (never a raw double against a boundary), so the output is engine-
+    deterministic end to end.  One distinct + one aggregate per
+    segment; the overall row aggregates the same distinct index.
+
+    Output: (segment, n_a, n_b, z_milli, srm_flag) — segment '_all_'
+    is the corpus-wide check.
+    """
+    seg = (
+        F.col(segment_col)
+        if segment_col
+        else F.lit("_all_")
+    )
+    units = df.select(
+        seg.alias("_seg"), F.col(unit_col).alias("_u")
+    ).distinct()
+    arm = F.when(
+        F.substring(F.md5(F.col("_u").cast("string")), 1, 1) < "8", 1
+    ).otherwise(0)
+    counts = units.select("_seg", arm.alias("_a")).groupBy("_seg").agg(
+        F.sum("_a").cast("long").alias("n_a"),
+        (F.count("*") - F.sum("_a")).cast("long").alias("n_b"),
+    )
+    z_milli = F.round(
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        / F.sqrt((F.col("n_a") + F.col("n_b")).cast("double"))
+        * F.lit(1000.0)
+    ).cast("long")
+    return counts.select(
+        F.col("_seg").alias("segment"),
+        "n_a",
+        "n_b",
+        z_milli.alias("z_milli"),
+        F.when(
+            F.abs(z_milli) > int(z_milli_threshold), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("srm_flag"),
+    )

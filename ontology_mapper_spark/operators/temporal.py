@@ -1835,3 +1835,246 @@ def linear_attribution(
             F.sum("_vmicro").cast("long").alias("value_micro_cents"),
         )
     )
+
+
+def event_time_disorder(
+    df: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    late_threshold_s: int = 3600,
+    bucket_div: int = 1 << 12,
+) -> DataFrame:
+    """Event-time disorder audit — the number that tunes
+    ``withWatermark``: per event-time day, how far events arrive behind
+    the running event-time maximum in ARRIVAL order (``arrival_col``,
+    an ingestion-monotone id).  Reports nearest-rank p50/p99 disorder
+    seconds and the share later than ``late_threshold_s`` — set the
+    watermark delay at/above the observed p99 and the late share is
+    what streaming would drop.
+
+    The running max is TWO-PHASE (the qb43 discipline): per-day arrival
+    buckets (arrival div bucket_div) aggregate their max ts, a window
+    over the per-day BUCKET table (bounded rows per day) takes the
+    exclusive prefix max, and the within-bucket running max runs
+    partitioned by (day, bucket) — no window ever spans a raw
+    billion-row day partition.  Disorder quantiles come off the
+    per-day second-histogram's cumulative counts (qb48 idiom).
+
+    Output per day: (day, n_events, p50_disorder_s, p99_disorder_s,
+    n_late, late_share_micro).
+    """
+    day_us = 86_400_000_000
+    base = df.select(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(arrival_col).cast("long").alias("_a"),
+    ).select(
+        F.expr(f"_us div {day_us}").alias("_day"),
+        "_us",
+        "_a",
+        F.expr(f"_a div {bucket_div}").alias("_b"),
+    )
+    btot = base.groupBy("_day", "_b").agg(F.max("_us").alias("_bmax"))
+    wb = (
+        Window.partitionBy("_day")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "_day", "_b", F.max("_bmax").over(wb).alias("_prev_max")
+    )
+    wr = (
+        Window.partitionBy("_day", "_b")
+        .orderBy("_a")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        base.join(offsets, ["_day", "_b"])
+        .select(
+            "_day",
+            "_us",
+            F.greatest(
+                F.coalesce(F.col("_prev_max"), F.lit(-(1 << 62))),
+                F.max("_us").over(wr),
+            ).alias("_rmax"),
+        )
+        .select(
+            "_day",
+            F.expr("(_rmax - _us) div 1000000").alias("_lag_s"),
+        )
+    )
+    hist = run.groupBy("_day", "_lag_s").agg(F.count("*").alias("_c"))
+    wd = (
+        Window.partitionBy("_day")
+        .orderBy("_lag_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "_day", "_lag_s", F.col("_c"), F.sum("_c").over(wd).alias("_cum")
+    )
+    n = run.groupBy("_day").agg(F.count("*").cast("long").alias("n_events"))
+    ranked = cum.join(F.broadcast(n), "_day").select(
+        "_day",
+        "_lag_s",
+        "_cum",
+        F.expr("(50 * n_events + 99) div 100").alias("_r50"),
+        F.expr("(99 * n_events + 99) div 100").alias("_r99"),
+    )
+    p50 = (
+        ranked.where(F.col("_cum") >= F.col("_r50"))
+        .groupBy("_day")
+        .agg(F.min("_lag_s").cast("long").alias("p50_disorder_s"))
+    )
+    p99 = (
+        ranked.where(F.col("_cum") >= F.col("_r99"))
+        .groupBy("_day")
+        .agg(F.min("_lag_s").cast("long").alias("p99_disorder_s"))
+    )
+    late = run.groupBy("_day").agg(
+        F.sum(
+            F.when(F.col("_lag_s") > int(late_threshold_s), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_late")
+    )
+    return (
+        n.join(p50, "_day")
+        .join(p99, "_day")
+        .join(late, "_day")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01"), F.col("_day").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "n_events",
+            "p50_disorder_s",
+            "p99_disorder_s",
+            "n_late",
+            F.round(F.col("n_late") * F.lit(1_000_000) / F.col("n_events"))
+            .cast("long")
+            .alias("late_share_micro"),
+        )
+    )
+
+
+def half_life_decayed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    max_age_days: int = 40,
+) -> DataFrame:
+    """Trending score: per key the EXACT one-day-half-life decayed
+    event count at the corpus max day — weight 2^(−age_days), which is
+    a power-of-two rational, so the whole series is computed as one
+    int64 numerator Σ c_d · 2^(max_age − age) and a single division by
+    2^max_age that IEEE doubles perform EXACTLY (the qa66 power-of-two
+    discipline; no transcendental, no accumulation error).  Ages beyond
+    ``max_age_days`` carry weight 0 (< 1 trillionth at the default 40
+    half-lives); the int64 bound is daily_count <= 2^(62-max_age_days).
+
+    Output per key: (key, n_total, decayed_milli, share_micro) where
+    share is the key's fraction of the total decayed mass — both from
+    the int64 numerators, terminal ratios evaluated once in double
+    with a fixed mirrored op order (never a double sum).
+    """
+    day_us = 86_400_000_000
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+        ).alias("_day"),
+    )
+    anchor = base.agg(F.max("_day").alias("_anchor"))
+    daily = (
+        base.join(F.broadcast(anchor))
+        .select("_k", (F.col("_anchor") - F.col("_day")).alias("_age"))
+        .groupBy("_k", "_age")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    m = int(max_age_days)
+    num = daily.groupBy("_k").agg(
+        F.sum(
+            F.when(
+                F.col("_age") <= m,
+                F.col("_c")
+                * F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({m} - _age AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("_num"),
+        F.sum("_c").cast("long").alias("n_total"),
+    )
+    tot = num.agg(F.sum("_num").cast("long").alias("_tot"))
+    return num.join(F.broadcast(tot)).select(
+        F.col("_k").alias(key_col),
+        "n_total",
+        F.round(
+            F.col("_num").cast("double")
+            * F.lit(1000.0)
+            / F.lit(float(1 << m))
+        )
+        .cast("long")
+        .alias("decayed_milli"),
+        F.round(
+            F.col("_num").cast("double")
+            * F.lit(1_000_000.0)
+            / F.col("_tot").cast("double")
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )
+
+
+def hour_dow_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day × day-of-week intensity matrix with independence
+    residuals — the calendar heatmap plus "is the weekly rhythm real"
+    in one pass: per (dow, hour) cell the observed count, the
+    independence-expected count (row·col/total, one micro-rounded
+    division per CELL — 168 cells, the qa91 per-cell discipline) and
+    the Pearson residual (o−e)/√e in milli, evaluated in double with a
+    fixed mirrored op order from int64 marginals.
+
+    Pure UTC calendar arithmetic from epoch micros (dow via
+    (epoch_day + 4) % 7, Thursday anchor; hour via µs-of-day) — no
+    session-timezone dependence anywhere.
+
+    Output: (dow, hour, n_obs, expected_micro, resid_milli).
+    """
+    day_us = 86_400_000_000
+    hour_us = 3_600_000_000
+    base = df.select(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us")
+    ).select(
+        ((F.expr(f"_us div {day_us}") + 4) % 7).alias("dow"),
+        F.expr(f"(_us % {day_us}) div {hour_us}").alias("hour"),
+    )
+    cells = base.groupBy("dow", "hour").agg(
+        F.count("*").cast("long").alias("n_obs")
+    )
+    rows_ = cells.groupBy("dow").agg(F.sum("n_obs").alias("_r"))
+    cols_ = cells.groupBy("hour").agg(F.sum("n_obs").alias("_c"))
+    tot = cells.agg(F.sum("n_obs").alias("_t"))
+    j = (
+        cells.join(F.broadcast(rows_), "dow")
+        .join(F.broadcast(cols_), "hour")
+        .join(F.broadcast(tot))
+    )
+    e = F.col("_r").cast("double") * F.col("_c").cast("double") / F.col(
+        "_t"
+    ).cast("double")
+    return j.select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_obs",
+        F.round(e * F.lit(1_000_000)).cast("long").alias("expected_micro"),
+        F.round(
+            (F.col("n_obs").cast("double") - e) / F.sqrt(e) * F.lit(1000.0)
+        )
+        .cast("long")
+        .alias("resid_milli"),
+    )

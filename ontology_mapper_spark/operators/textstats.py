@@ -945,3 +945,86 @@ def tokenizer_fertility(
             .cast("long"),
         ).alias("chars_per_token_micro"),
     )
+
+
+def char_entropy_report(
+    df,
+    text_col: str,
+    group_col: str,
+    id_col: str,
+    low_threshold_micro: int = 2_500_000,
+) -> DataFrame:
+    """Per-group character-entropy audit — the classic gibberish /
+    binary-paste filter signal (CCNet/Gopher-family curation): per doc
+    the Shannon entropy (nats) of its character distribution, rolled up
+    per group as the average plus the count of docs under a low-entropy
+    threshold (repetitive junk: e^2.5 ~ 12 effective characters).
+
+    Integer-exact path (the q66 discipline): ln is evaluated ONCE per
+    distinct integer count on two bounded tables — distinct per-(doc,
+    char) counts c and distinct doc lengths n, both bounded by the max
+    doc length, never corpus-sized — then micro-rounded, and every
+    per-doc value is pure int64 arithmetic on those rounded micros:
+    H_micro = ln_micro(n) − (Σ c·ln_micro(c)) div n.  No double is ever
+    summed.  The char explode is positional (sequence + substr), the
+    same portable idiom both engines evaluate identically.
+
+    Output per group: (group, n_docs, avg_entropy_micro,
+    low_entropy_docs).
+    """
+    from pyspark.sql import Window  # noqa: F401  (symmetry with siblings)
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_doc"),
+        F.col(text_col).alias("_t"),
+    ).where(F.length("_t") > 0)
+    # one row per char position; _n carried from a pre-Generate
+    # projection (the q63 explode trap: compute lengths BEFORE explode)
+    sized = base.select("_g", "_doc", "_t", F.length("_t").alias("_n"))
+    chars = sized.select(
+        "_g",
+        "_doc",
+        "_t",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_p"),
+    ).select(
+        "_g", "_doc", "_n", F.expr("substring(_t, _p, 1)").alias("_c")
+    )
+    counts = chars.groupBy("_g", "_doc", "_n", "_c").agg(
+        F.count("*").cast("long").alias("_cc")
+    )
+    ln_c = (
+        counts.select(F.col("_cc").alias("_v"))
+        .union(sized.select(F.col("_n").alias("_v")))
+        .distinct()
+        .select(
+            "_v",
+            F.round(F.log(F.col("_v").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("_ln_micro"),
+        )
+    )
+    per_doc = (
+        counts.join(F.broadcast(ln_c), counts["_cc"] == ln_c["_v"])
+        .groupBy("_g", "_doc", "_n")
+        .agg(F.sum(F.col("_cc") * F.col("_ln_micro")).alias("_s"))
+    )
+    h = per_doc.join(
+        F.broadcast(ln_c.withColumnRenamed("_ln_micro", "_ln_n")),
+        per_doc["_n"] == ln_c["_v"],
+    ).select(
+        "_g",
+        (F.col("_ln_n") - F.expr("_s div _n")).cast("long").alias("_h"),
+    )
+    return h.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(_h) div count(*)").cast("long").alias(
+            "avg_entropy_micro"
+        ),
+        F.sum(
+            F.when(F.col("_h") < int(low_threshold_micro), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("low_entropy_docs"),
+    )

@@ -139,6 +139,11 @@ PLAN_QUERIES = [
     "qb48_quantile_sketch",
     "qb49_assortativity",
     "qb50_greedy_cover",
+    "qb51_char_entropy",
+    "qb52_disorder_audit",
+    "qb53_decayed_counts",
+    "qb54_srm_check",
+    "qb55_hour_dow_profile",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -234,6 +239,11 @@ GENERIC_CHECK = {
     "qb48_quantile_sketch",
     "qb49_assortativity",
     "qb50_greedy_cover",
+    "qb51_char_entropy",
+    "qb52_disorder_audit",
+    "qb53_decayed_counts",
+    "qb54_srm_check",
+    "qb55_hour_dow_profile",
 }
 
 
