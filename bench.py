@@ -215,6 +215,9 @@ EXTENDED = [
     "qb53_decayed_counts",
     "qb54_srm_check",
     "qb55_hour_dow_profile",
+    "qb56_sequence_regex",
+    "qb57_time_to_conversion",
+    "qb58_feature_hash_audit",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

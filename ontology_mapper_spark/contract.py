@@ -12146,3 +12146,159 @@ def qb55(spark, sf):
 
     e = _t(spark, sf, "events")
     return hour_dow_profile(e, "ts")
+
+
+@_q(
+    "qb56_sequence_regex",
+    """
+    WITH seq AS (
+      SELECT user_id AS a,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS s
+      FROM events GROUP BY 1),
+    pats AS (SELECT * FROM (VALUES ('browse_to_buy', 'v[cv]*p'),
+                                   ('double_error', 'ee'),
+                                   ('signup_to_buy', 's.*p'))
+                      AS t(pattern, rx)),
+    g AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_actors,
+                 CAST(sum(CASE WHEN regexp_matches(s, rx)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          FROM seq CROSS JOIN pats GROUP BY 1)
+    SELECT pattern, n_actors, n_match,
+           CAST(round(n_match * 1000000 / n_actors) AS BIGINT)
+             AS share_micro
+    FROM g
+    """,
+)
+def qb56(spark, sf):
+    """MATCH_RECOGNIZE-lite sequence-pattern shares
+    (operators/dialogue.py:pattern_match_share): each user's ordered
+    event-initial string (qa15 array_sort(collect_list(struct)) idiom,
+    ONE scan for all declared patterns via an exploded pattern table)
+    matched against portable regexes — the sequence engine Spark lacks
+    natively (Flink/Trino MATCH_RECOGNIZE analogue)."""
+    from .operators.dialogue import pattern_match_share
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    return pattern_match_share(
+        e,
+        "user_id",
+        "event_type",
+        ("us", "event_id"),
+        {
+            "browse_to_buy": "v[cv]*p",
+            "double_error": "ee",
+            "signup_to_buy": "s.*p",
+        },
+    )
+
+
+@_q(
+    "qb57_time_to_conversion",
+    """
+    WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                         event_id AS id, event_type AS t FROM events),
+    carried AS (
+      SELECT u, us, id, t,
+             last_value(CASE WHEN t IN ('click', 'view', 'signup')
+                        THEN struct_pack(us := us, t := t) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY u ORDER BY us, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM base),
+    conv AS (SELECT touch.t AS touch_type,
+                    (us - touch.us) // 1000000 AS gap_s
+             FROM carried
+             WHERE t = 'purchase' AND touch IS NOT NULL
+               AND us - touch.us <= 86400000000),
+    hist AS (SELECT touch_type, gap_s, count(*) AS c
+             FROM conv GROUP BY 1, 2),
+    cum AS (SELECT touch_type, gap_s,
+                   sum(c) OVER (PARTITION BY touch_type ORDER BY gap_s)
+                     AS cum
+            FROM hist),
+    agg AS (SELECT touch_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap_s) AS BIGINT) AS sm
+            FROM conv GROUP BY 1),
+    p50 AS (SELECT cum.touch_type, CAST(min(gap_s) AS BIGINT) AS p50_s
+            FROM cum JOIN agg ON agg.touch_type = cum.touch_type
+            WHERE cum >= (50 * n + 99) // 100 GROUP BY 1),
+    p90 AS (SELECT cum.touch_type, CAST(min(gap_s) AS BIGINT) AS p90_s
+            FROM cum JOIN agg ON agg.touch_type = cum.touch_type
+            WHERE cum >= (90 * n + 99) // 100 GROUP BY 1)
+    SELECT agg.touch_type, n AS n_conversions,
+           CAST(sm // n AS BIGINT) AS mean_s, p50_s, p90_s
+    FROM agg JOIN p50 ON p50.touch_type = agg.touch_type
+    JOIN p90 ON p90.touch_type = agg.touch_type
+    """,
+)
+def qb57(spark, sf):
+    """Conversion-latency distribution per touch type
+    (operators/temporal.py:time_to_conversion): whole-second gap from
+    each purchase to its most recent in-horizon preceding touch (qb40
+    forward-carry window), exact type-1 p50/p90 off the per-type
+    second-histogram cumulative counts (qb48 idiom), mean on integer
+    sums — the number that sets attribution horizons."""
+    from .operators.temporal import time_to_conversion
+
+    e = _t(spark, sf, "events")
+    return time_to_conversion(e, "ts", "user_id", "event_type",
+                              "event_id")
+
+
+@_q(
+    "qb58_feature_hash_audit",
+    r"""
+    WITH grams AS (
+      SELECT DISTINCT w || ' ' || lead_w AS g
+      FROM (SELECT w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY idx)
+                     AS lead_w
+            FROM (SELECT doc_id,
+                         unnest(string_split(lower(trim(
+                           regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                           AS w,
+                         generate_subscripts(string_split(lower(trim(
+                           regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                           1) AS idx
+                  FROM documents))
+      WHERE lead_w IS NOT NULL),
+    h AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+          FROM grams),
+    b AS (SELECT k, h % (CAST(1 AS BIGINT) << CAST(k AS INT)) AS bkt
+          FROM h, (SELECT unnest([8, 12, 16]) AS k)),
+    pb AS (SELECT k, bkt, CAST(count(*) AS BIGINT) AS ld
+           FROM b GROUP BY 1, 2),
+    g2 AS (SELECT k, CAST(sum(ld) AS BIGINT) AS n_features,
+                  CAST(count(*) AS BIGINT) AS n_buckets_used,
+                  CAST(sum(CASE WHEN ld > 1 THEN ld ELSE 0 END)
+                       AS BIGINT) AS n_collided_features,
+                  CAST(max(ld) AS BIGINT) AS max_bucket_load
+           FROM pb GROUP BY 1)
+    SELECT CAST(k AS BIGINT) AS log2_dims, n_features, n_buckets_used,
+           n_collided_features,
+           CAST(round(n_collided_features * 1000000 / n_features)
+                AS BIGINT) AS collided_share_micro,
+           max_bucket_load
+    FROM g2
+    """,
+)
+def qb58(spark, sf):
+    """Hashing-trick collision audit over the bigram-shingle feature
+    space (operators/sketch.py:feature_hash_collisions): per candidate
+    width 2^k the distinct features sharing buckets — the
+    pick-the-hash-width-before-training number; buckets are the low k
+    bits of the 60-bit md5 integer (bit-identical in any engine), one
+    distinct + one aggregate per k, never a second corpus scan."""
+    from .operators.dedup import shingles_col
+    from .operators.sketch import feature_hash_collisions
+
+    d = _t(spark, sf, "documents")
+    si = d.select(F.explode(shingles_col(F.col("text"), 2)).alias("w"))
+    return feature_hash_collisions(si, "w", (8, 12, 16))

@@ -518,3 +518,83 @@ def markov_entropy_rate(
         .cast("long")
         .alias("entropy_rate_micro"),
     )
+
+
+def pattern_match_share(
+    df,
+    actor_col: str,
+    action_col: str,
+    order_cols,
+    patterns: dict[str, str],
+    initial_len: int = 1,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern matching over each actor's
+    ORDERED action-initial string — the sequence-pattern engine Spark
+    lacks natively (Flink/Trino ship MATCH_RECOGNIZE; here the per-actor
+    trajectory is assembled once with the qa15
+    ``array_sort(collect_list(struct(order..., initial)))`` idiom and
+    every declared pattern is one JVM ``rlike`` over it).  Sequences are
+    bounded by the per-actor action count, so the concat string is a
+    session artifact, never corpus-sized.
+
+    ``patterns`` maps name -> UNANCHORED regex over action initials
+    (``substring(action, 1, initial_len)`` — callers pick initials that
+    stay distinct).  Keep to the portable regex core (character
+    classes, ``*``/``+``/``?``, alternation): it evaluates identically
+    in any engine, which is what makes the report oracle-checkable.
+
+    Output per pattern: (pattern, n_actors, n_match, share_micro).
+    """
+    from pyspark.sql import functions as F
+
+    order_exprs = [F.col(c) for c in order_cols]
+    seq = (
+        df.select(
+            F.col(actor_col).alias("_a"),
+            F.struct(
+                *order_exprs,
+                F.substring(F.col(action_col), 1, int(initial_len)).alias(
+                    "_i"
+                ),
+            ).alias("_st"),
+        )
+        .groupBy("_a")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("_st")), lambda s: s["_i"]
+                ),
+            ).alias("_s")
+        )
+    )
+    # ONE scan for all patterns: explode the declared pattern table
+    # against each session string (|patterns| x sessions rows, pattern
+    # count is a declared constant)
+    pat = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("pattern"), F.lit(rx).alias("_rx")
+                )
+                for n, rx in patterns.items()
+            ]
+        )
+    )
+    return (
+        seq.select("_s", pat.alias("_p"))
+        .select("_s", F.col("_p.pattern").alias("pattern"), "_p._rx")
+        .groupBy("pattern")
+        .agg(
+            F.count("*").cast("long").alias("n_actors"),
+            F.sum(F.when(F.expr("_s RLIKE _rx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+        )
+        .withColumn(
+            "share_micro",
+            F.round(
+                F.col("n_match") * F.lit(1_000_000) / F.col("n_actors")
+            ).cast("long"),
+        )
+    )

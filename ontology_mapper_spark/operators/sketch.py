@@ -565,3 +565,59 @@ def binned_quantile_audit(
             .alias("err"),
         )
     )
+
+
+def feature_hash_collisions(
+    df: DataFrame,
+    feature_col: str,
+    log2_dims: tuple[int, ...] = (8, 12, 16),
+) -> DataFrame:
+    """Hashing-trick collision audit: for each candidate dimension
+    2^k, how many DISTINCT features share a bucket with another
+    feature — the number that picks the feature-hashing width before
+    training (collisions alias gradients; the audit is one distinct +
+    one double aggregate per k over the same md5 values, never a
+    second corpus scan).
+
+    Buckets are the low k bits of the 60-bit md5 integer (the
+    established hash-split idiom, bit-identical in any engine).
+
+    Output per k: (log2_dims, n_features, n_buckets_used,
+    n_collided_features, collided_share_micro, max_bucket_load).
+    """
+    feats = (
+        df.select(F.col(feature_col).alias("_f"))
+        .distinct()
+        .select("_f", _hash60(F.col("_f")).alias("_h"))
+    )
+    karr = F.explode(
+        F.array(*[F.lit(int(k)) for k in log2_dims])
+    ).alias("_k")
+    buckets = feats.select("_h", karr).select(
+        "_k", F.expr("_h % shiftleft(CAST(1 AS BIGINT), _k)").alias("_b")
+    )
+    per_bucket = buckets.groupBy("_k", "_b").agg(
+        F.count("*").cast("long").alias("_load")
+    )
+    return per_bucket.groupBy("_k").agg(
+        F.sum("_load").cast("long").alias("n_features"),
+        F.count("*").cast("long").alias("n_buckets_used"),
+        F.sum(F.when(F.col("_load") > 1, F.col("_load")).otherwise(0))
+        .cast("long")
+        .alias("n_collided_features"),
+        F.round(
+            F.sum(F.when(F.col("_load") > 1, F.col("_load")).otherwise(0))
+            * F.lit(1_000_000)
+            / F.sum("_load")
+        )
+        .cast("long")
+        .alias("collided_share_micro"),
+        F.max("_load").cast("long").alias("max_bucket_load"),
+    ).select(
+        F.col("_k").cast("long").alias("log2_dims"),
+        "n_features",
+        "n_buckets_used",
+        "n_collided_features",
+        "collided_share_micro",
+        "max_bucket_load",
+    )

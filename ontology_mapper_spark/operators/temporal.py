@@ -2078,3 +2078,99 @@ def hour_dow_profile(
         .cast("long")
         .alias("resid_milli"),
     )
+
+
+def time_to_conversion(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Conversion-latency distribution per touch type: for every
+    conversion, the whole-second gap to its most recent in-horizon
+    preceding touch (the qb40 forward-carry window), rolled up per
+    touch type as exact type-1 p50/p90 read off the per-type
+    second-histogram's cumulative counts (qb48 idiom) plus the mean on
+    exact integer sums — the "how long does intent take to close"
+    number that sets attribution horizons and retargeting delays.
+
+    Output per touch type: (touch_type, n_conversions, mean_s,
+    p50_s, p90_s).
+    """
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(type_col).alias("_t"),
+    )
+    w = Window.partitionBy("_u").orderBy(
+        F.col("_us").asc(), F.col("_id").asc()
+    )
+    touch_struct = F.when(
+        F.col("_t").isin(*touch_types),
+        F.struct(F.col("_us").alias("us"), F.col("_t").alias("t")),
+    )
+    horizon_us = int(horizon_hours) * 3_600 * MICRO
+    conv = (
+        base.withColumn(
+            "_touch", F.last(touch_struct, ignorenulls=True).over(w)
+        )
+        .where(
+            (F.col("_t") == conversion_type)
+            & F.col("_touch").isNotNull()
+            & (F.col("_us") - F.col("_touch.us") <= F.lit(horizon_us))
+        )
+        .select(
+            F.col("_touch.t").alias("touch_type"),
+            F.expr("(_us - _touch.us) div 1000000").alias("_gap_s"),
+        )
+    )
+    hist = conv.groupBy("touch_type", "_gap_s").agg(
+        F.count("*").alias("_c")
+    )
+    wc = (
+        Window.partitionBy("touch_type")
+        .orderBy("_gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "touch_type", "_gap_s", F.sum("_c").over(wc).alias("_cum")
+    )
+    agg = conv.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.sum("_gap_s").cast("long").alias("_sum_s"),
+    )
+    ranked = cum.join(F.broadcast(agg), "touch_type").select(
+        "touch_type",
+        "_gap_s",
+        "_cum",
+        F.expr("(50 * n_conversions + 99) div 100").alias("_r50"),
+        F.expr("(90 * n_conversions + 99) div 100").alias("_r90"),
+    )
+    p50 = (
+        ranked.where(F.col("_cum") >= F.col("_r50"))
+        .groupBy("touch_type")
+        .agg(F.min("_gap_s").cast("long").alias("p50_s"))
+    )
+    p90 = (
+        ranked.where(F.col("_cum") >= F.col("_r90"))
+        .groupBy("touch_type")
+        .agg(F.min("_gap_s").cast("long").alias("p90_s"))
+    )
+    return (
+        agg.join(p50, "touch_type")
+        .join(p90, "touch_type")
+        .select(
+            "touch_type",
+            "n_conversions",
+            F.expr("_sum_s div n_conversions").cast("long").alias(
+                "mean_s"
+            ),
+            "p50_s",
+            "p90_s",
+        )
+    )

@@ -929,3 +929,67 @@ def test_hour_dow_profile(spark):
     assert out[(4, 13)]["n_obs"] == 1
     # 2 cells, expected = 1*1/2 = 0.5 -> 500000 micro
     assert out[(4, 13)]["expected_micro"] == 500_000
+
+
+def test_pattern_match_share(spark):
+    from ontology_mapper_spark.operators.dialogue import (
+        pattern_match_share,
+    )
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "error"), (2, 2, "error"),
+        (3, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, o long, act string")
+    out = {r["pattern"]: r
+           for r in pattern_match_share(
+               df, "u", "act", ("o",),
+               {"buy": "v[cv]*p", "ee": "ee"}).collect()}
+    assert out["buy"]["n_actors"] == 3
+    assert out["buy"]["n_match"] == 1      # only user 1: 'vcp'
+    assert out["ee"]["n_match"] == 1       # user 2: 'ee'
+    assert out["buy"]["share_micro"] == round(1e6 / 3)
+
+
+def test_time_to_conversion(spark):
+    from ontology_mapper_spark.operators.temporal import (
+        time_to_conversion,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:05:00", 1, "purchase"),   # 300s after click
+        (3, "2024-01-02 09:00:00", 2, "view"),
+        (4, "2024-01-02 09:00:10", 2, "purchase"),   # 10s after view
+        (5, "2024-01-03 09:00:00", 3, "purchase"),   # no touch
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    )
+    out = {r["touch_type"]: r
+           for r in time_to_conversion(df, "ts", "user_id", "event_type",
+                                       "event_id").collect()}
+    assert out["click"]["mean_s"] == 300
+    assert out["click"]["p50_s"] == 300
+    assert out["view"]["p90_s"] == 10
+    assert "none" not in out and len(out) == 2
+
+
+def test_feature_hash_collisions(spark):
+    from ontology_mapper_spark.operators.sketch import (
+        feature_hash_collisions,
+    )
+
+    feats = [(f"f{i}",) for i in range(300)]
+    df = spark.createDataFrame(feats, "w string")
+    out = {r["log2_dims"]: r
+           for r in feature_hash_collisions(df, "w", (4, 20)).collect()}
+    # 300 features into 16 buckets: everything collides
+    assert out[4]["n_features"] == 300
+    assert out[4]["n_buckets_used"] <= 16
+    assert out[4]["n_collided_features"] == 300
+    assert out[4]["collided_share_micro"] == 1_000_000
+    # 2^20 buckets: collisions vanishingly rare for 300 features
+    assert out[20]["n_collided_features"] <= 4
+    assert out[20]["max_bucket_load"] <= 2

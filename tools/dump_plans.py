@@ -144,6 +144,9 @@ PLAN_QUERIES = [
     "qb53_decayed_counts",
     "qb54_srm_check",
     "qb55_hour_dow_profile",
+    "qb56_sequence_regex",
+    "qb57_time_to_conversion",
+    "qb58_feature_hash_audit",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -244,6 +247,9 @@ GENERIC_CHECK = {
     "qb53_decayed_counts",
     "qb54_srm_check",
     "qb55_hour_dow_profile",
+    "qb56_sequence_regex",
+    "qb57_time_to_conversion",
+    "qb58_feature_hash_audit",
 }
 
 
