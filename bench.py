@@ -218,6 +218,9 @@ EXTENDED = [
     "qb56_sequence_regex",
     "qb57_time_to_conversion",
     "qb58_feature_hash_audit",
+    "qb59_rake_keywords",
+    "qb60_embedding_drift",
+    "qb61_mutual_best",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

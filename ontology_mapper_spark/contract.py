@@ -12302,3 +12302,143 @@ def qb58(spark, sf):
     d = _t(spark, sf, "documents")
     si = d.select(F.explode(shingles_col(F.col("text"), 2)).alias("w"))
     return feature_hash_collisions(si, "w", (8, 12, 16))
+
+
+@_q(
+    "qb59_rake_keywords",
+    r"""
+    WITH toks AS (
+      SELECT doc, w, idx FROM (
+        SELECT doc_id AS doc,
+               unnest(string_split(lower(trim(
+                 regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(
+                 regexp_replace(text, '\s+', ' ', 'g'))), ' '), 1) AS idx
+        FROM documents)
+      WHERE w <> ''),
+    ph AS (SELECT doc, w,
+                  sum(CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc ORDER BY idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS phid
+           FROM toks),
+    nw AS (SELECT doc, w, phid FROM ph WHERE w NOT IN ('a', 'the')),
+    occ AS (SELECT w, count(*) OVER (PARTITION BY doc, phid) AS plen
+            FROM nw),
+    words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(plen) AS BIGINT) AS degree
+              FROM occ GROUP BY 1)
+    SELECT word, frequency, degree,
+           CAST(round(degree * 1000000 / frequency) AS BIGINT)
+             AS score_micro
+    FROM words ORDER BY score_micro DESC, degree DESC, word LIMIT 15
+    """,
+)
+def qb59(spark, sf):
+    """RAKE keyword extraction (operators/textstats.py:rake_keywords,
+    Rose et al. 2010): candidate phrases split at stopword boundaries,
+    word score = degree/frequency where degree sums the containing
+    phrase lengths — the deterministic corpus-topic extractor for
+    curation reports.  Phrase ids from a per-DOC running stopword
+    count (doc-length-bounded window); top-15 via orderBy+limit."""
+    from .operators.textstats import rake_keywords
+
+    d = _t(spark, sf, "documents")
+    return rake_keywords(d, "text", "doc_id", ("a", "the"), k=15)
+
+
+@_q(
+    "qb60_embedding_drift",
+    """
+    WITH comp AS (
+      SELECT g, half, d, CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+               AS xm
+      FROM (SELECT label AS g, vec_id % 2 AS half,
+                   unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS d
+            FROM embeddings)),
+    sums AS (SELECT g, half, d, CAST(sum(xm) AS BIGINT) AS s
+             FROM comp GROUP BY 1, 2, 3),
+    ns AS (SELECT label AS g, vec_id % 2 AS half,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1, 2),
+    cent AS (SELECT sums.g, sums.half, d, s // n AS c, n
+             FROM sums JOIN ns ON ns.g = sums.g AND ns.half = sums.half),
+    mom AS (
+      SELECT a.g, max(a.n) AS n_a, max(b.n) AS n_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+             CAST(sum(a.c * a.c) AS BIGINT) AS qa,
+             CAST(sum(b.c * b.c) AS BIGINT) AS qb
+      FROM (SELECT * FROM cent WHERE half = 0) a
+      JOIN (SELECT * FROM cent WHERE half = 1) b
+        ON a.g = b.g AND a.d = b.d
+      GROUP BY 1)
+    SELECT g AS label, n_a, n_b,
+           CASE WHEN qa > 0 AND qb > 0 THEN
+             CAST(round(CAST(dot AS DOUBLE) * 1e6
+                        / (sqrt(CAST(qa AS DOUBLE))
+                           * sqrt(CAST(qb AS DOUBLE)))) AS BIGINT)
+           END AS centroid_cosine_micro,
+           CASE WHEN qa > 0 AND qb > 0 THEN
+             1000000 - CAST(round(CAST(dot AS DOUBLE) * 1e6
+                        / (sqrt(CAST(qa AS DOUBLE))
+                           * sqrt(CAST(qb AS DOUBLE)))) AS BIGINT)
+           END AS drift_micro
+    FROM mom
+    """,
+)
+def qb60(spark, sf):
+    """Embedding-space drift monitor (operators/similarity.py:
+    embedding_drift): per label the cosine between the centroids of
+    the two id-parity halves — the per-snapshot "did the distribution
+    move" check.  Component sums exact int64 on micro-scaled
+    components, micro-precision centroids via truncating division
+    (Spark div == DuckDB // including negatives — verified), dot and
+    quadratic sums int64, terminal cosine one fixed-order double."""
+    from .operators.similarity import embedding_drift
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_drift(e, "vec_id", "embedding", "label", dim=64)
+
+
+@_q(
+    "qb61_mutual_best",
+    """
+    WITH av AS (SELECT vec_id AS ida, embedding::DOUBLE[] AS va
+                FROM embeddings WHERE vec_id % 2 = 0),
+    bv AS (SELECT vec_id AS idb, embedding::DOUBLE[] AS vb
+           FROM embeddings WHERE vec_id % 2 = 1),
+    scored AS (SELECT ida, idb,
+                      CAST(round(list_cosine_similarity(va, vb) * 1e6)
+                           AS BIGINT) AS cosine_micro
+               FROM av CROSS JOIN bv),
+    ta AS (SELECT ida, idb, cosine_micro
+           FROM (SELECT *, row_number() OVER (PARTITION BY ida
+                   ORDER BY cosine_micro DESC, idb) AS r FROM scored)
+           WHERE r = 1),
+    tb AS (SELECT ida, idb
+           FROM (SELECT *, row_number() OVER (PARTITION BY idb
+                   ORDER BY cosine_micro DESC, ida) AS r FROM scored)
+           WHERE r = 1)
+    SELECT ta.ida AS id_a, ta.idb AS id_b, ta.cosine_micro
+    FROM ta JOIN tb ON ta.ida = tb.ida AND ta.idb = tb.idb
+    """,
+)
+def qb61(spark, sf):
+    """Reciprocal best-match alignment (operators/similarity.py:
+    mutual_best_pairs): pairs where each side is the other's cosine
+    top-1 across the id-parity halves — the entity-alignment /
+    bitext-mining primitive (mutual nearest neighbors are
+    high-precision).  Exact size-guarded audit form; at scale the same
+    reciprocal join runs over IVF/LSH shortlists.  Scores
+    micro-rounded before ranking (q29 discipline); streamed side
+    repartitioned before the broadcast join (qa46 lesson)."""
+    from .operators.similarity import mutual_best_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return mutual_best_pairs(
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 == 1),
+        "vec_id",
+        "embedding",
+    )

@@ -934,3 +934,173 @@ def pq_codebook_report(
         .cast("long")
         .alias("share_micro"),
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space drift monitor: per group, the cosine between the
+    centroids of two deterministic halves (id parity) — the cheap "did
+    the embedding distribution move" check run per snapshot pair; a
+    healthy stationary group sits at cosine ~1, drift (or a tiny
+    group's noise) pulls it down.
+
+    Exactness: per-(group, half, dim) component sums of the
+    micro-scaled components are exact int64; each centroid component is
+    the TRUNCATING division sum div count (a deterministic
+    micro-precision centroid — scale does not cancel between differently
+    sized halves, so the division is part of the spec); dot and the two
+    quadratic sums over the 64 micro-scale components stay int64
+    (64·1e12 << 2^63), and the terminal cosine is one fixed-order
+    double expression.  Dims explode via posexplode — 64 rows per
+    vector, one hash aggregate, no per-row Python.
+
+    Output per group: (group, n_a, n_b, centroid_cosine_micro,
+    drift_micro = 1e6 − cosine).
+    """
+    comp = df.select(
+        F.col(group_col).alias("_g"),
+        (F.col(id_col) % 2).alias("_half"),
+        F.posexplode(F.col(vec_col)).alias("_d", "_x"),
+    ).select(
+        "_g",
+        "_half",
+        "_d",
+        F.round(F.col("_x").cast("double") * 1e6).cast("long").alias("_xm"),
+    )
+    sums = comp.groupBy("_g", "_half", "_d").agg(
+        F.sum("_xm").alias("_s"),
+    )
+    ns = (
+        df.select(
+            F.col(group_col).alias("_g"), (F.col(id_col) % 2).alias("_half")
+        )
+        .groupBy("_g", "_half")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    cent = sums.join(F.broadcast(ns), ["_g", "_half"]).select(
+        "_g", "_half", "_d", F.expr("_s div _n").alias("_c"), "_n"
+    )
+    a = cent.where(F.col("_half") == 0).select(
+        "_g", "_d", F.col("_c").alias("_ca"), F.col("_n").alias("n_a")
+    )
+    b = cent.where(F.col("_half") == 1).select(
+        "_g", "_d", F.col("_c").alias("_cb"), F.col("_n").alias("n_b")
+    )
+    mom = (
+        a.join(b, ["_g", "_d"])
+        .groupBy("_g")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_dot"),
+            F.sum(F.col("_ca") * F.col("_ca")).cast("long").alias("_qa"),
+            F.sum(F.col("_cb") * F.col("_cb")).cast("long").alias("_qb"),
+        )
+    )
+    cos = F.round(
+        F.col("_dot").cast("double")
+        * F.lit(1e6)
+        / (
+            F.sqrt(F.col("_qa").cast("double"))
+            * F.sqrt(F.col("_qb").cast("double"))
+        )
+    ).cast("long")
+    return mom.select(
+        F.col("_g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.when((F.col("_qa") > 0) & (F.col("_qb") > 0), cos).alias(
+            "centroid_cosine_micro"
+        ),
+        F.when(
+            (F.col("_qa") > 0) & (F.col("_qb") > 0), F.lit(1_000_000) - cos
+        ).alias("drift_micro"),
+    )
+
+
+def mutual_best_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 20_000,
+    allow_large: bool = False,
+) -> DataFrame:
+    """Reciprocal best-match alignment between two vector sets: pairs
+    (a, b) where b is a's cosine top-1 in B AND a is b's top-1 in A —
+    the standard entity-alignment / bitext-mining primitive (mutual
+    nearest neighbors are high-precision matches; one-directional
+    top-1s are not).
+
+    This is the EXACT O(|A|·|B|) audit form, size-guarded like
+    exact_neardup_pairs; at corpus scale generate each direction's
+    shortlist with the IVF/LSH index (`ivf_topk`, `lsh_topk`) and feed
+    the same reciprocal join.  Scores are micro-rounded before ranking
+    (q29 discipline) so both directions and any engine rank
+    identically; ranks are windows partitioned per query id.  The
+    streamed side is repartitioned BEFORE the broadcast join (the qa46
+    one-partition-scan lesson).
+
+    Output: (id_a, id_b, cosine_micro), id-ordered pairs.
+    """
+    if not allow_large:
+        for side, name in ((a, "A"), (b, "B")):
+            if side.limit(max_rows + 1).count() > max_rows:
+                raise ValueError(
+                    f"mutual_best_pairs is O(|A|*|B|) and side {name} has "
+                    f">{max_rows} rows; use an ANN shortlist "
+                    "(ivf_topk/lsh_topk) or pass allow_large=True"
+                )
+    spark = a.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    av = a.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    ).repartition(nparts, "_ida")
+    bv = b.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    scored = av.join(F.broadcast(bv)).select(
+        "_ida",
+        "_idb",
+        F.round(
+            cosine_cols(
+                F.col("_va").cast("array<double>"),
+                F.col("_vb").cast("array<double>"),
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("cosine_micro"),
+    )
+    wa = Window.partitionBy("_ida").orderBy(
+        F.col("cosine_micro").desc(), F.col("_idb")
+    )
+    wb = Window.partitionBy("_idb").orderBy(
+        F.col("cosine_micro").desc(), F.col("_ida")
+    )
+    top_ab = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+    top_ba = (
+        scored.withColumn("_r", F.row_number().over(wb))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("_ida").alias("_ida2"), F.col("_idb").alias("_idb2")
+        )
+    )
+    return top_ab.join(
+        top_ba,
+        (F.col("_ida") == F.col("_ida2"))
+        & (F.col("_idb") == F.col("_idb2")),
+    ).select(
+        F.col("_ida").alias("id_a"),
+        F.col("_idb").alias("id_b"),
+        "cosine_micro",
+    )

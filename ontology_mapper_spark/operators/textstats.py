@@ -1028,3 +1028,74 @@ def char_entropy_report(
         .cast("long")
         .alias("low_entropy_docs"),
     )
+
+
+def rake_keywords(
+    df,
+    text_col: str,
+    id_col: str,
+    stopwords: tuple[str, ...],
+    k: int = 15,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), corpus-level: split
+    each doc into candidate phrases at stopword boundaries, score every
+    word by degree/frequency — degree sums the length of each phrase
+    the word occurs in (words in long phrases co-occur with more
+    words), frequency counts occurrences — and return the top-k corpus
+    keywords.  The cheap, deterministic "what is this corpus about"
+    extractor for curation reports.
+
+    Shape: tokenize with position, phrase id = running stopword count
+    (window partitioned per DOC — bounded by doc length), one aggregate
+    for phrase lengths, one for word stats, top-k via orderBy+limit
+    (TakeOrderedAndProject under the (score, degree, word) total
+    order).  score_micro = round(1e6·degree/frequency), a single
+    integer division.
+
+    Output (≤ k rows): (word, frequency, degree, score_micro).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(words_col(F.col(text_col))).alias("_idx", "_w"),
+    )
+    stop_arr = [str(s) for s in stopwords]
+    wp = (
+        Window.partitionBy("_doc")
+        .orderBy("_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    phrased = toks.select(
+        "_doc",
+        "_w",
+        F.sum(
+            F.when(F.col("_w").isin(stop_arr), 1).otherwise(0)
+        )
+        .over(wp)
+        .alias("_ph"),
+    ).where(~F.col("_w").isin(stop_arr))
+    wlen = Window.partitionBy("_doc", "_ph")
+    occ = phrased.select(
+        "_w", F.count("*").over(wlen).alias("_plen")
+    )
+    words = occ.groupBy(F.col("_w").alias("word")).agg(
+        F.count("*").cast("long").alias("frequency"),
+        F.sum("_plen").cast("long").alias("degree"),
+    )
+    return (
+        words.select(
+            "word",
+            "frequency",
+            "degree",
+            F.round(F.col("degree") * F.lit(1_000_000) / F.col("frequency"))
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .orderBy(
+            F.col("score_micro").desc(),
+            F.col("degree").desc(),
+            F.col("word"),
+        )
+        .limit(int(k))
+    )

@@ -993,3 +993,67 @@ def test_feature_hash_collisions(spark):
     # 2^20 buckets: collisions vanishingly rare for 300 features
     assert out[20]["n_collided_features"] <= 4
     assert out[20]["max_bucket_load"] <= 2
+
+
+def test_rake_keywords(spark):
+    from ontology_mapper_spark.operators.textstats import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "fast join the slow scan"), (2, "fast join")],
+        "doc_id long, text string",
+    )
+    out = {r["word"]: r
+           for r in rake_keywords(df, "text", "doc_id",
+                                  ("the",), k=10).collect()}
+    # doc1 phrases: [fast join] [slow scan]; doc2: [fast join]
+    assert out["fast"]["frequency"] == 2
+    assert out["fast"]["degree"] == 4      # two phrases of length 2
+    assert out["fast"]["score_micro"] == 2_000_000
+    assert out["slow"]["degree"] == 2 and out["slow"]["frequency"] == 1
+
+
+def test_embedding_drift(spark):
+    from ontology_mapper_spark.operators.similarity import embedding_drift
+
+    # label x: identical vectors in both halves -> cosine exactly 1e6
+    rows = [
+        (0, [1.0, 0.0], "x"), (1, [1.0, 0.0], "x"),
+        (2, [1.0, 0.0], "x"), (3, [1.0, 0.0], "x"),
+        # label y: halves orthogonal -> cosine 0
+        (4, [1.0, 0.0], "y"), (5, [0.0, 1.0], "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r["label"]: r
+           for r in embedding_drift(df, dim=2).collect()}
+    assert out["x"]["centroid_cosine_micro"] == 1_000_000
+    assert out["x"]["drift_micro"] == 0
+    assert out["y"]["centroid_cosine_micro"] == 0
+    assert out["y"]["n_a"] == 1 and out["y"]["n_b"] == 1
+
+
+def test_mutual_best_pairs(spark):
+    from ontology_mapper_spark.operators.similarity import (
+        mutual_best_pairs,
+    )
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (3, [0.1, 0.9]), (5, [0.8, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine_micro"]
+           for r in mutual_best_pairs(a, b).collect()}
+    # 0<->1 mutual (5 also points at 0 but 0 prefers 1); 2<->3 mutual
+    assert set(out) == {(0, 1), (2, 3)}
+    import pytest
+
+    big = spark.range(30001).select(
+        "id", F.array(F.lit(1.0)).alias("embedding")
+    ).withColumnRenamed("id", "vec_id")
+    with pytest.raises(ValueError):
+        mutual_best_pairs(big, b)

@@ -147,6 +147,9 @@ PLAN_QUERIES = [
     "qb56_sequence_regex",
     "qb57_time_to_conversion",
     "qb58_feature_hash_audit",
+    "qb59_rake_keywords",
+    "qb60_embedding_drift",
+    "qb61_mutual_best",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -250,6 +253,9 @@ GENERIC_CHECK = {
     "qb56_sequence_regex",
     "qb57_time_to_conversion",
     "qb58_feature_hash_audit",
+    "qb59_rake_keywords",
+    "qb60_embedding_drift",
+    "qb61_mutual_best",
 }
 
 
