@@ -50,14 +50,21 @@ def main() -> int:
     from ontology_mapper_spark.operators.dialogue import behavior_fingerprints
     from ontology_mapper_spark.operators.privacy import k_anonymity_report
     from ontology_mapper_spark.operators.skew import shuffle_balance_audit
+    from ontology_mapper_spark.operators.dialogue import (
+        pattern_match_share,
+    )
     from ontology_mapper_spark.operators.stats import (
         benford_deviation,
         profile_drift,
+        srm_check,
     )
     from ontology_mapper_spark.operators.temporal import (
         acf_daily,
         decay_trend,
         dispersion_daily,
+        event_time_disorder,
+        half_life_decayed_counts,
+        hour_dow_profile,
         seasonal_strength,
     )
     from ontology_mapper_spark.session import get_spark
@@ -94,6 +101,20 @@ def main() -> int:
             "lang", (2, 5, 10),
         ),
         "benford": benford_deviation(docs, "source", "n_chars"),
+        "srm": srm_check(events, "user_id", "event_type"),
+        "disorder": event_time_disorder(events, "ts", "event_id"),
+        "trending": half_life_decayed_counts(events, "ts", "event_type"),
+        "hour_dow": hour_dow_profile(events, "ts"),
+        "funnel_patterns": pattern_match_share(
+            events.select(
+                "user_id", "event_type",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                "event_id",
+            ),
+            "user_id", "event_type", ("us", "event_id"),
+            {"browse_to_buy": "v[cv]*p", "double_error": "ee",
+             "signup_to_buy": "s.*p"},
+        ),
     }
     rows = {}
     for name, df in reports.items():
@@ -116,6 +137,19 @@ def main() -> int:
         ).collect()
     }[5]
     n_bot = reports["bot_fingerprints"].count()
+    n_srm = reports["srm"].agg(F.sum("srm_flag").alias("s")).collect()[0]["s"]
+    worst_p99 = reports["disorder"].agg(
+        F.max("p99_disorder_s").alias("m")
+    ).collect()[0]["m"]
+    top_trend = (
+        reports["trending"]
+        .orderBy(F.col("share_micro").desc(), "event_type")
+        .limit(1)
+        .collect()
+    )
+    max_resid = reports["hour_dow"].agg(
+        F.max(F.abs(F.col("resid_milli"))).alias("m")
+    ).collect()[0]["m"]
     summary = {
         "tables": rows,
         "worst_vmr_micro": max(
@@ -130,6 +164,10 @@ def main() -> int:
         "k5_rows_at_risk": k5["rows_below"],
         "k5_min_l_diversity": k5["min_l_diversity"],
         "n_duplicated_behavior_groups": n_bot,
+        "n_srm_flags": int(n_srm) if n_srm is not None else 0,
+        "watermark_p99_disorder_s": worst_p99,
+        "top_trending_type": top_trend[0]["event_type"] if top_trend else None,
+        "max_hour_dow_resid_milli": max_resid,
         "out": args.out,
     }
     print(json.dumps(summary))
