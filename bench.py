@@ -221,6 +221,9 @@ EXTENDED = [
     "qb59_rake_keywords",
     "qb60_embedding_drift",
     "qb61_mutual_best",
+    "qb62_ltv_curve",
+    "qb63_anomalous_days",
+    "qb64_bloom_fpr",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

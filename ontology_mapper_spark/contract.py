@@ -12442,3 +12442,171 @@ def qb61(spark, sf):
         "vec_id",
         "embedding",
     )
+
+
+@_q(
+    "qb62_ltv_curve",
+    """
+    WITH base AS (SELECT user_id AS u,
+                         epoch_us(ts) // 604800000000 AS wk,
+                         event_type AS t,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+    cohorts AS (SELECT u, min(wk) AS cwk FROM base GROUP BY 1),
+    sizes AS (SELECT cwk, CAST(count(*) AS BIGINT) AS n_users
+              FROM cohorts GROUP BY 1),
+    rev AS (SELECT c.cwk, b.wk - c.cwk AS age_week,
+                   CAST(sum(cents) AS BIGINT) AS week_cents
+            FROM base b JOIN cohorts c ON b.u = c.u
+            WHERE t = 'purchase' GROUP BY 1, 2),
+    cum AS (SELECT cwk, CAST(age_week AS BIGINT) AS age_week, week_cents,
+                   CAST(sum(week_cents) OVER (PARTITION BY cwk
+                        ORDER BY age_week) AS BIGINT) AS cum_cents
+            FROM rev)
+    SELECT CAST(DATE '1970-01-01' + CAST(cwk * 7 AS INT) AS VARCHAR)
+             AS cohort_week,
+           age_week, n_users, week_cents, cum_cents,
+           CAST(round(cum_cents * 1000 / n_users) AS BIGINT)
+             AS cum_per_user_milli
+    FROM cum JOIN sizes USING (cwk)
+    """,
+)
+def qb62(spark, sf):
+    """Cohort lifetime-value curve (operators/temporal.py:ltv_curve):
+    users cohorted by first-activity week, purchase cents accumulated
+    per week of age, per-user cumulative in milli — the payback
+    trajectory next to qa59's retention cohorts.  Cumulative window
+    runs on the (cohort, age) WEEK spine partitioned by cohort;
+    denominator is the fixed cohort size."""
+    from .operators.temporal import ltv_curve
+
+    e = _t(spark, sf, "events")
+    return ltv_curve(e, "ts", "user_id", "event_type", "value")
+
+
+@_q(
+    "qb63_anomalous_days",
+    """
+    WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+    t AS (SELECT day, n,
+                 CAST(sum(n) OVER w AS BIGINT) AS s,
+                 CAST(sum(n * n) OVER w AS BIGINT) AS ss,
+                 count(n) OVER w AS k
+          FROM daily
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    z AS (SELECT day, n,
+                 CASE WHEN k = 7
+                      THEN CAST(round(s * 1000 / 7) AS BIGINT)
+                 END AS trail_mean_milli,
+                 CASE WHEN k = 7 AND
+                      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                       * CAST(s AS DOUBLE) / 7.0) / 6.0 > 0
+                      THEN CAST(round((CAST(n AS DOUBLE)
+                                       - CAST(s AS DOUBLE) / 7.0)
+                              / sqrt((CAST(ss AS DOUBLE)
+                                      - CAST(s AS DOUBLE)
+                                        * CAST(s AS DOUBLE) / 7.0) / 6.0)
+                              * 1000.0) AS BIGINT)
+                 END AS z_milli
+          FROM t)
+    SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS VARCHAR) AS day,
+           n AS n_events, trail_mean_milli, z_milli,
+           CAST(CASE WHEN abs(z_milli) > 3000 THEN 1 ELSE 0 END
+                AS BIGINT) AS anomaly_flag
+    FROM z
+    """,
+)
+def qb63(spark, sf):
+    """Outlier-day detection (operators/temporal.py:anomalous_days):
+    each day's volume z-scored against the trailing 7 observed days —
+    exact int64 window moments over the calendar-bounded day spine,
+    one fixed-order double z, flag on the ROUNDED z_milli vs an
+    integer threshold (qb54 discipline).  The every-incident companion
+    to qb25's single changepoint."""
+    from .operators.temporal import anomalous_days
+
+    e = _t(spark, sf, "events")
+    return anomalous_days(e, "ts")
+
+
+def _qb64_oracle() -> str:
+    grams = (
+        "SELECT DISTINCT doc_id, w || ' ' || lead_w AS g "
+        "FROM (SELECT doc_id, w, "
+        "lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS lead_w "
+        "FROM (SELECT doc_id, "
+        "unnest(string_split(lower(trim("
+        r"regexp_replace(text,'\s+',' ','g'))),' ')) AS w, "
+        "generate_subscripts(string_split(lower(trim("
+        r"regexp_replace(text,'\s+',' ','g'))),' '),1) AS idx "
+        "FROM documents)) WHERE lead_w IS NOT NULL"
+    )
+    return f"""
+    WITH grams AS ({grams}),
+    tr AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+    pn AS (SELECT g FROM (SELECT DISTINCT g FROM grams
+                          WHERE doc_id % 2 = 1) p
+           WHERE g NOT IN (SELECT g FROM tr)),
+    cfg AS (SELECT * FROM (VALUES (12, 2), (12, 4), (16, 4))
+                     AS t(log2m, k)),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    trc AS (SELECT DISTINCT log2m, k,
+                   ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || g),
+                                   1, 15))::BIGINT
+                     % (CAST(1 AS BIGINT) << log2m) AS cell
+            FROM tr CROSS JOIN cfg CROSS JOIN js WHERE j < k),
+    st AS (SELECT log2m, k, CAST(count(*) AS BIGINT) AS bits_set
+           FROM trc GROUP BY 1, 2),
+    ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pn),
+    pc AS (SELECT g, log2m, k, j,
+                  ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || g),
+                                  1, 15))::BIGINT
+                    % (CAST(1 AS BIGINT) << log2m) AS cell
+           FROM pn CROSS JOIN cfg CROSS JOIN js WHERE j < k),
+    m AS (SELECT pc.log2m, pc.k, g, count(*) AS hits
+          FROM pc JOIN trc ON trc.log2m = pc.log2m AND trc.k = pc.k
+                          AND trc.cell = pc.cell
+          GROUP BY 1, 2, 3),
+    fp AS (SELECT log2m, k, CAST(count(*) AS BIGINT) AS n_fp
+           FROM m WHERE hits = k GROUP BY 1, 2)
+    SELECT CAST(cfg.log2m AS BIGINT) AS log2m,
+           CAST(cfg.k AS BIGINT) AS k,
+           (SELECT n FROM ntr) AS n_train, st.bits_set,
+           CAST(round(st.bits_set * 1000000
+                      / (CAST(1 AS BIGINT) << cfg.log2m)) AS BIGINT)
+             AS fill_micro,
+           (SELECT n FROM nn) AS n_probe_neg,
+           CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(round(COALESCE(fp.n_fp, 0) * 1000000
+                      / (SELECT n FROM nn)) AS BIGINT) AS fpr_micro
+    FROM cfg JOIN st ON st.log2m = cfg.log2m AND st.k = cfg.k
+    LEFT JOIN fp ON fp.log2m = cfg.log2m AND fp.k = cfg.k
+    """
+
+
+@_q("qb64_bloom_fpr", _qb64_oracle())
+def qb64(spark, sf):
+    """Bloom-filter sizing audit (operators/bloom.py:bloom_fpr_audit):
+    measured false-positive rate of the relational k-cell membership
+    test for (log2m, k) in {(12,2),(12,4),(16,4)} — train = bigram
+    shingles of even docs, probes = odd-doc shingles anti-joined
+    against train (true negatives).  One relational plan for all
+    configs; cms_cell md5 family verbatim, so the bit pattern is
+    engine-identical.  The number that picks m and k before qa04 ships
+    a bitmap into a 100 TB scan."""
+    from .operators.bloom import bloom_fpr_audit
+    from .operators.dedup import shingles_col
+
+    d = _t(spark, sf, "documents")
+    si = d.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), 2)).alias("g")
+    )
+    return bloom_fpr_audit(
+        si.where(F.col("doc_id") % 2 == 0),
+        si.where(F.col("doc_id") % 2 == 1),
+        "g",
+    )

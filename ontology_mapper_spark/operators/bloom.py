@@ -93,3 +93,128 @@ def bloom_contamination_report(
             F.coalesce("n_real", F.lit(0).cast("long")).alias("n_real"),
         )
     )
+
+
+def bloom_fpr_audit(
+    train_items: DataFrame,
+    probe_items: DataFrame,
+    item_col: str,
+    configs: tuple[tuple[int, int], ...] = ((12, 2), (12, 4), (16, 4)),
+) -> DataFrame:
+    """Bloom-filter sizing audit: the MEASURED false-positive rate of
+    the relational k-cell membership test for several (log2 m, k)
+    candidate configurations, against ground truth — the number that
+    picks m and k before `bloom_contamination_report` ships a bitmap
+    into a 100 TB scan (theory says FPR ≈ (1−e^(−kn/m))^k; this
+    measures it on the actual key distribution, hash family included).
+
+    One relational plan for ALL configs: the config table and the k
+    hash rows explode against the distinct item sets; the train side's
+    distinct (config, cell) pairs are the bitmap relation, the probe
+    side (true negatives only — probe items anti-joined against train)
+    matches cells with ONE equi-join, and an item false-positives iff
+    all k of its hash rows matched.  Hashing is the cms_cell md5
+    family verbatim, so any engine reproduces the bit pattern.
+
+    Output per config: (log2m, k, n_train, bits_set, fill_micro,
+    n_probe_neg, n_fp, fpr_micro).
+    """
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(m2)).alias("log2m"), F.lit(int(k)).alias("k")
+                )
+                for m2, k in configs
+            ]
+        )
+    ).alias("_cfg")
+
+    def cells(items: DataFrame) -> DataFrame:
+        # `items` is already a distinct one-column frame named `_i`
+        return (
+            items.select("_i", cfg)
+            .select("_i", "_cfg.log2m", "_cfg.k")
+            .select(
+                "_i",
+                "log2m",
+                "k",
+                F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("_j"),
+            )
+            .select(
+                "_i",
+                "log2m",
+                "k",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("_j").cast("string"),
+                                    F.lit("|"),
+                                    F.col("_i").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.expr("shiftleft(CAST(1 AS BIGINT), log2m)")
+                ).alias("_cell"),
+            )
+        )
+
+    train = train_items.select(F.col(item_col).alias("_i")).distinct()
+    bitmap = (
+        cells(train)
+        .select("log2m", "k", "_cell")
+        .distinct()
+    )
+    stats_train = bitmap.groupBy("log2m", "k").agg(
+        F.count("*").cast("long").alias("bits_set")
+    )
+    n_train = train.count()
+    probe_neg = (
+        probe_items.select(F.col(item_col).alias("_i"))
+        .distinct()
+        .join(train, "_i", "left_anti")
+    )
+    matched = (
+        cells(probe_neg)
+        .join(bitmap, ["log2m", "k", "_cell"])
+        .groupBy("log2m", "k", "_i")
+        .agg(F.count("*").alias("_hits"))
+    )
+    fp = (
+        matched.where(F.col("_hits") == F.col("k"))
+        .groupBy("log2m", "k")
+        .agg(F.count("*").cast("long").alias("n_fp"))
+    )
+    n_neg = probe_neg.count()
+    base = (
+        stats_train.join(fp, ["log2m", "k"], "left")
+        .select(
+            F.col("log2m").cast("long").alias("log2m"),
+            F.col("k").cast("long").alias("k"),
+            F.lit(int(n_train)).cast("long").alias("n_train"),
+            "bits_set",
+            F.round(
+                F.col("bits_set")
+                * F.lit(1_000_000)
+                / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(log2m AS INT))")
+            )
+            .cast("long")
+            .alias("fill_micro"),
+            F.lit(int(n_neg)).cast("long").alias("n_probe_neg"),
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+        )
+        .withColumn(
+            "fpr_micro",
+            F.round(
+                F.col("n_fp") * F.lit(1_000_000) / F.col("n_probe_neg")
+            ).cast("long"),
+        )
+    )
+    return base

@@ -2174,3 +2174,142 @@ def time_to_conversion(
             "p90_s",
         )
     )
+
+
+def ltv_curve(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    val_col: str = "value",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by their FIRST
+    activity week (any event — signup proxy), revenue accumulated per
+    week of age — the per-cohort payback trajectory (cohort qa59 is
+    its retention sibling; this is the money view).
+
+    Cumulative sums run over the (cohort, age) WEEK spine —
+    calendar-bounded rows, partitioned by cohort — and the denominator
+    is the fixed cohort size, so cum_per_user_milli =
+    round(1000·cum_cents/n_users) is one division per cell.  Only
+    OBSERVED (cohort, age) cells appear; the cumulative value at an
+    observed age includes all earlier weeks regardless (documented —
+    a reporting layer can forward-fill the spine).
+
+    Output: (cohort_week, age_week, n_users, week_cents, cum_cents,
+    cum_per_user_milli) with cohort_week the week-start date string.
+    """
+    week_us = 7 * 86_400_000_000
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {week_us}"
+        ).alias("_wk"),
+        F.col(type_col).alias("_t"),
+        F.round(F.col(val_col) * 100).cast("long").alias("_cents"),
+    )
+    cohorts = base.groupBy("_u").agg(F.min("_wk").alias("_cwk"))
+    sizes = cohorts.groupBy("_cwk").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    rev = (
+        base.where(F.col("_t") == purchase_type)
+        .join(cohorts, "_u")
+        .groupBy("_cwk", (F.col("_wk") - F.col("_cwk")).alias("age_week"))
+        .agg(F.sum("_cents").cast("long").alias("week_cents"))
+    )
+    wcum = (
+        Window.partitionBy("_cwk")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "_cwk",
+        F.col("age_week").cast("long").alias("age_week"),
+        "week_cents",
+        F.sum("week_cents").over(wcum).cast("long").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "_cwk").select(
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01"), (F.col("_cwk") * 7).cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("cohort_week"),
+        "age_week",
+        "n_users",
+        "week_cents",
+        "cum_cents",
+        F.round(F.col("cum_cents") * F.lit(1000) / F.col("n_users"))
+        .cast("long")
+        .alias("cum_per_user_milli"),
+    )
+
+
+def anomalous_days(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    z_milli_threshold: int = 3000,
+) -> DataFrame:
+    """Outlier-day detection on the daily volume series: each day's
+    count z-scored against the TRAILING ``window_days`` observed days
+    (rows, not calendar — gaps documented) — the every-incident
+    companion to qb25's single changepoint.  All moments are exact
+    int64 window sums over the DAY SPINE (calendar-bounded rows); the
+    z statistic is one fixed-order double expression, and the flag
+    compares the ROUNDED z_milli to an integer threshold (qb54
+    discipline).  Days with fewer than ``window_days`` predecessors
+    report null z (no flag).
+
+    Output per day: (day, n_events, trail_mean_milli, z_milli,
+    anomaly_flag).
+    """
+    day_us = 86_400_000_000
+    w = int(window_days)
+    daily = (
+        df.select(
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_day")
+        )
+        .groupBy("_day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    wt = Window.orderBy("_day").rowsBetween(-w, -1)
+    trail = daily.select(
+        "_day",
+        "n_events",
+        F.sum("n_events").over(wt).alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(wt).alias("_ss"),
+        F.count("n_events").over(wt).alias("_k"),
+    )
+    mean_d = F.col("_s").cast("double") / F.lit(float(w))
+    var_d = (
+        F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+          / F.lit(float(w))
+    ) / F.lit(float(w - 1))
+    z_milli = F.round(
+        (F.col("n_events").cast("double") - mean_d)
+        / F.sqrt(var_d)
+        * F.lit(1000.0)
+    ).cast("long")
+    z = F.when((F.col("_k") == w) & (var_d > 0), z_milli)
+    return trail.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01"), F.col("_day").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_events",
+        F.when(
+            F.col("_k") == w,
+            F.round(F.col("_s") * F.lit(1000) / F.lit(w)).cast("long"),
+        ).alias("trail_mean_milli"),
+        z.alias("z_milli"),
+        F.when(F.abs(z) > int(z_milli_threshold), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("anomaly_flag"),
+    )

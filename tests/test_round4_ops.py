@@ -1057,3 +1057,75 @@ def test_mutual_best_pairs(spark):
     ).withColumnRenamed("id", "vec_id")
     with pytest.raises(ValueError):
         mutual_best_pairs(big, b)
+
+
+def test_ltv_curve(spark):
+    from ontology_mapper_spark.operators.temporal import ltv_curve
+
+    rows = [
+        # user 1 first active week 0, purchases in week 0 and week 1
+        (1, "1970-01-02 10:00:00", 1, "purchase", 1.00),
+        (2, "1970-01-09 10:00:00", 1, "purchase", 2.00),
+        # user 2 same cohort (week 0), no purchases
+        (3, "1970-01-03 10:00:00", 2, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    )
+    out = {(r["cohort_week"], r["age_week"]): r
+           for r in ltv_curve(df).collect()}
+    r0 = out[("1970-01-01", 0)]
+    assert (r0["n_users"], r0["week_cents"], r0["cum_cents"]) == (2, 100, 100)
+    r1 = out[("1970-01-01", 1)]
+    assert (r1["week_cents"], r1["cum_cents"]) == (200, 300)
+    assert r1["cum_per_user_milli"] == round(300 * 1000 / 2)
+
+
+def test_anomalous_days(spark):
+    from ontology_mapper_spark.operators.temporal import anomalous_days
+
+    rows = []
+    eid = 0
+    # 7 calm days of 10 events, then a 100-event spike
+    for d in range(1, 8):
+        for _ in range(10):
+            rows.append((eid, f"2024-01-{d:02d} 10:00:00")); eid += 1
+    for _ in range(100):
+        rows.append((eid, "2024-01-08 10:00:00")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string")
+    out = {r["day"]: r for r in anomalous_days(df, "ts").collect()}
+    assert out["2024-01-01"]["z_milli"] is None     # no trailing window
+    spike = out["2024-01-08"]
+    # zero trailing variance -> z undefined, null, unflagged? no:
+    # identical 10s -> var 0 -> z null -> flag 0
+    assert spike["z_milli"] is None and spike["anomaly_flag"] == 0
+    # perturb: make one calm day 11 events so variance > 0
+    rows.append((eid, "2024-01-07 11:00:00"))
+    df2 = spark.createDataFrame(rows, "event_id long, ts string")
+    out2 = {r["day"]: r for r in anomalous_days(df2, "ts").collect()}
+    assert out2["2024-01-08"]["anomaly_flag"] == 1
+    assert out2["2024-01-08"]["z_milli"] > 3000
+
+
+def test_bloom_fpr_audit(spark):
+    from ontology_mapper_spark.operators.bloom import bloom_fpr_audit
+
+    train = spark.createDataFrame(
+        [(f"t{i}",) for i in range(200)], "g string"
+    )
+    probe = spark.createDataFrame(
+        [(f"p{i}",) for i in range(200)], "g string"
+    )
+    out = {(r["log2m"], r["k"]): r
+           for r in bloom_fpr_audit(train, probe, "g",
+                                    ((6, 2), (16, 4))).collect()}
+    tiny = out[(6, 2)]
+    # 200 keys x 2 hashes into 64 bits: filter saturates, FPR ~ 1
+    assert tiny["fill_micro"] > 900_000
+    assert tiny["fpr_micro"] > 900_000
+    big = out[(16, 4)]
+    assert big["n_probe_neg"] == 200
+    assert big["fpr_micro"] < 50_000   # 65536 bits, 200 keys: tiny FPR
+    assert big["n_train"] == 200

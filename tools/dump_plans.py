@@ -150,6 +150,9 @@ PLAN_QUERIES = [
     "qb59_rake_keywords",
     "qb60_embedding_drift",
     "qb61_mutual_best",
+    "qb62_ltv_curve",
+    "qb63_anomalous_days",
+    "qb64_bloom_fpr",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -256,6 +259,9 @@ GENERIC_CHECK = {
     "qb59_rake_keywords",
     "qb60_embedding_drift",
     "qb61_mutual_best",
+    "qb62_ltv_curve",
+    "qb63_anomalous_days",
+    "qb64_bloom_fpr",
 }
 
 
@@ -305,6 +311,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb32_lorenz_curve": "per-unit weight histogram tiles + 10-row tile cumulative table",
     "qb34_marginal_coverage": "source-spine cumulative rollup (sources are a dimension)",
     "qb43_rfm_segments": "metric-histogram BUCKET-offset tables (3 two-phase ranks; bucket count = value-range/2^16, never row-level)",
+    "qb63_anomalous_days": "trailing window over the day spine (calendar-bounded rows)",
 }
 
 
