@@ -224,6 +224,8 @@ EXTENDED = [
     "qb62_ltv_curve",
     "qb63_anomalous_days",
     "qb64_bloom_fpr",
+    "qb65_pii_audit",
+    "qb66_grouping_sets",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -12610,3 +12610,148 @@ def qb64(spark, sf):
         si.where(F.col("doc_id") % 2 == 1),
         "g",
     )
+
+
+def _qb65_oracle() -> str:
+    """Per-source PII compliance rollup from the SAME pattern table as
+    operators/pii.py (q99's injected-PII corpus trick)."""
+    from .operators.pii import PII_PATTERNS
+
+    kinds = " UNION ALL ".join(
+        f"SELECT source, '{name}' AS kind, "
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS hits "
+        "FROM withpii"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH withpii AS (
+      SELECT doc_id, source,
+             text || CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now'
+               WHEN 1 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' srv'
+               ELSE ' call +49-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || ' soon'
+             END AS text
+      FROM documents),
+    k AS ({kinds}),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM withpii GROUP BY 1)
+    SELECT k.source, kind,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_affected,
+           max(n.n_docs) AS n_docs,
+           CAST(round(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                      * 1000000 / max(n.n_docs)) AS BIGINT)
+             AS affected_share_micro
+    FROM k JOIN n ON n.source = k.source
+    GROUP BY 1, 2
+    """
+
+
+@_q("qb65_pii_audit", _qb65_oracle())
+def qb65(spark, sf):
+    """Per-source PII compliance rollup (operators/pii.py:pii_counts
+    over the q99 injected-PII corpus): per (source, kind) the total
+    hits, affected docs and affected share — the scrub-coverage report
+    a release review signs off on.  Same pattern table as the redactor,
+    so the audit can never drift from the scrub; map-only counts + one
+    aggregate."""
+    from .operators.pii import pii_counts
+
+    d = _t(spark, sf, "documents")
+    withpii = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 100).cast("string"),
+                    F.lit(" srv"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" call +49-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" soon"),
+                )
+            ),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    kinds = None
+    for name, col in counts.items():
+        part = withpii.select(
+            "source", F.lit(name).alias("kind"), col.alias("hits")
+        )
+        kinds = part if kinds is None else kinds.unionByName(part)
+    n = withpii.groupBy("source").agg(
+        F.count("*").cast("long").alias("_nd")
+    )
+    return (
+        kinds.join(F.broadcast(n), "source")
+        .groupBy("source", "kind")
+        .agg(
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_affected"),
+            F.max("_nd").alias("n_docs"),
+            F.round(
+                F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+                * F.lit(1_000_000)
+                / F.max("_nd")
+            )
+            .cast("long")
+            .alias("affected_share_micro"),
+        )
+    )
+
+
+@_q(
+    "qb66_grouping_sets",
+    """
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT)
+             AS grouping_id
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def qb66(spark, sf):
+    """Arbitrary GROUPING SETS aggregate (beyond q50's rollup / q58's
+    cube): the four-set report (source x lang, source, lang, grand
+    total) in ONE pass via the native DataFrame groupingSets API —
+    Catalyst expands sets inside a single Expand+Aggregate, so the scan
+    happens once regardless of set count.  grouping_id distinguishes
+    the null-as-aggregated rows from genuine nulls."""
+    d = _t(spark, sf, "documents")
+    return d.groupingSets(
+        [["source", "lang"], ["source"], ["lang"], []],
+        "source",
+        "lang",
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.grouping("source") * 2 + F.grouping("lang"))
+        .cast("long")
+        .alias("grouping_id"),
+    )

@@ -1129,3 +1129,26 @@ def test_bloom_fpr_audit(spark):
     assert big["n_probe_neg"] == 200
     assert big["fpr_micro"] < 50_000   # 65536 bits, 200 keys: tiny FPR
     assert big["n_train"] == 200
+
+
+def test_grouping_sets_query_shape(spark):
+    # qb66 uses the native groupingSets API: grand-total row present,
+    # grouping_id distinguishes aggregated nulls
+    df = spark.createDataFrame(
+        [("s1", "en", 10), ("s1", "de", 20), ("s2", "en", 5)],
+        "source string, lang string, n_chars long",
+    )
+    from pyspark.sql import functions as F
+
+    out = df.groupingSets(
+        [["source", "lang"], ["source"], ["lang"], []], "source", "lang"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.grouping("source") * 2 + F.grouping("lang"))
+        .cast("long").alias("gid"),
+    ).collect()
+    total = [r for r in out if r["gid"] == 3]
+    assert len(total) == 1 and total[0]["total_chars"] == 35
+    by_src = {r["source"]: r for r in out if r["gid"] == 1}
+    assert by_src["s1"]["n_docs"] == 2

@@ -153,6 +153,8 @@ PLAN_QUERIES = [
     "qb62_ltv_curve",
     "qb63_anomalous_days",
     "qb64_bloom_fpr",
+    "qb65_pii_audit",
+    "qb66_grouping_sets",
 ]
 
 #: waves qa57+ — generic 100 TB-shape assertions: never a cartesian or
@@ -262,6 +264,8 @@ GENERIC_CHECK = {
     "qb62_ltv_curve",
     "qb63_anomalous_days",
     "qb64_bloom_fpr",
+    "qb65_pii_audit",
+    "qb66_grouping_sets",
 }
 
 
