@@ -12581,8 +12581,10 @@ def _qb64_oracle() -> str:
              AS fill_micro,
            (SELECT n FROM nn) AS n_probe_neg,
            CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
-           CAST(round(COALESCE(fp.n_fp, 0) * 1000000
-                      / (SELECT n FROM nn)) AS BIGINT) AS fpr_micro
+           CASE WHEN (SELECT n FROM nn) > 0 THEN
+             CAST(round(COALESCE(fp.n_fp, 0) * 1000000
+                        / (SELECT n FROM nn)) AS BIGINT)
+           END AS fpr_micro
     FROM cfg JOIN st ON st.log2m = cfg.log2m AND st.k = cfg.k
     LEFT JOIN fp ON fp.log2m = cfg.log2m AND fp.k = cfg.k
     """
@@ -12754,4 +12756,175 @@ def qb66(spark, sf):
         (F.grouping("source") * 2 + F.grouping("lang"))
         .cast("long")
         .alias("grouping_id"),
+    )
+
+
+@_q(
+    "qb67_theil_sen",
+    """
+    WITH daily AS (SELECT event_type AS g,
+                          epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1, 2),
+    spine AS (SELECT g,
+                     CAST(day - min(day) OVER (PARTITION BY g) AS BIGINT)
+                       AS d,
+                     y
+              FROM daily),
+    pairs AS (SELECT a.g,
+                     CAST(round((b.y - a.y) * 1000 / (b.d - a.d))
+                          AS BIGINT) AS s
+              FROM spine a JOIN spine b ON a.g = b.g AND a.d < b.d),
+    med AS (SELECT g, min(CASE WHEN c * 2 >= n THEN s END)
+                     AS ts_slope_milli
+            FROM (SELECT g, s,
+                         count(*) OVER (PARTITION BY g ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS c,
+                         count(*) OVER (PARTITION BY g) AS n
+                  FROM pairs)
+            GROUP BY g),
+    resid AS (SELECT sp.g,
+                     CAST(sp.y * 1000 - m.ts_slope_milli * sp.d
+                          AS BIGINT) AS r
+              FROM spine sp JOIN med m ON sp.g = m.g),
+    imed AS (SELECT g, min(CASE WHEN c * 2 >= n THEN r END)
+                      AS ts_intercept_milli
+             FROM (SELECT g, r,
+                          count(*) OVER (PARTITION BY g ORDER BY r
+                            ROWS UNBOUNDED PRECEDING) AS c,
+                          count(*) OVER (PARTITION BY g) AS n
+                   FROM resid)
+             GROUP BY g),
+    mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(d * d) AS BIGINT) AS sdd,
+                   CAST(sum(d * y) AS BIGINT) AS sdy
+            FROM spine GROUP BY 1),
+    ols AS (SELECT g, n_days,
+                   CASE WHEN n_days * sdd - sd * sd > 0 THEN
+                     CAST(round((n_days * sdy - sd * sy) * 1000
+                                / (n_days * sdd - sd * sd)) AS BIGINT)
+                   END AS ols_slope_milli
+            FROM mom)
+    SELECT m.g AS event_type, o.n_days, m.ts_slope_milli,
+           i.ts_intercept_milli, o.ols_slope_milli
+    FROM med m JOIN imed i ON i.g = m.g JOIN ols o ON o.g = m.g
+    """,
+)
+def qb67(spark, sf):
+    """Theil-Sen robust daily trend per event type (operators/
+    temporal.py:theil_sen_daily): median of pairwise day-count slopes
+    — the 29%-breakdown-point trend next to qa81/qb00's OLS.  Pairs
+    come from the calendar-bounded day spine (never raw events);
+    per-pair slopes are micro-rounded single divisions, the median is
+    the type-1 2*cum>=n rank over those integers (qa79 idiom), and
+    the intercept is the residual-level median under the chosen
+    slope."""
+    from .operators.temporal import theil_sen_daily
+
+    e = _t(spark, sf, "events")
+    return theil_sen_daily(e, "ts", "event_type")
+
+
+@_q(
+    "qb68_hour_allocation",
+    """
+    WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+    m AS (SELECT u, t,
+                 CASE WHEN t - lag(t) OVER (PARTITION BY u ORDER BY t)
+                        > 1800000000 THEN 1 ELSE 0 END AS nw
+          FROM ev),
+    s AS (SELECT u, t,
+                 sum(nw) OVER (PARTITION BY u ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+    sess AS (SELECT u, sid, min(t) AS st, max(t) AS en
+             FROM s GROUP BY 1, 2),
+    hrs AS (SELECT u, sid, st, en,
+                   unnest(generate_series(st // 3600000000,
+                                          en // 3600000000)) AS h
+            FROM sess),
+    alloc AS (SELECT CAST(h % 24 AS BIGINT) AS hour_of_day,
+                     u * 1000000 + sid AS skey,
+                     least(en, (h + 1) * 3600000000)
+                       - greatest(st, h * 3600000000) AS micros
+              FROM hrs)
+    SELECT hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_slices,
+           CAST(count(DISTINCT skey) AS BIGINT) AS n_sessions,
+           CAST(sum(micros) AS BIGINT) AS total_micros
+    FROM alloc GROUP BY 1 ORDER BY 1
+    """,
+)
+def qb68(spark, sf):
+    """Overlap-weighted session-time allocation onto hours of day
+    (operators/temporal.py:time_in_hour_buckets): q24's gap sessions
+    split EXACTLY across the hour buckets they span (clip with
+    greatest/least in int64 micros), so per-hour totals sum to total
+    session time by construction — the usage-billing / load-profile
+    primitive.  Only expansion is sequence(start_hour, end_hour) per
+    session; no cross join, no doubles anywhere."""
+    from .operators.temporal import time_in_hour_buckets
+
+    e = _t(spark, sf, "events")
+    return time_in_hour_buckets(e, "ts", "user_id", gap_minutes=30)
+
+
+@_q(
+    "qb69_psi_drift",
+    """
+    WITH binned AS (SELECT least(n_chars // 100, 9) AS bin,
+                           CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END
+                             AS cur
+                    FROM documents),
+    counts AS (SELECT bin, CAST(sum(1 - cur) AS BIGINT) AS cb,
+                      CAST(sum(cur) AS BIGINT) AS cc
+               FROM binned GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    filled AS (SELECT CAST(s.bin AS BIGINT) AS bin,
+                      coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+               FROM spine s LEFT JOIN counts c ON c.bin = s.bin),
+    tot AS (SELECT bin, cb, cc,
+                   sum(cb) OVER () AS nb, sum(cc) OVER () AS nc
+            FROM filled),
+    terms AS (SELECT bin, cb AS base_n, cc AS cur_n,
+                     CAST(round((cb + 1) * 1000000 / (nb + 10))
+                          AS BIGINT) AS sbm,
+                     CAST(round((cc + 1) * 1000000 / (nc + 10))
+                          AS BIGINT) AS scm,
+                     CAST(round(ln(CAST(cb + 1 AS DOUBLE)
+                                   * CAST(nc + 10 AS DOUBLE)
+                                   / (CAST(cc + 1 AS DOUBLE)
+                                      * CAST(nb + 10 AS DOUBLE)))
+                                * 1000000) AS BIGINT) AS lr
+              FROM tot),
+    t2 AS (SELECT bin, base_n, cur_n, sbm AS share_base_micro,
+                  scm AS share_cur_micro,
+                  CAST(round((sbm - scm) * lr / 1000000) AS BIGINT)
+                    AS term_micro
+           FROM terms)
+    SELECT bin, base_n, cur_n, share_base_micro, share_cur_micro,
+           term_micro,
+           CAST(sum(term_micro) OVER () AS BIGINT) AS psi_total_micro,
+           CAST(CASE WHEN sum(term_micro) OVER () > 250000 THEN 2
+                     WHEN sum(term_micro) OVER () > 100000 THEN 1
+                     ELSE 0 END AS BIGINT) AS drift_level
+    FROM t2
+    """,
+)
+def qb69(spark, sf):
+    """Population Stability Index of the doc-length distribution,
+    id-parity baseline vs current (operators/stats.py:psi_drift) —
+    the binned, Laplace-smoothed drift score feature dashboards alert
+    on (0.1/0.25 nat thresholds), next to qa29 KL and qb21 JSD.
+    Shares are micro-rounded int64 divisions; ln(p/q) evaluated once
+    per bin on a fixed-order double of exact ints; per-bin terms and
+    the total stay integer.  Windows run over the 10-row bin spine
+    only (bounded)."""
+    from .operators.stats import psi_drift
+
+    d = _t(spark, sf, "documents")
+    return psi_drift(
+        d, "n_chars", F.col("doc_id") % 2 == 1, bin_width=100, n_bins=10
     )

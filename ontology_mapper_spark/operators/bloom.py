@@ -211,10 +211,15 @@ def bloom_fpr_audit(
             F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
         )
         .withColumn(
+            # no true negatives to probe (tiny/fully-overlapping corpora)
+            # -> FPR undefined, NULL instead of an ANSI divide-by-zero
             "fpr_micro",
-            F.round(
-                F.col("n_fp") * F.lit(1_000_000) / F.col("n_probe_neg")
-            ).cast("long"),
+            F.when(
+                F.col("n_probe_neg") > 0,
+                F.round(
+                    F.col("n_fp") * F.lit(1_000_000) / F.col("n_probe_neg")
+                ).cast("long"),
+            ),
         )
     )
     return base

@@ -2313,3 +2313,228 @@ def anomalous_days(
         .cast("long")
         .alias("anomaly_flag"),
     )
+
+
+def theil_sen_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Theil-Sen robust trend of the daily volume per group: the
+    MEDIAN of all pairwise slopes (y_j - y_i) / (d_j - d_i) over the
+    group's day spine — the outlier-resistant companion to qa81/qb00's
+    OLS trends (one wild day moves OLS, not the pairwise median;
+    breakdown point 29%).
+
+    Exactness: per-pair slope is ONE micro-rounded single division of
+    int64 counts; the median over those integer milli-slopes is the
+    type-1 lower median (2*cum >= n, qa79/qb43 idiom), so both engines
+    rank identical integers.  Intercept = type-1 median of
+    (1000*y_i - slope_milli*d_i) residual levels.  OLS slope reported
+    for contrast from exact int64 moments (one terminal division).
+
+    Scale: the pairwise self-join runs per group over the DAY SPINE
+    (calendar-bounded: rows/group = observed days, pairs = O(days^2)
+    of a bounded spine), never over raw events — the same bounded-
+    window argument as qb63's allowlist entry.
+
+    Output per group: (group, n_days, ts_slope_milli,
+    ts_intercept_milli, ols_slope_milli).
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_day"),
+        )
+        .groupBy("_g", "_day")
+        .agg(F.count("*").cast("long").alias("_y"))
+    )
+    gmin = Window.partitionBy("_g")
+    spine = daily.select(
+        "_g",
+        (F.col("_day") - F.min("_day").over(gmin)).cast("long").alias("_d"),
+        "_y",
+    )
+    a = spine.select(
+        F.col("_g"), F.col("_d").alias("_di"), F.col("_y").alias("_yi")
+    )
+    b = spine.select(
+        F.col("_g").alias("_gb"),
+        F.col("_d").alias("_dj"),
+        F.col("_y").alias("_yj"),
+    )
+    pairs = a.join(
+        b, (a["_g"] == b["_gb"]) & (F.col("_di") < F.col("_dj"))
+    ).select(
+        "_g",
+        F.round(
+            (F.col("_yj") - F.col("_yi"))
+            * F.lit(1000)
+            / (F.col("_dj") - F.col("_di"))
+        )
+        .cast("long")
+        .alias("_s"),
+    )
+    wcum = Window.partitionBy("_g").orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("_g")
+    med = (
+        pairs.select(
+            "_g",
+            "_s",
+            F.count("*").over(wcum).alias("_c"),
+            F.count("*").over(wall).alias("_n"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.min(F.when(F.col("_c") * 2 >= F.col("_n"), F.col("_s")))
+            .cast("long")
+            .alias("ts_slope_milli")
+        )
+    )
+    resid = spine.join(med, "_g").select(
+        "_g",
+        (F.col("_y") * 1000 - F.col("ts_slope_milli") * F.col("_d"))
+        .cast("long")
+        .alias("_r"),
+    )
+    rcum = Window.partitionBy("_g").orderBy("_r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    inter = (
+        resid.select(
+            "_g",
+            "_r",
+            F.count("*").over(rcum).alias("_c"),
+            F.count("*").over(wall).alias("_n"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.min(F.when(F.col("_c") * 2 >= F.col("_n"), F.col("_r")))
+            .cast("long")
+            .alias("ts_intercept_milli")
+        )
+    )
+    mom = spine.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("_d").cast("long").alias("_sd"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("_sdd"),
+        F.sum(F.col("_d") * F.col("_y")).cast("long").alias("_sdy"),
+    )
+    ols = mom.select(
+        "_g",
+        "n_days",
+        F.when(
+            F.col("n_days") * F.col("_sdd") - F.col("_sd") * F.col("_sd")
+            > 0,
+            F.round(
+                (
+                    F.col("n_days") * F.col("_sdy")
+                    - F.col("_sd") * F.col("_sy")
+                )
+                * F.lit(1000)
+                / (
+                    F.col("n_days") * F.col("_sdd")
+                    - F.col("_sd") * F.col("_sd")
+                )
+            ).cast("long"),
+        ).alias("ols_slope_milli"),
+    )
+    return (
+        med.join(inter, "_g")
+        .join(ols, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_days",
+            "ts_slope_milli",
+            "ts_intercept_milli",
+            "ols_slope_milli",
+        )
+    )
+
+
+def time_in_hour_buckets(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Overlap-weighted session-time allocation onto calendar hours —
+    "how much live session time lands in each hour of day", the
+    usage-billing / load-profile primitive.  Sessions are the q24 gap
+    rule (> ``gap_minutes`` starts a new one); each session's
+    [start, end] micros interval is split EXACTLY across the hour
+    buckets it covers (clip with greatest/least), so the per-hour
+    allocations sum to total session duration by construction — the
+    conservation property the tests pin.
+
+    Scale: the only expansion is sequence(start_hour, end_hour) per
+    session — bounded by session length in hours, never a cross join;
+    allocation arithmetic is pure int64 micros.
+
+    Output per hour-of-day: (hour_of_day, n_slices, n_sessions,
+    total_micros) — n_slices counts session-hour fragments, n_sessions
+    distinct sessions touching the hour (session key u*1e6+sid; sids
+    are per-user ordinals, far below 1e6 by construction).
+    """
+    hour_us = 3_600_000_000
+    gap_us = int(gap_minutes) * 60_000_000
+    wu = Window.partitionBy("_u").orderBy("_t")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("_t"),
+    )
+    marked = ev.select(
+        "_u",
+        "_t",
+        F.when(
+            F.col("_t") - F.lag("_t").over(wu) > gap_us, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    sess = marked.select(
+        "_u",
+        "_t",
+        F.sum("_new")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sid"),
+    ).groupBy("_u", "_sid").agg(
+        F.min("_t").alias("_start"), F.max("_t").alias("_end")
+    )
+    hours = sess.select(
+        "_u",
+        "_sid",
+        "_start",
+        "_end",
+        F.explode(
+            F.sequence(
+                (F.col("_start") / hour_us).cast("long"),
+                (F.col("_end") / hour_us).cast("long"),
+            )
+        ).alias("_h"),
+    )
+    alloc = hours.select(
+        (F.col("_h") % 24).cast("long").alias("hour_of_day"),
+        (F.col("_u") * 1_000_000 + F.col("_sid")).alias("_skey"),
+        (
+            F.least(F.col("_end"), (F.col("_h") + 1) * hour_us)
+            - F.greatest(F.col("_start"), F.col("_h") * hour_us)
+        )
+        .cast("long")
+        .alias("_micros"),
+    )
+    return (
+        alloc.groupBy("hour_of_day")
+        .agg(
+            F.count("*").cast("long").alias("n_slices"),
+            F.countDistinct("_skey").cast("long").alias("n_sessions"),
+            F.sum("_micros").cast("long").alias("total_micros"),
+        )
+        .orderBy("hour_of_day")
+    )

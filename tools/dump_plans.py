@@ -316,6 +316,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb34_marginal_coverage": "source-spine cumulative rollup (sources are a dimension)",
     "qb43_rfm_segments": "metric-histogram BUCKET-offset tables (3 two-phase ranks; bucket count = value-range/2^16, never row-level)",
     "qb63_anomalous_days": "trailing window over the day spine (calendar-bounded rows)",
+    "qb69_psi_drift": "wall sums over the n_bins-row bin spine (fixed bin count)",
 }
 
 
