@@ -12928,3 +12928,189 @@ def qb69(spark, sf):
     return psi_drift(
         d, "n_chars", F.col("doc_id") % 2 == 1, bin_width=100, n_bins=10
     )
+
+
+@_q(
+    "qb70_fairness_audit",
+    """
+    WITH base AS (SELECT source AS g,
+                         CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END AS p,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                  FROM documents),
+    cont AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(p * y) AS BIGINT) AS tp,
+                    CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+                    CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+                    CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+             FROM base GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn_all,
+                   CAST(sum(tp) AS BIGINT) AS ttp,
+                   CAST(sum(fp) AS BIGINT) AS tfp,
+                   CAST(sum(fn) AS BIGINT) AS tfn,
+                   CAST(sum(tn) AS BIGINT) AS ttn
+            FROM cont),
+    j AS (SELECT * FROM cont CROSS JOIN tot),
+    r AS (SELECT g, n, tp, fp, fn, tn,
+                 CASE WHEN n > 0 THEN CAST(round((tp + fp) * 1000000
+                      / n) AS BIGINT) END AS g_sel,
+                 CASE WHEN tp + fn > 0 THEN CAST(round(tp * 1000000
+                      / (tp + fn)) AS BIGINT) END AS g_tpr,
+                 CASE WHEN fp + tn > 0 THEN CAST(round(fp * 1000000
+                      / (fp + tn)) AS BIGINT) END AS g_fpr,
+                 CASE WHEN tn_all > 0 THEN CAST(round((ttp + tfp)
+                      * 1000000 / tn_all) AS BIGINT) END AS a_sel,
+                 CASE WHEN ttp + tfn > 0 THEN CAST(round(ttp * 1000000
+                      / (ttp + tfn)) AS BIGINT) END AS a_tpr,
+                 CASE WHEN tfp + ttn > 0 THEN CAST(round(tfp * 1000000
+                      / (tfp + ttn)) AS BIGINT) END AS a_fpr
+          FROM j),
+    d AS (SELECT *, CASE WHEN g_sel IS NOT NULL AND a_sel IS NOT NULL
+                          AND a_sel > 0
+                         THEN CAST(round(g_sel * 1000000 / a_sel)
+                                   AS BIGINT) END AS di
+          FROM r)
+    SELECT g AS source, n, tp, fp, fn, tn,
+           g_sel AS sel_rate_micro, g_tpr AS tpr_micro,
+           g_fpr AS fpr_micro,
+           CAST(g_sel - a_sel AS BIGINT) AS dp_gap_micro,
+           CAST(g_tpr - a_tpr AS BIGINT) AS tpr_gap_micro,
+           CAST(g_fpr - a_fpr AS BIGINT) AS fpr_gap_micro,
+           di AS di_ratio_micro,
+           CAST(CASE WHEN di IS NULL THEN NULL
+                     WHEN di < 800000 THEN 1 ELSE 0 END AS BIGINT)
+             AS di_flag
+    FROM d
+    """,
+)
+def qb70(spark, sf):
+    """Group-fairness audit (operators/evaluate.py:fairness_audit) of
+    the qb19 length-prior classifier with source as the protected
+    attribute: per-group selection rate / TPR / FPR, demographic-
+    parity and equalized-odds gaps vs the global rates, and the
+    four-fifths disparate-impact ratio with its flag — the model-card
+    table.  One integer contingency per group, global rates broadcast
+    back, micro-rounded single divisions, flags on ROUNDED values."""
+    from .operators.evaluate import fairness_audit
+
+    d = _t(spark, sf, "documents")
+    return fairness_audit(
+        d, F.col("n_chars") >= 600, F.col("lang") == "en", "source"
+    )
+
+
+@_q(
+    "qb71_t_closeness",
+    """
+    WITH base AS (SELECT event_type AS q0,
+                         CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                              AS BIGINT) AS q1,
+                         least(CAST(round(value * 100) AS BIGINT)
+                               // 1000, 9) AS b
+                  FROM events),
+    cells AS (SELECT q0, q1, b, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2, 3),
+    groups AS (SELECT q0, q1, CAST(sum(c) AS BIGINT) AS ng
+               FROM cells GROUP BY 1, 2),
+    gbuck AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+              FROM cells GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS b),
+    nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    gfull AS (SELECT g.q0, g.q1, g.ng, CAST(s.b AS BIGINT) AS b,
+                     coalesce(c.c, 0) AS c
+              FROM groups g CROSS JOIN spine s
+              LEFT JOIN cells c ON c.q0 = g.q0 AND c.q1 = g.q1
+                                AND c.b = s.b),
+    afull AS (SELECT CAST(s.b AS BIGINT) AS b, coalesce(gb.cb, 0) AS cb
+              FROM spine s LEFT JOIN gbuck gb ON gb.b = s.b),
+    cg AS (SELECT q0, q1, ng, b,
+                  sum(c) OVER (PARTITION BY q0, q1 ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS cum_g
+           FROM gfull),
+    ca AS (SELECT b, sum(cb) OVER (ORDER BY b
+             ROWS UNBOUNDED PRECEDING) AS cum_all
+           FROM afull),
+    emd AS (SELECT q0, q1, max(ng) AS n,
+                   CAST(sum(abs(cum_g * (SELECT n FROM nall)
+                                - cum_all * ng)) AS BIGINT) AS d
+            FROM cg JOIN ca USING (b) GROUP BY 1, 2),
+    t AS (SELECT q0, q1, CAST(n AS BIGINT) AS n,
+                 CAST(round(CAST(d AS DOUBLE) * 1000000
+                      / CAST(n * (SELECT n FROM nall) * 9 AS DOUBLE))
+                      AS BIGINT) AS t_micro
+          FROM emd)
+    SELECT q0 AS event_type, q1 AS dow, n, t_micro,
+           CAST(CASE WHEN t_micro > 200000 THEN 1 ELSE 0 END AS BIGINT)
+             AS t_flag
+    FROM t
+    """,
+)
+def qb71(spark, sf):
+    """t-closeness release audit (operators/privacy.py:
+    t_closeness_report): per (event_type, day-of-week) quasi-group the
+    EMD between its bucketed spend distribution (cents div 1000,
+    terminal catch-all) and the global one — catches the leak
+    k-anonymity (qa62) misses.  Cumulative comparison cross-multiplied
+    into int64 (no per-bucket division), full 10-bucket spine per
+    group, ONE terminal micro division in fixed double order, flag on
+    the ROUNDED t."""
+    from .operators.privacy import t_closeness_report
+
+    e = _t(spark, sf, "events")
+    e2 = e.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7"
+        ).alias("dow"),
+        F.expr("CAST(round(value * 100) AS LONG) div 1000").alias("_sb"),
+    )
+    return t_closeness_report(
+        e2, ["event_type", "dow"], F.col("_sb"), n_buckets=10
+    )
+
+
+@_q(
+    "qb72_seasonal_backtest",
+    """
+    WITH daily AS (SELECT event_type AS g,
+                          epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1, 2),
+    ev AS (SELECT d.g,
+                  CAST(abs(d.y - s.y) AS BIGINT) AS es,
+                  CAST(abs(d.y - o.y) AS BIGINT) AS e1
+           FROM daily d
+           JOIN daily s ON s.g = d.g AND s.day = d.day - 7
+           JOIN daily o ON o.g = d.g AND o.day = d.day - 1),
+    nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1),
+    agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_eval,
+                   CAST(sum(es) AS BIGINT) AS ses,
+                   CAST(sum(e1) AS BIGINT) AS se1
+            FROM ev GROUP BY 1)
+    SELECT nd.g AS event_type, nd.n_days, agg.n_eval,
+           CASE WHEN n_eval > 0 THEN
+             CAST(round(ses * 1000 / n_eval) AS BIGINT) END AS mae_milli,
+           CASE WHEN n_eval > 0 THEN
+             CAST(round(se1 * 1000 / n_eval) AS BIGINT)
+           END AS naive_mae_milli,
+           CASE WHEN se1 > 0 THEN
+             CAST(round(ses * 1000000 / se1) AS BIGINT) END AS mase_micro,
+           CAST(CASE WHEN se1 > 0 THEN
+             CASE WHEN CAST(round(ses * 1000000 / se1) AS BIGINT)
+                       < 1000000 THEN 1 ELSE 0 END
+           END AS BIGINT) AS beats_naive
+    FROM nd JOIN agg ON agg.g = nd.g
+    """,
+)
+def qb72(spark, sf):
+    """Seasonal-naive rolling-origin backtest (operators/temporal.py:
+    seasonal_naive_backtest): forecast(d) = count(d-7) scored with MAE
+    and MASE against the one-step naive — the baseline any forecasting
+    model must beat, turning qa64's seasonality into a measured error.
+    Calendar self-alignment joins (gap days produce no eval row);
+    exact int64 error sums; MASE is one division; beats_naive flags on
+    the ROUNDED micro value."""
+    from .operators.temporal import seasonal_naive_backtest
+
+    e = _t(spark, sf, "events")
+    return seasonal_naive_backtest(e, "ts", "event_type", season_days=7)

@@ -1314,3 +1314,88 @@ def conformal_split_coverage(
             ).alias("coverage_micro"),
         )
     )
+
+
+def fairness_audit(
+    df: DataFrame,
+    pred_flag,
+    label_flag,
+    group_col: str,
+    di_threshold_micro: int = 800_000,
+) -> DataFrame:
+    """Group-fairness audit of a binary classifier: per protected
+    group the selection rate, TPR and FPR, their gaps against the
+    GLOBAL rates (demographic parity / equalized odds), and the
+    four-fifths disparate-impact ratio with its flag — the model-card
+    table next to qb19's MCC and qa86's macro-F1.
+
+    One integer contingency per group (tp/fp/fn/tn, map-side
+    combinable), global rates from the summed contingency broadcast
+    back (no window, no second scan).  Rates are micro-rounded single
+    divisions; gaps are differences of those micro ints; the DI ratio
+    is one division of two micro ints, and the flag compares the
+    ROUNDED ratio to an integer threshold (qb54 discipline).  Rates
+    with empty denominators are null and their gaps/flags null too.
+
+    Output per group: (group, n, tp, fp, fn, tn, sel_rate_micro,
+    tpr_micro, fpr_micro, dp_gap_micro, tpr_gap_micro, fpr_gap_micro,
+    di_ratio_micro, di_flag).
+    """
+    p = pred_flag if not isinstance(pred_flag, str) else F.col(pred_flag)
+    y = label_flag if not isinstance(label_flag, str) else F.col(label_flag)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.when(p, F.lit(1)).otherwise(F.lit(0)).alias("_p"),
+        F.when(y, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    cont = base.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("_p") * F.col("_y")).cast("long").alias("tp"),
+        F.sum(F.col("_p") * (1 - F.col("_y"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("_p")) * F.col("_y")).cast("long").alias("fn"),
+        F.sum((1 - F.col("_p")) * (1 - F.col("_y")))
+        .cast("long")
+        .alias("tn"),
+    )
+    tot = cont.agg(
+        F.sum("n").cast("long").alias("_tn_all"),
+        F.sum("tp").cast("long").alias("_ttp"),
+        F.sum("fp").cast("long").alias("_tfp"),
+        F.sum("fn").cast("long").alias("_tfn"),
+        F.sum("tn").cast("long").alias("_ttn"),
+    )
+
+    def _rate(num, den):
+        return F.when(
+            den > 0, F.round(num * F.lit(1_000_000) / den).cast("long")
+        )
+
+    g_sel = _rate(F.col("tp") + F.col("fp"), F.col("n"))
+    g_tpr = _rate(F.col("tp"), F.col("tp") + F.col("fn"))
+    g_fpr = _rate(F.col("fp"), F.col("fp") + F.col("tn"))
+    a_sel = _rate(F.col("_ttp") + F.col("_tfp"), F.col("_tn_all"))
+    a_tpr = _rate(F.col("_ttp"), F.col("_ttp") + F.col("_tfn"))
+    a_fpr = _rate(F.col("_tfp"), F.col("_tfp") + F.col("_ttn"))
+    joined = cont.crossJoin(F.broadcast(tot))
+    di = F.when(
+        g_sel.isNotNull() & a_sel.isNotNull() & (a_sel > 0),
+        F.round(g_sel * F.lit(1_000_000) / a_sel).cast("long"),
+    )
+    return joined.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        g_sel.alias("sel_rate_micro"),
+        g_tpr.alias("tpr_micro"),
+        g_fpr.alias("fpr_micro"),
+        (g_sel - a_sel).cast("long").alias("dp_gap_micro"),
+        (g_tpr - a_tpr).cast("long").alias("tpr_gap_micro"),
+        (g_fpr - a_fpr).cast("long").alias("fpr_gap_micro"),
+        di.alias("di_ratio_micro"),
+        F.when(di.isNotNull(), (di < int(di_threshold_micro)).cast("long"))
+        .cast("long")
+        .alias("di_flag"),
+    )

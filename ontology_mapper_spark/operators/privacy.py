@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -164,4 +164,106 @@ def dp_noisy_counts(
         .cast("long")
         .alias("noisy_micro"),
         F.abs("noise_micro").cast("long").alias("abs_err_micro"),
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_bucket,
+    n_buckets: int,
+    t_threshold_micro: int = 200_000,
+) -> DataFrame:
+    """t-closeness audit over quasi-identifier groups for an ORDERED
+    bucketed sensitive attribute: per QI group the Earth-Mover
+    Distance between the group's sensitive distribution and the
+    GLOBAL one — the release gate that catches what k-anonymity
+    (qa62) misses (a large group whose sensitive values all collapse
+    into one bucket is k-anonymous but leaks).
+
+    EMD over m ordered buckets = sum_i |cumP_i - cumQ_i| / (m-1).
+    Exactness: the cumulative comparison is cross-multiplied into
+    int64 (|cum_g*N - cum_all*n_g| — no per-bucket division), summed
+    exactly, then ONE terminal micro-rounded division by
+    n_g*N*(m-1).  Every group is completed to the full bucket spine
+    (groups x m rows, groups are a dimension) so missing buckets
+    count.  Flag compares the ROUNDED t to an integer threshold.
+
+    Output per QI group: (*quasi_cols, n, t_micro, t_flag).
+    """
+    m = int(n_buckets)
+    sb = (
+        sensitive_bucket
+        if not isinstance(sensitive_bucket, str)
+        else F.col(sensitive_bucket)
+    )
+    qi = [F.col(c).alias(f"_q{i}") for i, c in enumerate(quasi_cols)]
+    qnames = [f"_q{i}" for i in range(len(quasi_cols))]
+    base = df.select(
+        *qi,
+        F.least(sb.cast("long"), F.lit(m - 1)).alias("_b"),
+    )
+    cells = base.groupBy(*qnames, "_b").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    groups = cells.groupBy(*qnames).agg(
+        F.sum("_c").cast("long").alias("_ng")
+    )
+    gbuckets = cells.groupBy("_b").agg(
+        F.sum("_c").cast("long").alias("_cb")
+    )
+    spark = df.sparkSession
+    spine = spark.range(m).select(F.col("id").cast("long").alias("_b"))
+    gspine = groups.crossJoin(F.broadcast(spine))
+    full = gspine.join(cells, qnames + ["_b"], "left").select(
+        *qnames,
+        "_ng",
+        "_b",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_c"),
+    )
+    allsp = spine.join(F.broadcast(gbuckets), "_b", "left").select(
+        "_b",
+        F.coalesce(F.col("_cb"), F.lit(0)).cast("long").alias("_cb"),
+    )
+    n_all = df.count()
+    wg = (
+        Window.partitionBy(*qnames)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wa = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum_g = full.select(
+        *qnames,
+        "_ng",
+        "_b",
+        F.sum("_c").over(wg).alias("_cum_g"),
+    )
+    cum_a = allsp.select(
+        "_b", F.sum("_cb").over(wa).alias("_cum_all")
+    )
+    joined = cum_g.join(F.broadcast(cum_a), "_b")
+    emd = joined.groupBy(*qnames).agg(
+        F.max("_ng").cast("long").alias("n"),
+        F.sum(
+            F.abs(
+                F.col("_cum_g") * F.lit(int(n_all))
+                - F.col("_cum_all") * F.col("_ng")
+            )
+        )
+        .cast("long")
+        .alias("_d"),
+    )
+    t = F.round(
+        F.col("_d").cast("double")
+        * F.lit(1_000_000.0)
+        / (F.col("n") * F.lit(int(n_all)) * F.lit(m - 1)).cast("double")
+    ).cast("long")
+    out_cols = [
+        F.col(f"_q{i}").alias(c) for i, c in enumerate(quasi_cols)
+    ]
+    return emd.select(
+        *out_cols,
+        "n",
+        t.alias("t_micro"),
+        (t > int(t_threshold_micro)).cast("long").alias("t_flag"),
     )

@@ -2538,3 +2538,104 @@ def time_in_hour_buckets(
         )
         .orderBy("hour_of_day")
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    season_days: int = 7,
+) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster on the
+    daily volume series: forecast(d) = count(d - season) vs the
+    actual, scored with MAE and MASE (MAE over the one-step naive
+    count(d-1) errors as the scale) — the "is a model even worth it"
+    baseline every forecasting effort must beat, and the qb63/qa64
+    companion that turns seasonality into a measured error number.
+
+    Lags run over the group's observed-day spine via calendar
+    self-alignment (join day-season and day-1 rows; gap days simply
+    produce no evaluation row — documented, not imputed).  Errors and
+    their sums are exact int64; MAE is one micro-rounded division;
+    MASE is ONE division of two cross-multiplied int64 products so no
+    intermediate ratio is ever materialized.  beats_naive flags on the
+    ROUNDED mase_micro (qb54 discipline).
+
+    Output per group: (group, n_days, n_eval, mae_milli,
+    naive_mae_milli, mase_micro, beats_naive).
+    """
+    day_us = 86_400_000_000
+    s = int(season_days)
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_day"),
+        )
+        .groupBy("_g", "_day")
+        .agg(F.count("*").cast("long").alias("_y"))
+    )
+    lag_s = daily.select(
+        F.col("_g").alias("_gs"),
+        (F.col("_day") + s).alias("_ds"),
+        F.col("_y").alias("_ys"),
+    )
+    lag_1 = daily.select(
+        F.col("_g").alias("_g1"),
+        (F.col("_day") + 1).alias("_d1"),
+        F.col("_y").alias("_y1"),
+    )
+    ev = (
+        daily.join(
+            lag_s,
+            (daily["_g"] == lag_s["_gs"]) & (daily["_day"] == lag_s["_ds"]),
+        )
+        .join(
+            lag_1,
+            (daily["_g"] == lag_1["_g1"]) & (daily["_day"] == lag_1["_d1"]),
+        )
+        .select(
+            "_g",
+            F.abs(F.col("_y") - F.col("_ys")).cast("long").alias("_es"),
+            F.abs(F.col("_y") - F.col("_y1")).cast("long").alias("_e1"),
+        )
+    )
+    nd = daily.groupBy("_g").agg(F.count("*").cast("long").alias("n_days"))
+    agg = ev.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum("_es").cast("long").alias("_ses"),
+        F.sum("_e1").cast("long").alias("_se1"),
+    )
+    mase = F.when(
+        F.col("_se1") > 0,
+        F.round(
+            F.col("_ses")
+            * F.lit(1_000_000)
+            / F.col("_se1")
+        ).cast("long"),
+    )
+    return (
+        nd.join(agg, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_days",
+            "n_eval",
+            F.when(
+                F.col("n_eval") > 0,
+                F.round(
+                    F.col("_ses") * F.lit(1000) / F.col("n_eval")
+                ).cast("long"),
+            ).alias("mae_milli"),
+            F.when(
+                F.col("n_eval") > 0,
+                F.round(
+                    F.col("_se1") * F.lit(1000) / F.col("n_eval")
+                ).cast("long"),
+            ).alias("naive_mae_milli"),
+            mase.alias("mase_micro"),
+            F.when(mase.isNotNull(), (mase < 1_000_000).cast("long"))
+            .cast("long")
+            .alias("beats_naive"),
+        )
+    )

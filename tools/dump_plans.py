@@ -317,6 +317,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb43_rfm_segments": "metric-histogram BUCKET-offset tables (3 two-phase ranks; bucket count = value-range/2^16, never row-level)",
     "qb63_anomalous_days": "trailing window over the day spine (calendar-bounded rows)",
     "qb69_psi_drift": "wall sums over the n_bins-row bin spine (fixed bin count)",
+    "qb71_t_closeness": "global cumulative over the m-row sensitive-bucket spine (fixed bucket count)",
 }
 
 
