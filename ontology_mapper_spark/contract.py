@@ -13114,3 +13114,240 @@ def qb72(spark, sf):
 
     e = _t(spark, sf, "events")
     return seasonal_naive_backtest(e, "ts", "event_type", season_days=7)
+
+
+def _qb75_oracle(k: int = 10) -> str:
+    import math
+
+    L = math.lcm(*range(1, k + 1))
+    wt_rows = ", ".join(
+        f"({i}, CAST({L // i} AS BIGINT))" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH wt(p, w) AS (VALUES {wt_rows}),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+                 label AS ql
+          FROM embeddings WHERE vec_id < 12),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qvec) * 1e6)
+                  AS BIGINT) AS cos,
+             CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS r,
+             sum(rel) OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored),
+    agg AS (
+      SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(sum(CASE WHEN r <= {k} AND rel = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_at_k,
+             CAST(sum(CASE WHEN r <= {k} AND rel = 1 THEN cum * w
+                           ELSE 0 END) AS BIGINT) AS num
+      FROM ranked LEFT JOIN wt ON wt.p = r
+      GROUP BY 1)
+    SELECT query_id, n_rel, n_rel_at_k,
+           CASE WHEN n_rel > 0 THEN
+             CAST(round(num * 1000000 / (least(n_rel, {k}) * {L}))
+                  AS BIGINT)
+           END AS ap_micro
+    FROM agg
+    """
+
+
+@_q(
+    "qb73_expectations",
+    """
+    WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS p0,
+      CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS p1,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS p2,
+      CAST(sum(CASE WHEN n_chars >= 1 AND n_chars <= 10000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+      CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+      CAST(sum(CASE WHEN regexp_matches(source, '^src[0-9]+$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+      CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+           AS BIGINT) AS p6
+      FROM documents),
+    rules AS (
+      SELECT 'r01' AS rule_id, 'doc_id' AS column_name,
+             'not_null' AS rule_type, n, p0 AS n_pass FROM a
+      UNION ALL SELECT 'r02', 'text', 'not_null', n, p1 FROM a
+      UNION ALL SELECT 'r03', 'doc_id', 'unique', n, p2 FROM a
+      UNION ALL SELECT 'r04', 'n_chars', 'range', n, p3 FROM a
+      UNION ALL SELECT 'r05', 'lang', 'in_set', n, p4 FROM a
+      UNION ALL SELECT 'r06', 'source', 'regex', n, p5 FROM a
+      UNION ALL SELECT 'r07', 'n_chars', 'expr', n, p6 FROM a)
+    SELECT rule_id, column_name, rule_type, n AS n_rows,
+           CAST(n_pass AS BIGINT) AS n_pass,
+           CASE WHEN n > 0 THEN
+             CAST(round(n_pass * 1000000 / n) AS BIGINT)
+           END AS pass_micro,
+           CAST(CASE WHEN n > 0 THEN
+             CASE WHEN CAST(round(n_pass * 1000000 / n) AS BIGINT)
+                       >= 1000000 THEN 1 ELSE 0 END
+           END AS BIGINT) AS ok
+    FROM rules
+    """,
+)
+def qb73(spark, sf):
+    """Declarative expectations suite over documents (operators/dq.py:
+    expectations_report): seven data-contract rules — not_null x2,
+    unique, range, in_set, regex, cross-field expr — ALL evaluated in
+    ONE scan (sum(CASE) columns + exact count(DISTINCT) on a single
+    hash aggregate, stack-unpivoted to rule rows).  The ingest gate
+    pattern: rule count never adds scans.  Shares micro-rounded; ok
+    flags on the ROUNDED share (qb54 discipline)."""
+    from .operators.dq import expectations_report
+
+    d = _t(spark, sf, "documents")
+    rules = [
+        {"rule_id": "r01", "column": "doc_id", "type": "not_null"},
+        {"rule_id": "r02", "column": "text", "type": "not_null"},
+        {"rule_id": "r03", "column": "doc_id", "type": "unique"},
+        {
+            "rule_id": "r04",
+            "column": "n_chars",
+            "type": "range",
+            "lo": 1,
+            "hi": 10000,
+        },
+        {
+            "rule_id": "r05",
+            "column": "lang",
+            "type": "in_set",
+            "values": ["en", "de", "fr", "es", "zh"],
+        },
+        {
+            "rule_id": "r06",
+            "column": "source",
+            "type": "regex",
+            "pattern": "^src[0-9]+$",
+        },
+        {
+            "rule_id": "r07",
+            "column": "n_chars",
+            "type": "expr",
+            "sql": "n_chars = length(text)",
+        },
+    ]
+    return expectations_report(d, rules)
+
+
+@_q(
+    "qb74_raking",
+    """
+    WITH cur AS (SELECT lang AS r,
+                        CAST(substr(source, 4) AS BIGINT) % 3 AS c
+                 FROM documents WHERE doc_id % 2 = 1),
+    ref AS (SELECT lang AS r,
+                   CAST(substr(source, 4) AS BIGINT) % 3 AS c
+            FROM documents WHERE doc_id % 2 = 0),
+    cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
+              FROM cur GROUP BY 1, 2),
+    ncur AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cur),
+    nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+    rt AS (SELECT r, CAST(round(count(*) * (SELECT n FROM ncur)
+                 * 1000000 / (SELECT n FROM nref)) AS BIGINT) AS mr
+           FROM ref GROUP BY 1),
+    ct AS (SELECT c, CAST(round(count(*) * (SELECT n FROM ncur)
+                 * 1000000 / (SELECT n FROM nref)) AS BIGINT) AS mc
+           FROM ref GROUP BY 1),
+    w0 AS (SELECT cells.r, cells.c, n, coalesce(mr, 0) AS mr,
+                  coalesce(mc, 0) AS mc,
+                  CAST(1000000 AS BIGINT) AS w
+           FROM cells LEFT JOIN rt ON rt.r = cells.r
+           LEFT JOIN ct ON ct.c = cells.c),
+    a1 AS (SELECT *, sum(n * w) OVER (PARTITION BY r) AS am FROM w0),
+    b1 AS (SELECT r, c, n, mr, mc,
+                  CASE WHEN am > 0 THEN CAST(round(w * mr / am)
+                       AS BIGINT) ELSE w END AS w FROM a1),
+    a2 AS (SELECT *, sum(n * w) OVER (PARTITION BY c) AS am FROM b1),
+    b2 AS (SELECT r, c, n, mr, mc,
+                  CASE WHEN am > 0 THEN CAST(round(w * mc / am)
+                       AS BIGINT) ELSE w END AS w FROM a2),
+    a3 AS (SELECT *, sum(n * w) OVER (PARTITION BY r) AS am FROM b2),
+    b3 AS (SELECT r, c, n, mr, mc,
+                  CASE WHEN am > 0 THEN CAST(round(w * mr / am)
+                       AS BIGINT) ELSE w END AS w FROM a3),
+    a4 AS (SELECT *, sum(n * w) OVER (PARTITION BY c) AS am FROM b3),
+    b4 AS (SELECT r, c, n, mr, mc,
+                  CASE WHEN am > 0 THEN CAST(round(w * mc / am)
+                       AS BIGINT) ELSE w END AS w FROM a4)
+    SELECT r AS lang, c AS src_bucket, n, w AS w_micro,
+           CAST(sum(n * w) OVER (PARTITION BY r) AS BIGINT)
+             AS row_mass_micro,
+           CAST(sum(n * w) OVER (PARTITION BY c) AS BIGINT)
+             AS col_mass_micro
+    FROM b4
+    """,
+)
+def qb74(spark, sf):
+    """Raking / iterative proportional fitting (operators/mixing.py:
+    raking_weights, 2 unrolled rounds): per-(lang, source-bucket) cell
+    weights pulling the odd-doc half's composition onto the even
+    half's marginals — the post-stratification mixture corrector.
+    All math on the bounded cell grid; micro-mass targets and one
+    micro-rounded division per axis per round (qa90/qb05 fixed-round
+    discipline)."""
+    from .operators.mixing import raking_weights
+
+    d = _t(spark, sf, "documents")
+    bucket = F.expr("CAST(substring(source, 4, 10) AS LONG) % 3").alias(
+        "src_bucket"
+    )
+    cur = d.where(F.col("doc_id") % 2 == 1).select("lang", bucket)
+    ref = d.where(F.col("doc_id") % 2 == 0).select("lang", bucket)
+    return raking_weights(cur, ref, "lang", "src_bucket", rounds=2)
+
+
+@_q("qb75_average_precision", _qb75_oracle())
+def qb75(spark, sf):
+    """Average Precision@10 per query of brute-force cosine retrieval
+    with binary same-label relevance (operators/evaluate.py:
+    average_precision_at_k) — the PR-side ranking metric next to qa65
+    ROC-AUC and qa89 NDCG.  Exact by construction: each hit's
+    precision@i becomes cumrel_i*(lcm(1..k)/i) in int64, so AP is one
+    terminal micro division; windows partitioned per query (qb04
+    lesson); try_element_at for the weight table (qa89 ANSI
+    lesson)."""
+    from .operators.evaluate import average_precision_at_k
+    from .operators.similarity import cosine_cols
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_cols(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_cos"),
+            (F.col("label") == F.col("_ql")).cast("long").alias("_rel"),
+        )
+    )
+    return average_precision_at_k(
+        scored, "query_id", "vec_id", "_cos", "_rel", k=10
+    )

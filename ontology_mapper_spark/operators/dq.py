@@ -106,3 +106,88 @@ def profile_columns(
         F.min("_val").alias("min_str"),
         F.max("_val").alias("max_str"),
     )
+
+
+def expectations_report(
+    df: DataFrame,
+    rules: Sequence[dict],
+    min_pass_micro: int = 1_000_000,
+) -> DataFrame:
+    """Declarative data-contract validation ("expectations suite"):
+    a RULES list evaluated over the table in ONE scan — the ingest
+    gate that runs before anything downstream trusts a 100 TB drop.
+    Row-level rules (not_null / range / in_set / regex / expr) become
+    sum(CASE) columns of a single hash aggregate (map-side
+    combinable); `unique` rules ride the same aggregate as exact
+    count(DISTINCT col).  The per-rule layout is a stack() unpivot of
+    that ONE result row — rule count never adds scans or shuffles.
+
+    Rule dicts: {rule_id, column, type, ...}:
+      not_null                       — col IS NOT NULL
+      range {lo, hi}                 — lo <= col <= hi (inclusive)
+      in_set {values: [..]}          — col IN values
+      regex {pattern}                — col RLIKE pattern (keep the
+                                       pattern RE2-portable)
+      expr {sql}                     — arbitrary boolean SQL over the
+                                       row (cross-field consistency)
+      unique                         — n_pass = exact distinct count,
+                                       passes iff distinct == n_rows
+
+    Output per rule: (rule_id, column_name, rule_type, n_rows,
+    n_pass, pass_micro, ok) with ok = pass_micro >= min_pass_micro
+    on the ROUNDED share.
+    """
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for i, r in enumerate(rules):
+        c, t = r["column"], r["type"]
+        if t == "not_null":
+            cond = F.col(c).isNotNull()
+        elif t == "range":
+            cond = (F.col(c) >= r["lo"]) & (F.col(c) <= r["hi"])
+        elif t == "in_set":
+            cond = F.col(c).isin(list(r["values"]))
+        elif t == "regex":
+            cond = F.col(c).rlike(r["pattern"])
+        elif t == "expr":
+            cond = F.expr(r["sql"])
+        elif t == "unique":
+            aggs.append(
+                F.countDistinct(F.col(c)).cast("long").alias(f"_p{i}")
+            )
+            continue
+        else:  # pragma: no cover - declared contract
+            raise ValueError(f"unknown expectation type: {t}")
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_p{i}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        "'{rid}', '{col}', '{typ}', _p{i}".format(
+            rid=r["rule_id"], col=r["column"], typ=r["type"], i=i
+        )
+        for i, r in enumerate(rules)
+    )
+    rows = one.select(
+        F.col("_n"),
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS "
+            "(rule_id, column_name, rule_type, n_pass)"
+        ),
+    )
+    share = F.when(
+        F.col("_n") > 0,
+        F.round(F.col("n_pass") * F.lit(1_000_000) / F.col("_n")).cast(
+            "long"
+        ),
+    )
+    return rows.select(
+        "rule_id",
+        "column_name",
+        "rule_type",
+        F.col("_n").alias("n_rows"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        share.alias("pass_micro"),
+        F.when(share.isNotNull(), (share >= int(min_pass_micro)))
+        .cast("long")
+        .alias("ok"),
+    )

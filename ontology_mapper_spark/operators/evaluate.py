@@ -1399,3 +1399,78 @@ def fairness_audit(
         .cast("long")
         .alias("di_flag"),
     )
+
+
+def average_precision_at_k(
+    scored: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Average Precision@k per query over binary relevance — the
+    PR-side ranking metric next to qa65's ROC-AUC (which is
+    prevalence-blind) and qa89's NDCG (graded): AP rewards putting
+    relevant items EARLY, exactly what retrieval-for-RAG tuning
+    optimizes.
+
+    Exactness by construction: with ranks from a total order
+    (score desc, id), each hit contributes precision@i = cumrel_i/i;
+    multiplying through by L = lcm(1..k) makes every term
+    cumrel_i * (L/i) an exact int64, so AP = sum / (L * min(R, k))
+    is ONE terminal micro-rounded division — no per-term rounding,
+    no double accumulation.  Windows are partitioned by query (never
+    global — the qb04 lesson).
+
+    Output per query: (query, n_rel, n_rel_at_k, ap_micro); null AP
+    when the query has no relevant candidates.
+    """
+    import math
+
+    kk = int(k)
+    L = math.lcm(*range(1, kk + 1))
+    wq = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_id").asc()
+    )
+    base = scored.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_s"),
+        F.col(rel_col).cast("long").alias("_r"),
+    )
+    ranked = base.select(
+        "_q",
+        "_r",
+        F.row_number().over(wq).alias("_rank"),
+        F.sum("_r").over(wq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum"),
+    )
+    # integer weight L/i per rank i (exact by choice of L); guarded by
+    # the rank<=k branch but try_element_at anyway (ANSI, qa89 lesson)
+    wmap = F.try_element_at(
+        F.lit([L // i for i in range(1, kk + 1)]), F.col("_rank").cast("int")
+    )
+    agg = ranked.groupBy("_q").agg(
+        F.sum("_r").cast("long").alias("n_rel"),
+        F.sum(F.when((F.col("_rank") <= kk) & (F.col("_r") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_rel_at_k"),
+        F.sum(
+            F.when(
+                (F.col("_rank") <= kk) & (F.col("_r") == 1),
+                F.col("_cum") * wmap,
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_num"),
+    )
+    den = F.least(F.col("n_rel"), F.lit(kk)) * F.lit(L)
+    return agg.select(
+        F.col("_q").alias(query_col),
+        "n_rel",
+        "n_rel_at_k",
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.col("_num") * F.lit(1_000_000) / den).cast("long"),
+        ).alias("ap_micro"),
+    )

@@ -195,3 +195,105 @@ def greedy_set_cover(
     return spark.createDataFrame(
         rows, "round long, chosen string, n_new long, cum_covered long"
     )
+
+
+def raking_weights(
+    cur: DataFrame,
+    ref: DataFrame,
+    row_col: str,
+    col_col: str,
+    rounds: int = 2,
+) -> DataFrame:
+    """Raking / iterative proportional fitting: per-cell weights that
+    pull the CURRENT corpus's (row x col) composition toward the
+    REFERENCE corpus's marginals — the post-stratification reweighting
+    step when a training mix drifted from the population it should
+    match (the classic survey-weighting algorithm, here as the data-
+    mixture corrector next to qb06's allocation).
+
+    All arithmetic lives on the CELL table (rows x cols cells — a
+    bounded dimension grid; the only full-table work is the two
+    grouped counts).  Target margins are micro-mass integers
+    M_r = round(T_r * N_cur * 1e6 / N_ref); each round rescales
+    weights by one micro-rounded division per axis
+    (w' = round(w * M / axis_mass)), the fixed-round unrolled form
+    (qa90/qb05 discipline — rounding is part of the spec so both
+    engines iterate bit-identically).  Margins absent from the
+    reference drive weights to 0; axis masses of 0 keep the previous
+    weight (guarded division).
+
+    Output per cell: (row, col, n, w_micro, row_mass_micro,
+    col_mass_micro) with masses AFTER the final round.
+    """
+    cells = (
+        cur.select(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+        .groupBy("_r", "_c")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    n_cur = cur.count()
+    n_ref = ref.count()
+    rt = (
+        ref.select(F.col(row_col).alias("_r"))
+        .groupBy("_r")
+        .agg(F.count("*").cast("long").alias("_tr"))
+        .select(
+            "_r",
+            F.round(F.col("_tr") * F.lit(int(n_cur)) * F.lit(MICRO)
+                    / F.lit(int(n_ref))).cast("long").alias("_mr"),
+        )
+    )
+    ct = (
+        ref.select(F.col(col_col).alias("_c"))
+        .groupBy("_c")
+        .agg(F.count("*").cast("long").alias("_tc"))
+        .select(
+            "_c",
+            F.round(F.col("_tc") * F.lit(int(n_cur)) * F.lit(MICRO)
+                    / F.lit(int(n_ref))).cast("long").alias("_mc"),
+        )
+    )
+    w = (
+        cells.join(F.broadcast(rt), "_r", "left")
+        .join(F.broadcast(ct), "_c", "left")
+        .select(
+            "_r",
+            "_c",
+            "n",
+            F.coalesce(F.col("_mr"), F.lit(0)).alias("_mr"),
+            F.coalesce(F.col("_mc"), F.lit(0)).alias("_mc"),
+            F.lit(MICRO).cast("long").alias("_w"),
+        )
+    )
+    wr = Window.partitionBy("_r")
+    wc = Window.partitionBy("_c")
+    for _ in range(int(rounds)):
+        w = w.withColumn(
+            "_rm", F.sum(F.col("n") * F.col("_w")).over(wr)
+        ).withColumn(
+            "_w",
+            F.when(
+                F.col("_rm") > 0,
+                F.round(F.col("_w") * F.col("_mr") / F.col("_rm"))
+                .cast("long"),
+            ).otherwise(F.col("_w")),
+        ).drop("_rm")
+        w = w.withColumn(
+            "_cm", F.sum(F.col("n") * F.col("_w")).over(wc)
+        ).withColumn(
+            "_w",
+            F.when(
+                F.col("_cm") > 0,
+                F.round(F.col("_w") * F.col("_mc") / F.col("_cm"))
+                .cast("long"),
+            ).otherwise(F.col("_w")),
+        ).drop("_cm")
+    return w.select(
+        F.col("_r").alias(row_col),
+        F.col("_c").alias(col_col),
+        "n",
+        F.col("_w").alias("w_micro"),
+        F.sum(F.col("n") * F.col("_w")).over(wr).cast("long")
+        .alias("row_mass_micro"),
+        F.sum(F.col("n") * F.col("_w")).over(wc).cast("long")
+        .alias("col_mass_micro"),
+    )
