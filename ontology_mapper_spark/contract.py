@@ -13351,3 +13351,199 @@ def qb75(spark, sf):
     return average_precision_at_k(
         scored, "query_id", "vec_id", "_cos", "_rel", k=10
     )
+
+
+def _qb76_oracle() -> str:
+    from .operators.temporal import shapley_lattice
+
+    lat = ", ".join(
+        f"('{ch}', CAST({bit} AS BIGINT), CAST({s} AS BIGINT), "
+        f"CAST({w} AS BIGINT))"
+        for ch, bit, s, w in shapley_lattice(("click", "view", "signup"))
+    )
+    return f"""
+    WITH lat(channel, bit, s, w_num) AS (VALUES {lat}),
+    pu AS (SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b0,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b1,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS b2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events GROUP BY 1),
+    mt AS (SELECT CAST(b0 + b1 * 2 + b2 * 4 AS BIGINT) AS m,
+                  CAST(count(*) AS BIGINT) AS nu,
+                  CAST(sum(conv) AS BIGINT) AS nc
+           FROM pu GROUP BY 1),
+    spine AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT)
+                AS sm),
+    v AS (SELECT sm AS m,
+                 CASE WHEN sum(nu) > 0 THEN
+                   CAST(round(sum(nc) * 1000000 / sum(nu)) AS BIGINT)
+                 ELSE 0 END AS v
+          FROM spine LEFT JOIN mt ON (mt.m & spine.sm) = mt.m
+          GROUP BY 1),
+    j AS (SELECT channel,
+                 w_num * (coalesce(vsc.v, 0) - coalesce(vs.v, 0)) AS term
+          FROM lat
+          LEFT JOIN v vs ON vs.m = lat.s
+          LEFT JOIN v vsc ON vsc.m = (lat.s | lat.bit)),
+    cr AS (SELECT channel, CAST(round(sum(term) / 6) AS BIGINT)
+                    AS credit_micro
+           FROM j GROUP BY 1),
+    ex AS (SELECT channel, CAST(sum(nu) AS BIGINT) AS n_users_exposed
+           FROM mt CROSS JOIN (SELECT DISTINCT channel, bit FROM lat) cb
+           WHERE (m & bit) <> 0 GROUP BY 1)
+    SELECT cr.channel,
+           CAST(coalesce(ex.n_users_exposed, 0) AS BIGINT)
+             AS n_users_exposed,
+           credit_micro
+    FROM cr LEFT JOIN ex ON ex.channel = cr.channel
+    """
+
+
+@_q("qb76_shapley_attribution", _qb76_oracle())
+def qb76(spark, sf):
+    """Data-driven Shapley channel attribution (operators/temporal.py:
+    shapley_attribution): order-free, interaction-aware credit with
+    v(S) = conversion rate of users whose exposure set is contained
+    in S (defined for every coalition) — the game-theoretic
+    completion of last-touch (qb40), linear (qb42) and time-decay
+    (qb77).  One user-level aggregate, then all math on the 2^n-row
+    mask table; factorial weights injected into BOTH engines from the
+    same shapley_lattice helper; one terminal rounded division by
+    n!."""
+    from .operators.temporal import shapley_attribution
+
+    e = _t(spark, sf, "events")
+    return shapley_attribution(
+        e, "user_id", "event_type",
+        channels=("click", "view", "signup"),
+        conversion_type="purchase",
+    )
+
+
+@_q(
+    "qb77_time_decay_attribution",
+    """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS us, event_id AS id,
+             event_type AS t, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    carried AS (
+      SELECT u, us, id, t, cents,
+             last_value(CASE WHEN t = 'purchase'
+                             THEN struct_pack(us := us, id := id,
+                                              cents := cents)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY u ORDER BY us DESC, id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conv
+      FROM base),
+    touches AS (
+      SELECT u, us, id, t, conv.us AS cus, conv.id AS cid,
+             conv.cents AS ccents,
+             (CAST(1 AS BIGINT) << CAST(4 - (conv.us - us)
+                // 21600000000 AS INT)) AS w
+      FROM carried
+      WHERE t IN ('click','view','signup') AND conv IS NOT NULL
+        AND conv.us - us <= 86400000000),
+    sized AS (
+      SELECT u, cus, cid, t, ccents, w,
+             sum(w) OVER (PARTITION BY u, cus, cid) AS sw,
+             count(*) OVER (PARTITION BY u, cus, cid) AS n,
+             row_number() OVER (PARTITION BY u, cus, cid
+                                ORDER BY us, id) AS pos
+      FROM touches),
+    fcs AS (
+      SELECT t, ccents, n, pos,
+             (1000000 * w) // sw AS fc,
+             sum((1000000 * w) // sw)
+               OVER (PARTITION BY u, cus, cid) AS fcsum
+      FROM sized),
+    cr AS (
+      SELECT t, ccents,
+             CASE WHEN pos = n THEN fc + (1000000 - fcsum)
+                  ELSE fc END AS credit
+      FROM fcs),
+    credited AS (
+      SELECT t AS touch_type, CAST(credit AS BIGINT) AS credit,
+             CAST(ccents * credit AS BIGINT) AS vmicro
+      FROM cr),
+    journeys AS (
+      SELECT DISTINCT u, cus AS jus, cid AS jid FROM touches),
+    none_rows AS (
+      SELECT 'none' AS touch_type, CAST(1000000 AS BIGINT) AS credit,
+             CAST(cents * 1000000 AS BIGINT) AS vmicro
+      FROM base b
+      WHERE t = 'purchase' AND NOT EXISTS (
+        SELECT 1 FROM journeys j
+        WHERE j.u = b.u AND j.jus = b.us AND j.jid = b.id)),
+    allrows AS (
+      SELECT * FROM credited UNION ALL SELECT * FROM none_rows)
+    SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit) AS BIGINT) AS credit_micro,
+           CAST(sum(vmicro) AS BIGINT) AS value_micro_cents
+    FROM allrows GROUP BY 1
+    """,
+)
+def qb77(spark, sf):
+    """Time-decay multi-touch attribution (operators/temporal.py:
+    time_decay_attribution): journey credit split proportionally to
+    2^(-age div half_life) — recency without the last-touch cliff,
+    completing the attribution family (qb40/qb42/qb76).  Integer decay
+    exponents (bounded by horizon/half_life = 4), floor-division
+    shares with the remainder to the most recent touch so every
+    conversion conserves exactly 1e6 micro credit; same reversed-carry
+    journey shape as qb42, no range join."""
+    from .operators.temporal import time_decay_attribution
+
+    e = _t(spark, sf, "events")
+    return time_decay_attribution(
+        e, "ts", "user_id", "event_type", "value", "event_id",
+        conversion_type="purchase",
+        touch_types=("click", "view", "signup"),
+        horizon_hours=24,
+        half_life_hours=6,
+    )
+
+
+@_q(
+    "qb78_stickiness",
+    """
+    WITH ud AS (SELECT DISTINCT user_id AS u,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events),
+    bounds AS (SELECT max(d) AS hi FROM ud),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+            FROM ud GROUP BY 1),
+    wex AS (SELECT DISTINCT u, d + x AS d2
+            FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6))
+                                AS x)),
+    wau AS (SELECT d2 AS d, CAST(count(*) AS BIGINT) AS wau
+            FROM wex WHERE d2 <= (SELECT hi FROM bounds) GROUP BY 1),
+    mex AS (SELECT DISTINCT u, d + x AS d2
+            FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 27))
+                                AS x)),
+    mau AS (SELECT d2 AS d, CAST(count(*) AS BIGINT) AS mau
+            FROM mex WHERE d2 <= (SELECT hi FROM bounds) GROUP BY 1)
+    SELECT CAST(DATE '1970-01-01' + CAST(d AS INT) AS VARCHAR) AS day,
+           dau, wau, mau,
+           CAST(round(dau * 1000000 / wau) AS BIGINT) AS dau_wau_micro,
+           CAST(round(dau * 1000000 / mau) AS BIGINT) AS dau_mau_micro,
+           CAST(round(wau * 1000000 / mau) AS BIGINT) AS wau_mau_micro
+    FROM dau JOIN wau USING (d) JOIN mau USING (d)
+    """,
+)
+def qb78(spark, sf):
+    """DAU/WAU/MAU engagement panel with stickiness ratios (operators/
+    temporal.py:stickiness_daily): EXACT rolling distinct users via the
+    forward-explode trick — each distinct (user, day) row covers the
+    following window days, so one distinct + one count per day replaces
+    a rolling count-distinct; a bounded x28 expansion of the user-day
+    table (never raw events), the exact complement to qb46's mergeable
+    HLL.  Ratios are micro-rounded single divisions."""
+    from .operators.temporal import stickiness_daily
+
+    e = _t(spark, sf, "events")
+    return stickiness_daily(e, "ts", "user_id")

@@ -2639,3 +2639,343 @@ def seasonal_naive_backtest(
             .alias("beats_naive"),
         )
     )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    horizon_hours: int = 24,
+    half_life_hours: int = 6,
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the third leg of the
+    attribution family (qb40 last-touch, qb42 linear): each journey's
+    credit is split over its in-horizon touches proportionally to
+    2^(-age/half_life), so recent touches earn more without the
+    last-touch cliff.
+
+    Exactness: the decay exponent is the INTEGER age div half_life
+    (bounded by horizon/half_life), so weights are exact small ints
+    2^(e_cap - e); per-journey shares are floor divisions of
+    1e6*w/sum(w) with the remainder assigned to the LAST touch —
+    credit conserves to exactly 1e6 per conversion (qb42 discipline),
+    everything int64.  Same two-window journey shape as linear
+    attribution (reversed carry + journey partition), no range join.
+
+    Output: (touch_type, n_touches, credit_micro, value_micro_cents)
+    plus the 'none' bucket for unattributed conversions.
+    """
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(type_col).alias("_t"),
+        F.round(F.col(val_col) * 100).cast("long").alias("_cents"),
+    )
+    w_desc = Window.partitionBy("_u").orderBy(
+        F.col("_us").desc(), F.col("_id").desc()
+    )
+    conv_struct = F.when(
+        F.col("_t") == conversion_type,
+        F.struct(
+            F.col("_us").alias("us"),
+            F.col("_id").alias("id"),
+            F.col("_cents").alias("cents"),
+        ),
+    )
+    horizon_us = int(horizon_hours) * 3_600 * MICRO
+    hl_us = int(half_life_hours) * 3_600 * MICRO
+    e_cap = int(horizon_hours) // int(half_life_hours)
+    touches = base.withColumn(
+        "_conv", F.last(conv_struct, ignorenulls=True).over(w_desc)
+    ).where(
+        F.col("_t").isin(*touch_types)
+        & F.col("_conv").isNotNull()
+        & (F.col("_conv.us") - F.col("_us") <= F.lit(horizon_us))
+    )
+    weighted = touches.select(
+        "_u",
+        "_t",
+        "_us",
+        "_id",
+        F.col("_conv.us").alias("_cus"),
+        F.col("_conv.id").alias("_cid"),
+        F.col("_conv.cents").alias("_ccents"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({e_cap} - ((_conv.us - _us) div {hl_us}) AS INT))"
+        )
+        .cast("long")
+        .alias("_w"),
+    )
+    wj = Window.partitionBy("_u", "_cus", "_cid")
+    wj_rank = wj.orderBy(F.col("_us").asc(), F.col("_id").asc())
+    sized = weighted.select(
+        "_u",
+        "_cus",
+        "_cid",
+        "_t",
+        "_ccents",
+        F.col("_w"),
+        F.sum("_w").over(wj).alias("_sw"),
+        F.count("*").over(wj).alias("_n"),
+        F.row_number().over(wj_rank).alias("_pos"),
+    )
+    floor_credit = F.expr(f"(CAST({MICRO} AS BIGINT) * _w) div _sw")
+    sized = sized.withColumn("_fc", floor_credit).withColumn(
+        "_fcsum", F.sum("_fc").over(wj)
+    )
+    credit = F.when(
+        F.col("_pos") == F.col("_n"),
+        F.col("_fc") + (F.lit(MICRO) - F.col("_fcsum")),
+    ).otherwise(F.col("_fc"))
+    credited = sized.select(
+        F.col("_t").alias("touch_type"),
+        credit.cast("long").alias("_credit"),
+        (F.col("_ccents") * credit).cast("long").alias("_vmicro"),
+    )
+    journeys = touches.select(
+        F.col("_u").alias("_ju"),
+        F.col("_conv.us").alias("_jus"),
+        F.col("_conv.id").alias("_jid"),
+    ).distinct()
+    none_rows = (
+        base.where(F.col("_t") == conversion_type)
+        .join(
+            journeys,
+            (F.col("_u") == F.col("_ju"))
+            & (F.col("_us") == F.col("_jus"))
+            & (F.col("_id") == F.col("_jid")),
+            "left_anti",
+        )
+        .select(
+            F.lit("none").alias("touch_type"),
+            F.lit(MICRO).cast("long").alias("_credit"),
+            (F.col("_cents") * F.lit(MICRO)).cast("long").alias("_vmicro"),
+        )
+    )
+    return (
+        credited.unionByName(none_rows)
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("_credit").cast("long").alias("credit_micro"),
+            F.sum("_vmicro").cast("long").alias("value_micro_cents"),
+        )
+    )
+
+
+def stickiness_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    week_days: int = 7,
+    month_days: int = 28,
+) -> DataFrame:
+    """DAU / WAU / MAU + stickiness ratios per day — the product-
+    analytics engagement panel.  EXACT rolling distinct counts via the
+    forward-explode trick: each distinct (user, active_day) row is
+    exploded to the `month_days` following days it keeps the user
+    "active within window" for, then one distinct + one count per day
+    — a bounded x28 expansion of the (user, day) table (NOT raw
+    events), the exact complement to qb46's mergeable-HLL rolling
+    distincts (use that path when the user x day table itself is too
+    hot).  Days outside the observed calendar are clipped.
+
+    Output per day: (day, dau, wau, mau, dau_wau_micro, dau_mau_micro,
+    wau_mau_micro) with micro ratios as single rounded divisions.
+    """
+    day_us = 86_400_000_000
+    ud = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_d"),
+        )
+        .distinct()
+    )
+    bounds = ud.agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    dau = ud.groupBy("_d").agg(F.count("*").cast("long").alias("dau"))
+
+    def _window_counts(days: int, name: str) -> DataFrame:
+        ex = ud.select(
+            "_u",
+            F.explode(
+                F.sequence(F.col("_d"), F.col("_d") + (days - 1))
+            ).alias("_d2"),
+        ).distinct()
+        return (
+            ex.crossJoin(F.broadcast(bounds))
+            .where(F.col("_d2") <= F.col("_hi"))
+            .groupBy(F.col("_d2").alias("_d"))
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    wau = _window_counts(int(week_days), "wau")
+    mau = _window_counts(int(month_days), "mau")
+    out = dau.join(wau, "_d").join(mau, "_d")
+    r = lambda a, b: F.round(  # noqa: E731
+        F.col(a) * F.lit(MICRO) / F.col(b)
+    ).cast("long")
+    return out.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01"), F.col("_d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        r("dau", "wau").alias("dau_wau_micro"),
+        r("dau", "mau").alias("dau_mau_micro"),
+        r("wau", "mau").alias("wau_mau_micro"),
+    ).orderBy("day")
+
+
+def shapley_lattice(channels: tuple[str, ...]) -> list[tuple]:
+    """(channel, bit, subset-without-channel mask, |S|!(n-|S|-1)!) rows
+    — shared by shapley_attribution and the qb76 oracle so both
+    engines consume the SAME factorial weights (parity by
+    construction, the qa89 injected-constant discipline)."""
+    import math
+
+    n = len(channels)
+    rows = []
+    for i, ch in enumerate(channels):
+        others = [j for j in range(n) if j != i]
+        for pick in range(1 << (n - 1)):
+            s = 0
+            for k, j in enumerate(others):
+                if pick & (1 << k):
+                    s |= 1 << j
+            size = bin(s).count("1")
+            w_num = math.factorial(size) * math.factorial(n - size - 1)
+            rows.append((ch, 1 << i, s, w_num))
+    return rows
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    channels: tuple[str, ...] = ("click", "view", "signup"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Data-driven Shapley channel attribution — the order-free,
+    interaction-aware credit completing qb40/qb42/time-decay (those
+    split single journeys; Shapley asks what each channel contributes
+    ACROSS exposure combinations): with v(S) = conversion rate of
+    users whose exposure set is CONTAINED in S (defined for every
+    coalition; v(empty) = unexposed rate — the exact-set variant goes
+    negative for never-observed channels), channel c earns
+    sum_{S not containing c} |S|!(n-|S|-1)!/n! * (v(S+c) - v(S)).
+
+    Everything reduces to the 2^n-row exposure-mask table after ONE
+    user-level aggregate (n is the channel count, a dimension — 8
+    rows here); the factorial weights are Python-injected integers
+    over the common denominator n!, v's are micro-rounded single
+    divisions, and each credit is one terminal rounded division by
+    n!.  Efficiency (sum of credits = v(full) - v(empty)) holds in
+    the pre-rounding rationals — pinned by the unit test.
+
+    Output per channel: (channel, n_users_exposed, credit_micro).
+    """
+    import math
+
+    n = len(channels)
+    spark = df.sparkSession
+    per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
+        *[
+            F.max(
+                F.when(F.col(type_col) == ch, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_b{i}")
+            for i, ch in enumerate(channels)
+        ],
+        F.max(
+            F.when(F.col(type_col) == conversion_type, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("_conv"),
+    )
+    mask_expr = None
+    for i in range(n):
+        term = F.col(f"_b{i}") * F.lit(1 << i)
+        mask_expr = term if mask_expr is None else mask_expr + term
+    mt = per_user.groupBy(mask_expr.cast("long").alias("_m")).agg(
+        F.count("*").cast("long").alias("_nu"),
+        F.sum("_conv").cast("long").alias("_nc"),
+    )
+    # coalition value over ALL 2^n masks: v(S) = conversion rate among
+    # users whose exposure set is CONTAINED in S (m & S = m) — defined
+    # everywhere, v(empty) = unexposed rate
+    spine = spark.range(1 << n).select(F.col("id").cast("long").alias("_s"))
+    v = (
+        spine.join(F.broadcast(mt), F.expr("(_m & _s) = _m"), "left")
+        .groupBy("_s")
+        .agg(
+            F.sum("_nu").cast("long").alias("_nus"),
+            F.sum("_nc").cast("long").alias("_ncs"),
+        )
+        .select(
+            F.col("_s").alias("_m"),
+            F.when(
+                F.col("_nus") > 0,
+                F.round(F.col("_ncs") * F.lit(MICRO) / F.col("_nus"))
+                .cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("_v"),
+        )
+    )
+    lattice = spark.createDataFrame(
+        shapley_lattice(channels),
+        "channel string, bit long, s long, w_num long",
+    )
+    vs = v.select(F.col("_m").alias("_ms"), F.col("_v").alias("_vs"))
+    vsc = v.select(F.col("_m").alias("_msc"), F.col("_v").alias("_vsc"))
+    joined = (
+        lattice.join(
+            F.broadcast(vs), F.col("s") == F.col("_ms"), "left"
+        )
+        .join(
+            F.broadcast(vsc),
+            F.expr("s | bit") == F.col("_msc"),
+            "left",
+        )
+        .select(
+            "channel",
+            "bit",
+            (
+                F.col("w_num")
+                * (
+                    F.coalesce(F.col("_vsc"), F.lit(0))
+                    - F.coalesce(F.col("_vs"), F.lit(0))
+                )
+            ).alias("_term"),
+        )
+    )
+    exposed = (
+        mt.crossJoin(F.broadcast(lattice.select("channel", "bit").distinct()))
+        .where(F.expr("(_m & bit) <> 0"))
+        .groupBy("channel")
+        .agg(F.sum("_nu").cast("long").alias("n_users_exposed"))
+    )
+    fact_n = math.factorial(n)
+    credits = joined.groupBy("channel").agg(
+        F.round(F.sum("_term") / F.lit(fact_n)).cast("long")
+        .alias("credit_micro")
+    )
+    return credits.join(exposed, "channel", "left").select(
+        "channel",
+        F.coalesce(F.col("n_users_exposed"), F.lit(0))
+        .cast("long")
+        .alias("n_users_exposed"),
+        "credit_micro",
+    )
