@@ -13547,3 +13547,160 @@ def qb78(spark, sf):
 
     e = _t(spark, sf, "events")
     return stickiness_daily(e, "ts", "user_id")
+
+
+@_q(
+    "qb79_quantile_normalization",
+    """
+    WITH base AS (SELECT doc_id AS id, source AS g, n_chars AS v
+                  FROM documents),
+    ranked AS (SELECT id, g, v,
+                      row_number() OVER (PARTITION BY g
+                        ORDER BY v, id) AS r,
+                      count(*) OVER (PARTITION BY g) AS ng
+               FROM base),
+    nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    hc AS (SELECT v AS hv, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY 1),
+    hist AS (SELECT hv, c,
+                    sum(c) OVER (ORDER BY hv ROWS UNBOUNDED PRECEDING)
+                      - c AS cumb
+             FROM hc),
+    t AS (SELECT id, g, v,
+                 ((2 * r - 1) * (SELECT n FROM nall) + 2 * ng - 1)
+                   // (2 * ng) AS k
+          FROM ranked)
+    SELECT t.id AS doc_id, t.g AS source,
+           CAST(t.v AS BIGINT) AS n_chars,
+           CAST(h.hv AS BIGINT) AS qn_value
+    FROM t JOIN hist h ON t.k > h.cumb AND t.k <= h.cumb + h.c
+    """,
+)
+def qb79(spark, sf):
+    """Quantile normalization of doc lengths across sources
+    (operators/stats.py:quantile_normalization): every source's
+    values mapped onto the pooled distribution's matching quantile —
+    the batch-effect remover / cross-source feature aligner.  Pure
+    int64: mid-rank target k = ceil((2r-1)N/2n_g) by integer div,
+    pooled lookup via the distinct-value histogram's cumulative
+    counts in a bounded broadcast range join (qb43 idiom) — no global
+    row-level sort."""
+    from .operators.stats import quantile_normalization
+
+    d = _t(spark, sf, "documents")
+    return quantile_normalization(d, "source", "n_chars", "doc_id")
+
+
+@_q(
+    "qb80_lead_lag",
+    """
+    WITH daily AS (SELECT event_type AS t,
+                          epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events WHERE event_type IN ('click', 'view')
+                   GROUP BY 1, 2),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    spine AS (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds)))
+                AS d),
+    a AS (SELECT s.d, coalesce(y, 0) AS xa
+          FROM spine s LEFT JOIN daily ON daily.d = s.d
+                                       AND daily.t = 'click'),
+    b AS (SELECT s.d, coalesce(y, 0) AS xb
+          FROM spine s LEFT JOIN daily ON daily.d = s.d
+                                       AND daily.t = 'view'),
+    lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT)
+               AS lag),
+    pairs AS (SELECT lag, xa, xb
+              FROM a CROSS JOIN lags
+              JOIN b ON b.d = a.d + lag),
+    mom AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(xa) AS BIGINT) AS sx,
+                   CAST(sum(xb) AS BIGINT) AS sy,
+                   CAST(sum(xa * xa) AS BIGINT) AS sxx,
+                   CAST(sum(xb * xb) AS BIGINT) AS syy,
+                   CAST(sum(xa * xb) AS BIGINT) AS sxy
+            FROM pairs GROUP BY 1),
+    scored AS (SELECT lag, n_days,
+                      CASE WHEN n_days * sxx - sx * sx > 0
+                            AND n_days * syy - sy * sy > 0 THEN
+                        CAST(round(CAST(n_days * sxy - sx * sy
+                                        AS DOUBLE) * 1000
+                             / (sqrt(CAST(n_days * sxx - sx * sx
+                                          AS DOUBLE))
+                                * sqrt(CAST(n_days * syy - sy * sy
+                                            AS DOUBLE)))) AS BIGINT)
+                      END AS r_milli
+               FROM mom)
+    SELECT lag, n_days, r_milli,
+           CAST(CASE WHEN row_number() OVER (
+                  ORDER BY r_milli DESC NULLS LAST, lag) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM scored
+    """,
+)
+def qb80(spark, sf):
+    """Lead-lag cross-correlation of the click and view daily series
+    (operators/temporal.py:lead_lag_correlation): Pearson r at every
+    lag in [-7, 7] over the zero-filled calendar spine — the "does A
+    lead B" panel extending qa70's ACF.  Int64 moment sums per lag;
+    one fixed-order double (each factor cast individually, qb19
+    discipline) rounded to milli; is_best flags the ROUNDED max with
+    smaller-lag tiebreak.  Windows only over the 15-row lag spine."""
+    from .operators.temporal import lead_lag_correlation
+
+    e = _t(spark, sf, "events")
+    return lead_lag_correlation(e, "ts", "event_type", "click", "view", 7)
+
+
+@_q(
+    "qb81_growth_accounting",
+    """
+    WITH uw AS (SELECT DISTINCT user_id AS u,
+                       epoch_us(ts) // 604800000000 AS w
+                FROM events),
+    marked AS (SELECT u, w,
+                      lag(w) OVER (PARTITION BY u ORDER BY w) AS prev,
+                      lead(w) OVER (PARTITION BY u ORDER BY w) AS nxt,
+                      min(w) OVER (PARTITION BY u) AS fst
+               FROM uw),
+    classes AS (SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+                       CAST(sum(CASE WHEN w = fst THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_new,
+                       CAST(sum(CASE WHEN prev = w - 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_retained,
+                       CAST(sum(CASE WHEN w <> fst AND
+                                 (prev IS NULL OR prev < w - 1)
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_resurrected
+                FROM marked GROUP BY 1),
+    hi AS (SELECT max(w) AS hi FROM uw),
+    churn AS (SELECT w + 1 AS w, CAST(count(*) AS BIGINT) AS n_churned
+              FROM marked
+              WHERE w + 1 <= (SELECT hi FROM hi)
+                AND (nxt IS NULL OR nxt > w + 1)
+              GROUP BY 1)
+    SELECT CAST(DATE '1970-01-01' + CAST(c.w * 7 AS INT) AS VARCHAR)
+             AS week,
+           n_active, n_new, n_retained, n_resurrected,
+           CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned,
+           CASE WHEN coalesce(n_churned, 0) > 0 THEN
+             CAST(round((n_new + n_resurrected) * 1000
+                        / n_churned) AS BIGINT)
+           END AS quick_ratio_milli
+    FROM classes c LEFT JOIN churn ON churn.w = c.w
+    """,
+)
+def qb81(spark, sf):
+    """Weekly growth accounting (operators/temporal.py:
+    growth_accounting): active users decomposed into new / retained /
+    resurrected, churn attributed to the week after last activity,
+    quick ratio (new+resurrected)/churned — the standard growth
+    decomposition.  One distinct user-week table, per-user lag/lead
+    windows, pure integer counts; conservation (active_w = new +
+    retained + resurrected and active_{w-1} = retained_w + churned_w)
+    pinned by the unit test."""
+    from .operators.temporal import growth_accounting
+
+    e = _t(spark, sf, "events")
+    return growth_accounting(e, "ts", "user_id")

@@ -2464,3 +2464,71 @@ def psi_drift(
         .cast("long")
         .alias("drift_level"),
     )
+
+
+def quantile_normalization(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups: each group's values are
+    replaced by the POOLED distribution's value at the matching
+    quantile, so every group ends up with the same marginal
+    distribution — the batch-effect remover (microarray classic) that
+    doubles as cross-source feature alignment before mixing corpora.
+
+    Integer-exact end to end: within-group rank r under the total
+    order (value, id); target pooled rank k = ceil((2r-1)N / 2n_g)
+    in pure int64 (the mid-rank quantile, so group extremes map
+    inside the pooled support); the pooled value at rank k comes from
+    the VALUE HISTOGRAM's cumulative counts (qb43 idiom — the
+    histogram is distinct-value-sized, broadcast into a bounded range
+    join; no global row-level sort anywhere).
+
+    Output per row: (id, group, value, qn_value).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    wg = Window.partitionBy("_g").orderBy("_v", "_id")
+    ng = Window.partitionBy("_g")
+    ranked = base.select(
+        "_id",
+        "_g",
+        "_v",
+        F.row_number().over(wg).alias("_r"),
+        F.count("*").over(ng).alias("_ng"),
+    )
+    n_all = base.count()
+    hcounts = base.groupBy("_v").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wh = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    hist = hcounts.select(
+        F.col("_v").alias("_hv"),
+        "_c",
+        (F.sum("_c").over(wh) - F.col("_c")).alias("_cumb"),
+    )
+    target = ranked.withColumn(
+        "_num",
+        (
+            (2 * F.col("_r") - 1) * F.lit(int(n_all))
+            + 2 * F.col("_ng")
+            - 1
+        ).cast("long"),
+    ).withColumn("_k", F.expr("_num div (2 * _ng)").cast("long"))
+    # histogram range join: _cumb < k <= _cumb + _c
+    out = target.join(
+        F.broadcast(hist),
+        (F.col("_k") > F.col("_cumb"))
+        & (F.col("_k") <= F.col("_cumb") + F.col("_c")),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_g").alias(group_col),
+        F.col("_v").alias(value_col),
+        F.col("_hv").cast("long").alias("qn_value"),
+    )

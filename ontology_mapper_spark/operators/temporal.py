@@ -2979,3 +2979,196 @@ def shapley_attribution(
         .alias("n_users_exposed"),
         "credit_micro",
     )
+
+
+def lead_lag_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    type_a: str = "click",
+    type_b: str = "view",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag cross-correlation of two daily event series: Pearson r
+    of (a(d), b(d + lag)) for every lag in [-max_lag, +max_lag] — the
+    "does A lead B" discovery panel extending qa70's single-series ACF.
+    Both series live on the FULL calendar spine between the global min
+    and max day (gap days are true zeros), so every lag compares the
+    same aligned window of D - |lag| days.
+
+    Exactness: all five moment sums are int64 over the bounded spine;
+    per lag ONE fixed-order double expression (each factor cast
+    double individually before the product/sqrt — qb19 discipline)
+    rounded to r_milli; `is_best` flags the ROUNDED maximum (ties ->
+    the smaller lag).
+
+    Output per lag: (lag, n_days, r_milli, is_best).
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.where(F.col(type_col).isin(type_a, type_b))
+        .select(
+            F.col(type_col).alias("_t"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_d"),
+        )
+        .groupBy("_t", "_d")
+        .agg(F.count("*").cast("long").alias("_y"))
+    )
+    spark = df.sparkSession
+    bounds = daily.agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_d")
+    )
+
+    def series(t: str, name: str) -> DataFrame:
+        return spine.join(
+            daily.where(F.col("_t") == t).select("_d", "_y"), "_d", "left"
+        ).select(
+            "_d", F.coalesce(F.col("_y"), F.lit(0)).cast("long").alias(name)
+        )
+
+    a = series(type_a, "_xa")
+    b = series(type_b, "_xb")
+    lags = spark.range(-int(max_lag), int(max_lag) + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b.select(F.col("_d").alias("_db"), "_xb"),
+            F.col("_db") == F.col("_d") + F.col("lag"),
+        )
+        .select("lag", "_xa", "_xb")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("_xa").cast("long").alias("_sx"),
+        F.sum("_xb").cast("long").alias("_sy"),
+        F.sum(F.col("_xa") * F.col("_xa")).cast("long").alias("_sxx"),
+        F.sum(F.col("_xb") * F.col("_xb")).cast("long").alias("_syy"),
+        F.sum(F.col("_xa") * F.col("_xb")).cast("long").alias("_sxy"),
+    )
+    n = F.col("n_days")
+    cov_n = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx_n = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy_n = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    r_milli = F.when(
+        (vx_n > 0) & (vy_n > 0),
+        F.round(cov_n * F.lit(1000.0) / (F.sqrt(vx_n) * F.sqrt(vy_n)))
+        .cast("long"),
+    )
+    scored = mom.select("lag", "n_days", r_milli.alias("r_milli"))
+    wbest = Window.orderBy(
+        F.col("r_milli").desc_nulls_last(), F.col("lag").asc()
+    )
+    return scored.select(
+        "lag",
+        "n_days",
+        "r_milli",
+        (F.row_number().over(wbest) == 1).cast("long").alias("is_best"),
+    ).orderBy("lag")
+
+
+def growth_accounting(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly growth accounting: every active user-week is classified
+    NEW (first ever week), RETAINED (also active the prior week) or
+    RESURRECTED (seen before, but not last week); CHURNED counts users
+    active in week w-1 with no activity in w — the standard growth
+    decomposition whose quick ratio (new+resurrected)/churned is the
+    one-number health check.
+
+    One distinct (user, week) table, per-user lag/lead windows, pure
+    integer counts; churn for week w is attributed from each user-week
+    whose NEXT activity week is > w+1 (or absent), clipped to the
+    observed calendar.  Conservation (active_w = new + retained +
+    resurrected; active_{w-1} = retained_w + churned_w) is pinned by
+    the unit test.
+
+    Output per week: (week, n_active, n_new, n_retained,
+    n_resurrected, n_churned, quick_ratio_milli).
+    """
+    week_us = 7 * 86_400_000_000
+    uw = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {week_us}"
+            ).alias("_w"),
+        )
+        .distinct()
+    )
+    wlag = Window.partitionBy("_u").orderBy("_w")
+    marked = uw.select(
+        "_u",
+        "_w",
+        F.lag("_w").over(wlag).alias("_prev"),
+        F.lead("_w").over(wlag).alias("_next"),
+        F.min("_w").over(Window.partitionBy("_u")).alias("_first"),
+    )
+    classes = marked.groupBy("_w").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum((F.col("_w") == F.col("_first")).cast("long"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("_prev") == F.col("_w") - 1, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("_w") != F.col("_first"))
+                & (
+                    F.col("_prev").isNull()
+                    | (F.col("_prev") < F.col("_w") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    hi = uw.agg(F.max("_w").alias("_hi"))
+    churn = (
+        marked.crossJoin(F.broadcast(hi))
+        .where(
+            (F.col("_w") + 1 <= F.col("_hi"))
+            & (F.col("_next").isNull() | (F.col("_next") > F.col("_w") + 1))
+        )
+        .groupBy((F.col("_w") + 1).alias("_w"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    out = classes.join(churn, "_w", "left").select(
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01"), (F.col("_w") * 7).cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("week"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0))
+        .cast("long")
+        .alias("n_churned"),
+    )
+    return out.withColumn(
+        "quick_ratio_milli",
+        F.when(
+            F.col("n_churned") > 0,
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected"))
+                * F.lit(1000)
+                / F.col("n_churned")
+            ).cast("long"),
+        ),
+    ).orderBy("week")

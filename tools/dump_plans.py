@@ -318,6 +318,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb63_anomalous_days": "trailing window over the day spine (calendar-bounded rows)",
     "qb69_psi_drift": "wall sums over the n_bins-row bin spine (fixed bin count)",
     "qb71_t_closeness": "global cumulative over the m-row sensitive-bucket spine (fixed bucket count)",
+    "qb79_quantile_normalization": "distinct-value histogram cumulative (qa22/qa30 family, never row-level)",
+    "qb80_lead_lag": "is_best rank over the 15-row lag spine",
 }
 
 
