@@ -13704,3 +13704,181 @@ def qb81(spark, sf):
 
     e = _t(spark, sf, "events")
     return growth_accounting(e, "ts", "user_id")
+
+
+@_q(
+    "qb82_covariate_balance",
+    """
+    WITH pu AS (SELECT user_id,
+                       CASE WHEN substr(md5('cb|' ||
+                              CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                            THEN 0 ELSE 1 END AS arm,
+                       CAST(count(*) AS BIGINT) AS x0,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS x1,
+                       CAST(count(DISTINCT event_type) AS BIGINT) AS x2
+                FROM events GROUP BY 1, 2),
+    wide AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x0) AS BIGINT) AS s0,
+                    CAST(sum(x0 * x0) AS BIGINT) AS q0,
+                    CAST(sum(x1) AS BIGINT) AS s1,
+                    CAST(sum(x1 * x1) AS BIGINT) AS q1,
+                    CAST(sum(x2) AS BIGINT) AS s2,
+                    CAST(sum(x2 * x2) AS BIGINT) AS q2
+             FROM pu GROUP BY 1),
+    j AS (SELECT a.n AS n0, a.s0 AS s00, a.q0 AS q00, a.s1 AS s01,
+                 a.q1 AS q01, a.s2 AS s02, a.q2 AS q02,
+                 b.n AS n1, b.s0 AS s10, b.q0 AS q10, b.s1 AS s11,
+                 b.q1 AS q11, b.s2 AS s12, b.q2 AS q12
+          FROM (SELECT * FROM wide WHERE arm = 0) a
+          CROSS JOIN (SELECT * FROM wide WHERE arm = 1) b),
+    rows_ AS (
+      SELECT 'n_events' AS covariate, n0, n1, s00 AS s0, q00 AS q0,
+             s10 AS s1, q10 AS q1 FROM j
+      UNION ALL SELECT 'cents_total', n0, n1, s01, q01, s11, q11 FROM j
+      UNION ALL SELECT 'n_types', n0, n1, s02, q02, s12, q12 FROM j),
+    m AS (SELECT covariate, n0, n1, s0, q0, s1, q1,
+                 CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+                 CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1
+          FROM rows_),
+    v AS (SELECT *,
+                 (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * m0)
+                   / (CAST(n0 AS DOUBLE) - 1.0) AS v0,
+                 (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * m1)
+                   / (CAST(n1 AS DOUBLE) - 1.0) AS v1
+          FROM m),
+    smd AS (SELECT covariate, n0, n1, s0, s1, m0, m1,
+                   CASE WHEN (v0 + v1) / 2.0 > 0 THEN
+                     CAST(round((m1 - m0) * 1000.0
+                          / sqrt((v0 + v1) / 2.0)) AS BIGINT)
+                   END AS smd_milli
+            FROM v)
+    SELECT covariate, n0, n1,
+           CAST(round(s0 * 1000 / n0) AS BIGINT) AS mean0_milli,
+           CAST(round(s1 * 1000 / n1) AS BIGINT) AS mean1_milli,
+           smd_milli,
+           CAST(CASE WHEN smd_milli IS NULL THEN NULL
+                     WHEN abs(smd_milli) <= 100 THEN 1 ELSE 0 END
+                AS BIGINT) AS balanced
+    FROM smd
+    """,
+)
+def qb82(spark, sf):
+    """Covariate balance table (operators/stats.py:covariate_balance):
+    standardized mean differences between md5-split arms for per-user
+    activity covariates, flagged at |SMD| > 0.1 — the pre-analysis
+    gate every causal read (qb31 ATE, qb10 DiD) assumes.  One grouped
+    aggregate per arm carries ALL covariate moments; SMD is one
+    fixed-order double per covariate (qb19 discipline) on exact int64
+    moments; flags on ROUNDED milli values."""
+    from .operators.stats import covariate_balance
+
+    e = _t(spark, sf, "events")
+    pu = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_total"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    ).select(
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("cb|"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("arm"),
+        "n_events",
+        "cents_total",
+        "n_types",
+    )
+    return covariate_balance(
+        pu, "arm", ["n_events", "cents_total", "n_types"]
+    )
+
+
+@_q(
+    "qb83_rich_club",
+    f"""
+    WITH {_WORD_EDGES_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst)
+              AS b
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+            GROUP BY 1),
+    grid AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k),
+    nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM deg CROSS JOIN grid WHERE d > k GROUP BY 1),
+    ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+           FROM und
+           JOIN deg da ON da.n = und.a
+           JOIN deg db ON db.n = und.b
+           CROSS JOIN grid
+           WHERE da.d > k AND db.d > k GROUP BY 1)
+    SELECT grid.k,
+           CAST(coalesce(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+           CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+           CASE WHEN coalesce(nk.n_nodes, 0) >= 2 THEN
+             CAST(round(2000000 * coalesce(ek.n_edges, 0)
+                  / (nk.n_nodes * (nk.n_nodes - 1))) AS BIGINT)
+           END AS phi_micro
+    FROM grid LEFT JOIN nk ON nk.k = grid.k
+    LEFT JOIN ek ON ek.k = grid.k
+    """,
+)
+def qb83(spark, sf):
+    """Rich-club coefficient curve (operators/graph.py:rich_club) over
+    the word co-occurrence graph: density of the degree->k induced
+    subgraphs for k in {{1,2,4,8,16}} — "do hubs wire to each other",
+    localizing what qa31/qb49's single assortativity number averages
+    away.  Undirected dedup, one degree table, broadcast grid,
+    single-division micro densities."""
+    from .operators.graph import rich_club, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return rich_club(e, "src", "dst", (1, 2, 4, 8, 16))
+
+
+@_q(
+    "qb84_concentration",
+    """
+    WITH cells AS (SELECT lang AS g, source AS u,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+    ranked AS (SELECT g, c, row_number() OVER (PARTITION BY g
+                 ORDER BY c DESC, u) AS r
+               FROM cells),
+    agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(c) AS BIGINT) AS t,
+                   CAST(sum(c * c) AS BIGINT) AS cq,
+                   CAST(sum(CASE WHEN r = 1 THEN c ELSE 0 END)
+                        AS BIGINT) AS t1,
+                   CAST(sum(CASE WHEN r <= 3 THEN c ELSE 0 END)
+                        AS BIGINT) AS t3
+            FROM ranked GROUP BY 1)
+    SELECT g AS lang, n_units,
+           CAST(round(cq * 1000000 / (t * t)) AS BIGINT) AS hhi_micro,
+           CAST(round(t * t * 1000 / cq) AS BIGINT)
+             AS effective_n_milli,
+           CAST(round(t1 * 1000000 / t) AS BIGINT) AS top1_share_micro,
+           CAST(round(t3 * 1000000 / t) AS BIGINT) AS top3_share_micro
+    FROM agg
+    """,
+)
+def qb84(spark, sf):
+    """Source-concentration panel per language (operators/mixing.py:
+    concentration_panel): HHI over source shares, effective source
+    count 1/HHI, top-1/top-3 share — the "one source dominates this
+    slice" dashboard row next to qb32's Lorenz.  Integer count sums,
+    single terminal micro divisions, rank windows over dimension-sized
+    partitions."""
+    from .operators.mixing import concentration_panel
+
+    d = _t(spark, sf, "documents")
+    return concentration_panel(d, "lang", "source")

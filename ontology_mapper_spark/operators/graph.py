@@ -997,3 +997,84 @@ def degree_assortativity(
             "assortativity_micro"
         ),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k_grid: tuple[int, ...] = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """Rich-club coefficient phi(k) = density of the subgraph induced
+    by nodes of degree > k, for a fixed degree grid — "do the hubs
+    preferentially talk to each other", the hub-wiring diagnostic next
+    to qa31/qb49's assortativity (assortativity is one number; the
+    rich-club CURVE localizes where mixing turns elitist).
+
+    Undirected dedup (least/greatest), one degree table, then per grid
+    value one filtered count of surviving nodes and edges — the grid
+    is a broadcast dimension, edges are scanned once per k only in
+    plan form (Catalyst collapses the grid join into one pass over the
+    joined table).  phi is a single micro-rounded division
+    2e_k / (n_k (n_k - 1)); clubs with fewer than 2 nodes report null.
+
+    Output per k: (k, n_nodes, n_edges, phi_micro).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionAll(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_deg"))
+    )
+    spark = edges.sparkSession
+    grid = spark.createDataFrame(
+        [(int(k),) for k in k_grid], "k long"
+    )
+    nodes_k = (
+        deg.crossJoin(F.broadcast(grid))
+        .where(F.col("_deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    da = deg.select(F.col("_n").alias("_na"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("_n").alias("_nb"), F.col("_deg").alias("_db"))
+    ed = (
+        und.join(da, F.col("_a") == F.col("_na"))
+        .join(db, F.col("_b") == F.col("_nb"))
+        .crossJoin(F.broadcast(grid))
+        .where((F.col("_da") > F.col("k")) & (F.col("_db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    out = (
+        grid.join(nodes_k, "k", "left")
+        .join(ed, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("n_nodes"), F.lit(0))
+            .cast("long")
+            .alias("n_nodes"),
+            F.coalesce(F.col("n_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_edges"),
+        )
+    )
+    return out.withColumn(
+        "phi_micro",
+        F.when(
+            F.col("n_nodes") >= 2,
+            F.round(
+                F.lit(2_000_000)
+                * F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+            ).cast("long"),
+        ),
+    ).orderBy("k")

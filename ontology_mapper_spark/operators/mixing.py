@@ -297,3 +297,67 @@ def raking_weights(
         F.sum(F.col("n") * F.col("_w")).over(wc).cast("long")
         .alias("col_mass_micro"),
     )
+
+
+def concentration_panel(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+) -> DataFrame:
+    """Source-concentration panel per group: Herfindahl-Hirschman
+    index over unit shares, effective number of units (1/HHI), and
+    top-1 / top-3 share — the "is this slice dominated by one source"
+    dashboard row next to qb32's Lorenz/Gini (HHI is the
+    concentration number procurement and mixture reviews quote).
+
+    Exact arithmetic: with integer cell counts c and group total T,
+    HHI = sum(c^2) / T^2 — both sums int64, ONE terminal micro
+    division; effective_n_milli = 1000*T^2/sum(c^2) the same way.
+    Top shares come from per-group rank over the (group, unit) count
+    table (dimension-sized partitions).
+
+    Output per group: (group, n_units, hhi_micro, effective_n_milli,
+    top1_share_micro, top3_share_micro).
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(unit_col).alias("_u")
+        )
+        .groupBy("_g", "_u")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    wr = Window.partitionBy("_g").orderBy(
+        F.col("_c").desc(), F.col("_u").asc()
+    )
+    ranked = cells.select(
+        "_g", "_c", F.row_number().over(wr).alias("_r")
+    )
+    agg = ranked.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("_c").cast("long").alias("_t"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_cq"),
+        F.sum(F.when(F.col("_r") == 1, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_t1"),
+        F.sum(F.when(F.col("_r") <= 3, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_t3"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_units",
+        F.round(F.col("_cq") * F.lit(MICRO) / (F.col("_t") * F.col("_t")))
+        .cast("long")
+        .alias("hhi_micro"),
+        F.round(
+            F.col("_t") * F.col("_t") * F.lit(1000) / F.col("_cq")
+        )
+        .cast("long")
+        .alias("effective_n_milli"),
+        F.round(F.col("_t1") * F.lit(MICRO) / F.col("_t"))
+        .cast("long")
+        .alias("top1_share_micro"),
+        F.round(F.col("_t3") * F.lit(MICRO) / F.col("_t"))
+        .cast("long")
+        .alias("top3_share_micro"),
+    )

@@ -2532,3 +2532,97 @@ def quantile_normalization(
         F.col("_v").alias(value_col),
         F.col("_hv").cast("long").alias("qn_value"),
     )
+
+
+def covariate_balance(
+    per_unit: DataFrame,
+    arm_col: str,
+    covariate_cols: list[str],
+    smd_milli_threshold: int = 100,
+) -> DataFrame:
+    """Covariate balance table (standardized mean differences) between
+    two arms — the pre-analysis gate of every causal read (qb31's ATE,
+    qb10's DiD assume it): per covariate SMD = (mean1 - mean0) /
+    sqrt((v1 + v0)/2), flagged at the conventional |SMD| > 0.1.
+
+    Input is the per-unit covariate table (one row per randomization
+    unit).  One grouped aggregate per arm collects exact int64 moments
+    for ALL covariates at once (sum + sum-of-squares columns); the SMD
+    is one fixed-order double per covariate (each moment cast
+    individually, qb19 discipline) rounded to milli; the flag
+    compares the ROUNDED value (qb54 discipline).  Degenerate pooled
+    variance (both arms constant) yields null SMD, unflagged.
+
+    Output per covariate: (covariate, n0, n1, mean0_milli, mean1_milli,
+    smd_milli, balanced).
+    """
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for i, c in enumerate(covariate_cols):
+        v = F.col(c).cast("long")
+        aggs.append(F.sum(v).cast("long").alias(f"_s{i}"))
+        aggs.append(F.sum(v * v).cast("long").alias(f"_q{i}"))
+    wide = per_unit.groupBy(
+        F.col(arm_col).cast("long").alias("_arm")
+    ).agg(*aggs)
+    a0 = wide.where(F.col("_arm") == 0)
+    a1 = wide.where(F.col("_arm") == 1)
+    j = a0.select(
+        F.col("_n").alias("_n0"),
+        *[F.col(f"_s{i}").alias(f"_s0{i}") for i in range(len(covariate_cols))],
+        *[F.col(f"_q{i}").alias(f"_q0{i}") for i in range(len(covariate_cols))],
+    ).crossJoin(
+        a1.select(
+            F.col("_n").alias("_n1"),
+            *[
+                F.col(f"_s{i}").alias(f"_s1{i}")
+                for i in range(len(covariate_cols))
+            ],
+            *[
+                F.col(f"_q{i}").alias(f"_q1{i}")
+                for i in range(len(covariate_cols))
+            ],
+        )
+    )
+    stack_args = ", ".join(
+        f"'{c}', _s0{i}, _q0{i}, _s1{i}, _q1{i}"
+        for i, c in enumerate(covariate_cols)
+    )
+    rows = j.select(
+        "_n0",
+        "_n1",
+        F.expr(
+            f"stack({len(covariate_cols)}, {stack_args}) AS "
+            "(covariate, s0, q0, s1, q1)"
+        ),
+    )
+    n0 = F.col("_n0").cast("double")
+    n1 = F.col("_n1").cast("double")
+    m0 = F.col("s0").cast("double") / n0
+    m1 = F.col("s1").cast("double") / n1
+    v0 = (F.col("q0").cast("double") - F.col("s0").cast("double") * m0) / (
+        n0 - F.lit(1.0)
+    )
+    v1 = (F.col("q1").cast("double") - F.col("s1").cast("double") * m1) / (
+        n1 - F.lit(1.0)
+    )
+    pooled = (v0 + v1) / F.lit(2.0)
+    smd = F.when(
+        pooled > 0,
+        F.round((m1 - m0) * F.lit(1000.0) / F.sqrt(pooled)).cast("long"),
+    )
+    return rows.select(
+        "covariate",
+        F.col("_n0").cast("long").alias("n0"),
+        F.col("_n1").cast("long").alias("n1"),
+        F.round(F.col("s0") * F.lit(1000) / F.col("_n0"))
+        .cast("long")
+        .alias("mean0_milli"),
+        F.round(F.col("s1") * F.lit(1000) / F.col("_n1"))
+        .cast("long")
+        .alias("mean1_milli"),
+        smd.alias("smd_milli"),
+        F.when(
+            smd.isNotNull(),
+            (F.abs(smd) <= int(smd_milli_threshold)).cast("long"),
+        ).alias("balanced"),
+    )
