@@ -17,6 +17,10 @@ its metrics:
   * shard-parity column profiles (documents)         (qa83)
   * k-anonymity release audit (documents)            (qa62)
   * Benford first-digit deviation (documents sizes)  (qa69)
+  * anomalous-day z-scores / seasonal-naive backtest  (qb63/qb72)
+  * weekly growth accounting + DAU/WAU/MAU stickiness (qb81/qb78)
+  * PSI drift, expectations contract, fairness gaps   (qb69/qb73/qb70)
+  * t-closeness release audit, source concentration   (qb71/qb84)
 
     spark-submit --py-files engine.zip jobs/ops_audit.py \
         --sf-dir /data/tables --out /data/ops_audit
@@ -58,14 +62,23 @@ def main() -> int:
         profile_drift,
         srm_check,
     )
+    from ontology_mapper_spark.operators.dq import expectations_report
+    from ontology_mapper_spark.operators.evaluate import fairness_audit
+    from ontology_mapper_spark.operators.mixing import concentration_panel
+    from ontology_mapper_spark.operators.privacy import t_closeness_report
+    from ontology_mapper_spark.operators.stats import psi_drift
     from ontology_mapper_spark.operators.temporal import (
         acf_daily,
+        anomalous_days,
         decay_trend,
         dispersion_daily,
         event_time_disorder,
+        growth_accounting,
         half_life_decayed_counts,
         hour_dow_profile,
+        seasonal_naive_backtest,
         seasonal_strength,
+        stickiness_daily,
     )
     from ontology_mapper_spark.session import get_spark
 
@@ -115,6 +128,41 @@ def main() -> int:
             {"browse_to_buy": "v[cv]*p", "double_error": "ee",
              "signup_to_buy": "s.*p"},
         ),
+        "anomalous_days": anomalous_days(events, "ts"),
+        "backtest": seasonal_naive_backtest(events, "ts", "event_type"),
+        "growth": growth_accounting(events, "ts", "user_id"),
+        "stickiness": stickiness_daily(events, "ts", "user_id"),
+        "psi_drift": psi_drift(
+            docs, "n_chars", F.col("doc_id") % 2 == 1,
+            bin_width=100, n_bins=10,
+        ),
+        "expectations": expectations_report(
+            docs,
+            [
+                {"rule_id": "r01", "column": "doc_id", "type": "not_null"},
+                {"rule_id": "r02", "column": "doc_id", "type": "unique"},
+                {"rule_id": "r03", "column": "text", "type": "not_null"},
+                {"rule_id": "r04", "column": "n_chars", "type": "range",
+                 "lo": 1, "hi": 10000},
+            ],
+        ),
+        "fairness": fairness_audit(
+            docs, F.col("n_chars") >= 600, F.col("lang") == "en",
+            "source",
+        ),
+        "t_closeness": t_closeness_report(
+            events.select(
+                "event_type",
+                F.expr(
+                    "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+                    " + 4) % 7"
+                ).alias("dow"),
+                F.expr("CAST(round(value * 100) AS LONG) div 1000")
+                .alias("_sb"),
+            ),
+            ["event_type", "dow"], F.col("_sb"), n_buckets=10,
+        ),
+        "concentration": concentration_panel(docs, "lang", "source"),
     }
     rows = {}
     for name, df in reports.items():
@@ -168,6 +216,30 @@ def main() -> int:
         "watermark_p99_disorder_s": worst_p99,
         "top_trending_type": top_trend[0]["event_type"] if top_trend else None,
         "max_hour_dow_resid_milli": max_resid,
+        "n_anomalous_days": int(
+            reports["anomalous_days"]
+            .agg(F.sum("anomaly_flag").alias("s")).collect()[0]["s"] or 0
+        ),
+        "worst_mase_micro": reports["backtest"].agg(
+            F.max("mase_micro").alias("m")).collect()[0]["m"],
+        "latest_quick_ratio_milli": (lambda r: r[0]["quick_ratio_milli"]
+                                     if r else None)(
+            reports["growth"].orderBy(F.col("week").desc()).take(1)
+        ),
+        "psi_level": (lambda r: r[0]["drift_level"] if r else None)(
+            reports["psi_drift"].take(1)
+        ),
+        "n_failed_expectations": int(
+            reports["expectations"].where(F.col("ok") == 0).count()
+        ),
+        "n_di_flags": int(
+            reports["fairness"].agg(
+                F.sum("di_flag").alias("s")).collect()[0]["s"] or 0
+        ),
+        "n_t_closeness_flags": int(
+            reports["t_closeness"].agg(
+                F.sum("t_flag").alias("s")).collect()[0]["s"] or 0
+        ),
         "out": args.out,
     }
     print(json.dumps(summary))
