@@ -13882,3 +13882,188 @@ def qb84(spark, sf):
 
     d = _t(spark, sf, "documents")
     return concentration_panel(d, "lang", "source")
+
+
+@_q(
+    "qb85_nelson_aalen",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s, event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (SELECT user_id, sid, min(ts) AS f, max(ts) AS l
+             FROM s2 GROUP BY 1, 2),
+    gm AS (SELECT max(ts) AS g FROM events),
+    subj AS (
+      SELECT epoch_us(l) - epoch_us(f) AS t,
+             (epoch_us(g) - epoch_us(l)) > 1800000000 AS e
+      FROM sess CROSS JOIN gm),
+    per_t AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM subj GROUP BY t),
+    st AS (
+      SELECT *,
+             CAST(sum(a) OVER () AS BIGINT)
+               - CAST(coalesce(sum(a) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n
+      FROM per_t),
+    tm AS (
+      SELECT *,
+             CASE WHEN d > 0
+                  THEN CAST(round(d * 1000000 / n) AS BIGINT)
+                  ELSE 0 END AS h
+      FROM st),
+    cm AS (
+      SELECT *,
+             CAST(sum(h) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS ch
+      FROM tm)
+    SELECT t AS duration, d AS n_events,
+           CAST(a - d AS BIGINT) AS n_censored_here, n AS n_at_risk,
+           h AS hazard_micro, ch AS cum_hazard_micro
+    FROM cm WHERE d > 0
+    """,
+)
+def qb85(spark, sf):
+    """Nelson-Aalen cumulative hazard of session lifetimes (operators/
+    stats.py:nelson_aalen) on qa67's exact survival setup (gap
+    sessions, end-censoring): H(t) = sum d_j/n_j — the additive
+    sibling of Kaplan-Meier whose slope reads the hazard shape
+    directly.  Each increment is one micro-rounded division per
+    distinct event time; the cumulative is an exact integer window
+    cumsum over the curve table."""
+    from .operators.stats import nelson_aalen
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+        "event_id",
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.select(
+            "user_id", "ts", F.sum("new_s").over(run).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    )
+    gm = e.agg(F.max("ts").alias("g"))
+    subj = sess.crossJoin(F.broadcast(gm)).select(
+        (
+            F.unix_micros(F.col("l").cast("timestamp"))
+            - F.unix_micros(F.col("f").cast("timestamp"))
+        ).alias("t"),
+        (
+            F.unix_micros(F.col("g").cast("timestamp"))
+            - F.unix_micros(F.col("l").cast("timestamp"))
+            > 1_800_000_000
+        ).alias("e"),
+    )
+    return nelson_aalen(subj, "t", "e")
+
+
+@_q(
+    "qb86_simpsons_check",
+    """
+    WITH base AS (SELECT event_type AS s,
+                         CASE WHEN substr(md5('cb|' ||
+                                CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                              THEN 0 ELSE 1 END AS a,
+                         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+                  FROM events),
+    per AS (SELECT s,
+                   CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END)
+                        AS BIGINT) AS s0,
+                   CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END)
+                        AS BIGINT) AS s1
+            FROM base GROUP BY 1),
+    pooled AS (SELECT '__pooled__' AS s,
+                      CAST(sum(n0) AS BIGINT) AS n0,
+                      CAST(sum(n1) AS BIGINT) AS n1,
+                      CAST(sum(s0) AS BIGINT) AS s0,
+                      CAST(sum(s1) AS BIGINT) AS s1
+               FROM per),
+    allrows AS (SELECT * FROM per UNION ALL SELECT * FROM pooled),
+    rated AS (SELECT s, n0, n1,
+                     CASE WHEN n0 > 0 THEN
+                       CAST(round(s0 * 1000000 / n0) AS BIGINT)
+                     END AS rate0_micro,
+                     CASE WHEN n1 > 0 THEN
+                       CAST(round(s1 * 1000000 / n1) AS BIGINT)
+                     END AS rate1_micro,
+                     CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       CAST(sign(CAST(s1 * n0 - s0 * n1 AS DOUBLE))
+                            AS BIGINT)
+                     END AS diff_sign
+              FROM allrows),
+    ps AS (SELECT diff_sign AS p FROM rated WHERE s = '__pooled__'),
+    agreed AS (SELECT r.*,
+                      CASE WHEN r.diff_sign IS NOT NULL
+                            AND (SELECT p FROM ps) IS NOT NULL
+                           THEN CASE WHEN r.diff_sign =
+                                  (SELECT p FROM ps)
+                                THEN 1 ELSE 0 END
+                      END AS agrees_with_pooled
+               FROM rated r),
+    verdict AS (SELECT CAST(CASE WHEN
+                   min(coalesce(agrees_with_pooled, 1)) = 0
+                   AND max(coalesce(agrees_with_pooled, 0)) = 0
+                   AND abs(coalesce((SELECT p FROM ps), 0)) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS px
+                FROM agreed WHERE s <> '__pooled__')
+    SELECT s AS event_type, n0, n1, rate0_micro, rate1_micro,
+           diff_sign, agrees_with_pooled,
+           (SELECT px FROM verdict) AS paradox_flag
+    FROM agreed
+    """,
+)
+def qb86(spark, sf):
+    """Simpson's-paradox detector (operators/stats.py:simpsons_check):
+    pooled vs per-stratum sign of the two-arm rate difference — the
+    cheap alarm that says the aggregate read is a composition artifact
+    and qb31's stratified ATE must be used.  Signs from
+    cross-multiplied int64 (no division); rates micro-rounded; flag
+    fires only when NO informative stratum agrees with the pooled
+    direction."""
+    from .operators.stats import simpsons_check
+
+    e = _t(spark, sf, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("cb|"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return simpsons_check(
+        e.select(
+            "event_type", arm.alias("arm"), F.col("value").alias("value")
+        ),
+        "arm",
+        F.col("value") >= 50.0,
+        "event_type",
+    )

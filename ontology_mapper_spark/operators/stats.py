@@ -2626,3 +2626,191 @@ def covariate_balance(
             (F.abs(smd) <= int(smd_milli_threshold)).cast("long"),
         ).alias("balanced"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over (duration, observed?) rows
+    — the additive sibling of kaplan_meier (qa67): H(t) = sum_{j<=t}
+    d_j / n_j accumulates instantaneous risk instead of multiplying
+    survival, is better behaved in small risk sets, and its slope read
+    directly gives the hazard's shape (constant slope = exponential
+    lifetimes).
+
+    Same distinct-duration risk-set table as KM (windows over the
+    curve table, never raw rows; coarsen durations first at billions
+    of subjects); each increment d/n is ONE micro-rounded integer per
+    event time, and the cumulative hazard is an exact integer window
+    cumsum of those increments — no double accumulation (the KM
+    log-space discipline, additively).
+
+    Output, one row per distinct EVENT time, ascending: (duration,
+    n_events, n_censored_here, n_at_risk, hazard_micro,
+    cum_hazard_micro).
+    """
+    per_t = (
+        df.select(
+            F.col(duration_col).cast("long").alias("_t"),
+            F.col(event_col).cast("boolean").alias("_e"),
+        )
+        .groupBy("_t")
+        .agg(
+            F.count("*").cast("long").alias("_a"),
+            F.sum(F.col("_e").cast("long")).cast("long").alias("_d"),
+        )
+    )
+    before = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per_t.select(
+        "_t",
+        "_a",
+        "_d",
+        (
+            F.sum("_a").over(full)
+            - F.coalesce(F.sum("_a").over(before), F.lit(0))
+        )
+        .cast("long")
+        .alias("_n"),
+    )
+    inc = F.when(
+        F.col("_d") > 0,
+        F.round(F.col("_d") * F.lit(MICRO) / F.col("_n")).cast("long"),
+    ).otherwise(F.lit(0))
+    cum = staged.select(
+        "_t",
+        "_a",
+        "_d",
+        "_n",
+        inc.alias("_h"),
+        F.sum(inc).over(upto).cast("long").alias("_ch"),
+    )
+    return cum.where(F.col("_d") > 0).select(
+        F.col("_t").alias("duration"),
+        F.col("_d").alias("n_events"),
+        (F.col("_a") - F.col("_d")).cast("long").alias("n_censored_here"),
+        F.col("_n").alias("n_at_risk"),
+        F.col("_h").alias("hazard_micro"),
+        F.col("_ch").alias("cum_hazard_micro"),
+    )
+
+
+def simpsons_check(
+    df: DataFrame,
+    arm_col: str,
+    outcome_flag,
+    stratum_col: str,
+) -> DataFrame:
+    """Simpson's-paradox detector for a two-arm rate comparison: the
+    pooled rate difference's SIGN versus each stratum's — when every
+    stratum disagrees with the pooled direction, the aggregate read is
+    a composition artifact (the classic confounding trap qb31's
+    stratified ATE corrects; this is the cheap alarm that tells you to
+    USE qb31).
+
+    Integer contingency per (stratum, arm); rate differences compared
+    by cross-multiplied int64 sign (s1*n0 - s0*n1 — no division at
+    all); the paradox flag fires when the pooled
+    direction is NONZERO and no informative stratum agrees with it
+    (flat strata count as disagreeing; any stratum matching the
+    pooled sign clears it).  One grouped aggregate + one broadcast
+    of the pooled row.
+
+    Output per stratum plus one '__pooled__' row: (stratum, n0, n1,
+    rate0_micro, rate1_micro, diff_sign, agrees_with_pooled,
+    paradox_flag — flag constant across rows).
+    """
+    a = (
+        arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    ).cast("long")
+    y = F.when(outcome_flag, 1).otherwise(0).cast("long")
+    base = df.select(
+        F.col(stratum_col).alias("_s"), a.alias("_a"), y.alias("_y")
+    )
+    per = base.groupBy("_s").agg(
+        F.sum(F.when(F.col("_a") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+    )
+    pooled = per.agg(
+        F.sum("n0").cast("long").alias("n0"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("s0").cast("long").alias("s0"),
+        F.sum("s1").cast("long").alias("s1"),
+    ).select(F.lit("__pooled__").alias("_s"), "n0", "n1", "s0", "s1")
+    allrows = per.unionByName(pooled)
+    sign = F.signum(
+        (F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1"))
+        .cast("double")
+    ).cast("long")
+    rated = allrows.select(
+        "_s",
+        "n0",
+        "n1",
+        F.when(
+            F.col("n0") > 0,
+            F.round(F.col("s0") * F.lit(MICRO) / F.col("n0")).cast("long"),
+        ).alias("rate0_micro"),
+        F.when(
+            F.col("n1") > 0,
+            F.round(F.col("s1") * F.lit(MICRO) / F.col("n1")).cast("long"),
+        ).alias("rate1_micro"),
+        F.when((F.col("n0") > 0) & (F.col("n1") > 0), sign).alias(
+            "diff_sign"
+        ),
+    )
+    psign = rated.where(F.col("_s") == "__pooled__").select(
+        F.col("diff_sign").alias("_ps")
+    )
+    joined = rated.crossJoin(F.broadcast(psign))
+    agrees = F.when(
+        F.col("diff_sign").isNotNull() & F.col("_ps").isNotNull(),
+        (F.col("diff_sign") == F.col("_ps")).cast("long"),
+    )
+    flagged = joined.select(
+        F.col("_s").alias(stratum_col),
+        "n0",
+        "n1",
+        "rate0_micro",
+        "rate1_micro",
+        "diff_sign",
+        agrees.alias("agrees_with_pooled"),
+        "_ps",
+    )
+    verdict = flagged.where(
+        F.col(stratum_col) != "__pooled__"
+    ).agg(
+        (
+            (F.min(F.coalesce(F.col("agrees_with_pooled"), F.lit(1))) == 0)
+            & (F.max(F.coalesce(F.col("agrees_with_pooled"), F.lit(0))) == 0)
+            & (F.max(F.abs(F.coalesce(F.col("_ps"), F.lit(0)))) == 1)
+        )
+        .cast("long")
+        .alias("_px")
+    )
+    return flagged.crossJoin(F.broadcast(verdict)).select(
+        stratum_col,
+        "n0",
+        "n1",
+        "rate0_micro",
+        "rate1_micro",
+        "diff_sign",
+        "agrees_with_pooled",
+        F.col("_px").alias("paradox_flag"),
+    )

@@ -320,6 +320,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb71_t_closeness": "global cumulative over the m-row sensitive-bucket spine (fixed bucket count)",
     "qb79_quantile_normalization": "distinct-value histogram cumulative (qa22/qa30 family, never row-level)",
     "qb80_lead_lag": "is_best rank over the 15-row lag spine",
+    "qb85_nelson_aalen": "distinct-duration risk table (qa67 family; coarsen durations at scale)",
 }
 
 
