@@ -127,3 +127,91 @@ def stream_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_psi_drift(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    baseline_counts: list[int],
+    bin_width: int = 100,
+    window_duration: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming PSI drift monitor: per event-time tumbling window the
+    Population Stability Index of the value distribution against a
+    STATIC baseline histogram (computed batch-side and passed in as
+    plain integer counts) — the live companion to the batch
+    psi_drift (qb69): one alert row per closed window.
+
+    Shape: ONE watermarked window aggregation whose per-bin counts are
+    fixed conditional-sum COLUMNS (bin count is a dimension), so no
+    chained stateful operators and no per-row Python; everything after
+    the agg is a stateless projection where the baseline enters as
+    folded literals.  The PSI arithmetic is formula-identical to the
+    batch operator (micro-rounded shares, fixed-order double ln, int
+    term products) — parity pinned by the unit test.
+
+    Output (append mode, rows finalize at watermark): (window_start,
+    n_rows, psi_total_micro, drift_level).
+    """
+    from pyspark.sql import functions as F
+
+    b = len(baseline_counts)
+    nb = sum(baseline_counts)
+    binned = stream.withColumn(
+        "_bin",
+        F.least(
+            (F.col(value_col).cast("long") / F.lit(int(bin_width)))
+            .cast("long"),
+            F.lit(b - 1),
+        ),
+    )
+    agg = (
+        binned.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("_w"))
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            *[
+                F.sum(F.when(F.col("_bin") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_c{i}")
+                for i in range(b)
+            ],
+        )
+    )
+    terms = []
+    for i, cb in enumerate(baseline_counts):
+        cc = F.col(f"_c{i}")
+        sb = F.round(
+            F.lit((cb + 1) * 1_000_000) / F.lit(nb + b)
+        ).cast("long")
+        sc = F.round(
+            (cc + 1) * F.lit(1_000_000) / (F.col("_n") + b)
+        ).cast("long")
+        lr = F.round(
+            F.log(
+                F.lit(float(cb + 1))
+                * (F.col("_n") + b).cast("double")
+                / ((cc + 1).cast("double") * F.lit(float(nb + b)))
+            )
+            * F.lit(1_000_000.0)
+        ).cast("long")
+        terms.append(
+            F.round((sb - sc) * lr / F.lit(1_000_000)).cast("long")
+        )
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return agg.select(
+        F.date_format(F.col("_w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.col("_n").alias("n_rows"),
+        psi.cast("long").alias("psi_total_micro"),
+        F.when(psi > 250_000, F.lit(2))
+        .when(psi > 100_000, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("drift_level"),
+    )
