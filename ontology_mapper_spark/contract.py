@@ -14067,3 +14067,174 @@ def qb86(spark, sf):
         F.col("value") >= 50.0,
         "event_type",
     )
+
+
+@_q(
+    "qb87_mann_kendall",
+    """
+    WITH daily AS (SELECT event_type AS g,
+                          epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1, 2),
+    stab AS (SELECT a.g,
+                    CAST(sum(CAST(sign(CAST(b.y - a.y AS DOUBLE))
+                             AS BIGINT)) AS BIGINT) AS s_stat
+             FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+             GROUP BY 1),
+    nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1),
+    ties AS (SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                      AS tiecorr
+             FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t
+                   FROM daily GROUP BY 1, 2)
+             GROUP BY 1),
+    j AS (SELECT nd.g, n_days, s_stat,
+                 CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                      - tiecorr AS BIGINT) AS varnum
+          FROM nd JOIN stab ON stab.g = nd.g
+          JOIN ties ON ties.g = nd.g),
+    z AS (SELECT g, n_days, s_stat, varnum,
+                 CASE WHEN varnum > 0 AND s_stat > 0 THEN
+                        CAST(round(CAST(s_stat - 1 AS DOUBLE)
+                             / sqrt(CAST(varnum AS DOUBLE) / 18.0)
+                             * 1000.0) AS BIGINT)
+                      WHEN varnum > 0 AND s_stat < 0 THEN
+                        CAST(round(CAST(s_stat + 1 AS DOUBLE)
+                             / sqrt(CAST(varnum AS DOUBLE) / 18.0)
+                             * 1000.0) AS BIGINT)
+                      WHEN varnum > 0 THEN CAST(0 AS BIGINT)
+                 END AS z_milli
+          FROM j)
+    SELECT g AS event_type, n_days, s_stat, varnum AS var_num_x18,
+           z_milli,
+           CAST(CASE WHEN z_milli > 1960 THEN 1
+                     WHEN z_milli < -1960 THEN -1
+                     WHEN z_milli IS NOT NULL THEN 0
+                END AS BIGINT) AS trend_flag
+    FROM z
+    """,
+)
+def qb87(spark, sf):
+    """Mann-Kendall nonparametric trend test per event type
+    (operators/temporal.py:mann_kendall): pairwise sign sum over the
+    day spine, tie-corrected variance (18-scaled numerator stays
+    int64), continuity-corrected z — the distribution-free IS-there-a-
+    trend companion to qb67's Theil-Sen HOW-steep.  Flag on the
+    ROUNDED z at the 1.96 threshold with direction sign."""
+    from .operators.temporal import mann_kendall
+
+    e = _t(spark, sf, "events")
+    return mann_kendall(e, "ts", "event_type")
+
+
+@_q(
+    "qb88_evalue",
+    """
+    WITH base AS (SELECT event_type AS s,
+                         CASE WHEN substr(md5('cb|' ||
+                                CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                              THEN 0 ELSE 1 END AS a,
+                         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+                  FROM events),
+    per AS (SELECT s,
+                   CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END)
+                        AS BIGINT) AS s0,
+                   CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END)
+                        AS BIGINT) AS s1
+            FROM base GROUP BY 1),
+    pooled AS (SELECT '__pooled__' AS s,
+                      CAST(sum(n0) AS BIGINT) AS n0,
+                      CAST(sum(n1) AS BIGINT) AS n1,
+                      CAST(sum(s0) AS BIGINT) AS s0,
+                      CAST(sum(s1) AS BIGINT) AS s1
+               FROM per),
+    allrows AS (SELECT * FROM per UNION ALL SELECT * FROM pooled),
+    calc AS (SELECT *,
+                    CAST(s1 * n0 AS DOUBLE) / CAST(s0 * n1 AS DOUBLE)
+                      AS rr
+             FROM allrows),
+    ev AS (SELECT *,
+                  greatest(rr, 1.0 / rr) AS rrs
+           FROM calc)
+    SELECT s AS event_type, n0, n1, s0, s1,
+           CASE WHEN s0 > 0 AND s1 > 0 AND n0 > 0 AND n1 > 0 THEN
+             CAST(round(rr * 1000000.0) AS BIGINT) END AS rr_micro,
+           CASE WHEN s0 > 0 AND s1 > 0 AND n0 > 0 AND n1 > 0 THEN
+             CAST(round((rrs + sqrt(rrs * (rrs - 1.0))) * 1000000.0)
+                  AS BIGINT)
+           END AS evalue_micro
+    FROM ev
+    """,
+)
+def qb88(spark, sf):
+    """E-value confounding-robustness audit (operators/stats.py:
+    evalue_confounding) on the qb86 arm/outcome setup: the minimum
+    confounder association strength that could explain the observed
+    rate ratio away (VanderWeele-Ding) — the honest footnote under
+    qb10/qb31's causal reads.  RR from ONE division of
+    cross-multiplied int64; fixed-order double E formula; micro
+    rounding at the end only."""
+    from .operators.stats import evalue_confounding
+
+    e = _t(spark, sf, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("cb|"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return evalue_confounding(
+        e.select("event_type", arm.alias("arm"), "value"),
+        "arm",
+        F.col("value") >= 50.0,
+        "event_type",
+    )
+
+
+def _qb89_oracle() -> str:
+    base = ORACLES["qb74_raking"]
+    head = base[: base.rindex("SELECT r AS lang")]
+    return head + """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS n_units,
+           CASE WHEN sum(n * w * w) > 0 THEN
+             CAST(round(CAST(sum(n * w) AS DOUBLE)
+                  * CAST(sum(n * w) AS DOUBLE)
+                  / CAST(sum(n * w * w) AS DOUBLE) * 1000.0) AS BIGINT)
+           END AS ess_milli,
+           CASE WHEN sum(n * w * w) > 0 AND sum(n) > 0 THEN
+             CAST(round(CAST(sum(n * w) AS DOUBLE)
+                  * CAST(sum(n * w) AS DOUBLE)
+                  / CAST(sum(n * w * w) AS DOUBLE) * 1000000.0
+                  / CAST(sum(n) AS DOUBLE)) AS BIGINT)
+           END AS ess_ratio_micro
+    FROM b4
+    """
+
+
+@_q("qb89_kish_ess", _qb89_oracle())
+def qb89(spark, sf):
+    """Kish effective sample size of the qb74 raking weights
+    (operators/stats.py:kish_ess): (sum nw)^2 / (sum nw^2) — how many
+    equal-weight rows the reweighted corpus is worth; a ratio far
+    below 1 means the bias correction spent most of the sample's
+    power.  Composes raking_weights -> kish_ess in one plan; the
+    oracle reuses qb74's CTE chain verbatim (single source of truth)
+    with the ESS tail."""
+    from .operators.mixing import raking_weights
+    from .operators.stats import kish_ess
+
+    d = _t(spark, sf, "documents")
+    bucket = F.expr("CAST(substring(source, 4, 10) AS LONG) % 3").alias(
+        "src_bucket"
+    )
+    cur = d.where(F.col("doc_id") % 2 == 1).select("lang", bucket)
+    ref = d.where(F.col("doc_id") % 2 == 0).select("lang", bucket)
+    w = raking_weights(cur, ref, "lang", "src_bucket", rounds=2)
+    return kish_ess(w, "n", "w_micro")

@@ -2814,3 +2814,131 @@ def simpsons_check(
         "agrees_with_pooled",
         F.col("_px").alias("paradox_flag"),
     )
+
+
+def evalue_confounding(
+    df: DataFrame,
+    arm_col: str,
+    outcome_flag,
+    stratum_col: str,
+) -> DataFrame:
+    """E-value robustness audit (VanderWeele & Ding 2017) for two-arm
+    rate ratios, per stratum plus pooled: the minimum strength of
+    association an unmeasured confounder would need with BOTH arm and
+    outcome to explain the observed ratio away — E = RR* +
+    sqrt(RR*(RR*-1)) with RR* = max(RR, 1/RR).  The one-number answer
+    to "could confounding alone do this", the honest footnote under
+    qb10/qb31's causal estimates.
+
+    Integer contingency per stratum; RR is ONE double division of
+    cross-multiplied int64 (s1*n0)/(s0*n1) — never two separate rate
+    divisions; the E formula is a fixed-order double on that value,
+    micro-rounded at the end.  Strata with a zero rate on either arm
+    report null (RR undefined).
+
+    Output per stratum + '__pooled__': (stratum, n0, n1, s0, s1,
+    rr_micro, evalue_micro).
+    """
+    a = (
+        arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    ).cast("long")
+    y = F.when(outcome_flag, 1).otherwise(0).cast("long")
+    base = df.select(
+        F.col(stratum_col).alias("_s"), a.alias("_a"), y.alias("_y")
+    )
+    per = base.groupBy("_s").agg(
+        F.sum(F.when(F.col("_a") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+    )
+    pooled = per.agg(
+        F.sum("n0").cast("long").alias("n0"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("s0").cast("long").alias("s0"),
+        F.sum("s1").cast("long").alias("s1"),
+    ).select(F.lit("__pooled__").alias("_s"), "n0", "n1", "s0", "s1")
+    allrows = per.unionByName(pooled)
+    ok = (
+        (F.col("s0") > 0)
+        & (F.col("s1") > 0)
+        & (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+    )
+    rr = (F.col("s1") * F.col("n0")).cast("double") / (
+        F.col("s0") * F.col("n1")
+    ).cast("double")
+    rr_star = F.greatest(rr, F.lit(1.0) / rr)
+    ev = rr_star + F.sqrt(rr_star * (rr_star - F.lit(1.0)))
+    return allrows.select(
+        F.col("_s").alias(stratum_col),
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        F.when(ok, F.round(rr * F.lit(1_000_000.0)).cast("long")).alias(
+            "rr_micro"
+        ),
+        F.when(ok, F.round(ev * F.lit(1_000_000.0)).cast("long")).alias(
+            "evalue_micro"
+        ),
+    )
+
+
+def kish_ess(
+    weighted: DataFrame,
+    count_col: str,
+    weight_micro_col: str,
+) -> DataFrame:
+    """Kish effective sample size of a weighted table: ESS =
+    (sum n*w)^2 / (sum n*w^2) — how many EQUAL-WEIGHT rows the
+    weighted corpus is statistically worth.  The one-number audit of
+    any reweighting (qb74 raking, qa26 DSIR, qb06 mixture): an ESS
+    ratio far below 1 says the weights bought bias correction with
+    most of the sample's power.
+
+    Micro-int weights in, exact int64 sums of n*w and n*w*w, then one
+    fixed-order double ratio; the micro scaling cancels in the ratio
+    by construction ((sum nw)^2 / (sum nw^2 * sum n) for the ratio
+    form).  Output is a single audit row.
+
+    Output: (n_rows, n_units, ess_milli, ess_ratio_micro).
+    """
+    base = weighted.select(
+        F.col(count_col).cast("long").alias("_n"),
+        F.col(weight_micro_col).cast("long").alias("_w"),
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("_n").cast("long").alias("n_units"),
+        F.sum(F.col("_n") * F.col("_w")).cast("long").alias("_sw"),
+        F.sum(F.col("_n") * F.col("_w") * F.col("_w"))
+        .cast("long")
+        .alias("_sww"),
+    )
+    ess = (
+        F.col("_sw").cast("double")
+        * F.col("_sw").cast("double")
+        / F.col("_sww").cast("double")
+    )
+    return agg.select(
+        "n_rows",
+        "n_units",
+        F.when(
+            F.col("_sww") > 0, F.round(ess * F.lit(1000.0)).cast("long")
+        ).alias("ess_milli"),
+        F.when(
+            (F.col("_sww") > 0) & (F.col("n_units") > 0),
+            F.round(
+                ess * F.lit(1_000_000.0) / F.col("n_units").cast("double")
+            ).cast("long"),
+        ).alias("ess_ratio_micro"),
+    )

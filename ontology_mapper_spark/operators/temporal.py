@@ -3172,3 +3172,104 @@ def growth_accounting(
             ).cast("long"),
         ),
     ).orderBy("week")
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    z_milli_threshold: int = 1960,
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per group on the daily
+    volume series: S = sum of sign(y_j - y_i) over day pairs, with
+    the tie-corrected variance Var(S) = [n(n-1)(2n+5) -
+    sum_t t(t-1)(2t+5)] / 18 and the continuity-corrected z — the
+    distribution-free "is there ANY monotone trend" answer that pairs
+    with qb67's Theil-Sen slope (MK decides IF, Theil-Sen says HOW
+    STEEP).
+
+    The pairwise sum runs over the calendar-bounded day spine (the
+    qb67 allowance); S, the tie table and the 18-scaled variance
+    numerator stay int64; z is one fixed-order double
+    ((S -+ 1) / sqrt(varnum/18)) rounded to milli, and the trend flag
+    compares the ROUNDED z to an integer threshold (qb54
+    discipline).
+
+    Output per group: (group, n_days, s_stat, var_num_x18, z_milli,
+    trend_flag) with flag sign = trend direction (+1/-1/0).
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_day"),
+        )
+        .groupBy("_g", "_day")
+        .agg(F.count("*").cast("long").alias("_y"))
+    )
+    a = daily.select(
+        "_g", F.col("_day").alias("_di"), F.col("_y").alias("_yi")
+    )
+    b = daily.select(
+        F.col("_g").alias("_gb"),
+        F.col("_day").alias("_dj"),
+        F.col("_y").alias("_yj"),
+    )
+    s_tab = (
+        a.join(b, (a["_g"] == b["_gb"]) & (F.col("_di") < F.col("_dj")))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.signum((F.col("_yj") - F.col("_yi")).cast("double"))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("_g", "_y")
+        .agg(F.count("*").cast("long").alias("_t"))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            )
+            .cast("long")
+            .alias("_tiecorr")
+        )
+    )
+    j = nd.join(s_tab, "_g").join(ties, "_g")
+    n = F.col("n_days")
+    varnum = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tiecorr")
+    ).cast("long")
+    zraw = F.when(
+        (varnum > 0) & (F.col("s_stat") > 0),
+        (F.col("s_stat") - 1).cast("double")
+        / F.sqrt(varnum.cast("double") / F.lit(18.0)),
+    ).when(
+        (varnum > 0) & (F.col("s_stat") < 0),
+        (F.col("s_stat") + 1).cast("double")
+        / F.sqrt(varnum.cast("double") / F.lit(18.0)),
+    ).when(varnum > 0, F.lit(0.0))
+    z_milli = F.round(zraw * F.lit(1000.0)).cast("long")
+    return j.select(
+        F.col("_g").alias(group_col),
+        "n_days",
+        "s_stat",
+        varnum.alias("var_num_x18"),
+        z_milli.alias("z_milli"),
+        F.when(
+            z_milli > int(z_milli_threshold), F.lit(1)
+        )
+        .when(z_milli < -int(z_milli_threshold), F.lit(-1))
+        .when(z_milli.isNotNull(), F.lit(0))
+        .cast("long")
+        .alias("trend_flag"),
+    )
