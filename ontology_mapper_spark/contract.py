@@ -14238,3 +14238,266 @@ def qb89(spark, sf):
     ref = d.where(F.col("doc_id") % 2 == 0).select("lang", bucket)
     w = raking_weights(cur, ref, "lang", "src_bucket", rounds=2)
     return kish_ess(w, "n", "w_micro")
+
+
+@_q(
+    "qb90_mantel_haenszel",
+    """
+    WITH base AS (SELECT event_type AS s,
+                         CASE WHEN substr(md5('cb|' ||
+                                CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                              THEN 0 ELSE 1 END AS a,
+                         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+                  FROM events),
+    per AS (SELECT s,
+                   CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END)
+                        AS BIGINT) AS s0,
+                   CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END)
+                        AS BIGINT) AS s1
+            FROM base GROUP BY 1),
+    terms AS (SELECT s,
+                     CAST(round(s1 * n0 * 1000000 / (n0 + n1))
+                          AS BIGINT) AS numk,
+                     CAST(round(s0 * n1 * 1000000 / (n0 + n1))
+                          AS BIGINT) AS denk,
+                     n0, n1, s0, s1
+              FROM per),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                   CAST(sum(numk) AS BIGINT) AS num_micro_sum,
+                   CAST(sum(denk) AS BIGINT) AS den_micro_sum,
+                   CAST(sum(n0) AS BIGINT) AS tn0,
+                   CAST(sum(n1) AS BIGINT) AS tn1,
+                   CAST(sum(s0) AS BIGINT) AS ts0,
+                   CAST(sum(s1) AS BIGINT) AS ts1
+            FROM terms)
+    SELECT n_strata, num_micro_sum, den_micro_sum,
+           CASE WHEN den_micro_sum > 0 THEN
+             CAST(round(num_micro_sum * 1000000 / den_micro_sum)
+                  AS BIGINT) END AS rr_mh_micro,
+           CASE WHEN ts0 > 0 AND tn1 > 0 THEN
+             CAST(round(CAST(ts1 * tn0 AS DOUBLE) * 1000000.0
+                        / CAST(ts0 * tn1 AS DOUBLE)) AS BIGINT)
+           END AS crude_rr_micro
+    FROM agg
+    """,
+)
+def qb90(spark, sf):
+    """Mantel-Haenszel pooled rate ratio (operators/stats.py:
+    mantel_haenszel_rr) on the qb86/qb88 setup — the information-
+    weighted stratified estimator to USE when the Simpson check
+    fires, next to the crude pooled ratio it corrects.  Per-stratum
+    terms are micro-rounded single divisions (spec'd fixed-point,
+    qa90/qb05 discipline), sums exact int64, one terminal
+    division."""
+    from .operators.stats import mantel_haenszel_rr
+
+    e = _t(spark, sf, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("cb|"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return mantel_haenszel_rr(
+        e.select("event_type", arm.alias("arm"), "value"),
+        "arm",
+        F.col("value") >= 50.0,
+        "event_type",
+    )
+
+
+@_q(
+    "qb91_logrank",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s, event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (SELECT user_id, sid, min(ts) AS f, max(ts) AS l
+             FROM s2 GROUP BY 1, 2),
+    gm AS (SELECT max(ts) AS g FROM events),
+    subj AS (
+      SELECT epoch_us(l) - epoch_us(f) AS t,
+             (epoch_us(g) - epoch_us(l)) > 1800000000 AS e,
+             CASE WHEN substr(md5('cb|' ||
+                    CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 0 ELSE 1 END AS grp
+      FROM sess CROSS JOIN gm),
+    per_t AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a1,
+             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN e AND grp = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1
+      FROM subj GROUP BY t),
+    st AS (
+      SELECT t, d, d1,
+             CAST(sum(a) OVER () AS BIGINT)
+               - CAST(coalesce(sum(a) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n,
+             CAST(sum(a1) OVER () AS BIGINT)
+               - CAST(coalesce(sum(a1) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n1
+      FROM per_t),
+    ev AS (SELECT * FROM st WHERE d > 0),
+    terms AS (
+      SELECT d, d1,
+             CAST(round(d * n1 * 1000000 / n) AS BIGINT) AS e1,
+             CASE WHEN n > 1 THEN
+               CAST(round(CAST(d * n1 * (n - n1) * (n - d) AS DOUBLE)
+                    * 1000000.0
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n - 1 AS DOUBLE))) AS BIGINT)
+             ELSE 0 END AS v
+      FROM ev),
+    agg AS (SELECT CAST(sum(d) AS BIGINT) AS n_events_total,
+                   CAST(sum(d1) AS BIGINT) AS o1,
+                   CAST(sum(e1) AS BIGINT) AS e1_micro,
+                   CAST(sum(v) AS BIGINT) AS v_micro
+            FROM terms)
+    SELECT n_events_total, o1, e1_micro, v_micro,
+           CASE WHEN v_micro > 0 THEN
+             CAST(round((CAST(o1 AS DOUBLE) * 1000000.0
+                         - CAST(e1_micro AS DOUBLE))
+                  / sqrt(CAST(v_micro AS DOUBLE) * 1000000.0)
+                  * 1000.0) AS BIGINT)
+           END AS z_milli,
+           CAST(CASE WHEN v_micro > 0 THEN
+             CASE WHEN abs(CAST(round((CAST(o1 AS DOUBLE) * 1000000.0
+                          - CAST(e1_micro AS DOUBLE))
+                   / sqrt(CAST(v_micro AS DOUBLE) * 1000000.0)
+                   * 1000.0) AS BIGINT)) > 1960 THEN 1 ELSE 0 END
+           END AS BIGINT) AS signif_flag
+    FROM agg
+    """,
+)
+def qb91(spark, sf):
+    """Two-group log-rank test (operators/stats.py:logrank_test) on
+    qa67's session-survival setup with md5-split user arms: observed
+    vs expected group-1 deaths under the pooled hazard with
+    hypergeometric variance — the inferential completion of KM (qa67)
+    and Nelson-Aalen (qb85).  E1 and V micro-rounded once per event
+    time (spec'd), sums exact int64, one terminal double z; flag on
+    the ROUNDED |z|."""
+    from .operators.stats import logrank_test
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+        "event_id",
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.select(
+            "user_id", "ts", F.sum("new_s").over(run).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    )
+    gm = e.agg(F.max("ts").alias("g"))
+    subj = sess.crossJoin(F.broadcast(gm)).select(
+        (
+            F.unix_micros(F.col("l").cast("timestamp"))
+            - F.unix_micros(F.col("f").cast("timestamp"))
+        ).alias("t"),
+        (
+            F.unix_micros(F.col("g").cast("timestamp"))
+            - F.unix_micros(F.col("l").cast("timestamp"))
+            > 1_800_000_000
+        ).alias("e"),
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("cb|"), F.col("user_id").cast("string"))
+                ),
+                1,
+                1,
+            )
+            < "8",
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("grp"),
+    )
+    return logrank_test(subj, "t", "e", "grp")
+
+
+@_q(
+    "qb92_cramers_v",
+    """
+    WITH cells AS (SELECT source AS r, lang AS c,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM documents GROUP BY 1, 2),
+    rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rmv
+           FROM cells GROUP BY 1),
+    cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS cmv
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT r) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT c) AS BIGINT) AS nc
+            FROM cells),
+    grid AS (SELECT rm.r, rm.rmv, cm.c, cm.cmv FROM rm CROSS JOIN cm),
+    filled AS (SELECT g.rmv, g.cmv, coalesce(cells.o, 0) AS o
+               FROM grid g LEFT JOIN cells ON cells.r = g.r
+                                           AND cells.c = g.c),
+    terms AS (SELECT CAST(round(
+                       (CAST((SELECT n FROM tot) * o
+                             - rmv * cmv AS DOUBLE)
+                        * CAST((SELECT n FROM tot) * o
+                               - rmv * cmv AS DOUBLE))
+                       * 1000000.0
+                       / (CAST((SELECT n FROM tot) AS DOUBLE)
+                          * CAST(rmv AS DOUBLE) * CAST(cmv AS DOUBLE)))
+                       AS BIGINT) AS term
+              FROM filled),
+    agg AS (SELECT (SELECT n FROM tot) AS n,
+                   (SELECT nr FROM tot) AS n_rows_cat,
+                   (SELECT nc FROM tot) AS n_cols_cat,
+                   CAST(sum(term) AS BIGINT) AS chi2_micro
+            FROM terms)
+    SELECT n, n_rows_cat, n_cols_cat, chi2_micro,
+           CASE WHEN n * (least(n_rows_cat, n_cols_cat) - 1) > 0 THEN
+             CAST(round(sqrt(CAST(chi2_micro AS DOUBLE)
+                  / (CAST(n * (least(n_rows_cat, n_cols_cat) - 1)
+                          AS DOUBLE) * 1000000.0)) * 1000000.0)
+                  AS BIGINT)
+           END AS v_micro
+    FROM agg
+    """,
+)
+def qb92(spark, sf):
+    """Cramer's V association between source and language (operators/
+    stats.py:cramers_v): the [0,1]-normalized contingency effect size
+    qb55's residuals lack.  Full r x c grid (absent cells are real
+    zeros), per-cell term micro-rounded once on int64 cross products,
+    exact integer chi-square sum, one terminal sqrt."""
+    from .operators.stats import cramers_v
+
+    d = _t(spark, sf, "documents")
+    return cramers_v(d, "source", "lang")

@@ -2942,3 +2942,269 @@ def kish_ess(
             ).cast("long"),
         ).alias("ess_ratio_micro"),
     )
+
+
+def mantel_haenszel_rr(
+    df: DataFrame,
+    arm_col: str,
+    outcome_flag,
+    stratum_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel pooled rate ratio across strata — the correct
+    one-number summary when qb86's Simpson check fires: weight each
+    stratum's ratio by its information instead of letting composition
+    confound the pooled rate (RR_MH = sum_k s1_k n0_k / N_k divided
+    by sum_k s0_k n1_k / N_k).
+
+    Integer contingency per stratum; each stratum's numerator and
+    denominator terms are micro-rounded single divisions by N_k
+    (int64 cross products first), the two sums are exact int64, and
+    RR_MH is ONE terminal division — the per-stratum rounding is part
+    of the spec so both engines agree bit-for-bit (qa90/qb05
+    fixed-point discipline).
+
+    Output (single audit row): (n_strata, num_micro_sum,
+    den_micro_sum, rr_mh_micro) plus the crude pooled rr_micro for
+    the confounding contrast.
+    """
+    a = (
+        arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    ).cast("long")
+    y = F.when(outcome_flag, 1).otherwise(0).cast("long")
+    base = df.select(
+        F.col(stratum_col).alias("_s"), a.alias("_a"), y.alias("_y")
+    )
+    per = base.groupBy("_s").agg(
+        F.sum(F.when(F.col("_a") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+    )
+    nk = F.col("n0") + F.col("n1")
+    num_k = F.round(
+        F.col("s1") * F.col("n0") * F.lit(MICRO) / nk
+    ).cast("long")
+    den_k = F.round(
+        F.col("s0") * F.col("n1") * F.lit(MICRO) / nk
+    ).cast("long")
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(num_k).cast("long").alias("num_micro_sum"),
+        F.sum(den_k).cast("long").alias("den_micro_sum"),
+        F.sum("n0").cast("long").alias("_tn0"),
+        F.sum("n1").cast("long").alias("_tn1"),
+        F.sum("s0").cast("long").alias("_ts0"),
+        F.sum("s1").cast("long").alias("_ts1"),
+    )
+    return agg.select(
+        "n_strata",
+        "num_micro_sum",
+        "den_micro_sum",
+        F.when(
+            F.col("den_micro_sum") > 0,
+            F.round(
+                F.col("num_micro_sum")
+                * F.lit(MICRO)
+                / F.col("den_micro_sum")
+            ).cast("long"),
+        ).alias("rr_mh_micro"),
+        F.when(
+            (F.col("_ts0") > 0) & (F.col("_tn1") > 0),
+            F.round(
+                (F.col("_ts1") * F.col("_tn0")).cast("double")
+                * F.lit(1_000_000.0)
+                / (F.col("_ts0") * F.col("_tn1")).cast("double")
+            ).cast("long"),
+        ).alias("crude_rr_micro"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group log-rank test — the survival-curve comparison that
+    completes the qa67/qb85 family: at each event time, group 1's
+    observed deaths vs expected under the pooled hazard
+    (E1 = d*n1/n), with hypergeometric variance
+    V = d*(n1/n)*(n0/n)*(n-d)/(n-1); z = (O1 - E1)/sqrt(sum V).
+
+    Risk sets come from the same distinct-duration curve table as KM
+    (coarsen durations at scale); per event time E1 and V are
+    micro-rounded once (int64 cross products, one division each —
+    the rounding is part of the spec), their sums are exact int64,
+    and z is one terminal fixed-order double rounded to milli.
+
+    Output (single row): (n_events_total, o1, e1_micro, v_micro,
+    z_milli, signif_flag) — flag on the ROUNDED |z| > 1.96.
+    """
+    base = df.select(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("boolean").alias("_e"),
+        F.col(group_col).cast("long").alias("_g"),
+    )
+    per_t = base.groupBy("_t").agg(
+        F.count("*").cast("long").alias("_a"),
+        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_a1"),
+        F.sum(F.col("_e").cast("long")).cast("long").alias("_d"),
+        F.sum(F.when(F.col("_g") == 1, F.col("_e").cast("long")).otherwise(0))
+        .cast("long")
+        .alias("_d1"),
+    )
+    before = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    full = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per_t.select(
+        "_t",
+        "_d",
+        "_d1",
+        (
+            F.sum("_a").over(full)
+            - F.coalesce(F.sum("_a").over(before), F.lit(0))
+        )
+        .cast("long")
+        .alias("_n"),
+        (
+            F.sum("_a1").over(full)
+            - F.coalesce(F.sum("_a1").over(before), F.lit(0))
+        )
+        .cast("long")
+        .alias("_n1"),
+    ).where(F.col("_d") > 0)
+    e1 = F.round(
+        F.col("_d") * F.col("_n1") * F.lit(MICRO) / F.col("_n")
+    ).cast("long")
+    v = F.when(
+        F.col("_n") > 1,
+        F.round(
+            (
+                F.col("_d")
+                * F.col("_n1")
+                * (F.col("_n") - F.col("_n1"))
+                * (F.col("_n") - F.col("_d"))
+            ).cast("double")
+            * F.lit(1_000_000.0)
+            / (
+                F.col("_n").cast("double")
+                * F.col("_n").cast("double")
+                * (F.col("_n") - 1).cast("double")
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = staged.agg(
+        F.sum("_d").cast("long").alias("n_events_total"),
+        F.sum("_d1").cast("long").alias("o1"),
+        F.sum(e1).cast("long").alias("e1_micro"),
+        F.sum(v).cast("long").alias("v_micro"),
+    )
+    z = F.when(
+        F.col("v_micro") > 0,
+        F.round(
+            (
+                F.col("o1").cast("double") * F.lit(1_000_000.0)
+                - F.col("e1_micro").cast("double")
+            )
+            / F.sqrt(F.col("v_micro").cast("double") * F.lit(1_000_000.0))
+            * F.lit(1000.0)
+        ).cast("long"),
+    )
+    return agg.select(
+        "n_events_total",
+        "o1",
+        "e1_micro",
+        "v_micro",
+        z.alias("z_milli"),
+        F.when(z.isNotNull(), (F.abs(z) > 1960).cast("long")).alias(
+            "signif_flag"
+        ),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Cramer's V association strength between two categorical columns
+    — the [0,1]-normalized effect size the raw chi-square (qb55's
+    independence residuals) lacks: V = sqrt(chi2 / (N*(min(r,c)-1))).
+
+    One contingency aggregate; each cell's chi-square term
+    (N*o - rm*cm)^2 / (N*rm*cm) enters as a micro-rounded fixed-order
+    double ONCE per cell (int64 cross products first), the total is an
+    exact int64 sum, and V is one terminal sqrt of a single division —
+    deterministic in both engines.
+
+    Output (single row): (n, n_rows_cat, n_cols_cat, chi2_micro,
+    v_micro).
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count("*").cast("long").alias("_o"))
+    rm = cells.groupBy("_r").agg(F.sum("_o").cast("long").alias("_rm"))
+    cm = cells.groupBy("_c").agg(F.sum("_o").cast("long").alias("_cm"))
+    tot = cells.agg(
+        F.sum("_o").cast("long").alias("_n"),
+        F.countDistinct("_r").cast("long").alias("_nr"),
+        F.countDistinct("_c").cast("long").alias("_nc"),
+    )
+    # full r x c grid (absent cells are real zeros in chi-square)
+    grid = rm.crossJoin(cm)
+    full = grid.join(cells, ["_r", "_c"], "left").select(
+        "_rm",
+        "_cm",
+        F.coalesce(F.col("_o"), F.lit(0)).cast("long").alias("_o"),
+    )
+    j = full.crossJoin(F.broadcast(tot))
+    dev = (F.col("_n") * F.col("_o") - F.col("_rm") * F.col("_cm")).cast(
+        "double"
+    )
+    # chi2 cell term: (o-e)^2/e = (N*o - rm*cm)^2 / (N*rm*cm)
+    term = F.round(
+        dev
+        * dev
+        * F.lit(1_000_000.0)
+        / (
+            F.col("_n").cast("double")
+            * F.col("_rm").cast("double")
+            * F.col("_cm").cast("double")
+        )
+    ).cast("long")
+    agg = j.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_nr").cast("long").alias("n_rows_cat"),
+        F.max("_nc").cast("long").alias("n_cols_cat"),
+        F.sum(term).cast("long").alias("chi2_micro"),
+    )
+    denom = F.col("n") * (
+        F.least(F.col("n_rows_cat"), F.col("n_cols_cat")) - 1
+    )
+    return agg.select(
+        "n",
+        "n_rows_cat",
+        "n_cols_cat",
+        "chi2_micro",
+        F.when(
+            denom > 0,
+            F.round(
+                F.sqrt(
+                    F.col("chi2_micro").cast("double")
+                    / (denom.cast("double") * F.lit(1_000_000.0))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        ).alias("v_micro"),
+    )
