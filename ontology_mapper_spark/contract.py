@@ -14501,3 +14501,182 @@ def qb92(spark, sf):
 
     d = _t(spark, sf, "documents")
     return cramers_v(d, "source", "lang")
+
+
+@_q(
+    "qb93_kendall_tau",
+    """
+    WITH days AS (SELECT user_id AS u,
+                         epoch_us(ts) // 86400000000 AS d
+                  FROM events),
+    bounds AS (SELECT (min(d) + max(d) + 1) // 2 AS split FROM days),
+    pu AS (SELECT u,
+                  least(CAST(sum(CASE WHEN d < (SELECT split FROM bounds)
+                                      THEN 1 ELSE 0 END) AS BIGINT), 19)
+                    AS x,
+                  least(CAST(sum(CASE WHEN d >= (SELECT split FROM bounds)
+                                      THEN 1 ELSE 0 END) AS BIGINT), 19)
+                    AS y
+           FROM days GROUP BY 1),
+    g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+          FROM pu GROUP BY 1, 2),
+    cd AS (SELECT CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                               THEN a.n * b.n ELSE 0 END) AS BIGINT)
+                    AS concordant,
+                  CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                               THEN a.n * b.n ELSE 0 END) AS BIGINT)
+                    AS discordant
+           FROM g a CROSS JOIN g b),
+    tx AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS tx2 FROM
+             (SELECT x, CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY 1)),
+    ty AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS ty2 FROM
+             (SELECT y, CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY 1)),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM g)
+    SELECT tot.n, tot.n_cells, cd.concordant, cd.discordant,
+           CASE WHEN CAST(tot.n * (tot.n - 1) - tx.tx2 AS DOUBLE)
+                     * CAST(tot.n * (tot.n - 1) - ty.ty2 AS DOUBLE) > 0
+                THEN CAST(round(CAST(cd.concordant - cd.discordant
+                                     AS DOUBLE) * 2000.0
+                     / sqrt(CAST(tot.n * (tot.n - 1) - tx.tx2 AS DOUBLE)
+                            * CAST(tot.n * (tot.n - 1) - ty.ty2
+                                   AS DOUBLE))) AS BIGINT)
+           END AS tau_b_milli
+    FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+    """,
+)
+def qb93(spark, sf):
+    """Kendall tau-b of per-user pre- vs post-period activity
+    (operators/stats.py:kendall_tau_b, bucketed grid form): tie-aware
+    ordinal association computed entirely from the (x, y) histogram's
+    bounded self-join — no row-level pair join, the scale-safe
+    complement to qa60's Spearman.  C/D/tie terms exact int64; one
+    terminal double (doubled numerator avoids /2)."""
+    from .operators.stats import kendall_tau_b
+
+    e = _t(spark, sf, "events")
+    days = e.select(
+        F.col("user_id").alias("u"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("d"),
+    )
+    bounds = days.agg(
+        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("split")
+    )
+    pu = (
+        days.crossJoin(F.broadcast(bounds))
+        .groupBy("u")
+        .agg(
+            F.sum((F.col("d") < F.col("split")).cast("long"))
+            .cast("long")
+            .alias("x"),
+            F.sum((F.col("d") >= F.col("split")).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return kendall_tau_b(pu, "x", "y", max_level=19)
+
+
+@_q(
+    "qb94_word_burstiness",
+    """
+    WITH toks AS (
+      SELECT doc_id AS d,
+             unnest(string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents),
+    dw AS (SELECT d, w, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE w <> '' GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    agg AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf,
+                   CAST(count(*) AS BIGINT) AS df1,
+                   CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS df2
+            FROM dw GROUP BY 1 HAVING count(*) >= 5),
+    pr AS (SELECT w, cf, df1, df2,
+                  CAST(round(df2 * 1000000 / df1) AS BIGINT)
+                    AS p_repeat_micro,
+                  CAST(round(df1 * 1000000 / (SELECT n FROM nd))
+                       AS BIGINT) AS p_first_micro
+           FROM agg)
+    SELECT w AS word, cf, df1, df2, p_repeat_micro, p_first_micro,
+           CASE WHEN p_first_micro > 0 THEN
+             CAST(round(p_repeat_micro * 1000 / p_first_micro)
+                  AS BIGINT) END AS lift_milli
+    FROM pr
+    """,
+)
+def qb94(spark, sf):
+    """Church-Gale word burstiness (operators/stats.py:
+    word_burstiness): P(word repeats | appeared) vs its
+    first-occurrence rate — content words adapt far beyond Poisson;
+    the classic topicality signal tf-idf only proxies.  One tokenize
+    + one (doc, word) aggregate; integer document counts,
+    micro-rounded single divisions."""
+    from .operators.stats import word_burstiness
+
+    d = _t(spark, sf, "documents")
+    return word_burstiness(d, "text", min_df=5)
+
+
+@_q(
+    "qb95_absorption",
+    """
+    WITH tr AS (SELECT user_id AS seq, event_type AS t,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS f
+                FROM events),
+    cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+            FROM tr WHERE f IS NOT NULL
+              AND f NOT IN ('purchase', 'error')
+            GROUP BY 1, 2),
+    p AS (SELECT f, t,
+                 CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS ntot,
+                 CAST(round(n * 1000000
+                      / sum(n) OVER (PARTITION BY f)) AS BIGINT) AS pp
+          FROM cnt),
+    r AS (SELECT f, t AS ab, pp AS rr FROM p
+          WHERE t IN ('purchase', 'error')),
+    q AS (SELECT f AS qf, t AS qt, pp AS qq FROM p
+          WHERE t NOT IN ('purchase', 'error')),
+    m1 AS (SELECT f, ab, rr AS m FROM r),
+    s1 AS (SELECT q.qf AS f, m1.ab,
+                  CAST(CAST(sum(q.qq * m1.m) AS BIGINT) // 1000000
+                       AS BIGINT) AS qm
+           FROM q JOIN m1 ON m1.f = q.qt GROUP BY 1, 2),
+    m2 AS (SELECT coalesce(r.f, s1.f) AS f,
+                  coalesce(r.ab, s1.ab) AS ab,
+                  CAST(coalesce(rr, 0) + coalesce(qm, 0) AS BIGINT) AS m
+           FROM r FULL JOIN s1 ON s1.f = r.f AND s1.ab = r.ab),
+    s2 AS (SELECT q.qf AS f, m2.ab,
+                  CAST(CAST(sum(q.qq * m2.m) AS BIGINT) // 1000000
+                       AS BIGINT) AS qm
+           FROM q JOIN m2 ON m2.f = q.qt GROUP BY 1, 2),
+    m3 AS (SELECT coalesce(r.f, s2.f) AS f,
+                  coalesce(r.ab, s2.ab) AS ab,
+                  CAST(coalesce(rr, 0) + coalesce(qm, 0) AS BIGINT) AS m
+           FROM r FULL JOIN s2 ON s2.f = r.f AND s2.ab = r.ab),
+    nout AS (SELECT f AS state, CAST(max(ntot) AS BIGINT) AS n_out
+             FROM p GROUP BY 1)
+    SELECT m3.f AS state, m3.ab AS absorbing_state, nout.n_out,
+           m3.m AS p_absorb_micro
+    FROM m3 JOIN nout ON nout.state = m3.f
+    """,
+)
+def qb95(spark, sf):
+    """K-step absorption probabilities of the behavior chain
+    (operators/dialogue.py:absorption_within_k, k=3): P(reach
+    purchase / error within 3 steps) from each transient state —
+    M_k = R + Q.M_{k-1} unrolled on the dictionary-sized state
+    tables in pure int64 (one truncating div per round, DuckDB //
+    bit-parity) — the absorbing completion of qb05's stationary mass
+    and qb12's entropy rate."""
+    from .operators.dialogue import absorption_within_k
+
+    e = _t(spark, sf, "events")
+    return absorption_within_k(
+        e, "user_id", "event_type", ("ts", "event_id"),
+        absorbing=("purchase", "error"), k=3,
+    )

@@ -598,3 +598,114 @@ def pattern_match_share(
             ).cast("long"),
         )
     )
+
+
+def absorption_within_k(
+    df: DataFrame,
+    seq_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols=("ts", "event_id"),
+    absorbing: tuple[str, ...] = ("purchase", "error"),
+    k: int = 3,
+) -> DataFrame:
+    """Absorbing-chain analysis on the behavior Markov chain: the
+    probability of reaching each ABSORBING state within k steps from
+    each transient state — "how close is every journey state to a
+    sale or a failure", the absorbing companion to qb05's stationary
+    mass and qb12's entropy rate.
+
+    Transition matrix P from the same consecutive-transition counts
+    (row-stochastic micro cells, one rounded division each); with Q =
+    transient->transient and R = transient->absorbing blocks, the
+    k-step absorption matrix is M_k = R + Q.M_{k-1}, unrolled k-1
+    times in pure int64 on the dictionary-sized state tables
+    (products accumulate exactly; each round ends in ONE truncating
+    div 1e6, the qa90/qb05 fixed-point discipline — DuckDB `//`
+    bit-parity).
+
+    Output per (transient state, absorbing state): (state,
+    absorbing_state, n_out, p_absorb_micro).
+    """
+    ordered = Window.partitionBy(F.col(seq_col)).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    trans = (
+        df.select(
+            F.col(seq_col).alias("_seq"),
+            F.col(state_col).alias("_to"),
+            F.lag(F.col(state_col), 1).over(ordered).alias("_from"),
+        )
+        .where(F.col("_from").isNotNull())
+        # journeys END at an absorbing state: drop transitions leaving
+        # one (the chain restarting is a new journey, not an escape)
+        .where(~F.col("_from").isin(*absorbing))
+        .groupBy("_from", "_to")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    wrow = Window.partitionBy("_from")
+    p = trans.withColumn(
+        "_ntot", F.sum("_n").over(wrow).cast("long")
+    ).select(
+        "_from",
+        "_to",
+        "_ntot",
+        F.round(F.col("_n") * F.lit(1_000_000) / F.col("_ntot"))
+        .cast("long")
+        .alias("_p"),
+    )
+    r = p.where(F.col("_to").isin(*absorbing)).select(
+        "_from", F.col("_to").alias("_abs"), F.col("_p").alias("_r")
+    )
+    q = p.where(~F.col("_to").isin(*absorbing)).select(
+        F.col("_from").alias("_qf"),
+        F.col("_to").alias("_qt"),
+        F.col("_p").alias("_q"),
+    )
+    m = r.select("_from", "_abs", F.col("_r").alias("_m"))
+    for _ in range(int(k) - 1):
+        stepped = (
+            q.join(
+                m.select(
+                    F.col("_from").alias("_qt"),
+                    "_abs",
+                    F.col("_m").alias("_mprev"),
+                ),
+                "_qt",
+            )
+            .groupBy(F.col("_qf").alias("_from"), "_abs")
+            .agg(
+                F.sum(F.col("_q") * F.col("_mprev"))
+                .cast("long")
+                .alias("_acc")
+            )
+            .select(
+                "_from",
+                "_abs",
+                F.expr("_acc div 1000000").cast("long").alias("_qm"),
+            )
+        )
+        m = (
+            r.join(stepped, ["_from", "_abs"], "full")
+            .select(
+                "_from",
+                "_abs",
+                (
+                    F.coalesce(F.col("_r"), F.lit(0))
+                    + F.coalesce(F.col("_qm"), F.lit(0))
+                )
+                .cast("long")
+                .alias("_m"),
+            )
+        )
+    nout = p.groupBy(F.col("_from").alias("state")).agg(
+        F.max("_ntot").cast("long").alias("n_out")
+    )
+    return (
+        m.select(
+            F.col("_from").alias("state"),
+            F.col("_abs").alias("absorbing_state"),
+            F.col("_m").alias("p_absorb_micro"),
+        )
+        .join(nout, "state")
+        .select("state", "absorbing_state", "n_out", "p_absorb_micro")
+    )

@@ -3208,3 +3208,161 @@ def cramers_v(
             ).cast("long"),
         ).alias("v_micro"),
     )
+
+
+def kendall_tau_b(
+    per_unit: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_level: int = 19,
+) -> DataFrame:
+    """Kendall tau-b rank correlation on BUCKETED paired values — the
+    tie-aware ordinal association next to qa60's Spearman (Spearman
+    needs full rank vectors; tau-b works straight off a grid
+    histogram, which is what makes it computable at scale): values
+    clamped to 0..max_level, concordant/discordant/tie counts from
+    the (x, y) GRID's self-join (at most (max_level+1)^2 cells —
+    a bounded dimension product, never a row-level pair join).
+
+    C, D and the tie terms are exact int64 sums of cell-count
+    products; tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)) is one
+    terminal fixed-order double rounded to milli.  Bucketing is part
+    of the declared semantics (rank correlation of the discretized
+    pair), exactly like qb48's binned quantile sketch.
+
+    Output (single row): (n, n_cells, concordant, discordant,
+    tau_b_milli).
+    """
+    g = (
+        per_unit.select(
+            F.least(F.col(x_col).cast("long"), F.lit(int(max_level)))
+            .alias("_x"),
+            F.least(F.col(y_col).cast("long"), F.lit(int(max_level)))
+            .alias("_y"),
+        )
+        .groupBy("_x", "_y")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    a = g.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+        F.col("_n").alias("_na"),
+    )
+    b = g.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b))
+    cd = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("_xb") > F.col("_xa")) & (F.col("_yb") > F.col("_ya")),
+                F.col("_na") * F.col("_nb"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(
+                (F.col("_xb") > F.col("_xa")) & (F.col("_yb") < F.col("_ya")),
+                F.col("_na") * F.col("_nb"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    tx = (
+        g.groupBy("_x")
+        .agg(F.sum("_n").cast("long").alias("_t"))
+        .agg(
+            F.sum(F.col("_t") * (F.col("_t") - 1))
+            .cast("long")
+            .alias("_tx2")
+        )
+    )
+    ty = (
+        g.groupBy("_y")
+        .agg(F.sum("_n").cast("long").alias("_t"))
+        .agg(
+            F.sum(F.col("_t") * (F.col("_t") - 1))
+            .cast("long")
+            .alias("_ty2")
+        )
+    )
+    tot = g.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty)).crossJoin(
+        F.broadcast(tot)
+    )
+    # all doubled to avoid /2: n0x2 = n(n-1); tie terms already t(t-1)
+    n0x2 = (F.col("n") * (F.col("n") - 1)).cast("long")
+    denom = (n0x2 - F.col("_tx2")).cast("double") * (
+        n0x2 - F.col("_ty2")
+    ).cast("double")
+    tau = F.when(
+        denom > 0,
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            * F.lit(2000.0)
+            / F.sqrt(denom)
+        ).cast("long"),
+    )
+    return j.select("n", "n_cells", "concordant", "discordant",
+                    tau.alias("tau_b_milli"))
+
+
+def word_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 5,
+) -> DataFrame:
+    """Church-Gale word burstiness: for each word, the adaptation
+    probability P(occurs again | occurred once) = df2/df1 against the
+    first-occurrence rate df1/N — content words REPEAT far beyond
+    Poisson, function words don't, and the ratio is the classic
+    topicality signal (Church & Gale 1995) that tf-idf only proxies.
+
+    One tokenize + one (doc, word, count) aggregate; df1/df2 are
+    integer document counts, probabilities micro-rounded single
+    divisions, adaptation lift one further division of those micro
+    ints.  Poisson-baseline comparison left to the consumer (the
+    lift column is the model-free form).
+
+    Output per word with df1 >= min_df: (word, cf, df1, df2,
+    p_repeat_micro, p_first_micro, lift_milli).
+    """
+    toks = docs.select(
+        F.col("doc_id").alias("_d"),
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+                " ",
+            )
+        ).alias("_w"),
+    ).where(F.col("_w") != "")
+    n_docs = docs.count()
+    dw = toks.groupBy("_d", "_w").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    agg = dw.groupBy("_w").agg(
+        F.sum("_c").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df1"),
+        F.sum((F.col("_c") >= 2).cast("long")).cast("long").alias("df2"),
+    ).where(F.col("df1") >= int(min_df))
+    p_rep = F.round(F.col("df2") * F.lit(MICRO) / F.col("df1")).cast("long")
+    p_first = F.round(
+        F.col("df1") * F.lit(MICRO) / F.lit(int(n_docs))
+    ).cast("long")
+    return agg.select(
+        F.col("_w").alias("word"),
+        "cf",
+        "df1",
+        "df2",
+        p_rep.alias("p_repeat_micro"),
+        p_first.alias("p_first_micro"),
+        F.when(
+            p_first > 0,
+            F.round(p_rep * F.lit(1000) / p_first).cast("long"),
+        ).alias("lift_milli"),
+    )
