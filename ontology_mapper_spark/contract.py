@@ -14680,3 +14680,166 @@ def qb95(spark, sf):
         e, "user_id", "event_type", ("ts", "event_id"),
         absorbing=("purchase", "error"), k=3,
     )
+
+
+@_q(
+    "qb96_wasserstein",
+    """
+    WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                         CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                         END AS b
+                  FROM events
+                  WHERE event_type IN ('click', 'view')),
+    hist AS (SELECT v, CAST(sum(1 - b) AS BIGINT) AS ca,
+                    CAST(sum(b) AS BIGINT) AS cb
+             FROM base GROUP BY 1),
+    cum AS (SELECT v,
+                   sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cuma,
+                   sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cumb,
+                   lead(v) OVER (ORDER BY v) - v AS gap
+            FROM hist),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb,
+                   CAST(count(*) AS BIGINT) AS n_values
+            FROM hist),
+    d AS (SELECT CAST(sum(abs(cuma * (SELECT nb FROM tot)
+                              - cumb * (SELECT na FROM tot)) * gap)
+                      AS BIGINT) AS dd
+          FROM cum WHERE gap IS NOT NULL)
+    SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+           (SELECT n_values FROM tot) AS n_values,
+           CASE WHEN (SELECT na FROM tot) > 0
+                 AND (SELECT nb FROM tot) > 0 THEN
+             CAST(round(CAST(dd AS DOUBLE) * 1000.0
+                  / CAST((SELECT na FROM tot) * (SELECT nb FROM tot)
+                         AS DOUBLE)) AS BIGINT)
+           END AS w1_milli
+    FROM d
+    """,
+)
+def qb96(spark, sf):
+    """Exact 1-D Wasserstein distance between click and view spend
+    distributions (operators/stats.py:wasserstein_1d): the drift
+    number WITH UNITS (milli-cents of average mass movement) where KS
+    gives a max gap and PSI a binned score.  Cross-multiplied int64
+    cumulative gaps weighted by distinct-value spacing, one terminal
+    division; window over the histogram spine only."""
+    from .operators.stats import wasserstein_1d
+
+    e = _t(spark, sf, "events")
+    return wasserstein_1d(
+        e.where(F.col("event_type").isin("click", "view")).select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            "event_type",
+        ),
+        "v",
+        F.col("event_type") == "view",
+    )
+
+
+def _qb97_oracle() -> str:
+    acf = ORACLES["qa70_acf"]
+    return f"""
+    WITH acf AS ({acf})
+    SELECT event_type, n_days,
+           CASE WHEN acf1_micro IS NOT NULL AND acf2_micro IS NOT NULL
+                 AND acf3_micro IS NOT NULL AND n_days > 3 THEN
+             CAST(round(CAST(n_days * (n_days + 2)
+                  * ((acf1_micro * acf1_micro) // (n_days - 1)
+                     + (acf2_micro * acf2_micro) // (n_days - 2)
+                     + (acf3_micro * acf3_micro) // (n_days - 3))
+                  AS DOUBLE) / 1e9) AS BIGINT)
+           END AS q_milli,
+           CAST(CASE WHEN acf1_micro IS NOT NULL
+                      AND acf2_micro IS NOT NULL
+                      AND acf3_micro IS NOT NULL AND n_days > 3 THEN
+             CASE WHEN CAST(round(CAST(n_days * (n_days + 2)
+                  * ((acf1_micro * acf1_micro) // (n_days - 1)
+                     + (acf2_micro * acf2_micro) // (n_days - 2)
+                     + (acf3_micro * acf3_micro) // (n_days - 3))
+                  AS DOUBLE) / 1e9) AS BIGINT) > 7815
+             THEN 1 ELSE 0 END
+           END AS BIGINT) AS signif_flag
+    FROM acf
+    """
+
+
+@_q("qb97_ljung_box", _qb97_oracle())
+def qb97(spark, sf):
+    """Ljung-Box whiteness test per event type (operators/temporal.py:
+    ljung_box, K=3): Q = n(n+2) sum r_k^2/(n-k) over qa70's
+    autocorrelations — the serial-structure gate before trusting
+    i.i.d.-assuming monitors.  Truncating-div int64 terms (DuckDB //
+    parity; the oracle REUSES qa70's SQL verbatim as a CTE), one
+    terminal double, flag on ROUNDED Q vs the injected chi-square
+    critical value."""
+    from .operators.temporal import ljung_box
+
+    e = _t(spark, sf, "events")
+    return ljung_box(e, "event_type", "ts", max_lag=3)
+
+
+@_q(
+    "qb98_runs_test",
+    """
+    WITH daily AS (SELECT event_type AS t,
+                          epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1, 2),
+    moves AS (SELECT t, d,
+                     y - lag(y) OVER (PARTITION BY t ORDER BY d)
+                       AS diff
+              FROM daily),
+    signed AS (SELECT t, d,
+                      CASE WHEN diff > 0 THEN 1 ELSE 0 END AS s
+               FROM moves WHERE diff IS NOT NULL AND diff <> 0),
+    runs AS (SELECT t, s,
+                    CASE WHEN lag(s) OVER (PARTITION BY t ORDER BY d)
+                           IS NULL
+                          OR lag(s) OVER (PARTITION BY t ORDER BY d)
+                           <> s
+                         THEN 1 ELSE 0 END AS new_run
+             FROM signed),
+    agg AS (SELECT t, CAST(count(*) AS BIGINT) AS n_moves,
+                   CAST(sum(s) AS BIGINT) AS n_up,
+                   CAST(sum(1 - s) AS BIGINT) AS n_down,
+                   CAST(sum(new_run) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1),
+    z AS (SELECT *,
+                 CASE WHEN n_up > 0 AND n_down > 0 AND
+                      (2.0 * n_up * n_down)
+                      * (2.0 * n_up * n_down - CAST(n_moves AS DOUBLE))
+                      / (CAST(n_moves AS DOUBLE)
+                         * CAST(n_moves AS DOUBLE)
+                         * (CAST(n_moves AS DOUBLE) - 1.0)) > 0 THEN
+                   CAST(round((CAST(n_runs AS DOUBLE)
+                        - (1.0 + (2.0 * n_up * n_down)
+                                 / CAST(n_moves AS DOUBLE)))
+                        / sqrt((2.0 * n_up * n_down)
+                          * (2.0 * n_up * n_down
+                             - CAST(n_moves AS DOUBLE))
+                          / (CAST(n_moves AS DOUBLE)
+                             * CAST(n_moves AS DOUBLE)
+                             * (CAST(n_moves AS DOUBLE) - 1.0)))
+                        * 1000.0) AS BIGINT)
+                 END AS z_milli
+          FROM agg)
+    SELECT t AS event_type, n_moves, n_up, n_down, n_runs, z_milli,
+           CAST(CASE WHEN z_milli IS NULL THEN NULL
+                     WHEN abs(z_milli) > 1960 THEN 1 ELSE 0 END
+                AS BIGINT) AS signif_flag
+    FROM z
+    """,
+)
+def qb98(spark, sf):
+    """Wald-Wolfowitz runs test on daily up/down moves per type
+    (operators/temporal.py:runs_test_daily): too few runs = momentum,
+    too many = oscillation — the randomness check qb87's monotone MK
+    misses.  Integer run/move counts from two lag windows; one
+    fixed-order double z; flag on the ROUNDED |z|."""
+    from .operators.temporal import runs_test_daily
+
+    e = _t(spark, sf, "events")
+    return runs_test_daily(e, "event_type", "ts")

@@ -3366,3 +3366,75 @@ def word_burstiness(
             F.round(p_rep * F.lit(1000) / p_first).cast("long"),
         ).alias("lift_milli"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    side_flag,
+) -> DataFrame:
+    """Exact 1-D Wasserstein (earth-mover) distance between two
+    samples of an integer metric: W1 = integral |F_A - F_B| dx over
+    the pooled distinct-value support — the drift number with UNITS
+    (average cents each observation must move), where KS (qa08) gives
+    a max gap and PSI (qb69) a binned score.
+
+    One distinct-value histogram with per-side counts; cumulative
+    comparison cross-multiplied into int64 (|cumA*nB - cumB*nA|,
+    no per-value division), weighted by the gap to the next distinct
+    value, one terminal milli-rounded division by nA*nB.  The only
+    window runs over the distinct-value spine (histogram-sized,
+    qa22/qa30 family).
+
+    Output (single row): (n_a, n_b, n_values, w1_milli).
+    """
+    flag = side_flag if not isinstance(side_flag, str) else F.col(side_flag)
+    base = df.select(
+        F.col(value_col).cast("long").alias("_v"),
+        F.when(flag, 1).otherwise(0).alias("_b"),
+    )
+    hist = base.groupBy("_v").agg(
+        F.sum(1 - F.col("_b")).cast("long").alias("_ca"),
+        F.sum("_b").cast("long").alias("_cb"),
+    )
+    w = Window.orderBy("_v")
+    cum = hist.select(
+        "_v",
+        F.sum("_ca").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cuma"),
+        F.sum("_cb").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cumb"),
+        (F.lead("_v").over(w) - F.col("_v")).alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    tot = hist.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max("n_values").cast("long").alias("n_values"),
+        F.sum(
+            F.abs(
+                F.col("_cuma") * F.col("n_b")
+                - F.col("_cumb") * F.col("n_a")
+            )
+            * F.col("_gap")
+        )
+        .cast("long")
+        .alias("_d"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("_d").cast("double")
+                * F.lit(1000.0)
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).cast("long"),
+        ).alias("w1_milli"),
+    )

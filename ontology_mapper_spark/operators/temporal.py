@@ -3273,3 +3273,139 @@ def mann_kendall(
         .cast("long")
         .alias("trend_flag"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag: int = 3,
+    q_milli_threshold: int = 7815,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per type: Q = n(n+2)
+    sum_k r_k^2/(n-k) over qa70's autocorrelations — "is there ANY
+    serial structure left", the one-number gate on residual/daily
+    series before trusting i.i.d.-assuming monitors (qb63's z-scores,
+    qb22's power math).
+
+    Builds directly on acf_daily's micro r_k; each r_k^2 div (n-k)
+    term is a truncating int64 division (DuckDB // parity), the term
+    sum is exact, and Q lands via one terminal double division by
+    1e9.  Null whenever any of the K lags is undefined.  Flag on the
+    ROUNDED Q against the chi-square(K) 95% critical value
+    (default 7.815 for K=3, Python-injected).
+
+    Output per type: (type, n_days, q_milli, signif_flag).
+    """
+    acf = acf_daily(df, type_col, ts_col, max_lag)
+    terms = None
+    for k in range(1, int(max_lag) + 1):
+        r = F.col(f"acf{k}_micro")
+        t = F.expr(
+            f"(acf{k}_micro * acf{k}_micro) div (n_days - {k})"
+        )
+        terms = t if terms is None else terms + t
+    all_defined = None
+    for k in range(1, int(max_lag) + 1):
+        c = F.col(f"acf{k}_micro").isNotNull()
+        all_defined = c if all_defined is None else (all_defined & c)
+    q = F.when(
+        all_defined & (F.col("n_days") > int(max_lag)),
+        F.round(
+            (F.col("n_days") * (F.col("n_days") + 2) * terms)
+            .cast("double")
+            / F.lit(1e9)
+        ).cast("long"),
+    )
+    return acf.select(
+        F.col(type_col),
+        "n_days",
+        q.alias("q_milli"),
+        F.when(
+            q.isNotNull(), (q > int(q_milli_threshold)).cast("long")
+        ).alias("signif_flag"),
+    )
+
+
+def runs_test_daily(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_milli_threshold: int = 1960,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily up/down moves per type:
+    too FEW runs = momentum/trending, too MANY = oscillation — the
+    randomness check that complements qb87's monotone-trend MK test
+    (MK misses a zig-zag; runs catches it).
+
+    Day-over-day move signs from one lag window (ties dropped,
+    documented); runs counted as sign changes + 1; E[R] = 1 +
+    2*n1*n2/n and Var from the closed form, both entering ONE
+    fixed-order double z rounded to milli; flag on the ROUNDED |z|.
+
+    Output per type: (type, n_moves, n_up, n_down, n_runs, z_milli,
+    signif_flag).
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(type_col).alias("_t"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_d"),
+        )
+        .groupBy("_t", "_d")
+        .agg(F.count("*").cast("long").alias("_y"))
+    )
+    w = Window.partitionBy("_t").orderBy("_d")
+    moves = daily.select(
+        "_t",
+        "_d",
+        (F.col("_y") - F.lag("_y").over(w)).alias("_diff"),
+    ).where(F.col("_diff").isNotNull() & (F.col("_diff") != 0))
+    signed = moves.select(
+        "_t",
+        "_d",
+        (F.col("_diff") > 0).cast("long").alias("_s"),
+    )
+    ws = Window.partitionBy("_t").orderBy("_d")
+    runs = signed.select(
+        "_t",
+        "_s",
+        F.when(
+            F.lag("_s").over(ws).isNull()
+            | (F.lag("_s").over(ws) != F.col("_s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_run"),
+    )
+    agg = runs.groupBy("_t").agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.sum("_s").cast("long").alias("n_up"),
+        F.sum(1 - F.col("_s")).cast("long").alias("n_down"),
+        F.sum("_new_run").cast("long").alias("n_runs"),
+    )
+    n = F.col("n_moves").cast("double")
+    p2 = (F.lit(2.0) * F.col("n_up") * F.col("n_down")).cast("double")
+    er = F.lit(1.0) + p2 / n
+    varr = p2 * (p2 - n) / (n * n * (n - F.lit(1.0)))
+    z = F.when(
+        (F.col("n_up") > 0) & (F.col("n_down") > 0) & (varr > 0),
+        F.round(
+            (F.col("n_runs").cast("double") - er)
+            / F.sqrt(varr)
+            * F.lit(1000.0)
+        ).cast("long"),
+    )
+    return agg.select(
+        F.col("_t").alias(type_col),
+        "n_moves",
+        "n_up",
+        "n_down",
+        "n_runs",
+        z.alias("z_milli"),
+        F.when(
+            z.isNotNull(), (F.abs(z) > int(z_milli_threshold)).cast("long")
+        ).alias("signif_flag"),
+    )

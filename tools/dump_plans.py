@@ -322,6 +322,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb80_lead_lag": "is_best rank over the 15-row lag spine",
     "qb85_nelson_aalen": "distinct-duration risk table (qa67 family; coarsen durations at scale)",
     "qb91_logrank": "distinct-duration risk table (qa67 family; coarsen durations at scale)",
+    "qb96_wasserstein": "distinct-value histogram cumulative + gap (qa22/qa30 family)",
 }
 
 
