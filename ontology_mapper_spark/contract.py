@@ -14843,3 +14843,119 @@ def qb98(spark, sf):
 
     e = _t(spark, sf, "events")
     return runs_test_daily(e, "event_type", "ts")
+
+
+@_q(
+    "qb99_odds_ratio",
+    """
+    WITH base AS (SELECT event_type AS s,
+                         CASE WHEN substr(md5('cb|' ||
+                                CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                              THEN 0 ELSE 1 END AS a,
+                         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+                  FROM events),
+    per AS (SELECT s,
+                   CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END)
+                        AS BIGINT) AS s0,
+                   CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END)
+                        AS BIGINT) AS s1
+            FROM base GROUP BY 1),
+    cells AS (SELECT *,
+                     2 * s1 + 1 AS a2,
+                     2 * (n1 - s1) + 1 AS b2,
+                     2 * s0 + 1 AS c2,
+                     2 * (n0 - s0) + 1 AS d2
+              FROM per),
+    calc AS (SELECT *,
+                    CAST(a2 * d2 AS DOUBLE) / CAST(c2 * b2 AS DOUBLE)
+                      AS orr,
+                    sqrt(2.0 / CAST(a2 AS DOUBLE)
+                         + 2.0 / CAST(b2 AS DOUBLE)
+                         + 2.0 / CAST(c2 AS DOUBLE)
+                         + 2.0 / CAST(d2 AS DOUBLE)) AS se
+             FROM cells),
+    ci AS (SELECT s, n0, n1, s0, s1,
+                  CAST(round(orr * 1000000.0) AS BIGINT) AS or_micro,
+                  CAST(round(exp(ln(orr)
+                       - (CAST(1959964 AS DOUBLE) / 1000000.0) * se)
+                       * 1000000.0) AS BIGINT) AS ci_lo_micro,
+                  CAST(round(exp(ln(orr)
+                       + (CAST(1959964 AS DOUBLE) / 1000000.0) * se)
+                       * 1000000.0) AS BIGINT) AS ci_hi_micro
+           FROM calc)
+    SELECT s AS event_type, n0, n1, s0, s1, or_micro, ci_lo_micro,
+           ci_hi_micro,
+           CAST(CASE WHEN ci_lo_micro > 1000000
+                      OR ci_hi_micro < 1000000
+                THEN 1 ELSE 0 END AS BIGINT) AS signif_flag
+    FROM ci
+    """,
+)
+def qb99(spark, sf):
+    """Per-stratum odds ratio with Woolf 95% CI (operators/stats.py:
+    odds_ratio_ci) on the qb86/qb88/qb90 setup — the case-control
+    effect size completing the two-arm family.  Haldane-Anscombe
+    correction in doubled-integer form (every cell enters as 2c+1,
+    one shared integer convention); one division for OR, fixed-order
+    double ln/sqrt/exp DAG for the CI; flag when the ROUNDED CI
+    excludes 1."""
+    from .operators.stats import odds_ratio_ci
+
+    e = _t(spark, sf, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("cb|"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return odds_ratio_ci(
+        e.select("event_type", arm.alias("arm"), "value"),
+        "arm",
+        F.col("value") >= 50.0,
+        "event_type",
+    )
+
+
+@_q(
+    "qc00_daily_value_bands",
+    """
+    WITH base AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    hist AS (SELECT d, v, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2),
+    staged AS (SELECT d, v,
+                      sum(c) OVER (PARTITION BY d ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(c) OVER (PARTITION BY d) AS n
+               FROM hist),
+    agg AS (SELECT d, CAST(max(n) AS BIGINT) AS n_events,
+                   CAST(min(CASE WHEN cum * 100 >= 10 * n THEN v END)
+                        AS BIGINT) AS p10_cents,
+                   CAST(min(CASE WHEN cum * 100 >= 50 * n THEN v END)
+                        AS BIGINT) AS p50_cents,
+                   CAST(min(CASE WHEN cum * 100 >= 90 * n THEN v END)
+                        AS BIGINT) AS p90_cents
+            FROM staged GROUP BY 1)
+    SELECT CAST(DATE '1970-01-01' + CAST(d AS INT) AS VARCHAR) AS day,
+           n_events, p10_cents, p50_cents, p90_cents
+    FROM agg
+    """,
+)
+def qc00(spark, sf):
+    """Daily P10/P50/P90 value bands (operators/temporal.py:
+    daily_value_bands): the ops dashboard ribbon — exact type-1
+    quantiles per day from per-day cents histograms (q54/qb43 idiom
+    partitioned BY DAY, pure integer rank arithmetic, no division,
+    no global sort)."""
+    from .operators.temporal import daily_value_bands
+
+    e = _t(spark, sf, "events")
+    return daily_value_bands(e, "ts", "value")

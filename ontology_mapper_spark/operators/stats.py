@@ -3438,3 +3438,85 @@ def wasserstein_1d(
             ).cast("long"),
         ).alias("w1_milli"),
     )
+
+
+def odds_ratio_ci(
+    df: DataFrame,
+    arm_col: str,
+    outcome_flag,
+    stratum_col: str,
+    z_micro: int = 1_959_964,
+) -> DataFrame:
+    """Per-stratum odds ratio with the Woolf (log-normal) 95% CI —
+    the case-control-compatible effect size completing the two-arm
+    family (qb13 z-test, qb88 E-value, qb90 MH rate ratio): OR =
+    (s1*f0)/(s0*f1) with the Haldane-Anscombe +1/2 correction
+    applied (doubled-integer form: every cell enters as 2c+1) so
+    zero cells stay finite and BOTH engines share one integer
+    convention.
+
+    The corrected OR is ONE double division of int64 cross products;
+    ln OR and the SE (sqrt of summed reciprocals of the corrected
+    doubled cells, each reciprocal one division) form a fixed-order
+    double DAG; CI bounds exponentiate once per row.  z is
+    Python-injected in micro (1.959964).  All micro-rounded at the
+    end only.
+
+    Output per stratum: (stratum, n0, n1, s0, s1, or_micro,
+    ci_lo_micro, ci_hi_micro, signif_flag) — flag when the ROUNDED
+    CI excludes 1e6.
+    """
+    a = (
+        arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    ).cast("long")
+    y = F.when(outcome_flag, 1).otherwise(0).cast("long")
+    base = df.select(
+        F.col(stratum_col).alias("_s"), a.alias("_a"), y.alias("_y")
+    )
+    per = base.groupBy("_s").agg(
+        F.sum(F.when(F.col("_a") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+    )
+    # doubled corrected cells: 2c+1 (Haldane-Anscombe +1/2)
+    a2 = 2 * F.col("s1") + 1
+    b2 = 2 * (F.col("n1") - F.col("s1")) + 1
+    c2 = 2 * F.col("s0") + 1
+    d2 = 2 * (F.col("n0") - F.col("s0")) + 1
+    orr = (a2 * d2).cast("double") / (c2 * b2).cast("double")
+    lnor = F.log(orr)
+    # SE^2 = sum 1/cell on the corrected table; doubled cells halve to
+    # cell = (2c+1)/2 so 1/cell = 2/(2c+1)
+    se = F.sqrt(
+        F.lit(2.0) / a2.cast("double")
+        + F.lit(2.0) / b2.cast("double")
+        + F.lit(2.0) / c2.cast("double")
+        + F.lit(2.0) / d2.cast("double")
+    )
+    zf = F.lit(int(z_micro)).cast("double") / F.lit(1_000_000.0)
+    lo = F.exp(lnor - zf * se)
+    hi = F.exp(lnor + zf * se)
+    lo_m = F.round(lo * F.lit(1_000_000.0)).cast("long")
+    hi_m = F.round(hi * F.lit(1_000_000.0)).cast("long")
+    return per.select(
+        F.col("_s").alias(stratum_col),
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        F.round(orr * F.lit(1_000_000.0)).cast("long").alias("or_micro"),
+        lo_m.alias("ci_lo_micro"),
+        hi_m.alias("ci_hi_micro"),
+        ((lo_m > 1_000_000) | (hi_m < 1_000_000))
+        .cast("long")
+        .alias("signif_flag"),
+    )

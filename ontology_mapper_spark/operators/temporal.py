@@ -3409,3 +3409,62 @@ def runs_test_daily(
             z.isNotNull(), (F.abs(z) > int(z_milli_threshold)).cast("long")
         ).alias("signif_flag"),
     )
+
+
+def daily_value_bands(
+    df: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Daily P10/P50/P90 bands of the event value — the ops dashboard
+    ribbon (is today's distribution drifting, not just its mean):
+    exact type-1 quantiles per day via per-day cents HISTOGRAM
+    cumulative counts (q54/qb43 idiom partitioned BY DAY — never a
+    row-level global sort), pure integer rank arithmetic
+    (100*cum >= p*n avoids any division).
+
+    Output per day: (day, n_events, p10_cents, p50_cents, p90_cents).
+    """
+    day_us = 86_400_000_000
+    base = df.select(
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+        ).alias("_d"),
+        F.round(F.col(val_col) * 100).cast("long").alias("_v"),
+    )
+    hist = base.groupBy("_d", "_v").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wcum = (
+        Window.partitionBy("_d")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("_d")
+    staged = hist.select(
+        "_d",
+        "_v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    def _q(p: int):
+        return F.min(
+            F.when(F.col("_cum") * 100 >= F.lit(p) * F.col("_n"), F.col("_v"))
+        ).cast("long")
+
+    out = staged.groupBy("_d").agg(
+        F.max("_n").cast("long").alias("n_events"),
+        _q(10).alias("p10_cents"),
+        _q(50).alias("p50_cents"),
+        _q(90).alias("p90_cents"),
+    )
+    return out.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01"), F.col("_d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_events",
+        "p10_cents",
+        "p50_cents",
+        "p90_cents",
+    ).orderBy("day")
