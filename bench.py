@@ -226,6 +226,40 @@ EXTENDED = [
     "qb64_bloom_fpr",
     "qb65_pii_audit",
     "qb66_grouping_sets",
+    "qb67_theil_sen",
+    "qb68_hour_allocation",
+    "qb69_psi_drift",
+    "qb70_fairness_audit",
+    "qb71_t_closeness",
+    "qb72_seasonal_backtest",
+    "qb73_expectations",
+    "qb74_raking",
+    "qb75_average_precision",
+    "qb76_shapley_attribution",
+    "qb77_time_decay_attribution",
+    "qb78_stickiness",
+    "qb79_quantile_normalization",
+    "qb80_lead_lag",
+    "qb81_growth_accounting",
+    "qb82_covariate_balance",
+    "qb83_rich_club",
+    "qb84_concentration",
+    "qb85_nelson_aalen",
+    "qb86_simpsons_check",
+    "qb87_mann_kendall",
+    "qb88_evalue",
+    "qb89_kish_ess",
+    "qb90_mantel_haenszel",
+    "qb91_logrank",
+    "qb92_cramers_v",
+    "qb93_kendall_tau",
+    "qb94_word_burstiness",
+    "qb95_absorption",
+    "qb96_wasserstein",
+    "qb97_ljung_box",
+    "qb98_runs_test",
+    "qb99_odds_ratio",
+    "qc00_daily_value_bands",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
