@@ -74,6 +74,7 @@ def main() -> int:
         shuffle_partitions=8, driver_memory="4g",
     )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw_docs = docs  # pre-scrub snapshot for the stage-12 drift gate
     n0 = docs.count()
 
     # 0. NFC + control scrub (codepoint canonicalization BEFORE any
@@ -225,6 +226,37 @@ def main() -> int:
         if r["alloc_tokens"] > 0
     }
 
+    # 12. ship gates: declarative data contract on the FINAL corpus
+    # (one scan for all rules), PSI drift of the released length
+    # distribution vs the raw drop, and the concentration panel that
+    # says whether one source now dominates any language slice
+    from ontology_mapper_spark.operators.dq import expectations_report
+    from ontology_mapper_spark.operators.mixing import concentration_panel
+    from ontology_mapper_spark.operators.stats import psi_drift
+
+    contract = expectations_report(
+        final,
+        [
+            {"rule_id": "c01", "column": "doc_id", "type": "not_null"},
+            {"rule_id": "c02", "column": "doc_id", "type": "unique"},
+            {"rule_id": "c03", "column": "text", "type": "not_null"},
+            {"rule_id": "c04", "column": "n_chars", "type": "range",
+             "lo": 1, "hi": 100000},
+        ],
+    )
+    n_contract_fails = contract.where(F.col("ok") == 0).count()
+    released = final.select("doc_id", "n_chars").withColumn("_cur", F.lit(1))
+    rawdist = raw_docs.select("doc_id", "n_chars").withColumn(
+        "_cur", F.lit(0)
+    )
+    psi_row = psi_drift(
+        released.unionByName(rawdist), "n_chars", F.col("_cur") == 1,
+        bin_width=100, n_bins=10,
+    ).take(1)
+    psi_level = psi_row[0]["drift_level"] if psi_row else None
+    conc = concentration_panel(final, "lang", "source")
+    max_hhi = conc.agg(F.max("hhi_micro").alias("m")).collect()[0]["m"]
+
     worst_leak = max(leakage.values()) if leakage else 0
     worst_acc = min(nb_acc.values()) if nb_acc else 1.0
     print(
@@ -237,7 +269,9 @@ def main() -> int:
         f"k=5 release risk {k5['rows_below']}/{k5['n_rows']} rows "
         f"(min l-diversity {k5['min_l_diversity']}); "
         f"eval alloc {alloc}; "
-        f"mix ({len(mix)} sources funded) {mix}; wrote {out_dir}"
+        f"mix ({len(mix)} sources funded) {mix}; "
+        f"contract fails {n_contract_fails}, release-vs-raw PSI level "
+        f"{psi_level}, max lang HHI {max_hhi}; wrote {out_dir}"
     )
     return 0
 
