@@ -14959,3 +14959,233 @@ def qc00(spark, sf):
 
     e = _t(spark, sf, "events")
     return daily_value_bands(e, "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 41: ranking-metric completion + vocabulary richness
+# ---------------------------------------------------------------------------
+
+
+def _retrieval_topk_cte(k: int) -> str:
+    """Shared scored/topk CTE body for the embedding-retrieval ranking
+    metrics (the qa89 setup verbatim: 12 queries, graded relevance)."""
+    return f"""
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+                 label AS ql
+          FROM embeddings WHERE vec_id < 12),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qvec) * 1e6)
+                  AS BIGINT) AS cos,
+             CAST(CASE WHEN e.label = q.ql THEN 2
+                       WHEN abs(e.label - q.ql) = 1 THEN 1
+                       ELSE 0 END AS BIGINT) AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    topk AS (
+      SELECT query_id, rel, r FROM (
+        SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS r
+        FROM scored)
+      WHERE r <= {k})"""
+
+
+def _qc01_oracle(k: int = 5, gmax: int = 2) -> str:
+    import math
+
+    base = 1 << gmax
+    L = math.lcm(*range(1, k + 1))
+    denom = L * base**k
+
+    def num(i: int) -> str:
+        arms = " ".join(
+            f"WHEN g{i} = {g} THEN {(1 << g) - 1}" for g in range(1, gmax + 1)
+        )
+        return f"(CASE {arms} ELSE 0 END)"
+
+    g_cols = ", ".join(
+        f"coalesce(max(CASE WHEN r = {i} THEN rel END), 0) AS g{i}"
+        for i in range(1, k + 1)
+    )
+    terms = []
+    cont = "1"
+    for i in range(1, k + 1):
+        terms.append(f"{L // i} * {num(i)} * {cont} * {base ** (k - i)}")
+        cont = f"{cont} * ({base} - {num(i)})"
+    err_num = " + ".join(terms)
+    return f"""
+    WITH {_retrieval_topk_cte(k)},
+    g AS (SELECT query_id, {g_cols} FROM topk GROUP BY 1),
+    t AS (SELECT query_id, CAST({err_num} AS BIGINT) AS err_num FROM g),
+    per AS (SELECT query_id, err_num,
+                   CAST(round(err_num * 1000000 / {denom}) AS BIGINT)
+                     AS err_micro
+            FROM t)
+    SELECT query_id, err_num, err_micro,
+           CAST(round(sum(err_micro) OVER () / count(*) OVER ())
+                AS BIGINT) AS mean_err_micro
+    FROM per
+    """
+
+
+@_q("qc01_err_cascade", _qc01_oracle())
+def qc01(spark, sf):
+    """Expected Reciprocal Rank@5 of brute-force cosine retrieval with
+    graded relevance (operators/evaluate.py:err_at_k) on the qa89
+    setup — the cascade-model metric (user stops at the first
+    satisfying hit) completing NDCG/AP/RBO.  Dyadic stop
+    probabilities make every cascade term an exact int64 (scale
+    L*(2^gmax)^k); the per-query pivot is one conditional agg, never
+    a corpus window; ONE terminal micro division."""
+    from .operators.evaluate import err_at_k
+    from .operators.similarity import cosine_cols
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_cols(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_cos"),
+            F.when(F.col("label") == F.col("_ql"), 2)
+            .when(F.abs(F.col("label") - F.col("_ql")) == 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 5
+    )
+    return err_at_k(ranked, "query_id", "rank", "rel", k=5, gmax=2)
+
+
+def _qc02_oracle(k: int = 10) -> str:
+    import math
+
+    L = math.lcm(*range(1, k + 1))
+    return f"""
+    WITH {_retrieval_topk_cte(k)},
+    per AS (SELECT query_id,
+                   CAST(min(CASE WHEN rel >= 2 THEN r END) AS BIGINT)
+                     AS first_rank
+            FROM topk GROUP BY 1),
+    rr AS (SELECT query_id, first_rank,
+                  CAST(CASE WHEN first_rank IS NULL THEN 0
+                            ELSE {L} // first_rank END AS BIGINT)
+                    AS rr_num
+           FROM per)
+    SELECT query_id, first_rank, rr_num,
+           CAST(round(sum(rr_num) OVER () * 1000000
+                / (count(*) OVER () * {L})) AS BIGINT) AS mrr_micro
+    FROM rr
+    """
+
+
+@_q("qc02_mrr", _qc02_oracle())
+def qc02(spark, sf):
+    """Mean Reciprocal Rank@10 (operators/evaluate.py:mrr_at_k) on the
+    qa89 retrieval: first same-label hit position per query — the
+    navigational "how deep until the answer" number.  rr_num =
+    lcm(1..10)/first_rank is exact int64 (qb75's lcm trick on the
+    reciprocal itself); MRR is one terminal micro division; nullable
+    first_rank promotes float64 identically in both engines (q22
+    precedent)."""
+    from .operators.evaluate import mrr_at_k
+    from .operators.similarity import cosine_cols
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_cols(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_cos"),
+            F.when(F.col("label") == F.col("_ql"), 2)
+            .when(F.abs(F.col("label") - F.col("_ql")) == 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    )
+    return mrr_at_k(ranked, "query_id", "rank", "rel", k=10, rel_threshold=2)
+
+
+@_q(
+    "qc03_good_turing",
+    """
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(string_split(lower(trim(regexp_replace(
+               text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents),
+    counts AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+               FROM toks WHERE length(w) > 0 GROUP BY 1, 2),
+    per AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS v_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n1,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n2
+            FROM counts GROUP BY 1)
+    SELECT g AS source, n_tokens, v_types,
+           n1 AS n1_singletons, n2 AS n2_doubletons,
+           CAST(round(n1 * 1000000 / n_tokens) AS BIGINT) AS p0_micro,
+           CAST(v_types * 1000000
+                + CAST(round(n1 * (n1 - 1) * 1000000 / (2 * (n2 + 1)))
+                       AS BIGINT) AS BIGINT) AS chao1_micro,
+           CAST(round(n1 * 1000000 / v_types) AS BIGINT)
+             AS hapax_share_micro
+    FROM per
+    """,
+)
+def qc03(spark, sf):
+    """Good-Turing unseen mass + bias-corrected Chao1 richness per
+    source (operators/textstats.py:good_turing_richness): p0 = N1/N
+    is the probability the NEXT crawled token is a new type; Chao1
+    extrapolates total vocabulary from singletons/doubletons — the
+    crawl-more vs dedup-harder budget panel next to qb02's Heaps fit.
+    Pure int64 count-of-counts; three single micro divisions."""
+    from .operators.textstats import good_turing_richness
+
+    d = _t(spark, sf, "documents")
+    return good_turing_richness(d, "source", "text")

@@ -1474,3 +1474,150 @@ def average_precision_at_k(
             F.round(F.col("_num") * F.lit(1_000_000) / den).cast("long"),
         ).alias("ap_micro"),
     )
+
+
+def err_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 5,
+    gmax: int = 2,
+) -> DataFrame:
+    """Expected Reciprocal Rank@k with dyadic stop probabilities — the
+    cascade-model ranking metric next to qa89's NDCG (positional
+    discount, no user model) and qb75's AP (binary): ERR models a user
+    who stops at the first satisfying result, so one perfect hit at
+    rank 1 dominates — the metric RAG rerankers actually optimize.
+
+    Exactness by construction: grade g maps to stop probability
+    R = (2^g - 1) / 2^gmax, a dyadic rational, so every cascade term
+    (1/r) * R_r * prod_{i<r}(1 - R_i) becomes an exact int64 after
+    multiplying through by L * (2^gmax)^k with L = lcm(1..k):
+    term_r = (L/r) * num_r * prod_{i<r}(base - num_i) * base^(k-r).
+    The pivot to per-rank grade columns is one conditional agg per
+    query (k columns, never a window over the corpus); ERR is ONE
+    terminal micro-rounded division by the constant L * base^k.
+
+    Input: rows already ranked+filtered to rank <= k with a TOTAL
+    order (qa89 pipeline shape).  Output per query:
+    (query, err_num exact-integer numerator, err_micro,
+    mean_err_micro) — err_num makes the hash a pure-integer compare.
+    """
+    import math
+
+    kk, base = int(k), 1 << int(gmax)
+    L = math.lcm(*range(1, kk + 1))
+    grade_cols = [
+        F.coalesce(
+            F.max(
+                F.when(F.col(rank_col) == r, F.col(rel_col).cast("long"))
+            ),
+            F.lit(0),
+        ).alias(f"_g{r}")
+        for r in range(1, kk + 1)
+    ]
+    g = ranked.groupBy(F.col(query_col).alias("_q")).agg(*grade_cols)
+
+    def num(r: int):
+        c = F.col(f"_g{r}")
+        expr = F.lit(0)
+        for gr in range(1, int(gmax) + 1):
+            expr = F.when(c == gr, F.lit((1 << gr) - 1)).otherwise(expr)
+        return expr.cast("long")
+
+    cont = F.lit(1).cast("long")
+    terms = []
+    for r in range(1, kk + 1):
+        terms.append(
+            F.lit(L // r).cast("long")
+            * num(r)
+            * cont
+            * F.lit(base ** (kk - r)).cast("long")
+        )
+        cont = cont * (F.lit(base).cast("long") - num(r))
+    err_num = terms[0]
+    for t in terms[1:]:
+        err_num = err_num + t
+    denom = L * base**kk
+    per = g.select(
+        F.col("_q").alias(query_col),
+        err_num.cast("long").alias("err_num"),
+    ).select(
+        query_col,
+        "err_num",
+        F.round(F.col("err_num") * F.lit(MICRO) / F.lit(denom))
+        .cast("long")
+        .alias("err_micro"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        query_col,
+        "err_num",
+        "err_micro",
+        F.round(F.sum("err_micro").over(w) / F.count("*").over(w))
+        .cast("long")
+        .alias("mean_err_micro"),
+    )
+
+
+def mrr_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+    rel_threshold: int = 2,
+) -> DataFrame:
+    """Mean Reciprocal Rank@k over a graded ranking — the
+    first-relevant-position metric completing the suite (qa89 NDCG /
+    qb75 AP / err_at_k): the navigational "how deep until the answer"
+    number ops dashboards track per retriever build.
+
+    Exact integers: rr_num = L / first_rank with L = lcm(1..k) is an
+    exact int64 (0 when no relevant result in the top k); MRR is one
+    terminal division by (n_queries * L) micro-rounded.  first_rank
+    is nullable BIGINT (promotes to float64 identically in both
+    engines — q22 precedent).
+    """
+    import math
+
+    kk = int(k)
+    L = math.lcm(*range(1, kk + 1))
+    per = (
+        ranked.groupBy(F.col(query_col).alias("_q"))
+        .agg(
+            F.min(
+                F.when(
+                    (F.col(rank_col) <= kk)
+                    & (F.col(rel_col) >= rel_threshold),
+                    F.col(rank_col).cast("long"),
+                )
+            ).alias("first_rank")
+        )
+        .select(
+            F.col("_q").alias(query_col),
+            "first_rank",
+            F.coalesce(
+                F.try_element_at(
+                    F.lit([L // i for i in range(1, kk + 1)]),
+                    F.col("first_rank").cast("int"),
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rr_num"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        query_col,
+        "first_rank",
+        "rr_num",
+        F.round(
+            F.sum("rr_num").over(w) * F.lit(MICRO)
+            / (F.count("*").over(w) * F.lit(L))
+        )
+        .cast("long")
+        .alias("mrr_micro"),
+    )

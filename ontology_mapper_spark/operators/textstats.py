@@ -1099,3 +1099,63 @@ def rake_keywords(
         )
         .limit(int(k))
     )
+
+
+def good_turing_richness(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Good-Turing unseen-probability mass + Chao1 richness per group —
+    the "how much vocabulary have we NOT crawled yet" panel that sits
+    next to qb02's Heaps-law fit (growth curve) and qb11's
+    capture-recapture (two-snapshot overlap): GT p0 = N1/N estimates
+    the probability the NEXT token is a new type; Chao1
+    V + N1(N1-1)/(2(N2+1)) (bias-corrected) estimates total richness
+    from singleton/doubleton counts alone.  Drives crawl-more vs
+    dedup-harder budget calls per source.
+
+    Integer-exact: token counts -> count-of-counts are pure int64
+    aggregations; p0/chao1/hapax-share are each ONE micro-rounded
+    division (chao1's V term stays a separate exact integer addend).
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(words_col(F.col(text_col))).alias("_w"),
+    )
+    counts = toks.groupBy("_g", "_w").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    per = counts.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("v_types"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1_singletons"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2_doubletons"),
+    )
+    micro = F.lit(1_000_000)
+    return per.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "v_types",
+        "n1_singletons",
+        "n2_doubletons",
+        F.round(F.col("n1_singletons") * micro / F.col("n_tokens"))
+        .cast("long")
+        .alias("p0_micro"),
+        (
+            F.col("v_types") * F.lit(1_000_000)
+            + F.round(
+                F.col("n1_singletons")
+                * (F.col("n1_singletons") - 1)
+                * micro
+                / (F.lit(2) * (F.col("n2_doubletons") + 1))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("chao1_micro"),
+        F.round(F.col("n1_singletons") * micro / F.col("v_types"))
+        .cast("long")
+        .alias("hapax_share_micro"),
+    )

@@ -323,6 +323,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb85_nelson_aalen": "distinct-duration risk table (qa67 family; coarsen durations at scale)",
     "qb91_logrank": "distinct-duration risk table (qa67 family; coarsen durations at scale)",
     "qb96_wasserstein": "distinct-value histogram cumulative + gap (qa22/qa30 family)",
+    "qc01_err_cascade": "per-group summary wall mean (qa89 family; evaluation query set, dictionary-sized)",
+    "qc02_mrr": "per-group summary wall mean (qa89 family; evaluation query set, dictionary-sized)",
 }
 
 
