@@ -260,6 +260,9 @@ EXTENDED = [
     "qb98_runs_test",
     "qb99_odds_ratio",
     "qc00_daily_value_bands",
+    "qc01_err_cascade",
+    "qc02_mrr",
+    "qc03_good_turing",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
