@@ -263,6 +263,9 @@ EXTENDED = [
     "qc01_err_cascade",
     "qc02_mrr",
     "qc03_good_turing",
+    "qc04_kruskal_wallis",
+    "qc05_friedman",
+    "qc06_cliffs_delta",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

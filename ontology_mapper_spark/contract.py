@@ -15189,3 +15189,170 @@ def qc03(spark, sf):
 
     d = _t(spark, sf, "documents")
     return good_turing_richness(d, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 42: nonparametric k-sample completion
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc04_kruskal_wallis",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+    ranked AS (SELECT v, c,
+                      2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS dmid,
+                      c * c * c - c AS tie
+               FROM vc),
+    gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS ca
+           FROM base GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM base),
+    bterms AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+                      CAST(sum(ca * dmid) AS BIGINT) AS r2
+               FROM gv JOIN ranked USING (v) GROUP BY 1),
+    terms AS (SELECT g, n_a, r2, N,
+                     CAST(round(3.0 * r2 * r2 * 1000000
+                          / (1.0 * n_a * N * (N + 1))) AS BIGINT) AS s
+              FROM bterms CROSS JOIN tot),
+    gall AS (SELECT CAST(max(N) AS BIGINT) AS N,
+                    CAST(count(*) AS BIGINT) AS k_groups,
+                    CAST(sum(s) AS BIGINT) AS S
+             FROM terms),
+    ties AS (SELECT CAST(sum(tie) AS BIGINT) AS T FROM ranked),
+    g2 AS (SELECT N, k_groups, S, T,
+                  S / 1000000.0 - 3.0 * (N + 1) AS h
+           FROM gall CROSS JOIN ties),
+    g3 AS (SELECT N AS n_total, k_groups,
+                  CAST(round(h * 1000) AS BIGINT) AS h_milli,
+                  CASE WHEN (1.0 * N * N * N - N) > T THEN
+                    CAST(round(h / (1.0 - T / (1.0 * N * N * N - N)) * 1000)
+                         AS BIGINT)
+                  END AS h_tie_milli
+           FROM g2)
+    SELECT t.g AS event_type, t.n_a, t.r2,
+           CAST(round(CAST(t.r2 AS DOUBLE) * 1000000 / (2 * t.n_a))
+                AS BIGINT) AS mean_rank2_micro,
+           g3.n_total, g3.k_groups, g3.h_milli, g3.h_tie_milli
+    FROM terms t CROSS JOIN g3
+    """,
+)
+def qc04(spark, sf):
+    """Kruskal-Wallis omnibus H over event types' cents-value
+    distributions (operators/stats.py:kruskal_wallis) — the k-group
+    gate before qa22's pairwise Mann-Whitney.  Doubled-midrank
+    histogram ranks (the only unpartitioned window is the distinct-
+    value spine); each group's H contribution is one fixed scalar DAG
+    micro-rounded to int64, summed as INTEGERS; tie-corrected H from
+    the same T = Σ(t³−t) int64."""
+    from .operators.stats import kruskal_wallis
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return kruskal_wallis(e, "event_type", "cents")
+
+
+@_q(
+    "qc05_friedman",
+    """
+    WITH base AS (SELECT epoch_us(ts) // 86400000000 AS b,
+                         event_type AS t,
+                         CAST(round(value * 100) AS BIGINT) AS cv
+                  FROM events),
+    cells AS (SELECT b, t, CAST(sum(cv) AS BIGINT) AS v
+              FROM base GROUP BY 1, 2),
+    krow AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells),
+    complete AS (SELECT b FROM cells GROUP BY 1
+                 HAVING count(*) = (SELECT k FROM krow)),
+    cc AS (SELECT cells.* FROM cells JOIN complete USING (b)),
+    hist AS (SELECT b, v, CAST(count(*) AS BIGINT) AS c
+             FROM cc GROUP BY 1, 2),
+    dmid AS (SELECT b, v,
+                    2 * (sum(c) OVER (PARTITION BY b ORDER BY v) - c)
+                      + c + 1 AS dmid
+             FROM hist),
+    r AS (SELECT t, CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(dmid) AS BIGINT) AS r2
+          FROM cc JOIN dmid USING (b, v) GROUP BY 1),
+    gall AS (SELECT CAST(max(nb) AS BIGINT) AS n_blocks,
+                    CAST(count(*) AS BIGINT) AS k_treatments,
+                    CAST(sum(r2 * r2) AS BIGINT) AS s4
+             FROM r),
+    g AS (SELECT n_blocks, k_treatments,
+                 CAST(round((3.0 * s4
+                      / (n_blocks * k_treatments * (k_treatments + 1.0))
+                      - 3.0 * n_blocks * (k_treatments + 1)) * 1000)
+                      AS BIGINT) AS chi2_milli
+          FROM gall)
+    SELECT r.t AS event_type, r.r2,
+           CAST(round(CAST(r.r2 AS DOUBLE) * 1000000 / (2 * r.nb))
+                AS BIGINT) AS mean_rank2_micro,
+           g.n_blocks, g.k_treatments, g.chi2_milli
+    FROM r CROSS JOIN g
+    """,
+)
+def qc05(spark, sf):
+    """Friedman paired k-treatment rank test: do event types differ in
+    DAILY cents spend once the day itself is controlled for
+    (operators/stats.py:friedman_test)?  Cells are exact int64 daily
+    sums; only complete blocks enter; within-block doubled midranks
+    (every window PARTITIONED BY day); χ²_F = 3·ΣR2² /(bk(k+1)) −
+    3b(k+1) is integer until one terminal scalar DAG."""
+    from .operators.stats import friedman_test
+
+    e = _t(spark, sf, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "d"
+        ),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return friedman_test(e, "d", "event_type", "cents")
+
+
+@_q(
+    "qc06_cliffs_delta",
+    """
+    WITH vc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1),
+    ranked AS (SELECT v, c, 2 * (sum(c) OVER (ORDER BY v) - c) + c + 1
+                      AS dmid
+               FROM vc),
+    gv AS (SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS ca
+           FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    terms AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(ca * dmid) AS BIGINT) AS rsum2
+              FROM gv JOIN ranked USING (v) GROUP BY 1),
+    d AS (SELECT g AS source, n_a,
+                 CAST((SELECT n FROM tot) - n_a AS BIGINT) AS n_b,
+                 rsum2 - n_a * (n_a + 1) AS u2
+          FROM terms),
+    dd AS (SELECT source, n_a, n_b,
+                  CASE WHEN n_a > 0 AND n_b > 0 THEN
+                    CAST(round(CAST((u2 - n_a * n_b) * 1000000 AS DOUBLE)
+                         / (n_a * n_b)) AS BIGINT)
+                  END AS delta_micro
+           FROM d)
+    SELECT source, n_a, n_b, delta_micro,
+           CASE WHEN delta_micro IS NULL THEN NULL
+                WHEN abs(delta_micro) < 147000 THEN 'negligible'
+                WHEN abs(delta_micro) < 330000 THEN 'small'
+                WHEN abs(delta_micro) < 474000 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM dd
+    """,
+)
+def qc06(spark, sf):
+    """Cliff's delta effect size of each source's document-length
+    distribution vs the rest (operators/stats.py:cliffs_delta) —
+    delta = 2·AUC−1 from qa22's exact u2 machinery, with the Romano
+    magnitude bands compared on the ROUNDED integer so both engines
+    classify identically."""
+    from .operators.stats import cliffs_delta
+
+    return cliffs_delta(_t(spark, sf, "documents"), "source", "n_chars")

@@ -3520,3 +3520,246 @@ def odds_ratio_ci(
         .cast("long")
         .alias("signif_flag"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H — the k-group generalization of Mann-Whitney
+    (mann_whitney_u handles one-vs-rest): "do ANY of these segments'
+    metric distributions differ?", the omnibus gate you run BEFORE
+    k-1 pairwise MW tests.
+
+    Scale-correct ranking, same discipline as mann_whitney_u: ranks
+    come from the VALUE HISTOGRAM (doubled midranks 2·cum_before+c+1
+    are exact int64; the only unpartitioned window runs over distinct
+    values, histogram-sized).  r2_i² overflows int64 at corpus scale,
+    so each group's H contribution is ONE fixed scalar DAG on exact
+    integers (IEEE-identical in both engines):
+    h_i_micro = round(3·r2_i²·1e6 / (n_i·N·(N+1)))  [12·(R_i²/n_i)/
+    (N(N+1)) with r2=2R], bounded by 1e6·H ≤ ~1e12 — then
+    S = Σ h_i_micro is an INTEGER sum, never a double accumulation
+    (per-group rounding error ≤ 0.5e-6·k on H).  H and the
+    tie-corrected H are terminal scalar DAGs: h = S/1e6 − 3(N+1),
+    h_tie = h / (1 − T/(N³−N)) with T = Σ(t³−t) int64.
+
+    Output: one row per group (n_a, r2, mean_rank2_micro) with the
+    global (n_total, k_groups, h_milli, h_tie_milli) attached via a
+    broadcast 1-row summary (no corpus window).
+    """
+    vc = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = Window.orderBy("_v")
+    ranked = vc.select(
+        "_v",
+        "_c",
+        (2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1).alias(
+            "_dmid"
+        ),
+        (F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c")).alias(
+            "_tie"
+        ),
+    )
+    gv = df.groupBy(F.col(group_col), F.col(value_col).alias("_v")).agg(
+        F.count("*").cast("long").alias("_ca")
+    )
+    base_terms = (
+        gv.join(ranked, "_v")
+        .groupBy(group_col)
+        .agg(
+            F.sum("_ca").cast("long").alias("n_a"),
+            F.sum(F.col("_ca") * F.col("_dmid")).cast("long").alias("r2"),
+        )
+    )
+    tot = df.groupBy().agg(F.count("*").cast("long").alias("_N"))
+    terms = base_terms.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_a",
+        "r2",
+        "_N",
+        F.round(
+            F.lit(3.0) * F.col("r2") * F.col("r2") * MICRO
+            / (
+                F.lit(1.0)
+                * F.col("n_a")
+                * F.col("_N")
+                * (F.col("_N") + 1)
+            )
+        )
+        .cast("long")
+        .alias("_s"),
+    )
+    glob = terms.groupBy().agg(
+        F.max("_N").cast("long").alias("_N"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("_s").cast("long").alias("_S"),
+    )
+    ties = ranked.groupBy().agg(F.sum("_tie").cast("long").alias("_T"))
+    g = glob.crossJoin(ties).select(
+        "_N",
+        "k_groups",
+        "_S",
+        "_T",
+        (
+            F.col("_S") / F.lit(1000000.0)
+            - F.lit(3.0) * (F.col("_N") + 1)
+        ).alias("_h"),
+    )
+    g = g.select(
+        F.col("_N").alias("n_total"),
+        "k_groups",
+        F.round(F.col("_h") * 1000).cast("long").alias("h_milli"),
+        F.when(
+            (F.lit(1.0) * F.col("_N") * F.col("_N") * F.col("_N") - F.col("_N"))
+            > F.col("_T"),
+            F.round(
+                F.col("_h")
+                / (
+                    F.lit(1.0)
+                    - F.col("_T")
+                    / (
+                        F.lit(1.0) * F.col("_N") * F.col("_N") * F.col("_N")
+                        - F.col("_N")
+                    )
+                )
+                * 1000
+            ).cast("long"),
+        ).alias("h_tie_milli"),
+    )
+    return terms.select(
+        group_col,
+        "n_a",
+        "r2",
+        F.round(F.col("r2").cast("double") * MICRO / (2 * F.col("n_a")))
+        .cast("long")
+        .alias("mean_rank2_micro"),
+    ).crossJoin(F.broadcast(g))
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treat_col: str, value_col: str
+) -> DataFrame:
+    """Friedman test — the PAIRED k-treatment rank test (blocks control
+    a nuisance dimension, e.g. "do event types differ in daily spend
+    once the day itself is controlled for?"), completing the
+    nonparametric suite next to kruskal_wallis (unpaired omnibus) and
+    mann_whitney_u (two-sample).
+
+    Input is one row per (block, treatment) CELL with an exact int64
+    value (callers aggregate raw rows to cells first — e.g. daily
+    cents sums).  Only COMPLETE blocks (all k treatments present)
+    enter, per the classical design.  Within-block ranks use doubled
+    midranks from the per-block value histogram — every window is
+    PARTITIONED BY block (k rows each), nothing global.  With
+    R2_j = Σ_blocks dmid (= 2·rank sum, exact int64 — b(2k+1) max):
+    χ²_F = 3·S4/(b·k·(k+1)) − 3·b·(k+1) where S4 = Σ_j R2_j², an
+    integer sum; the χ² is one terminal scalar DAG.
+
+    Output: one row per treatment (r2, mean_rank2_micro) with global
+    (n_blocks, k_treatments, chi2_milli) broadcast-attached.
+    """
+    cells = df.groupBy(
+        F.col(block_col).alias("_b"), F.col(treat_col).alias("_t")
+    ).agg(F.sum(F.col(value_col)).cast("long").alias("_v"))
+    k_row = cells.select("_t").distinct().groupBy().agg(
+        F.count("*").cast("long").alias("k_treatments")
+    )
+    complete = (
+        cells.groupBy("_b")
+        .agg(F.count("*").cast("long").alias("_kc"))
+        .crossJoin(F.broadcast(k_row))
+        .where(F.col("_kc") == F.col("k_treatments"))
+        .select("_b")
+    )
+    cc = cells.join(complete, "_b")
+    hist = cc.groupBy("_b", "_v").agg(F.count("*").cast("long").alias("_c"))
+    wb = Window.partitionBy("_b").orderBy("_v")
+    dmid = hist.select(
+        "_b",
+        "_v",
+        (2 * (F.sum("_c").over(wb) - F.col("_c")) + F.col("_c") + 1).alias(
+            "_dmid"
+        ),
+    )
+    r = (
+        cc.join(dmid, ["_b", "_v"])
+        .groupBy("_t")
+        .agg(
+            F.count("*").cast("long").alias("_nb"),
+            F.sum("_dmid").cast("long").alias("r2"),
+        )
+    )
+    glob = r.groupBy().agg(
+        F.max("_nb").cast("long").alias("n_blocks"),
+        F.count("*").cast("long").alias("k_treatments"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("_s4"),
+    )
+    g = glob.select(
+        "n_blocks",
+        "k_treatments",
+        F.round(
+            (
+                F.lit(3.0)
+                * F.col("_s4")
+                / (
+                    F.col("n_blocks")
+                    * F.col("k_treatments")
+                    * (F.col("k_treatments") + F.lit(1.0))
+                )
+                - F.lit(3.0) * F.col("n_blocks") * (F.col("k_treatments") + 1)
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("chi2_milli"),
+    )
+    return r.select(
+        F.col("_t").alias(treat_col),
+        "r2",
+        F.round(F.col("r2").cast("double") * MICRO / (2 * F.col("_nb")))
+        .cast("long")
+        .alias("mean_rank2_micro"),
+    ).crossJoin(F.broadcast(g))
+
+
+def cliffs_delta(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Cliff's delta effect size (one group vs rest) with the standard
+    magnitude bands — the "HOW different is this segment, in a unit
+    reviewers recognize" companion to mann_whitney_u's AUC (delta =
+    2·AUC − 1, i.e. P(a>b) − P(a<b)): negligible < .147 ≤ small <
+    .33 ≤ medium < .474 ≤ large, thresholds from Romano et al.'s
+    widely-used table.
+
+    Same histogram-midrank machinery as mann_whitney_u (u2 = 2U exact
+    int64, one unpartitioned window over DISTINCT values only);
+    delta_micro = round(1e6·(u2 − n_a·n_b)/(n_a·n_b)) is one terminal
+    scalar division; the band CASE compares the rounded integer so
+    both engines classify identically.
+    """
+    mw = mann_whitney_u(df, group_col, value_col)
+    delta = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.round(
+            ((F.col("u2") - F.col("n_a") * F.col("n_b")) * MICRO).cast(
+                "double"
+            )
+            / (F.col("n_a") * F.col("n_b"))
+        ).cast("long"),
+    )
+    out = mw.select(group_col, "n_a", "n_b", delta.alias("delta_micro"))
+    mag = F.abs(F.col("delta_micro"))
+    return out.select(
+        group_col,
+        "n_a",
+        "n_b",
+        "delta_micro",
+        F.when(F.col("delta_micro").isNull(), F.lit(None).cast("string"))
+        .when(mag < 147_000, F.lit("negligible"))
+        .when(mag < 330_000, F.lit("small"))
+        .when(mag < 474_000, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )

@@ -325,6 +325,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qb96_wasserstein": "distinct-value histogram cumulative + gap (qa22/qa30 family)",
     "qc01_err_cascade": "per-group summary wall mean (qa89 family; evaluation query set, dictionary-sized)",
     "qc02_mrr": "per-group summary wall mean (qa89 family; evaluation query set, dictionary-sized)",
+    "qc04_kruskal_wallis": "distinct-value score histogram (qa22 doubled-midrank idiom)",
+    "qc06_cliffs_delta": "distinct-value score histogram (qa22 doubled-midrank idiom)",
 }
 
 
