@@ -266,6 +266,9 @@ EXTENDED = [
     "qc04_kruskal_wallis",
     "qc05_friedman",
     "qc06_cliffs_delta",
+    "qc07_markov_removal",
+    "qc08_qini_curve",
+    "qc09_position_attribution",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

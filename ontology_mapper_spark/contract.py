@@ -15356,3 +15356,260 @@ def qc06(spark, sf):
     from .operators.stats import cliffs_delta
 
     return cliffs_delta(_t(spark, sf, "documents"), "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 43: attribution completion (Markov removal, Qini, U-shaped)
+# ---------------------------------------------------------------------------
+
+
+def _qc07_oracle(k: int = 4) -> str:
+    step = """
+    m{i} AS (
+      SELECT g.v, g.f,
+             CAST(coalesce(rr.p, 0) + coalesce(st.qm, 0) AS BIGINT) AS m
+      FROM grid g
+      LEFT JOIN rr ON g.v = rr.v AND g.f = rr.f
+      LEFT JOIN (
+        SELECT qq.v, qq.f,
+               CAST(sum(qq.p * m{j}.m) AS BIGINT) // 1000000 AS qm
+        FROM qq JOIN m{j} ON qq.v = m{j}.v AND qq.t = m{j}.f
+        GROUP BY 1, 2) st ON g.v = st.v AND g.f = st.f),"""
+    steps = "".join(step.format(i=i, j=i - 1) for i in range(2, k + 1))
+    return f"""
+    WITH fp AS (SELECT user_id AS u,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                         AS fpts
+                FROM events GROUP BY 1),
+    tch AS (SELECT e.user_id AS u, e.ts, e.event_id, e.event_type AS ty,
+                   fp.fpts
+            FROM events e JOIN fp ON e.user_id = fp.u
+            WHERE e.event_type IN ('click', 'view', 'signup')
+              AND (fp.fpts IS NULL OR e.ts < fp.fpts)),
+    seq AS (SELECT u, ty, fpts,
+                   lag(ty) OVER (PARTITION BY u ORDER BY ts, event_id)
+                     AS prev,
+                   lead(ty) OVER (PARTITION BY u ORDER BY ts, event_id)
+                     AS nxt
+            FROM tch),
+    tr AS (
+      SELECT coalesce(prev, 'start') AS f, ty AS t FROM seq
+      UNION ALL
+      SELECT ty AS f,
+             CASE WHEN fpts IS NOT NULL THEN 'conv' ELSE 'drop' END AS t
+      FROM seq WHERE nxt IS NULL
+      UNION ALL
+      SELECT 'start' AS f,
+             CASE WHEN fpts IS NOT NULL THEN 'conv' ELSE 'drop' END AS t
+      FROM fp WHERE u NOT IN (SELECT DISTINCT u FROM tch)),
+    cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+    pm AS (SELECT f, t,
+                  CAST(round(n * 1000000 / sum(n) OVER (PARTITION BY f))
+                       AS BIGINT) AS p
+           FROM cnt),
+    vlist(v) AS (VALUES ('none'), ('click'), ('view'), ('signup')),
+    vp AS (SELECT vlist.v, pm.f, pm.t, pm.p
+           FROM vlist CROSS JOIN pm
+           WHERE NOT (pm.f = vlist.v OR pm.t = vlist.v)),
+    qq AS (SELECT v, f, t, p FROM vp
+           WHERE t IN ('click', 'view', 'signup')),
+    rr AS (SELECT v, f, p FROM vp WHERE t = 'conv'),
+    slist(s) AS (VALUES ('start'), ('click'), ('view'), ('signup')),
+    grid AS (SELECT vlist.v, slist.s AS f FROM vlist CROSS JOIN slist),
+    m1 AS (SELECT g.v, g.f, CAST(coalesce(rr.p, 0) AS BIGINT) AS m
+           FROM grid g LEFT JOIN rr ON g.v = rr.v AND g.f = rr.f),{steps}
+    ms AS (SELECT v, m FROM m{k} WHERE f = 'start'),
+    pb AS (SELECT m AS p_base FROM ms WHERE v = 'none'),
+    outv AS (SELECT v AS channel,
+                    (SELECT p_base FROM pb) AS p_base_micro,
+                    m AS p_removed_micro
+             FROM ms WHERE v <> 'none'),
+    re AS (SELECT channel, p_base_micro, p_removed_micro,
+                  CASE WHEN p_base_micro > 0 THEN
+                    CAST(round(CAST((p_base_micro - p_removed_micro)
+                               * 1000000 AS DOUBLE) / p_base_micro)
+                         AS BIGINT)
+                  END AS removal_effect_micro
+           FROM outv),
+    sr AS (SELECT CAST(sum(removal_effect_micro) AS BIGINT) AS sre FROM re)
+    SELECT channel, p_base_micro, p_removed_micro, removal_effect_micro,
+           CASE WHEN (SELECT sre FROM sr) > 0 THEN
+             CAST(round(CAST(removal_effect_micro * 1000000 AS DOUBLE)
+                  / (SELECT sre FROM sr)) AS BIGINT)
+           END AS credit_micro
+    FROM re
+    """
+
+
+@_q("qc07_markov_removal", _qc07_oracle())
+def qc07(spark, sf):
+    """Markov removal-effect attribution (operators/temporal.py:
+    markov_removal_attribution) — chain-structure channel credit
+    completing last-touch/linear/time-decay/Shapley: the k=4-step
+    start-state conversion probability drop when each channel's
+    transitions are deleted, micro fixed-point unrolled per round
+    (qb95 discipline), removal variants on the dictionary-sized
+    transition table."""
+    from .operators.temporal import markov_removal_attribution
+
+    return markov_removal_attribution(_t(spark, sf, "events"))
+
+
+@_q(
+    "qc08_qini_curve",
+    """
+    WITH u AS (SELECT user_id AS uid,
+                      CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS s,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS y
+               FROM events GROUP BY 1),
+    t AS (SELECT s, y,
+                 CASE WHEN substring(md5('qini|' || CAST(uid AS VARCHAR)),
+                                     1, 8) < '80000000'
+                      THEN 1 ELSE 0 END AS tr
+          FROM u),
+    hist AS (SELECT s, CAST(sum(tr) AS BIGINT) AS nt,
+                    CAST(sum(1 - tr) AS BIGINT) AS nc,
+                    CAST(sum(tr * y) AS BIGINT) AS yt,
+                    CAST(sum((1 - tr) * y) AS BIGINT) AS yc
+             FROM t GROUP BY 1),
+    cum AS (SELECT s,
+                   CAST(sum(nt) OVER w AS BIGINT) AS cum_n_t,
+                   CAST(sum(nc) OVER w AS BIGINT) AS cum_n_c,
+                   CAST(sum(yt) OVER w AS BIGINT) AS cum_y_t,
+                   CAST(sum(yc) OVER w AS BIGINT) AS cum_y_c
+            FROM hist WINDOW w AS (ORDER BY s DESC)),
+    pts AS (SELECT s, cum_n_t, cum_n_c, cum_y_t, cum_y_c,
+                   CASE WHEN cum_n_c > 0 THEN
+                     CAST(1000 * cum_y_t
+                          - round(CAST(1000 * cum_y_c * cum_n_t AS DOUBLE)
+                                  / cum_n_c) AS BIGINT)
+                   ELSE CAST(1000 * cum_y_t AS BIGINT) END AS uplift_milli
+            FROM cum),
+    tz AS (SELECT (cum_n_t - coalesce(lag(cum_n_t) OVER wd, 0))
+                  * (uplift_milli + coalesce(lag(uplift_milli) OVER wd, 0))
+                    AS tz2
+           FROM pts WINDOW wd AS (ORDER BY s DESC)),
+    a2 AS (SELECT CAST(sum(tz2) AS BIGINT) AS auqc2_milli FROM tz),
+    tot AS (SELECT CAST(sum(tr) AS BIGINT) AS NT,
+                   CAST(sum(1 - tr) AS BIGINT) AS NC,
+                   CAST(sum(tr * y) AS BIGINT) AS YT,
+                   CAST(sum((1 - tr) * y) AS BIGINT) AS YC
+            FROM t),
+    rand AS (SELECT CAST(NT * (CASE WHEN NC > 0 THEN
+                     CAST(1000 * YT - round(CAST(1000 * YC * NT AS DOUBLE)
+                          / NC) AS BIGINT)
+                   ELSE CAST(1000 * YT AS BIGINT) END) AS BIGINT)
+                     AS rand2_milli
+             FROM tot)
+    SELECT pts.s AS score, pts.cum_n_t, pts.cum_n_c, pts.cum_y_t,
+           pts.cum_y_c, pts.uplift_milli,
+           a2.auqc2_milli, rand.rand2_milli,
+           CAST(a2.auqc2_milli - rand.rand2_milli AS BIGINT) AS qini2_milli
+    FROM pts CROSS JOIN a2 CROSS JOIN rand
+    """,
+)
+def qc08(spark, sf):
+    """Qini uplift curve of an engagement-targeting score under a
+    deterministic 50/50 md5 treatment split (operators/evaluate.py:
+    qini_curve): per-user score = click+view count, outcome = any
+    purchase; y-axis is exact milli incremental conversions, area
+    and random-diagonal doubled-trapezoids are integer sums.  The
+    harness counterpart of qb04's correlational decile lift."""
+    from .operators.evaluate import qini_curve
+    from .operators.split import hash_split_col
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy(F.col("user_id")).agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "_y"
+        ),
+    )
+    u = u.select(
+        "score",
+        "_y",
+        (
+            hash_split_col(
+                F.col("user_id"), {"treat": 0.5, "control": 0.5}, "qini"
+            )
+            == "treat"
+        ).alias("_tr"),
+    )
+    return qini_curve(u, "score", "_tr", "_y")
+
+
+@_q(
+    "qc09_position_attribution",
+    """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS us, event_id AS id,
+             event_type AS t, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    carried AS (
+      SELECT u, us, id, t, cents,
+             last_value(CASE WHEN t = 'purchase'
+                             THEN struct_pack(us := us, id := id,
+                                              cents := cents)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY u ORDER BY us DESC, id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conv
+      FROM base),
+    touches AS (
+      SELECT u, us, id, t, conv
+      FROM carried
+      WHERE t IN ('click','view','signup') AND conv IS NOT NULL
+        AND conv.us - us <= 86400000000),
+    sized AS (
+      SELECT t, conv.cents AS ccents,
+             count(*) OVER (PARTITION BY u, conv.us, conv.id) AS n,
+             row_number() OVER (PARTITION BY u, conv.us, conv.id
+                                ORDER BY us, id) AS pos
+      FROM touches),
+    cr AS (
+      SELECT t, ccents,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 AND pos = 1 THEN 400000
+                  WHEN n = 2 THEN 600000
+                  WHEN pos = 1 THEN 400000
+                  WHEN pos = n
+                    THEN 400000 + (200000 - (200000 // (n - 2)) * (n - 2))
+                  ELSE 200000 // (n - 2) END AS credit
+      FROM sized),
+    credited AS (
+      SELECT t AS touch_type, CAST(credit AS BIGINT) AS credit,
+             CAST(ccents * credit AS BIGINT) AS vmicro
+      FROM cr),
+    journeys AS (
+      SELECT DISTINCT u, conv.us AS jus, conv.id AS jid FROM touches),
+    none_rows AS (
+      SELECT 'none' AS touch_type, CAST(1000000 AS BIGINT) AS credit,
+             CAST(cents * 1000000 AS BIGINT) AS vmicro
+      FROM base b
+      WHERE t = 'purchase' AND NOT EXISTS (
+        SELECT 1 FROM journeys j
+        WHERE j.u = b.u AND j.jus = b.us AND j.jid = b.id)),
+    allrows AS (
+      SELECT * FROM credited UNION ALL SELECT * FROM none_rows)
+    SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit) AS BIGINT) AS credit_micro,
+           CAST(sum(vmicro) AS BIGINT) AS value_micro_cents
+    FROM allrows GROUP BY 1
+    """,
+)
+def qc09(spark, sf):
+    """Position-based (U-shaped 40/20/40) multi-touch attribution
+    (operators/temporal.py:position_based_attribution): first and
+    last touch of each in-horizon journey get 400k micro each, the
+    middle pot splits evenly with the remainder to the last touch —
+    exact 1e6 conservation per conversion, same reversed-carry
+    journey shape as qb42, no range join."""
+    from .operators.temporal import position_based_attribution
+
+    return position_based_attribution(_t(spark, sf, "events"))

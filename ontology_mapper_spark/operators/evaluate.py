@@ -1621,3 +1621,119 @@ def mrr_at_k(
         .cast("long")
         .alias("mrr_micro"),
     )
+
+
+def qini_curve(
+    df: DataFrame,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Qini (uplift gains) curve over a targeting score with a
+    treatment/control split — "if we contact the top-scored units,
+    how many INCREMENTAL conversions do we get vs not contacting
+    them", the causal sibling of decile_lift's correlational gains
+    (qb04).  One row per distinct score (descending, best first):
+
+        uplift_milli = 1000·cumY_t − round(1000·cumY_c·cumN_t/cumN_c)
+
+    i.e. treated conversions so far minus the control conversions
+    scaled to the treated audience size — the classical Qini y-axis
+    in exact milli-counts (ONE per-point division; 0 control so far
+    contributes no subtraction).  The doubled trapezoid area
+    auqc2_milli = Σ Δx·(y+y_prev) with x = cumN_t is an INTEGER sum;
+    rand2_milli = N_t·uplift_total is the doubled area under the
+    random-targeting diagonal; qini2_milli = auqc2 − rand2 > 0 means
+    the score targets better than random.  The only windows run over
+    the distinct-score spine (histogram-sized, qa22 family) —
+    coarsen scores (e.g. cents buckets) at web scale.
+
+    Output per point: (score, cum_n_t, cum_n_c, cum_y_t, cum_y_c,
+    uplift_milli) plus broadcast-attached (auqc2_milli, rand2_milli,
+    qini2_milli).
+    """
+    base = df.select(
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(treat_col).cast("boolean").cast("long").alias("_tr"),
+        F.col(outcome_col).cast("boolean").cast("long").alias("_y"),
+    )
+    hist = base.groupBy("_s").agg(
+        F.sum("_tr").cast("long").alias("_nt"),
+        F.sum(1 - F.col("_tr")).cast("long").alias("_nc"),
+        F.sum(F.col("_tr") * F.col("_y")).cast("long").alias("_yt"),
+        F.sum((1 - F.col("_tr")) * F.col("_y")).cast("long").alias("_yc"),
+    )
+    w = Window.orderBy(F.col("_s").desc())
+    cum = hist.select(
+        "_s",
+        F.sum("_nt").over(w).cast("long").alias("cum_n_t"),
+        F.sum("_nc").over(w).cast("long").alias("cum_n_c"),
+        F.sum("_yt").over(w).cast("long").alias("cum_y_t"),
+        F.sum("_yc").over(w).cast("long").alias("cum_y_c"),
+    )
+    uplift = F.when(
+        F.col("cum_n_c") > 0,
+        (
+            F.lit(1000) * F.col("cum_y_t")
+            - F.round(
+                (F.lit(1000) * F.col("cum_y_c") * F.col("cum_n_t")).cast(
+                    "double"
+                )
+                / F.col("cum_n_c")
+            )
+        ).cast("long"),
+    ).otherwise((F.lit(1000) * F.col("cum_y_t")).cast("long"))
+    pts = cum.withColumn("uplift_milli", uplift)
+    tz = pts.select(
+        "_s",
+        (
+            (F.col("cum_n_t") - F.coalesce(F.lag("cum_n_t").over(w), F.lit(0)))
+            * (
+                F.col("uplift_milli")
+                + F.coalesce(F.lag("uplift_milli").over(w), F.lit(0))
+            )
+        )
+        .cast("long")
+        .alias("_tz2"),
+    )
+    a2 = tz.groupBy().agg(F.sum("_tz2").cast("long").alias("auqc2_milli"))
+    tot = base.groupBy().agg(
+        F.sum("_tr").cast("long").alias("_NT"),
+        F.sum(1 - F.col("_tr")).cast("long").alias("_NC"),
+        F.sum(F.col("_tr") * F.col("_y")).cast("long").alias("_YT"),
+        F.sum((1 - F.col("_tr")) * F.col("_y")).cast("long").alias("_YC"),
+    )
+    rand = tot.select(
+        (
+            F.col("_NT")
+            * F.when(
+                F.col("_NC") > 0,
+                (
+                    F.lit(1000) * F.col("_YT")
+                    - F.round(
+                        (F.lit(1000) * F.col("_YC") * F.col("_NT")).cast(
+                            "double"
+                        )
+                        / F.col("_NC")
+                    )
+                ).cast("long"),
+            ).otherwise((F.lit(1000) * F.col("_YT")).cast("long"))
+        )
+        .cast("long")
+        .alias("rand2_milli")
+    )
+    g = a2.crossJoin(rand).select(
+        "auqc2_milli",
+        "rand2_milli",
+        (F.col("auqc2_milli") - F.col("rand2_milli"))
+        .cast("long")
+        .alias("qini2_milli"),
+    )
+    return pts.select(
+        F.col("_s").alias(score_col),
+        "cum_n_t",
+        "cum_n_c",
+        "cum_y_t",
+        "cum_y_c",
+        "uplift_milli",
+    ).crossJoin(F.broadcast(g))

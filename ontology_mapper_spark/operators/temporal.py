@@ -3468,3 +3468,311 @@ def daily_value_bands(
         "p50_cents",
         "p90_cents",
     ).orderBy("day")
+
+
+def position_based_attribution(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    horizon_hours: int = 24,
+    first_micro: int = 400_000,
+    last_micro: int = 400_000,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: the FIRST
+    touch of a journey gets first_micro credit, the LAST gets
+    last_micro, and the remaining 1e6−first−last is split evenly over
+    the middle touches — the introducer-and-closer model completing
+    the family (last-touch qb40 / linear qb42 / time-decay qb77 /
+    Shapley qb76 / Markov removal markov_removal_attribution).
+
+    Same journey machinery as linear_attribution (reversed carry
+    window binds each touch to its nearest following in-horizon
+    conversion; two shuffles on user, no range join).  Integer
+    conservation: n=1 → 1e6; n=2 → the middle pot is impossible so
+    first + (1e6−first); n≥3 → middle share = mid_pot div (n−2) with
+    the division remainder added to the LAST touch (qb77's
+    remainder-to-most-recent convention), so every conversion's
+    credit sums to exactly 1e6.
+
+    Output: (touch_type, n_touches, credit_micro, value_micro_cents).
+    """
+    mid_pot = MICRO - int(first_micro) - int(last_micro)
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(type_col).alias("_t"),
+        F.round(F.col(val_col) * 100).cast("long").alias("_cents"),
+    )
+    w_desc = Window.partitionBy("_u").orderBy(
+        F.col("_us").desc(), F.col("_id").desc()
+    )
+    conv_struct = F.when(
+        F.col("_t") == conversion_type,
+        F.struct(
+            F.col("_us").alias("us"),
+            F.col("_id").alias("id"),
+            F.col("_cents").alias("cents"),
+        ),
+    )
+    horizon_us = int(horizon_hours) * 3_600 * MICRO
+    touches = base.withColumn(
+        "_conv", F.last(conv_struct, ignorenulls=True).over(w_desc)
+    ).where(
+        F.col("_t").isin(*touch_types)
+        & F.col("_conv").isNotNull()
+        & (F.col("_conv.us") - F.col("_us") <= F.lit(horizon_us))
+    )
+    wj = Window.partitionBy("_u", "_conv.us", "_conv.id")
+    wj_rank = wj.orderBy(F.col("_us").asc(), F.col("_id").asc())
+    sized = touches.select(
+        "_t",
+        F.col("_conv.cents").alias("_ccents"),
+        F.count("*").over(wj).alias("_n"),
+        F.row_number().over(wj_rank).alias("_pos"),
+    )
+    mid_share = F.expr(f"CAST({mid_pot} AS BIGINT) div (_n - 2)")
+    credit = (
+        F.when(F.col("_n") == 1, F.lit(MICRO))
+        .when(
+            F.col("_n") == 2,
+            F.when(F.col("_pos") == 1, F.lit(int(first_micro))).otherwise(
+                F.lit(MICRO - int(first_micro))
+            ),
+        )
+        .when(F.col("_pos") == 1, F.lit(int(first_micro)))
+        .when(
+            F.col("_pos") == F.col("_n"),
+            F.lit(int(last_micro))
+            + (F.lit(mid_pot) - mid_share * (F.col("_n") - 2)),
+        )
+        .otherwise(mid_share)
+    )
+    credited = sized.select(
+        F.col("_t").alias("touch_type"),
+        credit.cast("long").alias("_credit"),
+        (F.col("_ccents") * credit).cast("long").alias("_vmicro"),
+    )
+    journeys = touches.select(
+        F.col("_u").alias("_ju"),
+        F.col("_conv.us").alias("_jus"),
+        F.col("_conv.id").alias("_jid"),
+    ).distinct()
+    none_rows = (
+        base.where(F.col("_t") == conversion_type)
+        .join(
+            journeys,
+            (F.col("_u") == F.col("_ju"))
+            & (F.col("_us") == F.col("_jus"))
+            & (F.col("_id") == F.col("_jid")),
+            "left_anti",
+        )
+        .select(
+            F.lit("none").alias("touch_type"),
+            F.lit(MICRO).cast("long").alias("_credit"),
+            (F.col("_cents") * F.lit(MICRO)).cast("long").alias("_vmicro"),
+        )
+    )
+    return (
+        credited.unionByName(none_rows)
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("_credit").cast("long").alias("credit_micro"),
+            F.sum("_vmicro").cast("long").alias("value_micro_cents"),
+        )
+    )
+
+
+def markov_removal_attribution(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    channels: tuple[str, ...] = ("click", "view", "signup"),
+    conversion_type: str = "purchase",
+    k: int = 4,
+) -> DataFrame:
+    """Data-driven Markov removal-effect attribution — the
+    chain-structure alternative to Shapley (qb76 values exposure
+    SETS; this values the TRANSITION structure): build the
+    first-order channel chain start → touches → {conv, drop}, then
+    credit each channel by how much the k-step conversion probability
+    from start falls when every transition touching that channel is
+    deleted (removal effect RE_c = 1 − P_c/P_base; credits normalize
+    RE over channels).
+
+    Journey semantics: per user, touches strictly BEFORE the first
+    conversion (all touches when the user never converts); the last
+    touch absorbs into 'conv' or 'drop'; users with no touches
+    contribute start→conv/drop directly, so P_base is the true
+    start-state conversion rate.  Transition cells are per-cell
+    micro-rounded divisions (qb95 discipline); the k-step absorption
+    M_k = R + Q·M_{k-1} is unrolled k−1 times in pure int64 with ONE
+    truncating div 1e6 per round (DuckDB // bit-parity); removal
+    variants share the BASE matrix (no renormalization — deleted mass
+    is failure), so P_removed ≤ P_base by construction.  Everything
+    after the one counting shuffle is dictionary-sized
+    (states × variants ≤ (|channels|+1)²).
+
+    Output per channel: (channel, p_base_micro, p_removed_micro,
+    removal_effect_micro, credit_micro).
+    """
+    chans = list(channels)
+    spark = df.sparkSession
+    fp = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(
+            F.when(F.col(type_col) == conversion_type, F.col(ts_col))
+        ).alias("_fpts")
+    )
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(type_col).alias("_ty"),
+    )
+    tch = (
+        base.where(F.col("_ty").isin(*chans))
+        .join(fp, "_u")
+        .where(F.col("_fpts").isNull() | (F.col("_ts") < F.col("_fpts")))
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    seq = tch.select(
+        "_u",
+        "_ty",
+        "_fpts",
+        F.lag("_ty").over(w).alias("_prev"),
+        F.lead("_ty").over(w).alias("_nxt"),
+    )
+    absorb = F.when(F.col("_fpts").isNotNull(), F.lit("conv")).otherwise(
+        F.lit("drop")
+    )
+    tr = (
+        seq.select(
+            F.coalesce(F.col("_prev"), F.lit("start")).alias("_f"),
+            F.col("_ty").alias("_tt"),
+        )
+        .unionByName(
+            seq.where(F.col("_nxt").isNull()).select(
+                F.col("_ty").alias("_f"), absorb.alias("_tt")
+            )
+        )
+        .unionByName(
+            fp.join(tch.select("_u").distinct(), "_u", "left_anti").select(
+                F.lit("start").alias("_f"), absorb.alias("_tt")
+            )
+        )
+    )
+    cnt = tr.groupBy("_f", "_tt").agg(F.count("*").cast("long").alias("_n"))
+    wrow = Window.partitionBy("_f")
+    pm = cnt.select(
+        "_f",
+        "_tt",
+        F.round(
+            F.col("_n") * F.lit(MICRO) / F.sum("_n").over(wrow)
+        )
+        .cast("long")
+        .alias("_p"),
+    )
+    variants = spark.createDataFrame(
+        [(v,) for v in ["none"] + chans], "v string"
+    )
+    vp = pm.crossJoin(F.broadcast(variants)).where(
+        ~((F.col("_f") == F.col("v")) | (F.col("_tt") == F.col("v")))
+    )
+    q = vp.where(F.col("_tt").isin(*chans)).select(
+        "v",
+        F.col("_f").alias("_qf"),
+        F.col("_tt").alias("_qt"),
+        F.col("_p").alias("_q"),
+    )
+    r = vp.where(F.col("_tt") == "conv").select(
+        "v", "_f", F.col("_p").alias("_r")
+    )
+    grid = spark.createDataFrame(
+        [(v, s) for v in ["none"] + chans for s in ["start"] + chans],
+        "v string, _f string",
+    )
+    m = grid.join(r, ["v", "_f"], "left").select(
+        "v", "_f", F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("_m")
+    )
+    for _ in range(int(k) - 1):
+        stepped = (
+            q.join(
+                m.select(
+                    "v",
+                    F.col("_f").alias("_qt"),
+                    F.col("_m").alias("_mprev"),
+                ),
+                ["v", "_qt"],
+            )
+            .groupBy("v", F.col("_qf").alias("_f"))
+            .agg(
+                F.sum(F.col("_q") * F.col("_mprev"))
+                .cast("long")
+                .alias("_acc")
+            )
+            .select(
+                "v", "_f", F.expr("_acc div 1000000").cast("long").alias("_qm")
+            )
+        )
+        m = (
+            grid.join(r, ["v", "_f"], "left")
+            .join(stepped, ["v", "_f"], "left")
+            .select(
+                "v",
+                "_f",
+                (
+                    F.coalesce(F.col("_r"), F.lit(0))
+                    + F.coalesce(F.col("_qm"), F.lit(0))
+                )
+                .cast("long")
+                .alias("_m"),
+            )
+        )
+    ms = m.where(F.col("_f") == "start").select("v", "_m")
+    pb = ms.where(F.col("v") == "none").select(
+        F.col("_m").alias("p_base_micro")
+    )
+    out = (
+        ms.where(F.col("v") != "none")
+        .select(F.col("v").alias("channel"), F.col("_m").alias("p_removed_micro"))
+        .crossJoin(F.broadcast(pb))
+        .select(
+            "channel",
+            "p_base_micro",
+            "p_removed_micro",
+            F.when(
+                F.col("p_base_micro") > 0,
+                F.round(
+                    (
+                        (F.col("p_base_micro") - F.col("p_removed_micro"))
+                        * F.lit(MICRO)
+                    ).cast("double")
+                    / F.col("p_base_micro")
+                ).cast("long"),
+            ).alias("removal_effect_micro"),
+        )
+    )
+    sre = out.groupBy().agg(
+        F.sum("removal_effect_micro").cast("long").alias("_sre")
+    )
+    return out.crossJoin(F.broadcast(sre)).select(
+        "channel",
+        "p_base_micro",
+        "p_removed_micro",
+        "removal_effect_micro",
+        F.when(
+            F.col("_sre") > 0,
+            F.round(
+                (F.col("removal_effect_micro") * F.lit(MICRO)).cast("double")
+                / F.col("_sre")
+            ).cast("long"),
+        ).alias("credit_micro"),
+    )

@@ -327,6 +327,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc02_mrr": "per-group summary wall mean (qa89 family; evaluation query set, dictionary-sized)",
     "qc04_kruskal_wallis": "distinct-value score histogram (qa22 doubled-midrank idiom)",
     "qc06_cliffs_delta": "distinct-value score histogram (qa22 doubled-midrank idiom)",
+    "qc08_qini_curve": "distinct-score uplift spine cumulative + trapezoid lag (qa22 family)",
 }
 
 
