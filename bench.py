@@ -269,6 +269,9 @@ EXTENDED = [
     "qc07_markov_removal",
     "qc08_qini_curve",
     "qc09_position_attribution",
+    "qc10_lexical_concentration",
+    "qc11_mattr",
+    "qc12_rmst",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -15613,3 +15613,164 @@ def qc09(spark, sf):
     from .operators.temporal import position_based_attribution
 
     return position_based_attribution(_t(spark, sf, "events"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 44: lexical richness + survival area
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc10_lexical_concentration",
+    """
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(string_split(lower(trim(regexp_replace(
+               text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents),
+    counts AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+               FROM toks WHERE length(w) > 0 GROUP BY 1, 2),
+    per AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS v_types,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS sd
+            FROM counts GROUP BY 1)
+    SELECT g AS source, n_tokens, v_types, sum_c2,
+           CAST(round(10000.0 * (sum_c2 - n_tokens) * 1000000
+                / (1.0 * n_tokens * n_tokens)) AS BIGINT) AS yule_k_micro,
+           CASE WHEN n_tokens > 1 THEN
+             CAST(round(1000000.0 * sd / (1.0 * n_tokens * (n_tokens - 1)))
+                  AS BIGINT)
+           END AS simpson_d_micro
+    FROM per
+    """,
+)
+def qc10(spark, sf):
+    """Yule's K + Simpson's D lexical concentration per source
+    (operators/textstats.py:lexical_concentration) — the
+    length-invariant repetitiveness constants next to qc03's
+    Good-Turing richness; Σc² / Σc(c−1) are exact int64, K and D are
+    one fixed scalar DAG each."""
+    from .operators.textstats import lexical_concentration
+
+    return lexical_concentration(_t(spark, sf, "documents"), "source")
+
+
+@_q(
+    "qc11_mattr",
+    """
+    WITH t0 AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(
+                     text, '\\s+', ' ', 'g'))), ' ')) AS w,
+                   generate_subscripts(string_split(lower(trim(
+                     regexp_replace(text, '\\s+', ' ', 'g'))), ' '), 1)
+                     AS idx
+            FROM documents)
+      WHERE length(w) > 0),
+    toks AS (SELECT doc_id, w,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+                      AS pos
+             FROM t0),
+    prevs AS (SELECT doc_id, pos,
+                     coalesce(lag(pos) OVER (PARTITION BY doc_id, w
+                                             ORDER BY pos), 0) AS prev
+              FROM toks),
+    lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS L,
+                    CAST(count(DISTINCT w) AS BIGINT) AS V
+             FROM toks GROUP BY 1),
+    contrib AS (SELECT p.doc_id,
+                       CAST(sum(greatest(0,
+                         least(p.pos, l.L - 24)
+                         - greatest(1, p.pos - 24, p.prev + 1) + 1))
+                         AS BIGINT) AS tot
+                FROM prevs p JOIN lens l USING (doc_id)
+                WHERE l.L >= 25 GROUP BY 1)
+    SELECT l.doc_id, l.L AS n_tokens, l.V AS n_types,
+           CASE WHEN l.L >= 25 THEN CAST(l.L - 24 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS n_windows,
+           CASE WHEN l.L >= 25 THEN
+             CAST(round(c.tot * 1000000 / (25 * (l.L - 24))) AS BIGINT)
+           ELSE CAST(round(l.V * 1000000 / l.L) AS BIGINT)
+           END AS mattr_micro
+    FROM lens l LEFT JOIN contrib c USING (doc_id)
+    """,
+)
+def qc11(spark, sf):
+    """Moving-Average Type-Token Ratio per document, window 25
+    (operators/textstats.py:mattr) — length-robust lexical diversity
+    with NO per-window work: each occurrence contributes a clamped
+    interval of windows where it counts as distinct (qb78
+    forward-count idiom), one integer sum + one micro division per
+    doc; short docs fall back to plain TTR."""
+    from .operators.textstats import mattr
+
+    return mattr(_t(spark, sf, "documents"), "doc_id", "text", 25)
+
+
+@_q(
+    "qc12_rmst",
+    """
+    WITH km AS ({KM}),
+    pts AS (SELECT duration AS t, survival_micro AS s FROM km
+            WHERE duration <= 3600000000),
+    lagd AS (SELECT t, s, coalesce(lag(s) OVER (ORDER BY t), 1000000) AS sp,
+                    coalesce(lag(t) OVER (ORDER BY t), 0) AS tp
+             FROM pts),
+    a1 AS (SELECT CAST(coalesce(sum(sp * (t - tp)), 0) AS BIGINT) AS area1,
+                  CAST(count(*) AS BIGINT) AS n_event_times
+           FROM lagd),
+    lastp AS (SELECT CAST(coalesce(max_by(s, t), 1000000) AS BIGINT) AS sl,
+                     CAST(coalesce(max(t), 0) AS BIGINT) AS tl
+              FROM pts)
+    SELECT CAST(3600000000 AS BIGINT) AS tau_us, a1.n_event_times,
+           CAST(a1.area1 + lastp.sl * (3600000000 - lastp.tl) AS BIGINT)
+             AS rmst_us_micro,
+           CAST(round(CAST(a1.area1 + lastp.sl * (3600000000 - lastp.tl)
+                AS DOUBLE) / 3600000000) AS BIGINT) AS rmst_frac_micro
+    FROM a1 CROSS JOIN lastp
+    """.replace("{KM}", ORACLES["qa67_kaplan_meier"]),
+)
+def qc12(spark, sf):
+    """Restricted Mean Survival Time of session lifetimes at a 1-hour
+    horizon (operators/stats.py:rmst) — area under qa67's hash-exact
+    Kaplan-Meier curve as an integer micro-time sum; the oracle wraps
+    qa67's SQL verbatim as a CTE (qb97 single-source-of-truth
+    idiom)."""
+    from .operators.stats import rmst
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias(
+            "new_s"
+        ),
+        "event_id",
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.select(
+            "user_id", "ts", F.sum("new_s").over(run).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    )
+    gm = e.agg(F.max("ts").alias("g"))
+    subj = sess.crossJoin(F.broadcast(gm)).select(
+        (
+            F.unix_micros(F.col("l").cast("timestamp"))
+            - F.unix_micros(F.col("f").cast("timestamp"))
+        ).alias("t"),
+        (
+            F.unix_micros(F.col("g").cast("timestamp"))
+            - F.unix_micros(F.col("l").cast("timestamp"))
+            > 1_800_000_000
+        ).alias("e"),
+    )
+    return rmst(subj, "t", "e", 3_600_000_000)

@@ -3763,3 +3763,70 @@ def cliffs_delta(
         .otherwise(F.lit("large"))
         .alias("magnitude"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: int,
+) -> DataFrame:
+    """Restricted Mean Survival Time at horizon tau — the AREA under
+    the Kaplan-Meier curve up to tau, i.e. "expected lifetime within
+    the first tau units", the single-number summary clinicians (and
+    session-retention dashboards) quote when median survival is
+    undefined under heavy censoring.  Builds directly on
+    kaplan_meier's hash-exact curve.
+
+    RMST = Σ_i S(t_{i-1})·(t_i − t_{i-1}) + S(t_last)·(tau − t_last)
+    over event times t_i ≤ tau with S(t_0)=1 — survival_micro values
+    are ints, gaps are ints, so the area is an INTEGER sum in
+    (time-unit × micro) scale; the fraction-of-horizon view is one
+    terminal division.  Windows run over the distinct-event-time
+    curve (qa67 family — coarsen durations at scale).
+
+    Output (single row): (tau_us, n_event_times, rmst_us_micro,
+    rmst_frac_micro).
+    """
+    km = kaplan_meier(df, duration_col, event_col)
+    pts = km.where(F.col("duration") <= F.lit(int(tau))).select(
+        F.col("duration").alias("_t"), F.col("survival_micro").alias("_s")
+    )
+    w = Window.orderBy("_t")
+    lagd = pts.select(
+        "_t",
+        "_s",
+        F.coalesce(F.lag("_s").over(w), F.lit(MICRO)).alias("_sp"),
+        F.coalesce(F.lag("_t").over(w), F.lit(0)).alias("_tp"),
+    )
+    a1 = lagd.groupBy().agg(
+        F.coalesce(F.sum(F.col("_sp") * (F.col("_t") - F.col("_tp"))), F.lit(0))
+        .cast("long")
+        .alias("_area1"),
+        F.count("*").cast("long").alias("n_event_times"),
+    )
+    lastp = pts.groupBy().agg(
+        F.coalesce(F.max_by("_s", "_t"), F.lit(MICRO))
+        .cast("long")
+        .alias("_sl"),
+        F.coalesce(F.max("_t"), F.lit(0)).cast("long").alias("_tl"),
+    )
+    return a1.crossJoin(lastp).select(
+        F.lit(int(tau)).cast("long").alias("tau_us"),
+        "n_event_times",
+        (
+            F.col("_area1")
+            + F.col("_sl") * (F.lit(int(tau)) - F.col("_tl"))
+        )
+        .cast("long")
+        .alias("rmst_us_micro"),
+        F.round(
+            (
+                F.col("_area1")
+                + F.col("_sl") * (F.lit(int(tau)) - F.col("_tl"))
+            ).cast("double")
+            / F.lit(int(tau))
+        )
+        .cast("long")
+        .alias("rmst_frac_micro"),
+    )

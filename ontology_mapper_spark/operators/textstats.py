@@ -8,7 +8,7 @@ no Python), designed to run inside the same scan as other per-doc work so a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _STOPWORDS = (
@@ -1158,4 +1158,145 @@ def good_turing_richness(
         F.round(F.col("n1_singletons") * micro / F.col("v_types"))
         .cast("long")
         .alias("hapax_share_micro"),
+    )
+
+
+def lexical_concentration(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Yule's K + Simpson's D of the token distribution per group —
+    repetitiveness constants that, unlike raw TTR, are (asymptotically)
+    length-invariant: K = 10⁴·(Σc² − N)/N² and D = Σc(c−1)/(N(N−1)),
+    both driven by the count-of-counts the good_turing_richness scan
+    already pays for.  High K/D = templated or boilerplate-heavy
+    source (the "same 50 words over and over" signature that length
+    quantiles miss).
+
+    Σc² and Σc(c−1) are exact int64 sums; K and D are each ONE fixed
+    scalar DAG with a terminal micro rounding (identical IEEE ops in
+    both engines — never a double accumulation).
+
+    Output: (group, n_tokens, v_types, sum_c2, yule_k_micro,
+    simpson_d_micro).
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(words_col(F.col(text_col))).alias("_w"),
+    )
+    counts = toks.groupBy("_g", "_w").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    per = counts.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("v_types"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("sum_c2"),
+        F.sum(F.col("_c") * (F.col("_c") - 1)).cast("long").alias("_sd"),
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "v_types",
+        "sum_c2",
+        F.round(
+            F.lit(10000.0)
+            * (F.col("sum_c2") - F.col("n_tokens"))
+            * F.lit(1000000)
+            / (F.lit(1.0) * F.col("n_tokens") * F.col("n_tokens"))
+        )
+        .cast("long")
+        .alias("yule_k_micro"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(
+                F.lit(1000000.0)
+                * F.col("_sd")
+                / (F.lit(1.0) * F.col("n_tokens") * (F.col("n_tokens") - 1))
+            ).cast("long"),
+        ).alias("simpson_d_micro"),
+    )
+
+
+def mattr(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 25,
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio per document — the
+    length-robust lexical-diversity score (plain TTR collapses as
+    docs grow; MATTR averages TTR over every w-token sliding window,
+    so a 50-token and a 5000-token doc are comparable).
+
+    Exact with NO per-window work: an occurrence at position i whose
+    previous same-type occurrence is at prev contributes its "counted
+    as distinct" to exactly the windows s ∈ [max(1, i−w+1, prev+1),
+    min(i, L−w+1)] — so total distinct-count over ALL windows is one
+    integer sum of clamped interval lengths (the qb78 forward-count
+    idiom), and MATTR = total/(w·(L−w+1)) is ONE micro division per
+    doc.  Docs shorter than w fall back to plain TTR = V/L
+    (n_windows reported 0).  Only per-(doc) and per-(doc,word)
+    windows — nothing global.
+
+    Output: (id, n_tokens, n_types, n_windows, mattr_micro).
+    """
+    w = int(window)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(words_col(F.col(text_col))).alias("_p0", "_w"),
+    ).select("_id", "_w", (F.col("_p0") + 1).alias("_pos"))
+    wprev = Window.partitionBy("_id", "_w").orderBy("_pos")
+    prevs = toks.select(
+        "_id",
+        "_pos",
+        F.coalesce(F.lag("_pos").over(wprev), F.lit(0)).alias("_prev"),
+    )
+    lens = toks.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("_w").cast("long").alias("n_types"),
+    )
+    lens_k = lens.select(
+        F.col("_id").alias("_lid"), F.col("n_tokens").alias("_ln")
+    )
+    contrib = (
+        prevs.join(lens_k, prevs["_id"] == lens_k["_lid"])
+        .withColumn("n_tokens", F.col("_ln"))
+        .where(F.col("n_tokens") >= w)
+        .select(
+            F.col("_id").alias("_cid"),
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("_pos"), F.col("n_tokens") - w + 1)
+                - F.greatest(
+                    F.lit(1), F.col("_pos") - w + 1, F.col("_prev") + 1
+                )
+                + 1,
+            ).alias("_ct"),
+        )
+        .groupBy("_cid")
+        .agg(F.sum("_ct").cast("long").alias("_tot"))
+    )
+    return lens.join(
+        contrib, lens["_id"] == contrib["_cid"], "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "n_types",
+        F.when(F.col("n_tokens") >= w, F.col("n_tokens") - w + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.when(
+            F.col("n_tokens") >= w,
+            F.round(
+                F.col("_tot")
+                * F.lit(1_000_000)
+                / (F.lit(w) * (F.col("n_tokens") - w + 1))
+            ).cast("long"),
+        )
+        .otherwise(
+            F.round(
+                F.col("n_types") * F.lit(1_000_000) / F.col("n_tokens")
+            ).cast("long")
+        )
+        .alias("mattr_micro"),
     )
