@@ -272,6 +272,9 @@ EXTENDED = [
     "qc10_lexical_concentration",
     "qc11_mattr",
     "qc12_rmst",
+    "qc13_brier_decomposition",
+    "qc14_gwet_ac1",
+    "qc15_jonckheere",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -15774,3 +15774,187 @@ def qc12(spark, sf):
         ).alias("e"),
     )
     return rmst(subj, "t", "e", 3_600_000_000)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 45: agreement paradox, calibration decomposition, ordered trend
+# ---------------------------------------------------------------------------
+
+# Gwet AC1 reuses qa61's rater-panel synthesis + integer marginals verbatim
+# (the qb89/qb97 single-source-of-truth surgery idiom): keep every CTE up to
+# the final `k AS (` stage, then swap in the AC1 chance term.
+_QC14_ORACLE = _QA61_ORACLE.split("    k AS (")[0] + """    q AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cats FROM pc),
+    g AS (
+      SELECT n_items, CAST(nn / n_items AS BIGINT) AS n_raters, n_cats,
+             CAST(s - nn AS DOUBLE)
+               / CAST(nn * (CAST(nn / n_items AS BIGINT) - 1) AS DOUBLE)
+               AS p_a,
+             (1.0 - CAST(t2 AS DOUBLE) / CAST(nn * nn AS DOUBLE))
+               / (n_cats - 1) AS p_e
+      FROM tot CROSS JOIN ni CROSS JOIN q)
+    SELECT n_items, n_raters, n_cats AS n_categories,
+           CAST(round(p_a * 1000000) AS BIGINT) AS p_a_micro,
+           CAST(round(p_e * 1000000) AS BIGINT) AS p_e_micro,
+           CAST(round((p_a - p_e) * 1000000 / (1.0 - p_e)) AS BIGINT)
+             AS ac1_micro
+    FROM g
+"""
+
+
+@_q(
+    "qc13_brier_decomposition",
+    """
+    WITH ext AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+                 FROM documents),
+    b AS (
+      SELECT CAST(floor((n_chars - ext.mn) * 10 / (ext.mx - ext.mn + 1))
+                  AS BIGINT) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents CROSS JOIN ext),
+    per0 AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS pos
+             FROM b GROUP BY 1),
+    per AS (SELECT bin, n, pos,
+                   CAST((2 * bin + 1) * 1000000 / 20 AS BIGINT)
+                     AS conf_micro,
+                   CAST(round(pos * 1000000 / n) AS BIGINT) AS acc_micro
+            FROM per0),
+    tot0 AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+                    CAST(sum(pos) AS BIGINT) AS ptot
+             FROM per),
+    tot AS (SELECT ntot, ptot,
+                   CAST(round(ptot * 1000000 / ntot) AS BIGINT) AS obar
+            FROM tot0),
+    terms AS (
+      SELECT per.bin,
+             CAST(pos * (conf_micro - 1000000) * (conf_micro - 1000000)
+                  + (n - pos) * conf_micro * conf_micro AS BIGINT) AS bn,
+             CAST(n * (conf_micro - acc_micro) * (conf_micro - acc_micro)
+                  AS BIGINT) AS reln,
+             CAST(n * (acc_micro - obar) * (acc_micro - obar) AS BIGINT)
+               AS resn
+      FROM per CROSS JOIN tot),
+    sums AS (SELECT CAST(sum(bn) AS BIGINT) AS sb,
+                    CAST(sum(reln) AS BIGINT) AS srel,
+                    CAST(sum(resn) AS BIGINT) AS sres
+             FROM terms),
+    g AS (SELECT CAST(round(sb / (ntot * 1000000)) AS BIGINT)
+                   AS brier_micro,
+                 CAST(round(srel / (ntot * 1000000)) AS BIGINT) AS rel_micro,
+                 CAST(round(sres / (ntot * 1000000)) AS BIGINT) AS res_micro,
+                 CAST(round(CAST(obar AS DOUBLE) * (1000000 - obar)
+                      / 1000000) AS BIGINT) AS unc_micro
+          FROM sums CROSS JOIN tot)
+    SELECT per.bin, per.n, per.pos, per.conf_micro, per.acc_micro,
+           g.brier_micro, g.rel_micro, g.res_micro, g.unc_micro
+    FROM per CROSS JOIN g
+    """,
+)
+def qc13(spark, sf):
+    """Brier score + Murphy decomposition over qa82's length-as-
+    confidence bins (operators/evaluate.py:brier_decomposition):
+    REL (miscalibration, recalibratable) vs RES (discrimination) vs
+    UNC (base rate) — per-bin int64 micro² numerators, one terminal
+    division each."""
+    from .operators.evaluate import brier_decomposition
+
+    d = _t(spark, sf, "documents")
+    return brier_decomposition(
+        d, "n_chars", F.col("lang") == F.lit("en"), n_bins=10
+    )
+
+
+@_q("qc14_gwet_ac1", _QC14_ORACLE)
+def qc14(spark, sf):
+    """Gwet's AC1 on qa61's exact 3-rater md5-noised panel
+    (operators/stats.py:gwet_ac1) — the paradox-resistant agreement
+    number next to Fleiss kappa; same integer cell/marginal tables,
+    chance term (1 − Σπ²)/(Q−1); oracle reuses qa61's SQL prefix
+    verbatim by string surgery."""
+    from .operators.stats import gwet_ac1
+
+    d = _t(spark, sf, "documents")
+    ratings = d.select(
+        F.col("doc_id"), "lang",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("r"),
+    )
+    h1 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("r"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(";", F.col("doc_id").cast("string"), F.col("r"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    labeled = ratings.select(
+        F.col("doc_id").alias("i"),
+        F.when(
+            h1 % 5 == 0,
+            F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                         (h2 % 3 + 1).cast("int")),
+        )
+        .otherwise(F.col("lang"))
+        .alias("c"),
+    )
+    return gwet_ac1(labeled, "i", "c")
+
+
+@_q(
+    "qc15_jonckheere",
+    """
+    WITH base AS (
+      SELECT CAST(((epoch_us(ts) // 3600000000) % 24) // 6 AS VARCHAR) AS g,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    gt(g, gi) AS (VALUES ('0', 0), ('1', 1), ('2', 2), ('3', 3)),
+    b2 AS (SELECT gi, v FROM base JOIN gt USING (g)),
+    vals AS (SELECT DISTINCT v FROM b2),
+    gv AS (SELECT gi, v, CAST(count(*) AS BIGINT) AS c
+           FROM b2 GROUP BY 1, 2),
+    grid AS (SELECT gt.gi, vals.v, coalesce(gv.c, 0) AS c
+             FROM vals CROSS JOIN gt
+             LEFT JOIN gv ON gv.gi = gt.gi AND gv.v = vals.v),
+    cum AS (SELECT gi, v, c,
+                   CAST(sum(c) OVER (PARTITION BY gi ORDER BY v) - c
+                        AS BIGINT) AS lt
+            FROM grid),
+    jt AS (SELECT CAST(sum(b.c * (2 * a.lt + a.c)) AS BIGINT) AS jt2
+           FROM cum a JOIN cum b ON a.v = b.v AND a.gi < b.gi),
+    sizes AS (SELECT gi, CAST(count(*) AS BIGINT) AS n FROM b2 GROUP BY 1),
+    mom AS (SELECT CAST(sum(n) AS BIGINT) AS N,
+                   CAST(count(*) AS BIGINT) AS k_groups,
+                   CAST(sum(n * n) AS BIGINT) AS sn2,
+                   CAST(sum(n * n * (2 * n + 3)) AS BIGINT) AS sn23
+            FROM sizes)
+    SELECT N AS n_total, k_groups, jt2,
+           CAST((N * N - sn2) / 2 AS BIGINT) AS e2,
+           CAST(round((jt2 - (N * N - sn2) / 2)
+                / (2.0 * sqrt((1.0 * N * N * (2 * N + 3) - sn23) / 72.0))
+                * 1000) AS BIGINT) AS z_milli
+    FROM jt CROSS JOIN mom
+    """,
+)
+def qc15(spark, sf):
+    """Jonckheere-Terpstra ordered trend of cents spend across the
+    four 6-hour day buckets (operators/stats.py:jonckheere_terpstra)
+    — "does spend INCREASE through the day", the ordered alternative
+    qc04's omnibus can't see.  JT2 exact int64 from the shared
+    distinct-value spine grid; z from the classical no-tie variance,
+    one fixed scalar DAG (IEEE sqrt engine-exact)."""
+    from .operators.stats import jonckheere_terpstra
+
+    e = _t(spark, sf, "events").select(
+        F.expr(
+            "CAST(((unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000)"
+            " % 24) div 6 AS STRING)"
+        ).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return jonckheere_terpstra(e, "bucket", "cents", ("0", "1", "2", "3"))

@@ -1737,3 +1737,134 @@ def qini_curve(
         "cum_y_c",
         "uplift_milli",
     ).crossJoin(F.broadcast(g))
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy decomposition (reliability −
+    resolution + uncertainty) over the same equi-width confidence
+    bins as calibration_report — ECE (qa82) says HOW FAR the bars are
+    from the diagonal; Murphy says how much of the error is
+    miscalibration (REL, fixable by recalibrating) vs lack of
+    discrimination (RES, needs a better model) vs irreducible base
+    rate (UNC).
+
+    Bin confidence is the exact midpoint micro (2b+1)·1e6/(2·n_bins);
+    per-bin Brier numerators pos·(conf−1e6)² + (n−pos)·conf² and the
+    REL/RES numerators n_b·(conf−acc)² / n_b·(acc−ō)² are int64
+    (micro² × count — fine to ~10⁶ rows/bin·10⁶-micro², coarsen bins
+    beyond); each reported number is ONE terminal micro-rounded
+    division of integer sums.  acc and ō are micro-rounded once, so
+    the decomposition identity holds to micro precision (documented).
+
+    Output per bin: (bin, n, pos, conf_micro, acc_micro) plus
+    broadcast-attached corpus (brier_micro, rel_micro, res_micro,
+    unc_micro).
+    """
+    base = df.select(
+        (
+            score_col if not isinstance(score_col, str) else F.col(score_col)
+        )
+        .cast("long")
+        .alias("_s"),
+        (
+            label_col if not isinstance(label_col, str) else F.col(label_col)
+        )
+        .cast("boolean")
+        .cast("long")
+        .alias("_y"),
+    )
+    ext = base.groupBy().agg(
+        F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
+    )
+    nb = int(n_bins)
+    binned = base.crossJoin(F.broadcast(ext)).select(
+        F.floor(
+            (F.col("_s") - F.col("_mn"))
+            * nb
+            / (F.col("_mx") - F.col("_mn") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "_y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("pos"),
+    )
+    conf = (2 * F.col("bin") + 1) * F.lit(MICRO) / F.lit(2 * nb)
+    per = per.select(
+        "bin",
+        "n",
+        "pos",
+        conf.cast("long").alias("conf_micro"),
+        F.round(F.col("pos") * F.lit(MICRO) / F.col("n"))
+        .cast("long")
+        .alias("acc_micro"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("n").cast("long").alias("_N"),
+        F.sum("pos").cast("long").alias("_P"),
+    )
+    tot = tot.select(
+        "_N",
+        "_P",
+        F.round(F.col("_P") * F.lit(MICRO) / F.col("_N"))
+        .cast("long")
+        .alias("_obar"),
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (
+            F.col("pos")
+            * (F.col("conf_micro") - F.lit(MICRO))
+            * (F.col("conf_micro") - F.lit(MICRO))
+            + (F.col("n") - F.col("pos"))
+            * F.col("conf_micro")
+            * F.col("conf_micro")
+        )
+        .cast("long")
+        .alias("_bn"),
+        (
+            F.col("n")
+            * (F.col("conf_micro") - F.col("acc_micro"))
+            * (F.col("conf_micro") - F.col("acc_micro"))
+        )
+        .cast("long")
+        .alias("_reln"),
+        (
+            F.col("n")
+            * (F.col("acc_micro") - F.col("_obar"))
+            * (F.col("acc_micro") - F.col("_obar"))
+        )
+        .cast("long")
+        .alias("_resn"),
+    )
+    sums = terms.groupBy().agg(
+        F.sum("_bn").cast("long").alias("_sb"),
+        F.sum("_reln").cast("long").alias("_srel"),
+        F.sum("_resn").cast("long").alias("_sres"),
+    )
+    g = sums.crossJoin(tot).select(
+        F.round(F.col("_sb") / (F.col("_N") * F.lit(MICRO)))
+        .cast("long")
+        .alias("brier_micro"),
+        F.round(F.col("_srel") / (F.col("_N") * F.lit(MICRO)))
+        .cast("long")
+        .alias("rel_micro"),
+        F.round(F.col("_sres") / (F.col("_N") * F.lit(MICRO)))
+        .cast("long")
+        .alias("res_micro"),
+        F.round(
+            F.col("_obar").cast("double")
+            * (F.lit(MICRO) - F.col("_obar"))
+            / F.lit(MICRO)
+        )
+        .cast("long")
+        .alias("unc_micro"),
+    )
+    return per.crossJoin(F.broadcast(g))

@@ -3830,3 +3830,177 @@ def rmst(
         .cast("long")
         .alias("rmst_frac_micro"),
     )
+
+
+def gwet_ac1(
+    ratings: DataFrame, item_col: str, category_col: str
+) -> DataFrame:
+    """Gwet's AC1 multi-rater agreement — the paradox-resistant
+    companion to Fleiss' kappa (fleiss_kappa): kappa collapses when
+    one category dominates (high observed agreement, near-zero kappa
+    — the Feinstein-Cicchetti paradox); AC1's chance term
+    p_e = (1/(Q−1))·Σ_q π_q(1−π_q) = (1 − Σπ_q²)/(Q−1) only charges
+    chance for the OPPORTUNITY to agree randomly, so it stays
+    informative on skewed label panels.
+
+    Same cell/marginal integer tables as fleiss_kappa (observed
+    agreement p_a is identical); Σπ_q² = t2/nn² reuses the same
+    Σ T_q² bigint; p_a, p_e, AC1 are one fixed double DAG
+    micro-rounded at the end.
+
+    Output (single row): (n_items, n_raters, n_categories, p_a_micro,
+    p_e_micro, ac1_micro).
+    """
+    cell = (
+        ratings.select(
+            F.col(item_col).alias("_i"), F.col(category_col).alias("_c")
+        )
+        .groupBy("_i", "_c")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    per_cat = cell.groupBy("_c").agg(
+        F.sum("_n").cast("long").alias("_t"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_s"),
+    )
+    tot = per_cat.agg(
+        F.sum("_s").cast("long").alias("s"),
+        F.sum("_t").cast("long").alias("nn"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("t2"),
+        F.count("*").cast("long").alias("n_cats"),
+    )
+    n_items = cell.select("_i").distinct().agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    j = tot.crossJoin(n_items)
+    n_raters = (F.col("nn") / F.col("n_items")).cast("long")
+    p_a = (F.col("s") - F.col("nn")).cast("double") / (
+        F.col("nn") * (n_raters - 1)
+    ).cast("double")
+    p_e = (
+        F.lit(1.0)
+        - F.col("t2").cast("double")
+        / (F.col("nn") * F.col("nn")).cast("double")
+    ) / (F.col("n_cats") - 1)
+    return j.select(
+        "n_items",
+        n_raters.alias("n_raters"),
+        F.col("n_cats").alias("n_categories"),
+        F.round(p_a * MICRO).cast("long").alias("p_a_micro"),
+        F.round(p_e * MICRO).cast("long").alias("p_e_micro"),
+        F.round((p_a - p_e) * MICRO / (1.0 - p_e)).cast("long").alias(
+            "ac1_micro"
+        ),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_order: tuple,
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test — the ORDERED-alternative
+    k-sample test (kruskal_wallis asks "any difference?"; JT asks
+    "does the metric INCREASE along this ordering?"), e.g. does spend
+    rise across hour-of-day buckets.
+
+    Doubled statistic from group-value histograms on the shared
+    distinct-value spine: JT2 = Σ_{a<b} Σ_v c_b(v)·(2·cumlt_a(v) +
+    c_a(v)) — every term exact int64 (2·#{x_a<x_b} + #ties summed
+    over ordered pairs), the spine × k grid keeps cumlt_a defined at
+    every value, and the only windows are per-group cumulative counts
+    over the spine (qa22 family).  Null moments E2 = (N²−Σn_i²)/2
+    (exact int) and the classical no-tie variance
+    Var = [N²(2N+3) − Σn_i²(2n_i+3)]/72 give z = (JT2−E2)/(2·√Var) —
+    one fixed scalar DAG (IEEE sqrt is correctly rounded,
+    engine-exact); ties are counted in JT2 itself (the ½ convention)
+    but the variance is the standard untied approximation,
+    documented.
+
+    Output (single row): (n_total, k_groups, jt2, e2, z_milli).
+    """
+    order = list(group_order)
+    spark = df.sparkSession
+    gtab = spark.createDataFrame(
+        [(g, i) for i, g in enumerate(order)], "_g string, _gi int"
+    )
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    ).join(F.broadcast(gtab), "_g")
+    vals = base.select("_v").distinct()
+    gv = base.groupBy("_gi", "_v").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    grid = (
+        vals.crossJoin(F.broadcast(gtab.select("_gi")))
+        .join(gv, ["_gi", "_v"], "left")
+        .select(
+            "_gi", "_v", F.coalesce(F.col("_c"), F.lit(0)).alias("_c")
+        )
+    )
+    wg = Window.partitionBy("_gi").orderBy("_v")
+    cum = grid.select(
+        "_gi",
+        "_v",
+        "_c",
+        (F.sum("_c").over(wg) - F.col("_c")).cast("long").alias("_lt"),
+    )
+    a = cum.select(
+        F.col("_gi").alias("_ga"),
+        "_v",
+        F.col("_c").alias("_ca"),
+        F.col("_lt").alias("_lta"),
+    )
+    b = cum.select(
+        F.col("_gi").alias("_gb"), "_v", F.col("_c").alias("_cb")
+    )
+    jt = (
+        a.join(b, "_v")
+        .where(F.col("_ga") < F.col("_gb"))
+        .groupBy()
+        .agg(
+            F.sum(
+                F.col("_cb") * (2 * F.col("_lta") + F.col("_ca"))
+            )
+            .cast("long")
+            .alias("jt2")
+        )
+    )
+    sizes = base.groupBy("_gi").agg(F.count("*").cast("long").alias("_n"))
+    mom = sizes.groupBy().agg(
+        F.sum("_n").cast("long").alias("_N"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_sn2"),
+        F.sum(F.col("_n") * F.col("_n") * (2 * F.col("_n") + 3))
+        .cast("long")
+        .alias("_sn23"),
+    )
+    out = jt.crossJoin(mom).select(
+        F.col("_N").alias("n_total"),
+        "k_groups",
+        "jt2",
+        ((F.col("_N") * F.col("_N") - F.col("_sn2")) / F.lit(2))
+        .cast("long")
+        .alias("e2"),
+        F.round(
+            (F.col("jt2") - (F.col("_N") * F.col("_N") - F.col("_sn2")) / F.lit(2))
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    (
+                        F.lit(1.0)
+                        * F.col("_N")
+                        * F.col("_N")
+                        * (2 * F.col("_N") + 3)
+                        - F.col("_sn23")
+                    )
+                    / F.lit(72.0)
+                )
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )
+    return out
