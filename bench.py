@@ -275,6 +275,9 @@ EXTENDED = [
     "qc13_brier_decomposition",
     "qc14_gwet_ac1",
     "qc15_jonckheere",
+    "qc16_cochran_q",
+    "qc17_personalized_pagerank",
+    "qc18_percolation",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -15958,3 +15958,208 @@ def qc15(spark, sf):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return jonckheere_terpstra(e, "bucket", "cents", ("0", "1", "2", "3"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 46: paired binary test + seeded/threshold graph structure
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc16_cochran_q",
+    """
+    WITH cell AS (
+      SELECT user_id AS i, event_type AS t, CAST(1 AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+      GROUP BY 1, 2),
+    rows_ AS (SELECT i, CAST(sum(x) AS BIGINT) AS r FROM cell GROUP BY 1),
+    rsum AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                    CAST(sum(r) AS BIGINT) AS sr,
+                    CAST(sum(r * r) AS BIGINT) AS sr2
+             FROM rows_),
+    cols AS (SELECT t, CAST(sum(x) AS BIGINT) AS c FROM cell GROUP BY 1),
+    csum AS (SELECT CAST(sum(c) AS BIGINT) AS sc,
+                    CAST(sum(c * c) AS BIGINT) AS sc2
+             FROM cols),
+    ct AS (SELECT CAST(max(CASE WHEN t = 'click' THEN c END) AS BIGINT)
+                    AS c_click,
+                  CAST(max(CASE WHEN t = 'view' THEN c END) AS BIGINT)
+                    AS c_view,
+                  CAST(max(CASE WHEN t = 'signup' THEN c END) AS BIGINT)
+                    AS c_signup
+           FROM cols)
+    SELECT n_items, CAST(3 AS BIGINT) AS k_treatments,
+           c_click, c_view, c_signup,
+           CASE WHEN 3 * sr - sr2 > 0 THEN
+             CAST(round(CAST(2 * (3 * sc2 - sc * sc) * 1000 AS DOUBLE)
+                  / (3 * sr - sr2)) AS BIGINT)
+           END AS q_milli
+    FROM rsum CROSS JOIN csum CROSS JOIN ct
+    """,
+)
+def qc16(spark, sf):
+    """Cochran's Q over the user × channel engagement matrix
+    (operators/stats.py:cochran_q): do click/view/signup REACH rates
+    differ once the user is controlled for — the paired binary
+    completion of Friedman (qc05, ranks) and McNemar (qb14, k=2).
+    All terms exact int64; one terminal milli division."""
+    from .operators.stats import cochran_q
+
+    e = _t(spark, sf, "events")
+    return cochran_q(
+        e, "user_id", "event_type", F.lit(True),
+        ("click", "view", "signup"),
+    )
+
+
+_QC17_ORACLE = """
+    WITH {WE},
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    wsm AS (SELECT node, CAST(sum(w) AS BIGINT) AS ws FROM (
+        SELECT src AS node, w FROM edges
+        UNION ALL SELECT dst, w FROM edges) GROUP BY 1),
+    seeds AS (SELECT node FROM wsm ORDER BY ws DESC, node LIMIT 5),
+    tagged AS (SELECT n.node, s.node IS NOT NULL AS is_seed
+               FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+    r0 AS (SELECT node, is_seed,
+                  CAST(CASE WHEN is_seed THEN 200000 ELSE 0 END AS BIGINT)
+                    AS r
+           FROM tagged),
+    it1 AS (
+      SELECT t.node, t.is_seed,
+             CAST((CASE WHEN t.is_seed THEN 30000 ELSE 0 END)
+                  + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS r
+      FROM tagged t LEFT JOIN (
+        SELECT e.dst AS node, sum((p.r * e.w) // o.ow) AS s
+        FROM edges e
+        JOIN r0 p ON p.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst) m USING (node)),
+    it2 AS (
+      SELECT t.node, t.is_seed,
+             CAST((CASE WHEN t.is_seed THEN 30000 ELSE 0 END)
+                  + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS r
+      FROM tagged t LEFT JOIN (
+        SELECT e.dst AS node, sum((p.r * e.w) // o.ow) AS s
+        FROM edges e
+        JOIN it1 p ON p.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst) m USING (node)),
+    it3 AS (
+      SELECT t.node, t.is_seed,
+             CAST((CASE WHEN t.is_seed THEN 30000 ELSE 0 END)
+                  + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS r
+      FROM tagged t LEFT JOIN (
+        SELECT e.dst AS node, sum((p.r * e.w) // o.ow) AS s
+        FROM edges e
+        JOIN it2 p ON p.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst) m USING (node))
+    SELECT node, r AS ppr_micro, is_seed FROM it3
+    ORDER BY r DESC, node LIMIT 20
+    """.replace("{WE}", _WORD_EDGES_CTE)
+
+_QC18_ORACLE = """
+    WITH RECURSIVE {WE},
+    et3 AS (SELECT src, dst FROM edges WHERE w >= 3),
+    sym3 AS (SELECT src AS u, dst AS v FROM et3
+               UNION SELECT dst, src FROM et3),
+    reach3(u, v) AS (
+      SELECT u, v FROM sym3
+      UNION
+      SELECT r.u, e.v FROM reach3 r JOIN sym3 e ON r.v = e.u),
+    comp3 AS (SELECT u, least(min(v), u) AS rep
+                FROM reach3 GROUP BY u),
+    sz3 AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz
+              FROM comp3 GROUP BY 1),
+    row3 AS (SELECT CAST(3 AS BIGINT) AS threshold,
+                      CAST(sum(sz) AS BIGINT) AS n_nodes,
+                      (SELECT CAST(count(*) AS BIGINT) FROM et3)
+                        AS n_edges,
+                      CAST(count(*) AS BIGINT) AS n_components,
+                      CAST(max(sz) AS BIGINT) AS giant_size,
+                      CAST(round(max(sz) * 1000000
+                           / CAST(sum(sz) AS BIGINT)) AS BIGINT)
+                        AS giant_frac_micro
+               FROM sz3),
+    et6 AS (SELECT src, dst FROM edges WHERE w >= 6),
+    sym6 AS (SELECT src AS u, dst AS v FROM et6
+               UNION SELECT dst, src FROM et6),
+    reach6(u, v) AS (
+      SELECT u, v FROM sym6
+      UNION
+      SELECT r.u, e.v FROM reach6 r JOIN sym6 e ON r.v = e.u),
+    comp6 AS (SELECT u, least(min(v), u) AS rep
+                FROM reach6 GROUP BY u),
+    sz6 AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz
+              FROM comp6 GROUP BY 1),
+    row6 AS (SELECT CAST(6 AS BIGINT) AS threshold,
+                      CAST(sum(sz) AS BIGINT) AS n_nodes,
+                      (SELECT CAST(count(*) AS BIGINT) FROM et6)
+                        AS n_edges,
+                      CAST(count(*) AS BIGINT) AS n_components,
+                      CAST(max(sz) AS BIGINT) AS giant_size,
+                      CAST(round(max(sz) * 1000000
+                           / CAST(sum(sz) AS BIGINT)) AS BIGINT)
+                        AS giant_frac_micro
+               FROM sz6),
+    et12 AS (SELECT src, dst FROM edges WHERE w >= 12),
+    sym12 AS (SELECT src AS u, dst AS v FROM et12
+               UNION SELECT dst, src FROM et12),
+    reach12(u, v) AS (
+      SELECT u, v FROM sym12
+      UNION
+      SELECT r.u, e.v FROM reach12 r JOIN sym12 e ON r.v = e.u),
+    comp12 AS (SELECT u, least(min(v), u) AS rep
+                FROM reach12 GROUP BY u),
+    sz12 AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz
+              FROM comp12 GROUP BY 1),
+    row12 AS (SELECT CAST(12 AS BIGINT) AS threshold,
+                      CAST(sum(sz) AS BIGINT) AS n_nodes,
+                      (SELECT CAST(count(*) AS BIGINT) FROM et12)
+                        AS n_edges,
+                      CAST(count(*) AS BIGINT) AS n_components,
+                      CAST(max(sz) AS BIGINT) AS giant_size,
+                      CAST(round(max(sz) * 1000000
+                           / CAST(sum(sz) AS BIGINT)) AS BIGINT)
+                        AS giant_frac_micro
+               FROM sz12)
+    SELECT * FROM row3
+    UNION ALL
+    SELECT * FROM row6
+    UNION ALL
+    SELECT * FROM row12
+    """.replace("{WE}", _WORD_EDGES_CTE)
+
+
+@_q("qc17_personalized_pagerank", _QC17_ORACLE)
+def qc17(spark, sf):
+    """Personalized PageRank from the 5 highest-weight words of the
+    co-occurrence graph (operators/graph.py:personalized_pagerank) —
+    seed-localized importance for retrieval expansion, vs q90's
+    global PageRank: restart mass to seeds only, exact integer
+    fixed-point (contrib div, damping div 100), 3 unrolled
+    iterations, top-20 by (rank, node) via TakeOrdered."""
+    from .operators.graph import personalized_pagerank, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return personalized_pagerank(
+        e, "src", "dst", "weight", n_seeds=5, iterations=3, top_k=20
+    )
+
+
+@_q("qc18_percolation", _QC18_ORACLE)
+def qc18(spark, sf):
+    """Giant-component percolation curve of the word co-occurrence
+    graph at weight thresholds 3/6/12 (operators/graph.py:
+    percolation_sweep): per threshold the engine's iterative CC
+    (q64-verified min-label path) vs an independent WITH RECURSIVE
+    closure per threshold in the oracle — the robustness panel that
+    shows where the graph falls apart."""
+    from .operators.graph import percolation_sweep, word_cooccur_edges
+
+    d = _t(spark, sf, "documents")
+    e = word_cooccur_edges(d, "text", min_count=3)
+    return percolation_sweep(e, "src", "dst", "weight", (3, 6, 12))

@@ -1078,3 +1078,157 @@ def rich_club(
             ).cast("long"),
         ),
     ).orderBy("k")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    n_seeds: int = 5,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    top_k: int = 20,
+) -> DataFrame:
+    """Personalized PageRank from a deterministic seed set — the
+    "entities related to THESE entities" expansion score (retrieval /
+    KG neighborhood ranking), vs pagerank_micro's global importance:
+    the restart mass goes to the seeds only, so rank localizes around
+    them.
+
+    Seeds are the n_seeds nodes with the highest total incident
+    weight (ties broken by node id, TakeOrdered — never a global
+    row sort).  Same exact integer fixed-point as pagerank_micro:
+    rank0 = 1e6 div n_seeds on seeds, 0 elsewhere; contrib(e) =
+    (rank(src)·w) div W_out(src); rank'(v) = [jump div n_seeds if
+    seed] + (damping·Σcontrib) div 100, all bigint.  Output is the
+    top_k by (rank desc, node) — orderBy+limit plans as
+    TakeOrderedAndProject.
+
+    Output: (node, ppr_micro, is_seed).
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
+    )
+    e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    e = _pin(e.join(out_w, "_src"))
+    nodes = _pin(
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    wsum = (
+        e.select(F.col("_src").alias("node"), "_w")
+        .union(e.select(F.col("_dst").alias("node"), "_w"))
+        .groupBy("node")
+        .agg(F.sum("_w").cast("long").alias("_ws"))
+    )
+    seeds = F.broadcast(
+        wsum.orderBy(F.col("_ws").desc(), F.col("node"))
+        .limit(int(n_seeds))
+        .select(F.col("node").alias("_seed"))
+    )
+    jump_each = ((100 - damping_pct) * 10_000) // int(n_seeds)
+    init_each = 1_000_000 // int(n_seeds)
+    tagged = _pin(
+        nodes.join(seeds, nodes["node"] == seeds["_seed"], "left").select(
+            "node", F.col("_seed").isNotNull().alias("is_seed")
+        )
+    )
+    ranks = tagged.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(init_each))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ppr_micro"),
+    )
+    for _ in range(int(iterations)):
+        r = F.broadcast(ranks)
+        contrib = (
+            e.join(r, e["_src"] == r["node"])
+            .select("_dst", F.expr("(ppr_micro * _w) div _ow").alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_m"))
+        )
+        ranks = tagged.join(
+            contrib, tagged["node"] == contrib["_dst"], "left"
+        ).select(
+            "node",
+            "is_seed",
+            F.expr(
+                f"CAST((CASE WHEN is_seed THEN {jump_each} ELSE 0 END)"
+                f" + ({damping_pct} * coalesce(_m, 0)) div 100 AS BIGINT)"
+            ).alias("ppr_micro"),
+        )
+    return ranks.orderBy(F.col("ppr_micro").desc(), F.col("node")).limit(
+        int(top_k)
+    )
+
+
+def percolation_sweep(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    thresholds: tuple = (3, 6, 12),
+) -> DataFrame:
+    """Giant-component percolation curve: connected-component structure
+    of the graph at increasing edge-weight thresholds — "at what noise
+    floor does the co-occurrence graph fall apart", the robustness
+    panel that tells you whether a community / dedup pass sits near
+    the percolation cliff (tiny threshold change → giant swing).
+
+    Per threshold: filter edges (weight ≥ t), run the engine's
+    iterative CC (min-reachable label, the q64-verified path — size-
+    gated local fast path for small graphs, distributed loop beyond),
+    then per-component sizes.  The DuckDB oracle re-derives each
+    threshold's components with an independent WITH RECURSIVE closure.
+
+    Output, one row per threshold: (threshold, n_nodes, n_edges,
+    n_components, giant_size, giant_frac_micro).
+    """
+    from ..pipeline.canonicalize import connected_components
+
+    e0 = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    outs = []
+    for t in thresholds:
+        et = e0.where(F.col("_w") >= int(t))
+        comp = connected_components(et, "_s", "_d", local_threshold=250_000)
+        sizes = comp.groupBy("component").agg(
+            F.count("*").cast("long").alias("_sz")
+        )
+        g = sizes.groupBy().agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.sum("_sz").cast("long").alias("n_nodes"),
+            F.max("_sz").cast("long").alias("giant_size"),
+        )
+        ne = et.groupBy().agg(F.count("*").cast("long").alias("n_edges"))
+        outs.append(
+            g.crossJoin(ne).select(
+                F.lit(int(t)).cast("long").alias("threshold"),
+                "n_nodes",
+                "n_edges",
+                "n_components",
+                "giant_size",
+                F.round(
+                    F.col("giant_size") * F.lit(1_000_000) / F.col("n_nodes")
+                )
+                .cast("long")
+                .alias("giant_frac_micro"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

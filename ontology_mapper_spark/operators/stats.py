@@ -4004,3 +4004,76 @@ def jonckheere_terpstra(
         .alias("z_milli"),
     )
     return out
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    treat_col: str,
+    flag_col: str,
+    treatments: tuple,
+) -> DataFrame:
+    """Cochran's Q — the PAIRED k-treatment test for BINARY outcomes
+    (friedman_test handles ranks of continuous cells; mcnemar is the
+    k=2 special case): "do the channels' engagement RATES differ once
+    the user is controlled for".  Input: one row per (item,
+    treatment) with a boolean flag; missing cells count as False, so
+    every item forms a complete block.
+
+        Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / [k·ΣR_i − ΣR_i²]
+
+    with column totals C_j and row totals R_i — every term an exact
+    int64 (all-0 and all-1 items cancel from both numerator and
+    denominator, so including them is harmless); Q is ONE terminal
+    milli-rounded division.  χ²(k−1) under H0.
+
+    Output (single row): (n_items, k_treatments, q_milli) plus one
+    c_<treatment> total per treatment.
+    """
+    tlist = [str(t) for t in treatments]
+    k = len(tlist)
+    cell = (
+        df.select(
+            F.col(item_col).alias("_i"),
+            F.col(treat_col).cast("string").alias("_t"),
+            (flag_col if not isinstance(flag_col, str) else F.col(flag_col))
+            .cast("boolean")
+            .cast("long")
+            .alias("_x"),
+        )
+        .where(F.col("_t").isin(*tlist))
+        .groupBy("_i", "_t")
+        .agg(F.max("_x").alias("_x"))
+    )
+    rows = cell.groupBy("_i").agg(F.sum("_x").cast("long").alias("_r"))
+    rsum = rows.groupBy().agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("_r").cast("long").alias("_sr"),
+        F.sum(F.col("_r") * F.col("_r")).cast("long").alias("_sr2"),
+    )
+    cols = cell.groupBy("_t").agg(F.sum("_x").cast("long").alias("_c"))
+    csum = cols.groupBy().agg(
+        F.sum("_c").cast("long").alias("_sc"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sc2"),
+    )
+    ctotals = cols.groupBy().pivot("_t", tlist).agg(F.first("_c"))
+    ctotals = ctotals.select(
+        *[F.col(t).cast("long").alias(f"c_{t}") for t in tlist]
+    )
+    num = F.lit(k - 1) * (
+        F.lit(k) * F.col("_sc2") - F.col("_sc") * F.col("_sc")
+    )
+    den = F.lit(k) * F.col("_sr") - F.col("_sr2")
+    return (
+        rsum.crossJoin(csum)
+        .crossJoin(ctotals)
+        .select(
+            "n_items",
+            F.lit(k).cast("long").alias("k_treatments"),
+            *[F.col(f"c_{t}") for t in tlist],
+            F.when(
+                den > 0,
+                F.round((num * 1000).cast("double") / den).cast("long"),
+            ).alias("q_milli"),
+        )
+    )
