@@ -278,6 +278,9 @@ EXTENDED = [
     "qc16_cochran_q",
     "qc17_personalized_pagerank",
     "qc18_percolation",
+    "qc19_fixed_effect_meta",
+    "qc20_intra_list_diversity",
+    "qc21_delong_auc",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -16163,3 +16163,273 @@ def qc18(spark, sf):
     d = _t(spark, sf, "documents")
     e = word_cooccur_edges(d, "text", min_count=3)
     return percolation_sweep(e, "src", "dst", "weight", (3, 6, 12))
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 47: retrieval diversity + paired-model inference
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc20_intra_list_diversity",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 12),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qvec) * 1e6)
+                  AS BIGINT) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS r
+        FROM scored)
+      WHERE r <= 10),
+    pairs AS (
+      SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib
+      FROM topk a JOIN topk b
+        ON a.query_id = b.query_id AND a.vec_id < b.vec_id),
+    pc AS (
+      SELECT p.query_id,
+             CAST(round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                  eb.embedding::DOUBLE[]) * 1e6) AS BIGINT) AS cos
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.ia
+      JOIN embeddings eb ON eb.vec_id = p.ib),
+    per AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(1000000 - cos) AS BIGINT) AS dist
+            FROM pc GROUP BY 1),
+    per2 AS (SELECT query_id, n_pairs,
+                    CAST(round(dist / n_pairs) AS BIGINT) AS ild_micro
+             FROM per),
+    g AS (SELECT CAST(round(sum(ild_micro) / count(*)) AS BIGINT)
+                   AS mean_ild_micro
+          FROM per2)
+    SELECT per2.query_id, per2.n_pairs, per2.ild_micro, g.mean_ild_micro
+    FROM per2 CROSS JOIN g
+    """,
+)
+def qc20(spark, sf):
+    """Intra-List Diversity of the brute-force top-10 retrieval on the
+    qa89 query set (operators/similarity.py:intra_list_diversity) —
+    mean pairwise cosine distance inside each result list, the
+    redundancy gauge MMR (qa77) optimizes; k(k−1)/2 pairs per query,
+    never a corpus product, pair cosines micro-rounded once."""
+    from .operators.similarity import cosine_cols, intra_list_diversity
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_cols(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return intra_list_diversity(topk, e, "query_id", "vec_id")
+
+
+@_q(
+    "qc21_delong_auc",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, n_chars AS a,
+             len(list_filter(string_split(lower(trim(regexp_replace(
+               text, '\\s+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS b,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    hista AS (SELECT a AS v, CAST(sum(y) AS BIGINT) AS np,
+                     CAST(sum(1 - y) AS BIGINT) AS nn
+              FROM base GROUP BY 1),
+    tpa AS (SELECT CAST(sum(np) AS BIGINT) AS tp FROM hista),
+    spinea AS (SELECT v,
+                      CAST(sum(np) OVER (ORDER BY v) - np AS BIGINT) AS ltp,
+                      CAST(sum(nn) OVER (ORDER BY v) - nn AS BIGINT) AS ltn,
+                      np, nn, (SELECT tp FROM tpa) AS tp
+               FROM hista),
+    pa AS (SELECT base.id,
+                  CAST(CASE WHEN y = 1 THEN 2 * ltn + nn
+                       ELSE 2 * (tp - ltp - np) + np END AS BIGINT) AS pa2
+           FROM base JOIN spinea ON base.a = spinea.v),
+    histb AS (SELECT b AS v, CAST(sum(y) AS BIGINT) AS np,
+                     CAST(sum(1 - y) AS BIGINT) AS nn
+              FROM base GROUP BY 1),
+    tpb AS (SELECT CAST(sum(np) AS BIGINT) AS tp FROM histb),
+    spineb AS (SELECT v,
+                      CAST(sum(np) OVER (ORDER BY v) - np AS BIGINT) AS ltp,
+                      CAST(sum(nn) OVER (ORDER BY v) - nn AS BIGINT) AS ltn,
+                      np, nn, (SELECT tp FROM tpb) AS tp
+               FROM histb),
+    pb AS (SELECT base.id,
+                  CAST(CASE WHEN y = 1 THEN 2 * ltn + nn
+                       ELSE 2 * (tp - ltp - np) + np END AS BIGINT) AS pb2
+           FROM base JOIN spineb ON base.b = spineb.v),
+    items AS (SELECT base.id, base.y, pa.pa2, pb.pb2
+              FROM base JOIN pa USING (id) JOIN pb USING (id)),
+    mom AS (SELECT y, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pa2) AS BIGINT) AS sa,
+                   CAST(sum(pb2) AS BIGINT) AS sb,
+                   CAST(sum(pa2 * pa2) AS BIGINT) AS saa,
+                   CAST(sum(pb2 * pb2) AS BIGINT) AS sbb,
+                   CAST(sum(pa2 * pb2) AS BIGINT) AS sab
+            FROM items GROUP BY 1),
+    pos AS (SELECT n AS n_pos, sa AS SA2, sb AS SB2, saa AS SAA,
+                   sbb AS SBB, sab AS SAB
+            FROM mom WHERE y = 1),
+    neg AS (SELECT n AS n_neg, sa AS TA2, sb AS TB2, saa AS TAA,
+                   sbb AS TBB, sab AS TAB
+            FROM mom WHERE y = 0),
+    calc1 AS (
+      SELECT n_pos, n_neg,
+             SA2 / (2.0 * n_pos * n_neg) AS auc_a,
+             SB2 / (2.0 * n_pos * n_neg) AS auc_b,
+             SAA - CAST(SA2 AS DOUBLE) * SA2 / n_pos AS c10aa,
+             SBB - CAST(SB2 AS DOUBLE) * SB2 / n_pos AS c10bb,
+             SAB - CAST(SA2 AS DOUBLE) * SB2 / n_pos AS c10ab,
+             TAA - CAST(TA2 AS DOUBLE) * TA2 / n_neg AS c01aa,
+             TBB - CAST(TB2 AS DOUBLE) * TB2 / n_neg AS c01bb,
+             TAB - CAST(TA2 AS DOUBLE) * TB2 / n_neg AS c01ab
+      FROM pos CROSS JOIN neg),
+    calc2 AS (
+      SELECT n_pos, n_neg, auc_a, auc_b,
+             (c10aa + c10bb - 2 * c10ab)
+               / (4.0 * n_neg * n_neg * (n_pos - 1)) AS s10,
+             (c01aa + c01bb - 2 * c01ab)
+               / (4.0 * n_pos * n_pos * (n_neg - 1)) AS s01
+      FROM calc1)
+    SELECT n_pos, n_neg,
+           CAST(round(auc_a * 1000000) AS BIGINT) AS auc_a_micro,
+           CAST(round(auc_b * 1000000) AS BIGINT) AS auc_b_micro,
+           CAST(round((auc_a - auc_b) * 1000000) AS BIGINT) AS delta_micro,
+           CASE WHEN n_pos > 1 AND n_neg > 1
+                     AND (s10 / n_pos + s01 / n_neg) > 0 THEN
+             CAST(round((auc_a - auc_b)
+                  / sqrt(s10 / n_pos + s01 / n_neg) * 1000) AS BIGINT)
+           END AS z_milli
+    FROM calc2
+    """,
+)
+def qc21(spark, sf):
+    """DeLong paired AUC comparison of char-length vs word-count as
+    is-English rankers (operators/evaluate.py:delong_auc_test) — the
+    placement-value z-test with NO pairwise join: per-score
+    distinct-value spines carry doubled placements (qa22 midrank
+    idiom), ten int64 moments, one fixed scalar DAG for the
+    covariance-corrected variance and z."""
+    from .operators.evaluate import delong_auc_test
+    from .operators.textstats import words_col
+
+    d = _t(spark, sf, "documents")
+    d2 = d.select(
+        "doc_id",
+        F.col("n_chars").alias("_sa"),
+        F.size(words_col(F.col("text"))).cast("long").alias("_sb"),
+        (F.col("lang") == F.lit("en")).alias("_y"),
+    )
+    return delong_auc_test(d2, "_sa", "_sb", "_y", "doc_id")
+
+
+@_q(
+    "qc19_fixed_effect_meta",
+    """
+    WITH base AS (
+      SELECT source AS st,
+             CASE WHEN substring(md5('meta|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) < '80000000' THEN 1 ELSE 0 END AS a,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    per AS (SELECT st, CAST(sum(a) AS BIGINT) AS n1,
+                   CAST(sum(a * y) AS BIGINT) AS k1,
+                   CAST(sum(1 - a) AS BIGINT) AS n0,
+                   CAST(sum((1 - a) * y) AS BIGINT) AS k0
+            FROM base GROUP BY 1),
+    staged AS (
+      SELECT st, n1, k1, n0, k0,
+             CAST(round(k1 * 1000000 / n1) AS BIGINT)
+               - CAST(round(k0 * 1000000 / n0) AS BIGINT) AS d_micro,
+             CAST(round((CAST(k1 AS DOUBLE) / n1
+                         * (1 - CAST(k1 AS DOUBLE) / n1) / n1
+                         + CAST(k0 AS DOUBLE) / n0
+                         * (1 - CAST(k0 AS DOUBLE) / n0) / n0) * 1e12)
+                  AS BIGINT) AS v12
+      FROM per WHERE n1 > 0 AND n0 > 0),
+    strata AS (SELECT st, n1, k1, n0, k0, d_micro,
+                      1000000000000 // v12 AS w
+               FROM staged WHERE v12 > 0),
+    pool0 AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+                     CAST(sum(w * d_micro) AS BIGINT) AS num,
+                     CAST(sum(w) AS BIGINT) AS den
+              FROM strata),
+    pool AS (SELECT k_strata, den,
+                    CAST(round(CAST(num AS DOUBLE) / den) AS BIGINT)
+                      AS pooled_micro
+             FROM pool0),
+    qq AS (SELECT CAST(sum(w * (d_micro - pooled_micro)
+                           * (d_micro - pooled_micro)) AS BIGINT) AS qsum,
+                  max(k_strata) AS k_strata,
+                  max(pooled_micro) AS pooled_micro
+           FROM strata CROSS JOIN pool),
+    g0 AS (SELECT k_strata, pooled_micro,
+                  CAST(round(qsum / 1e9) AS BIGINT) AS q_milli
+           FROM qq),
+    g AS (SELECT k_strata, pooled_micro, q_milli,
+                 CASE WHEN q_milli > 0 THEN
+                   greatest(CAST(0 AS BIGINT),
+                     CAST(round(CAST((q_milli - 1000 * (k_strata - 1))
+                          * 1000 AS DOUBLE) / q_milli) AS BIGINT))
+                 END AS i2_milli
+          FROM g0)
+    SELECT strata.st AS source, strata.n1, strata.k1, strata.n0,
+           strata.k0, strata.d_micro, strata.w,
+           g.k_strata, g.pooled_micro, g.q_milli, g.i2_milli
+    FROM strata CROSS JOIN g
+    """,
+)
+def qc19(spark, sf):
+    """Fixed-effect meta-analysis of the per-source md5-split risk
+    difference in English rate (operators/stats.py:fixed_effect_meta)
+    — inverse-variance pooling with integer weights w = 1e12 div v12,
+    Cochran's Q and I² heterogeneity from pure integer sums; the
+    multi-strata roll-up next to qb31's stratified ATE (which weights
+    by size, not precision)."""
+    from .operators.stats import fixed_effect_meta
+    from .operators.split import hash_split_col
+
+    d = _t(spark, sf, "documents")
+    d2 = d.select(
+        "source",
+        (
+            hash_split_col(
+                F.col("doc_id"), {"treat": 0.5, "control": 0.5}, "meta"
+            )
+            == "treat"
+        ).alias("_arm"),
+        (F.col("lang") == F.lit("en")).alias("_y"),
+    )
+    return fixed_effect_meta(d2, "source", "_arm", "_y")

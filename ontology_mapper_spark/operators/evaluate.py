@@ -1868,3 +1868,129 @@ def brier_decomposition(
         .alias("unc_micro"),
     )
     return per.crossJoin(F.broadcast(g))
+
+
+def delong_auc_test(
+    df: DataFrame,
+    score_a_col,
+    score_b_col,
+    label_col,
+    id_col: str,
+) -> DataFrame:
+    """DeLong's paired AUC comparison — "is ranker A's AUC actually
+    better than B's ON THE SAME items, or is the gap noise": the
+    placement-value z-test from DeLong et al. 1988, the standard tool
+    for comparing two scores without a holdout rerun.
+
+    Scale-correct placements with NO pairwise join: for each score,
+    the distinct-value spine carries per-class cumulative counts, so
+    a positive item's placement V10 = (#neg below + ½#neg tied)/m and
+    a negative's V01 arrive as exact DOUBLED integers (2·cumlt + tie,
+    the qa22 midrank idiom) via one equi-join of items to their
+    score's spine.  All ten moments (Σp, Σp², Σp_a·p_b per class) are
+    int64 sums; AUCs, the covariance-corrected variance
+    var = (S10_aa + S10_bb − 2·S10_ab)/n + (S01_aa + S01_bb −
+    2·S01_ab)/m and z are ONE fixed scalar DAG (products past int64
+    range are cast double first — qb13 discipline).
+
+    Output (single row): (n_pos, n_neg, auc_a_micro, auc_b_micro,
+    delta_micro, z_milli).
+    """
+
+    def _c(c):
+        return c if not isinstance(c, str) else F.col(c)
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _c(score_a_col).cast("long").alias("_a"),
+        _c(score_b_col).cast("long").alias("_b"),
+        _c(label_col).cast("boolean").cast("long").alias("_y"),
+    )
+
+    def placements(val: str, out: str) -> DataFrame:
+        hist = base.groupBy(F.col(val).alias("_v")).agg(
+            F.sum("_y").cast("long").alias("_np"),
+            F.sum(1 - F.col("_y")).cast("long").alias("_nn"),
+        )
+        w = Window.orderBy("_v")
+        tp = hist.groupBy().agg(F.sum("_np").cast("long").alias("_tp"))
+        spine = hist.crossJoin(F.broadcast(tp)).select(
+            "_v",
+            (F.sum("_np").over(w) - F.col("_np")).cast("long").alias("_ltp"),
+            (F.sum("_nn").over(w) - F.col("_nn")).cast("long").alias("_ltn"),
+            "_np",
+            "_nn",
+            "_tp",
+        )
+        return base.select("_id", "_y", F.col(val).alias("_v")).join(
+            spine, "_v"
+        ).select(
+            "_id",
+            F.when(
+                F.col("_y") == 1,
+                2 * F.col("_ltn") + F.col("_nn"),
+            )
+            .otherwise(
+                2 * (F.col("_tp") - F.col("_ltp") - F.col("_np"))
+                + F.col("_np")
+            )
+            .cast("long")
+            .alias(out),
+        )
+    pa = placements("_a", "_pa2")
+    pb = placements("_b", "_pb2")
+    items = (
+        base.select("_id", "_y").join(pa, "_id").join(pb, "_id")
+    )
+    mom = items.groupBy("_y").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_pa2").cast("long").alias("_sa"),
+        F.sum("_pb2").cast("long").alias("_sb"),
+        F.sum(F.col("_pa2") * F.col("_pa2")).cast("long").alias("_saa"),
+        F.sum(F.col("_pb2") * F.col("_pb2")).cast("long").alias("_sbb"),
+        F.sum(F.col("_pa2") * F.col("_pb2")).cast("long").alias("_sab"),
+    )
+    pos = mom.where(F.col("_y") == 1).select(
+        F.col("_n").alias("n_pos"),
+        F.col("_sa").alias("SA"),
+        F.col("_sb").alias("SB"),
+        F.col("_saa").alias("SAA"),
+        F.col("_sbb").alias("SBB"),
+        F.col("_sab").alias("SAB"),
+    )
+    neg = mom.where(F.col("_y") == 0).select(
+        F.col("_n").alias("n_neg"),
+        F.col("_sa").alias("TA"),
+        F.col("_sb").alias("TB"),
+        F.col("_saa").alias("TAA"),
+        F.col("_sbb").alias("TBB"),
+        F.col("_sab").alias("TAB"),
+    )
+    j = pos.crossJoin(neg)
+    n, m = F.col("n_pos"), F.col("n_neg")
+    auc_a = F.col("SA") / (F.lit(2.0) * n * m)
+    auc_b = F.col("SB") / (F.lit(2.0) * n * m)
+    c10aa = F.col("SAA") - F.col("SA").cast("double") * F.col("SA") / n
+    c10bb = F.col("SBB") - F.col("SB").cast("double") * F.col("SB") / n
+    c10ab = F.col("SAB") - F.col("SA").cast("double") * F.col("SB") / n
+    c01aa = F.col("TAA") - F.col("TA").cast("double") * F.col("TA") / m
+    c01bb = F.col("TBB") - F.col("TB").cast("double") * F.col("TB") / m
+    c01ab = F.col("TAB") - F.col("TA").cast("double") * F.col("TB") / m
+    s10 = (c10aa + c10bb - 2 * c10ab) / (
+        F.lit(4.0) * m * m * (n - 1)
+    )
+    s01 = (c01aa + c01bb - 2 * c01ab) / (
+        F.lit(4.0) * n * n * (m - 1)
+    )
+    var = s10 / n + s01 / m
+    return j.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc_a * 1000000).cast("long").alias("auc_a_micro"),
+        F.round(auc_b * 1000000).cast("long").alias("auc_b_micro"),
+        F.round((auc_a - auc_b) * 1000000).cast("long").alias("delta_micro"),
+        F.when(
+            (n > 1) & (m > 1) & (var > 0),
+            F.round((auc_a - auc_b) / F.sqrt(var) * 1000).cast("long"),
+        ).alias("z_milli"),
+    )

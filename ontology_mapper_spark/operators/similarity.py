@@ -1104,3 +1104,67 @@ def mutual_best_pairs(
         F.col("_idb").alias("id_b"),
         "cosine_micro",
     )
+
+
+def intra_list_diversity(
+    topk: DataFrame,
+    corpus: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Intra-List Diversity of retrieved top-k sets: mean pairwise
+    cosine DISTANCE among each query's results — the redundancy gauge
+    next to MMR (qa77 optimizes it; this MEASURES what a ranker
+    actually shipped).  A list of near-duplicates scores ~0; a spread
+    list scores high.
+
+    Input: `topk` rows (query, item) — k small by construction, so
+    the within-query self-join is k(k−1)/2 pairs per query, never a
+    corpus product; embeddings are equi-joined in from `corpus` by
+    id.  Pair cosine is micro-rounded ONCE per pair (the q29/qc01
+    integer-cosine discipline); per-query ILD is one division by the
+    exact pair count; the corpus mean is one more.
+
+    Output per query: (query, n_pairs, ild_micro) plus
+    broadcast-attached mean_ild_micro.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    t = topk.select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    a = t.select("_q", F.col("_i").alias("_ia"))
+    b = t.select("_q", F.col("_i").alias("_ib"))
+    pairs = (
+        a.join(b, "_q")
+        .where(F.col("_ia") < F.col("_ib"))
+        .join(vecs.select(F.col("_vid").alias("_ia"), F.col("_v").alias("_va")), "_ia")
+        .join(vecs.select(F.col("_vid").alias("_ib"), F.col("_v").alias("_vb")), "_ib")
+        .select(
+            "_q",
+            F.round(cosine_cols(F.col("_va"), F.col("_vb")) * 1e6)
+            .cast("long")
+            .alias("_cos"),
+        )
+    )
+    per = pairs.groupBy("_q").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.lit(1_000_000) - F.col("_cos")).cast("long").alias("_dist"),
+    )
+    per = per.select(
+        F.col("_q").alias(query_col),
+        "n_pairs",
+        F.round(F.col("_dist") / F.col("n_pairs")).cast("long").alias(
+            "ild_micro"
+        ),
+    )
+    g = per.groupBy().agg(
+        F.round(F.sum("ild_micro") / F.count("*"))
+        .cast("long")
+        .alias("mean_ild_micro")
+    )
+    return per.crossJoin(F.broadcast(g))

@@ -4077,3 +4077,125 @@ def cochran_q(
             ).alias("q_milli"),
         )
     )
+
+
+def fixed_effect_meta(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col,
+    outcome_col,
+) -> DataFrame:
+    """Fixed-effect (inverse-variance) meta-analysis of a per-stratum
+    risk difference, with Cochran's Q heterogeneity and I² — "pool the
+    per-source A/B effects into one number, and say whether the
+    sources even agree" (I² > 50% means the fixed-effect pool is
+    hiding real heterogeneity).
+
+    Per stratum: arm/outcome counts are exact int64; the risk
+    difference d is a micro int (two rounded divisions);
+    v = p1(1−p1)/n1 + p0(1−p0)/n0 is ONE fixed scalar DAG per stratum
+    pinned to an integer v12 = round(v·1e12), and the weight
+    w = 1e12 div v12 is integer — so the pooled numerator Σw·d, the
+    denominator Σw, and Q's Σw·(d−pooled)² are INTEGER sums (never a
+    double accumulation).  Degenerate strata (an empty arm or zero
+    variance) are excluded by the same integer condition in both
+    engines.  I² = max(0, (Q − df)/Q).
+
+    Output per stratum: (stratum, n1, k1, n0, k0, d_micro, w) plus
+    broadcast-attached (k_strata, pooled_micro, q_milli, i2_milli).
+    """
+    arm = (arm_col if not isinstance(arm_col, str) else F.col(arm_col)).cast(
+        "boolean"
+    ).cast("long")
+    y = (
+        outcome_col
+        if not isinstance(outcome_col, str)
+        else F.col(outcome_col)
+    ).cast("boolean").cast("long")
+    per = df.select(
+        F.col(stratum_col).alias("_st"), arm.alias("_a"), y.alias("_y")
+    ).groupBy("_st").agg(
+        F.sum("_a").cast("long").alias("n1"),
+        F.sum(F.col("_a") * F.col("_y")).cast("long").alias("k1"),
+        F.sum(1 - F.col("_a")).cast("long").alias("n0"),
+        F.sum((1 - F.col("_a")) * F.col("_y")).cast("long").alias("k0"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    v = p1 * (1 - p1) / F.col("n1") + p0 * (1 - p0) / F.col("n0")
+    staged = per.where((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "_st",
+        "n1",
+        "k1",
+        "n0",
+        "k0",
+        (
+            F.round(F.col("k1") * F.lit(MICRO) / F.col("n1")).cast("long")
+            - F.round(F.col("k0") * F.lit(MICRO) / F.col("n0")).cast("long")
+        ).alias("d_micro"),
+        F.round(v * F.lit(1e12)).cast("long").alias("_v12"),
+    )
+    strata = staged.where(F.col("_v12") > 0).select(
+        "_st",
+        "n1",
+        "k1",
+        "n0",
+        "k0",
+        "d_micro",
+        F.expr("CAST(1000000000000 AS BIGINT) div _v12").alias("w"),
+    )
+    pool = strata.groupBy().agg(
+        F.count("*").cast("long").alias("k_strata"),
+        F.sum(F.col("w") * F.col("d_micro")).cast("long").alias("_num"),
+        F.sum("w").cast("long").alias("_den"),
+    )
+    pool = pool.select(
+        "k_strata",
+        "_den",
+        F.round(F.col("_num").cast("double") / F.col("_den"))
+        .cast("long")
+        .alias("pooled_micro"),
+    )
+    q = strata.crossJoin(F.broadcast(pool)).groupBy().agg(
+        F.sum(
+            F.col("w")
+            * (F.col("d_micro") - F.col("pooled_micro"))
+            * (F.col("d_micro") - F.col("pooled_micro"))
+        )
+        .cast("long")
+        .alias("_qsum"),
+        F.max("k_strata").alias("k_strata"),
+        F.max("pooled_micro").alias("pooled_micro"),
+    )
+    g = q.select(
+        "k_strata",
+        "pooled_micro",
+        F.round(F.col("_qsum") / F.lit(1e9)).cast("long").alias("q_milli"),
+    )
+    g = g.select(
+        "k_strata",
+        "pooled_micro",
+        "q_milli",
+        F.when(
+            F.col("q_milli") > 0,
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.round(
+                    (
+                        (F.col("q_milli") - 1000 * (F.col("k_strata") - 1))
+                        * 1000
+                    ).cast("double")
+                    / F.col("q_milli")
+                ).cast("long"),
+            ),
+        ).alias("i2_milli"),
+    )
+    return strata.select(
+        F.col("_st").alias(stratum_col),
+        "n1",
+        "k1",
+        "n0",
+        "k0",
+        "d_micro",
+        "w",
+    ).crossJoin(F.broadcast(g))

@@ -329,6 +329,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc06_cliffs_delta": "distinct-value score histogram (qa22 doubled-midrank idiom)",
     "qc08_qini_curve": "distinct-score uplift spine cumulative + trapezoid lag (qa22 family)",
     "qc12_rmst": "distinct-duration KM curve + area lag (qa67 family; coarsen durations at scale)",
+    "qc21_delong_auc": "distinct-score placement spines (qa22 family; one per compared model)",
 }
 
 
