@@ -1,3 +1,4 @@
+from .attribution import stream_last_touch
 from .cdc import (
     cdc_snapshot_sink,
     compact_snapshot,
@@ -19,6 +20,7 @@ from .detect import (
 
 __all__ = [
     "cdc_snapshot_sink",
+    "stream_last_touch",
     "compact_snapshot",
     "read_snapshot",
     "read_snapshot_versioned",
