@@ -281,6 +281,9 @@ EXTENDED = [
     "qc19_fixed_effect_meta",
     "qc20_intra_list_diversity",
     "qc21_delong_auc",
+    "qc22_page_trend",
+    "qc23_hosmer_lemeshow",
+    "qc24_cohens_d",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

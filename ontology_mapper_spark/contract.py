@@ -16433,3 +16433,169 @@ def qc19(spark, sf):
         (F.col("lang") == F.lit("en")).alias("_y"),
     )
     return fixed_effect_meta(d2, "source", "_arm", "_y")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 48: block-design trend/concordance + calibration GOF + effect
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc22_page_trend",
+    """
+    WITH base AS (SELECT epoch_us(ts) // 86400000000 AS b,
+                         CAST(((epoch_us(ts) // 3600000000) % 24) // 6
+                              AS VARCHAR) AS t,
+                         CAST(round(value * 100) AS BIGINT) AS cv
+                  FROM events),
+    cells AS (SELECT b, t, CAST(sum(cv) AS BIGINT) AS v
+              FROM base GROUP BY 1, 2),
+    complete AS (SELECT b FROM cells GROUP BY 1 HAVING count(*) = 4),
+    cc AS (SELECT cells.* FROM cells JOIN complete USING (b)),
+    hist AS (SELECT b, v, CAST(count(*) AS BIGINT) AS c
+             FROM cc GROUP BY 1, 2),
+    dmid AS (SELECT b, v,
+                    2 * (sum(c) OVER (PARTITION BY b ORDER BY v) - c)
+                      + c + 1 AS dmid
+             FROM hist),
+    ot(t, oj) AS (VALUES ('0', 1), ('1', 2), ('2', 3), ('3', 4)),
+    r AS (SELECT cc.t, ot.oj, CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(dmid) AS BIGINT) AS r2
+          FROM cc JOIN dmid USING (b, v) JOIN ot ON cc.t = ot.t
+          GROUP BY 1, 2),
+    g AS (SELECT CAST(max(nb) AS BIGINT) AS B,
+                 CAST(sum(oj * r2) AS BIGINT) AS l2,
+                 CAST(sum((r2 - nb * 5) * (r2 - nb * 5)) AS BIGINT) AS s4
+          FROM r)
+    SELECT B AS n_blocks, CAST(4 AS BIGINT) AS k_treatments, l2,
+           CAST(round(3.0 * s4 * 1000000
+                / (1.0 * B * B * 4 * (4 * 4 - 1))) AS BIGINT) AS w_micro,
+           CAST(round((6 * l2 - 3 * B * 4 * (4 + 1) * (4 + 1))
+                / sqrt(1.0 * B * 4 * 4 * (4 + 1) * (4 * 4 - 1)) * 1000)
+                AS BIGINT) AS z_milli
+    FROM g
+    """,
+)
+def qc22(spark, sf):
+    """Page's L ordered trend + Kendall's W concordance of daily spend
+    rank across the four 6-hour buckets, days as blocks
+    (operators/stats.py:page_trend) — the pre-specified-order power
+    upgrade over qc05's Friedman, plus how consistently days agree on
+    the ranking; L2/S4 exact int64, z and W one scalar DAG each."""
+    from .operators.stats import page_trend
+
+    e = _t(spark, sf, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "d"
+        ),
+        F.expr(
+            "CAST(((unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000)"
+            " % 24) div 6 AS STRING)"
+        ).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return page_trend(e, "d", "bucket", "cents", ("0", "1", "2", "3"))
+
+
+@_q(
+    "qc23_hosmer_lemeshow",
+    """
+    WITH ext AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+                 FROM documents),
+    b AS (
+      SELECT CAST(floor((n_chars - ext.mn) * 10 / (ext.mx - ext.mn + 1))
+                  AS BIGINT) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents CROSS JOIN ext),
+    per0 AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS pos
+             FROM b GROUP BY 1),
+    per AS (SELECT bin, n, pos,
+                   CAST((2 * bin + 1) * 1000000 / 20 AS BIGINT)
+                     AS conf_micro
+            FROM per0),
+    terms AS (
+      SELECT bin, n, pos, conf_micro,
+             CAST(round(n * conf_micro / 1000000) AS BIGINT)
+               AS expected_pos,
+             CASE WHEN n * conf_micro * (1000000 - conf_micro) > 0 THEN
+               CAST(round(CAST(pos * 1000000 - n * conf_micro AS DOUBLE)
+                    * CAST(pos * 1000000 - n * conf_micro AS DOUBLE)
+                    / (n * conf_micro * (1000000 - conf_micro)) * 1000)
+                    AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS term_milli
+      FROM per),
+    g AS (SELECT CAST(sum(term_milli) AS BIGINT) AS hl_milli,
+                 CAST(count(*) - 2 AS BIGINT) AS df_hl
+          FROM terms)
+    SELECT terms.bin, terms.n, terms.pos, terms.conf_micro,
+           terms.expected_pos, terms.term_milli, g.hl_milli, g.df_hl
+    FROM terms CROSS JOIN g
+    """,
+)
+def qc23(spark, sf):
+    """Hosmer-Lemeshow calibration goodness-of-fit on qa82's bins
+    (operators/evaluate.py:hosmer_lemeshow) — the χ² significance
+    yardstick completing ECE (gap size, qa82) and Murphy (gap
+    attribution, qc13); int64 numerator differences squared in
+    double, per-bin milli terms integer-summed."""
+    from .operators.evaluate import hosmer_lemeshow
+
+    d = _t(spark, sf, "documents")
+    return hosmer_lemeshow(
+        d, "n_chars", F.col("lang") == F.lit("en"), n_bins=10
+    )
+
+
+@_q(
+    "qc24_cohens_d",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS x
+                  FROM events),
+    per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_a,
+                   CAST(sum(x) AS BIGINT) AS sx1,
+                   CAST(sum(x * x) AS BIGINT) AS sq1
+            FROM base GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                   CAST(sum(x) AS BIGINT) AS SX,
+                   CAST(sum(x * x) AS BIGINT) AS SQ
+            FROM base),
+    j AS (SELECT g, n_a, sx1, sq1,
+                 N - n_a AS n_b, SX - sx1 AS sx2, SQ - sq1 AS sq2
+          FROM per CROSS JOIN tot),
+    calc AS (
+      SELECT g, n_a, n_b,
+             CAST(sx1 AS DOUBLE) / n_a AS m1,
+             CAST(sx2 AS DOUBLE) / n_b AS m2,
+             sqrt(((sq1 - CAST(sx1 AS DOUBLE) * sx1 / n_a)
+                   + (sq2 - CAST(sx2 AS DOUBLE) * sx2 / n_b))
+                  / (n_a + n_b - 2)) AS sp
+      FROM j WHERE n_b > 0)
+    SELECT g AS event_type, n_a, n_b,
+           CAST(round(m1 * 1000) AS BIGINT) AS mean_a_milli,
+           CAST(round(m2 * 1000) AS BIGINT) AS mean_b_milli,
+           CASE WHEN n_a > 1 AND n_b > 1 AND sp > 0 THEN
+             CAST(round((m1 - m2) / sp * 1000) AS BIGINT)
+           END AS d_milli,
+           CASE WHEN n_a > 1 AND n_b > 1 AND sp > 0 THEN
+             CAST(round((m1 - m2) / sp
+                  * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)) * 1000)
+                  AS BIGINT)
+           END AS g_milli
+    FROM calc
+    """,
+)
+def qc24(spark, sf):
+    """Cohen's d + Hedges' g of each event type's cents value vs the
+    rest (operators/stats.py:cohens_d) — the parametric mean-shift
+    effect size next to qc06's rank-based Cliff delta; three integer
+    sums per group, complement by subtraction from broadcast totals,
+    one fixed scalar DAG."""
+    from .operators.stats import cohens_d
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cohens_d(e, "event_type", "cents")

@@ -1994,3 +1994,94 @@ def delong_auc_test(
             F.round((auc_a - auc_b) / F.sqrt(var) * 1000).cast("long"),
         ).alias("z_milli"),
     )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit over the same equi-width
+    confidence bins as calibration_report/brier_decomposition — the
+    χ² TEST for "are the observed rates consistent with the implied
+    confidences", where ECE (qa82) reports the gap size and Murphy
+    (qc13) attributes it: HL gives the significance yardstick
+    (χ² with n_bins − 2 df).
+
+        HL = Σ_b (pos_b·1e6 − n_b·conf_b)² / (n_b·conf_b·(1e6−conf_b))
+
+    in micro units: the numerator difference is an exact int64, its
+    square is cast double FIRST (past int64 — qb13 discipline), the
+    denominator n·conf·(1e6−conf) stays int64, and each bin's term is
+    milli-rounded ONCE then integer-summed (never a raw double
+    accumulation).  Degenerate bins (conf 0 or 1e6 — impossible for
+    midpoint confidences — or n = 0) contribute nothing.
+
+    Output per bin: (bin, n, pos, conf_micro, expected_pos,
+    term_milli) plus broadcast-attached (hl_milli, df_hl).
+    """
+    base = df.select(
+        (
+            score_col if not isinstance(score_col, str) else F.col(score_col)
+        )
+        .cast("long")
+        .alias("_s"),
+        (
+            label_col if not isinstance(label_col, str) else F.col(label_col)
+        )
+        .cast("boolean")
+        .cast("long")
+        .alias("_y"),
+    )
+    ext = base.groupBy().agg(
+        F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
+    )
+    nb = int(n_bins)
+    binned = base.crossJoin(F.broadcast(ext)).select(
+        F.floor(
+            (F.col("_s") - F.col("_mn"))
+            * nb
+            / (F.col("_mx") - F.col("_mn") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "_y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("pos"),
+    )
+    conf = ((2 * F.col("bin") + 1) * F.lit(MICRO) / F.lit(2 * nb)).cast(
+        "long"
+    )
+    per = per.select("bin", "n", "pos", conf.alias("conf_micro"))
+    diff = (
+        F.col("pos") * F.lit(MICRO) - F.col("n") * F.col("conf_micro")
+    ).cast("double")
+    den = (
+        F.col("n")
+        * F.col("conf_micro")
+        * (F.lit(MICRO) - F.col("conf_micro"))
+    )
+    terms = per.select(
+        "bin",
+        "n",
+        "pos",
+        "conf_micro",
+        F.round(F.col("n") * F.col("conf_micro") / F.lit(MICRO))
+        .cast("long")
+        .alias("expected_pos"),
+        F.when(
+            den > 0,
+            F.round(diff * diff / den * 1000).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("term_milli"),
+    )
+    g = terms.groupBy().agg(
+        F.sum("term_milli").cast("long").alias("hl_milli"),
+        (F.count("*") - 2).cast("long").alias("df_hl"),
+    )
+    return terms.crossJoin(F.broadcast(g))

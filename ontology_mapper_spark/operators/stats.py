@@ -4199,3 +4199,182 @@ def fixed_effect_meta(
         "d_micro",
         "w",
     ).crossJoin(F.broadcast(g))
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    treat_order: tuple,
+) -> DataFrame:
+    """Page's L trend test + Kendall's W concordance over a complete
+    block design — the ORDERED-treatment companion to friedman_test
+    (Friedman asks "any treatment difference within blocks?"; Page
+    asks "do treatments increase IN THIS ORDER?", strictly more
+    powerful when the order is pre-specified) and W reports how
+    CONSISTENTLY blocks agree on the ranking (0 = no agreement,
+    1 = identical rankings everywhere).
+
+    Same cell machinery as friedman_test (int64 cells, complete
+    blocks, per-block doubled midranks): L2 = Σ_j order_j · R2_j is
+    exact int64, the z numerator 6·L2 − 3·b·k·(k+1)² is integer, and
+    the classical denominator √(b·k²·(k+1)·(k²−1)) is one IEEE sqrt;
+    W = 3·S4/(b²·k·(k²−1)) with S4 = Σ_j (R2_j − b(k+1))² exact int64
+    (untied form — cells are distinct-valued sums).
+
+    Output (single row): (n_blocks, k_treatments, l2, w_micro,
+    z_milli).
+    """
+    order = [str(t) for t in treat_order]
+    spark = df.sparkSession
+    otab = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(order)], "_t string, _oj long"
+    )
+    cells = df.groupBy(
+        F.col(block_col).alias("_b"),
+        F.col(treat_col).cast("string").alias("_t"),
+    ).agg(F.sum(F.col(value_col)).cast("long").alias("_v"))
+    k = len(order)
+    complete = (
+        cells.groupBy("_b")
+        .agg(F.count("*").cast("long").alias("_kc"))
+        .where(F.col("_kc") == k)
+        .select("_b")
+    )
+    cc = cells.join(complete, "_b")
+    hist = cc.groupBy("_b", "_v").agg(F.count("*").cast("long").alias("_c"))
+    wb = Window.partitionBy("_b").orderBy("_v")
+    dmid = hist.select(
+        "_b",
+        "_v",
+        (2 * (F.sum("_c").over(wb) - F.col("_c")) + F.col("_c") + 1).alias(
+            "_dmid"
+        ),
+    )
+    r = (
+        cc.join(dmid, ["_b", "_v"])
+        .join(F.broadcast(otab), "_t")
+        .groupBy("_t", "_oj")
+        .agg(
+            F.count("*").cast("long").alias("_nb"),
+            F.sum("_dmid").cast("long").alias("_r2"),
+        )
+    )
+    g = r.groupBy().agg(
+        F.max("_nb").cast("long").alias("_B"),
+        F.sum(F.col("_oj") * F.col("_r2")).cast("long").alias("l2"),
+        F.sum(
+            (F.col("_r2") - F.col("_nb") * (k + 1))
+            * (F.col("_r2") - F.col("_nb") * (k + 1))
+        )
+        .cast("long")
+        .alias("_s4"),
+    )
+    kk = F.lit(k).cast("long")
+    return g.select(
+        F.col("_B").alias("n_blocks"),
+        kk.alias("k_treatments"),
+        "l2",
+        F.round(
+            F.lit(3.0)
+            * F.col("_s4")
+            * F.lit(MICRO)
+            / (
+                F.lit(1.0)
+                * F.col("_B")
+                * F.col("_B")
+                * kk
+                * (kk * kk - 1)
+            )
+        )
+        .cast("long")
+        .alias("w_micro"),
+        F.round(
+            (
+                F.lit(6) * F.col("l2")
+                - F.lit(3) * F.col("_B") * kk * (kk + 1) * (kk + 1)
+            )
+            / F.sqrt(
+                F.lit(1.0)
+                * F.col("_B")
+                * kk
+                * kk
+                * (kk + 1)
+                * (kk * kk - 1)
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )
+
+
+def cohens_d(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Cohen's d + Hedges' g effect size of each group's metric vs the
+    rest of the corpus — the PARAMETRIC mean-shift companion to
+    cliffs_delta (rank dominance): "how many pooled standard
+    deviations apart are the means", with Hedges' small-sample
+    correction J = 1 − 3/(4N − 9).
+
+    Per group only three integer sums (n, Σx, Σx²); the complement's
+    sums come from broadcast corpus totals by subtraction, so the
+    whole report is one aggregation pass.  Means, pooled SD, d and g
+    are ONE fixed scalar DAG per group (Σx·Σx past int64 is cast
+    double first — qb13 discipline); NULL when either side has < 2
+    rows or zero pooled variance.
+
+    Output per group: (group, n_a, n_b, mean_a_milli, mean_b_milli,
+    d_milli, g_milli).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    per = base.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_a"),
+        F.sum("_x").cast("long").alias("_sx1"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sq1"),
+    )
+    tot = base.groupBy().agg(
+        F.count("*").cast("long").alias("_N"),
+        F.sum("_x").cast("long").alias("_SX"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_SQ"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "n_a",
+        "_sx1",
+        "_sq1",
+        (F.col("_N") - F.col("n_a")).alias("n_b"),
+        (F.col("_SX") - F.col("_sx1")).alias("_sx2"),
+        (F.col("_SQ") - F.col("_sq1")).alias("_sq2"),
+    )
+    m1 = F.col("_sx1").cast("double") / F.col("n_a")
+    m2 = F.col("_sx2").cast("double") / F.col("n_b")
+    s1n = F.col("_sq1") - F.col("_sx1").cast("double") * F.col("_sx1") / F.col("n_a")
+    s2n = F.col("_sq2") - F.col("_sx2").cast("double") * F.col("_sx2") / F.col("n_b")
+    sp = F.sqrt((s1n + s2n) / (F.col("n_a") + F.col("n_b") - 2))
+    d = (m1 - m2) / sp
+    gcorr = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (F.lit(4.0) * (F.col("n_a") + F.col("n_b")) - 9)
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    # groups that ARE the whole corpus have no complement to compare to
+    j = j.where(F.col("n_b") > 0)
+    return j.select(
+        F.col("_g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round(m1 * 1000).cast("long").alias("mean_a_milli"),
+        F.round(m2 * 1000).cast("long").alias("mean_b_milli"),
+        F.when(ok & (sp > 0), F.round(d * 1000).cast("long")).alias(
+            "d_milli"
+        ),
+        F.when(ok & (sp > 0), F.round(gcorr * 1000).cast("long")).alias(
+            "g_milli"
+        ),
+    )
