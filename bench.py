@@ -284,6 +284,9 @@ EXTENDED = [
     "qc22_page_trend",
     "qc23_hosmer_lemeshow",
     "qc24_cohens_d",
+    "qc25_tost_equivalence",
+    "qc26_linear_cka",
+    "qc27_brown_forsythe",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -16599,3 +16599,193 @@ def qc24(spark, sf):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return cohens_d(e, "event_type", "cents")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 49: equivalence gate, representation similarity, spread test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc25_tost_equivalence",
+    """
+    WITH base AS (
+      SELECT CASE WHEN substring(md5('tost|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) < '80000000' THEN 1 ELSE 0 END AS a,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    agg AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+                   CAST(sum(a * y) AS BIGINT) AS k1,
+                   CAST(sum(1 - a) AS BIGINT) AS n0,
+                   CAST(sum((1 - a) * y) AS BIGINT) AS k0
+            FROM base),
+    st AS (SELECT n1, k1, n0, k0,
+                  CAST(round(k1 * 1000000 / n1) AS BIGINT)
+                    - CAST(round(k0 * 1000000 / n0) AS BIGINT) AS d_micro,
+                  sqrt(CAST(k1 AS DOUBLE) / n1
+                       * (1 - CAST(k1 AS DOUBLE) / n1) / n1
+                       + CAST(k0 AS DOUBLE) / n0
+                       * (1 - CAST(k0 AS DOUBLE) / n0) / n0) AS se
+           FROM agg WHERE n1 > 0 AND n0 > 0),
+    st2 AS (SELECT n1, k1, n0, k0, d_micro,
+                   CAST(round(se * 1000000) AS BIGINT) AS se_micro,
+                   CASE WHEN se > 0 THEN
+                     CAST(round((d_micro + 50000) / (se * 1000000) * 1000)
+                          AS BIGINT) END AS z_lower_milli,
+                   CASE WHEN se > 0 THEN
+                     CAST(round((50000 - d_micro) / (se * 1000000) * 1000)
+                          AS BIGINT) END AS z_upper_milli
+            FROM st)
+    SELECT *,
+           (z_lower_milli IS NOT NULL
+            AND least(z_lower_milli, z_upper_milli) > 1645) AS equivalent
+    FROM st2
+    """,
+)
+def qc25(spark, sf):
+    """TOST equivalence of the md5-arm English rates at margin
+    δ = 0.05 (operators/stats.py:tost_equivalence) — the "prove it's
+    NOT different" ship gate qb13's difference test cannot provide;
+    both one-sided z's from one fixed DAG, verdict on milli-rounded
+    integers."""
+    from .operators.stats import tost_equivalence
+    from .operators.split import hash_split_col
+
+    d = _t(spark, sf, "documents")
+    d2 = d.select(
+        (
+            hash_split_col(
+                F.col("doc_id"), {"treat": 0.5, "control": 0.5}, "tost"
+            )
+            == "treat"
+        ).alias("_arm"),
+        (F.col("lang") == F.lit("en")).alias("_y"),
+    )
+    return tost_equivalence(d2, "_arm", "_y", margin_micro=50_000)
+
+
+@_q(
+    "qc26_linear_cka",
+    """
+    WITH xs AS (
+      SELECT vec_id AS id, gs - 1 AS a, CAST(round(v * 1e6) AS BIGINT) AS x
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+                   generate_subscripts(embedding::DOUBLE[], 1) AS gs
+            FROM embeddings)),
+    ys AS (
+      SELECT vec_id AS id, gs - 1 AS b, CAST(round(v * 1e6) AS BIGINT) AS y
+      FROM (SELECT vec_id, unnest(embedding[1:16]::DOUBLE[]) AS v,
+                   generate_subscripts(embedding[1:16]::DOUBLE[], 1) AS gs
+            FROM embeddings)),
+    nrow AS (SELECT CAST(count(*) AS BIGINT) AS N FROM embeddings),
+    mx AS (SELECT a, CAST(sum(x) AS BIGINT) AS sx FROM xs GROUP BY 1),
+    my AS (SELECT b, CAST(sum(y) AS BIGINT) AS sy FROM ys GROUP BY 1),
+    pxy AS (SELECT xs.a, ys.b, CAST(sum(xs.x * ys.y) AS BIGINT) AS sxy
+            FROM xs JOIN ys USING (id) GROUP BY 1, 2),
+    pxx AS (SELECT x1.a, x2.a AS b, CAST(sum(x1.x * x2.x) AS BIGINT) AS sxy
+            FROM xs x1 JOIN xs x2 USING (id) GROUP BY 1, 2),
+    pyy AS (SELECT y1.b AS a, y2.b, CAST(sum(y1.y * y2.y) AS BIGINT) AS sxy
+            FROM ys y1 JOIN ys y2 USING (id) GROUP BY 1, 2),
+    cxy AS (SELECT CAST(round((1.0 * N * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (1.0 * N * N * 1000000)) AS BIGINT) AS cv
+            FROM pxy JOIN mx USING (a) JOIN my USING (b) CROSS JOIN nrow),
+    cxx AS (SELECT CAST(round((1.0 * N * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (1.0 * N * N * 1000000)) AS BIGINT) AS cv
+            FROM pxx JOIN mx USING (a)
+            JOIN (SELECT a AS b, sx AS sy FROM mx) USING (b)
+            CROSS JOIN nrow),
+    cyy AS (SELECT CAST(round((1.0 * N * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (1.0 * N * N * 1000000)) AS BIGINT) AS cv
+            FROM pyy JOIN (SELECT b AS a, sy AS sx FROM my) USING (a)
+            JOIN my USING (b)
+            CROSS JOIN nrow),
+    sxyf AS (SELECT CAST(sum(cv * cv) AS BIGINT) AS s_xy FROM cxy),
+    sxxf AS (SELECT CAST(sum(cv * cv) AS BIGINT) AS s_xx FROM cxx),
+    syyf AS (SELECT CAST(sum(cv * cv) AS BIGINT) AS s_yy FROM cyy)
+    SELECT nrow.N AS n_rows,
+           (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings)
+             AS d_a,
+           CAST(16 AS BIGINT) AS d_b,
+           s_xy, s_xx, s_yy,
+           CASE WHEN s_xx > 0 AND s_yy > 0 THEN
+             CAST(round(1000000.0 * s_xy
+                  / sqrt(CAST(s_xx AS DOUBLE) * s_yy)) AS BIGINT)
+           END AS cka_micro
+    FROM nrow CROSS JOIN sxyf CROSS JOIN sxxf CROSS JOIN syyf
+    """,
+)
+def qc26(spark, sf):
+    """Linear CKA between the full 64-dim embeddings and their first
+    16 dims (operators/similarity.py:linear_cka) — "how much of the
+    representation's geometry survives a 4× truncation", the audit
+    before shrinking an embedding store; covariance cells one fixed
+    DAG each pinned to covariance-micro ints, Frobenius sums integer over
+    dimension-sized grids."""
+    from .operators.similarity import linear_cka
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.slice(F.col("embedding"), 1, 16).alias("embedding_b"),
+    )
+    return linear_cka(e, "vec_id", "embedding", "embedding_b")
+
+
+@_q(
+    "qc27_brown_forsythe",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS x
+                  FROM events),
+    hist AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2),
+    staged AS (SELECT g, x,
+                      sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+                      sum(c) OVER (PARTITION BY g) AS n
+               FROM hist),
+    med AS (SELECT g, CAST(min(x) AS BIGINT) AS med
+            FROM staged WHERE 2 * cum >= n GROUP BY 1),
+    z AS (SELECT base.g, med.med, abs(base.x - med.med) AS z
+          FROM base JOIN med USING (g)),
+    per0 AS (SELECT g, CAST(count(*) AS BIGINT) AS n_a,
+                    CAST(max(med) AS BIGINT) AS median,
+                    CAST(sum(z) AS BIGINT) AS sz,
+                    CAST(sum(z * z) AS BIGINT) AS sq
+             FROM z GROUP BY 1),
+    per AS (SELECT *, CAST(round(CAST(sz AS DOUBLE) * sz / n_a) AS BIGINT)
+                        AS t
+            FROM per0),
+    g2 AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                  CAST(sum(n_a) AS BIGINT) AS N,
+                  CAST(sum(sz) AS BIGINT) AS SZ,
+                  CAST(sum(sq) AS BIGINT) AS SQ,
+                  CAST(sum(t) AS BIGINT) AS ST
+           FROM per),
+    g3 AS (SELECT k_groups,
+                  CASE WHEN k_groups > 1 AND N > k_groups
+                            AND (SQ - ST) > 0 THEN
+                    CAST(round(((ST - CAST(round(CAST(SZ AS DOUBLE) * SZ / N)
+                                AS BIGINT)) / (k_groups - 1))
+                         / ((SQ - ST) / (N - k_groups)) * 1000) AS BIGINT)
+                  END AS f_milli
+           FROM g2)
+    SELECT per.g AS event_type, per.n_a, per.median,
+           CAST(round(per.sz * 1000 / per.n_a) AS BIGINT)
+             AS mean_absdev_milli,
+           g3.k_groups, g3.f_milli
+    FROM per CROSS JOIN g3
+    """,
+)
+def qc27(spark, sf):
+    """Brown-Forsythe spread-equality test across event types
+    (operators/stats.py:brown_forsythe) — ANOVA on |x − group
+    median|, the robust "do the groups differ in VARIANCE" gate next
+    to qc24's mean effect; exact histogram medians, per-group squared
+    terms one DAG each then integer sums."""
+    from .operators.stats import brown_forsythe
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return brown_forsythe(e, "event_type", "cents")

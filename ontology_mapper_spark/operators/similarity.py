@@ -1168,3 +1168,142 @@ def intra_list_diversity(
         .alias("mean_ild_micro")
     )
     return per.crossJoin(F.broadcast(g))
+
+
+def linear_cka(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_a_col: str = "embedding",
+    vec_b_col: str = "embedding_b",
+) -> DataFrame:
+    """Linear CKA (Centered Kernel Alignment) between two vector views
+    of the SAME items — the standard "did this transformation keep the
+    representation's structure" number (Kornblith et al. 2019):
+    CKA = ‖cov(X,Y)‖²_F / (‖cov(X,X)‖_F·‖cov(Y,Y)‖_F), 1 = identical
+    geometry up to rotation/scale.  Here it audits e.g. dimension
+    truncation or quantization of an embedding store before shipping
+    it.
+
+    Exactness discipline: components are micro ints (micro_vec_col);
+    each covariance cell C_ab = N·Σx_a y_b − Σx_a·Σy_b is ONE fixed
+    scalar DAG (N·Σxy exceeds int64 — cast double first, qb13),
+    pinned to an integer in covariance-micro units cv = round(C/(N²·1e6));
+    the three Frobenius sums Σ cv² are then INTEGER sums over the
+    D_a×D_b / D_a² / D_b² cell grids (dimension-sized, never
+    row-level), and CKA is one terminal scalar DAG.  The only
+    row-scale work is the per-(item, dim-pair) product aggregation —
+    one shuffle keyed by (a, b).
+
+    Output (single row): (n_rows, d_a, d_b, s_xy, s_xx, s_yy,
+    cka_micro).
+    """
+    xs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(micro_vec_col(F.col(vec_a_col))).alias("_a", "_x"),
+    )
+    ys = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(micro_vec_col(F.col(vec_b_col))).alias("_b", "_y"),
+    )
+    nrow = df.groupBy().agg(F.count("*").cast("long").alias("_N"))
+    mx = xs.groupBy("_a").agg(F.sum("_x").cast("long").alias("_sx"))
+    my = ys.groupBy("_b").agg(F.sum("_y").cast("long").alias("_sy"))
+
+    def cells(p1, k1, s1, p2, k2, s2, pair_sums):
+        return (
+            pair_sums.join(F.broadcast(s1), k1)
+            .join(F.broadcast(s2), k2)
+            .crossJoin(F.broadcast(nrow))
+            .select(
+                F.round(
+                    (
+                        F.lit(1.0) * F.col("_N") * F.col("_sxy")
+                        - F.col(p1).cast("double") * F.col(p2)
+                    )
+                    / (F.lit(1.0) * F.col("_N") * F.col("_N") * 1000000)
+                )
+                .cast("long")
+                .alias("_cv")
+            )
+        )
+
+    pxy = (
+        xs.join(ys, "_id")
+        .groupBy("_a", "_b")
+        .agg(F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"))
+    )
+    pxx = (
+        xs.join(
+            xs.select(
+                F.col("_id"), F.col("_a").alias("_b"), F.col("_x").alias("_y")
+            ),
+            "_id",
+        )
+        .groupBy("_a", "_b")
+        .agg(F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"))
+    )
+    pyy = (
+        ys.select(F.col("_id"), F.col("_b").alias("_a"), F.col("_y").alias("_x"))
+        .join(ys, "_id")
+        .groupBy("_a", "_b")
+        .agg(F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"))
+    )
+    cxy = cells("_sx", "_a", mx, "_sy", "_b", my, pxy)
+    cxx = cells(
+        "_sx",
+        "_a",
+        mx,
+        "_sy",
+        "_b",
+        mx.select(F.col("_a").alias("_b"), F.col("_sx").alias("_sy")),
+        pxx,
+    )
+    cyy = cells(
+        "_sx",
+        "_a",
+        my.select(F.col("_b").alias("_a"), F.col("_sy").alias("_sx")),
+        "_sy",
+        "_b",
+        my,
+        pyy,
+    )
+    sxy = cxy.groupBy().agg(
+        F.sum(F.col("_cv") * F.col("_cv")).cast("long").alias("s_xy")
+    )
+    sxx = cxx.groupBy().agg(
+        F.sum(F.col("_cv") * F.col("_cv")).cast("long").alias("s_xx")
+    )
+    syy = cyy.groupBy().agg(
+        F.sum(F.col("_cv") * F.col("_cv")).cast("long").alias("s_yy")
+    )
+    da = df.select(
+        F.size(F.col(vec_a_col)).cast("long").alias("d_a")
+    ).limit(1)
+    db = df.select(
+        F.size(F.col(vec_b_col)).cast("long").alias("d_b")
+    ).limit(1)
+    return (
+        nrow.crossJoin(sxy)
+        .crossJoin(sxx)
+        .crossJoin(syy)
+        .crossJoin(da)
+        .crossJoin(db)
+        .select(
+            F.col("_N").alias("n_rows"),
+            "d_a",
+            "d_b",
+            "s_xy",
+            "s_xx",
+            "s_yy",
+            F.when(
+                (F.col("s_xx") > 0) & (F.col("s_yy") > 0),
+                F.round(
+                    F.lit(1000000.0)
+                    * F.col("s_xy")
+                    / F.sqrt(
+                        F.col("s_xx").cast("double") * F.col("s_yy")
+                    )
+                ).cast("long"),
+            ).alias("cka_micro"),
+        )
+    )

@@ -4378,3 +4378,167 @@ def cohens_d(
             "g_milli"
         ),
     )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    arm_col,
+    outcome_col,
+    margin_micro: int = 50_000,
+    z_crit_milli: int = 1_645,
+) -> DataFrame:
+    """TOST (two one-sided tests) equivalence of two arms' rates — the
+    SHIP gate qb13's difference test can't give you: "prove the new
+    pipeline is NOT worse/different by more than δ" (failing to reject
+    H0 of a difference is not evidence of equivalence; rejecting BOTH
+    one-sided hypotheses |d| ≥ δ is).
+
+        z_lower = (d + δ)/se,  z_upper = (δ − d)/se,
+        equivalent ⟺ min(z_lower, z_upper) > z_crit
+
+    Counts are exact int64; d is a micro int (two rounded divisions);
+    se and the two z's are ONE fixed scalar DAG; the verdict compares
+    milli-rounded z's against an integer threshold so both engines
+    classify identically.
+
+    Output (single row): (n1, k1, n0, k0, d_micro, se_micro,
+    z_lower_milli, z_upper_milli, equivalent).
+    """
+    arm = (arm_col if not isinstance(arm_col, str) else F.col(arm_col)).cast(
+        "boolean"
+    ).cast("long")
+    y = (
+        outcome_col
+        if not isinstance(outcome_col, str)
+        else F.col(outcome_col)
+    ).cast("boolean").cast("long")
+    agg = df.select(arm.alias("_a"), y.alias("_y")).groupBy().agg(
+        F.sum("_a").cast("long").alias("n1"),
+        F.sum(F.col("_a") * F.col("_y")).cast("long").alias("k1"),
+        F.sum(1 - F.col("_a")).cast("long").alias("n0"),
+        F.sum((1 - F.col("_a")) * F.col("_y")).cast("long").alias("k0"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    se = F.sqrt(
+        p1 * (1 - p1) / F.col("n1") + p0 * (1 - p0) / F.col("n0")
+    )
+    d = (
+        F.round(F.col("k1") * F.lit(MICRO) / F.col("n1")).cast("long")
+        - F.round(F.col("k0") * F.lit(MICRO) / F.col("n0")).cast("long")
+    )
+    delta = F.lit(int(margin_micro))
+    staged = agg.where((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "n1",
+        "k1",
+        "n0",
+        "k0",
+        d.alias("d_micro"),
+        F.round(se * MICRO).cast("long").alias("se_micro"),
+        F.when(
+            se > 0,
+            F.round((d + delta) / (se * MICRO) * 1000).cast("long"),
+        ).alias("z_lower_milli"),
+        F.when(
+            se > 0,
+            F.round((delta - d) / (se * MICRO) * 1000).cast("long"),
+        ).alias("z_upper_milli"),
+    )
+    return staged.select(
+        "*",
+        (
+            F.col("z_lower_milli").isNotNull()
+            & (F.least("z_lower_milli", "z_upper_milli") > int(z_crit_milli))
+        ).alias("equivalent"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe variance-equality test — one-way ANOVA on
+    |x − median_g|: "do the groups differ in SPREAD" (cohens_d and
+    kruskal_wallis compare location; unequal spread silently breaks
+    both alert bands and pooled-SD effect sizes).  Median-based, so
+    robust to the heavy tails metric data always has.
+
+    Group medians are exact type-1 quantiles from the per-group value
+    histogram (qc00 idiom, windows PARTITIONED by group); |deviation|
+    is int64; the F statistic's between-term uses per-group
+    t_g = round((Σz_g)²/n_g) — ONE fixed scalar DAG per group (square
+    cast double first), integer-summed — and the within-term is
+    Σz² − Σt_g, all integers until the terminal F.
+
+    Output per group: (group, n_a, median, mean_absdev_milli) plus
+    broadcast-attached (k_groups, f_milli).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    hist = base.groupBy("_g", "_x").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wg = Window.partitionBy("_g").orderBy("_x")
+    staged = hist.select(
+        "_g",
+        "_x",
+        F.sum("_c").over(wg).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_n"),
+    )
+    med = (
+        staged.where(2 * F.col("_cum") >= F.col("_n"))
+        .groupBy("_g")
+        .agg(F.min("_x").cast("long").alias("_med"))
+    )
+    z = base.join(med, "_g").select(
+        "_g", "_med", F.abs(F.col("_x") - F.col("_med")).alias("_z")
+    )
+    per = z.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_a"),
+        F.max("_med").alias("median"),
+        F.sum("_z").cast("long").alias("_sz"),
+        F.sum(F.col("_z") * F.col("_z")).cast("long").alias("_sq"),
+    )
+    per = per.select(
+        "_g",
+        "n_a",
+        "median",
+        "_sz",
+        "_sq",
+        F.round(F.col("_sz").cast("double") * F.col("_sz") / F.col("n_a"))
+        .cast("long")
+        .alias("_t"),
+    )
+    g = per.groupBy().agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("n_a").cast("long").alias("_N"),
+        F.sum("_sz").cast("long").alias("_SZ"),
+        F.sum("_sq").cast("long").alias("_SQ"),
+        F.sum("_t").cast("long").alias("_ST"),
+    )
+    between = F.col("_ST") - F.round(
+        F.col("_SZ").cast("double") * F.col("_SZ") / F.col("_N")
+    ).cast("long")
+    within = F.col("_SQ") - F.col("_ST")
+    g = g.select(
+        "k_groups",
+        F.when(
+            (F.col("k_groups") > 1)
+            & (F.col("_N") > F.col("k_groups"))
+            & (within > 0),
+            F.round(
+                (between / (F.col("k_groups") - 1))
+                / (within / (F.col("_N") - F.col("k_groups")))
+                * 1000
+            ).cast("long"),
+        ).alias("f_milli"),
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        "n_a",
+        "median",
+        F.round(F.col("_sz") * F.lit(1000) / F.col("n_a"))
+        .cast("long")
+        .alias("mean_absdev_milli"),
+    ).crossJoin(F.broadcast(g))
