@@ -287,6 +287,9 @@ EXTENDED = [
     "qc25_tost_equivalence",
     "qc26_linear_cka",
     "qc27_brown_forsythe",
+    "qc28_robust_means",
+    "qc29_activity_streaks",
+    "qc30_max_drawdown",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -16789,3 +16789,128 @@ def qc27(spark, sf):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return brown_forsythe(e, "event_type", "cents")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 50: robust location, retention streaks, drawdown risk
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc28_robust_means",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS x
+                  FROM events),
+    hist AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2),
+    staged AS (SELECT g, x, c,
+                      sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+                      sum(c) OVER (PARTITION BY g) AS n
+               FROM hist),
+    cuts AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                    CAST(min(CASE WHEN 100 * cum >= 10 * n THEN x END)
+                         AS BIGINT) AS q_lo,
+                    CAST(min(CASE WHEN 100 * cum >= 90 * n THEN x END)
+                         AS BIGINT) AS q_hi
+             FROM staged GROUP BY 1),
+    folded AS (
+      SELECT h.g, max(cuts.n) AS n, max(q_lo) AS q_lo, max(q_hi) AS q_hi,
+             CAST(sum(x * c) AS BIGINT) AS sx,
+             CAST(sum(greatest(least(x, q_hi), q_lo) * c) AS BIGINT) AS sw,
+             CAST(sum(CASE WHEN x >= q_lo AND x <= q_hi THEN x * c
+                      ELSE 0 END) AS BIGINT) AS st,
+             CAST(sum(CASE WHEN x >= q_lo AND x <= q_hi THEN c
+                      ELSE 0 END) AS BIGINT) AS n_kept
+      FROM hist h JOIN cuts USING (g) GROUP BY 1)
+    SELECT g AS event_type, n, q_lo, q_hi,
+           CAST(round(sx * 1000 / n) AS BIGINT) AS mean_milli,
+           CAST(round(sw * 1000 / n) AS BIGINT) AS winsor_mean_milli,
+           CASE WHEN n_kept > 0 THEN
+             CAST(round(st * 1000 / n_kept) AS BIGINT)
+           END AS trimmed_mean_milli,
+           n_kept
+    FROM folded
+    """,
+)
+def qc28(spark, sf):
+    """Winsorized + value-trimmed means of cents per event type at the
+    10/90 cuts (operators/stats.py:robust_means) — robust location
+    from the SAME per-group histogram that yields the exact type-1
+    cut values; clamped/trimmed sums are integer folds over the
+    histogram, no second row pass."""
+    from .operators.stats import robust_means
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return robust_means(e, "event_type", "cents", 10, 90)
+
+
+@_q(
+    "qc29_activity_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id AS u,
+                         epoch_us(ts) // 86400000000 AS d
+                  FROM events),
+    isl AS (SELECT u, d,
+                   d - row_number() OVER (PARTITION BY u ORDER BY d) AS grp
+            FROM days),
+    streaks AS (SELECT u, grp, CAST(count(*) AS BIGINT) AS len
+                FROM isl GROUP BY 1, 2),
+    per_day AS (SELECT u, CAST(count(*) AS BIGINT) AS n_active_days,
+                       CAST(max(d) AS BIGINT) AS latest_day_epoch
+                FROM days GROUP BY 1),
+    per_streak AS (SELECT u, CAST(count(*) AS BIGINT) AS n_streaks,
+                          CAST(max(len) AS BIGINT) AS longest_streak
+                   FROM streaks GROUP BY 1)
+    SELECT pd.u AS user_id, n_active_days, n_streaks, longest_streak,
+           latest_day_epoch
+    FROM per_day pd JOIN per_streak USING (u)
+    """,
+)
+def qc29(spark, sf):
+    """Longest consecutive-active-day streak per user
+    (operators/temporal.py:activity_streaks) — gaps-and-islands
+    (day − row_number is constant on runs, one partitioned window),
+    the retention SHAPE qb78's daily stickiness ratios can't see."""
+    from .operators.temporal import activity_streaks
+
+    return activity_streaks(_t(spark, sf, "events"), "user_id", "ts")
+
+
+@_q(
+    "qc30_max_drawdown",
+    """
+    WITH daily AS (SELECT event_type AS e, epoch_us(ts) // 86400000000 AS d,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS dv
+                   FROM events GROUP BY 1, 2),
+    cum AS (SELECT e, d,
+                   CAST(sum(dv) OVER (PARTITION BY e ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM daily),
+    pk AS (SELECT e, d, cum,
+                  CAST(max(cum) OVER (PARTITION BY e ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+           FROM cum),
+    dd AS (SELECT e, d, cum, peak, peak - cum AS dd FROM pk)
+    SELECT e AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max_by(cum, d) AS BIGINT) AS final_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+           CAST(-(max(struct_pack(dd := dd, nd := -d)).nd) AS BIGINT)
+             AS worst_day_epoch
+    FROM dd GROUP BY 1
+    """,
+)
+def qc30(spark, sf):
+    """Maximum drawdown of each event type's cumulative daily cents
+    (operators/temporal.py:max_drawdown_daily) — worst peak-to-trough
+    slide via one partitioned cumulative/running-max window chain,
+    worst day resolved to the earliest via struct max over
+    (drawdown, −day); pure integers."""
+    from .operators.temporal import max_drawdown_daily
+
+    return max_drawdown_daily(_t(spark, sf, "events"))

@@ -4542,3 +4542,113 @@ def brown_forsythe(
         .cast("long")
         .alias("mean_absdev_milli"),
     ).crossJoin(F.broadcast(g))
+
+
+def robust_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 10,
+    hi_pct: int = 90,
+) -> DataFrame:
+    """Winsorized and (value-)trimmed means per group — the robust
+    location pair for heavy-tailed metrics: winsorizing CLAMPS the
+    tails to the percentile cut values, trimming DROPS rows outside
+    them.  The plain mean moves with one whale; these don't.
+
+    Cut values are exact type-1 quantiles from the per-group value
+    histogram (100·cum ≥ p·n integer rank arithmetic, the qc00
+    idiom — windows PARTITIONED by group); clamped/trimmed sums are
+    integer folds over the SAME histogram (Σ clamp(v)·c), so no
+    second pass over rows.  Trimming is value-based (every row tied
+    with a cut value is kept), the deterministic convention a
+    fixed-count trim can't give across engines.
+
+    Output per group: (group, n, q_lo, q_hi, mean_milli,
+    winsor_mean_milli, trimmed_mean_milli, n_kept).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    hist = base.groupBy("_g", "_x").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wg = Window.partitionBy("_g").orderBy("_x")
+    staged = hist.select(
+        "_g",
+        "_x",
+        "_c",
+        F.sum("_c").over(wg).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_n"),
+    )
+    cuts = staged.groupBy("_g").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                100 * F.col("_cum") >= int(lo_pct) * F.col("_n"), F.col("_x")
+            )
+        )
+        .cast("long")
+        .alias("q_lo"),
+        F.min(
+            F.when(
+                100 * F.col("_cum") >= int(hi_pct) * F.col("_n"), F.col("_x")
+            )
+        )
+        .cast("long")
+        .alias("q_hi"),
+    )
+    folded = (
+        hist.join(cuts, "_g")
+        .groupBy("_g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q_lo").alias("q_lo"),
+            F.max("q_hi").alias("q_hi"),
+            F.sum(F.col("_x") * F.col("_c")).cast("long").alias("_sx"),
+            F.sum(
+                F.greatest(F.least(F.col("_x"), F.col("q_hi")), F.col("q_lo"))
+                * F.col("_c")
+            )
+            .cast("long")
+            .alias("_sw"),
+            F.sum(
+                F.when(
+                    (F.col("_x") >= F.col("q_lo"))
+                    & (F.col("_x") <= F.col("q_hi")),
+                    F.col("_x") * F.col("_c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("_st"),
+            F.sum(
+                F.when(
+                    (F.col("_x") >= F.col("q_lo"))
+                    & (F.col("_x") <= F.col("q_hi")),
+                    F.col("_c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return folded.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "q_lo",
+        "q_hi",
+        F.round(F.col("_sx") * F.lit(1000) / F.col("n"))
+        .cast("long")
+        .alias("mean_milli"),
+        F.round(F.col("_sw") * F.lit(1000) / F.col("n"))
+        .cast("long")
+        .alias("winsor_mean_milli"),
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(F.col("_st") * F.lit(1000) / F.col("n_kept")).cast(
+                "long"
+            ),
+        ).alias("trimmed_mean_milli"),
+        "n_kept",
+    )

@@ -3776,3 +3776,120 @@ def markov_removal_attribution(
             ).cast("long"),
         ).alias("credit_micro"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the retention
+    shape stickiness_daily's ratios (qb78) can't see: two users with
+    the same 10 active days differ enormously if one did them in a
+    row.  Classic gaps-and-islands: within a user's DISTINCT active
+    days, day − row_number(day) is constant exactly on consecutive
+    runs (one partitioned window, integer arithmetic), so streaks are
+    one groupBy away.
+
+    Output per user: (user, n_active_days, n_streaks,
+    longest_streak, latest_day_epoch).
+    """
+    days = df.select(
+        F.col(user_col).alias("_u"),
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 86400000000"
+        ).alias("_d"),
+    ).distinct()
+    w = Window.partitionBy("_u").orderBy("_d")
+    isl = days.select(
+        "_u", "_d", (F.col("_d") - F.row_number().over(w)).alias("_grp")
+    )
+    streaks = isl.groupBy("_u", "_grp").agg(
+        F.count("*").cast("long").alias("_len")
+    )
+    per_day = days.groupBy("_u").agg(
+        F.count("*").cast("long").alias("n_active_days"),
+        F.max("_d").cast("long").alias("latest_day_epoch"),
+    )
+    per_streak = streaks.groupBy("_u").agg(
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("_len").cast("long").alias("longest_streak"),
+    )
+    return per_day.join(per_streak, "_u").select(
+        F.col("_u").alias(user_col),
+        "n_active_days",
+        "n_streaks",
+        "longest_streak",
+        "latest_day_epoch",
+    )
+
+
+def max_drawdown_daily(
+    df: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Maximum drawdown of each entity's cumulative daily cents series
+    — "what's the worst peak-to-trough slide this metric has taken",
+    the risk number next to ltv_curve's growth view (qb62): a series
+    that ends high but cratered mid-way is not the same asset as a
+    steady climber.
+
+    Daily cents sums (exact int64) → running cumulative → running max
+    → drawdown = runmax − cum, all in ONE partitioned window chain
+    per entity; the worst day resolves ties to the EARLIEST day via a
+    struct max over (drawdown, −day).  Pure integers end to end.
+
+    Output per entity: (entity, n_days, final_cents, peak_cents,
+    max_drawdown_cents, worst_day_epoch).
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_d"),
+            F.round(F.col(val_col) * 100).cast("long").alias("_v"),
+        )
+        .groupBy("_e", "_d")
+        .agg(F.sum("_v").cast("long").alias("_dv"))
+    )
+    w = Window.partitionBy("_e").orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "_e",
+        "_d",
+        F.sum("_dv").over(w).cast("long").alias("_cum"),
+    )
+    cum = cum.select(
+        "_e",
+        "_d",
+        "_cum",
+        F.max("_cum").over(w.orderBy("_d")).cast("long").alias("_peak"),
+    )
+    dd = cum.select(
+        "_e",
+        "_d",
+        "_cum",
+        "_peak",
+        (F.col("_peak") - F.col("_cum")).alias("_dd"),
+    )
+    return dd.groupBy("_e").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max_by("_cum", "_d").cast("long").alias("final_cents"),
+        F.max("_peak").cast("long").alias("peak_cents"),
+        F.max("_dd").cast("long").alias("max_drawdown_cents"),
+        (-F.max(F.struct(F.col("_dd"), (-F.col("_d")).alias("_nd")))["_nd"])
+        .cast("long")
+        .alias("worst_day_epoch"),
+    ).select(
+        F.col("_e").alias(entity_col),
+        "n_days",
+        "final_cents",
+        "peak_cents",
+        "max_drawdown_cents",
+        "worst_day_epoch",
+    )
