@@ -290,6 +290,9 @@ EXTENDED = [
     "qc28_robust_means",
     "qc29_activity_streaks",
     "qc30_max_drawdown",
+    "qc31_hellinger_tv",
+    "qc32_dunn_posthoc",
+    "qc33_partial_correlation",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

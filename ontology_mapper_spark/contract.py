@@ -16914,3 +16914,193 @@ def qc30(spark, sf):
     from .operators.temporal import max_drawdown_daily
 
     return max_drawdown_daily(_t(spark, sf, "events"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 51: bounded drift metrics, KW post-hoc, confounder control
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc31_hellinger_tv",
+    """
+    WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                         CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                         END AS b
+                  FROM events
+                  WHERE event_type IN ('click', 'view')),
+    hist AS (SELECT v, CAST(sum(1 - b) AS BIGINT) AS ca,
+                    CAST(sum(b) AS BIGINT) AS cb
+             FROM base GROUP BY 1),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb
+            FROM hist),
+    cells AS (SELECT CAST(round(sqrt(1.0 * ca * cb)
+                          / sqrt(1.0 * na * nb) * 1e9) AS BIGINT) AS bc,
+                     abs(ca * nb - cb * na) AS tvn
+              FROM hist CROSS JOIN tot),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(sum(bc) AS BIGINT) AS bc_nano,
+                   CAST(sum(tvn) AS BIGINT) AS tvs
+            FROM cells)
+    SELECT na AS n_a, nb AS n_b, n_values, bc_nano,
+           CAST(round(sqrt(greatest(0.0, 1.0 - bc_nano / 1e9)) * 1000000)
+                AS BIGINT) AS hellinger_micro,
+           CAST(round(CAST(tvs AS DOUBLE) * 1000000 / (2.0 * na * nb))
+                AS BIGINT) AS tv_micro
+    FROM agg CROSS JOIN tot
+    """,
+)
+def qc31(spark, sf):
+    """Hellinger + total-variation distance between click and view
+    cents distributions (operators/stats.py:hellinger_tv) — the
+    bounded [0,1] drift metrics next to KS/PSI/Wasserstein/JSD; TV's
+    numerator exact int64 cross-multiplication, Bhattacharyya cells
+    nano-rounded once per distinct value then integer-summed."""
+    from .operators.stats import hellinger_tv
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "view").alias("is_view"),
+    )
+    return hellinger_tv(e, "cents", "is_view")
+
+
+@_q(
+    "qc32_dunn_posthoc",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+    ranked AS (SELECT v, c,
+                      2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS dmid,
+                      c * c * c - c AS tie
+               FROM vc),
+    gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS ca
+           FROM base GROUP BY 1, 2),
+    terms AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n,
+                     CAST(sum(ca * dmid) AS BIGINT) AS r2
+              FROM gv JOIN ranked USING (v) GROUP BY 1),
+    gall AS (SELECT CAST(sum(c) AS BIGINT) AS N,
+                    CAST(sum(tie) AS BIGINT) AS T
+             FROM ranked),
+    pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+                     a.n AS n_a, b.n AS n_b,
+                     a.r2 AS r2a, b.r2 AS r2b
+              FROM terms a CROSS JOIN terms b WHERE a.g < b.g),
+    calc AS (SELECT group_a, group_b, n_a, n_b,
+                    CAST(r2a AS DOUBLE) / n_a AS mra,
+                    CAST(r2b AS DOUBLE) / n_b AS mrb,
+                    1.0 * N * (N + 1) / 12 - T / (12.0 * (N - 1)) AS varfac
+             FROM pairs CROSS JOIN gall),
+    calc2 AS (SELECT group_a, group_b, n_a, n_b,
+                     CAST(round(mra * 1000000 / 2) AS BIGINT)
+                       AS mean_rank_a_micro,
+                     CAST(round(mrb * 1000000 / 2) AS BIGINT)
+                       AS mean_rank_b_micro,
+                     CASE WHEN varfac > 0 THEN
+                       CAST(round(((mra - mrb) / 2)
+                            / sqrt(varfac * (1.0 / n_a + 1.0 / n_b))
+                            * 1000) AS BIGINT)
+                     END AS z_milli
+              FROM calc)
+    SELECT *,
+           (z_milli IS NOT NULL AND abs(z_milli) > 2807) AS significant
+    FROM calc2
+    """,
+)
+def qc32(spark, sf):
+    """Dunn's post-hoc pairwise mean-rank test after qc04's
+    Kruskal-Wallis omnibus (operators/stats.py:dunn_posthoc) — which
+    event-type pairs actually differ, tie-corrected variance, flagged
+    against the Bonferroni critical value 2.807 (10 pairs, two-sided
+    5%) injected as an integer constant in BOTH engines."""
+    from .operators.stats import dunn_posthoc
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return dunn_posthoc(e, "event_type", "cents", z_crit_milli=2_807)
+
+
+@_q(
+    "qc33_partial_correlation",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS z
+      FROM events GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(z) AS BIGINT) AS sz,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(z * z) AS BIGINT) AS szz,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * z) AS BIGINT) AS sxz,
+                 CAST(sum(y * z) AS BIGINT) AS syz
+          FROM users),
+    r AS (SELECT n,
+                 (1.0 * n * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((1.0 * n * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (1.0 * n * syy - CAST(sy AS DOUBLE) * sy))
+                   AS rxy,
+                 (1.0 * n * sxz - CAST(sx AS DOUBLE) * sz)
+                   / sqrt((1.0 * n * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (1.0 * n * szz - CAST(sz AS DOUBLE) * sz))
+                   AS rxz,
+                 (1.0 * n * syz - CAST(sy AS DOUBLE) * sz)
+                   / sqrt((1.0 * n * syy - CAST(sy AS DOUBLE) * sy)
+                          * (1.0 * n * szz - CAST(sz AS DOUBLE) * sz))
+                   AS ryz
+          FROM s)
+    SELECT n,
+           CAST(round(rxy * 1000000) AS BIGINT) AS r_xy_micro,
+           CAST(round(rxz * 1000000) AS BIGINT) AS r_xz_micro,
+           CAST(round(ryz * 1000000) AS BIGINT) AS r_yz_micro,
+           CASE WHEN abs(round(rxz * 1000000)) < 1000000
+                     AND abs(round(ryz * 1000000)) < 1000000 THEN
+             CAST(round((rxy - rxz * ryz)
+                  / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) * 1000000)
+                  AS BIGINT)
+           END AS partial_r_micro
+    FROM r
+    """,
+)
+def qc33(spark, sf):
+    """Partial correlation of per-user clicks vs purchase spend,
+    controlling views (operators/stats.py:partial_correlation) —
+    "is the click↔spend link real or just exposure"; nine integer
+    sums in one pass, three Pearson DAGs, one partial DAG, rounded
+    once at the end."""
+    from .operators.stats import partial_correlation
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("zc"),
+    )
+    return partial_correlation(u, "x", "y", "zc")

@@ -4652,3 +4652,241 @@ def robust_means(
         ).alias("trimmed_mean_milli"),
         "n_kept",
     )
+
+
+def hellinger_tv(
+    df: DataFrame,
+    value_col: str,
+    side_flag,
+) -> DataFrame:
+    """Hellinger distance + Bhattacharyya coefficient + total
+    variation between two samples' value distributions — the bounded
+    [0,1] distance pair completing the drift family: KS (qa08) is a
+    max gap, PSI (qb69) is binned and unbounded, Wasserstein (qb96)
+    has units, JSD (qb21) is entropy-flavored; Hellinger/TV are the
+    metric-space standards bounded regardless of support.
+
+    One distinct-value histogram with per-side counts (qb96 shape).
+    TV's numerator Σ|c1·n2 − c2·n1| is EXACT int64 cross-
+    multiplication with one terminal division; the Bhattacharyya
+    coefficient Σ√(p1·p2) takes one sqrt per distinct value,
+    nano-rounded per cell (1e9 — per-cell micro would lose the tail)
+    then INTEGER-summed; Hellinger = √(1 − BC) is one terminal DAG.
+
+    Output (single row): (n_a, n_b, n_values, bc_nano,
+    hellinger_micro, tv_micro).
+    """
+    flag = side_flag if not isinstance(side_flag, str) else F.col(side_flag)
+    base = df.select(
+        F.col(value_col).cast("long").alias("_v"),
+        F.when(flag, 1).otherwise(0).alias("_b"),
+    )
+    hist = base.groupBy("_v").agg(
+        F.sum(1 - F.col("_b")).cast("long").alias("_ca"),
+        F.sum("_b").cast("long").alias("_cb"),
+    )
+    tot = hist.groupBy().agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    )
+    cells = hist.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.sqrt(F.lit(1.0) * F.col("_ca") * F.col("_cb"))
+            / F.sqrt(F.lit(1.0) * F.col("_na") * F.col("_nb"))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("_bc"),
+        F.abs(
+            F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na")
+        ).alias("_tvn"),
+    )
+    agg = cells.groupBy().agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("_bc").cast("long").alias("bc_nano"),
+        F.sum("_tvn").cast("long").alias("_tvs"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        "n_values",
+        "bc_nano",
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0), F.lit(1.0) - F.col("bc_nano") / F.lit(1e9)
+                )
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("hellinger_micro"),
+        F.round(
+            F.col("_tvs").cast("double")
+            * 1000000
+            / (F.lit(2.0) * F.col("_na") * F.col("_nb"))
+        )
+        .cast("long")
+        .alias("tv_micro"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_crit_milli: int = 2_807,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise test — WHICH groups differ, after
+    kruskal_wallis's omnibus says SOME do: mean-rank differences over
+    the pooled histogram with the tie-corrected variance, one z per
+    group pair, flagged against a Bonferroni-adjusted critical value
+    injected as an integer constant (default 2.807 = Φ⁻¹(1−0.05/20)
+    for 10 pairs, two-sided 5%).
+
+    Same doubled-midrank machinery as qc04 (the only unpartitioned
+    window is the distinct-value spine); per-pair z is ONE fixed
+    scalar DAG on exact integers (r2_i, n_i, N, T = Σ(t³−t)):
+    z = ((r2_i/n_i − r2_j/n_j)/2) / √((N(N+1)/12 − T/(12(N−1)))·
+    (1/n_i + 1/n_j)).
+
+    Output per pair (group_a < group_b): (group_a, group_b, n_a, n_b,
+    mean_rank2_a_micro, mean_rank2_b_micro, z_milli, significant).
+    """
+    vc = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = Window.orderBy("_v")
+    ranked = vc.select(
+        "_v",
+        "_c",
+        (2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1).alias(
+            "_dmid"
+        ),
+        (F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c")).alias(
+            "_tie"
+        ),
+    )
+    gv = df.groupBy(F.col(group_col), F.col(value_col).alias("_v")).agg(
+        F.count("*").cast("long").alias("_ca")
+    )
+    terms = (
+        gv.join(ranked, "_v")
+        .groupBy(group_col)
+        .agg(
+            F.sum("_ca").cast("long").alias("_n"),
+            F.sum(F.col("_ca") * F.col("_dmid")).cast("long").alias("_r2"),
+        )
+    )
+    glob = ranked.groupBy().agg(
+        F.sum("_c").cast("long").alias("_N"),
+        F.sum("_tie").cast("long").alias("_T"),
+    )
+    a = terms.select(
+        F.col(group_col).alias("group_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_r2").alias("_r2a"),
+    )
+    b = terms.select(
+        F.col(group_col).alias("group_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_r2").alias("_r2b"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(glob))
+    )
+    mra = F.col("_r2a").cast("double") / F.col("n_a")
+    mrb = F.col("_r2b").cast("double") / F.col("n_b")
+    varfac = (
+        F.lit(1.0) * F.col("_N") * (F.col("_N") + 1) / 12
+        - F.col("_T") / (F.lit(12.0) * (F.col("_N") - 1))
+    )
+    z = ((mra - mrb) / 2) / F.sqrt(
+        varfac * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    out = pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(mra * 1000000 / 2).cast("long").alias("mean_rank_a_micro"),
+        F.round(mrb * 1000000 / 2).cast("long").alias("mean_rank_b_micro"),
+        F.when(varfac > 0, F.round(z * 1000).cast("long")).alias("z_milli"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("z_milli").isNotNull()
+            & (F.abs(F.col("z_milli")) > int(z_crit_milli))
+        ).alias("significant"),
+    )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the correlation of x
+    and y with the confounder z regressed out:
+    r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).  The "is the
+    click↔spend link real or just exposure" number that a raw Pearson
+    (or qa60's Spearman) can't answer.
+
+    Nine integer sums in ONE aggregation pass (Σx, Σy, Σz, Σx², Σy²,
+    Σz², Σxy, Σxz, Σyz); each Pearson r is one fixed scalar DAG
+    (N·Σxy exceeds int64 — cast double first, qb13), the partial is a
+    second DAG on the three unrounded r's, everything rounded ONCE at
+    the end.
+
+    Output (single row): (n, r_xy_micro, r_xz_micro, r_yz_micro,
+    partial_r_micro).
+    """
+    base = df.select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.col(z_col).cast("long").alias("_z"),
+    )
+    s = base.groupBy().agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum("_z").cast("long").alias("_sz"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_z") * F.col("_z")).cast("long").alias("_szz"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_z")).cast("long").alias("_sxz"),
+        F.sum(F.col("_y") * F.col("_z")).cast("long").alias("_syz"),
+    )
+
+    def r(sab, sa, sb, saa, sbb):
+        num = F.lit(1.0) * F.col("_n") * F.col(sab) - F.col(sa).cast(
+            "double"
+        ) * F.col(sb)
+        da = F.lit(1.0) * F.col("_n") * F.col(saa) - F.col(sa).cast(
+            "double"
+        ) * F.col(sa)
+        db = F.lit(1.0) * F.col("_n") * F.col(sbb) - F.col(sb).cast(
+            "double"
+        ) * F.col(sb)
+        return num / F.sqrt(da * db)
+
+    rxy = r("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    rxz = r("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    ryz = r("_syz", "_sy", "_sz", "_syy", "_szz")
+    part = (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    return s.select(
+        F.col("_n").alias("n"),
+        F.round(rxy * 1000000).cast("long").alias("r_xy_micro"),
+        F.round(rxz * 1000000).cast("long").alias("r_xz_micro"),
+        F.round(ryz * 1000000).cast("long").alias("r_yz_micro"),
+        F.when(
+            (F.abs(F.round(rxz * 1000000)) < 1000000)
+            & (F.abs(F.round(ryz * 1000000)) < 1000000),
+            F.round(part * 1000000).cast("long"),
+        ).alias("partial_r_micro"),
+    )

@@ -330,6 +330,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc08_qini_curve": "distinct-score uplift spine cumulative + trapezoid lag (qa22 family)",
     "qc12_rmst": "distinct-duration KM curve + area lag (qa67 family; coarsen durations at scale)",
     "qc21_delong_auc": "distinct-score placement spines (qa22 family; one per compared model)",
+    "qc31_hellinger_tv": "distinct-value two-side histogram (qb96 family)",
+    "qc32_dunn_posthoc": "distinct-value score histogram (qa22 doubled-midrank idiom)",
 }
 
 
