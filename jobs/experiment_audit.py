@@ -16,6 +16,9 @@ in one pass over the event/document tables:
     qc05/qc16 ops)
   * calibration: Brier + Murphy decomposition               (qc13 op)
   * agreement: Fleiss kappa vs Gwet AC1 on the same panel   (qa61/qc14)
+  * equivalence ship gate (TOST), KW post-hoc pair flags (Dunn),
+    bounded drift distances (Hellinger/TV)                  (qc25/qc32/
+    qc31 ops)
 
 plus a one-line JSON summary: per-model top channel, qini coefficient,
 the four test statistics, and the calibration split.
@@ -76,6 +79,9 @@ def main() -> int:
         "brier": QUERIES["qc13_brier_decomposition"](spark, sf),
         "fleiss": QUERIES["qa61_fleiss_kappa"](spark, sf),
         "gwet_ac1": QUERIES["qc14_gwet_ac1"](spark, sf),
+        "tost": QUERIES["qc25_tost_equivalence"](spark, sf),
+        "dunn": QUERIES["qc32_dunn_posthoc"](spark, sf),
+        "hellinger_tv": QUERIES["qc31_hellinger_tv"](spark, sf),
     }
     rows = {}
     for name, df in reports.items():
@@ -121,6 +127,9 @@ def main() -> int:
     fr = one(reports["friedman"])
     cq = one(reports["cochran_q"])
     br = one(reports["brier"])
+    to = one(reports["tost"])
+    he = one(reports["hellinger_tv"])
+    n_sig_pairs = reports["dunn"].where(F.col("significant")).count()
     fk = one(reports["fleiss"])
     ac = one(reports["gwet_ac1"])
     summary = {
@@ -133,6 +142,10 @@ def main() -> int:
         "cochran_q_milli": cq["q_milli"],
         "brier_micro": br["brier_micro"],
         "brier_rel_micro": br["rel_micro"],
+        "tost_equivalent": to["equivalent"],
+        "dunn_significant_pairs": n_sig_pairs,
+        "hellinger_micro": he["hellinger_micro"],
+        "tv_micro": he["tv_micro"],
         "fleiss_kappa_micro": fk["kappa_micro"],
         "gwet_ac1_micro": ac["ac1_micro"],
         "out": args.out,
