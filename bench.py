@@ -293,6 +293,8 @@ EXTENDED = [
     "qc31_hellinger_tv",
     "qc32_dunn_posthoc",
     "qc33_partial_correlation",
+    "qc34_shift_share",
+    "qc35_quintile_migration",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -17104,3 +17104,168 @@ def qc33(spark, sf):
         .alias("zc"),
     )
     return partial_correlation(u, "x", "y", "zc")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 52: mix-vs-rate decomposition + mobility matrix
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc34_shift_share",
+    """
+    WITH dd AS (SELECT event_type AS s, epoch_us(ts) // 86400000000 AS d,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events),
+    ext AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM dd),
+    base AS (SELECT s, CASE WHEN d >= mid THEN 1 ELSE 0 END AS p, v
+             FROM dd CROSS JOIN ext),
+    per AS (SELECT s, CAST(sum(1 - p) AS BIGINT) AS n1,
+                   CAST(sum(p) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN p = 0 THEN v ELSE 0 END) AS BIGINT)
+                     AS v1,
+                   CAST(sum(CASE WHEN p = 1 THEN v ELSE 0 END) AS BIGINT)
+                     AS v2
+            FROM base GROUP BY 1),
+    tot AS (SELECT CAST(sum(1 - p) AS BIGINT) AS nt1,
+                   CAST(sum(p) AS BIGINT) AS nt2,
+                   CAST(sum(CASE WHEN p = 0 THEN v ELSE 0 END) AS BIGINT)
+                     AS st1,
+                   CAST(sum(CASE WHEN p = 1 THEN v ELSE 0 END) AS BIGINT)
+                     AS st2
+            FROM base),
+    staged AS (SELECT s, n1, n2,
+                      CAST(round(n1 * 1000000 / nt1) AS BIGINT) AS w1_micro,
+                      CAST(round(n2 * 1000000 / nt2) AS BIGINT) AS w2_micro,
+                      CAST(round(v1 * 1000 / n1) AS BIGINT) AS r1_milli,
+                      CAST(round(v2 * 1000 / n2) AS BIGINT) AS r2_milli
+               FROM per CROSS JOIN tot WHERE n1 > 0 AND n2 > 0),
+    terms AS (SELECT *,
+                     CAST(round(CAST(w2_micro - w1_micro AS DOUBLE)
+                          * r1_milli / 1000000) AS BIGINT) AS mix_milli,
+                     CAST(round(CAST(w1_micro AS DOUBLE)
+                          * (r2_milli - r1_milli) / 1000000) AS BIGINT)
+                       AS rate_milli,
+                     CAST(round(CAST(w2_micro - w1_micro AS DOUBLE)
+                          * (r2_milli - r1_milli) / 1000000) AS BIGINT)
+                       AS inter_milli
+              FROM staged),
+    g AS (SELECT CAST(sum(mix_milli) AS BIGINT) AS mix_total_milli,
+                 CAST(sum(rate_milli) AS BIGINT) AS rate_total_milli,
+                 CAST(sum(inter_milli) AS BIGINT) AS inter_total_milli
+          FROM terms),
+    act AS (SELECT CAST(round(CAST(st2 AS DOUBLE) * 1000 / nt2
+                        - CAST(st1 AS DOUBLE) * 1000 / nt1) AS BIGINT)
+                     AS delta_actual_milli
+            FROM tot)
+    SELECT terms.s AS event_type, terms.n1, terms.n2, terms.w1_micro,
+           terms.w2_micro, terms.r1_milli, terms.r2_milli,
+           terms.mix_milli, terms.rate_milli, terms.inter_milli,
+           g.mix_total_milli, g.rate_total_milli, g.inter_total_milli,
+           act.delta_actual_milli
+    FROM terms CROSS JOIN g CROSS JOIN act
+    """,
+)
+def qc34(spark, sf):
+    """Shift-share decomposition of the mean cents change between the
+    corpus's two day-halves (operators/temporal.py:shift_share): MIX
+    (event-type composition moved) vs RATE (the types themselves
+    changed) vs interaction — per-segment fixed-DAG milli terms
+    integer-summed, reconciled against the directly-computed ΔM."""
+    from .operators.temporal import shift_share
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "d"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ext = e.groupBy().agg(
+        F.expr("(min(d) + max(d) + 1) div 2").alias("_mid")
+    )
+    e2 = e.crossJoin(F.broadcast(ext)).select(
+        "event_type",
+        (F.col("d") >= F.col("_mid")).alias("p2"),
+        "cents",
+    )
+    return shift_share(e2, "event_type", "p2", "cents")
+
+
+@_q(
+    "qc35_quintile_migration",
+    """
+    WITH dd AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events),
+    ext AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM dd),
+    base AS (SELECT u, CASE WHEN d >= mid THEN 1 ELSE 0 END AS p, v
+             FROM dd CROSS JOIN ext),
+    pu AS (SELECT u, p, CAST(sum(v) AS BIGINT) AS spend
+           FROM base GROUP BY 1, 2),
+    hist AS (SELECT p, spend, CAST(count(*) AS BIGINT) AS c
+             FROM pu GROUP BY 1, 2),
+    staged AS (SELECT p, spend,
+                      sum(c) OVER (PARTITION BY p ORDER BY spend) AS cum,
+                      sum(c) OVER (PARTITION BY p) AS n
+               FROM hist),
+    cuts AS (SELECT p,
+                    CAST(min(CASE WHEN 5 * cum >= 1 * n THEN spend END)
+                         AS BIGINT) AS cut0,
+                    CAST(min(CASE WHEN 5 * cum >= 2 * n THEN spend END)
+                         AS BIGINT) AS cut1,
+                    CAST(min(CASE WHEN 5 * cum >= 3 * n THEN spend END)
+                         AS BIGINT) AS cut2,
+                    CAST(min(CASE WHEN 5 * cum >= 4 * n THEN spend END)
+                         AS BIGINT) AS cut3
+             FROM staged GROUP BY 1),
+    tiled AS (SELECT u, p,
+                     1 + CAST(spend > cut0 AS BIGINT)
+                       + CAST(spend > cut1 AS BIGINT)
+                       + CAST(spend > cut2 AS BIGINT)
+                       + CAST(spend > cut3 AS BIGINT) AS tile
+              FROM pu JOIN cuts USING (p)),
+    a AS (SELECT u, tile AS tile_from FROM tiled WHERE p = 0),
+    b AS (SELECT u, tile AS tile_to FROM tiled WHERE p = 1),
+    pairs AS (SELECT a.u, tile_from, tile_to FROM a JOIN b USING (u)),
+    mat AS (SELECT tile_from, tile_to, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2),
+    mat2 AS (SELECT tile_from, tile_to, n,
+                    CAST(round(n * 1000000
+                         / sum(n) OVER (PARTITION BY tile_from))
+                         AS BIGINT) AS row_share_micro
+             FROM mat),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(round(sum(CASE WHEN tile_from = tile_to THEN 1
+                                ELSE 0 END) * 1000000 / count(*))
+                      AS BIGINT) AS stay_share_micro
+          FROM pairs)
+    SELECT mat2.tile_from, mat2.tile_to, mat2.n, mat2.row_share_micro,
+           g.n_users, g.stay_share_micro
+    FROM mat2 CROSS JOIN g
+    """,
+)
+def qc35(spark, sf):
+    """Per-user spend-quintile migration matrix between the two day
+    halves (operators/temporal.py:quintile_migration) — mobility the
+    marginals can't show; period-specific exact type-1 cuts, bucket =
+    1 + Σ[v > cut] deterministic under ties, row shares + trace
+    (stay) mass."""
+    from .operators.temporal import quintile_migration
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "d"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ext = e.groupBy().agg(
+        F.expr("(min(d) + max(d) + 1) div 2").alias("_mid")
+    )
+    e2 = e.crossJoin(F.broadcast(ext)).select(
+        "user_id",
+        (F.col("d") >= F.col("_mid")).alias("p2"),
+        "cents",
+    )
+    return quintile_migration(e2, "user_id", "p2", "cents", 5)

@@ -3893,3 +3893,216 @@ def max_drawdown_daily(
         "max_drawdown_cents",
         "worst_day_epoch",
     )
+
+
+def shift_share(
+    df: DataFrame,
+    segment_col: str,
+    period_flag,
+    val_col,
+) -> DataFrame:
+    """Shift-share decomposition of a mean-metric change between two
+    periods: ΔM = Σ(w₂−w₁)·r₁  (MIX — the portfolio moved toward
+    different segments) + Σw₁·(r₂−r₁)  (RATE — segments themselves
+    changed) + ΣΔw·Δr  (interaction) — the "did the average fall
+    because quality fell or because the mix shifted" question
+    growth_accounting (qb81) answers for counts, answered for rates.
+
+    Per segment and period: exact int64 (count, value-sum) pairs;
+    w (share) is micro-rounded once, r (mean) milli-rounded once, and
+    each decomposition term is ONE fixed scalar DAG milli-rounded per
+    segment, then INTEGER-summed — the identity reconciles with the
+    directly-computed ΔM to rounding (both reported).
+
+    Output per segment: (segment, n1, n2, w1_micro, w2_micro,
+    r1_milli, r2_milli, mix_milli, rate_milli, inter_milli) plus
+    broadcast-attached (mix_total_milli, rate_total_milli,
+    inter_total_milli, delta_actual_milli).
+    """
+    flag = (
+        period_flag
+        if not isinstance(period_flag, str)
+        else F.col(period_flag)
+    ).cast("boolean").cast("long")
+    v = (
+        val_col if not isinstance(val_col, str) else F.col(val_col)
+    ).cast("long")
+    base = df.select(
+        F.col(segment_col).alias("_s"), flag.alias("_p"), v.alias("_v")
+    )
+    per = base.groupBy("_s").agg(
+        F.sum(1 - F.col("_p")).cast("long").alias("n1"),
+        F.sum(F.col("_p")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("_p") == 0, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("_v1"),
+        F.sum(F.when(F.col("_p") == 1, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("_v2"),
+    )
+    tot = base.groupBy().agg(
+        F.sum(1 - F.col("_p")).cast("long").alias("_N1"),
+        F.sum(F.col("_p")).cast("long").alias("_N2"),
+        F.sum(F.when(F.col("_p") == 0, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("_S1"),
+        F.sum(F.when(F.col("_p") == 1, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("_S2"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).where(
+        (F.col("n1") > 0) & (F.col("n2") > 0)
+    )
+    w1 = F.round(F.col("n1") * F.lit(MICRO) / F.col("_N1")).cast("long")
+    w2 = F.round(F.col("n2") * F.lit(MICRO) / F.col("_N2")).cast("long")
+    r1 = F.round(F.col("_v1") * F.lit(1000) / F.col("n1")).cast("long")
+    r2 = F.round(F.col("_v2") * F.lit(1000) / F.col("n2")).cast("long")
+    staged = j.select(
+        "_s", "n1", "n2",
+        w1.alias("w1_micro"), w2.alias("w2_micro"),
+        r1.alias("r1_milli"), r2.alias("r2_milli"),
+    )
+    terms = staged.select(
+        "*",
+        F.round(
+            (F.col("w2_micro") - F.col("w1_micro")).cast("double")
+            * F.col("r1_milli")
+            / F.lit(MICRO)
+        )
+        .cast("long")
+        .alias("mix_milli"),
+        F.round(
+            F.col("w1_micro").cast("double")
+            * (F.col("r2_milli") - F.col("r1_milli"))
+            / F.lit(MICRO)
+        )
+        .cast("long")
+        .alias("rate_milli"),
+        F.round(
+            (F.col("w2_micro") - F.col("w1_micro")).cast("double")
+            * (F.col("r2_milli") - F.col("r1_milli"))
+            / F.lit(MICRO)
+        )
+        .cast("long")
+        .alias("inter_milli"),
+    )
+    g = terms.groupBy().agg(
+        F.sum("mix_milli").cast("long").alias("mix_total_milli"),
+        F.sum("rate_milli").cast("long").alias("rate_total_milli"),
+        F.sum("inter_milli").cast("long").alias("inter_total_milli"),
+    )
+    actual = tot.select(
+        F.round(
+            F.col("_S2").cast("double") * 1000 / F.col("_N2")
+            - F.col("_S1").cast("double") * 1000 / F.col("_N1")
+        )
+        .cast("long")
+        .alias("delta_actual_milli")
+    )
+    return terms.select(
+        F.col("_s").alias(segment_col),
+        "n1", "n2", "w1_micro", "w2_micro", "r1_milli", "r2_milli",
+        "mix_milli", "rate_milli", "inter_milli",
+    ).crossJoin(F.broadcast(g)).crossJoin(F.broadcast(actual))
+
+
+def quintile_migration(
+    df: DataFrame,
+    user_col: str,
+    period_flag,
+    val_col,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """Spend-quintile migration matrix between two periods — the
+    mobility view a pair of marginal distributions can't give: the
+    same two histograms are consistent with "everyone stayed put" and
+    "everyone swapped".  Users active in BOTH periods are bucketed by
+    PERIOD-SPECIFIC value cuts (exact type-1 quantiles from each
+    period's per-user spend histogram, the qc00 integer-rank idiom),
+    so the matrix is about RELATIVE position, immune to overall
+    growth.
+
+    Bucket assignment is 1 + Σ[v > cut_p] on the shared integer cut
+    values — deterministic under ties in both engines.  Output one
+    row per (tile_from, tile_to): n and the row share (one micro
+    division), plus broadcast-attached (n_users, stay_share_micro =
+    trace mass).
+    """
+    flag = (
+        period_flag
+        if not isinstance(period_flag, str)
+        else F.col(period_flag)
+    ).cast("boolean").cast("long")
+    v = (
+        val_col if not isinstance(val_col, str) else F.col(val_col)
+    ).cast("long")
+    nt = int(n_tiles)
+    per_user = (
+        df.select(
+            F.col(user_col).alias("_u"), flag.alias("_p"), v.alias("_v")
+        )
+        .groupBy("_u", "_p")
+        .agg(F.sum("_v").cast("long").alias("_spend"))
+    )
+    hist = per_user.groupBy("_p", "_spend").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wp = Window.partitionBy("_p").orderBy("_spend")
+    staged = hist.select(
+        "_p",
+        "_spend",
+        F.sum("_c").over(wp).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_p")).alias("_n"),
+    )
+    cuts = staged.groupBy("_p").agg(
+        *[
+            F.min(
+                F.when(
+                    nt * F.col("_cum") >= (i + 1) * F.col("_n"),
+                    F.col("_spend"),
+                )
+            )
+            .cast("long")
+            .alias(f"_cut{i}")
+            for i in range(nt - 1)
+        ]
+    )
+    tile = None
+    for i in range(nt - 1):
+        t = (F.col("_spend") > F.col(f"_cut{i}")).cast("long")
+        tile = t if tile is None else tile + t
+    tiled = per_user.join(F.broadcast(cuts), "_p").select(
+        "_u", "_p", (F.lit(1) + tile).cast("long").alias("_tile")
+    )
+    a = tiled.where(F.col("_p") == 0).select(
+        "_u", F.col("_tile").alias("tile_from")
+    )
+    b = tiled.where(F.col("_p") == 1).select(
+        "_u", F.col("_tile").alias("tile_to")
+    )
+    pairs = a.join(b, "_u")
+    mat = pairs.groupBy("tile_from", "tile_to").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("tile_from")
+    mat = mat.select(
+        "tile_from",
+        "tile_to",
+        "n",
+        F.round(F.col("n") * F.lit(MICRO) / F.sum("n").over(wrow))
+        .cast("long")
+        .alias("row_share_micro"),
+    )
+    g = pairs.groupBy().agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(
+            F.sum(
+                F.when(F.col("tile_from") == F.col("tile_to"), 1).otherwise(0)
+            )
+            * F.lit(MICRO)
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("stay_share_micro"),
+    )
+    return mat.crossJoin(F.broadcast(g))
