@@ -295,6 +295,8 @@ EXTENDED = [
     "qc33_partial_correlation",
     "qc34_shift_share",
     "qc35_quintile_migration",
+    "qc36_chi2_residuals",
+    "qc37_cramer_von_mises",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -17269,3 +17269,118 @@ def qc35(spark, sf):
         "cents",
     )
     return quintile_migration(e2, "user_id", "p2", "cents", 5)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 53: contingency attribution + integrated-square drift
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc36_chi2_residuals",
+    """
+    WITH base AS (SELECT event_type AS r,
+                         CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                              AS VARCHAR) AS c
+                  FROM events),
+    cell AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
+             FROM base GROUP BY 1, 2),
+    rws AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cell GROUP BY 1),
+    cls AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(cell.n) AS BIGINT) AS ntot,
+                   CAST(count(DISTINCT cell.r) AS BIGINT) AS nrows,
+                   CAST(count(DISTINCT cell.c) AS BIGINT) AS ncols
+            FROM cell),
+    terms AS (
+      SELECT cell.r, cell.c, cell.n,
+             CAST(round(CAST(nr AS DOUBLE) * nc / ntot * 1000) AS BIGINT)
+               AS expected_milli,
+             CAST(round((cell.n - CAST(nr AS DOUBLE) * nc / ntot)
+                  * (cell.n - CAST(nr AS DOUBLE) * nc / ntot)
+                  / (CAST(nr AS DOUBLE) * nc / ntot) * 1000) AS BIGINT)
+               AS chi2_part_milli,
+             CAST(round((cell.n - CAST(nr AS DOUBLE) * nc / ntot)
+                  / sqrt(CAST(nr AS DOUBLE) * nc / ntot
+                         * (1 - CAST(nr AS DOUBLE) / ntot)
+                         * (1 - CAST(nc AS DOUBLE) / ntot)) * 1000)
+                  AS BIGINT)
+               AS std_residual_milli,
+             tot.nrows AS RR, tot.ncols AS CC
+      FROM cell JOIN rws USING (r) JOIN cls USING (c) CROSS JOIN tot),
+    g AS (SELECT CAST(sum(chi2_part_milli) AS BIGINT) AS chi2_milli,
+                 CAST((max(RR) - 1) * (max(CC) - 1) AS BIGINT) AS df_chi
+          FROM terms)
+    SELECT terms.r AS event_type, terms.c AS dow, terms.n,
+           terms.expected_milli, terms.chi2_part_milli,
+           terms.std_residual_milli, g.chi2_milli, g.df_chi
+    FROM terms CROSS JOIN g
+    """,
+)
+def qc36(spark, sf):
+    """Haberman adjusted residuals of the event-type × day-of-week
+    contingency (operators/stats.py:chi2_cell_residuals) — WHICH
+    cells drive the dependence qb92's Cramér's V summarizes; per-cell
+    fixed DAGs milli-rounded, total χ² an integer sum of cell
+    contributions.  Day-of-week via the (epoch_day + 4) % 7
+    convention (qb71)."""
+    from .operators.stats import chi2_cell_residuals
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4)"
+            " % 7 AS STRING)"
+        ).alias("dow"),
+    )
+    return chi2_cell_residuals(e, "event_type", "dow")
+
+
+@_q(
+    "qc37_cramer_von_mises",
+    """
+    WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                         CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                         END AS b
+                  FROM events
+                  WHERE event_type IN ('click', 'view')),
+    hist AS (SELECT v, CAST(sum(1 - b) AS BIGINT) AS ca,
+                    CAST(sum(b) AS BIGINT) AS cb
+             FROM base GROUP BY 1),
+    cum AS (SELECT v, ca + cb AS w,
+                   CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+                   CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+            FROM hist),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb
+            FROM hist),
+    cells AS (SELECT CAST(round(w
+                          * (CAST(cuma * nb - cumb * na AS DOUBLE)
+                             / (1.0 * na * nb))
+                          * (CAST(cuma * nb - cumb * na AS DOUBLE)
+                             / (1.0 * na * nb))
+                          * 1000000) AS BIGINT) AS t
+              FROM cum CROSS JOIN tot),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(sum(t) AS BIGINT) AS ts
+            FROM cells)
+    SELECT na AS n_a, nb AS n_b, n_values,
+           CAST(round(1.0 * na * nb / ((na + nb) * (na + nb)) * ts
+                / (na + nb)) AS BIGINT) AS t_micro
+    FROM agg CROSS JOIN tot
+    """,
+)
+def qc37(spark, sf):
+    """Two-sample Cramér-von Mises criterion between click and view
+    cents (operators/stats.py:cramer_von_mises) — the integrated
+    SQUARED EDF gap completing KS (max gap, qa08) and Wasserstein
+    (integrated |gap|, qb96); exact int64 gap cross-multiplications,
+    per-value micro terms integer-summed."""
+    from .operators.stats import cramer_von_mises
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "view").alias("is_view"),
+    )
+    return cramer_von_mises(e, "cents", "is_view")

@@ -4890,3 +4890,147 @@ def partial_correlation(
             F.round(part * 1000000).cast("long"),
         ).alias("partial_r_micro"),
     )
+
+
+def chi2_cell_residuals(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Adjusted (Haberman) standardized residuals of a contingency
+    table — WHICH cells drive the dependence that qb92's Cramér's V
+    summarizes: r_ij = (O−E)/√(E·(1−rowshare)(1−colshare)), |r| > 2-3
+    marks the driving cells.  Also emits each cell's χ² contribution.
+
+    Counts/margins exact int64; E = row·col/N and each residual are
+    ONE fixed scalar DAG per cell (row·col past int64 is cast double
+    first), milli-rounded; the total χ² is the INTEGER sum of
+    per-cell milli contributions.
+
+    Output per cell: (row, col, n, expected_milli, chi2_part_milli,
+    std_residual_milli) plus broadcast-attached (chi2_milli, df_chi).
+    """
+    cell = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = df.groupBy().agg(
+        F.count("*").cast("long").alias("_N"),
+        F.countDistinct(F.col(row_col)).cast("long").alias("_nrows"),
+        F.countDistinct(F.col(col_col)).cast("long").alias("_ncols"),
+    )
+    # margins as partitioned window sums over the cell table itself —
+    # tiny (R×C rows) and avoids any self-join lineage
+    j = cell.select(
+        "_r",
+        "_c",
+        "n",
+        F.sum("n").over(Window.partitionBy("_r")).cast("long").alias("_nr"),
+        F.sum("n").over(Window.partitionBy("_c")).cast("long").alias("_nc"),
+    ).crossJoin(F.broadcast(tot))
+    e = F.col("_nr").cast("double") * F.col("_nc") / F.col("_N")
+    chi_part = (F.col("n") - e) * (F.col("n") - e) / e
+    adj = (F.col("n") - e) / F.sqrt(
+        e
+        * (1 - F.col("_nr").cast("double") / F.col("_N"))
+        * (1 - F.col("_nc").cast("double") / F.col("_N"))
+    )
+    terms = j.select(
+        F.col("_r").alias(row_col),
+        F.col("_c").alias(col_col),
+        "n",
+        F.round(e * 1000).cast("long").alias("expected_milli"),
+        F.round(chi_part * 1000).cast("long").alias("chi2_part_milli"),
+        F.round(adj * 1000).cast("long").alias("std_residual_milli"),
+        F.col("_nrows").alias("_RR"),
+        F.col("_ncols").alias("_CC"),
+    )
+    g = terms.groupBy().agg(
+        F.sum("chi2_part_milli").cast("long").alias("chi2_milli"),
+        ((F.max("_RR") - 1) * (F.max("_CC") - 1))
+        .cast("long")
+        .alias("df_chi"),
+    )
+    return terms.drop("_RR", "_CC").crossJoin(F.broadcast(g))
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    value_col: str,
+    side_flag,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion — the INTEGRATED squared
+    EDF gap, completing the two-sample family: KS (qa08) takes the
+    max gap, Wasserstein (qb96) integrates the absolute gap over
+    values, CvM integrates the SQUARED gap over the pooled empirical
+    measure (tail-insensitive, shape-sensitive):
+
+        T = (n·m)/(n+m)² · Σ_v w_v/(n+m) · (F_A(v) − F_B(v))²
+
+    with w_v = pooled count at v.  Per distinct value the gap
+    cross-multiplication g = cumA·m − cumB·n is EXACT int64; g² needs
+    double (qb13), so each value's term is micro-rounded from ONE
+    fixed DAG then INTEGER-summed; the leading constant is a terminal
+    DAG.  One histogram, windows over the distinct-value spine only.
+
+    Output (single row): (n_a, n_b, n_values, t_micro).
+    """
+    flag = side_flag if not isinstance(side_flag, str) else F.col(side_flag)
+    base = df.select(
+        F.col(value_col).cast("long").alias("_v"),
+        F.when(flag, 1).otherwise(0).alias("_b"),
+    )
+    hist = base.groupBy("_v").agg(
+        F.sum(1 - F.col("_b")).cast("long").alias("_ca"),
+        F.sum("_b").cast("long").alias("_cb"),
+    )
+    w = Window.orderBy("_v")
+    cum = hist.select(
+        "_v",
+        (F.col("_ca") + F.col("_cb")).alias("_w"),
+        F.sum("_ca").over(w).cast("long").alias("_cuma"),
+        F.sum("_cb").over(w).cast("long").alias("_cumb"),
+    )
+    tot = hist.groupBy().agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    )
+    # per-value term: w_v * (g/(n*m))^2 in micro, g = cumA*m - cumB*n
+    cells = cum.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.col("_w")
+            * (
+                (
+                    F.col("_cuma") * F.col("_nb")
+                    - F.col("_cumb") * F.col("_na")
+                ).cast("double")
+                / (F.lit(1.0) * F.col("_na") * F.col("_nb"))
+            )
+            * (
+                (
+                    F.col("_cuma") * F.col("_nb")
+                    - F.col("_cumb") * F.col("_na")
+                ).cast("double")
+                / (F.lit(1.0) * F.col("_na") * F.col("_nb"))
+            )
+            * F.lit(MICRO)
+        )
+        .cast("long")
+        .alias("_t")
+    )
+    agg = cells.groupBy().agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("_t").cast("long").alias("_ts"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        "n_values",
+        F.round(
+            F.lit(1.0)
+            * F.col("_na")
+            * F.col("_nb")
+            / ((F.col("_na") + F.col("_nb")) * (F.col("_na") + F.col("_nb")))
+            * F.col("_ts")
+            / (F.col("_na") + F.col("_nb"))
+        )
+        .cast("long")
+        .alias("t_micro"),
+    )

@@ -332,6 +332,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc21_delong_auc": "distinct-score placement spines (qa22 family; one per compared model)",
     "qc31_hellinger_tv": "distinct-value two-side histogram (qb96 family)",
     "qc32_dunn_posthoc": "distinct-value score histogram (qa22 doubled-midrank idiom)",
+    "qc37_cramer_von_mises": "distinct-value two-side histogram cumulative (qb96 family)",
 }
 
 
