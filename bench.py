@@ -297,6 +297,8 @@ EXTENDED = [
     "qc35_quintile_migration",
     "qc36_chi2_residuals",
     "qc37_cramer_von_mises",
+    "qc38_knn_consistency",
+    "qc39_theil_decomposition",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -17384,3 +17384,116 @@ def qc37(spark, sf):
         (F.col("event_type") == "view").alias("is_view"),
     )
     return cramer_von_mises(e, "cents", "is_view")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 54: embedding-label geometry + inequality decomposition
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc38_knn_consistency",
+    """
+    WITH probes AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                           label AS ql
+                    FROM embeddings WHERE vec_id % 10 = 0),
+    scored AS (
+      SELECT p.qid, p.ql, e.vec_id AS cid, e.label AS cl,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               p.qv) * 1e6)
+                  AS BIGINT) AS cos
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.qid),
+    nn AS (SELECT qid, ql, CASE WHEN cl = ql THEN 1 ELSE 0 END AS m
+           FROM (SELECT qid, ql, cl,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM scored)
+           WHERE rn = 1),
+    per AS (SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_probes,
+                   CAST(sum(m) AS BIGINT) AS n_match
+            FROM nn GROUP BY 1),
+    per2 AS (SELECT label, n_probes, n_match,
+                    CAST(round(n_match * 1000000 / n_probes) AS BIGINT)
+                      AS acc_micro
+             FROM per),
+    g AS (SELECT CAST(sum(n_probes) AS BIGINT) AS n_probes_total,
+                 CAST(round(CAST(sum(n_match) AS BIGINT) * 1000000
+                      / CAST(sum(n_probes) AS BIGINT)) AS BIGINT)
+                   AS overall_acc_micro
+          FROM per2)
+    SELECT per2.label, per2.n_probes, per2.n_match, per2.acc_micro,
+           g.n_probes_total, g.overall_acc_micro
+    FROM per2 CROSS JOIN g
+    """,
+)
+def qc38(spark, sf):
+    """Leave-one-out 1-NN label consistency of the embedding space on
+    the deterministic 1-in-10 probe subset
+    (operators/similarity.py:knn_label_consistency) — the geometry-
+    respects-labels audit; nearest non-self neighbor under the exact
+    micro-cosine total order, one partitioned window."""
+    from .operators.similarity import knn_label_consistency
+
+    return knn_label_consistency(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", "label", 10
+    )
+
+
+@_q(
+    "qc39_theil_decomposition",
+    """
+    WITH base AS (SELECT source AS g, n_chars AS x FROM documents
+                  WHERE n_chars > 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot,
+                   CAST(sum(x) AS BIGINT) AS xtot
+            FROM base),
+    hist AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1),
+    cells AS (SELECT CAST(c * x * (
+                       CAST(round(ln(CAST(ntot * x AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                       - CAST(round(ln(CAST(xtot AS DOUBLE)) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS t
+              FROM hist CROSS JOIN tot),
+    total AS (SELECT CAST(sum(t) AS BIGINT) AS ts FROM cells),
+    per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(x) AS BIGINT) AS sum_g
+            FROM base GROUP BY 1),
+    per2 AS (SELECT g, n_g, sum_g,
+                    CAST(round(sum_g * 1000000 / xtot) AS BIGINT)
+                      AS share_micro,
+                    CAST(round(CAST(sum_g AS DOUBLE) * (
+                         CAST(round(ln(CAST(sum_g * ntot AS DOUBLE))
+                              * 1000000) AS BIGINT)
+                         - CAST(round(ln(CAST(xtot * n_g AS DOUBLE))
+                                * 1000000) AS BIGINT)) / xtot) AS BIGINT)
+                      AS tb_term_micro
+             FROM per CROSS JOIN tot),
+    tb AS (SELECT CAST(sum(tb_term_micro) AS BIGINT)
+                    AS theil_between_micro
+           FROM per2),
+    g2 AS (SELECT CAST(round(CAST(ts AS DOUBLE) / xtot) AS BIGINT)
+                    AS theil_total_micro,
+                  theil_between_micro
+           FROM total CROSS JOIN tb CROSS JOIN tot),
+    g3 AS (SELECT theil_total_micro, theil_between_micro,
+                  CAST(theil_total_micro - theil_between_micro AS BIGINT)
+                    AS theil_within_micro
+           FROM g2)
+    SELECT per2.g AS source, per2.n_g, per2.sum_g, per2.share_micro,
+           per2.tb_term_micro, g3.theil_total_micro,
+           g3.theil_between_micro, g3.theil_within_micro
+    FROM per2 CROSS JOIN g3
+    """,
+)
+def qc39(spark, sf):
+    """Theil-T inequality of document sizes with the exact
+    between/within source decomposition
+    (operators/stats.py:theil_decomposition) — the decomposability
+    Gini lacks (qb32); ln once per distinct value / per group (q66
+    discipline), integer numerator sums, identity T = T_b + T_w holds
+    exactly in micro ints by construction."""
+    from .operators.stats import theil_decomposition
+
+    return theil_decomposition(_t(spark, sf, "documents"), "source", "n_chars")

@@ -1307,3 +1307,89 @@ def linear_cka(
             ).alias("cka_micro"),
         )
     )
+
+
+def knn_label_consistency(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    probe_mod: int = 10,
+) -> DataFrame:
+    """Leave-one-out 1-NN label consistency of an embedding space —
+    the classic "does geometry respect labels" audit (a space where
+    nearest neighbors disagree with labels will poison every
+    retrieval/dedup pass built on it), measured on the deterministic
+    1-in-probe_mod probe subset (id % probe_mod == 0) so the probe ×
+    corpus product stays a thin slice of the full O(N²).
+
+    Per probe the nearest non-self neighbor under the exact
+    micro-cosine total order (cos desc, id) — one window PARTITIONED
+    by probe; match = label equality.  Accuracy is one micro division
+    per label plus one overall.
+
+    Output per label: (label, n_probes, n_match, acc_micro) plus
+    broadcast-attached (n_probes_total, overall_acc_micro).
+    """
+    probes = df.where((F.col(id_col) % int(probe_mod)) == 0).select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    corpus = df.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .where(F.col("_cid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_ql",
+            "_cid",
+            "_cl",
+            F.round(
+                cosine_cols(
+                    F.col("_cv").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_cos").desc(), F.col("_cid")
+    )
+    nn = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "_qid",
+            "_ql",
+            (F.col("_cl") == F.col("_ql")).cast("long").alias("_m"),
+        )
+    )
+    per = nn.groupBy(F.col("_ql").alias(label_col)).agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("_m").cast("long").alias("n_match"),
+    )
+    per = per.select(
+        label_col,
+        "n_probes",
+        "n_match",
+        F.round(F.col("n_match") * F.lit(1_000_000) / F.col("n_probes"))
+        .cast("long")
+        .alias("acc_micro"),
+    )
+    g = per.groupBy().agg(
+        F.sum("n_probes").cast("long").alias("n_probes_total"),
+        F.round(
+            F.sum("n_match") * F.lit(1_000_000) / F.sum("n_probes")
+        )
+        .cast("long")
+        .alias("overall_acc_micro"),
+    )
+    return per.crossJoin(F.broadcast(g))

@@ -5034,3 +5034,95 @@ def cramer_von_mises(
         .cast("long")
         .alias("t_micro"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Theil-T inequality index with the exact between/within
+    decomposition — the property Gini (qb32) famously lacks: how much
+    of the corpus's size inequality lives BETWEEN sources (fix the
+    mix) vs WITHIN them (fix the sources).
+
+        T       = Σ_i (x_i/X)·ln(N·x_i/X)
+        T_betw  = Σ_g (X_g/X)·ln((X_g/X)/(N_g/N))
+        T_with  = T − T_betw          (identity, exact in micro ints)
+
+    Log discipline (q66): ln is taken ONCE per distinct value as
+    Δln = ln_micro(N·v) − ln_micro(X), so the numerator
+    Σ c·v·Δln is an INTEGER sum (never a double accumulation); the
+    between terms take one ln pair per GROUP.  Each reported index is
+    one terminal division.
+
+    Output per group: (group, n_g, sum_g, share_micro,
+    tb_term_micro) plus broadcast-attached (theil_total_micro,
+    theil_between_micro, theil_within_micro).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).where(F.col("_x") > 0)
+    tot = base.groupBy().agg(
+        F.count("*").cast("long").alias("_N"),
+        F.sum("_x").cast("long").alias("_xt"),
+    )
+    hist = base.groupBy("_x").agg(F.count("*").cast("long").alias("_c"))
+    cells = hist.crossJoin(F.broadcast(tot)).select(
+        (
+            F.col("_c")
+            * F.col("_x")
+            * (
+                _ln_micro(F.col("_N") * F.col("_x"))
+                - _ln_micro(F.col("_xt"))
+            )
+        )
+        .cast("long")
+        .alias("_t")
+    )
+    total = cells.groupBy().agg(F.sum("_t").cast("long").alias("_ts"))
+    per = base.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("_x").cast("long").alias("sum_g"),
+    )
+    per = per.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "n_g",
+        "sum_g",
+        F.round(F.col("sum_g") * F.lit(MICRO) / F.col("_xt"))
+        .cast("long")
+        .alias("share_micro"),
+        F.round(
+            F.col("sum_g").cast("double")
+            * (
+                _ln_micro(F.col("sum_g") * F.col("_N"))
+                - _ln_micro(F.col("_xt") * F.col("n_g"))
+            )
+            / F.col("_xt")
+        )
+        .cast("long")
+        .alias("tb_term_micro"),
+    )
+    tb = per.groupBy().agg(
+        F.sum("tb_term_micro").cast("long").alias("theil_between_micro")
+    )
+    g = (
+        total.crossJoin(tb)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("_ts").cast("double") / F.col("_xt"))
+            .cast("long")
+            .alias("theil_total_micro"),
+            "theil_between_micro",
+        )
+    )
+    g = g.select(
+        "theil_total_micro",
+        "theil_between_micro",
+        (F.col("theil_total_micro") - F.col("theil_between_micro"))
+        .cast("long")
+        .alias("theil_within_micro"),
+    )
+    return per.select(
+        F.col("_g").alias(group_col), "n_g", "sum_g", "share_micro",
+        "tb_term_micro",
+    ).crossJoin(F.broadcast(g))
