@@ -299,6 +299,8 @@ EXTENDED = [
     "qc37_cramer_von_mises",
     "qc38_knn_consistency",
     "qc39_theil_decomposition",
+    "qc40_record_rate",
+    "qc41_median_ci",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

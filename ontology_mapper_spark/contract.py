@@ -17497,3 +17497,94 @@ def qc39(spark, sf):
     from .operators.stats import theil_decomposition
 
     return theil_decomposition(_t(spark, sf, "documents"), "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 55: records stationarity + distribution-free median CI
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc40_record_rate",
+    """
+    WITH daily AS (SELECT event_type AS e, epoch_us(ts) // 86400000000 AS d,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS dv
+                   FROM events GROUP BY 1, 2),
+    staged AS (SELECT e, d, dv,
+                      row_number() OVER (PARTITION BY e ORDER BY d) AS i,
+                      max(dv) OVER (PARTITION BY e ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prevmax
+               FROM daily),
+    per AS (SELECT e, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN prevmax IS NULL OR dv > prevmax
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+                   CAST(sum(CAST(round(1000000 / i) AS BIGINT)) AS BIGINT)
+                     AS expected_micro,
+                   CAST(sum(CAST(round(1000000 / i) AS BIGINT)
+                            - CAST(round(1000000 / (i * i)) AS BIGINT))
+                        AS BIGINT) AS var_micro
+            FROM staged GROUP BY 1)
+    SELECT e AS event_type, n_days, n_records, expected_micro, var_micro,
+           CASE WHEN var_micro > 0 THEN
+             CAST(round((n_records - expected_micro / 1000000.0)
+                  / sqrt(var_micro / 1000000.0) * 1000) AS BIGINT)
+           END AS z_milli
+    FROM per
+    """,
+)
+def qc40(spark, sf):
+    """Record-count stationarity test per event type
+    (operators/temporal.py:record_rate_test) — observed running-max
+    records vs the i.i.d. expectation H_n (records theory), the
+    cheapest trend detector next to Mann-Kendall (qb87); harmonic
+    moments micro-rounded per k then integer-summed."""
+    from .operators.temporal import record_rate_test
+
+    return record_rate_test(_t(spark, sf, "events"))
+
+
+@_q(
+    "qc41_median_ci",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS x
+                  FROM events),
+    hist AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2),
+    staged AS (SELECT g, x,
+                      sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+                      sum(c) OVER (PARTITION BY g) AS n
+               FROM hist),
+    rk AS (SELECT g, x, cum, n,
+                  greatest(1, CAST(ceil(n / 2.0
+                       - 1.96 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+                    AS lo,
+                  least(n, CAST(floor(n / 2.0 + 1
+                       + 1.96 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+                    AS hi,
+                  CAST(ceil(n / 2.0) AS BIGINT) AS md
+           FROM staged)
+    SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(lo) AS BIGINT) AS lo_rank,
+           CAST(max(hi) AS BIGINT) AS hi_rank,
+           CAST(min(CASE WHEN cum >= md THEN x END) AS BIGINT) AS median,
+           CAST(min(CASE WHEN cum >= lo THEN x END) AS BIGINT) AS ci_lo,
+           CAST(min(CASE WHEN cum >= hi THEN x END) AS BIGINT) AS ci_hi
+    FROM rk GROUP BY 1
+    """,
+)
+def qc41(spark, sf):
+    """Distribution-free 95% median CI per event type from order
+    statistics (operators/stats.py:median_ci) — the binomial
+    order-statistic bracket, no normality, no bootstrap; ranks one
+    fixed DAG on n, values straight from the per-group histogram
+    cumulative."""
+    from .operators.stats import median_ci
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return median_ci(e, "event_type", "cents")

@@ -5126,3 +5126,70 @@ def theil_decomposition(
         F.col("_g").alias(group_col), "n_g", "sum_g", "share_micro",
         "tb_term_micro",
     ).crossJoin(F.broadcast(g))
+
+
+def median_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median via
+    order statistics — the binomial argument needs NO normality and
+    NO bootstrap: ranks ⌈n/2 − 1.96·√n/2⌉ and ⌊n/2 + 1 + 1.96·√n/2⌋
+    bracket the true median with ≥95% coverage (normal approximation
+    to Binomial(n, ½)).  The honest error bar for the qc28/qc00
+    medians ops dashboards quote bare.
+
+    Ranks are one fixed scalar DAG on n (ceil/floor of identical IEEE
+    expressions in both engines, clamped to [1, n]); the three order
+    statistics come straight from the per-group value histogram's
+    cumulative counts (qc00 idiom, windows PARTITIONED by group).
+
+    Output per group: (group, n, lo_rank, hi_rank, median, ci_lo,
+    ci_hi).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    hist = base.groupBy("_g", "_x").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wg = Window.partitionBy("_g").orderBy("_x")
+    staged = hist.select(
+        "_g",
+        "_x",
+        F.sum("_c").over(wg).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_n"),
+    )
+    half = F.col("_n") / F.lit(2.0)
+    spread = F.lit(1.96) * F.sqrt(F.col("_n").cast("double")) / F.lit(2.0)
+    lo_rank = F.greatest(F.lit(1).cast("long"), F.ceil(half - spread))
+    hi_rank = F.least(F.col("_n"), F.floor(half + 1 + spread).cast("long"))
+    med_rank = F.ceil(half).cast("long")
+    staged = staged.select(
+        "_g",
+        "_x",
+        "_cum",
+        "_n",
+        lo_rank.alias("_lo"),
+        hi_rank.alias("_hi"),
+        med_rank.alias("_md"),
+    )
+    return staged.groupBy("_g").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_lo").cast("long").alias("lo_rank"),
+        F.max("_hi").cast("long").alias("hi_rank"),
+        F.min(F.when(F.col("_cum") >= F.col("_md"), F.col("_x")))
+        .cast("long")
+        .alias("median"),
+        F.min(F.when(F.col("_cum") >= F.col("_lo"), F.col("_x")))
+        .cast("long")
+        .alias("ci_lo"),
+        F.min(F.when(F.col("_cum") >= F.col("_hi"), F.col("_x")))
+        .cast("long")
+        .alias("ci_hi"),
+    ).select(
+        F.col("_g").alias(group_col),
+        "n", "lo_rank", "hi_rank", "median", "ci_lo", "ci_hi",
+    )

@@ -4106,3 +4106,91 @@ def quintile_migration(
         .alias("stay_share_micro"),
     )
     return mat.crossJoin(F.broadcast(g))
+
+
+def record_rate_test(
+    df: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Record-count stationarity test: under an i.i.d. (stationary)
+    daily series the number of running-maximum records in n days has
+    mean H_n = Σ1/k and variance H_n − H_n^(2) = Σ1/k − Σ1/k²
+    (classical records theory) — far MORE records than H_n means the
+    series trends up (every trend test's cheapest cousin: no ranks,
+    no regression, just "how often did we set a new high").
+
+    Daily cents sums exact int64; a record day strictly exceeds the
+    previous running max (day 1 counts); the harmonic moments come
+    from the group's OWN day-index spine with 1/k and 1/k²
+    micro-rounded per k then INTEGER-summed, so both engines agree
+    bit-exactly; z is one terminal DAG.
+
+    Output per entity: (entity, n_days, n_records, expected_micro,
+    var_micro, z_milli).
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("_d"),
+            F.round(F.col(val_col) * 100).cast("long").alias("_v"),
+        )
+        .groupBy("_e", "_d")
+        .agg(F.sum("_v").cast("long").alias("_dv"))
+    )
+    w = Window.partitionBy("_e").orderBy("_d")
+    staged = daily.select(
+        "_e",
+        "_d",
+        "_dv",
+        F.row_number().over(w).alias("_i"),
+        F.max("_dv").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("_prevmax"),
+    )
+    per = staged.groupBy("_e").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("_prevmax").isNull()
+                | (F.col("_dv") > F.col("_prevmax")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_records"),
+        F.sum(F.round(F.lit(1_000_000) / F.col("_i")).cast("long"))
+        .cast("long")
+        .alias("expected_micro"),
+        F.sum(
+            F.round(F.lit(1_000_000) / F.col("_i"))
+            .cast("long")
+            - F.round(
+                F.lit(1_000_000) / (F.col("_i") * F.col("_i"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("var_micro"),
+    )
+    return per.select(
+        F.col("_e").alias(entity_col),
+        "n_days",
+        "n_records",
+        "expected_micro",
+        "var_micro",
+        F.when(
+            F.col("var_micro") > 0,
+            F.round(
+                (
+                    F.col("n_records")
+                    - F.col("expected_micro") / F.lit(1_000_000.0)
+                )
+                / F.sqrt(F.col("var_micro") / F.lit(1_000_000.0))
+                * 1000
+            ).cast("long"),
+        ).alias("z_milli"),
+    )
