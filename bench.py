@@ -301,6 +301,8 @@ EXTENDED = [
     "qc39_theil_decomposition",
     "qc40_record_rate",
     "qc41_median_ci",
+    "qc42_rec_coverage",
+    "qc43_calibration_slope",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -17588,3 +17588,151 @@ def qc41(spark, sf):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return median_ci(e, "event_type", "cents")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 56: aggregate retrieval diversity + calibration slope
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc42_rec_coverage",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 12),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qv) * 1e6)
+                  AS BIGINT) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS r
+        FROM scored)
+      WHERE r <= 10),
+    counts AS (SELECT vec_id AS i, CAST(count(*) AS BIGINT) AS c
+               FROM topk GROUP BY 1),
+    tot AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                   CAST(count(*) AS BIGINT) AS n_slots
+            FROM topk),
+    cat AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS catalog_size
+            FROM embeddings),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_recommended,
+                   CAST(sum(c * c) AS BIGINT) AS sc2,
+                   CAST(sum(c * (
+                        CAST(round(ln(CAST(n_slots AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                        - CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                               AS BIGINT))) AS BIGINT) AS nov,
+                   CAST(max(n_queries) AS BIGINT) AS n_queries,
+                   CAST(max(n_slots) AS BIGINT) AS n_slots
+            FROM counts CROSS JOIN tot)
+    SELECT n_queries, n_slots, cat.catalog_size, n_recommended,
+           CAST(round(n_recommended * 1000000 / cat.catalog_size)
+                AS BIGINT) AS coverage_micro,
+           CAST(round(CAST(sc2 AS DOUBLE) * 1000000
+                / (1.0 * n_slots * n_slots)) AS BIGINT) AS rec_hhi_micro,
+           CAST(round(CAST(nov AS DOUBLE) / n_slots) AS BIGINT)
+             AS novelty_micro
+    FROM agg CROSS JOIN cat
+    """,
+)
+def qc42(spark, sf):
+    """Catalog coverage + recommendation HHI + novelty of the qa89
+    top-10 lists (operators/similarity.py:recommendation_coverage) —
+    aggregate diversity next to qc20's per-list ILD; ln once per
+    distinct served-count (q66 discipline)."""
+    from .operators.similarity import (
+        cosine_cols,
+        recommendation_coverage,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_cols(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return recommendation_coverage(topk, e, "query_id", "vec_id")
+
+
+@_q(
+    "qc43_calibration_slope",
+    """
+    WITH ext AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+                 FROM documents),
+    b AS (
+      SELECT CAST(floor((n_chars - ext.mn) * 10 / (ext.mx - ext.mn + 1))
+                  AS BIGINT) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents CROSS JOIN ext),
+    per0 AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS pos
+             FROM b GROUP BY 1),
+    per AS (SELECT n, pos,
+                   CAST((2 * bin + 1) * 1000000 / 20 AS BIGINT) AS cf
+            FROM per0),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_bins_used,
+                 CAST(sum(n) AS BIGINT) AS W,
+                 CAST(sum(n * cf) AS BIGINT) AS swc,
+                 CAST(sum(pos) AS BIGINT) AS swy,
+                 CAST(sum(n * cf * cf) AS BIGINT) AS swcc,
+                 CAST(sum(pos * cf) AS BIGINT) AS swcy
+          FROM per),
+    c AS (SELECT n_bins_used, W, swc, swy,
+                 (CAST(W AS DOUBLE) * swcy * 1000000
+                  - CAST(swc AS DOUBLE) * swy * 1000000) AS num,
+                 (CAST(W AS DOUBLE) * swcc
+                  - CAST(swc AS DOUBLE) * swc) AS den
+          FROM s)
+    SELECT W AS n, n_bins_used,
+           CASE WHEN den > 0 THEN
+             CAST(round(num / den * 1000) AS BIGINT) END AS slope_milli,
+           CASE WHEN den > 0 THEN
+             CAST(round(CAST(swy AS DOUBLE) * 1000000 / W
+                  - num / den * (CAST(swc AS DOUBLE) / W)) AS BIGINT)
+           END AS intercept_micro,
+           CAST(round(CAST(swy AS DOUBLE) * 1000000 / W
+                - CAST(swc AS DOUBLE) / W) AS BIGINT) AS large_gap_micro
+    FROM c
+    """,
+)
+def qc43(spark, sf):
+    """Calibration slope + intercept + calibration-in-the-large on
+    qa82's bins (operators/evaluate.py:calibration_slope) — the
+    two-number recalibration summary (slope < 1 = overconfident);
+    weighted OLS exact from six integer sums, one fixed DAG."""
+    from .operators.evaluate import calibration_slope
+
+    d = _t(spark, sf, "documents")
+    return calibration_slope(
+        d, "n_chars", F.col("lang") == F.lit("en"), n_bins=10
+    )

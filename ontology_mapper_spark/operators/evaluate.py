@@ -2085,3 +2085,94 @@ def hosmer_lemeshow(
         (F.count("*") - 2).cast("long").alias("df_hl"),
     )
     return terms.crossJoin(F.broadcast(g))
+
+
+def calibration_slope(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration-in-the-large and calibration slope via the linear
+    probability fit of outcome on binned confidence — the two-number
+    recalibration summary (intercept ≠ 0: systematic bias; slope < 1:
+    overconfident, > 1: underconfident) completing ECE (qa82), Murphy
+    (qc13) and Hosmer-Lemeshow (qc23) on the SAME equi-width bins.
+
+    OLS on the bin-level (conf, acc) pairs weighted by bin counts is
+    exact from six integer sums (conf is the exact midpoint micro,
+    acc enters as the integer pos count so no pre-rounding):
+    slope = (W·Σw·c·y − Σw·c·Σw·y)/(W·Σw·c² − (Σw·c)²) with w = n_b —
+    products past int64 cast double first (qb13), one fixed DAG.
+
+    Output (single row): (n, n_bins_used, slope_milli,
+    intercept_micro, large_gap_micro = overall rate − mean conf).
+    """
+    base = df.select(
+        (
+            score_col if not isinstance(score_col, str) else F.col(score_col)
+        )
+        .cast("long")
+        .alias("_s"),
+        (
+            label_col if not isinstance(label_col, str) else F.col(label_col)
+        )
+        .cast("boolean")
+        .cast("long")
+        .alias("_y"),
+    )
+    ext = base.groupBy().agg(
+        F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
+    )
+    nb = int(n_bins)
+    binned = base.crossJoin(F.broadcast(ext)).select(
+        F.floor(
+            (F.col("_s") - F.col("_mn"))
+            * nb
+            / (F.col("_mx") - F.col("_mn") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "_y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_pos"),
+    )
+    conf = ((2 * F.col("bin") + 1) * F.lit(MICRO) / F.lit(2 * nb)).cast(
+        "long"
+    )
+    per = per.select("_n", "_pos", conf.alias("_cf"))
+    s = per.groupBy().agg(
+        F.count("*").cast("long").alias("n_bins_used"),
+        F.sum("_n").cast("long").alias("_W"),
+        F.sum(F.col("_n") * F.col("_cf")).cast("long").alias("_swc"),
+        F.sum("_pos").cast("long").alias("_swy"),
+        F.sum(F.col("_n") * F.col("_cf") * F.col("_cf"))
+        .cast("long")
+        .alias("_swcc"),
+        F.sum(F.col("_pos") * F.col("_cf")).cast("long").alias("_swcy"),
+    )
+    num = (
+        F.col("_W").cast("double") * F.col("_swcy") * F.lit(MICRO)
+        - F.col("_swc").cast("double") * F.col("_swy") * F.lit(MICRO)
+    )
+    den = (
+        F.col("_W").cast("double") * F.col("_swcc")
+        - F.col("_swc").cast("double") * F.col("_swc")
+    )
+    slope = num / den
+    mean_y = F.col("_swy").cast("double") * F.lit(MICRO) / F.col("_W")
+    mean_c = F.col("_swc").cast("double") / F.col("_W")
+    return s.select(
+        F.col("_W").alias("n"),
+        "n_bins_used",
+        F.when(den > 0, F.round(slope * 1000).cast("long")).alias(
+            "slope_milli"
+        ),
+        F.when(
+            den > 0,
+            F.round(mean_y - slope * mean_c).cast("long"),
+        ).alias("intercept_micro"),
+        F.round(mean_y - mean_c).cast("long").alias("large_gap_micro"),
+    )

@@ -1393,3 +1393,71 @@ def knn_label_consistency(
         .alias("overall_acc_micro"),
     )
     return per.crossJoin(F.broadcast(g))
+
+
+def recommendation_coverage(
+    topk: DataFrame,
+    corpus: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "vec_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Catalog coverage + concentration + novelty of retrieved top-k
+    sets — the aggregate-diversity triple next to per-list ILD
+    (intra_list_diversity): a retriever can be diverse WITHIN lists
+    yet recommend the same 50 items to everyone.  Coverage = share of
+    the catalog appearing in any list; concentration = HHI of
+    recommendation counts (1/HHI ≈ effective catalog size); novelty =
+    mean −ln(recommendation share) of served items in micro-nats (ln
+    ONCE per distinct item count — q66 discipline).
+
+    Output (single row): (n_queries, n_slots, catalog_size,
+    n_recommended, coverage_micro, rec_hhi_micro, novelty_micro).
+    """
+    t = topk.select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    counts = t.groupBy("_i").agg(F.count("*").cast("long").alias("_c"))
+    tot = t.groupBy().agg(
+        F.countDistinct("_q").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_slots"),
+    )
+    cat = corpus.groupBy().agg(
+        F.countDistinct(F.col(id_col)).cast("long").alias("catalog_size")
+    )
+    from .stats import _ln_micro  # shared micro-ln discipline
+
+    agg = counts.crossJoin(F.broadcast(tot)).groupBy().agg(
+        F.count("*").cast("long").alias("n_recommended"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sc2"),
+        # Σ c·(ln(n_slots) − ln(c)): self-information weighted by count
+        F.sum(
+            F.col("_c")
+            * (_ln_micro(F.col("n_slots")) - _ln_micro(F.col("_c")))
+        )
+        .cast("long")
+        .alias("_nov"),
+        F.max("n_queries").alias("n_queries"),
+        F.max("n_slots").alias("n_slots"),
+    )
+    return agg.crossJoin(F.broadcast(cat)).select(
+        "n_queries",
+        "n_slots",
+        "catalog_size",
+        "n_recommended",
+        F.round(
+            F.col("n_recommended") * F.lit(1_000_000) / F.col("catalog_size")
+        )
+        .cast("long")
+        .alias("coverage_micro"),
+        F.round(
+            F.col("_sc2").cast("double")
+            * 1_000_000
+            / (F.lit(1.0) * F.col("n_slots") * F.col("n_slots"))
+        )
+        .cast("long")
+        .alias("rec_hhi_micro"),
+        F.round(F.col("_nov").cast("double") / F.col("n_slots"))
+        .cast("long")
+        .alias("novelty_micro"),
+    )
