@@ -303,6 +303,8 @@ EXTENDED = [
     "qc41_median_ci",
     "qc42_rec_coverage",
     "qc43_calibration_slope",
+    "qc44_label_nmi",
+    "qc45_wald_iv",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -17736,3 +17736,147 @@ def qc43(spark, sf):
     return calibration_slope(
         d, "n_chars", F.col("lang") == F.lit("en"), n_bins=10
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 57: information-theoretic label agreement + IV estimate
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc44_label_nmi",
+    """
+    WITH cells AS (SELECT lang AS x, source AS y,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY 1, 2),
+    rx AS (SELECT x, CAST(sum(n) AS BIGINT) AS rxc FROM cells GROUP BY 1),
+    ry AS (SELECT y, CAST(sum(n) AS BIGINT) AS ryc FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM cells),
+    sx AS (SELECT CAST(count(*) AS BIGINT) AS n_x,
+                  CAST(sum(rxc * CAST(round(ln(CAST(rxc AS DOUBLE))
+                                            * 1000000) AS BIGINT))
+                       AS BIGINT) AS sxs
+           FROM rx),
+    sy AS (SELECT CAST(count(*) AS BIGINT) AS n_y,
+                  CAST(sum(ryc * CAST(round(ln(CAST(ryc AS DOUBLE))
+                                            * 1000000) AS BIGINT))
+                       AS BIGINT) AS sys
+           FROM ry),
+    mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                  CAST(sum(c.n * (
+                       CAST(round(ln(CAST(t.tn AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                     + CAST(round(ln(CAST(c.n AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                     - CAST(round(ln(CAST(rx.rxc AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                     - CAST(round(ln(CAST(ry.ryc AS DOUBLE)) * 1000000)
+                            AS BIGINT))) AS BIGINT) AS si
+           FROM cells c JOIN rx USING (x) JOIN ry USING (y)
+           CROSS JOIN tot t),
+    f AS (SELECT tn, n_x, n_y, n_cells, si,
+                 tn * CAST(round(ln(CAST(tn AS DOUBLE)) * 1000000)
+                           AS BIGINT) - sxs AS hx,
+                 tn * CAST(round(ln(CAST(tn AS DOUBLE)) * 1000000)
+                           AS BIGINT) - sys AS hy
+          FROM mi CROSS JOIN tot CROSS JOIN sx CROSS JOIN sy)
+    SELECT tn AS n, n_x, n_y, n_cells,
+           CAST(round(hx / tn) AS BIGINT) AS hx_micro,
+           CAST(round(hy / tn) AS BIGINT) AS hy_micro,
+           CAST(round(si / tn) AS BIGINT) AS mi_micro,
+           CASE WHEN hx + hy > 0 THEN
+             CAST(round(CAST(2 * si AS DOUBLE) * 1000000 / (hx + hy))
+                  AS BIGINT) END AS nmi_micro,
+           CAST(round((hx + hy - 2 * si) / tn) AS BIGINT) AS vi_micro
+    FROM f
+    """,
+)
+def qc44(spark, sf):
+    """Normalized mutual information + variation of information between
+    the lang and source labelings (operators/clustering.py:
+    label_agreement_info) — the information-theoretic agreement view
+    next to qa80's pair-counting ARI/B³; ln once per distinct integer
+    count (q66 discipline), N cancels in NMI so it is two integer sums
+    and one terminal division."""
+    from .operators.clustering import label_agreement_info
+
+    return label_agreement_info(
+        _t(spark, sf, "documents"), "lang", "source"
+    )
+
+
+@_q(
+    "qc45_wald_iv",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    ext AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+    u AS (SELECT user_id, min(us) AS fus,
+                 CAST(count(*) AS BIGINT) AS ne,
+                 CAST(sum(cents) AS BIGINT) AS y
+          FROM e GROUP BY 1),
+    f AS (SELECT CASE WHEN fus * 2 < ext.lo + ext.hi THEN 1 ELSE 0 END
+                   AS z,
+                 CASE WHEN ne >= 20 THEN 1 ELSE 0 END AS t, y
+          FROM u CROSS JOIN ext),
+    arms AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(t) AS BIGINT) AS st,
+                    CAST(sum(y) AS BIGINT) AS sy
+             FROM f GROUP BY 1),
+    one AS (SELECT CAST(max(CASE WHEN z = 1 THEN n END) AS BIGINT)
+                     AS n_z1,
+                   CAST(max(CASE WHEN z = 0 THEN n END) AS BIGINT)
+                     AS n_z0,
+                   CAST(max(CASE WHEN z = 1 THEN st END) AS BIGINT)
+                     AS st1,
+                   CAST(max(CASE WHEN z = 0 THEN st END) AS BIGINT)
+                     AS st0,
+                   CAST(max(CASE WHEN z = 1 THEN sy END) AS BIGINT)
+                     AS sy1,
+                   CAST(max(CASE WHEN z = 0 THEN sy END) AS BIGINT)
+                     AS sy0
+            FROM arms)
+    SELECT n_z1, n_z0,
+           CAST(round(st1 * 1000000 / n_z1) AS BIGINT) AS t_rate1_micro,
+           CAST(round(st0 * 1000000 / n_z0) AS BIGINT) AS t_rate0_micro,
+           CASE WHEN st1 * n_z0 - st0 * n_z1 <> 0 THEN
+             CAST(round(CAST(st1 * n_z0 - st0 * n_z1 AS DOUBLE) * 1000000
+                        / (n_z1 * n_z0)) AS BIGINT)
+           END AS first_stage_micro,
+           CAST(round(CAST(sy1 * n_z0 - sy0 * n_z1 AS DOUBLE) * 1000000
+                      / (n_z1 * n_z0)) AS BIGINT) AS itt_micro,
+           CASE WHEN st1 * n_z0 - st0 * n_z1 <> 0 THEN
+             CAST(round(CAST(sy1 * n_z0 - sy0 * n_z1 AS DOUBLE) * 1000000
+                        / (st1 * n_z0 - st0 * n_z1)) AS BIGINT)
+           END AS late_micro
+    FROM one
+    """,
+)
+def qc45(spark, sf):
+    """Wald IV / encouragement-design LATE (operators/temporal.py:
+    wald_iv): instrument = first-seen in the early half of the time
+    range (qb10's midpoint idiom), treatment = heavy user (>= 20
+    events), outcome = total spend cents; both ITT contrasts
+    cross-multiply to integers over the same n1*n0 denominator, which
+    cancels in the ratio — pure int64 until one terminal division."""
+    from .operators.temporal import wald_iv
+
+    e = _t(spark, sf, "events")
+    ext = e.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_hi"),
+    )
+    users = e.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_fus"),
+        F.count("*").cast("long").alias("_ne"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("_y"),
+    )
+    frame = users.crossJoin(F.broadcast(ext)).select(
+        (F.col("_fus") * 2 < F.col("_lo") + F.col("_hi")).alias("_z"),
+        (F.col("_ne") >= 20).alias("_t"),
+        F.col("_y"),
+    )
+    return wald_iv(frame, "_z", "_t", "_y")

@@ -284,3 +284,108 @@ def cluster_agreement(
             ).cast("long"),
         ).alias("ari_micro"),
     )
+
+
+def _ln_micro(col: F.Column) -> F.Column:
+    """round(ln(x)*1e6) as bigint — one ln per integer it's applied to."""
+    return F.round(F.log(col.cast("double")) * MICRO).cast("long")
+
+
+def label_agreement_info(
+    assigned: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Information-theoretic agreement between two labelings — the
+    third view next to cluster_agreement's pair-counting ARI and
+    element-weighted B³: normalized mutual information (the number
+    every clustering paper reports) and variation of information
+    (Meilă 2007 — a true METRIC on partitions, so it composes across
+    pipeline stages where NMI does not).
+
+    Everything reduces to integer sums over ONE (x, y) contingency
+    table (q66 log discipline — ln taken ONCE per distinct integer
+    count, micro-rounded, then integer-weighted sums; never a double
+    accumulation):
+
+        S_Hx = N·ln_µ(N) − Σ_x c_x·ln_µ(c_x)          (= N·H(X) µnats)
+        S_I  = Σ_xy c_xy·(ln_µ N + ln_µ c_xy − ln_µ c_x − ln_µ c_y)
+        NMI  = 2·S_I / (S_Hx + S_Hy)                  (N cancels)
+        VI   = (S_Hx + S_Hy − 2·S_I) / N
+
+    Cost: one contingency shuffle; margins broadcast back onto the
+    |X|·|Y| cells.  int64 bound: S terms ≤ N·ln(N)·1e6 — safe past
+    10^11 rows; the NMI numerator is cast double BEFORE its 1e6 scale
+    (the qa91 overflow rule).
+
+    Output (single row): n, n_x, n_y, n_cells, hx_micro, hy_micro,
+    mi_micro, nmi_micro (NULL when both labelings are constant),
+    vi_micro.
+    """
+    cells = (
+        assigned.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    rows = cells.groupBy("_x").agg(F.sum("_n").cast("long").alias("_rx"))
+    cols = cells.groupBy("_y").agg(F.sum("_n").cast("long").alias("_ry"))
+    tot = cells.agg(F.sum("_n").cast("long").alias("_tn"))
+    sx = rows.agg(
+        F.count("*").cast("long").alias("n_x"),
+        F.sum(F.col("_rx") * _ln_micro(F.col("_rx")))
+        .cast("long")
+        .alias("_sx"),
+    )
+    sy = cols.agg(
+        F.count("*").cast("long").alias("n_y"),
+        F.sum(F.col("_ry") * _ln_micro(F.col("_ry")))
+        .cast("long")
+        .alias("_sy"),
+    )
+    mi = (
+        cells.join(F.broadcast(rows), "_x")
+        .join(F.broadcast(cols), "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("_n")
+                * (
+                    _ln_micro(F.col("_tn"))
+                    + _ln_micro(F.col("_n"))
+                    - _ln_micro(F.col("_rx"))
+                    - _ln_micro(F.col("_ry"))
+                )
+            )
+            .cast("long")
+            .alias("_t")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("_t").cast("long").alias("_si"),
+        )
+    )
+    out = (
+        mi.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sx))
+        .crossJoin(F.broadcast(sy))
+    )
+    hx = F.col("_tn") * _ln_micro(F.col("_tn")) - F.col("_sx")
+    hy = F.col("_tn") * _ln_micro(F.col("_tn")) - F.col("_sy")
+    return out.select(
+        F.col("_tn").alias("n"),
+        "n_x",
+        "n_y",
+        "n_cells",
+        F.round(hx / F.col("_tn")).cast("long").alias("hx_micro"),
+        F.round(hy / F.col("_tn")).cast("long").alias("hy_micro"),
+        F.round(F.col("_si") / F.col("_tn")).cast("long").alias("mi_micro"),
+        F.when(
+            hx + hy > 0,
+            F.round(
+                (2 * F.col("_si")).cast("double") * MICRO / (hx + hy)
+            ).cast("long"),
+        ).alias("nmi_micro"),
+        F.round((hx + hy - 2 * F.col("_si")) / F.col("_tn"))
+        .cast("long")
+        .alias("vi_micro"),
+    )

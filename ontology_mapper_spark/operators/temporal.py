@@ -4194,3 +4194,84 @@ def record_rate_test(
             ).cast("long"),
         ).alias("z_milli"),
     )
+
+
+def wald_iv(
+    df: DataFrame,
+    z_col,
+    t_col,
+    y_col,
+) -> DataFrame:
+    """Wald instrumental-variable estimate for an encouragement design
+    — the fourth leg of the causal battery next to DiD (qb10, needs a
+    control group), CUPED (qa87, needs a pre-metric) and stratified
+    ATE (qb31, needs ignorability): when treatment T is self-selected
+    but an INSTRUMENT Z shifts it, the local average treatment effect
+    is the ratio of two intent-to-treat contrasts:
+
+        LATE = (E[Y|Z=1] − E[Y|Z=0]) / (E[T|Z=1] − E[T|Z=0])
+
+    Exactness: both contrasts cross-multiply to integer numerators
+    over the SAME denominator n1·n0, which cancels in the ratio —
+
+        LATE = (Sy1·n0 − Sy0·n1) / (St1·n0 − St0·n1)
+
+    pure int64 until ONE terminal division (numerator cast double
+    before its 1e6 scale, the qa91 overflow rule).  int64 bound:
+    Σy·n_other — safe to ~10^9 rows × 10^9 total metric; past that,
+    per-arm means micro-round first (qb13 discipline).
+
+    Cost: one 2-cell aggregation — a single shuffle of 4 longs/arm.
+    Weak-instrument guard: first_stage and late are NULL when the
+    compliance contrast is zero (the qb64 rule: never divide by a
+    data-dependent zero).
+
+    Output (single row): n_z1, n_z0, t_rate1_micro, t_rate0_micro,
+    first_stage_micro, itt_micro, late_micro.
+    """
+    z = z_col if not isinstance(z_col, str) else F.col(z_col)
+    t = t_col if not isinstance(t_col, str) else F.col(t_col)
+    y = y_col if not isinstance(y_col, str) else F.col(y_col)
+    arms = (
+        df.select(
+            z.cast("boolean").alias("_z"),
+            t.cast("boolean").cast("long").alias("_t"),
+            y.cast("long").alias("_y"),
+        )
+        .groupBy("_z")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_t").cast("long").alias("_st"),
+            F.sum("_y").cast("long").alias("_sy"),
+        )
+    )
+    one = arms.groupBy().agg(
+        F.max(F.when(F.col("_z"), F.col("_n"))).alias("n_z1"),
+        F.max(F.when(~F.col("_z"), F.col("_n"))).alias("n_z0"),
+        F.max(F.when(F.col("_z"), F.col("_st"))).alias("_st1"),
+        F.max(F.when(~F.col("_z"), F.col("_st"))).alias("_st0"),
+        F.max(F.when(F.col("_z"), F.col("_sy"))).alias("_sy1"),
+        F.max(F.when(~F.col("_z"), F.col("_sy"))).alias("_sy0"),
+    )
+    den = F.col("_st1") * F.col("n_z0") - F.col("_st0") * F.col("n_z1")
+    num = F.col("_sy1") * F.col("n_z0") - F.col("_sy0") * F.col("n_z1")
+    nn = (F.col("n_z1") * F.col("n_z0")).cast("long")
+    return one.select(
+        "n_z1",
+        "n_z0",
+        F.round(F.col("_st1") * F.lit(MICRO) / F.col("n_z1"))
+        .cast("long")
+        .alias("t_rate1_micro"),
+        F.round(F.col("_st0") * F.lit(MICRO) / F.col("n_z0"))
+        .cast("long")
+        .alias("t_rate0_micro"),
+        F.when(
+            den != 0, F.round(den.cast("double") * MICRO / nn).cast("long")
+        ).alias("first_stage_micro"),
+        F.round(num.cast("double") * MICRO / nn)
+        .cast("long")
+        .alias("itt_micro"),
+        F.when(
+            den != 0, F.round(num.cast("double") * MICRO / den).cast("long")
+        ).alias("late_micro"),
+    )
