@@ -305,6 +305,8 @@ EXTENDED = [
     "qc43_calibration_slope",
     "qc44_label_nmi",
     "qc45_wald_iv",
+    "qc46_anderson_darling",
+    "qc47_seasonal_indices",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

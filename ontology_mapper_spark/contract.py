@@ -17880,3 +17880,113 @@ def qc45(spark, sf):
         F.col("_y"),
     )
     return wald_iv(frame, "_z", "_t", "_y")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 58: tail-weighted EDF drift + classical seasonal indices
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc46_anderson_darling",
+    """
+    WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                      CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS s
+               FROM events),
+    hist AS (SELECT v, CAST(sum(1 - s) AS BIGINT) AS la,
+                    CAST(sum(s) AS BIGINT) AS lb
+             FROM b GROUP BY 1),
+    cum AS (SELECT v, la + lb AS l, la, lb,
+                   CAST(sum(la + lb) OVER (ORDER BY v) AS BIGINT) AS cm,
+                   CAST(sum(la) OVER (ORDER BY v) AS BIGINT) AS cma,
+                   CAST(sum(lb) OVER (ORDER BY v) AS BIGINT) AS cmb
+            FROM hist),
+    tot AS (SELECT CAST(sum(la) AS BIGINT) AS na,
+                   CAST(sum(lb) AS BIGINT) AS nb
+            FROM hist),
+    t AS (SELECT l, na, nb, na + nb AS nn,
+                 2 * cm - l AS dd,
+                 2 * cma - la AS mda,
+                 2 * cmb - lb AS mdb
+          FROM cum CROSS JOIN tot),
+    terms AS (
+      SELECT CAST(round(l * CAST(nn * mda - na * dd AS DOUBLE)
+                          * (nn * mda - na * dd)
+                        / (nn * (dd * (2 * nn - dd) - nn * l))
+                        * 1000000) AS BIGINT) AS ta,
+             CAST(round(l * CAST(nn * mdb - nb * dd AS DOUBLE)
+                          * (nn * mdb - nb * dd)
+                        / (nn * (dd * (2 * nn - dd) - nn * l))
+                        * 1000000) AS BIGINT) AS tb
+      FROM t
+      WHERE nn * (dd * (2 * nn - dd) - nn * l) > 0),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(sum(ta) AS BIGINT) AS sa,
+                   CAST(sum(tb) AS BIGINT) AS sb
+            FROM terms)
+    SELECT na AS n_a, nb AS n_b, n_values,
+           CAST(round(CAST(na + nb - 1 AS DOUBLE) / (na + nb)
+                * (CAST(sa AS DOUBLE) / na + CAST(sb AS DOUBLE) / nb))
+                AS BIGINT) AS a2_micro
+    FROM agg CROSS JOIN tot
+    """,
+)
+def qc46(spark, sf):
+    """Two-sample Anderson-Darling criterion, tie-adjusted midrank
+    form (operators/stats.py:anderson_darling_2samp) — the
+    tail-weighted EDF distance completing KS (qa08) / CvM (qc37) /
+    Wasserstein (qb96); doubled-midrank positions keep every formula
+    input int64 (qa22 idiom), per-value terms micro-rounded from one
+    DAG then integer-summed.  Sides: odd vs even user_id over spend
+    cents."""
+    from .operators.stats import anderson_darling_2samp
+
+    e = _t(spark, sf, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 2 == 1).alias("odd"),
+    )
+    return anderson_darling_2samp(e, "cents", "odd")
+
+
+@_q(
+    "qc47_seasonal_indices",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1),
+    r AS (SELECT (d + 4) % 7 AS dow,
+                 CAST(sum(tot) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING
+                                     AND 3 FOLLOWING) AS BIGINT) AS ws,
+                 CAST(count(*) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING
+                                     AND 3 FOLLOWING) AS BIGINT) AS wc,
+                 tot
+          FROM daily),
+    ratios AS (SELECT dow,
+                      CAST(round(tot * 1000000 * wc / ws) AS BIGINT) AS rt
+               FROM r WHERE ws > 0),
+    per AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(round(sum(rt) / count(*)) AS BIGINT)
+                     AS index_micro
+            FROM ratios GROUP BY 1),
+    s AS (SELECT CAST(sum(index_micro) AS BIGINT) AS si FROM per)
+    SELECT dow, n_days, index_micro,
+           CAST(round(index_micro * 7 * 1000000 / si) AS BIGINT)
+             AS index_norm_micro
+    FROM per CROSS JOIN s
+    """,
+)
+def qc47(spark, sf):
+    """Classical ratio-to-moving-average weekly seasonal indices
+    (operators/temporal.py:seasonal_indices) — the decomposition view
+    next to qa64's seasonality R² and qb72's seasonal-naive backtest:
+    a multiplicative per-weekday index from day-total / centered-7-day
+    MA ratios, the MA cross-multiplied away so every ratio is one
+    int64 DAG; windows run on the day spine only."""
+    from .operators.temporal import seasonal_indices
+
+    e = _t(spark, sf, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return seasonal_indices(e, "ts", "cents", half_window=3)

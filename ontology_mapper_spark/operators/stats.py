@@ -5193,3 +5193,102 @@ def median_ci(
         F.col("_g").alias(group_col),
         "n", "lo_rank", "hi_rank", "median", "ci_lo", "ci_hi",
     )
+
+
+def anderson_darling_2samp(
+    df: DataFrame,
+    value_col: str,
+    side_flag,
+) -> DataFrame:
+    """Two-sample Anderson-Darling criterion, tie-adjusted (Scholz &
+    Stephens 1987, the midrank A²_akN that scipy's anderson_ksamp
+    uses) — the fourth EDF distance: KS (qa08) takes the max gap, CvM
+    (qc37) integrates the squared gap, Wasserstein (qb96) the absolute
+    gap, and AD re-weights the squared gap by 1/(F(1−F)) so TAIL
+    disagreement counts — the drift test that fires when only the
+    extremes moved.
+
+    Doubled-midrank exactness (the qa22 idiom): with D = 2·cum − l the
+    doubled midrank position and Md_j = 2·cum_j − l_j per sample, each
+    distinct value contributes (per sample j)
+
+        term_j = l·(N·Md_j − n_j·D)² / (N·(D·(2N−D) − N·l))
+
+    — every input an exact int64 from the value histogram (the
+    doubling 4s cancel between the squared numerator and the
+    denominator); the square needs double, so each term is
+    micro-rounded from ONE fixed DAG then INTEGER-summed (qb13/CvM
+    discipline), and
+
+        A² = (N−1)/N · (S_a/n_a + S_b/n_b)
+
+    One histogram shuffle; windows over the distinct-value spine only.
+
+    Output (single row): n_a, n_b, n_values, a2_micro.
+    """
+    flag = side_flag if not isinstance(side_flag, str) else F.col(side_flag)
+    base = df.select(
+        F.col(value_col).cast("long").alias("_v"),
+        F.when(flag, 1).otherwise(0).alias("_b"),
+    )
+    hist = base.groupBy("_v").agg(
+        F.sum(1 - F.col("_b")).cast("long").alias("_la"),
+        F.sum("_b").cast("long").alias("_lb"),
+    )
+    w = Window.orderBy("_v")
+    cum = hist.select(
+        "_v",
+        (F.col("_la") + F.col("_lb")).alias("_l"),
+        F.col("_la"),
+        F.col("_lb"),
+        F.sum(F.col("_la") + F.col("_lb")).over(w).cast("long").alias("_cum"),
+        F.sum("_la").over(w).cast("long").alias("_cuma"),
+        F.sum("_lb").over(w).cast("long").alias("_cumb"),
+    )
+    tot = hist.groupBy().agg(
+        F.sum("_la").cast("long").alias("_na"),
+        F.sum("_lb").cast("long").alias("_nb"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "_l",
+        (F.col("_na") + F.col("_nb")).alias("_N"),
+        (2 * F.col("_cum") - F.col("_l")).alias("_D"),
+        (2 * F.col("_cuma") - F.col("_la")).alias("_mda"),
+        (2 * F.col("_cumb") - F.col("_lb")).alias("_mdb"),
+        "_na",
+        "_nb",
+    )
+    den = F.col("_N") * (
+        F.col("_D") * (2 * F.col("_N") - F.col("_D"))
+        - F.col("_N") * F.col("_l")
+    )
+    numa = F.col("_N") * F.col("_mda") - F.col("_na") * F.col("_D")
+    numb = F.col("_N") * F.col("_mdb") - F.col("_nb") * F.col("_D")
+    terms = j.where(den > 0).select(
+        F.round(
+            F.col("_l") * numa.cast("double") * numa / den * F.lit(MICRO)
+        ).cast("long").alias("_ta"),
+        F.round(
+            F.col("_l") * numb.cast("double") * numb / den * F.lit(MICRO)
+        ).cast("long").alias("_tb"),
+    )
+    agg = terms.groupBy().agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("_ta").cast("long").alias("_sa"),
+        F.sum("_tb").cast("long").alias("_sb"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        "n_values",
+        F.round(
+            (F.col("_na") + F.col("_nb") - 1).cast("double")
+            / (F.col("_na") + F.col("_nb"))
+            * (
+                F.col("_sa").cast("double") / F.col("_na")
+                + F.col("_sb").cast("double") / F.col("_nb")
+            )
+        )
+        .cast("long")
+        .alias("a2_micro"),
+    )

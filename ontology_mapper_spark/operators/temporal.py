@@ -4275,3 +4275,75 @@ def wald_iv(
             den != 0, F.round(num.cast("double") * MICRO / den).cast("long")
         ).alias("late_micro"),
     )
+
+
+def seasonal_indices(
+    df: DataFrame,
+    ts_col: str,
+    value_col,
+    half_window: int = 3,
+) -> DataFrame:
+    """Classical ratio-to-moving-average weekly seasonal indices — the
+    decomposition view next to qa64 (how MUCH variance is seasonal)
+    and qb72 (is a seasonal-naive forecast beatable): WHICH weekday
+    runs hot, as a multiplicative index around 1.
+
+    Per day: total = Σ value (int64 cents); trend = centered
+    (2·half_window+1)-day moving average over the DAY-NUMBER range
+    frame (partial at the series ends, by definition — both engines
+    average whatever days exist in range).  The ratio cross-multiplies
+    the MA away:  ratio_µ = round(total·1e6·cnt_w / sum_w) — pure
+    int64 (bound: day-total·1e6·window, safe to ~10^6 cents/day·7;
+    past that cast double first).  The per-weekday index is the mean
+    of its day ratios (integer sum, one division), and the normalized
+    index rescales the SUM of the 7 rounded indices to 7e6 — again
+    integers only.
+
+    Weekday is session-tz-proof: (epoch_day + 4) % 7, 0 = Monday
+    (the qb71 idiom).  Cost: one daily-totals shuffle; every window
+    runs on the day spine (bounded, ~10^2-10^4 rows).
+
+    Output per weekday: dow, n_days, index_micro, index_norm_micro.
+    """
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    daily = (
+        df.select(
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                " div 86400000000"
+            )
+            .cast("long")
+            .alias("_d"),
+            v.cast("long").alias("_v"),
+        )
+        .groupBy("_d")
+        .agg(F.sum("_v").cast("long").alias("_tot"))
+    )
+    wma = (
+        Window.orderBy("_d").rangeBetween(-half_window, half_window)
+    )
+    ratios = daily.select(
+        ((F.col("_d") + 4) % 7).alias("dow"),
+        F.sum("_tot").over(wma).cast("long").alias("_ws"),
+        F.count("*").over(wma).cast("long").alias("_wc"),
+        "_tot",
+    ).where(F.col("_ws") > 0)
+    ratios = ratios.select(
+        "dow",
+        F.round(F.col("_tot") * F.lit(MICRO) * F.col("_wc") / F.col("_ws"))
+        .cast("long")
+        .alias("_r"),
+    )
+    per = ratios.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.sum("_r") / F.count("*")).cast("long").alias("index_micro"),
+    )
+    tot = per.agg(F.sum("index_micro").cast("long").alias("_si"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "index_micro",
+        F.round(F.col("index_micro") * F.lit(7) * F.lit(MICRO) / F.col("_si"))
+        .cast("long")
+        .alias("index_norm_micro"),
+    )
