@@ -307,6 +307,8 @@ EXTENDED = [
     "qc45_wald_iv",
     "qc46_anderson_darling",
     "qc47_seasonal_indices",
+    "qc48_concordance_index",
+    "qc49_ordinal_association",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -17990,3 +17990,184 @@ def qc47(spark, sf):
         "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
     return seasonal_indices(e, "ts", "cents", half_window=3)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 59: survival-model discrimination + concordance family
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc48_concordance_index",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s, event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (SELECT user_id, sid, min(ts) AS f, max(ts) AS l,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM s2 GROUP BY 1, 2),
+    gm AS (SELECT max(ts) AS g FROM events),
+    subj AS (
+      SELECT (epoch_us(l) - epoch_us(f)) // 1000000 AS t,
+             CASE WHEN epoch_us(g) - epoch_us(l) > 1800000000
+                  THEN 1 ELSE 0 END AS e,
+             least(c, 39) AS b
+      FROM sess CROSS JOIN gm),
+    cells AS (SELECT t, b, CAST(count(*) AS BIGINT) AS nall,
+                     CAST(sum(e) AS BIGINT) AS nevt,
+                     CAST(sum(1 - e) AS BIGINT) AS ncens
+              FROM subj GROUP BY 1, 2),
+    grid AS (
+      SELECT tt.t, bb.b, coalesce(c.nall, 0) AS nall,
+             coalesce(c.nevt, 0) AS nevt, coalesce(c.ncens, 0) AS ncens
+      FROM (SELECT DISTINCT t FROM cells) tt
+      CROSS JOIN (SELECT DISTINCT b FROM cells) bb
+      LEFT JOIN cells c USING (t, b)),
+    g2 AS (SELECT t, b, nevt,
+                  CAST(sum(nall) OVER (PARTITION BY b)
+                       - sum(nall) OVER (PARTITION BY b ORDER BY t
+                                         ROWS UNBOUNDED PRECEDING)
+                       + ncens AS BIGINT) AS later2
+           FROM grid),
+    g3 AS (SELECT nevt, later2 AS tied,
+                  CAST(sum(later2) OVER (PARTITION BY t)
+                       - sum(later2) OVER (PARTITION BY t ORDER BY b
+                                           ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS conc,
+                  CAST(sum(later2) OVER (PARTITION BY t) AS BIGINT) AS cmp
+           FROM g2),
+    agg AS (SELECT CAST(sum(nevt * conc) AS BIGINT) AS concordant,
+                   CAST(sum(nevt * tied) AS BIGINT) AS tied_score,
+                   CAST(sum(nevt * cmp) AS BIGINT) AS comparable
+            FROM g3 WHERE nevt > 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS n_events
+            FROM subj)
+    SELECT n, n_events, comparable, concordant, tied_score,
+           CASE WHEN comparable > 0 THEN
+             CAST(round(CAST(2 * concordant + tied_score AS DOUBLE)
+                        * 1000000 / (2 * comparable)) AS BIGINT)
+           END AS c_index_micro
+    FROM agg CROSS JOIN tot
+    """,
+)
+def qc48(spark, sf):
+    """Harrell's C-index of session size as a prognostic score for
+    session lifetime, censoring-aware (operators/evaluate.py:
+    concordance_index) — the survival-model discrimination metric
+    closing the eval loop KM (qa67) / Nelson-Aalen (qb85) / RMST
+    (qc12) / log-rank (qb91) opened; qa67's exact session frame
+    (30-min cuts, end-censoring), scores clamped to the qb93 grid,
+    all pair counts from partitioned windows over the
+    (time spine × ≤40 buckets) grid — never a pair join."""
+    from .operators.evaluate import concordance_index
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+        "event_id",
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.select(
+            "user_id", "ts", F.sum("new_s").over(run).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("f"),
+            F.max("ts").alias("l"),
+            F.count("*").cast("long").alias("c"),
+        )
+    )
+    gm = e.agg(F.max("ts").alias("g"))
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    subj = sess.crossJoin(F.broadcast(gm)).select(
+        ((um("l") - um("f")) / F.lit(1_000_000)).cast("long").alias("t"),
+        (um("g") - um("l") > 1_800_000_000).alias("e"),
+        F.col("c").alias("s"),
+    )
+    return concordance_index(subj, "t", "e", "s", max_score=39)
+
+
+@_q(
+    "qc49_ordinal_association",
+    """
+    WITH per AS (
+      SELECT user_id,
+             least(CAST(count(DISTINCT epoch_us(ts) // 86400000000)
+                        AS BIGINT), 19) AS x,
+             least(CAST(sum(CAST(round(value * 100) AS BIGINT)) // 2000
+                        AS BIGINT), 19) AS y
+      FROM events GROUP BY 1),
+    g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM per
+          GROUP BY 1, 2),
+    cd AS (SELECT
+             CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                           THEN a.n * b.n ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                           THEN a.n * b.n ELSE 0 END) AS BIGINT)
+               AS discordant
+           FROM g a CROSS JOIN g b),
+    tx AS (SELECT CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS txp
+           FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY x)),
+    ty AS (SELECT CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS typ
+           FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY y)),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells
+            FROM g),
+    f AS (SELECT *, CAST(tot.n * (tot.n - 1) / 2 AS BIGINT) AS n0
+          FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot)
+    SELECT n, n_cells, concordant, discordant,
+           CASE WHEN concordant + discordant > 0 THEN
+             CAST(round((concordant - discordant) * 1000
+                        / (concordant + discordant)) AS BIGINT)
+           END AS gamma_milli,
+           CASE WHEN n0 - txp > 0 THEN
+             CAST(round((concordant - discordant) * 1000 / (n0 - txp))
+                  AS BIGINT) END AS somers_d_yx_milli,
+           CASE WHEN n0 - typ > 0 THEN
+             CAST(round((concordant - discordant) * 1000 / (n0 - typ))
+                  AS BIGINT) END AS somers_d_xy_milli
+    FROM f
+    """,
+)
+def qc49(spark, sf):
+    """Goodman-Kruskal gamma + Somers' D both ways for per-user
+    (active-days, spend) ordinal pairs (operators/stats.py:
+    ordinal_association) — the concordance family around qb93's
+    tau-b, from the same bounded-grid self-join; D_yx is the
+    asymmetric x→y effect size (2·AUC−1 in the binary case).  Every
+    pair count exact int64, each index one terminal division."""
+    from .operators.stats import ordinal_association
+
+    e = _t(spark, sf, "events")
+    per = e.groupBy("user_id").agg(
+        F.countDistinct(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        )
+        .cast("long")
+        .alias("x"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) div 2000"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    return ordinal_association(per, "x", "y", max_level=19)

@@ -2176,3 +2176,112 @@ def calibration_slope(
         ).alias("intercept_micro"),
         F.round(mean_y - mean_c).cast("long").alias("large_gap_micro"),
     )
+
+
+def concordance_index(
+    df: DataFrame,
+    time_col: str,
+    event_col,
+    score_col,
+    max_score: int = 39,
+) -> DataFrame:
+    """Harrell's C-index — concordance between a prognostic score and
+    censored survival times, THE discrimination metric for survival /
+    churn / retention models (it is ROC-AUC's censoring-aware
+    generalization: with no censoring and binary time it degenerates
+    to AUC).  Higher score must predict LONGER survival.
+
+    Pair semantics (Harrell): a pair is comparable iff the earlier
+    subject had an EVENT — (t_i < t_j, e_i=1), or (t_i = t_j, e_i=1,
+    e_j=0); equal-time event pairs are not.  Concordant when the later
+    survivor carries the higher score; equal scores count half.
+
+    Scale shape — never a pair join: scores clamp to ≤ max_score+1
+    buckets (declared semantics, the qb93 grid discipline), and all
+    pair counts come from a (distinct time × bucket) GRID of the
+    subject histogram with two PARTITIONED cumulative windows:
+    per-bucket over the time spine (later-subject counts), per-time
+    over the ≤40-bucket spine (score-tail sums).  Every count is exact
+    int64; C = (2·concordant + tied)/(2·comparable) is one terminal
+    double (numerator cast double before its 1e6 scale, qa91 rule).
+
+    Output (single row): n, n_events, comparable, concordant,
+    tied_score, c_index_micro (NULL when no comparable pairs).
+    """
+    e = event_col if not isinstance(event_col, str) else F.col(event_col)
+    s = score_col if not isinstance(score_col, str) else F.col(score_col)
+    subj = df.select(
+        F.col(time_col).cast("long").alias("_t"),
+        e.cast("boolean").cast("long").alias("_e"),
+        F.least(s.cast("long"), F.lit(int(max_score))).alias("_b"),
+    )
+    cells = subj.groupBy("_t", "_b").agg(
+        F.count("*").cast("long").alias("_nall"),
+        F.sum("_e").cast("long").alias("_nevt"),
+        F.sum(1 - F.col("_e")).cast("long").alias("_ncens"),
+    )
+    times = cells.select("_t").distinct()
+    buckets = cells.select("_b").distinct()
+    grid = (
+        times.crossJoin(F.broadcast(buckets))
+        .join(cells, ["_t", "_b"], "left")
+        .fillna(0, subset=["_nall", "_nevt", "_ncens"])
+    )
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totb = Window.partitionBy("_b")
+    g2 = grid.select(
+        "_t",
+        "_b",
+        "_nevt",
+        (
+            F.sum("_nall").over(totb)
+            - F.sum("_nall").over(wb)
+            + F.col("_ncens")
+        )
+        .cast("long")
+        .alias("_later2"),
+    )
+    wt = (
+        Window.partitionBy("_t")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tott = Window.partitionBy("_t")
+    g3 = g2.select(
+        "_nevt",
+        F.col("_later2").alias("_tied"),
+        (F.sum("_later2").over(tott) - F.sum("_later2").over(wt))
+        .cast("long")
+        .alias("_conc"),
+        F.sum("_later2").over(tott).cast("long").alias("_cmp"),
+    ).where(F.col("_nevt") > 0)
+    agg = g3.agg(
+        F.sum(F.col("_nevt") * F.col("_conc")).cast("long").alias("concordant"),
+        F.sum(F.col("_nevt") * F.col("_tied")).cast("long").alias("tied_score"),
+        F.sum(F.col("_nevt") * F.col("_cmp")).cast("long").alias("comparable"),
+    )
+    tot = subj.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_e").cast("long").alias("n_events"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "n_events",
+        "comparable",
+        "concordant",
+        "tied_score",
+        F.when(
+            F.col("comparable") > 0,
+            F.round(
+                (2 * F.col("concordant") + F.col("tied_score")).cast(
+                    "double"
+                )
+                * MICRO
+                / (2 * F.col("comparable"))
+            ).cast("long"),
+        ).alias("c_index_micro"),
+    )

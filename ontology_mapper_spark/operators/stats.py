@@ -5292,3 +5292,113 @@ def anderson_darling_2samp(
         .cast("long")
         .alias("a2_micro"),
     )
+
+
+def ordinal_association(
+    per_unit: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_level: int = 19,
+) -> DataFrame:
+    """Goodman-Kruskal gamma + Somers' D (both directions) on the same
+    bounded (x, y) grid kendall_tau_b (qb93) runs on — the rest of the
+    concordance family: gamma ignores ALL ties (the optimist), Somers'
+    D_yx penalizes ties on the dependent Y only (THE effect size under
+    an x→y reading — it is what ROC-AUC generalizes: D_yx = 2·AUC − 1
+    for binary x), and the two D directions differ exactly when the
+    tie structure is asymmetric.
+
+    All pair counts (C, D, per-axis tie pair counts) are exact int64
+    sums of cell-count products over the ≤(max_level+1)² cell
+    self-join — never a row-level pair join; each index is ONE
+    terminal division, milli-rounded.
+
+    Output (single row): n, n_cells, concordant, discordant,
+    gamma_milli, somers_d_yx_milli, somers_d_xy_milli.
+    """
+    g = (
+        per_unit.select(
+            F.least(F.col(x_col).cast("long"), F.lit(int(max_level)))
+            .alias("_x"),
+            F.least(F.col(y_col).cast("long"), F.lit(int(max_level)))
+            .alias("_y"),
+        )
+        .groupBy("_x", "_y")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    a = g.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+        F.col("_n").alias("_na"),
+    )
+    b = g.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+        F.col("_n").alias("_nb"),
+    )
+    cd = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("_xb") > F.col("_xa")) & (F.col("_yb") > F.col("_ya")),
+                F.col("_na") * F.col("_nb"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(
+                (F.col("_xb") > F.col("_xa")) & (F.col("_yb") < F.col("_ya")),
+                F.col("_na") * F.col("_nb"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    tx = (
+        g.groupBy("_x")
+        .agg(F.sum("_n").cast("long").alias("_t"))
+        .agg(
+            (F.sum(F.col("_t") * (F.col("_t") - 1)) / 2)
+            .cast("long")
+            .alias("_txp")
+        )
+    )
+    ty = (
+        g.groupBy("_y")
+        .agg(F.sum("_n").cast("long").alias("_t"))
+        .agg(
+            (F.sum(F.col("_t") * (F.col("_t") - 1)) / 2)
+            .cast("long")
+            .alias("_typ")
+        )
+    )
+    tot = g.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    out = (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    num = F.col("concordant") - F.col("discordant")
+    return out.select(
+        "n",
+        "n_cells",
+        "concordant",
+        "discordant",
+        F.when(
+            F.col("concordant") + F.col("discordant") > 0,
+            F.round(
+                num * F.lit(1000)
+                / (F.col("concordant") + F.col("discordant"))
+            ).cast("long"),
+        ).alias("gamma_milli"),
+        F.when(
+            n0 - F.col("_txp") > 0,
+            F.round(num * F.lit(1000) / (n0 - F.col("_txp"))).cast("long"),
+        ).alias("somers_d_yx_milli"),
+        F.when(
+            n0 - F.col("_typ") > 0,
+            F.round(num * F.lit(1000) / (n0 - F.col("_typ"))).cast("long"),
+        ).alias("somers_d_xy_milli"),
+    )
