@@ -309,6 +309,8 @@ EXTENDED = [
     "qc47_seasonal_indices",
     "qc48_concordance_index",
     "qc49_ordinal_association",
+    "qc50_durbin_watson",
+    "qc51_spiegelhalter_z",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -18171,3 +18171,118 @@ def qc49(spark, sf):
         ).alias("y"),
     )
     return ordinal_association(per, "x", "y", max_level=19)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 60: residual autocorrelation + calibration significance
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc50_durbin_watson",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    idx AS (SELECT row_number() OVER (ORDER BY d) - 1 AS t, y FROM daily),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(t) AS BIGINT) AS st,
+                 CAST(sum(t * t) AS BIGINT) AS stt,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(t * y) AS BIGINT) AS sty
+          FROM idx),
+    res AS (SELECT t,
+                   CAST((nd * stt - st * st) * y
+                        - (sy * stt - st * sty)
+                        - (nd * sty - st * sy) * t AS BIGINT) AS r,
+                   nd * sty - st * sy AS db,
+                   nd * stt - st * st AS dd
+            FROM idx CROSS JOIN s),
+    res2 AS (SELECT r, r - lag(r) OVER (ORDER BY t) AS dr, db, dd
+             FROM res),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   sum(CAST(r AS HUGEINT) * r) AS sr2,
+                   sum(CAST(dr AS HUGEINT) * dr) AS sd2,
+                   CAST(max(db) AS BIGINT) AS dbx,
+                   CAST(max(dd) AS BIGINT) AS ddx
+            FROM res2)
+    SELECT n_days,
+           CASE WHEN ddx <> 0 THEN
+             CAST(round(CAST(dbx AS DOUBLE) * 1000 / ddx) AS BIGINT)
+           END AS slope_milli,
+           CASE WHEN CAST(sr2 AS DOUBLE) > 0 THEN
+             CAST(round(CAST(sd2 AS DOUBLE) * 1000 / CAST(sr2 AS DOUBLE))
+                  AS BIGINT) END AS dw_milli
+    FROM agg
+    """,
+)
+def qc50(spark, sf):
+    """Durbin-Watson autocorrelation of daily-spend residuals around
+    the OLS time trend (operators/stats.py:durbin_watson_daily) — the
+    detrended complement to qa70's raw ACF; the OLS denominator
+    Dd = n·Σt²−(Σt)² clears every fraction so scaled residuals are
+    pure int64, the two squared sums accumulate as decimal(38,0) ↔
+    HUGEINT (the approved decimal-cast-sums pattern), Dd² cancels in
+    the ratio."""
+    from .operators.stats import durbin_watson_daily
+
+    e = _t(spark, sf, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return durbin_watson_daily(e, "ts", "cents")
+
+
+@_q(
+    "qc51_spiegelhalter_z",
+    """
+    WITH ext AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+                 FROM documents),
+    b AS (
+      SELECT CAST(floor((n_chars - ext.mn) * 10 / (ext.mx - ext.mn + 1))
+                  AS BIGINT) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents CROSS JOIN ext),
+    per AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(y) AS BIGINT) AS pos
+            FROM b GROUP BY 1),
+    t AS (SELECT nb, pos,
+                 CAST((2 * bin + 1) * 1000000 / 20 AS BIGINT) AS cf
+          FROM per),
+    terms AS (
+      SELECT nb,
+             CAST((pos * 1000000 - nb * cf) * (1000000 - 2 * cf)
+                  AS BIGINT) AS nm,
+             CAST(round(nb
+                  * (CAST(1000000 - 2 * cf AS DOUBLE) / 1000000)
+                  * (CAST(1000000 - 2 * cf AS DOUBLE) / 1000000)
+                  * (CAST(cf AS DOUBLE) / 1000000)
+                  * (CAST(1000000 - cf AS DOUBLE) / 1000000)
+                  * 1000000) AS BIGINT) AS vr
+      FROM t),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_bins_used,
+                   CAST(sum(nb) AS BIGINT) AS n,
+                   CAST(sum(nm) AS BIGINT) AS num_micro2,
+                   CAST(sum(vr) AS BIGINT) AS var_micro
+            FROM terms)
+    SELECT n, n_bins_used, num_micro2, var_micro,
+           CASE WHEN var_micro > 0 THEN
+             CAST(round(CAST(num_micro2 AS DOUBLE) / 1e12
+                        / sqrt(CAST(var_micro AS DOUBLE) / 1000000)
+                        * 1000) AS BIGINT) END AS z_milli
+    FROM agg
+    """,
+)
+def qc51(spark, sf):
+    """Spiegelhalter's Z calibration significance test on qa82/qc43's
+    equi-width bins (operators/evaluate.py:spiegelhalter_z) — the
+    hypothesis-test leg of the calibration battery (Z ~ N(0,1) under
+    perfect calibration); per-bin numerators pure int64, variance
+    terms micro-rounded from one fixed DAG then integer-summed, one
+    terminal division over a correctly-rounded sqrt."""
+    from .operators.evaluate import spiegelhalter_z
+
+    d = _t(spark, sf, "documents")
+    return spiegelhalter_z(
+        d, "n_chars", F.col("lang") == F.lit("en"), n_bins=10
+    )

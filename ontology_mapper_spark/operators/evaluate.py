@@ -2285,3 +2285,99 @@ def concordance_index(
             ).cast("long"),
         ).alias("c_index_micro"),
     )
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Spiegelhalter's Z — the significance TEST for calibration,
+    completing the descriptive battery on the same equi-width bins as
+    ECE (qa82) / Hosmer-Lemeshow (qc23) / slope-intercept (qc43):
+    under perfect calibration Z ~ N(0,1), so |Z| > 1.96 rejects
+    without any df bookkeeping:
+
+        Z = Σ (y−p)(1−2p) / sqrt(Σ (1−2p)²·p·(1−p))
+
+    Integer plan: with exact midpoint micro confidence cf and
+    q = 1e6 − 2·cf, each bin's numerator (pos·1e6 − n·cf)·q is pure
+    int64; the variance term overflows int64 so it is micro-rounded
+    per BIN from one fixed double DAG then integer-summed (qb13
+    discipline).  Final Z is one division over one correctly-rounded
+    sqrt.
+
+    Output (single row): n, n_bins_used, num_micro2 (Σ(y−p)(1−2p) in
+    micro² = 1e-12 units), var_micro, z_milli (NULL when the variance is zero).
+    """
+    base = df.select(
+        (
+            score_col if not isinstance(score_col, str) else F.col(score_col)
+        )
+        .cast("long")
+        .alias("_s"),
+        (
+            label_col if not isinstance(label_col, str) else F.col(label_col)
+        )
+        .cast("boolean")
+        .cast("long")
+        .alias("_y"),
+    )
+    ext = base.groupBy().agg(
+        F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
+    )
+    nb = int(n_bins)
+    binned = base.crossJoin(F.broadcast(ext)).select(
+        F.floor(
+            (F.col("_s") - F.col("_mn"))
+            * nb
+            / (F.col("_mx") - F.col("_mn") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "_y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_pos"),
+    )
+    cf = ((2 * F.col("bin") + 1) * F.lit(MICRO) / F.lit(2 * nb)).cast("long")
+    q = F.lit(MICRO) - 2 * cf
+    terms = per.select(
+        "_n",
+        ((F.col("_pos") * F.lit(MICRO) - F.col("_n") * cf) * q)
+        .cast("long")
+        .alias("_num"),
+        F.round(
+            F.col("_n")
+            * (q.cast("double") / MICRO)
+            * (q.cast("double") / MICRO)
+            * (cf.cast("double") / MICRO)
+            * ((F.lit(MICRO) - cf).cast("double") / MICRO)
+            * MICRO
+        )
+        .cast("long")
+        .alias("_var"),
+    )
+    agg = terms.groupBy().agg(
+        F.count("*").cast("long").alias("n_bins_used"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_num").cast("long").alias("num_micro2"),
+        F.sum("_var").cast("long").alias("var_micro"),
+    )
+    return agg.select(
+        "n",
+        "n_bins_used",
+        "num_micro2",
+        "var_micro",
+        F.when(
+            F.col("var_micro") > 0,
+            F.round(
+                F.col("num_micro2").cast("double")
+                / F.lit(1e12)
+                / F.sqrt(F.col("var_micro").cast("double") / MICRO)
+                * 1000
+            ).cast("long"),
+        ).alias("z_milli"),
+    )

@@ -5402,3 +5402,98 @@ def ordinal_association(
             F.round(num * F.lit(1000) / (n0 - F.col("_typ"))).cast("long"),
         ).alias("somers_d_xy_milli"),
     )
+
+
+def durbin_watson_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col,
+) -> DataFrame:
+    """Durbin-Watson statistic of daily-total residuals around the OLS
+    time trend — residual AUTOCORRELATION, the diagnostic qa70 (ACF)
+    and qb97 (Ljung-Box) run on the raw series but belongs on the
+    DETRENDED one: DW ≈ 2 means the trend fit left white noise,
+    DW → 0 trending residuals (the fit is wrong / drift remains),
+    DW → 4 alternation.
+
+    Integer-exact residuals: with t the 0-based day RANK, the OLS
+    denominator Dd = n·Σt² − (Σt)² clears every fraction —
+
+        rt = Dd·y_t − (Σy·Σt² − Σt·Σty) − (n·Σty − Σt·Σy)·t
+
+    is pure int64 (scaled residual, Dd× the real one).  The two
+    squared sums overflow int64, so they accumulate as decimal(38,0)
+    in Spark / HUGEINT in DuckDB — the approved decimal-cast-sums →
+    cast-double-at-the-end pattern; Dd² cancels in the ratio.  Lag
+    runs on the day spine (bounded window).
+
+    Output (single row): n_days, slope_milli (cents/day), dw_milli.
+    """
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    daily = (
+        df.select(
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("_d"),
+            v.cast("long").alias("_v"),
+        )
+        .groupBy("_d")
+        .agg(F.sum("_v").cast("long").alias("_y"))
+    )
+    wd = Window.orderBy("_d")
+    idx = daily.select(
+        (F.row_number().over(wd) - 1).cast("long").alias("_t"), "_y"
+    )
+    s = idx.groupBy().agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_t").cast("long").alias("_st"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_stt"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_t") * F.col("_y")).cast("long").alias("_sty"),
+    )
+    j = idx.crossJoin(F.broadcast(s))
+    dd = F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")
+    da = F.col("_sy") * F.col("_stt") - F.col("_st") * F.col("_sty")
+    db = F.col("_n") * F.col("_sty") - F.col("_st") * F.col("_sy")
+    res = j.select(
+        "_t",
+        (dd * F.col("_y") - da - db * F.col("_t")).cast("long").alias("_r"),
+        db.alias("_db"),
+        dd.alias("_dd"),
+    )
+    wlag = Window.orderBy("_t")
+    res2 = res.select(
+        "_r",
+        (F.col("_r") - F.lag("_r").over(wlag)).alias("_dr"),
+        "_db",
+        "_dd",
+    )
+    agg = res2.groupBy().agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            F.col("_r").cast("decimal(38,0)") * F.col("_r")
+        ).alias("_sr2"),
+        F.sum(
+            F.col("_dr").cast("decimal(38,0)") * F.col("_dr")
+        ).alias("_sd2"),
+        F.max("_db").alias("_dbx"),
+        F.max("_dd").alias("_ddx"),
+    )
+    return agg.select(
+        "n_days",
+        F.when(
+            F.col("_ddx") != 0,
+            F.round(
+                F.col("_dbx").cast("double") * 1000 / F.col("_ddx")
+            ).cast("long"),
+        ).alias("slope_milli"),
+        F.when(
+            F.col("_sr2").cast("double") > 0,
+            F.round(
+                F.col("_sd2").cast("double")
+                * 1000
+                / F.col("_sr2").cast("double")
+            ).cast("long"),
+        ).alias("dw_milli"),
+    )
