@@ -311,6 +311,8 @@ EXTENDED = [
     "qc49_ordinal_association",
     "qc50_durbin_watson",
     "qc51_spiegelhalter_z",
+    "qc52_heavy_hitters",
+    "qc53_stuart_maxwell",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

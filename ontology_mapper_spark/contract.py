@@ -18286,3 +18286,139 @@ def qc51(spark, sf):
     return spiegelhalter_z(
         d, "n_chars", F.col("lang") == F.lit("en"), n_bins=10
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 61: sketch-confirmed heavy hitters + paired marginal shift
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc52_heavy_hitters",
+    r"""
+    WITH norm AS (
+      SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents),
+    toks AS (SELECT unnest(string_split(t, ' ')) AS value FROM norm),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks),
+    counts AS (SELECT value, CAST(count(*) AS BIGINT) AS freq
+               FROM toks GROUP BY 1)
+    SELECT value, freq,
+           CAST(round(freq * 1000000 / tot.nt) AS BIGINT) AS share_micro
+    FROM counts CROSS JOIN tot
+    WHERE freq * 64 > tot.nt
+    """,
+)
+def qc52(spark, sf):
+    """Exact heavy-hitter tokens via the two-pass Misra-Gries plan
+    (operators/sketch.py:misra_gries_heavy_hitters) — per-partition
+    k-counter MG summaries inside mapInPandas (candidates are a
+    SUPERSET of every value with freq > N/k under any partitioning —
+    the mergeable-summaries bound), then a broadcast semi-join exact
+    recount; the final set and counts are partition-invariant, which
+    is why a plain exact-SQL oracle can check a sketch."""
+    from .operators.sketch import misra_gries_heavy_hitters
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.lower(
+                    F.trim(F.regexp_replace("text", r"\s+", " "))
+                ),
+                " ",
+            )
+        ).alias("value")
+    )
+    return misra_gries_heavy_hitters(toks, "value", k=64)
+
+
+@_q(
+    "qc53_stuart_maxwell",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    ext AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+    per AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN us * 2 < ext.lo + ext.hi THEN 1 ELSE 0
+                      END) AS BIGINT) AS npre,
+             CAST(sum(CASE WHEN us * 2 < ext.lo + ext.hi THEN 0 ELSE 1
+                      END) AS BIGINT) AS npost
+      FROM e CROSS JOIN ext GROUP BY 1),
+    cats AS (
+      SELECT CASE WHEN npre <= 2 THEN 0 WHEN npre <= 8 THEN 1 ELSE 2
+             END AS p,
+             CASE WHEN npost <= 2 THEN 0 WHEN npost <= 8 THEN 1 ELSE 2
+             END AS q
+      FROM per),
+    one AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN p=0 AND q=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN p=0 AND q=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN p=0 AND q=2 THEN 1 ELSE 0 END) AS BIGINT) AS n02,
+             CAST(sum(CASE WHEN p=1 AND q=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN p=1 AND q=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN p=1 AND q=2 THEN 1 ELSE 0 END) AS BIGINT) AS n12,
+             CAST(sum(CASE WHEN p=2 AND q=0 THEN 1 ELSE 0 END) AS BIGINT) AS n20,
+             CAST(sum(CASE WHEN p=2 AND q=1 THEN 1 ELSE 0 END) AS BIGINT) AS n21,
+             CAST(sum(CASE WHEN p=2 AND q=2 THEN 1 ELSE 0 END) AS BIGINT) AS n22
+      FROM cats),
+    f AS (
+      SELECT n,
+             (n00+n01+n02) - (n00+n10+n20) AS d0,
+             (n10+n11+n12) - (n01+n11+n21) AS d1,
+             (n00+n01+n02) + (n00+n10+n20) - 2*n00 AS s00,
+             (n10+n11+n12) + (n01+n11+n21) - 2*n11 AS s11,
+             -(n01 + n10) AS s01
+      FROM one)
+    SELECT n, CAST(d0 AS BIGINT) AS d0, CAST(d1 AS BIGINT) AS d1,
+           CAST(s00 AS BIGINT) AS s00, CAST(s01 AS BIGINT) AS s01,
+           CAST(s11 AS BIGINT) AS s11,
+           CAST(s00*s11 - s01*s01 AS BIGINT) AS det,
+           CASE WHEN s00*s11 - s01*s01 > 0 THEN
+             CAST(round(CAST(d0*d0*s11 - 2*d0*d1*s01 + d1*d1*s00
+                             AS DOUBLE) * 1000
+                        / (s00*s11 - s01*s01)) AS BIGINT)
+           END AS chi2_milli
+    FROM f
+    """,
+)
+def qc53(spark, sf):
+    """Stuart-Maxwell marginal-homogeneity test on per-user activity
+    terciles pre vs post the time-range midpoint (operators/stats.py:
+    stuart_maxwell) — McNemar's 3-category generalization; the 2×2
+    adjugate keeps χ² pure int64 until one terminal division."""
+    from .operators.stats import stuart_maxwell
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    ext = e.agg(F.min("_us").alias("_lo"), F.max("_us").alias("_hi"))
+    per = (
+        e.crossJoin(F.broadcast(ext))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_us") * 2 < F.col("_lo") + F.col("_hi"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("npre"),
+            F.sum(
+                F.when(
+                    F.col("_us") * 2 < F.col("_lo") + F.col("_hi"), 0
+                ).otherwise(1)
+            )
+            .cast("long")
+            .alias("npost"),
+        )
+    )
+    tercile = lambda c: (  # noqa: E731
+        F.when(F.col(c) <= 2, 0).when(F.col(c) <= 8, 1).otherwise(2)
+    )
+    cats = per.select(
+        tercile("npre").alias("p"), tercile("npost").alias("q")
+    )
+    return stuart_maxwell(cats, "p", "q")

@@ -621,3 +621,67 @@ def feature_hash_collisions(
         "collided_share_micro",
         "max_bucket_load",
     )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Exact heavy hitters via a two-pass Misra-Gries sketch — all
+    values with frequency strictly above N/k, WITHOUT ever grouping
+    the full vocabulary: pass 1 runs a k-counter MG summary per
+    partition inside mapInPandas (vectorized per Arrow batch in its
+    mergeable-summaries form — add the batch's value_counts, then
+    subtract the (k+1)-th largest and drop ≤0; Agarwal/Cormode et al.
+    2012 prove this keeps the ε=1/k undercount bound), pass 2
+    broadcast-semi-joins the ≤ k·partitions candidates back and
+    recounts them EXACTLY.
+
+    Why the result is deterministic (and oracle-checkable) even though
+    the sketch isn't: MG undercounts by at most N/k, so every value
+    with true frequency > N/k survives SOME partition's summary
+    (pigeonhole over partition thresholds) — candidates are a
+    superset of the answer under ANY partitioning/arrival order, and
+    the exact recount + strict threshold makes the final set and
+    counts partition-invariant.  The classic 100 TB top-token plan:
+    two scans, no vocabulary-sized shuffle.
+
+    Output: (value, freq, share_micro) for every value with
+    freq·k > N.
+    """
+    import pandas as pd
+
+    toks = df.select(F.col(value_col).cast("string").alias("value"))
+    kk = int(k)
+
+    def mg(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(
+                pdf["value"].value_counts(), fill_value=0
+            )
+            if len(counters) > kk:
+                m = counters.nlargest(kk + 1).iloc[-1]
+                counters = counters - m
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"value": counters.index.astype(str)})
+
+    cands = toks.mapInPandas(mg, "value string").distinct()
+    tot = toks.agg(F.count("*").cast("long").alias("_n_total"))
+    counts = (
+        toks.join(F.broadcast(cands), "value")
+        .groupBy("value")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("freq") * kk > F.col("_n_total"))
+        .select(
+            "value",
+            "freq",
+            F.round(F.col("freq") * F.lit(1_000_000) / F.col("_n_total"))
+            .cast("long")
+            .alias("share_micro"),
+        )
+    )

@@ -5497,3 +5497,70 @@ def durbin_watson_daily(
             ).cast("long"),
         ).alias("dw_milli"),
     )
+
+
+def stuart_maxwell(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test for PAIRED 3-category
+    labels — McNemar's (qb14) k=3 generalization: did the category
+    DISTRIBUTION shift between two paired measurements (same units,
+    before/after), using only the off-diagonal disagreement structure.
+
+    With margins r_i (pre) and c_i (post) over categories {0,1,2},
+    d = (r0−c0, r1−c1) and the 2×2 covariance
+
+        S = [[r0+c0−2·n00,  −(n01+n10)],
+             [−(n01+n10),   r1+c1−2·n11]]
+
+    the statistic χ² = dᵀS⁻¹d (df = 2) comes out of the 2×2 adjugate
+    as pure int64 — (d0²·s11 − 2·d0·d1·s01 + d1²·s00)/det with
+    det = s00·s11 − s01² — one terminal division (numerator cast
+    double before its milli scale, qa91 rule).  Cost: one 9-cell
+    aggregation.
+
+    Output (single row): n, d0, d1, s00, s01, s11, det, chi2_milli
+    (NULL when det ≤ 0 — degenerate pairing).
+    """
+    cat = lambda c: F.col(c).cast("long")  # noqa: E731
+    cells = df.select(
+        cat(pre_col).alias("_p"), cat(post_col).alias("_q")
+    )
+    one = cells.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(
+                F.when((F.col("_p") == i) & (F.col("_q") == j), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias(f"_n{i}{j}")
+            for i in range(3)
+            for j in range(3)
+        ],
+    )
+    r = lambda i: sum(F.col(f"_n{i}{j}") for j in range(3))  # noqa: E731
+    c = lambda j: sum(F.col(f"_n{i}{j}") for i in range(3))  # noqa: E731
+    d0 = r(0) - c(0)
+    d1 = r(1) - c(1)
+    s00 = r(0) + c(0) - 2 * F.col("_n00")
+    s11 = r(1) + c(1) - 2 * F.col("_n11")
+    s01 = -(F.col("_n01") + F.col("_n10"))
+    det = s00 * s11 - s01 * s01
+    num = d0 * d0 * s11 - 2 * d0 * d1 * s01 + d1 * d1 * s00
+    return one.select(
+        "n",
+        d0.cast("long").alias("d0"),
+        d1.cast("long").alias("d1"),
+        s00.cast("long").alias("s00"),
+        s01.cast("long").alias("s01"),
+        s11.cast("long").alias("s11"),
+        det.cast("long").alias("det"),
+        F.when(
+            det > 0,
+            F.round(num.cast("double") * 1000 / det).cast("long"),
+        ).alias("chi2_milli"),
+    )
