@@ -313,6 +313,8 @@ EXTENDED = [
     "qc51_spiegelhalter_z",
     "qc52_heavy_hitters",
     "qc53_stuart_maxwell",
+    "qc54_greenwood_ci",
+    "qc55_harmonic_centrality",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -18422,3 +18422,110 @@ def qc53(spark, sf):
         tercile("npre").alias("p"), tercile("npost").alias("q")
     )
     return stuart_maxwell(cats, "p", "q")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 62: survival uncertainty bands + seed-set centrality
+# ---------------------------------------------------------------------------
+
+
+@_q("qc54_greenwood_ci")
+def qc54(spark, sf):
+    """Greenwood pointwise 95% confidence bands over qa67's
+    Kaplan-Meier curve (operators/stats.py:greenwood_bands) — hazard
+    variance terms d/(n(n−d)) pico-rounded from integer risk-set
+    counts then integer-cumsummed; the band is one fixed DAG over
+    (ln_s_micro, gcum).  Engine side composes ON qa67's output frame,
+    oracle wraps qa67's SQL verbatim (the qb97/qc12 reuse idiom)."""
+    from .operators.stats import greenwood_bands
+
+    km = QUERIES["qa67_kaplan_meier"](spark, sf)
+    return greenwood_bands(km, z_milli=1960)
+
+
+ORACLES["qc54_greenwood_ci"] = (
+    "WITH base AS (\n"
+    + ORACLES["qa67_kaplan_meier"]
+    + """
+    ),
+    g AS (SELECT duration, survival_micro, ln_s_micro,
+                 CASE WHEN n_at_risk > n_events THEN
+                   CAST(round(n_events * 1e12
+                        / (n_at_risk * (n_at_risk - n_events)))
+                        AS BIGINT) END AS gp
+          FROM base),
+    c AS (SELECT duration, survival_micro, ln_s_micro,
+                 CAST(sum(gp) OVER (ORDER BY duration
+                                    ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS gcum
+          FROM g)
+    SELECT duration, survival_micro,
+           CASE WHEN ln_s_micro IS NOT NULL THEN
+             CAST(round(exp(CAST(ln_s_micro AS DOUBLE) / 1000000)
+                  * sqrt(CAST(gcum AS DOUBLE) / 1e12) * 1000000)
+                  AS BIGINT) END AS se_micro,
+           CASE WHEN ln_s_micro IS NOT NULL THEN
+             greatest(CAST(0 AS BIGINT),
+               CAST(round((exp(CAST(ln_s_micro AS DOUBLE) / 1000000)
+                    - 1.96 * exp(CAST(ln_s_micro AS DOUBLE) / 1000000)
+                      * sqrt(CAST(gcum AS DOUBLE) / 1e12)) * 1000000)
+                    AS BIGINT)) END AS ci_lo_micro,
+           CASE WHEN ln_s_micro IS NOT NULL THEN
+             least(CAST(1000000 AS BIGINT),
+               CAST(round((exp(CAST(ln_s_micro AS DOUBLE) / 1000000)
+                    + 1.96 * exp(CAST(ln_s_micro AS DOUBLE) / 1000000)
+                      * sqrt(CAST(gcum AS DOUBLE) / 1e12)) * 1000000)
+                    AS BIGINT)) END AS ci_hi_micro
+    FROM c
+    """
+)
+
+
+@_q(
+    "qc55_harmonic_centrality",
+    """
+    WITH RECURSIVE base AS (SELECT doc_id AS v FROM documents
+                            WHERE doc_id < 256),
+    mx AS (SELECT max(v) AS m FROM base),
+    dir AS (
+      SELECT v AS a, v + 1 AS b FROM base CROSS JOIN mx
+      WHERE v + 1 <= m
+      UNION ALL
+      SELECT v AS a, v + 10 AS b FROM base CROSS JOIN mx
+      WHERE v + 10 <= m),
+    und AS (SELECT a, b FROM dir UNION SELECT b, a FROM dir),
+    walk(seed, node, d) AS (
+      SELECT seed, seed, 0 FROM (VALUES (0), (50), (100), (150))
+        AS s(seed)
+      UNION
+      SELECT w.seed, u.b, w.d + 1
+      FROM walk w JOIN und u ON w.node = u.a
+      WHERE w.d < 8),
+    dist AS (SELECT seed, node, CAST(min(d) AS BIGINT) AS d
+             FROM walk GROUP BY 1, 2)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
+           CAST(sum(840 // d) AS BIGINT) AS h_scaled
+    FROM dist WHERE d > 0 GROUP BY 1
+    """,
+)
+def qc55(spark, sf):
+    """Truncated harmonic closeness centrality from a 4-seed set over
+    the deterministic +1/+10 doc graph, undirected (operators/
+    graph.py:harmonic_centrality) — multi-source frontier BFS with
+    per-round pinning (q96 discipline); reciprocals scaled by
+    lcm(1..8)=840 so the score is an exact integer sum.  Oracle: one
+    bounded WITH RECURSIVE walk, min-distance per (seed, node)."""
+    from .operators.graph import harmonic_centrality
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 256)
+    mx = d.agg(F.max("doc_id")).first()[0]
+    base = d.select("doc_id")
+    e1 = base.where(F.col("doc_id") + 1 <= mx).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    e2 = base.where(F.col("doc_id") + 10 <= mx).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 10).alias("dst")
+    )
+    return harmonic_centrality(
+        e1.unionByName(e2), seeds=[0, 50, 100, 150], max_depth=8
+    )

@@ -5564,3 +5564,72 @@ def stuart_maxwell(
             F.round(num.cast("double") * 1000 / det).cast("long"),
         ).alias("chi2_milli"),
     )
+
+
+def greenwood_bands(km: DataFrame, z_milli: int = 1960) -> DataFrame:
+    """Greenwood pointwise confidence bands over a kaplan_meier output
+    frame — the uncertainty qa67's point estimate ships without:
+
+        Var(ln S) ≈ Σ d/(n·(n−d))        (Greenwood 1926)
+        SE(S)     = S · sqrt(cum)         CI = S ± z·SE, clamped [0,1]
+
+    Per-event-time terms d/(n(n−d)) are PICO-rounded (1e-12 — micro
+    would round sub-1e-6 hazards to zero) from one integer DAG then
+    integer-cumsummed over the event-time spine (bounded window, the
+    qa67 class); S re-derives from the integer ln_s_micro so the whole
+    band is a fixed DAG over two integers.  Rows where the risk set
+    died out (ln_s NULL) emit NULL bands.
+
+    Output per event time: duration, survival_micro, se_micro,
+    ci_lo_micro, ci_hi_micro.
+    """
+    g = km.select(
+        "duration",
+        "survival_micro",
+        "ln_s_micro",
+        F.when(
+            F.col("n_at_risk") > F.col("n_events"),
+            F.round(
+                F.col("n_events")
+                * F.lit(1e12)
+                / (
+                    F.col("n_at_risk")
+                    * (F.col("n_at_risk") - F.col("n_events"))
+                )
+            ).cast("long"),
+        ).alias("_gp"),
+    )
+    w = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "duration",
+        "survival_micro",
+        "ln_s_micro",
+        F.sum("_gp").over(w).cast("long").alias("_gcum"),
+    )
+    s_raw = F.exp(F.col("ln_s_micro").cast("double") / MICRO)
+    se_raw = s_raw * F.sqrt(F.col("_gcum").cast("double") / F.lit(1e12))
+    z = z_milli / 1000.0
+    live = F.col("ln_s_micro").isNotNull()
+    return c.select(
+        "duration",
+        "survival_micro",
+        F.when(live, F.round(se_raw * MICRO).cast("long")).alias(
+            "se_micro"
+        ),
+        F.when(
+            live,
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.round((s_raw - z * se_raw) * MICRO).cast("long"),
+            ),
+        ).alias("ci_lo_micro"),
+        F.when(
+            live,
+            F.least(
+                F.lit(MICRO).cast("long"),
+                F.round((s_raw + z * se_raw) * MICRO).cast("long"),
+            ),
+        ).alias("ci_hi_micro"),
+    )
