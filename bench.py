@@ -315,6 +315,8 @@ EXTENDED = [
     "qc53_stuart_maxwell",
     "qc54_greenwood_ci",
     "qc55_harmonic_centrality",
+    "qc56_quantile_treatment_effects",
+    "qc57_weibull_fit",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

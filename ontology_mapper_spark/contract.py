@@ -18529,3 +18529,172 @@ def qc55(spark, sf):
     return harmonic_centrality(
         e1.unionByName(e2), seeds=[0, 50, 100, 150], max_depth=8
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 63: distributional treatment effects + parametric survival
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc56_quantile_treatment_effects",
+    """
+    WITH per AS (
+      SELECT user_id,
+             substr(md5('t|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2),
+    hist AS (SELECT t, cents AS v, CAST(count(*) AS BIGINT) AS c
+             FROM per GROUP BY 1, 2),
+    cum AS (SELECT t, v,
+                   CAST(sum(c) OVER (PARTITION BY t ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cm
+            FROM hist),
+    tot AS (SELECT t, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    grid AS (
+      SELECT cum.t, p.p_pct, min(v) AS q, max(tot.n) AS nn
+      FROM cum JOIN tot USING (t)
+      CROSS JOIN (VALUES (10), (25), (50), (75), (90)) AS p(p_pct)
+      WHERE cm >= (p.p_pct * tot.n + 99) // 100
+      GROUP BY 1, 2)
+    SELECT CAST(p_pct AS BIGINT) AS p_pct,
+           CAST(max(CASE WHEN t THEN nn END) AS BIGINT) AS n_t,
+           CAST(max(CASE WHEN NOT t THEN nn END) AS BIGINT) AS n_c,
+           CAST(max(CASE WHEN t THEN q END) AS BIGINT) AS q_t,
+           CAST(max(CASE WHEN NOT t THEN q END) AS BIGINT) AS q_c,
+           CAST(max(CASE WHEN t THEN q END)
+                - max(CASE WHEN NOT t THEN q END) AS BIGINT) AS qte
+    FROM grid GROUP BY 1
+    """,
+)
+def qc56(spark, sf):
+    """Quantile treatment effects at p10/25/50/75/90 of per-user spend
+    under the qc08 md5 pseudo-assignment (operators/stats.py:
+    quantile_treatment_effects) — the distributional A/B readout;
+    exact type-1 quantiles from one (arm, value) histogram, rank =
+    (p·n+99) div 100 pure integer, no rounding anywhere."""
+    from .operators.stats import quantile_treatment_effects
+
+    e = _t(spark, sf, "events")
+    per = e.groupBy(
+        "user_id",
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("t|"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8"
+        ).alias("t"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    return quantile_treatment_effects(per, "t", "cents")
+
+
+@_q(
+    "qc57_weibull_fit",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s, event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (SELECT user_id, sid, min(ts) AS f, max(ts) AS l
+             FROM s2 GROUP BY 1, 2),
+    gm AS (SELECT max(ts) AS g FROM events),
+    subj AS (
+      SELECT (epoch_us(l) - epoch_us(f)) // 1000000 AS d
+      FROM sess CROSS JOIN gm
+      WHERE epoch_us(g) - epoch_us(l) > 1800000000
+        AND (epoch_us(l) - epoch_us(f)) // 1000000 >= 1),
+    hist AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM subj
+             GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    pts AS (
+      SELECT c,
+             CAST(round(ln(CAST(d AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(round(ln(-ln(1.0 - (CAST(sum(c) OVER (ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) - 0.3)
+                          / (tot.n + 0.4))) * 1000) AS BIGINT) AS y
+      FROM hist CROSS JOIN tot),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c * x) AS BIGINT) AS sx,
+                 CAST(sum(c * y) AS BIGINT) AS sy,
+                 CAST(sum(c * x * x) AS BIGINT) AS sxx,
+                 CAST(sum(c * y * y) AS BIGINT) AS syy,
+                 CAST(sum(c * x * y) AS BIGINT) AS sxy
+          FROM pts),
+    f AS (SELECT *,
+                 CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+                 CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS den,
+                 CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS dny
+          FROM s)
+    SELECT n, n_values,
+           CASE WHEN den <> 0 THEN
+             CAST(round(num / den * 1000) AS BIGINT) END AS shape_milli,
+           CASE WHEN den <> 0 AND num <> 0 THEN
+             CAST(round(exp(-((sy / 1000.0 - num / den * (sx / 1000.0))
+                             / n) / (num / den))) AS BIGINT)
+           END AS scale_value,
+           CASE WHEN den <> 0 AND dny <> 0 THEN
+             CAST(round(num * num / den / dny * 1000) AS BIGINT)
+           END AS r2_milli
+    FROM f
+    """,
+)
+def qc57(spark, sf):
+    """Weibull shape/scale via median-rank regression over uncensored
+    session lifetimes (operators/stats.py:weibull_median_rank) — the
+    parametric survival fit next to the KM stack; Bernard median
+    ranks from histogram cumulatives, milli-nat grid OLS (qb02
+    trick), OLS combination cast double past int64 (qc43 pattern)."""
+    from .operators.stats import weibull_median_rank
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+        "event_id",
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.select(
+            "user_id", "ts", F.sum("new_s").over(run).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    )
+    gm = e.agg(F.max("ts").alias("g"))
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    subj = (
+        sess.crossJoin(F.broadcast(gm))
+        .where(um("g") - um("l") > 1_800_000_000)
+        .select(
+            ((um("l") - um("f")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("d")
+        )
+        .where(F.col("d") >= 1)
+    )
+    return weibull_median_rank(subj, "d")

@@ -5633,3 +5633,188 @@ def greenwood_bands(km: DataFrame, z_milli: int = 1960) -> DataFrame:
             ),
         ).alias("ci_hi_micro"),
     )
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    treat_flag,
+    value_col: str,
+    pcts: list[int] | None = None,
+) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL view of an A/B
+    contrast that mean-based readouts (qb10 DiD, qa87 CUPED, qc24
+    Cohen's d) cannot give: QTE(p) = q_T(p) − q_C(p) per percentile,
+    showing WHERE in the outcome distribution the effect lives (a
+    pure tail effect has zero median QTE).
+
+    Exact type-1 quantiles per arm from one (arm, value) histogram:
+    rank = ceil(p·n/100) as pure integer (p·n + 99) div 100, quantile
+    = min value whose cumulative count reaches it (the q54/qb43
+    idiom); both arms and all percentiles come off the SAME histogram
+    scan, windows over the per-arm value spine only.
+
+    Output per percentile: p_pct, n_t, n_c, q_t, q_c, qte (= all
+    exact integers, no rounding anywhere).
+    """
+    if pcts is None:
+        pcts = [10, 25, 50, 75, 90]
+    flag = (
+        treat_flag if not isinstance(treat_flag, str) else F.col(treat_flag)
+    )
+    base = df.select(
+        flag.cast("boolean").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    hist = base.groupBy("_t", "_v").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = (
+        Window.partitionBy("_t")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "_t", "_v", F.sum("_c").over(w).cast("long").alias("_cum")
+    )
+    tot = hist.groupBy("_t").agg(F.sum("_c").cast("long").alias("_n"))
+    p_arr = F.array(*[F.lit(int(p)) for p in pcts])
+    grid = (
+        cum.join(F.broadcast(tot), "_t")
+        .select(
+            "_t",
+            "_v",
+            "_cum",
+            "_n",
+            F.explode(p_arr).alias("_pp"),
+        )
+        .select(
+            "_t",
+            "_v",
+            "_cum",
+            "_n",
+            F.col("_pp").cast("long").alias("p_pct"),
+        )
+        .where(
+            F.col("_cum")
+            >= F.expr("(p_pct * _n + 99) div 100")
+        )
+        .groupBy("_t", "p_pct")
+        .agg(
+            F.min("_v").cast("long").alias("_q"),
+            F.max("_n").cast("long").alias("_nn"),
+        )
+    )
+    out = grid.groupBy("p_pct").agg(
+        F.max(F.when(F.col("_t"), F.col("_nn"))).alias("n_t"),
+        F.max(F.when(~F.col("_t"), F.col("_nn"))).alias("n_c"),
+        F.max(F.when(F.col("_t"), F.col("_q"))).alias("q_t"),
+        F.max(F.when(~F.col("_t"), F.col("_q"))).alias("q_c"),
+    )
+    return out.select(
+        "p_pct",
+        "n_t",
+        "n_c",
+        "q_t",
+        "q_c",
+        (F.col("q_t") - F.col("q_c")).cast("long").alias("qte"),
+    )
+
+
+def weibull_median_rank(
+    df: DataFrame,
+    duration_col: str,
+) -> DataFrame:
+    """Weibull shape/scale via median-rank regression (Bernard's
+    approximation) — the parametric counterpart to the nonparametric
+    survival stack (KM qa67 / NA qb85 / RMST qc12): shape k < 1 means
+    infant-mortality-style dropoff, k > 1 wear-out; scale λ is the
+    63.2% lifetime.  Uncensored-only by declared semantics (median
+    ranks with suspensions need adjusted ranks — out of scope).
+
+    Plan: one duration histogram; per DISTINCT duration the highest
+    rank (cumulative count — ties collapse to one grid point, the
+    qb02 grid-OLS semantics) gives F = (cum−0.3)/(n+0.4), and the
+    regression runs on milli-nat points x = ln t, y = ln(−ln(1−F)) —
+    each micro-rounded ONCE from integers (cum, n, t), then
+    count-weighted integer sums; the OLS combination casts double
+    past the int64 bound (qc43 pattern).  scale = exp(−b/k) is one
+    terminal DAG.
+
+    Output (single row): n, n_values, shape_milli, scale_value,
+    r2_milli (fit quality on the weighted grid).
+    """
+    base = df.select(F.col(duration_col).cast("long").alias("_d")).where(
+        F.col("_d") >= 1
+    )
+    hist = base.groupBy("_d").agg(F.count("*").cast("long").alias("_c"))
+    wv = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    pts = (
+        hist.select(
+            "_d", "_c", F.sum("_c").over(wv).cast("long").alias("_cum")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_c",
+            F.round(F.log(F.col("_d").cast("double")) * 1000)
+            .cast("long")
+            .alias("_x"),
+            F.round(
+                F.log(
+                    -F.log(
+                        F.lit(1.0)
+                        - (F.col("_cum") - F.lit(0.3))
+                        / (F.col("_n") + F.lit(0.4))
+                    )
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("_y"),
+        )
+    )
+    s = pts.groupBy().agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.col("_c") * F.col("_x")).cast("long").alias("_sx"),
+        F.sum(F.col("_c") * F.col("_y")).cast("long").alias("_sy"),
+        F.sum(F.col("_c") * F.col("_x") * F.col("_x"))
+        .cast("long")
+        .alias("_sxx"),
+        F.sum(F.col("_c") * F.col("_y") * F.col("_y"))
+        .cast("long")
+        .alias("_syy"),
+        F.sum(F.col("_c") * F.col("_x") * F.col("_y"))
+        .cast("long")
+        .alias("_sxy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("_sxy")
+        - F.col("_sx").cast("double") * F.col("_sy")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("_sxx")
+        - F.col("_sx").cast("double") * F.col("_sx")
+    )
+    deny = (
+        F.col("n").cast("double") * F.col("_syy")
+        - F.col("_sy").cast("double") * F.col("_sy")
+    )
+    k = num / den
+    b = (F.col("_sy") / 1000.0 - k * (F.col("_sx") / 1000.0)) / F.col("n")
+    return s.select(
+        "n",
+        "n_values",
+        F.when(den != 0, F.round(k * 1000).cast("long")).alias(
+            "shape_milli"
+        ),
+        F.when(
+            (den != 0) & (num != 0), F.round(F.exp(-b / k)).cast("long")
+        ).alias("scale_value"),
+        F.when(
+            (den != 0) & (deny != 0),
+            F.round(num * num / den / deny * 1000).cast("long"),
+        ).alias("r2_milli"),
+    )
