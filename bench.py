@@ -317,6 +317,8 @@ EXTENDED = [
     "qc55_harmonic_centrality",
     "qc56_quantile_treatment_effects",
     "qc57_weibull_fit",
+    "qc58_cronbach_alpha",
+    "qc59_kupiec_pof",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -18698,3 +18698,125 @@ def qc57(spark, sf):
         .where(F.col("d") >= 1)
     )
     return weibull_median_rank(subj, "d")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 64: reliability + risk backtesting
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc58_cronbach_alpha",
+    """
+    WITH cells AS (SELECT user_id AS u, event_type AS i,
+                          CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1, 2),
+    nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM cells),
+    it AS (SELECT i, CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(x) AS BIGINT) AS sx
+           FROM cells GROUP BY 1),
+    items AS (SELECT CAST(count(*) AS BIGINT) AS k_items,
+                     CAST(sum(nu.n * sxx - sx * sx) AS BIGINT) AS a_sum
+              FROM it CROSS JOIN nu),
+    ut AS (SELECT u, CAST(sum(x) AS BIGINT) AS t FROM cells GROUP BY 1),
+    units AS (SELECT CAST(sum(t) AS BIGINT) AS st,
+                     CAST(sum(t * t) AS BIGINT) AS stt
+              FROM ut),
+    f AS (SELECT nu.n, k_items, a_sum,
+                 nu.n * stt - st * st AS b
+          FROM items CROSS JOIN units CROSS JOIN nu)
+    SELECT n AS n_units, k_items, a_sum, CAST(b AS BIGINT) AS b_sum,
+           CASE WHEN k_items >= 2 AND b <> 0 THEN
+             CAST(round(CAST(k_items * (b - a_sum) AS DOUBLE) * 1000
+                        / ((k_items - 1) * b)) AS BIGINT)
+           END AS alpha_milli
+    FROM f
+    """,
+)
+def qc58(spark, sf):
+    """Cronbach's alpha of the user × event-type activity matrix
+    (operators/stats.py:cronbach_alpha) — internal-consistency gate
+    before collapsing per-item signals into one index; population
+    variances cross-multiply to a shared n² that cancels, absent
+    cells are exact zeros, α is one terminal division of int64
+    sums."""
+    from .operators.stats import cronbach_alpha
+
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.lit(1).alias("one")
+    )
+    return cronbach_alpha(e, "user_id", "event_type", "one")
+
+
+@_q(
+    "qc59_kupiec_pof",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS us,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    ext AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+    base AS (SELECT (us * 2 < ext.lo + ext.hi) AS tr, v
+             FROM e CROSS JOIN ext),
+    hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base
+             WHERE tr GROUP BY 1),
+    ntr AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    vr AS (SELECT CAST(min(v) AS BIGINT) AS var_v
+           FROM (SELECT v, sum(c) OVER (ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cm
+                 FROM hist) CROSS JOIN ntr
+           WHERE cm >= (9900 * ntr.n + 9999) // 10000),
+    te AS (SELECT CAST(count(*) AS BIGINT) AS nte,
+                  CAST(sum(CASE WHEN v > vr.var_v THEN 1 ELSE 0 END)
+                       AS BIGINT) AS x,
+                  CAST(max(vr.var_v) AS BIGINT) AS var_v
+           FROM base CROSS JOIN vr WHERE NOT tr),
+    f AS (
+      SELECT nte, x, var_v,
+             (CASE WHEN x > 0 THEN
+                x * (-4605170
+                     - (CAST(round(ln(CAST(x AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                        - CAST(round(ln(CAST(nte AS DOUBLE)) * 1000000)
+                               AS BIGINT)))
+              ELSE 0 END
+              + CASE WHEN nte - x > 0 THEN
+                  (nte - x) * (-10050
+                     - (CAST(round(ln(CAST(nte - x AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                        - CAST(round(ln(CAST(nte AS DOUBLE)) * 1000000)
+                               AS BIGINT)))
+                ELSE 0 END) AS sobs,
+             CAST(nte AS DOUBLE) * 100 / 10000 AS ee
+      FROM te)
+    SELECT ntr.n AS n_train, nte AS n_test, var_v AS var_value,
+           x AS x_exceed,
+           CAST(round(nte * 100 / 10) AS BIGINT) AS expected_milli,
+           CAST(round((-2 * sobs) / 1000) AS BIGINT) AS lr_milli,
+           CAST(round((x - ee) / sqrt(ee * (10000 - 100) / 10000)
+                * 1000) AS BIGINT) AS z_milli,
+           CASE WHEN (x - ee) / sqrt(ee * (10000 - 100) / 10000) < 2.0
+                THEN 'green'
+                WHEN (x - ee) / sqrt(ee * (10000 - 100) / 10000) < 3.0
+                THEN 'yellow' ELSE 'red' END AS zone
+    FROM f CROSS JOIN ntr
+    """,
+)
+def qc59(spark, sf):
+    """Kupiec proportion-of-failures backtest of the 99% empirical
+    VaR, trained on the first time-half and tested on the second
+    (operators/stats.py:kupiec_pof) — the risk-monitoring loop with a
+    Basel-style traffic light; LR from ln of integers plus injected
+    ln(q)/ln(1−q) micro constants (qa89 rule), exact until one
+    terminal /1000."""
+    from .operators.stats import kupiec_pof
+
+    e = _t(spark, sf, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ext = e.agg(F.min("_us").alias("_lo"), F.max("_us").alias("_hi"))
+    base = e.crossJoin(F.broadcast(ext)).select(
+        (F.col("_us") * 2 < F.col("_lo") + F.col("_hi")).alias("tr"),
+        "cents",
+    )
+    return kupiec_pof(base, "tr", "cents", coverage_bp=9900)

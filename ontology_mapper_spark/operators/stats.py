@@ -5818,3 +5818,178 @@ def weibull_median_rank(
             F.round(num * num / den / deny * 1000).cast("long"),
         ).alias("r2_milli"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    score_col,
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    unit × item score matrix (do the items measure one underlying
+    trait?), THE gate before averaging per-item signals into a single
+    index (e.g. folding per-event-type activity into one engagement
+    score, or per-judge ratings into one label):
+
+        α = k/(k−1) · (1 − Σ_i Var_i / Var_total)
+
+    Population variances cross-multiply to the SAME n² denominator,
+    which cancels: A = Σ_i (n·Σx_i² − (Σx_i)²), B = n·Σt² − (Σt)²
+    with t the per-unit total — absent (unit, item) cells are exact
+    zeros by construction, so sparse storage loses nothing.  α is one
+    terminal division of int64 sums.  Cost: one (unit, item) cell
+    aggregation, then item-level and unit-level sums.
+
+    Output (single row): n_units, k_items, a_sum, b_sum, alpha_milli
+    (NULL when k < 2 or B = 0).
+    """
+    s = score_col if not isinstance(score_col, str) else F.col(score_col)
+    cells = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            F.col(item_col).alias("_i"),
+            s.cast("long").alias("_x"),
+        )
+        .groupBy("_u", "_i")
+        .agg(F.sum("_x").cast("long").alias("_x"))
+    )
+    nu = cells.select("_u").distinct().agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    items = (
+        cells.groupBy("_i")
+        .agg(
+            F.sum("_x").cast("long").alias("_sx"),
+            F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            (
+                F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+            ).alias("_a")
+        )
+        .agg(
+            F.count("*").cast("long").alias("k_items"),
+            F.sum("_a").cast("long").alias("a_sum"),
+        )
+    )
+    units = (
+        cells.groupBy("_u")
+        .agg(F.sum("_x").cast("long").alias("_t"))
+        .agg(
+            F.sum("_t").cast("long").alias("_st"),
+            F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_stt"),
+        )
+    )
+    out = items.crossJoin(F.broadcast(units)).crossJoin(F.broadcast(nu))
+    b = F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")
+    return out.select(
+        F.col("_n").alias("n_units"),
+        "k_items",
+        "a_sum",
+        b.cast("long").alias("b_sum"),
+        F.when(
+            (F.col("k_items") >= 2) & (b != 0),
+            F.round(
+                (F.col("k_items") * (b - F.col("a_sum"))).cast("double")
+                * 1000
+                / ((F.col("k_items") - 1) * b)
+            ).cast("long"),
+        ).alias("alpha_milli"),
+    )
+
+
+def kupiec_pof(
+    df: DataFrame,
+    train_flag,
+    value_col: str,
+    coverage_bp: int = 9900,
+    lnq_micro: int = -4_605_170,
+    ln1mq_micro: int = -10_050,
+) -> DataFrame:
+    """Kupiec proportion-of-failures backtest of an empirical VaR — the
+    standard risk-monitoring loop: fit the p-quantile threshold on the
+    TRAIN slice, count exceedances on the TEST slice, and test whether
+    the exceedance rate matches 1−p with the binomial likelihood
+    ratio (Kupiec 1995; LR ~ χ²(1) under correct coverage), plus the
+    Basel-style traffic-light zone from the exceedance z-score.
+
+    Exactness: VaR is an exact type-1 train quantile (qc56 rank
+    idiom); the LR needs only ln of INTEGERS (q66 discipline —
+    ln(x/n) = ln x − ln n, one ln_micro per integer) plus the two
+    ln(q)/ln(1−q) constants INJECTED as integer micro literals shared
+    with the oracle (the qa89 constant-table rule) — the whole LR is
+    an integer DAG until one terminal /1000.  x=0 and x=n limits
+    handled by the 0·ln0 = 0 convention.
+
+    Output (single row): n_train, n_test, var_value, x_exceed,
+    expected_milli, lr_milli, z_milli, zone.
+    """
+    t = train_flag if not isinstance(train_flag, str) else F.col(train_flag)
+    base = df.select(
+        t.cast("boolean").alias("_tr"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    train = base.where(F.col("_tr"))
+    hist = train.groupBy("_v").agg(F.count("*").cast("long").alias("_c"))
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ntr = hist.agg(F.sum("_c").cast("long").alias("_ntr"))
+    var_row = (
+        hist.select("_v", F.sum("_c").over(wv).cast("long").alias("_cum"))
+        .crossJoin(F.broadcast(ntr))
+        .where(
+            F.col("_cum")
+            >= F.expr(f"({int(coverage_bp)} * _ntr + 9999) div 10000")
+        )
+        .agg(F.min("_v").cast("long").alias("_var"))
+    )
+    test = base.where(~F.col("_tr"))
+    agg = (
+        test.crossJoin(F.broadcast(var_row))
+        .agg(
+            F.count("*").cast("long").alias("_nte"),
+            F.sum(F.when(F.col("_v") > F.col("_var"), 1).otherwise(0))
+            .cast("long")
+            .alias("_x"),
+            F.max("_var").alias("_var2"),
+        )
+    )
+    qbp = 10_000 - int(coverage_bp)
+    lnx = _ln_micro(F.col("_x"))
+    lnnx = _ln_micro(F.col("_nte") - F.col("_x"))
+    lnn = _ln_micro(F.col("_nte"))
+    s_obs = F.when(
+        F.col("_x") > 0,
+        F.col("_x") * (F.lit(int(lnq_micro)) - (lnx - lnn)),
+    ).otherwise(F.col("_x") * F.lit(int(lnq_micro))) + F.when(
+        F.col("_nte") - F.col("_x") > 0,
+        (F.col("_nte") - F.col("_x"))
+        * (F.lit(int(ln1mq_micro)) - (lnnx - lnn)),
+    ).otherwise(
+        (F.col("_nte") - F.col("_x")) * F.lit(int(ln1mq_micro))
+    )
+    exp_exceed = F.col("_nte").cast("double") * qbp / 10_000
+    z = (F.col("_x") - exp_exceed) / F.sqrt(
+        exp_exceed * (10_000 - qbp) / 10_000
+    )
+    return (
+        agg.crossJoin(F.broadcast(ntr))
+        .select(
+            F.col("_ntr").alias("n_train"),
+            F.col("_nte").alias("n_test"),
+            F.col("_var2").alias("var_value"),
+            F.col("_x").alias("x_exceed"),
+            F.round(F.col("_nte") * F.lit(qbp) / 10).cast("long").alias(
+                "expected_milli"
+            ),
+            F.round(-2 * s_obs / 1000).cast("long").alias("lr_milli"),
+            F.round(z * 1000).cast("long").alias("z_milli"),
+            F.when(z < 2.0, F.lit("green"))
+            .when(z < 3.0, F.lit("yellow"))
+            .otherwise(F.lit("red"))
+            .alias("zone"),
+        )
+    )
