@@ -18820,3 +18820,142 @@ def qc59(spark, sf):
         "cents",
     )
     return kupiec_pof(base, "tr", "cents", coverage_bp=9900)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 65: queueing reconciliation + exact small-sample tests
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc60_littles_law",
+    """
+    WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT u, us,
+             CASE WHEN lag(us) OVER (PARTITION BY u ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY u ORDER BY us)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM base),
+    sess AS (SELECT u, us,
+                    sum(nw) OVER (PARTITION BY u ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM flagged),
+    bounds AS (SELECT u, sid, min(us) AS s, max(us) AS e
+               FROM sess GROUP BY 1, 2),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                      CAST(sum(e - s + 1) AS BIGINT) AS sum_dur_us,
+                      CAST(max(e) + 1 - min(s) AS BIGINT) AS span_us
+               FROM bounds),
+    days AS (SELECT u, sid, s, e,
+                    unnest(generate_series(s // 86400000000,
+                                           e // 86400000000)) AS day
+             FROM bounds),
+    clamped AS (SELECT u, sid, day,
+                       greatest(s, day * 86400000000) AS cs,
+                       least(e, (day + 1) * 86400000000 - 1) + 1 AS ce
+                FROM days),
+    marks AS (
+      SELECT day, cs AS t, 1 AS delta, u, sid FROM clamped
+      UNION ALL
+      SELECT day, ce, -1, u, sid FROM clamped),
+    swept AS (
+      SELECT day, t,
+             sum(delta) OVER (PARTITION BY day
+                              ORDER BY t, delta DESC, u, sid
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             lead(t) OVER (PARTITION BY day
+                           ORDER BY t, delta DESC, u, sid) AS nt
+      FROM marks),
+    integ AS (SELECT CAST(sum(CASE WHEN nt IS NOT NULL
+                                   THEN cum * (nt - t) ELSE 0 END)
+                          AS BIGINT) AS sweep_integral_us
+              FROM swept)
+    SELECT n_sessions, sum_dur_us, sweep_integral_us,
+           CAST(sweep_integral_us - sum_dur_us AS BIGINT) AS identity_diff,
+           span_us,
+           CAST(round(CAST(sweep_integral_us AS DOUBLE) * 1000000
+                      / span_us) AS BIGINT) AS l_timeavg_micro,
+           CAST(round(CAST(n_sessions AS DOUBLE) * 3600000000 * 1000
+                      / span_us) AS BIGINT) AS lambda_per_hour_milli,
+           CAST(round(CAST(sum_dur_us AS DOUBLE) / n_sessions)
+                AS BIGINT) AS w_mean_us
+    FROM totals CROSS JOIN integ
+    """,
+)
+def qc60(spark, sf):
+    """Little's law L = lambda*W reconciliation over 30-min-gap user
+    sessions (operators/temporal.py:littles_law_audit) — the queueing
+    sanity gate: the midnight-clipped +1/-1 day-partition sweep
+    integral must equal the summed session durations EXACTLY
+    (identity_diff = 0 is an int64 witness, not a tolerance)."""
+    from .operators.temporal import littles_law_audit
+
+    return littles_law_audit(_t(spark, sf, "events"))
+
+
+def _qc61_oracle() -> str:
+    from .operators.stats import fisher_weights
+
+    wt_rows = ", ".join(
+        f"({k}, CAST({w} AS BIGINT))"
+        for k, w in enumerate(fisher_weights(10))
+    )
+    return f"""
+    WITH base AS (SELECT event_type AS g, epoch_us(ts) AS us, event_id AS id,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    ranked AS (SELECT g, v,
+                      row_number() OVER (PARTITION BY g ORDER BY us, id)
+                        AS rn
+               FROM base),
+    samp AS (SELECT g, v, rn FROM ranked WHERE rn <= 20),
+    vr AS (SELECT g, rn,
+                  row_number() OVER (PARTITION BY g ORDER BY v DESC, rn)
+                    AS vrank
+           FROM samp),
+    ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sample,
+                  CAST(sum(CASE WHEN rn <= 10 AND vrank <= 10
+                                THEN 1 ELSE 0 END) AS BIGINT) AS a
+           FROM vr GROUP BY 1 HAVING count(*) = 20),
+    wt(k, w) AS (VALUES {wt_rows}),
+    j AS (SELECT ag.g, ag.n_sample, ag.a, wo.w AS w_obs
+          FROM ag JOIN wt wo ON wo.k = ag.a),
+    p AS (SELECT j.g, j.n_sample, j.a, j.w_obs,
+                 CAST(sum(CASE WHEN wt.w <= j.w_obs THEN wt.w ELSE 0 END)
+                      AS BIGINT) AS p_num
+          FROM j CROSS JOIN wt GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY 1)
+    SELECT p.g AS event_type, tot.n_total, p.n_sample,
+           p.a AS a_high_first, p.w_obs, p.p_num,
+           CAST(round(p.p_num * 1000000 / 184756) AS BIGINT) AS p_micro,
+           CAST(round(p.p_num * 1000000 / 184756) AS BIGINT) < 50000
+             AS significant
+    FROM p JOIN tot ON tot.g = p.g
+    """
+
+
+@_q("qc61_fisher_exact", None)
+def qc61(spark, sf):
+    """Per-event-type Fisher exact median test on the earliest-20
+    audit sample (operators/stats.py:fisher_median_test) — exact
+    small-sample drift gate with both 2x2 margins pinned to 10 by
+    construction; pmf weights C(10,k)^2 injected into both engines
+    (qa89 rule), two-sided tail summed by integer weight comparison,
+    one terminal division."""
+    from .operators.stats import fisher_median_test
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return fisher_median_test(
+        e, "event_type", "cents", ["_us", "event_id"], m=10
+    )
+
+
+ORACLES["qc61_fisher_exact"] = _qc61_oracle()

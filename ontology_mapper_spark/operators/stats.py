@@ -5993,3 +5993,117 @@ def kupiec_pof(
             .alias("zone"),
         )
     )
+
+
+def fisher_weights(m: int) -> list[int]:
+    """Integer hypergeometric weight table for the per-group median
+    test: w[k] = C(m,k)^2, k = 0..m — exact from Python math.comb,
+    injected as literals into BOTH the Spark plan and the SQL oracle
+    (the qa89 constant-table rule).  With both 2x2 margins pinned to m
+    by construction, pmf(k) = w[k] / C(2m, m) and every comparison and
+    sum in the two-sided tail is pure int64 (m <= 15 keeps w and the
+    micro numerator in range)."""
+    import math
+
+    return [math.comb(m, k) ** 2 for k in range(m + 1)]
+
+
+def fisher_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    order_cols: list[str],
+    m: int = 10,
+) -> DataFrame:
+    """Per-group Fisher exact median test on a fixed-size audit sample
+    — the exact-small-sample drift gate: did the high-value rate shift
+    between the first and second half of each group's earliest 2m
+    events?  Exact tests are for SMALL tables; the scale-safe shape is
+    many bounded samples (first 2m per group by arrival order), never
+    the full corpus — so the enumeration is m+1 terms per group, flat
+    forever.
+
+    Both margins are pinned to m by construction: exposure = first
+    half (arrival rank <= m), outcome = top-m by value with a total-
+    order tiebreak — so the null is hypergeometric with pmf(k) =
+    C(m,k)^2 / C(2m,m), and the two-sided p (sum of all k whose pmf
+    <= pmf(observed), integer weight comparison — no tolerance) is an
+    int64 DAG over the injected `fisher_weights` table folded as an
+    ARRAY expression (F.filter/F.aggregate in codegen — no join, no
+    explode), with ONE terminal division.  Groups with fewer than 2m
+    events are excluded (both engines).
+
+    Output per group: group, n_total, n_sample, a_high_first, w_obs,
+    p_num, p_micro, significant (p < 0.05).
+    """
+    import math
+
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    weights = fisher_weights(m)
+    denom = math.comb(2 * m, m)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        v.cast("long").alias("_v"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+    )
+    okeys = [F.col(f"_o{i}") for i in range(len(order_cols))]
+    warr = Window.partitionBy("_g").orderBy(*okeys)
+    ranked = base.select(
+        "_g", "_v", F.row_number().over(warr).alias("_rn")
+    ).where(F.col("_rn") <= 2 * m)
+    wval = Window.partitionBy("_g").orderBy(F.col("_v").desc(), F.col("_rn"))
+    vr = ranked.select(
+        "_g", "_rn", F.row_number().over(wval).alias("_vrank")
+    )
+    ag = (
+        vr.groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n_sample"),
+            F.sum(
+                F.when((F.col("_rn") <= m) & (F.col("_vrank") <= m), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("a_high_first"),
+        )
+        .where(F.col("n_sample") == 2 * m)
+    )
+    wlit = F.lit(weights)
+    obs = ag.select(
+        "_g",
+        "n_sample",
+        "a_high_first",
+        F.element_at(wlit, (F.col("a_high_first") + 1).cast("int"))
+        .cast("long")
+        .alias("w_obs"),
+    )
+    pn = obs.select(
+        "_g",
+        "n_sample",
+        "a_high_first",
+        "w_obs",
+        F.aggregate(
+            F.filter(wlit, lambda x: x <= F.col("w_obs")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("p_num"),
+    )
+    totals = base.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    p_micro = F.round(F.col("p_num") * 1_000_000 / F.lit(denom)).cast("long")
+    return (
+        pn.join(F.broadcast(totals), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_total",
+            "n_sample",
+            "a_high_first",
+            "w_obs",
+            "p_num",
+            p_micro.alias("p_micro"),
+            (p_micro < 50_000).alias("significant"),
+        )
+    )

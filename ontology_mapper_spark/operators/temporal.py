@@ -4347,3 +4347,149 @@ def seasonal_indices(
         .cast("long")
         .alias("index_norm_micro"),
     )
+
+
+def littles_law_audit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Little's law reconciliation L = lambda * W over the sessionized
+    event stream — the queueing-theory sanity gate for capacity
+    planning: time-average concurrency (L), arrival rate (lambda) and
+    mean session duration (W) must satisfy the identity, and the two
+    independent computations of total busy-time must agree EXACTLY:
+
+        sum of session durations  ==  integral of the concurrency
+                                      step function over time
+
+    Sessions are the q24 lag-gap cut; each spans [s, e+1) in epoch
+    micros (a point session counts 1 us, the qb03 convention).  The
+    integral side is the +1/-1 boundary sweep: midnight-clipped
+    intervals (sequence-explode, bounded by session length) sweep
+    INSIDE day partitions — never a global sort — and each boundary
+    row contributes cum * (lead(t) - t), which telescopes exactly to
+    the clipped length sum.  identity_diff is an int64 equality
+    witness (always 0; a nonzero value means a broken sweep).
+
+    The three reported rates are each ONE IEEE division (cast double
+    first — integral * 1e6 overflows int64 at petabyte scale):
+    l_timeavg_micro over the observed span, lambda_per_hour_milli,
+    w_mean_us (mean duration, rounded micros).
+
+    Output: single row [n_sessions, sum_dur_us, sweep_integral_us,
+    identity_diff, span_us, l_timeavg_micro, lambda_per_hour_milli,
+    w_mean_us].
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(user_col).alias("_u"), us.alias("_us"))
+    wlag = Window.partitionBy("_u").orderBy("_us")
+    flagged = base.select(
+        "_u",
+        "_us",
+        F.when(
+            F.lag("_us", 1).over(wlag).isNull()
+            | (F.col("_us") - F.lag("_us", 1).over(wlag) > gap_s * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sess = flagged.select(
+        "_u",
+        "_us",
+        F.sum("_new")
+        .over(wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_sid"),
+    )
+    bounds = sess.groupBy("_u", "_sid").agg(
+        F.min("_us").alias("_s"), F.max("_us").alias("_e")
+    )
+    totals = bounds.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("sum_dur_us"),
+        (F.max("_e") + 1 - F.min("_s")).cast("long").alias("span_us"),
+    )
+    day_us = F.lit(86_400_000_000)
+    days = bounds.select(
+        "_u",
+        "_sid",
+        F.explode(
+            F.sequence(
+                F.expr("_s div 86400000000"), F.expr("_e div 86400000000")
+            )
+        ).alias("_day"),
+        "_s",
+        "_e",
+    ).select(
+        "_u",
+        "_sid",
+        "_day",
+        F.greatest(F.col("_s"), F.col("_day") * day_us).alias("_cs"),
+        (F.least(F.col("_e"), (F.col("_day") + 1) * day_us - 1) + 1).alias(
+            "_ce"
+        ),
+    )
+    marks = days.select(
+        "_day", F.col("_cs").alias("_t"), F.lit(1).alias("_delta"), "_u", "_sid"
+    ).unionByName(
+        days.select(
+            "_day",
+            F.col("_ce").alias("_t"),
+            F.lit(-1).alias("_delta"),
+            "_u",
+            "_sid",
+        )
+    )
+    wsweep = Window.partitionBy("_day").orderBy(
+        F.col("_t"), F.col("_delta").desc(), F.col("_u"), F.col("_sid")
+    )
+    swept = marks.select(
+        "_day",
+        "_t",
+        F.sum("_delta")
+        .over(wsweep.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cum"),
+        F.lead("_t", 1).over(wsweep).alias("_nt"),
+    )
+    integral = swept.agg(
+        F.sum(
+            F.when(
+                F.col("_nt").isNotNull(),
+                F.col("_cum") * (F.col("_nt") - F.col("_t")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sweep_integral_us")
+    )
+    out = totals.crossJoin(F.broadcast(integral))
+    return out.select(
+        "n_sessions",
+        "sum_dur_us",
+        "sweep_integral_us",
+        (F.col("sweep_integral_us") - F.col("sum_dur_us"))
+        .cast("long")
+        .alias("identity_diff"),
+        "span_us",
+        F.round(
+            F.col("sweep_integral_us").cast("double")
+            * 1_000_000
+            / F.col("span_us")
+        )
+        .cast("long")
+        .alias("l_timeavg_micro"),
+        F.round(
+            F.col("n_sessions").cast("double")
+            * 3_600_000_000
+            * 1000
+            / F.col("span_us")
+        )
+        .cast("long")
+        .alias("lambda_per_hour_milli"),
+        F.round(
+            F.col("sum_dur_us").cast("double") / F.col("n_sessions")
+        )
+        .cast("long")
+        .alias("w_mean_us"),
+    )
