@@ -18959,3 +18959,132 @@ def qc61(spark, sf):
 
 
 ORACLES["qc61_fisher_exact"] = _qc61_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 66: Kneser-Ney LM + scorecard information value
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc62_kneser_ney",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w, idx
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w,
+                   generate_subscripts(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),1) AS idx
+            FROM documents)
+      WHERE length(w) > 0),
+    bg0 AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+      FROM toks),
+    bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+            FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx,
+                   CAST(count(*) AS BIGINT) AS n1
+            FROM c12 GROUP BY 1),
+    nc AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+           FROM c12 GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c12),
+    nll AS (
+      SELECT c12.w1, c12.w2,
+             CAST(round(ln(CAST(4 * ctx.c_ctx * tt.t AS DOUBLE)) * 1e6)
+                  AS BIGINT)
+             - CAST(round(ln(CAST((4 * c12.c_bg - 3) * tt.t
+                                  + 3 * ctx.n1 * nc.ncont AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS nll_micro
+      FROM c12 JOIN ctx USING (w1) JOIN nc ON nc.w2 = c12.w2 CROSS JOIN tt)
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           CAST(sum(nll.nll_micro) AS BIGINT) AS kn_nll_micro_sum,
+           CAST(floor(sum(nll.nll_micro) / count(*)) AS BIGINT)
+             AS kn_avg_micro
+    FROM bg JOIN nll ON bg.w1 = nll.w1 AND bg.w2 = nll.w2
+    GROUP BY 1
+    """,
+)
+def qc62(spark, sf):
+    """Interpolated Kneser-Ney bigram NLL per document
+    (operators/textstats.py:kneser_ney_nll) — D = 3/4 keeps every
+    probability a ratio of int64s over a common denominator, so the
+    per-distinct-bigram nll is ln_micro(den) − ln_micro(num) of
+    integers and doc sums are pure int64 (q66 discipline, better
+    smoothing)."""
+    from .operators.textstats import kneser_ney_nll
+
+    return kneser_ney_nll(_t(spark, sf, "documents"))
+
+
+@_q(
+    "qc63_woe_iv",
+    """
+    WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cut AS (SELECT CAST(min(v) AS BIGINT) AS cut FROM
+            (SELECT v, sum(c) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cm FROM hist)
+            CROSS JOIN nt WHERE cm >= (9000 * n + 9999) // 10000),
+    cells AS (SELECT hour AS bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN v > cut.cut THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_good
+              FROM e CROSS JOIN cut GROUP BY 1),
+    c2 AS (SELECT bin, n, n_good, n - n_good AS n_bad FROM cells),
+    tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS g,
+                   CAST(sum(n_bad) AS BIGINT) AS bd FROM c2),
+    sc AS (SELECT bin, n, n_good, n_bad,
+                  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+                    (CAST(round(ln(CAST(n_good AS DOUBLE)) * 1e6) AS BIGINT)
+                     - CAST(round(ln(CAST(g AS DOUBLE)) * 1e6) AS BIGINT))
+                    - (CAST(round(ln(CAST(n_bad AS DOUBLE)) * 1e6) AS BIGINT)
+                     - CAST(round(ln(CAST(bd AS DOUBLE)) * 1e6) AS BIGINT))
+                  END AS woe_micro,
+                  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+                    CAST(round((CAST(n_good AS DOUBLE) * bd
+                                - CAST(n_bad AS DOUBLE) * g) * 1000000
+                               / (CAST(g AS DOUBLE) * bd)) AS BIGINT)
+                  END AS rd
+           FROM c2 CROSS JOIN tot),
+    sc2 AS (SELECT bin, n, n_good, n_bad, woe_micro,
+                   CAST(round(rd * woe_micro / 1000) AS BIGINT)
+                     AS iv_contrib_nano
+            FROM sc),
+    ivt AS (SELECT CAST(sum(iv_contrib_nano) AS BIGINT) AS iv_total_nano
+            FROM sc2)
+    SELECT bin AS hour, n, n_good, n_bad, woe_micro, iv_contrib_nano,
+           ivt.iv_total_nano
+    FROM sc2 CROSS JOIN ivt
+    """,
+)
+def qc63(spark, sf):
+    """Weight-of-evidence / information value of hour-of-day for
+    predicting top-decile event value (operators/stats.py:woe_iv) —
+    the scorecard feature audit; the p90 cut is an exact type-1
+    histogram rank, WoE is four ln_micro of integers, IV contributions
+    are micro x micro integer products with one /1000 round."""
+    from .operators.stats import woe_iv
+
+    e = _t(spark, sf, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    hist = e.groupBy("_v").agg(F.count("*").cast("long").alias("_c"))
+    nt = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = (
+        hist.select("_v", F.sum("_c").over(wv).alias("_cm"))
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("_cm") >= F.expr("(9000 * _n + 9999) div 10000"))
+        .agg(F.min("_v").alias("_cut"))
+    )
+    binned = e.crossJoin(F.broadcast(cut)).select(
+        F.expr("(_us div 3600000000) % 24").alias("hour"),
+        (F.col("_v") > F.col("_cut")).alias("_hi"),
+    )
+    return woe_iv(binned, "hour", "_hi")

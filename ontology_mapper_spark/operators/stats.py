@@ -6107,3 +6107,93 @@ def fisher_median_test(
             (p_micro < 50_000).alias("significant"),
         )
     )
+
+
+def woe_iv(df: DataFrame, bin_col: str, flag_col) -> DataFrame:
+    """Weight-of-evidence and information value of a binned predictor
+    against a binary outcome — the scorecard-building audit (does this
+    feature separate the classes, bin by bin, and how much total?):
+
+        WoE_b = ln(good_b/G) - ln(bad_b/B)
+        IV    = sum_b (good_b/G - bad_b/B) * WoE_b
+
+    Exactness: WoE is four ln_micro of INTEGERS (counts — q66
+    discipline); the rate difference cross-multiplies to an integer
+    numerator (gb*B - bb*G) over G*B, micro-rounded with the cast-
+    double-first fixed op order (the qb13 past-int64 rule); the IV
+    contribution is one more exact integer product micro*micro then a
+    single /1000 round into nano units.  Bins missing a class emit
+    NULL WoE/IV and are excluded from iv_total_nano (documented —
+    standard scorecard practice is to merge such bins upstream).
+
+    One shuffle (the bin groupBy); the 2-cell totals broadcast back.
+
+    Output per bin: bin, n, n_good, n_bad, woe_micro, iv_contrib_nano,
+    iv_total_nano (same on every row — broadcast single-row join).
+    """
+    fl = flag_col if not isinstance(flag_col, str) else F.col(flag_col)
+    cells = (
+        df.select(F.col(bin_col).alias("_b"), fl.cast("int").alias("_y"))
+        .groupBy("_b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_good"),
+        )
+        .select(
+            "_b", "n", "n_good", (F.col("n") - F.col("n_good")).alias("n_bad")
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_good").cast("long").alias("_g"),
+        F.sum("n_bad").cast("long").alias("_bd"),
+    )
+    both = F.col("n_good") > 0
+    both = both & (F.col("n_bad") > 0)
+    woe = F.when(
+        both,
+        (_ln_micro(F.col("n_good")) - _ln_micro(F.col("_g")))
+        - (_ln_micro(F.col("n_bad")) - _ln_micro(F.col("_bd"))),
+    )
+    scored = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            "n",
+            "n_good",
+            "n_bad",
+            woe.alias("woe_micro"),
+            F.when(
+                both,
+                F.round(
+                    (
+                        F.col("n_good").cast("double") * F.col("_bd")
+                        - F.col("n_bad").cast("double") * F.col("_g")
+                    )
+                    * 1_000_000
+                    / (F.col("_g").cast("double") * F.col("_bd"))
+                ).cast("long"),
+            ).alias("_rd_micro"),
+        )
+        .select(
+            "_b",
+            "n",
+            "n_good",
+            "n_bad",
+            "woe_micro",
+            F.round(F.col("_rd_micro") * F.col("woe_micro") / 1000)
+            .cast("long")
+            .alias("iv_contrib_nano"),
+        )
+    )
+    ivt = scored.agg(
+        F.sum("iv_contrib_nano").cast("long").alias("iv_total_nano")
+    )
+    return scored.crossJoin(F.broadcast(ivt)).select(
+        F.col("_b").alias(bin_col),
+        "n",
+        "n_good",
+        "n_bad",
+        "woe_micro",
+        "iv_contrib_nano",
+        "iv_total_nano",
+    )

@@ -1300,3 +1300,84 @@ def mattr(
         )
         .alias("mattr_micro"),
     )
+
+
+def kneser_ney_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy under an interpolated Kneser-Ney bigram LM with
+    absolute discount D = 3/4 — the classic smoothing upgrade over
+    q66's add-one (Kneser & Ney 1995; the SRILM/KenLM default family):
+
+        P(w2|w1) = (c12 - D)/c1  +  (D * N1(w1)/c1) * Ncont(w2)/T
+
+    with c1 the context count (sum of bigrams starting w1), N1(w1) the
+    distinct continuations of w1, Ncont(w2) the distinct left-contexts
+    of w2, T the distinct bigram types.  D = 3/4 is exactly rational,
+    so over a common denominator every probability is a ratio of
+    int64s:  num = (4*c12 - 3)*T + 3*N1*Ncont,  den = 4*c1*T  (c12 >= 1
+    for every scored bigram, so the discounted term never clamps), and
+    nll_micro = ln_micro(den) - ln_micro(num) — ln of INTEGERS, taken
+    once per distinct bigram (q66 discipline), integer-summed per doc.
+
+    Scale shape mirrors bigram_nll: the zip_with bigram build (no
+    per-element lambda re-evaluation), corpus aggregations with
+    map-side combine, one (w1,w2)-keyed join back.  N1 and c1 come
+    from ONE aggregation over the c12 table (rows per w1 = distinct
+    continuations); Ncont is a second small agg of c12 by w2.
+
+    Output: (id, n_bigrams, kn_nll_micro_sum, kn_avg_micro).
+    """
+    w = words_col(F.col(text_col))
+    tail = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1)))
+    pairs = F.filter(
+        F.zip_with(
+            w, tail, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_bg"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c_bg").cast("long").alias("c_ctx"),
+        F.count("*").cast("long").alias("n1"),
+    )
+    ncont = c12.groupBy("w2").agg(
+        F.count("*").cast("long").alias("ncont")
+    )
+    tt = c12.agg(F.count("*").cast("long").alias("t"))
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
+    nll = (
+        c12.join(ctx, "w1")
+        .join(ncont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            (
+                lnm(4 * F.col("c_ctx") * F.col("t"))
+                - lnm(
+                    (4 * F.col("c_bg") - 3) * F.col("t")
+                    + 3 * F.col("n1") * F.col("ncont")
+                )
+            ).alias("nll_micro"),
+        )
+    )
+    return (
+        bg.join(nll, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("nll_micro").cast("long").alias("kn_nll_micro_sum"),
+        )
+        .withColumn(
+            "kn_avg_micro",
+            F.floor(F.col("kn_nll_micro_sum") / F.col("n_bigrams")).cast(
+                "bigint"
+            ),
+        )
+    )
