@@ -19088,3 +19088,153 @@ def qc63(spark, sf):
         (F.col("_v") > F.col("_cut")).alias("_hi"),
     )
     return woe_iv(binned, "hour", "_hi")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 67: regression discontinuity + seasonality periodogram
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc64_regression_discontinuity",
+    """
+    WITH pu AS (SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS x,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS y
+                FROM events GROUP BY 1),
+    hist AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM pu GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cut AS (SELECT CAST(min(x) AS BIGINT) AS cut FROM
+            (SELECT x, sum(c) OVER (ORDER BY x
+                        ROWS UNBOUNDED PRECEDING) AS cm FROM hist)
+            CROSS JOIN nt WHERE cm >= (5000 * n + 9999) // 10000),
+    sides AS (SELECT (x >= cut) AS r, x - cut AS d, y, cut
+              FROM pu CROSS JOIN cut
+              WHERE x - cut BETWEEN -10 AND 10),
+    ag AS (SELECT r, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(d) AS BIGINT) AS sd,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(d * y) AS BIGINT) AS sdy,
+                  CAST(sum(d * d) AS BIGINT) AS sdd,
+                  CAST(max(cut) AS BIGINT) AS c
+           FROM sides GROUP BY 1),
+    per AS (SELECT r, n, c,
+                   CASE WHEN n * sdd - sd * sd <> 0 THEN
+                     CAST(round((CAST(sy AS DOUBLE) * sdd
+                                 - CAST(sd AS DOUBLE) * sdy) * 1000000
+                                / (n * sdd - sd * sd)) AS BIGINT)
+                   END AS i_m,
+                   CASE WHEN n * sdd - sd * sd <> 0 THEN
+                     CAST(round((CAST(n AS DOUBLE) * sdy
+                                 - CAST(sd AS DOUBLE) * sy) * 1000000
+                                / (n * sdd - sd * sd)) AS BIGINT)
+                   END AS s_m
+            FROM ag)
+    SELECT l.c AS cutoff, CAST(10 AS BIGINT) AS h,
+           l.n AS n_left, rr.n AS n_right,
+           l.i_m AS int_left_micro, rr.i_m AS int_right_micro,
+           l.s_m AS slope_left_micro, rr.s_m AS slope_right_micro,
+           CAST(rr.i_m - l.i_m AS BIGINT) AS rdd_jump_micro
+    FROM (SELECT * FROM per WHERE NOT r) l
+    CROSS JOIN (SELECT * FROM per WHERE r) rr
+    """,
+)
+def qc64(spark, sf):
+    """Sharp RDD jump in per-user total spend at the median-activity
+    cutoff (operators/stats.py:regression_discontinuity) — local
+    linear both sides at bandwidth 10; five int64 OLS sums per side,
+    intercepts/slopes as single micro-rounded divisions of integer
+    cross-products, cutoff an exact type-1 histogram median."""
+    from .operators.stats import regression_discontinuity
+
+    pu = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("_x"),
+            F.sum("_cents").cast("long").alias("_y"),
+        )
+    )
+    hist = pu.groupBy("_x").agg(F.count("*").cast("long").alias("_c"))
+    nt = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    wv = Window.orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = (
+        hist.select("_x", F.sum("_c").over(wv).alias("_cm"))
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("_cm") >= F.expr("(5000 * _n + 9999) div 10000"))
+        .agg(F.min("_x").alias("_cut"))
+    )
+    return regression_discontinuity(
+        pu.crossJoin(F.broadcast(cut)), "_x", "_y", "_cut", bandwidth=10
+    )
+
+
+def _qc65_oracle() -> str:
+    from .operators.temporal import trig_micro_tables
+
+    rows = ", ".join(
+        f"({p}, {r}, CAST({c} AS BIGINT), CAST({s} AS BIGINT))"
+        for p, r, c, s in trig_micro_tables((3, 5, 7, 14))
+    )
+    return f"""
+    WITH trig(p, r, cm, sm) AS (VALUES {rows}),
+    days AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                    CAST(count(*) AS BIGINT) AS x
+             FROM events GROUP BY 1),
+    mn AS (SELECT min(day) AS m FROM days),
+    ser AS (SELECT day - mn.m AS t, x FROM days CROSS JOIN mn),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s FROM ser),
+    z AS (SELECT t, n * x - s AS z, n FROM ser CROSS JOIN tot),
+    zp AS (SELECT trig.p, z.z, z.n, trig.cm, trig.sm
+           FROM z JOIN trig ON trig.r = z.t % trig.p),
+    ag AS (SELECT p, CAST(sum(z * cm) AS BIGINT) AS c_sum,
+                  CAST(sum(z * sm) AS BIGINT) AS s_sum,
+                  CAST(max(n) AS BIGINT) AS n
+           FROM zp GROUP BY 1),
+    sc AS (SELECT CAST(p AS BIGINT) AS p, c_sum, s_sum,
+                  CAST(round(sqrt(CAST(c_sum AS DOUBLE) * c_sum
+                                  + CAST(s_sum AS DOUBLE) * s_sum) * 2000
+                             / (CAST(n AS DOUBLE) * n * 1000000))
+                       AS BIGINT) AS amp_milli
+           FROM ag),
+    mx AS (SELECT max(amp_milli) AS mx FROM sc)
+    SELECT p, c_sum, s_sum, amp_milli, amp_milli = mx.mx AS is_peak
+    FROM sc CROSS JOIN mx
+    """
+
+
+@_q("qc65_periodogram", None)
+def qc65(spark, sf):
+    """Daily-volume periodogram at candidate periods 3/5/7/14 days
+    (operators/temporal.py:periodogram) — seasonality detection with
+    injected integer cos/sin micro tables (qa89 rule: no engine runs
+    a trig function); mean removal stays integer via z = n*x − S,
+    amplitudes descale in mirrored double order, IEEE sqrt."""
+    from .operators.temporal import periodogram
+
+    days = (
+        _t(spark, sf, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("_day")
+        )
+        .groupBy("_day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    mn = days.agg(F.min("_day").alias("_m"))
+    series = days.crossJoin(F.broadcast(mn)).select(
+        (F.col("_day") - F.col("_m")).alias("t"), "x"
+    )
+    return periodogram(series, "t", "x", (3, 5, 7, 14))
+
+
+ORACLES["qc65_periodogram"] = _qc65_oracle()

@@ -6197,3 +6197,111 @@ def woe_iv(df: DataFrame, bin_col: str, flag_col) -> DataFrame:
         "iv_contrib_nano",
         "iv_total_nano",
     )
+
+
+def regression_discontinuity(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cutoff_col: str = "_cut",
+    bandwidth: int = 10,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: local LINEAR fits on
+    each side of an integer cutoff in the running variable, both
+    evaluated AT the cutoff; the jump between the two intercepts is
+    the causal estimate (Imbens & Lemieux 2008 §4 — local linear, not
+    global polynomial, and a fixed bandwidth h so the estimator's
+    inputs are reproducible).
+
+    Expects integer x and y plus the cutoff already attached as a
+    column (broadcast-joined upstream).  Exactness: with d = x − c bounded by
+    |d| <= h, each side's OLS normal equations are five int64 sums
+    (n, Σd, Σy, Σdy, Σd²); intercept and slope are single divisions
+    of integer cross-products (micro-rounded), NULL when a side has
+    fewer than 2 distinct d values (denominator 0).  One shuffle (the
+    two-sided conditional agg — a 2-row groupBy).
+
+    Output (single row): cutoff, h, n_left, n_right,
+    int_left_micro, int_right_micro, slope_left_micro,
+    slope_right_micro, rdd_jump_micro.
+    """
+    d = F.col("_x") - F.col("_c")
+    sides = (
+        df.select(
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+            F.col(cutoff_col).cast("long").alias("_c"),
+        )
+        .where(
+            (d >= -F.lit(int(bandwidth))) & (d <= F.lit(int(bandwidth)))
+        )
+        .select(
+            (F.col("_x") >= F.col("_c")).alias("_right"),
+            d.alias("_d"),
+            "_y",
+            "_c",
+        )
+        .groupBy("_right")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_d").cast("long").alias("_sd"),
+            F.sum("_y").cast("long").alias("_sy"),
+            F.sum(F.col("_d") * F.col("_y")).cast("long").alias("_sdy"),
+            F.sum(F.col("_d") * F.col("_d")).cast("long").alias("_sdd"),
+            F.max("_c").alias("_c"),
+        )
+    )
+    den = F.col("_n") * F.col("_sdd") - F.col("_sd") * F.col("_sd")
+    intercept = F.when(
+        den != 0,
+        F.round(
+            (
+                F.col("_sy").cast("double") * F.col("_sdd")
+                - F.col("_sd").cast("double") * F.col("_sdy")
+            )
+            * 1_000_000
+            / den
+        ).cast("long"),
+    )
+    slope = F.when(
+        den != 0,
+        F.round(
+            (
+                F.col("_n").cast("double") * F.col("_sdy")
+                - F.col("_sd").cast("double") * F.col("_sy")
+            )
+            * 1_000_000
+            / den
+        ).cast("long"),
+    )
+    per = sides.select(
+        "_right",
+        "_n",
+        "_c",
+        intercept.alias("_int"),
+        slope.alias("_slope"),
+    )
+    left = per.where(~F.col("_right")).select(
+        F.col("_n").alias("n_left"),
+        F.col("_int").alias("int_left_micro"),
+        F.col("_slope").alias("slope_left_micro"),
+        F.col("_c").alias("cutoff"),
+    )
+    right = per.where(F.col("_right")).select(
+        F.col("_n").alias("n_right"),
+        F.col("_int").alias("int_right_micro"),
+        F.col("_slope").alias("slope_right_micro"),
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "cutoff",
+        F.lit(int(bandwidth)).cast("long").alias("h"),
+        "n_left",
+        "n_right",
+        "int_left_micro",
+        "int_right_micro",
+        "slope_left_micro",
+        "slope_right_micro",
+        (F.col("int_right_micro") - F.col("int_left_micro"))
+        .cast("long")
+        .alias("rdd_jump_micro"),
+    )

@@ -4493,3 +4493,100 @@ def littles_law_audit(
         .cast("long")
         .alias("w_mean_us"),
     )
+
+
+def trig_micro_tables(periods: tuple[int, ...] = (3, 5, 7, 14)) -> list[tuple]:
+    """Integer micro cos/sin tables for the periodogram: rows
+    (p, r, cos_micro, sin_micro) with cos_micro = round(cos(2*pi*r/p)
+    * 1e6), r = 0..p-1.  Computed ONCE in Python and injected as
+    literals into BOTH the Spark plan and the SQL oracle (qa89
+    constant-table rule) — no engine evaluates a trig function, so
+    cross-engine exactness is by construction."""
+    import math
+
+    rows = []
+    for p in periods:
+        for r in range(p):
+            rows.append(
+                (
+                    p,
+                    r,
+                    round(math.cos(2 * math.pi * r / p) * 1_000_000),
+                    round(math.sin(2 * math.pi * r / p) * 1_000_000),
+                )
+            )
+    return rows
+
+
+def periodogram(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    periods: tuple[int, ...] = (3, 5, 7, 14),
+) -> DataFrame:
+    """Discrete periodogram of an integer series at a fixed set of
+    candidate periods — the seasonality detector (which cycle, if
+    any, dominates daily volume?): for each p, the power at frequency
+    1/p from the Fourier pair sums over injected integer trig tables.
+
+    Mean removal stays integer by scaling: z_t = n*x_t - S (deviation
+    times n), so C_p = sum z_t * cos_micro[t mod p] and the sine twin
+    are exact int64 sums.  Squaring would overflow, so the amplitude
+    descales in doubles with a FIXED mirrored op order (qb13 rule):
+    amp_milli = round(sqrt(Cd^2 + Sd^2) * 2000 / (n_d * n * 1e6))
+    — sqrt is IEEE-exact, one terminal round.  is_peak marks the
+    maximal amplitude (ties all flagged).
+
+    The series is expected small (one row per time bucket — a day
+    spine); every join side here is broadcast, no shuffle beyond the
+    caller's bucket agg.
+
+    Output per period: p, c_sum, s_sum, amp_milli, is_peak.
+    """
+    spark = series.sparkSession
+    trig = spark.createDataFrame(
+        trig_micro_tables(periods), ["p", "r", "c_micro", "s_micro"]
+    )
+    base = series.select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_s"),
+    )
+    z = base.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        (F.col("_n") * F.col("_x") - F.col("_s")).alias("_z"),
+        "_n",
+    )
+    pdf = spark.createDataFrame([(int(p),) for p in periods], ["p"])
+    zp = (
+        z.crossJoin(F.broadcast(pdf))
+        .select("p", F.pmod(F.col("_t"), F.col("p")).alias("r"), "_z", "_n")
+        .join(F.broadcast(trig), ["p", "r"])
+    )
+    agg = zp.groupBy("p").agg(
+        F.sum(F.col("_z") * F.col("c_micro")).cast("long").alias("c_sum"),
+        F.sum(F.col("_z") * F.col("s_micro")).cast("long").alias("s_sum"),
+        F.max("_n").alias("_n"),
+    )
+    amp = F.round(
+        F.sqrt(
+            F.col("c_sum").cast("double") * F.col("c_sum")
+            + F.col("s_sum").cast("double") * F.col("s_sum")
+        )
+        * 2000
+        / (F.col("_n").cast("double") * F.col("_n") * 1_000_000)
+    ).cast("long")
+    scored = agg.select(
+        F.col("p").cast("long").alias("p"), "c_sum", "s_sum", amp.alias("amp_milli")
+    )
+    mx = scored.agg(F.max("amp_milli").alias("_mx"))
+    return scored.crossJoin(F.broadcast(mx)).select(
+        "p",
+        "c_sum",
+        "s_sum",
+        "amp_milli",
+        (F.col("amp_milli") == F.col("_mx")).alias("is_peak"),
+    )
