@@ -19238,3 +19238,120 @@ def qc65(spark, sf):
 
 
 ORACLES["qc65_periodogram"] = _qc65_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 68: PCA power iteration + stronger l-diversity
+# ---------------------------------------------------------------------------
+
+
+def _qc66_oracle(rounds: int = 6) -> str:
+    head = """
+    WITH ex AS (
+      SELECT id, j, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS j
+            FROM embeddings)),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex WHERE j = 1),
+    sums AS (SELECT j, CAST(sum(xm) AS BIGINT) AS sj FROM ex GROUP BY 1),
+    prods AS (SELECT a.j AS j, b.j AS k,
+                     sum(CAST(a.xm AS HUGEINT) * b.xm) AS sjk
+              FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2),
+    cells AS (SELECT p.j, p.k,
+                     CAST(round(CAST(nt.n * p.sjk
+                                     - CAST(sa.sj AS HUGEINT) * sb.sj
+                                     AS DOUBLE)
+                                / (CAST(nt.n AS DOUBLE) * nt.n * 1000))
+                          AS BIGINT) AS cell
+              FROM prods p JOIN sums sa ON sa.j = p.j
+                   JOIN sums sb ON sb.j = p.k CROSS JOIN nt),
+    v0 AS (SELECT DISTINCT j,
+                  CASE WHEN j = 1 THEN CAST(1000000 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS vm
+           FROM ex),"""
+    body = ""
+    for r in range(1, rounds + 1):
+        body += f"""
+    w{r} AS (SELECT c.j, CAST(sum(c.cell * v.vm) AS BIGINT) AS w
+             FROM cells c JOIN v{r - 1} v ON v.j = c.k GROUP BY 1),
+    n{r} AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE))
+               AS nrm FROM w{r}),
+    v{r} AS (SELECT j, CAST(round(CAST(w AS DOUBLE) * 1000000 / nrm)
+                            AS BIGINT) AS vm
+             FROM w{r} CROSS JOIN n{r}),"""
+    tail = f"""
+    wf AS (SELECT c.j, CAST(sum(c.cell * v.vm) AS BIGINT) AS w
+           FROM cells c JOIN v{rounds} v ON v.j = c.k GROUP BY 1),
+    ray AS (SELECT CAST(round(CAST(sum(CAST(v.vm AS HUGEINT) * wf.w)
+                                   AS DOUBLE)
+                              / CAST(sum(v.vm * v.vm) AS DOUBLE))
+                        AS BIGINT) AS lambda_nano
+            FROM v{rounds} v JOIN wf ON wf.j = v.j),
+    tr AS (SELECT CAST(sum(cell) AS BIGINT) AS trace_nano
+           FROM cells WHERE j = k),
+    summ AS (SELECT lambda_nano, trace_nano,
+                    CAST(round(CAST(lambda_nano AS DOUBLE) * 1000000
+                               / trace_nano) AS BIGINT) AS evr_micro
+             FROM ray CROSS JOIN tr)
+    SELECT CAST(v.j AS BIGINT) AS j, v.vm AS v_micro, s.lambda_nano,
+           s.trace_nano, s.evr_micro
+    FROM v{rounds} v CROSS JOIN summ s
+    """
+    return head + body + tail
+
+
+@_q("qc66_pca_power", None)
+def qc66(spark, sf):
+    """Top principal component of the embedding corpus via 6 unrolled
+    power-iteration rounds on integer nano covariance cells
+    (operators/similarity.py:pca_power_iteration) — v stays in int64
+    micro units every round, norms are IEEE sqrt of decimal38 sums,
+    Rayleigh lambda + explained-variance ratio at the end."""
+    from .operators.similarity import pca_power_iteration
+
+    return pca_power_iteration(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", rounds=6
+    )
+
+
+ORACLES["qc66_pca_power"] = _qc66_oracle(6)
+
+
+@_q(
+    "qc67_l_diversity",
+    """
+    WITH cells AS (SELECT source,
+                          CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+                          lang, CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2, 3),
+    per AS (SELECT source, bucket, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS l_distinct,
+                   CAST(max(c) AS BIGINT) AS top_count,
+                   CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6)
+                                     AS BIGINT)) AS BIGINT) AS slc
+            FROM cells GROUP BY 1, 2)
+    SELECT source, bucket, n, l_distinct, top_count,
+           CAST(round((n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6)
+                               AS BIGINT) - slc) / n) AS BIGINT)
+             AS entropy_micro,
+           CAST(round((n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6)
+                               AS BIGINT) - slc) / n) AS BIGINT) >= 693147
+             AS entropy_l2_ok,
+           top_count < 2 * (n - top_count) AS recursive_c2_ok
+    FROM per
+    """,
+)
+def qc67(spark, sf):
+    """Entropy and recursive (c,2)-diversity per (source, size-bucket)
+    equivalence class with lang as the sensitive attribute
+    (operators/privacy.py:l_diversity_report) — the stronger
+    Machanavajjhala variants beyond qa62's distinct-l; entropy is the
+    q66 integer idiom against an injected ln2 threshold."""
+    from .operators.privacy import l_diversity_report
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
+        "lang",
+    )
+    return l_diversity_report(d, ["source", "bucket"], "lang")

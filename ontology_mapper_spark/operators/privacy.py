@@ -267,3 +267,57 @@ def t_closeness_report(
         t.alias("t_micro"),
         (t > int(t_threshold_micro)).cast("long").alias("t_flag"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    ln2_micro: int = 693_147,
+    c_times: int = 2,
+) -> DataFrame:
+    """Entropy and recursive (c,l)-diversity per equivalence class —
+    the two STRONGER variants from Machanavajjhala et al. 2007 that
+    qa62's distinct-l misses: a class can hold many distinct sensitive
+    values yet still leak if one value dominates.
+
+    * entropy ℓ-diversity (ℓ=2): class entropy ≥ ln 2.  The entropy is
+      the q66 integer idiom — Σ c·ln_micro(c) over sensitive-value
+      counts c, entropy_micro = round((n·ln_micro(n) − Σ)/n) (ONE
+      division), compared against the INJECTED ln2 constant (qa89
+      rule) — an integer comparison, no engine-side transcendental at
+      the decision point.
+    * recursive (c,2)-diversity: the most frequent sensitive count
+      must satisfy r1 < c·(n − r1) — pure int64.
+
+    One shuffle to (class, sensitive) cells, one to class level.
+
+    Output per class: qi_cols…, n, l_distinct, top_count,
+    entropy_micro, entropy_l2_ok, recursive_c2_ok.
+    """
+    cells = (
+        df.groupBy(*qi_cols, sensitive_col)
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
+    per = cells.groupBy(*qi_cols).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("l_distinct"),
+        F.max("_c").cast("long").alias("top_count"),
+        F.sum(F.col("_c") * lnm(F.col("_c"))).cast("long").alias("_slc"),
+    )
+    entropy = F.round(
+        (F.col("n") * lnm(F.col("n")) - F.col("_slc")) / F.col("n")
+    ).cast("long")
+    return per.select(
+        *qi_cols,
+        "n",
+        "l_distinct",
+        "top_count",
+        entropy.alias("entropy_micro"),
+        (entropy >= F.lit(int(ln2_micro))).alias("entropy_l2_ok"),
+        (
+            F.col("top_count")
+            < F.lit(int(c_times)) * (F.col("n") - F.col("top_count"))
+        ).alias("recursive_c2_ok"),
+    )

@@ -1461,3 +1461,162 @@ def recommendation_coverage(
         .cast("long")
         .alias("novelty_micro"),
     )
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rounds: int = 6,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by POWER
+    ITERATION on the covariance matrix — the variance-structure audit
+    (is one direction eating the embedding space? what fraction of
+    total variance does PC1 explain?), fully relational and exact:
+
+    * vectors quantize to micro ints; covariance cells use the
+      n·Σxy − Σx·Σy form (decimal38 sums — the qc50 HUGEINT rule —
+      so no mean subtraction and no raw double accumulation), then
+      descale to int64 NANO cells with one rounded division each.
+    * the iteration keeps v in integer MICRO units: w = C·v is an
+      int64 matrix-vector sum (64 · 1e9 · 1e6 < 2^63); the norm is
+      sqrt of a decimal38 sum of w² (IEEE sqrt, deterministic); the
+      renormalized v_micro = round(w·1e6/‖w‖) re-enters the next
+      round as integers.  A fixed `rounds` count — not a convergence
+      test — keeps the plan static and the oracle unrollable (qb05 /
+      qa02 relational-rounds idiom).
+    * Rayleigh quotient at the end: λ_nano = round(Σ v·w / Σ v²),
+      evr_micro = λ / trace (fixed mirrored double order).
+
+    The O(n·d²) cell build is the Gram-matrix outer-product shuffle
+    with map-side combine on (j,k); at petabyte n the same cells come
+    from a per-partition X^T·X (mapInPandas) merged by '+', which
+    this relational form is bit-compatible with.
+
+    Output per dimension: j (1-based), v_micro, lambda_nano,
+    trace_nano, evr_micro (same on every row — broadcast join).
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_j0", "_x"),
+    ).select(
+        "_id",
+        (F.col("_j0") + 1).alias("_j"),
+        F.round(F.col("_x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("_xm"),
+    )
+    n_tot = ex.where(F.col("_j") == 1).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    sums = ex.groupBy("_j").agg(
+        F.sum("_xm").cast("long").alias("_sj")
+    )
+    prods = (
+        ex.alias("a")
+        .join(ex.alias("b"), "_id")
+        .groupBy(F.col("a._j").alias("_j"), F.col("b._j").alias("_k"))
+        .agg(
+            F.sum(
+                F.col("a._xm").cast("decimal(38,0)")
+                * F.col("b._xm").cast("decimal(38,0)")
+            ).alias("_sjk")
+        )
+    )
+    cells = (
+        prods.join(sums.select(F.col("_j"), F.col("_sj").alias("_sa")), "_j")
+        .join(
+            sums.select(F.col("_j").alias("_k"), F.col("_sj").alias("_sb")),
+            "_k",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "_j",
+            "_k",
+            F.round(
+                (
+                    F.col("_n").cast("decimal(38,0)") * F.col("_sjk")
+                    - F.col("_sa").cast("decimal(38,0)")
+                    * F.col("_sb").cast("decimal(38,0)")
+                ).cast("double")
+                / (F.col("_n").cast("double") * F.col("_n") * 1000)
+            )
+            .cast("long")
+            .alias("_cell"),
+        )
+    )
+    # v0 = e1 in micro units
+    v = cells.select("_j").distinct().select(
+        "_j",
+        F.when(F.col("_j") == 1, F.lit(1_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_vm"),
+    )
+    w = None
+    for _ in range(int(rounds)):
+        w = (
+            cells.join(
+                v.select(F.col("_j").alias("_k"), "_vm"), "_k"
+            )
+            .groupBy("_j")
+            .agg(F.sum(F.col("_cell") * F.col("_vm")).cast("long").alias("_w"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("_w").cast("decimal(38,0)")
+                    * F.col("_w").cast("decimal(38,0)")
+                ).cast("double")
+            ).alias("_nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "_j",
+            F.round(F.col("_w").cast("double") * 1_000_000 / F.col("_nrm"))
+            .cast("long")
+            .alias("_vm"),
+        )
+    wf = (
+        cells.join(v.select(F.col("_j").alias("_k"), "_vm"), "_k")
+        .groupBy("_j")
+        .agg(F.sum(F.col("_cell") * F.col("_vm")).cast("long").alias("_w"))
+    )
+    ray = (
+        v.join(wf, "_j")
+        .agg(
+            F.sum(
+                F.col("_vm").cast("decimal(38,0)")
+                * F.col("_w").cast("decimal(38,0)")
+            ).alias("_num"),
+            F.sum(F.col("_vm") * F.col("_vm")).cast("long").alias("_vtv"),
+        )
+        .select(
+            F.round(F.col("_num").cast("double") / F.col("_vtv"))
+            .cast("long")
+            .alias("lambda_nano")
+        )
+    )
+    trace = cells.where(F.col("_j") == F.col("_k")).agg(
+        F.sum("_cell").cast("long").alias("trace_nano")
+    )
+    summary = ray.crossJoin(F.broadcast(trace)).select(
+        "lambda_nano",
+        "trace_nano",
+        F.round(
+            F.col("lambda_nano").cast("double")
+            * 1_000_000
+            / F.col("trace_nano")
+        )
+        .cast("long")
+        .alias("evr_micro"),
+    )
+    return (
+        v.crossJoin(F.broadcast(summary))
+        .select(
+            F.col("_j").cast("long").alias("j"),
+            F.col("_vm").alias("v_micro"),
+            "lambda_nano",
+            "trace_nano",
+            "evr_micro",
+        )
+    )
