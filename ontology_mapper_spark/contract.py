@@ -19355,3 +19355,170 @@ def qc67(spark, sf):
         "lang",
     )
     return l_diversity_report(d, ["source", "bucket"], "lang")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 69: structural break + influence diagnostics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc68_chow_test",
+    """
+    WITH days AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT))
+                              AS BIGINT) AS y
+                  FROM events GROUP BY 1),
+    mn AS (SELECT min(day) AS m FROM days),
+    ser AS (SELECT day - mn.m AS t, y FROM days CROSS JOIN mn),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM ser),
+    seg AS (SELECT CASE WHEN t < nd // 2 THEN 1 ELSE 2 END AS s, t, y,
+                   nd // 2 AS split
+            FROM ser CROSS JOIN nt),
+    per AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(t AS HUGEINT) * y) AS sty,
+                   CAST(sum(t * t) AS BIGINT) AS stt,
+                   sum(CAST(y AS HUGEINT) * y) AS syy,
+                   CAST(max(split) AS BIGINT) AS split
+            FROM seg GROUP BY 1),
+    segr AS (SELECT s, n, split, st, sy, sty, stt, syy,
+                    CASE WHEN n * stt - st * st <> 0 THEN
+                      CAST(round((CAST(n * syy - sy * sy AS DOUBLE)
+                                  - CAST(n * sty - st * sy AS DOUBLE)
+                                    * CAST(n * sty - st * sy AS DOUBLE)
+                                    / (n * stt - st * st)) / n) AS BIGINT)
+                    END AS ssr
+             FROM per),
+    pool AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                    CAST(sum(st) AS BIGINT) AS st,
+                    sum(sy) AS sy, sum(sty) AS sty,
+                    CAST(sum(stt) AS BIGINT) AS stt, sum(syy) AS syy
+             FROM segr),
+    poolr AS (SELECT n AS n_days,
+                     CASE WHEN n * stt - st * st <> 0 THEN
+                       CAST(round((CAST(n * syy - sy * sy AS DOUBLE)
+                                   - CAST(n * sty - st * sy AS DOUBLE)
+                                     * CAST(n * sty - st * sy AS DOUBLE)
+                                     / (n * stt - st * st)) / n) AS BIGINT)
+                     END AS ssr_pooled
+              FROM pool),
+    f AS (SELECT p.n_days, s1.split AS split_t, s1.n AS n1, s2.n AS n2,
+                 p.ssr_pooled, s1.ssr AS ssr_1, s2.ssr AS ssr_2,
+                 CASE WHEN s1.ssr + s2.ssr > 0 AND p.n_days > 4 THEN
+                   CAST(round(CAST(p.ssr_pooled - s1.ssr - s2.ssr
+                                   AS DOUBLE) * (p.n_days - 4) * 500
+                              / (s1.ssr + s2.ssr)) AS BIGINT)
+                 END AS chow_f_milli
+          FROM poolr p
+          CROSS JOIN (SELECT * FROM segr WHERE s = 1) s1
+          CROSS JOIN (SELECT * FROM segr WHERE s = 2) s2)
+    SELECT n_days, split_t, n1, n2, ssr_pooled, ssr_1, ssr_2,
+           chow_f_milli, chow_f_milli > 3000 AS break_detected
+    FROM f
+    """,
+)
+def qc68(spark, sf):
+    """Chow structural-break F-test at the midpoint of the daily
+    spend series (operators/stats.py:chow_test) — segment SSRs from
+    the centered identity (A − B²/C)/n with decimal38 y-sums, pooled
+    sums as the exact integer sum of the two segment rows, verdict
+    against the injected 3.000 critical milli constant."""
+    from .operators.stats import chow_test
+
+    days = (
+        _t(spark, sf, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("_day"),
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("_day")
+        .agg(F.sum("_cents").cast("long").alias("y"))
+    )
+    mn = days.agg(F.min("_day").alias("_m"))
+    series = days.crossJoin(F.broadcast(mn)).select(
+        (F.col("_day") - F.col("_m")).alias("t"), "y"
+    )
+    return chow_test(series, "t", "y")
+
+
+@_q(
+    "qc69_cooks_distance",
+    """
+    WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS total_cents
+                FROM events GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_events) AS BIGINT) AS sx,
+                   sum(CAST(total_cents AS HUGEINT)) AS sy,
+                   sum(CAST(n_events AS HUGEINT) * total_cents) AS sxy,
+                   CAST(sum(n_events * n_events) AS BIGINT) AS sxx,
+                   sum(CAST(total_cents AS HUGEINT) * total_cents) AS syy
+            FROM pu),
+    coef AS (SELECT n, sx, n * sxx - sx * sx AS c,
+                    CASE WHEN n * sxx - sx * sx <> 0 THEN
+                      CAST(round((CAST(sy AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE)
+                                    * CAST(sxy AS DOUBLE)) * 1000000
+                                 / (n * sxx - sx * sx)) AS BIGINT)
+                    END AS a_micro,
+                    CASE WHEN n * sxx - sx * sx <> 0 THEN
+                      CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                  - CAST(sx AS DOUBLE)
+                                    * CAST(sy AS DOUBLE)) * 1000000
+                                 / (n * sxx - sx * sx)) AS BIGINT)
+                    END AS b_micro,
+                    CASE WHEN n * sxx - sx * sx <> 0 THEN
+                      CAST(round((CAST(n * syy - sy * sy AS DOUBLE)
+                                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                                    * CAST(n * sxy - sx * sy AS DOUBLE)
+                                    / (n * sxx - sx * sx)) / n) AS BIGINT)
+                    END AS ssr
+             FROM tot),
+    j AS (SELECT pu.user_id, pu.n_events AS x, pu.total_cents AS y,
+                 c.n, c.sx, c.c, c.a_micro, c.b_micro, c.ssr
+          FROM pu CROSS JOIN coef c
+          WHERE c.c <> 0 AND c.ssr > 0 AND c.n > 2),
+    st AS (SELECT user_id, x, y, n, ssr,
+                  y * 1000 - CAST(round((a_micro + b_micro * x) / 1000)
+                                  AS BIGINT) AS e_milli,
+                  CAST(round(CAST(1000000 AS DOUBLE) / n
+                             + CAST((n * x - sx) * (n * x - sx) AS DOUBLE)
+                               * 1000000 / (CAST(n AS DOUBLE) * c))
+                       AS BIGINT) AS h_micro
+           FROM j),
+    st2 AS (SELECT *, 1.0 - CAST(h_micro AS DOUBLE) / 1000000 AS om
+            FROM st)
+    SELECT user_id, x AS n_events, y AS total_cents, e_milli, h_micro,
+           CAST(round(CAST(e_milli AS DOUBLE) * e_milli * h_micro * 1000
+                      / (CAST(ssr AS DOUBLE) / (n - 2) * 2 * om * om
+                         * 1000000000000)) AS BIGINT) AS d_milli
+    FROM st2 ORDER BY d_milli DESC, user_id LIMIT 10
+    """,
+)
+def qc69(spark, sf):
+    """Top-10 most influential users by Cook's distance on the
+    per-user spend~activity regression
+    (operators/stats.py:cooks_distance_topk) — refit-free influence
+    audit; micro coefficients, milli residuals, micro leverage from
+    exact integer (n·x−Σx)², one mirrored double chain per row,
+    TakeOrdered top-k."""
+    from .operators.stats import cooks_distance_topk
+
+    pu = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_cents").cast("long").alias("total_cents"),
+        )
+    )
+    return cooks_distance_topk(pu, "user_id", "n_events", "total_cents", 10)

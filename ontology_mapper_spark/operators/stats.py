@@ -6305,3 +6305,281 @@ def regression_discontinuity(
         .cast("long")
         .alias("rdd_jump_micro"),
     )
+
+
+def chow_test(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    f_crit_milli: int = 3000,
+) -> DataFrame:
+    """Chow structural-break test at the series midpoint — did the
+    linear trend (level/slope) of the daily metric CHANGE between the
+    two halves?  F = ((SSRp − SSR1 − SSR2)/k) / ((SSR1+SSR2)/(n−2k)),
+    k = 2 (Chow 1960).
+
+    Each side's SSR comes from the centered normal-equation identity
+    SSR = (A − B²/C)/n with A = n·Σy²−(Σy)², B = n·Σty−ΣtΣy,
+    C = n·Σt²−(Σt)² — A and the y-sums ride in decimal38 (Σy² alone
+    can pass int64 at petabyte daily totals, the qc50 rule), B²
+    squares in mirrored doubles, ONE rounded division per segment.
+    The pooled sums are the exact integer SUM of the two segment
+    rows — one aggregation pass total.  The F threshold is an
+    injected milli constant (≈ the 5% F(2,∞) point), so the verdict
+    is an integer comparison.
+
+    Output (single row): n_days, split_t, n1, n2, ssr_pooled, ssr_1,
+    ssr_2, chow_f_milli, break_detected.
+    """
+    base = series.select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    nt = base.agg(F.count("*").cast("long").alias("_nd"))
+    seg = base.crossJoin(F.broadcast(nt)).select(
+        F.when(F.col("_t") < F.expr("_nd div 2"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("_seg"),
+        "_t",
+        "_y",
+        F.expr("_nd div 2").alias("_split"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    per = seg.groupBy("_seg").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_t").cast("long").alias("_st"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(F.col("_t") * F.col("_y")).cast("decimal(38,0)").alias("_sty"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_stt"),
+        F.sum(dec(F.col("_y")) * dec(F.col("_y"))).alias("_syy"),
+        F.max("_split").alias("_split"),
+    )
+
+    def _ssr(n, st, sy, sty, stt, syy):
+        a = dec(n) * syy - sy * sy
+        b = dec(n) * sty - dec(st) * sy
+        c = n * stt - st * st
+        return F.when(
+            c != 0,
+            F.round(
+                (a.cast("double") - b.cast("double") * b.cast("double") / c)
+                / n
+            ).cast("long"),
+        )
+
+    rows = per.select(
+        "_seg",
+        "_n",
+        "_split",
+        _ssr(
+            F.col("_n"),
+            F.col("_st"),
+            F.col("_sy"),
+            F.col("_sty"),
+            F.col("_stt"),
+            F.col("_syy"),
+        ).alias("_ssr"),
+        "_st",
+        "_sy",
+        "_sty",
+        "_stt",
+        "_syy",
+    )
+    pooled = rows.agg(
+        F.sum("_n").cast("long").alias("_n"),
+        F.sum("_st").cast("long").alias("_st"),
+        F.sum("_sy").cast("decimal(38,0)").alias("_sy"),
+        F.sum("_sty").cast("decimal(38,0)").alias("_sty"),
+        F.sum("_stt").cast("long").alias("_stt"),
+        F.sum("_syy").cast("decimal(38,0)").alias("_syy"),
+    ).select(
+        _ssr(
+            F.col("_n"),
+            F.col("_st"),
+            F.col("_sy"),
+            F.col("_sty"),
+            F.col("_stt"),
+            F.col("_syy"),
+        ).alias("ssr_pooled"),
+        F.col("_n").alias("n_days"),
+    )
+    s1 = rows.where(F.col("_seg") == 1).select(
+        F.col("_n").alias("n1"),
+        F.col("_ssr").alias("ssr_1"),
+        F.col("_split").alias("split_t"),
+    )
+    s2 = rows.where(F.col("_seg") == 2).select(
+        F.col("_n").alias("n2"), F.col("_ssr").alias("ssr_2")
+    )
+    out = pooled.crossJoin(F.broadcast(s1)).crossJoin(F.broadcast(s2))
+    fm = F.when(
+        (F.col("ssr_1") + F.col("ssr_2") > 0) & (F.col("n_days") > 4),
+        F.round(
+            (F.col("ssr_pooled") - F.col("ssr_1") - F.col("ssr_2")).cast(
+                "double"
+            )
+            * (F.col("n_days") - 4)
+            * 500
+            / (F.col("ssr_1") + F.col("ssr_2"))
+        ).cast("long"),
+    )
+    return out.select(
+        "n_days",
+        "split_t",
+        "n1",
+        "n2",
+        "ssr_pooled",
+        "ssr_1",
+        "ssr_2",
+        fm.alias("chow_f_milli"),
+        (fm > F.lit(int(f_crit_milli))).alias("break_detected"),
+    )
+
+
+def cooks_distance_topk(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most influential points of the simple regression y ~ x by
+    Cook's distance — the refit-free influence audit (which users
+    would move the fitted trend most if dropped?):
+
+        D_i = e_i² h_i / (p s² (1−h_i)²),  p = 2,
+        h_i = 1/n + (x_i − x̄)²/Sxx.
+
+    Slope/intercept are single micro-rounded divisions of integer
+    cross-products (qc64 idiom); residuals are milli-integers from
+    the micro coefficients; leverage is micro from the exact integer
+    (n·x−Σx)² over n·C; SSR uses the centered identity with decimal38
+    y-sums (qc68) so s² is one rounded integer.  D assembles in ONE
+    mirrored double chain per row (named om = 1−h/1e6 stage pins the
+    op order), then TakeOrdered(k) — never a global sort.
+
+    Output (k rows): id, x, y, e_milli, h_micro, d_milli.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    tot = base.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(dec(F.col("_y")) * dec(F.col("_y"))).alias("_syy"),
+    )
+    cde = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    coef = tot.select(
+        "_n",
+        "_sx",
+        cde.alias("_c"),
+        F.when(
+            cde != 0,
+            F.round(
+                (
+                    F.col("_sy").cast("double") * F.col("_sxx")
+                    - F.col("_sx").cast("double") * F.col("_sxy").cast("double")
+                )
+                * 1_000_000
+                / cde
+            ).cast("long"),
+        ).alias("_a_micro"),
+        F.when(
+            cde != 0,
+            F.round(
+                (
+                    F.col("_n").cast("double") * F.col("_sxy").cast("double")
+                    - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+                )
+                * 1_000_000
+                / cde
+            ).cast("long"),
+        ).alias("_b_micro"),
+        F.when(
+            cde != 0,
+            F.round(
+                (
+                    (dec(F.col("_n")) * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+                        "double"
+                    )
+                    - (
+                        dec(F.col("_n")) * F.col("_sxy")
+                        - dec(F.col("_sx")) * F.col("_sy")
+                    ).cast("double")
+                    * (
+                        dec(F.col("_n")) * F.col("_sxy")
+                        - dec(F.col("_sx")) * F.col("_sy")
+                    ).cast("double")
+                    / cde
+                )
+                / F.col("_n")
+            ).cast("long"),
+        ).alias("_ssr"),
+    )
+    j = base.crossJoin(F.broadcast(coef)).where(
+        (F.col("_c") != 0) & (F.col("_ssr") > 0) & (F.col("_n") > 2)
+    )
+    e_milli = (
+        F.col("_y") * 1000
+        - F.round((F.col("_a_micro") + F.col("_b_micro") * F.col("_x")) / 1000)
+        .cast("long")
+    )
+    q = F.col("_n") * F.col("_x") - F.col("_sx")
+    h_micro = F.round(
+        F.lit(1_000_000).cast("double") / F.col("_n")
+        + (q * q).cast("double")
+        * 1_000_000
+        / (F.col("_n").cast("double") * F.col("_c"))
+    ).cast("long")
+    staged = j.select(
+        "_id",
+        "_x",
+        "_y",
+        "_n",
+        "_ssr",
+        e_milli.alias("e_milli"),
+        h_micro.alias("h_micro"),
+    ).select(
+        "_id",
+        "_x",
+        "_y",
+        "_n",
+        "_ssr",
+        "e_milli",
+        "h_micro",
+        (F.lit(1.0) - F.col("h_micro").cast("double") / 1_000_000).alias(
+            "_om"
+        ),
+    )
+    den = (
+        F.col("_ssr").cast("double")
+        / (F.col("_n") - 2)
+        * 2
+        * F.col("_om")
+        * F.col("_om")
+        * 1_000_000_000_000
+    )
+    num = (
+        F.col("e_milli").cast("double")
+        * F.col("e_milli")
+        * F.col("h_micro")
+        * 1000
+    )
+    return (
+        staged.select(
+            F.col("_id").alias(id_col),
+            F.col("_x").alias(x_col),
+            F.col("_y").alias(y_col),
+            "e_milli",
+            "h_micro",
+            F.round(num / den).cast("long").alias("d_milli"),
+        )
+        .orderBy(F.col("d_milli").desc(), F.col(id_col))
+        .limit(int(k))
+    )
