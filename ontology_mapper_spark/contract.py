@@ -19522,3 +19522,97 @@ def qc69(spark, sf):
         )
     )
     return cooks_distance_topk(pu, "user_id", "n_events", "total_cents", 10)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 70: FD audit + uncertainty coefficient (profiler family)
+# ---------------------------------------------------------------------------
+
+_QC70_PAIRS = [
+    ("event_id", "user_id"),
+    ("user_id", "event_type"),
+    ("event_type", "user_id"),
+]
+
+
+def _qc70_oracle() -> str:
+    blocks, sels = [], []
+    for i, (a, b) in enumerate(_QC70_PAIRS, 1):
+        blocks.append(f"""
+    c{i} AS (SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2),
+    p{i} AS (SELECT CAST(sum(na) AS BIGINT) AS n_rows,
+                    CAST(count(*) AS BIGINT) AS n_lhs,
+                    CAST(sum(nb) AS BIGINT) AS n_pairs,
+                    CAST(sum(na - mx) AS BIGINT) AS g3
+             FROM (SELECT a, sum(c) AS na, max(c) AS mx,
+                          count(*) AS nb
+                   FROM c{i} GROUP BY 1))""")
+        sels.append(f"""
+    SELECT '{a}' AS lhs, '{b}' AS rhs, n_rows, n_lhs, n_pairs,
+           n_pairs = n_lhs AS fd_holds, g3 AS g3_violations,
+           CAST(round(g3 * 1000000 / n_rows) AS BIGINT) AS g3_micro
+    FROM p{i}""")
+    return "WITH" + ",".join(blocks) + "\n    UNION ALL".join(sels)
+
+
+@_q("qc70_fd_audit", None)
+def qc70(spark, sf):
+    """Approximate functional-dependency audit (g3 measure) for three
+    column pairs of the events table (operators/dq.py:fd_audit) —
+    event_id→user_id holds exactly (key), the user/type pairs report
+    their integer g3 deletion counts and micro error rates."""
+    from .operators.dq import fd_audit
+
+    return fd_audit(_t(spark, sf, "events"), _QC70_PAIRS)
+
+
+ORACLES["qc70_fd_audit"] = _qc70_oracle()
+
+_QC71_PAIRS = [("user_id", "event_type"), ("event_type", "user_id")]
+
+
+def _qc71_oracle() -> str:
+    lnm = lambda x: (
+        f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e6) AS BIGINT)"
+    )
+    blocks, sels = [], []
+    for i, (a, b) in enumerate(_QC71_PAIRS, 1):
+        blocks.append(f"""
+    c{i} AS (SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2),
+    bm{i} AS (SELECT CAST(sum(cb) AS BIGINT) AS n,
+                     CAST(sum(cb * {lnm('cb')}) AS BIGINT) AS sbl
+              FROM (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+                    FROM c{i} GROUP BY 1)),
+    hb{i} AS (SELECT n, CAST(round((n * {lnm('n')} - sbl) / n) AS BIGINT)
+                AS h_b FROM bm{i}),
+    am{i} AS (SELECT a, CAST(sum(c) AS BIGINT) AS na
+              FROM c{i} GROUP BY 1),
+    cd{i} AS (SELECT CAST(round(CAST(sum(c * ({lnm('na')} - {lnm('c')}))
+                                     AS BIGINT)
+                               / CAST(sum(c) AS BIGINT)) AS BIGINT) AS h_ba
+              FROM c{i} JOIN am{i} USING (a))""")
+        sels.append(f"""
+    SELECT '{a}' AS lhs, '{b}' AS rhs, n AS n_rows, h_b AS h_b_micro,
+           h_ba AS h_b_given_a_micro,
+           CASE WHEN h_b > 0 THEN
+             CAST(round(CAST(h_b - h_ba AS DOUBLE) * 1000000 / h_b)
+                  AS BIGINT) END AS u_micro
+    FROM hb{i} CROSS JOIN cd{i}""")
+    return "WITH" + ",".join(blocks) + "\n    UNION ALL".join(sels)
+
+
+@_q("qc71_uncertainty_coeff", None)
+def qc71(spark, sf):
+    """Theil's uncertainty coefficient U(B|A) for both directions of
+    the user/event-type pair (operators/dq.py:uncertainty_coefficient)
+    — information-theoretic dependence strength over one (A,B) cell
+    table; entropies via the q66 integer idiom, one rounded division
+    each, terminal micro ratio."""
+    from .operators.dq import uncertainty_coefficient
+
+    return uncertainty_coefficient(_t(spark, sf, "events"), _QC71_PAIRS)
+
+
+ORACLES["qc71_uncertainty_coeff"] = _qc71_oracle()

@@ -191,3 +191,144 @@ def expectations_report(
         .cast("long")
         .alias("ok"),
     )
+
+
+def fd_audit(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Approximate functional-dependency audit for a list of column
+    pairs A→B — the schema-discovery / data-contract profiler: does A
+    determine B exactly, and if not, how far off is it by the g3
+    measure (Kivinen & Mannila 1995: the minimum fraction of rows to
+    DELETE for the FD to hold — n − Σ_A max_B count(A,B), all
+    integers)?
+
+    One (A,B) cell aggregation per pair (map-side combine absorbs hot
+    keys), then a per-A max/sum rollup; the per-pair outputs union.
+    fd_holds is the exact test distinct(A,B) = distinct(A).
+
+    Output per pair: lhs, rhs, n_rows, n_lhs, n_pairs, fd_holds,
+    g3_violations, g3_micro.
+    """
+    outs = []
+    for a, b in pairs:
+        cells = (
+            df.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+            .groupBy("_a", "_b")
+            .agg(F.count("*").cast("long").alias("_c"))
+        )
+        per_a = cells.groupBy("_a").agg(
+            F.sum("_c").cast("long").alias("_na"),
+            F.max("_c").cast("long").alias("_mx"),
+            F.count("*").cast("long").alias("_nb"),
+        )
+        agg = per_a.agg(
+            F.sum("_na").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_lhs"),
+            F.sum("_nb").cast("long").alias("n_pairs"),
+            F.sum(F.col("_na") - F.col("_mx")).cast("long").alias(
+                "g3_violations"
+            ),
+        )
+        outs.append(
+            agg.select(
+                F.lit(a).alias("lhs"),
+                F.lit(b).alias("rhs"),
+                "n_rows",
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_pairs") == F.col("n_lhs")).alias("fd_holds"),
+                "g3_violations",
+                F.round(F.col("g3_violations") * 1_000_000 / F.col("n_rows"))
+                .cast("long")
+                .alias("g3_micro"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def uncertainty_coefficient(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(B|A) per column pair — the
+    information-theoretic sibling of `fd_audit`: what fraction of
+    B's entropy does knowing A remove?  U = (H(B) − H(B|A)) / H(B),
+    1 = functional dependence, 0 = independence.
+
+    All entropies use the q66 integer idiom over ONE (A,B) cell
+    table: H(B) from the B margin (n·ln_micro(n) − Σ c_b·ln_micro(c_b)
+    over n), H(B|A) from cell counts against their A-margin
+    (Σ_cells c·(ln_micro(n_a) − ln_micro(c)) over n) — integer sums
+    with one rounded division each, then one terminal ratio to micro.
+    H(B)=0 (constant column) yields NULL U.
+
+    Output per pair: lhs, rhs, n_rows, h_b_micro, h_b_given_a_micro,
+    u_micro.
+    """
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
+    outs = []
+    for a, b in pairs:
+        cells = (
+            df.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+            .groupBy("_a", "_b")
+            .agg(F.count("*").cast("long").alias("_c"))
+        )
+        amarg = cells.groupBy("_a").agg(
+            F.sum("_c").cast("long").alias("_na")
+        )
+        bm = (
+            cells.groupBy("_b")
+            .agg(F.sum("_c").cast("long").alias("_cb"))
+            .agg(
+                F.sum("_cb").cast("long").alias("_n"),
+                F.sum(F.col("_cb") * lnm(F.col("_cb")))
+                .cast("long")
+                .alias("_sbl"),
+            )
+            .select(
+                "_n",
+                F.round(
+                    (F.col("_n") * lnm(F.col("_n")) - F.col("_sbl"))
+                    / F.col("_n")
+                )
+                .cast("long")
+                .alias("h_b_micro"),
+            )
+        )
+        cond = (
+            cells.join(amarg, "_a")
+            .agg(
+                F.sum(F.col("_c") * (lnm(F.col("_na")) - lnm(F.col("_c"))))
+                .cast("long")
+                .alias("_scl"),
+                F.sum("_c").cast("long").alias("_n2"),
+            )
+            .select(
+                F.round(F.col("_scl") / F.col("_n2"))
+                .cast("long")
+                .alias("h_b_given_a_micro")
+            )
+        )
+        outs.append(
+            bm.crossJoin(F.broadcast(cond)).select(
+                F.lit(a).alias("lhs"),
+                F.lit(b).alias("rhs"),
+                F.col("_n").alias("n_rows"),
+                "h_b_micro",
+                "h_b_given_a_micro",
+                F.when(
+                    F.col("h_b_micro") > 0,
+                    F.round(
+                        (F.col("h_b_micro") - F.col("h_b_given_a_micro"))
+                        .cast("double")
+                        * 1_000_000
+                        / F.col("h_b_micro")
+                    ).cast("long"),
+                ).alias("u_micro"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
