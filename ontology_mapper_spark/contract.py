@@ -19616,3 +19616,181 @@ def qc71(spark, sf):
 
 
 ORACLES["qc71_uncertainty_coeff"] = _qc71_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 71: phonetic blocking + competing-risks incidence
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc72_phonetic_blocking",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    sx AS (SELECT name,
+                  upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+           FROM names),
+    d0 AS (SELECT name, u,
+                  translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            '01230120022455012623010202') AS dg
+           FROM sx),
+    d1 AS (SELECT name, u,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(dg, '0+', '0', 'g'),
+                      '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+                    '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g') AS dg
+           FROM d0),
+    codes AS (SELECT name,
+                     CASE WHEN length(u) > 0 THEN
+                       substring(u, 1, 1)
+                       || rpad(substring(regexp_replace(substr(dg, 2),
+                                                        '0', '', 'g'),
+                                         1, 3), 3, '0')
+                     END AS code
+              FROM d1)
+    SELECT a.name AS name_a, b.name AS name_b, a.code AS code,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+    FROM codes a JOIN codes b ON a.code = b.code AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+    """,
+)
+def qc72(spark, sf):
+    """Phonetic-blocked fuzzy-match candidates over part names
+    (operators/linkage.py:phonetic_blocking_pairs) — simplified
+    soundex built from engine-portable primitives (translate +
+    per-digit run collapses; DuckDB's RE2 has no backreferences, so
+    '(.)\\\\1+' is unusable), equi-join within blocks, levenshtein
+    1..3 — the phonetic complement to qa27's last-token blocking."""
+    from .operators.linkage import phonetic_blocking_pairs
+
+    return phonetic_blocking_pairs(_t(spark, sf, "part"), "p_name", 3)
+
+
+@_q(
+    "qc73_aalen_johansen",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s, event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (SELECT user_id, sid, min(ts) AS f, max(ts) AS l,
+                    CAST(count(*) AS BIGINT) AS ne
+             FROM s2 GROUP BY 1, 2),
+    gm AS (SELECT max(ts) AS g FROM events),
+    subj AS (SELECT epoch_us(l) - epoch_us(f) AS t,
+                    CASE WHEN epoch_us(g) - epoch_us(l) <= 1800000000
+                         THEN 0
+                         WHEN ne >= 2 THEN 1 ELSE 2 END AS k
+             FROM sess CROSS JOIN gm),
+    per_t AS (SELECT t, CAST(count(*) AS BIGINT) AS a,
+                     CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d1,
+                     CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d2
+              FROM subj GROUP BY 1),
+    st AS (SELECT *,
+                  CAST(sum(a) OVER () AS BIGINT)
+                  - CAST(coalesce(sum(a) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n
+           FROM per_t),
+    tm AS (SELECT *,
+                  CASE WHEN d1 + d2 > 0 AND d1 + d2 < n THEN
+                    CAST(round(ln(CAST(n - (d1 + d2) AS DOUBLE))
+                               * 1000000) AS BIGINT)
+                    - CAST(round(ln(CAST(n AS DOUBLE)) * 1000000)
+                           AS BIGINT)
+                  ELSE 0 END AS term,
+                  CASE WHEN d1 + d2 = n THEN 1 ELSE 0 END AS dies
+           FROM st),
+    cm AS (SELECT *,
+                  CAST(coalesce(sum(term) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS lns_prev,
+                  coalesce(max(dies) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS dead_prev
+           FROM tm),
+    sp AS (SELECT *,
+                  CASE WHEN dead_prev = 1 THEN 0
+                       ELSE CAST(round(exp(CAST(lns_prev AS DOUBLE)
+                                           / 1000000) * 1000000)
+                                 AS BIGINT) END AS s_prev_micro
+           FROM cm),
+    inc AS (SELECT *,
+                   CAST(round(CAST(s_prev_micro AS DOUBLE) * d1 * 1000
+                              / n) AS BIGINT) AS i1,
+                   CAST(round(CAST(s_prev_micro AS DOUBLE) * d2 * 1000
+                              / n) AS BIGINT) AS i2
+            FROM sp),
+    fin AS (SELECT *,
+                   CAST(sum(i1) OVER (ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cif1_nano,
+                   CAST(sum(i2) OVER (ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cif2_nano
+            FROM inc)
+    SELECT t AS duration, n AS n_at_risk, d1, d2,
+           CAST(a - d1 - d2 AS BIGINT) AS n_censored_here,
+           s_prev_micro, cif1_nano, cif2_nano
+    FROM fin WHERE d1 + d2 > 0
+    """,
+)
+def qc73(spark, sf):
+    """Aalen–Johansen cumulative incidence for two competing session
+    exit causes — engaged (≥2 events) vs bounce — censored at the
+    30-min horizon (operators/stats.py:aalen_johansen); all-cause KM
+    survival via qa67's ln-sum/exp idiom, CIF increments as mirrored
+    double chains into nano units with integer cumsums."""
+    from .operators.stats import aalen_johansen
+
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_us.isNull() | (us - lag_us > 1_800_000_000), 1
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sess = (
+        flagged.select(
+            "user_id",
+            "ts",
+            F.sum("_new")
+            .over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("_sid"),
+        )
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min(us).alias("_f"),
+            F.max(us).alias("_l"),
+            F.count("*").cast("long").alias("_ne"),
+        )
+    )
+    gm = e.agg(F.max(us).alias("_g"))
+    subj = sess.crossJoin(F.broadcast(gm)).select(
+        (F.col("_l") - F.col("_f")).alias("t"),
+        F.when(F.col("_g") - F.col("_l") <= 1_800_000_000, F.lit(0))
+        .when(F.col("_ne") >= 2, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("k"),
+    )
+    return aalen_johansen(subj, "t", "k")

@@ -124,3 +124,74 @@ def edit_distance_pairs(
         )
         .where(F.col("dist").between(1, int(max_dist)))
     )
+
+
+SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def soundex_col(name) -> F.Column:
+    """Simplified (MySQL-style) soundex phonetic key, built ONLY from
+    functions whose semantics match between Spark SQL and DuckDB:
+    upper → strip non-letters → translate(A..Z → digit codes) →
+    collapse runs PER DIGIT ('1+'→'1', … — DuckDB's RE2 has no
+    backreferences, so '(.)\\1+' is unusable; seven chained
+    single-digit collapses are backref-free and identical in both
+    engines) → drop zeros (vowels/H/W) → first letter + 3 digits
+    right-padded with '0'.
+
+    A deterministic phonetic BLOCKING key, not a byte-for-byte clone
+    of any one engine's soundex() builtin (reference semantics:
+    standard soundex, Russell 1918; the vowel-separation subtlety is
+    simplified identically on both sides and documented here).
+    """
+    c = name if not isinstance(name, str) else F.col(name)
+    u = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    digits = F.translate(u, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", SOUNDEX_MAP)
+    for d in "0123456":
+        digits = F.regexp_replace(digits, d + "+", d)
+    rest = F.regexp_replace(F.substr(digits, F.lit(2), F.length(digits)), "0", "")
+    return F.when(
+        F.length(u) > 0,
+        F.concat(F.substring(u, 1, 1), F.rpad(F.substring(rest, 1, 3), 3, "0")),
+    )
+
+
+def phonetic_blocking_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_lev: int = 3,
+) -> DataFrame:
+    """Phonetic-blocked fuzzy-match candidates: distinct names keyed
+    by their simplified soundex code, self-joined WITHIN blocks only
+    (the record-linkage blocking discipline — never all-pairs), kept
+    when 1 <= levenshtein <= max_lev.  Complements qa27's last-token
+    blocking: phonetic keys catch spelling variants that share sound
+    but not suffix tokens.  Block sizes are bounded by the phonetic
+    key's selectivity; the join is an equi-join on the code, so AQE
+    handles skewed blocks.
+
+    Output: name_a, name_b (name_a < name_b), code, lev.
+    """
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .select("name", soundex_col(F.col("name")).alias("code"))
+        .where(F.col("code").isNotNull())
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where((lev >= 1) & (lev <= int(max_lev)))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("a.code").alias("code"),
+            lev.cast("long").alias("lev"),
+        )
+    )
