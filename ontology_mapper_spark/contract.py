@@ -19794,3 +19794,114 @@ def qc73(spark, sf):
         .alias("k"),
     )
     return aalen_johansen(subj, "t", "k")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 72: NB overdispersion fit + QQ decile regression
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc74_negbin_fit",
+    """
+    WITH cells AS (SELECT event_type, user_id,
+                          CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1, 2),
+    per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s,
+                   CAST(sum(x * x) AS BIGINT) AS q
+            FROM cells GROUP BY 1)
+    SELECT event_type, n AS n_units,
+           CAST(round(CAST(s AS DOUBLE) * 1000 / n) AS BIGINT)
+             AS mean_milli,
+           CAST(round(CAST(n * q - s * s AS DOUBLE) * 1000
+                      / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_milli,
+           (n * q - s * s - n * s) > 0 AS overdispersed,
+           CASE WHEN n * q - s * s - n * s > 0 THEN
+             CAST(round(CAST(s AS DOUBLE) * s * 1000
+                        / (n * q - s * s - n * s)) AS BIGINT) END
+             AS r_milli,
+           CASE WHEN n * q - s * s - n * s > 0 THEN
+             CAST(round(CAST(n AS DOUBLE) * s * 1000 / (n * q - s * s))
+                  AS BIGINT) END AS p_milli
+    FROM per
+    """,
+)
+def qc74(spark, sf):
+    """Negative-binomial method-of-moments fit of per-user event
+    counts for each event type (operators/stats.py:negbin_fit) — the
+    overdispersion-aware rate model; r and p are ratios of integer
+    moment sums with one mirrored double division each, NULL when the
+    group is not overdispersed (Poisson adequate)."""
+    from .operators.stats import negbin_fit
+
+    cells = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    return negbin_fit(cells, "event_type", "x")
+
+
+@_q(
+    "qc75_qq_regression",
+    """
+    WITH e AS (SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS wk,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    base AS (SELECT (wk = 0 OR wk = 6) AS b, v FROM e),
+    hist AS (SELECT b, v, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2),
+    cum AS (SELECT b, v, sum(c) OVER (PARTITION BY b ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cm FROM hist),
+    tot AS (SELECT b, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    dec(decile) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)),
+    qs AS (SELECT cum.b, d.decile, CAST(min(cum.v) AS BIGINT) AS q,
+                  CAST(max(t.n) AS BIGINT) AS n
+           FROM cum JOIN tot t ON t.b = cum.b
+           JOIN dec d ON cum.cm >= (d.decile * t.n + 9) // 10
+           GROUP BY 1, 2),
+    pairs AS (SELECT a.decile, a.q AS q_a, a.n AS n_a,
+                     bb.q AS q_b, bb.n AS n_b
+              FROM (SELECT * FROM qs WHERE NOT b) a
+              JOIN (SELECT * FROM qs WHERE b) bb USING (decile)),
+    ols AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(q_a) AS BIGINT) AS sx,
+                   CAST(sum(q_b) AS BIGINT) AS sy,
+                   CAST(sum(q_a * q_b) AS BIGINT) AS sxy,
+                   CAST(sum(q_a * q_a) AS BIGINT) AS sxx
+            FROM pairs),
+    co AS (SELECT CASE WHEN k * sxx - sx * sx <> 0 THEN
+                    CAST(round((CAST(k AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy) * 1000
+                               / (k * sxx - sx * sx)) AS BIGINT) END
+                    AS slope_milli,
+                  CASE WHEN k * sxx - sx * sx <> 0 THEN
+                    CAST(round((CAST(sy AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sxy) * 1000
+                               / (k * sxx - sx * sx)) AS BIGINT) END
+                    AS intercept_milli
+           FROM ols)
+    SELECT CAST(p.decile AS BIGINT) AS decile, p.q_a, p.q_b, p.n_a,
+           p.n_b, co.slope_milli, co.intercept_milli
+    FROM pairs p CROSS JOIN co
+    """,
+)
+def qc75(spark, sf):
+    """QQ decile regression of weekend vs weekday event values
+    (operators/stats.py:qq_decile_regression) — robust scale-ratio /
+    location-shift summary; exact type-1 deciles from per-slice value
+    histograms (qc56 rank idiom, qb71 portable day-of-week), 9-point
+    int64 OLS with milli-rounded coefficients."""
+    from .operators.stats import qq_decile_regression
+
+    e = _t(spark, sf, "events").select(
+        F.expr(
+            "((unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7)"
+        ).alias("_wk"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    base = e.select(
+        ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"), "_v"
+    )
+    return qq_decile_regression(base, "_we", "_v")

@@ -6718,3 +6718,161 @@ def aalen_johansen(
             "cif2_nano",
         )
     )
+
+
+def negbin_fit(df: DataFrame, group_col: str, count_col: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of per-unit counts for
+    each group — the overdispersion-aware count model behind rate
+    alerting (a Poisson threshold on NB data pages on-call for
+    nothing):  with m = S/n and population v = (nQ − S²)/n²,
+
+        r = m²/(v − m) = S² / (nQ − S² − nS),   p = m/v = nS/(nQ − S²)
+
+    — both RATIOS OF INTEGERS (S = Σx, Q = Σx²), milli-rounded with
+    one mirrored double division each.  A group with v <= m (no
+    overdispersion) reports NULL r/p and overdispersed = false:
+    Poisson is adequate there.  One (group, unit) cell count, one
+    group-level moment agg.
+
+    Output per group: group, n_units, mean_milli, var_milli,
+    overdispersed, r_milli, p_milli.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col(count_col).cast("long")).cast("long").alias("_s"),
+        F.sum(F.col(count_col).cast("long") * F.col(count_col).cast("long"))
+        .cast("long")
+        .alias("_q"),
+    )
+    num_v = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    den_r = num_v - F.col("_n") * F.col("_s")
+    return per.select(
+        group_col,
+        F.col("_n").alias("n_units"),
+        F.round(F.col("_s").cast("double") * 1000 / F.col("_n"))
+        .cast("long")
+        .alias("mean_milli"),
+        F.round(
+            num_v.cast("double") * 1000
+            / (F.col("_n").cast("double") * F.col("_n"))
+        )
+        .cast("long")
+        .alias("var_milli"),
+        (den_r > 0).alias("overdispersed"),
+        F.when(
+            den_r > 0,
+            F.round(
+                F.col("_s").cast("double") * F.col("_s") * 1000 / den_r
+            ).cast("long"),
+        ).alias("r_milli"),
+        F.when(
+            den_r > 0,
+            F.round(
+                F.col("_n").cast("double") * F.col("_s") * 1000 / num_v
+            ).cast("long"),
+        ).alias("p_milli"),
+    )
+
+
+def qq_decile_regression(
+    df: DataFrame, flag_col, value_col: str
+) -> DataFrame:
+    """Quantile-quantile decile regression between two slices of one
+    integer metric — the robust distribution-shift summary: regress
+    slice-B's nine deciles on slice-A's (type-1 exact ranks from the
+    per-slice value histograms, the qc56 idiom); slope ≈ scale ratio,
+    intercept ≈ location shift, so (slope=1, intercept=0) means "same
+    shape", slope≠1 means the tail stretched, intercept≠0 a uniform
+    shift — one number pair where a KS test only says "different".
+
+    The 9-point OLS is pure int64 (Σx, Σy, Σxy, Σx² over nine decile
+    pairs), slope/intercept single milli-rounded divisions.  Ordered
+    windows run over the two value HISTOGRAMS only (qa22 family).
+
+    Output: 9 decile rows (decile, q_a, q_b) with slope_milli,
+    intercept_milli, n_a, n_b repeated (broadcast join).
+    """
+    fl = flag_col if not isinstance(flag_col, str) else F.col(flag_col)
+    base = df.select(
+        fl.cast("boolean").alias("_b"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    hist = base.groupBy("_b", "_v").agg(F.count("*").cast("long").alias("_c"))
+    wv = (
+        Window.partitionBy("_b")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "_b", "_v", F.sum("_c").over(wv).alias("_cm")
+    )
+    tot = hist.groupBy("_b").agg(F.sum("_c").cast("long").alias("_n"))
+    dec = df.sparkSession.createDataFrame(
+        [(q,) for q in range(1, 10)], ["decile"]
+    )
+    qs = (
+        cum.join(F.broadcast(tot), "_b")
+        .join(
+            F.broadcast(dec),
+            F.col("_cm") >= F.expr("(decile * _n + 9) div 10"),
+        )
+        .groupBy("_b", "decile")
+        .agg(F.min("_v").cast("long").alias("_q"), F.max("_n").alias("_n"))
+    )
+    pairs = (
+        qs.where(~F.col("_b"))
+        .select(
+            "decile",
+            F.col("_q").alias("q_a"),
+            F.col("_n").alias("n_a"),
+        )
+        .join(
+            qs.where(F.col("_b")).select(
+                "decile",
+                F.col("_q").alias("q_b"),
+                F.col("_n").alias("n_b"),
+            ),
+            "decile",
+        )
+    )
+    ols = pairs.agg(
+        F.count("*").cast("long").alias("_k"),
+        F.sum("q_a").cast("long").alias("_sx"),
+        F.sum("q_b").cast("long").alias("_sy"),
+        F.sum(F.col("q_a") * F.col("q_b")).cast("long").alias("_sxy"),
+        F.sum(F.col("q_a") * F.col("q_a")).cast("long").alias("_sxx"),
+    )
+    den = F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    coefs = ols.select(
+        F.when(
+            den != 0,
+            F.round(
+                (
+                    F.col("_k").cast("double") * F.col("_sxy")
+                    - F.col("_sx").cast("double") * F.col("_sy")
+                )
+                * 1000
+                / den
+            ).cast("long"),
+        ).alias("slope_milli"),
+        F.when(
+            den != 0,
+            F.round(
+                (
+                    F.col("_sy").cast("double") * F.col("_sxx")
+                    - F.col("_sx").cast("double") * F.col("_sxy")
+                )
+                * 1000
+                / den
+            ).cast("long"),
+        ).alias("intercept_milli"),
+    )
+    return pairs.crossJoin(F.broadcast(coefs)).select(
+        F.col("decile").cast("long").alias("decile"),
+        "q_a",
+        "q_b",
+        "n_a",
+        "n_b",
+        "slope_milli",
+        "intercept_milli",
+    )
