@@ -19905,3 +19905,144 @@ def qc75(spark, sf):
         ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"), "_v"
     )
     return qq_decile_regression(base, "_we", "_v")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 73: OR homogeneity + Gopher filter bundle
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc76_woolf_homogeneity",
+    """
+    WITH e AS (SELECT event_type AS s,
+                      ((epoch_us(ts) // 86400000000 + 4) % 7) AS wk,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cut AS (SELECT CAST(min(v) AS BIGINT) AS cut FROM
+            (SELECT v, sum(c) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cm FROM hist)
+            CROSS JOIN nt WHERE cm >= (7500 * n + 9999) // 10000),
+    cells AS (SELECT s,
+                CAST(2 * sum(CASE WHEN (wk = 0 OR wk = 6) AND v > cut
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS a2,
+                CAST(2 * sum(CASE WHEN (wk = 0 OR wk = 6) AND v <= cut
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS b2,
+                CAST(2 * sum(CASE WHEN NOT (wk = 0 OR wk = 6) AND v > cut
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS c2,
+                CAST(2 * sum(CASE WHEN NOT (wk = 0 OR wk = 6) AND v <= cut
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS d2
+              FROM e CROSS JOIN cut GROUP BY 1),
+    per AS (SELECT s,
+                   (CAST(round(ln(CAST(a2 AS DOUBLE)) * 1e6) AS BIGINT)
+                    + CAST(round(ln(CAST(d2 AS DOUBLE)) * 1e6) AS BIGINT)
+                    - CAST(round(ln(CAST(b2 AS DOUBLE)) * 1e6) AS BIGINT)
+                    - CAST(round(ln(CAST(c2 AS DOUBLE)) * 1e6) AS BIGINT))
+                     AS t,
+                   CAST(round(1000000.0 / (2.0 / a2 + 2.0 / b2
+                              + 2.0 / c2 + 2.0 / d2)) AS BIGINT) AS w
+            FROM cells),
+    p2 AS (SELECT s, t, w, w * t AS wt,
+                  CAST(round(CAST(w AS DOUBLE) * t * t
+                             / 1000000000000) AS BIGINT) AS q1
+           FROM per),
+    ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                  CAST(sum(w) AS BIGINT) AS sw,
+                  CAST(sum(wt) AS BIGINT) AS swt,
+                  CAST(sum(q1) AS BIGINT) AS sq
+           FROM p2)
+    SELECT n_strata,
+           CAST(round(CAST(swt AS DOUBLE) / sw) AS BIGINT)
+             AS lnor_pooled_micro,
+           CAST(round((sq - CAST(round(CAST(swt AS DOUBLE) * swt
+                                       / (CAST(sw AS DOUBLE)
+                                          * 1000000000000)) AS BIGINT))
+                      / 1000) AS BIGINT) AS q_milli,
+           CAST(n_strata - 1 AS BIGINT) AS df
+    FROM ag
+    """,
+)
+def qc76(spark, sf):
+    """Woolf homogeneity of the weekend/high-value odds ratio across
+    event-type strata (operators/stats.py:woolf_homogeneity) — the
+    gate on qb90's common-OR assumption; Haldane doubled-integer
+    cells, ln_micro of integers, one mirrored weight chain per
+    stratum, int64 cross-stratum sums."""
+    from .operators.stats import woolf_homogeneity
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.expr(
+            "((unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7)"
+        ).alias("_wk"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    hist = e.groupBy("_v").agg(F.count("*").cast("long").alias("_c"))
+    nt = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = (
+        hist.select("_v", F.sum("_c").over(wv).alias("_cm"))
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("_cm") >= F.expr("(7500 * _n + 9999) div 10000"))
+        .agg(F.min("_v").alias("_cut"))
+    )
+    base = e.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"),
+        (F.col("_v") > F.col("_cut")).alias("_hi"),
+    )
+    return woolf_homogeneity(base, "event_type", "_we", "_hi")
+
+
+def _qc77_oracle() -> str:
+    from .operators.textstats import _STOPWORDS
+
+    stop = ",".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(regexp_replace(
+               text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS words
+      FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(words,
+                      x -> length(x))), 0) AS BIGINT) AS sum_wlen,
+                 CAST(len(list_filter(words,
+                      x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+                   AS n_alpha,
+                 CAST(len(list_filter(words,
+                      x -> list_contains([{stop}], x))) AS BIGINT)
+                   AS n_stop
+          FROM w)
+    SELECT doc_id, n_words, sum_wlen, n_alpha, n_stop,
+           n_words >= 10 AND n_words <= 10000 AS n_words_ok,
+           3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+             AS wlen_ok,
+           5 * n_alpha >= 4 * n_words AS alpha_ok,
+           n_stop >= 2 AS stop_ok,
+           (n_words >= 10 AND n_words <= 10000)
+             AND (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+             AND (5 * n_alpha >= 4 * n_words) AND (n_stop >= 2)
+             AS passes
+    FROM s
+    """
+
+
+@_q("qc77_gopher_filter", None)
+def qc77(spark, sf):
+    """Gopher-style filter rule bundle per document
+    (operators/textstats.py:gopher_filter_flags) — word-count bounds,
+    mean-word-length and alpha-ratio rules as EXACT integer
+    cross-multiplications (no division anywhere), stopword floor;
+    single map-only scan."""
+    from .operators.textstats import gopher_filter_flags
+
+    return gopher_filter_flags(_t(spark, sf, "documents"))
+
+
+ORACLES["qc77_gopher_filter"] = _qc77_oracle()

@@ -6876,3 +6876,102 @@ def qq_decile_regression(
         "slope_milli",
         "intercept_milli",
     )
+
+
+def woolf_homogeneity(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col,
+    outcome_col,
+) -> DataFrame:
+    """Woolf test of odds-ratio homogeneity across strata — the third
+    leg of the stratified-association stool next to Mantel–Haenszel
+    pooling (qb90) and the per-stratum Woolf CI (qb99): MH assumes ONE
+    common OR; this Q = Σw(lnOR_k)² − (Σw·lnOR_k)²/Σw ~ χ²(K−1) says
+    whether that assumption holds before you trust the pooled number.
+
+    Haldane continuity via DOUBLED integers (2c+1, the qb99 idiom)
+    keeps every lnOR a difference of ln_micro of INTEGERS; the weight
+    1/(1/a+…+1/d) is ONE mirrored double chain micro-rounded per
+    STRATUM (qa91 per-cell rule), after which all cross-stratum sums
+    are pure int64 (w·t products ≤ 1e13); the two quotient terms
+    round once each at the end.
+
+    Output (single row): n_strata, lnor_pooled_micro, q_milli, df.
+    """
+    ex = exposed_col if not isinstance(exposed_col, str) else F.col(exposed_col)
+    oc = outcome_col if not isinstance(outcome_col, str) else F.col(outcome_col)
+    cells = (
+        df.select(
+            F.col(stratum_col).alias("_s"),
+            ex.cast("boolean").alias("_e"),
+            oc.cast("boolean").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            *[
+                (
+                    2
+                    * F.sum(
+                        F.when(cond, 1).otherwise(0)
+                    ).cast("long")
+                    + 1
+                ).alias(nm)
+                for nm, cond in [
+                    ("_a2", F.col("_e") & F.col("_y")),
+                    ("_b2", F.col("_e") & ~F.col("_y")),
+                    ("_c2", ~F.col("_e") & F.col("_y")),
+                    ("_d2", ~F.col("_e") & ~F.col("_y")),
+                ]
+            ]
+        )
+    )
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
+    t = (
+        lnm(F.col("_a2"))
+        + lnm(F.col("_d2"))
+        - lnm(F.col("_b2"))
+        - lnm(F.col("_c2"))
+    )
+    w = F.round(
+        F.lit(1000000.0)
+        / (
+            F.lit(2.0) / F.col("_a2")
+            + F.lit(2.0) / F.col("_b2")
+            + F.lit(2.0) / F.col("_c2")
+            + F.lit(2.0) / F.col("_d2")
+        )
+    ).cast("long")
+    per = cells.select(
+        "_s", t.alias("_t"), w.alias("_w")
+    ).select(
+        "_s",
+        "_t",
+        "_w",
+        (F.col("_w") * F.col("_t")).alias("_wt"),
+        F.round(
+            F.col("_w").cast("double") * F.col("_t") * F.col("_t")
+            / 1_000_000_000_000
+        )
+        .cast("long")
+        .alias("_q1"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("_w").cast("long").alias("_sw"),
+        F.sum("_wt").cast("long").alias("_swt"),
+        F.sum("_q1").cast("long").alias("_sq"),
+    )
+    q2 = F.round(
+        F.col("_swt").cast("double")
+        * F.col("_swt")
+        / (F.col("_sw").cast("double") * 1_000_000_000_000)
+    ).cast("long")
+    return agg.select(
+        "n_strata",
+        F.round(F.col("_swt").cast("double") / F.col("_sw"))
+        .cast("long")
+        .alias("lnor_pooled_micro"),
+        F.round((F.col("_sq") - q2) / 1000).cast("long").alias("q_milli"),
+        (F.col("n_strata") - 1).alias("df"),
+    )

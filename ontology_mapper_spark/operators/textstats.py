@@ -1381,3 +1381,58 @@ def kneser_ney_nll(
             ),
         )
     )
+
+
+def gopher_filter_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 10_000,
+) -> DataFrame:
+    """Gopher-style document filter rule bundle (Rae et al. 2021 §A1,
+    scaled to the corpus): word-count bounds, mean word length in
+    [3, 10], alpha-word ratio >= 0.8, >= 2 stopwords.  Every ratio
+    rule is an EXACT integer cross-multiplication (3n <= Σlen <= 10n;
+    5·n_alpha >= 4·n_words) — no division anywhere, so the flags are
+    trivially engine-portable.  Single scan, map-only, array ops in
+    codegen.
+
+    Output per doc: id, n_words, sum_wlen, n_alpha, n_stop,
+    n_words_ok, wlen_ok, alpha_ok, stop_ok, passes.
+    """
+    w = words_col(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    pre = df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_wlen"),
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    n_ok = (F.col("n_words") >= int(min_words)) & (
+        F.col("n_words") <= int(max_words)
+    )
+    wlen_ok = (3 * F.col("n_words") <= F.col("sum_wlen")) & (
+        F.col("sum_wlen") <= 10 * F.col("n_words")
+    )
+    alpha_ok = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    stop_ok = F.col("n_stop") >= 2
+    return pre.select(
+        id_col,
+        "n_words",
+        "sum_wlen",
+        "n_alpha",
+        "n_stop",
+        n_ok.alias("n_words_ok"),
+        wlen_ok.alias("wlen_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (n_ok & wlen_ok & alpha_ok & stop_ok).alias("passes"),
+    )

@@ -333,6 +333,15 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc31_hellinger_tv": "distinct-value two-side histogram (qb96 family)",
     "qc32_dunn_posthoc": "distinct-value score histogram (qa22 doubled-midrank idiom)",
     "qc37_cramer_von_mises": "distinct-value two-side histogram cumulative (qb96 family)",
+    "qc46_anderson_darling": "distinct-value two-side histogram cumulative (qb96 family)",
+    "qc47_seasonal_indices": "day-spine moving-average windows (calendar-bounded)",
+    "qc50_durbin_watson": "day-spine residual lag windows (calendar-bounded)",
+    "qc54_greenwood_ci": "distinct-duration KM curve (qa67 family; coarsen durations at scale)",
+    "qc57_weibull_fit": "distinct-duration median-rank grid (qa67 family; coarsen durations at scale)",
+    "qc59_kupiec_pof": "train-slice value histogram cumulative (qa22 family)",
+    "qc63_woe_iv": "value histogram p90 cut (qa22 family)",
+    "qc64_regression_discontinuity": "per-user activity histogram median cut (qa22 family; distinct activity levels, never row-level)",
+    "qc73_aalen_johansen": "distinct-duration risk spine (qa67 family; coarsen durations at scale)",
 }
 
 
