@@ -20046,3 +20046,108 @@ def qc77(spark, sf):
 
 
 ORACLES["qc77_gopher_filter"] = _qc77_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 74: isotonic calibration + GPD tail fit
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc78_isotonic_calibration",
+    """
+    WITH base AS (SELECT CAST(n_chars AS BIGINT) AS s,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                  FROM documents),
+    ext AS (SELECT min(s) AS mn, max(s) AS mx FROM base),
+    bins AS (SELECT CAST(floor((s - mn) * 20 / (mx - mn + 1)) AS BIGINT)
+                      AS bin,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS pos
+             FROM base CROSS JOIN ext GROUP BY 1),
+    pref AS (SELECT bin, n, pos,
+                    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS r,
+                    CAST(sum(n) OVER (ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+                    CAST(sum(pos) OVER (ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+             FROM bins),
+    iv AS (SELECT lo.r AS j, hi.r AS k,
+                  CAST(round(CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+                             * 1000000 / (hi.cn - (lo.cn - lo.n)))
+                       AS BIGINT) AS m
+           FROM pref lo JOIN pref hi ON lo.r <= hi.r),
+    inr AS (SELECT p.r AS i, iv.j, min(iv.m) AS minm
+            FROM iv JOIN pref p ON iv.j <= p.r AND p.r <= iv.k
+            GROUP BY 1, 2),
+    iso AS (SELECT i, CAST(max(minm) AS BIGINT) AS iso_micro
+            FROM inr GROUP BY 1)
+    SELECT p.bin, p.r, p.n, p.pos,
+           CAST(round(CAST(p.pos AS DOUBLE) * 1000000 / p.n) AS BIGINT)
+             AS rate_micro,
+           iso.iso_micro
+    FROM pref p JOIN iso ON iso.i = p.r
+    """,
+)
+def qc78(spark, sf):
+    """Isotonic calibration fit over qc43's equal-width confidence
+    bins (operators/evaluate.py:isotonic_calibration) — the exact
+    max-min-interval-mean identity instead of a sequential PAV sweep,
+    so the plan is static: per-interval means micro-rounded once from
+    prefix-sum differences, the j<=i<=k lattice is a bounded bin-
+    dimension cube, min/max on int64."""
+    from .operators.evaluate import isotonic_calibration
+
+    d = _t(spark, sf, "documents")
+    return isotonic_calibration(
+        d, "n_chars", F.col("lang") == F.lit("en"), n_bins=20
+    )
+
+
+@_q(
+    "qc79_gpd_tail",
+    """
+    WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base
+             GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cm FROM hist),
+    pg(pct) AS (VALUES (50), (60), (70), (80), (90)),
+    cuts AS (SELECT pct, CAST(min(v) AS BIGINT) AS u
+             FROM cum CROSS JOIN nt JOIN pg ON cm * 100 >= pct * n
+             GROUP BY 1),
+    agg AS (SELECT pct, u, CAST(count(*) AS BIGINT) AS n_exceed,
+                   CAST(sum(v - u) AS BIGINT) AS s,
+                   sum(CAST(v - u AS HUGEINT) * (v - u)) AS q
+            FROM base CROSS JOIN cuts WHERE v > u GROUP BY 1, 2)
+    SELECT CAST(pct AS BIGINT) AS pct, u AS u_value, n_exceed,
+           CAST(round(CAST(s AS DOUBLE) * 1000 / n_exceed) AS BIGINT)
+             AS mean_excess_milli,
+           CASE WHEN CAST(n_exceed * q - CAST(s AS HUGEINT) * s
+                          AS DOUBLE) > 0 THEN
+             CAST(round(CAST(n_exceed * q - 2 * CAST(s AS HUGEINT) * s
+                             AS DOUBLE) * 500
+                        / CAST(n_exceed * q - CAST(s AS HUGEINT) * s
+                               AS DOUBLE)) AS BIGINT) END AS xi_milli,
+           CASE WHEN CAST(n_exceed * q - CAST(s AS HUGEINT) * s
+                          AS DOUBLE) > 0 THEN
+             CAST(round(CAST(s AS DOUBLE) * CAST(q AS DOUBLE) * 500
+                        / CAST(n_exceed * q - CAST(s AS HUGEINT) * s
+                               AS DOUBLE)) AS BIGINT) END AS sigma_milli
+    FROM agg
+    """,
+)
+def qc79(spark, sf):
+    """Mean-excess curve + GPD method-of-moments tail fit of event
+    values over five exact percentile thresholds
+    (operators/stats.py:gpd_mean_excess) — peaks-over-threshold
+    companion to Hill/Gumbel; xi and sigma are ratios of decimal38
+    integer moment sums with one mirrored double division each."""
+    from .operators.stats import gpd_mean_excess
+
+    e = _t(spark, sf, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return gpd_mean_excess(e, "cents", (50, 60, 70, 80, 90))

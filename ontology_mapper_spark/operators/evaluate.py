@@ -2381,3 +2381,118 @@ def spiegelhalter_z(
             ).cast("long"),
         ).alias("z_milli"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration fit over the
+    equal-width confidence bins shared with qa82/qc13/qc23/qc43 —
+    the nonparametric recalibration map.  Instead of the sequential
+    pool-adjacent-violators sweep (data-dependent iteration count, a
+    poor fit for a static plan), the fit uses the EXACT minimax
+    identity (Robertson et al. 1988):
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(y[j..k])
+
+    over the B occupied bins: interval means come from prefix-sum
+    differences of the bin table (integer pos/count sums), each
+    micro-rounded ONCE (per-cell rule, so the min/max lattice runs on
+    int64), and the j<=i<=k lattice is B³ rows of a bounded dimension
+    table — never row-level.  Windows run over the occupied-bin spine
+    only (allowlisted bounded class).
+
+    Output per occupied bin: bin, r (dense index), n, pos,
+    rate_micro, iso_micro (nondecreasing in r by construction).
+    """
+    base = df.select(
+        (score_col if not isinstance(score_col, str) else F.col(score_col))
+        .cast("long")
+        .alias("_s"),
+        (label_col if not isinstance(label_col, str) else F.col(label_col))
+        .cast("boolean")
+        .cast("long")
+        .alias("_y"),
+    )
+    ext = base.groupBy().agg(
+        F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
+    )
+    nb = int(n_bins)
+    bins = (
+        base.crossJoin(F.broadcast(ext))
+        .select(
+            F.floor(
+                (F.col("_s") - F.col("_mn"))
+                * nb
+                / (F.col("_mx") - F.col("_mn") + 1)
+            )
+            .cast("long")
+            .alias("bin"),
+            "_y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("pos"),
+        )
+    )
+    wr = Window.orderBy("bin")
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.sum("n").over(wcum).cast("long").alias("_cn"),
+        F.sum("pos").over(wcum).cast("long").alias("_cp"),
+    )
+    lo = pref.select(
+        F.col("r").alias("_j"),
+        (F.col("_cn") - F.col("n")).alias("_cn0"),
+        (F.col("_cp") - F.col("pos")).alias("_cp0"),
+    )
+    hi = pref.select(
+        F.col("r").alias("_k"),
+        F.col("_cn").alias("_cn1"),
+        F.col("_cp").alias("_cp1"),
+    )
+    intervals = (
+        lo.join(hi, F.col("_j") <= F.col("_k"))
+        .select(
+            "_j",
+            "_k",
+            F.round(
+                (F.col("_cp1") - F.col("_cp0")).cast("double")
+                * 1_000_000
+                / (F.col("_cn1") - F.col("_cn0"))
+            )
+            .cast("long")
+            .alias("_m"),
+        )
+    )
+    idx = pref.select(F.col("r").alias("_i"))
+    inner = (
+        intervals.join(
+            idx,
+            (F.col("_j") <= F.col("_i")) & (F.col("_i") <= F.col("_k")),
+        )
+        .groupBy("_i", "_j")
+        .agg(F.min("_m").alias("_minm"))
+    )
+    iso = inner.groupBy("_i").agg(F.max("_minm").cast("long").alias("iso_micro"))
+    return (
+        pref.join(iso, pref["r"] == iso["_i"])
+        .select(
+            "bin",
+            "r",
+            "n",
+            "pos",
+            F.round(F.col("pos").cast("double") * 1_000_000 / F.col("n"))
+            .cast("long")
+            .alias("rate_micro"),
+            "iso_micro",
+        )
+    )

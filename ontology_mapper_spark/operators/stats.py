@@ -6975,3 +6975,86 @@ def woolf_homogeneity(
         F.round((F.col("_sq") - q2) / 1000).cast("long").alias("q_milli"),
         (F.col("n_strata") - 1).alias("df"),
     )
+
+
+def gpd_mean_excess(
+    df: DataFrame,
+    value_col: str,
+    pcts: tuple[int, ...] = (50, 60, 70, 80, 90),
+) -> DataFrame:
+    """Mean-excess curve + generalized-Pareto method-of-moments tail
+    fit over a grid of exact percentile thresholds — the
+    peaks-over-threshold companion to Hill (qb01) and Gumbel blocks
+    (qb26): a roughly LINEAR mean-excess curve with positive slope
+    says heavy tail, and (ξ, σ) quantify it:
+
+        ξ = (1 − m²/s²)/2 = (nQ − 2S²)/(2(nQ − S²)),
+        σ = m(m²/s² + 1)/2 = S·Q/(2(nQ − S²))
+
+    over the excesses x−u — both RATIOS whose numerators/denominators
+    are integer moment sums (S, Q = Σe, Σe²; decimal38 for the nQ/S²
+    products, qc50 rule), one mirrored double division each.
+    Thresholds are type-1 histogram ranks (qc56 idiom); the per-
+    threshold excess pass is a 5-row broadcast join with map-side
+    combine.  Variance-zero groups report NULL ξ/σ.
+
+    Output per threshold: pct, u_value, n_exceed, mean_excess_milli,
+    xi_milli, sigma_milli.
+    """
+    base = df.select(F.col(value_col).cast("long").alias("_v"))
+    hist = base.groupBy("_v").agg(F.count("*").cast("long").alias("_c"))
+    nt = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("_v", F.sum("_c").over(wv).alias("_cm"))
+    pdf = df.sparkSession.createDataFrame(
+        [(int(p),) for p in pcts], ["pct"]
+    )
+    cuts = (
+        cum.crossJoin(F.broadcast(nt))
+        .join(
+            F.broadcast(pdf),
+            F.col("_cm") * 100 >= F.col("pct") * F.col("_n"),
+        )
+        .groupBy("pct")
+        .agg(F.min("_v").cast("long").alias("u"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = (
+        base.crossJoin(F.broadcast(cuts))
+        .where(F.col("_v") > F.col("u"))
+        .select("pct", "u", (F.col("_v") - F.col("u")).alias("_e"))
+        .groupBy("pct", "u")
+        .agg(
+            F.count("*").cast("long").alias("n_exceed"),
+            F.sum("_e").cast("long").alias("_s"),
+            F.sum(dec(F.col("_e")) * dec(F.col("_e"))).alias("_q"),
+        )
+    )
+    nq = dec(F.col("n_exceed")) * F.col("_q")
+    s2 = dec(F.col("_s")) * dec(F.col("_s"))
+    den = (nq - s2).cast("double")
+    return agg.select(
+        F.col("pct").cast("long").alias("pct"),
+        F.col("u").alias("u_value"),
+        "n_exceed",
+        F.round(F.col("_s").cast("double") * 1000 / F.col("n_exceed"))
+        .cast("long")
+        .alias("mean_excess_milli"),
+        F.when(
+            den > 0,
+            F.round((nq - F.lit(2).cast("decimal(38,0)") * s2).cast("double") * 500 / den).cast(
+                "long"
+            ),
+        ).alias("xi_milli"),
+        F.when(
+            den > 0,
+            F.round(
+                F.col("_s").cast("double")
+                * F.col("_q").cast("double")
+                * 500
+                / den
+            ).cast("long"),
+        ).alias("sigma_milli"),
+    )
