@@ -20151,3 +20151,97 @@ def qc79(spark, sf):
         F.round(F.col("value") * 100).cast("long").alias("cents")
     )
     return gpd_mean_excess(e, "cents", (50, 60, 70, 80, 90))
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 75: LSH planner grid + dedup savings report
+# ---------------------------------------------------------------------------
+
+
+def _qc80_oracle() -> str:
+    rows = ", ".join(
+        f"({s}, {b}, {r})"
+        for s in range(1, 10)
+        for (b, r) in ((32, 4), (16, 8), (8, 16))
+    )
+    return f"""
+    WITH g(s_decile, b, r) AS (VALUES {rows}),
+    s1 AS (SELECT s_decile, b, r,
+                  CAST(s_decile AS DOUBLE) / 10 AS v1 FROM g),
+    s2 AS (SELECT *, v1 * v1 AS v2 FROM s1),
+    s4 AS (SELECT *, v2 * v2 AS v4 FROM s2),
+    s8 AS (SELECT *, v4 * v4 AS v8 FROM s4),
+    s16 AS (SELECT *, v8 * v8 AS v16 FROM s8),
+    t1 AS (SELECT *, 1.0 - (CASE WHEN r = 4 THEN v4
+                                 WHEN r = 8 THEN v8
+                                 ELSE v16 END) AS w1 FROM s16),
+    t2 AS (SELECT *, w1 * w1 AS w2 FROM t1),
+    t4 AS (SELECT *, w2 * w2 AS w4 FROM t2),
+    t8 AS (SELECT *, w4 * w4 AS w8 FROM t4),
+    t16 AS (SELECT *, w8 * w8 AS w16 FROM t8),
+    t32 AS (SELECT *, w16 * w16 AS w32 FROM t16)
+    SELECT CAST(s_decile AS BIGINT) AS s_decile, CAST(b AS BIGINT) AS b,
+           CAST(r AS BIGINT) AS r,
+           CAST(round((1.0 - (CASE WHEN b = 8 THEN w8
+                                   WHEN b = 16 THEN w16
+                                   ELSE w32 END)) * 1000000) AS BIGINT)
+             AS p_micro
+    FROM t32
+    """
+
+
+@_q("qc80_lsh_planner", None)
+def qc80(spark, sf):
+    """LSH banding planner grid (operators/dedup.py:lsh_collision_grid)
+    — collision S-curves for the repo's own q26/q30 banding configs;
+    power-of-two exponents via mirrored IEEE square-chains (no pow, no
+    exp/ln), pure 27-row dimension computation."""
+    from .operators.dedup import lsh_collision_grid
+
+    return lsh_collision_grid(spark)
+
+
+ORACLES["qc80_lsh_planner"] = _qc80_oracle()
+
+
+@_q("qc81_dedup_savings", None)
+def qc81(spark, sf):
+    """Storage-savings report over q64's dedup clusters
+    (operators/dedup.py:dedup_savings_report) — cluster-size
+    histogram with exact byte totals and representative-only savings;
+    singletons reconcile the totals against the raw corpus; the
+    oracle wraps q64's recursive-closure SQL verbatim (qb97
+    single-source-of-truth idiom)."""
+    from .operators.dedup import (
+        dedup_clusters,
+        dedup_savings_report,
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(
+        d, "text", "doc_id", num_hashes=_MINHASH_N, shingle_n=2
+    )
+    pairs = minhash_band_pairs(
+        sig, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    return dedup_savings_report(d, dedup_clusters(pairs))
+
+
+ORACLES["qc81_dedup_savings"] = f"""
+    WITH cl AS ({{Q64}}),
+    j AS (SELECT d.doc_id, d.n_chars,
+                 coalesce(cl.cluster_rep, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+    pc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize,
+                  CAST(sum(n_chars) AS BIGINT) AS cbytes,
+                  CAST(sum(CASE WHEN doc_id = cluster THEN n_chars
+                                ELSE 0 END) AS BIGINT) AS rep_bytes
+           FROM j GROUP BY 1)
+    SELECT csize AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs,
+           CAST(sum(cbytes) AS BIGINT) AS bytes_total,
+           CAST(sum(cbytes - rep_bytes) AS BIGINT) AS bytes_savable
+    FROM pc GROUP BY 1
+""".replace("{Q64}", ORACLES["q64_dedup_clusters"])

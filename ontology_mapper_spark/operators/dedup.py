@@ -1163,3 +1163,110 @@ def deletion_neighborhood_pairs(
         .agg(F.count("*").cast("long").alias("n_shared_variants"))
     )
     return pairs
+
+
+def lsh_collision_grid(
+    spark,
+    s_deciles: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8, 9),
+    configs: tuple[tuple[int, int], ...] = ((32, 4), (16, 8), (8, 16)),
+) -> DataFrame:
+    """LSH banding planner: the collision probability
+    p(s) = 1 − (1 − s^r)^b for every (similarity decile, bands b,
+    rows-per-band r) cell — the tuning table behind THIS repo's own
+    minhash_band_pairs / multi-table LSH (q26/q30 families): pick the
+    (b, r) whose S-curve knee sits at your dedup threshold before
+    paying for a signature pass.
+
+    All exponents are POWERS OF TWO, so both engines evaluate the
+    same square-chain of IEEE multiplications (s²,s⁴,s⁸,s¹⁶ then
+    t²…t³²) — no pow(), no exp/ln, every intermediate a named column
+    that pins the op order; one terminal micro round.  A pure
+    dimension-table computation: 27 rows, no scan, broadcast-sized
+    by construction.
+
+    Output per cell: s_decile, b, r, p_micro.
+    """
+    rows = [
+        (int(s), int(b), int(r)) for s in s_deciles for (b, r) in configs
+    ]
+    g = spark.createDataFrame(rows, ["s_decile", "b", "r"])
+    st = g.select(
+        "s_decile",
+        "b",
+        "r",
+        (F.col("s_decile").cast("double") / 10).alias("_s1"),
+    )
+    for k in (2, 4, 8, 16):
+        st = st.withColumn(f"_s{k}", F.col(f"_s{k // 2}") * F.col(f"_s{k // 2}"))
+    st = st.withColumn(
+        "_t1",
+        F.lit(1.0)
+        - F.when(F.col("r") == 4, F.col("_s4"))
+        .when(F.col("r") == 8, F.col("_s8"))
+        .otherwise(F.col("_s16")),
+    )
+    for k in (2, 4, 8, 16, 32):
+        st = st.withColumn(f"_t{k}", F.col(f"_t{k // 2}") * F.col(f"_t{k // 2}"))
+    tb = (
+        F.when(F.col("b") == 8, F.col("_t8"))
+        .when(F.col("b") == 16, F.col("_t16"))
+        .otherwise(F.col("_t32"))
+    )
+    return st.select(
+        F.col("s_decile").cast("long").alias("s_decile"),
+        F.col("b").cast("long").alias("b"),
+        F.col("r").cast("long").alias("r"),
+        F.round((F.lit(1.0) - tb) * 1_000_000).cast("long").alias("p_micro"),
+    )
+
+
+def dedup_savings_report(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "n_chars",
+) -> DataFrame:
+    """Storage/compute savings report over `dedup_clusters` output —
+    the business case for the dedup pass: per cluster SIZE, how many
+    clusters, how many docs, total bytes, and bytes freed by keeping
+    only the min-id representative.  Singletons (docs in no candidate
+    pair) enter as size-1 clusters via the left join, so the totals
+    reconcile against the raw corpus exactly.  All integer sums; two
+    shuffles (cluster rollup, size histogram).
+
+    Output per cluster_size: cluster_size, n_clusters, n_docs,
+    bytes_total, bytes_savable.
+    """
+    j = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(bytes_col).cast("long").alias("_by"),
+        )
+        .join(
+            clusters.select(
+                F.col(id_col).alias("_id"), F.col("cluster_rep")
+            ),
+            "_id",
+            "left",
+        )
+        .select(
+            "_id",
+            "_by",
+            F.coalesce(F.col("cluster_rep"), F.col("_id")).alias("_cl"),
+        )
+    )
+    pc = j.groupBy("_cl").agg(
+        F.count("*").cast("long").alias("_size"),
+        F.sum("_by").cast("long").alias("_bytes"),
+        F.sum(F.when(F.col("_id") == F.col("_cl"), F.col("_by")).otherwise(0))
+        .cast("long")
+        .alias("_rep_bytes"),
+    )
+    return pc.groupBy(F.col("_size").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("_size").cast("long").alias("n_docs"),
+        F.sum("_bytes").cast("long").alias("bytes_total"),
+        F.sum(F.col("_bytes") - F.col("_rep_bytes"))
+        .cast("long")
+        .alias("bytes_savable"),
+    )
