@@ -319,6 +319,30 @@ EXTENDED = [
     "qc57_weibull_fit",
     "qc58_cronbach_alpha",
     "qc59_kupiec_pof",
+    "qc60_littles_law",
+    "qc61_fisher_exact",
+    "qc62_kneser_ney",
+    "qc63_woe_iv",
+    "qc64_regression_discontinuity",
+    "qc65_periodogram",
+    "qc66_pca_power",
+    "qc67_l_diversity",
+    "qc68_chow_test",
+    "qc69_cooks_distance",
+    "qc70_fd_audit",
+    "qc71_uncertainty_coeff",
+    "qc72_phonetic_blocking",
+    "qc73_aalen_johansen",
+    "qc74_negbin_fit",
+    "qc75_qq_regression",
+    "qc76_woolf_homogeneity",
+    "qc77_gopher_filter",
+    "qc78_isotonic_calibration",
+    "qc79_gpd_tail",
+    "qc80_lsh_planner",
+    "qc81_dedup_savings",
+    "qc82_expected_shortfall",
+    "qc83_rbp",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

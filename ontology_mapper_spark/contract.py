@@ -20245,3 +20245,150 @@ ORACLES["qc81_dedup_savings"] = f"""
            CAST(sum(cbytes - rep_bytes) AS BIGINT) AS bytes_savable
     FROM pc GROUP BY 1
 """.replace("{Q64}", ORACLES["q64_dedup_clusters"])
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 76: tail severity + user-model ranking metric
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc82_expected_shortfall",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2),
+    nt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    vr AS (SELECT g, CAST(min(v) AS BIGINT) AS var_value FROM
+           (SELECT h.g, h.v,
+                   sum(h.c) OVER (PARTITION BY h.g ORDER BY h.v
+                                  ROWS UNBOUNDED PRECEDING) AS cm,
+                   nt.n
+            FROM hist h JOIN nt ON nt.g = h.g)
+           WHERE cm >= (9500 * n + 9999) // 10000 GROUP BY 1),
+    tl AS (SELECT b.g, CAST(max(vr.var_value) AS BIGINT) AS var_value,
+                  CAST(sum(CASE WHEN b.v > vr.var_value THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_tail,
+                  CAST(sum(CASE WHEN b.v > vr.var_value THEN b.v
+                           ELSE 0 END) AS BIGINT) AS ts
+           FROM base b JOIN vr ON vr.g = b.g GROUP BY 1)
+    SELECT tl.g AS event_type, nt.n, tl.var_value, tl.n_tail,
+           CAST(round(tl.n_tail * 1000000 / nt.n) AS BIGINT)
+             AS tail_frac_micro,
+           CASE WHEN tl.n_tail > 0 THEN
+             CAST(round(CAST(tl.ts AS DOUBLE) * 1000 / tl.n_tail)
+                  AS BIGINT) END AS es_milli
+    FROM tl JOIN nt ON nt.g = tl.g
+    """,
+)
+def qc82(spark, sf):
+    """Expected shortfall (CVaR) at the exact 95% empirical VaR per
+    event type (operators/stats.py:expected_shortfall) — tail
+    severity next to qc59's exceedance-count backtest; per-group
+    type-1 histogram VaR (partitioned windows), integer tail sums,
+    one rounded division."""
+    from .operators.stats import expected_shortfall
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return expected_shortfall(e, "event_type", "cents", 9500)
+
+
+def _qc83_oracle() -> str:
+    from .operators.evaluate import rbp_weights
+
+    w = rbp_weights(10)
+    denom = 4 ** 10
+    residual = round((1 - sum(w) / denom) * 1_000_000)
+    wt_rows = ", ".join(
+        f"({j + 1}, CAST({x} AS BIGINT))" for j, x in enumerate(w)
+    )
+    return f"""
+    WITH wt(p, w) AS (VALUES {wt_rows}),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+                 label AS ql
+          FROM embeddings WHERE vec_id < 12),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qvec) * 1e6)
+                  AS BIGINT) AS cos,
+             CAST(CASE WHEN e.label = q.ql THEN 2
+                       WHEN abs(e.label - q.ql) = 1 THEN 1
+                       ELSE 0 END AS BIGINT) AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    topk AS (
+      SELECT query_id, rel, r FROM (
+        SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS r
+        FROM scored)
+      WHERE r <= 10),
+    per AS (SELECT t.query_id,
+                   CAST(sum(CASE WHEN t.rel >= 1 THEN wt.w ELSE 0 END)
+                        AS BIGINT) AS hits_w
+            FROM topk t JOIN wt ON wt.p = t.r GROUP BY 1),
+    mn AS (SELECT CAST(round(CAST(sum(hits_w) AS DOUBLE) * 1000000
+                             / (count(*) * {denom})) AS BIGINT)
+                    AS mean_rbp_micro
+           FROM per)
+    SELECT per.query_id, per.hits_w,
+           CAST(round(per.hits_w * 1000000 / {denom}) AS BIGINT)
+             AS rbp_micro,
+           CAST({residual} AS BIGINT) AS residual_micro,
+           mn.mean_rbp_micro
+    FROM per CROSS JOIN mn
+    """
+
+
+@_q("qc83_rbp", None)
+def qc83(spark, sf):
+    """Rank-biased precision (p = 3/4) of the qa89 cosine retrieval
+    (operators/evaluate.py:rbp_at_k) — the geometric user-model
+    ranking metric; dyadic persistence makes every position weight an
+    exact integer over 4^10 (injected both engines), truncation
+    residual reported."""
+    from .operators.evaluate import rbp_at_k
+    from .operators.similarity import cosine_cols
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_cols(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_cos"),
+            F.when(F.col("label") == F.col("_ql"), 2)
+            .when(F.abs(F.col("label") - F.col("_ql")) == 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return rbp_at_k(ranked, "query_id", "rank", "rel", 10)
+
+
+ORACLES["qc83_rbp"] = _qc83_oracle()

@@ -2496,3 +2496,80 @@ def isotonic_calibration(
             "iso_micro",
         )
     )
+
+
+def rbp_weights(k: int = 10, p_num: int = 3, p_den: int = 4) -> list[int]:
+    """Integer RBP position weights: W_k = p_num^(k-1) ·
+    p_den^(K-k), so that (1-p)·p^(k-1) = W_k / p_den^K exactly for
+    p = p_num/p_den·(1-p normalization folds into the shared
+    denominator: Σ_k (1-p)p^(k-1) = (p_den-p_num)/p_den · … — with
+    the default p = 3/4 the prefactor 1/4 makes W sum to
+    p_den^K·(1 − p^K)).  Computed ONCE in Python, injected into BOTH
+    engines (qa89 constant-table rule) — the whole RBP is integer
+    until one terminal division by p_den^K."""
+    return [p_num ** (j - 1) * p_den ** (k - j) for j in range(1, k + 1)]
+
+
+def rbp_at_k(
+    ranked: DataFrame,
+    group_col: str,
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Rank-biased precision at k with persistence p = 3/4 (Moffat &
+    Zobel 2008) — the user-model ranking metric where NDCG's log
+    discount is replaced by a geometric "keep scanning" probability;
+    truncation at k leaves the standard residual (1−p)·Σ_{j>k} ≈
+    p^k unassigned, reported for honesty.
+
+    p = 3/4 is dyadic-rational, so every position weight is an exact
+    INTEGER over the common denominator 4^k (`rbp_weights`, injected
+    both engines): per-group sums are int64, rbp is one terminal
+    division, and the corpus mean is a second single division of
+    integer sums.
+
+    Output per group: group, hits_w (integer weighted sum),
+    rbp_micro, residual_micro (same for all rows), mean_rbp_micro
+    (broadcast single-row join).
+    """
+    weights = rbp_weights(k)
+    denom = 4 ** k
+    residual = round((1 - sum(weights) / denom) * 1_000_000)
+    warr = F.lit(weights)
+    per = (
+        ranked.where(F.col(rank_col) <= k)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.when(
+                F.col(rel_col) >= 1,
+                F.element_at(warr, F.col(rank_col).cast("int")),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("_w"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_w").cast("long").alias("hits_w"))
+    )
+    mean = per.agg(
+        F.count("*").cast("long").alias("_nq"),
+        F.sum("hits_w").cast("long").alias("_sw"),
+    ).select(
+        F.round(
+            F.col("_sw").cast("double")
+            * 1_000_000
+            / (F.col("_nq") * F.lit(denom))
+        )
+        .cast("long")
+        .alias("mean_rbp_micro")
+    )
+    return per.crossJoin(F.broadcast(mean)).select(
+        F.col("_g").alias(group_col),
+        "hits_w",
+        F.round(F.col("hits_w") * 1_000_000 / F.lit(denom))
+        .cast("long")
+        .alias("rbp_micro"),
+        F.lit(int(residual)).cast("long").alias("residual_micro"),
+        "mean_rbp_micro",
+    )

@@ -7058,3 +7058,78 @@ def gpd_mean_excess(
             ).cast("long"),
         ).alias("sigma_milli"),
     )
+
+
+def expected_shortfall(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    coverage_bp: int = 9500,
+) -> DataFrame:
+    """Expected shortfall (CVaR) per group at an exact empirical VaR —
+    the tail-severity companion to qc59's Kupiec exceedance-count
+    backtest: VaR says how OFTEN you exceed, ES says how BAD the
+    exceedances are (the Basel FRTB metric).
+
+    Per group: VaR is the type-1 histogram rank at coverage_bp (qc56
+    idiom, PARTITIONED cumulative window — per-group histograms, no
+    global sort); ES is the integer tail mean round(S·1000/n_tail)
+    over values strictly above VaR, NULL when the tail is empty.
+
+    Output per group: group, n, var_value, n_tail, tail_frac_micro,
+    es_milli.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    hist = base.groupBy("_g", "_v").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    nt = hist.groupBy("_g").agg(F.sum("_c").cast("long").alias("_n"))
+    wv = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    var = (
+        hist.select("_g", "_v", F.sum("_c").over(wv).alias("_cm"))
+        .join(nt, "_g")
+        .where(
+            F.col("_cm")
+            >= F.expr(f"({int(coverage_bp)} * _n + 9999) div 10000")
+        )
+        .groupBy("_g")
+        .agg(F.min("_v").cast("long").alias("var_value"))
+    )
+    tail = (
+        base.join(var, "_g")
+        .groupBy("_g")
+        .agg(
+            F.max("var_value").alias("var_value"),
+            F.sum(F.when(F.col("_v") > F.col("var_value"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tail"),
+            F.sum(
+                F.when(F.col("_v") > F.col("var_value"), F.col("_v")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("_ts"),
+        )
+    )
+    return tail.join(nt, "_g").select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        "var_value",
+        "n_tail",
+        F.round(F.col("n_tail") * 1_000_000 / F.col("_n"))
+        .cast("long")
+        .alias("tail_frac_micro"),
+        F.when(
+            F.col("n_tail") > 0,
+            F.round(F.col("_ts").cast("double") * 1000 / F.col("n_tail"))
+            .cast("long"),
+        ).alias("es_milli"),
+    )
