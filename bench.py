@@ -343,6 +343,8 @@ EXTENDED = [
     "qc81_dedup_savings",
     "qc82_expected_shortfall",
     "qc83_rbp",
+    "qc84_burrows_delta",
+    "qc85_newey_west",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

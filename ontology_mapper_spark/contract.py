@@ -20392,3 +20392,135 @@ def qc83(spark, sf):
 
 
 ORACLES["qc83_rbp"] = _qc83_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 77: stylometry + autocorrelation-aware variance
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc84_burrows_delta",
+    r"""
+    WITH tok AS (SELECT s, w FROM (
+                   SELECT source AS s,
+                          unnest(string_split(lower(trim(regexp_replace(
+                            text, '\s+', ' ', 'g'))), ' ')) AS w
+                   FROM documents) WHERE length(w) > 0),
+    top AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY 1)
+            ORDER BY c DESC, w LIMIT 25),
+    counts AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c
+               FROM tok JOIN top USING (w) GROUP BY 1, 2),
+    totals AS (SELECT s, CAST(count(*) AS BIGINT) AS t
+               FROM tok GROUP BY 1),
+    grid AS (SELECT totals.s, top.w,
+                    CAST(round(CAST(coalesce(counts.c, 0) AS DOUBLE)
+                               * 1000000 / totals.t) AS BIGINT) AS f
+             FROM totals CROSS JOIN top
+             LEFT JOIN counts ON counts.s = totals.s
+                             AND counts.w = top.w),
+    per_w AS (SELECT w, CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(f) AS BIGINT) AS sf,
+                     CAST(sum(f * f) AS BIGINT) AS sff
+              FROM grid GROUP BY 1),
+    z AS (SELECT g.s, g.w,
+                 CASE WHEN p.k * p.sff - p.sf * p.sf > 0 THEN
+                   CAST(round(CAST(p.k * g.f - p.sf AS DOUBLE) * 1000
+                              / sqrt(CAST(p.k * p.sff - p.sf * p.sf
+                                          AS DOUBLE))) AS BIGINT)
+                 ELSE 0 END AS z
+          FROM grid g JOIN per_w p USING (w))
+    SELECT a.s AS source_a, b.s AS source_b,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(round(sum(abs(a.z - b.z)) / count(*)) AS BIGINT)
+             AS delta_milli
+    FROM z a JOIN z b ON a.w = b.w AND a.s < b.s
+    GROUP BY 1, 2
+    """,
+)
+def qc84(spark, sf):
+    """Burrows' Delta stylometric distance between every source pair
+    (operators/textstats.py:burrows_delta) — provenance drift on
+    function-word style; dense source × top-25-word grid with exact
+    zero cells, integer z-identity (K·f−Σf)/sqrt(K·Σf²−(Σf)²), one
+    terminal division per pair."""
+    from .operators.textstats import burrows_delta
+
+    return burrows_delta(_t(spark, sf, "documents"), "source", "text", 25)
+
+
+@_q(
+    "qc85_newey_west",
+    """
+    WITH days AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                         CAST(count(*) AS BIGINT) AS x
+                  FROM events GROUP BY 1),
+    mn AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS t FROM mn),
+    dense AS (SELECT spine.t, CAST(coalesce(days.x, 0) AS BIGINT) AS x
+              FROM spine LEFT JOIN days ON days.day = spine.t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx FROM dense),
+    z AS (SELECT t, n * x - sx AS z, n FROM dense CROSS JOIN tot),
+    lg AS (SELECT t, z, n,
+                  lead(z, 1) OVER (ORDER BY t) AS z1,
+                  lead(z, 2) OVER (ORDER BY t) AS z2,
+                  lead(z, 3) OVER (ORDER BY t) AS z3,
+                  lead(z, 4) OVER (ORDER BY t) AS z4,
+                  lead(z, 5) OVER (ORDER BY t) AS z5,
+                  lead(z, 6) OVER (ORDER BY t) AS z6,
+                  lead(z, 7) OVER (ORDER BY t) AS z7
+           FROM z),
+    gam AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+                   CAST(sum(z * z) AS BIGINT) AS g0,
+                   CAST(sum(z * z1) AS BIGINT) AS g1,
+                   CAST(sum(z * z2) AS BIGINT) AS g2,
+                   CAST(sum(z * z3) AS BIGINT) AS g3,
+                   CAST(sum(z * z4) AS BIGINT) AS g4,
+                   CAST(sum(z * z5) AS BIGINT) AS g5,
+                   CAST(sum(z * z6) AS BIGINT) AS g6,
+                   CAST(sum(z * z7) AS BIGINT) AS g7
+            FROM lg),
+    summ AS (SELECT *,
+                    CAST(g0 * 8 + 2 * 7 * g1 + 2 * 6 * g2 + 2 * 5 * g3
+                         + 2 * 4 * g4 + 2 * 3 * g5 + 2 * 2 * g6
+                         + 2 * 1 * g7 AS BIGINT) AS lrv8
+             FROM gam),
+    s2 AS (SELECT *,
+                  CASE WHEN g0 > 0 THEN
+                    CAST(round(CAST(lrv8 AS DOUBLE) * 1000000
+                               / (g0 * 8)) AS BIGINT) END AS vif_micro,
+                  CAST(round(CAST(lrv8 AS DOUBLE) * 1000
+                             / (CAST(8 AS DOUBLE) * n_days * n_days
+                                * n_days)) AS BIGINT) AS lrv_milli
+           FROM summ),
+    lw(lag, bartlett_w8) AS (VALUES (0, 8), (1, 7), (2, 6), (3, 5),
+                                    (4, 4), (5, 3), (6, 2), (7, 1))
+    SELECT CAST(lw.lag AS BIGINT) AS lag,
+           CAST(lw.bartlett_w8 AS BIGINT) AS bartlett_w8,
+           CASE lw.lag WHEN 0 THEN g0 WHEN 1 THEN g1 WHEN 2 THEN g2
+                       WHEN 3 THEN g3 WHEN 4 THEN g4 WHEN 5 THEN g5
+                       WHEN 6 THEN g6 ELSE g7 END AS gamma_scaled,
+           n_days, lrv8, vif_micro, lrv_milli
+    FROM lw CROSS JOIN s2
+    """,
+)
+def qc85(spark, sf):
+    """Newey–West long-run variance of daily event volume at L = 7
+    (operators/temporal.py:newey_west_lrv) — Bartlett eighth-weights
+    keep the kernel sum int64 over scaled deviations z = n·x − S on
+    the dense day spine (gap days are exact zeros); reports the
+    variance-inflation factor the iid A/B denominator misses."""
+    from .operators.temporal import newey_west_lrv
+
+    days = (
+        _t(spark, sf, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    return newey_west_lrv(days, "t", "x", 7)

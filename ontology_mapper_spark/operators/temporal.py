@@ -4590,3 +4590,118 @@ def periodogram(
         "amp_milli",
         (F.col("amp_milli") == F.col("_mx")).alias("is_peak"),
     )
+
+
+def newey_west_lrv(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Newey–West (Bartlett-kernel) long-run variance of an integer
+    time series — the honest denominator for A/B tests and trend
+    z-scores on AUTOCORRELATED daily metrics: the iid variance
+    understates uncertainty by the variance-inflation factor
+    lrv/γ₀, which this reports directly.
+
+        lrv = γ₀ + 2·Σ_{l=1..L} (1 − l/(L+1))·γ_l
+
+    With L = 7 the Bartlett weights are eighths, so the whole kernel
+    sum stays INTEGER in scaled units: z_t = n·x_t − S (qc65 idiom),
+    Γ_l = Σ z_t·z_{t+l}, lrv8 = 8·Γ₀ + 2·Σ(8−l)·Γ_l — all int64;
+    vif and the natural-unit lrv are one mirrored division each.
+    Lags come from an ordered window over the DENSE day spine
+    (gap days enter as exact zero deviations via the sequence
+    explode; calendar-bounded, allowlisted class).
+
+    Output per lag (0..L): lag, bartlett_w8 (8×weight), gamma_scaled,
+    with n_days, lrv8, vif_micro, lrv_milli repeated (broadcast).
+    """
+    base = series.select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+    )
+    ext = base.agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+    spine = ext.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_t")
+    )
+    dense = spine.join(base, "_t", "left").select(
+        "_t", F.coalesce(F.col("_x"), F.lit(0)).cast("long").alias("_x")
+    )
+    tot = dense.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+    )
+    z = dense.crossJoin(F.broadcast(tot)).select(
+        "_t", (F.col("_n") * F.col("_x") - F.col("_sx")).alias("_z"), "_n"
+    )
+    wlag = Window.orderBy("_t")
+    lags = z.select(
+        "_t",
+        "_z",
+        "_n",
+        *[
+            F.lead("_z", l).over(wlag).alias(f"_z{l}")
+            for l in range(0, int(max_lag) + 1)
+        ],
+    )
+    gam = lags.groupBy().agg(
+        F.max("_n").alias("n_days"),
+        *[
+            F.sum(F.col("_z") * F.col(f"_z{l}")).cast("long").alias(f"_g{l}")
+            for l in range(0, int(max_lag) + 1)
+        ],
+    )
+    lw = int(max_lag) + 1
+    lrv8 = sum(
+        (
+            F.col("_g0") * lw
+            if l == 0
+            else 2 * (lw - l) * F.col(f"_g{l}")
+        )
+        for l in range(0, int(max_lag) + 1)
+    )
+    summary = gam.select(
+        "n_days",
+        *[F.col(f"_g{l}") for l in range(0, int(max_lag) + 1)],
+        lrv8.cast("long").alias("lrv8"),
+    ).select(
+        "n_days",
+        *[F.col(f"_g{l}") for l in range(0, int(max_lag) + 1)],
+        "lrv8",
+        F.when(
+            F.col("_g0") > 0,
+            F.round(
+                F.col("lrv8").cast("double") * 1_000_000 / (F.col("_g0") * lw)
+            ).cast("long"),
+        ).alias("vif_micro"),
+        F.round(
+            F.col("lrv8").cast("double")
+            * 1000
+            / (
+                F.lit(lw).cast("double")
+                * F.col("n_days")
+                * F.col("n_days")
+                * F.col("n_days")
+            )
+        )
+        .cast("long")
+        .alias("lrv_milli"),
+    )
+    rows = []
+    for l in range(0, int(max_lag) + 1):
+        rows.append((l, lw if l == 0 else lw - l))
+    ldf = series.sparkSession.createDataFrame(rows, ["lag", "bartlett_w8"])
+    out = ldf.crossJoin(F.broadcast(summary))
+    gamma = F.when(F.col("lag") == 0, F.col("_g0"))
+    for l in range(1, int(max_lag) + 1):
+        gamma = gamma.when(F.col("lag") == l, F.col(f"_g{l}"))
+    return out.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("bartlett_w8").cast("long").alias("bartlett_w8"),
+        gamma.cast("long").alias("gamma_scaled"),
+        "n_days",
+        "lrv8",
+        "vif_micro",
+        "lrv_milli",
+    )

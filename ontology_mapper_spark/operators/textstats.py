@@ -1436,3 +1436,99 @@ def gopher_filter_flags(
         stop_ok.alias("stop_ok"),
         (n_ok & wlen_ok & alpha_ok & stop_ok).alias("passes"),
     )
+
+
+def burrows_delta(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_words: int = 25,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources — the
+    classic authorship/provenance signal (Burrows 2002): z-score each
+    source's relative frequency of the corpus's top function words,
+    then Delta(a,b) = mean |z_a − z_b|.  Flags a source whose style
+    drifts from the rest (scraper change, template contamination,
+    machine-generated injection) even when topic words look fine.
+
+    Exactness: per-(source, word) frequency is ONE micro-rounded
+    division (per-cell rule) over a DENSE source × top-word grid
+    (absent cells are exact zeros); the z-score uses the integer
+    identity (K·f − Σf)/sqrt(K·Σf² − (Σf)²) — numerator and sqrt
+    argument both int64, one mirrored division, z ≡ 0 where the
+    variance is 0; Delta is an integer |z|-difference sum with one
+    terminal division.  Top words are TakeOrdered (count desc, word),
+    never a global rank.
+
+    Output per source pair (a < b): source_a, source_b, n_words,
+    delta_milli.
+    """
+    w = words_col(F.col(text_col))
+    tok = df.select(F.col(source_col).alias("_s"), F.explode(w).alias("_w"))
+    top = (
+        tok.groupBy("_w")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_w"))
+        .limit(int(top_words))
+        .select("_w")
+    )
+    counts = (
+        tok.join(F.broadcast(top), "_w")
+        .groupBy("_s", "_w")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    totals = tok.groupBy("_s").agg(F.count("*").cast("long").alias("_t"))
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(counts, ["_s", "_w"], "left")
+        .select(
+            "_s",
+            "_w",
+            F.round(
+                F.coalesce(F.col("_c"), F.lit(0)).cast("double")
+                * 1_000_000
+                / F.col("_t")
+            )
+            .cast("long")
+            .alias("_f"),
+        )
+    )
+    per_w = grid.groupBy("_w").agg(
+        F.count("*").cast("long").alias("_k"),
+        F.sum("_f").cast("long").alias("_sf"),
+        F.sum(F.col("_f") * F.col("_f")).cast("long").alias("_sff"),
+    )
+    dd = F.col("_k") * F.col("_sff") - F.col("_sf") * F.col("_sf")
+    z = grid.join(F.broadcast(per_w), "_w").select(
+        "_s",
+        "_w",
+        F.when(
+            dd > 0,
+            F.round(
+                (F.col("_k") * F.col("_f") - F.col("_sf")).cast("double")
+                * 1000
+                / F.sqrt(dd.cast("double"))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_z"),
+    )
+    a = z.select(
+        F.col("_s").alias("source_a"), "_w", F.col("_z").alias("_za")
+    )
+    b = z.select(
+        F.col("_s").alias("source_b"), "_w", F.col("_z").alias("_zb")
+    )
+    return (
+        a.join(b, "_w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(
+                F.sum(F.abs(F.col("_za") - F.col("_zb"))) / F.count("*")
+            )
+            .cast("long")
+            .alias("delta_milli"),
+        )
+    )
