@@ -345,6 +345,8 @@ EXTENDED = [
     "qc83_rbp",
     "qc84_burrows_delta",
     "qc85_newey_west",
+    "qc86_semi_markov",
+    "qc87_pass_at_k",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

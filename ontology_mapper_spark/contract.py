@@ -20524,3 +20524,129 @@ def qc85(spark, sf):
         .agg(F.count("*").cast("long").alias("x"))
     )
     return newey_west_lrv(days, "t", "x", 7)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 78: semi-Markov rates + pass@k
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc86_semi_markov",
+    """
+    WITH pairs AS (
+      SELECT event_type AS t_to,
+             lag(event_type) OVER w AS t_from,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p2 AS (SELECT t_from, t_to, dt FROM pairs WHERE t_from IS NOT NULL),
+    cells AS (SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dt) AS BIGINT) AS sdt
+              FROM p2 GROUP BY 1, 2),
+    marg AS (SELECT t_from, CAST(sum(n) AS BIGINT) AS ci,
+                    CAST(sum(sdt) AS BIGINT) AS si
+             FROM cells GROUP BY 1)
+    SELECT c.t_from AS from_state, c.t_to AS to_state, c.n,
+           CAST(round(c.n * 1000000 / m.ci) AS BIGINT) AS p_micro,
+           CAST(round(CAST(m.si AS DOUBLE) / (m.ci * 1000)) AS BIGINT)
+             AS mean_hold_ms,
+           CASE WHEN m.si > 0 THEN
+             CAST(round(CAST(c.n AS DOUBLE) * 3600000000 * 1000 / m.si)
+                  AS BIGINT) END AS rate_per_hour_milli
+    FROM cells c JOIN marg m ON m.t_from = c.t_from
+    """,
+)
+def qc86(spark, sf):
+    """Semi-Markov transition rates of the per-user event chain
+    (operators/temporal.py:semi_markov_rates) — qa13's discrete
+    transition matrix plus holding times, yielding events/hour jump
+    rates; per-cell single mirrored divisions of int64 sums."""
+    from .operators.temporal import semi_markov_rates
+
+    return semi_markov_rates(_t(spark, sf, "events"))
+
+
+def _qc87_oracle() -> str:
+    from .operators.evaluate import pass_at_k_table
+
+    rows = ", ".join(
+        f"({k}, {c}, CAST({nu} AS BIGINT), CAST({de} AS BIGINT))"
+        for k, c, nu, de in pass_at_k_table(10, (1, 5, 10))
+    )
+    return f"""
+    WITH tbl(k, c, numer, denom) AS (VALUES {rows}),
+    e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events),
+    hist AS (SELECT v, CAST(count(*) AS BIGINT) AS hc FROM e GROUP BY 1),
+    nt AS (SELECT CAST(sum(hc) AS BIGINT) AS n FROM hist),
+    cut AS (SELECT CAST(min(v) AS BIGINT) AS cut FROM
+            (SELECT v, sum(hc) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cm FROM hist)
+            CROSS JOIN nt WHERE cm >= (5000 * n + 9999) // 10000),
+    r AS (SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS rn
+          FROM e),
+    pt AS (SELECT user_id,
+                  CAST(sum(CASE WHEN v > cut.cut THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c
+           FROM r CROSS JOIN cut WHERE rn <= 10
+           GROUP BY 1 HAVING count(*) = 10),
+    ch AS (SELECT c, CAST(count(*) AS BIGINT) AS n_tasks
+           FROM pt GROUP BY 1),
+    j AS (SELECT tbl.k, tbl.c, ch.n_tasks, tbl.numer, tbl.denom,
+                 CAST(round((tbl.denom - tbl.numer) * 1000000
+                            / tbl.denom) AS BIGINT) AS pass_micro
+          FROM ch JOIN tbl ON tbl.c = ch.c),
+    mac AS (SELECT k,
+                   CAST(round(CAST(sum(n_tasks * (denom - numer))
+                                   AS DOUBLE) * 1000000
+                              / (max(denom) * sum(n_tasks))) AS BIGINT)
+                     AS macro_pass_micro
+            FROM j GROUP BY 1)
+    SELECT CAST(j.k AS BIGINT) AS k, CAST(j.c AS BIGINT) AS c,
+           j.n_tasks, j.pass_micro, mac.macro_pass_micro
+    FROM j JOIN mac ON mac.k = j.k
+    """
+
+
+@_q("qc87_pass_at_k", None)
+def qc87(spark, sf):
+    """Unbiased pass@{1,5,10} over each user's first 10 attempts
+    (operators/evaluate.py:pass_at_k) — the HumanEval estimator
+    1 − C(n−c,k)/C(n,k) against an injected math.comb table; success
+    = value above the exact global median; macro average is one
+    division over the correct-count histogram."""
+    from .operators.evaluate import pass_at_k
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    hist = e.groupBy("_v").agg(F.count("*").cast("long").alias("_hc"))
+    nt = hist.agg(F.sum("_hc").cast("long").alias("_n"))
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = (
+        hist.select("_v", F.sum("_hc").over(wv).alias("_cm"))
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("_cm") >= F.expr("(5000 * _n + 9999) div 10000"))
+        .agg(F.min("_v").alias("_cut"))
+    )
+    flagged = e.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        "_us",
+        "event_id",
+        (F.col("_v") > F.col("_cut")).alias("_ok"),
+    )
+    return pass_at_k(
+        flagged, "user_id", "_ok", ["_us", "event_id"], 10, (1, 5, 10)
+    )
+
+
+ORACLES["qc87_pass_at_k"] = _qc87_oracle()

@@ -2573,3 +2573,105 @@ def rbp_at_k(
         F.lit(int(residual)).cast("long").alias("residual_micro"),
         "mean_rbp_micro",
     )
+
+
+def pass_at_k_table(n: int, ks: tuple[int, ...]) -> list[tuple]:
+    """Injected integer table for the unbiased pass@k estimator
+    (Chen et al. 2021, HumanEval): rows (k, c, numer, denom) with
+    numer = C(n−c, k), denom = C(n, k), so
+    pass@k = (denom − numer)/denom EXACTLY for every correct-count
+    c = 0..n.  Computed once in Python (math.comb), shared by both
+    engines (qa89 constant-table rule)."""
+    import math
+
+    rows = []
+    for k in ks:
+        denom = math.comb(n, k)
+        for c in range(n + 1):
+            numer = math.comb(n - c, k) if n - c >= k else 0
+            rows.append((int(k), int(c), int(numer), int(denom)))
+    return rows
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    correct_col,
+    order_cols: list[str],
+    n: int = 10,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """Unbiased pass@k over a FIXED n-attempt budget per task — the
+    standard code/reasoning eval estimator: with c of the first n
+    attempts correct, pass@k = 1 − C(n−c,k)/C(n,k) (never the biased
+    1−(1−c/n)^k).  Tasks with fewer than n attempts are excluded
+    (both engines), attempts are the first n by a total arrival
+    order — the qc61 bounded-audit-sample discipline, so the
+    combinatorial table is flat forever.
+
+    Everything is integer against the injected `pass_at_k_table`:
+    per-task pass is (denom−numer)/denom micro-rounded once; the
+    macro average is Σ n_c·(denom−numer_c) over the c-histogram with
+    ONE division — no per-task floating point at all.
+
+    Output per (k, c): k, c, n_tasks, pass_micro, macro_pass_micro
+    (per-k, broadcast).
+    """
+    cc = (
+        correct_col
+        if not isinstance(correct_col, str)
+        else F.col(correct_col)
+    )
+    base = df.select(
+        F.col(task_col).alias("_t"),
+        cc.cast("int").alias("_y"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+    )
+    wr = Window.partitionBy("_t").orderBy(
+        *[F.col(f"_o{i}") for i in range(len(order_cols))]
+    )
+    per_task = (
+        base.select("_t", "_y", F.row_number().over(wr).alias("_rn"))
+        .where(F.col("_rn") <= int(n))
+        .groupBy("_t")
+        .agg(
+            F.count("*").cast("long").alias("_ns"),
+            F.sum("_y").cast("long").alias("_c"),
+        )
+        .where(F.col("_ns") == int(n))
+    )
+    chist = per_task.groupBy("_c").agg(
+        F.count("*").cast("long").alias("n_tasks")
+    )
+    tbl = df.sparkSession.createDataFrame(
+        pass_at_k_table(int(n), ks), ["k", "c", "numer", "denom"]
+    )
+    joined = chist.join(
+        F.broadcast(tbl), chist["_c"] == tbl["c"]
+    ).select(
+        "k",
+        "c",
+        "n_tasks",
+        "numer",
+        "denom",
+        F.round((F.col("denom") - F.col("numer")) * 1_000_000 / F.col("denom"))
+        .cast("long")
+        .alias("pass_micro"),
+    )
+    macro = joined.groupBy(F.col("k").alias("_k")).agg(
+        F.round(
+            F.sum(F.col("n_tasks") * (F.col("denom") - F.col("numer")))
+            .cast("double")
+            * 1_000_000
+            / (F.max("denom") * F.sum("n_tasks"))
+        )
+        .cast("long")
+        .alias("macro_pass_micro")
+    )
+    return joined.join(macro, joined["k"] == macro["_k"]).select(
+        F.col("k").cast("long").alias("k"),
+        F.col("c").cast("long").alias("c"),
+        "n_tasks",
+        "pass_micro",
+        "macro_pass_micro",
+    )

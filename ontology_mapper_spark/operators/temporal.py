@@ -4705,3 +4705,72 @@ def newey_west_lrv(
         "vif_micro",
         "lrv_milli",
     )
+
+
+def semi_markov_rates(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Semi-Markov (continuous-time) transition model of the event
+    stream — qa13's discrete transition matrix plus the HOLDING TIME
+    each state is occupied before the jump, giving transition RATES
+    (events/hour) instead of bare probabilities: two states can share
+    p_ij yet differ 100× in tempo, which is exactly what capacity and
+    staleness models need.
+
+    Per user-ordered consecutive pair (partitioned lag window): a
+    transition (from → to) with holding Δt µs charged to `from`.
+    Integer exactness: p_micro = round(c_ij·1e6/c_i) and
+    rate_per_hour_milli = round(c_ij·3.6e9·1000/S_i) are each ONE
+    mirrored division of int64 sums (S_i = Σ holding µs of `from`).
+
+    Output per (from_state, to_state): n, p_micro, mean_hold_ms,
+    rate_per_hour_milli.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("_to"),
+            F.lag(F.col(state_col)).over(w).alias("_from"),
+            (us - F.unix_micros(F.lag(F.col(ts_col)).over(w).cast("timestamp")))
+            .alias("_dt"),
+        )
+        .where(F.col("_from").isNotNull())
+    )
+    cells = pairs.groupBy("_from", "_to").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_dt").cast("long").alias("_sdt"),
+    )
+    marg = cells.groupBy("_from").agg(
+        F.sum("n").cast("long").alias("_ci"),
+        F.sum("_sdt").cast("long").alias("_si"),
+    )
+    return (
+        cells.join(marg, "_from")
+        .select(
+            F.col("_from").alias("from_state"),
+            F.col("_to").alias("to_state"),
+            "n",
+            F.round(F.col("n") * 1_000_000 / F.col("_ci"))
+            .cast("long")
+            .alias("p_micro"),
+            F.round(
+                F.col("_si").cast("double") / (F.col("_ci") * 1000)
+            )
+            .cast("long")
+            .alias("mean_hold_ms"),
+            F.when(
+                F.col("_si") > 0,
+                F.round(
+                    F.col("n").cast("double")
+                    * 3_600_000_000
+                    * 1000
+                    / F.col("_si")
+                ).cast("long"),
+            ).alias("rate_per_hour_milli"),
+        )
+    )
