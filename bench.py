@@ -347,6 +347,8 @@ EXTENDED = [
     "qc85_newey_west",
     "qc86_semi_markov",
     "qc87_pass_at_k",
+    "qc88_isotropy_audit",
+    "qc89_fisher_dims",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -20650,3 +20650,92 @@ def qc87(spark, sf):
 
 
 ORACLES["qc87_pass_at_k"] = _qc87_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 79: embedding-space audits
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc88_isotropy_audit",
+    """
+    WITH ex AS (SELECT id, j,
+                       CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                         AS xm
+                FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS j
+                      FROM embeddings)),
+    dims AS (SELECT j, CAST(sum(xm) AS BIGINT) AS sj FROM ex GROUP BY 1),
+    sv AS (SELECT sum(CAST(sj AS HUGEINT) * sj) AS svn2 FROM dims),
+    tot AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n,
+                   CAST(sum(xm * xm) AS BIGINT) AS sn2 FROM ex)
+    SELECT n AS n_vecs, sn2 AS sum_norm2,
+           CAST(round(CAST(svn2 AS DOUBLE) / 1000000) AS BIGINT)
+             AS sumvec_norm2_div1e6,
+           CAST(round(CAST(sn2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000))
+                AS BIGINT) AS mean_norm2_micro,
+           CAST(round((CAST(svn2 AS DOUBLE) - sn2)
+                      / (CAST(n AS DOUBLE) * (n - 1) * 1000000))
+                AS BIGINT) AS mean_pair_dot_micro,
+           CAST(round((CAST(svn2 AS DOUBLE) - sn2) * 1000000
+                      / (CAST(n - 1 AS DOUBLE) * sn2)) AS BIGINT)
+             AS anisotropy_micro
+    FROM tot CROSS JOIN sv
+    """,
+)
+def qc88(spark, sf):
+    """Embedding isotropy audit (operators/similarity.py:
+    isotropy_audit) — mean pairwise dot via the exact identity
+    Σ_{i≠j}x_i·x_j = ‖Σx‖² − Σ‖x‖², two aggregations, no sampling,
+    no O(n²); decimal38/HUGEINT squared dim-sums, three mirrored
+    single divisions."""
+    from .operators.similarity import isotropy_audit
+
+    return isotropy_audit(_t(spark, sf, "embeddings"))
+
+
+@_q(
+    "qc89_fisher_dims",
+    """
+    WITH ex AS (SELECT c, j,
+                       CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                         AS xm
+                FROM (SELECT label AS c, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS j
+                      FROM embeddings)),
+    pc AS (SELECT c, j, CAST(count(*) AS BIGINT) AS nc,
+                  CAST(sum(xm) AS BIGINT) AS sc,
+                  CAST(sum(xm * xm) AS BIGINT) AS qc
+           FROM ex GROUP BY 1, 2),
+    cells AS (SELECT j, nc, sc, qc,
+                     CAST(round(CAST(sc AS DOUBLE) * sc / nc) AS BIGINT)
+                       AS r
+              FROM pc),
+    pd AS (SELECT j, CAST(count(*) AS BIGINT) AS n_classes,
+                  CAST(sum(nc) AS BIGINT) AS n,
+                  CAST(sum(sc) AS BIGINT) AS s,
+                  CAST(sum(qc) AS BIGINT) AS q,
+                  CAST(sum(r) AS BIGINT) AS rr
+           FROM cells GROUP BY 1)
+    SELECT CAST(j AS BIGINT) AS j, n_classes,
+           CAST(rr - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT)
+                AS BIGINT) AS b_scaled,
+           CAST(q - rr AS BIGINT) AS w_scaled,
+           CAST(round(CAST(rr - CAST(round(CAST(s AS DOUBLE) * s / n)
+                                     AS BIGINT) AS DOUBLE) * 1000000
+                      / (q - rr)) AS BIGINT) AS fisher_micro
+    FROM pd WHERE q - rr > 0
+    ORDER BY fisher_micro DESC, j LIMIT 10
+    """,
+)
+def qc89(spark, sf):
+    """Top-10 class-discriminative embedding dimensions by Fisher
+    ratio (operators/similarity.py:fisher_discriminant_dims) — B/W
+    from integer moment sums with per-cell mirrored S²/n roundings;
+    zero-variance dims excluded before the TakeOrdered ranking."""
+    from .operators.similarity import fisher_discriminant_dims
+
+    return fisher_discriminant_dims(
+        _t(spark, sf, "embeddings"), "embedding", "label", 10
+    )

@@ -1620,3 +1620,157 @@ def pca_power_iteration(
             "evr_micro",
         )
     )
+
+
+def isotropy_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space isotropy audit via the exact pair-sum identity
+    — anisotropic (cone-shaped) embedding spaces break cosine
+    retrieval and clustering (Ethayarajh 2019), and the mean pairwise
+    dot product measures it WITHOUT any sampling or O(n²) work:
+
+        Σ_{i≠j} x_i·x_j  =  ‖Σ_i x_i‖² − Σ_i ‖x_i‖²
+
+    Both right-hand terms are integer sums of micro-quantized
+    coordinates (per-dim sums squared in decimal38 — qc50 rule), so
+    the whole audit is two aggregations over the exploded coordinate
+    table; the three reported ratios are one mirrored division each.
+    anisotropy = mean pairwise dot / mean squared norm (0 = perfectly
+    spread, → 1 = a cone).
+
+    Output (single row): n_vecs, sum_norm2 (int micro²),
+    sumvec_norm2_div1e6 (the decimal38 ‖Σx‖² descaled by 1e6 — the
+    raw value can pass int64), mean_norm2_micro, mean_pair_dot_micro,
+    anisotropy_micro.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_j", "_x"),
+    ).select(
+        "_id",
+        "_j",
+        F.round(F.col("_x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("_xm"),
+    )
+    dims = ex.groupBy("_j").agg(F.sum("_xm").cast("long").alias("_sj"))
+    sv = dims.agg(
+        F.sum(
+            F.col("_sj").cast("decimal(38,0)")
+            * F.col("_sj").cast("decimal(38,0)")
+        ).alias("_svn2")
+    )
+    tot = ex.agg(
+        F.countDistinct("_id").cast("long").alias("_n"),
+        F.sum(F.col("_xm") * F.col("_xm")).cast("long").alias("_sn2"),
+    )
+    out = tot.crossJoin(F.broadcast(sv))
+    num = F.col("_svn2").cast("double") - F.col("_sn2")
+    return out.select(
+        F.col("_n").alias("n_vecs"),
+        F.col("_sn2").alias("sum_norm2"),
+        F.round(F.col("_svn2").cast("double") / 1_000_000)
+        .cast("long")
+        .alias("sumvec_norm2_div1e6"),
+        F.round(
+            F.col("_sn2").cast("double") / (F.col("_n").cast("double") * 1_000_000)
+        )
+        .cast("long")
+        .alias("mean_norm2_micro"),
+        F.round(
+            num
+            / (
+                F.col("_n").cast("double")
+                * (F.col("_n") - 1)
+                * 1_000_000
+            )
+        )
+        .cast("long")
+        .alias("mean_pair_dot_micro"),
+        F.round(
+            num * 1_000_000 / ((F.col("_n") - 1).cast("double") * F.col("_sn2"))
+        )
+        .cast("long")
+        .alias("anisotropy_micro"),
+    )
+
+
+def fisher_discriminant_dims(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio of a labeled embedding
+    corpus, top-k most discriminative dimensions — the feature-audit
+    behind probing and pruning: which coordinates actually separate
+    the classes?
+
+        F_j = B_j / W_j,  B = Σ_c S_c²/n_c − S²/n,  W = Q − Σ_c S_c²/n_c
+
+    Integer discipline: per-(class, dim) moment sums are int64 micro
+    quantities; each S_c²/n_c is ONE mirrored double division rounded
+    per CELL (qa91 rule) so the class sums stay integer; B and W are
+    integer differences; the ratio rounds once.  Top-k is
+    TakeOrdered (ratio desc, dim) — never a global sort.
+
+    Output (top_k rows): j, b_scaled, w_scaled, fisher_micro.
+    """
+    ex = df.select(
+        F.col(label_col).alias("_c"),
+        F.posexplode(F.col(vec_col)).alias("_j0", "_x"),
+    ).select(
+        "_c",
+        (F.col("_j0") + 1).alias("_j"),
+        F.round(F.col("_x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("_xm"),
+    )
+    per_class = ex.groupBy("_c", "_j").agg(
+        F.count("*").cast("long").alias("_nc"),
+        F.sum("_xm").cast("long").alias("_sc"),
+        F.sum(F.col("_xm") * F.col("_xm")).cast("long").alias("_qc"),
+    )
+    cells = per_class.select(
+        "_j",
+        "_nc",
+        "_sc",
+        "_qc",
+        F.round(
+            F.col("_sc").cast("double") * F.col("_sc") / F.col("_nc")
+        )
+        .cast("long")
+        .alias("_r"),
+    )
+    per_dim = cells.groupBy("_j").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("_nc").cast("long").alias("_n"),
+        F.sum("_sc").cast("long").alias("_s"),
+        F.sum("_qc").cast("long").alias("_q"),
+        F.sum("_r").cast("long").alias("_rr"),
+    )
+    b = F.col("_rr") - F.round(
+        F.col("_s").cast("double") * F.col("_s") / F.col("_n")
+    ).cast("long")
+    w = F.col("_q") - F.col("_rr")
+    return (
+        per_dim.select(
+            F.col("_j").cast("long").alias("j"),
+            "n_classes",
+            b.alias("b_scaled"),
+            w.alias("w_scaled"),
+            F.when(
+                w > 0,
+                F.round(b.cast("double") * 1_000_000 / w).cast("long"),
+            ).alias("fisher_micro"),
+        )
+        # zero within-class variance excluded BEFORE ranking — keeps
+        # fisher_micro non-null so desc NULL placement can't differ
+        # between engines
+        .where(F.col("w_scaled") > 0)
+        .orderBy(F.col("fisher_micro").desc(), F.col("j"))
+        .limit(int(top_k))
+    )
