@@ -349,6 +349,8 @@ EXTENDED = [
     "qc87_pass_at_k",
     "qc88_isotropy_audit",
     "qc89_fisher_dims",
+    "qc90_erlang_blocking",
+    "qc91_bland_altman",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

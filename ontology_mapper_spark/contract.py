@@ -20739,3 +20739,133 @@ def qc89(spark, sf):
     return fisher_discriminant_dims(
         _t(spark, sf, "embeddings"), "embedding", "label", 10
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 80: capacity math + paired agreement
+# ---------------------------------------------------------------------------
+
+
+def _qc90_oracle(max_servers: int = 20, target_milli: int = 10) -> str:
+    chain = ""
+    for k in range(1, max_servers + 1):
+        chain += (
+            f",\n    s{k} AS (SELECT *, p{k - 1} * a / {k} AS p{k}, "
+            f"c{k - 1} + p{k - 1} * a / {k} AS c{k} FROM s{k - 1})"
+        )
+    cases = " ".join(
+        f"WHEN {k} THEN CAST(round(p{k} * 1000000 / c{k}) AS BIGINT)"
+        for k in range(1, max_servers + 1)
+    )
+    vals = ", ".join(f"({k})" for k in range(1, max_servers + 1))
+    return f"""
+    WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT u, us,
+             CASE WHEN lag(us) OVER (PARTITION BY u ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY u ORDER BY us)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM base),
+    sess AS (SELECT u, us,
+                    sum(nw) OVER (PARTITION BY u ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM flagged),
+    bounds AS (SELECT u, sid, min(us) AS s, max(us) AS e
+               FROM sess GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(e - s + 1) AS BIGINT) AS dur,
+                   CAST(max(e) + 1 - min(s) AS BIGINT) AS span
+            FROM bounds),
+    s0 AS (SELECT dur, span, CAST(dur AS DOUBLE) / span AS a,
+                  CAST(1.0 AS DOUBLE) AS p0, CAST(1.0 AS DOUBLE) AS c0
+           FROM tot){chain},
+    rws AS (SELECT CAST(round(dur * 1000 / span) AS BIGINT) AS a_milli,
+                   u.c,
+                   CASE u.c {cases} END AS erlang_b_micro
+            FROM s{max_servers} CROSS JOIN (VALUES {vals}) u(c)),
+    rec AS (SELECT min(c) AS rc FROM rws
+            WHERE erlang_b_micro <= {target_milli * 1000})
+    SELECT CAST(rws.c AS BIGINT) AS c, rws.a_milli, rws.erlang_b_micro,
+           rws.c = rec.rc AS recommended
+    FROM rws CROSS JOIN rec
+    """
+
+
+@_q("qc90_erlang_blocking", None)
+def qc90(spark, sf):
+    """Erlang-B blocking table from sessionized load
+    (operators/temporal.py:erlang_blocking) — offered Erlangs is
+    exactly busy-time/span; B(c) via the mirrored ascending-series
+    chain p_k = p_{k-1}·a/k (no pow/gamma), smallest c at ≤1%
+    blocking flagged."""
+    from .operators.temporal import erlang_blocking
+
+    return erlang_blocking(_t(spark, sf, "events"))
+
+
+ORACLES["qc90_erlang_blocking"] = _qc90_oracle()
+
+
+@_q(
+    "qc91_bland_altman",
+    """
+    WITH e AS (SELECT user_id AS u,
+                      ((epoch_us(ts) // 86400000000 + 4) % 7) AS wk,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    cells AS (SELECT u, (wk = 0 OR wk = 6) AS b,
+                     CAST(round(CAST(sum(v) AS DOUBLE) * 1000
+                                / count(*)) AS BIGINT) AS m
+              FROM e GROUP BY 1, 2),
+    pairs AS (SELECT bb.m - aa.m AS d
+              FROM (SELECT u, m FROM cells WHERE NOT b) aa
+              JOIN (SELECT u, m FROM cells WHERE b) bb USING (u)),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   sum(CAST(d AS HUGEINT) * d) AS sdd FROM pairs),
+    stats AS (SELECT n,
+                     CAST(round(CAST(sd AS DOUBLE) / n) AS BIGINT)
+                       AS bias_milli,
+                     CAST(round(sqrt(CAST(n * sdd
+                                          - CAST(sd AS HUGEINT) * sd
+                                          AS DOUBLE)) / n) AS BIGINT)
+                       AS sd_milli
+              FROM agg),
+    s2 AS (SELECT *,
+                  bias_milli - CAST(round(sd_milli * 1960 / 1000)
+                                    AS BIGINT) AS loa_lo_milli,
+                  bias_milli + CAST(round(sd_milli * 1960 / 1000)
+                                    AS BIGINT) AS loa_hi_milli
+           FROM stats),
+    outs AS (SELECT CAST(sum(CASE WHEN p.d < s2.loa_lo_milli
+                                    OR p.d > s2.loa_hi_milli
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_outside
+             FROM pairs p CROSS JOIN s2)
+    SELECT s2.n AS n_pairs, s2.bias_milli, s2.sd_milli,
+           s2.loa_lo_milli, s2.loa_hi_milli, outs.n_outside,
+           CAST(round(outs.n_outside * 1000000 / s2.n) AS BIGINT)
+             AS outside_micro
+    FROM s2 CROSS JOIN outs
+    """,
+)
+def qc91(spark, sf):
+    """Bland–Altman agreement of per-user weekend vs weekday mean
+    spend (operators/stats.py:bland_altman) — bias ± 1.96·SD limits
+    with 1.96 as the exact rational 1960/1000; per-cell milli means,
+    decimal38 centered variance, integer outside-limits count."""
+    from .operators.stats import bland_altman
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr(
+            "((unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7)"
+        ).alias("_wk"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    base = e.select(
+        "user_id",
+        ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"),
+        "_v",
+    )
+    return bland_altman(base, "user_id", "_we", "_v")

@@ -7133,3 +7133,107 @@ def expected_shortfall(
             .cast("long"),
         ).alias("es_milli"),
     )
+
+
+def bland_altman(
+    df: DataFrame,
+    unit_col: str,
+    flag_col,
+    value_col: str,
+) -> DataFrame:
+    """Bland–Altman agreement between two paired measurements of the
+    same units — the method-comparison standard (Bland & Altman
+    1986): mean difference (bias) and 95% limits of agreement
+    bias ± 1.96·SD over per-unit slice differences; TOST (qc25) asks
+    "are the MEANS equivalent", this asks "do INDIVIDUAL pairs
+    agree".
+
+    Per-unit slice means are milli-rounded once per CELL (qa91 rule),
+    differences are int64, the SD uses the centered decimal38
+    identity (qc68), 1.96 enters as the exact rational 1960/1000, and
+    the outside-limits count is an integer comparison.  One shuffle
+    to (unit, slice) cells.
+
+    Output (single row): n_pairs, bias_milli, sd_milli, loa_lo_milli,
+    loa_hi_milli, n_outside, outside_micro.
+    """
+    fl = flag_col if not isinstance(flag_col, str) else F.col(flag_col)
+    cells = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            fl.cast("boolean").alias("_b"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("_u", "_b")
+        .agg(
+            F.round(
+                F.sum("_v").cast("double") * 1000 / F.count("*")
+            )
+            .cast("long")
+            .alias("_m"),
+        )
+    )
+    pairs = (
+        cells.where(~F.col("_b"))
+        .select("_u", F.col("_m").alias("_ma"))
+        .join(
+            cells.where(F.col("_b")).select("_u", F.col("_m").alias("_mb")),
+            "_u",
+        )
+        .select((F.col("_mb") - F.col("_ma")).alias("_d"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_d").cast("long").alias("_sd"),
+        F.sum(dec(F.col("_d")) * dec(F.col("_d"))).alias("_sdd"),
+    )
+    var_num = (dec(F.col("_n")) * F.col("_sdd") - dec(F.col("_sd")) * dec(F.col("_sd")))
+    stats = agg.select(
+        "_n",
+        F.round(F.col("_sd").cast("double") / F.col("_n"))
+        .cast("long")
+        .alias("bias_milli"),
+        F.round(
+            F.sqrt(var_num.cast("double")) / F.col("_n")
+        )
+        .cast("long")
+        .alias("sd_milli"),
+    ).select(
+        "_n",
+        "bias_milli",
+        "sd_milli",
+        (
+            F.col("bias_milli")
+            - F.round(F.col("sd_milli") * 1960 / 1000).cast("long")
+        ).alias("loa_lo_milli"),
+        (
+            F.col("bias_milli")
+            + F.round(F.col("sd_milli") * 1960 / 1000).cast("long")
+        ).alias("loa_hi_milli"),
+    )
+    outside = (
+        pairs.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("_d") < F.col("loa_lo_milli"))
+                    | (F.col("_d") > F.col("loa_hi_milli")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outside")
+        )
+    )
+    return stats.crossJoin(F.broadcast(outside)).select(
+        F.col("_n").alias("n_pairs"),
+        "bias_milli",
+        "sd_milli",
+        "loa_lo_milli",
+        "loa_hi_milli",
+        "n_outside",
+        F.round(F.col("n_outside") * 1_000_000 / F.col("_n"))
+        .cast("long")
+        .alias("outside_micro"),
+    )

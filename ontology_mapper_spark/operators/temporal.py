@@ -4774,3 +4774,94 @@ def semi_markov_rates(
             ).alias("rate_per_hour_milli"),
         )
     )
+
+
+def erlang_blocking(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    max_servers: int = 20,
+    target_milli: int = 10,
+) -> DataFrame:
+    """Erlang-B blocking table from the sessionized event stream —
+    the capacity-planning closer for the queueing family (qc60
+    Little's law, qb03 peak concurrency, qc86 semi-Markov rates):
+    offered load in Erlangs is EXACTLY total busy time over the span
+    (a = Σ session duration / span — λ·AHT collapses to that ratio),
+    and B(c, a) answers "how many concurrent servers until blocking
+    falls below target".
+
+    B comes from the ascending-series identity B_c = p_c / Σ_{k<=c}
+    p_k with p_k = a^k/k!, built as a MIRRORED multiplication chain
+    (p_k = p_{k-1}·a/k, cumulative alongside) — every intermediate a
+    named column in both engines, no pow/gamma, one terminal micro
+    round per c.  `recommended` marks the smallest c at or under
+    target_milli blocking (broadcast single-row join).
+
+    Output per c = 1..max_servers: c, a_milli, erlang_b_micro,
+    recommended.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(user_col).alias("_u"), us.alias("_us"))
+    wlag = Window.partitionBy("_u").orderBy("_us")
+    flagged = base.select(
+        "_u",
+        "_us",
+        F.when(
+            F.lag("_us", 1).over(wlag).isNull()
+            | (F.col("_us") - F.lag("_us", 1).over(wlag) > gap_s * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sess = flagged.select(
+        "_u",
+        "_us",
+        F.sum("_new")
+        .over(wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_sid"),
+    )
+    bounds = sess.groupBy("_u", "_sid").agg(
+        F.min("_us").alias("_s"), F.max("_us").alias("_e")
+    )
+    tot = bounds.agg(
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("_dur"),
+        (F.max("_e") + 1 - F.min("_s")).cast("long").alias("_span"),
+    )
+    st = tot.select(
+        "_dur",
+        "_span",
+        (F.col("_dur").cast("double") / F.col("_span")).alias("_a"),
+        F.lit(1.0).alias("_p0"),
+        F.lit(1.0).alias("_c0"),
+    )
+    for k in range(1, int(max_servers) + 1):
+        st = st.withColumn(
+            f"_p{k}", F.col(f"_p{k - 1}") * F.col("_a") / k
+        ).withColumn(f"_c{k}", F.col(f"_c{k - 1}") + F.col(f"_p{k}"))
+    b_cols = [
+        F.struct(
+            F.lit(k).cast("long").alias("c"),
+            F.round(F.col(f"_p{k}") * 1_000_000 / F.col(f"_c{k}"))
+            .cast("long")
+            .alias("erlang_b_micro"),
+        )
+        for k in range(1, int(max_servers) + 1)
+    ]
+    rows = st.select(
+        F.round(F.col("_dur") * 1000 / F.col("_span"))
+        .cast("long")
+        .alias("a_milli"),
+        F.explode(F.array(*b_cols)).alias("_r"),
+    ).select("a_milli", F.col("_r.c").alias("c"), F.col("_r.erlang_b_micro"))
+    rec = rows.where(
+        F.col("erlang_b_micro") <= int(target_milli) * 1000
+    ).agg(F.min("c").alias("_rec"))
+    return rows.crossJoin(F.broadcast(rec)).select(
+        "c",
+        "a_milli",
+        "erlang_b_micro",
+        (F.col("c") == F.col("_rec")).alias("recommended"),
+    )
