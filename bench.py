@@ -351,6 +351,8 @@ EXTENDED = [
     "qc89_fisher_dims",
     "qc90_erlang_blocking",
     "qc91_bland_altman",
+    "qc92_slo_burn_rate",
+    "qc93_haar_energy",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -20869,3 +20869,177 @@ def qc91(spark, sf):
         "_v",
     )
     return bland_altman(base, "user_id", "_we", "_v")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 81: SRE burn-rate alerting + wavelet energy
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc92_slo_burn_rate",
+    """
+    WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cut AS (SELECT CAST(min(v) AS BIGINT) AS cut FROM
+            (SELECT v, sum(c) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cm FROM hist)
+            CROSS JOIN nt WHERE cm >= (1000 * n + 9999) // 10000),
+    hours AS (SELECT h, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN v < cut.cut THEN 1 ELSE 0 END)
+                          AS BIGINT) AS err
+              FROM e CROSS JOIN cut GROUP BY 1),
+    ext AS (SELECT min(h) AS lo, max(h) AS hi FROM hours),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS h FROM ext),
+    dense AS (SELECT spine.h, CAST(coalesce(hours.n, 0) AS BIGINT) AS n,
+                     CAST(coalesce(hours.err, 0) AS BIGINT) AS err
+              FROM spine LEFT JOIN hours ON hours.h = spine.h),
+    agg AS (SELECT h, n, err,
+                   CAST(sum(n) OVER w6 AS BIGINT) AS n6,
+                   CAST(sum(err) OVER w6 AS BIGINT) AS e6
+            FROM dense
+            WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING
+                          AND CURRENT ROW)),
+    b AS (SELECT h, n, err, n6, e6,
+                 CASE WHEN n > 0 THEN
+                   CAST(round(err * 10000000 / (n * 1000)) AS BIGINT)
+                 END AS b1,
+                 CASE WHEN n6 > 0 THEN
+                   CAST(round(e6 * 10000000 / (n6 * 1000)) AS BIGINT)
+                 END AS b6
+          FROM agg)
+    SELECT h AS hour_idx, n AS n_1h, err AS err_1h, b1 AS burn_1h_milli,
+           n6 AS n_6h, e6 AS err_6h, b6 AS burn_6h_milli,
+           coalesce(b1 >= 14400, FALSE) AND coalesce(b6 >= 6000, FALSE)
+             AS page
+    FROM b
+    """,
+)
+def qc92(spark, sf):
+    """Multi-window SLO burn-rate alerting per hour
+    (operators/temporal.py:slo_burn_rate) — the SRE-workbook page
+    rule (1h ≥ 14.4× AND 6h ≥ 6×) on a dense hour spine; errors =
+    values under the exact global p10 cut, one mirrored division per
+    window."""
+    from .operators.temporal import slo_burn_rate
+
+    e = _t(spark, sf, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("_v")
+    )
+    hist = e.groupBy("_v").agg(F.count("*").cast("long").alias("_c"))
+    nt = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = (
+        hist.select("_v", F.sum("_c").over(wv).alias("_cm"))
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("_cm") >= F.expr("(1000 * _n + 9999) div 10000"))
+        .agg(F.min("_v").alias("_cut"))
+    )
+    flagged = e.crossJoin(F.broadcast(cut)).select(
+        "ts", (F.col("_v") < F.col("_cut")).alias("_iserr")
+    )
+    return slo_burn_rate(flagged, "ts", "_iserr", slo_bp=1000)
+
+
+@_q(
+    "qc93_haar_energy",
+    """
+    WITH days AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                         CAST(count(*) AS BIGINT) AS x
+                  FROM events GROUP BY 1),
+    mn AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS t FROM mn),
+    dense AS (SELECT spine.t, CAST(coalesce(days.x, 0) AS BIGINT) AS x
+              FROM spine LEFT JOIN days ON days.day = spine.t),
+    ext AS (SELECT min(t) AS lo, CAST(count(*) AS BIGINT) AS cnt
+            FROM dense),
+    ub AS (SELECT dense.t - ext.lo AS i, dense.x,
+                  ext.cnt - ext.cnt % 8 AS nu
+           FROM dense CROSS JOIN ext),
+    u2 AS (SELECT i, x FROM ub WHERE i < nu),
+    tot AS (SELECT (SELECT max(nu) FROM ub) AS n_used,
+                   sum(CAST(x AS HUGEINT) * x) AS sx2 FROM u2),
+    l1 AS (SELECT i // 2 AS p,
+                  CAST(sum(CASE WHEN i % 2 = 0 THEN x ELSE -x END)
+                       AS BIGINT) AS d,
+                  CAST(sum(x) AS BIGINT) AS s
+           FROM u2 GROUP BY 1),
+    e1 AS (SELECT CAST(1 AS BIGINT) AS level,
+                  CAST(count(*) AS BIGINT) AS n_coeffs,
+                  CAST(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                       AS BIGINT) AS energy,
+                  CAST(CAST(sum(CAST(d AS HUGEINT) * d) * 4 AS DOUBLE)
+                       AS BIGINT) AS energy_scaled
+           FROM l1),
+    l2 AS (SELECT p // 2 AS p,
+                  CAST(sum(CASE WHEN p % 2 = 0 THEN s ELSE -s END)
+                       AS BIGINT) AS d,
+                  CAST(sum(s) AS BIGINT) AS s
+           FROM l1 GROUP BY 1),
+    e2 AS (SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                  CAST(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                       AS BIGINT),
+                  CAST(CAST(sum(CAST(d AS HUGEINT) * d) * 2 AS DOUBLE)
+                       AS BIGINT)
+           FROM l2),
+    l3 AS (SELECT p // 2 AS p,
+                  CAST(sum(CASE WHEN p % 2 = 0 THEN s ELSE -s END)
+                       AS BIGINT) AS d,
+                  CAST(sum(s) AS BIGINT) AS s
+           FROM l2 GROUP BY 1),
+    e3 AS (SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+                  CAST(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                       AS BIGINT),
+                  CAST(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                       AS BIGINT)
+           FROM l3),
+    e0 AS (SELECT CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+                  CAST(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)
+                       AS BIGINT),
+                  CAST(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)
+                       AS BIGINT)
+           FROM l3),
+    lv AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e0),
+    chk AS (SELECT CAST(sum(energy_scaled) AS BIGINT) AS rhs FROM lv),
+    summ AS (SELECT tot.n_used,
+                    CAST(CAST(tot.sx2 AS DOUBLE) AS BIGINT) AS sum_x2,
+                    CAST(CAST(tot.sx2 * 8 AS DOUBLE) AS BIGINT) - chk.rhs
+                      AS parseval_diff
+             FROM tot CROSS JOIN chk)
+    SELECT lv.level, lv.n_coeffs, lv.energy, lv.energy_scaled,
+           summ.n_used, summ.sum_x2, summ.parseval_diff
+    FROM lv CROSS JOIN summ
+    """,
+)
+def qc93(spark, sf):
+    """Three-level Haar wavelet energy decomposition of daily volume
+    (operators/temporal.py:haar_energy) — multi-scale variation next
+    to qc65's periodogram; pair-index groupBys (no windows), integer
+    energies, and the EXACT Parseval witness 8·Σx² = Σ 2^(L−l)·E_l +
+    E_smooth emitted as parseval_diff = 0."""
+    from .operators.temporal import haar_energy
+
+    days = (
+        _t(spark, sf, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("_day")
+        )
+        .groupBy("_day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    ext = days.agg(F.min("_day").alias("_lo"), F.max("_day").alias("_hi"))
+    spine = ext.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("t")
+    )
+    dense = spine.join(days, spine["t"] == days["_day"], "left").select(
+        "t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    return haar_energy(dense, "t", "x", 3)

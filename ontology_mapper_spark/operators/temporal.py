@@ -4865,3 +4865,187 @@ def erlang_blocking(
         "erlang_b_micro",
         (F.col("c") == F.col("_rec")).alias("recommended"),
     )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    error_col="is_error",
+    slo_bp: int = 1000,
+    page_1h_milli: int = 14_400,
+    page_6h_milli: int = 6_000,
+) -> DataFrame:
+    """Multi-window SLO error-budget burn rate per hour — the SRE-
+    workbook alerting rule (Beyer et al. 2018 ch.5): page only when
+    BOTH the fast window (1h burn ≥ 14.4×) and the slow window (6h
+    burn ≥ 6×) exceed, which pages within minutes on a full outage
+    yet ignores blips that self-heal.
+
+    Hour-grain counts on the DENSE hour spine (gap hours are exact
+    zero rows via sequence-explode; trailing windows are rangeBetween
+    over the bounded calendar spine — allowlisted class).  burn =
+    window error rate / SLO budget: burn_milli = round(e·1e7/(n·slo_bp))
+    with ONE mirrored division; empty windows report NULL burn and
+    never page.
+
+    Output per hour: hour_idx, n_1h, err_1h, burn_1h_milli, n_6h,
+    err_6h, burn_6h_milli, page.
+    """
+    err = error_col if not isinstance(error_col, str) else F.col(error_col)
+    hours = (
+        df.select(
+            F.expr(
+                f"unix_micros(cast({ts_col} as timestamp)) div 3600000000"
+            ).alias("_h"),
+            err.cast("int").alias("_e"),
+        )
+        .groupBy("_h")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_e").cast("long").alias("_err"),
+        )
+    )
+    ext = hours.agg(F.min("_h").alias("_lo"), F.max("_h").alias("_hi"))
+    spine = ext.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_h")
+    )
+    dense = spine.join(hours, "_h", "left").select(
+        "_h",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_n"),
+        F.coalesce(F.col("_err"), F.lit(0)).cast("long").alias("_err"),
+    )
+    w6 = Window.orderBy("_h").rangeBetween(-5, 0)
+    agg = dense.select(
+        "_h",
+        "_n",
+        "_err",
+        F.sum("_n").over(w6).cast("long").alias("_n6"),
+        F.sum("_err").over(w6).cast("long").alias("_e6"),
+    )
+    burn = lambda e, n: F.when(
+        n > 0,
+        F.round(e * 10_000_000 / (n * F.lit(int(slo_bp)))).cast("long"),
+    )
+    out = agg.select(
+        F.col("_h").alias("hour_idx"),
+        F.col("_n").alias("n_1h"),
+        F.col("_err").alias("err_1h"),
+        burn(F.col("_err"), F.col("_n")).alias("burn_1h_milli"),
+        F.col("_n6").alias("n_6h"),
+        F.col("_e6").alias("err_6h"),
+        burn(F.col("_e6"), F.col("_n6")).alias("burn_6h_milli"),
+    )
+    return out.select(
+        "*",
+        (
+            F.coalesce(F.col("burn_1h_milli") >= int(page_1h_milli), F.lit(False))
+            & F.coalesce(
+                F.col("burn_6h_milli") >= int(page_6h_milli), F.lit(False)
+            )
+        ).alias("page"),
+    )
+
+
+def haar_energy(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    levels: int = 3,
+) -> DataFrame:
+    """Haar wavelet energy decomposition of an integer series — the
+    multi-scale complement to the periodogram (qc65): detail energy
+    at level l captures variation at the 2^l-bucket scale, so a spike
+    in E1 means day-to-day churn while E3 means week-scale swings.
+
+    The series (dense via the caller) truncates to ⌊n/2^L⌋·2^L rows
+    (documented, deterministic); each level's detail d = x_even −
+    x_odd and smooth s = x_even + x_odd come from a PAIR-INDEX
+    groupBy (map-side combine, no window at all); energies are int64
+    (decimal38 squares).  Everything unnormalized-integer, tied
+    together by the EXACT Parseval witness
+
+        2^L · Σx²  =  Σ_l E_l·2^(L−l)  +  E_smooth
+
+    emitted as parseval_diff = 0 (an int equality, not a tolerance).
+
+    Output per level (1..L, plus level = 0 row for the final
+    smooth): level, n_coeffs, energy, energy_scaled, with n_used,
+    sum_x2, parseval_diff repeated (broadcast).
+    """
+    lv = int(levels)
+    base = series.select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+    )
+    ext = base.agg(F.min("_t").alias("_lo"), F.count("*").alias("_cnt"))
+    block = 2 ** lv
+    usable = base.crossJoin(F.broadcast(ext)).select(
+        (F.col("_t") - F.col("_lo")).alias("_i"),
+        "_x",
+        (F.col("_cnt") - F.pmod(F.col("_cnt"), F.lit(block))).alias("_nu"),
+    ).where(F.col("_i") < F.col("_nu"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    tot = usable.agg(
+        F.max("_nu").cast("long").alias("n_used"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_x")))
+        .cast("decimal(38,0)")
+        .alias("_sx2"),
+    )
+    cur = usable.select("_i", "_x")
+    level_rows = []
+    for l in range(1, lv + 1):
+        paired = cur.groupBy(F.expr("_i div 2").alias("_p")).agg(
+            F.sum(
+                F.when(F.pmod(F.col("_i"), F.lit(2)) == 0, F.col("_x")).otherwise(
+                    -F.col("_x")
+                )
+            )
+            .cast("long")
+            .alias("_d"),
+            F.sum("_x").cast("long").alias("_s"),
+        )
+        e = paired.agg(
+            F.count("*").cast("long").alias("n_coeffs"),
+            F.sum(dec(F.col("_d")) * dec(F.col("_d")))
+            .cast("decimal(38,0)")
+            .alias("_e"),
+        ).select(
+            F.lit(l).cast("long").alias("level"),
+            "n_coeffs",
+            F.col("_e").cast("double").cast("long").alias("energy"),
+            (F.col("_e") * F.lit(2 ** (lv - l)).cast("decimal(38,0)"))
+            .cast("double")
+            .cast("long")
+            .alias("energy_scaled"),
+        )
+        level_rows.append(e)
+        cur = paired.select(F.col("_p").alias("_i"), F.col("_s").alias("_x"))
+    smooth = cur.agg(
+        F.count("*").cast("long").alias("n_coeffs"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_x")))
+        .cast("decimal(38,0)")
+        .alias("_e"),
+    ).select(
+        F.lit(0).cast("long").alias("level"),
+        "n_coeffs",
+        F.col("_e").cast("double").cast("long").alias("energy"),
+        F.col("_e").cast("double").cast("long").alias("energy_scaled"),
+    )
+    levels_df = level_rows[0]
+    for r in level_rows[1:]:
+        levels_df = levels_df.unionByName(r)
+    levels_df = levels_df.unionByName(smooth)
+    chk = levels_df.agg(
+        F.sum("energy_scaled").cast("long").alias("_rhs")
+    )
+    summary = tot.crossJoin(F.broadcast(chk)).select(
+        "n_used",
+        F.col("_sx2").cast("double").cast("long").alias("sum_x2"),
+        (
+            (F.col("_sx2") * F.lit(block).cast("decimal(38,0)"))
+            .cast("double")
+            .cast("long")
+            - F.col("_rhs")
+        ).alias("parseval_diff"),
+    )
+    return levels_df.crossJoin(F.broadcast(summary))
