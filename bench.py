@@ -353,6 +353,8 @@ EXTENDED = [
     "qc91_bland_altman",
     "qc92_slo_burn_rate",
     "qc93_haar_energy",
+    "qc94_delta_ratio_ci",
+    "qc95_positivity_overlap",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -21043,3 +21043,125 @@ def qc93(spark, sf):
         "t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
     )
     return haar_energy(dense, "t", "x", 3)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 82: clustered ratio CI + positivity audit
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc94_delta_ratio_ci",
+    """
+    WITH per AS (SELECT user_id,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT))
+                             AS BIGINT) AS xu,
+                        CAST(count(*) AS BIGINT) AS yu
+                 FROM events GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xu) AS BIGINT) AS sx,
+                   CAST(sum(yu) AS BIGINT) AS sy FROM per),
+    res AS (SELECT sum((CAST(xu AS HUGEINT) * sy
+                        - CAST(sx AS HUGEINT) * yu)
+                       * (CAST(xu AS HUGEINT) * sy
+                          - CAST(sx AS HUGEINT) * yu)) AS s2
+            FROM per CROSS JOIN tot),
+    o AS (SELECT n, sx, sy,
+                 CAST(round(sx * 1000000 / sy) AS BIGINT) AS ratio_micro,
+                 CAST(round(sqrt(CAST(s2 AS DOUBLE) * n / (n - 1))
+                            * 1000000
+                            / (CAST(sy AS DOUBLE) * sy)) AS BIGINT)
+                   AS se_micro
+          FROM tot CROSS JOIN res)
+    SELECT n AS n_clusters, sx AS sum_x, sy AS sum_y, ratio_micro,
+           se_micro,
+           CAST(ratio_micro - CAST(round(se_micro * 1960 / 1000)
+                                   AS BIGINT) AS BIGINT) AS ci_lo_micro,
+           CAST(ratio_micro + CAST(round(se_micro * 1960 / 1000)
+                                   AS BIGINT) AS BIGINT) AS ci_hi_micro
+    FROM o
+    """,
+)
+def qc94(spark, sf):
+    """Delta-method CI for the cents-per-event ratio with users as
+    clusters (operators/stats.py:delta_method_ratio_ci) — the Deng et
+    al. linearization every ratio A/B metric needs; cluster residuals
+    e·Σy = x·Σy − Σx·y stay integer, decimal38 squared sums, one
+    mirrored sqrt chain, 1.96 = 1960/1000."""
+    from .operators.stats import delta_method_ratio_ci
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("_x"),
+        F.lit(1).alias("_y"),
+    )
+    return delta_method_ratio_ci(e, "user_id", "_x", "_y")
+
+
+@_q(
+    "qc95_positivity_overlap",
+    """
+    WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS s
+                FROM events GROUP BY 1),
+    au AS (SELECT user_id, s,
+                  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 15) AS BIGINT) % 2 = 0 AS arm
+           FROM pu),
+    ext AS (SELECT min(s) AS mn, max(s) AS mx FROM au),
+    binned AS (SELECT arm,
+                      CAST(floor((s - mn) * 10 / (mx - mn + 1))
+                           AS BIGINT) AS b
+               FROM au CROSS JOIN ext),
+    cells AS (SELECT b,
+                     CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cb
+              FROM binned GROUP BY 1),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+    ag AS (SELECT CAST(count(*) AS BIGINT) AS n_bins_occupied,
+                  CAST(max(na) AS BIGINT) AS n_a,
+                  CAST(max(nb) AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN ca * nb <= cb * na THEN ca
+                           ELSE 0 END) AS BIGINT) AS p_num,
+                  CAST(sum(CASE WHEN ca * nb > cb * na THEN cb
+                           ELSE 0 END) AS BIGINT) AS q_num,
+                  CAST(sum(CASE WHEN ca = 0 OR cb = 0 THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_violation_bins
+           FROM cells CROSS JOIN tot)
+    SELECT n_bins_occupied, n_a, n_b, p_num, q_num,
+           CAST(round(CAST(p_num AS DOUBLE) * 1000000 / n_a
+                      + CAST(q_num AS DOUBLE) * 1000000 / n_b)
+                AS BIGINT) AS overlap_micro,
+           n_violation_bins
+    FROM ag
+    """,
+)
+def qc95(spark, sf):
+    """Positivity / common-support overlap between md5-split arms on
+    the per-user activity score (operators/stats.py:
+    positivity_overlap) — the precondition audit for the causal
+    family; per-bin min fraction chosen by exact cross-multiplication,
+    one mirrored two-term chain for the coefficient."""
+    from .operators.stats import positivity_overlap
+
+    pu = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    au = pu.select(
+        "user_id",
+        "s",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        ).alias("arm"),
+    )
+    return positivity_overlap(au, "user_id", "arm", "s", 10)

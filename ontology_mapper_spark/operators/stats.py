@@ -7237,3 +7237,179 @@ def bland_altman(
         .cast("long")
         .alias("outside_micro"),
     )
+
+
+def delta_method_ratio_ci(
+    df: DataFrame,
+    cluster_col: str,
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Delta-method (linearization) CI for a RATIO metric with
+    clustered units — the industry-standard A/B analysis shape
+    (Deng et al. 2017): the metric is Σx/Σy but users, not rows, are
+    the independent units, so the naive row-level variance is wrong;
+    the cluster-residual form fixes it:
+
+        Var(r̂) = n/(n−1) · Σ_u e_u² / (Σy)²,
+        e_u = x_u − r·y_u  ⇒  e_u·Σy = x_u·Σy − Σx·y_u  (INTEGER)
+
+    so Σe²·(Σy)² is an exact decimal38 sum of squared int64 terms;
+    the SE is one mirrored sqrt/division chain, the CI uses 1.96 as
+    the exact rational 1960/1000.  One shuffle (cluster rollup).
+
+    Output (single row): n_clusters, sum_x, sum_y, ratio_micro,
+    se_micro, ci_lo_micro, ci_hi_micro.
+    """
+    per = (
+        df.select(
+            F.col(cluster_col).alias("_u"),
+            F.col(num_col).cast("long").alias("_x"),
+            F.col(den_col).cast("long").alias("_y"),
+        )
+        .groupBy("_u")
+        .agg(
+            F.sum("_x").cast("long").alias("_xu"),
+            F.sum("_y").cast("long").alias("_yu"),
+        )
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_xu").cast("long").alias("_sx"),
+        F.sum("_yu").cast("long").alias("_sy"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    res = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                dec(F.col("_xu")) * dec(F.col("_sy"))
+                - dec(F.col("_sx")) * dec(F.col("_yu"))
+            ).alias("_e")
+        )
+        .agg(F.sum(F.col("_e") * F.col("_e")).alias("_s2"))
+    )
+    out = tot.crossJoin(F.broadcast(res))
+    se = F.round(
+        F.sqrt(
+            F.col("_s2").cast("double") * F.col("_n") / (F.col("_n") - 1)
+        )
+        * 1_000_000
+        / (F.col("_sy").cast("double") * F.col("_sy"))
+    ).cast("long")
+    ratio = F.round(F.col("_sx") * 1_000_000 / F.col("_sy")).cast("long")
+    return out.select(
+        F.col("_n").alias("n_clusters"),
+        F.col("_sx").alias("sum_x"),
+        F.col("_sy").alias("sum_y"),
+        ratio.alias("ratio_micro"),
+        se.alias("se_micro"),
+        (ratio - F.round(se * 1960 / 1000).cast("long")).alias(
+            "ci_lo_micro"
+        ),
+        (ratio + F.round(se * 1960 / 1000).cast("long")).alias(
+            "ci_hi_micro"
+        ),
+    )
+
+
+def positivity_overlap(
+    df: DataFrame,
+    unit_col: str,
+    arm_col,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Positivity / common-support audit for a two-arm comparison —
+    the precondition every causal estimator in the repo (qb31 ATE,
+    qb10 DiD, qc64 RDD, qb88 E-value) silently assumes: do both arms
+    actually cover the same score range?  Reports the histogram
+    OVERLAP COEFFICIENT Σ_b min(p_Ab, p_Bb) and the count of bins
+    with support in only one arm.
+
+    The min of two fractions with different denominators picks by the
+    exact cross-multiplication c_A·N_B ≤ c_B·N_A (pure int64), so the
+    overlap numerators P (over N_A) and Q (over N_B) are integer
+    sums; the coefficient is ONE mirrored two-term double chain.
+    Equal-width bins over the unit-level score (qc43 binning).
+
+    Output (single row): n_bins_occupied, n_a, n_b, p_num, q_num,
+    overlap_micro, n_violation_bins.
+    """
+    ar = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    units = df.select(
+        F.col(unit_col).alias("_u"),
+        ar.cast("boolean").alias("_arm"),
+        F.col(score_col).cast("long").alias("_s"),
+    )
+    ext = units.agg(F.min("_s").alias("_mn"), F.max("_s").alias("_mx"))
+    nb = int(n_bins)
+    binned = units.crossJoin(F.broadcast(ext)).select(
+        "_arm",
+        F.floor(
+            (F.col("_s") - F.col("_mn"))
+            * nb
+            / (F.col("_mx") - F.col("_mn") + 1)
+        )
+        .cast("long")
+        .alias("_b"),
+    )
+    cells = binned.groupBy("_b").agg(
+        F.sum(F.when(F.col("_arm"), 1).otherwise(0))
+        .cast("long")
+        .alias("_ca"),
+        F.sum(F.when(~F.col("_arm"), 1).otherwise(0))
+        .cast("long")
+        .alias("_cb"),
+    )
+    tot = cells.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    )
+    agg = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("long").alias("n_bins_occupied"),
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
+            F.sum(
+                F.when(
+                    F.col("_ca") * F.col("_nb")
+                    <= F.col("_cb") * F.col("_na"),
+                    F.col("_ca"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("p_num"),
+            F.sum(
+                F.when(
+                    F.col("_ca") * F.col("_nb")
+                    > F.col("_cb") * F.col("_na"),
+                    F.col("_cb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("q_num"),
+            F.sum(
+                F.when(
+                    (F.col("_ca") == 0) | (F.col("_cb") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violation_bins"),
+        )
+    )
+    return agg.select(
+        "n_bins_occupied",
+        "n_a",
+        "n_b",
+        "p_num",
+        "q_num",
+        F.round(
+            F.col("p_num").cast("double") * 1_000_000 / F.col("n_a")
+            + F.col("q_num").cast("double") * 1_000_000 / F.col("n_b")
+        )
+        .cast("long")
+        .alias("overlap_micro"),
+        "n_violation_bins",
+    )
