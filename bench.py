@@ -355,6 +355,8 @@ EXTENDED = [
     "qc93_haar_energy",
     "qc94_delta_ratio_ci",
     "qc95_positivity_overlap",
+    "qc96_mahalanobis_outliers",
+    "qc97_gk_lambda",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

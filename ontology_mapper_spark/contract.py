@@ -21165,3 +21165,100 @@ def qc95(spark, sf):
         ).alias("arm"),
     )
     return positivity_overlap(au, "user_id", "arm", "s", 10)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 83: embedding anomalies + modal-prediction dependence
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc96_mahalanobis_outliers",
+    """
+    WITH ex AS (SELECT id, j,
+                       CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                         AS xm
+                FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS j
+                      FROM embeddings)),
+    dims AS (SELECT j, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(xm) AS BIGINT) AS s,
+                    sum(CAST(xm AS HUGEINT) * xm) AS q
+             FROM ex GROUP BY 1),
+    terms AS (SELECT ex.id,
+                     CASE WHEN CAST(d.n * d.q
+                                    - CAST(d.s AS HUGEINT) * d.s
+                                    AS DOUBLE) > 0 THEN
+                       CAST(round(CAST(d.n * ex.xm - d.s AS DOUBLE)
+                                  * CAST(d.n * ex.xm - d.s AS DOUBLE)
+                                  * 1000000
+                                  / CAST(d.n * d.q
+                                         - CAST(d.s AS HUGEINT) * d.s
+                                         AS DOUBLE)) AS BIGINT)
+                     ELSE 0 END AS t
+              FROM ex JOIN dims d ON d.j = ex.j),
+    per AS (SELECT id, CAST(sum(t) AS BIGINT) AS m2_micro,
+                   CAST(count(*) AS BIGINT) AS n_dims
+            FROM terms GROUP BY 1)
+    SELECT id AS vec_id, m2_micro, n_dims
+    FROM per ORDER BY m2_micro DESC, id LIMIT 10
+    """,
+)
+def qc96(spark, sf):
+    """Top-10 embedding outliers by diagonal Mahalanobis distance
+    (operators/similarity.py:mahalanobis_outliers) — per-dim
+    standardization via the integer identity (n·x−S)²/(nQ−S²), each
+    term micro-rounded once then integer-summed; TakeOrdered."""
+    from .operators.similarity import mahalanobis_outliers
+
+    return mahalanobis_outliers(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", 10
+    )
+
+
+_QC97_PAIRS = [("hour", "event_type"), ("event_type", "hour")]
+
+
+def _qc97_oracle() -> str:
+    blocks, sels = [], []
+    for i, (a, b) in enumerate(_QC97_PAIRS, 1):
+        blocks.append(f"""
+    c{i} AS (SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS c
+             FROM ebase GROUP BY 1, 2),
+    pa{i} AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_modal FROM
+              (SELECT a, max(c) AS mx FROM c{i} GROUP BY 1)),
+    mg{i} AS (SELECT CAST(max(cb) AS BIGINT) AS margin_mode,
+                     CAST(sum(cb) AS BIGINT) AS n_rows FROM
+              (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+               FROM c{i} GROUP BY 1))""")
+        sels.append(f"""
+    SELECT '{a}' AS lhs, '{b}' AS rhs, n_rows, sum_modal, margin_mode,
+           CASE WHEN n_rows > margin_mode THEN
+             CAST(round((sum_modal - margin_mode) * 1000000
+                        / (n_rows - margin_mode)) AS BIGINT) END
+             AS lambda_micro
+    FROM pa{i} CROSS JOIN mg{i}""")
+    head = """WITH ebase AS (SELECT (epoch_us(ts) // 3600000000) % 24
+                         AS hour, event_type
+                  FROM events),"""
+    return head + ",".join(blocks) + "\n    UNION ALL".join(sels)
+
+
+@_q("qc97_gk_lambda", None)
+def qc97(spark, sf):
+    """Goodman–Kruskal lambda both directions for the hour/event-type
+    pair (operators/dq.py:gk_lambda) — modal-prediction PRE measure
+    completing the g3/uncertainty dependence trio; pure int64 with
+    one micro division."""
+    from .operators.dq import gk_lambda
+
+    e = _t(spark, sf, "events").select(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+        ).alias("hour"),
+        "event_type",
+    )
+    return gk_lambda(e, _QC97_PAIRS)
+
+
+ORACLES["qc97_gk_lambda"] = _qc97_oracle()

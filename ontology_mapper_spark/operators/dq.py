@@ -332,3 +332,59 @@ def uncertainty_coefficient(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def gk_lambda(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Goodman–Kruskal lambda — proportional reduction in error when
+    predicting B from A by the modal category, completing the
+    dependence-profiler trio: fd_audit's g3 (exact deletions, qc70),
+    uncertainty coefficient (entropy, qc71), and now lambda (modal
+    prediction):
+
+        λ(B|A) = (Σ_a max_b c_ab − max_b C_b) / (n − max_b C_b)
+
+    Pure int64 throughout — cell counts, per-A maxima, the B-margin
+    mode — with ONE micro-rounded division; NULL when B is constant
+    (denominator 0).  One cell aggregation per pair.
+
+    Output per pair: lhs, rhs, n_rows, sum_modal, margin_mode,
+    lambda_micro.
+    """
+    outs = []
+    for a, b in pairs:
+        cells = (
+            df.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+            .groupBy("_a", "_b")
+            .agg(F.count("*").cast("long").alias("_c"))
+        )
+        per_a = cells.groupBy("_a").agg(F.max("_c").alias("_mx"))
+        num1 = per_a.agg(F.sum("_mx").cast("long").alias("sum_modal"))
+        marg = (
+            cells.groupBy("_b")
+            .agg(F.sum("_c").cast("long").alias("_cb"))
+            .agg(
+                F.max("_cb").cast("long").alias("margin_mode"),
+                F.sum("_cb").cast("long").alias("n_rows"),
+            )
+        )
+        outs.append(
+            num1.crossJoin(F.broadcast(marg)).select(
+                F.lit(a).alias("lhs"),
+                F.lit(b).alias("rhs"),
+                "n_rows",
+                "sum_modal",
+                "margin_mode",
+                F.when(
+                    F.col("n_rows") > F.col("margin_mode"),
+                    F.round(
+                        (F.col("sum_modal") - F.col("margin_mode"))
+                        * 1_000_000
+                        / (F.col("n_rows") - F.col("margin_mode"))
+                    ).cast("long"),
+                ).alias("lambda_micro"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1774,3 +1774,69 @@ def fisher_discriminant_dims(
         .orderBy(F.col("fisher_micro").desc(), F.col("j"))
         .limit(int(top_k))
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k embedding outliers by DIAGONAL-covariance Mahalanobis
+    distance — the embedding-corpus anomaly audit next to the
+    isotropy (qc88) and Fisher (qc89) checks: which vectors sit
+    farthest from the corpus in per-dimension standardized units?
+    (The full-covariance form needs a matrix inverse; the diagonal
+    form is the standard first-pass screen and stays exactly
+    mirrorable.)
+
+    Per-dimension standardization is the integer identity
+    (x−μ)²/σ² = (n·x − S)² / (nQ − S²): the numerator is int64, the
+    denominator decimal38, each (vector, dim) term micro-rounded ONCE
+    (per-cell rule) then integer-summed over dims.  Top-k is
+    TakeOrdered (distance desc, id).  Zero-variance dims contribute
+    exact 0 (excluded by the guard, both engines).
+
+    Output (top_k rows): id, m2_micro (sum of squared z in micro),
+    n_dims.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_j0", "_x"),
+    ).select(
+        "_id",
+        (F.col("_j0") + 1).alias("_j"),
+        F.round(F.col("_x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("_xm"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    dims = ex.groupBy("_j").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_xm").cast("long").alias("_s"),
+        F.sum(dec(F.col("_xm")) * dec(F.col("_xm")))
+        .cast("decimal(38,0)")
+        .alias("_q"),
+    )
+    den = (dec(F.col("_n")) * F.col("_q") - dec(F.col("_s")) * dec(F.col("_s"))).cast(
+        "double"
+    )
+    num = (F.col("_n") * F.col("_xm") - F.col("_s")).cast("double")
+    terms = ex.join(F.broadcast(dims), "_j").select(
+        "_id",
+        F.when(
+            den > 0,
+            F.round(num * num * 1_000_000 / den).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_t"),
+    )
+    per = terms.groupBy("_id").agg(
+        F.sum("_t").cast("long").alias("m2_micro"),
+        F.count("*").cast("long").alias("n_dims"),
+    )
+    return (
+        per.select(F.col("_id").alias(id_col), "m2_micro", "n_dims")
+        .orderBy(F.col("m2_micro").desc(), F.col(id_col))
+        .limit(int(top_k))
+    )

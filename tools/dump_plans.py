@@ -342,6 +342,12 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc63_woe_iv": "value histogram p90 cut (qa22 family)",
     "qc64_regression_discontinuity": "per-user activity histogram median cut (qa22 family; distinct activity levels, never row-level)",
     "qc73_aalen_johansen": "distinct-duration risk spine (qa67 family; coarsen durations at scale)",
+    "qc76_woolf_homogeneity": "value histogram p75 cut (qa22 family)",
+    "qc78_isotonic_calibration": "occupied-bin spine prefix sums + row_number (fixed n_bins, never row-level)",
+    "qc79_gpd_tail": "value histogram percentile cuts (qa22 family)",
+    "qc85_newey_west": "dense day-spine lag windows (calendar-bounded)",
+    "qc87_pass_at_k": "value histogram median cut (qa22 family)",
+    "qc92_slo_burn_rate": "dense hour-spine trailing windows (calendar-bounded) + p10 histogram cut",
 }
 
 
