@@ -357,6 +357,9 @@ EXTENDED = [
     "qc95_positivity_overlap",
     "qc96_mahalanobis_outliers",
     "qc97_gk_lambda",
+    "qc98_mmd_quadratic",
+    "qc99_obf_looks",
+    "qd00_energy_distance",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

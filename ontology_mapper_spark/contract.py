@@ -21262,3 +21262,218 @@ def qc97(spark, sf):
 
 
 ORACLES["qc97_gk_lambda"] = _qc97_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 84 — the 400 milestone: kernel two-sample, sequential
+# monitoring, energy distance
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qc98_mmd_quadratic",
+    """
+    WITH e AS (SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS wk,
+                      CAST(round(value) AS BIGINT) AS v
+               FROM events),
+    per AS (SELECT (wk = 0 OR wk = 6) AS b,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS s,
+                   sum(CAST(v AS HUGEINT) * v) AS q
+            FROM e GROUP BY 1),
+    a AS (SELECT n AS n_a, s AS sa, q AS qa FROM per WHERE NOT b),
+    bb AS (SELECT n AS n_b, s AS sb, q AS qb FROM per WHERE b),
+    j AS (SELECT * FROM a CROSS JOIN bb),
+    k AS (SELECT n_a, n_b,
+                 CAST(round((CAST(qa AS DOUBLE) * CAST(qa AS DOUBLE)
+                             / (CAST(100000000 AS DOUBLE) * CAST(100000000 AS DOUBLE))
+                             + CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                               * 2 / CAST(100000000 AS DOUBLE)
+                             + CAST(n_a AS DOUBLE) * n_a) * 1000000
+                            / (CAST(n_a AS DOUBLE) * n_a)) AS BIGINT)
+                   AS kaa_micro,
+                 CAST(round((CAST(qb AS DOUBLE) * CAST(qb AS DOUBLE)
+                             / (CAST(100000000 AS DOUBLE) * CAST(100000000 AS DOUBLE))
+                             + CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                               * 2 / CAST(100000000 AS DOUBLE)
+                             + CAST(n_b AS DOUBLE) * n_b) * 1000000
+                            / (CAST(n_b AS DOUBLE) * n_b)) AS BIGINT)
+                   AS kbb_micro,
+                 CAST(round((CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE)
+                             / (CAST(100000000 AS DOUBLE) * CAST(100000000 AS DOUBLE))
+                             + CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                               * 2 / CAST(100000000 AS DOUBLE)
+                             + CAST(n_a AS DOUBLE) * n_b) * 1000000
+                            / (CAST(n_a AS DOUBLE) * n_b)) AS BIGINT)
+                   AS kab_micro
+          FROM j)
+    SELECT n_a, n_b, kaa_micro, kbb_micro, kab_micro,
+           CAST(kaa_micro + kbb_micro - 2 * kab_micro AS BIGINT)
+             AS mmd2_micro
+    FROM k
+    """,
+)
+def qc98(spark, sf):
+    """Quadratic-kernel MMD² between weekend and weekday values
+    (operators/stats.py:mmd_quadratic) — the kernel two-sample test
+    in moment-product form: NO pairwise pass exists, three mirrored
+    kernel means micro-rounded once each, integer combination."""
+    from .operators.stats import mmd_quadratic
+
+    e = _t(spark, sf, "events").select(
+        F.expr(
+            "((unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7)"
+        ).alias("_wk"),
+        F.round(F.col("value")).cast("long").alias("_v"),
+    )
+    base = e.select(
+        ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"), "_v"
+    )
+    return mmd_quadratic(base, "_we", "_v", 100_000_000)
+
+
+@_q(
+    "qc99_obf_looks",
+    """
+    WITH e AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          1, 15) AS BIGINT) % 2 = 0
+                        AS arm,
+                      epoch_us(ts) // 86400000000 AS t,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    ext AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+    lk AS (SELECT arm, v,
+                  least(5, CAST(floor((t - lo) * 5 / (hi - lo + 1))
+                                AS BIGINT) + 1) AS l
+           FROM e CROSS JOIN ext),
+    cells AS (SELECT arm, l, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     sum(CAST(v AS HUGEINT) * v) AS q
+              FROM lk GROUP BY 1, 2),
+    kdf(look, bound_milli) AS (VALUES (1, 4877), (2, 3357), (3, 2680),
+                                      (4, 2290), (5, 2031)),
+    cum AS (SELECT kdf.look, kdf.bound_milli, cells.arm,
+                   CAST(sum(cells.n) AS BIGINT) AS n,
+                   CAST(sum(cells.s) AS BIGINT) AS s,
+                   sum(cells.q) AS q
+            FROM cells JOIN kdf ON cells.l <= kdf.look
+            GROUP BY 1, 2, 3),
+    a AS (SELECT look, bound_milli, n AS n_a, s AS sa, q AS qa
+          FROM cum WHERE NOT arm),
+    b AS (SELECT look AS lk2, n AS n_b, s AS sb, q AS qb
+          FROM cum WHERE arm),
+    j AS (SELECT * FROM a JOIN b ON b.lk2 = a.look),
+    z AS (SELECT look, bound_milli, n_a, n_b,
+                 CAST(round((CAST(sa AS DOUBLE) / n_a
+                             - CAST(sb AS DOUBLE) / n_b)
+                            / sqrt(CAST((n_a + n_b) * (qa + qb)
+                                        - (CAST(sa AS HUGEINT) + sb)
+                                          * (CAST(sa AS HUGEINT) + sb)
+                                        AS DOUBLE)
+                                   / (CAST(n_a + n_b AS DOUBLE)
+                                      * (n_a + n_b))
+                                   * (1.0 / n_a + 1.0 / n_b)) * 1000)
+                      AS BIGINT) AS z_milli
+          FROM j)
+    SELECT CAST(look AS BIGINT) AS look, n_a, n_b, z_milli,
+           CAST(bound_milli AS BIGINT) AS bound_milli,
+           abs(z_milli) > bound_milli AS crossed
+    FROM z
+    """,
+)
+def qc99(spark, sf):
+    """O'Brien–Fleming 5-look group-sequential monitor of the
+    md5-split value metric (operators/stats.py:obrien_fleming_looks)
+    — published OBF z-boundaries injected as milli constants, looks
+    as equal window fifths, cumulative moments via a K² dimension
+    join, one mirrored z chain per look."""
+    from .operators.stats import obrien_fleming_looks
+
+    e = _t(spark, sf, "events").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        ).alias("arm"),
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return obrien_fleming_looks(e, "arm", "t", "v", 5)
+
+
+@_q(
+    "qd00_energy_distance",
+    """
+    WITH e AS (SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS wk,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    hist AS (SELECT v,
+                    CAST(sum(CASE WHEN wk = 0 OR wk = 6 THEN 0 ELSE 1
+                             END) AS BIGINT) AS ca,
+                    CAST(sum(CASE WHEN wk = 0 OR wk = 6 THEN 1 ELSE 0
+                             END) AS BIGINT) AS cb
+             FROM e GROUP BY 1),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM hist),
+    cum AS (SELECT v,
+                   sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cma,
+                   sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cmb,
+                   lead(v) OVER (ORDER BY v) - v AS gap
+            FROM hist),
+    c2 AS (SELECT * FROM cum WHERE gap IS NOT NULL),
+    sums AS (SELECT sum(CAST(gap AS HUGEINT)
+                        * (CAST(cma AS HUGEINT) * (tot.nb - cmb)
+                           + CAST(cmb AS HUGEINT) * (tot.na - cma)))
+                      AS sxy,
+                    sum(CAST(gap AS HUGEINT) * CAST(cma AS HUGEINT)
+                        * (tot.na - cma)) AS sxx,
+                    sum(CAST(gap AS HUGEINT) * CAST(cmb AS HUGEINT)
+                        * (tot.nb - cmb)) AS syy
+             FROM c2 CROSS JOIN tot),
+    f AS (SELECT tot.na, tot.nb,
+                 CAST(round(CAST(sxy AS DOUBLE) * 1000
+                            / (CAST(na AS DOUBLE) * nb)) AS BIGINT)
+                   AS exy,
+                 CAST(round(CAST(sxx AS DOUBLE) * 2000
+                            / (CAST(na AS DOUBLE) * na)) AS BIGINT)
+                   AS exx,
+                 CAST(round(CAST(syy AS DOUBLE) * 2000
+                            / (CAST(nb AS DOUBLE) * nb)) AS BIGINT)
+                   AS eyy
+          FROM tot CROSS JOIN sums)
+    SELECT na AS n_a, nb AS n_b, exy AS exy_milli, exx AS exx_milli,
+           eyy AS eyy_milli,
+           CAST(2 * exy - exx - eyy AS BIGINT) AS energy_milli,
+           CAST(round((2 * exy - exx - eyy)
+                      * (CAST(na AS DOUBLE) * nb) / (na + nb))
+                AS BIGINT) AS t_stat_milli
+    FROM f
+    """,
+)
+def qd00(spark, sf):
+    """Székely energy distance between weekend and weekday values
+    (operators/stats.py:energy_distance) — the 400th contract query,
+    completing the two-sample family; all pairwise |difference| sums
+    collapse onto the combined value spine via the gap identity
+    (decimal38 rank products), three milli-rounded E terms, integer
+    combination and one n-scaled statistic."""
+    from .operators.stats import energy_distance
+
+    e = _t(spark, sf, "events").select(
+        F.expr(
+            "((unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7)"
+        ).alias("_wk"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    base = e.select(
+        ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"), "_v"
+    )
+    return energy_distance(base, "_we", "_v")

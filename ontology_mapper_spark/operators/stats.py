@@ -7413,3 +7413,307 @@ def positivity_overlap(
         .alias("overlap_micro"),
         "n_violation_bins",
     )
+
+
+def mmd_quadratic(
+    df: DataFrame,
+    flag_col,
+    value_col: str,
+    scale: int = 100_000_000,
+) -> DataFrame:
+    """Two-sample MMD² with the QUADRATIC kernel k(x,y) = (xy/s + 1)²
+    — the kernel-method two-sample test in exactly-computable form:
+    the polynomial kernel's V-statistic means expand into pure moment
+    products, so no pairwise pass exists at all:
+
+        mean_XY k = (Σx²·Σy²/s² + 2·Σx·Σy/s + n_x·n_y) / (n_x·n_y)
+
+    (diagonal included — biased V-statistic, standard for MMD²_b).
+    Integer discipline: Σx, Σx² are int64/decimal38; (Σx²)² products
+    ride in doubles AFTER the decimal exact sums (mirrored order);
+    each of the three kernel means micro-rounds ONCE, then
+    MMD² = k_AA + k_BB − 2k_AB is integer micro arithmetic.
+    Detects variance/shape differences a mean test misses, at one
+    aggregation's cost.
+
+    Output (single row): n_a, n_b, kaa_micro, kbb_micro, kab_micro,
+    mmd2_micro.
+    """
+    fl = flag_col if not isinstance(flag_col, str) else F.col(flag_col)
+    dec = lambda c: c.cast("decimal(38,0)")
+    per = (
+        df.select(
+            fl.cast("boolean").alias("_b"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_v").cast("long").alias("_s"),
+            F.sum(dec(F.col("_v")) * dec(F.col("_v")))
+            .cast("decimal(38,0)")
+            .alias("_q"),
+        )
+    )
+    a = per.where(~F.col("_b")).select(
+        F.col("_n").alias("n_a"), F.col("_s").alias("_sa"), F.col("_q").alias("_qa")
+    )
+    b = per.where(F.col("_b")).select(
+        F.col("_n").alias("n_b"), F.col("_s").alias("_sb"), F.col("_q").alias("_qb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    s_d = float(int(scale))
+
+    def kmean(qx, qy, sx, sy, nx, ny):
+        return F.round(
+            (
+                qx.cast("double") * qy.cast("double") / (s_d * s_d)
+                + sx.cast("double") * sy.cast("double") * 2 / s_d
+                + nx.cast("double") * ny
+            )
+            * 1_000_000
+            / (nx.cast("double") * ny)
+        ).cast("long")
+
+    out = j.select(
+        "n_a",
+        "n_b",
+        kmean(
+            F.col("_qa"), F.col("_qa"), F.col("_sa"), F.col("_sa"),
+            F.col("n_a"), F.col("n_a"),
+        ).alias("kaa_micro"),
+        kmean(
+            F.col("_qb"), F.col("_qb"), F.col("_sb"), F.col("_sb"),
+            F.col("n_b"), F.col("n_b"),
+        ).alias("kbb_micro"),
+        kmean(
+            F.col("_qa"), F.col("_qb"), F.col("_sa"), F.col("_sb"),
+            F.col("n_a"), F.col("n_b"),
+        ).alias("kab_micro"),
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "kaa_micro",
+        "kbb_micro",
+        "kab_micro",
+        (
+            F.col("kaa_micro") + F.col("kbb_micro") - 2 * F.col("kab_micro")
+        ).alias("mmd2_micro"),
+    )
+
+
+def obrien_fleming_looks(
+    df: DataFrame,
+    arm_col,
+    t_col: str,
+    value_col: str,
+    k_looks: int = 5,
+    bounds_milli: tuple[int, ...] = (4877, 3357, 2680, 2290, 2031),
+) -> DataFrame:
+    """O'Brien–Fleming group-sequential monitoring table — K interim
+    looks at an A/B metric with the classic spend-almost-nothing-
+    early boundaries, so peeking is SAFE by design (the qa95 SPRT's
+    frequentist sibling; boundary constants are the published OBF
+    z-values for K=5, α=0.05 two-sided, INJECTED as milli literals —
+    qa89 rule).
+
+    Looks are equal fifths of the observation window; per (arm, look)
+    integer moments accumulate through each look via a tiny look ≤ k
+    dimension join (K² rows, no window).  Each look's two-sample z
+    uses pooled cumulative moments: one mirrored double chain per
+    look.  `crossed` marks |z| over the boundary.
+
+    Output per look: look, n_a, n_b, z_milli, bound_milli, crossed.
+    """
+    ar = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    base = df.select(
+        ar.cast("boolean").alias("_arm"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    ext = base.agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+    kk = int(k_looks)
+    looks = base.crossJoin(F.broadcast(ext)).select(
+        "_arm",
+        "_v",
+        F.least(
+            F.lit(kk),
+            (
+                F.floor(
+                    (F.col("_t") - F.col("_lo"))
+                    * kk
+                    / (F.col("_hi") - F.col("_lo") + 1)
+                )
+                + 1
+            ).cast("int"),
+        ).alias("_lk"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    cells = looks.groupBy("_arm", "_lk").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_v").cast("long").alias("_s"),
+        F.sum(dec(F.col("_v")) * dec(F.col("_v")))
+        .cast("decimal(38,0)")
+        .alias("_q"),
+    )
+    kdf = df.sparkSession.createDataFrame(
+        [(k, int(bounds_milli[k - 1])) for k in range(1, kk + 1)],
+        ["look", "bound_milli"],
+    )
+    cum = (
+        cells.join(F.broadcast(kdf), cells["_lk"] <= kdf["look"])
+        .groupBy("look", "bound_milli", "_arm")
+        .agg(
+            F.sum("_n").cast("long").alias("_n"),
+            F.sum("_s").cast("long").alias("_s"),
+            F.sum("_q").cast("decimal(38,0)").alias("_q"),
+        )
+    )
+    a = cum.where(~F.col("_arm")).select(
+        "look",
+        "bound_milli",
+        F.col("_n").alias("n_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_q").alias("_qa"),
+    )
+    b = cum.where(F.col("_arm")).select(
+        F.col("look").alias("_lk2"),
+        F.col("_n").alias("n_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_q").alias("_qb"),
+    )
+    j = a.join(b, a["look"] == b["_lk2"])
+    n = F.col("n_a") + F.col("n_b")
+    st = (F.col("_sa") + F.col("_sb")).cast("decimal(38,0)")
+    qt = F.col("_qa") + F.col("_qb")
+    var_num = (dec(n) * qt - st * st).cast("double")
+    z = (
+        (
+            F.col("_sa").cast("double") / F.col("n_a")
+            - F.col("_sb").cast("double") / F.col("n_b")
+        )
+        / F.sqrt(
+            var_num
+            / (n.cast("double") * n)
+            * (
+                F.lit(1.0) / F.col("n_a")
+                + F.lit(1.0) / F.col("n_b")
+            )
+        )
+    )
+    zm = F.round(z * 1000).cast("long")
+    return j.select(
+        F.col("look").cast("long").alias("look"),
+        "n_a",
+        "n_b",
+        zm.alias("z_milli"),
+        F.col("bound_milli").cast("long").alias("bound_milli"),
+        (F.abs(zm) > F.col("bound_milli")).alias("crossed"),
+    )
+
+
+def energy_distance(
+    df: DataFrame,
+    flag_col,
+    value_col: str,
+) -> DataFrame:
+    """Székely energy distance between two slices of an integer
+    metric — the final member of the repo's two-sample family (KS
+    max-gap qa08, Wasserstein |gap| qb96, CvM squared-gap qc37, AD
+    tail-weighted qc46, MMD kernel qc98): D = 2E|X−Y| − E|X−X'| −
+    E|Y−Y'|, zero iff the distributions coincide, sensitive to ALL
+    moments.
+
+    No pairwise pass: every absolute-difference sum collapses onto
+    the combined distinct-value spine via the gap identity
+    Σ|xi−yj| = Σ_v gap_v·[cumX·(nY−cumY) + cumY·(nX−cumX)] — integer
+    gap times int64 rank products, accumulated in decimal38; the
+    three E terms milli-round once each, the combination and the
+    n-scaled test statistic are integer/one-division.
+
+    Output (single row): n_a, n_b, exy_milli, exx_milli, eyy_milli,
+    energy_milli, t_stat_milli = n_a·n_b/(n_a+n_b) · D.
+    """
+    fl = flag_col if not isinstance(flag_col, str) else F.col(flag_col)
+    hist = (
+        df.select(
+            fl.cast("boolean").alias("_b"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("_ca"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cb"),
+        )
+    )
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy("_v")
+    tot = hist.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    )
+    cum = hist.select(
+        "_v",
+        F.sum("_ca").over(wv).cast("long").alias("_cma"),
+        F.sum("_cb").over(wv).cast("long").alias("_cmb"),
+        (F.lead("_v", 1).over(wl) - F.col("_v")).alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")
+    sums = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            dec(F.col("_gap"))
+            * (
+                dec(F.col("_cma")) * dec(F.col("_nb") - F.col("_cmb"))
+                + dec(F.col("_cmb")) * dec(F.col("_na") - F.col("_cma"))
+            )
+        ).alias("_sxy"),
+        F.sum(
+            dec(F.col("_gap"))
+            * dec(F.col("_cma"))
+            * dec(F.col("_na") - F.col("_cma"))
+        ).alias("_sxx"),
+        F.sum(
+            dec(F.col("_gap"))
+            * dec(F.col("_cmb"))
+            * dec(F.col("_nb") - F.col("_cmb"))
+        ).alias("_syy"),
+    )
+    out = tot.crossJoin(F.broadcast(sums))
+    exy = F.round(
+        F.col("_sxy").cast("double")
+        * 1000
+        / (F.col("_na").cast("double") * F.col("_nb"))
+    ).cast("long")
+    exx = F.round(
+        F.col("_sxx").cast("double")
+        * 2000
+        / (F.col("_na").cast("double") * F.col("_na"))
+    ).cast("long")
+    eyy = F.round(
+        F.col("_syy").cast("double")
+        * 2000
+        / (F.col("_nb").cast("double") * F.col("_nb"))
+    ).cast("long")
+    energy = (2 * exy - exx - eyy).cast("long")
+    return out.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        exy.alias("exy_milli"),
+        exx.alias("exx_milli"),
+        eyy.alias("eyy_milli"),
+        energy.alias("energy_milli"),
+        F.round(
+            energy
+            * (F.col("_na").cast("double") * F.col("_nb"))
+            / (F.col("_na") + F.col("_nb"))
+        )
+        .cast("long")
+        .alias("t_stat_milli"),
+    )
