@@ -360,6 +360,8 @@ EXTENDED = [
     "qc98_mmd_quadratic",
     "qc99_obf_looks",
     "qd00_energy_distance",
+    "qd01_session_gap_sweep",
+    "qd02_dedup_threshold_sweep",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -21477,3 +21477,94 @@ def qd00(spark, sf):
         ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"), "_v"
     )
     return energy_distance(base, "_we", "_v")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 85: parameter-tuning sweeps
+# ---------------------------------------------------------------------------
+
+
+def _qd01_oracle(gaps=(300, 900, 1800, 3600, 7200)) -> str:
+    conds = ",\n".join(
+        f"""             CAST(sum(CASE WHEN gap > {g * 1_000_000} THEN 1
+                          ELSE 0 END) AS BIGINT) AS c{g},
+             CAST(sum(CASE WHEN gap > {g * 1_000_000} THEN gap
+                          ELSE 0 END) AS BIGINT) AS s{g}"""
+        for g in gaps
+    )
+    cc = " ".join(f"WHEN {g} THEN c{g}" for g in gaps)
+    sc = " ".join(f"WHEN {g} THEN s{g}" for g in gaps)
+    vals = ", ".join(f"({g})" for g in gaps)
+    return f"""
+    WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT u, us,
+                    us - lag(us) OVER (PARTITION BY u ORDER BY us)
+                      AS gap
+             FROM base),
+    pu AS (SELECT u, min(us) AS f, max(us) AS l FROM base GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(l - f) AS BIGINT) AS span FROM pu),
+    g AS (SELECT
+{conds}
+          FROM lagd WHERE gap IS NOT NULL),
+    rows_ AS (SELECT th.t AS threshold_s,
+                     tot.nu + (CASE th.t {cc} END) AS n_sessions,
+                     tot.span - (CASE th.t {sc} END) AS sum_dur_us,
+                     tot.nu
+              FROM tot CROSS JOIN g
+              CROSS JOIN (VALUES {vals}) th(t))
+    SELECT CAST(threshold_s AS BIGINT) AS threshold_s,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(sum_dur_us AS BIGINT) AS sum_dur_us,
+           CAST(round(CAST(sum_dur_us AS DOUBLE) / n_sessions)
+                AS BIGINT) AS mean_dur_us,
+           CAST(round(n_sessions * 1000 / nu) AS BIGINT)
+             AS sessions_per_user_milli
+    FROM rows_
+    """
+
+
+@_q("qd01_session_gap_sweep", None)
+def qd01(spark, sf):
+    """Sessionization-threshold sensitivity sweep
+    (operators/temporal.py:session_gap_sweep) — session counts and
+    covered time at five candidate cutoffs from two exact identities
+    over the inter-event gap multiset, WITHOUT sessionizing once."""
+    from .operators.temporal import session_gap_sweep
+
+    return session_gap_sweep(_t(spark, sf, "events"))
+
+
+ORACLES["qd01_session_gap_sweep"] = _qd01_oracle()
+
+
+@_q("qd02_dedup_threshold_sweep", None)
+def qd02(spark, sf):
+    """Near-dup threshold sweep over q27's exact-Jaccard pairs
+    (operators/dedup.py:dedup_threshold_sweep) — pair and affected-
+    doc counts per cutoff via integer cross-multiplication; the
+    oracle wraps q27's SQL verbatim (qb97 idiom)."""
+    from .operators.dedup import dedup_threshold_sweep
+
+    return dedup_threshold_sweep(QUERIES["q27_ngram_jaccard"](spark, sf))
+
+
+ORACLES["qd02_dedup_threshold_sweep"] = f"""
+    WITH q27 AS ({ORACLES["q27_ngram_jaccard"]}),
+    grid(t_milli) AS (VALUES (100), (200), (300), (400), (500), (600),
+                             (700), (800)),
+    pj AS (SELECT q27.*, grid.t_milli
+           FROM q27 CROSS JOIN grid
+           WHERE 1000 * n_common
+                 >= t_milli * (n_a + n_b - n_common)),
+    np AS (SELECT t_milli, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pj GROUP BY 1),
+    docs AS (SELECT t_milli, id_a AS id FROM pj
+             UNION ALL SELECT t_milli, id_b FROM pj),
+    nd AS (SELECT t_milli, CAST(count(DISTINCT id) AS BIGINT)
+                    AS n_docs_affected
+           FROM docs GROUP BY 1)
+    SELECT CAST(np.t_milli AS BIGINT) AS t_milli, np.n_pairs,
+           nd.n_docs_affected
+    FROM np JOIN nd ON nd.t_milli = np.t_milli
+"""

@@ -1270,3 +1270,48 @@ def dedup_savings_report(
         .cast("long")
         .alias("bytes_savable"),
     )
+
+
+def dedup_threshold_sweep(
+    pairs: DataFrame,
+    thresholds_milli: tuple[int, ...] = (
+        100, 200, 300, 400, 500, 600, 700, 800,
+    ),
+) -> DataFrame:
+    """Near-dup threshold sensitivity sweep over an exact-Jaccard
+    candidate pair table (q27 output: id_a, id_b, n_common, n_a,
+    n_b) — how many pairs and how many affected documents at each
+    cutoff, so the dedup threshold is chosen from a table instead of
+    folklore.  The comparison 1000·c >= t·(a + b − c) is an exact
+    integer cross-multiplication; pair counts and conditional
+    DISTINCT doc counts come from one grid-joined aggregation each
+    (the grid is a broadcast dimension).
+
+    Output per threshold: t_milli, n_pairs, n_docs_affected.
+    """
+    grid = pairs.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds_milli], ["t_milli"]
+    )
+    keep = (
+        1000 * F.col("n_common")
+        >= F.col("t_milli")
+        * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    pj = pairs.crossJoin(F.broadcast(grid)).where(keep)
+    np_ = pj.groupBy("t_milli").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    docs = pj.select("t_milli", F.col("id_a").alias("_id")).unionByName(
+        pj.select("t_milli", F.col("id_b").alias("_id"))
+    )
+    nd = docs.groupBy("t_milli").agg(
+        F.countDistinct("_id").cast("long").alias("n_docs_affected")
+    )
+    return (
+        np_.join(nd, "t_milli")
+        .select(
+            F.col("t_milli").cast("long").alias("t_milli"),
+            "n_pairs",
+            "n_docs_affected",
+        )
+    )

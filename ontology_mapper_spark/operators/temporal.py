@@ -5049,3 +5049,85 @@ def haar_energy(
         ).alias("parseval_diff"),
     )
     return levels_df.crossJoin(F.broadcast(summary))
+
+
+def session_gap_sweep(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gaps_s: tuple[int, ...] = (300, 900, 1800, 3600, 7200),
+) -> DataFrame:
+    """Sessionization-threshold sensitivity sweep — how many sessions
+    and how much covered time would each candidate gap cutoff yield?
+    The tuning table for the q24 sessionizer, computed WITHOUT
+    sessionizing even once, from two exact identities over the
+    inter-event gap multiset:
+
+        n_sessions(g)  = n_users + #{gaps > g}
+        Σ durations(g) = Σ_u (last_u − first_u) − Σ_{gaps > g} gap
+
+    (each split removes exactly that gap's length from the covered
+    span).  One partitioned lag pass + ONE aggregation with two
+    conditional int64 sums per threshold; per-threshold ratios are
+    single mirrored divisions.
+
+    Output per threshold: threshold_s, n_sessions, sum_dur_us,
+    mean_dur_us, sessions_per_user_milli.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(user_col).alias("_u"), us.alias("_us"))
+    wlag = Window.partitionBy("_u").orderBy("_us")
+    gaps = base.select(
+        "_u", (F.col("_us") - F.lag("_us", 1).over(wlag)).alias("_gap")
+    ).where(F.col("_gap").isNotNull())
+    pu = base.groupBy("_u").agg(
+        F.min("_us").alias("_f"), F.max("_us").alias("_l")
+    )
+    tot = pu.agg(
+        F.count("*").cast("long").alias("_nu"),
+        F.sum(F.col("_l") - F.col("_f")).cast("long").alias("_span"),
+    )
+    aggs = []
+    for g in gaps_s:
+        gus = int(g) * 1_000_000
+        aggs.append(
+            F.sum(F.when(F.col("_gap") > gus, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{g}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("_gap") > gus, F.col("_gap")).otherwise(0))
+            .cast("long")
+            .alias(f"_s{g}")
+        )
+    gagg = gaps.agg(*aggs)
+    st = tot.crossJoin(F.broadcast(gagg))
+    rows = [
+        F.struct(
+            F.lit(int(g)).cast("long").alias("threshold_s"),
+            (F.col("_nu") + F.col(f"_c{g}")).cast("long").alias("n_sessions"),
+            (F.col("_span") - F.col(f"_s{g}")).cast("long").alias(
+                "sum_dur_us"
+            ),
+        )
+        for g in gaps_s
+    ]
+    ex = st.select(
+        "_nu", F.explode(F.array(*rows)).alias("_r")
+    ).select(
+        F.col("_r.threshold_s").alias("threshold_s"),
+        F.col("_r.n_sessions").alias("n_sessions"),
+        F.col("_r.sum_dur_us").alias("sum_dur_us"),
+        "_nu",
+    )
+    return ex.select(
+        "threshold_s",
+        "n_sessions",
+        "sum_dur_us",
+        F.round(F.col("sum_dur_us").cast("double") / F.col("n_sessions"))
+        .cast("long")
+        .alias("mean_dur_us"),
+        F.round(F.col("n_sessions") * 1000 / F.col("_nu"))
+        .cast("long")
+        .alias("sessions_per_user_milli"),
+    )

@@ -348,6 +348,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc85_newey_west": "dense day-spine lag windows (calendar-bounded)",
     "qc87_pass_at_k": "value histogram median cut (qa22 family)",
     "qc92_slo_burn_rate": "dense hour-spine trailing windows (calendar-bounded) + p10 histogram cut",
+    "qd00_energy_distance": "combined distinct-value histogram cumulative + gap (qb96 family)",
 }
 
 
