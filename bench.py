@@ -362,6 +362,8 @@ EXTENDED = [
     "qd00_energy_distance",
     "qd01_session_gap_sweep",
     "qd02_dedup_threshold_sweep",
+    "qd03_charclass_profile",
+    "qd04_apriori_triples",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

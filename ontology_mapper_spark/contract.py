@@ -21568,3 +21568,93 @@ ORACLES["qd02_dedup_threshold_sweep"] = f"""
            nd.n_docs_affected
     FROM np JOIN nd ON nd.t_milli = np.t_milli
 """
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 86: charset hygiene + basket triples
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qd03_charclass_profile",
+    r"""
+    WITH pre AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_total,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(text) - length(regexp_replace(text,
+                  '\s', '', 'g')) AS BIGINT) AS n_space,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents),
+    p2 AS (SELECT *, n_chars_total - n_alpha - n_digit - n_space
+                     - n_punct AS n_other
+           FROM pre)
+    SELECT doc_id, n_chars_total, n_alpha, n_digit, n_space, n_punct,
+           n_other,
+           CASE WHEN n_chars_total > 0 THEN
+             CAST(round(n_other * 1000000 / n_chars_total) AS BIGINT)
+           END AS other_frac_micro,
+           CASE WHEN n_alpha >= n_digit AND n_alpha >= n_space
+                     AND n_alpha >= n_punct AND n_alpha >= n_other
+                THEN 'alpha'
+                WHEN n_digit >= n_space AND n_digit >= n_punct
+                     AND n_digit >= n_other THEN 'digit'
+                WHEN n_space >= n_punct AND n_space >= n_other
+                THEN 'space'
+                WHEN n_punct >= n_other THEN 'punct'
+                ELSE 'other' END AS dominant_class
+    FROM p2
+    """,
+)
+def qd03(spark, sf):
+    """Character-class composition per document
+    (operators/textstats.py:charclass_profile) — encoding-junk
+    pre-filter; ASCII-range regexes only so Java regex and RE2 agree
+    by construction, strip-and-measure counts, fixed-order dominant
+    class."""
+    from .operators.textstats import charclass_profile
+
+    return charclass_profile(_t(spark, sf, "documents"))
+
+
+@_q(
+    "qd04_apriori_triples",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem),
+    f1 AS (SELECT i FROM (SELECT i, count(*) AS c FROM bi GROUP BY 1)
+           WHERE c >= 2),
+    bif AS (SELECT bi.b, bi.i FROM bi JOIN f1 USING (i)),
+    p AS (SELECT a, bb FROM (
+            SELECT x.i AS a, y.i AS bb, count(*) AS c
+            FROM bif x JOIN bif y ON x.b = y.b AND x.i < y.i
+            GROUP BY 1, 2) WHERE c >= 2),
+    cand AS (SELECT p1.a AS ia, p1.bb AS ib, p2.bb AS ic
+             FROM p p1 JOIN p p2 ON p1.a = p2.a AND p1.bb < p2.bb
+             WHERE EXISTS (SELECT 1 FROM p p3
+                           WHERE p3.a = p1.bb AND p3.bb = p2.bb)),
+    sup AS (SELECT c.ia, c.ib, c.ic, CAST(count(*) AS BIGINT)
+                     AS support
+            FROM cand c
+            JOIN bif t1 ON t1.i = c.ia
+            JOIN bif t2 ON t2.b = t1.b AND t2.i = c.ib
+            JOIN bif t3 ON t3.b = t1.b AND t3.i = c.ic
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+    SELECT ia AS item_a, ib AS item_b, ic AS item_c, support
+    FROM sup ORDER BY support DESC, ia, ib, ic LIMIT 20
+    """,
+)
+def qd04(spark, sf):
+    """A-priori frequent part TRIPLES over order baskets
+    (operators/dedup.py:apriori_triples) — level-wise anti-monotone
+    prune (all three sub-pairs must be frequent) before the
+    three-way basket join; exact distinct counting, TakeOrdered
+    top-20."""
+    from .operators.dedup import apriori_triples
+
+    li = _t(spark, sf, "lineitem")
+    return apriori_triples(li, "l_orderkey", "l_partkey", 2, 20)

@@ -1315,3 +1315,94 @@ def dedup_threshold_sweep(
             "n_docs_affected",
         )
     )
+
+
+def apriori_triples(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Frequent item TRIPLES by the A-priori level-wise prune
+    (Agrawal & Srikant 1994) — one level beyond qb47's pair rules:
+    candidate (a,b,c) is counted ONLY when all three sub-pairs pass
+    min_support, so the triple join's candidate space collapses
+    before the expensive count (the anti-monotonicity that makes
+    basket mining survive scale).
+
+    All counting is exact distinct-(basket, item) joins: freq-1 filter
+    → freq-2 pair counts (i1 < i2 equi-join on the basket) → candidate
+    triples from freq-2 pairs sharing a head item with a semi-join on
+    the third pair → support via a three-way basket join.  Top-k by
+    (support desc, items) is TakeOrdered.
+
+    Output (top_k rows): item_a, item_b, item_c, support.
+    """
+    bi = (
+        baskets.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        )
+        .distinct()
+    )
+    f1 = (
+        bi.groupBy("_i")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .where(F.col("_c") >= int(min_support))
+        .select("_i")
+    )
+    bif = bi.join(F.broadcast(f1), "_i").select("_b", "_i")
+    p = (
+        bif.alias("x")
+        .join(bif.alias("y"), "_b")
+        .where(F.col("x._i") < F.col("y._i"))
+        .groupBy(
+            F.col("x._i").alias("_a"), F.col("y._i").alias("_bb")
+        )
+        .agg(F.count("*").cast("long").alias("_c"))
+        .where(F.col("_c") >= int(min_support))
+        .select("_a", "_bb")
+    )
+    cand = (
+        p.alias("p1")
+        .join(p.alias("p2"), F.col("p1._a") == F.col("p2._a"))
+        .where(F.col("p1._bb") < F.col("p2._bb"))
+        .select(
+            F.col("p1._a").alias("_ia"),
+            F.col("p1._bb").alias("_ib"),
+            F.col("p2._bb").alias("_ic"),
+        )
+        .join(
+            p.select(
+                F.col("_a").alias("_ib"), F.col("_bb").alias("_ic")
+            ),
+            ["_ib", "_ic"],
+            "left_semi",
+        )
+    )
+    t1 = bif.select(F.col("_b"), F.col("_i").alias("_ia"))
+    t2 = bif.select(F.col("_b"), F.col("_i").alias("_ib"))
+    t3 = bif.select(F.col("_b"), F.col("_i").alias("_ic"))
+    sup = (
+        cand.join(t1, "_ia")
+        .join(t2, ["_b", "_ib"])
+        .join(t3, ["_b", "_ic"])
+        .groupBy("_ia", "_ib", "_ic")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+    return (
+        sup.select(
+            F.col("_ia").alias("item_a"),
+            F.col("_ib").alias("item_b"),
+            F.col("_ic").alias("item_c"),
+            "support",
+        )
+        .orderBy(
+            F.col("support").desc(),
+            F.col("item_a"),
+            F.col("item_b"),
+            F.col("item_c"),
+        )
+        .limit(int(top_k))
+    )

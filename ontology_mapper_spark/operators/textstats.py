@@ -1532,3 +1532,91 @@ def burrows_delta(
             .alias("delta_milli"),
         )
     )
+
+
+def charclass_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-class composition per document — the encoding-junk /
+    script-mix pre-filter (mojibake, binary spills, and wrong-charset
+    scrapes all show up as non-ASCII or punctuation spikes long
+    before a language model sees them).  Classes are ASCII-RANGE
+    regexes ONLY ([A-Za-z], [0-9], \\s, the ASCII punct block), so
+    Java regex and RE2 agree by construction — counts via the
+    strip-and-measure idiom (q59), map-only, no UDF.
+
+    Exact integers: per-class counts, n_other = length − Σ others;
+    fractions micro-round once each; the dominant class is a CASE
+    chain with a fixed comparison order (alpha ≥ digit ≥ space ≥
+    punct ≥ other — ties resolve to the earlier class, both
+    engines).
+
+    Output per doc: id, n_chars_total, n_alpha, n_digit, n_space,
+    n_punct, n_other, other_frac_micro, dominant_class.
+    """
+    t = F.col(text_col)
+    cnt = lambda pat: F.length(t) - F.length(
+        F.regexp_replace(t, pat, "")
+    )
+    pre = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars_total"),
+        cnt("[A-Za-z]").cast("long").alias("n_alpha"),
+        cnt("[0-9]").cast("long").alias("n_digit"),
+        cnt(r"\s").cast("long").alias("n_space"),
+        cnt(r"[!-/:-@\[-`{-~]").cast("long").alias("n_punct"),
+    ).select(
+        id_col,
+        "n_chars_total",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_punct",
+        (
+            F.col("n_chars_total")
+            - F.col("n_alpha")
+            - F.col("n_digit")
+            - F.col("n_space")
+            - F.col("n_punct")
+        ).alias("n_other"),
+    )
+    dom = (
+        F.when(
+            (F.col("n_alpha") >= F.col("n_digit"))
+            & (F.col("n_alpha") >= F.col("n_space"))
+            & (F.col("n_alpha") >= F.col("n_punct"))
+            & (F.col("n_alpha") >= F.col("n_other")),
+            F.lit("alpha"),
+        )
+        .when(
+            (F.col("n_digit") >= F.col("n_space"))
+            & (F.col("n_digit") >= F.col("n_punct"))
+            & (F.col("n_digit") >= F.col("n_other")),
+            F.lit("digit"),
+        )
+        .when(
+            (F.col("n_space") >= F.col("n_punct"))
+            & (F.col("n_space") >= F.col("n_other")),
+            F.lit("space"),
+        )
+        .when(F.col("n_punct") >= F.col("n_other"), F.lit("punct"))
+        .otherwise(F.lit("other"))
+    )
+    return pre.select(
+        id_col,
+        "n_chars_total",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_punct",
+        "n_other",
+        F.when(
+            F.col("n_chars_total") > 0,
+            F.round(
+                F.col("n_other") * 1_000_000 / F.col("n_chars_total")
+            ).cast("long"),
+        ).alias("other_frac_micro"),
+        dom.alias("dominant_class"),
+    )
