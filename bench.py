@@ -364,6 +364,8 @@ EXTENDED = [
     "qd02_dedup_threshold_sweep",
     "qd03_charclass_profile",
     "qd04_apriori_triples",
+    "qd05_user_slopes",
+    "qd06_hubness_audit",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -21658,3 +21658,120 @@ def qd04(spark, sf):
 
     li = _t(spark, sf, "lineitem")
     return apriori_triples(li, "l_orderkey", "l_partkey", 2, 20)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 87: per-unit trends + retrieval hubness
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qd05_user_slopes",
+    """
+    WITH e AS (SELECT user_id AS u, epoch_us(ts) // 3600000000 AS t,
+                      CAST(round(value * 100) AS BIGINT) AS y
+               FROM events),
+    per AS (SELECT u, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(t * y) AS BIGINT) AS sty,
+                   CAST(sum(t * t) AS BIGINT) AS stt
+            FROM e GROUP BY 1),
+    slopes AS (SELECT CAST(round((CAST(n AS DOUBLE) * sty
+                                  - CAST(st AS DOUBLE) * sy) * 1000
+                                 / (n * stt - st * st)) AS BIGINT) AS s
+               FROM per WHERE n >= 5 AND n * stt - st * st <> 0),
+    hist AS (SELECT s, CAST(count(*) AS BIGINT) AS c
+             FROM slopes GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt,
+                   CAST(sum(s * c) AS BIGINT) AS ssum,
+                   CAST(sum(CASE WHEN s > 0 THEN c ELSE 0 END)
+                        AS BIGINT) AS npos FROM hist),
+    cum AS (SELECT s, sum(c) OVER (ORDER BY s
+                    ROWS UNBOUNDED PRECEDING) AS cm FROM hist),
+    q25 AS (SELECT CAST(min(s) AS BIGINT) AS p25_milli
+            FROM cum CROSS JOIN tot
+            WHERE cm >= (2500 * nt + 9999) // 10000),
+    q50 AS (SELECT CAST(min(s) AS BIGINT) AS p50_milli
+            FROM cum CROSS JOIN tot
+            WHERE cm >= (5000 * nt + 9999) // 10000),
+    q75 AS (SELECT CAST(min(s) AS BIGINT) AS p75_milli
+            FROM cum CROSS JOIN tot
+            WHERE cm >= (7500 * nt + 9999) // 10000)
+    SELECT tot.nt AS n_units_fit,
+           CAST(round(CAST(ssum AS DOUBLE) / nt) AS BIGINT)
+             AS mean_slope_milli,
+           p25_milli, p50_milli, p75_milli,
+           CAST(round(npos * 1000000 / nt) AS BIGINT)
+             AS frac_positive_micro
+    FROM tot CROSS JOIN q25 CROSS JOIN q50 CROSS JOIN q75
+    """,
+)
+def qd05(spark, sf):
+    """Distribution of per-user spend-trend slopes
+    (operators/stats.py:user_slope_distribution) — per-unit OLS
+    slopes milli-rounded once each (per-cell rule), exact type-1
+    quartiles over the slope histogram, positive-trend fraction."""
+    from .operators.stats import user_slope_distribution
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return user_slope_distribution(e, "user_id", "t", "y", 5)
+
+
+@_q(
+    "qd06_hubness_audit",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings),
+    scored AS (SELECT q.qid, e.vec_id AS tid,
+                      CAST(round(list_cosine_similarity(
+                             e.embedding::DOUBLE[], q.qv) * 1e6)
+                           AS BIGINT) AS cos
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id <> q.qid),
+    topk AS (SELECT tid FROM (
+               SELECT qid, tid,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, tid) AS r
+               FROM scored)
+             WHERE r <= 10),
+    nk AS (SELECT e.vec_id, CAST(coalesce(t.c, 0) AS BIGINT) AS c
+           FROM embeddings e
+           LEFT JOIN (SELECT tid, count(*) AS c FROM topk GROUP BY 1) t
+                  ON t.tid = e.vec_id),
+    ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s1,
+                  CAST(sum(c * c) AS BIGINT) AS s2,
+                  sum(CAST(c AS HUGEINT) * c * c) AS s3,
+                  CAST(max(c) AS BIGINT) AS max_nk,
+                  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nz
+           FROM nk)
+    SELECT n AS n_vecs, CAST(10 AS BIGINT) AS k, max_nk,
+           CAST(round(nz * 1000000 / n) AS BIGINT) AS antihub_micro,
+           CASE WHEN n * s2 - s1 * s1 > 0 THEN
+             CAST(round(CAST(CAST(n AS HUGEINT) * n * s3
+                             - 3 * CAST(n AS HUGEINT) * s1 * s2
+                             + 2 * CAST(s1 AS HUGEINT) * s1 * s1
+                             AS DOUBLE) * 1000
+                        / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                           * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))))
+                  AS BIGINT) END AS skew_milli
+    FROM ag
+    """,
+)
+def qd06(spark, sf):
+    """kNN hubness audit of the embedding corpus
+    (operators/similarity.py:hubness_audit) — skewness of the
+    k-occurrence distribution via the n-cancelling identity A/B^1.5
+    (decimal38 integer moments, IEEE sqrt), antihub rate with
+    never-retrieved points as exact zeros."""
+    from .operators.similarity import hubness_audit
+
+    return hubness_audit(_t(spark, sf, "embeddings"), "embedding", "vec_id", 10)

@@ -1840,3 +1840,104 @@ def mahalanobis_outliers(
         .orderBy(F.col("m2_micro").desc(), F.col(id_col))
         .limit(int(top_k))
     )
+
+
+def hubness_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """kNN hubness audit — the high-dimensional pathology check
+    (Radovanović et al. 2010) closing the embedding-audit suite
+    (isotropy qc88, discriminability qc89, outliers qc96): when the
+    k-occurrence distribution N_k (how often each point appears in
+    others' top-k) grows skewed, a few hubs dominate retrieval and
+    recall quietly collapses.
+
+    Brute-force cosine top-k here (the audit runs on a sample or the
+    IVF path at corpus scale — same downstream math); N_k includes
+    never-retrieved points as exact zeros (left join).  The skewness
+    uses the n-cancellation identity g1 = A/B^1.5 with
+    A = n²Σc³ − 3nΣcΣc² + 2(Σc)³ and B = nΣc² − (Σc)² — both exact
+    decimal38 integer forms, ONE mirrored double chain (sqrt is
+    IEEE).  Antihub rate = fraction with N_k = 0.
+
+    Output (single row): n_vecs, k, max_nk, antihub_micro,
+    skew_milli.
+    """
+    q = df.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    t = df.select(
+        F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
+    )
+    scored = (
+        t.crossJoin(F.broadcast(q))
+        .where(F.col("_tid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_tid",
+            F.round(
+                cosine_cols(
+                    F.col("_tv").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("_cos"),
+        )
+    )
+    wr = Window.partitionBy("_qid").orderBy(
+        F.col("_cos").desc(), F.col("_tid")
+    )
+    topk = scored.withColumn("_r", F.row_number().over(wr)).where(
+        F.col("_r") <= int(k)
+    )
+    nk = (
+        df.select(F.col(id_col).alias("_tid"))
+        .join(
+            topk.groupBy("_tid").agg(
+                F.count("*").cast("long").alias("_c")
+            ),
+            "_tid",
+            "left",
+        )
+        .select(F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_c"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = nk.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_c").cast("long").alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_s2"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_c")) * dec(F.col("_c")))
+        .cast("decimal(38,0)")
+        .alias("_s3"),
+        F.max("_c").cast("long").alias("max_nk"),
+        F.sum(F.when(F.col("_c") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_nz"),
+    )
+    a = (
+        dec(F.col("_n")) * dec(F.col("_n")) * F.col("_s3")
+        - F.lit(3).cast("decimal(38,0)") * dec(F.col("_n")) * dec(F.col("_s1")) * dec(F.col("_s2"))
+        + F.lit(2).cast("decimal(38,0)") * dec(F.col("_s1")) * dec(F.col("_s1")) * dec(F.col("_s1"))
+    )
+    b = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    return agg.select(
+        F.col("_n").alias("n_vecs"),
+        F.lit(int(k)).cast("long").alias("k"),
+        "max_nk",
+        F.round(F.col("_nz") * 1_000_000 / F.col("_n"))
+        .cast("long")
+        .alias("antihub_micro"),
+        F.when(
+            b > 0,
+            F.round(
+                a.cast("double")
+                * 1000
+                / (b.cast("double") * F.sqrt(b.cast("double")))
+            ).cast("long"),
+        ).alias("skew_milli"),
+    )

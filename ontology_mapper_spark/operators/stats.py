@@ -7717,3 +7717,90 @@ def energy_distance(
         .cast("long")
         .alias("t_stat_milli"),
     )
+
+
+def user_slope_distribution(
+    df: DataFrame,
+    unit_col: str,
+    t_col: str,
+    y_col: str,
+    min_points: int = 5,
+) -> DataFrame:
+    """Distribution of per-unit trend slopes — the random-slopes
+    descriptive behind cohort health ("are most users trending up,
+    or does a hot few mask decay?"): a per-unit OLS slope from
+    integer moments (PARTITIONED — bounded per unit), milli-rounded
+    once per unit (per-cell rule), then exact type-1 quartiles over
+    the slope HISTOGRAM plus the positive fraction.
+
+    Units need >= min_points observations and a nonzero time spread;
+    everything after the per-unit rollup runs on the distinct-slope
+    histogram (qa22 family).
+
+    Output (single row): n_units_fit, mean_slope_milli,
+    p25_milli, p50_milli, p75_milli, frac_positive_micro.
+    """
+    per = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            F.col(t_col).cast("long").alias("_t"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        .groupBy("_u")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_t").cast("long").alias("_st"),
+            F.sum("_y").cast("long").alias("_sy"),
+            F.sum(F.col("_t") * F.col("_y")).cast("long").alias("_sty"),
+            F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_stt"),
+        )
+    )
+    c = F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")
+    slopes = per.where(
+        (F.col("_n") >= int(min_points)) & (c != 0)
+    ).select(
+        F.round(
+            (
+                F.col("_n").cast("double") * F.col("_sty")
+                - F.col("_st").cast("double") * F.col("_sy")
+            )
+            * 1000
+            / c
+        )
+        .cast("long")
+        .alias("_s")
+    )
+    hist = slopes.groupBy("_s").agg(F.count("*").cast("long").alias("_c"))
+    tot = hist.agg(
+        F.sum("_c").cast("long").alias("_nt"),
+        F.sum(F.col("_s") * F.col("_c")).cast("long").alias("_ssum"),
+        F.sum(F.when(F.col("_s") > 0, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_npos"),
+    )
+    wv = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("_s", F.sum("_c").over(wv).alias("_cm")).crossJoin(
+        F.broadcast(tot)
+    )
+    q = lambda bp: cum.where(
+        F.col("_cm") >= F.expr(f"({bp} * _nt + 9999) div 10000")
+    ).agg(F.min("_s").cast("long").alias(f"p{bp // 100}_milli"))
+    out = (
+        tot.crossJoin(F.broadcast(q(2500)))
+        .crossJoin(F.broadcast(q(5000)))
+        .crossJoin(F.broadcast(q(7500)))
+    )
+    return out.select(
+        F.col("_nt").alias("n_units_fit"),
+        F.round(F.col("_ssum").cast("double") / F.col("_nt"))
+        .cast("long")
+        .alias("mean_slope_milli"),
+        "p25_milli",
+        "p50_milli",
+        "p75_milli",
+        F.round(F.col("_npos") * 1_000_000 / F.col("_nt"))
+        .cast("long")
+        .alias("frac_positive_micro"),
+    )
