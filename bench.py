@@ -366,6 +366,8 @@ EXTENDED = [
     "qd04_apriori_triples",
     "qd05_user_slopes",
     "qd06_hubness_audit",
+    "qd07_behavior_surprise",
+    "qd08_user_mix_divergence",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -21775,3 +21775,99 @@ def qd06(spark, sf):
     from .operators.similarity import hubness_audit
 
     return hubness_audit(_t(spark, sf, "embeddings"), "embedding", "vec_id", 10)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 88: behavioral anomaly screens
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qd07_behavior_surprise",
+    """
+    WITH pairs AS (
+      SELECT user_id AS u, event_type AS t_to,
+             lag(event_type) OVER w AS t_from
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p2 AS (SELECT u, t_from, t_to FROM pairs WHERE t_from IS NOT NULL),
+    cells AS (SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS c
+              FROM p2 GROUP BY 1, 2),
+    marg AS (SELECT t_from, CAST(sum(c) AS BIGINT) AS ci
+             FROM cells GROUP BY 1),
+    nll AS (SELECT cells.t_from, cells.t_to,
+                   CAST(round(ln(CAST(marg.ci AS DOUBLE)) * 1e6)
+                        AS BIGINT)
+                   - CAST(round(ln(CAST(cells.c AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS v
+            FROM cells JOIN marg ON marg.t_from = cells.t_from),
+    per AS (SELECT p2.u, CAST(count(*) AS BIGINT) AS n_transitions,
+                   CAST(sum(nll.v) AS BIGINT) AS nll_micro_sum
+            FROM p2 JOIN nll ON nll.t_from = p2.t_from
+                            AND nll.t_to = p2.t_to
+            GROUP BY 1 HAVING count(*) >= 10)
+    SELECT u AS user_id, n_transitions, nll_micro_sum,
+           CAST(round(CAST(nll_micro_sum AS DOUBLE) / n_transitions)
+                AS BIGINT) AS avg_nll_micro
+    FROM per ORDER BY avg_nll_micro DESC, u LIMIT 20
+    """,
+)
+def qd07(spark, sf):
+    """Top-20 users by transition-sequence surprise under the corpus
+    transition matrix (operators/temporal.py:behavior_surprise) —
+    bot/automation screen; per-cell integer nll = ln_micro(c_i) −
+    ln_micro(c_ij), integer per-user sums, TakeOrdered."""
+    from .operators.temporal import behavior_surprise
+
+    return behavior_surprise(_t(spark, sf, "events"))
+
+
+@_q(
+    "qd08_user_mix_divergence",
+    """
+    WITH cu AS (SELECT user_id AS u, event_type AS t,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+    nu AS (SELECT u, CAST(sum(c) AS BIGINT) AS n FROM cu GROUP BY 1),
+    ct AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS ctt
+           FROM events GROUP BY 1),
+    nn AS (SELECT CAST(sum(ctt) AS BIGINT) AS nnn FROM ct),
+    grid AS (SELECT nu.u, nu.n, ct.t, ct.ctt, nn.nnn,
+                    CAST(coalesce(cu.c, 0) AS BIGINT) AS c
+             FROM nu CROSS JOIN ct CROSS JOIN nn
+             LEFT JOIN cu ON cu.u = nu.u AND cu.t = ct.t),
+    terms AS (SELECT u, n, nnn,
+                     CASE WHEN c > 0 THEN
+                       c * (CAST(round(ln(CAST(2 * c * nnn AS DOUBLE))
+                                       * 1e6) AS BIGINT)
+                            - CAST(round(ln(CAST(c * nnn + ctt * n
+                                               AS DOUBLE)) * 1e6)
+                                   AS BIGINT))
+                     ELSE 0 END AS pterm,
+                     ctt * (CAST(round(ln(CAST(2 * ctt * n AS DOUBLE))
+                                       * 1e6) AS BIGINT)
+                            - CAST(round(ln(CAST(c * nnn + ctt * n
+                                               AS DOUBLE)) * 1e6)
+                                   AS BIGINT)) AS qterm
+              FROM grid),
+    per AS (SELECT u, CAST(max(n) AS BIGINT) AS n_events,
+                   CAST(sum(pterm) AS BIGINT) AS a,
+                   CAST(sum(qterm) AS BIGINT) AS b,
+                   CAST(max(nnn) AS BIGINT) AS nnn
+            FROM terms GROUP BY 1 HAVING max(n) >= 20)
+    SELECT u AS user_id, n_events,
+           CAST(round(CAST(a AS DOUBLE) / (2.0 * n_events)
+                      + CAST(b AS DOUBLE) / (2.0 * nnn)) AS BIGINT)
+             AS jsd_micro
+    FROM per ORDER BY jsd_micro DESC, u LIMIT 20
+    """,
+)
+def qd08(spark, sf):
+    """Top-20 users by Jensen-Shannon divergence of their event-type
+    mix vs the population (operators/temporal.py:user_mix_divergence)
+    — mix-shift anomaly screen on the dense user × category grid;
+    both KL legs reduce to ln_micro of integer products, one mirrored
+    two-term chain per user."""
+    from .operators.temporal import user_mix_divergence
+
+    return user_mix_divergence(_t(spark, sf, "events"))

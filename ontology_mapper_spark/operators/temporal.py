@@ -5131,3 +5131,147 @@ def session_gap_sweep(
         .cast("long")
         .alias("sessions_per_user_milli"),
     )
+
+
+def behavior_surprise(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+    min_transitions: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-user behavioral surprise — average negative log-likelihood
+    of each user's event-type transition sequence under the CORPUS
+    transition matrix (qa13's cells re-used as a model, scored the
+    q66 way): bots, scripted accounts and broken instrumentation all
+    walk improbable paths and float to the top of this ranking.
+
+    nll(i→j) = ln_micro(c_i) − ln_micro(c_ij) is computed once per
+    distinct CELL from exact integer counts, then integer-summed per
+    user along their transitions (a broadcast-sized cell join — the
+    transition matrix is |states|² rows).  avg is one rounded
+    division; top-k is TakeOrdered (avg desc, user).
+
+    Output (top_k rows): user, n_transitions, nll_micro_sum,
+    avg_nll_micro.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.col(state_col).alias("_to"),
+            F.lag(F.col(state_col)).over(w).alias("_from"),
+        )
+        .where(F.col("_from").isNotNull())
+    )
+    cells = pairs.groupBy("_from", "_to").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    marg = cells.groupBy("_from").agg(F.sum("_c").cast("long").alias("_ci"))
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
+    nll = cells.join(marg, "_from").select(
+        "_from",
+        "_to",
+        (lnm(F.col("_ci")) - lnm(F.col("_c"))).alias("_nll"),
+    )
+    per = (
+        pairs.join(F.broadcast(nll), ["_from", "_to"])
+        .groupBy("_u")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.sum("_nll").cast("long").alias("nll_micro_sum"),
+        )
+        .where(F.col("n_transitions") >= int(min_transitions))
+    )
+    return (
+        per.select(
+            F.col("_u").alias(user_col),
+            "n_transitions",
+            "nll_micro_sum",
+            F.round(
+                F.col("nll_micro_sum").cast("double")
+                / F.col("n_transitions")
+            )
+            .cast("long")
+            .alias("avg_nll_micro"),
+        )
+        .orderBy(F.col("avg_nll_micro").desc(), F.col(user_col))
+        .limit(int(top_k))
+    )
+
+
+def user_mix_divergence(
+    df: DataFrame,
+    user_col: str = "user_id",
+    cat_col: str = "event_type",
+    min_events: int = 20,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k users whose category mix diverges most from the
+    population, by Jensen-Shannon divergence — the per-entity
+    mix-shift screen (fraudulent or mis-instrumented accounts use
+    features in proportions nobody else does; JSD is bounded and
+    symmetric, unlike KL).
+
+    Exactness over the DENSE user × category grid (absent cells are
+    exact zeros — they still carry the q-side ln2 mass): with
+    p = c/n_u, q = C_t/N, m = (p+q)/2, both KL legs reduce to
+    ln_micro differences of INTEGER products (2cN vs cN + Cn_u, and
+    2Cn_u vs the same denominator), integer-weighted and summed per
+    user; the final JSD is ONE mirrored two-term double chain.
+    Top-k is TakeOrdered (jsd desc, user).
+
+    Output (top_k rows): user, n_events, jsd_micro.
+    """
+    base = df.select(
+        F.col(user_col).alias("_u"), F.col(cat_col).alias("_t")
+    )
+    cu = base.groupBy("_u", "_t").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    nu = cu.groupBy("_u").agg(F.sum("_c").cast("long").alias("_n"))
+    ct = base.groupBy("_t").agg(F.count("*").cast("long").alias("_ct"))
+    nn = ct.agg(F.sum("_ct").cast("long").alias("_nn"))
+    grid = (
+        nu.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(nn))
+        .join(cu, ["_u", "_t"], "left")
+        .select(
+            "_u",
+            "_n",
+            "_ct",
+            "_nn",
+            F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
+    den = F.col("_c") * F.col("_nn") + F.col("_ct") * F.col("_n")
+    p_term = F.when(
+        F.col("_c") > 0,
+        F.col("_c") * (lnm(2 * F.col("_c") * F.col("_nn")) - lnm(den)),
+    ).otherwise(F.lit(0))
+    q_term = F.col("_ct") * (
+        lnm(2 * F.col("_ct") * F.col("_n")) - lnm(den)
+    )
+    per = grid.groupBy("_u").agg(
+        F.max("_n").alias("n_events"),
+        F.sum(p_term).cast("long").alias("_a"),
+        F.sum(q_term).cast("long").alias("_b"),
+        F.max("_nn").alias("_nn"),
+    ).where(F.col("n_events") >= int(min_events))
+    return (
+        per.select(
+            F.col("_u").alias(user_col),
+            "n_events",
+            F.round(
+                F.col("_a").cast("double") / (F.lit(2.0) * F.col("n_events"))
+                + F.col("_b").cast("double") / (F.lit(2.0) * F.col("_nn"))
+            )
+            .cast("long")
+            .alias("jsd_micro"),
+        )
+        .orderBy(F.col("jsd_micro").desc(), F.col(user_col))
+        .limit(int(top_k))
+    )
