@@ -215,3 +215,52 @@ def stream_psi_drift(
         .cast("long")
         .alias("drift_level"),
     )
+
+
+def stream_slo_burn(
+    stream: DataFrame,
+    ts_col: str,
+    error_col: str,
+    slo_bp: int = 1000,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    page_milli: int = 14_400,
+) -> DataFrame:
+    """Streaming SLO burn-rate monitor: per event-time tumbling hour,
+    the error-budget burn of a boolean error flag against a fixed SLO
+    budget — the live fast-window half of the batch multi-window rule
+    (qc92; the slow 6h window stays a batch concern since it tolerates
+    latency by definition).
+
+    Shape mirrors stream_psi_drift: ONE watermarked window aggregation
+    (count + conditional error sum — no chained stateful operators, no
+    Python), then a stateless projection computing
+    burn_milli = round(err·1e7/(n·slo_bp)) with the SAME mirrored
+    division as the batch operator — parity pinned by the unit test.
+
+    Output (append mode, rows finalize at watermark): (window_start,
+    n, err, burn_milli, page).
+    """
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("_w"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col(error_col).cast("int")).cast("long").alias("err"),
+        )
+    )
+    burn = F.when(
+        F.col("n") > 0,
+        F.round(
+            F.col("err") * 10_000_000 / (F.col("n") * F.lit(int(slo_bp)))
+        ).cast("long"),
+    )
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        "n",
+        "err",
+        burn.alias("burn_milli"),
+        F.coalesce(burn >= int(page_milli), F.lit(False)).alias("page"),
+    )
