@@ -368,6 +368,8 @@ EXTENDED = [
     "qd06_hubness_audit",
     "qd07_behavior_surprise",
     "qd08_user_mix_divergence",
+    "qd09_groupkey_skew",
+    "qd10_order_reconciliation",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

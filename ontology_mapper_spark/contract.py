@@ -21871,3 +21871,121 @@ def qd08(spark, sf):
     from .operators.temporal import user_mix_divergence
 
     return user_mix_divergence(_t(spark, sf, "events"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 89: shuffle-key planning + financial reconciliation
+# ---------------------------------------------------------------------------
+
+_QD09_KEYS = ["user_id", "event_type", "day", "hour"]
+
+
+def _qd09_oracle() -> str:
+    exprs = {
+        "user_id": "user_id",
+        "event_type": "event_type",
+        "day": "epoch_us(ts) // 86400000000",
+        "hour": "epoch_us(ts) // 3600000000",
+    }
+    blocks, sels = [], []
+    for i, name in enumerate(_QD09_KEYS, 1):
+        blocks.append(f"""
+    s{i} AS (SELECT CAST(count(*) AS BIGINT) AS g
+             FROM (SELECT {exprs[name]} AS k FROM events) GROUP BY k),
+    h{i} AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM s{i}
+             GROUP BY 1),
+    t{i} AS (SELECT CAST(sum(g * c) AS BIGINT) AS n_rows,
+                    CAST(sum(c) AS BIGINT) AS n_groups,
+                    CAST(max(g) AS BIGINT) AS max_size FROM h{i}),
+    p{i} AS (SELECT CAST(min(g) AS BIGINT) AS p99_size FROM
+             (SELECT g, sum(c) OVER (ORDER BY g
+                         ROWS UNBOUNDED PRECEDING) AS cm FROM h{i})
+             CROSS JOIN t{i}
+             WHERE cm >= (9900 * n_groups + 9999) // 10000)""")
+        sels.append(f"""
+    SELECT '{name}' AS key_name, n_rows, n_groups, max_size,
+           CAST(round(n_rows * 1000 / n_groups) AS BIGINT)
+             AS mean_size_milli,
+           CAST(round(CAST(max_size AS DOUBLE) * 1000 * n_groups
+                      / n_rows) AS BIGINT) AS skew_ratio_milli,
+           CAST(round(max_size * 1000000 / n_rows) AS BIGINT)
+             AS top_share_micro,
+           p99_size
+    FROM t{i} CROSS JOIN p{i}""")
+    return "WITH" + ",".join(blocks) + "\n    UNION ALL".join(sels)
+
+
+@_q("qd09_groupkey_skew", None)
+def qd09(spark, sf):
+    """Grouping-key skew advisor over four candidate shuffle keys
+    (operators/dq.py:groupkey_skew_advisor) — pre-hoc key choice:
+    max/mean skew ratio, top-group share and exact p99 group size per
+    candidate, all from group-size histograms."""
+    from .operators.dq import groupkey_skew_advisor
+
+    e = _t(spark, sf, "events")
+    return groupkey_skew_advisor(
+        e,
+        [
+            ("user_id", "user_id"),
+            ("event_type", "event_type"),
+            (
+                "day",
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+            ),
+            (
+                "hour",
+                F.expr("unix_micros(cast(ts as timestamp)) div 3600000000"),
+            ),
+        ],
+    )
+
+
+ORACLES["qd09_groupkey_skew"] = _qd09_oracle()
+
+
+@_q(
+    "qd10_order_reconciliation",
+    """
+    WITH li AS (SELECT l_orderkey AS ok,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 + CAST(round(l_tax * 100)
+                                              AS BIGINT))
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                         AS lsum
+                FROM lineitem GROUP BY 1),
+    od AS (SELECT o_orderkey AS ok,
+                  CAST(round(o_totalprice * 100) AS BIGINT) * 10000
+                    AS hsum
+           FROM orders),
+    j AS (SELECT coalesce(od.ok, li.ok) AS ok, od.hsum, li.lsum,
+                 li.lsum - od.hsum AS diff
+          FROM od FULL OUTER JOIN li ON li.ok = od.ok)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN hsum IS NOT NULL AND lsum IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN abs(diff) <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_cent,
+           CAST(sum(CASE WHEN lsum IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_header_only,
+           CAST(sum(CASE WHEN hsum IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lines_only,
+           CAST(max(abs(diff)) AS BIGINT) AS max_abs_diff_scaled
+    FROM j
+    """,
+)
+def qd10(spark, sf):
+    """Order-header vs line-sum financial reconciliation
+    (operators/dq.py:order_reconciliation) — exact integer
+    double-entry audit: cents x integer percents so the per-order
+    difference is an int64 zero when the books balance; full outer
+    join surfaces orphans both ways."""
+    from .operators.dq import order_reconciliation
+
+    return order_reconciliation(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )

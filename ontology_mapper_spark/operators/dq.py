@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -388,3 +388,148 @@ def gk_lambda(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def groupkey_skew_advisor(
+    df: DataFrame, key_exprs: list[tuple[str, object]]
+) -> DataFrame:
+    """Grouping/partition-key skew advisor — BEFORE picking a shuffle
+    key, measure each candidate's group-size distribution: a key
+    whose top group holds 30% of rows will straggle any join or agg
+    keyed on it (the qa42/qa46 class of incident), and AQE can only
+    partially save you.  Complements qa68 (join strategy) and qa74
+    (post-hoc shuffle balance) with the PRE-hoc key choice.
+
+    Per candidate: one count agg, then stats over the group-SIZE
+    histogram (bounded by distinct sizes — never row-level): max,
+    mean (one rounded division), max/mean skew ratio, top-group
+    share, and the exact type-1 p99 group size.
+
+    Output per candidate: key_name, n_rows, n_groups, max_size,
+    mean_size_milli, skew_ratio_milli, top_share_micro, p99_size.
+    """
+    outs = []
+    for name, expr in key_exprs:
+        col = expr if not isinstance(expr, str) else F.col(expr)
+        sizes = (
+            df.select(col.alias("_k"))
+            .groupBy("_k")
+            .agg(F.count("*").cast("long").alias("_g"))
+        )
+        hist = sizes.groupBy("_g").agg(
+            F.count("*").cast("long").alias("_c")
+        )
+        tot = hist.agg(
+            F.sum(F.col("_g") * F.col("_c")).cast("long").alias("n_rows"),
+            F.sum("_c").cast("long").alias("n_groups"),
+            F.max("_g").cast("long").alias("max_size"),
+        )
+        wv = Window.orderBy("_g").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        p99 = (
+            hist.select("_g", F.sum("_c").over(wv).alias("_cm"))
+            .crossJoin(F.broadcast(tot))
+            .where(
+                F.col("_cm") >= F.expr("(9900 * n_groups + 9999) div 10000")
+            )
+            .agg(F.min("_g").cast("long").alias("p99_size"))
+        )
+        outs.append(
+            tot.crossJoin(F.broadcast(p99)).select(
+                F.lit(name).alias("key_name"),
+                "n_rows",
+                "n_groups",
+                "max_size",
+                F.round(F.col("n_rows") * 1000 / F.col("n_groups"))
+                .cast("long")
+                .alias("mean_size_milli"),
+                F.round(
+                    F.col("max_size").cast("double")
+                    * 1000
+                    * F.col("n_groups")
+                    / F.col("n_rows")
+                )
+                .cast("long")
+                .alias("skew_ratio_milli"),
+                F.round(F.col("max_size") * 1_000_000 / F.col("n_rows"))
+                .cast("long")
+                .alias("top_share_micro"),
+                "p99_size",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def order_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    tol_scaled: int = 10_000,
+) -> DataFrame:
+    """Cross-table financial reconciliation: does each order's header
+    total equal the sum of its line extensions
+    Σ extendedprice·(1+tax)·(1−discount)?  The double-entry audit
+    every warehouse needs and the TPC-H schema implies — run here in
+    EXACT integer arithmetic: prices as cents, tax/discount as
+    integer percents, so each line term is cents·(100+t)·(100−d) and
+    the order-level difference diff = Σterms − header·10000 is an
+    int64 ZERO when the books balance (tolerance = one cent =
+    10,000 scaled units).
+
+    One join + one agg; headerless/lineless orders surface via the
+    full outer join as unmatched counts.
+
+    Output (single row): n_orders, n_matched, n_exact,
+    n_within_cent, n_header_only, n_lines_only, max_abs_diff_scaled.
+    """
+    li = lineitem.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 + F.round(F.col("l_tax") * 100).cast("long"))
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        )
+        .cast("long")
+        .alias("_lsum")
+    )
+    od = orders.select(
+        F.col("o_orderkey").alias("_ok"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") * 10_000).alias(
+            "_hsum"
+        ),
+    )
+    j = od.join(li, "_ok", "full_outer").select(
+        "_ok",
+        "_hsum",
+        "_lsum",
+        (F.col("_lsum") - F.col("_hsum")).alias("_diff"),
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("_hsum").isNotNull() & F.col("_lsum").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("_diff") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(
+            F.when(F.abs(F.col("_diff")) <= int(tol_scaled), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_cent"),
+        F.sum(F.when(F.col("_lsum").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_header_only"),
+        F.sum(F.when(F.col("_hsum").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_only"),
+        F.max(F.abs(F.col("_diff"))).cast("long").alias(
+            "max_abs_diff_scaled"
+        ),
+    )
