@@ -370,6 +370,8 @@ EXTENDED = [
     "qd08_user_mix_divergence",
     "qd09_groupkey_skew",
     "qd10_order_reconciliation",
+    "qd11_retrieval_confidence",
+    "qd12_atkinson_index",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

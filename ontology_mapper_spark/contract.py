@@ -21989,3 +21989,97 @@ def qd10(spark, sf):
     return order_reconciliation(
         _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 90: retrieval confidence + welfare inequality
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qd11_retrieval_confidence",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings),
+    scored AS (SELECT q.qid, e.vec_id AS tid,
+                      CAST(round(list_cosine_similarity(
+                             e.embedding::DOUBLE[], q.qv) * 1e6)
+                           AS BIGINT) AS cos
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id <> q.qid),
+    topk AS (SELECT qid, tid, cos, r FROM (
+               SELECT qid, tid, cos,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, tid) AS r
+               FROM scored)
+             WHERE r <= 10),
+    per AS (SELECT qid,
+                   CAST(max(CASE WHEN r = 1 THEN cos END) AS BIGINT)
+                     AS c1,
+                   CAST(max(CASE WHEN r = 2 THEN cos END) AS BIGINT)
+                     AS c2,
+                   CAST(sum(cos) AS BIGINT) AS sk,
+                   CAST(count(*) AS BIGINT) AS nk
+            FROM topk GROUP BY 1)
+    SELECT qid AS query_id, c1 AS top1_cos_micro,
+           CAST(c1 - c2 AS BIGINT) AS gap12_micro,
+           CAST(c1 - CAST(round(CAST(sk AS DOUBLE) / nk) AS BIGINT)
+                AS BIGINT) AS margin_topk_micro,
+           c1 - c2 < 20000 AS ambiguous
+    FROM per
+    """,
+)
+def qd11(spark, sf):
+    """Per-query retrieval-confidence audit
+    (operators/similarity.py:retrieval_confidence) — top-1/top-2 gap
+    and top-1 vs mean-of-top-10 margin in cosine micro ints; flags
+    ambiguous neighborhoods for reranking before any grading."""
+    from .operators.similarity import retrieval_confidence
+
+    return retrieval_confidence(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", 10, 20_000
+    )
+
+
+@_q(
+    "qd12_atkinson_index",
+    """
+    WITH per AS (SELECT user_id,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT))
+                             AS BIGINT) AS t
+                 FROM events GROUP BY 1),
+    excl AS (SELECT CAST(sum(CASE WHEN t <= 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_excluded FROM per),
+    hist AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM per
+             WHERE t > 0 GROUP BY 1),
+    ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(t * c) AS BIGINT) AS s,
+                  CAST(sum(c * CAST(round(ln(CAST(t AS DOUBLE)) * 1e6)
+                                    AS BIGINT)) AS BIGINT) AS sl
+           FROM hist),
+    o AS (SELECT n, n_excluded,
+                 CAST(round(CAST(s AS DOUBLE) * 1000 / n) AS BIGINT)
+                   AS mean_milli,
+                 CAST(round(exp(CAST(sl AS DOUBLE) / (n * 1000000.0))
+                            * 1000) AS BIGINT) AS geomean_milli
+          FROM ag CROSS JOIN excl)
+    SELECT n AS n_units, n_excluded, mean_milli, geomean_milli,
+           CAST(round((1.0 - CAST(geomean_milli AS DOUBLE)
+                             / mean_milli) * 1000000) AS BIGINT)
+             AS atkinson_micro
+    FROM o
+    """,
+)
+def qd12(spark, sf):
+    """Atkinson inequality index (ε = 1) of per-user spend
+    (operators/stats.py:atkinson_index) — 1 − geomean/mean with the
+    geometric mean via histogram-weighted ln_micro sums and one
+    terminal exp (qa67 idiom); zero-total units excluded and
+    counted."""
+    from .operators.stats import atkinson_index
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return atkinson_index(e, "user_id", "cents")

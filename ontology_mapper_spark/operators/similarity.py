@@ -1941,3 +1941,74 @@ def hubness_audit(
             ).cast("long"),
         ).alias("skew_milli"),
     )
+
+
+def retrieval_confidence(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    ambiguous_gap_micro: int = 20_000,
+) -> DataFrame:
+    """Per-query retrieval-confidence audit (query-performance
+    prediction): the top-1/top-2 score gap and the top-1 vs mean-of-
+    top-k margin say, BEFORE any grading, which queries the index
+    answers decisively and which land in an ambiguous neighborhood —
+    route the latter to a reranker or a human.
+
+    Brute-force cosine here (sample/IVF path at corpus scale, same
+    downstream math); scores are the established cosine-micro ints,
+    so gap12 is an integer difference and the top-k mean is one
+    rounded division; `ambiguous` compares against an injected micro
+    threshold.  Per-query work is a partitioned rank over k rows.
+
+    Output per query: query_id, top1_cos_micro, gap12_micro,
+    margin_topk_micro, ambiguous.
+    """
+    q = df.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    t = df.select(
+        F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
+    )
+    scored = (
+        t.crossJoin(F.broadcast(q))
+        .where(F.col("_tid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_tid",
+            F.round(
+                cosine_cols(
+                    F.col("_tv").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("_cos"),
+        )
+    )
+    wr = Window.partitionBy("_qid").orderBy(
+        F.col("_cos").desc(), F.col("_tid")
+    )
+    topk = scored.withColumn("_r", F.row_number().over(wr)).where(
+        F.col("_r") <= int(k)
+    )
+    per = topk.groupBy("_qid").agg(
+        F.max(F.when(F.col("_r") == 1, F.col("_cos"))).alias("_c1"),
+        F.max(F.when(F.col("_r") == 2, F.col("_cos"))).alias("_c2"),
+        F.sum("_cos").cast("long").alias("_sk"),
+        F.count("*").cast("long").alias("_nk"),
+    )
+    gap = (F.col("_c1") - F.col("_c2")).cast("long")
+    margin = (
+        F.col("_c1")
+        - F.round(F.col("_sk").cast("double") / F.col("_nk")).cast("long")
+    ).cast("long")
+    return per.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_c1").cast("long").alias("top1_cos_micro"),
+        gap.alias("gap12_micro"),
+        margin.alias("margin_topk_micro"),
+        (gap < F.lit(int(ambiguous_gap_micro))).alias("ambiguous"),
+    )

@@ -7804,3 +7804,64 @@ def user_slope_distribution(
         .cast("long")
         .alias("frac_positive_micro"),
     )
+
+
+def atkinson_index(
+    df: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    """Atkinson inequality index at ε = 1 over per-unit totals —
+    A = 1 − geomean/mean, the welfare-grounded member of the
+    inequality family (Gini qa09, Theil qc39, Lorenz qb32): ε = 1
+    weighs transfers at the bottom of the distribution, so it moves
+    when the long tail of tiny accounts changes and Gini barely does.
+
+    The geometric mean rides the q66/qa67 idiom: ln_micro ONCE per
+    distinct per-unit total (histogram-weighted integer sum), one
+    exp at the end (qa67 exp idiom); the arithmetic mean is one
+    rounded division; units with a zero/negative total are excluded
+    and counted (geomean undefined there — reported honestly).
+
+    Output (single row): n_units, n_excluded, mean_milli,
+    geomean_milli, atkinson_micro.
+    """
+    per = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("_u")
+        .agg(F.sum("_v").cast("long").alias("_t"))
+    )
+    pos = per.where(F.col("_t") > 0)
+    excl = per.where(F.col("_t") <= 0).agg(
+        F.count("*").cast("long").alias("n_excluded")
+    )
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
+    hist = pos.groupBy("_t").agg(F.count("*").cast("long").alias("_c"))
+    agg = hist.agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.sum(F.col("_t") * F.col("_c")).cast("long").alias("_s"),
+        F.sum(F.col("_c") * lnm(F.col("_t"))).cast("long").alias("_sl"),
+    )
+    out = agg.crossJoin(F.broadcast(excl))
+    mean_milli = F.round(
+        F.col("_s").cast("double") * 1000 / F.col("_n")
+    ).cast("long")
+    geo_milli = F.round(
+        F.exp(
+            F.col("_sl").cast("double") / (F.col("_n") * 1_000_000.0)
+        )
+        * 1000
+    ).cast("long")
+    return out.select(
+        F.col("_n").alias("n_units"),
+        "n_excluded",
+        mean_milli.alias("mean_milli"),
+        geo_milli.alias("geomean_milli"),
+        F.round(
+            (F.lit(1.0) - geo_milli.cast("double") / mean_milli)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("atkinson_micro"),
+    )
