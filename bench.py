@@ -372,6 +372,8 @@ EXTENDED = [
     "qd10_order_reconciliation",
     "qd11_retrieval_confidence",
     "qd12_atkinson_index",
+    "qd13_bloom_planner",
+    "qd14_conformal_curve",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -22083,3 +22083,103 @@ def qd12(spark, sf):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return atkinson_index(e, "user_id", "cents")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 91: design-side planners
+# ---------------------------------------------------------------------------
+
+
+def _qd13_oracle() -> str:
+    from .operators.sketch import bloom_planner_rows
+
+    rows = ", ".join(
+        f"({b}, {k}, CAST({f} AS BIGINT), {'TRUE' if o else 'FALSE'})"
+        for b, k, f, o in bloom_planner_rows()
+    )
+    return f"""
+    WITH g(bits_per_key, k_hashes, fpr_micro, is_opt) AS
+         (VALUES {rows}),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
+          FROM documents)
+    SELECT CAST(bits_per_key AS BIGINT) AS bits_per_key,
+           CAST(k_hashes AS BIGINT) AS k_hashes, fpr_micro, is_opt,
+           n.n_keys,
+           CAST(n.n_keys * bits_per_key AS BIGINT) AS bits_total,
+           CAST(round(n.n_keys * bits_per_key * 1000 / 8000000)
+                AS BIGINT) AS mb_milli
+    FROM g CROSS JOIN n
+    """
+
+
+@_q("qd13_bloom_planner", None)
+def qd13(spark, sf):
+    """Bloom-filter sizing planner over the document-key corpus
+    (operators/sketch.py:bloom_planner) — injected (1−e^(−k/b))^k FPR
+    constants (no engine runs exp/pow), exact distinct-key memory
+    costs, analytic-optimum flags; design-side companion to qb64's
+    measured FPR."""
+    from .operators.sketch import bloom_planner
+
+    return bloom_planner(_t(spark, sf, "documents"), "doc_id")
+
+
+ORACLES["qd13_bloom_planner"] = _qd13_oracle()
+
+
+@_q(
+    "qd14_conformal_curve",
+    """
+    WITH base AS (
+      SELECT CAST(n_chars AS BIGINT) AS s,
+             CAST('0x' || substr(md5('conformal'
+                                     || CAST(doc_id AS VARCHAR)),
+                                 1, 10) AS BIGINT)
+             < (500000 * 1099511627776 // 1000000) AS is_cal
+      FROM documents),
+    hist AS (SELECT s,
+                    CAST(sum(CASE WHEN is_cal THEN 1 ELSE 0 END)
+                         AS BIGINT) AS nc,
+                    CAST(sum(CASE WHEN is_cal THEN 0 ELSE 1 END)
+                         AS BIGINT) AS nt
+             FROM base GROUP BY 1),
+    staged AS (SELECT s, nt,
+                      sum(nc) OVER (ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS cum_cal,
+                      sum(nc) OVER () AS n_cal,
+                      sum(nt) OVER () AS n_test
+               FROM hist),
+    grid(alpha_bp) AS (VALUES (2000), (1000), (500), (200)),
+    st2 AS (SELECT staged.*, grid.alpha_bp,
+                   least(((n_cal + 1) * (10000 - alpha_bp) + 9999)
+                         // 10000, n_cal) AS k
+            FROM staged CROSS JOIN grid),
+    qhat AS (SELECT alpha_bp, CAST(min(s) AS BIGINT) AS q_hat,
+                    CAST(max(n_cal) AS BIGINT) AS n_cal,
+                    CAST(max(n_test) AS BIGINT) AS n_test,
+                    CAST(max(k) AS BIGINT) AS rank_k
+             FROM st2 WHERE cum_cal >= k GROUP BY 1),
+    cov AS (SELECT q.alpha_bp, CAST(sum(h.nt) AS BIGINT) AS ncov
+            FROM hist h JOIN qhat q ON h.s <= q.q_hat
+            GROUP BY 1)
+    SELECT CAST(q.alpha_bp AS BIGINT) AS alpha_bp,
+           CAST((10000 - q.alpha_bp) * 100 AS BIGINT) AS target_micro,
+           q.n_cal, q.n_test, q.rank_k, q.q_hat,
+           CASE WHEN q.n_test > 0 THEN
+             CAST(round(cov.ncov * 1000000 / q.n_test) AS BIGINT)
+           END AS coverage_micro
+    FROM qhat q JOIN cov ON cov.alpha_bp = q.alpha_bp
+    """,
+)
+def qd14(spark, sf):
+    """Split-conformal coverage/threshold tradeoff curve over four
+    alpha levels (operators/evaluate.py:conformal_alpha_curve) —
+    qb18's machinery with the alpha grid as a broadcast dimension
+    sharing one histogram pass; exact clamped ranks, per-alpha
+    held-out coverage."""
+    from .operators.evaluate import conformal_alpha_curve
+
+    return conformal_alpha_curve(
+        _t(spark, sf, "documents"), "n_chars", "doc_id",
+        (2000, 1000, 500, 200),
+    )

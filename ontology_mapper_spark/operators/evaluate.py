@@ -2675,3 +2675,104 @@ def pass_at_k(
         "pass_micro",
         "macro_pass_micro",
     )
+
+
+def conformal_alpha_curve(
+    df: DataFrame,
+    score_col,
+    id_col: str,
+    alphas_bp: tuple[int, ...] = (2000, 1000, 500, 200),
+    cal_fraction_micro: int = 500_000,
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split-conformal coverage/threshold TRADEOFF curve over an
+    alpha grid — qb18 answers "does 90% cover?"; this answers "what
+    does each risk level cost in threshold width?", the table you
+    read before committing an alpha to production.
+
+    Same deterministic machinery as `conformal_split_coverage`
+    (md5-salt 40-bit split, rank read off the score histogram's
+    cumulative counts — never a global sort); the grid joins as a
+    broadcast dimension so all alphas share ONE histogram pass.
+    rank_k = ceil((n_cal+1)·(1−α)) clamped to n_cal, exact integer.
+
+    Output per alpha: alpha_bp, target_micro, n_cal, n_test, rank_k,
+    q_hat, coverage_micro.
+    """
+    s = (
+        score_col if not isinstance(score_col, str) else F.col(score_col)
+    ).cast("long")
+    h40 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = (int(cal_fraction_micro) << 40) // 1_000_000
+    base = df.select(s.alias("_s"), (h40 < F.lit(thr)).alias("_is_cal"))
+    hist = base.groupBy("_s").agg(
+        F.sum(F.col("_is_cal").cast("long")).cast("long").alias("_nc"),
+        F.sum((~F.col("_is_cal")).cast("long")).cast("long").alias("_nt"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = hist.select(
+        "_s",
+        "_nt",
+        F.sum("_nc").over(wcum).cast("long").alias("_cum_cal"),
+        F.sum("_nc").over(wall).cast("long").alias("_n_cal"),
+        F.sum("_nt").over(wall).cast("long").alias("_n_test"),
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(int(a),) for a in alphas_bp], ["alpha_bp"]
+    )
+    st2 = staged.crossJoin(F.broadcast(grid)).select(
+        "*",
+        F.least(
+            F.expr(
+                "((_n_cal + 1) * (10000 - alpha_bp) + 9999) div 10000"
+            ),
+            F.col("_n_cal"),
+        ).alias("_k"),
+    )
+    qhat = (
+        st2.where(F.col("_cum_cal") >= F.col("_k"))
+        .groupBy("alpha_bp")
+        .agg(
+            F.min("_s").cast("long").alias("q_hat"),
+            F.max("_n_cal").alias("n_cal"),
+            F.max("_n_test").alias("n_test"),
+            F.max("_k").cast("long").alias("rank_k"),
+        )
+    )
+    cov = (
+        hist.crossJoin(F.broadcast(qhat.select("alpha_bp", "q_hat")))
+        .where(F.col("_s") <= F.col("q_hat"))
+        .groupBy("alpha_bp")
+        .agg(F.sum("_nt").cast("long").alias("_ncov"))
+    )
+    return (
+        qhat.join(cov, "alpha_bp")
+        .select(
+            F.col("alpha_bp").cast("long").alias("alpha_bp"),
+            ((10_000 - F.col("alpha_bp")) * 100).cast("long").alias(
+                "target_micro"
+            ),
+            "n_cal",
+            "n_test",
+            "rank_k",
+            "q_hat",
+            F.when(
+                F.col("n_test") > 0,
+                F.round(F.col("_ncov") * 1_000_000 / F.col("n_test"))
+                .cast("long"),
+            ).alias("coverage_micro"),
+        )
+    )

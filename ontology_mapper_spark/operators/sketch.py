@@ -685,3 +685,72 @@ def misra_gries_heavy_hitters(
             .alias("share_micro"),
         )
     )
+
+
+def bloom_planner_rows(
+    grid: tuple[tuple[int, int], ...] = (
+        (8, 4), (8, 6), (12, 8), (16, 8), (16, 11), (20, 14),
+    ),
+) -> list[tuple]:
+    """Injected Bloom-filter design table: rows (bits_per_key, k,
+    fpr_micro, is_opt) with fpr = (1 − e^(−k/b))^k computed ONCE in
+    Python (qa89 constant-table rule — no engine evaluates exp/pow)
+    and is_opt marking k = round(b·ln2), the analytic optimum."""
+    import math
+
+    rows = []
+    for b, k in grid:
+        fpr = (1 - math.exp(-k / b)) ** k
+        rows.append(
+            (int(b), int(k), round(fpr * 1_000_000),
+             k == round(b * math.log(2)))
+        )
+    return rows
+
+
+def bloom_planner(
+    df: DataFrame,
+    key_col: str,
+    grid: tuple[tuple[int, int], ...] = (
+        (8, 4), (8, 6), (12, 8), (16, 8), (16, 11), (20, 14),
+    ),
+) -> DataFrame:
+    """Bloom-filter sizing planner — the design-side companion to
+    qb64's MEASURED FPR audit: for the corpus's actual distinct-key
+    count, what does each (bits-per-key, hash-count) config cost in
+    memory and buy in false-positive rate?  FPR values come from the
+    injected `bloom_planner_rows` table (pure constants — k/b is
+    data-independent); the data contributes only the exact distinct
+    count for the memory column.
+
+    Output per config: bits_per_key, k_hashes, fpr_micro, is_opt,
+    n_keys, bits_total, mb_milli.
+    """
+    n = df.agg(
+        F.countDistinct(F.col(key_col)).cast("long").alias("n_keys")
+    )
+    g = df.sparkSession.createDataFrame(
+        bloom_planner_rows(grid),
+        ["bits_per_key", "k_hashes", "fpr_micro", "is_opt"],
+    )
+    return (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            F.col("bits_per_key").cast("long").alias("bits_per_key"),
+            F.col("k_hashes").cast("long").alias("k_hashes"),
+            F.col("fpr_micro").cast("long").alias("fpr_micro"),
+            "is_opt",
+            "n_keys",
+            (F.col("n_keys") * F.col("bits_per_key"))
+            .cast("long")
+            .alias("bits_total"),
+            F.round(
+                F.col("n_keys")
+                * F.col("bits_per_key")
+                * 1000
+                / 8_000_000
+            )
+            .cast("long")
+            .alias("mb_milli"),
+        )
+    )
