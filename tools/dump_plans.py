@@ -349,6 +349,9 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc87_pass_at_k": "value histogram median cut (qa22 family)",
     "qc92_slo_burn_rate": "dense hour-spine trailing windows (calendar-bounded) + p10 histogram cut",
     "qd00_energy_distance": "combined distinct-value histogram cumulative + gap (qb96 family)",
+    "qd05_user_slopes": "distinct-slope histogram quartile cuts (qa22 family)",
+    "qd09_groupkey_skew": "group-size histograms per candidate key (O(sqrt(rows)) distinct sizes, qa30 family)",
+    "qd14_conformal_curve": "score histogram cumulative counts (qb18 family; alpha grid is a broadcast dimension)",
 }
 
 
