@@ -374,6 +374,8 @@ EXTENDED = [
     "qd12_atkinson_index",
     "qd13_bloom_planner",
     "qd14_conformal_curve",
+    "qd15_nested_quantiles",
+    "qd16_markup_density",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -22183,3 +22183,93 @@ def qd14(spark, sf):
         _t(spark, sf, "documents"), "n_chars", "doc_id",
         (2000, 1000, 500, 200),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 92: nested quantiles + markup hygiene
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qd15_nested_quantiles",
+    """
+    WITH base AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    hist AS (SELECT d, v, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2),
+    nt AS (SELECT d, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    p95 AS (SELECT h.d, CAST(min(h.v) AS BIGINT) AS p95_value,
+                   CAST(max(nt.n) AS BIGINT) AS n
+            FROM (SELECT d, v, sum(c) OVER (PARTITION BY d ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cm
+                  FROM hist) h
+            JOIN nt ON nt.d = h.d
+            WHERE h.cm >= (9500 * nt.n + 9999) // 10000
+            GROUP BY 1),
+    ph AS (SELECT p95_value, CAST(count(*) AS BIGINT) AS dc
+           FROM p95 GROUP BY 1),
+    dt AS (SELECT CAST(sum(dc) AS BIGINT) AS nd,
+                  CAST(min(p95_value) AS BIGINT) AS p95_min,
+                  CAST(max(p95_value) AS BIGINT) AS p95_max FROM ph),
+    med AS (SELECT CAST(min(p95_value) AS BIGINT) AS median_daily_p95
+            FROM (SELECT p95_value, sum(dc) OVER (ORDER BY p95_value
+                          ROWS UNBOUNDED PRECEDING) AS cm FROM ph)
+            CROSS JOIN dt WHERE cm >= (5000 * nd + 9999) // 10000)
+    SELECT p95.d AS day_idx, p95.n, p95.p95_value,
+           med.median_daily_p95, dt.p95_min, dt.p95_max
+    FROM p95 CROSS JOIN med CROSS JOIN dt
+    """,
+)
+def qd15(spark, sf):
+    """Weekly median of exact daily p95s
+    (operators/temporal.py:daily_p95_weekly_median) — the nested
+    quantile dashboards get wrong by averaging percentiles; both
+    levels are exact type-1 histogram ranks (per-day partitioned,
+    then a calendar-bounded day-level histogram)."""
+    from .operators.temporal import daily_p95_weekly_median
+
+    e = _t(spark, sf, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return daily_p95_weekly_median(e, "ts", "cents")
+
+
+@_q(
+    "qd16_markup_density",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST((length(text) - length(replace(text, 'http', '')))
+                  / 4 AS BIGINT) AS u,
+             CAST(length(text) - length(replace(text, '|', ''))
+                  AS BIGINT) AS p,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS BIGINT) AS h,
+             CAST(length(text) - length(replace(text, '`', ''))
+                  AS BIGINT) AS b
+      FROM documents),
+    ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(u) AS BIGINT) AS url_markers,
+                  CAST(sum(p) AS BIGINT) AS pipes,
+                  CAST(sum(h) AS BIGINT) AS hashes,
+                  CAST(sum(b) AS BIGINT) AS backticks
+           FROM per GROUP BY 1)
+    SELECT source, n_docs, url_markers, pipes, hashes, backticks,
+           CAST(round(url_markers * 1000 / n_docs) AS BIGINT)
+             AS urls_per_doc_milli,
+           CAST(round(pipes * 1000 / n_docs) AS BIGINT)
+             AS pipes_per_doc_milli,
+           CAST(round(pipes * 1000 / n_docs) AS BIGINT) >= 2000
+             AS tabular_suspect
+    FROM ag
+    """,
+)
+def qd16(spark, sf):
+    """Markup / URL marker density per source
+    (operators/textstats.py:markup_density) — boilerplate and
+    table-dump screen on literal markers only (replace, no regex —
+    parity trivial), per-doc rates with one rounded division each."""
+    from .operators.textstats import markup_density
+
+    return markup_density(_t(spark, sf, "documents"))

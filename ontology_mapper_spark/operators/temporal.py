@@ -5275,3 +5275,68 @@ def user_mix_divergence(
         .orderBy(F.col("jsd_micro").desc(), F.col(user_col))
         .limit(int(top_k))
     )
+
+
+def daily_p95_weekly_median(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Nested-quantile SRE report: each day's exact p95 of the metric,
+    plus the median / min / max of those daily p95s — the
+    "percentile of percentiles" that dashboards quietly get WRONG by
+    averaging percentiles; both levels here are exact type-1 ranks
+    (per-day histograms with PARTITIONED cumulative windows, then a
+    bounded day-level histogram for the median — calendar-sized).
+
+    Output per day: day_idx, n, p95_value, with median_daily_p95,
+    p95_min, p95_max repeated (broadcast single-row join).
+    """
+    base = df.select(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+        ).alias("_d"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    hist = base.groupBy("_d", "_v").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    nt = hist.groupBy("_d").agg(F.sum("_c").cast("long").alias("_n"))
+    wv = (
+        Window.partitionBy("_d")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p95 = (
+        hist.select("_d", "_v", F.sum("_c").over(wv).alias("_cm"))
+        .join(nt, "_d")
+        .where(F.col("_cm") >= F.expr("(9500 * _n + 9999) div 10000"))
+        .groupBy("_d")
+        .agg(F.min("_v").cast("long").alias("p95_value"), F.max("_n").alias("n"))
+    )
+    ph = p95.groupBy("p95_value").agg(
+        F.count("*").cast("long").alias("_dc")
+    )
+    dt = ph.agg(
+        F.sum("_dc").cast("long").alias("_nd"),
+        F.min("p95_value").cast("long").alias("p95_min"),
+        F.max("p95_value").cast("long").alias("p95_max"),
+    )
+    wp = Window.orderBy("p95_value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = (
+        ph.select("p95_value", F.sum("_dc").over(wp).alias("_cm"))
+        .crossJoin(F.broadcast(dt))
+        .where(F.col("_cm") >= F.expr("(5000 * _nd + 9999) div 10000"))
+        .agg(F.min("p95_value").cast("long").alias("median_daily_p95"))
+    )
+    summ = dt.crossJoin(F.broadcast(med))
+    return p95.crossJoin(F.broadcast(summ)).select(
+        F.col("_d").alias("day_idx"),
+        "n",
+        "p95_value",
+        "median_daily_p95",
+        "p95_min",
+        "p95_max",
+    )

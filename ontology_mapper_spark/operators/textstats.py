@@ -1620,3 +1620,54 @@ def charclass_profile(
         ).alias("other_frac_micro"),
         dom.alias("dominant_class"),
     )
+
+
+def markup_density(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    pipe_rate_flag_milli: int = 2000,
+) -> DataFrame:
+    """Markup / URL marker density per source — the boilerplate and
+    table-contamination screen that runs BEFORE tokenization (a
+    source whose docs average several pipes per line is a table dump,
+    not prose; URL-dense sources are link farms).  All counts are the
+    strip-and-measure idiom on LITERAL markers (replace, no regex at
+    all — engine parity is trivial), summed per source with one
+    rounded per-doc rate each.
+
+    Output per source: source, n_docs, url_markers, pipes, hashes,
+    backticks, urls_per_doc_milli, pipes_per_doc_milli,
+    tabular_suspect.
+    """
+    t = F.col(text_col)
+    lit_count = lambda lit: (
+        (F.length(t) - F.length(F.expr(f"replace({text_col}, '{lit}', '')")))
+        / len(lit)
+    ).cast("long")
+    per = df.select(
+        F.col(source_col).alias("source"),
+        lit_count("http").alias("_url"),
+        lit_count("|").alias("_pipe"),
+        lit_count("#").alias("_hash"),
+        lit_count("`").alias("_tick"),
+    ).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_url").cast("long").alias("url_markers"),
+        F.sum("_pipe").cast("long").alias("pipes"),
+        F.sum("_hash").cast("long").alias("hashes"),
+        F.sum("_tick").cast("long").alias("backticks"),
+    )
+    upd = F.round(F.col("url_markers") * 1000 / F.col("n_docs")).cast("long")
+    ppd = F.round(F.col("pipes") * 1000 / F.col("n_docs")).cast("long")
+    return per.select(
+        "source",
+        "n_docs",
+        "url_markers",
+        "pipes",
+        "hashes",
+        "backticks",
+        upd.alias("urls_per_doc_milli"),
+        ppd.alias("pipes_per_doc_milli"),
+        (ppd >= int(pipe_rate_flag_milli)).alias("tabular_suspect"),
+    )

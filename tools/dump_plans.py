@@ -352,6 +352,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qd05_user_slopes": "distinct-slope histogram quartile cuts (qa22 family)",
     "qd09_groupkey_skew": "group-size histograms per candidate key (O(sqrt(rows)) distinct sizes, qa30 family)",
     "qd14_conformal_curve": "score histogram cumulative counts (qb18 family; alpha grid is a broadcast dimension)",
+    "qd15_nested_quantiles": "day-level p95 histogram median (calendar-bounded second level)",
 }
 
 
