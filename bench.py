@@ -376,6 +376,8 @@ EXTENDED = [
     "qd14_conformal_curve",
     "qd15_nested_quantiles",
     "qd16_markup_density",
+    "qd17_triangle_closure",
+    "qd18_g_test",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -22273,3 +22273,107 @@ def qd16(spark, sf):
     from .operators.textstats import markup_density
 
     return markup_density(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 93: similarity-graph health + likelihood-ratio homogeneity
+# ---------------------------------------------------------------------------
+
+
+@_q("qd17_triangle_closure", None)
+def qd17(spark, sf):
+    """Transitivity audit of q27's similarity pair graph
+    (operators/dedup.py:similarity_triangle_gaps) — missing closing
+    edges of wedges estimate the candidate generator's recall holes;
+    symmetrized wedge join with an a<c total order, semi-join close
+    check; oracle wraps q27 verbatim."""
+    from .operators.dedup import similarity_triangle_gaps
+
+    return similarity_triangle_gaps(QUERIES["q27_ngram_jaccard"](spark, sf))
+
+
+ORACLES["qd17_triangle_closure"] = f"""
+    WITH q27 AS ({ORACLES["q27_ngram_jaccard"]}),
+    e AS (SELECT id_a AS u, id_b AS v FROM q27),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    wedges AS (SELECT x.u AS a, y.v AS b
+               FROM und x JOIN und y ON x.v = y.u WHERE x.u < y.v),
+    closed AS (SELECT w.a, w.b FROM wedges w
+               WHERE EXISTS (SELECT 1 FROM e
+                             WHERE e.u = w.a AND e.v = w.b)),
+    c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                 (SELECT CAST(count(*) AS BIGINT) FROM wedges)
+                   AS n_wedges,
+                 (SELECT CAST(count(*) AS BIGINT) FROM closed)
+                   AS n_closed)
+    SELECT n_edges, n_wedges, n_closed,
+           CASE WHEN n_wedges > 0 THEN
+             CAST(round(n_closed * 1000000 / n_wedges) AS BIGINT)
+           END AS closure_micro
+    FROM c
+"""
+
+
+@_q(
+    "qd18_g_test",
+    """
+    WITH e AS (SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS wk,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    base AS (SELECT (wk = 0 OR wk = 6) AS f, v FROM e),
+    ext AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+    cells AS (SELECT CAST(floor((v - mn) * 20 / (mx - mn + 1))
+                          AS BIGINT) AS b,
+                     CAST(sum(CASE WHEN f THEN 1 ELSE 0 END)
+                          AS BIGINT) AS oa,
+                     CAST(sum(CASE WHEN NOT f THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ob
+              FROM base CROSS JOIN ext GROUP BY 1),
+    tot AS (SELECT CAST(sum(oa) AS BIGINT) AS na,
+                   CAST(sum(ob) AS BIGINT) AS nb,
+                   CAST(count(*) AS BIGINT) AS k FROM cells),
+    ag AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+                  CAST(max(nb) AS BIGINT) AS n_b,
+                  CAST(max(k) AS BIGINT) AS k,
+                  CAST(sum(
+                    (CASE WHEN oa > 0 THEN
+                       oa * (CAST(round(ln(CAST(oa * (na + nb)
+                                              AS DOUBLE)) * 1e6)
+                                  AS BIGINT)
+                             - CAST(round(ln(CAST((oa + ob) * na
+                                                  AS DOUBLE)) * 1e6)
+                                    AS BIGINT))
+                     ELSE 0 END)
+                    + (CASE WHEN ob > 0 THEN
+                         ob * (CAST(round(ln(CAST(ob * (na + nb)
+                                                 AS DOUBLE)) * 1e6)
+                                    AS BIGINT)
+                               - CAST(round(ln(CAST((oa + ob) * nb
+                                                    AS DOUBLE)) * 1e6)
+                                      AS BIGINT))
+                       ELSE 0 END)) AS BIGINT) AS s
+           FROM cells CROSS JOIN tot)
+    SELECT n_a, n_b, k AS n_bins_occupied,
+           CAST(k - 1 AS BIGINT) AS df,
+           CAST(round(2 * s / 1000) AS BIGINT) AS g2_milli
+    FROM ag
+    """,
+)
+def qd18(spark, sf):
+    """Binned two-slice G-test of weekend vs weekday values
+    (operators/stats.py:g_test_binned) — likelihood-ratio homogeneity
+    with every cell term as ln_micro of integer products and exact
+    zero cells; G² adds across partitions, which is why corpus
+    pipelines prefer it over Pearson."""
+    from .operators.stats import g_test_binned
+
+    e = _t(spark, sf, "events").select(
+        F.expr(
+            "((unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7)"
+        ).alias("_wk"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    base = e.select(
+        ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"), "_v"
+    )
+    return g_test_binned(base, "_we", "_v", 20)

@@ -1406,3 +1406,59 @@ def apriori_triples(
         )
         .limit(int(top_k))
     )
+
+
+def similarity_triangle_gaps(pairs: DataFrame) -> DataFrame:
+    """Transitivity audit of a similarity pair graph (q27-style
+    edges): count wedges a~b~c whose closing edge a~c is MISSING —
+    near-dup similarity should be roughly transitive, so a low
+    closure rate means the candidate generator (banding, prefix
+    filter) is dropping real pairs and the downstream CC clusters are
+    fragmenting (the recall-hole estimate qa37's pairwise metrics
+    can't see).
+
+    Pure set algebra: symmetrize edges, one wedge equi-join on the
+    center with an a < c total order (each wedge counted once), a
+    left-semi close check against the canonical edge list.
+
+    Output (single row): n_edges, n_wedges, n_closed, closure_micro.
+    """
+    e = pairs.select(
+        F.col("id_a").alias("_u"), F.col("id_b").alias("_v")
+    )
+    und = e.unionByName(
+        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    )
+    wedges = (
+        und.alias("x")
+        .join(
+            und.alias("y").select(
+                F.col("_u").alias("_c"), F.col("_v").alias("_w")
+            ),
+            F.col("x._v") == F.col("_c"),
+        )
+        .where(F.col("x._u") < F.col("_w"))
+        .select(F.col("x._u").alias("_a"), F.col("_w").alias("_b"))
+    )
+    closed = wedges.join(
+        e.select(F.col("_u").alias("_a"), F.col("_v").alias("_b")),
+        ["_a", "_b"],
+        "left_semi",
+    )
+    ne = e.count()
+    nw = wedges.count()
+    nc = closed.count()
+    spark = pairs.sparkSession
+    out = spark.createDataFrame(
+        [(int(ne), int(nw), int(nc))], "n_edges long, n_wedges long, n_closed long"
+    )
+    return out.select(
+        "n_edges",
+        "n_wedges",
+        "n_closed",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.col("n_closed") * 1_000_000 / F.col("n_wedges"))
+            .cast("long"),
+        ).alias("closure_micro"),
+    )
