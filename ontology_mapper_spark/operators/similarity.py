@@ -1512,6 +1512,10 @@ def pca_power_iteration(
     sums = ex.groupBy("_j").agg(
         F.sum("_xm").cast("long").alias("_sj")
     )
+    # the 500-row parquet scan is ONE partition; without an explicit
+    # repartition the Gram self-join and its per-pair decimal products
+    # run single-task (the qa46 probe-side-parallelism trap)
+    ex = ex.repartition(32, "_id")
     prods = (
         ex.alias("a")
         .join(ex.alias("b"), "_id")
@@ -1545,6 +1549,10 @@ def pca_power_iteration(
             .alias("_cell"),
         )
     )
+    # pin the covariance cells ONCE: every iteration references them,
+    # and an unpinned lineage re-derives the Gram pipeline per round
+    # (the q96 2^rounds recompute trap — measured 89s -> ~constant)
+    cells = cells.localCheckpoint()
     # v0 = e1 in micro units
     v = cells.select("_j").distinct().select(
         "_j",
@@ -1553,7 +1561,14 @@ def pca_power_iteration(
         .cast("long")
         .alias("_vm"),
     )
-    w = None
+    # each round references w ONCE: the norm is a window-over-all sum
+    # on the d-row w frame (bounded dimension table) — the earlier
+    # agg+crossJoin form referenced w twice per round, doubling the
+    # unpinned chain every iteration (q96 recompute class; measured
+    # 54s -> sub-second rounds)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     for _ in range(int(rounds)):
         w = (
             cells.join(
@@ -1562,17 +1577,20 @@ def pca_power_iteration(
             .groupBy("_j")
             .agg(F.sum(F.col("_cell") * F.col("_vm")).cast("long").alias("_w"))
         )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(
-                    F.col("_w").cast("decimal(38,0)")
-                    * F.col("_w").cast("decimal(38,0)")
-                ).cast("double")
-            ).alias("_nrm")
-        )
-        v = w.crossJoin(F.broadcast(nrm)).select(
+        v = w.select(
             "_j",
-            F.round(F.col("_w").cast("double") * 1_000_000 / F.col("_nrm"))
+            F.round(
+                F.col("_w").cast("double")
+                * 1_000_000
+                / F.sqrt(
+                    F.sum(
+                        F.col("_w").cast("decimal(38,0)")
+                        * F.col("_w").cast("decimal(38,0)")
+                    )
+                    .over(wall)
+                    .cast("double")
+                )
+            )
             .cast("long")
             .alias("_vm"),
         )
@@ -1869,9 +1887,13 @@ def hubness_audit(
     q = df.select(
         F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
     )
+    # repartition the STREAMED side before the broadcast cross join —
+    # the tiny parquet scan is one partition, and the n² cosine
+    # evaluations would otherwise run single-task (qa46 trap;
+    # measured 73s -> seconds)
     t = df.select(
         F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
-    )
+    ).repartition(32, "_tid")
     scored = (
         t.crossJoin(F.broadcast(q))
         .where(F.col("_tid") != F.col("_qid"))
@@ -1968,9 +1990,11 @@ def retrieval_confidence(
     q = df.select(
         F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
     )
+    # streamed-side repartition before the broadcast cross join (qa46
+    # trap — see hubness_audit)
     t = df.select(
         F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
-    )
+    ).repartition(32, "_tid")
     scored = (
         t.crossJoin(F.broadcast(q))
         .where(F.col("_tid") != F.col("_qid"))
