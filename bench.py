@@ -378,6 +378,8 @@ EXTENDED = [
     "qd16_markup_density",
     "qd17_triangle_closure",
     "qd18_g_test",
+    "qd19_quadratic_diurnal",
+    "qd20_pacf",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -22377,3 +22377,148 @@ def qd18(spark, sf):
         ((F.col("_wk") == 0) | (F.col("_wk") == 6)).alias("_we"), "_v"
     )
     return g_test_binned(base, "_we", "_v", 20)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 94: diurnal response surface + PACF
+# ---------------------------------------------------------------------------
+
+
+def _qd19_oracle() -> str:
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        h = lambda x: f"CAST({x} AS HUGEINT)"
+        return (
+            f"({h(a1)} * ({h(b2)} * {h(c3)} - {h(b3)} * {h(c2)})"
+            f" - {h(a2)} * ({h(b1)} * {h(c3)} - {h(b3)} * {h(c1)})"
+            f" + {h(a3)} * ({h(b1)} * {h(c2)} - {h(b2)} * {h(c1)}))"
+        )
+
+    dd = det3("s0", "s1", "s2", "s1", "s2", "s3", "s2", "s3", "s4")
+    da = det3("t0", "s1", "s2", "t1", "s2", "s3", "t2", "s3", "s4")
+    db = det3("s0", "t0", "s2", "s1", "t1", "s3", "s2", "t2", "s4")
+    dc = det3("s0", "s1", "t0", "s1", "s2", "t1", "s2", "s3", "t2")
+    co = lambda n: (
+        f"CASE WHEN CAST({dd} AS DOUBLE) <> 0 THEN "
+        f"CAST(round(CAST({n} AS DOUBLE) * 1000000 "
+        f"/ CAST({dd} AS DOUBLE)) AS BIGINT) END"
+    )
+    return f"""
+    WITH base AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS t,
+                         CAST(round(value * 100) AS BIGINT) AS y
+                  FROM events),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+                 CAST(sum(t) AS BIGINT) AS s1,
+                 CAST(sum(t * t) AS BIGINT) AS s2,
+                 CAST(sum(t * t * t) AS BIGINT) AS s3,
+                 CAST(sum(t * t * t * t) AS BIGINT) AS s4,
+                 CAST(sum(y) AS BIGINT) AS t0,
+                 CAST(sum(t * y) AS BIGINT) AS t1,
+                 CAST(sum(t * t * y) AS BIGINT) AS t2
+          FROM base),
+    o AS (SELECT s0 AS n, {co(da)} AS a_micro, {co(db)} AS b_micro,
+                 {co(dc)} AS c_micro
+          FROM m)
+    SELECT n, a_micro, b_micro, c_micro,
+           CASE WHEN c_micro <> 0 THEN
+             CAST(round(-CAST(b_micro AS DOUBLE) * 1000
+                        / (2 * c_micro)) AS BIGINT) END
+             AS vertex_milli_hours,
+           c_micro > 0 AS convex
+    FROM o
+    """
+
+
+@_q("qd19_quadratic_diurnal", None)
+def qd19(spark, sf):
+    """Quadratic response surface of event value against hour-of-day
+    (operators/temporal.py:quadratic_diurnal_fit) — exact weighted
+    LS from integer moments through t⁴, 3×3 Cramer with decimal38
+    determinants, one mirrored division per coefficient; vertex =
+    the peak/trough hour."""
+    from .operators.temporal import quadratic_diurnal_fit
+
+    e = _t(spark, sf, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return quadratic_diurnal_fit(e, "ts", "cents")
+
+
+ORACLES["qd19_quadratic_diurnal"] = _qd19_oracle()
+
+
+@_q(
+    "qd20_pacf",
+    """
+    WITH days AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                         CAST(count(*) AS BIGINT) AS x
+                  FROM events GROUP BY 1),
+    mn AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS t FROM mn),
+    dense AS (SELECT spine.t, CAST(coalesce(days.x, 0) AS BIGINT) AS x
+              FROM spine LEFT JOIN days ON days.day = spine.t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx FROM dense),
+    z AS (SELECT t, n * x - sx AS z FROM dense CROSS JOIN tot),
+    lg AS (SELECT z, lead(z, 1) OVER (ORDER BY t) AS z1,
+                  lead(z, 2) OVER (ORDER BY t) AS z2,
+                  lead(z, 3) OVER (ORDER BY t) AS z3
+           FROM z),
+    gam AS (SELECT CAST(sum(z * z) AS BIGINT) AS g0,
+                   CAST(sum(z * z1) AS BIGINT) AS g1,
+                   CAST(sum(z * z2) AS BIGINT) AS g2,
+                   CAST(sum(z * z3) AS BIGINT) AS g3
+            FROM lg),
+    st AS (SELECT
+             CAST(round(CAST(g1 AS DOUBLE) * 1000000 / g0) AS BIGINT)
+               AS r1,
+             CAST(round(CAST(g2 AS DOUBLE) * 1000000 / g0) AS BIGINT)
+               AS r2,
+             CAST(round(CAST(g3 AS DOUBLE) * 1000000 / g0) AS BIGINT)
+               AS r3
+           FROM gam),
+    s2 AS (SELECT *, r1 AS p11,
+                  CAST(round(CAST(r2 * 1000000 - r1 * r1 AS DOUBLE)
+                             * 1000000
+                             / (CAST(1000000000000 AS DOUBLE)
+                                - r1 * r1)) AS BIGINT) AS p22
+           FROM st),
+    s3 AS (SELECT *,
+                  CAST(round(CAST(p11 * (1000000 - p22) AS DOUBLE)
+                             / 1000000) AS BIGINT) AS p21
+           FROM s2),
+    s4 AS (SELECT *,
+                  CAST(round(CAST(CAST(r3 * 1000000000000
+                                       - p21 * r2 * 1000000
+                                       - p22 * r1 * 1000000
+                                       AS HUGEINT) AS DOUBLE) * 1000000
+                             / CAST(CAST(1000000000000000000 AS HUGEINT)
+                                    - CAST(p21 * r1 AS HUGEINT) * 1000000
+                                    - CAST(p22 * r2 AS HUGEINT) * 1000000
+                                    AS DOUBLE)) AS BIGINT) AS p33
+           FROM s3)
+    SELECT CAST(u.lag AS BIGINT) AS lag,
+           CASE u.lag WHEN 1 THEN r1 WHEN 2 THEN r2 ELSE r3 END
+             AS r_micro,
+           CASE u.lag WHEN 1 THEN p11 WHEN 2 THEN p22 ELSE p33 END
+             AS pacf_micro
+    FROM s4 CROSS JOIN (VALUES (1), (2), (3)) u(lag)
+    """,
+)
+def qd20(spark, sf):
+    """PACF at lags 1–3 via unrolled Durbin–Levinson on daily volume
+    (operators/temporal.py:pacf_levinson) — Box–Jenkins order
+    selection; ACF from dense-spine scaled deviations, each recursion
+    level micro-rounded once, integer cross-level products."""
+    from .operators.temporal import pacf_levinson
+
+    days = (
+        _t(spark, sf, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    return pacf_levinson(days, "t", "x")

@@ -5340,3 +5340,233 @@ def daily_p95_weekly_median(
         "p95_min",
         "p95_max",
     )
+
+
+def quadratic_diurnal_fit(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "cents",
+) -> DataFrame:
+    """Quadratic fit of the metric against hour-of-day — the response-
+    surface summary of the diurnal cycle (peak hour = the vertex
+    −b/2c, curvature sign says single-peak vs single-trough), done as
+    EXACT weighted least squares on raw rows: the normal equations
+    need only the integer moments Σtᵏ (k ≤ 4, t ≤ 23) and Σtᵏy
+    (k ≤ 2), and the 3×3 system solves by Cramer with decimal38
+    determinants (every det term is a product of three exact integer
+    moments), one mirrored double division per coefficient.
+
+    Output (single row): n, a_micro (intercept), b_micro, c_micro
+    (quadratic), vertex_milli_hours (NULL when c = 0), convex.
+    """
+    base = df.select(
+        F.expr(
+            f"(unix_micros(cast({ts_col} as timestamp))"
+            " div 3600000000) % 24"
+        ).alias("_t"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    m = base.agg(
+        F.count("*").cast("long").alias("_s0"),
+        F.sum("_t").cast("long").alias("_s1"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_s2"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t"))
+        .cast("long")
+        .alias("_s3"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") * F.col("_t"))
+        .cast("long")
+        .alias("_s4"),
+        F.sum("_y").cast("long").alias("_t0"),
+        F.sum(F.col("_t") * F.col("_y")).cast("long").alias("_t1"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_y"))
+        .cast("long")
+        .alias("_t2"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        return (
+            a1 * (b2 * c3 - b3 * c2)
+            - a2 * (b1 * c3 - b3 * c1)
+            + a3 * (b1 * c2 - b2 * c1)
+        )
+
+    dd = det3(
+        d("_s0"), d("_s1"), d("_s2"),
+        d("_s1"), d("_s2"), d("_s3"),
+        d("_s2"), d("_s3"), d("_s4"),
+    )
+    da = det3(
+        d("_t0"), d("_s1"), d("_s2"),
+        d("_t1"), d("_s2"), d("_s3"),
+        d("_t2"), d("_s3"), d("_s4"),
+    )
+    db = det3(
+        d("_s0"), d("_t0"), d("_s2"),
+        d("_s1"), d("_t1"), d("_s3"),
+        d("_s2"), d("_t2"), d("_s4"),
+    )
+    dc = det3(
+        d("_s0"), d("_s1"), d("_t0"),
+        d("_s1"), d("_s2"), d("_t1"),
+        d("_s2"), d("_s3"), d("_t2"),
+    )
+    coef = lambda num: F.when(
+        dd.cast("double") != 0,
+        F.round(num.cast("double") * 1_000_000 / dd.cast("double")).cast(
+            "long"
+        ),
+    )
+    out = m.select(
+        F.col("_s0").alias("n"),
+        coef(da).alias("a_micro"),
+        coef(db).alias("b_micro"),
+        coef(dc).alias("c_micro"),
+    )
+    return out.select(
+        "n",
+        "a_micro",
+        "b_micro",
+        "c_micro",
+        F.when(
+            F.col("c_micro") != 0,
+            F.round(
+                -F.col("b_micro").cast("double")
+                * 1000
+                / (2 * F.col("c_micro"))
+            ).cast("long"),
+        ).alias("vertex_milli_hours"),
+        (F.col("c_micro") > 0).alias("convex"),
+    )
+
+
+def pacf_levinson(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 by the unrolled Durbin–
+    Levinson recursion — the Box–Jenkins order-selection companion to
+    ACF (qa70) and Ljung–Box (qb97): an AR(p) process cuts the PACF
+    off after lag p, which the raw ACF cannot show.
+
+    ACF values come integer-exactly from the dense-spine scaled
+    deviations (qc85 idiom): r_l = round(Γ_l·1e6/Γ_0), ONE division
+    each; the three recursion levels are mirrored micro-integer
+    chains (each φ micro-rounded per level — the per-cell rule — so
+    cross-level arithmetic is integer products over 1e12
+    denominators, with one rounded division per φ).
+
+    Output per lag (1..3): lag, r_micro, pacf_micro.
+    """
+    base = series.select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+    )
+    ext = base.agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+    spine = ext.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_t")
+    )
+    dense = spine.join(base, "_t", "left").select(
+        "_t", F.coalesce(F.col("_x"), F.lit(0)).cast("long").alias("_x")
+    )
+    tot = dense.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+    )
+    z = dense.crossJoin(F.broadcast(tot)).select(
+        "_t", (F.col("_n") * F.col("_x") - F.col("_sx")).alias("_z")
+    )
+    wlag = Window.orderBy("_t")
+    lags = z.select(
+        "_z",
+        *[F.lead("_z", l).over(wlag).alias(f"_z{l}") for l in (1, 2, 3)],
+    )
+    gam = lags.agg(
+        F.sum(F.col("_z") * F.col("_z")).cast("long").alias("_g0"),
+        *[
+            F.sum(F.col("_z") * F.col(f"_z{l}")).cast("long").alias(f"_g{l}")
+            for l in (1, 2, 3)
+        ],
+    )
+    r = lambda l: F.round(
+        F.col(f"_g{l}").cast("double") * 1_000_000 / F.col("_g0")
+    ).cast("long")
+    st = gam.select(
+        r(1).alias("_r1"), r(2).alias("_r2"), r(3).alias("_r3")
+    )
+    # Durbin-Levinson, all micro ints with one rounded division/level
+    p11 = F.col("_r1")
+    p22 = F.round(
+        (F.col("_r2") * 1_000_000 - F.col("_r1") * F.col("_r1"))
+        .cast("double")
+        * 1_000_000
+        / (
+            F.lit(1_000_000_000_000).cast("double")
+            - F.col("_r1") * F.col("_r1")
+        )
+    ).cast("long")
+    st2 = st.select(
+        "_r1",
+        "_r2",
+        "_r3",
+        p11.alias("_p11"),
+        p22.alias("_p22"),
+    ).select(
+        "*",
+        F.round(
+            (F.col("_p11") * (F.lit(1_000_000) - F.col("_p22")))
+            .cast("double")
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("_p21"),
+    )
+    num3 = (
+        F.col("_r3") * 1_000_000_000_000
+        - F.col("_p21") * F.col("_r2") * 1_000_000
+        - F.col("_p22") * F.col("_r1") * 1_000_000
+    )
+    den3 = (
+        F.lit(1_000_000_000_000_000_000).cast("decimal(38,0)")
+        - (F.col("_p21") * F.col("_r1")).cast("decimal(38,0)")
+        * F.lit(1_000_000).cast("decimal(38,0)")
+        - (F.col("_p22") * F.col("_r2")).cast("decimal(38,0)")
+        * F.lit(1_000_000).cast("decimal(38,0)")
+    )
+    st3 = st2.select(
+        "*",
+        F.round(
+            num3.cast("decimal(38,0)").cast("double")
+            * 1_000_000
+            / den3.cast("double")
+        )
+        .cast("long")
+        .alias("_p33"),
+    )
+    rows = st3.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("lag"),
+                    F.col("_r1").alias("r_micro"),
+                    F.col("_p11").cast("long").alias("pacf_micro"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("lag"),
+                    F.col("_r2").alias("r_micro"),
+                    F.col("_p22").cast("long").alias("pacf_micro"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("lag"),
+                    F.col("_r3").alias("r_micro"),
+                    F.col("_p33").cast("long").alias("pacf_micro"),
+                ),
+            )
+        ).alias("_r")
+    )
+    return rows.select(
+        F.col("_r.lag").alias("lag"),
+        F.col("_r.r_micro").alias("r_micro"),
+        F.col("_r.pacf_micro").alias("pacf_micro"),
+    )

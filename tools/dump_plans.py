@@ -354,6 +354,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qd14_conformal_curve": "score histogram cumulative counts (qb18 family; alpha grid is a broadcast dimension)",
     "qd15_nested_quantiles": "day-level p95 histogram median (calendar-bounded second level)",
     "qc66_pca_power": "power-iteration norm over the d-row w frame (embedding-dimension table, one window per round)",
+    "qd20_pacf": "dense day-spine lag windows (calendar-bounded, qc85 family)",
 }
 
 
