@@ -380,6 +380,8 @@ EXTENDED = [
     "qd18_g_test",
     "qd19_quadratic_diurnal",
     "qd20_pacf",
+    "qd21_feature_cousage",
+    "qd22_activation_lag",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

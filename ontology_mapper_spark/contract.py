@@ -22522,3 +22522,102 @@ def qd20(spark, sf):
         .agg(F.count("*").cast("long").alias("x"))
     )
     return pacf_levinson(days, "t", "x")
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 95: adoption analytics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qd21_feature_cousage",
+    """
+    WITH uf AS (SELECT DISTINCT user_id AS u, event_type AS f
+                FROM events),
+    marg AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM uf
+             GROUP BY 1),
+    nn AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM uf),
+    cb AS (SELECT x.f AS feat_a, y.f AS feat_b,
+                  CAST(count(*) AS BIGINT) AS n_both
+           FROM uf x JOIN uf y ON x.u = y.u AND x.f < y.f
+           GROUP BY 1, 2)
+    SELECT b.feat_a, b.feat_b, ma.n AS n_a, mb.n AS n_b, b.n_both,
+           CAST(round(b.n_both * 1000000
+                      / (ma.n + mb.n - b.n_both)) AS BIGINT)
+             AS jaccard_micro,
+           CAST(round(CAST(b.n_both AS DOUBLE) * nn.nu * 1000
+                      / (CAST(ma.n AS DOUBLE) * mb.n)) AS BIGINT)
+             AS lift_milli
+    FROM cb b
+    JOIN marg ma ON ma.f = b.feat_a
+    JOIN marg mb ON mb.f = b.feat_b
+    CROSS JOIN nn
+    """,
+)
+def qd21(spark, sf):
+    """Feature co-usage matrix over distinct users
+    (operators/temporal.py:feature_cousage) — co-adopting USERS (not
+    qb28's co-occurring events): pairwise Jaccard and adoption lift
+    from exact distinct-set joins, one division each."""
+    from .operators.temporal import feature_cousage
+
+    return feature_cousage(_t(spark, sf, "events"))
+
+
+@_q(
+    "qd22_activation_lag",
+    """
+    WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    hist0 AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base
+              GROUP BY 1),
+    nt0 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist0),
+    cut AS (SELECT CAST(min(v) AS BIGINT) AS cut FROM
+            (SELECT v, sum(c) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cm FROM hist0)
+            CROSS JOIN nt0 WHERE cm >= (9000 * n + 9999) // 10000),
+    per AS (SELECT u, min(us) AS f,
+                   min(CASE WHEN v > cut.cut THEN us END) AS a
+            FROM base CROSS JOIN cut GROUP BY 1),
+    lags AS (SELECT CASE WHEN a IS NOT NULL
+                         THEN (a - f) // 3600000000 END AS lag
+             FROM per),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN lag IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_activated
+            FROM lags),
+    lh AS (SELECT lag, CAST(count(*) AS BIGINT) AS c FROM lags
+           WHERE lag IS NOT NULL GROUP BY 1),
+    na AS (SELECT CAST(sum(c) AS BIGINT) AS na FROM lh),
+    cum AS (SELECT lag, sum(c) OVER (ORDER BY lag
+                    ROWS UNBOUNDED PRECEDING) AS cm FROM lh),
+    q25 AS (SELECT CAST(min(lag) AS BIGINT) AS p25_lag_hours
+            FROM cum CROSS JOIN na
+            WHERE cm >= (2500 * na + 9999) // 10000),
+    q50 AS (SELECT CAST(min(lag) AS BIGINT) AS p50_lag_hours
+            FROM cum CROSS JOIN na
+            WHERE cm >= (5000 * na + 9999) // 10000),
+    q75 AS (SELECT CAST(min(lag) AS BIGINT) AS p75_lag_hours
+            FROM cum CROSS JOIN na
+            WHERE cm >= (7500 * na + 9999) // 10000)
+    SELECT tot.n_users, tot.n_activated,
+           CAST(round(tot.n_activated * 1000000 / tot.n_users)
+                AS BIGINT) AS activation_micro,
+           p25_lag_hours, p50_lag_hours, p75_lag_hours
+    FROM tot CROSS JOIN q25 CROSS JOIN q50 CROSS JOIN q75
+    """,
+)
+def qd22(spark, sf):
+    """Activation-lag distribution — first event to first top-decile
+    event per user (operators/temporal.py:activation_lag); exact
+    type-1 quartiles of the hour-lag histogram, never-activated
+    users counted."""
+    from .operators.temporal import activation_lag
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return activation_lag(e, "user_id", "ts", "cents", 9000)

@@ -5570,3 +5570,170 @@ def pacf_levinson(
         F.col("_r.r_micro").alias("r_micro"),
         F.col("_r.pacf_micro").alias("pacf_micro"),
     )
+
+
+def feature_cousage(
+    df: DataFrame,
+    user_col: str = "user_id",
+    feat_col: str = "event_type",
+) -> DataFrame:
+    """Feature co-usage matrix — for every feature pair, how many
+    users touch both, the Jaccard overlap, and the adoption LIFT
+    P(b|a)/P(b): the product question "which features pull users into
+    which" answered with exact distinct-user set algebra (a
+    (user, feature) distinct projection, one self-join on the user,
+    margins broadcast back — qb28 counts co-occurrence EVENTS; this
+    counts co-adopting USERS, a different quantity).
+
+    All integers until one micro/milli division each: jaccard =
+    both/(n_a + n_b − both), lift = both·N / (n_a·n_b).
+
+    Output per pair (a < b): feat_a, feat_b, n_a, n_b, n_both,
+    jaccard_micro, lift_milli.
+    """
+    uf = (
+        df.select(
+            F.col(user_col).alias("_u"), F.col(feat_col).alias("_f")
+        )
+        .distinct()
+    )
+    marg = uf.groupBy("_f").agg(F.count("*").cast("long").alias("_n"))
+    nn = uf.select("_u").distinct().agg(
+        F.count("*").cast("long").alias("_nu")
+    )
+    both = (
+        uf.alias("x")
+        .join(uf.alias("y"), "_u")
+        .where(F.col("x._f") < F.col("y._f"))
+        .groupBy(
+            F.col("x._f").alias("feat_a"), F.col("y._f").alias("feat_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    out = (
+        both.join(
+            F.broadcast(marg.select(F.col("_f").alias("feat_a"),
+                                    F.col("_n").alias("n_a"))),
+            "feat_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("_f").alias("feat_b"),
+                                    F.col("_n").alias("n_b"))),
+            "feat_b",
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    return out.select(
+        "feat_a",
+        "feat_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.col("n_both")
+            * 1_000_000
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+        )
+        .cast("long")
+        .alias("jaccard_micro"),
+        F.round(
+            F.col("n_both").cast("double")
+            * F.col("_nu")
+            * 1000
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        )
+        .cast("long")
+        .alias("lift_milli"),
+    )
+
+
+def activation_lag(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "cents",
+    activation_bp: int = 9000,
+) -> DataFrame:
+    """Activation-lag distribution — time from each user's FIRST
+    event to their first HIGH-VALUE event (above the exact global
+    percentile cut): the activation-funnel number growth teams watch,
+    with exact type-1 quartiles of the lag histogram instead of a
+    mean that one whale stretches.
+
+    Per user: min ts overall and min ts above the cut (conditional
+    min — one aggregation); lags in whole hours keep the histogram
+    bounded; never-activated users are counted, not dropped.
+
+    Output (single row): n_users, n_activated, activation_micro,
+    p25_lag_hours, p50_lag_hours, p75_lag_hours.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        us.alias("_us"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    hist0 = base.groupBy("_v").agg(F.count("*").cast("long").alias("_c"))
+    nt0 = hist0.agg(F.sum("_c").cast("long").alias("_n"))
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = (
+        hist0.select("_v", F.sum("_c").over(wv).alias("_cm"))
+        .crossJoin(F.broadcast(nt0))
+        .where(
+            F.col("_cm")
+            >= F.expr(f"({int(activation_bp)} * _n + 9999) div 10000")
+        )
+        .agg(F.min("_v").alias("_cut"))
+    )
+    per = (
+        base.crossJoin(F.broadcast(cut))
+        .groupBy("_u")
+        .agg(
+            F.min("_us").alias("_first"),
+            F.min(
+                F.when(F.col("_v") > F.col("_cut"), F.col("_us"))
+            ).alias("_act"),
+        )
+    )
+    lags = per.select(
+        F.when(
+            F.col("_act").isNotNull(),
+            F.expr("(_act - _first) div 3600000000"),
+        ).alias("_lag")
+    )
+    tot = lags.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("_lag").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_activated"),
+    )
+    lh = lags.where(F.col("_lag").isNotNull()).groupBy("_lag").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    na = lh.agg(F.sum("_c").cast("long").alias("_na"))
+    wl = Window.orderBy("_lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lh.select("_lag", F.sum("_c").over(wl).alias("_cm")).crossJoin(
+        F.broadcast(na)
+    )
+    q = lambda bp, nm: cum.where(
+        F.col("_cm") >= F.expr(f"({bp} * _na + 9999) div 10000")
+    ).agg(F.min("_lag").cast("long").alias(nm))
+    out = (
+        tot.crossJoin(F.broadcast(q(2500, "p25_lag_hours")))
+        .crossJoin(F.broadcast(q(5000, "p50_lag_hours")))
+        .crossJoin(F.broadcast(q(7500, "p75_lag_hours")))
+    )
+    return out.select(
+        "n_users",
+        "n_activated",
+        F.round(F.col("n_activated") * 1_000_000 / F.col("n_users"))
+        .cast("long")
+        .alias("activation_micro"),
+        "p25_lag_hours",
+        "p50_lag_hours",
+        "p75_lag_hours",
+    )
