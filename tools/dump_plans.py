@@ -355,6 +355,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qd15_nested_quantiles": "day-level p95 histogram median (calendar-bounded second level)",
     "qc66_pca_power": "power-iteration norm over the d-row w frame (embedding-dimension table, one window per round)",
     "qd20_pacf": "dense day-spine lag windows (calendar-bounded, qc85 family)",
+    "qd22_activation_lag": "value histogram p90 cut + hour-lag histogram quartiles (qa22 family)",
 }
 
 
