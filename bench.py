@@ -382,6 +382,8 @@ EXTENDED = [
     "qd20_pacf",
     "qd21_feature_cousage",
     "qd22_activation_lag",
+    "qd23_circular_peak",
+    "qd24_ranking_stability",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

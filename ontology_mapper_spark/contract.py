@@ -22621,3 +22621,124 @@ def qd22(spark, sf):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return activation_lag(e, "user_id", "ts", "cents", 9000)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 96: circular time + rank stability
+# ---------------------------------------------------------------------------
+
+
+def _qd23_oracle() -> str:
+    from .operators.temporal import hour_trig_table
+
+    rows = ", ".join(
+        f"({h}, CAST({c} AS BIGINT), CAST({s} AS BIGINT))"
+        for h, c, s in hour_trig_table()
+    )
+    return f"""
+    WITH trig(h, cm, sm) AS (VALUES {rows}),
+    base AS (SELECT event_type AS g,
+                    (epoch_us(ts) // 3600000000) % 24 AS h
+             FROM events),
+    per AS (SELECT base.g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(trig.cm) AS BIGINT) AS c_sum,
+                   CAST(sum(trig.sm) AS BIGINT) AS s_sum
+            FROM base JOIN trig ON trig.h = base.h
+            GROUP BY 1),
+    proj AS (SELECT per.g, trig.h,
+                    per.c_sum * trig.cm + per.s_sum * trig.sm AS p
+             FROM per CROSS JOIN trig),
+    peak AS (SELECT g, CAST(h AS BIGINT) AS peak_hour FROM (
+               SELECT g, h, row_number() OVER (PARTITION BY g
+                            ORDER BY p DESC, h) AS rn
+               FROM proj)
+             WHERE rn = 1)
+    SELECT per.g AS event_type, per.n, per.c_sum, per.s_sum,
+           CAST(round(sqrt(CAST(c_sum AS DOUBLE) * c_sum
+                           + CAST(s_sum AS DOUBLE) * s_sum)
+                      / (CAST(n AS DOUBLE) * 1000000) * 1000)
+                AS BIGINT) AS resultant_milli,
+           peak.peak_hour,
+           CAST(round(n * (sqrt(CAST(c_sum AS DOUBLE) * c_sum
+                                + CAST(s_sum AS DOUBLE) * s_sum)
+                           / (CAST(n AS DOUBLE) * 1000000))
+                        * (sqrt(CAST(c_sum AS DOUBLE) * c_sum
+                                + CAST(s_sum AS DOUBLE) * s_sum)
+                           / (CAST(n AS DOUBLE) * 1000000)) * 1000)
+                AS BIGINT) AS rayleigh_z_milli,
+           CAST(round(n * (sqrt(CAST(c_sum AS DOUBLE) * c_sum
+                                + CAST(s_sum AS DOUBLE) * s_sum)
+                           / (CAST(n AS DOUBLE) * 1000000))
+                        * (sqrt(CAST(c_sum AS DOUBLE) * c_sum
+                                + CAST(s_sum AS DOUBLE) * s_sum)
+                           / (CAST(n AS DOUBLE) * 1000000)) * 1000)
+                AS BIGINT) > 2996 AS concentrated
+    FROM per JOIN peak ON peak.g = per.g
+    """
+
+
+@_q("qd23_circular_peak", None)
+def qd23(spark, sf):
+    """Circular diurnal statistics per event type
+    (operators/temporal.py:circular_peak) — resultant length and
+    Rayleigh non-uniformity over INJECTED 24-hour trig tables; the
+    peak hour is the integer ARGMAX of C·cos+S·sin, so no atan2
+    anywhere."""
+    from .operators.temporal import circular_peak
+
+    return circular_peak(_t(spark, sf, "events"))
+
+
+ORACLES["qd23_circular_peak"] = _qd23_oracle()
+
+
+@_q(
+    "qd24_ranking_stability",
+    """
+    WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS tot_chars
+               FROM documents GROUP BY 1),
+    ra AS (SELECT source, row_number() OVER (ORDER BY n_docs DESC,
+                   source) AS rank FROM m),
+    rb AS (SELECT source, row_number() OVER (ORDER BY tot_chars DESC,
+                   source) AS rank FROM m),
+    j AS (SELECT ra.source AS k, ra.rank AS a, rb.rank AS b
+          FROM ra JOIN rb ON rb.source = ra.source),
+    p AS (SELECT (x.a - y.a) * (x.b - y.b) AS s
+          FROM j x JOIN j y ON x.k < y.k),
+    ag AS (SELECT CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS concordant,
+                  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS discordant,
+                  CAST(count(*) AS BIGINT) AS np FROM p),
+    nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM j),
+    ov AS (SELECT CAST(count(*) AS BIGINT) AS topk_overlap
+           FROM j WHERE a <= 3 AND b <= 3)
+    SELECT nk.n_keys, ag.concordant, ag.discordant,
+           CASE WHEN ag.np > 0 THEN
+             CAST(round((ag.concordant - ag.discordant) * 1000
+                        / ag.np) AS BIGINT) END AS tau_milli,
+           ov.topk_overlap
+    FROM nk CROSS JOIN ag CROSS JOIN ov
+    """,
+)
+def qd24(spark, sf):
+    """Rank-stability between volume and size orderings of sources
+    (operators/dq.py:ranking_stability) — Kendall tau over the
+    source-dimension pair grid plus top-3 overlap; do the two
+    dashboards agree about who is big?"""
+    from .operators.dq import ranking_stability
+
+    m = (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("tot_chars"),
+        )
+    )
+    wa = Window.orderBy(F.col("n_docs").desc(), F.col("source"))
+    wb = Window.orderBy(F.col("tot_chars").desc(), F.col("source"))
+    ra = m.select("source", F.row_number().over(wa).alias("rank"))
+    rb = m.select("source", F.row_number().over(wb).alias("rank"))
+    return ranking_stability(ra, rb, "source", 3)

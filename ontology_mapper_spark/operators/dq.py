@@ -533,3 +533,76 @@ def order_reconciliation(
             "max_abs_diff_scaled"
         ),
     )
+
+
+def ranking_stability(
+    a_ranked: DataFrame,
+    b_ranked: DataFrame,
+    key_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Rank-stability audit between two orderings of the SAME small
+    dimension (sources ranked by volume vs by quality, shards by
+    size vs by cost…): Kendall tau-b over the K×K pair grid plus
+    top-k set overlap — "do my two dashboards agree about who is
+    big?" answered exactly.
+
+    Inputs carry (key, rank) each — ranks are small ints from
+    bounded dimension rankings (TakeOrdered upstream).  Pair
+    concordance is integer comparison over the K² self-join; tau-b
+    is one mirrored division; top-k overlap is a semi-join count.
+
+    Output (single row): n_keys, concordant, discordant, tau_milli,
+    topk_overlap.
+    """
+    j = a_ranked.select(
+        F.col(key_col).alias("_k"), F.col("rank").alias("_ra")
+    ).join(
+        b_ranked.select(
+            F.col(key_col).alias("_k"), F.col("rank").alias("_rb")
+        ),
+        "_k",
+    )
+    p = (
+        j.alias("x")
+        .join(j.alias("y"), F.col("x._k") < F.col("y._k"))
+        .select(
+            (
+                (F.col("x._ra") - F.col("y._ra"))
+                * (F.col("x._rb") - F.col("y._rb"))
+            ).alias("_s")
+        )
+    )
+    agg = p.agg(
+        F.sum(F.when(F.col("_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("_s") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.count("*").cast("long").alias("_np"),
+    )
+    nk = j.agg(F.count("*").cast("long").alias("n_keys"))
+    ov = (
+        j.where(F.col("_ra") <= int(top_k))
+        .where(F.col("_rb") <= int(top_k))
+        .agg(F.count("*").cast("long").alias("topk_overlap"))
+    )
+    return (
+        nk.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "n_keys",
+            "concordant",
+            "discordant",
+            F.when(
+                F.col("_np") > 0,
+                F.round(
+                    (F.col("concordant") - F.col("discordant"))
+                    * 1000
+                    / F.col("_np")
+                ).cast("long"),
+            ).alias("tau_milli"),
+            "topk_overlap",
+        )
+    )

@@ -5737,3 +5737,100 @@ def activation_lag(
         "p50_lag_hours",
         "p75_lag_hours",
     )
+
+
+def hour_trig_table() -> list[tuple]:
+    """Injected 24-row circular table: (hour, cos_micro, sin_micro)
+    at angle 2π·h/24 — Python-computed once, shared by both engines
+    (qa89 rule)."""
+    import math
+
+    return [
+        (
+            h,
+            round(math.cos(2 * math.pi * h / 24) * 1_000_000),
+            round(math.sin(2 * math.pi * h / 24) * 1_000_000),
+        )
+        for h in range(24)
+    ]
+
+
+def circular_peak(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    rayleigh_crit_milli: int = 2996,
+) -> DataFrame:
+    """Circular statistics of the diurnal cycle per group — hour-of-
+    day is an ANGLE, so "mean hour" via arithmetic averaging is wrong
+    across midnight; the circular resultant does it right: R̄ near 1
+    means the group's activity concentrates at one time of day, near
+    0 means uniform, and the Rayleigh statistic n·R̄² tests
+    non-uniformity.
+
+    C = Σ cos_micro[h], S = Σ sin_micro[h] over the INJECTED 24-row
+    trig table (qc65 rule — no engine runs trig); R̄ is one IEEE
+    sqrt; the peak hour avoids atan2 entirely — it is the ARGMAX of
+    C·cos_h + S·sin_h over the same table, a pure integer
+    comparison with an hour tie-break.  The Rayleigh critical value
+    (−ln α at α=0.05) is an injected milli constant.
+
+    Output per group: group, n, c_sum, s_sum, resultant_milli,
+    peak_hour, rayleigh_z_milli, concentrated.
+    """
+    trig = df.sparkSession.createDataFrame(
+        hour_trig_table(), ["_h", "_cm", "_sm"]
+    )
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.expr(
+            f"(unix_micros(cast({ts_col} as timestamp))"
+            " div 3600000000) % 24"
+        ).alias("_h"),
+    )
+    per = (
+        base.join(F.broadcast(trig), "_h")
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_cm").cast("long").alias("c_sum"),
+            F.sum("_sm").cast("long").alias("s_sum"),
+        )
+    )
+    proj = (
+        per.crossJoin(F.broadcast(trig))
+        .select(
+            "_g",
+            "_h",
+            (F.col("c_sum") * F.col("_cm") + F.col("s_sum") * F.col("_sm"))
+            .alias("_p"),
+        )
+    )
+    wpk = Window.partitionBy("_g").orderBy(
+        F.col("_p").desc(), F.col("_h")
+    )
+    peak = (
+        proj.withColumn("_rn", F.row_number().over(wpk))
+        .where(F.col("_rn") == 1)
+        .select("_g", F.col("_h").cast("long").alias("peak_hour"))
+    )
+    rbar = F.sqrt(
+        F.col("c_sum").cast("double") * F.col("c_sum")
+        + F.col("s_sum").cast("double") * F.col("s_sum")
+    ) / (F.col("n").cast("double") * 1_000_000)
+    out = per.join(peak, "_g")
+    return out.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "c_sum",
+        "s_sum",
+        F.round(rbar * 1000).cast("long").alias("resultant_milli"),
+        "peak_hour",
+        F.round(F.col("n") * rbar * rbar * 1000)
+        .cast("long")
+        .alias("rayleigh_z_milli"),
+        (
+            F.round(F.col("n") * rbar * rbar * 1000).cast("long")
+            > F.lit(int(rayleigh_crit_milli))
+        ).alias("concentrated"),
+    )

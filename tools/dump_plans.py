@@ -356,6 +356,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qc66_pca_power": "power-iteration norm over the d-row w frame (embedding-dimension table, one window per round)",
     "qd20_pacf": "dense day-spine lag windows (calendar-bounded, qc85 family)",
     "qd22_activation_lag": "value histogram p90 cut + hour-lag histogram quartiles (qa22 family)",
+    "qd24_ranking_stability": "source-dimension rankings (sources are a dictionary-sized dimension)",
 }
 
 
