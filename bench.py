@@ -384,6 +384,8 @@ EXTENDED = [
     "qd22_activation_lag",
     "qd23_circular_peak",
     "qd24_ranking_stability",
+    "qd25_early_signal_lift",
+    "qd26_abc_analysis",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

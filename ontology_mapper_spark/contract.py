@@ -22742,3 +22742,107 @@ def qd24(spark, sf):
     ra = m.select("source", F.row_number().over(wa).alias("rank"))
     rb = m.select("source", F.row_number().over(wb).alias("rank"))
     return ranking_stability(ra, rb, "source", 3)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 97: growth signal + revenue concentration classes
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "qd25_early_signal_lift",
+    """
+    WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+    ext AS (SELECT min(us) AS lo, max(us) AS hi FROM base),
+    per AS (SELECT u,
+                   CAST(sum(CASE WHEN us < lo + 604800000000 THEN 1
+                            ELSE 0 END) AS BIGINT) AS early,
+                   CAST(max(CASE WHEN us * 3 >= lo + hi * 2 THEN 1
+                            ELSE 0 END) AS BIGINT) AS ret
+            FROM base CROSS JOIN ext GROUP BY u, lo, hi
+            HAVING sum(CASE WHEN us < lo + 604800000000 THEN 1
+                       ELSE 0 END) > 0),
+    hist AS (SELECT early, CAST(count(*) AS BIGINT) AS c FROM per
+             GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cum AS (SELECT early, sum(c) OVER (ORDER BY early
+                    ROWS UNBOUNDED PRECEDING) AS cm FROM hist),
+    q1 AS (SELECT CAST(min(early) AS BIGINT) AS v FROM cum CROSS JOIN nt
+           WHERE cm >= (2500 * n + 9999) // 10000),
+    q2 AS (SELECT CAST(min(early) AS BIGINT) AS v FROM cum CROSS JOIN nt
+           WHERE cm >= (5000 * n + 9999) // 10000),
+    q3 AS (SELECT CAST(min(early) AS BIGINT) AS v FROM cum CROSS JOIN nt
+           WHERE cm >= (7500 * n + 9999) // 10000),
+    lab AS (SELECT CASE WHEN early <= q1.v THEN 1
+                        WHEN early <= q2.v THEN 2
+                        WHEN early <= q3.v THEN 3
+                        ELSE 4 END AS quartile, ret
+            FROM per CROSS JOIN q1 CROSS JOIN q2 CROSS JOIN q3),
+    cells AS (SELECT quartile, CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(ret) AS BIGINT) AS n_retained
+              FROM lab GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tn,
+                   CAST(sum(n_retained) AS BIGINT) AS tr FROM cells)
+    SELECT CAST(quartile AS BIGINT) AS quartile, n_users, n_retained,
+           CAST(round(n_retained * 1000000 / n_users) AS BIGINT)
+             AS retention_micro,
+           CASE WHEN tr > 0 THEN
+             CAST(round(CAST(n_retained AS DOUBLE) * tn * 1000
+                        / (CAST(n_users AS DOUBLE) * tr)) AS BIGINT)
+           END AS lift_milli
+    FROM cells CROSS JOIN tot
+    """,
+)
+def qd25(spark, sf):
+    """Early-signal retention lift by first-week activity quartile
+    (operators/temporal.py:early_signal_lift) — growth analytics:
+    exact quartile cuts over the first-week activity histogram,
+    retention in the last window third, lift vs base rate."""
+    from .operators.temporal import early_signal_lift
+
+    return early_signal_lift(_t(spark, sf, "events"))
+
+
+@_q(
+    "qd26_abc_analysis",
+    """
+    WITH per AS (SELECT l_partkey AS k,
+                        CAST(sum(CAST(round(l_extendedprice * 100)
+                                      AS BIGINT)) AS BIGINT) AS rev
+                 FROM lineitem GROUP BY 1),
+    b AS (SELECT rev // 65536 AS bk, rev FROM per),
+    hist AS (SELECT bk, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(rev) AS BIGINT) AS s
+             FROM b GROUP BY 1),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM hist),
+    cls AS (SELECT n, s,
+                   CASE WHEN (cum - s) * 10000 < 8000 * t THEN 'A'
+                        WHEN (cum - s) * 10000 < 9500 * t THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM (SELECT bk, n, s,
+                         CAST(sum(s) OVER (ORDER BY bk DESC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum
+                  FROM hist) h CROSS JOIN tot),
+    outp AS (SELECT abc_class, CAST(sum(n) AS BIGINT) AS n_keys,
+                    CAST(sum(s) AS BIGINT) AS revenue
+             FROM cls GROUP BY 1)
+    SELECT abc_class, n_keys, revenue,
+           CAST(round(CAST(revenue AS DOUBLE) * 1000000 / tot.t)
+                AS BIGINT) AS share_micro
+    FROM outp CROSS JOIN tot
+    """,
+)
+def qd26(spark, sf):
+    """ABC revenue-concentration classes over parts
+    (operators/dq.py:abc_analysis) — the inventory Pareto classic at
+    BUCKET granularity (qb43 range-bucket idiom): the cumulative
+    share runs over the bounded bucket spine in descending order,
+    never a row-level revenue sort."""
+    from .operators.dq import abc_analysis
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return abc_analysis(li, "l_partkey", "cents", 16, 8000, 9500)

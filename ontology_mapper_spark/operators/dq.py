@@ -606,3 +606,80 @@ def ranking_stability(
             "topk_overlap",
         )
     )
+
+
+def abc_analysis(
+    df: DataFrame,
+    key_col: str,
+    revenue_col: str,
+    bucket_shift: int = 16,
+    a_bp: int = 8000,
+    b_bp: int = 9500,
+) -> DataFrame:
+    """ABC (Pareto-class) analysis of revenue concentration — the
+    inventory classic: class A = keys supplying the first ~80% of
+    revenue, B to 95%, C the tail.  The textbook form sorts EVERY key
+    by revenue (a global row-level sort); the scale-safe form here
+    classifies at BUCKET granularity: per-key revenues quantize to
+    2^bucket_shift-wide buckets (qb43's range-bucket idiom), the
+    cumulative revenue share runs over the bounded bucket spine in
+    DESCENDING bucket order, and every key in a bucket gets the
+    bucket's class — deterministic, documented granularity, no
+    row-level window.
+
+    Output per class: abc_class, n_keys, revenue, share_micro.
+    """
+    per = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(revenue_col).cast("long").alias("_r"),
+        )
+        .groupBy("_k")
+        .agg(F.sum("_r").cast("long").alias("_rev"))
+    )
+    b = per.select(
+        F.expr(f"_rev div {1 << int(bucket_shift)}").alias("_b"),
+        "_rev",
+    )
+    hist = b.groupBy("_b").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_rev").cast("long").alias("_s"),
+    )
+    tot = hist.agg(F.sum("_s").cast("long").alias("_t"))
+    wd = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cls = (
+        hist.select(
+            "_b", "_n", "_s", F.sum("_s").over(wd).alias("_cum")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_n",
+            "_s",
+            F.when(
+                (F.col("_cum") - F.col("_s")) * 10_000
+                < F.lit(int(a_bp)) * F.col("_t"),
+                F.lit("A"),
+            )
+            .when(
+                (F.col("_cum") - F.col("_s")) * 10_000
+                < F.lit(int(b_bp)) * F.col("_t"),
+                F.lit("B"),
+            )
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
+    out = cls.groupBy("abc_class").agg(
+        F.sum("_n").cast("long").alias("n_keys"),
+        F.sum("_s").cast("long").alias("revenue"),
+    )
+    return out.crossJoin(F.broadcast(tot)).select(
+        "abc_class",
+        "n_keys",
+        "revenue",
+        F.round(F.col("revenue").cast("double") * 1_000_000 / F.col("_t"))
+        .cast("long")
+        .alias("share_micro"),
+    )

@@ -5834,3 +5834,100 @@ def circular_peak(
             > F.lit(int(rayleigh_crit_milli))
         ).alias("concentrated"),
     )
+
+
+def early_signal_lift(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Early-signal predictiveness — the growth-analytics classic: split
+    users into quartiles by FIRST-WEEK activity, measure who is still
+    active in the LAST THIRD of the window, and report retention per
+    quartile with lift against the base rate.  A strong gradient
+    justifies first-week activation investments; a flat one kills
+    them.
+
+    Windows are thirds/weeks of the observed span (integer epoch
+    arithmetic); quartile cuts are exact type-1 ranks over the
+    first-week activity histogram; every rate is one rounded
+    division of int64 counts.
+
+    Output per quartile (1..4): quartile, n_users, n_retained,
+    retention_micro, lift_milli (vs base rate).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(user_col).alias("_u"), us.alias("_us"))
+    ext = base.agg(F.min("_us").alias("_lo"), F.max("_us").alias("_hi"))
+    wk = 7 * 86_400_000_000
+    per = (
+        base.crossJoin(F.broadcast(ext))
+        .groupBy("_u")
+        .agg(
+            F.sum(
+                F.when(F.col("_us") < F.col("_lo") + wk, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("_early"),
+            F.max(
+                F.when(
+                    F.col("_us") * 3
+                    >= F.col("_lo") + F.col("_hi") * 2,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_ret"),
+        )
+        .where(F.col("_early") > 0)
+    )
+    hist = per.groupBy("_early").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    nt = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    wv = Window.orderBy("_early").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("_early", F.sum("_c").over(wv).alias("_cm"))
+    cuts = None
+    for q, bp in ((1, 2500), (2, 5000), (3, 7500)):
+        c = (
+            cum.crossJoin(F.broadcast(nt))
+            .where(F.col("_cm") >= F.expr(f"({bp} * _n + 9999) div 10000"))
+            .agg(F.min("_early").alias(f"_q{q}"))
+        )
+        cuts = c if cuts is None else cuts.crossJoin(F.broadcast(c))
+    lab = per.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("_early") <= F.col("_q1"), 1)
+        .when(F.col("_early") <= F.col("_q2"), 2)
+        .when(F.col("_early") <= F.col("_q3"), 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("quartile"),
+        "_ret",
+    )
+    cells = lab.groupBy("quartile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("_ret").cast("long").alias("n_retained"),
+    )
+    tot = cells.agg(
+        F.sum("n_users").cast("long").alias("_tn"),
+        F.sum("n_retained").cast("long").alias("_tr"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "quartile",
+        "n_users",
+        "n_retained",
+        F.round(F.col("n_retained") * 1_000_000 / F.col("n_users"))
+        .cast("long")
+        .alias("retention_micro"),
+        F.when(
+            F.col("_tr") > 0,
+            F.round(
+                F.col("n_retained").cast("double")
+                * F.col("_tn")
+                * 1000
+                / (F.col("n_users").cast("double") * F.col("_tr"))
+            ).cast("long"),
+        ).alias("lift_milli"),
+    )

@@ -357,6 +357,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qd20_pacf": "dense day-spine lag windows (calendar-bounded, qc85 family)",
     "qd22_activation_lag": "value histogram p90 cut + hour-lag histogram quartiles (qa22 family)",
     "qd24_ranking_stability": "source-dimension rankings (sources are a dictionary-sized dimension)",
+    "qd25_early_signal_lift": "first-week activity histogram quartile cuts (qa22 family)",
+    "qd26_abc_analysis": "revenue bucket spine cumulative (range/2^16 buckets, qb43 family)",
 }
 
 
