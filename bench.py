@@ -386,6 +386,8 @@ EXTENDED = [
     "qd24_ranking_stability",
     "qd25_early_signal_lift",
     "qd26_abc_analysis",
+    "qd27_fisher_bh",
+    "qd28_tail_contribution",
 ]
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -22846,3 +22846,166 @@ def qd26(spark, sf):
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     return abc_analysis(li, "l_partkey", "cents", 16, 8000, 9500)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 98: exact-test multiplicity + tail decomposition
+# ---------------------------------------------------------------------------
+
+
+@_q("qd27_fisher_bh", None)
+def qd27(spark, sf):
+    """Benjamini-Hochberg at q = 0.10 over qc61's per-type exact
+    Fisher p-values — the multiple-testing closure on the exact-test
+    family (qb23's BH logic composed over qc61's output verbatim):
+    with one drift test per event type, reporting the BH-adjusted
+    discoveries instead of raw flags is the difference between an
+    alert and alert fatigue.  The p-rank runs over the type dimension
+    (bounded); the BH threshold test p·m <= q·rank is pure int64.
+
+    Output per type: event_type, p_micro, p_rank, m_tests,
+    bh_threshold_micro, rejected."""
+    from pyspark.sql import Window as W
+
+    base = QUERIES["qc61_fisher_exact"](spark, sf).select(
+        "event_type", "p_micro"
+    )
+    wr = W.orderBy(F.col("p_micro"), F.col("event_type"))
+    ranked = base.select(
+        "event_type",
+        "p_micro",
+        F.row_number().over(wr).cast("long").alias("p_rank"),
+    )
+    m = ranked.agg(F.count("*").cast("long").alias("m_tests"))
+    j = ranked.crossJoin(F.broadcast(m)).select(
+        "*",
+        F.round(F.col("p_rank") * 100_000 / F.col("m_tests"))
+        .cast("long")
+        .alias("bh_threshold_micro"),
+    )
+    # BH step-up: reject all ranks <= max rank with p*m <= q*rank
+    passed = j.where(
+        F.col("p_micro") * F.col("m_tests")
+        <= F.lit(100_000) * F.col("p_rank")
+    ).agg(F.max("p_rank").alias("_maxr"))
+    return j.crossJoin(F.broadcast(passed)).select(
+        "event_type",
+        "p_micro",
+        "p_rank",
+        "m_tests",
+        "bh_threshold_micro",
+        F.coalesce(
+            F.col("p_rank") <= F.col("_maxr"), F.lit(False)
+        ).alias("rejected"),
+    )
+
+
+ORACLES["qd27_fisher_bh"] = f"""
+    WITH qc61 AS ({_qc61_oracle()}),
+    base AS (SELECT event_type, p_micro FROM qc61),
+    ranked AS (SELECT event_type, p_micro,
+                      CAST(row_number() OVER (ORDER BY p_micro,
+                             event_type) AS BIGINT) AS p_rank
+               FROM base),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_tests FROM ranked),
+    j AS (SELECT r.*, m.m_tests,
+                 CAST(round(r.p_rank * 100000 / m.m_tests) AS BIGINT)
+                   AS bh_threshold_micro
+          FROM ranked r CROSS JOIN m),
+    passed AS (SELECT max(p_rank) AS maxr FROM j
+               WHERE p_micro * m_tests <= 100000 * p_rank)
+    SELECT j.event_type, j.p_micro, j.p_rank, j.m_tests,
+           j.bh_threshold_micro,
+           coalesce(j.p_rank <= passed.maxr, FALSE) AS rejected
+    FROM j CROSS JOIN passed
+"""
+
+
+@_q(
+    "qd28_tail_contribution",
+    """
+    WITH e AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cut AS (SELECT CAST(min(v) AS BIGINT) AS cut FROM
+            (SELECT v, sum(c) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cm FROM hist)
+            CROSS JOIN nt WHERE cm >= (9900 * n + 9999) // 10000),
+    per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN v > cut.cut THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tail
+            FROM e CROSS JOIN cut GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(n_tail) AS BIGINT) AS tt FROM per)
+    SELECT per.g AS event_type, per.n, per.n_tail,
+           CASE WHEN tot.tt > 0 THEN
+             CAST(round(per.n_tail * 1000000 / tot.tt) AS BIGINT)
+           END AS tail_share_micro,
+           CAST(round(per.n * 1000000 / tot.tn) AS BIGINT)
+             AS volume_share_micro,
+           CASE WHEN tot.tt > 0 AND per.n > 0 THEN
+             CAST(round(CAST(per.n_tail AS DOUBLE) * tot.tn * 1000
+                        / (CAST(per.n AS DOUBLE) * tot.tt)) AS BIGINT)
+           END AS tail_lift_milli
+    FROM per CROSS JOIN tot
+    """,
+)
+def qd28(spark, sf):
+    """Tail-contribution decomposition at the exact global p99 —
+    which event type over-contributes to tail exceedances relative
+    to its volume (tail lift > 1000 = the type to optimize first);
+    histogram cut, integer shares, one mirrored division each."""
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    hist = e.groupBy("_v").agg(F.count("*").cast("long").alias("_c"))
+    nt = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    wv = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = (
+        hist.select("_v", F.sum("_c").over(wv).alias("_cm"))
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("_cm") >= F.expr("(9900 * _n + 9999) div 10000"))
+        .agg(F.min("_v").alias("_cut"))
+    )
+    per = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("_v") > F.col("_cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tail"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("n_tail").cast("long").alias("_tt"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "n_tail",
+        F.when(
+            F.col("_tt") > 0,
+            F.round(F.col("n_tail") * 1_000_000 / F.col("_tt")).cast(
+                "long"
+            ),
+        ).alias("tail_share_micro"),
+        F.round(F.col("n") * 1_000_000 / F.col("_tn"))
+        .cast("long")
+        .alias("volume_share_micro"),
+        F.when(
+            (F.col("_tt") > 0) & (F.col("n") > 0),
+            F.round(
+                F.col("n_tail").cast("double")
+                * F.col("_tn")
+                * 1000
+                / (F.col("n").cast("double") * F.col("_tt"))
+            ).cast("long"),
+        ).alias("tail_lift_milli"),
+    )

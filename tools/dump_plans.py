@@ -359,6 +359,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qd24_ranking_stability": "source-dimension rankings (sources are a dictionary-sized dimension)",
     "qd25_early_signal_lift": "first-week activity histogram quartile cuts (qa22 family)",
     "qd26_abc_analysis": "revenue bucket spine cumulative (range/2^16 buckets, qb43 family)",
+    "qd27_fisher_bh": "p-value rank over the event-type dimension (qc61 family; m tests = dictionary-sized) + qc61's sample windows",
+    "qd28_tail_contribution": "value histogram p99 cut (qa22 family)",
 }
 
 
