@@ -34,361 +34,11 @@ HEADLINE = [
     "q36_connected_components",
 ]
 
-EXTENDED = [
-    "q30_lsh_topk",
-    "q61_simhash_neardup",
-    "q63_repetition",
-    "q64_dedup_clusters",
-    "q65_stratified_sample",
-    "q66_perplexity",
-    "q67_decontaminate",
-    "q68_percentile_trim",
-    # round-3 operators
-    "q77_bpe_pairs",
-    "q78_pagerank",
-    "q79_triangles",
-    "q80_kmv_distinct",
-    "q81_hll_distinct",
-    "q82_bm25_topk",
-    "q83_burst_days",
-    "q84_khop",
-    "q85_weighted_sample",
-    "q86_rrf_hybrid",
-    "q87_session_windows",
-    "q88_tfidf_terms",
-    "q89_grouped_quantiles",
-    "q90_walks",
-    "q91_link_prediction",
-    "q92_closure",
-    "q93_span_merge",
-    "q94_blocked_linkage",
-    "q95_label_prop",
-    "q96_kcore",
-    "q97_hits",
-    "q98_temperature_mix",
-    # round-3 continuation operators
-    "q99_pii_redact",
-    "qa01_resnik_lin",
-    "qa02_kmeans",
-    "qa03_cms_heavy",
-    "qa04_bloom_decontam",
-    "qa05_ewma_bursts",
-    "qa06_sssp",
-    "qa07_token_entropy",
-    "qa08_ks_drift",
-    "qa09_gini",
-    "qa10_url_canon",
-    "qa11_nfc_scrub",
-    "qa12_lang_kappa",
-    "qa13_role_transitions",
-    "qa14_dialogue_shape",
-    "qa15_context_assembly",
-    "qa16_interval_join",
-    "qa17_scd2_history",
-    "qa18_mention_evidence",
-    "qa19_negative_samples",
-    "qa20_oov_rate",
-    "qa21_source_leakage",
-    "qa22_mann_whitney",
-    "qa23_turn_echo",
-    "qa24_curriculum",
-    # round-3 third-session operators
-    "qa25_nb_classifier",
-    "qa26_dsir_weights",
-    "qa27_fuzzy_names",
-    "qa28_ann_recall",
-    "qa29_kl_divergence",
-    "qa30_zipf_slope",
-    "qa31_assortativity",
-    "qa32_centroid_drift",
-    "qa33_pr_sweep",
-    "qa34_decayed_edges",
-    "qa35_ontology_coverage",
-    "qa36_vocabulary_gaps",
-    "qa37_lsh_pair_metrics",
-    "qa38_wilson_defects",
-    "qa39_split_balance",
-    "qa40_cluster_profile",
-    "qa41_cdc_upsert",
-    "qa42_prefix_jaccard",
-    "qa43_zorder_layout",
-    "qa44_template_docs",
-    "qa45_source_containment",
-    # round-3 fifth-wave operators
-    "qa46_hard_negatives",
-    "qa47_cusum_shifts",
-    "qa48_mad_outliers",
-    "qa49_community_quality",
-    "qa50_int8_quant",
-    "qa51_equidepth_bins",
-    "qa52_incremental_lsh",
-    "qa53_bpe_merges",
-    # round-3 sixth/seventh-wave operators
-    "qa54_cusum_online",
-    "qa57_locf_gapfill",
-    "qa58_funnel_steps",
-    "qa59_cohort_retention",
-    "qa60_spearman_rankcorr",
-    "qa63_zonemap_pruning",
-    "qa64_seasonality",
-    "qa65_roc_auc",
-    "qa67_kaplan_meier",
-    "qa69_benford",
-    "qa70_acf",
-    "qa72_context_truncation",
-    "qa73_silhouette",
-    "qa75_response_latency",
-    "qa76_llr_edges",
-    "qa77_mmr_rerank",
-    "qa80_cluster_agreement",
-    "qa82_calibration",
-    "qa84_behavior_fingerprint",
-    "qa85_novelty_curve",
-    "qa86_multiclass_f1",
-    "qa87_cuped",
-    "qa88_bootstrap_ci",
-    "qa89_ndcg",
-    "qa90_bradley_terry",
-    "qa91_ips_policy_eval",
-    "qa92_log_bleu",
-    "qa93_krippendorff_alpha",
-    "qa94_pq_codebook",
-    "qa95_sprt_monitor",
-    "qa96_readability",
-    "qa97_rbo",
-    "qa98_kmv_set_ops",
-    "qa99_randomization_test",
-    "qb00_its_slope_change",
-    "qb01_hill_tail_index",
-    "qb02_heaps_law",
-    "qb03_peak_concurrency",
-    "qb04_decile_lift",
-    "qb05_markov_stationary",
-    "qb06_mixture_allocation",
-    "qb07_ql_dirichlet",
-    "qb08_jackknife_ratio",
-    "qb09_pareto_sources",
-    "qb10_diff_in_diff",
-    "qb11_capture_recapture",
-    "qb12_markov_entropy_rate",
-    "qb13_two_proportion_ztest",
-    # round-4 operators
-    "qb14_mcnemar",
-    "qb15_cochran_armitage",
-    "qb16_predicate_cardinality",
-    "qb17_link_margins",
-    "qb18_conformal_coverage",
-    "qb19_mcc",
-    "qb20_holm_fwer",
-    "qb21_jsd_drift",
-    "qb22_power_analysis",
-    "qb23_bh_fdr",
-    "qb24_shrunk_rates",
-    "qb25_changepoint",
-    "qb26_gumbel_extremes",
-    "qb27_entity_turnover",
-    "qb28_item_cooccurrence",
-    "qb29_aba_motifs",
-    "qb30_interarrival_burstiness",
-    "qb31_stratified_ate",
-    "qb32_lorenz_curve",
-    "qb33_keyword_logodds",
-    "qb34_marginal_coverage",
-    "qb35_tokenizer_fertility",
-    "qb36_dedup_composition",
-    "qb37_del1_neardup",
-    "qb38_padding_waste",
-    "qb39_ohlc_bars",
-    "qb40_last_touch",
-    "qb41_pivot_counts",
-    "qb42_linear_attribution",
-    "qb43_rfm_segments",
-    "qb44_referential_integrity",
-    "qb45_profile_columns",
-    "qb46_rolling_hll",
-    "qb47_assoc_rules",
-    "qb48_quantile_sketch",
-    "qb49_assortativity",
-    "qb50_greedy_cover",
-    "qb51_char_entropy",
-    "qb52_disorder_audit",
-    "qb53_decayed_counts",
-    "qb54_srm_check",
-    "qb55_hour_dow_profile",
-    "qb56_sequence_regex",
-    "qb57_time_to_conversion",
-    "qb58_feature_hash_audit",
-    "qb59_rake_keywords",
-    "qb60_embedding_drift",
-    "qb61_mutual_best",
-    "qb62_ltv_curve",
-    "qb63_anomalous_days",
-    "qb64_bloom_fpr",
-    "qb65_pii_audit",
-    "qb66_grouping_sets",
-    "qb67_theil_sen",
-    "qb68_hour_allocation",
-    "qb69_psi_drift",
-    "qb70_fairness_audit",
-    "qb71_t_closeness",
-    "qb72_seasonal_backtest",
-    "qb73_expectations",
-    "qb74_raking",
-    "qb75_average_precision",
-    "qb76_shapley_attribution",
-    "qb77_time_decay_attribution",
-    "qb78_stickiness",
-    "qb79_quantile_normalization",
-    "qb80_lead_lag",
-    "qb81_growth_accounting",
-    "qb82_covariate_balance",
-    "qb83_rich_club",
-    "qb84_concentration",
-    "qb85_nelson_aalen",
-    "qb86_simpsons_check",
-    "qb87_mann_kendall",
-    "qb88_evalue",
-    "qb89_kish_ess",
-    "qb90_mantel_haenszel",
-    "qb91_logrank",
-    "qb92_cramers_v",
-    "qb93_kendall_tau",
-    "qb94_word_burstiness",
-    "qb95_absorption",
-    "qb96_wasserstein",
-    "qb97_ljung_box",
-    "qb98_runs_test",
-    "qb99_odds_ratio",
-    "qc00_daily_value_bands",
-    "qc01_err_cascade",
-    "qc02_mrr",
-    "qc03_good_turing",
-    "qc04_kruskal_wallis",
-    "qc05_friedman",
-    "qc06_cliffs_delta",
-    "qc07_markov_removal",
-    "qc08_qini_curve",
-    "qc09_position_attribution",
-    "qc10_lexical_concentration",
-    "qc11_mattr",
-    "qc12_rmst",
-    "qc13_brier_decomposition",
-    "qc14_gwet_ac1",
-    "qc15_jonckheere",
-    "qc16_cochran_q",
-    "qc17_personalized_pagerank",
-    "qc18_percolation",
-    "qc19_fixed_effect_meta",
-    "qc20_intra_list_diversity",
-    "qc21_delong_auc",
-    "qc22_page_trend",
-    "qc23_hosmer_lemeshow",
-    "qc24_cohens_d",
-    "qc25_tost_equivalence",
-    "qc26_linear_cka",
-    "qc27_brown_forsythe",
-    "qc28_robust_means",
-    "qc29_activity_streaks",
-    "qc30_max_drawdown",
-    "qc31_hellinger_tv",
-    "qc32_dunn_posthoc",
-    "qc33_partial_correlation",
-    "qc34_shift_share",
-    "qc35_quintile_migration",
-    "qc36_chi2_residuals",
-    "qc37_cramer_von_mises",
-    "qc38_knn_consistency",
-    "qc39_theil_decomposition",
-    "qc40_record_rate",
-    "qc41_median_ci",
-    "qc42_rec_coverage",
-    "qc43_calibration_slope",
-    "qc44_label_nmi",
-    "qc45_wald_iv",
-    "qc46_anderson_darling",
-    "qc47_seasonal_indices",
-    "qc48_concordance_index",
-    "qc49_ordinal_association",
-    "qc50_durbin_watson",
-    "qc51_spiegelhalter_z",
-    "qc52_heavy_hitters",
-    "qc53_stuart_maxwell",
-    "qc54_greenwood_ci",
-    "qc55_harmonic_centrality",
-    "qc56_quantile_treatment_effects",
-    "qc57_weibull_fit",
-    "qc58_cronbach_alpha",
-    "qc59_kupiec_pof",
-    "qc60_littles_law",
-    "qc61_fisher_exact",
-    "qc62_kneser_ney",
-    "qc63_woe_iv",
-    "qc64_regression_discontinuity",
-    "qc65_periodogram",
-    "qc66_pca_power",
-    "qc67_l_diversity",
-    "qc68_chow_test",
-    "qc69_cooks_distance",
-    "qc70_fd_audit",
-    "qc71_uncertainty_coeff",
-    "qc72_phonetic_blocking",
-    "qc73_aalen_johansen",
-    "qc74_negbin_fit",
-    "qc75_qq_regression",
-    "qc76_woolf_homogeneity",
-    "qc77_gopher_filter",
-    "qc78_isotonic_calibration",
-    "qc79_gpd_tail",
-    "qc80_lsh_planner",
-    "qc81_dedup_savings",
-    "qc82_expected_shortfall",
-    "qc83_rbp",
-    "qc84_burrows_delta",
-    "qc85_newey_west",
-    "qc86_semi_markov",
-    "qc87_pass_at_k",
-    "qc88_isotropy_audit",
-    "qc89_fisher_dims",
-    "qc90_erlang_blocking",
-    "qc91_bland_altman",
-    "qc92_slo_burn_rate",
-    "qc93_haar_energy",
-    "qc94_delta_ratio_ci",
-    "qc95_positivity_overlap",
-    "qc96_mahalanobis_outliers",
-    "qc97_gk_lambda",
-    "qc98_mmd_quadratic",
-    "qc99_obf_looks",
-    "qd00_energy_distance",
-    "qd01_session_gap_sweep",
-    "qd02_dedup_threshold_sweep",
-    "qd03_charclass_profile",
-    "qd04_apriori_triples",
-    "qd05_user_slopes",
-    "qd06_hubness_audit",
-    "qd07_behavior_surprise",
-    "qd08_user_mix_divergence",
-    "qd09_groupkey_skew",
-    "qd10_order_reconciliation",
-    "qd11_retrieval_confidence",
-    "qd12_atkinson_index",
-    "qd13_bloom_planner",
-    "qd14_conformal_curve",
-    "qd15_nested_quantiles",
-    "qd16_markup_density",
-    "qd17_triangle_closure",
-    "qd18_g_test",
-    "qd19_quadratic_diurnal",
-    "qd20_pacf",
-    "qd21_feature_cousage",
-    "qd22_activation_lag",
-    "qd23_circular_peak",
-    "qd24_ranking_stability",
-    "qd25_early_signal_lift",
-    "qd26_abc_analysis",
-    "qd27_fisher_bh",
-    "qd28_tail_contribution",
-]
+# EXTENDED is derived from the contract at runtime (VERDICT r4 item 2:
+# every non-headline contract query gets a recorded timing — a
+# hand-curated list silently drops newly-added queries from the record).
+def extended_names(queries: dict) -> list[str]:
+    return sorted(n for n in queries if n not in HEADLINE)
 
 KG_N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
 
@@ -446,6 +96,7 @@ def main() -> int:
     # Extended queries warm too — same methodology as the headline set.
     warm_dir = "/root/testdata/sf0.001"
     t_phase = time.time()
+    EXTENDED = extended_names(QUERIES)
     if os.path.isdir(warm_dir):
         for name in HEADLINE + EXTENDED:
             QUERIES[name](spark, warm_dir).write.format("noop").mode(

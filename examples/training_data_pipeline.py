@@ -29,7 +29,14 @@ would chain them at 100 TB:
      leaves the pipeline;
  10. eval-budget design: Neyman-optimal allocation of a fixed eval
      budget across sources (size x spread), computed on the valid
-     split.
+     split;
+ 13. audit-job handoff: the experimentation/attribution audit
+     (jobs/experiment_audit.py) and the survival/retention audit
+     (jobs/retention_audit.py) run as closing subprocesses over the
+     same sf_dir — with this, every one of the six spark-submit audit
+     jobs has an example-proven invocation (the other four are
+     exercised by jobs/run_pipeline.py + the curation/ops/eval/kg
+     stages above).  Skip with OMX_SKIP_AUDIT_JOBS=1.
 
 Every operator used here is individually DuckDB-oracled (q25/q26/q64/q63/
 q59/q66/q67/q68/q62/qa25/qa26/qa65/qa62/qa71); this example shows the
@@ -257,6 +264,33 @@ def main() -> int:
     conc = concentration_panel(final, "lang", "source")
     max_hhi = conc.agg(F.max("hhi_micro").alias("m")).collect()[0]["m"]
 
+    # 13. closing audit jobs — each is its own spark-submit entry with
+    # its own SparkSession, so run them as subprocesses exactly the way
+    # a cluster scheduler would chain them after the curation job.
+    audit_summaries: dict[str, dict] = {}
+    if os.environ.get("OMX_SKIP_AUDIT_JOBS") != "1":
+        import json as _json
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for job in ("experiment_audit", "retention_audit"):
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(repo, "jobs", f"{job}.py"),
+                    "--sf-dir",
+                    sf_dir,
+                    "--out",
+                    os.path.join(out_dir + "_audits", job),
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            audit_summaries[job] = _json.loads(
+                proc.stdout.strip().splitlines()[-1]
+            )
+
     worst_leak = max(leakage.values()) if leakage else 0
     worst_acc = min(nb_acc.values()) if nb_acc else 1.0
     print(
@@ -273,6 +307,11 @@ def main() -> int:
         f"contract fails {n_contract_fails}, release-vs-raw PSI level "
         f"{psi_level}, max lang HHI {max_hhi}; wrote {out_dir}"
     )
+    for job, s in audit_summaries.items():
+        print(
+            f"audit job {job}: {len(s.get('tables', {}))} report tables "
+            f"written to {s.get('out', '?')}"
+        )
     return 0
 
 

@@ -108,6 +108,7 @@ def main() -> int:
         "cif_engaged_final_nano": aj_last["cif1_nano"],
         "cif_bounce_final_nano": aj_last["cif2_nano"],
         "day1_retention_micro_first_cohort": day1["retention_micro"],
+        "out": args.out,
     }
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "summary.json"), "w") as fh:

@@ -1186,6 +1186,14 @@ def lsh_collision_grid(
 
     Output per cell: s_decile, b, r, p_micro.
     """
+    supported = {(32, 4), (16, 8), (8, 16)}
+    bad = [c for c in configs if tuple(int(v) for v in c) not in supported]
+    if bad:
+        raise ValueError(
+            "lsh_collision_grid supports only (b, r) in "
+            f"{sorted(supported)} (the square-chain exponents are "
+            f"hardcoded per branch); got unsupported: {bad}"
+        )
     rows = [
         (int(s), int(b), int(r)) for s in s_deciles for (b, r) in configs
     ]

@@ -30,8 +30,18 @@ def parquet_cutter(
     spark: SparkSession, prefix: str = "omx-cut-"
 ) -> Callable[[DataFrame], DataFrame]:
     """Returns cut(df) -> df': writes df to a fresh parquet dir under
-    the session checkpoint dir (or a mkdtemp) and reads it back."""
-    base = spark.sparkContext.getCheckpointDir() or tempfile.mkdtemp(prefix=prefix)
+    the session checkpoint dir (or a mkdtemp) and reads it back.
+
+    Local-mode default prefers tmpfs (/dev/shm) — the cut files are
+    small but latency-critical per round, and measured variance tracked
+    disk state (VERDICT r4 item 3); OMX_CC_CUT_DIR overrides for A/B,
+    and a configured checkpoint dir (DFS on a cluster) always wins."""
+    _base = os.environ.get("OMX_CC_CUT_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    base = spark.sparkContext.getCheckpointDir() or tempfile.mkdtemp(
+        prefix=prefix, dir=_base
+    )
     seq = [0]
 
     def cut(df: DataFrame) -> DataFrame:

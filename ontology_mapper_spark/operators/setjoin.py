@@ -52,8 +52,8 @@ def prefix_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
-    hot_df_threshold: int = 256,
-    hot_salt: int = 16,
+    hot_df_threshold: int = 64,
+    hot_salt: int = 32,
 ) -> DataFrame:
     """All pairs with token-set Jaccard >= threshold — exact, no sampling.
 
@@ -127,7 +127,13 @@ def prefix_jaccard_pairs(
     #   token's k² production across S partitions — the skewjoin.py
     #   hot/cold discipline.  Replication cost is S·|hot prefix rows|,
     #   bounded by the pair output those rows generate (k > threshold
-    #   ⇒ k²/2 ≫ k·S); cold tokens never pay it.
+    #   ⇒ k²/2 ≫ k·S); cold tokens never pay it.  Defaults (64, 32)
+    #   keep the clean invariant k >= 2S (production >= replication for
+    #   every hot token) and sit on the measured plateau: the round-5
+    #   sweep at sf0.1/local[32] (BENCH/QUIET.md) found 9.2-11.9 s for
+    #   (thr, salt) in {(32,32),(64,32),(64,16),(32,64)} vs 14.5-17.9 s
+    #   at the old (256, 16) — the gain is real parallelism in the
+    #   hot-token candidate production, not filter selectivity.
     P = df.sparkSession.sparkContext.defaultParallelism
     hot_tokens = F.broadcast(
         doc_freq.where(F.col("_df") > int(hot_df_threshold)).select("_w")
@@ -147,6 +153,22 @@ def prefix_jaccard_pairs(
     hot_cand = a_hot.repartition(P, "_w", "_salt").join(
         b_hot.repartition(P, "_w", "_salt"), ["_w", "_salt"]
     )
+    # Minimum overlap for J >= t at sizes (n_a, n_b):
+    # α = ceil(t(n_a+n_b)/(1+t)), integer form.
+    alpha = F.expr(
+        f"({t_micro} * (n_a + n_b) + {1_000_000 + t_micro - 1})"
+        f" div {1_000_000 + t_micro}"
+    )
+    # Per-ROW positional prefilter (sound BEFORE the pair dedup): within
+    # one doc, prefix position is monotone in the global (df, token)
+    # order, so the smallest shared token w* attains min(_ia) AND
+    # min(_ib) simultaneously — every other candidate row of the same
+    # pair has BOTH positions >= w*'s, hence a bound <= the pair bound.
+    # Dropping rows whose own bound misses α can therefore never drop
+    # w* of a surviving pair (w*'s bound IS the pair bound), and if the
+    # pair bound misses α every row's does — the pair dies correctly.
+    # This prunes the 78M-row join output stream BEFORE it pays the
+    # dedup shuffle, where the post-agg filter alone pruned after.
     cand = (
         cold_cand.select("id_a", "id_b", "n_a", "n_b", "_ia", "_ib")
         .unionByName(hot_cand.select("id_a", "id_b", "n_a", "n_b", "_ia", "_ib"))
@@ -154,6 +176,11 @@ def prefix_jaccard_pairs(
         # size filter: t*n_a <= n_b and t*n_b <= n_a (integer compare)
         .where(F.col("n_b") * 1_000_000 >= F.col("n_a") * t_micro)
         .where(F.col("n_a") * 1_000_000 >= F.col("n_b") * t_micro)
+        .where(
+            F.least(F.col("n_a") - F.col("_ia"), F.col("n_b") - F.col("_ib"))
+            + 1
+            >= alpha
+        )
     )
     # Two measured fixes at sf0.1 (78M raw candidates on this
     # template-heavy corpus):
@@ -190,10 +217,6 @@ def prefix_jaccard_pairs(
         )
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.min("_ia").alias("_ia"), F.min("_ib").alias("_ib"))
-    )
-    alpha = F.expr(
-        f"({t_micro} * (n_a + n_b) + {1_000_000 + t_micro - 1})"
-        f" div {1_000_000 + t_micro}"
     )
     cand = cand.where(
         F.least(F.col("n_a") - F.col("_ia"), F.col("n_b") - F.col("_ib")) + 1

@@ -6349,7 +6349,7 @@ def chow_test(
         F.count("*").cast("long").alias("_n"),
         F.sum("_t").cast("long").alias("_st"),
         F.sum(dec(F.col("_y"))).alias("_sy"),
-        F.sum(F.col("_t") * F.col("_y")).cast("decimal(38,0)").alias("_sty"),
+        F.sum(dec(F.col("_t")) * dec(F.col("_y"))).alias("_sty"),
         F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_stt"),
         F.sum(dec(F.col("_y")) * dec(F.col("_y"))).alias("_syy"),
         F.max("_split").alias("_split"),
@@ -6470,7 +6470,7 @@ def cooks_distance_topk(
         F.count("*").cast("long").alias("_n"),
         F.sum("_x").cast("long").alias("_sx"),
         F.sum(dec(F.col("_y"))).alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_y"))).alias("_sxy"),
         F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
         F.sum(dec(F.col("_y")) * dec(F.col("_y"))).alias("_syy"),
     )
@@ -6893,9 +6893,11 @@ def woolf_homogeneity(
     Haldane continuity via DOUBLED integers (2c+1, the qb99 idiom)
     keeps every lnOR a difference of ln_micro of INTEGERS; the weight
     1/(1/a+…+1/d) is ONE mirrored double chain micro-rounded per
-    STRATUM (qa91 per-cell rule), after which all cross-stratum sums
-    are pure int64 (w·t products ≤ 1e13); the two quotient terms
-    round once each at the end.
+    STRATUM (qa91 per-cell rule); the per-stratum w·t product runs
+    through decimal(38,0) (w ~ min_cell·1e6/8, so million-row strata
+    with |lnOR| near 1e6 micro reach ~1e17–1e18 — past comfortable
+    int64 headroom) before the cross-stratum sums collapse back to
+    int64; the two quotient terms round once each at the end.
 
     Output (single row): n_strata, lnor_pooled_micro, q_milli, df.
     """
@@ -6948,7 +6950,13 @@ def woolf_homogeneity(
         "_s",
         "_t",
         "_w",
-        (F.col("_w") * F.col("_t")).alias("_wt"),
+        # decimal38 per-element product: w scales with the smallest 2x2
+        # cell (~min_cell*1e6/8), so million-row strata with |lnOR| near
+        # 1e6 micro push w*t toward 1e17-1e18 — int64 headroom erodes.
+        (
+            F.col("_w").cast("decimal(38,0)")
+            * F.col("_t").cast("decimal(38,0)")
+        ).alias("_wt"),
         F.round(
             F.col("_w").cast("double") * F.col("_t") * F.col("_t")
             / 1_000_000_000_000
@@ -6959,7 +6967,7 @@ def woolf_homogeneity(
     agg = per.agg(
         F.count("*").cast("long").alias("n_strata"),
         F.sum("_w").cast("long").alias("_sw"),
-        F.sum("_wt").cast("long").alias("_swt"),
+        F.sum("_wt").alias("_swt"),
         F.sum("_q1").cast("long").alias("_sq"),
     )
     q2 = F.round(

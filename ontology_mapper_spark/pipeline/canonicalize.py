@@ -147,10 +147,20 @@ def connected_components(
     # checkpoint generations across iterations. A fresh parquet scan has
     # brand-new attributes every round, so nothing can go stale. On a
     # cluster, point the checkpoint dir at DFS — same code path.
+    import os as _os
     import tempfile
 
+    # Local-mode default: put the cut files on tmpfs (/dev/shm) when
+    # present — the cuts are small (labels + edges) but latency-critical
+    # (3 per iteration), and measured e2e variance tracked disk state
+    # (12-32s band across passes, VERDICT r4 item 3). A configured
+    # checkpoint dir (DFS on a real cluster) always wins; OMX_CC_CUT_DIR
+    # overrides for A/B.
+    _base = _os.environ.get("OMX_CC_CUT_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    )
     ckpt_dir = spark.sparkContext.getCheckpointDir() or tempfile.mkdtemp(
-        prefix="omx-cc-ckpt-"
+        prefix="omx-cc-ckpt-", dir=_base
     )
     cut_seq = [0]
 

@@ -116,6 +116,13 @@ def test_lsh_grid_monotone_in_s(spark):
     assert by_cfg[(32, 4)][3] > by_cfg[(8, 16)][3]
 
 
+def test_lsh_collision_grid_rejects_unsupported_config(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        lsh_collision_grid(spark, configs=((64, 2),))
+
+
 def test_rbp_all_relevant_complements_residual(spark):
     rows = [(1, k, 1) for k in range(1, 11)]
     df = spark.createDataFrame(rows, "q long, rank long, rel long")
