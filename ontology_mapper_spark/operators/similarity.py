@@ -663,11 +663,25 @@ def ivf_hard_negatives(
     # ran on one task (jstack: ArrayAggregate inside HashJoin
     # boundCondition).  Repartitioning the streamed side BEFORE the join
     # spreads the join stage itself; a post-join repartition is too late.
-    assigned = assigned.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
+    # The candidate join keys on list_id — n_centroids DISTINCT VALUES
+    # (16 here), i.e. every key is hot by construction.  Left to AQE the
+    # physical choice is bimodal (measured 2.4 s vs 11 s alternating at
+    # sf0.1: broadcast keeps the streamed side's parallelism, a shuffle
+    # join collapses to <=16 skewed tasks with the pushed-down cosine
+    # inside).  Salting pins it: the big (assigned) side takes a
+    # deterministic per-row salt, the probe side replicates S ways, and
+    # the join runs on (list_id, salt) at 16*S-way parallelism at ANY
+    # scale — the skewjoin.py hot-key discipline, output set-identical.
+    S = corpus.sparkSession.sparkContext.defaultParallelism
+    assigned = assigned.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(S)).cast("int")
+    ).repartition(S, "list_id", "_salt")
+    probes = probes.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(S - 1)).cast("array<int>")),
     )
     joined = (
-        assigned.join(probes, "list_id")
+        assigned.join(probes, ["list_id", "_salt"])
         .where(
             (F.col(label_col) != F.col("query_label"))
             & (F.col(id_col) != F.col("query_id"))
