@@ -23009,3 +23009,344 @@ def qd28(spark, sf):
             ).cast("long"),
         ).alias("tail_lift_milli"),
     )
+
+
+@_q(
+    "qd29_icc_agreement",
+    """
+    WITH rt AS (SELECT 1 AS r UNION ALL SELECT 2 UNION ALL SELECT 3),
+    p AS (SELECT d.doc_id AS i, rt.r AS j,
+                 CAST(d.n_chars % 100
+                      + (CAST('0x' || substr(md5('icc:'
+                             || CAST(d.doc_id AS VARCHAR) || ':'
+                             || CAST(rt.r AS VARCHAR)), 1, 8) AS BIGINT)
+                         % 21) - 10 AS BIGINT) AS x
+          FROM documents d CROSS JOIN rt),
+    si AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM p GROUP BY 1),
+    sj AS (SELECT j, CAST(sum(x) AS BIGINT) AS s FROM p GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(x) AS BIGINT) AS s,
+                   CAST(sum(x * x) AS BIGINT) AS ss FROM p),
+    ai AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(s * s) AS BIGINT) AS ssi FROM si),
+    bj AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(s * s) AS BIGINT) AS ssj FROM sj),
+    c AS (SELECT n, k, t,
+                 CAST(t * ss - s * s AS BIGINT) AS sstt,
+                 CAST(n * ssi - s * s AS BIGINT) AS ssrt,
+                 CAST(k * ssj - s * s AS BIGINT) AS ssct
+          FROM tot CROSS JOIN ai CROSS JOIN bj),
+    m AS (SELECT n, k,
+                 CAST(ssrt AS DOUBLE)
+                   / (CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS msr,
+                 CAST(ssct AS DOUBLE)
+                   / (CAST(t AS DOUBLE) * (CAST(k AS DOUBLE) - 1)) AS msc,
+                 (CAST(sstt AS DOUBLE) - CAST(ssrt AS DOUBLE)
+                    - CAST(ssct AS DOUBLE))
+                   / (CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                      * (CAST(k AS DOUBLE) - 1)) AS mse,
+                 (CAST(sstt AS DOUBLE) - CAST(ssrt AS DOUBLE))
+                   / (CAST(t AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(k AS DOUBLE) - 1)) AS msw
+          FROM c)
+    SELECT n AS n_subjects, k AS k_raters,
+           CAST(round((msr - msw) / (msr + (CAST(k AS DOUBLE) - 1) * msw)
+                      * 1000) AS BIGINT) AS icc1_milli,
+           CAST(round((msr - mse)
+                      / (msr + (CAST(k AS DOUBLE) - 1) * mse
+                         + CAST(k AS DOUBLE) * (msc - mse)
+                           / CAST(n AS DOUBLE)) * 1000) AS BIGINT)
+             AS icc21_milli,
+           CAST(round(msr * 1000) AS BIGINT) AS msr_milli,
+           CAST(round(msc * 1000) AS BIGINT) AS msc_milli,
+           CAST(round(mse * 1000) AS BIGINT) AS mse_milli
+    FROM m
+    """,
+)
+def qd29(spark, sf):
+    """ICC(1,1) + ICC(2,1) over a synthesized 3-rater numeric panel
+    (operators/stats.py:icc_agreement, Shrout & Fleiss 1979) — the
+    continuous-score agreement gate next to the kappa family.  Raters
+    are md5-noised transforms of n_chars (the qa61 panel idiom), so
+    both engines build the identical panel; all sums of squares are
+    exact integer identities (decimal38 power sums on the Spark side),
+    doubles enter only at the four mean squares in a mirrored order."""
+    from .operators.stats import icc_agreement
+
+    d = _t(spark, sf, "documents")
+    panel = d.select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("r"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("icc"),
+                    F.col("doc_id").cast("string"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = panel.select(
+        F.col("doc_id").alias("i"),
+        F.col("r").alias("j"),
+        (F.col("n_chars") % 100 + (h % 21) - 10).cast("long").alias("x"),
+    )
+    return icc_agreement(scored, "i", "j", "x")
+
+
+@_q(
+    "qd30_watermark_lateness",
+    """
+    WITH b AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id AS o
+               FROM events),
+    l AS (SELECT greatest(coalesce(
+                   max(us) OVER (PARTITION BY k ORDER BY o
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - us, 0), 0) // 1000000 AS late
+          FROM b),
+    g AS (SELECT CAST(delay_s AS BIGINT) AS delay_s
+          FROM (VALUES (0), (10), (30), (60), (300), (900), (3600))
+               AS v(delay_s)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(late) AS BIGINT) AS mx FROM l),
+    per AS (SELECT g.delay_s,
+                   CAST(sum(CASE WHEN l.late > g.delay_s THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late
+            FROM l CROSS JOIN g GROUP BY 1)
+    SELECT per.delay_s, tot.n AS n_rows, per.n_late,
+           CAST(round(per.n_late * 1000000 / tot.n) AS BIGINT)
+             AS late_share_micro,
+           tot.mx AS max_lateness_s
+    FROM per CROSS JOIN tot
+    """,
+)
+def qd30(spark, sf):
+    """Watermark-delay design audit (operators/temporal.py:
+    watermark_lateness): per-key event-time disorder with event_id as
+    the arrival order — for each candidate `withWatermark` delay in a
+    fixed injected grid, the exact fraction of rows a streaming job
+    would drop as late.  The running max is partitioned by key (never
+    a global window); one scan serves the whole delay grid."""
+    from .operators.temporal import watermark_lateness
+
+    e = _t(spark, sf, "events")
+    return watermark_lateness(e, "user_id", "ts", "event_id")
+
+
+def _qd31_oracle() -> str:
+    def funnel(tag: str, pred: str) -> str:
+        return f"""
+    b{tag} AS (SELECT user_id AS u, event_type AS t, ts FROM events
+               WHERE {pred}),
+    r1{tag} AS (SELECT u, min(ts) AS t1 FROM b{tag} WHERE t = 'view'
+                GROUP BY u),
+    r2{tag} AS (SELECT b.u, min(b.ts) AS t2 FROM b{tag} b
+                JOIN r1{tag} r ON r.u = b.u
+                WHERE b.t = 'click' AND b.ts > r.t1 GROUP BY b.u),
+    r3{tag} AS (SELECT b.u, min(b.ts) AS t3 FROM b{tag} b
+                JOIN r2{tag} r ON r.u = b.u
+                WHERE b.t = 'purchase' AND b.ts > r.t2 GROUP BY b.u),
+    s{tag} AS (SELECT 1 AS stage, 'view' AS step_name,
+                      CAST(count(*) AS BIGINT) AS reach FROM r1{tag}
+      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM r2{tag}
+      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM r3{tag}),
+    s{tag}2 AS (SELECT * FROM s{tag} WHERE reach > 0),
+    n{tag} AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM b{tag})"""
+
+    return f"""
+    WITH {funnel('a', 'user_id % 2 = 0')[5:]},
+    {funnel('b', 'user_id % 2 <> 0')[5:]},
+    j AS (SELECT coalesce(sa2.stage, sb2.stage) AS stage,
+                 coalesce(sa2.step_name, sb2.step_name) AS step_name,
+                 CAST(coalesce(sa2.reach, 0) AS BIGINT) AS reach_a,
+                 CAST(coalesce(sb2.reach, 0) AS BIGINT) AS reach_b
+          FROM sa2 FULL OUTER JOIN sb2
+            ON sa2.stage = sb2.stage AND sa2.step_name = sb2.step_name),
+    z AS (SELECT j.stage, j.step_name, na.n AS n_seg_a, j.reach_a,
+                 nb.n AS n_seg_b, j.reach_b,
+                 j.reach_a * nb.n - j.reach_b * na.n AS num,
+                 j.reach_a + j.reach_b AS stot,
+                 na.n + nb.n AS ntot
+          FROM j CROSS JOIN na CROSS JOIN nb),
+    zz AS (SELECT stage, step_name, n_seg_a, reach_a, n_seg_b, reach_b,
+                  CASE WHEN n_seg_a > 0
+                       THEN CAST(round(reach_a * 1000000 / n_seg_a)
+                                 AS BIGINT) END AS rate_a_micro,
+                  CASE WHEN n_seg_b > 0
+                       THEN CAST(round(reach_b * 1000000 / n_seg_b)
+                                 AS BIGINT) END AS rate_b_micro,
+                  CASE WHEN n_seg_a > 0 AND n_seg_b > 0 AND stot > 0
+                        AND stot < ntot
+                       THEN CAST(round(
+                              sign(CAST(num AS DOUBLE))
+                              * sqrt(CAST(num AS DOUBLE) * num * ntot
+                                     / (CAST(n_seg_a * n_seg_b AS DOUBLE)
+                                        * stot * (ntot - stot)))
+                              * 1000) AS BIGINT) END AS z_milli
+           FROM z)
+    SELECT CAST(stage AS BIGINT) AS stage, step_name, n_seg_a,
+           reach_a, n_seg_b, reach_b, rate_a_micro, rate_b_micro,
+           z_milli,
+           CASE WHEN z_milli IS NOT NULL
+                THEN abs(z_milli) * 1000 > 1959964 END AS significant
+    FROM zz
+    """
+
+
+ORACLES["qd31_funnel_ztest"] = _qd31_oracle()
+
+
+def qd31(spark, sf):
+    """Per-stage funnel reach z-tests between even/odd user segments
+    (operators/temporal.py:funnel_segment_ztest) — qa58's chained
+    first-qualifying-event funnel run per segment, then the qb13
+    pooled two-proportion rule per stage: did the variant move view,
+    click, AND purchase, or only the top of the funnel?"""
+    from .operators.temporal import funnel_segment_ztest
+
+    e = _t(spark, sf, "events")
+    return funnel_segment_ztest(
+        e, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )
+
+
+QUERIES["qd31_funnel_ztest"] = qd31
+
+
+@_q(
+    "qd32_groupfold_audit",
+    """
+    WITH b AS (SELECT user_id AS g, event_type AS s,
+                      CAST('0x' || substr(md5('fold|'
+                             || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 5 AS fold
+               FROM events),
+    splitg AS (SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_split_groups
+               FROM (SELECT g, count(DISTINCT fold) AS nf FROM b
+                     GROUP BY 1)),
+    cells AS (SELECT fold, s, CAST(count(*) AS BIGINT) AS c FROM b
+              GROUP BY 1, 2),
+    ft AS (SELECT fold, CAST(sum(c) AS BIGINT) AS n_rows FROM cells
+           GROUP BY 1),
+    st AS (SELECT s, CAST(sum(c) AS BIGINT) AS sc FROM cells GROUP BY 1),
+    gr AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM ft),
+    dev AS (SELECT c.fold,
+                   CAST(max(abs(round(c.c * 1000 / f.n_rows)
+                                - round(s2.sc * 1000 / gr.n)))
+                        AS BIGINT) AS max_strat_dev_milli
+            FROM cells c JOIN ft f USING (fold)
+            JOIN st s2 ON s2.s = c.s CROSS JOIN gr GROUP BY 1),
+    grp AS (SELECT fold, CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+            FROM b GROUP BY 1)
+    SELECT CAST(ft.fold AS BIGINT) AS fold, ft.n_rows, grp.n_groups,
+           CAST(round(ft.n_rows * 1000000 / gr.n) AS BIGINT)
+             AS row_share_micro,
+           dev.max_strat_dev_milli, splitg.n_split_groups
+    FROM ft JOIN grp USING (fold) JOIN dev USING (fold)
+    CROSS JOIN gr CROSS JOIN splitg
+    """,
+)
+def qd32(spark, sf):
+    """Group-aware k-fold audit (operators/split.py:group_fold_audit):
+    md5(group)-deterministic fold assignment with a per-fold balance
+    report (row share, group count, worst per-stratum composition
+    drift) and the n_split_groups leakage witness — the CV counterpart
+    of q62's split guarantee."""
+    from .operators.split import group_fold_audit
+
+    e = _t(spark, sf, "events")
+    return group_fold_audit(e, "user_id", "event_type", k=5)
+
+
+@_q(
+    "qd33_split_gain",
+    """
+    WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                      CAST(count(*) AS BIGINT) AS c,
+                      CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS p
+               FROM documents GROUP BY 1),
+    cum AS (SELECT v,
+                   CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS nl,
+                   CAST(sum(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS pl
+            FROM h),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(p) AS BIGINT) AS a FROM h)
+    SELECT cum.v AS cut_value, cum.nl AS n_left, cum.pl AS pos_left,
+           CASE WHEN cum.nl > 0 AND cum.nl < tot.n THEN
+             CAST(round(2.0 * (CAST(tot.a AS DOUBLE)
+                                 * CAST(tot.n - tot.a AS DOUBLE)
+                                 / (CAST(tot.n AS DOUBLE)
+                                    * CAST(tot.n AS DOUBLE))
+                               - (CAST(cum.pl AS DOUBLE)
+                                    * CAST(cum.nl - cum.pl AS DOUBLE)
+                                    / CAST(cum.nl AS DOUBLE)
+                                  + CAST(tot.a - cum.pl AS DOUBLE)
+                                    * CAST(tot.n - cum.nl - tot.a + cum.pl
+                                           AS DOUBLE)
+                                    / CAST(tot.n - cum.nl AS DOUBLE))
+                                 / CAST(tot.n AS DOUBLE))
+                        * 1000000) AS BIGINT)
+           END AS gain_micro
+    FROM cum CROSS JOIN tot
+    """,
+)
+def qd33(spark, sf):
+    """Decision-stump Gini split gain over every n_chars cut predicting
+    lang='en' (operators/classify.py:stump_split_gain, CART) — the
+    univariate feature-importance primitive computed ENTIRELY on the
+    value histogram: the cumulative window runs over distinct feature
+    values (the qa22 histogram discipline), never rows."""
+    from .operators.classify import stump_split_gain
+
+    d = _t(spark, sf, "documents")
+    return stump_split_gain(d, "n_chars", F.col("lang") == "en")
+
+
+@_q(
+    "qd34_selfjoin_cardinality",
+    """
+    WITH h AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(c * c) AS BIGINT) AS sq FROM h),
+    top AS (SELECT CAST(sum(c * c) AS BIGINT) AS tsq
+            FROM (SELECT c FROM h ORDER BY c DESC, k LIMIT 10))
+    SELECT tot.n_rows, tot.n_keys,
+           tot.sq AS actual_pairs,
+           CAST(CAST(tot.n_rows AS HUGEINT) * tot.n_rows // tot.n_keys
+                AS BIGINT) AS est_pairs,
+           CAST(round(CAST(tot.sq AS DOUBLE) * tot.n_keys * 1000
+                      / (CAST(tot.n_rows AS DOUBLE) * tot.n_rows))
+                AS BIGINT) AS err_ratio_milli,
+           top.tsq AS topk_pairs,
+           CAST(round(CAST(top.tsq AS DOUBLE) * 1000000
+                      / CAST(tot.sq AS DOUBLE)) AS BIGINT)
+             AS topk_share_micro
+    FROM tot CROSS JOIN top
+    """,
+)
+def qd34(spark, sf):
+    """Self-join cardinality audit on events.user_id (operators/dq.py:
+    selfjoin_cardinality_audit): exact Σc² output size of the would-be
+    self-join vs the optimizer's uniform n²/d estimate, plus the
+    top-10-hottest-keys share — the pre-flight check before any
+    key-equi candidate join ships (the qa42/qa46 salting decision,
+    quantified without running the join)."""
+    from .operators.dq import selfjoin_cardinality_audit
+
+    e = _t(spark, sf, "events")
+    return selfjoin_cardinality_audit(e, "user_id", top_k=10)

@@ -683,3 +683,72 @@ def abc_analysis(
         .cast("long")
         .alias("share_micro"),
     )
+
+
+def selfjoin_cardinality_audit(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-size estimator audit for the classic self-join blowup: the
+    EXACT output cardinality of df ⋈ df on ``key_col`` (Σ c_k² over
+    the key histogram — computed without performing the join) next to
+    the optimizer-style uniform estimate n²/d, plus how much of the
+    output the top-``top_k`` hottest keys alone would produce.
+
+    This is the pre-flight number a 100 TB pipeline checks before
+    shipping any key-equi self-join (candidate generation, co-visit
+    matrices, …): an err_ratio ≫ 1000 (milli) says the uniform
+    assumption is off and the hot-key share says whether salting (the
+    setjoin/skewjoin discipline) is mandatory.  One count agg (the
+    histogram), one scalar agg, one TakeOrdered(top_k) — never a
+    global sort, never the join itself.
+
+    Output (single row): n_rows, n_keys, actual_pairs, est_pairs,
+    err_ratio_milli, topk_pairs, topk_share_micro.
+    """
+    hist = (
+        df.select(F.col(key_col).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    tot = hist.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_c"))).alias("_sq"),
+    )
+    top = (
+        hist.orderBy(F.col("_c").desc(), F.col("_k"))
+        .limit(int(top_k))
+        .agg(F.sum(dec(F.col("_c")) * dec(F.col("_c"))).alias("_tsq"))
+    )
+    j = tot.crossJoin(F.broadcast(top))
+    # integral `div` on decimal operands: exact floor quotient, no
+    # decimal-scale rounding games; mirrors HUGEINT // in the oracle
+    est = F.expr(
+        "(CAST(n_rows AS DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0)))"
+        " div CAST(n_keys AS DECIMAL(38,0))"
+    )
+    return j.select(
+        "n_rows",
+        "n_keys",
+        F.col("_sq").cast("long").alias("actual_pairs"),
+        est.cast("long").alias("est_pairs"),
+        F.round(
+            F.col("_sq").cast("double")
+            * F.col("n_keys")
+            * 1000
+            / (F.col("n_rows").cast("double") * F.col("n_rows"))
+        )
+        .cast("long")
+        .alias("err_ratio_milli"),
+        F.col("_tsq").cast("long").alias("topk_pairs"),
+        F.round(
+            F.col("_tsq").cast("double")
+            * 1_000_000
+            / F.col("_sq").cast("double")
+        )
+        .cast("long")
+        .alias("topk_share_micro"),
+    )

@@ -325,3 +325,103 @@ def neyman_allocation(
         .cast("long")
         .alias("alloc_n"),
     )
+
+
+def group_fold_audit(
+    df: DataFrame,
+    group_col: str,
+    strat_col: str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment audit — the cross-validation
+    counterpart of train_test_split's leakage guarantee: the fold is a
+    pure function of md5(salt|group), so every row of one group lands
+    in ONE fold by construction, and this op PROVES it per fold while
+    reporting balance.
+
+    Checks per fold: row share vs the ideal 1/k, group count, and the
+    worst per-stratum composition drift (max |fold share − global
+    share| over ``strat_col`` values — a fold whose label mix diverges
+    silently biases CV estimates).  `n_split_groups` is the leakage
+    witness: groups observed in >1 fold (0 by construction; the column
+    exists so a pipeline asserting on the output catches a broken
+    upstream rewrite of the fold rule).
+
+    One scan + two bounded aggs (folds × strata is a small grid);
+    fold id = first 8 md5 hex chars mod k (the qa19 md5→int idiom).
+
+    Output per fold: fold, n_rows, n_groups, row_share_micro,
+    max_strat_dev_milli, n_split_groups.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(strat_col).alias("_s"),
+        F.pmod(h, F.lit(int(k))).alias("fold"),
+    )
+    # leakage witness: distinct folds per group (1 by construction)
+    split_groups = (
+        base.groupBy("_g")
+        .agg(F.countDistinct("fold").alias("_nf"))
+        .agg(
+            F.sum(F.when(F.col("_nf") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_split_groups")
+        )
+    )
+    cells = base.groupBy("fold", "_s").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    fold_tot = cells.groupBy("fold").agg(
+        F.sum("_c").cast("long").alias("n_rows")
+    )
+    strat_tot = cells.groupBy("_s").agg(
+        F.sum("_c").cast("long").alias("_sc")
+    )
+    grand = fold_tot.agg(F.sum("n_rows").cast("long").alias("_n"))
+    dev = (
+        cells.join(F.broadcast(fold_tot), "fold")
+        .join(F.broadcast(strat_tot), "_s")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "fold",
+            F.abs(
+                F.round(F.col("_c") * 1000 / F.col("n_rows"))
+                - F.round(F.col("_sc") * 1000 / F.col("_n"))
+            )
+            .cast("long")
+            .alias("_d"),
+        )
+        .groupBy("fold")
+        .agg(F.max("_d").alias("max_strat_dev_milli"))
+    )
+    groups = base.groupBy("fold").agg(
+        F.countDistinct("_g").cast("long").alias("n_groups")
+    )
+    return (
+        fold_tot.join(groups, "fold")
+        .join(dev, "fold")
+        .crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(split_groups))
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "n_rows",
+            "n_groups",
+            F.round(F.col("n_rows") * 1_000_000 / F.col("_n"))
+            .cast("long")
+            .alias("row_share_micro"),
+            "max_strat_dev_milli",
+            "n_split_groups",
+        )
+    )

@@ -7955,3 +7955,78 @@ def g_test_binned(
         (F.col("_k") - 1).cast("long").alias("df"),
         F.round(2 * F.col("_s") / 1000).cast("long").alias("g2_milli"),
     )
+
+
+def icc_agreement(
+    df: DataFrame,
+    subject_col: str,
+    rater_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Intraclass correlation of a complete subjects × raters panel of
+    NUMERIC scores — the continuous-score counterpart of the kappa
+    family (Cohen qa12, Fleiss qa61, Krippendorff qa93, AC1 qc14):
+    ICC(1,1) one-way random and ICC(2,1) two-way random single-rater
+    absolute agreement (Shrout & Fleiss 1979).
+
+    Exactness: scores enter as int64; the three scaled sums of squares
+    are exact integer identities over decimal(38,0) power sums
+    (T·SS_total = T·Σx² − S², T·SS_subj = n_subj·Σ_i S_i² − S²,
+    T·SS_rater = k·Σ_j S_j² − S², T = n·k), so nothing float happens
+    until the four mean squares — which are each ONE decimal→double
+    cast + one division, assembled into the two ICCs in a fixed
+    mirrored op order and milli-rounded once.  Plan: one per-subject
+    agg (n rows), one per-rater agg (k rows), one scalar agg — no
+    windows at all.
+
+    Output (single row): n_subjects, k_raters, icc1_milli, icc21_milli,
+    msr_milli, msc_milli, mse_milli.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        F.col(subject_col).alias("_i"),
+        F.col(rater_col).alias("_j"),
+        F.col(score_col).cast("long").alias("_x"),
+    )
+    per_i = base.groupBy("_i").agg(F.sum("_x").cast("long").alias("_si"))
+    per_j = base.groupBy("_j").agg(F.sum("_x").cast("long").alias("_sj"))
+    tot = base.agg(
+        F.count("*").cast("long").alias("_t"),
+        F.sum(dec(F.col("_x"))).alias("_s"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_x"))).alias("_ss"),
+    )
+    si2 = per_i.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(dec(F.col("_si")) * dec(F.col("_si"))).alias("_ssi"),
+    )
+    sj2 = per_j.agg(
+        F.count("*").cast("long").alias("_k"),
+        F.sum(dec(F.col("_sj")) * dec(F.col("_sj"))).alias("_ssj"),
+    )
+    j = tot.crossJoin(F.broadcast(si2)).crossJoin(F.broadcast(sj2))
+    s2 = F.col("_s") * F.col("_s")
+    sst_t = (dec(F.col("_t")) * F.col("_ss") - s2).cast("double")
+    ssr_t = (dec(F.col("_n")) * F.col("_ssi") - s2).cast("double")
+    ssc_t = (dec(F.col("_k")) * F.col("_ssj") - s2).cast("double")
+    t_d = F.col("_t").cast("double")
+    n_d = F.col("_n").cast("double")
+    k_d = F.col("_k").cast("double")
+    msr = ssr_t / (t_d * (n_d - 1))
+    msc = ssc_t / (t_d * (k_d - 1))
+    mse = (sst_t - ssr_t - ssc_t) / (t_d * (n_d - 1) * (k_d - 1))
+    msw = (sst_t - ssr_t) / (t_d * n_d * (k_d - 1))
+    icc1 = (msr - msw) / (msr + (k_d - 1) * msw)
+    icc21 = (msr - mse) / (
+        msr + (k_d - 1) * mse + k_d * (msc - mse) / n_d
+    )
+    ok = (F.col("_n") > 1) & (F.col("_k") > 1)
+    mil = lambda c: F.round(c * 1000).cast("long")
+    return j.select(
+        F.col("_n").alias("n_subjects"),
+        F.col("_k").alias("k_raters"),
+        F.when(ok, mil(icc1)).alias("icc1_milli"),
+        F.when(ok, mil(icc21)).alias("icc21_milli"),
+        F.when(ok, mil(msr)).alias("msr_milli"),
+        F.when(ok, mil(msc)).alias("msc_milli"),
+        F.when(ok, mil(mse)).alias("mse_milli"),
+    )

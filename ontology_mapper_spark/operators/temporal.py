@@ -5931,3 +5931,174 @@ def early_signal_lift(
             ).cast("long"),
         ).alias("lift_milli"),
     )
+
+
+def watermark_lateness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    delays_s: tuple[int, ...] = (0, 10, 30, 60, 300, 900, 3600),
+) -> DataFrame:
+    """Watermark-delay design audit — the number a Structured Streaming
+    job needs BEFORE it picks `withWatermark`: how out-of-order is this
+    feed per key, and what fraction of rows would each candidate delay
+    drop as late?
+
+    Lateness of a row = max(ts of earlier-arriving rows of the SAME
+    key) − own ts (arrival order = ``order_col``), clamped at 0 — the
+    exact quantity a per-key stateful operator compares against the
+    watermark.  The running max is a window PARTITIONED BY key (never
+    global), so the plan scales with keys; the delay grid is a fixed
+    injected literal spine (one row per candidate delay, the qa33
+    sweep-table idiom), so coverage for ALL delays comes from ONE scan
+    + one broadcast cross join — no per-delay jobs.
+
+    Output per delay: delay_s, n_rows, n_late (lateness > delay),
+    late_share_micro, max_lateness_s, p50_lateness witness is left to
+    qd01's gap machinery (this op answers the drop-rate question).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_o"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(key_col).alias("_k"), us.alias("_us"), F.col(order_col).alias("_o")
+    ).withColumn(
+        "_late_us",
+        # first arrival per key has an EMPTY preceding frame → NULL max;
+        # coalesce BEFORE greatest (engines disagree on greatest(NULL,x))
+        F.greatest(
+            F.coalesce(F.max("_us").over(w) - F.col("_us"), F.lit(0)),
+            F.lit(0),
+        ),
+    )
+    lat = base.select(
+        F.expr("_late_us div 1000000").cast("long").alias("_late")
+    )
+    grid = lat.sparkSession.createDataFrame(
+        [(int(d),) for d in delays_s], "delay_s long"
+    )
+    tot = lat.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.max("_late").cast("long").alias("max_lateness_s"),
+    )
+    per = (
+        lat.crossJoin(F.broadcast(grid))
+        .groupBy("delay_s")
+        .agg(
+            F.sum(F.when(F.col("_late") > F.col("delay_s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_late")
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "delay_s",
+            F.col("_n").alias("n_rows"),
+            "n_late",
+            F.round(F.col("n_late") * 1_000_000 / F.col("_n"))
+            .cast("long")
+            .alias("late_share_micro"),
+            "max_lateness_s",
+        )
+    )
+
+
+def funnel_segment_ztest(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+    segment_expr=None,
+    z_crit_micro: int = 1_959_964,
+) -> DataFrame:
+    """Per-stage two-proportion z-test of funnel reach between two user
+    segments — "did the variant move each stage of the funnel?", the
+    composition of funnel_stages (qa58) with the qb13 pooled-z rule.
+
+    Segments default to even/odd ``user_col`` (the qb13 convention).
+    Reach counts come from the same chained first-qualifying-event
+    logic as funnel_stages run once per segment; the z statistic per
+    stage clears every proportion to integer products (signed
+    numerator x_a·n_b − x_b·n_a exact int64; doubles enter in a FIXED
+    mirrored order only past int64 bounds; IEEE sqrt; critical value
+    Python-injected).
+
+    Output per stage: stage, step_name, n_seg_a, reach_a, n_seg_b,
+    reach_b, rate_a_micro, rate_b_micro, z_milli, significant.
+    """
+    seg = (
+        segment_expr
+        if segment_expr is not None
+        else F.pmod(F.col(user_col).cast("long"), F.lit(2)) == 0
+    )
+    halves = []
+    totals = []
+    for tag, keep in (("a", seg), ("b", ~seg)):
+        part = df.where(keep)
+        f = funnel_stages(part, user_col, type_col, ts_col, steps).select(
+            "stage", "step_name", F.col("n_users").alias(f"reach_{tag}")
+        )
+        halves.append(f)
+        totals.append(
+            part.agg(
+                F.countDistinct(user_col).cast("long").alias(f"n_seg_{tag}")
+            )
+        )
+    j = (
+        halves[0]
+        .join(halves[1], ["stage", "step_name"], "outer")
+        .na.fill({"reach_a": 0, "reach_b": 0})
+        .crossJoin(F.broadcast(totals[0]))
+        .crossJoin(F.broadcast(totals[1]))
+    )
+    num = F.col("reach_a") * F.col("n_seg_b") - F.col("reach_b") * F.col(
+        "n_seg_a"
+    )
+    s_tot = F.col("reach_a") + F.col("reach_b")
+    n_tot = F.col("n_seg_a") + F.col("n_seg_b")
+    den = (
+        (F.col("n_seg_a") * F.col("n_seg_b")).cast("double")
+        * s_tot
+        * (n_tot - s_tot)
+    )
+    ok = (
+        (F.col("n_seg_a") > 0)
+        & (F.col("n_seg_b") > 0)
+        & (s_tot > 0)
+        & (s_tot < n_tot)
+    )
+    z_milli = F.round(
+        F.signum(num.cast("double"))
+        * F.sqrt(num.cast("double") * num * n_tot / den)
+        * F.lit(1000)
+    ).cast("long")
+    return j.select(
+        F.col("stage").cast("long").alias("stage"),
+        "step_name",
+        "n_seg_a",
+        F.col("reach_a").cast("long").alias("reach_a"),
+        "n_seg_b",
+        F.col("reach_b").cast("long").alias("reach_b"),
+        F.when(
+            F.col("n_seg_a") > 0,
+            F.round(F.col("reach_a") * 1_000_000 / F.col("n_seg_a")).cast(
+                "long"
+            ),
+        ).alias("rate_a_micro"),
+        F.when(
+            F.col("n_seg_b") > 0,
+            F.round(F.col("reach_b") * 1_000_000 / F.col("n_seg_b")).cast(
+                "long"
+            ),
+        ).alias("rate_b_micro"),
+        F.when(ok, z_milli).alias("z_milli"),
+        F.when(ok, F.abs(z_milli) * 1000 > F.lit(int(z_crit_micro))).alias(
+            "significant"
+        ),
+    )

@@ -1,0 +1,154 @@
+"""Semantic tests for the round-5 wave qd29-qd34 operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.operators.classify import stump_split_gain
+from ontology_mapper_spark.operators.dq import selfjoin_cardinality_audit
+from ontology_mapper_spark.operators.split import group_fold_audit
+from ontology_mapper_spark.operators.stats import icc_agreement
+from ontology_mapper_spark.operators.temporal import (
+    funnel_segment_ztest,
+    watermark_lateness,
+)
+
+
+def test_icc_perfect_agreement_is_one(spark):
+    rows = [(i, j, 10 * i) for i in range(1, 9) for j in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "i long, j long, x long")
+    r = icc_agreement(df, "i", "j", "x").collect()[0]
+    assert r["icc1_milli"] == 1000
+    assert r["icc21_milli"] == 1000
+    assert r["n_subjects"] == 8 and r["k_raters"] == 3
+
+
+def test_icc_rater_offset_hurts_icc21_less_than_icc1(spark):
+    # rater 3 systematically +5: consistency survives, absolute
+    # agreement drops; ICC(2,1) models the rater effect separately so
+    # it stays ABOVE one-way ICC(1,1), which folds the offset into
+    # error.
+    rows = [
+        (i, j, 10 * i + (5 if j == 3 else 0))
+        for i in range(1, 9)
+        for j in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "i long, j long, x long")
+    r = icc_agreement(df, "i", "j", "x").collect()[0]
+    assert r["icc1_milli"] < 1000
+    assert r["icc21_milli"] < 1000
+    assert r["icc21_milli"] >= r["icc1_milli"]
+
+
+def test_watermark_lateness_counts_late_rows(spark):
+    # arrival order o; the ts=100 row arrives AFTER ts=200 -> 100s late
+    rows = [
+        (1, 1, 0),
+        (1, 2, 200),
+        (1, 3, 100),  # 100 s late
+        (1, 4, 300),
+        (2, 5, 50),
+        (2, 6, 40),  # 10 s late
+    ]
+    df = spark.createDataFrame(rows, "k long, o long, s long").select(
+        "k", "o", F.timestamp_seconds(F.col("s")).alias("ts")
+    )
+    out = {
+        r["delay_s"]: r
+        for r in watermark_lateness(
+            df, "k", "ts", "o", delays_s=(0, 30, 120)
+        ).collect()
+    }
+    assert out[0]["n_late"] == 2
+    assert out[30]["n_late"] == 1  # only the 100s-late row exceeds 30s
+    assert out[120]["n_late"] == 0
+    assert out[0]["max_lateness_s"] == 100
+    assert out[0]["n_rows"] == 6
+
+
+def test_funnel_ztest_identical_segments_z_zero(spark):
+    # two users per segment with identical view->click paths
+    rows = []
+    for u in (2, 4, 1, 3):
+        rows += [(u, "view", 10), (u, "click", 20)]
+    df = spark.createDataFrame(rows, "user_id long, t string, s long").select(
+        "user_id",
+        F.col("t").alias("event_type"),
+        F.timestamp_seconds(F.col("s")).alias("ts"),
+    )
+    out = {
+        r["step_name"]: r
+        for r in funnel_segment_ztest(
+            df, "user_id", "event_type", "ts", ["view", "click"]
+        ).collect()
+    }
+    assert out["view"]["z_milli"] is None  # all users reach: degenerate
+    assert out["click"]["z_milli"] is None
+    assert out["view"]["rate_a_micro"] == 1_000_000
+    assert out["view"]["rate_b_micro"] == 1_000_000
+
+
+def test_funnel_ztest_detects_segment_gap(spark):
+    # segment A (even) converts view->click, segment B never clicks
+    rows = []
+    for u in (2, 4, 6, 8, 10, 12, 14, 16):
+        rows += [(u, "view", 10), (u, "click", 20)]
+    for u in (1, 3, 5, 7, 9, 11, 13, 15):
+        rows += [(u, "view", 10)]
+    df = spark.createDataFrame(rows, "user_id long, t string, s long").select(
+        "user_id",
+        F.col("t").alias("event_type"),
+        F.timestamp_seconds(F.col("s")).alias("ts"),
+    )
+    out = {
+        r["step_name"]: r
+        for r in funnel_segment_ztest(
+            df, "user_id", "event_type", "ts", ["view", "click"]
+        ).collect()
+    }
+    assert out["click"]["reach_a"] == 8 and out["click"]["reach_b"] == 0
+    assert out["click"]["z_milli"] > 0
+    assert out["click"]["significant"]
+
+
+def test_group_fold_audit_no_leakage_and_shares(spark):
+    rows = [(g, "t%d" % (g % 2), i) for g in range(200) for i in range(3)]
+    df = spark.createDataFrame(rows, "g long, s string, i long")
+    out = group_fold_audit(df, "g", "s", k=4).collect()
+    assert len(out) == 4
+    assert all(r["n_split_groups"] == 0 for r in out)
+    assert sum(r["n_rows"] for r in out) == 600
+    # every row of a group shares the fold -> group sizes divide rows
+    assert all(r["n_rows"] == 3 * r["n_groups"] for r in out)
+
+
+def test_stump_split_gain_perfect_separator(spark):
+    # feature < 50 => False, >= 50 => True; the cut at 49 is perfect
+    rows = [(i, i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "v long, y boolean")
+    out = {r["cut_value"]: r for r in stump_split_gain(df, "v", "y").collect()}
+    # parent impurity = 2*0.5*0.5 = 0.5; perfect cut removes all of it
+    assert out[49]["gain_micro"] == 500_000
+    assert out[99]["gain_micro"] is None  # empty right side
+    assert all(
+        r["gain_micro"] is None or r["gain_micro"] <= 500_000
+        for r in out.values()
+    )
+
+
+def test_selfjoin_cardinality_uniform_vs_skewed(spark):
+    uni = spark.createDataFrame(
+        [(k, i) for k in range(10) for i in range(5)], "k long, i long"
+    )
+    r = selfjoin_cardinality_audit(uni, "k").collect()[0]
+    assert r["actual_pairs"] == 10 * 25
+    assert r["est_pairs"] == 50 * 50 // 10
+    assert r["err_ratio_milli"] == 1000  # uniform: estimate exact
+    skew = spark.createDataFrame(
+        [(0, i) for i in range(41)] + [(k, 0) for k in range(1, 10)],
+        "k long, i long",
+    )
+    r2 = selfjoin_cardinality_audit(skew, "k").collect()[0]
+    assert r2["actual_pairs"] == 41 * 41 + 9
+    assert r2["err_ratio_milli"] > 1000  # skew: uniform estimate low
+    assert r2["topk_share_micro"] > 990_000

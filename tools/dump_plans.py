@@ -361,6 +361,8 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qd26_abc_analysis": "revenue bucket spine cumulative (range/2^16 buckets, qb43 family)",
     "qd27_fisher_bh": "p-value rank over the event-type dimension (qc61 family; m tests = dictionary-sized) + qc61's sample windows",
     "qd28_tail_contribution": "value histogram p99 cut (qa22 family)",
+    "qd31_funnel_ztest": "funnel step spine (fixed number of steps, qa58 family, once per segment)",
+    "qd33_split_gain": "feature value histogram cumulative (qa22 family; distinct n_chars values)",
 }
 
 

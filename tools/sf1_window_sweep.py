@@ -68,9 +68,11 @@ def domain_probes(spark, sf: str) -> dict[str, int]:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts are NTZ — cast("timestamp") first, then long (epoch s)
+    _tl = F.col("ts").cast("timestamp").cast("long")
     out["gap_multiset"] = (
         ev.select("user_id", "event_id", "ts")
-        .withColumn("_g", F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+        .withColumn("_g", _tl - F.lag(_tl).over(w))
         .where(F.col("_g").isNotNull())
         .select("_g")
         .distinct()
