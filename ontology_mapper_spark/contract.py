@@ -23350,3 +23350,111 @@ def qd34(spark, sf):
 
     e = _t(spark, sf, "events")
     return selfjoin_cardinality_audit(e, "user_id", top_k=10)
+
+
+@_q(
+    "qd35_partition_advisor",
+    """
+    WITH pk AS (SELECT user_id AS k,
+                       CAST(count(*) AS BIGINT) AS c,
+                       CAST(sum(32 + strlen(event_type) + strlen(props))
+                            AS BIGINT) AS kb
+                FROM events GROUP BY 1),
+    agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(kb) AS BIGINT) AS est_bytes,
+                   CAST(max(kb) AS BIGINT) AS max_key_bytes FROM pk)
+    SELECT n_rows, n_keys, est_bytes,
+           CAST(134217728 AS BIGINT) AS target_bytes,
+           CAST((est_bytes + 134217728 - 1) // 134217728 AS BIGINT)
+             AS partitions_by_bytes,
+           CAST(greatest(least((est_bytes + 134217728 - 1) // 134217728,
+                               n_keys), 1) AS BIGINT)
+             AS recommended_partitions,
+           max_key_bytes,
+           CAST(round(CAST(max_key_bytes AS DOUBLE) * 1000 / 134217728)
+                AS BIGINT) AS straggler_ratio_milli
+    FROM agg
+    """,
+)
+def qd35(spark, sf):
+    """spark.sql.shuffle.partitions advisor for a user_id shuffle of
+    events (operators/skew.py:shuffle_partition_advisor): estimated
+    payload bytes (qa68's width model: 32 fixed bytes + string octet
+    lengths) over a 128 MiB target, bounded by the distinct-key count,
+    with the hottest key's bytes as the unsplittable straggler floor
+    (>1000 milli ⇒ salt before tuning partitions)."""
+    from .operators.skew import shuffle_partition_advisor
+
+    e = _t(spark, sf, "events")
+    return shuffle_partition_advisor(e, "user_id", target_mb=128)
+
+
+@_q(
+    "qd36_aqe_skew_sim",
+    """
+    WITH keyed AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c,
+                          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 8) AS BIGINT) AS h
+                   FROM events GROUP BY 1),
+    g AS (SELECT CAST(p AS BIGINT) AS partitions
+          FROM (VALUES (8), (32), (128), (512)) AS v(p)),
+    buckets AS (SELECT g.partitions, keyed.h % g.partitions AS b,
+                       CAST(sum(keyed.c) AS BIGINT) AS rows_
+                FROM keyed CROSS JOIN g GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM keyed)
+    SELECT b.partitions,
+           CAST(max(b.rows_) AS BIGINT) AS max_bucket_rows,
+           CAST(round(max(b.rows_) * b.partitions * 1000 / tot.n)
+                AS BIGINT) AS skew_ratio_milli,
+           CAST(sum(CASE WHEN b.rows_ * b.partitions > 5 * tot.n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_over
+    FROM buckets b CROSS JOIN tot
+    GROUP BY b.partitions, tot.n
+    """,
+)
+def qd36(spark, sf):
+    """AQE skew-split simulation (operators/skew.py:
+    hash_bucket_skew_sim): md5-hash-bucket the user_id key histogram
+    into 8/32/128/512 partitions and report max-bucket-vs-ideal and the
+    buckets a 5x skew threshold would split — the pile-up view (two hot
+    keys colliding in one bucket) that per-key advisors (qd09) can't
+    show."""
+    from .operators.skew import hash_bucket_skew_sim
+
+    e = _t(spark, sf, "events")
+    return hash_bucket_skew_sim(e, "user_id")
+
+
+@_q(
+    "qd37_state_projection",
+    """
+    WITH b AS (SELECT user_id AS k, epoch_us(ts) // 1000000 AS s
+               FROM events),
+    g AS (SELECT CAST(l AS BIGINT) AS window_len_s
+          FROM (VALUES (60), (300), (900), (3600)) AS v(l)),
+    inst AS (SELECT window_len_s, w, CAST(count(*) AS BIGINT) AS nk
+             FROM (SELECT DISTINCT g.window_len_s,
+                          b.s // g.window_len_s AS w, b.k
+                   FROM b CROSS JOIN g)
+             GROUP BY 1, 2)
+    SELECT window_len_s,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(round(sum(nk) * 1000000 / count(*)) AS BIGINT)
+             AS avg_keys_micro,
+           CAST(max(nk) AS BIGINT) AS max_keys,
+           CAST(sum(nk) AS BIGINT) AS total_state_rows
+    FROM inst GROUP BY 1
+    """,
+)
+def qd37(spark, sf):
+    """Streaming state-store sizing (operators/temporal.py:
+    state_size_projection): per candidate tumbling-window length
+    (1m/5m/15m/1h grid), the distinct (key, window) state rows a
+    windowed agg would hold — average and PEAK window instance (the
+    OOM number) — qd30's watermark audit answers when state evicts,
+    this answers how big it gets."""
+    from .operators.temporal import state_size_projection
+
+    e = _t(spark, sf, "events")
+    return state_size_projection(e, "user_id", "ts")

@@ -248,3 +248,146 @@ def shuffle_balance_audit(
         .cast("long")
         .alias("balance_micro"),
     )
+
+
+def shuffle_partition_advisor(
+    df: DataFrame,
+    key_col: str,
+    target_mb: int = 128,
+) -> DataFrame:
+    """`spark.sql.shuffle.partitions` sizing advisor for a groupBy/join
+    on ``key_col``: estimated shuffled payload bytes (the
+    join_side_stats width model: Σ octet_length over strings + fixed
+    type widths) divided by the target partition size, bounded by what
+    the KEY DISTRIBUTION can actually use — parallelism never exceeds
+    the distinct-key count, and the hottest single key is an
+    unsplittable straggler floor unless the caller salts (the
+    skewjoin.py discipline).
+
+    All integer: partitions_by_bytes is an exact ceiling division;
+    straggler_ratio_milli = hottest key's bytes vs the target (>1000 ⇒
+    salting mandatory — one reducer would exceed the target no matter
+    how many partitions are configured).
+
+    Output (single row): n_rows, n_keys, est_bytes, target_bytes,
+    partitions_by_bytes, recommended_partitions, max_key_bytes,
+    straggler_ratio_milli.
+    """
+    fixed = 0
+    str_cols = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t == "string":
+            str_cols.append(f.name)
+        else:
+            fixed += _FIXED_WIDTHS.get(t, 8)
+    byte_expr = F.lit(0).cast("long") + F.lit(fixed)
+    for c in str_cols:
+        byte_expr = byte_expr + F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+    target = int(target_mb) * 1024 * 1024
+    per_key = (
+        df.select(F.col(key_col).alias("_k"), byte_expr.alias("_b"))
+        .groupBy("_k")
+        .agg(
+            F.count("*").cast("long").alias("_c"),
+            F.sum("_b").cast("long").alias("_kb"),
+        )
+    )
+    agg = per_key.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("_kb").cast("long").alias("est_bytes"),
+        F.max("_kb").cast("long").alias("max_key_bytes"),
+    )
+    parts = F.expr(f"(est_bytes + {target} - 1) div {target}")
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "est_bytes",
+        F.lit(target).cast("long").alias("target_bytes"),
+        parts.cast("long").alias("partitions_by_bytes"),
+        F.greatest(F.least(parts, F.col("n_keys")), F.lit(1))
+        .cast("long")
+        .alias("recommended_partitions"),
+        "max_key_bytes",
+        F.round(F.col("max_key_bytes").cast("double") * 1000 / F.lit(target))
+        .cast("long")
+        .alias("straggler_ratio_milli"),
+    )
+
+
+def hash_bucket_skew_sim(
+    df: DataFrame,
+    key_col: str,
+    partitions_grid: tuple[int, ...] = (8, 32, 128, 512),
+    skew_factor: int = 5,
+) -> DataFrame:
+    """Hash-partitioning simulation over a grid of partition counts —
+    what AQE's skew detector would SEE if this key shuffled into P
+    buckets: max bucket size vs the ideal n/P, and how many buckets
+    exceed ``skew_factor``× the ideal (the split candidates).
+
+    Differs from the per-KEY advisors (qd09/qa74): this models the
+    actual bucket assignment, so it captures hot-key PILE-UP — two big
+    keys colliding in one bucket — which no per-key view shows.  The
+    bucket function is the deterministic md5 %% P (portable to the
+    oracle; Spark's real partitioner differs in constants but not in
+    collision statistics).  Everything integer: the over-threshold
+    test is c·P > skew_factor·n exactly.
+
+    Output per grid entry: partitions, max_bucket_rows,
+    skew_ratio_milli, n_buckets_over.
+    """
+    keyed = (
+        df.select(F.col(key_col).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .withColumn(
+            "_h",
+            F.conv(
+                F.substring(F.md5(F.col("_k").cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+        )
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(int(p),) for p in partitions_grid], "partitions long"
+    )
+    buckets = (
+        keyed.crossJoin(F.broadcast(grid))
+        .select(
+            "partitions",
+            F.pmod(F.col("_h"), F.col("partitions")).alias("_b"),
+            "_c",
+        )
+        .groupBy("partitions", "_b")
+        .agg(F.sum("_c").cast("long").alias("_rows"))
+    )
+    tot = keyed.agg(F.sum("_c").cast("long").alias("_n"))
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .groupBy("partitions")
+        .agg(
+            F.max("_rows").cast("long").alias("max_bucket_rows"),
+            F.first("_n").alias("_n"),
+            F.sum(
+                F.when(
+                    F.col("_rows") * F.col("partitions")
+                    > F.lit(int(skew_factor)) * F.col("_n"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_buckets_over"),
+        )
+        .select(
+            "partitions",
+            "max_bucket_rows",
+            F.round(
+                F.col("max_bucket_rows") * F.col("partitions") * 1000
+                / F.col("_n")
+            )
+            .cast("long")
+            .alias("skew_ratio_milli"),
+            "n_buckets_over",
+        )
+    )

@@ -6102,3 +6102,54 @@ def funnel_segment_ztest(
             "significant"
         ),
     )
+
+
+def state_size_projection(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_lens_s: tuple[int, ...] = (60, 300, 900, 3600),
+) -> DataFrame:
+    """Streaming state-store sizing — the companion of the watermark
+    audit (watermark_lateness): for each candidate tumbling-window
+    length, how many (key, window) state rows a windowed aggregation
+    would hold — the average and the WORST window instance (peak state,
+    the OOM number), from one batch table.
+
+    window instance = epoch_s div L (exact integer bucketing); per
+    length: distinct keys per instance → avg (micro) and max.  The
+    spine is calendar × grid bounded (instances = timespan/L), never
+    row-level; one distinct-collapse per grid entry, all in ONE plan
+    via the injected length grid.
+
+    Output per length: window_len_s, n_windows, avg_keys_micro,
+    max_keys, total_state_rows.
+    """
+    grid = df.sparkSession.createDataFrame(
+        [(int(s),) for s in window_lens_s], "window_len_s long"
+    )
+    inst = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        )
+        # integer div, never a double /: exact epoch-second bucketing
+        .select("_k", F.expr("_us div 1000000").alias("_s"))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "window_len_s",
+            F.expr("_s div window_len_s").alias("_w"),
+            "_k",
+        )
+        .distinct()
+        .groupBy("window_len_s", "_w")
+        .agg(F.count("*").cast("long").alias("_nk"))
+    )
+    return inst.groupBy("window_len_s").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.round(F.sum("_nk") * 1_000_000 / F.count("*"))
+        .cast("long")
+        .alias("avg_keys_micro"),
+        F.max("_nk").cast("long").alias("max_keys"),
+        F.sum("_nk").cast("long").alias("total_state_rows"),
+    )

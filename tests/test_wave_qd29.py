@@ -152,3 +152,58 @@ def test_selfjoin_cardinality_uniform_vs_skewed(spark):
     assert r2["actual_pairs"] == 41 * 41 + 9
     assert r2["err_ratio_milli"] > 1000  # skew: uniform estimate low
     assert r2["topk_share_micro"] > 990_000
+
+
+def test_shuffle_partition_advisor_small_table(spark):
+    from ontology_mapper_spark.operators.skew import shuffle_partition_advisor
+
+    df = spark.createDataFrame(
+        [(k, "x" * 10) for k in range(20)], "k long, s string"
+    )
+    r = shuffle_partition_advisor(df, "k", target_mb=128).collect()[0]
+    assert r["n_rows"] == 20 and r["n_keys"] == 20
+    assert r["est_bytes"] == 20 * (8 + 10)
+    assert r["partitions_by_bytes"] == 1
+    assert r["recommended_partitions"] == 1
+    assert r["straggler_ratio_milli"] == 0
+
+
+def test_hash_bucket_skew_sim_single_hot_key(spark):
+    from ontology_mapper_spark.operators.skew import hash_bucket_skew_sim
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(95)] + [(k, 0) for k in range(1, 6)],
+        "k long, i long",
+    )
+    out = {
+        r["partitions"]: r
+        for r in hash_bucket_skew_sim(
+            df, "k", partitions_grid=(4, 64)
+        ).collect()
+    }
+    # the 95-row key dominates whatever bucket it lands in
+    assert out[4]["max_bucket_rows"] >= 95
+    assert out[64]["max_bucket_rows"] == 95
+    assert out[64]["n_buckets_over"] >= 1  # 95*64 > 5*100
+    assert out[64]["skew_ratio_milli"] == round(95 * 64 * 1000 / 100)
+
+
+def test_state_size_projection_exact_grid(spark):
+    from ontology_mapper_spark.operators.temporal import state_size_projection
+
+    rows = [(k, 60 * m) for m in range(10) for k in (1, 2)]
+    df = spark.createDataFrame(rows, "k long, s long").select(
+        "k", F.timestamp_seconds(F.col("s")).alias("ts")
+    )
+    out = {
+        r["window_len_s"]: r
+        for r in state_size_projection(
+            df, "k", "ts", window_lens_s=(60, 600)
+        ).collect()
+    }
+    assert out[60]["n_windows"] == 10
+    assert out[60]["max_keys"] == 2
+    assert out[60]["total_state_rows"] == 20
+    assert out[600]["n_windows"] == 1
+    assert out[600]["max_keys"] == 2
+    assert out[600]["avg_keys_micro"] == 2_000_000
