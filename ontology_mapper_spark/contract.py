@@ -23458,3 +23458,160 @@ def qd37(spark, sf):
 
     e = _t(spark, sf, "events")
     return state_size_projection(e, "user_id", "ts")
+
+
+@_q(
+    "qd38_aa_uniformity",
+    """
+    WITH u AS (SELECT user_id AS un,
+                      CAST(max(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    pb AS (SELECT CAST('0x' || substr(md5('aa|'
+                        || CAST(un AS VARCHAR)), 1, 8) AS BIGINT) % 16
+                    AS b,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS xs
+           FROM u GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(xs) AS BIGINT) AS xt,
+                   CAST(count(*) AS BIGINT) AS k FROM pb),
+    cell AS (SELECT tot.k, tot.nt, tot.xt,
+                    pb.xs * tot.nt - pb.n * tot.xt AS d, pb.n
+             FROM pb CROSS JOIN tot),
+    agg AS (SELECT k, nt, xt,
+                   CAST(sum(CASE WHEN xt > 0 AND xt < nt THEN
+                     CAST(round(CAST(d AS DOUBLE) * d
+                                / (CAST(n AS DOUBLE) * xt * (nt - xt))
+                                * 1000000) AS BIGINT) END) AS BIGINT)
+                     AS chi2_micro
+            FROM cell GROUP BY 1, 2, 3)
+    SELECT k AS n_buckets, nt AS n_units, xt AS n_success,
+           CAST(round(chi2_micro / 1000) AS BIGINT) AS chi2_milli,
+           CAST(k - 1 AS BIGINT) AS df,
+           round(chi2_micro / 1000) <= 24996 AS uniform_ok
+    FROM agg
+    """,
+)
+def qd38(spark, sf):
+    """A/A uniformity check (operators/stats.py:aa_uniformity_check):
+    user-level purchase conversion across 16 md5 assignment buckets,
+    k-arm rate-homogeneity chi² with per-cell micro-rounded mirrored
+    contributions and a Python-injected df=15 critical value — the
+    bucketing-is-broken alarm completing qb54's 2-arm SRM check."""
+    from .operators.stats import aa_uniformity_check
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy(F.col("user_id")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return aa_uniformity_check(u, "user_id", "converted", n_buckets=16)
+
+
+@_q(
+    "qd39_mde_curve",
+    f"""
+    WITH u AS (SELECT user_id AS un,
+                      CAST(max(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS c
+               FROM events GROUP BY 1),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(c) AS BIGINT) AS xs FROM u),
+    g AS (SELECT CAST(r AS BIGINT) AS rel_effect_micro
+          FROM (VALUES (50000), (100000), (200000), (500000)) AS v(r))
+    SELECT g.rel_effect_micro,
+           CAST(round(base.xs * 1000000 / base.n) AS BIGINT)
+             AS baseline_micro,
+           CASE WHEN base.xs > 0 AND base.xs < base.n THEN
+             CAST(ceil({(1.959964 + 0.841621) ** 2!r} * 2.0
+                       * (CAST(base.xs AS DOUBLE) / CAST(base.n AS DOUBLE))
+                       * (1.0 - CAST(base.xs AS DOUBLE)
+                              / CAST(base.n AS DOUBLE))
+                       / ((CAST(base.xs AS DOUBLE) / CAST(base.n AS DOUBLE)
+                           * (CAST(g.rel_effect_micro AS DOUBLE) / 1000000))
+                          * (CAST(base.xs AS DOUBLE) / CAST(base.n AS DOUBLE)
+                             * (CAST(g.rel_effect_micro AS DOUBLE)
+                                / 1000000)))) AS BIGINT) END AS n_per_arm,
+           CASE WHEN base.xs > 0 AND base.xs < base.n THEN
+             CAST(ceil({(1.959964 + 0.841621) ** 2!r} * 2.0
+                       * (CAST(base.xs AS DOUBLE) / CAST(base.n AS DOUBLE))
+                       * (1.0 - CAST(base.xs AS DOUBLE)
+                              / CAST(base.n AS DOUBLE))
+                       / ((CAST(base.xs AS DOUBLE) / CAST(base.n AS DOUBLE)
+                           * (CAST(g.rel_effect_micro AS DOUBLE) / 1000000))
+                          * (CAST(base.xs AS DOUBLE) / CAST(base.n AS DOUBLE)
+                             * (CAST(g.rel_effect_micro AS DOUBLE)
+                                / 1000000)))) AS BIGINT) * 2 <= base.n
+           END AS feasible
+    FROM base CROSS JOIN g
+    """,
+)
+def qd39(spark, sf):
+    """MDE sample-size curve (operators/stats.py:mde_sample_size_curve):
+    required users per arm at 5%/10%/20%/50% relative effects from the
+    measured user-level purchase rate, (z_alpha/2+z_beta)^2 injected as
+    one Python literal into BOTH engines — the pre-experiment planning
+    table next to qb22's power analysis."""
+    from .operators.stats import mde_sample_size_curve
+
+    e = _t(spark, sf, "events")
+    return mde_sample_size_curve(
+        e.select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("conv"),
+        ),
+        "user_id",
+        "conv",
+    )
+
+
+ORACLES["qd40_cluster_source_mix"] = """
+    WITH cl AS ({Q64}),
+    j AS (SELECT d.source AS src,
+                 coalesce(cl.cluster_rep, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+    cs AS (SELECT cluster, src, CAST(count(*) AS BIGINT) AS c
+           FROM j GROUP BY 1, 2),
+    per AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS csize,
+                   CAST(count(*) AS BIGINT) AS nsrc,
+                   CAST(max(c) AS BIGINT) AS maj
+            FROM cs GROUP BY 1)
+    SELECT csize AS cluster_size, nsrc AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs,
+           CAST(sum(maj) AS BIGINT) AS majority_docs,
+           CAST(round(sum(maj) * 1000000 / sum(csize)) AS BIGINT)
+             AS purity_micro
+    FROM per GROUP BY 1, 2
+""".replace("{Q64}", ORACLES["q64_dedup_clusters"])
+
+
+def qd40(spark, sf):
+    """Near-dup cluster provenance mix (operators/dedup.py:
+    cluster_source_mix): q64's LSH clusters joined back to sources —
+    per (cluster_size, n_sources) cell, cluster/doc counts and
+    majority-source purity; singletons reconcile via the left join.
+    Oracle composes q64's WITH RECURSIVE closure verbatim (the qc81
+    splice idiom)."""
+    from .operators.dedup import (
+        cluster_source_mix,
+        dedup_clusters,
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(
+        d, "text", "doc_id", num_hashes=_MINHASH_N, shingle_n=2
+    )
+    pairs = minhash_band_pairs(
+        sig, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    return cluster_source_mix(d, dedup_clusters(pairs))
+
+
+QUERIES["qd40_cluster_source_mix"] = qd40

@@ -1470,3 +1470,67 @@ def similarity_triangle_gaps(pairs: DataFrame) -> DataFrame:
             .cast("long"),
         ).alias("closure_micro"),
     )
+
+
+def cluster_source_mix(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Provenance mix of near-dup clusters — the qa21/qa45 question
+    asked of the DEDUP output: are duplicate clusters intra-source
+    (republication) or cross-source (the same upstream corpus feeding
+    multiple providers — double-counted training data AND a leakage
+    channel)?  Singletons enter as size-1 clusters via the left join
+    (the dedup_savings_report discipline), so totals reconcile.
+
+    Everything is exact integer counting: per (cluster, source) counts
+    → per cluster size / source count / majority-source docs → one
+    bounded rollup keyed by (cluster_size, n_sources).  Purity =
+    majority docs / docs, one micro division at the end.
+
+    Output per (cluster_size, n_sources): n_clusters, n_docs,
+    majority_docs, purity_micro.
+    """
+    j = (
+        docs.select(
+            F.col(id_col).alias("_id"), F.col(source_col).alias("_src")
+        )
+        .join(
+            clusters.select(F.col(id_col).alias("_id"), "cluster_rep"),
+            "_id",
+            "left",
+        )
+        .select(
+            "_src",
+            F.coalesce(F.col("cluster_rep"), F.col("_id")).alias("_cl"),
+        )
+    )
+    cs = j.groupBy("_cl", "_src").agg(F.count("*").cast("long").alias("_c"))
+    per_cl = cs.groupBy("_cl").agg(
+        F.sum("_c").cast("long").alias("_size"),
+        F.count("*").cast("long").alias("_nsrc"),
+        F.max("_c").cast("long").alias("_maj"),
+    )
+    return (
+        per_cl.groupBy(
+            F.col("_size").alias("cluster_size"),
+            F.col("_nsrc").alias("n_sources"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("_size").cast("long").alias("n_docs"),
+            F.sum("_maj").cast("long").alias("majority_docs"),
+        )
+        .select(
+            "cluster_size",
+            "n_sources",
+            "n_clusters",
+            "n_docs",
+            "majority_docs",
+            F.round(F.col("majority_docs") * 1_000_000 / F.col("n_docs"))
+            .cast("long")
+            .alias("purity_micro"),
+        )
+    )

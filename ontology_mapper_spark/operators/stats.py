@@ -8030,3 +8030,147 @@ def icc_agreement(
         F.when(ok, mil(msc)).alias("msc_milli"),
         F.when(ok, mil(mse)).alias("mse_milli"),
     )
+
+
+def aa_uniformity_check(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    n_buckets: int = 16,
+    salt: str = "aa",
+    chi2_crit_milli: int = 24_996,
+) -> DataFrame:
+    """A/A calibration check of the experimentation stack: split units
+    into ``n_buckets`` md5 buckets (the same deterministic hash an
+    assignment service uses) and test the success rate for homogeneity
+    — a significant chi² on an A/A split means the BUCKETING or the
+    logging is broken before any real experiment can be trusted.
+    Completes qb54's 2-arm SRM check with a k-arm rate uniformity test.
+
+    Exactness: per-cell deviation d_i = x_i·N − n_i·X is exact int64;
+    the cell contribution d²/(n_i·X·(N−X)) is ONE mirrored double
+    chain micro-rounded per cell (qc04 discipline), then integer-
+    summed; the critical value (df = k−1 at α=.05) is Python-injected
+    — no engine chi² quantile.
+
+    Output (single row): n_buckets, n_units, n_success, chi2_milli,
+    df, uniform_ok.
+    """
+    s = (
+        success_col if not isinstance(success_col, str) else F.col(success_col)
+    ).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(salt), F.col(unit_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per_b = (
+        df.select(F.pmod(h, F.lit(int(n_buckets))).alias("_b"), s.alias("_x"))
+        .groupBy("_b")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_x").cast("long").alias("_xs"),
+        )
+    )
+    tot = per_b.agg(
+        F.sum("_n").cast("long").alias("_nt"),
+        F.sum("_xs").cast("long").alias("_xt"),
+        F.count("*").cast("long").alias("_k"),
+    )
+    cell = per_b.crossJoin(F.broadcast(tot)).select(
+        "_k",
+        "_nt",
+        "_xt",
+        (F.col("_xs") * F.col("_nt") - F.col("_n") * F.col("_xt")).alias(
+            "_d"
+        ),
+        "_n",
+    )
+    ok = (F.col("_xt") > 0) & (F.col("_xt") < F.col("_nt"))
+    contrib = F.when(
+        ok,
+        F.round(
+            F.col("_d").cast("double")
+            * F.col("_d")
+            / (
+                F.col("_n").cast("double")
+                * F.col("_xt")
+                * (F.col("_nt") - F.col("_xt"))
+            )
+            * 1_000_000
+        ).cast("long"),
+    )
+    agg = cell.groupBy("_k", "_nt", "_xt").agg(
+        F.sum(contrib).alias("_chi2_micro")
+    )
+    return agg.select(
+        F.col("_k").alias("n_buckets"),
+        F.col("_nt").alias("n_units"),
+        F.col("_xt").alias("n_success"),
+        F.round(F.col("_chi2_micro") / 1000).cast("long").alias("chi2_milli"),
+        (F.col("_k") - 1).cast("long").alias("df"),
+        (
+            F.round(F.col("_chi2_micro") / 1000)
+            <= F.lit(int(chi2_crit_milli))
+        ).alias("uniform_ok"),
+    )
+
+
+def mde_sample_size_curve(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    rel_effects_micro: tuple[int, ...] = (50_000, 100_000, 200_000, 500_000),
+    z2_const: float = (1.959964 + 0.841621) ** 2,
+) -> DataFrame:
+    """Experiment sizing curve from the MEASURED baseline rate: for a
+    grid of relative minimum-detectable effects, the required units
+    per arm at α=.05 two-sided / 80% power — the planning table an
+    experimentation platform prints before anyone ships a test.
+
+    n/arm = ceil((z_α/2+z_β)² · 2p(1−p) / (p·rel)²); the z constant is
+    Python-injected (identical literal in both engines), p is one
+    exact integer ratio cast to double, and the whole curve is a fixed
+    mirrored double chain per grid row — the qd30/qa33 injected-grid
+    idiom, one scan for the baseline no matter how many rows the grid
+    has.  `feasible` = both arms fit in the measured population.
+
+    Output per effect: rel_effect_micro, baseline_micro, n_per_arm,
+    feasible.
+    """
+    s = (
+        success_col if not isinstance(success_col, str) else F.col(success_col)
+    ).cast("long")
+    base = (
+        df.select(F.col(unit_col).alias("_u"), s.alias("_x"))
+        .groupBy("_u")
+        .agg(F.max("_x").alias("_c"))
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_c").cast("long").alias("_xs"),
+        )
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(int(r),) for r in rel_effects_micro], "rel_effect_micro long"
+    )
+    p = F.col("_xs").cast("double") / F.col("_n").cast("double")
+    rel = F.col("rel_effect_micro").cast("double") / 1_000_000
+    delta = p * rel
+    n_arm = F.ceil(
+        F.lit(float(z2_const)) * 2.0 * p * (1.0 - p) / (delta * delta)
+    ).cast("long")
+    ok = (F.col("_xs") > 0) & (F.col("_xs") < F.col("_n"))
+    return base.crossJoin(F.broadcast(grid)).select(
+        "rel_effect_micro",
+        F.round(F.col("_xs") * 1_000_000 / F.col("_n"))
+        .cast("long")
+        .alias("baseline_micro"),
+        F.when(ok, n_arm).alias("n_per_arm"),
+        F.when(ok, n_arm * 2 <= F.col("_n")).alias("feasible"),
+    )

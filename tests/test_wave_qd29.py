@@ -207,3 +207,81 @@ def test_state_size_projection_exact_grid(spark):
     assert out[600]["n_windows"] == 1
     assert out[600]["max_keys"] == 2
     assert out[600]["avg_keys_micro"] == 2_000_000
+
+
+def test_aa_uniformity_balanced_is_uniform(spark):
+    from ontology_mapper_spark.operators.stats import aa_uniformity_check
+
+    # constant success rate: chi2 ~ small, uniform_ok
+    df = spark.createDataFrame(
+        [(u, 1 if u % 10 == 0 else 0) for u in range(2000)],
+        "u long, x long",
+    )
+    r = aa_uniformity_check(df, "u", "x", n_buckets=16).collect()[0]
+    assert r["n_units"] == 2000
+    assert r["df"] == 15
+    assert r["uniform_ok"]
+
+
+def test_aa_uniformity_catches_broken_bucket(spark):
+    from ontology_mapper_spark.operators.stats import aa_uniformity_check
+    from pyspark.sql import functions as FF
+
+    # success correlated with the SAME md5 bucket function = broken A/A
+    h = FF.conv(
+        FF.substring(
+            FF.md5(FF.concat_ws("|", FF.lit("aa"), FF.col("u").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    df = (
+        spark.range(2000)
+        .select(FF.col("id").alias("u"))
+        .select("u", (FF.pmod(h, FF.lit(16)) == 0).cast("long").alias("x"))
+    )
+    r = aa_uniformity_check(df, "u", "x", n_buckets=16).collect()[0]
+    assert not r["uniform_ok"]
+    assert r["chi2_milli"] > 24996
+
+
+def test_mde_curve_monotone_and_feasibility(spark):
+    from ontology_mapper_spark.operators.stats import mde_sample_size_curve
+
+    df = spark.createDataFrame(
+        [(u, 1 if u % 5 == 0 else 0) for u in range(1000)], "u long, x long"
+    )
+    out = {
+        r["rel_effect_micro"]: r
+        for r in mde_sample_size_curve(df, "u", "x").collect()
+    }
+    assert out[50_000]["baseline_micro"] == 200_000
+    # bigger detectable effect -> smaller n
+    ns = [out[k]["n_per_arm"] for k in (50_000, 100_000, 200_000, 500_000)]
+    assert ns == sorted(ns, reverse=True)
+    assert not out[50_000]["feasible"]  # 5% rel effect needs >> 500/arm
+
+
+def test_cluster_source_mix_reconciles(spark):
+    from ontology_mapper_spark.operators.dedup import cluster_source_mix
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, source string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_rep long"
+    )
+    out = {
+        (r["cluster_size"], r["n_sources"]): r
+        for r in cluster_source_mix(docs, clusters).collect()
+    }
+    # cluster 1 = docs 1,2,3 (a,a,b): size 3, 2 sources, majority 2
+    r = out[(3, 2)]
+    assert r["majority_docs"] == 2 and r["purity_micro"] == 666_667
+    # singletons 4 and 5 each their own cluster
+    assert out[(1, 1)]["n_clusters"] == 2
+    # totals reconcile to the corpus
+    assert sum(r["n_docs"] for r in out.values()) == 5
