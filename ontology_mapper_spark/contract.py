@@ -23615,3 +23615,127 @@ def qd40(spark, sf):
 
 
 QUERIES["qd40_cluster_source_mix"] = qd40
+
+
+ORACLES["qd41_fisher_by"] = f"""
+    WITH qc61 AS ({_qc61_oracle()}),
+    base AS (SELECT event_type, p_micro FROM qc61),
+    ranked AS (SELECT event_type, p_micro,
+                      CAST(row_number() OVER (ORDER BY p_micro,
+                             event_type) AS BIGINT) AS p_rank
+               FROM base),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_tests FROM ranked),
+    cm AS (SELECT CAST(sum(1000000 // p_rank) AS BIGINT) AS cm_micro
+           FROM ranked),
+    j AS (SELECT r.*, m.m_tests, cm.cm_micro
+          FROM ranked r CROSS JOIN m CROSS JOIN cm),
+    passed AS (SELECT max(p_rank) AS maxr FROM j
+               WHERE p_micro * m_tests * cm_micro
+                     <= CAST(100000 AS BIGINT) * p_rank * 1000000)
+    SELECT j.event_type, j.p_micro, j.p_rank, j.m_tests, j.cm_micro,
+           coalesce(j.p_rank <= passed.maxr, FALSE) AS rejected
+    FROM j CROSS JOIN passed
+"""
+
+
+def qd41(spark, sf):
+    """Benjamini-Yekutieli at q = 0.10 over qc61's exact Fisher
+    p-values — qd27's BH closure hardened for ARBITRARY dependence
+    between the per-type tests (the types share the day margin, so
+    independence is exactly what we can't assume).  The BY correction
+    factor c(m) = Σ 1/j enters as the micro-harmonic integer
+    Σ (1e6 div j) over the bounded rank spine — computed identically
+    in both engines, so the step-up test p·m·c ≤ q·rank stays pure
+    int64 (max product ~1.2e13)."""
+    from pyspark.sql import Window as W
+
+    base = QUERIES["qc61_fisher_exact"](spark, sf).select(
+        "event_type", "p_micro"
+    )
+    wr = W.orderBy(F.col("p_micro"), F.col("event_type"))
+    ranked = base.select(
+        "event_type",
+        "p_micro",
+        F.row_number().over(wr).cast("long").alias("p_rank"),
+    )
+    m = ranked.agg(F.count("*").cast("long").alias("m_tests"))
+    cm = ranked.agg(
+        F.sum(F.expr("1000000 div p_rank")).cast("long").alias("cm_micro")
+    )
+    j = ranked.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(cm))
+    passed = j.where(
+        F.col("p_micro") * F.col("m_tests") * F.col("cm_micro")
+        <= F.lit(100_000).cast("long")
+        * F.col("p_rank")
+        * F.lit(1_000_000).cast("long")
+    ).agg(F.max("p_rank").alias("_maxr"))
+    return j.crossJoin(F.broadcast(passed)).select(
+        "event_type",
+        "p_micro",
+        "p_rank",
+        "m_tests",
+        "cm_micro",
+        F.coalesce(F.col("p_rank") <= F.col("_maxr"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )
+
+
+QUERIES["qd41_fisher_by"] = qd41
+
+
+@_q(
+    "qd42_session_paths",
+    """
+    WITH b AS (SELECT user_id AS u, strftime(ts, '%Y-%m-%d') AS day,
+                      event_type AS t,
+                      row_number() OVER (
+                        PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                        ORDER BY ts, event_id) AS rn
+               FROM events),
+    paths AS (SELECT u, day,
+                     string_agg(t, '>' ORDER BY rn) AS path
+              FROM b WHERE rn <= 8 GROUP BY u, day),
+    counted AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+                FROM paths GROUP BY 1)
+    SELECT path, n_sessions FROM counted
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def qd42(spark, sf):
+    """Top-20 daily behavior paths: per (user, day) the first 8 event
+    types in (ts, event_id) order joined '>' — lightweight sequential-
+    pattern mining over the transcript-shaped event log (the
+    aggregate view qb56's per-user regex matcher and qc86's semi-
+    Markov rates summarize one step at a time).  The per-key rank
+    window is partitioned; the final top-20 is orderBy+limit ⇒
+    TakeOrderedAndProject, never a global sort."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    ).orderBy("ts", "event_id")
+    ranked = e.select(
+        F.col("user_id").alias("u"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.col("event_type").alias("t"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 8)
+    paths = ranked.groupBy("u", "day").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("t")))
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return counted.orderBy(
+        F.col("n_sessions").desc(), F.col("path")
+    ).limit(20)
