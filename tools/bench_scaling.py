@@ -141,6 +141,15 @@ def main() -> int:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_md = args.out_md or os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve everything from the first "## " history section onward —
+    # a re-run must refresh ONLY the primary table (the r4-advice /
+    # r5-baseline lesson: per-round records are cross-round evidence)
+    history = ""
+    if os.path.exists(out_md):
+        prev = open(out_md).read()
+        idx = prev.find("\n## ")
+        if idx >= 0:
+            history = prev[idx:]
     with open(out_md, "w") as fh:
         fh.write(
             "# BENCH/BASELINE — scaling evidence (north_rule)\n\n"
@@ -170,6 +179,7 @@ def main() -> int:
             "1000-executor cluster where each executor scans its own\n"
             "partitions independently.\n"
         )
+        fh.write(history)
     print(json.dumps(result))
     return 0
 
