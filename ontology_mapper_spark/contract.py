@@ -23739,3 +23739,80 @@ def qd42(spark, sf):
     return counted.orderBy(
         F.col("n_sessions").desc(), F.col("path")
     ).limit(20)
+
+
+@_q(
+    "qd43_yuen_ttest",
+    """
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS x
+                  FROM events WHERE event_type IN ('click', 'view')),
+    hist AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM base
+             GROUP BY 1, 2),
+    staged AS (SELECT g, x, c,
+                      sum(c) OVER (PARTITION BY g ORDER BY x
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(c) OVER (PARTITION BY g) AS n
+               FROM hist),
+    cuts AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                    CAST(min(CASE WHEN 100 * cum >= 10 * n THEN x END)
+                         AS BIGINT) AS q_lo,
+                    CAST(min(CASE WHEN 100 * cum >= 90 * n THEN x END)
+                         AS BIGINT) AS q_hi
+             FROM staged GROUP BY 1),
+    folded AS (SELECT h.g, CAST(max(cu.n) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN h.x >= cu.q_lo AND h.x <= cu.q_hi
+                                    THEN h.x * h.c ELSE 0 END) AS BIGINT)
+                        AS st,
+                      CAST(sum(CASE WHEN h.x >= cu.q_lo AND h.x <= cu.q_hi
+                                    THEN h.c ELSE 0 END) AS BIGINT) AS h2,
+                      CAST(sum(greatest(least(h.x, cu.q_hi), cu.q_lo) * h.c)
+                           AS BIGINT) AS sw,
+                      CAST(sum(greatest(least(h.x, cu.q_hi), cu.q_lo)
+                               * greatest(least(h.x, cu.q_hi), cu.q_lo)
+                               * h.c) AS BIGINT) AS ssw
+               FROM hist h JOIN cuts cu ON cu.g = h.g GROUP BY 1),
+    fa AS (SELECT n AS n_a, st AS sta, h2 AS h_a, sw AS swa, ssw AS sswa
+           FROM folded WHERE g = 'click'),
+    fb AS (SELECT n AS n_b, st AS stb, h2 AS h_b, sw AS swb, ssw AS sswb
+           FROM folded WHERE g = 'view'),
+    z AS (SELECT n_a, h_a, CAST(sta AS DOUBLE) / h_a AS ma,
+                 n_b, h_b, CAST(stb AS DOUBLE) / h_b AS mb,
+                 CAST(n_a * sswa - swa * swa AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * h_a * (h_a - 1)) AS da,
+                 CAST(n_b * sswb - swb * swb AS DOUBLE)
+                   / (CAST(n_b AS DOUBLE) * h_b * (h_b - 1)) AS db
+          FROM fa CROSS JOIN fb)
+    SELECT n_a, h_a, CAST(round(ma * 1000) AS BIGINT) AS tmean_a_milli,
+           n_b, h_b, CAST(round(mb * 1000) AS BIGINT) AS tmean_b_milli,
+           CASE WHEN h_a > 1 AND h_b > 1 THEN
+             CAST(round((ma - mb) / sqrt(da + db) * 1000) AS BIGINT)
+           END AS t_milli,
+           CASE WHEN h_a > 1 AND h_b > 1 THEN
+             CAST(round((da + db) * (da + db)
+                        / (da * da / (h_a - 1) + db * db / (h_b - 1))
+                        * 1000) AS BIGINT)
+           END AS df_milli
+    FROM z
+    """,
+)
+def qd43(spark, sf):
+    """Yuen's robust two-sample t-test, click vs view event values
+    (operators/stats.py:yuen_trimmed_ttest, Yuen 1974): trimmed means
+    + winsorized variances at the exact 10/90 value cuts (qc28's
+    VALUE-based trim convention — the only tie rule deterministic
+    across engines), Welch df; everything folds over the per-group
+    value histogram, doubles only in the final mirrored assembly."""
+    from .operators.stats import yuen_trimmed_ttest
+
+    e = _t(spark, sf, "events")
+    return yuen_trimmed_ttest(
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        ),
+        "event_type",
+        "v",
+        "click",
+        "view",
+    )

@@ -8174,3 +8174,139 @@ def mde_sample_size_curve(
         F.when(ok, n_arm).alias("n_per_arm"),
         F.when(ok, n_arm * 2 <= F.col("_n")).alias("feasible"),
     )
+
+
+def yuen_trimmed_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    lo_pct: int = 10,
+    hi_pct: int = 90,
+) -> DataFrame:
+    """Yuen's robust two-sample t-test on trimmed means with winsorized
+    variances — the heavy-tail-safe replacement for the plain t-test
+    (Yuen 1974), sharing qc28's VALUE-based trim convention: cuts are
+    exact type-1 per-group percentile values, rows tied with a cut are
+    KEPT (the only trim rule that is deterministic across engines;
+    count-based g-trimming isn't, under ties).
+
+    All moments fold over the per-group value histogram (one shuffle):
+    trimmed sum/count, winsorized sum and sum-of-squares (decimal38).
+    With A = n·SSw − Sw² exact, the variance term is
+    d = A / (n·h·(h−1)) and t = (m̄₁−m̄₂)/√(d₁+d₂) with Welch df
+    (d₁+d₂)²/(d₁²/(h₁−1)+d₂²/(h₂−1)) — doubles enter only in this
+    fixed mirrored assembly, milli-rounded once.
+
+    Output (single row): n_a, h_a, tmean_a_milli, n_b, h_b,
+    tmean_b_milli, t_milli, df_milli.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).where(F.col("_g").isin(group_a, group_b))
+    hist = base.groupBy("_g", "_x").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wg = Window.partitionBy("_g").orderBy("_x")
+    staged = hist.select(
+        "_g",
+        "_x",
+        "_c",
+        F.sum("_c").over(wg).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_n"),
+    )
+    cuts = staged.groupBy("_g").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                100 * F.col("_cum") >= int(lo_pct) * F.col("_n"), F.col("_x")
+            )
+        )
+        .cast("long")
+        .alias("q_lo"),
+        F.min(
+            F.when(
+                100 * F.col("_cum") >= int(hi_pct) * F.col("_n"), F.col("_x")
+            )
+        )
+        .cast("long")
+        .alias("q_hi"),
+    )
+    clamp = F.greatest(F.least(F.col("_x"), F.col("q_hi")), F.col("q_lo"))
+    folded = (
+        hist.join(cuts, "_g")
+        .groupBy("_g")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("_x") >= F.col("q_lo"))
+                    & (F.col("_x") <= F.col("q_hi")),
+                    F.col("_x") * F.col("_c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("st"),
+            F.sum(
+                F.when(
+                    (F.col("_x") >= F.col("q_lo"))
+                    & (F.col("_x") <= F.col("q_hi")),
+                    F.col("_c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("h"),
+            F.sum(dec(clamp) * dec(F.col("_c"))).alias("_sw"),
+            F.sum(dec(clamp) * dec(clamp) * dec(F.col("_c"))).alias("_ssw"),
+        )
+    )
+    fa = folded.where(F.col("_g") == group_a).select(
+        F.col("n").alias("n_a"),
+        F.col("st").alias("_sta"),
+        F.col("h").alias("h_a"),
+        F.col("_sw").alias("_swa"),
+        F.col("_ssw").alias("_sswa"),
+    )
+    fb = folded.where(F.col("_g") == group_b).select(
+        F.col("n").alias("n_b"),
+        F.col("st").alias("_stb"),
+        F.col("h").alias("h_b"),
+        F.col("_sw").alias("_swb"),
+        F.col("_ssw").alias("_sswb"),
+    )
+    j = fa.crossJoin(F.broadcast(fb))
+    ma = F.col("_sta").cast("double") / F.col("h_a")
+    mb = F.col("_stb").cast("double") / F.col("h_b")
+    aa = (dec(F.col("n_a")) * F.col("_sswa") - F.col("_swa") * F.col("_swa")).cast(
+        "double"
+    )
+    ab = (dec(F.col("n_b")) * F.col("_sswb") - F.col("_swb") * F.col("_swb")).cast(
+        "double"
+    )
+    da = aa / (
+        F.col("n_a").cast("double") * F.col("h_a") * (F.col("h_a") - 1)
+    )
+    db = ab / (
+        F.col("n_b").cast("double") * F.col("h_b") * (F.col("h_b") - 1)
+    )
+    t = (ma - mb) / F.sqrt(da + db)
+    dfree = (
+        (da + db)
+        * (da + db)
+        / (da * da / (F.col("h_a") - 1) + db * db / (F.col("h_b") - 1))
+    )
+    ok = (F.col("h_a") > 1) & (F.col("h_b") > 1)
+    mil = lambda c: F.round(c * 1000).cast("long")
+    return j.select(
+        "n_a",
+        "h_a",
+        mil(ma).alias("tmean_a_milli"),
+        "n_b",
+        "h_b",
+        mil(mb).alias("tmean_b_milli"),
+        F.when(ok, mil(t)).alias("t_milli"),
+        F.when(ok, mil(dfree)).alias("df_milli"),
+    )

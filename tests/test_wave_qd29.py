@@ -285,3 +285,25 @@ def test_cluster_source_mix_reconciles(spark):
     assert out[(1, 1)]["n_clusters"] == 2
     # totals reconcile to the corpus
     assert sum(r["n_docs"] for r in out.values()) == 5
+
+
+def test_yuen_ttest_symmetric_and_shift(spark):
+    from ontology_mapper_spark.operators.stats import yuen_trimmed_ttest
+
+    rows = [("a", v) for v in range(1, 101)] + [("b", v) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = yuen_trimmed_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert r["t_milli"] == 0  # identical samples
+    assert r["tmean_a_milli"] == r["tmean_b_milli"]
+    # shift group b up by 50: strongly negative t, outlier-immune
+    rows2 = [("a", v) for v in range(1, 101)] + [
+        ("b", v + 50) for v in range(1, 101)
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, v long")
+    r2 = yuen_trimmed_ttest(df2, "g", "v", "a", "b").collect()[0]
+    assert r2["t_milli"] < -3000
+    # one huge outlier in group a barely moves the trimmed mean
+    rows3 = rows2 + [("a", 10_000_000)]
+    df3 = spark.createDataFrame(rows3, "g string, v long")
+    r3 = yuen_trimmed_ttest(df3, "g", "v", "a", "b").collect()[0]
+    assert abs(r3["tmean_a_milli"] - r2["tmean_a_milli"]) < 2000
