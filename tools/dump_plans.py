@@ -363,6 +363,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qd28_tail_contribution": "value histogram p99 cut (qa22 family)",
     "qd31_funnel_ztest": "funnel step spine (fixed number of steps, qa58 family, once per segment)",
     "qd33_split_gain": "feature value histogram cumulative (qa22 family; distinct n_chars values)",
+    "qd41_fisher_by": "p-value rank over the event-type dimension (qd27/qc61 family) + qc61's sample windows",
 }
 
 
