@@ -261,7 +261,15 @@ def exact_neardup_pairs(
                 "allow_large=True if you really mean it"
             )
     e = corpus.select(F.col(id_col), F.col(vec_col))
-    a = e.alias("a")
+    # the `<` theta-join plans as a broadcast nested-loop whose
+    # parallelism is the STREAMED side's scan — a small parquet file
+    # reads as ONE partition and all N²/2 cosines run single-task (the
+    # qa46/qc66 class; measured 62.6 s for 2M pairs at sf0.1).  An
+    # explicit-numPartitions repartition is AQE-exempt and spreads the
+    # pair production.
+    a = e.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).alias("a")
     b = e.alias("b")
     cos = cosine_cols(
         F.col(f"a.{vec_col}").cast("array<double>"),
