@@ -23816,3 +23816,230 @@ def qd43(spark, sf):
         "click",
         "view",
     )
+
+
+@_q(
+    "qd44_transition_drift",
+    """
+    WITH b AS (SELECT user_id AS u, event_type AS t, ts, event_id,
+                      CASE WHEN CAST(strftime(ts, '%d') AS BIGINT) <= 15
+                           THEN 1 ELSE 2 END AS half
+               FROM events),
+    seq AS (SELECT u, half, t AS t_from,
+                   lead(t) OVER (PARTITION BY u ORDER BY ts, event_id)
+                     AS t_to
+            FROM b),
+    cells AS (SELECT half, t_from, t_to, CAST(count(*) AS BIGINT) AS c
+              FROM seq WHERE t_to IS NOT NULL GROUP BY 1, 2, 3),
+    ht AS (SELECT half, CAST(sum(c) AS BIGINT) AS nh FROM cells
+           GROUP BY 1),
+    ct AS (SELECT t_from, t_to, CAST(sum(c) AS BIGINT) AS ctot
+           FROM cells GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(nh) AS BIGINT) AS n FROM ht),
+    grid AS (SELECT ht.half, ct.t_from, ct.t_to, ht.nh, ct.ctot, tot.n,
+                    coalesce(cells.c, 0) AS o
+             FROM ht CROSS JOIN ct CROSS JOIN tot
+             LEFT JOIN cells ON cells.half = ht.half
+               AND cells.t_from = ct.t_from AND cells.t_to = ct.t_to),
+    contrib AS (SELECT half, t_from, t_to,
+                       CAST(round(
+                         CAST(o * n - nh * ctot AS DOUBLE)
+                         * (o * n - nh * ctot)
+                         / (CAST(n AS DOUBLE) * nh * ctot)
+                         * 1000000) AS BIGINT) AS c_micro
+                FROM grid),
+    agg AS (SELECT CAST(sum(c_micro) AS BIGINT) AS chi2_micro,
+                   CAST(count(*) AS BIGINT) AS n_cells2 FROM contrib)
+    SELECT CAST(round(chi2_micro / 1000) AS BIGINT) AS chi2_milli,
+           CAST(n_cells2 // 2 - 1 AS BIGINT) AS df,
+           CAST(n_cells2 // 2 AS BIGINT) AS n_transition_types
+    FROM agg
+    """,
+)
+def qd44(spark, sf):
+    """Transition-matrix drift: chi² homogeneity of the per-user
+    event-type transition distribution between the first and second
+    half of the month — 'did behavior CHAINS change', the dynamics
+    counterpart of qb21's static JSD drift and the stability check
+    behind every Markov-model op (qb05/qb12/qc86/qd07).  Per-cell
+    d = o·N − n_h·c_tot stays exact int64; contributions are one
+    mirrored double chain micro-rounded per cell (qd38 discipline)
+    over the bounded half × transition grid."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("u").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("user_id").alias("u"),
+        F.when(
+            F.date_format(F.col("ts").cast("timestamp"), "dd").cast("long")
+            <= 15,
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+        .alias("half"),
+        F.col("event_type").alias("t_from"),
+        "ts",
+        "event_id",
+    ).select(
+        "u",
+        "half",
+        "t_from",
+        F.lead("t_from").over(w).alias("t_to"),
+    )
+    cells = (
+        seq.where(F.col("t_to").isNotNull())
+        .groupBy("half", "t_from", "t_to")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ht = cells.groupBy("half").agg(F.sum("c").cast("long").alias("nh"))
+    ct = cells.groupBy("t_from", "t_to").agg(
+        F.sum("c").cast("long").alias("ctot")
+    )
+    tot = ht.agg(F.sum("nh").cast("long").alias("n"))
+    grid = (
+        ht.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["half", "t_from", "t_to"], "left")
+        .select(
+            "half",
+            "t_from",
+            "t_to",
+            "nh",
+            "ctot",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("o"),
+        )
+    )
+    d = F.col("o") * F.col("n") - F.col("nh") * F.col("ctot")
+    contrib = grid.select(
+        F.round(
+            d.cast("double")
+            * d
+            / (F.col("n").cast("double") * F.col("nh") * F.col("ctot"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("c_micro")
+    )
+    agg = contrib.agg(
+        F.sum("c_micro").cast("long").alias("chi2_micro"),
+        F.count("*").cast("long").alias("n_cells2"),
+    )
+    return agg.select(
+        F.round(F.col("chi2_micro") / 1000).cast("long").alias("chi2_milli"),
+        (F.expr("n_cells2 div 2") - 1).cast("long").alias("df"),
+        F.expr("n_cells2 div 2").alias("n_transition_types"),
+    )
+
+
+@_q(
+    "qd45_seasonal_anomaly",
+    """
+    WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                          CAST((CAST(epoch_us(ts) // 1000000 AS BIGINT)
+                                // 86400 + 4) % 7 AS BIGINT) AS dow,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+    dm AS (SELECT dow, CAST(sum(n) AS BIGINT) AS sn,
+                  CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY 1),
+    res AS (SELECT d.day, d.dow, d.n,
+                   CAST(d.n * dm.nd - dm.sn AS BIGINT) AS r_scaled,
+                   dm.nd
+            FROM daily d JOIN dm ON dm.dow = d.dow),
+    resn AS (SELECT day, dow, n, nd,
+                    CAST(round(CAST(r_scaled AS DOUBLE) * 1000 / nd)
+                         AS BIGINT) AS resid_milli
+             FROM res),
+    med AS (SELECT CAST(min(resid_milli) AS BIGINT) AS m FROM
+            (SELECT resid_milli,
+                    row_number() OVER (ORDER BY resid_milli, day) AS rn,
+                    count(*) OVER () AS cnt
+             FROM resn) WHERE 2 * rn >= cnt + 1),
+    ad AS (SELECT resn.*, abs(resid_milli - med.m) AS adev
+           FROM resn CROSS JOIN med),
+    mad AS (SELECT CAST(min(adev) AS BIGINT) AS mad_milli FROM
+            (SELECT adev, row_number() OVER (ORDER BY adev, day) AS rn,
+                    count(*) OVER () AS cnt
+             FROM ad) WHERE 2 * rn >= cnt + 1)
+    SELECT ad.day, ad.dow, ad.n, ad.resid_milli,
+           CASE WHEN mad.mad_milli > 0 THEN
+             CAST(round((ad.resid_milli - med.m) * 674.5 / mad.mad_milli)
+                  AS BIGINT) END AS z_milli,
+           CASE WHEN mad.mad_milli > 0 THEN
+             abs(CAST(round((ad.resid_milli - med.m) * 674.5
+                            / mad.mad_milli) AS BIGINT)) > 3500
+           END AS is_anomaly
+    FROM ad CROSS JOIN med CROSS JOIN mad
+    """,
+)
+def qd45(spark, sf):
+    """Seasonally-adjusted daily anomaly score: remove the day-of-week
+    mean (the (epoch_day+4)%%7 portable dow, qb71 idiom), then robust
+    MAD z-scores with the 0.6745 consistency constant injected as one
+    literal — |z| > 3.5 is the Iglewicz-Hoban rule.  The residual and
+    MAD medians are exact type-1 ranks over the 30-row day spine
+    (calendar-bounded windows); composes qb63's trailing-window view
+    with qa48's MAD discipline into one deseasonalized detector."""
+    e = _t(spark, sf, "events")
+    daily = e.select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 1000000 div 86400 + 4)"
+            " % 7"
+        )
+        .cast("long")
+        .alias("dow"),
+    ).groupBy("day", "dow").agg(F.count("*").cast("long").alias("n"))
+    dm = daily.groupBy("dow").agg(
+        F.sum("n").cast("long").alias("sn"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    resn = daily.join(dm, "dow").select(
+        "day",
+        "dow",
+        "n",
+        "nd",
+        F.round(
+            (F.col("n") * F.col("nd") - F.col("sn")).cast("double")
+            * 1000
+            / F.col("nd")
+        )
+        .cast("long")
+        .alias("resid_milli"),
+    )
+    wm = Window.orderBy("resid_milli", "day")
+    med = resn.select(
+        "resid_milli",
+        F.row_number().over(wm).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    ).where(2 * F.col("rn") >= F.col("cnt") + 1).agg(
+        F.min("resid_milli").cast("long").alias("m")
+    )
+    ad = resn.crossJoin(F.broadcast(med)).select(
+        "day",
+        "dow",
+        "n",
+        "resid_milli",
+        F.col("m"),
+        F.abs(F.col("resid_milli") - F.col("m")).alias("adev"),
+    )
+    wa = Window.orderBy("adev", "day")
+    mad = ad.select(
+        "adev",
+        F.row_number().over(wa).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    ).where(2 * F.col("rn") >= F.col("cnt") + 1).agg(
+        F.min("adev").cast("long").alias("mad_milli")
+    )
+    z = F.round(
+        (F.col("resid_milli") - F.col("m")) * 674.5 / F.col("mad_milli")
+    ).cast("long")
+    return ad.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "dow",
+        "n",
+        "resid_milli",
+        F.when(F.col("mad_milli") > 0, z).alias("z_milli"),
+        F.when(F.col("mad_milli") > 0, F.abs(z) > 3500).alias("is_anomaly"),
+    )

@@ -307,3 +307,20 @@ def test_yuen_ttest_symmetric_and_shift(spark):
     df3 = spark.createDataFrame(rows3, "g string, v long")
     r3 = yuen_trimmed_ttest(df3, "g", "v", "a", "b").collect()[0]
     assert abs(r3["tmean_a_milli"] - r2["tmean_a_milli"]) < 2000
+
+
+def test_qd44_qd45_contract_sanity(spark):
+    from ontology_mapper_spark.contract import QUERIES
+
+    r = QUERIES["qd44_transition_drift"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r["n_transition_types"] >= 1
+    assert r["df"] == r["n_transition_types"] - 1
+    assert r["chi2_milli"] >= 0
+    rows = QUERIES["qd45_seasonal_anomaly"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 30  # one per calendar day
+    # residuals of a dow-mean fit sum to ~0 within rounding
+    assert abs(sum(x["resid_milli"] for x in rows)) <= len(rows)

@@ -364,6 +364,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
     "qd31_funnel_ztest": "funnel step spine (fixed number of steps, qa58 family, once per segment)",
     "qd33_split_gain": "feature value histogram cumulative (qa22 family; distinct n_chars values)",
     "qd41_fisher_by": "p-value rank over the event-type dimension (qd27/qc61 family) + qc61's sample windows",
+    "qd45_seasonal_anomaly": "residual + MAD medians over the 30-row day spine (calendar-bounded, qa48/qc41 family)",
 }
 
 
