@@ -24043,3 +24043,102 @@ def qd45(spark, sf):
         F.when(F.col("mad_milli") > 0, z).alias("z_milli"),
         F.when(F.col("mad_milli") > 0, F.abs(z) > 3500).alias("is_anomaly"),
     )
+
+
+@_q(
+    "qd46_split_parity",
+    """
+    WITH s AS (SELECT lang,
+                      CASE WHEN substr(md5('|' || CAST(doc_id AS VARCHAR)),
+                                       1, 8) < 'cccccccd'
+                           THEN 'train' ELSE 'holdout' END AS split
+               FROM documents),
+    cells AS (SELECT lang,
+                     CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ctr,
+                     CAST(sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cho
+              FROM s GROUP BY 1),
+    tot AS (SELECT CAST(sum(ctr) AS BIGINT) AS ntr,
+                   CAST(sum(cho) AS BIGINT) AS nho FROM cells),
+    z AS (SELECT c.lang, c.ctr, c.cho, tot.ntr, tot.nho,
+                 CAST(round(c.ctr * 1000000 / tot.ntr) AS BIGINT)
+                   AS share_train_micro,
+                 CAST(round(c.cho * 1000000 / tot.nho) AS BIGINT)
+                   AS share_holdout_micro,
+                 CASE WHEN c.ctr > 0 AND c.cho > 0 THEN
+                   CAST(round((CAST(round(c.ctr * 1000000 / tot.ntr)
+                                    AS BIGINT)
+                               - CAST(round(c.cho * 1000000 / tot.nho)
+                                      AS BIGINT))
+                              * (round(ln(CAST(c.ctr AS DOUBLE) * tot.nho
+                                          / (CAST(c.cho AS DOUBLE)
+                                             * tot.ntr)) * 1000000))
+                              / 1000000000000) AS BIGINT) END
+                   AS psi_cell_pico_scaled
+          FROM cells c CROSS JOIN tot)
+    SELECT lang, ctr AS n_train, cho AS n_holdout,
+           share_train_micro, share_holdout_micro,
+           abs(share_train_micro - share_holdout_micro)
+             AS share_gap_micro,
+           psi_cell_pico_scaled AS psi_cell_micro
+    FROM z
+    """,
+)
+def qd46(spark, sf):
+    """Train/holdout distribution-parity release gate over the q62 hash
+    split: per lang, both shares, the absolute share gap, and the PSI
+    cell contribution — 'did the 80/20 split preserve the language
+    mix', the per-split companion of qa39's balance audit and qb69's
+    temporal PSI.  PSI cell = (p−q)·ln(p/q): the ln of the EXACT
+    integer odds ratio is micro-rounded once per cell (q66/qb69 ln
+    idiom), shares are micro ints, one mirrored integer product per
+    cell — engine-exact by construction.  Split thresholds are the
+    q62 hex constants; everything is two aggregates over one scan."""
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(""), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    d = _t(spark, sf, "documents").select(
+        "lang",
+        F.when(h < "cccccccd", F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+    cells = d.groupBy("lang").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("ctr"),
+        F.sum(F.when(F.col("split") != "train", 1).otherwise(0))
+        .cast("long")
+        .alias("cho"),
+    )
+    tot = cells.agg(
+        F.sum("ctr").cast("long").alias("ntr"),
+        F.sum("cho").cast("long").alias("nho"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    sh_tr = F.round(F.col("ctr") * 1_000_000 / F.col("ntr")).cast("long")
+    sh_ho = F.round(F.col("cho") * 1_000_000 / F.col("nho")).cast("long")
+    ln_odds = F.round(
+        F.log(
+            F.col("ctr").cast("double")
+            * F.col("nho")
+            / (F.col("cho").cast("double") * F.col("ntr"))
+        )
+        * 1_000_000
+    )
+    psi_cell = F.when(
+        (F.col("ctr") > 0) & (F.col("cho") > 0),
+        F.round((sh_tr - sh_ho) * ln_odds / 1_000_000_000_000).cast("long"),
+    )
+    return j.select(
+        "lang",
+        F.col("ctr").alias("n_train"),
+        F.col("cho").alias("n_holdout"),
+        sh_tr.alias("share_train_micro"),
+        sh_ho.alias("share_holdout_micro"),
+        F.abs(sh_tr - sh_ho).alias("share_gap_micro"),
+        psi_cell.alias("psi_cell_micro"),
+    )

@@ -324,3 +324,21 @@ def test_qd44_qd45_contract_sanity(spark):
     assert len(rows) == 30  # one per calendar day
     # residuals of a dow-mean fit sum to ~0 within rounding
     assert abs(sum(x["resid_milli"] for x in rows)) <= len(rows)
+
+
+def test_qd46_split_parity_reconciles(spark):
+    from ontology_mapper_spark.contract import QUERIES
+
+    rows = QUERIES["qd46_split_parity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["n_train"] + r["n_holdout"] for r in rows) == 500
+    # shares sum to ~1e6 on each side (rounding slack <= n_cells)
+    assert abs(sum(r["share_train_micro"] for r in rows) - 1_000_000) <= len(rows)
+    assert abs(sum(r["share_holdout_micro"] for r in rows) - 1_000_000) <= len(rows)
+    # PSI cells are non-negative by construction ((p-q) and ln(p/q)
+    # share sign); allow tiny negative from micro rounding
+    assert all(
+        r["psi_cell_micro"] is None or r["psi_cell_micro"] >= -1
+        for r in rows
+    )
